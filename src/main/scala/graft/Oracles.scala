@@ -1,0 +1,293 @@
+package graft
+
+/** DuckDB oracle SQL for [[Queries]] — ANSI SQL the driver runs over the
+  * same parquet tables. Column names and types deliberately mirror the
+  * Spark results (camelCase aliases quoted; DuckDB HUGEINT sums cast back
+  * to BIGINT to match Spark's long).
+  */
+object Oracles {
+
+  /** round-to-integer-cents: exact bigint arithmetic both engines. */
+  private def c(x: String) = s"CAST(round(($x)*100) AS BIGINT)"
+
+  private val panelCte =
+    """panel AS (
+      |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+      |         max(l_extendedprice) AS close
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
+  private val sigCte =
+    s"""$panelCte,
+       |sig AS (
+       |  SELECT sid, date, close, CAST(close < 30000 AS INT) AS signal FROM panel),
+       |wts AS (
+       |  SELECT *, CAST(signal AS DOUBLE) /
+       |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date) <> 0
+       |          THEN sum(abs(signal)) OVER (PARTITION BY date) ELSE 1 END) AS weight
+       |  FROM sig)""".stripMargin
+
+  private val turnoverCte =
+    s"""$sigCte,
+       |pos AS (
+       |  SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts),
+       |trn AS (
+       |  SELECT *, abs(coalesce(position, 0) -
+       |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
+       |  FROM pos)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01'
+        |  AND l_quantity < 10""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS sum_base_cents,
+         |  CAST(sum(${c("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS rev_cents,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "p5_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS size_class,
+        |  coalesce(CASE WHEN o_orderstatus <> 'O' THEN o_totalprice END, 0.0) AS closed_price
+        |FROM orders""".stripMargin,
+
+    "r1_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS field,
+        |       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       CAST(l_discount AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "r2_pivot" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN ${c("l_quantity")} END) AS BIGINT) AS "F",
+         |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN ${c("l_quantity")} END) AS BIGINT) AS "O"
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "r3_keyed_concat" ->
+      s"""SELECT l_suppkey AS sid, CAST(sum(${c("l_quantity")}) AS BIGINT) AS value,
+         |       'qty_cents' AS field
+         |FROM lineitem GROUP BY l_suppkey
+         |UNION ALL
+         |SELECT l_suppkey, CAST(sum(${c("l_extendedprice")}) AS BIGINT), 'rev_cents'
+         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "j1_broadcast_join" ->
+      s"""SELECT p_brand,
+         |  CAST(sum(${c("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS rev_cents,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT o_orderkey, c_mktsegment,
+         |  CAST(sum(${c("l_extendedprice*(1-l_discount)")}) AS BIGINT) AS rev_cents
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey, c_mktsegment
+         |ORDER BY rev_cents DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "j3_full_outer" ->
+      s"""WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+         |pos AS (
+         |  SELECT user_id, CAST(sum(${c("value")}) AS BIGINT) AS pos_cents
+         |  FROM ev WHERE event_type = 'purchase' AND user_id < 100 GROUP BY user_id),
+         |ord AS (
+         |  SELECT user_id, CAST(sum(CASE WHEN event_type = 'error'
+         |      THEN -${c("value")} ELSE ${c("value")} END) AS BIGINT) AS ord_cents
+         |  FROM ev WHERE event_type IN ('signup', 'error') AND user_id >= 50
+         |  GROUP BY user_id)
+         |SELECT coalesce(pos.user_id, ord.user_id) AS user_id,
+         |       coalesce(pos_cents, 0) + coalesce(ord_cents, 0) AS net_cents
+         |FROM pos FULL OUTER JOIN ord ON pos.user_id = ord.user_id""".stripMargin,
+
+    "j6_asof_join" ->
+      s"""WITH ev AS (SELECT *, CAST(ts AS DATE) AS day FROM events),
+         |probes AS (
+         |  SELECT event_id, user_id, day, ${c("value")} AS purchase_cents
+         |  FROM ev WHERE event_type = 'purchase'),
+         |clicks AS (
+         |  SELECT user_id, day, max_by(${c("value")}, event_id) AS last_click_cents
+         |  FROM ev WHERE event_type = 'click' GROUP BY user_id, day)
+         |SELECT p.event_id, p.user_id, p.day, p.purchase_cents, cl.last_click_cents
+         |FROM probes p ASOF LEFT JOIN clicks cl
+         |  ON p.user_id = cl.user_id AND p.day >= cl.day""".stripMargin,
+
+    "w1_lag" ->
+      s"""SELECT event_id, user_id, ${c("value")} AS value_cents,
+         |  lag(${c("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_cents
+         |FROM events""".stripMargin,
+
+    "w3_pct_change" ->
+      """SELECT event_id, user_id,
+        |  value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+        |    AS pct_change
+        |FROM events""".stripMargin,
+
+    "w4_diff" ->
+      s"""SELECT event_id, user_id,
+         |  ${c("value")} - lag(${c("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS diff_cents
+         |FROM events""".stripMargin,
+
+    "w5_ffill" ->
+      s"""SELECT event_id, user_id,
+         |  last_value(CASE WHEN event_type = 'click' THEN ${c("value")} END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_cents
+         |FROM events""".stripMargin,
+
+    "w6_rolling_mean" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN count(value) OVER w = 3 THEN avg(value) OVER w END AS rolling_mean_3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w2_cumsum" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(sum(${c("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+         |FROM events""".stripMargin,
+
+    "w9_day_gap" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  CAST(coalesce(date_diff('day',
+         |    lag(date) OVER (PARTITION BY sid ORDER BY date), date), 1) AS BIGINT) AS days_held
+         |FROM panel""".stripMargin,
+
+    "a1_per_date_sum" ->
+      s"""SELECT event_id, CAST(ts AS DATE) AS day,
+         |  CAST(sum(${c("value")}) OVER (PARTITION BY CAST(ts AS DATE)) AS BIGINT)
+         |    AS day_total_cents
+         |FROM events""".stripMargin,
+
+    "a3_first_per_group" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+         |  min_by(${c("value")}, event_id) AS first_cents
+         |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
+
+    "a4_last_per_group" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+         |  max_by(${c("value")}, event_id) AS last_cents
+         |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
+
+    "a7_distinct" -> "SELECT DISTINCT event_type FROM events",
+
+    "ev_hourly_agg" ->
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+         |  count(*) AS n, CAST(sum(${c("value")}) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "d1_equal_weights" ->
+      s"""WITH $sigCte
+         |SELECT sid, date, signal, weight FROM wts""".stripMargin,
+
+    "d5_neutralize" ->
+      s"""WITH $panelCte,
+         |sig AS (
+         |  SELECT sid, date, CASE WHEN close < 30000 THEN 1.0 ELSE -1.0 END AS w FROM panel),
+         |tot AS (
+         |  SELECT *,
+         |    sum(CASE WHEN w > 0 THEN w ELSE 0 END) OVER (PARTITION BY date) AS tl,
+         |    sum(abs(CASE WHEN w < 0 THEN w ELSE 0 END)) OVER (PARTITION BY date) AS tsh
+         |  FROM sig),
+         |sides AS (
+         |  SELECT sid, date, CASE WHEN w > 0 THEN w ELSE 0 END AS lw,
+         |         CASE WHEN w < 0 THEN w ELSE 0 END AS sw, tl, tsh FROM tot),
+         |scaled AS (
+         |  SELECT sid, date,
+         |    CASE WHEN tl <= tsh THEN lw
+         |         ELSE lw * tsh / (CASE WHEN tl = 0 THEN 1 ELSE tl END) END AS lsc,
+         |    CASE WHEN tsh <= tl THEN sw
+         |         ELSE sw * tl / (CASE WHEN tsh = 0 THEN 1 ELSE tsh END) END AS ssc
+         |  FROM sides)
+         |SELECT sid, date, CASE WHEN lsc > 0 THEN lsc ELSE ssc END AS weight FROM scaled""".stripMargin,
+
+    "d6_turnover" ->
+      s"""WITH $turnoverCte
+         |SELECT sid, date, turnover FROM trn""".stripMargin,
+
+    "d16_limit" ->
+      s"""WITH $sigCte,
+         |qty AS (
+         |  SELECT *, coalesce(round(weight * 1000000 / close), 0) AS q FROM wts),
+         |cl AS (SELECT *, least(greatest(q, -10), 10) AS clamped FROM qty)
+         |SELECT sid, date, q AS qty, clamped,
+         |       clamped * close / 1000000 AS constrained_weight
+         |FROM cl""".stripMargin,
+
+    "d8_commission" ->
+      s"""WITH $turnoverCte,
+         |br AS (SELECT *, turnover * 0.001 AS broker FROM trn)
+         |SELECT sid, date,
+         |  (CASE WHEN broker > 0 AND broker < 2.5 / 1000000
+         |        THEN 2.5 / 1000000 ELSE broker END) + turnover * 0.0002 AS commission
+         |FROM br""".stripMargin,
+
+    "d13_slippage" ->
+      s"""WITH $turnoverCte
+         |SELECT sid, date, turnover * 0.0005 AS slippage FROM trn""".stripMargin,
+
+    "d21_order_stubs" ->
+      s"""WITH $sigCte,
+         |lastd AS (SELECT max(date) AS d FROM panel),
+         |today AS (
+         |  SELECT sid, 'U1' AS account,
+         |         coalesce(round(weight * 1000000 / close), 0) AS tq
+         |  FROM wts JOIN lastd ON wts.date = lastd.d),
+         |held AS (
+         |  SELECT s_suppkey AS sid, 'U1' AS account,
+         |         round(s_acctbal / 1000) AS quantity FROM supplier),
+         |net AS (
+         |  SELECT t.sid, t.account, t.tq - coalesce(h.quantity, 0) AS nq
+         |  FROM today t LEFT JOIN held h ON t.sid = h.sid AND t.account = h.account)
+         |SELECT sid, account, CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+         |       'demo' AS "orderRef", abs(nq) AS "totalQuantity"
+         |FROM net WHERE nq <> 0""".stripMargin,
+
+    "d23_child_orders" ->
+      """WITH stubs AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
+        |         'demo' AS "orderRef", round(s_acctbal) AS "totalQuantity"
+        |  FROM supplier WHERE s_acctbal > 0),
+        |parents AS (
+        |  SELECT *, sid || '.' || account || '.' || "orderRef" AS "orderId" FROM stubs)
+        |SELECT sid, account, action, "orderRef", "totalQuantity", "orderId",
+        |       CAST(NULL AS VARCHAR) AS "parentId"
+        |FROM parents
+        |UNION ALL
+        |SELECT sid, account, CASE WHEN action = 'BUY' THEN 'SELL' ELSE 'BUY' END,
+        |       "orderRef", "totalQuantity", CAST(NULL AS VARCHAR), "orderId"
+        |FROM parents""".stripMargin,
+
+    "backtest_pipeline" ->
+      s"""WITH $turnoverCte,
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+         |  FROM trn),
+         |m AS (SELECT sid, date, signal, weight, position, gross, turnover FROM gro)
+         |SELECT sid, date, 'AbsExposure' AS field, abs(position) AS value FROM m
+         |UNION ALL SELECT sid, date, 'AbsWeight', abs(weight) FROM m
+         |UNION ALL SELECT sid, date, 'Commission', 0.0 FROM m
+         |UNION ALL SELECT sid, date, 'NetExposure', position FROM m
+         |UNION ALL SELECT sid, date, 'Return', coalesce(gross, 0.0) FROM m
+         |UNION ALL SELECT sid, date, 'Signal', CAST(signal AS DOUBLE) FROM m
+         |UNION ALL SELECT sid, date, 'Slippage', 0.0 FROM m
+         |UNION ALL SELECT sid, date, 'TotalHoldings',
+         |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
+         |UNION ALL SELECT sid, date, 'Turnover', turnover FROM m
+         |UNION ALL SELECT sid, date, 'Weight', weight FROM m""".stripMargin
+  )
+}

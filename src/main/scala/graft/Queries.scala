@@ -1,0 +1,384 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.alloc.Weights
+import graft.costs.{FixedSlippage, PercentageCommission}
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+import graft.pipeline.{Backtest, Strategy}
+import graft.trade.{AsOf, Trade}
+
+/** The operator catalog: one driver-checkable query per implemented
+  * operator from SURVEY §2 (+ the LLM-pipeline extensions). Each entry has
+  * a DuckDB oracle in [[Oracles]] unless the op is not SQL-expressible.
+  *
+  * Cross-engine determinism rules used throughout (so result hashes match
+  * the oracle bit-for-bit):
+  *  - unordered SUM/AVG over doubles is order-dependent in the last ulp →
+  *    sum integer cents (`sum(cast(round(x*100) as bigint))`) instead;
+  *  - panel "close" uses max() (order-free), never avg();
+  *  - per-row IEEE arithmetic (ratios, lags, window means over ordered
+  *    frames) is bit-deterministic and needs no rounding;
+  *  - every window order key is made total with a unique tiebreaker
+  *    (event_id / (orderkey, linenumber)).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events as a panel: sid=user_id, ordered by (ts, event_id). */
+  private val evKeys = Keys(sid = "user_id", order = Seq("ts", "event_id"), dateCol = "day")
+  /** lineitem daily panel: sid=l_suppkey, one row per (sid, date). */
+  private val liKeys = Keys(sid = "sid", order = Seq("date"), dateCol = "date")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS); Spark reads it as a
+    * nanos long (spark.sql.legacy.parquet.nanosAsLong) — convert to a
+    * proper UTC timestamp at micros precision (what DuckDB also does). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val withTs =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      else raw
+    withTs.withColumn("day", to_date(col("ts")))
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  /** Supplier × ship-day price panel (close = max extendedprice: order-free). */
+  private def supplierPanel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+      .agg(max(col("l_extendedprice")).as("close"))
+
+  /** The flagship demo strategy: long suppliers whose close < 30000
+    * (the BuyBelow10 golden-test shape, _tests/test_backtest.py:108). */
+  object DemoStrategy extends Strategy {
+    val code = "demo"
+    override def keys: Keys = liKeys
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", (col("close") < 30000).cast("int"))
+  }
+
+  // ------------------------------------------------------------------
+  // the catalog
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S1/P8: predicate + column pushdown scan ----
+    "s1_scan_pushdown" -> ((s, dir) => {
+      graft.sources.Sources.prices(s, s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1995-03-01" &&
+          col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          to_date(col("l_shipdate")).as("ship_date"))
+    }),
+
+    // ---- A5/P4: hash aggregate (TPC-H Q1 shape) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- P5/P6: conditional select + null handling ----
+    "p5_conditional" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("size_class"),
+        coalesce(
+          when(col("o_orderstatus") =!= "O", col("o_totalprice")), lit(0.0))
+          .as("closed_price"))
+    }),
+
+    // ---- R1: wide→long melt ----
+    "r1_unpivot" -> ((s, dir) => {
+      Panel.meltFields(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_discount"))
+    }),
+
+    // ---- R2: long→wide pivot (bounded column set) ----
+    "r2_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(cents(col("l_quantity"))))
+    }),
+
+    // ---- R3: keyed concat (field-tagged union) ----
+    "r3_keyed_concat" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qty = li.groupBy(col("l_suppkey").as("sid"))
+        .agg(sum(cents(col("l_quantity"))).as("value"))
+      val rev = li.groupBy(col("l_suppkey").as("sid"))
+        .agg(sum(cents(col("l_extendedprice"))).as("value"))
+      Panel.concatFields(Seq("qty_cents" -> qty, "rev_cents" -> rev))
+    }),
+
+    // ---- J1/J5: broadcast dimension join ----
+    "j1_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- shuffle join path: customer ⋈ orders ⋈ lineitem, top-N ----
+    "q3_top_revenue" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "c_mktsegment")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- J3: full-outer combine (positions ⋈ open orders shape) ----
+    "j3_full_outer" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val positions = ev.where(col("event_type") === "purchase" && col("user_id") < 100)
+        .groupBy("user_id").agg(sum(cents(col("value"))).as("pos_cents"))
+      // SELL-negation analog: errors count negative (base.py:1845)
+      val orders = ev.where(col("event_type").isin("signup", "error") && col("user_id") >= 50)
+        .withColumn("signed",
+          when(col("event_type") === "error", -cents(col("value"))).otherwise(cents(col("value"))))
+        .groupBy("user_id").agg(sum(col("signed")).as("ord_cents"))
+      positions.join(orders, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("pos_cents"), lit(0L)) + coalesce(col("ord_cents"), lit(0L)))
+            .as("net_cents"))
+    }),
+
+    // ---- J6: as-of (ffill) join ----
+    "j6_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val probes = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("day"), cents(col("value")).as("purchase_cents"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "day")
+        .agg(max_by(cents(col("value")), col("event_id")).as("last_click_cents"))
+      AsOf.join(probes, clicks, "user_id", "day", Seq("last_click_cents"))
+        .select("event_id", "user_id", "day", "purchase_cents", "last_click_cents")
+    }),
+
+    // ---- W1: lag ----
+    "w1_lag" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"), cents(col("value")).as("value_cents"),
+        Panel.lagBySid(cents(col("value"))).as("prev_cents"))
+    }),
+
+    // ---- W3: pct_change ----
+    "w3_pct_change" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        Panel.pctChange(col("value")).as("pct_change"))
+    }),
+
+    // ---- W4: diff ----
+    "w4_diff" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        Panel.diffBySid(cents(col("value"))).as("diff_cents"))
+    }),
+
+    // ---- W5: forward fill ----
+    "w5_ffill" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      val ev = events(s, dir)
+        .withColumn("click_cents", when(col("event_type") === "click", cents(col("value"))))
+      ev.select(col("event_id"), col("user_id"),
+        Panel.ffill(col("click_cents")).as("last_click_cents"))
+    }),
+
+    // ---- W6: rolling mean (min_periods = n) ----
+    "w6_rolling_mean" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        Panel.rollingMean(col("value"), 3).as("rolling_mean_3"))
+    }),
+
+    // ---- cumulative sum (running total) ----
+    "w2_cumsum" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        Panel.cumSum(cents(col("value"))).as("cum_cents"))
+    }),
+
+    // ---- W9: calendar-day gap since previous bar ----
+    "w9_day_gap" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        coalesce(datediff(col("date"), Panel.lagBySid(col("date"))), lit(1))
+          .as("days_held"))
+    }),
+
+    // ---- A1: per-date cross-sectional aggregate at row grain ----
+    "a1_per_date_sum" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("day"),
+        Panel.perDateSum(cents(col("value"))).as("day_total_cents"))
+    }),
+
+    // ---- A3: first-per-group (ordered) ----
+    "a3_first_per_group" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id", "day")
+        .agg(min_by(cents(col("value")), col("event_id")).as("first_cents"))
+    }),
+
+    // ---- A4: last-per-group (ordered) ----
+    "a4_last_per_group" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("user_id", "day")
+        .agg(max_by(cents(col("value")), col("event_id")).as("last_cents"))
+    }),
+
+    // ---- A7: distinct dimension values ----
+    "a7_distinct" -> ((s, dir) =>
+      events(s, dir).select("event_type").distinct()),
+
+    // ---- tumbling-window time aggregation (streaming-equivalent batch) ----
+    "ev_hourly_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }),
+
+    // ---- D1: equal-weight allocation ----
+    "d1_equal_weights" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sig = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+      sig.select(col("sid"), col("date"), col("signal"),
+        Weights.equalWeights(col("signal")).as("weight"))
+    }),
+
+    // ---- D5: neutralize long/short ----
+    "d5_neutralize" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sig = supplierPanel(s, dir)
+        .withColumn("signal",
+          when(col("close") < 30000, 1.0).otherwise(-1.0))
+      sig.select(col("sid"), col("date"),
+        Weights.neutralizeWeights(col("signal")).as("weight"))
+    }),
+
+    // ---- D6: turnover ----
+    "d6_turnover" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sig = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+      sig.select(col("sid"), col("date"),
+        abs(Panel.diffBySid(Panel.zeroFill(col("position")))).as("turnover"))
+    }),
+
+    // ---- D16: position-size limiter (weights↔quantities clamp) ----
+    "d16_limit" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val nlv = 1000000.0
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("qty", coalesce(round(col("weight") * nlv / col("close")), lit(0.0)))
+        .withColumn("clamped", Panel.clamp(col("qty"), lit(-10.0), lit(10.0)))
+      p.select(col("sid"), col("date"), col("qty"), col("clamped"),
+        (col("clamped") * col("close") / nlv).as("constrained_weight"))
+    }),
+
+    // ---- D8: percentage commission with min floor ----
+    "d8_commission" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val model = PercentageCommission(
+        brokerCommissionRate = 0.001, exchangeFeeRate = 0.0002, minCommission = 2.5)
+      val nlv = 1000000.0
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      p.select(col("sid"), col("date"),
+        model.commissions(col("close"), col("turnover"), Some(lit(nlv))).as("commission"))
+    }),
+
+    // ---- D13: fixed slippage ----
+    "d13_slippage" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      p.select(col("sid"), col("date"),
+        FixedSlippage(0.0005).slippage(col("turnover"), col("position")).as("slippage"))
+    }),
+
+    // ---- D21/D22: target→net quantities → order stubs ----
+    "d21_order_stubs" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val nlv = 1000000.0
+      val panel = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+      val lastDay = panel.agg(max(col("date"))).head.getDate(0).toString
+      val today = panel.where(col("date") === lit(lastDay))
+        .withColumn("target_quantity",
+          coalesce(round(col("weight") * nlv / col("close")), lit(0.0)))
+        .withColumn("account", lit("U1"))
+        .select("sid", "account", "target_quantity")
+      val held = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("sid"), lit("U1").as("account"),
+          round(col("s_acctbal") / 1000).as("quantity"))
+      val net = Trade.netQuantities(today, held)
+      Trade.orderStubs(net, "demo")
+    }),
+
+    // ---- D23: child/bracket orders ----
+    "d23_child_orders" -> ((s, dir) => {
+      val stubs = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"), lit("U1").as("account"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
+          lit("demo").as("orderRef"),
+          round(col("s_acctbal")).as("totalQuantity"))
+      val parents = stubs.withColumn("orderId",
+        concat_ws(".", col("sid"), col("account"), col("orderRef")))
+      val children = Trade.childOrders(parents)
+      parents.withColumn("parentId", lit(null).cast("string"))
+        .unionByName(children.withColumn("orderId", lit(null).cast("string")))
+    }),
+
+    // ---- the flagship: full backtest pipeline, melted results panel ----
+    "backtest_pipeline" -> ((s, dir) => {
+      Backtest.run(DemoStrategy, supplierPanel(s, dir))
+    })
+  )
+}

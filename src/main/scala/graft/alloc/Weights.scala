@@ -1,0 +1,72 @@
+package graft.alloc
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** Weight-allocation algorithms (reference mixins/weight.py:22-113, D1-D5).
+  *
+  * All are Column expressions combining the row's signal with per-date
+  * cross-sectional aggregates (`Window.partitionBy(date)`), so a whole
+  * allocation chain stays in one select — one shuffle on `date`, no joins,
+  * no driver materialization. At 100 TB the per-date partitions are the
+  * sid-universe cross-sections (≤ ~100k rows each): safely unskewed.
+  */
+object Weights {
+
+  /** D1 `allocate_equal_weights` (weight.py:22-36): divide each signal by
+    * the day's active-signal count; no signals → divide by 1. */
+  def equalWeights(signal: Column, cap: Double = 1.0)(implicit k: Keys): Column = {
+    val n = Panel.perDateAbsCount(signal)
+    val divisor = when(n =!= 0, n).otherwise(lit(1.0))
+    signal / divisor * lit(cap)
+  }
+
+  /** D2 `allocate_fixed_weights` (weight.py:38-46). */
+  def fixedWeights(signal: Column, weight: Double): Column =
+    signal * lit(weight)
+
+  /** D3 `allocate_fixed_weights_capped` (weight.py:48-66): fixed weights,
+    * but days whose absolute fixed-weight sum exceeds the cap fall back to
+    * equal weights. */
+  def fixedWeightsCapped(signal: Column, weight: Double, cap: Double = 1.0)(
+      implicit k: Keys): Column = {
+    val fixed = fixedWeights(signal, weight)
+    val fixedSum = Panel.perDateSum(abs(fixed))
+    when(fixedSum > cap, equalWeights(signal, cap)).otherwise(fixed)
+  }
+
+  /** D4 `allocate_market_neutral_fixed_weights_capped` (weight.py:68-87):
+    * cap each side at cap/2, then optionally neutralize. */
+  def marketNeutralFixedWeightsCapped(
+      signal: Column,
+      weight: Double,
+      cap: Double = 1.0,
+      neutralize: Boolean = true)(implicit k: Keys): Column = {
+    val longSig = when(signal > 0, signal).otherwise(lit(0.0))
+    val shortSig = when(signal < 0, signal).otherwise(lit(0.0))
+    val perSide = cap * 0.5
+    val longW = fixedWeightsCapped(longSig, weight, perSide)
+    val shortW = fixedWeightsCapped(shortSig, weight, perSide)
+    val combined = when(longW > 0, longW).otherwise(shortW)
+    if (neutralize) neutralizeWeights(combined) else combined
+  }
+
+  /** D5 `neutralize_weights` (weight.py:89-113): scale the overweight side
+    * down to the lighter side's total, per date. */
+  def neutralizeWeights(weight: Column)(implicit k: Keys): Column = {
+    val longW = when(weight > 0, weight).otherwise(lit(0.0))
+    val shortW = when(weight < 0, weight).otherwise(lit(0.0))
+    val totalLong = Panel.perDateSum(longW)
+    val totalShort = Panel.perDateSum(abs(shortW))
+    val longDenom = when(totalLong === 0, lit(1.0)).otherwise(totalLong)
+    val shortDenom = when(totalShort === 0, lit(1.0)).otherwise(totalShort)
+    val longScaled =
+      when(totalLong <= totalShort, longW).otherwise(longW * totalShort / longDenom)
+    val shortScaled =
+      when(totalShort <= totalLong, shortW).otherwise(shortW * totalLong / shortDenom)
+    when(longScaled > 0, longScaled).otherwise(shortScaled)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.costs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** Commission models (reference commission/{base,stk,fut,fx}.py, D8-D11).
+  *
+  * Each model is a parameter pack whose `commissions` method is a pure
+  * Column expression over (contractValue, turnover[, nlv]) — codegen'd
+  * arithmetic, no UDFs, no shuffles of its own. Commissions are expressed
+  * as percentages of account equity, exactly as the reference.
+  */
+sealed trait CommissionModel {
+  def commissions(contractValue: Column, turnover: Column, nlv: Option[Column]): Column
+
+  /** Min-commission floor (reference commission/base.py:57-66): only
+    * enforced when NLVs are available; the floor is minCommission/nlv. */
+  protected def enforceMin(c: Column, nlv: Option[Column], minCommission: Double): Column =
+    nlv match {
+      case Some(n) if minCommission != 0 =>
+        val minPct = lit(minCommission) / n
+        when(c > 0 && c < minPct, minPct).otherwise(c)
+      case _ => c
+    }
+}
+
+/** D8 `PercentageCommission` (commission/base.py:123-171): blended broker
+  * rate (+ optional tier-2) × turnover, floored at min, + exchange fee. */
+final case class PercentageCommission(
+    brokerCommissionRate: Double = 0,
+    brokerCommissionRateTier2: Double = 0,
+    tier2Ratio: Double = 0,
+    exchangeFeeRate: Double = 0,
+    minCommission: Double = 0)
+    extends CommissionModel {
+  def commissions(contractValue: Column, turnover: Column, nlv: Option[Column]): Column = {
+    val rate =
+      if (tier2Ratio != 0)
+        (1 - tier2Ratio) * brokerCommissionRate + tier2Ratio * brokerCommissionRateTier2
+      else brokerCommissionRate
+    val broker = enforceMin(turnover * lit(rate), nlv, minCommission)
+    broker + turnover * lit(exchangeFeeRate)
+  }
+}
+
+/** D9 `PerShareCommission` (commission/stk.py:124-188): per-share cost as a
+  * fraction of the (abs, non-zero) contract value × turnover, plus
+  * maker/taker, value-based, and commission-based pass-through fees. */
+final case class PerShareCommission(
+    brokerCommissionPerShare: Double,
+    brokerCommissionPerShareTier2: Double = 0,
+    tier2Ratio: Double = 0,
+    exchangeFeePerShare: Double = 0,
+    makerFeePerShare: Double = 0,
+    takerFeePerShare: Double = 0,
+    makerRatio: Double = 0,
+    percentageFeeRate: Double = 0,
+    commissionPercentageFeeRate: Double = 0,
+    minCommission: Double = 0)
+    extends CommissionModel {
+  def commissions(contractValue: Column, turnover: Column, nlv: Option[Column]): Column = {
+    val exchangePerShare = exchangeFeePerShare +
+      makerRatio * makerFeePerShare + (1 - makerRatio) * takerFeePerShare
+    val perShare =
+      if (tier2Ratio != 0)
+        (1 - tier2Ratio) * brokerCommissionPerShare + tier2Ratio * brokerCommissionPerShareTier2
+      else brokerCommissionPerShare
+    // abs() of contract values: combos can have negative prices (stk.py:171)
+    val safeCv = abs(when(contractValue =!= 0, contractValue))
+    val brokerRaw = lit(perShare) / safeCv * turnover
+    val broker = enforceMin(brokerRaw, nlv, minCommission)
+    val shareFees = lit(exchangePerShare) / safeCv * turnover
+    val valueFees = turnover * lit(percentageFeeRate)
+    val commissionFees = broker * lit(commissionPercentageFeeRate)
+    broker + shareFees + valueFees + commissionFees
+  }
+}
+
+/** D10 `FuturesCommission` (commission/fut.py:62-80): fixed cost per
+  * contract ÷ contract value × turnover. */
+final case class FuturesCommission(
+    brokerCommissionPerContract: Double = 0,
+    exchangeFeePerContract: Double = 0,
+    carryingFeePerContract: Double = 0)
+    extends CommissionModel {
+  def commissions(contractValue: Column, turnover: Column, nlv: Option[Column]): Column = {
+    val costPerContract =
+      brokerCommissionPerContract + exchangeFeePerContract + carryingFeePerContract
+    lit(costPerContract) / contractValue * turnover
+  }
+}
+
+object CommissionModel {
+  /** D11 `SpotFXCommission` (commission/fx.py:17-52): 0.2 bps, no min. */
+  val spotFX: PercentageCommission = PercentageCommission(brokerCommissionRate = 0.00002)
+  val none: PercentageCommission = PercentageCommission()
+}
+
+/** Slippage models (reference slippage/{fixed,borrowfee}.py, D13-D14). */
+sealed trait SlippageModel {
+  def slippage(turnover: Column, position: Column)(implicit k: Keys): Column
+}
+
+/** D13 `FixedSlippage` (slippage/fixed.py:45-64): turnover × one-way rate.
+  * `SLIPPAGE_BPS` sugar = FixedSlippage(bps/10000) (base.py:916-917). */
+final case class FixedSlippage(oneWaySlippage: Double = 0.0005) extends SlippageModel {
+  def slippage(turnover: Column, position: Column)(implicit k: Keys): Column =
+    turnover * lit(oneWaySlippage)
+}
+
+/** D14 `IBKRBorrowFees` (slippage/borrowfee.py:37-59): short positions ×
+  * 1.02 collateral × (annual fee %/100/360) × days-held, where days-held
+  * counts calendar days since the previous bar (weekends assessed ×3,
+  * borrowfee.py:52-54). Requires a `borrowFee` column (annual %, as-of
+  * joined onto the panel — see [[graft.trade.AsOf]]). */
+final case class BorrowFees(borrowFeeCol: String = "borrow_fee") extends SlippageModel {
+  def slippage(turnover: Column, position: Column)(implicit k: Keys): Column = {
+    val daily = col(borrowFeeCol) / 100.0 / 360.0
+    val daysHeld = coalesce(
+      datediff(col(k.dateCol), lag(col(k.dateCol), 1).over(k.bySid)),
+      lit(1))
+    abs(when(position < 0, position).otherwise(lit(0.0))) *
+      lit(1.02) * daily * daysHeld
+  }
+}
+
+/** D7 contract values (reference base.py:1857-1913): price ÷ priceMagnifier
+  * × multiplier; spot FX (secType CASH) contract value ≡ 1
+  * (base.py:1906-1908). Magnifier/multiplier nulls default to 1. */
+object ContractValues {
+  def contractValue(
+      price: Column,
+      secType: Column,
+      priceMagnifier: Column,
+      multiplier: Column): Column =
+    when(secType === "CASH", lit(1.0)).otherwise(
+      price / coalesce(priceMagnifier, lit(1.0)) * coalesce(multiplier, lit(1.0)))
+}

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a partition-wise feature-extraction
+  * operator.
+  *
+  * The Spark-side machinery here is real — schema, batch shape,
+  * partitioning, magic-number sniffing — while the actual codec work
+  * (JPEG decode, resampling, frame sampling) is STUBBED with a
+  * deterministic fake, because no image/audio native libs exist in this
+  * environment. Swap [[MediaCodec.decodeStub]] for a real codec (e.g.
+  * javacpp-ffmpeg) without touching the dataflow.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("byte_len", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  /** Magic-number format sniff over the first payload bytes — pure column
+    * algebra on the binary column (hex of an 8-byte prefix). */
+  def sniffFormat(payload: Column): Column = {
+    val prefix = upper(hex(substring(payload, 1, 8)))
+    when(prefix.startsWith("FFD8FF"), "jpeg")
+      .when(prefix.startsWith("89504E47"), "png")
+      .when(prefix.startsWith("47494638"), "gif")
+      .when(prefix.startsWith("52494646"), "riff") // wav/avi container
+      .when(prefix.startsWith("494433"), "mp3")
+      .when(prefix.startsWith("1A45DFA3"), "mkv/webm")
+      .otherwise("unknown")
+  }
+
+  /** Cheap metadata columns computable without decoding. */
+  def withMediaMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("byte_len", length(col(payloadCol)).cast("long"))
+      .withColumn("format", sniffFormat(col(payloadCol)))
+      .withColumn("content_md5", md5(col(payloadCol)))
+
+  /** Feature-extraction batch contract: each partition is processed as a
+    * stream of rows; the codec returns a fixed-length float vector per
+    * payload. This is the Scala analog of `mapInPandas` — per-partition
+    * batching, codec state initialized once per partition (not per row),
+    * output schema declared up front. */
+  def extractFeatures(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition codec init happens HERE (once), not per row
+      val codec = MediaCodec.open(dim)
+      rows.map { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx), codec.decodeStub(payload))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}
+
+/** Codec seam. `decodeStub` is a deterministic fake — ??? the real decode
+  * (JPEG/PNG pixel decode, audio resample, video frame-sample) requires
+  * native libraries not present in this container. The fake derives a
+  * stable feature vector from payload bytes so the plumbing is testable. */
+final class MediaCodec private (dim: Int) {
+  def decodeStub(payload: Array[Byte]): Seq[Float] = {
+    if (payload == null) return null
+    // STUB: real implementation would decode pixels/samples here.
+    // Deterministic fake: k-strided byte averages, normalized to [0,1).
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, payload.length / dim)
+    out.map(_ / n).toSeq
+  }
+}
+
+object MediaCodec {
+  def open(dim: Int): MediaCodec = new MediaCodec(dim)
+}

@@ -1,0 +1,172 @@
+package graft.panel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Panel algebra over long-format (sid, date[, time], …) frames.
+  *
+  * The reference engine (quantrocket-llc/moonshot) operates on pandas wide
+  * matrices — one column per security — and its core ops are index-ordered
+  * shifts/fills/rolling windows (reference: strategies/base.py:434,479-480,
+  * 713,935). Here every panel is a long Spark DataFrame and each op is an
+  * ordered window over `Window.partitionBy(sid).orderBy(date[, time])`.
+  *
+  * Design notes for scale (100 TB target):
+  *  - All windows are ROWS-framed (`rowsBetween`), matching pandas row-order
+  *    semantics over the (possibly gappy) trading-day sequence — never
+  *    RANGE frames (SURVEY §4 trap).
+  *  - Each chain of ops over the same (partition, order) keys incurs ONE
+  *    shuffle: Spark reuses the sort/exchange for identical window specs.
+  *  - Per-date (cross-sectional) aggregates use a `partitionBy(date)` window
+  *    to keep row grain without a join; that is a second partitioning —
+  *    unavoidable, same as the reference's axis=1 sums (weight.py:33).
+  */
+object Panel {
+
+  /** Ordering key for panel windows. `time` is a lexically-ordered
+    * "HH:MM:SS" string, matching the reference (base.py:795); extra
+    * tiebreaker columns make ordering total when (date,time) repeats. */
+  final case class Keys(
+      sid: String = "sid",
+      order: Seq[String] = Seq("date"),
+      dateCol: String = "date") {
+    def bySid: WindowSpec =
+      Window.partitionBy(sid).orderBy(order.map(col): _*)
+    def byDate: WindowSpec = Window.partitionBy(dateCol)
+    def cumFrame: WindowSpec =
+      bySid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def rollingFrame(n: Int): WindowSpec =
+      bySid.rowsBetween(-(n - 1), Window.currentRow)
+  }
+
+  val eod: Keys = Keys()
+  val intraday: Keys = Keys(order = Seq("date", "time"))
+
+  // ---- ordered per-sid window ops (SURVEY §2.6 W1-W6) ----
+
+  /** W1/W2: pandas `shift(n)` — previous-row value within sid. */
+  def lagBySid(c: Column, n: Int = 1)(implicit k: Keys): Column =
+    lag(c, n).over(k.bySid)
+
+  /** W3: pandas `pct_change()` = value / previous value − 1. */
+  def pctChange(c: Column)(implicit k: Keys): Column =
+    c / lag(c, 1).over(k.bySid) - lit(1.0)
+
+  /** W4: pandas `diff()` = value − previous value. */
+  def diffBySid(c: Column)(implicit k: Keys): Column =
+    c - lag(c, 1).over(k.bySid)
+
+  /** W5: pandas `ffill()` — last non-null value at or before this row. */
+  def ffill(c: Column)(implicit k: Keys): Column =
+    last(c, ignoreNulls = true).over(k.cumFrame)
+
+  /** Backward fill (pandas `bfill()`). */
+  def bfill(c: Column)(implicit k: Keys): Column =
+    first(c, ignoreNulls = true)
+      .over(k.bySid.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+
+  /** W6: pandas `rolling(n).mean()` with default min_periods=n: null until
+    * n non-null observations fill the frame. */
+  def rollingMean(c: Column, n: Int)(implicit k: Keys): Column =
+    whenFull(c, n, avg(c))
+
+  def rollingSum(c: Column, n: Int)(implicit k: Keys): Column =
+    whenFull(c, n, sum(c))
+
+  def rollingMin(c: Column, n: Int)(implicit k: Keys): Column =
+    whenFull(c, n, min(c))
+
+  def rollingMax(c: Column, n: Int)(implicit k: Keys): Column =
+    whenFull(c, n, max(c))
+
+  /** pandas `rolling(n).std()` (sample std, ddof=1). */
+  def rollingStd(c: Column, n: Int)(implicit k: Keys): Column =
+    whenFull(c, n, stddev_samp(c))
+
+  private def whenFull(c: Column, n: Int, agg: => Column)(implicit k: Keys): Column = {
+    val f = k.rollingFrame(n)
+    when(count(c).over(f) === n, agg.over(f))
+  }
+
+  /** Cumulative product via sum-of-logs (e.g., compounding returns). */
+  def cumProd(c: Column)(implicit k: Keys): Column =
+    exp(sum(log(c)).over(k.cumFrame))
+
+  def cumSum(c: Column)(implicit k: Keys): Column =
+    sum(c).over(k.cumFrame)
+
+  // ---- cross-sectional (per-date) aggregates (SURVEY §2.5 A1/A2) ----
+
+  /** A1: per-date count of non-zero entries (reference weight.py:33
+    * `signals.abs().sum(axis=1)` over ±1 signals), kept at row grain. */
+  def perDateAbsCount(c: Column)(implicit k: Keys): Column =
+    sum(abs(c)).over(k.byDate)
+
+  def perDateSum(c: Column)(implicit k: Keys): Column =
+    sum(c).over(k.byDate)
+
+  /** A2: per-date sum over one side only (longs: c>0, shorts: c<0). */
+  def perDateSumWhere(c: Column, cond: Column)(implicit k: Keys): Column =
+    sum(when(cond, c).otherwise(lit(0.0))).over(k.byDate)
+
+  // ---- scalar helpers (SURVEY §2.7) ----
+
+  /** Guarded division: a/b where b≠0, else null (reference
+    * `where(x != 0)` idiom, weight.py:35, base.py:955). */
+  def safeDiv(a: Column, b: Column): Column =
+    when(b =!= 0, a / b)
+
+  /** NaN→0 (pandas `fillna(0)` over float panels). */
+  def zeroFill(c: Column): Column =
+    when(c.isNull || isnan(c), lit(0.0)).otherwise(c)
+
+  /** Clamp c into [lo, hi]. */
+  def clamp(c: Column, lo: Column, hi: Column): Column =
+    least(greatest(c, lo), hi)
+
+  // ---- reshapes (SURVEY §2.3) ----
+
+  /** R1: wide→long. Unpivots `valueCols` into (field, value) rows.
+    * pandas `stack()` (reference base.py:683,1703). */
+  def meltFields(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val kv = valueCols.flatMap(c => Seq(lit(c), col(c).cast("double")))
+    df.select(idCols.map(col) :+ map(kv: _*).as("__m"): _*)
+      .select(idCols.map(col) :+ explode(col("__m")).as(Seq("field", "value")): _*)
+  }
+
+  /** R2: long→wide pivot of sids to columns. pandas `unstack()`
+    * (reference base.py:1721). Only for bounded sid sets (final outputs);
+    * never pivot an unbounded sid universe at 100 TB — keep long instead. */
+  def pivotSids(df: DataFrame, sids: Seq[String], valueCol: String = "value")(
+      implicit k: Keys): DataFrame =
+    df.groupBy(k.order.map(col): _*)
+      .pivot(k.sid, sids)
+      .agg(first(col(valueCol)))
+
+  /** R3: keyed concat — tag each measure frame with its field name and
+    * union (reference base.py:1382 `pd.concat(..., keys=fields)`). */
+  def concatFields(frames: Seq[(String, DataFrame)]): DataFrame =
+    frames
+      .map { case (name, df) => df.withColumn("field", lit(name)) }
+      .reduce(_ unionByName _)
+
+  /** Densify: complete the (sid × date[,time]) grid so ordered window ops
+    * see every slot (the reference's panels are dense by construction,
+    * base.py:808-810). Missing values become nulls.
+    * Cross join of two tiny distinct sets then a left join back — the
+    * dimension sides are small; the fact-side join is a shuffle on the
+    * grid keys and prunes nothing, so call once at ingest, not per-op. */
+  def densify(df: DataFrame)(implicit k: Keys): DataFrame = {
+    val sids = df.select(k.sid).distinct()
+    val slots = df.select(k.order.map(col): _*).distinct()
+    val grid = slots.crossJoin(broadcast(sids))
+    grid.join(df, k.order :+ k.sid, "left")
+  }
+
+  /** Forward-fill an entire value column across a densified grid —
+    * the `reindex + ffill` composite the reference uses for benchmarks
+    * and contract values (base.py:935, 1500). */
+  def densifyFfill(df: DataFrame, valueCol: String)(implicit k: Keys): DataFrame =
+    densify(df).withColumn(valueCol, ffill(col(valueCol)))
+}

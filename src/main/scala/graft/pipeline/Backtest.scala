@@ -1,0 +1,225 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.costs.{CommissionModel, ContractValues, FixedSlippage}
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** The backtest driver — reference `Moonshot.backtest()`
+  * (strategies/base.py:1293-1400, lifecycle SURVEY §3.1).
+  *
+  * Builds one lazy DataFrame plan: panel → signals → weights → positions →
+  * gross → costs → measures, then melts the measure columns into the long
+  * results relation `(field, sid, date[, time], value)`. Catalyst sees the
+  * whole pipeline at once; nothing materializes until the caller acts.
+  */
+object Backtest {
+
+  final case class Config(
+      allocation: Double = 1.0, // reference base.py:1342
+      nlv: Option[Double] = None, // account equity for min-commission floors
+      startDate: Option[String] = None, // truncation, base.py:1395-1398
+      labelSids: Boolean = false) // base.py:1390-1393
+
+  /** Run the full backtest; returns the long results panel.
+    *
+    * @param prices field-pivoted long panel (sid, date[, time], close, …)
+    * @param master optional securities master (sid, secType, currency,
+    *               exchange, priceMagnifier, multiplier, symbol[, nlv]) —
+    *               broadcast-joined when cost models need contract values.
+    */
+  def run(
+      strategy: Strategy,
+      prices: DataFrame,
+      master: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    implicit val k: Keys = strategy.keys
+
+    // hooks 1-2: signal, weight (base.py:1340-1342)
+    var p = strategy.pricesToSignals(prices)
+    p = strategy.signalsToTargetWeights(p)
+    if (cfg.allocation != 1.0)
+      p = p.withColumn("weight", col("weight") * lit(cfg.allocation))
+
+    // D16 weight constraint would apply here when limitPositionSizes is
+    // defined (base.py:1343); see Limits.constrainWeights.
+    val (maxLong, maxShort) = strategy.limitPositionSizes(prices)
+    if (maxLong.isDefined || maxShort.isDefined)
+      p = Limits.constrainWeights(p, maxLong, maxShort, master, cfg.nlv)
+
+    // hooks 3-4: position, gross (base.py:1344-1345)
+    p = strategy.targetWeightsToPositions(p)
+    p = strategy.positionsToGrossReturns(p)
+
+    // D6 turnover (base.py:701-714): abs(diff(fillna(0))) — or 2×positions
+    // when positions are closed daily. First bar per sid stays null (pandas
+    // diff yields NaN there).
+    val turnoverCol: Column =
+      if (strategy.positionsClosedDaily) abs(col("position") * 2)
+      else abs(Panel.diffBySid(Panel.zeroFill(col("position"))))
+    p = p.withColumn("turnover", turnoverCol)
+
+    // D8-D12 commissions + D13-D15 slippage over turnover
+    p = withCommissions(strategy, p, master, cfg)
+    p = withSlippage(strategy, p)
+
+    // D18 net returns (base.py:1348)
+    p = p.withColumn(
+      "return",
+      Panel.zeroFill(col("gross")) - col("commission") - col("slippage"))
+
+    // A8 TotalHoldings (base.py:1351)
+    p = p.withColumn(
+      "total_holdings",
+      when(Panel.zeroFill(col("position")) =!= 0, 1.0).otherwise(0.0))
+
+    // S8 results union (base.py:1355-1388), fields in sorted order
+    val measures: Seq[(String, Column)] = Seq(
+      "AbsExposure" -> abs(col("position")),
+      "AbsWeight" -> abs(col("weight")),
+      "Commission" -> col("commission"),
+      "NetExposure" -> col("position"),
+      "Return" -> col("return"),
+      "Signal" -> col("signal").cast("double"),
+      "Slippage" -> col("slippage"),
+      "TotalHoldings" -> col("total_holdings"),
+      "Turnover" -> col("turnover"),
+      "Weight" -> col("weight"))
+
+    val keyCols = (k.sid +: k.order).distinct
+    val projected = p.select(
+      keyCols.map(col) ++ measures.map { case (n, c) => c.as(n) }: _*)
+    var results = Panel.meltFields(projected, keyCols, measures.map(_._1))
+
+    // label sids as Symbol(Sid) (base.py:1390-1393)
+    if (cfg.labelSids && master.isDefined) {
+      val labels = master.get
+        .select(col("sid"), concat(col("symbol"), lit("("), col("sid"), lit(")")).as("__label"))
+      results = results
+        .join(broadcast(labels), Seq("sid"), "left")
+        .withColumn("sid", coalesce(col("__label"), col("sid")))
+        .drop("__label")
+    }
+
+    // truncate at requested start date (base.py:1395-1398) — a plain
+    // filter, so Catalyst prunes date partitions under it.
+    cfg.startDate.fold(results)(s => results.where(col(k.dateCol) >= lit(s)))
+  }
+
+  /** D8-D12 (base.py:839-901): single model, or per-(secType, exchange,
+    * currency) dispatch via a broadcast master join. No model → 0. */
+  private def withCommissions(
+      strategy: Strategy,
+      panel: DataFrame,
+      master: Option[DataFrame],
+      cfg: Config)(implicit k: Keys): DataFrame = {
+    val nlvCol = cfg.nlv.map(v => lit(v))
+    def cv: Column = ContractValues.contractValue(
+      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+
+    if (strategy.commissionBySecGroup.nonEmpty) {
+      val m = master.getOrElse(
+        throw new IllegalArgumentException("commission dispatch requires a master"))
+      val joined = panel.join(
+        broadcast(m.select("sid", "secType", "exchange", "currency",
+          "priceMagnifier", "multiplier")),
+        Seq("sid"), "left")
+      // D12: fold per-group models into one nested when() expression
+      val expr = strategy.commissionBySecGroup.foldLeft(lit(null).cast("double")) {
+        case (acc, ((secType, exchange, currency), model)) =>
+          val inGroup = col("secType") === secType &&
+            col("exchange") === exchange && col("currency") === currency
+          when(inGroup, model.commissions(cv, col("turnover"), nlvCol)).otherwise(acc)
+      }
+      joined
+        .withColumn("commission", expr)
+        .drop("secType", "exchange", "currency", "priceMagnifier", "multiplier")
+    } else
+      strategy.commissionModel match {
+        case None => panel.withColumn("commission", lit(0.0))
+        case Some(model) =>
+          master match {
+            case Some(m) =>
+              panel
+                .join(
+                  broadcast(m.select("sid", "secType", "priceMagnifier", "multiplier")),
+                  Seq("sid"), "left")
+                .withColumn("commission", model.commissions(cv, col("turnover"), nlvCol))
+                .drop("secType", "priceMagnifier", "multiplier")
+            case None =>
+              // no master: contract value = raw close (magnifier/multiplier 1)
+              panel.withColumn(
+                "commission",
+                model.commissions(col("close"), col("turnover"), nlvCol))
+          }
+      }
+  }
+
+  /** D13-D15 (base.py:903-919): sum of slippage classes + SLIPPAGE_BPS,
+    * null-filled to 0. */
+  private def withSlippage(strategy: Strategy, panel: DataFrame)(
+      implicit k: Keys): DataFrame = {
+    val models = strategy.slippageModels ++
+      (if (strategy.slippageBps != 0) Seq(FixedSlippage(strategy.slippageBps / 10000.0))
+       else Nil)
+    val total = models.foldLeft(lit(0.0): Column) { (acc, m) =>
+      acc + m.slippage(col("turnover"), col("position"))
+    }
+    panel.withColumn("slippage", Panel.zeroFill(total))
+  }
+}
+
+/** D16 position-size limiter (reference base.py:921-972): weights →
+  * quantities via NLV and (ffilled, abs, non-zero) contract values, clamp
+  * to the per-sid long/short max-quantity panels, convert back to weights.
+  */
+object Limits {
+  def constrainWeights(
+      panel: DataFrame,
+      maxLong: Option[DataFrame],
+      maxShort: Option[DataFrame],
+      master: Option[DataFrame],
+      nlv: Option[Double])(implicit k: Keys): DataFrame = {
+    val m = master.getOrElse(
+      throw new IllegalArgumentException("limit_position_sizes requires a master"))
+    val nlvValue = nlv.getOrElse(
+      throw new IllegalArgumentException("must provide NLVs if using limit_position_sizes"))
+
+    var p = panel.join(
+      broadcast(m.select("sid", "secType", "priceMagnifier", "multiplier")),
+      Seq("sid"), "left")
+    val cv0 = ContractValues.contractValue(
+      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+    p = p.withColumn("__cv", Panel.ffill(cv0))
+
+    // weights → integer quantities (base.py:952-956)
+    val safeCv = abs(when(col("__cv") =!= 0, col("__cv")))
+    p = p.withColumn(
+      "__qty",
+      coalesce(round(col("weight") * lit(nlvValue) / safeCv), lit(0.0)))
+
+    // clamp (base.py:959-966)
+    maxLong.foreach { ml =>
+      p = p.join(ml.select(col(k.sid), col(k.dateCol), abs(col("max_quantity")).as("__maxL")),
+        Seq(k.sid, k.dateCol), "left")
+      p = p.withColumn("__qty",
+        when(col("__maxL").isNotNull && col("__qty") > col("__maxL"), col("__maxL"))
+          .otherwise(col("__qty")))
+        .drop("__maxL")
+    }
+    maxShort.foreach { ms =>
+      p = p.join(ms.select(col(k.sid), col(k.dateCol), (-abs(col("max_quantity"))).as("__maxS")),
+        Seq(k.sid, k.dateCol), "left")
+      p = p.withColumn("__qty",
+        when(col("__maxS").isNotNull && col("__qty") < col("__maxS"), col("__maxS"))
+          .otherwise(col("__qty")))
+        .drop("__maxS")
+    }
+
+    // back to weights (base.py:969-971)
+    p.withColumn("weight", col("__qty") * col("__cv") / lit(nlvValue))
+      .drop("__cv", "__qty", "secType", "priceMagnifier", "multiplier")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.alloc.Weights
+import graft.costs.{CommissionModel, SlippageModel}
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** The user-facing strategy contract — the engine's "UDF surface"
+  * (SURVEY §2.9): whole-panel `DataFrame => DataFrame` hooks, mirroring
+  * the four reference hooks (reference strategies/base.py:298-481).
+  *
+  * Unlike the reference (which threads separate wide matrices through each
+  * hook), the Spark-native pipeline threads ONE long panel and each stage
+  * appends a named column: `signal` → `weight` → `position` → `gross`.
+  * That keeps a single lineage, so Catalyst plans all per-sid window ops
+  * over one sort/exchange and all per-date aggregates over another —
+  * two shuffles for the whole default pipeline regardless of how many
+  * measures are derived.
+  *
+  * Panel contract: key columns `sid`, `date` (and `time` when intraday per
+  * `keys`), plus field columns (`close`, `volume`, …) in lowercase.
+  */
+trait Strategy {
+
+  /** Strategy code, used as the order ref (reference base.py:680). */
+  def code: String
+
+  def keys: Keys = Panel.eod
+
+  /** Bars of history needed before the first tradeable date (reference
+    * LOOKBACK_WINDOW, base.py:1050-1086). The scan is widened by this
+    * much and results truncated back (W7). */
+  def lookbackWindow: Int = 0
+
+  /** Reference POSITIONS_CLOSED_DAILY (base.py:260): intraday strategies
+    * whose turnover is 2× positions rather than diff. */
+  def positionsClosedDaily: Boolean = false
+
+  def commissionModel: Option[CommissionModel] = None
+
+  /** Per-(secType, exchange, currency) commission dispatch (D12,
+    * reference base.py:862-901). Used when non-empty; every group present
+    * in the master must be covered. */
+  def commissionBySecGroup: Map[(String, String, String), CommissionModel] = Map.empty
+
+  def slippageModels: Seq[SlippageModel] = Nil
+
+  /** Reference SLIPPAGE_BPS sugar (base.py:916-917). */
+  def slippageBps: Double = 0.0
+
+  /** Benchmark security for the results' Benchmark field (D19). */
+  def benchmarkSid: Option[String] = None
+
+  // ---- the four pipeline hooks ----
+
+  /** Hook 1 (required): derive a `signal` column from the price panel. */
+  def pricesToSignals(prices: DataFrame): DataFrame
+
+  /** Hook 2: `signal` → `weight`. Default: equal weights per date
+    * (reference base.py:386-387 → weight.py:22). */
+  def signalsToTargetWeights(panel: DataFrame): DataFrame = {
+    implicit val k: Keys = keys
+    panel.withColumn("weight", Weights.equalWeights(col("signal")))
+  }
+
+  /** Hook 3: `weight` → `position`. Default: enter the period after the
+    * weight was allocated, i.e. lag 1 (reference base.py:434). */
+  def targetWeightsToPositions(panel: DataFrame): DataFrame = {
+    implicit val k: Keys = keys
+    panel.withColumn("position", Panel.lagBySid(col("weight")))
+  }
+
+  /** Hook 4: `position` → `gross` return. Default: close-to-close return
+    * × the position held over the period (reference base.py:479-480:
+    * `closes.pct_change() * positions.shift()`). */
+  def positionsToGrossReturns(panel: DataFrame): DataFrame = {
+    implicit val k: Keys = keys
+    panel.withColumn(
+      "gross",
+      Panel.pctChange(col("close")) * Panel.lagBySid(col("position")))
+  }
+
+  /** D16/D17 hook (reference limit_position_sizes, base.py:974-1048):
+    * return (maxLong, maxShort) quantity panels, or None for no limits. */
+  def limitPositionSizes(prices: DataFrame): (Option[DataFrame], Option[DataFrame]) =
+    (None, None)
+
+  /** Order decoration hook (reference base.py:483-545): default MKT/DAY. */
+  def orderStubsToOrders(stubs: DataFrame, prices: DataFrame): DataFrame =
+    stubs
+      .withColumn("orderType", lit("MKT"))
+      .withColumn("tif", lit("DAY"))
+}

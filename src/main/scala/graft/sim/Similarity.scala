@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The queries side is small
+  *    and broadcast; the corpus streams through one pass; top-k is a
+  *    per-query window rank. Cost O(|Q|·|corpus|·d) FLOPs fully
+  *    distributed — correct baseline at any scale where |Q| is bounded.
+  *  - [[signLshTopK]] — sign-pattern (hyperplane-sign) LSH: bucket by the
+  *    sign bits of `dims` fixed components, search only the query's
+  *    bucket. The bucket join is an equi-join; recall trades off with
+  *    bucket count exactly as random-hyperplane LSH (the "hyperplanes"
+  *    are the coordinate axes — deterministic, engine-independent).
+  *
+  * Dot products use `zip_with` + `aggregate` over the array columns —
+  * sequential, deterministic summation order (left-to-right), so results
+  * are bit-reproducible across engines, unlike a shuffled float sum.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(0.0)
+  }
+
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Exact cosine top-k of `corpus` for each row of `queries`.
+    * Output: (query_id, neighbor_id, cosine, rank). Ties broken by
+    * neighbor id for full determinism. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = c
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Coarse LSH bucket key: sign bits of the first `dims` vector
+    * components, e.g. "+-+-". element_at is 1-based (parity with SQL). */
+  def signBucket(vec: Column, dims: Int = 4): Column =
+    concat_ws("", (1 to dims).map(i =>
+      when(element_at(vec, i) >= 0, lit("+")).otherwise(lit("-"))): _*)
+
+  /** LSH-bucketed ANN: search only within the query's sign bucket.
+    * Same output shape as bruteForceTopK; recall < 1 by design. */
+  def signLshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int = 4): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      signBucket(col(vecCol), dims).as("__bk"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      signBucket(col(vecCol), dims).as("__bk"))
+    val scored = c
+      .join(broadcast(q), "__bk")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `centroids` (small, broadcast); ANN then probes only matching cells.
+    * Centroids come from any upstream clustering (e.g. sampled k-means). */
+  def assignCells(
+      vectors: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid array<float>)
+      vecCol: String): DataFrame = {
+    val withCells = vectors
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", euclidean(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(vectors.columns.map(col): _*)
+      .orderBy(col("__dist"), col("cell_id"))
+    withCells
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__dist", "__rn", "centroid")
+  }
+}

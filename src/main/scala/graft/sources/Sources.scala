@@ -1,0 +1,90 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-based connectors replacing the reference's HTTP data services
+  * (SURVEY §2.1 S1-S9; reference base.py:1183-1282, 1088-1144).
+  *
+  * Every `get_prices` kwarg that the reference pushes into its data-service
+  * query (base.py:1238-1251) becomes a Catalyst filter here, so parquet
+  * row-group pruning + column pruning do the same work the service did —
+  * check `.explain` for PushedFilters/ReadSchema.
+  */
+object Sources {
+
+  /** S1 price-scan predicate pack, mirroring get_prices kwargs. */
+  final case class PriceQuery(
+      startDate: Option[String] = None,
+      endDate: Option[String] = None,
+      sids: Seq[String] = Nil,
+      excludeSids: Seq[String] = Nil, // exclude_sids, base.py:1243
+      fields: Seq[String] = Nil, // column pruning (DB_FIELDS, base.py:1248)
+      times: Seq[String] = Nil, // times-of-day filter, base.py:1249
+      lookbackBars: Int = 0) // W7 widening — see widenedStart
+
+  /** S1: long/field-pivoted price panel scan with pushdown. All filters are
+    * plain Column predicates → pushed to the parquet reader. */
+  def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame = {
+    var df = spark.read.parquet(path)
+    q.startDate.foreach(s => df = df.where(col("date") >= lit(s)))
+    q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))
+    if (q.sids.nonEmpty) df = df.where(col("sid").isin(q.sids: _*))
+    if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))
+    if (q.times.nonEmpty) df = df.where(col("time").isin(q.times: _*))
+    if (q.fields.nonEmpty) {
+      val keep = Seq("sid", "date", "time").filter(df.columns.contains) ++ q.fields
+      df = df.select(keep.distinct.map(col): _*)
+    }
+    df
+  }
+
+  /** S2: securities master — small dimension; callers wrap in
+    * `broadcast()` at the join site. priceMagnifier/multiplier nulls
+    * default to 1 (reference base.py:1899-1904). */
+  def master(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("priceMagnifier", coalesce(col("priceMagnifier"), lit(1.0)))
+      .withColumn("multiplier", coalesce(col("multiplier"), lit(1.0)))
+
+  /** S3/S4/S5: tiny live-state tables (balances, FX rates, positions,
+    * open orders) — plain reads; format chosen by extension. */
+  def stateTable(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".json")) spark.read.json(path)
+    else if (path.endsWith(".csv")) spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(path)
+    else spark.read.parquet(path)
+
+  /** S7 result cache (reference _cache.py:59-184): parquet keyed by a
+    * SHA-224 of the logical key, invalidated when any listed dependency
+    * file is newer than the cached copy. Replaces pickle-on-/tmp with a
+    * distributed-filesystem-friendly parquet directory + manifest. */
+  final class ResultCache(spark: SparkSession, cacheDir: String) {
+
+    private def keyHash(key: String): String =
+      MessageDigest.getInstance("SHA-224")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+    def getOrCompute(key: String, dependsOn: Seq[String] = Nil)(
+        compute: => DataFrame): DataFrame = {
+      val dir = Paths.get(cacheDir, keyHash(key))
+      val okMarker = dir.resolve("_SUCCESS")
+      val fresh = Files.exists(okMarker) && {
+        val cachedAt = Files.getLastModifiedTime(okMarker).toMillis
+        dependsOn.forall { dep =>
+          val p = Paths.get(dep)
+          !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= cachedAt
+        }
+      }
+      if (fresh) spark.read.parquet(dir.toString)
+      else {
+        val df = compute
+        df.write.mode("overwrite").parquet(dir.toString)
+        spark.read.parquet(dir.toString)
+      }
+    }
+  }
+}

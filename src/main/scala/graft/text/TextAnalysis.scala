@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, fingerprinting.
+  *
+  * All are pure codegen'd Column expressions (no UDFs) over a `text`
+  * column — they run inside whole-stage codegen directly on the parquet
+  * scan, shuffle nothing, and scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (a BPE-ish proxy: words + punctuation runs are
+    * close to 1 token ≈ 4 chars for English; see charLenTokens). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Rough BPE token estimate: chars/4, the industry rule of thumb. */
+  def charLenTokens(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Count occurrences of a literal substring — the replace-length trick,
+    * chosen over regexp for exact cross-engine (DuckDB oracle) parity. */
+  def countOccurrences(text: Column, literal: String): Column =
+    ((length(text) - length(replace(text, lit(literal), lit("")))) / literal.length)
+      .cast("long")
+
+  /** Stopword-hit language ID: per-language marker-word occurrence counts
+    * over the lowercased text; highest count wins, ties broken by
+    * alphabetical language code, "und" when nothing matches. A classic
+    * n-gram/stopword heuristic (cf. Cavnar & Trenkle 1994) expressible as
+    * pure column algebra. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "de" -> Seq(" der ", " und ", " die ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Seq(" el ", " los ", " las ", " una ", " es "),
+    "fr" -> Seq(" le ", " les ", " des ", " est ", " une "),
+    "it" -> Seq(" il ", " che ", " per ", " con ", " della "))
+
+  def langScore(text: Column, lang: String): Column = {
+    val lower = lowercase(text)
+    langMarkers(lang).map(m => countOccurrences(lower, m)).reduce(_ + _)
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langMarkers.keys.toSeq.sorted.map(l => l -> langScore(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // alphabetical order + strict 'when' chain = deterministic tiebreak
+    val pick = scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  private def lowercase(text: Column): Column = concat(lit(" "), lower(text), lit(" "))
+
+  /** Quality-score components (Gopher/C4-style heuristics):
+    * mean word length, alpha ratio, stopword ratio, digit ratio. */
+  def meanWordLength(text: Column): Column = {
+    val t = tokenCount(text)
+    when(t > 0, length(regexp_replace(trim(text), "\\s+", "")).cast("double") / t)
+      .otherwise(0.0)
+  }
+
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[A-Za-z]", ""))).cast("double")
+        / length(text)).otherwise(0.0)
+
+  def digitRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+        / length(text)).otherwise(0.0)
+
+  def stopwordRatio(text: Column): Column = {
+    val t = tokenCount(text)
+    val hits = langMarkers("en").map(m => countOccurrences(lowercase(text), m)).reduce(_ + _)
+    when(t > 0, hits.cast("double") / t).otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: high alpha ratio, sane word length
+    * (penalize <3 or >10), some stopwords, few digits. */
+  def qualityScore(text: Column): Column = {
+    val mwl = meanWordLength(text)
+    val wordLenOk = when(mwl >= 3 && mwl <= 10, 1.0).otherwise(0.0)
+    val score = alphaRatio(text) * 0.4 +
+      wordLenOk * 0.2 +
+      least(stopwordRatio(text) * lit(5.0), lit(1.0)) * 0.2 +
+      (lit(1.0) - least(digitRatio(text) * lit(5.0), lit(1.0))) * 0.2
+    round(score, 6)
+  }
+
+  /** Exact-content fingerprint: md5 of the raw text. */
+  def contentHash(text: Column): Column = md5(text)
+
+  /** Canonical fingerprint (Broder-style "document sketch" degenerate
+    * case): lowercase, strip non-alphanumerics, sorted distinct words,
+    * md5 of the joined form — equal for word-reordered duplicates. */
+  def canonicalFingerprint(text: Column): Column = {
+    val words = split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), "\\s+")
+    md5(concat_ws(" ", array_sort(array_distinct(words))))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.trade
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.costs.ContractValues
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+import graft.pipeline.Strategy
+
+/** Live-trading order generation — reference `Moonshot.trade()`
+  * (strategies/base.py:1572-1806, lifecycle SURVEY §3.2).
+  *
+  * The pipeline is the backtest rerun on latest data, sliced at the signal
+  * date, fanned out across accounts (a crossJoin against a broadcast
+  * allocations table — the reference's weights ⊗ allocations outer
+  * product, base.py:1609-1616), converted to quantities via NLV and FX,
+  * and diffed against live positions + open orders.
+  */
+object Trade {
+
+  /** ALLOW_REBALANCE gate (reference base.py:1774-1796). */
+  sealed trait Rebalance
+  case object AllowRebalance extends Rebalance
+  case object NoRebalance extends Rebalance
+  final case class RebalanceThreshold(minPct: Double) extends Rebalance
+
+  /** D20: slice the weights panel at the signal date (and latest
+    * time ≤ tradeTime when intraday — reference base.py:794-795 picks
+    * `max(times < trade_time)` lexically). Staleness validation
+    * (base.py:772-784) is a driver-side scalar check. */
+  def todayWeights(
+      panel: DataFrame,
+      signalDate: String,
+      tradeTime: Option[String] = None)(implicit k: Keys): DataFrame = {
+    val onDate = panel.where(col(k.dateCol) === lit(signalDate))
+    tradeTime match {
+      case None => onDate
+      case Some(t) =>
+        // W10: latest bar strictly before the trade time, per sid
+        val eligible = onDate.where(col("time") < lit(t))
+        val w = Window.partitionBy(k.sid).orderBy(col("time").desc)
+        eligible.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** Staleness check (base.py:777-784): error if the panel's max date is
+    * older than the expected signal date. Driver-side scalar agg. */
+  def requireFresh(panel: DataFrame, signalDate: String)(implicit k: Keys): Unit = {
+    val maxDate = panel.agg(max(col(k.dateCol))).head.get(0)
+    require(
+      maxDate != null && maxDate.toString >= signalDate,
+      s"expected signal date $signalDate not present in prices (max date: $maxDate) — " +
+        "prices are stale")
+  }
+
+  /** R5 + J2 + D21 core: today's weights × allocations → target
+    * quantities per (sid, account).
+    *
+    * @param weights    (sid, weight[, close]) — today's slice
+    * @param master     securities master incl. currency/secType/magnifier/
+    *                   multiplier (broadcast)
+    * @param allocations (account, allocation) — tiny, broadcast
+    * @param balances   (account, currency, netLiquidation) — tiny
+    * @param rates      (baseCurrency, quoteCurrency, rate) — tiny;
+    *                   self-rate patched to 1 (base.py:1720)
+    */
+  def targetQuantities(
+      weights: DataFrame,
+      master: DataFrame,
+      allocations: DataFrame,
+      balances: DataFrame,
+      rates: DataFrame): DataFrame = {
+    val accounts = allocations
+      .join(balances.select("account", "currency", "netLiquidation"), Seq("account"), "left")
+      .withColumnRenamed("currency", "baseCurrency")
+
+    val withMaster = weights.join(
+      broadcast(master.select(
+        col("sid"), col("currency").as("quoteCurrency"), col("secType"),
+        col("priceMagnifier"), col("multiplier"))),
+      Seq("sid"), "left")
+
+    // account fan-out: weights ⊗ allocations (R5)
+    val fanned = withMaster.crossJoin(broadcast(accounts))
+
+    // J2: (base, quote) → rate, self-rate ≡ 1
+    val withRate = fanned
+      .join(broadcast(rates), Seq("baseCurrency", "quoteCurrency"), "left")
+      .withColumn(
+        "rate",
+        when(col("baseCurrency") === col("quoteCurrency"), 1.0)
+          .otherwise(col("rate")))
+
+    // D21: weight × allocation × NLV × FX ÷ |contract value|, rounded
+    val cv = ContractValues.contractValue(
+      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+    val safeCv = abs(when(cv =!= 0, cv))
+    withRate
+      .withColumn(
+        "target_quantity",
+        coalesce(
+          round(col("weight") * col("allocation") * col("netLiquidation") *
+            col("rate") / safeCv),
+          lit(0.0)))
+      .select("sid", "account", "target_quantity")
+  }
+
+  /** S5 + J3 (reference base.py:1808-1855): live positions ⋈ open orders,
+    * SELL remaining negated, summed per (sid, account), full-outer
+    * combined with position quantity. */
+  def positionsAndOrders(positions: DataFrame, openOrders: DataFrame): DataFrame = {
+    val orderQty = openOrders
+      .withColumn(
+        "remaining",
+        when(col("action") === "SELL", -col("remaining")).otherwise(col("remaining")))
+      .groupBy("sid", "account")
+      .agg(sum("remaining").as("remaining"))
+    positions
+      .select("sid", "account", "quantity")
+      .join(orderQty, Seq("sid", "account"), "full_outer")
+      .withColumn("quantity", coalesce(col("quantity"), lit(0.0)) + coalesce(col("remaining"), lit(0.0)))
+      .select("sid", "account", "quantity")
+  }
+
+  /** J4 + ALLOW_REBALANCE gate (base.py:1760-1796): net quantities =
+    * target − (positions + open orders), optionally suppressing
+    * same-direction rebalances below the threshold. */
+  def netQuantities(
+      targets: DataFrame,
+      positionsOrders: DataFrame,
+      rebalance: Rebalance = AllowRebalance): DataFrame = {
+    val joined = targets
+      .join(positionsOrders, Seq("sid", "account"), "left")
+      .withColumn("held", coalesce(col("quantity"), lit(0.0)))
+      .withColumn("net_quantity", col("target_quantity") - col("held"))
+    val isRebalance = (col("target_quantity") > 0 && col("held") > 0) ||
+      (col("target_quantity") < 0 && col("held") < 0)
+    val gated = rebalance match {
+      case AllowRebalance => joined
+      case NoRebalance =>
+        joined.withColumn("net_quantity", when(isRebalance, 0.0).otherwise(col("net_quantity")))
+      case RebalanceThreshold(minPct) =>
+        joined.withColumn(
+          "net_quantity",
+          when(isRebalance && abs(col("net_quantity") / col("held")) < minPct, 0.0)
+            .otherwise(col("net_quantity")))
+    }
+    gated.select("sid", "account", "net_quantity")
+  }
+
+  /** D22 order stubs (base.py:657-692): signed quantity → BUY/SELL rows,
+    * zeros dropped. */
+  def orderStubs(netQuantities: DataFrame, orderRef: String): DataFrame =
+    netQuantities
+      .where(col("net_quantity") =!= 0)
+      .select(
+        col("sid"),
+        col("account"),
+        when(col("net_quantity") > 0, "BUY").otherwise("SELL").as("action"),
+        lit(orderRef).as("orderRef"),
+        abs(col("net_quantity")).as("totalQuantity"))
+
+  /** D23 child/bracket orders (base.py:607-655): copy orders, reverse the
+    * action, link ParentId ← OrderId. */
+  def childOrders(orders: DataFrame): DataFrame = {
+    val withIds =
+      if (orders.columns.contains("orderId")) orders
+      else orders.withColumn(
+        "orderId",
+        concat_ws(".", col("sid"), col("account"), col("orderRef")))
+    withIds
+      .withColumnRenamed("orderId", "parentId")
+      .withColumn(
+        "action",
+        when(col("action") === "BUY", "SELL").otherwise("BUY"))
+  }
+
+  /** Full trade() driver (§3.2). Returns the orders table, empty when all
+    * net quantities are zero (base.py:1800). */
+  def run(
+      strategy: Strategy,
+      prices: DataFrame,
+      master: DataFrame,
+      allocations: DataFrame,
+      balances: DataFrame,
+      rates: DataFrame,
+      positions: DataFrame,
+      openOrders: DataFrame,
+      signalDate: String,
+      tradeTime: Option[String] = None,
+      rebalance: Rebalance = AllowRebalance): DataFrame = {
+    implicit val k: Keys = strategy.keys
+    var p = strategy.pricesToSignals(prices)
+    p = strategy.signalsToTargetWeights(p)
+    val today = todayWeights(p, signalDate, tradeTime)
+    val targets = targetQuantities(today, master, allocations, balances, rates)
+    val held = positionsAndOrders(positions, openOrders)
+    val net = netQuantities(targets, held, rebalance)
+    val stubs = orderStubs(net, strategy.code)
+    strategy.orderStubsToOrders(stubs, prices)
+  }
+}
+
+/** J6: as-of (most-recent-value-at-or-before) join — the reference's
+  * borrow-fee alignment (slippage/borrowfee.py:44) and the general
+  * time-series enrichment primitive.
+  *
+  * Implementation: union the left (probe) and right (value) rows tagged
+  * by provenance, sort within sid by (date, tag), forward-fill the value
+  * over the combined sequence, keep probe rows. One shuffle on sid —
+  * no range-join explosion, no per-row subqueries; scales as a plain
+  * window over the combined relation.
+  */
+object AsOf {
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      sidCol: String,
+      dateCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftTagged = left.withColumn("__src", lit(1))
+    val rightTagged = right
+      .select((sidCol +: dateCol +: valueCols).map(col): _*)
+      .withColumn("__src", lit(0))
+    val combined = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // value rows (__src=0) sort before probe rows on the same date, so a
+    // probe sees same-date values — "at or before" semantics.
+    val w = Window.partitionBy(sidCol).orderBy(col(dateCol), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(combined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__src") === 1).drop("__src")
+  }
+}
