@@ -12,10 +12,11 @@ object SparkEntry {
     Queries.all("backtest_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ TextQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hash-engine internals
     * are not SQL-expressible (driver records a rows-only check). */
-  def oracleSql: Map[String, String] = Oracles.all
+  def oracleSql: Map[String, String] = Oracles.all ++ TextOracles.all
 }

@@ -1,0 +1,235 @@
+package graft
+
+/** DuckDB oracles for [[TextQueries]].
+  *
+  * Parity notes:
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all default;
+  *  - cosine must be computed with explicit ::DOUBLE casts —
+  *    list_cosine_similarity accumulates in float32 and diverges from
+  *    Spark's double math;
+  *  - md5-derived minhashes/band keys are engine-independent by
+  *    construction.
+  */
+object TextOracles {
+
+  /** occurrences of literal m in txt via the replace-length trick. */
+  private def occ(txt: String, m: String) =
+    s"CAST((length($txt) - length(replace($txt, '$m', ''))) / ${m.length} AS BIGINT)"
+
+  private def langScore(lang: String): String = {
+    val markers = graft.text.TextAnalysis.langMarkers(lang)
+    markers.map(m => occ("lt", m)).mkString(" + ")
+  }
+
+  /** lowercased text padded with spaces, as a CTE column `lt`. */
+  private val ltCte = "lt AS (SELECT *, ' ' || lower(text) || ' ' AS lt FROM documents)"
+
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+      |                          '\s+') AS w
+      |  FROM documents)""".stripMargin
+
+  private val shinglesCte =
+    s"""$wordsCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(1, len(w) - 1),
+       |                             i -> array_to_string(w[i:i+2], ' '))
+       |         ELSE [] END AS sh
+       |  FROM words)""".stripMargin
+
+  /** 4 bands × 2 rows of md5-salted minhashes (salts 0..7). */
+  private val sigCte = {
+    val bands = (0 until 4).map { b =>
+      val m0 = s"list_min(list_transform(sh, s -> md5('${2 * b}|' || s)))"
+      val m1 = s"list_min(list_transform(sh, s -> md5('${2 * b + 1}|' || s)))"
+      s"md5($m0 || '|' || $m1) AS band_$b"
+    }
+    s"""$shinglesCte,
+       |sig AS (
+       |  SELECT doc_id, sh, ${bands.mkString(",\n    ")}
+       |  FROM sh WHERE len(sh) > 0)""".stripMargin
+  }
+
+  private val candidatesCte = {
+    val unions = (0 until 4).map { b =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.band_$b = b.band_$b AND a.doc_id < b.doc_id"""
+        .stripMargin
+    }
+    s"""$sigCte,
+       |cand AS (
+       |  ${unions.mkString("\n  UNION\n  ")})""".stripMargin
+  }
+
+  /** double-cast dot product over 64-dim float lists. */
+  private def dot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))"
+
+  private def cosine(a: String, b: String) =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  val all: Map[String, String] = Map(
+    "tx1_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS token_count,
+        |  length(text)::BIGINT AS char_len,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_estimate,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |       THEN length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE /
+        |            len(regexp_split_to_array(trim(text), '\s+'))
+        |       ELSE 0.0 END AS mean_word_len
+        |FROM documents""".stripMargin,
+
+    "tx2_lang_id" -> {
+      val scores = Seq("de", "en", "es", "fr", "it")
+        .map(l => s"(${langScore(l)}) AS s_$l").mkString(", ")
+      s"""WITH $ltCte,
+         |sc AS (SELECT doc_id, $scores FROM lt),
+         |best AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_it) AS b FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN s_de = b AND b > 0 THEN 'de'
+         |       WHEN s_en = b AND b > 0 THEN 'en'
+         |       WHEN s_es = b AND b > 0 THEN 'es'
+         |       WHEN s_fr = b AND b > 0 THEN 'fr'
+         |       WHEN s_it = b AND b > 0 THEN 'it'
+         |       ELSE 'und' END AS lang_id,
+         |  s_en AS en_score
+         |FROM best""".stripMargin
+    },
+
+    "tx3_quality" -> {
+      val stop = langScore("en")
+      s"""WITH $ltCte,
+         |comp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM lt),
+         |ratios AS (
+         |  SELECT doc_id,
+         |    CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END AS mwl,
+         |    CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END AS ar,
+         |    CASE WHEN n > 0 THEN digit::DOUBLE / n ELSE 0.0 END AS dr,
+         |    CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END AS sr
+         |  FROM comp)
+         |SELECT doc_id,
+         |  round(ar * 0.4 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |        least(sr * 5.0, 1.0) * 0.2 + (1.0 - least(dr * 5.0, 1.0)) * 0.2, 6) AS quality,
+         |  round(ar, 6) AS alpha_ratio,
+         |  round(dr, 6) AS digit_ratio
+         |FROM ratios""".stripMargin
+    },
+
+    "tx4_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |                          '\s+'))), ' ')) AS canonical_fp
+        |FROM documents""".stripMargin,
+
+    "dd1_exact_dedup" ->
+      """SELECT md5(lower(trim(text))) AS content_key,
+        |  min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd2_canonical_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |                          '\s+'))), ' ')) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd3_minhash_lsh" ->
+      s"""WITH $candidatesCte
+         |SELECT DISTINCT id_a, id_b FROM cand""".stripMargin,
+
+    "dd4_near_duplicates" ->
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM verify WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd6_embedding_neardup" -> {
+      val cos = cosine("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $cos >= 0.3""".stripMargin
+    },
+
+    "sim1_bruteforce_topk" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "sim2_lsh_topk" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      def bucket(v: String) =
+        s"concat(CASE WHEN $v[1] >= 0 THEN '+' ELSE '-' END," +
+          s" CASE WHEN $v[2] >= 0 THEN '+' ELSE '-' END," +
+          s" CASE WHEN $v[3] >= 0 THEN '+' ELSE '-' END," +
+          s" CASE WHEN $v[4] >= 0 THEN '+' ELSE '-' END)"
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q JOIN embeddings c
+         |    ON ${bucket("q.embedding")} = ${bucket("c.embedding")}
+         |   AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "mm1_binary_meta" ->
+      """WITH media AS (
+        |  SELECT doc_id, text, encode(text) AS payload,
+        |         '\xFF\xD8\xFF\xE0'::BLOB || encode(text) AS jpeg_payload
+        |  FROM documents)
+        |SELECT doc_id,
+        |  octet_length(payload)::BIGINT AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CASE WHEN upper(substring(hex(payload), 1, 16)) LIKE 'FFD8FF%' THEN 'jpeg'
+        |       WHEN upper(substring(hex(payload), 1, 16)) LIKE '89504E47%' THEN 'png'
+        |       WHEN upper(substring(hex(payload), 1, 16)) LIKE '47494638%' THEN 'gif'
+        |       WHEN upper(substring(hex(payload), 1, 16)) LIKE '52494646%' THEN 'riff'
+        |       WHEN upper(substring(hex(payload), 1, 16)) LIKE '494433%' THEN 'mp3'
+        |       WHEN upper(substring(hex(payload), 1, 16)) LIKE '1A45DFA3%' THEN 'mkv/webm'
+        |       ELSE 'unknown' END AS fmt_raw,
+        |  CASE WHEN upper(substring(hex(jpeg_payload), 1, 16)) LIKE 'FFD8FF%' THEN 'jpeg'
+        |       ELSE 'unknown' END AS fmt_jpeg
+        |FROM media""".stripMargin
+  )
+}

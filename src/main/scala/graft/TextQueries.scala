@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** LLM-training-data-pipeline operator queries: text analysis, dedup,
+  * similarity search, multimodal plumbing — over the `documents` and
+  * `embeddings` tables. Oracles in [[TextOracles]] (simhash and the
+  * mapPartitions feature extractor are not SQL-expressible → rows-only).
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis ----
+    "tx1_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+        length(col("text")).cast("long").as("char_len"),
+        TextAnalysis.charLenTokens(col("text")).as("bpe_estimate"),
+        TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
+    }),
+
+    "tx2_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_id"),
+        TextAnalysis.langScore(col("text"), "en").as("en_score"))
+    }),
+
+    "tx3_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(TextAnalysis.digitRatio(col("text")), 6).as("digit_ratio"))
+    }),
+
+    "tx4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.contentHash(col("text")).as("content_md5"),
+        TextAnalysis.canonicalFingerprint(col("text")).as("canonical_fp"))
+    }),
+
+    // ---- dedup ----
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"))),
+
+    "dd2_canonical_dedup" -> ((s, dir) =>
+      Dedup.canonicalGroups(t(s, dir, "documents"))),
+
+    "dd3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"))),
+
+    "dd4_near_duplicates" -> ((s, dir) =>
+      Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    // simhash: bit-twiddling not portably SQL-expressible → rows-only
+    "dd5_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val l = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val r = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      l.join(r, col("id_a") < col("id_b"))
+        .withColumn("hamming", Dedup.hammingDistance(col("sh_a"), col("sh_b")))
+        .where(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    }),
+
+    "dd6_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDuplicates(
+        t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // ---- similarity search ----
+    "sim1_bruteforce_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
+    }),
+
+    "sim2_lsh_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.signLshTopK(
+        embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- multimodal plumbing ----
+    "mm1_binary_meta" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("jpeg_payload", concat(unhex(lit("FFD8FFE0")), col("payload")))
+      media.select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        Multimodal.sniffFormat(col("payload")).as("fmt_raw"),
+        Multimodal.sniffFormat(col("jpeg_payload")).as("fmt_jpeg"))
+    }),
+
+    // partition-wise feature extraction (stubbed codec) → rows-only
+    "mm2_media_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"),
+          round(element_at(col("features"), 1), 4).as("f1"),
+          round(element_at(col("features"), 8), 4).as("f8"))
+    })
+  )
+}

@@ -42,10 +42,13 @@ object Dedup {
     * transform over a slide of the word array — no explode needed. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val words = split(trim(regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")), "\\s+")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    transform(
-      sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    val count = size(words) - (n - 1)
+    // guard: sequence(0, -1) would generate a DESCENDING range, not empty
+    when(count > 0,
+      transform(
+        sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array())
   }
 
   /** One MinHash value: the lexicographic min of md5(salt || shingle) —

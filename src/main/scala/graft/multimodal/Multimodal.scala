@@ -31,7 +31,7 @@ object Multimodal {
   /** Magic-number format sniff over the first payload bytes — pure column
     * algebra on the binary column (hex of an 8-byte prefix). */
   def sniffFormat(payload: Column): Column = {
-    val prefix = upper(hex(substring(payload, 1, 8)))
+    val prefix = upper(substring(hex(payload), 1, 16))
     when(prefix.startsWith("FFD8FF"), "jpeg")
       .when(prefix.startsWith("89504E47"), "png")
       .when(prefix.startsWith("47494638"), "gif")
