@@ -271,6 +271,19 @@ object Oracles {
         |       "orderRef", "totalQuantity", CAST(NULL AS VARCHAR), "orderId"
         |FROM parents""".stripMargin,
 
+    "ml1_linear_model" ->
+      s"""WITH $panelCte,
+         |f AS (
+         |  SELECT sid, date,
+         |    close / lag(close, 1) OVER (PARTITION BY sid ORDER BY date) - 1 AS r1,
+         |    close / lag(close, 2) OVER (PARTITION BY sid ORDER BY date) - 1 AS r2
+         |  FROM panel),
+         |p AS (
+         |  SELECT sid, date,
+         |    0.01 + coalesce(r1, 0) * 0.4 + coalesce(r2, 0) * (-0.2) AS prediction
+         |  FROM f)
+         |SELECT sid, date, prediction, CAST(prediction > 0 AS INT) AS signal FROM p""".stripMargin,
+
     "backtest_pipeline" ->
       s"""WITH $turnoverCte,
          |gro AS (

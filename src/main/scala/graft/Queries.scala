@@ -376,6 +376,17 @@ object Queries {
         .unionByName(children.withColumn("orderId", lit(null).cast("string")))
     }),
 
+    // ---- M1/M2: feature assembly + linear model prediction ----
+    "ml1_linear_model" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val withF = graft.ml.Features.laggedReturns(supplierPanel(s, dir), Seq(1, 2))
+      val assembled = graft.ml.Features.assemble(withF, Seq("return_1d", "return_2d"))
+      graft.ml.LinearPredictor(Seq(0.4, -0.2), intercept = 0.01)
+        .predict(assembled)
+        .select(col("sid"), col("date"), col("prediction"),
+          (col("prediction") > 0).cast("int").as("signal"))
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))

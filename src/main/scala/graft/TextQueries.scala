@@ -68,8 +68,7 @@ object TextQueries {
 
     // simhash: bit-twiddling not portably SQL-expressible → rows-only
     "dd5_simhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      val docs = Dedup.simhashDf(t(s, dir, "documents"))
       val l = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
       val r = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
       l.join(r, col("id_a") < col("id_b"))

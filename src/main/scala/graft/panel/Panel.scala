@@ -128,11 +128,15 @@ object Panel {
   // ---- reshapes (SURVEY §2.3) ----
 
   /** R1: wide→long. Unpivots `valueCols` into (field, value) rows.
-    * pandas `stack()` (reference base.py:683,1703). */
+    * pandas `stack()` (reference base.py:683,1703). Uses the codegen'd
+    * `stack` generator — no per-row map allocation. */
   def meltFields(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame = {
-    val kv = valueCols.flatMap(c => Seq(lit(c), col(c).cast("double")))
-    df.select(idCols.map(col) :+ map(kv: _*).as("__m"): _*)
-      .select(idCols.map(col) :+ explode(col("__m")).as(Seq("field", "value")): _*)
+    val pairs = valueCols
+      .map(c => s"'${c.replace("'", "\\'")}', CAST(`$c` AS DOUBLE)")
+      .mkString(", ")
+    df.selectExpr(
+      idCols.map(c => s"`$c`") :+
+        s"stack(${valueCols.size}, $pairs) AS (field, value)": _*)
   }
 
   /** R2: long→wide pivot of sids to columns. pandas `unstack()`

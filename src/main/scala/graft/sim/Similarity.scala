@@ -46,6 +46,16 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v))
 
+  /** cosine from a pairwise dot and per-side norms precomputed once per
+    * vector — identical IEEE result to [[cosine]] (same op order), but
+    * the norm aggregates run |corpus| times instead of |pairs| times.
+    * zip_with/aggregate are interpreted (no codegen), so trimming HOF
+    * evaluations per pair is the lever. */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val d = na * nb
+    when(d > 0, dot(a, b) / d).otherwise(0.0)
+  }
+
   /** Exact cosine top-k of `corpus` for each row of `queries`.
     * Output: (query_id, neighbor_id, cosine, rank). Ties broken by
     * neighbor id for full determinism. */
@@ -55,12 +65,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = c
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -86,14 +99,17 @@ object Similarity {
       dims: Int = 4): DataFrame = {
     val q = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"),
       signBucket(col(vecCol), dims).as("__bk"))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"),
       signBucket(col(vecCol), dims).as("__bk"))
     val scored = c
       .join(broadcast(q), "__bk")
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

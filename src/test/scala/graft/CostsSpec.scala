@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.costs._
+import graft.panel.Panel
+
+class CostsSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val k: Panel.Keys = Panel.eod
+
+  test("PercentageCommission: rate × turnover + exchange fee (D8)") {
+    val df = Seq((0.5, 100.0)).toDF("turnover", "cv")
+    val model = PercentageCommission(brokerCommissionRate = 0.001, exchangeFeeRate = 0.0002)
+    val c = df.select(model.commissions($"cv", $"turnover", None).as("c")).head.getDouble(0)
+    assert(r7(c) == r7(0.5 * 0.001 + 0.5 * 0.0002))
+  }
+
+  test("min commission floor only binds when 0 < commission < floor (base.py:57-66)") {
+    val model = PercentageCommission(brokerCommissionRate = 0.001, minCommission = 2.5)
+    val nlv = Some(lit(1000000.0))
+    val out = Seq(0.0, 0.000001, 0.5).toDF("turnover")
+      .select($"turnover", model.commissions(lit(100.0), $"turnover", nlv).as("c"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(out(0.0) == 0.0) // zero stays zero
+    assert(out(0.000001) == 2.5 / 1000000.0) // floored
+    assert(r7(out(0.5)) == r7(0.0005)) // above floor: unfloored
+  }
+
+  test("tier-2 blending (commission/base.py:147-153)") {
+    val model = PercentageCommission(
+      brokerCommissionRate = 0.001, brokerCommissionRateTier2 = 0.0005, tier2Ratio = 0.4)
+    val c = Seq(1.0).toDF("t")
+      .select(model.commissions(lit(100.0), $"t", None)).head.getDouble(0)
+    assert(r7(c) == r7(0.6 * 0.001 + 0.4 * 0.0005))
+  }
+
+  test("PerShareCommission: per-share ÷ |contract value| × turnover (D9)") {
+    val model = PerShareCommission(brokerCommissionPerShare = 0.005)
+    val c = Seq(1.0).toDF("t")
+      .select(model.commissions(lit(50.0), $"t", None)).head.getDouble(0)
+    assert(r7(c) == r7(0.005 / 50.0))
+  }
+
+  test("FuturesCommission: cost per contract ÷ contract value (D10)") {
+    val model = FuturesCommission(brokerCommissionPerContract = 0.85, exchangeFeePerContract = 1.18)
+    val c = Seq(1.0).toDF("t")
+      .select(model.commissions(lit(50000.0), $"t", None)).head.getDouble(0)
+    assert(r7(c) == r7(2.03 / 50000.0))
+  }
+
+  test("SpotFX commission is 0.2 bps with no min (D11)") {
+    val c = Seq(1.0).toDF("t")
+      .select(CommissionModel.spotFX.commissions(lit(1.0), $"t", Some(lit(1000.0))))
+      .head.getDouble(0)
+    assert(c == 0.00002)
+  }
+
+  test("contract values: price/magnifier×multiplier; CASH ≡ 1 (D7)") {
+    val out = Seq(
+      ("STK", 100.0, 1.0, 1.0),
+      ("FUT", 50.0, 10.0, 20.0),
+      ("CASH", 1.1, 1.0, 1.0))
+      .toDF("secType", "price", "mag", "mult")
+      .select($"secType",
+        ContractValues.contractValue($"price", $"secType", $"mag", $"mult").as("cv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("STK") == 100.0)
+    assert(out("FUT") == 100.0) // 50/10×20
+    assert(out("CASH") == 1.0)
+  }
+
+  test("FixedSlippage and SLIPPAGE_BPS equivalence (D13)") {
+    val df = Seq((0.5, 0.25)).toDF("turnover", "position")
+    val viaClass = df.select(
+      FixedSlippage(0.0005).slippage($"turnover", $"position")).head.getDouble(0)
+    assert(viaClass == 0.00025)
+  }
+}

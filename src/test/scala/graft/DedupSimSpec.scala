@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog the"), // word-reorder of 1
+    (4L, "completely different content about spark engines and data"),
+    (5L, "hi")) // < 3 words: no shingles
+    .toDF("doc_id", "text")
+
+  test("exactGroups collapses identical content (dd1)") {
+    val g = Dedup.exactGroups(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g(1L) == 2) // docs 1+2
+    assert(g.size == 4)
+  }
+
+  test("canonical fingerprint is word-order-insensitive (tx4)") {
+    val fp = docs.select($"doc_id", TextAnalysis.canonicalFingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("shingles: n-grams of words; empty below n (dd3 input)") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).length == 7) // 9 words → 7 trigrams
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhash LSH finds the duplicate pair, not the unrelated one (dd3)") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("jaccard: identical docs = 1, disjoint = 0 (dd4)") {
+    val j = Dedup.nearDuplicates(docs, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs have hamming distance 0 (dd5)") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("simhashDf matches the column-expression simhash exactly") {
+    val viaCol = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = Dedup.simhashDf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaCol == viaDf)
+  }
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite
+    (5L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical = 1, orthogonal = 0, opposite = −1") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .where($"a.vec_id" === 1 && $"b.vec_id".isin(2, 3, 4))
+      .select($"b.vec_id", Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+      .collect().map(r => r.getLong(0) -> r7(r.getDouble(1))).toMap
+    assert(c(2L) == 1.0 && c(3L) == 0.0 && c(4L) == -1.0)
+  }
+
+  test("bruteForceTopK ranks nearest first with id tiebreak (sim1)") {
+    val out = Similarity.bruteForceTopK(
+      vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(out.sortBy(_._1).map(_._2).toSeq == Seq(2L, 5L))
+  }
+
+  test("signLshTopK searches only matching sign buckets (sim2)") {
+    val out = Similarity.signLshTopK(
+      vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding", k = 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(out.contains(2L))
+    assert(!out.contains(4L)) // opposite sign bucket → pruned
+  }
+
+  test("langId picks the marker-matched language (tx2)") {
+    val out = Seq(
+      (1L, "the cat and the dog is on the mat and it is nice"),
+      (2L, "le chat est sur les toits et la nuit est belle"),
+      (3L, "xyzzy plugh"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "und")
+  }
+
+  test("tokenCount handles empty and whitespace-only text (tx1)") {
+    val out = Seq((1L, ""), (2L, "   "), (3L, "one two  three"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
+  }
+}

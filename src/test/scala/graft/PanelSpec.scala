@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+class PanelSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val k: Keys = Panel.eod
+
+  private lazy val df = Seq(
+    ("A", "2024-01-01", Some(10.0)),
+    ("A", "2024-01-02", Some(12.0)),
+    ("A", "2024-01-03", None),
+    ("A", "2024-01-04", Some(15.0)),
+    ("B", "2024-01-01", Some(100.0)),
+    ("B", "2024-01-02", Some(90.0)))
+    .toDF("sid", "date", "value")
+    .withColumn("date", to_date($"date"))
+
+  private def col4(c: org.apache.spark.sql.Column): Map[(String, String), Option[Double]] =
+    df.select($"sid", $"date", c.as("out"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("lag shifts within sid, null at series start (W1)") {
+    val out = col4(Panel.lagBySid($"value"))
+    assert(out(("A", "2024-01-01")).isEmpty)
+    assert(out(("A", "2024-01-02")).contains(10.0))
+    assert(out(("A", "2024-01-03")).contains(12.0))
+    assert(out(("B", "2024-01-01")).isEmpty) // no bleed across sids
+    assert(out(("B", "2024-01-02")).contains(100.0))
+  }
+
+  test("pctChange = value/prev − 1 over row order, not calendar (W3)") {
+    val out = col4(Panel.pctChange($"value"))
+    assert(out(("A", "2024-01-02")).map(r7).contains(0.2))
+    assert(out(("A", "2024-01-03")).isEmpty) // null value → null
+    assert(out(("B", "2024-01-02")).map(r7).contains(-0.1))
+  }
+
+  test("ffill carries last non-null forward (W5)") {
+    val out = col4(Panel.ffill($"value"))
+    assert(out(("A", "2024-01-03")).contains(12.0))
+    assert(out(("A", "2024-01-04")).contains(15.0))
+  }
+
+  test("rollingMean yields null until n observations (W6, min_periods=n)") {
+    val out = col4(Panel.rollingMean($"value", 2))
+    assert(out(("A", "2024-01-01")).isEmpty)
+    assert(out(("A", "2024-01-02")).contains(11.0))
+    // null at 01-03 → only 1 non-null in frame → null
+    assert(out(("A", "2024-01-03")).isEmpty)
+  }
+
+  test("diff (W4) and cumSum") {
+    val d = col4(Panel.diffBySid($"value"))
+    assert(d(("A", "2024-01-02")).contains(2.0))
+    val c = col4(Panel.cumSum(coalesce($"value", lit(0.0))))
+    assert(c(("A", "2024-01-04")).contains(37.0))
+  }
+
+  test("densify completes the sid×date grid with nulls (SURVEY §7.4 risk 1)") {
+    val dense = Panel.densify(df)
+    assert(dense.count() == 8) // 2 sids × 4 dates
+    val bDates = dense.where($"sid" === "B").select("date").collect().map(_.get(0).toString)
+    assert(bDates.sorted.toSeq ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+  }
+
+  test("meltFields inverts a pivoted frame (R1)") {
+    val wide = Seq(("A", 1.0, 2.0)).toDF("sid", "x", "y")
+    val long = Panel.meltFields(wide, Seq("sid"), Seq("x", "y"))
+    assert(long.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set(("A", "x", 1.0), ("A", "y", 2.0)))
+  }
+
+  test("safeDiv guards zero denominators (§2.7)") {
+    val out = Seq((1.0, 0.0), (4.0, 2.0)).toDF("a", "b")
+      .select(Panel.safeDiv($"a", $"b").as("q")).collect()
+    assert(out(0).isNullAt(0) && out(1).getDouble(0) == 2.0)
+  }
+}

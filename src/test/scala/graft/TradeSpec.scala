@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.trade.{AsOf, Trade}
+
+class TradeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("positionsAndOrders: full outer + SELL negation (base.py:1845-1851)") {
+    val positions = Seq(("S1", "U1", 100.0), ("S2", "U1", -50.0))
+      .toDF("sid", "account", "quantity")
+    val openOrders = Seq(
+      ("S1", "U1", "x", 10.0, "BUY"),
+      ("S1", "U1", "x", 4.0, "SELL"),
+      ("S3", "U1", "x", 7.0, "BUY"))
+      .toDF("sid", "account", "orderRef", "remaining", "action")
+    val out = Trade.positionsAndOrders(positions, openOrders)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out("S1") == 106.0) // 100 + 10 − 4
+    assert(out("S2") == -50.0) // position only
+    assert(out("S3") == 7.0) // order only (outer side)
+  }
+
+  test("netQuantities honors ALLOW_REBALANCE gates (base.py:1774-1796)") {
+    val targets = Seq(("S1", "U1", 100.0), ("S2", "U1", -100.0), ("S3", "U1", 50.0))
+      .toDF("sid", "account", "target_quantity")
+    val held = Seq(("S1", "U1", 95.0), ("S2", "U1", 10.0))
+      .toDF("sid", "account", "quantity")
+
+    def net(g: Trade.Rebalance) =
+      Trade.netQuantities(targets, held, g).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+
+    val allow = net(Trade.AllowRebalance)
+    assert(allow("S1") == 5.0 && allow("S2") == -110.0 && allow("S3") == 50.0)
+
+    // same-direction top-up suppressed entirely
+    val no = net(Trade.NoRebalance)
+    assert(no("S1") == 0.0) // rebalance of an existing long
+    assert(no("S2") == -110.0) // direction flip is not a rebalance
+    assert(no("S3") == 50.0) // new position
+
+    // threshold: 5/95 ≈ 5.3% < 25% → suppressed
+    val thresh = net(Trade.RebalanceThreshold(0.25))
+    assert(thresh("S1") == 0.0 && thresh("S2") == -110.0 && thresh("S3") == 50.0)
+  }
+
+  test("orderStubs: signed → BUY/SELL, zeros dropped (base.py:657-692)") {
+    val net = Seq(("S1", "U1", 5.0), ("S2", "U1", -3.0), ("S3", "U1", 0.0))
+      .toDF("sid", "account", "net_quantity")
+    val stubs = Trade.orderStubs(net, "strat").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getDouble(4))).toList.sortBy(_._1)
+    assert(stubs == List(("S1", "BUY", 5.0), ("S2", "SELL", 3.0)))
+  }
+
+  test("childOrders reverse the action and link ParentId (base.py:607-655)") {
+    val orders = Seq(("S1", "U1", "BUY", "strat", 5.0))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val children = Trade.childOrders(orders).collect()
+    assert(children.length == 1)
+    val c = children.head
+    assert(c.getAs[String]("action") == "SELL")
+    assert(c.getAs[String]("parentId") == "S1.U1.strat")
+  }
+
+  test("AsOf.join picks most recent value at or before probe date (J6)") {
+    val probes = Seq(("A", "2024-01-05", 1), ("A", "2024-01-10", 2), ("A", "2024-01-02", 3))
+      .toDF("sid", "date", "probe_id").withColumn("date", to_date($"date"))
+    val values = Seq(("A", "2024-01-01", 10.0), ("A", "2024-01-05", 50.0), ("A", "2024-01-08", 80.0))
+      .toDF("sid", "date", "fee").withColumn("date", to_date($"date"))
+    val out = AsOf.join(probes, values, "sid", "date", Seq("fee"))
+      .collect().map(r => r.getAs[Int]("probe_id") -> r.getAs[Double]("fee")).toMap
+    assert(out(3) == 10.0) // Jan 02 → Jan 01 value
+    assert(out(1) == 50.0) // Jan 05 → same-day value
+    assert(out(2) == 80.0) // Jan 10 → Jan 08 value
+  }
+
+  test("targetQuantities: weights × alloc × NLV × FX ÷ contract value (D21)") {
+    val weights = Seq(("S1", 0.5, 100.0)).toDF("sid", "weight", "close")
+    val master = Seq(("S1", "JPY", "STK", 1.0, 1.0))
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier")
+    val allocations = Seq(("U1", 0.5)).toDF("account", "allocation")
+    val balances = Seq(("U1", "USD", 1000000.0)).toDF("account", "currency", "netLiquidation")
+    val rates = Seq(("USD", "JPY", 110.0)).toDF("baseCurrency", "quoteCurrency", "rate")
+    val out = Trade.targetQuantities(weights, master, allocations, balances, rates).head
+    // 0.5 × 0.5 × 1,000,000 × 110 / 100 = 275,000
+    assert(out.getAs[Double]("target_quantity") == 275000.0)
+  }
+
+  test("targetQuantities: self-rate ≡ 1 when currencies match (base.py:1720)") {
+    val weights = Seq(("S1", 0.1, 50.0)).toDF("sid", "weight", "close")
+    val master = Seq(("S1", "USD", "STK", 1.0, 1.0))
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier")
+    val allocations = Seq(("U1", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U1", "USD", 100000.0)).toDF("account", "currency", "netLiquidation")
+    val rates = spark.emptyDataFrame
+      .select(lit("x").as("baseCurrency"), lit("x").as("quoteCurrency"), lit(1.0).as("rate"))
+      .limit(0)
+    val out = Trade.targetQuantities(weights, master, allocations, balances, rates).head
+    assert(out.getAs[Double]("target_quantity") == 200.0)
+  }
+}
