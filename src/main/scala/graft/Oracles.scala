@@ -271,6 +271,98 @@ object Oracles {
         |       "orderRef", "totalQuantity", CAST(NULL AS VARCHAR), "orderId"
         |FROM parents""".stripMargin,
 
+    "d19_benchmark" ->
+      s"""WITH $panelCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bc AS (SELECT date, close FROM panel WHERE sid = 1),
+         |f AS (
+         |  SELECT d.date,
+         |    last_value(bc.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bc ON d.date = bc.date)
+         |SELECT '1' AS sid, date, 'Benchmark' AS field,
+         |       c / lag(c) OVER (ORDER BY date) - 1 AS value
+         |FROM f""".stripMargin,
+
+    "d14_borrow_fees" ->
+      s"""WITH $panelCte,
+         |pos AS (
+         |  SELECT sid, date, CASE WHEN close < 30000 THEN 1.0 ELSE -1.0 END AS position
+         |  FROM panel),
+         |fees AS (
+         |  SELECT DISTINCT sid, CAST(date_trunc('month', date) AS DATE) AS fdate,
+         |         CAST(sid % 5 + 1 AS DOUBLE) AS borrow_fee
+         |  FROM panel),
+         |aj AS (
+         |  SELECT p.sid, p.date, p.position, f.borrow_fee
+         |  FROM pos p ASOF LEFT JOIN fees f
+         |    ON p.sid = f.sid AND p.date >= f.fdate),
+         |g AS (
+         |  SELECT *, coalesce(date_diff('day',
+         |    lag(date) OVER (PARTITION BY sid ORDER BY date), date), 1) AS days
+         |  FROM aj)
+         |SELECT sid, date,
+         |  abs(CASE WHEN position < 0 THEN position ELSE 0 END) * 1.02 *
+         |    (borrow_fee / 100 / 360) * days AS borrow_cost
+         |FROM g""".stripMargin,
+
+    "d7_contract_values" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  CASE WHEN sid % 3 = 0 THEN 1.0
+         |       WHEN sid % 3 = 1 THEN close
+         |       ELSE close / 100.0 * 50.0 END AS contract_value
+         |FROM panel""".stripMargin,
+
+    "d12_commission_dispatch" ->
+      s"""WITH $turnoverCte,
+         |cm AS (
+         |  SELECT sid, date, turnover, close,
+         |    CASE WHEN sid % 3 = 0 THEN 'CASH'
+         |         WHEN sid % 3 = 1 THEN 'STK' ELSE 'FUT' END AS st,
+         |    CASE WHEN sid % 3 = 2 THEN close / 100.0 * 50.0 ELSE close END AS cv0
+         |  FROM trn)
+         |SELECT sid, date, 'Commission' AS field,
+         |  CASE WHEN st = 'CASH' THEN turnover * 0.00002
+         |       WHEN st = 'STK' THEN turnover * 0.001
+         |       ELSE 2.03 / cv0 * turnover END AS value
+         |FROM cm""".stripMargin,
+
+    "w8_resample" ->
+      s"""SELECT l_suppkey AS sid, CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS price_cents,
+         |  count(*) AS n_bars
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "d20_latest_before" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+         |  max_by(event_id, ts) AS last_event_id,
+         |  max_by(${c("value")}, ts) AS last_cents
+         |FROM events WHERE strftime(ts, '%H:%M:%S') < '12:00:00'
+         |GROUP BY 1, 2""".stripMargin,
+
+    "r7_densify" ->
+      s"""WITH $panelCte,
+         |p AS (SELECT * FROM panel WHERE sid <= 5),
+         |grid AS (
+         |  SELECT s.sid, d.date
+         |  FROM (SELECT DISTINCT date FROM p) d
+         |  CROSS JOIN (SELECT DISTINCT sid FROM p) s),
+         |j AS (
+         |  SELECT g.sid, g.date, p2.close
+         |  FROM grid g LEFT JOIN p p2 ON g.sid = p2.sid AND g.date = p2.date)
+         |SELECT sid, date,
+         |  last_value(close IGNORE NULLS) OVER (PARTITION BY sid ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close
+         |FROM j""".stripMargin,
+
+    "a2_long_short_sums" ->
+      s"""WITH $panelCte
+         |SELECT date,
+         |  CAST(sum(CASE WHEN close < 30000 THEN 1.0 ELSE 0 END) AS BIGINT) AS long_total,
+         |  CAST(sum(CASE WHEN close >= 30000 THEN 1.0 ELSE 0 END) AS BIGINT) AS short_total
+         |FROM panel GROUP BY date""".stripMargin,
+
     "ml1_linear_model" ->
       s"""WITH $panelCte,
          |f AS (

@@ -376,6 +376,110 @@ object Queries {
         .unionByName(children.withColumn("orderId", lit(null).cast("string")))
     }),
 
+    // ---- D19: benchmark return series (ffill + pct_change) ----
+    "d19_benchmark" -> ((s, dir) => {
+      object BenchmarkedStrategy extends Strategy {
+        val code = "demo-bench"
+        override def keys: Keys = liKeys
+        override def benchmarkSid: Option[String] = Some("1")
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+      }
+      val panel = supplierPanel(s, dir).withColumn("sid", col("sid").cast("string"))
+      Backtest.run(BenchmarkedStrategy, panel)
+        .where(col("field") === "Benchmark")
+    }),
+
+    // ---- D14: borrow fees via as-of join + weekend multiplier ----
+    "d14_borrow_fees" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("position", when(col("close") < 30000, 1.0).otherwise(-1.0))
+      // synthetic monthly borrow-fee table: annual % = sid mod 5 + 1
+      val fees = supplierPanel(s, dir)
+        .select(col("sid"), to_date(date_trunc("month", col("date"))).as("date"))
+        .distinct()
+        .withColumn("borrow_fee", (col("sid") % 5 + 1).cast("double"))
+      val joined = AsOf.join(panel, fees, "sid", "date", Seq("borrow_fee"))
+      joined.select(col("sid"), col("date"),
+        graft.costs.BorrowFees().slippage(lit(0.0), col("position")).as("borrow_cost"))
+    }),
+
+    // ---- D7: contract values (magnifier/multiplier/CASH rules) ----
+    "d7_contract_values" -> ((s, dir) => {
+      val panel = supplierPanel(s, dir)
+        .withColumn("secType",
+          when(col("sid") % 3 === 0, "CASH")
+            .when(col("sid") % 3 === 1, "STK").otherwise("FUT"))
+        .withColumn("priceMagnifier", when(col("sid") % 3 === 2, 100.0).otherwise(1.0))
+        .withColumn("multiplier", when(col("sid") % 3 === 2, 50.0).otherwise(1.0))
+      panel.select(col("sid"), col("date"),
+        graft.costs.ContractValues.contractValue(
+          col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+          .as("contract_value"))
+    }),
+
+    // ---- D12: per-(secType,exchange,currency) commission dispatch ----
+    "d12_commission_dispatch" -> ((s, dir) => {
+      object DispatchStrategy extends Strategy {
+        val code = "demo-dispatch"
+        override def keys: Keys = liKeys
+        override def commissionBySecGroup =
+          Map[(String, String, String), graft.costs.CommissionModel](
+            ("STK", "X", "USD") -> PercentageCommission(brokerCommissionRate = 0.001),
+            ("FUT", "X", "USD") -> graft.costs.FuturesCommission(
+              brokerCommissionPerContract = 2.03),
+            ("CASH", "X", "USD") -> graft.costs.CommissionModel.spotFX)
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+      }
+      val master = t(s, dir, "supplier").select(
+        col("s_suppkey").as("sid"),
+        when(col("s_suppkey") % 3 === 0, "CASH")
+          .when(col("s_suppkey") % 3 === 1, "STK").otherwise("FUT").as("secType"),
+        lit("X").as("exchange"),
+        lit("USD").as("currency"),
+        when(col("s_suppkey") % 3 === 2, 100.0).otherwise(1.0).as("priceMagnifier"),
+        when(col("s_suppkey") % 3 === 2, 50.0).otherwise(1.0).as("multiplier"))
+      Backtest.run(DispatchStrategy, supplierPanel(s, dir), Some(master))
+        .where(col("field") === "Commission")
+    }),
+
+    // ---- W8: resample to monthly bars ----
+    "w8_resample" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"),
+          to_date(date_trunc("month", col("l_shipdate"))).as("month"))
+        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+          count(lit(1)).as("n_bars"))
+    }),
+
+    // ---- D20/W10: latest bar strictly before the trade time ----
+    "d20_latest_before" -> ((s, dir) => {
+      events(s, dir)
+        .where(date_format(col("ts"), "HH:mm:ss") < "12:00:00")
+        .groupBy("user_id", "day")
+        .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+          max_by(cents(col("value")), col("ts")).as("last_cents"))
+    }),
+
+    // ---- densify + ffill: complete the sid×date grid ----
+    "r7_densify" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir).where(col("sid") <= 5)
+      Panel.densifyFfill(panel, "close")
+        .select("sid", "date", "close")
+    }),
+
+    // ---- A2: per-date long/short cross-sectional totals ----
+    "a2_long_short_sums" -> ((s, dir) => {
+      val sig = supplierPanel(s, dir)
+        .withColumn("w", when(col("close") < 30000, 1.0).otherwise(-1.0))
+      sig.groupBy("date").agg(
+        sum(when(col("w") > 0, col("w")).otherwise(0.0)).cast("long").as("long_total"),
+        sum(when(col("w") < 0, -col("w")).otherwise(0.0)).cast("long").as("short_total"))
+    }),
+
     // ---- M1/M2: feature assembly + linear model prediction ----
     "ml1_linear_model" -> ((s, dir) => {
       implicit val k: Keys = liKeys

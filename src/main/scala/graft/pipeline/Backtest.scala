@@ -93,6 +93,12 @@ object Backtest {
       keyCols.map(col) ++ measures.map { case (n, c) => c.as(n) }: _*)
     var results = Panel.meltFields(projected, keyCols, measures.map(_._1))
 
+    // D19 Benchmark field (base.py:1379-1380 → 1402-1500): the benchmark
+    // sid's closes reindexed to the full date grid, ffilled, pct_changed.
+    strategy.benchmarkSid.foreach { bs =>
+      results = results.unionByName(benchmarkReturns(strategy, prices, bs))
+    }
+
     // label sids as Symbol(Sid) (base.py:1390-1393)
     if (cfg.labelSids && master.isDefined) {
       val labels = master.get
@@ -106,6 +112,32 @@ object Backtest {
     // truncate at requested start date (base.py:1395-1398) — a plain
     // filter, so Catalyst prunes date partitions under it.
     cfg.startDate.fold(results)(s => results.where(col(k.dateCol) >= lit(s)))
+  }
+
+  /** D19 (base.py:1402-1500): benchmark return series as long rows
+    * `(field=Benchmark, sid=benchmarkSid, date[, time], value)`. The
+    * single-series ffill/pct_change runs unpartitioned — the series is
+    * one row per date, tiny by construction (a driver-side scalar-like
+    * frame, matching the reference's single benchmark column). */
+  private def benchmarkReturns(
+      strategy: Strategy,
+      prices: DataFrame,
+      benchmarkSid: String)(implicit k: Keys): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = prices.select(k.order.map(col): _*).distinct()
+    val closes = prices
+      .where(col(k.sid) === benchmarkSid)
+      .select(k.order.map(col) :+ col("close").as("__bc"): _*)
+    val w = Window.orderBy(k.order.map(col): _*)
+    val filled = grid.join(closes, k.order, "left")
+      .withColumn("__bc",
+        last(col("__bc"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    filled
+      .withColumn("value", col("__bc") / lag(col("__bc"), 1).over(w) - 1.0)
+      .select(
+        lit(benchmarkSid).as(k.sid) +: k.order.map(col) :+
+          lit(graft.model.Fields.benchmark).as("field") :+ col("value"): _*)
   }
 
   /** D8-D12 (base.py:839-901): single model, or per-(secType, exchange,

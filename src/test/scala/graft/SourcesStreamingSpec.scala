@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Sources
+
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("price scan pushes date/sid predicates and prunes columns (S1)") {
+    // write a small price panel and scan it back with pushdown params
+    val dir = Files.createTempDirectory("graft-prices").toString
+    Seq(
+      ("A", "2024-01-01", 1.0, 10.0), ("A", "2024-02-01", 2.0, 20.0),
+      ("B", "2024-01-01", 3.0, 30.0))
+      .toDF("sid", "date", "close", "volume")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(dir)
+    val q = Sources.PriceQuery(
+      startDate = Some("2024-01-01"), endDate = Some("2024-01-31"),
+      sids = Seq("A"), fields = Seq("close"))
+    val df = Sources.prices(spark, dir, q)
+    assert(df.columns.toSeq == Seq("sid", "date", "close")) // volume pruned
+    assert(df.count() == 1) // date + sid predicates applied
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+  }
+
+  test("ResultCache: computes once, reuses until a dependency is newer (S7)") {
+    val cacheDir = Files.createTempDirectory("graft-cache").toString
+    val cache = new Sources.ResultCache(spark, cacheDir)
+    var computes = 0
+    def compute = {
+      computes += 1
+      Seq((1, "a"), (2, "b")).toDF("id", "v")
+    }
+    val first = cache.getOrCompute("test-key")(compute)
+    assert(first.count() == 2 && computes == 1)
+    val second = cache.getOrCompute("test-key")(compute)
+    assert(second.count() == 2 && computes == 1) // cache hit, no recompute
+
+    // a dependency file newer than the cache invalidates it
+    val dep = Files.createTempFile("graft-dep", ".txt")
+    Files.writeString(dep, "x")
+    val third = cache.getOrCompute("test-key", dependsOn = Seq(dep.toString))(compute)
+    assert(third.count() == 2 && computes == 2)
+  }
+
+  test("structured streaming: hourly windowed aggregation matches batch (§2.10 extra)") {
+    // stream the events table with Trigger.AvailableNow into memory
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val streamed = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    def hourly(df: org.apache.spark.sql.DataFrame) = {
+      val ts = timestamp_micros((col("ts") / 1000).cast("long"))
+      df.withColumn("__ts", ts)
+        .withWatermark("__ts", "1 hour")
+        .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val qname = "ev_stream_out"
+    val q = hourly(streamed).writeStream
+      .outputMode("complete")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamCount = spark.sql(s"SELECT sum(n) FROM $qname").head.getLong(0)
+    assert(streamCount == raw.count())
+    val batchGroups = hourly(raw).count()
+    assert(spark.table(qname).count() == batchGroups)
+  }
+}
