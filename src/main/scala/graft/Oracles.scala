@@ -271,6 +271,120 @@ object Oracles {
         |       "orderRef", "totalQuantity", CAST(NULL AS VARCHAR), "orderId"
         |FROM parents""".stripMargin,
 
+    "d3_fixed_capped" ->
+      s"""WITH $panelCte,
+         |sig AS (SELECT sid, date, CAST(close < 30000 AS INT) AS signal FROM panel),
+         |f AS (SELECT sid, date, signal, signal * 0.25 AS fixed FROM sig),
+         |s2 AS (
+         |  SELECT *, sum(abs(fixed)) OVER (PARTITION BY date) AS fsum,
+         |         sum(abs(signal)) OVER (PARTITION BY date) AS scount
+         |  FROM f)
+         |SELECT sid, date, fixed AS fixed_weight,
+         |  CASE WHEN fsum > 1.0
+         |       THEN CAST(signal AS DOUBLE) /
+         |            (CASE WHEN scount <> 0 THEN scount ELSE 1 END)
+         |       ELSE fixed END AS capped_weight
+         |FROM s2""".stripMargin,
+
+    "d4_market_neutral" ->
+      s"""WITH $panelCte,
+         |sig AS (
+         |  SELECT sid, date, CASE WHEN close < 30000 THEN 1.0 ELSE -1.0 END AS sg
+         |  FROM panel),
+         |sides AS (
+         |  SELECT sid, date, CASE WHEN sg > 0 THEN sg ELSE 0 END AS ls,
+         |         CASE WHEN sg < 0 THEN sg ELSE 0 END AS ss FROM sig),
+         |sums AS (
+         |  SELECT *,
+         |    sum(abs(ls * 0.25)) OVER (PARTITION BY date) AS fl,
+         |    sum(abs(ls)) OVER (PARTITION BY date) AS nl,
+         |    sum(abs(ss * 0.25)) OVER (PARTITION BY date) AS fs,
+         |    sum(abs(ss)) OVER (PARTITION BY date) AS ns
+         |  FROM sides),
+         |capped AS (
+         |  SELECT sid, date,
+         |    CASE WHEN fl > 0.5
+         |         THEN ls / (CASE WHEN nl <> 0 THEN nl ELSE 1 END) * 0.5
+         |         ELSE ls * 0.25 END AS lw,
+         |    CASE WHEN fs > 0.5
+         |         THEN ss / (CASE WHEN ns <> 0 THEN ns ELSE 1 END) * 0.5
+         |         ELSE ss * 0.25 END AS sw
+         |  FROM sums),
+         |comb AS (SELECT sid, date, CASE WHEN lw > 0 THEN lw ELSE sw END AS w FROM capped),
+         |tot AS (
+         |  SELECT *,
+         |    sum(CASE WHEN w > 0 THEN w ELSE 0 END) OVER (PARTITION BY date) AS tl,
+         |    sum(abs(CASE WHEN w < 0 THEN w ELSE 0 END)) OVER (PARTITION BY date) AS tsh
+         |  FROM comb),
+         |sides2 AS (
+         |  SELECT sid, date, CASE WHEN w > 0 THEN w ELSE 0 END AS lw2,
+         |         CASE WHEN w < 0 THEN w ELSE 0 END AS sw2, tl, tsh FROM tot),
+         |scaled AS (
+         |  SELECT sid, date,
+         |    CASE WHEN tl <= tsh THEN lw2
+         |         ELSE lw2 * tsh / (CASE WHEN tl = 0 THEN 1 ELSE tl END) END AS lsc,
+         |    CASE WHEN tsh <= tl THEN sw2
+         |         ELSE sw2 * tl / (CASE WHEN tsh = 0 THEN 1 ELSE tsh END) END AS ssc
+         |  FROM sides2)
+         |SELECT sid, date, CASE WHEN lsc > 0 THEN lsc ELSE ssc END AS weight
+         |FROM scaled""".stripMargin,
+
+    "trade_full" ->
+      s"""WITH $sigCte,
+         |lastd AS (SELECT max(date) AS d FROM panel),
+         |today AS (
+         |  SELECT sid, weight, close FROM wts JOIN lastd ON wts.date = lastd.d),
+         |mast AS (
+         |  SELECT sid, CASE WHEN sid % 4 = 0 THEN 'JPY' ELSE 'USD' END AS qc
+         |  FROM (SELECT DISTINCT sid FROM panel)),
+         |accounts AS (
+         |  SELECT * FROM (VALUES
+         |    ('U1', 0.6, 'USD', 1000000.0),
+         |    ('U2', 0.4, 'EUR', 500000.0)) AS t(account, allocation, bc, nlv)),
+         |rates AS (
+         |  SELECT * FROM (VALUES
+         |    ('USD', 'JPY', 110.0), ('EUR', 'USD', 1.1),
+         |    ('EUR', 'JPY', 121.0)) AS t(bc, qc, rate)),
+         |fanned AS (
+         |  SELECT today.sid, today.weight, today.close, m.qc,
+         |         a.account, a.allocation, a.bc, a.nlv
+         |  FROM today JOIN mast m ON today.sid = m.sid CROSS JOIN accounts a),
+         |withrate AS (
+         |  SELECT f.*, CASE WHEN f.bc = f.qc THEN 1.0 ELSE r.rate END AS rate
+         |  FROM fanned f LEFT JOIN rates r ON f.bc = r.bc AND f.qc = r.qc),
+         |targets AS (
+         |  SELECT sid, account,
+         |    coalesce(round(weight * allocation * nlv * rate /
+         |      abs(CASE WHEN close <> 0 THEN close END)), 0) AS tq
+         |  FROM withrate),
+         |pos AS (
+         |  SELECT s_suppkey AS sid, 'U1' AS account, round(s_acctbal / 100) AS q
+         |  FROM supplier WHERE s_suppkey % 5 = 0),
+         |oo AS (
+         |  SELECT s_suppkey AS sid, 'U2' AS account,
+         |    sum(CASE WHEN s_suppkey % 2 = 0 THEN round(s_acctbal / 200)
+         |             ELSE -round(s_acctbal / 200) END) AS rem
+         |  FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1, 2),
+         |held AS (
+         |  SELECT coalesce(pos.sid, oo.sid) AS sid,
+         |         coalesce(pos.account, oo.account) AS account,
+         |         coalesce(q, 0) + coalesce(rem, 0) AS quantity
+         |  FROM pos FULL OUTER JOIN oo ON pos.sid = oo.sid AND pos.account = oo.account),
+         |net AS (
+         |  SELECT t.sid, t.account, coalesce(h.quantity, 0) AS held, t.tq,
+         |         t.tq - coalesce(h.quantity, 0) AS nq
+         |  FROM targets t LEFT JOIN held h
+         |    ON t.sid = h.sid AND t.account = h.account),
+         |gated AS (
+         |  SELECT sid, account,
+         |    CASE WHEN ((tq > 0 AND held > 0) OR (tq < 0 AND held < 0))
+         |              AND abs(nq / held) < 0.25
+         |         THEN 0 ELSE nq END AS nq
+         |  FROM net)
+         |SELECT sid, account, CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+         |       'demo' AS "orderRef", abs(nq) AS "totalQuantity"
+         |FROM gated WHERE nq <> 0""".stripMargin,
+
     "d19_benchmark" ->
       s"""WITH $panelCte,
          |dates AS (SELECT DISTINCT date FROM panel),

@@ -376,6 +376,66 @@ object Queries {
         .unionByName(children.withColumn("orderId", lit(null).cast("string")))
     }),
 
+    // ---- D2/D3: fixed and fixed-capped weight allocation ----
+    "d3_fixed_capped" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sig = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+      // 0.25 is exactly representable: per-date sums are order-independent
+      sig.select(col("sid"), col("date"),
+        Weights.fixedWeights(col("signal"), 0.25).as("fixed_weight"),
+        Weights.fixedWeightsCapped(col("signal"), 0.25, cap = 1.0).as("capped_weight"))
+    }),
+
+    // ---- D4: market-neutral fixed weights, capped per side ----
+    "d4_market_neutral" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sig = supplierPanel(s, dir)
+        .withColumn("signal",
+          when(col("close") < 30000, 1.0).otherwise(-1.0))
+      sig.select(col("sid"), col("date"),
+        Weights.marketNeutralFixedWeightsCapped(col("signal"), 0.25, cap = 1.0)
+          .as("weight"))
+    }),
+
+    // ---- §3.2 full trade lifecycle: weights → FX/NLV → net qty → orders ----
+    "trade_full" -> ((s, dir) => {
+      val master = t(s, dir, "supplier").select(
+        col("s_suppkey").as("sid"),
+        when(col("s_suppkey") % 4 === 0, "JPY").otherwise("USD").as("currency"),
+        lit("STK").as("secType"),
+        lit(1.0).as("priceMagnifier"),
+        lit(1.0).as("multiplier"))
+      val allocations = s.createDataFrame(Seq(
+        ("U1", 0.6), ("U2", 0.4))).toDF("account", "allocation")
+      val balances = s.createDataFrame(Seq(
+        ("U1", "USD", 1000000.0), ("U2", "EUR", 500000.0)))
+        .toDF("account", "currency", "netLiquidation")
+      val rates = s.createDataFrame(Seq(
+        ("USD", "JPY", 110.0), ("EUR", "USD", 1.1), ("EUR", "JPY", 121.0)))
+        .toDF("baseCurrency", "quoteCurrency", "rate")
+      val positions = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 5 === 0)
+        .select(col("s_suppkey").as("sid"), lit("U1").as("account"),
+          round(col("s_acctbal") / 100).as("quantity"))
+      val openOrders = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey").as("sid"), lit("U2").as("account"),
+          lit("demo").as("orderRef"), round(col("s_acctbal") / 200).as("remaining"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"))
+
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+      val lastDay = panel.agg(max(col("date"))).head.getDate(0).toString
+      val today = Trade.todayWeights(panel, lastDay)
+      val targets = Trade.targetQuantities(today, master, allocations, balances, rates)
+      val held = Trade.positionsAndOrders(positions, openOrders)
+      val net = Trade.netQuantities(targets, held, Trade.RebalanceThreshold(0.25))
+      Trade.orderStubs(net, "demo")
+    }),
+
     // ---- D19: benchmark return series (ffill + pct_change) ----
     "d19_benchmark" -> ((s, dir) => {
       object BenchmarkedStrategy extends Strategy {
