@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd native dot product ([[graft.functions.DotProduct]]) —
+    * bit-identical to the HOF formulation
+    * `aggregate(zip_with(a,b,_*_), 0d, _+_)` (same sequential double
+    * accumulation; equivalence asserted in DedupSimSpec), ~6× faster
+    * because higher-order functions evaluate interpreted. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotNative(a, b)
+
+  /** The pure-builtin formulation, kept as the portability reference. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -75,6 +75,15 @@ class DedupSimSpec extends SparkSpec {
     (5L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
     .toDF("vec_id", "embedding")
 
+  test("native DotProduct expression is bit-identical to the HOF formulation") {
+    val diff = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(sum(abs(
+        Similarity.dot($"a.embedding", $"b.embedding") -
+          Similarity.dotHof($"a.embedding", $"b.embedding"))).as("d"))
+      .head.getDouble(0)
+    assert(diff == 0.0)
+  }
+
   test("cosine: identical = 1, orthogonal = 0, opposite = −1") {
     val c = vecs.as("a").crossJoin(vecs.as("b"))
       .where($"a.vec_id" === 1 && $"b.vec_id".isin(2, 3, 4))
