@@ -26,11 +26,30 @@ object Sources {
       times: Seq[String] = Nil, // times-of-day filter, base.py:1249
       lookbackBars: Int = 0) // W7 widening — see widenedStart
 
+  /** W7 lookback planner (reference base.py:1146-1181): the scan start is
+    * widened backward so the first tradeable date has `lookbackBars` bars
+    * of history; results are truncated back at the requested start
+    * (`Backtest.Config.startDate`). Trading-day → calendar-day conversion
+    * assumes 260 weekdays − 25 holidays per year, plus a window-scaled
+    * buffer — the reference's exact constants. */
+  def widenedStart(startDate: String, lookbackBars: Int): String = {
+    if (lookbackBars <= 0) return startDate
+    val daysPerYear = 365.0
+    val tradingDaysPerYear = 260.0 - 25.0
+    val buffer =
+      if (lookbackBars == 0) 0
+      else if (lookbackBars <= 5) 2
+      else 10
+    val back = math.ceil(lookbackBars * daysPerYear / tradingDaysPerYear).toLong + buffer
+    java.time.LocalDate.parse(startDate).minusDays(back).toString
+  }
+
   /** S1: long/field-pivoted price panel scan with pushdown. All filters are
     * plain Column predicates → pushed to the parquet reader. */
   def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame = {
     var df = spark.read.parquet(path)
-    q.startDate.foreach(s => df = df.where(col("date") >= lit(s)))
+    q.startDate.foreach(s =>
+      df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
     q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))
     if (q.sids.nonEmpty) df = df.where(col("sid").isin(q.sids: _*))
     if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))

@@ -31,6 +31,16 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"))
   }
 
+  test("lookback widening converts trading days to calendar days + buffer (W7)") {
+    // reference constants (base.py:1146-1181): 365/235 conversion
+    assert(Sources.widenedStart("2024-06-01", 0) == "2024-06-01")
+    // 5 bars → ceil(5×365/235)=8 + 2 buffer = 10 days
+    assert(Sources.widenedStart("2024-06-01", 5) == "2024-05-22")
+    // 252 bars → ceil(252×365/235)=392 + 10 buffer = 402 days
+    assert(Sources.widenedStart("2024-06-01", 252) ==
+      java.time.LocalDate.parse("2024-06-01").minusDays(402).toString)
+  }
+
   test("ResultCache: computes once, reuses until a dependency is newer (S7)") {
     val cacheDir = Files.createTempDirectory("graft-cache").toString
     val cache = new Sources.ResultCache(spark, cacheDir)
