@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Backtest, Strategy}
+
+/** Backtest-pipeline scale bench (BASELINE.md): deterministic synthetic
+  * panels of N sids × T days through the full default §3.1 pipeline.
+  * Panel generated distributed (spark.range cross join) — no driver
+  * materialization; closes are a deterministic function of (sid, day).
+  */
+object PanelBench {
+  object Momentum extends Strategy {
+    val code = "bench"
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", (col("close") % 7 < 3).cast("int"))
+  }
+
+  def panel(spark: SparkSession, sids: Int, days: Int): DataFrame = {
+    val s = spark.range(sids).select(col("id").as("sidn"))
+    val d = spark.range(days).select(col("id").as("dayn"))
+    s.crossJoin(d)
+      .select(
+        concat(lit("S"), col("sidn")).as("sid"),
+        date_add(lit(java.sql.Date.valueOf("2015-01-01")), col("dayn").cast("int")).as("date"),
+        // deterministic pseudo-price in [10, 110)
+        (pmod(col("sidn") * 31 + col("dayn") * 17, lit(100)) + 10.0).as("close"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shapes = Seq((1000, 1000), (10000, 2500))
+    shapes.foreach { case (sids, days) =>
+      val p = panel(spark, sids, days)
+      // warm the generation path
+      p.count()
+      val t0 = System.nanoTime()
+      val n = Backtest.run(Momentum, p).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rows = sids.toLong * days
+      println(f"[panelbench] ${sids}sids x ${days}d (${rows / 1000000.0}%.1fM bars) -> " +
+        f"$n results rows in $secs%.1f s (${rows / secs / 1e6}%.1f M bars/s)")
+    }
+    spark.stop()
+  }
+}
