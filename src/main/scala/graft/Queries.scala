@@ -31,7 +31,8 @@ object Queries {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events as a panel: sid=user_id, ordered by (ts, event_id). */
-  private val evKeys = Keys(sid = "user_id", order = Seq("ts", "event_id"), dateCol = "day")
+  private val evKeys = Keys(sid = "user_id", order = Seq("ts", "event_id"),
+    dateCol = "day", slot = Seq("day"))
   /** lineitem daily panel: sid=l_suppkey, one row per (sid, date). */
   private val liKeys = Keys(sid = "sid", order = Seq("date"), dateCol = "date")
 

@@ -30,10 +30,16 @@ object Panel {
   final case class Keys(
       sid: String = "sid",
       order: Seq[String] = Seq("date"),
-      dateCol: String = "date") {
+      dateCol: String = "date",
+      slot: Seq[String] = Nil) {
+    /** Cross-sectional slot key: (date) at EOD grain, (date, time) at
+      * intraday grain (pandas axis=1 ops are per ROW of the wide frame).
+      * Defaults to the order cols; override when the ordering key is
+      * finer than the slot (e.g. tiebreakers like event ids). */
+    def slotCols: Seq[String] = if (slot.nonEmpty) slot else order
     def bySid: WindowSpec =
       Window.partitionBy(sid).orderBy(order.map(col): _*)
-    def byDate: WindowSpec = Window.partitionBy(dateCol)
+    def byDate: WindowSpec = Window.partitionBy(slotCols.map(col): _*)
     def cumFrame: WindowSpec =
       bySid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def rollingFrame(n: Int): WindowSpec =
