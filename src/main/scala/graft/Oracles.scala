@@ -490,6 +490,43 @@ object Oracles {
          |  FROM f)
          |SELECT sid, date, prediction, CAST(prediction > 0 AS INT) AS signal FROM p""".stripMargin,
 
+    "intraday_pipeline" ->
+      s"""WITH panel AS (
+         |  SELECT user_id AS sid, CAST(ts AS DATE) AS date, strftime(ts, '%H') AS time,
+         |         CAST(max(${c("value")}) AS DOUBLE) AS close
+         |  FROM events GROUP BY 1, 2, 3),
+         |sig AS (
+         |  SELECT sid, date, time, close,
+         |         CASE WHEN close <= 5000 THEN 1 ELSE -1 END AS signal FROM panel),
+         |wts AS (
+         |  SELECT *, CAST(signal AS DOUBLE) /
+         |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date, time) <> 0
+         |          THEN sum(abs(signal)) OVER (PARTITION BY date, time) ELSE 1 END) AS weight
+         |  FROM sig),
+         |pos AS (
+         |  SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date, time) AS position
+         |  FROM wts),
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date, time) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date, time) AS gross
+         |  FROM pos),
+         |trn AS (
+         |  SELECT *, abs(coalesce(position, 0) -
+         |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date, time)) AS turnover
+         |  FROM gro),
+         |m AS (SELECT sid, date, time, signal, weight, position, gross, turnover FROM trn)
+         |SELECT sid, date, time, 'AbsExposure' AS field, abs(position) AS value FROM m
+         |UNION ALL SELECT sid, date, time, 'AbsWeight', abs(weight) FROM m
+         |UNION ALL SELECT sid, date, time, 'Commission', 0.0 FROM m
+         |UNION ALL SELECT sid, date, time, 'NetExposure', position FROM m
+         |UNION ALL SELECT sid, date, time, 'Return', coalesce(gross, 0.0) FROM m
+         |UNION ALL SELECT sid, date, time, 'Signal', CAST(signal AS DOUBLE) FROM m
+         |UNION ALL SELECT sid, date, time, 'Slippage', 0.0 FROM m
+         |UNION ALL SELECT sid, date, time, 'TotalHoldings',
+         |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
+         |UNION ALL SELECT sid, date, time, 'Turnover', turnover FROM m
+         |UNION ALL SELECT sid, date, time, 'Weight', weight FROM m""".stripMargin,
+
     "backtest_pipeline" ->
       s"""WITH $turnoverCte,
          |gro AS (

@@ -555,6 +555,24 @@ object Queries {
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))
+    }),
+
+    // ---- continuous-intraday pipeline at (day, hour) grain ----
+    "intraday_pipeline" -> ((s, dir) => {
+      object EventIntraday extends Strategy {
+        val code = "ev-intraday"
+        override def keys: Keys =
+          Keys(sid = "sid", order = Seq("date", "time"), dateCol = "date")
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal",
+            when(col("close") <= 5000, 1).otherwise(-1))
+      }
+      // hourly "bars" per user: close = max value-cents in the hour
+      val panel = events(s, dir)
+        .groupBy(col("user_id").as("sid"), col("day").as("date"),
+          date_format(col("ts"), "HH").as("time"))
+        .agg(max(cents(col("value"))).cast("double").as("close"))
+      Backtest.run(EventIntraday, panel)
     })
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.costs.{CommissionModel, PercentageCommission}
+import graft.pipeline.{Backtest, Strategy}
+
+/** The reference's EOD commission-with-NLV golden test
+  * (_tests/test_commissions.py:487-726): 1 bps percentage commission with
+  * a 500 min commission against NLV 50,000 — the floor binds at
+  * 500/50000 = 0.01 whenever any turnover occurs.
+  */
+class CommissionGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  object BuyBelow10ShortAbove10 extends Strategy {
+    val code = "long-short"
+    override def commissionModel: Option[CommissionModel] = Some(
+      PercentageCommission(brokerCommissionRate = 0.0001, minCommission = 500))
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", when(col("close") <= 10, 1).otherwise(-1))
+  }
+
+  private lazy val prices = Seq(
+    ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+    ("FI12345", "2018-05-03", 10.50), ("FI12345", "2018-05-04", 9.99),
+    ("FI23456", "2018-05-01", 9.89), ("FI23456", "2018-05-02", 11.00),
+    ("FI23456", "2018-05-03", 8.50), ("FI23456", "2018-05-04", 10.50))
+    .toDF("sid", "date", "close")
+    .withColumn("date", to_date($"date"))
+
+  private lazy val results: Map[(String, String, String), Option[Double]] =
+    Backtest.run(BuyBelow10ShortAbove10, prices,
+      cfg = Backtest.Config(nlv = Some(50000.0)))
+      .collect()
+      .map { r =>
+        (r.getAs[String]("field"), r.getAs[String]("sid"),
+          r.getAs[java.sql.Date]("date").toString) ->
+          Option(r.getAs[java.lang.Double]("value")).map(v => r7(v.toDouble))
+      }.toMap
+
+  private val dates = Seq("2018-05-01", "2018-05-02", "2018-05-03", "2018-05-04")
+
+  private def check(field: String, sid: String, expected: Seq[Option[Double]]): Unit =
+    assert(dates.map(d => results((field, sid, d))) == expected,
+      s"$field/$sid: got ${dates.map(d => results((field, sid, d)))}")
+
+  test("Commission: min floor binds on turnover days (test_commissions.py:688-706)") {
+    check("Commission", "FI12345", Seq(None, Some(0.01), Some(0.01), Some(0.0)))
+    check("Commission", "FI23456", Seq(None, Some(0.01), Some(0.01), Some(0.01)))
+  }
+
+  test("Return: gross − floored commissions (test_commissions.py:708-726)") {
+    check("Return", "FI12345",
+      Seq(None, Some(-0.01), Some(-0.0327273), Some(0.0242857)))
+    check("Return", "FI23456",
+      Seq(None, Some(-0.01), Some(-0.1236364), Some(-0.1276471)))
+  }
+
+  test("Signal: long below 10, short above (test_commissions.py:585-599)") {
+    check("Signal", "FI12345", Seq(Some(1.0), Some(-1.0), Some(-1.0), Some(1.0)))
+    check("Signal", "FI23456", Seq(Some(1.0), Some(-1.0), Some(1.0), Some(-1.0)))
+  }
+}
