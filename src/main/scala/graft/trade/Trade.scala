@@ -26,6 +26,24 @@ object Trade {
   case object NoRebalance extends Rebalance
   final case class RebalanceThreshold(minPct: Double) extends Rebalance
 
+  /** D20 date resolution (reference base.py:716-837): the signal date is
+    * the review date when given, else "today" in the strategy timezone;
+    * the trade time is that moment's "HH:mm:ss" (lexical, matching the
+    * reference's string time comparisons). The reference's exchange-
+    * calendar service variant is out of scope (SURVEY §7.5) — calendar
+    * closures surface as the staleness error below instead. */
+  def resolveSignalDateTime(
+      timezone: String,
+      reviewDate: Option[String] = None,
+      now: () => java.time.Instant = () => java.time.Instant.now()): (String, String) =
+    reviewDate match {
+      case Some(d) => (d, "23:59:59") // review date: end-of-day semantics
+      case None =>
+        val zoned = now().atZone(java.time.ZoneId.of(timezone))
+        (zoned.toLocalDate.toString,
+          zoned.toLocalTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
+    }
+
   /** D20: slice the weights panel at the signal date (and latest
     * time ≤ tradeTime when intraday — reference base.py:794-795 picks
     * `max(times < trade_time)` lexically). Staleness validation

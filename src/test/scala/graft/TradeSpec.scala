@@ -76,6 +76,28 @@ class TradeSpec extends SparkSpec {
     assert(out(2) == 80.0) // Jan 10 → Jan 08 value
   }
 
+  test("resolveSignalDateTime: review date wins, else now in strategy tz (D20)") {
+    assert(Trade.resolveSignalDateTime("America/New_York", Some("2024-03-15")) ==
+      ("2024-03-15", "23:59:59"))
+    // 2024-06-01T18:30:00Z = 14:30 in New York, 03:30 next day in Tokyo
+    val fixed = () => java.time.Instant.parse("2024-06-01T18:30:00Z")
+    assert(Trade.resolveSignalDateTime("America/New_York", None, fixed) ==
+      ("2024-06-01", "14:30:00"))
+    assert(Trade.resolveSignalDateTime("Asia/Tokyo", None, fixed) ==
+      ("2024-06-02", "03:30:00"))
+  }
+
+  test("requireFresh raises a staleness error naming max date (base.py:777-784)") {
+    implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+    val panel = Seq(("A", "2024-01-02", 1.0)).toDF("sid", "date", "value")
+      .withColumn("date", to_date($"date"))
+    Trade.requireFresh(panel, "2024-01-02") // ok
+    val err = intercept[IllegalArgumentException] {
+      Trade.requireFresh(panel, "2024-01-05")
+    }
+    assert(err.getMessage.contains("2024-01-05") && err.getMessage.contains("stale"))
+  }
+
   test("targetQuantities: weights × alloc × NLV × FX ÷ contract value (D21)") {
     val weights = Seq(("S1", 0.5, 100.0)).toDF("sid", "weight", "close")
     val master = Seq(("S1", "JPY", "STK", 1.0, 1.0))
