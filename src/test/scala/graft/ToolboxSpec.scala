@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+import graft.sim.Similarity
+
+/** Coverage for the remaining library toolbox: backward fill, rolling
+  * min/max/std, cumulative product, exact-dup projection, media metadata,
+  * IVF cell assignment, euclidean distance. */
+class ToolboxSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit val k: Keys = Panel.eod
+
+  private lazy val series = Seq(
+    ("A", "2024-01-01", Some(2.0)), ("A", "2024-01-02", None),
+    ("A", "2024-01-03", Some(8.0)), ("A", "2024-01-04", Some(4.0)))
+    .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+
+  private def byDate(c: org.apache.spark.sql.Column): Map[String, Option[Double]] =
+    series.select($"date", c.as("out")).collect()
+      .map(r => r.getDate(0).toString ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+  test("bfill pulls the next non-null backward") {
+    val out = byDate(Panel.bfill($"value"))
+    assert(out("2024-01-02").contains(8.0))
+    assert(out("2024-01-01").contains(2.0))
+  }
+
+  test("rollingMin/Max/Std over full frames only") {
+    assert(byDate(Panel.rollingMax($"value", 2))("2024-01-04").contains(8.0))
+    assert(byDate(Panel.rollingMin($"value", 2))("2024-01-04").contains(4.0))
+    // std of (8,4), ddof=1 → sqrt(8) ≈ 2.8284271
+    assert(byDate(Panel.rollingStd($"value", 2))("2024-01-04").map(r7).contains(2.8284271))
+    // frame containing the null has only 1 obs → null
+    assert(byDate(Panel.rollingMax($"value", 2))("2024-01-03").isEmpty)
+  }
+
+  test("cumProd compounds via sum-of-logs") {
+    val out = byDate(Panel.cumProd(coalesce($"value", lit(1.0))))
+    assert(out("2024-01-04").map(r7).contains(64.0)) // 2×1×8×4
+  }
+
+  test("dropExactDuplicates keeps the lowest id per content") {
+    val docs = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropExactDuplicates(docs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("withMediaMeta computes byte length, format, content hash") {
+    val media = Seq((1L, "hello")).toDF("media_id", "text")
+      .withColumn("payload", concat(unhex(lit("89504E47")), encode($"text", "UTF-8")))
+    val row = Multimodal.withMediaMeta(media).head
+    assert(row.getAs[Long]("byte_len") == 9) // 4 magic + 5 text bytes
+    assert(row.getAs[String]("format") == "png")
+    assert(row.getAs[String]("content_md5").length == 32)
+  }
+
+  test("assignCells routes vectors to the nearest centroid (IVF)") {
+    val vectors = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)), (3L, Array(1.1f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell_id", "centroid")
+    val cells = Similarity.assignCells(vectors, centroids, "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell_id")).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("euclidean distance") {
+    val d = Seq((Array(0.0f, 3.0f), Array(4.0f, 0.0f))).toDF("a", "b")
+      .select(Similarity.euclidean($"a", $"b")).head.getDouble(0)
+    assert(d == 5.0)
+  }
+}
