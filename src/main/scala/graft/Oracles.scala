@@ -183,6 +183,11 @@ object Oracles {
 
     "a7_distinct" -> "SELECT DISTINCT event_type FROM events",
 
+    "a5_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "ev_hourly_agg" ->
       s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
          |  count(*) AS n, CAST(sum(${c("value")}) AS BIGINT) AS sum_cents

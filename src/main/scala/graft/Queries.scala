@@ -263,6 +263,13 @@ object Queries {
     "a7_distinct" -> ((s, dir) =>
       events(s, dir).select("event_type").distinct()),
 
+    // ---- distinct aggregation (expand + two-phase agg path) ----
+    "a5_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
     // ---- tumbling-window time aggregation (streaming-equivalent batch) ----
     "ev_hourly_agg" -> ((s, dir) => {
       events(s, dir)
