@@ -1,0 +1,14 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Replicates the driver's entry smoke: vanilla session, rows > 0. */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows: $n")
+    assert(n > 0)
+    spark.stop()
+  }
+}
