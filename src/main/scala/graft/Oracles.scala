@@ -216,7 +216,7 @@ object Oracles {
          |    CASE WHEN tsh <= tl THEN sw
          |         ELSE sw * tl / (CASE WHEN tsh = 0 THEN 1 ELSE tsh END) END AS ssc
          |  FROM sides)
-         |SELECT sid, date, CASE WHEN lsc > 0 THEN lsc ELSE ssc END AS weight FROM scaled""".stripMargin,
+         |SELECT sid, date, (CASE WHEN lsc > 0 THEN lsc ELSE ssc END) + 0.0 AS weight FROM scaled""".stripMargin,
 
     "d6_turnover" ->
       s"""WITH $turnoverCte
@@ -331,7 +331,7 @@ object Oracles {
          |    CASE WHEN tsh <= tl THEN sw2
          |         ELSE sw2 * tl / (CASE WHEN tsh = 0 THEN 1 ELSE tsh END) END AS ssc
          |  FROM sides2)
-         |SELECT sid, date, CASE WHEN lsc > 0 THEN lsc ELSE ssc END AS weight
+         |SELECT sid, date, (CASE WHEN lsc > 0 THEN lsc ELSE ssc END) + 0.0 AS weight
          |FROM scaled""".stripMargin,
 
     "trade_full" ->

@@ -67,6 +67,9 @@ object Weights {
       when(totalLong <= totalShort, longW).otherwise(longW * totalShort / longDenom)
     val shortScaled =
       when(totalShort <= totalLong, shortW).otherwise(shortW * totalLong / shortDenom)
-    when(longScaled > 0, longScaled).otherwise(shortScaled)
+    // + 0.0 normalizes IEEE −0.0 (a date with zero longs scales the short
+    // side by totalLong=0.0, giving −1.0·0.0 = −0.0) to +0.0 so results
+    // hash-match decimal engines; a no-op for every other value.
+    when(longScaled > 0, longScaled).otherwise(shortScaled) + lit(0.0)
   }
 }

@@ -38,7 +38,7 @@ object Features {
       implicit k: Keys): DataFrame =
     lags.foldLeft(df) { (d, n) =>
       d.withColumn(s"return_${n}d",
-        col(closeCol) / Panel.lagBySid(col(closeCol), n) - 1.0)
+        Panel.ieeeDiv(col(closeCol), Panel.lagBySid(col(closeCol), n)) - 1.0)
     }
 }
 

@@ -134,7 +134,8 @@ object Backtest {
         last(col("__bc"), ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     filled
-      .withColumn("value", col("__bc") / lag(col("__bc"), 1).over(w) - 1.0)
+      .withColumn("value",
+        graft.panel.Panel.ieeeDiv(col("__bc"), lag(col("__bc"), 1).over(w)) - 1.0)
       .select(
         lit(benchmarkSid).as(k.sid) +: k.order.map(col) :+
           lit(graft.model.Fields.benchmark).as("field") :+ col("value"): _*)

@@ -27,6 +27,10 @@ def normalize(rows):
             elif isinstance(v, float):
                 if math.isnan(v):
                     norm.append("NaN")
+                elif v == 0.0 and math.copysign(1.0, v) < 0:
+                    # the driver's hash distinguishes -0.0 from +0.0;
+                    # so must we (round-1 d5 lesson)
+                    norm.append("-0.0")
                 else:
                     norm.append(round(v, 9))
             elif isinstance(v, bool):
