@@ -16,9 +16,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      // Explicit ÷0 policy: expressions use Panel.ieeeDiv (±inf/NaN,
-      // matching pandas + DuckDB); ansi=false so any unguarded site
-      // degrades to null instead of aborting a cluster-wide job.
+      // Explicit ÷0 policy: expressions guard via Panel.safeDiv (null,
+      // matching DuckDB's plain division); ansi=false so any unguarded
+      // site degrades to null instead of aborting a cluster-wide job.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

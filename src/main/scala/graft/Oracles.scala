@@ -400,7 +400,7 @@ object Oracles {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
          |  FROM dates d LEFT JOIN bc ON d.date = bc.date)
          |SELECT '1' AS sid, date, 'Benchmark' AS field,
-         |       c / lag(c) OVER (ORDER BY date) - 1 AS value
+         |       coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS value
          |FROM f""".stripMargin,
 
     "d14_borrow_fees" ->
@@ -531,6 +531,117 @@ object Oracles {
          |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
          |UNION ALL SELECT sid, date, time, 'Turnover', turnover FROM m
          |UNION ALL SELECT sid, date, time, 'Weight', weight FROM m""".stripMargin,
+
+    "d19b_benchmark_db" ->
+      s"""WITH $panelCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bm AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS date, max(o_totalprice) AS close
+         |  FROM orders GROUP BY 1),
+         |f AS (
+         |  SELECT d.date,
+         |    last_value(bm.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bm ON d.date = bm.date)
+         |SELECT 'BM' AS sid, date, 'Benchmark' AS field,
+         |       coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS value
+         |FROM f""".stripMargin,
+
+    "d19i_benchmark_time" ->
+      s"""WITH ev AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS sid, CAST(ts AS DATE) AS date,
+         |         strftime(ts, '%H') AS time,
+         |         CAST(max(${c("value")}) AS DOUBLE) AS close
+         |  FROM events GROUP BY 1, 2, 3),
+         |dates AS (SELECT DISTINCT date FROM ev),
+         |bc AS (SELECT date, close FROM ev WHERE sid = '3' AND time = '12'),
+         |f AS (
+         |  SELECT d.date,
+         |    last_value(bc.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bc ON d.date = bc.date)
+         |SELECT '3' AS sid, date, 'Benchmark' AS field,
+         |       coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS value
+         |FROM f""".stripMargin,
+
+    "ml2_tree_proba" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  CAST(CASE WHEN NOT (close < 30000) THEN 0.9
+         |            WHEN NOT (close < 15000) THEN 0.3 ELSE 0.1 END AS DOUBLE)
+         |    AS prediction,
+         |  CAST((CASE WHEN NOT (close < 30000) THEN 0.9
+         |             WHEN NOT (close < 15000) THEN 0.3 ELSE 0.1 END) < 0.5 AS INT)
+         |    AS signal
+         |FROM panel""".stripMargin,
+
+    "d17_trade_limits" ->
+      s"""WITH $panelCte,
+         |sig AS (
+         |  SELECT sid, date, close,
+         |         CASE WHEN close < 30000 THEN 1 ELSE -1 END AS signal FROM panel),
+         |wts AS (
+         |  SELECT *, CAST(signal AS DOUBLE) /
+         |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date) <> 0
+         |          THEN sum(abs(signal)) OVER (PARTITION BY date) ELSE 1 END) AS weight
+         |  FROM sig),
+         |lastd AS (SELECT max(date) AS d FROM panel),
+         |today AS (
+         |  SELECT sid, weight, close FROM wts JOIN lastd ON wts.date = lastd.d),
+         |targets AS (
+         |  SELECT sid,
+         |    coalesce(round(weight * 1.0 * 1000000.0 * 1.0 /
+         |      abs(CASE WHEN close <> 0 THEN close END)), 0) AS tq
+         |  FROM today),
+         |lim AS (
+         |  SELECT DISTINCT sid, CAST(100 + (sid % 7) * 50 AS DOUBLE) AS mx FROM panel),
+         |clamped AS (
+         |  SELECT t.sid,
+         |    CASE WHEN tq > mx THEN mx WHEN tq < -mx THEN -mx ELSE tq END AS nq
+         |  FROM targets t JOIN lim ON t.sid = lim.sid)
+         |SELECT sid, 'U1' AS account,
+         |       CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+         |       'd17' AS "orderRef", abs(nq) AS "totalQuantity"
+         |FROM clamped WHERE nq <> 0""".stripMargin,
+
+    "s8_custom_fields" ->
+      s"""WITH panel AS (
+         |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+         |         max(l_extendedprice) AS close, count(*) AS n_trades
+         |  FROM lineitem GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT sid, date, close, n_trades,
+         |         CAST(close < 30000 AS INT) AS signal FROM panel),
+         |wts AS (
+         |  SELECT *, CAST(signal AS DOUBLE) /
+         |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date) <> 0
+         |          THEN sum(abs(signal)) OVER (PARTITION BY date) ELSE 1 END) AS weight
+         |  FROM sig),
+         |pos AS (
+         |  SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position FROM wts),
+         |trn AS (
+         |  SELECT *, abs(coalesce(position, 0) -
+         |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
+         |  FROM pos),
+         |m AS (
+         |  SELECT *,
+         |    (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |      lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross,
+         |    lag(close) OVER (PARTITION BY sid ORDER BY date) AS prev_close
+         |  FROM trn)
+         |SELECT sid, date, 'AbsExposure' AS field, abs(position) AS value FROM m
+         |UNION ALL SELECT sid, date, 'AbsWeight', abs(weight) FROM m
+         |UNION ALL SELECT sid, date, 'Commission', 0.0 FROM m
+         |UNION ALL SELECT sid, date, 'NetExposure', position FROM m
+         |UNION ALL SELECT sid, date, 'Return', coalesce(gross, 0.0) FROM m
+         |UNION ALL SELECT sid, date, 'Signal', CAST(signal AS DOUBLE) FROM m
+         |UNION ALL SELECT sid, date, 'Slippage', 0.0 FROM m
+         |UNION ALL SELECT sid, date, 'TotalHoldings',
+         |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
+         |UNION ALL SELECT sid, date, 'Turnover', turnover FROM m
+         |UNION ALL SELECT sid, date, 'Weight', weight FROM m
+         |UNION ALL SELECT sid, date, 'DollarVolume', close * n_trades FROM m
+         |UNION ALL SELECT sid, date, 'PrevClose', prev_close FROM m""".stripMargin,
 
     "backtest_pipeline" ->
       s"""WITH $turnoverCte,

@@ -559,9 +559,116 @@ object Queries {
           (col("prediction") > 0).cast("int").as("signal"))
     }),
 
+    // ---- D19: BENCHMARK_DB — benchmark from a separate EOD frame ----
+    "d19b_benchmark_db" -> ((s, dir) => {
+      val benchFrame = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(max(col("o_totalprice")).as("close"))
+        .withColumn("sid", lit("BM"))
+      object DbBench extends Strategy {
+        val code = "demo-bench-db"
+        override def keys: Keys = liKeys
+        override def benchmarkSid: Option[String] = Some("BM")
+        override def benchmarkPrices: Option[DataFrame] = Some(benchFrame)
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+      }
+      val panel = supplierPanel(s, dir).withColumn("sid", col("sid").cast("string"))
+      Backtest.run(DbBench, panel).where(col("field") === "Benchmark")
+    }),
+
+    // ---- D19: once-a-day intraday benchmark at BENCHMARK_TIME ----
+    "d19i_benchmark_time" -> ((s, dir) => {
+      object IntradayBench extends Strategy {
+        val code = "ev-bench"
+        override def keys: Keys = liKeys // daily results over intraday prices
+        override def benchmarkSid: Option[String] = Some("3")
+        override def benchmarkTime: Option[String] = Some("12")
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.groupBy("sid", "date")
+            .agg(max(col("close")).as("close"))
+            .withColumn("signal", (col("close") < 5000).cast("int"))
+      }
+      val panel = events(s, dir)
+        .groupBy(col("user_id").cast("string").as("sid"),
+          col("day").as("date"), date_format(col("ts"), "HH").as("time"))
+        .agg(max(cents(col("value"))).cast("double").as("close"))
+      Backtest.run(IntradayBench, panel).where(col("field") === "Benchmark")
+    }),
+
+    // ---- M2: serialized tree model via mapPartitions, predict_proba ----
+    "ml2_tree_proba" -> ((s, dir) => {
+      // exercise the full load path: spec file → ModelPredictor.load →
+      // OpaquePredictor (typed mapPartitions) → P(class=1) selection
+      val json =
+        """{"modelType":"tree","classes":[0,1],"nodes":[
+          |{"feature":0,"threshold":0.5,"left":1,"right":2},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.1,0.9]},
+          |{"feature":1,"threshold":0.5,"left":3,"right":4},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.7,0.3]},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.9,0.1]}]}"""
+          .stripMargin.replace("\n", "")
+      val tmp = java.nio.file.Files.createTempFile("graft_model", ".json")
+      java.nio.file.Files.writeString(tmp, json)
+      val predictor = graft.ml.ModelPredictor.load(s, tmp.toString)
+      val withF = supplierPanel(s, dir)
+        .withColumn("f1", (col("close") < 30000).cast("double"))
+        .withColumn("f2", (col("close") < 15000).cast("double"))
+      val assembled = graft.ml.Features.assemble(withF, Seq("f1", "f2"))
+      predictor.predict(assembled)
+        .select(col("sid"), col("date"), col("prediction"),
+          (col("prediction") < 0.5).cast("int").as("signal"))
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))
+    }),
+
+    // ---- D17: trade-side position limits clamp target quantities ----
+    "d17_trade_limits" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("signal", when(col("close") < 30000, 1).otherwise(-1))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+      val master = t(s, dir, "supplier").select(
+        col("s_suppkey").as("sid"), lit("USD").as("currency"),
+        lit("STK").as("secType"),
+        lit(1.0).as("priceMagnifier"), lit(1.0).as("multiplier"))
+      val allocations = s.createDataFrame(Seq(("U1", 1.0)))
+        .toDF("account", "allocation")
+      val balances = s.createDataFrame(Seq(("U1", "USD", 1000000.0)))
+        .toDF("account", "currency", "netLiquidation")
+      val rates = s.createDataFrame(Seq(("USD", "USD", 1.0)))
+        .toDF("baseCurrency", "quoteCurrency", "rate")
+      val lastDay = panel.agg(max(col("date"))).head.getDate(0).toString
+      val today = Trade.todayWeights(panel, lastDay)
+      val targets = Trade.targetQuantities(today, master, allocations, balances, rates)
+      // per-sid limit panel, constant over dates, applied long AND short
+      val limits = panel.select(col("sid"), col("date"),
+        (lit(100) + (col("sid") % 7) * 50).cast("double").as("max_quantity"))
+      val constrained = graft.pipeline.Limits.constrainQuantities(
+        targets, Some(limits), Some(limits), lastDay)
+      Trade.orderStubs(
+        constrained.withColumnRenamed("target_quantity", "net_quantity"), "d17")
+    }),
+
+    // ---- S8: save_to_results custom fields in the results melt ----
+    "s8_custom_fields" -> ((s, dir) => {
+      object CustomFieldsStrategy extends Strategy {
+        val code = "custom-fields"
+        override def keys: Keys = liKeys
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+        override def customFields: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "DollarVolume" -> (col("close") * col("n_trades")),
+          "PrevClose" -> Panel.lagBySid(col("close"))(liKeys))
+      }
+      val panel = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          count(lit(1)).as("n_trades"))
+      Backtest.run(CustomFieldsStrategy, panel)
     }),
 
     // ---- continuous-intraday pipeline at (day, hour) grain ----

@@ -21,7 +21,7 @@ sealed trait CommissionModel {
   protected def enforceMin(c: Column, nlv: Option[Column], minCommission: Double): Column =
     nlv match {
       case Some(n) if minCommission != 0 =>
-        val minPct = Panel.ieeeDiv(lit(minCommission), n)
+        val minPct = Panel.safeDiv(lit(minCommission), n)
         when(c > 0 && c < minPct, minPct).otherwise(c)
       case _ => c
     }
@@ -89,7 +89,7 @@ final case class FuturesCommission(
   def commissions(contractValue: Column, turnover: Column, nlv: Option[Column]): Column = {
     val costPerContract =
       brokerCommissionPerContract + exchangeFeePerContract + carryingFeePerContract
-    Panel.ieeeDiv(lit(costPerContract), contractValue) * turnover
+    Panel.safeDiv(lit(costPerContract), contractValue) * turnover
   }
 }
 

@@ -19,8 +19,13 @@ import graft.pipeline.Strategy
   * [[PanelPredictor]] — any `DataFrame => DataFrame` adding a `prediction`
   * column. [[LinearPredictor]] is the built-in, fully-distributed baseline
   * (a dot product in codegen'd column algebra — no UDF, no model server).
-  * Real model parity would load ONNX/PMML inside mapPartitions; the
-  * dataflow is identical.
+  * [[ModelPredictor.load]] is the reference's `_load_model` counterpart
+  * (ml.py:211-225): a serialized model file → predictor. Linear/logistic
+  * specs stay in column algebra; opaque models ([[DecisionTreeModel]])
+  * run through [[OpaquePredictor]] — a typed `Dataset.mapPartitions`
+  * whose closure ships the model once per executor, the same dataflow an
+  * ONNX/PMML runtime would use. Binary-classifier outputs keep
+  * P(class=1), mirroring predict_proba handling (ml.py:494-509).
   *
   * M3 predictions → signals: predictions stay on the long panel; the
   * user hook turns them into a `signal` column (ml.py:301-352).
@@ -38,7 +43,7 @@ object Features {
       implicit k: Keys): DataFrame =
     lags.foldLeft(df) { (d, n) =>
       d.withColumn(s"return_${n}d",
-        Panel.ieeeDiv(col(closeCol), Panel.lagBySid(col(closeCol), n)) - 1.0)
+        Panel.safeDiv(col(closeCol), Panel.lagBySid(col(closeCol), n)) - 1.0)
     }
 }
 
@@ -62,6 +67,108 @@ final case class LinearPredictor(
     val p = if (logistic) lit(1.0) / (lit(1.0) + exp(-dot)) else dot
     df.withColumn("prediction", p)
   }
+}
+
+/** Array-encoded binary decision tree (the shape sklearn's
+  * `tree_.__getstate__()["nodes"]` exports): internal nodes route
+  * `x(feature) <= threshold` left, else right; leaves (feature = −1)
+  * carry per-class scores. Pure-JVM, Serializable — evaluated inside
+  * executor partitions with no driver round-trips. */
+final case class DecisionTreeModel(
+    features: Array[Int],
+    thresholds: Array[Double],
+    lefts: Array[Int],
+    rights: Array[Int],
+    values: Array[Array[Double]],
+    classes: Seq[Long])
+    extends Serializable {
+  def scores(x: Array[Double]): Array[Double] = {
+    var i = 0
+    while (features(i) >= 0)
+      i = if (x(features(i)) <= thresholds(i)) lefts(i) else rights(i)
+    values(i)
+  }
+}
+
+/** M2 opaque-model predictor: appends `prediction` via a typed
+  * `Dataset.mapPartitions` (stays in the Tungsten pipeline via a Row
+  * encoder — no RDD drop-out). Multi-class score vectors collapse per
+  * the reference (ml.py:491-509): 1-wide output squeezes; binary
+  * classifiers with classes [0, 1] keep the last column (P(class=1),
+  * i.e. predict_proba); anything else is an error, matching the
+  * reference's NotImplementedError. */
+final case class OpaquePredictor(model: DecisionTreeModel) extends PanelPredictor {
+  def predict(df: DataFrame, featuresCol: String = "features"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+
+      StructField("prediction", DoubleType, nullable = true))
+    val featIdx = df.schema.fieldIndex(featuresCol)
+    val m = model // serialized into the task closure once
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val x = r.getSeq[Double](featIdx).toArray
+        val s = m.scores(x)
+        val p =
+          if (s.length == 1) s(0)
+          else if (s.length == 2 && m.classes == Seq(0L, 1L)) s(1)
+          else throw new IllegalArgumentException(
+            s"Don't know what to do with predictions having shape (${s.length},)")
+        Row.fromSeq(r.toSeq :+ p)
+      }
+    }(Encoders.row(outSchema))
+  }
+}
+
+/** Loads a serialized model file into a [[PanelPredictor]] — the
+  * reference's `_load_model` seam (ml.py:211-225), with a JSON model
+  * spec instead of pickle/joblib (those formats are Python-runtime
+  * object graphs; a declarative spec is the portable equivalent).
+  *
+  * Spec (one JSON object): `modelType` of `linear` | `logistic` |
+  * `tree`; linear/logistic carry `weights` + `intercept`; `tree`
+  * carries parallel node arrays + `classes`. The file is tiny and read
+  * driver-side through `spark.read.json` with an explicit schema. */
+object ModelPredictor {
+  import org.apache.spark.sql.SparkSession
+
+  def load(spark: SparkSession, path: String): PanelPredictor = {
+    import org.apache.spark.sql.types._
+    val nodeType = new StructType()
+      .add("feature", LongType).add("threshold", DoubleType)
+      .add("left", LongType).add("right", LongType)
+      .add("value", ArrayType(DoubleType))
+    val schema = new StructType()
+      .add("modelType", StringType)
+      .add("weights", ArrayType(DoubleType))
+      .add("intercept", DoubleType)
+      .add("classes", ArrayType(LongType))
+      .add("nodes", ArrayType(nodeType))
+    val row = spark.read.schema(schema).json(path).head()
+    row.getString(0) match {
+      case "linear" =>
+        LinearPredictor(row.getSeq[Double](1), row.getDouble(2))
+      case "logistic" =>
+        LinearPredictor(row.getSeq[Double](1), row.getDouble(2), logistic = true)
+      case "tree" =>
+        val nodes = row.getSeq[org.apache.spark.sql.Row](4)
+        DecisionTreePredictorFromRows(nodes, row.getSeq[Long](3))
+      case other =>
+        throw new IllegalArgumentException(s"unknown modelType: $other")
+    }
+  }
+
+  private def DecisionTreePredictorFromRows(
+      nodes: Seq[org.apache.spark.sql.Row],
+      classes: Seq[Long]): OpaquePredictor =
+    OpaquePredictor(DecisionTreeModel(
+      features = nodes.map(_.getLong(0).toInt).toArray,
+      thresholds = nodes.map(n => if (n.isNullAt(1)) 0.0 else n.getDouble(1)).toArray,
+      lefts = nodes.map(_.getLong(2).toInt).toArray,
+      rights = nodes.map(_.getLong(3).toInt).toArray,
+      values = nodes.map(n =>
+        if (n.isNullAt(4)) Array.empty[Double] else n.getSeq[Double](4).toArray).toArray,
+      classes = classes))
 }
 
 /** Reference `MoonshotML`: `prices_to_signals` is replaced by

@@ -55,10 +55,10 @@ object Panel {
   def lagBySid(c: Column, n: Int = 1)(implicit k: Keys): Column =
     lag(c, n).over(k.bySid)
 
-  /** W3: pandas `pct_change()` = value / previous value − 1. ÷0 follows
-    * IEEE (±inf / NaN) like pandas and DuckDB — see [[ieeeDiv]]. */
+  /** W3: pandas `pct_change()` = value / previous value − 1. ÷0 yields
+    * null — see [[safeDiv]] for the policy. */
   def pctChange(c: Column)(implicit k: Keys): Column =
-    ieeeDiv(c, lag(c, 1).over(k.bySid)) - lit(1.0)
+    safeDiv(c, lag(c, 1).over(k.bySid)) - lit(1.0)
 
   /** W4: pandas `diff()` = value − previous value. */
   def diffBySid(c: Column)(implicit k: Keys): Column =
@@ -119,23 +119,18 @@ object Panel {
 
   // ---- scalar helpers (SURVEY §2.7) ----
 
-  /** Guarded division: a/b where b≠0, else null (reference
-    * `where(x != 0)` idiom, weight.py:35, base.py:955). */
+  /** Guarded division: a/b where b≠0, else null — THE engine-wide ÷0
+    * policy (reference `where(x != 0)` idiom, weight.py:35, base.py:955).
+    *
+    * Why null and not ±inf: SQL double division yields NULL on a zero
+    * divisor (DuckDB plain `/`, Spark non-ANSI), and that is what the
+    * oracle computes; pandas would give ±inf, but the reference never
+    * hits that edge (prices are positive). Spark 4's default ANSI mode
+    * instead ABORTS the whole job on ÷0 — this CaseWhen short-circuits,
+    * so the raw `/` never sees a zero divisor and every expression built
+    * on it is safe under either ANSI setting. */
   def safeDiv(a: Column, b: Column): Column =
     when(b =!= 0, a / b)
-
-  /** IEEE-754 division. Spark's `Divide` returns null (non-ANSI) or
-    * aborts the job (ANSI, the Spark 4 default) on a zero divisor;
-    * pandas and DuckDB both give ±inf (and NaN for 0/0). This CaseWhen
-    * short-circuits, so the raw `/` never sees a zero divisor — safe
-    * under either ANSI setting, and semantics match the reference.
-    * (Divisor −0.0 is treated as +0.0: sign comes from the numerator.) */
-  def ieeeDiv(a: Column, b: Column): Column =
-    when(b === 0,
-      when(a > 0, lit(Double.PositiveInfinity))
-        .when(a < 0, lit(Double.NegativeInfinity))
-        .when(a === 0, lit(Double.NaN)))
-      .otherwise(a / b)
 
   /** NaN→0 (pandas `fillna(0)` over float panels). */
   def zeroFill(c: Column): Column =

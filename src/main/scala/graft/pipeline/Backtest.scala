@@ -76,7 +76,7 @@ object Backtest {
       when(Panel.zeroFill(col("position")) =!= 0, 1.0).otherwise(0.0))
 
     // S8 results union (base.py:1355-1388), fields in sorted order
-    val measures: Seq[(String, Column)] = Seq(
+    val standard: Seq[(String, Column)] = Seq(
       "AbsExposure" -> abs(col("position")),
       "AbsWeight" -> abs(col("weight")),
       "Commission" -> col("commission"),
@@ -87,6 +87,19 @@ object Backtest {
       "TotalHoldings" -> col("total_holdings"),
       "Turnover" -> col("turnover"),
       "Weight" -> col("weight"))
+
+    // S8 save_to_results custom fields (base.py:1502-1570): reserved
+    // names rejected with the reference's error (base.py:1556-1557).
+    // ("TotalHolding" is reserved verbatim alongside the actual
+    // TotalHoldings field, matching base.py:1549.)
+    val reserved = standard.map(_._1).toSet ++ Set("TotalHolding", "Benchmark")
+    strategy.customFields.foreach { case (name, _) =>
+      if (reserved.contains(name))
+        throw new IllegalArgumentException(s"name $name is a reserved name")
+    }
+    val measures = standard ++ strategy.customFields.map {
+      case (n, c) => n -> c.cast("double")
+    }
 
     val keyCols = (k.sid +: k.order).distinct
     val projected = p.select(
@@ -115,27 +128,65 @@ object Backtest {
   }
 
   /** D19 (base.py:1402-1500): benchmark return series as long rows
-    * `(field=Benchmark, sid=benchmarkSid, date[, time], value)`. The
-    * single-series ffill/pct_change runs unpartitioned — the series is
-    * one row per date, tiny by construction (a driver-side scalar-like
-    * frame, matching the reference's single benchmark column). */
+    * `(field=Benchmark, sid=benchmarkSid, date[, time], value)` —
+    * `ffill().pct_change().fillna(0)` over the result grid exactly as
+    * the reference (base.py:1500).
+    *
+    * Sources, mirroring `_get_benchmark`:
+    *  - `strategy.benchmarkPrices` (BENCHMARK_DB, base.py:1421-1462):
+    *    a separate EOD frame; its daily closes join the result grid on
+    *    date, so intraday results broadcast the daily price across slots
+    *    (the reference's reindex(level="Date"), base.py:1455-1456).
+    *  - otherwise the price panel itself; once-a-day intraday strategies
+    *    (daily results, intraday prices) slice at `benchmarkTime`
+    *    (base.py:1484-1499), continuous-intraday results use the
+    *    benchmark's full intraday series.
+    *
+    * The single-series ffill/pct_change runs as an unpartitioned Window —
+    * one row per result slot, tiny by construction (the reference's
+    * single benchmark column); the grid is the distinct result slots,
+    * kept pruned before the join. */
   private def benchmarkReturns(
       strategy: Strategy,
       prices: DataFrame,
       benchmarkSid: String)(implicit k: Keys): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val intradayResults = k.order.size > 1
+    val pricesHaveTime = prices.columns.contains("time")
     val grid = prices.select(k.order.map(col): _*).distinct()
-    val closes = prices
-      .where(col(k.sid) === benchmarkSid)
-      .select(k.order.map(col) :+ col("close").as("__bc"): _*)
+
+    val closes: DataFrame = strategy.benchmarkPrices match {
+      case Some(b) =>
+        // base.py:1442-1444
+        require(!b.columns.contains("time"),
+          "only end-of-day databases are supported for BENCHMARK_DB")
+        b.where(col(k.sid) === benchmarkSid)
+          .select(col(k.dateCol), col("close").as("__bc"))
+      case None =>
+        val own = prices.where(col(k.sid) === benchmarkSid)
+        if (pricesHaveTime && !intradayResults) {
+          // once-a-day intraday: collapse to daily at BENCHMARK_TIME
+          val t = strategy.benchmarkTime.getOrElse(
+            throw new IllegalArgumentException(
+              s"Cannot extract BENCHMARK $benchmarkSid from prices because " +
+                "prices contains intraday prices but no BENCHMARK_TIME specified"))
+          own.where(col("time") === lit(t))
+            .select(col(k.dateCol), col("close").as("__bc"))
+        } else own.select(k.order.map(col) :+ col("close").as("__bc"): _*)
+    }
+
+    // daily closes join on date only (broadcast across intraday slots)
+    val joinKeys = if (closes.columns.contains("time")) k.order else Seq(k.dateCol)
     val w = Window.orderBy(k.order.map(col): _*)
-    val filled = grid.join(closes, k.order, "left")
+    val filled = grid.join(closes, joinKeys, "left")
       .withColumn("__bc",
         last(col("__bc"), ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     filled
       .withColumn("value",
-        graft.panel.Panel.ieeeDiv(col("__bc"), lag(col("__bc"), 1).over(w)) - 1.0)
+        coalesce(
+          graft.panel.Panel.safeDiv(col("__bc"), lag(col("__bc"), 1).over(w)) - 1.0,
+          lit(0.0)))
       .select(
         lit(benchmarkSid).as(k.sid) +: k.order.map(col) :+
           lit(graft.model.Fields.benchmark).as("field") :+ col("value"): _*)
@@ -254,5 +305,48 @@ object Limits {
     // back to weights (base.py:969-971)
     p.withColumn("weight", col("__qty") * col("__cv") / lit(nlvValue))
       .drop("__cv", "__qty", "secType", "priceMagnifier", "multiplier")
+  }
+
+  /** D17 trade-side limiter (reference base.py:1738-1758): clamp the
+    * (sid, account) target quantities to the signal-date slice of the
+    * long/short max-quantity panels — longs capped at +|max|, shorts at
+    * −|max|. The day's slice is one row per sid (≤ the trading universe),
+    * so it broadcasts; the per-sid limit fans across accounts through the
+    * equi-join, exactly as the reference applies one limit column to every
+    * allocation (base.py:1744-1746). Intraday limit panels are sliced at
+    * the exact signal time (`.loc[self._signal_time]`, base.py:1741). */
+  def constrainQuantities(
+      targets: DataFrame,
+      maxLong: Option[DataFrame],
+      maxShort: Option[DataFrame],
+      signalDate: String,
+      signalTime: Option[String] = None)(implicit k: Keys): DataFrame = {
+    def slice(limits: DataFrame, as: String): DataFrame = {
+      val onDate = limits.where(col(k.dateCol) === lit(signalDate))
+      val atTime = signalTime match {
+        case Some(t) if limits.columns.contains("time") =>
+          onDate.where(col("time") === lit(t))
+        case _ => onDate
+      }
+      atTime.select(col(k.sid), abs(col("max_quantity")).as(as))
+    }
+    var t = targets
+    maxLong.foreach { ml =>
+      t = t.join(broadcast(slice(ml, "__maxL")), Seq(k.sid), "left")
+        .withColumn(
+          "target_quantity",
+          when(col("__maxL").isNotNull && col("target_quantity") > col("__maxL"),
+            col("__maxL")).otherwise(col("target_quantity")))
+        .drop("__maxL")
+    }
+    maxShort.foreach { ms =>
+      t = t.join(broadcast(slice(ms, "__maxS")), Seq(k.sid), "left")
+        .withColumn(
+          "target_quantity",
+          when(col("__maxS").isNotNull && col("target_quantity") < -col("__maxS"),
+            -col("__maxS")).otherwise(col("target_quantity")))
+        .drop("__maxS")
+    }
+    t
   }
 }

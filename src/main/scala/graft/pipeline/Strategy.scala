@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.alloc.Weights
@@ -54,6 +54,18 @@ trait Strategy {
   /** Benchmark security for the results' Benchmark field (D19). */
   def benchmarkSid: Option[String] = None
 
+  /** D19 BENCHMARK_DB (base.py:1421-1462): a separate END-OF-DAY
+    * benchmark price frame `(sid, date, close)`. When set, benchmark
+    * closes come from here — reindexed to the price panel's date grid
+    * (and broadcast across intraday slots when results are intraday) —
+    * instead of being extracted from the price panel. */
+  def benchmarkPrices: Option[DataFrame] = None
+
+  /** D19 BENCHMARK_TIME (base.py:1484-1499): once-a-day intraday
+    * strategies (daily results over intraday prices) extract the daily
+    * benchmark series at this intraday time. */
+  def benchmarkTime: Option[String] = None
+
   // ---- the four pipeline hooks ----
 
   /** Hook 1 (required): derive a `signal` column from the price panel. */
@@ -87,6 +99,16 @@ trait Strategy {
     * return (maxLong, maxShort) quantity panels, or None for no limits. */
   def limitPositionSizes(prices: DataFrame): (Option[DataFrame], Option[DataFrame]) =
     (None, None)
+
+  /** S8 `save_to_results` (reference base.py:1502-1570): extra named
+    * measures to union into the backtest results panel — e.g.
+    * `"MAvg" -> Panel.rollingMean(col("close"), 50)`, the reference's
+    * canonical example (base.py:1537). Each Column is evaluated against
+    * the fully-derived panel (all four hooks have run, so any column a
+    * hook appended is in scope). Names must not collide with the
+    * standard result fields (base.py:1543-1557); backtest-only, ignored
+    * by the trade path like the reference's is_trade no-op. */
+  def customFields: Seq[(String, Column)] = Nil
 
   /** Order decoration hook (reference base.py:483-545): default MKT/DAY. */
   def orderStubsToOrders(stubs: DataFrame, prices: DataFrame): DataFrame =

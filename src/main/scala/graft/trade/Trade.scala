@@ -215,8 +215,16 @@ object Trade {
     p = strategy.signalsToTargetWeights(p)
     val today = todayWeights(p, signalDate, tradeTime)
     val targets = targetQuantities(today, master, allocations, balances, rates)
+    // D17 (base.py:1738-1758): constrain target quantities BEFORE the
+    // position diff, mirroring the backtest-side D16 clamp.
+    val (maxLong, maxShort) = strategy.limitPositionSizes(prices)
+    val constrained =
+      if (maxLong.isDefined || maxShort.isDefined)
+        graft.pipeline.Limits.constrainQuantities(
+          targets, maxLong, maxShort, signalDate, tradeTime)
+      else targets
     val held = positionsAndOrders(positions, openOrders)
-    val net = netQuantities(targets, held, rebalance)
+    val net = netQuantities(constrained, held, rebalance)
     val stubs = orderStubs(net, strategy.code)
     strategy.orderStubsToOrders(stubs, prices)
   }

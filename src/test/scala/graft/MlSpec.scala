@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ml.{Features, LinearPredictor, MLStrategy, PanelPredictor}
+import graft.ml.{DecisionTreeModel, Features, LinearPredictor, MLStrategy, ModelPredictor, OpaquePredictor, PanelPredictor}
 import graft.panel.Panel
 import graft.pipeline.Backtest
 
@@ -40,6 +40,80 @@ class MlSpec extends SparkSpec {
     val p = LinearPredictor(Seq(10.0, 0.0), logistic = true)
       .predict(df).select("prediction").head.getDouble(0)
     assert(p > 0.999 && p < 1.0)
+  }
+
+  test("ModelPredictor loads linear, logistic, and tree specs from JSON " +
+    "(ml.py:211-225)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_models")
+    def write(name: String, json: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, json)
+      p.toString
+    }
+    val lin = ModelPredictor.load(spark,
+      write("lin.json", """{"modelType":"linear","weights":[0.5,-0.25],"intercept":1.0}"""))
+    val df = Seq((Seq(1.0, 2.0))).toDF("features")
+    assert(lin.predict(df).select("prediction").head.getDouble(0) == 1.0)
+
+    val logit = ModelPredictor.load(spark,
+      write("logit.json", """{"modelType":"logistic","weights":[10.0,0.0],"intercept":0.0}"""))
+    val p = logit.predict(df).select("prediction").head.getDouble(0)
+    assert(p > 0.999 && p < 1.0)
+
+    val tree = ModelPredictor.load(spark, write("tree.json",
+      """{"modelType":"tree","classes":[0,1],"nodes":[
+        |{"feature":0,"threshold":0.5,"left":1,"right":2},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[1.0,0.0]},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.0,1.0]}]}"""
+        .stripMargin.replace("\n", "")))
+    val probas = tree.predict(Seq(Seq(0.0, 7.0), Seq(1.0, 7.0)).toDF("features"))
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(probas == Seq(0.0, 1.0)) // P(class=1) column, ml.py:494-509
+  }
+
+  test("predict_proba golden: DecisionTreeML backtest (test_ml.py:844-1000)") {
+    // fixture test_ml.py:874-897; model = perfectly-fit tree on close>10,
+    // predict_proba → P(class=1); signals = proba < 0.5 (long below 10)
+    val goldenPrices = Seq(
+      ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+      ("FI12345", "2018-05-03", 10.50), ("FI12345", "2018-05-04", 9.99),
+      ("FI23456", "2018-05-01", 9.89), ("FI23456", "2018-05-02", 11.00),
+      ("FI23456", "2018-05-03", 8.50), ("FI23456", "2018-05-04", 10.50))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+
+    object DecisionTreeML extends MLStrategy {
+      val code = "tree-ml"
+      val predictor: PanelPredictor = OpaquePredictor(DecisionTreeModel(
+        features = Array(0, -1, -1),
+        thresholds = Array(0.5, 0.0, 0.0),
+        lefts = Array(1, -1, -1),
+        rights = Array(2, -1, -1),
+        values = Array(Array.empty, Array(1.0, 0.0), Array(0.0, 1.0)),
+        classes = Seq(0L, 1L)))
+      def pricesToFeatures(prices: DataFrame): (DataFrame, Seq[String]) = {
+        val f = prices
+          .withColumn("feature1", ($"close" > 10).cast("double"))
+          .withColumn("feature2", ($"close" > 10).cast("double"))
+        (f, Seq("feature1", "feature2"))
+      }
+      def predictionsToSignals(panel: DataFrame): DataFrame =
+        panel.withColumn("signal", ($"prediction" < 0.5).cast("int"))
+    }
+
+    val results = Backtest.run(DecisionTreeML, goldenPrices)
+      .collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("sid"),
+        r.getAs[java.sql.Date]("date").toString) ->
+        Option(r.getAs[Any]("value")).map(v => r7(v.asInstanceOf[Double])))
+      .toMap
+    val dates = Seq("2018-05-01", "2018-05-02", "2018-05-03", "2018-05-04")
+    def series(f: String, sid: String) = dates.map(d => results((f, sid, d)))
+    // test_ml.py:955-971
+    assert(series("Signal", "FI12345") == Seq(Some(1.0), Some(0.0), Some(0.0), Some(1.0)))
+    assert(series("Signal", "FI23456") == Seq(Some(1.0), Some(0.0), Some(1.0), Some(0.0)))
+    // test_ml.py:973-989
+    assert(series("Weight", "FI12345") == Seq(Some(0.5), Some(0.0), Some(0.0), Some(1.0)))
+    assert(series("Weight", "FI23456") == Seq(Some(0.5), Some(0.0), Some(1.0), Some(0.0)))
   }
 
   test("MLStrategy runs end-to-end through the backtest pipeline (§3.3)") {
