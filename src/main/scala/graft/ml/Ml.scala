@@ -183,9 +183,35 @@ trait MLStrategy extends Strategy {
   /** Hook: `prediction` → `signal` (reference ml.py:301-352). */
   def predictionsToSignals(panel: DataFrame): DataFrame
 
-  final def pricesToSignals(prices: DataFrame): DataFrame = {
-    val (withFeatures, featureCols) = pricesToFeatures(prices)
-    val assembled = Features.assemble(withFeatures, featureCols)
+  /** M4 feature cache (ml.py:426-433): when set, the assembled feature
+    * panel is served from cache. The reference keys on (CODE, prices
+    * index, prices columns); the Spark-native identity proxy is the
+    * price plan's semantic hash + schema — same source, filters, and
+    * transformations ⇒ same key. [[featureCacheDependencies]] mirrors
+    * `unless_file_modified=self`: list the strategy's source/model
+    * files and a newer mtime invalidates the entry. */
+  def featureCache: Option[graft.sources.Sources.ResultCache] = None
+  def featureCacheDependencies: Seq[String] = Nil
+
+  final def pricesToSignals(prices: DataFrame): DataFrame =
+    pricesToSignals(prices, noCache = false)
+
+  override private[graft] def signalsWithCache(
+      prices: DataFrame, noCache: Boolean): DataFrame =
+    pricesToSignals(prices, noCache)
+
+  private[graft] final def pricesToSignals(
+      prices: DataFrame, noCache: Boolean): DataFrame = {
+    def assemble: DataFrame = {
+      val (withFeatures, featureCols) = pricesToFeatures(prices)
+      Features.assemble(withFeatures, featureCols)
+    }
+    val assembled = featureCache match {
+      case Some(c) if !noCache =>
+        val key = s"features|$code|${prices.semanticHash()}|${prices.schema.catalogString}"
+        c.getOrCompute(key, featureCacheDependencies)(assemble)
+      case _ => assemble
+    }
     predictionsToSignals(predictor.predict(assembled))
   }
 }

@@ -21,7 +21,8 @@ object Backtest {
       allocation: Double = 1.0, // reference base.py:1342
       nlv: Option[Double] = None, // account equity for min-commission floors
       startDate: Option[String] = None, // truncation, base.py:1395-1398
-      labelSids: Boolean = false) // base.py:1390-1393
+      labelSids: Boolean = false, // base.py:1390-1393
+      noCache: Boolean = false) // backtest(no_cache=...), base.py:1310
 
   /** Run the full backtest; returns the long results panel.
     *
@@ -38,7 +39,7 @@ object Backtest {
     implicit val k: Keys = strategy.keys
 
     // hooks 1-2: signal, weight (base.py:1340-1342)
-    var p = strategy.pricesToSignals(prices)
+    var p = strategy.signalsWithCache(prices, cfg.noCache)
     p = strategy.signalsToTargetWeights(p)
     if (cfg.allocation != 1.0)
       p = p.withColumn("weight", col("weight") * lit(cfg.allocation))

@@ -71,6 +71,12 @@ trait Strategy {
   /** Hook 1 (required): derive a `signal` column from the price panel. */
   def pricesToSignals(prices: DataFrame): DataFrame
 
+  /** Engine entry for hook 1, threading the backtest's `noCache` flag
+    * (base.py:1310, `backtest(no_cache=...)`); MLStrategy routes it to
+    * the M4 feature cache, plain strategies ignore it. */
+  private[graft] def signalsWithCache(prices: DataFrame, noCache: Boolean): DataFrame =
+    pricesToSignals(prices)
+
   /** Hook 2: `signal` → `weight`. Default: equal weights per date
     * (reference base.py:386-387 → weight.py:22). */
   def signalsToTargetWeights(panel: DataFrame): DataFrame = {

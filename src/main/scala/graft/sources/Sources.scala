@@ -77,6 +77,25 @@ object Sources {
       .option("inferSchema", "true").csv(path)
     else spark.read.parquet(path)
 
+  /** S7 cached price fetch (reference base.py:1258-1279): the scan result
+    * is cached keyed by (path, query); like the reference, an open-ended
+    * query (no endDate = "give me up-to-date history") is invalidated
+    * whenever the source dataset has been modified since caching, while a
+    * bounded query trusts the cache; `noCache` bypasses entirely
+    * (backtest(no_cache=True)). */
+  def cachedPrices(
+      spark: SparkSession,
+      path: String,
+      q: PriceQuery,
+      cache: ResultCache,
+      noCache: Boolean = false): DataFrame =
+    if (noCache) prices(spark, path, q)
+    else cache.getOrCompute(
+      s"prices|$path|$q",
+      dependsOn = if (q.endDate.isEmpty) Seq(path) else Nil) {
+      prices(spark, path, q)
+    }
+
   /** S7 result cache (reference _cache.py:59-184): parquet keyed by a
     * SHA-224 of the logical key, invalidated when any listed dependency
     * file is newer than the cached copy. Replaces pickle-on-/tmp with a
