@@ -230,6 +230,61 @@ object TextOracles {
         |       ELSE 'unknown' END AS fmt_raw,
         |  CASE WHEN upper(substring(hex(jpeg_payload), 1, 16)) LIKE 'FFD8FF%' THEN 'jpeg'
         |       ELSE 'unknown' END AS fmt_jpeg
-        |FROM media""".stripMargin
+        |FROM media""".stripMargin,
+
+    // simhash fingerprints + near pairs; the oracle computes fingerprints
+    // the definitional way and pairs all-pairs (fine in DuckDB at oracle
+    // scale) — the Spark side must agree through its banded-LSH path
+    "dd5_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |      '\s+'))) AS w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT) AS BIGINT) AS hv
+        |  FROM words),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) bits
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END)
+        |         AS BIGINT) AS simhash
+        |  FROM v GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // byte-stride stub features: exact integer byte sums per slot, one
+    // double division, cast to float — reproduces MediaCodec.decodeStub
+    "mm2_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |p AS (SELECT media_id, hx, len, unnest(range(0, len)) AS pos FROM m),
+        |by AS (
+        |  SELECT media_id, pos % 8 AS slot,
+        |    CAST('0x' || substring(hx, 2 * pos + 1, 2) AS INT) AS byte
+        |  FROM p),
+        |agg AS (
+        |  SELECT media_id, slot, CAST(sum(byte) AS BIGINT) AS s
+        |  FROM by GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT m.media_id, greatest(1, len // 8) AS n,
+        |    coalesce(max(CASE WHEN slot = 0 THEN s END), 0) AS s1,
+        |    coalesce(max(CASE WHEN slot = 7 THEN s END), 0) AS s8
+        |  FROM m LEFT JOIN agg ON m.media_id = agg.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_id,
+        |  round(CAST(CAST(s1 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f1,
+        |  round(CAST(CAST(s8 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f8
+        |FROM piv""".stripMargin
   )
 }

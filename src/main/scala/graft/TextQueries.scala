@@ -66,16 +66,9 @@ object TextQueries {
       Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
-    // simhash: bit-twiddling not portably SQL-expressible → rows-only
-    "dd5_simhash" -> ((s, dir) => {
-      val docs = Dedup.simhashDf(t(s, dir, "documents"))
-      val l = docs.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-      val r = docs.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-      l.join(r, col("id_a") < col("id_b"))
-        .withColumn("hamming", Dedup.hammingDistance(col("sh_a"), col("sh_b")))
-        .where(col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    }),
+    // simhash near-pairs via hamming-LSH banding (no all-pairs join)
+    "dd5_simhash" -> ((s, dir) =>
+      Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3)),
 
     "dd6_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(

@@ -139,12 +139,22 @@ object Dedup {
       rowsPerBand: Int = 2): DataFrame = {
     val sig = withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
     val bandCols = (0 until bands).map(b => col(s"band_$b"))
+    // Pairs come from WITHIN each bucket (groupBy + collect_list + double
+    // explode) rather than a self-equi-join: the signature pipeline runs
+    // once — a self-join would compute it per side (the planner does not
+    // reuse the exchange across differently-aliased join inputs), and the
+    // round-1 persist() workaround pinned the melt in executor memory for
+    // the session. Bucket lists stay small by construction: md5 band keys
+    // only collide for genuine near-duplicates, so the explode² blowup is
+    // exactly the candidate-pair count the join would have emitted.
     val melted = sig
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
-      .persist()
-    val l = melted.select(col(idCol).as("id_a"), col("__band"), col("__bk"))
-    val r = melted.select(col(idCol).as("id_b"), col("__band"), col("__bk"))
-    l.join(r, Seq("__band", "__bk"))
+    melted
+      .groupBy("__band", "__bk")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -230,11 +240,57 @@ object Dedup {
       .select(col(idCol), fingerprint.as("simhash"))
   }
 
-  /** Hamming distance between two simhash fingerprints. */
+  /** Hamming distance between two simhash fingerprints (popcount of the
+    * XOR — codegen'd `bit_count`, width-independent). */
   def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
-    (0 until bits)
-      .map(i => shiftright(a.bitwiseXOR(b), i).bitwiseAND(1L))
-      .reduce(_ + _)
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** SimHash near-pairs via hamming-LSH banding — the dd5 scale path.
+    *
+    * Pigeonhole: two fingerprints within hamming ≤ bands−1 differ in at
+    * most bands−1 bit-bands, so they share AT LEAST ONE of the `bands`
+    * equal-width bands. Candidates therefore come from ONE self-equi-join
+    * on (band_idx, band_bits) over the exploded band rows — never an
+    * all-pairs theta join — and each candidate is verified with the exact
+    * popcount. Same shape as [[minhashCandidates]]: one shuffle for the
+    * fingerprint agg, one for the band join.
+    *
+    * At 32 bits / 4 bands the bucket alphabet is 256 per band — adequate
+    * to ~10⁵ docs per corpus shard; for web-scale runs use bits = 64
+    * (16-bit bands → 65k buckets per band), which [[simhashDf]] supports
+    * unchanged. */
+  def simhashNearPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 32,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val fp = simhashDf(docs, idCol, textCol, bits)
+    val bandArr = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
+    val banded = fp.select(col(idCol), col("simhash"),
+      posexplode(bandArr).as(Seq("__band", "__key")))
+    // within-bucket pair generation — one pass over the fingerprints, no
+    // self-join (see minhashCandidates for the rationale)
+    banded
+      .groupBy("__band", "__key")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
+        .as("__m"))
+      .where(size(col("__m")) > 1)
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("__sha"), col("b.sh").as("__shb"))
+      .distinct() // a pair can match in several bands
+      .withColumn("hamming", hammingDistance(col("__sha"), col("__shb"), bits))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate
     * pairs share a coarse bucket (provided column), verified by cosine ≥

@@ -83,15 +83,17 @@ final class MediaCodec private (dim: Int) {
   def decodeStub(payload: Array[Byte]): Seq[Float] = {
     if (payload == null) return null
     // STUB: real implementation would decode pixels/samples here.
-    // Deterministic fake: k-strided byte averages, normalized to [0,1).
-    val out = new Array[Float](dim)
+    // Deterministic fake: k-strided byte sums (exact integer arithmetic,
+    // order-free — so a SQL oracle reproduces them bit-for-bit),
+    // normalized to ~[0,1) by one double division, cast to float.
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      sums(i % dim) += (payload(i) & 0xff)
       i += 1
     }
     val n = math.max(1, payload.length / dim)
-    out.map(_ / n).toSeq
+    sums.map(s => (s / 255.0 / n).toFloat).toSeq
   }
 }
 

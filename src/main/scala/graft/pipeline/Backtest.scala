@@ -207,6 +207,20 @@ object Backtest {
     if (strategy.commissionBySecGroup.nonEmpty) {
       val m = master.getOrElse(
         throw new IllegalArgumentException("commission dispatch requires a master"))
+      // coverage validation (base.py:862-875): every (secType, exchange,
+      // currency) group in the master must have a model — no silent null
+      // commissions. The master is a broadcast-sized dimension, so the
+      // distinct-groups check is a cheap driver-side aggregation.
+      val required = m.select("secType", "exchange", "currency").distinct()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val missing = required -- strategy.commissionBySecGroup.keySet
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          "expected a commission class for each combination of " +
+            "(sectype,exchange,currency) but none is defined for " +
+            missing.toSeq.sorted
+              .map { case (s, e, c) => s"($s,$e,$c)" }.mkString(", "))
       val joined = panel.join(
         broadcast(m.select("sid", "secType", "exchange", "currency",
           "priceMagnifier", "multiplier")),

@@ -32,8 +32,27 @@ trait Strategy {
 
   /** Bars of history needed before the first tradeable date (reference
     * LOOKBACK_WINDOW, base.py:1050-1086). The scan is widened by this
-    * much and results truncated back (W7). */
+    * much and results truncated back (W7). 0 = unset. */
   def lookbackWindow: Int = 0
+
+  /** REBALANCE_INTERVAL-style offset alias (base.py:1068-1081): when the
+    * strategy resamples to a periodic frequency, the inferred lookback is
+    * widened by one interval's trading-day span. */
+  def rebalanceInterval: Option[String] = None
+
+  /** ACCOUNT_BALANCE_FIELD (base.py:1647-1649): balance field(s) used as
+    * the equity basis for target quantities; with several, the LESSER
+    * value per account applies. */
+  def accountBalanceFields: Seq[String] = Seq("netLiquidation")
+
+  /** Effective lookback bars (base.py:1050-1086): an explicit
+    * `lookbackWindow` wins as-is; otherwise an interval implies the
+    * reference's default 252-bar window plus one interval span. The
+    * reference counts business days from "today"; here fixed trading-day
+    * spans keep the plan deterministic. */
+  final def effectiveLookback: Int =
+    if (lookbackWindow > 0) lookbackWindow
+    else rebalanceInterval.map(a => 252 + Strategy.intervalBars(a)).getOrElse(0)
 
   /** Reference POSITIONS_CLOSED_DAILY (base.py:260): intraday strategies
     * whose turnover is 2× positions rather than diff. */
@@ -121,4 +140,27 @@ trait Strategy {
     stubs
       .withColumn("orderType", lit("MKT"))
       .withColumn("tif", lit("DAY"))
+}
+
+object Strategy {
+
+  /** Trading-day span of a pandas-style offset alias with an optional
+    * leading multiplier ("W", "2W", "M", "Q", "A"/"Y"; base.py:1068-1081).
+    * The reference counts business days in one interval anchored at
+    * "today" (non-deterministic by ±2 days); these fixed spans are the
+    * deterministic equivalents. Unknown aliases contribute 0, like the
+    * reference's silent `except ValueError: continue`. */
+  def intervalBars(alias: String): Int = {
+    val (numPart, unitPart) = alias.span(_.isDigit)
+    val n = if (numPart.isEmpty) 1 else numPart.toInt
+    val unit = unitPart.toUpperCase match {
+      case "D" | "B" => 1
+      case "W" => 5
+      case "M" | "ME" | "MS" => 22
+      case "Q" | "QE" | "QS" => 65
+      case "A" | "Y" | "YE" | "YS" => 260
+      case _ => 0
+    }
+    n * unit
+  }
 }

@@ -129,19 +129,27 @@ object Similarity {
 
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (small, broadcast); ANN then probes only matching cells.
-    * Centroids come from any upstream clustering (e.g. sampled k-means). */
+    * Centroids come from any upstream clustering (e.g. sampled k-means).
+    *
+    * Scale shape: broadcast cross join → `min_by` hash aggregation keyed
+    * on the vector id. The partial (map-side) aggregate collapses the
+    * ×|centroids| row blowup before the single shuffle on `idCol`, and
+    * no sort is needed — strictly better than a row_number window over
+    * the blown-up relation. Ties break on the lower cell_id. */
   def assignCells(
       vectors: DataFrame,
       centroids: DataFrame, // (cell_id, centroid array<float>)
-      vecCol: String): DataFrame = {
-    val withCells = vectors
+      vecCol: String,
+      idCol: String = "vec_id"): DataFrame = {
+    val others = vectors.columns.filter(_ != idCol)
+    val best = vectors
       .crossJoin(broadcast(centroids))
       .withColumn("__dist", euclidean(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(vectors.columns.map(col): _*)
-      .orderBy(col("__dist"), col("cell_id"))
-    withCells
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__dist", "__rn", "centroid")
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(others.map(col) :+ col("cell_id"): _*),
+        struct(col("__dist"), col("cell_id"))).as("__best"))
+    best.select(
+      col(idCol) +: others.map(c => col(s"__best.`$c`")) :+ col("__best.cell_id"): _*)
   }
 }

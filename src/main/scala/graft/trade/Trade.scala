@@ -90,10 +90,20 @@ object Trade {
       master: DataFrame,
       allocations: DataFrame,
       balances: DataFrame,
-      rates: DataFrame): DataFrame = {
+      rates: DataFrame,
+      balanceFields: Seq[String] = Seq("netLiquidation")): DataFrame = {
+    // ACCOUNT_BALANCE_FIELD (base.py:1647-1649, 1670-1671): the equity
+    // basis is the named balance field, or the LESSER of several.
+    val nlvExpr =
+      if (balanceFields.size == 1) col(balanceFields.head)
+      else least(balanceFields.map(col): _*)
     val accounts = allocations
-      .join(balances.select("account", "currency", "netLiquidation"), Seq("account"), "left")
+      .join(
+        balances.select(col("account") +: col("currency") +: balanceFields.map(col): _*),
+        Seq("account"), "left")
+      .withColumn("netLiquidation", nlvExpr)
       .withColumnRenamed("currency", "baseCurrency")
+      .select("account", "allocation", "baseCurrency", "netLiquidation")
 
     val withMaster = weights.join(
       broadcast(master.select(
@@ -214,7 +224,8 @@ object Trade {
     var p = strategy.pricesToSignals(prices)
     p = strategy.signalsToTargetWeights(p)
     val today = todayWeights(p, signalDate, tradeTime)
-    val targets = targetQuantities(today, master, allocations, balances, rates)
+    val targets = targetQuantities(today, master, allocations, balances, rates,
+      strategy.accountBalanceFields)
     // D17 (base.py:1738-1758): constrain target quantities BEFORE the
     // position diff, mirroring the backtest-side D16 clamp.
     val (maxLong, maxShort) = strategy.limitPositionSizes(prices)

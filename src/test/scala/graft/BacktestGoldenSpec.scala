@@ -107,6 +107,15 @@ class BacktestGoldenSpec extends SparkSpec {
     assert(remaining.toSeq == Seq("2018-05-03", "2018-05-04"))
   }
 
+  test("labelSids renames sids to Symbol(Sid) (D24, base.py:1390-1393)") {
+    val master = Seq(("FI12345", "ABC"), ("FI23456", "DEF"))
+      .toDF("sid", "symbol")
+    val labeled = Backtest.run(BuyBelow10, prices, master = Some(master),
+      cfg = Backtest.Config(labelSids = true))
+    val sids = labeled.select("sid").distinct().as[String].collect().toSet
+    assert(sids == Set("ABC(FI12345)", "DEF(FI23456)"))
+  }
+
   test("allocation scales weights (base.py:1342; test_backtest.py:1736)") {
     val scaled = Backtest.run(BuyBelow10, prices, cfg = Backtest.Config(allocation = 0.5))
     val w = scaled.where($"field" === "Weight" && $"sid" === "FI12345" &&

@@ -46,6 +46,27 @@ class CommissionGoldenSpec extends SparkSpec {
     assert(dates.map(d => results((field, sid, d))) == expected,
       s"$field/$sid: got ${dates.map(d => results((field, sid, d)))}")
 
+  test("dispatch raises on an uncovered (secType,exchange,currency) group " +
+    "(base.py:862-875)") {
+    object Dispatched extends Strategy {
+      val code = "dispatched"
+      override def commissionBySecGroup = Map(
+        ("STK", "NYSE", "USD") -> PercentageCommission(brokerCommissionRate = 0.0001))
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", lit(1))
+    }
+    val master = Seq(
+      ("FI12345", "STK", "NYSE", "USD", 1.0, 1.0),
+      ("FI23456", "FUT", "CME", "USD", 1.0, 1.0))
+      .toDF("sid", "secType", "exchange", "currency", "priceMagnifier", "multiplier")
+    val e = intercept[IllegalArgumentException] {
+      Backtest.run(Dispatched, prices, master = Some(master))
+    }
+    assert(e.getMessage ==
+      "expected a commission class for each combination of " +
+        "(sectype,exchange,currency) but none is defined for (FUT,CME,USD)")
+  }
+
   test("Commission: min floor binds on turnover days (test_commissions.py:688-706)") {
     check("Commission", "FI12345", Seq(None, Some(0.01), Some(0.01), Some(0.0)))
     check("Commission", "FI23456", Seq(None, Some(0.01), Some(0.01), Some(0.01)))

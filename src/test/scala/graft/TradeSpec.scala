@@ -110,6 +110,42 @@ class TradeSpec extends SparkSpec {
     assert(out.getAs[Double]("target_quantity") == 275000.0)
   }
 
+  test("targetQuantities: ACCOUNT_BALANCE_FIELD uses the lesser of several " +
+    "balance fields (base.py:1647-1671, test_trade.py:1440)") {
+    val weights = Seq(("S1", 0.5, 100.0)).toDF("sid", "weight", "close")
+    val master = Seq(("S1", "USD", "STK", 1.0, 1.0))
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier")
+    val allocations = Seq(("U1", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U1", "USD", 1000000.0, 800000.0))
+      .toDF("account", "currency", "netLiquidation", "previousEquity")
+    val rates = Seq(("USD", "USD", 1.0)).toDF("baseCurrency", "quoteCurrency", "rate")
+    val out = Trade.targetQuantities(weights, master, allocations, balances, rates,
+      balanceFields = Seq("netLiquidation", "previousEquity")).head
+    // lesser equity basis: 0.5 × 1.0 × 800,000 / 100 = 4,000
+    assert(out.getAs[Double]("target_quantity") == 4000.0)
+  }
+
+  test("intervalBars + effectiveLookback (base.py:1050-1086)") {
+    import graft.pipeline.Strategy
+    assert(Strategy.intervalBars("W") == 5)
+    assert(Strategy.intervalBars("2W") == 10)
+    assert(Strategy.intervalBars("Q") == 65)
+    assert(Strategy.intervalBars("junk") == 0)
+    val s = new Strategy {
+      val code = "iv"
+      override def rebalanceInterval: Option[String] = Some("M")
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(s.effectiveLookback == 252 + 22)
+    val explicit = new Strategy {
+      val code = "iv2"
+      override def lookbackWindow = 30
+      override def rebalanceInterval: Option[String] = Some("M")
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(explicit.effectiveLookback == 30) // explicit window wins as-is
+  }
+
   test("targetQuantities: self-rate ≡ 1 when currencies match (base.py:1720)") {
     val weights = Seq(("S1", 0.1, 50.0)).toDF("sid", "weight", "close")
     val master = Seq(("S1", "USD", "STK", 1.0, 1.0))
