@@ -89,6 +89,19 @@ object TextQueries {
         embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
     }),
 
+    // IVF-probe ANN: deterministic centroids (the min-vec_id embedding
+    // per label), nearest-cell assignment, exact top-k within the cell
+    "sim3_ivf_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = embs
+        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
+        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
+          "__cid")
+        .select(col("label").as("cell_id"), col("centroid"))
+      Similarity.ivfTopK(
+        embs.where(col("vec_id") < 5), embs, centroids, "vec_id", "embedding", k = 5)
+    }),
+
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")

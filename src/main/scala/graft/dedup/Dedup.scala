@@ -285,11 +285,9 @@ object Dedup {
       .select(col("a"), explode(col("__m")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("__sha"), col("b.sh").as("__shb"))
-      .distinct() // a pair can match in several bands
-      .withColumn("hamming", hammingDistance(col("__sha"), col("__shb"), bits))
-      .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+        hammingDistance(col("a.sh"), col("b.sh"), bits).as("hamming"))
+      .where(col("hamming") <= maxHamming) // popcount BEFORE the distinct:
+      .distinct() // far fewer rows reach the dedup shuffle
   }
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate

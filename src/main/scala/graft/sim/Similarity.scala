@@ -127,6 +127,40 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-probe ANN: assign corpus AND queries to their nearest centroid
+    * cell ([[assignCells]]), then exact cosine top-k WITHIN the query's
+    * cell only. The probe is an equi-join on cell_id with the (small)
+    * query side broadcast — the corpus streams once, reading only
+    * |corpus|/|cells| candidates per query in expectation. This is the
+    * ANN scale path when sign-buckets ([[signLshTopK]]) are too coarse:
+    * cell granularity follows the centroid count, not 2^dims. Recall < 1
+    * by design (single-probe; nprobe>1 = union more cells). */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid array<float>)
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = assignCells(corpus, centroids, vecCol, idCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        norm(col(vecCol)).as("__cn"), col("cell_id"))
+    val q = assignCells(queries, centroids, vecCol, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"), col("cell_id"))
+    val scored = c
+      .join(broadcast(q), "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (small, broadcast); ANN then probes only matching cells.
     * Centroids come from any upstream clustering (e.g. sampled k-means).

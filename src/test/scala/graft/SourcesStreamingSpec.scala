@@ -61,6 +61,32 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(third.count() == 2 && computes == 2)
   }
 
+  test("structured streaming: exact dedup on content hash matches batch " +
+    "(LLM-pipeline streaming path)") {
+    // stream the documents table; keep the first occurrence of each
+    // content hash. dropDuplicatesWithinWatermark bounds the dedup state
+    // for continuous ingest (the batch path is Dedup.dropExactDuplicates).
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val streamed = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val qname = "doc_dedup_out"
+    val q = streamed
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("__ingest", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("__ingest", "1 hour")
+      .dropDuplicatesWithinWatermark("content_md5")
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val batchDistinct = raw.select(md5(col("text"))).distinct().count()
+    assert(spark.table(qname).count() == batchDistinct)
+  }
+
   test("structured streaming: hourly windowed aggregation matches batch (§2.10 extra)") {
     // stream the events table with Trigger.AvailableNow into memory
     val raw = spark.read.parquet(s"$sfDir/events.parquet")

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.alloc.Weights
+import graft.panel.Panel.Keys
+import graft.pipeline.Strategy
+import graft.trade.Trade
+
+/** The reference's trade() golden tests reproduced value-exact:
+  * basic long-only (_tests/test_trade.py:26-151), no-orders
+  * (test_trade.py:152), and multi-account with existing positions
+  * (test_trade.py:1761-1948), plus the ALLOW_REBALANCE=False gate
+  * over the same fixture (base.py:1782-1786, test_allow_rebalance.py).
+  */
+class TradeGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val prices: DataFrame = Seq(
+    // test_trade.py:49-62
+    ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+    ("FI12345", "2018-05-03", 10.50),
+    ("FI23456", "2018-05-01", 9.89), ("FI23456", "2018-05-02", 11.00),
+    ("FI23456", "2018-05-03", 8.50))
+    .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+
+  private lazy val master: DataFrame =
+    Seq(("FI12345", "USD", "STK", 1.0, 1.0), ("FI23456", "USD", "STK", 1.0, 1.0))
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier")
+
+  private lazy val rates: DataFrame =
+    Seq(("USD", "USD", 1.0)).toDF("baseCurrency", "quoteCurrency", "rate")
+
+  private lazy val noPositions =
+    Seq.empty[(String, String, Double)].toDF("sid", "account", "quantity")
+  private lazy val noOrders =
+    Seq.empty[(String, String, Double, String, String)]
+      .toDF("sid", "account", "remaining", "action", "orderRef")
+
+  private def ordersOf(df: DataFrame): Map[(String, String), (String, Double)] =
+    df.collect().map { r: Row =>
+      (r.getString(r.fieldIndex("sid")), r.getString(r.fieldIndex("account"))) ->
+        ((r.getString(r.fieldIndex("action")), r.getDouble(r.fieldIndex("totalQuantity"))))
+    }.toMap
+
+  object BuyBelow10 extends Strategy {
+    val code = "buy-below-10"
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", (col("close") < 10).cast("int"))
+  }
+
+  test("basic long-only: default methods end-to-end (test_trade.py:26-151)") {
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(BuyBelow10, prices, master, allocations, balances,
+      rates, noPositions, noOrders, signalDate = "2018-05-03")
+    assert(orders.columns.toSet ==
+      Set("sid", "account", "action", "orderRef", "totalQuantity", "orderType", "tif"))
+    // 1.0 weight × 1.0 allocation × 55K / 8.50 = 6471 (test_trade.py:131)
+    assert(ordersOf(orders) == Map(("FI23456", "U123") -> (("BUY", 6471.0))))
+    val decorated = orders.head
+    assert(decorated.getAs[String]("orderType") == "MKT")
+    assert(decorated.getAs[String]("tif") == "DAY")
+    assert(decorated.getAs[String]("orderRef") == "buy-below-10")
+  }
+
+  test("no orders: zero signals → empty orders table (test_trade.py:152)") {
+    object BuyBelow1 extends Strategy {
+      val code = "buy-below-1"
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("close") < 1).cast("int"))
+    }
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(BuyBelow1, prices, master, allocations, balances,
+      rates, noPositions, noOrders, signalDate = "2018-05-03")
+    assert(orders.count() == 0)
+  }
+
+  object BuyBelow10Fixed extends Strategy {
+    val code = "buy-below-10"
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", (col("close") < 10).cast("int"))
+    override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+      panel.withColumn("weight", Weights.fixedWeights(col("signal"), 0.5))
+  }
+
+  // fixture test_trade.py:1832-1876
+  private lazy val fourAccounts =
+    Seq(("U123", 0.5), ("DU234", 0.3), ("U999", 0.6), ("DU111", 0.2))
+      .toDF("account", "allocation")
+  private lazy val fourBalances = Seq(
+    ("U123", "USD", 85000.0), ("DU234", "USD", 450000.0),
+    ("U999", "USD", 56000.0), ("DU111", "USD", 150000.0))
+    .toDF("account", "currency", "netLiquidation")
+  private lazy val heldPositions = Seq(
+    ("FI23456", "U123", 400.0),
+    ("FI23456", "DU234", 7941.0), // exactly the target → no order
+    ("FI12345", "DU234", 300.0), // signal gone → close position
+    ("FI23456", "DU111", -300.0))
+    .toDF("sid", "account", "quantity")
+
+  test("existing positions across accounts (test_trade.py:1761-1948)") {
+    val orders = Trade.run(BuyBelow10Fixed, prices, master, fourAccounts,
+      fourBalances, rates, heldPositions, noOrders, signalDate = "2018-05-03")
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "DU234") -> (("SELL", 300.0)), // close open position
+      ("FI23456", "U123") -> (("BUY", 2100.0)), // 0.5×0.5×85K/8.50 − 400
+      ("FI23456", "U999") -> (("BUY", 1976.0)), // 0.6×0.5×56K/8.50
+      ("FI23456", "DU111") -> (("BUY", 2065.0)))) // 0.2×0.5×150K/8.50 + 300
+  }
+
+  test("ALLOW_REBALANCE=False suppresses same-direction adjustments " +
+    "(base.py:1782-1786, test_allow_rebalance.py:167)") {
+    val orders = Trade.run(BuyBelow10Fixed, prices, master, fourAccounts,
+      fourBalances, rates, heldPositions, noOrders, signalDate = "2018-05-03",
+      rebalance = Trade.NoRebalance)
+    // U123's long→long top-up is suppressed; closing FI12345 (target 0) and
+    // DU111's short→long flip are NOT rebalances and go through unchanged
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "DU234") -> (("SELL", 300.0)),
+      ("FI23456", "U999") -> (("BUY", 1976.0)),
+      ("FI23456", "DU111") -> (("BUY", 2065.0))))
+  }
+}
