@@ -191,6 +191,26 @@ object Trade {
         lit(orderRef).as("orderRef"),
         abs(col("net_quantity")).as("totalQuantity"))
 
+  /** R6 `reindex_like_orders` (base.py:547-605): slice a panel column at
+    * the signal date (and time) and attach it to the orders by sid — the
+    * hook used to decorate orders with prices (e.g. limit prices from
+    * prior closes). Broadcast join: the day's slice is one row per sid. */
+  def reindexLikeOrders(
+      orders: DataFrame,
+      panel: DataFrame,
+      valueCol: String,
+      signalDate: String,
+      signalTime: Option[String] = None)(implicit k: Keys): DataFrame = {
+    val onDate = panel.where(col(k.dateCol) === lit(signalDate))
+    val sliced = signalTime match {
+      case Some(t) if panel.columns.contains("time") =>
+        onDate.where(col("time") === lit(t))
+      case _ => onDate
+    }
+    orders.join(
+      broadcast(sliced.select(col(k.sid), col(valueCol))), Seq(k.sid), "left")
+  }
+
   /** D23 child/bracket orders (base.py:607-655): copy orders, reverse the
     * action, link ParentId ← OrderId. */
   def childOrders(orders: DataFrame): DataFrame = {

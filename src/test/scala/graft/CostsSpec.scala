@@ -77,4 +77,42 @@ class CostsSpec extends SparkSpec {
       FixedSlippage(0.0005).slippage($"turnover", $"position")).head.getDouble(0)
     assert(viaClass == 0.00025)
   }
+
+  test("IBKRBorrowFees golden: shorts × 1.02 × rate/360 × days held, " +
+    "weekends ×3 (_tests/slippage/test_slippage.py:45-87)") {
+    // fixture: positions + as-of borrow-fee rates per (sid, date)
+    val panel = Seq(
+      ("FI12345", "2018-06-01", 0.10, 1.75), ("FI12345", "2018-06-02", 0.00, 1.75),
+      ("FI12345", "2018-06-03", -0.20, 1.75), ("FI12345", "2018-06-04", -0.20, 1.85),
+      ("FI12345", "2018-06-05", -0.10, 1.85), ("FI12345", "2018-06-08", 0.50, 1.85),
+      ("FI12345", "2018-06-09", -0.25, 1.20),
+      ("FI23456", "2018-06-01", -0.17, 8.00), ("FI23456", "2018-06-02", 0.32, 8.00),
+      ("FI23456", "2018-06-03", 0.23, 8.23), ("FI23456", "2018-06-04", 0.00, 8.50),
+      ("FI23456", "2018-06-05", -0.40, 0.25), ("FI23456", "2018-06-08", -0.40, 0.25),
+      ("FI23456", "2018-06-09", -0.40, 0.25))
+      .toDF("sid", "date", "position", "borrow_fee")
+      .withColumn("date", to_date($"date"))
+    val fees = panel
+      .select($"sid", $"date",
+        BorrowFees().slippage(lit(0.0), $"position").as("fee"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        math.rint(r.getDouble(2) * 1e9) / 1e9)
+      .toMap
+    def f(sid: String, d: String) = fees((sid, d))
+    assert(f("FI12345", "2018-06-01") == 0.0)
+    assert(f("FI12345", "2018-06-02") == 0.0)
+    assert(f("FI12345", "2018-06-03") == 0.000009917)
+    assert(f("FI12345", "2018-06-04") == 0.000010483)
+    assert(f("FI12345", "2018-06-05") == 0.000005242)
+    assert(f("FI12345", "2018-06-08") == 0.0)
+    assert(f("FI12345", "2018-06-09") == 0.0000085)
+    assert(f("FI23456", "2018-06-01") == 0.000038533) // 0.17×1.02×8/36000
+    assert(f("FI23456", "2018-06-02") == 0.0)
+    assert(f("FI23456", "2018-06-03") == 0.0)
+    assert(f("FI23456", "2018-06-04") == 0.0)
+    assert(f("FI23456", "2018-06-05") == 0.000002833)
+    assert(f("FI23456", "2018-06-08") == 0.0000085) // 3× for the weekend gap
+    assert(f("FI23456", "2018-06-09") == 0.000002833)
+  }
 }

@@ -113,6 +113,48 @@ class TradeGoldenSpec extends SparkSpec {
       ("FI23456", "DU111") -> (("BUY", 2065.0)))) // 0.2×0.5×150K/8.50 + 300
   }
 
+  test("reindex_like_orders decorates orders with prior closes as limit " +
+    "prices (test_orders.py:362-511)") {
+    val pricesLS = Seq(
+      ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+      ("FI12345", "2018-05-03", 10.50),
+      ("FI23456", "2018-05-01", 9.89), ("FI23456", "2018-05-02", 11.25),
+      ("FI23456", "2018-05-03", 8.50))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    object LongShort10 extends Strategy {
+      val code = "long-short-10"
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal",
+          when(col("close") <= 10, 1).otherwise(-1))
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        panel.withColumn("weight", Weights.fixedWeights(col("signal"), 0.25))
+      override def orderStubsToOrders(stubs: DataFrame, prices: DataFrame): DataFrame = {
+        implicit val k: Keys = keys
+        val priorCloses = prices.withColumn("prior_close",
+          graft.panel.Panel.lagBySid(col("close")))
+        Trade.reindexLikeOrders(stubs, priorCloses, "prior_close", "2018-05-03")
+          .withColumn("exchange", lit("SMART"))
+          .withColumn("orderType", lit("LMT"))
+          .withColumnRenamed("prior_close", "lmtPrice")
+          .withColumn("tif", lit("Day"))
+      }
+    }
+    val allocations = Seq(("U123", 0.5)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 85000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(LongShort10, pricesLS, master, allocations, balances,
+      rates, noPositions, noOrders, signalDate = "2018-05-03")
+    val rows = orders.collect().map { r: Row =>
+      r.getString(r.fieldIndex("sid")) ->
+        ((r.getString(r.fieldIndex("action")), r.getDouble(r.fieldIndex("totalQuantity")),
+          r.getDouble(r.fieldIndex("lmtPrice")), r.getString(r.fieldIndex("orderType"))))
+    }.toMap
+    // −0.25×0.5×85K/10.50 → SELL 1012 @ prior close 11.00;
+    // +0.25×0.5×85K/8.50 → BUY 1250 @ prior close 11.25
+    assert(rows("FI12345") == (("SELL", 1012.0, 11.0, "LMT")))
+    assert(rows("FI23456") == (("BUY", 1250.0, 11.25, "LMT")))
+  }
+
   test("ALLOW_REBALANCE=False suppresses same-direction adjustments " +
     "(base.py:1782-1786, test_allow_rebalance.py:167)") {
     val orders = Trade.run(BuyBelow10Fixed, prices, master, fourAccounts,

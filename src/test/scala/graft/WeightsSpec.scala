@@ -26,6 +26,68 @@ class WeightsSpec extends SparkSpec {
     rows.toDF("sid", "date", "signal").withColumn("date", to_date($"date"))
   }
 
+  // ---- reference golden values (_tests/test_weight_allocations.py) ----
+
+  private def panel3(sigs: Seq[(Double, Double, Double)]) =
+    sigs.zipWithIndex.flatMap { case ((a, b, c), i) =>
+      Seq(("FI12345", f"2024-01-${i + 1}%02d", a),
+        ("FI23456", f"2024-01-${i + 1}%02d", b),
+        ("FI34567", f"2024-01-${i + 1}%02d", c))
+    }.toDF("sid", "date", "signal").withColumn("date", to_date($"date"))
+
+  private def weightsOf(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+    df.collect().map(r => (r.getAs[String]("sid"), r.getAs[java.sql.Date]("date").toString) ->
+      r7(r.getAs[Double]("w"))).toMap
+
+  private def series(m: Map[(String, String), Double], sid: String, n: Int): Seq[Double] =
+    (1 to n).map(i => m((sid, f"2024-01-$i%02d")))
+
+  test("allocate_equal_weights golden (test_weight_allocations.py:27-53)") {
+    val sigs = Seq((1.0, 0.0), (1.0, -1.0), (1.0, 1.0), (0.0, 0.0), (0.0, -1.0))
+      .zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(("FI12345", f"2024-01-${i + 1}%02d", a), ("FI23456", f"2024-01-${i + 1}%02d", b))
+      }.toDF("sid", "date", "signal").withColumn("date", to_date($"date"))
+    val w1 = weightsOf(sigs.withColumn("w", Weights.equalWeights($"signal", cap = 1.0)))
+    assert(series(w1, "FI12345", 5) == Seq(1.0, 0.5, 0.5, 0.0, 0.0))
+    assert(series(w1, "FI23456", 5) == Seq(0.0, -0.5, 0.5, 0.0, -1.0))
+    val w2 = weightsOf(sigs.withColumn("w", Weights.equalWeights($"signal", cap = 0.5)))
+    assert(series(w2, "FI12345", 5) == Seq(0.5, 0.25, 0.25, 0.0, 0.0))
+    assert(series(w2, "FI23456", 5) == Seq(0.0, -0.25, 0.25, 0.0, -0.5))
+  }
+
+  test("allocate_fixed_weights + capped golden (test_weight_allocations.py:55-107)") {
+    val p = panel3(Seq((1, 0, 1), (1, -1, 1), (1, 1, 1), (0, 0, -1), (0, -1, -1))
+      .map { case (a, b, c) => (a.toDouble, b.toDouble, c.toDouble) })
+    val fixed = weightsOf(p.withColumn("w", Weights.fixedWeights($"signal", 0.34)))
+    assert(series(fixed, "FI23456", 5) == Seq(0.0, -0.34, 0.34, 0.0, -0.34))
+    // cap 1.5 never binds
+    val c15 = weightsOf(p.withColumn("w",
+      Weights.fixedWeightsCapped($"signal", 0.34, cap = 1.5)))
+    assert(series(c15, "FI34567", 5) == Seq(0.34, 0.34, 0.34, -0.34, -0.34))
+    // cap 0.81: days with |sum| 1.02 fall back to equal weights ×0.81
+    val c081 = weightsOf(p.withColumn("w",
+      Weights.fixedWeightsCapped($"signal", 0.34, cap = 0.81)))
+    assert(series(c081, "FI12345", 5) == Seq(0.34, 0.27, 0.27, 0.0, 0.0))
+    assert(series(c081, "FI23456", 5) == Seq(0.0, -0.27, 0.27, 0.0, -0.34))
+    assert(series(c081, "FI34567", 5) == Seq(0.34, 0.27, 0.27, -0.34, -0.34))
+  }
+
+  test("allocate_market_neutral_fixed_weights_capped golden " +
+    "(test_weight_allocations.py:108-139)") {
+    val p = panel3(Seq((1, 0, 1), (1, -1, 1), (1, 1, -1), (0, 1, -1), (0, -1, -1))
+      .map { case (a, b, c) => (a.toDouble, b.toDouble, c.toDouble) })
+    val un = weightsOf(p.withColumn("w",
+      Weights.marketNeutralFixedWeightsCapped($"signal", 0.34, cap = 1.2, neutralize = false)))
+    assert(series(un, "FI12345", 5) == Seq(0.3, 0.3, 0.3, 0.0, 0.0))
+    assert(series(un, "FI23456", 5) == Seq(0.0, -0.34, 0.3, 0.34, -0.3))
+    assert(series(un, "FI34567", 5) == Seq(0.3, 0.3, -0.34, -0.34, -0.3))
+    val nt = weightsOf(p.withColumn("w",
+      Weights.marketNeutralFixedWeightsCapped($"signal", 0.34, cap = 1.2)))
+    assert(series(nt, "FI12345", 5) == Seq(0.0, 0.17, 0.17, 0.0, 0.0))
+    assert(series(nt, "FI23456", 5) == Seq(0.0, -0.34, 0.17, 0.34, 0.0))
+    assert(series(nt, "FI34567", 5) == Seq(0.0, 0.17, -0.34, -0.34, 0.0))
+  }
+
   test("equal weights: |weights| sum to cap on active days, 0 otherwise (D1)") {
     val sums = signals
       .withColumn("w", Weights.equalWeights($"signal"))
