@@ -124,12 +124,8 @@ object Dedup {
   /** LSH candidate pairs: ids sharing any band bucket (deduplicated).
     *
     * Scale shape: the band signatures are melted to long
-    * `(band_idx, band_key, id)` rows, so ALL bands are matched by ONE
-    * self-equi-join on (band_idx, band_key) — one shuffle, not one per
-    * band. The melted signature frame is cached (it is k× smaller than
-    * the shingle arrays it derives from); at petabyte scale you'd
-    * checkpoint it instead. md5 band keys only collide for actual
-    * near-duplicates, so bucket skew tracks true duplicate clusters. */
+    * `(band_idx, band_key, id)` rows, so ALL bands are bucketed by ONE
+    * shuffle on (band_idx, band_key) — not one per band. */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
