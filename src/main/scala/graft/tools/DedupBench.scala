@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dedup scale bench: a deterministic synthetic corpus (groups of ten
+  * documents sharing 48 of 50 vocabulary words → true near-duplicates)
+  * pushed through the exact, MinHash+LSH, and SimHash banding paths at
+  * sizes the sf tables don't reach. All text is generated with plain
+  * codegen'd column expressions — no driver-side materialization.
+  *
+  * Usage: runMain graft.tools.DedupBench [nDocs ...]  (default 20k 100k)
+  */
+object DedupBench {
+
+  /** 50-word docs; doc groups of 10 share the first 48 words (derived
+    * from the group seed over a 99991-word vocabulary, so distinct groups
+    * stay distinct), the last 2 words are per-doc perturbations. Every
+    * group is a true near-duplicate cluster of exactly 10. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val group = id - pmod(id, lit(10L))
+    val words =
+      (0 until 48).map(i =>
+        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(99991L)))) ++
+        (48 until 50).map(i => concat(lit("w"), pmod(id * 17 + lit(i * 13), lit(997))))
+    spark.range(n).select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(20000L, 100000L)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[dedupbench] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
+    }
+
+    sizes.foreach { n =>
+      val docs = corpus(spark, n)
+      println(s"--- $n docs ---")
+      time(s"exact groups")(Dedup.exactGroups(docs).count())
+      time(s"minhash LSH candidates")(Dedup.minhashCandidates(docs).count())
+      time(s"simhash banded pairs (ham<=3)")(
+        Dedup.simhashNearPairs(docs, maxHamming = 3).count())
+    }
+    spark.stop()
+  }
+}
