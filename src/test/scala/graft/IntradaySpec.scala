@@ -106,4 +106,58 @@ class IntradaySpec extends SparkSpec {
     check("Return", "FI12345", Seq(0.0, -0.13167, 0.0))
     check("Return", "FI23456", Seq(0.0, 0.0, -0.0205224))
   }
+
+  test("POSITIONS_CLOSED_DAILY golden: turnover 2×|position| and slippage " +
+    "(test_positions_closed_daily.py:34-247)") {
+    object WithSlippage extends Strategy {
+      val code = "short-above-10-slip"
+      override def positionsClosedDaily = true
+      override def slippageBps = 10.0
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        ShortAbove10Intraday.pricesToSignals(prices)
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.signalsToTargetWeights(panel)
+      override def targetWeightsToPositions(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.targetWeightsToPositions(panel)
+      override def positionsToGrossReturns(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.positionsToGrossReturns(panel)
+    }
+    val out = Backtest.run(WithSlippage, prices).collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("sid"),
+        r.getAs[java.sql.Date]("date").toString) ->
+        r7(Option(r.getAs[java.lang.Double]("value")).map(_.toDouble).getOrElse(Double.NaN)))
+      .toMap
+    def s(f: String, sid: String) = dates.map(d => out((f, sid, d)))
+    assert(s("Turnover", "FI12345") == Seq(0.0, 0.5, 0.0))
+    assert(s("Slippage", "FI12345") == Seq(0.0, 0.0005, 0.0)) // 10 bps × 0.5
+    assert(s("Slippage", "FI23456") == Seq(0.0, 0.0, 0.0005))
+  }
+
+  test("positions NOT closed daily: turnover is |diff|, in and out " +
+    "(test_positions_closed_daily.py:248-461)") {
+    object NotClosedDaily extends Strategy {
+      val code = "short-above-10-open"
+      override def slippageBps = 10.0
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        ShortAbove10Intraday.pricesToSignals(prices)
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.signalsToTargetWeights(panel)
+      override def targetWeightsToPositions(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.targetWeightsToPositions(panel)
+      override def positionsToGrossReturns(panel: DataFrame): DataFrame =
+        ShortAbove10Intraday.positionsToGrossReturns(panel)
+    }
+    val out = Backtest.run(NotClosedDaily, prices).collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("sid"),
+        r.getAs[java.sql.Date]("date").toString) ->
+        r7(Option(r.getAs[java.lang.Double]("value")).map(_.toDouble).getOrElse(Double.NaN)))
+      .toMap
+    def s(f: String, sid: String) = dates.map(d => out((f, sid, d)))
+    // first bar: pandas diff yields NaN → null here
+    assert(s("Turnover", "FI12345").drop(1) == Seq(0.25, 0.25))
+    assert(s("Turnover", "FI12345").head.isNaN)
+    assert(s("Turnover", "FI23456").drop(1) == Seq(0.0, 0.25))
+    assert(s("Slippage", "FI12345") == Seq(0.0, 0.00025, 0.00025))
+    assert(s("Slippage", "FI23456") == Seq(0.0, 0.0, 0.00025))
+  }
 }

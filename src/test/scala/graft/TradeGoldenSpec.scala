@@ -113,6 +113,34 @@ class TradeGoldenSpec extends SparkSpec {
       ("FI23456", "DU111") -> (("BUY", 2065.0)))) // 0.2×0.5×150K/8.50 + 300
   }
 
+  test("ALLOW_REBALANCE=0.25: same-direction changes below the threshold " +
+    "are suppressed (test_allow_rebalance.py:332-514)") {
+    val pricesMR = Seq(
+      ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+      ("FI12345", "2018-05-03", 9.50),
+      ("FI23456", "2018-05-01", 8.90), ("FI23456", "2018-05-02", 12.00),
+      ("FI23456", "2018-05-03", 10.50))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    val allocations = Seq(("U123", 0.5), ("DU234", 0.3), ("U999", 0.5))
+      .toDF("account", "allocation")
+    val balances = Seq(
+      ("U123", "USD", 85000.0), ("DU234", "USD", 450000.0), ("U999", "USD", 200000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val positions = Seq(
+      ("FI12345", "U123", 2000.0), // |237/2000| < 0.25 → suppressed
+      ("FI12345", "U999", 3000.0), // |2263/3000| ≥ 0.25 → rebalanced
+      ("FI12345", "DU234", -4.0), // switches sides → always allowed
+      ("FI23456", "DU234", -7.0)) // closes (target 0) → always allowed
+      .toDF("sid", "account", "quantity")
+    val orders = Trade.run(BuyBelow10Fixed, pricesMR, master, allocations,
+      balances, rates, positions, noOrders, signalDate = "2018-05-03",
+      rebalance = Trade.RebalanceThreshold(0.25))
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "DU234") -> (("BUY", 7109.0)), // 0.3×0.5×450K/9.50 + 4
+      ("FI12345", "U999") -> (("BUY", 2263.0)), // 0.5×0.5×200K/9.50 − 3000
+      ("FI23456", "DU234") -> (("BUY", 7.0)))) // close the short
+  }
+
   test("reindex_like_orders decorates orders with prior closes as limit " +
     "prices (test_orders.py:362-511)") {
     val pricesLS = Seq(
