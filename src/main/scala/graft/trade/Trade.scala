@@ -105,11 +105,22 @@ object Trade {
       .withColumnRenamed("currency", "baseCurrency")
       .select("account", "allocation", "baseCurrency", "netLiquidation")
 
-    val withMaster = weights.join(
-      broadcast(master.select(
-        col("sid"), col("currency").as("quoteCurrency"), col("secType"),
-        col("priceMagnifier"), col("multiplier"))),
-      Seq("sid"), "left")
+    // FX special case (base.py:1640-1645): for CASH pairs the conversion
+    // target is the pair's BASE currency, taken from the Symbol ("EUR" or
+    // "EUR.USD" → EUR), not the Currency field (100 EUR.USD = 100 EUR).
+    val masterCols = Seq(
+      col("sid"), col("currency"), col("secType"),
+      col("priceMagnifier"), col("multiplier")) ++
+      (if (master.columns.contains("symbol")) Seq(col("symbol")) else Nil)
+    val quoteCurrency =
+      if (master.columns.contains("symbol"))
+        when(col("secType") === "CASH",
+          split(col("symbol"), "\\.").getItem(0)).otherwise(col("currency"))
+      else col("currency")
+    val withMaster = weights
+      .join(broadcast(master.select(masterCols: _*)), Seq("sid"), "left")
+      .withColumn("quoteCurrency", quoteCurrency)
+      .drop("currency", "symbol")
 
     // account fan-out: weights ⊗ allocations (R5)
     val fanned = withMaster.crossJoin(broadcast(accounts))

@@ -183,6 +183,68 @@ class TradeGoldenSpec extends SparkSpec {
     assert(rows("FI23456") == (("BUY", 1250.0, 11.25, "LMT")))
   }
 
+  test("FX: contract value ≡ 1 and conversion uses the Symbol's base " +
+    "currency, not the Currency field (test_trade.py:2974-3125)") {
+    val fxPrices = Seq(
+      ("FI12345", "2018-05-01", 1.20), ("FI12345", "2018-05-02", 1.10),
+      ("FI12345", "2018-05-03", 1.25),
+      ("FI23456", "2018-05-01", 100.89), ("FI23456", "2018-05-02", 112.0),
+      ("FI23456", "2018-05-03", 118.50))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    // EUR.USD quoted in USD; USD.JPY quoted in JPY — conversion must
+    // follow the Symbol (EUR / USD), not the Currency (USD / JPY)
+    val fxMaster = Seq(
+      ("FI12345", "USD", "CASH", 1.0, 1.0, "EUR"),
+      ("FI23456", "JPY", "CASH", 1.0, 1.0, "USD"))
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier", "symbol")
+    object FxLongShort extends Strategy {
+      val code = "fx-long-short-10"
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", when(col("close") <= 10, 1).otherwise(-1))
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        panel.withColumn("weight", Weights.fixedWeights(col("signal"), 0.25))
+    }
+    val allocations = Seq(("U123", 0.5)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 85000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val fxRates = Seq(("USD", "USD", 1.0), ("USD", "EUR", 0.7))
+      .toDF("baseCurrency", "quoteCurrency", "rate")
+    val orders = Trade.run(FxLongShort, fxPrices, fxMaster, allocations,
+      balances, fxRates, noPositions, noOrders, signalDate = "2018-05-03")
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "U123") -> (("BUY", 7437.0)), // 0.5×0.25×85K × 0.7 ÷ 1
+      ("FI23456", "U123") -> (("SELL", 10625.0)))) // 0.5×0.25×85K × 1 ÷ 1
+  }
+
+  test("price magnifier and multiplier scale target quantities " +
+    "(test_trade.py:2632-2800)") {
+    val futPrices = Seq(
+      ("FI12345", "2018-05-03", 10.50), ("FI23456", "2018-05-03", 8.50),
+      ("FI34567", "2018-05-03", 11.50))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    val futMaster = Seq(
+      ("FI12345", "USD", "FUT", 1.0, 20.0), // cv = 10.50×20
+      ("FI23456", "USD", "FUT", 1.0, 50.0), // cv = 8.50×50
+      ("FI34567", "USD", "FUT", 10.0, 1.0)) // cv = 11.50/10
+      .toDF("sid", "currency", "secType", "priceMagnifier", "multiplier")
+    object FutLongShort extends Strategy {
+      val code = "long-short-10"
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", when(col("close") <= 10, 1).otherwise(-1))
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        panel.withColumn("weight", Weights.fixedWeights(col("signal"), 0.25))
+    }
+    val allocations = Seq(("U123", 0.5)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 85000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(FutLongShort, futPrices, futMaster, allocations,
+      balances, rates, noPositions, noOrders, signalDate = "2018-05-03")
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "U123") -> (("SELL", 51.0)), // 10625 / 210
+      ("FI23456", "U123") -> (("BUY", 25.0)), // 10625 / 425
+      ("FI34567", "U123") -> (("SELL", 9239.0)))) // 10625 / 1.15
+  }
+
   test("ALLOW_REBALANCE=False suppresses same-direction adjustments " +
     "(base.py:1782-1786, test_allow_rebalance.py:167)") {
     val orders = Trade.run(BuyBelow10Fixed, prices, master, fourAccounts,
