@@ -138,4 +138,26 @@ object ContractValues {
       multiplier: Column): Column =
     when(secType === "CASH", lit(1.0)).otherwise(
       price / coalesce(priceMagnifier, lit(1.0)) * coalesce(multiplier, lit(1.0)))
+
+  /** CONTRACT_VALUE_REFERENCE_FIELD resolution (base.py:1862-1900):
+    * explicit override, else the first present candidate price field
+    * (history then realtime aggregates, lowercased to the panel's column
+    * convention), else the reference's error. */
+  val candidateFields: Seq[String] = Seq(
+    "close", "open",
+    "minuteclose_close", "secondclose_close", "lastprice_close",
+    "bidprice_close", "askprice_close", "timesaleslastprice_close",
+    "timesalesfilteredlastprice_close", "lastprice_mean", "bidprice_mean",
+    "askprice_mean", "timesaleslastprice_mean",
+    "timesalesfilteredlastprice_mean", "minuteopen_open", "secondopen_open",
+    "lastprice_open", "bidprice_open", "askprice_open",
+    "timesaleslastprice_open", "timesalesfilteredlastprice_open")
+
+  def referenceField(columns: Seq[String], explicit: Option[String]): String =
+    explicit.getOrElse(
+      candidateFields.find(columns.contains).getOrElse(
+        throw new IllegalArgumentException(
+          "Can't identify a suitable field to use to calculate contract values. " +
+            "Please set contractValueReferenceField = '<field>' to indicate " +
+            "which price field to use to calculate contract values.")))
 }

@@ -48,7 +48,8 @@ object Backtest {
     // defined (base.py:1343); see Limits.constrainWeights.
     val (maxLong, maxShort) = strategy.limitPositionSizes(prices)
     if (maxLong.isDefined || maxShort.isDefined)
-      p = Limits.constrainWeights(p, maxLong, maxShort, master, cfg.nlv)
+      p = Limits.constrainWeights(p, maxLong, maxShort, master, cfg.nlv,
+        ContractValues.referenceField(p.columns, strategy.contractValueReferenceField))
 
     // hooks 3-4: position, gross (base.py:1344-1345)
     p = strategy.targetWeightsToPositions(p)
@@ -201,8 +202,12 @@ object Backtest {
       master: Option[DataFrame],
       cfg: Config)(implicit k: Keys): DataFrame = {
     val nlvCol = cfg.nlv.map(v => lit(v))
+    // CONTRACT_VALUE_REFERENCE_FIELD (base.py:1862-1900) — resolved only
+    // when a commission model actually needs contract values
+    lazy val cvField = ContractValues.referenceField(
+      panel.columns, strategy.contractValueReferenceField)
     def cv: Column = ContractValues.contractValue(
-      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+      col(cvField), col("secType"), col("priceMagnifier"), col("multiplier"))
 
     if (strategy.commissionBySecGroup.nonEmpty) {
       val m = master.getOrElse(
@@ -248,10 +253,11 @@ object Backtest {
                 .withColumn("commission", model.commissions(cv, col("turnover"), nlvCol))
                 .drop("secType", "priceMagnifier", "multiplier")
             case None =>
-              // no master: contract value = raw close (magnifier/multiplier 1)
+              // no master: contract value = the raw reference price
+              // (magnifier/multiplier 1)
               panel.withColumn(
                 "commission",
-                model.commissions(col("close"), col("turnover"), nlvCol))
+                model.commissions(col(cvField), col("turnover"), nlvCol))
           }
       }
   }
@@ -280,7 +286,8 @@ object Limits {
       maxLong: Option[DataFrame],
       maxShort: Option[DataFrame],
       master: Option[DataFrame],
-      nlv: Option[Double])(implicit k: Keys): DataFrame = {
+      nlv: Option[Double],
+      cvField: String = "close")(implicit k: Keys): DataFrame = {
     val m = master.getOrElse(
       throw new IllegalArgumentException("limit_position_sizes requires a master"))
     val nlvValue = nlv.getOrElse(
@@ -290,7 +297,7 @@ object Limits {
       broadcast(m.select("sid", "secType", "priceMagnifier", "multiplier")),
       Seq("sid"), "left")
     val cv0 = ContractValues.contractValue(
-      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+      col(cvField), col("secType"), col("priceMagnifier"), col("multiplier"))
     p = p.withColumn("__cv", Panel.ffill(cv0))
 
     // weights → integer quantities (base.py:952-956)

@@ -45,6 +45,11 @@ trait Strategy {
     * value per account applies. */
   def accountBalanceFields: Seq[String] = Seq("netLiquidation")
 
+  /** CONTRACT_VALUE_REFERENCE_FIELD (base.py:1862-1900): which panel
+    * price column feeds contract values; None = first present candidate
+    * ("close", "open", realtime aggregates). */
+  def contractValueReferenceField: Option[String] = None
+
   /** Effective lookback bars (base.py:1050-1086): an explicit
     * `lookbackWindow` wins as-is; otherwise an interval implies the
     * reference's default 252-bar window plus one interval span. The

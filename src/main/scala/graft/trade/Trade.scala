@@ -91,7 +91,8 @@ object Trade {
       allocations: DataFrame,
       balances: DataFrame,
       rates: DataFrame,
-      balanceFields: Seq[String] = Seq("netLiquidation")): DataFrame = {
+      balanceFields: Seq[String] = Seq("netLiquidation"),
+      cvField: String = "close"): DataFrame = {
     // ACCOUNT_BALANCE_FIELD (base.py:1647-1649, 1670-1671): the equity
     // basis is the named balance field, or the LESSER of several.
     val nlvExpr =
@@ -135,7 +136,7 @@ object Trade {
 
     // D21: weight × allocation × NLV × FX ÷ |contract value|, rounded
     val cv = ContractValues.contractValue(
-      col("close"), col("secType"), col("priceMagnifier"), col("multiplier"))
+      col(cvField), col("secType"), col("priceMagnifier"), col("multiplier"))
     val safeCv = abs(when(cv =!= 0, cv))
     withRate
       .withColumn(
@@ -256,7 +257,8 @@ object Trade {
     p = strategy.signalsToTargetWeights(p)
     val today = todayWeights(p, signalDate, tradeTime)
     val targets = targetQuantities(today, master, allocations, balances, rates,
-      strategy.accountBalanceFields)
+      strategy.accountBalanceFields,
+      ContractValues.referenceField(prices.columns, strategy.contractValueReferenceField))
     // D17 (base.py:1738-1758): constrain target quantities BEFORE the
     // position diff, mirroring the backtest-side D16 clamp.
     val (maxLong, maxShort) = strategy.limitPositionSizes(prices)

@@ -183,6 +183,31 @@ class TradeGoldenSpec extends SparkSpec {
     assert(rows("FI23456") == (("BUY", 1250.0, 11.25, "LMT")))
   }
 
+  test("CONTRACT_VALUE_REFERENCE_FIELD: alternate price field, and the " +
+    "no-candidate error (test_trade.py:872-1123)") {
+    val auctionPrices = prices.withColumnRenamed("close", "auction_close")
+    def strat(field: Option[String]) = new Strategy {
+      val code = "buy-below-10"
+      override def contractValueReferenceField: Option[String] = field
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("auction_close") < 10).cast("int"))
+    }
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    // explicit field: same quantities as the basic golden (6471)
+    val orders = Trade.run(strat(Some("auction_close")), auctionPrices, master,
+      allocations, balances, rates, noPositions, noOrders, signalDate = "2018-05-03")
+    assert(ordersOf(orders) == Map(("FI23456", "U123") -> (("BUY", 6471.0))))
+    // no candidate field and no override → the reference's error
+    val e = intercept[IllegalArgumentException] {
+      Trade.run(strat(None), auctionPrices, master, allocations, balances,
+        rates, noPositions, noOrders, signalDate = "2018-05-03")
+    }
+    assert(e.getMessage.startsWith(
+      "Can't identify a suitable field to use to calculate contract values"))
+  }
+
   test("FX: contract value ≡ 1 and conversion uses the Symbol's base " +
     "currency, not the Currency field (test_trade.py:2974-3125)") {
     val fxPrices = Seq(
