@@ -86,6 +86,16 @@ object TextOracles {
         |       ELSE 0.0 END AS mean_word_len
         |FROM documents""".stripMargin,
 
+    "tx5_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text,
+         |    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9'']+|\\s+'))::BIGINT
+         |    AS bpe_tokens,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT
+         |    AS ws_tokens
+         |FROM documents""".stripMargin,
+
     "tx2_lang_id" -> {
       val scores = Seq("de", "en", "es", "fr", "it")
         .map(l => s"(${langScore(l)}) AS s_$l").mkString(", ")

@@ -30,6 +30,13 @@ object TextQueries {
         TextAnalysis.meanWordLength(col("text")).as("mean_word_len"))
     }),
 
+    "tx5_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"))
+    }),
+
     "tx2_lang_id" -> ((s, dir) => {
       t(s, dir, "documents").select(
         col("doc_id"),

@@ -22,6 +22,19 @@ object TextAnalysis {
   def charLenTokens(text: Column): Column =
     ceil(length(text) / lit(4.0)).cast("long")
 
+  /** GPT-2-style pre-tokenizer split pattern: contractions, space-glued
+    * word/number/punctuation runs, whitespace runs. Kept to constructs
+    * with identical semantics in Java regex and RE2 so the DuckDB oracle
+    * reproduces counts exactly (no lookarounds). */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9']+|\\s+"
+
+  /** BPE-ish token count: matches of [[bpePattern]] — a far closer proxy
+    * to real subword counts than whitespace words for punctuation-heavy
+    * text. Codegen'd `regexp_count` on the scan, shuffle-free. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpePattern)).cast("long")
+
   /** Count occurrences of a literal substring — the replace-length trick,
     * chosen over regexp for exact cross-engine (DuckDB oracle) parity. */
   def countOccurrences(text: Column, literal: String): Column =
