@@ -256,9 +256,23 @@ object Trade {
     var p = strategy.pricesToSignals(prices)
     p = strategy.signalsToTargetWeights(p)
     val today = todayWeights(p, signalDate, tradeTime)
-    val targets = targetQuantities(today, master, allocations, balances, rates,
-      strategy.accountBalanceFields,
-      ContractValues.referenceField(prices.columns, strategy.contractValueReferenceField))
+    val cvField = ContractValues.referenceField(
+      prices.columns, strategy.contractValueReferenceField)
+    // Once-a-day intraday (daily weights over intraday prices): the
+    // collapsed weights panel has no price column, so the contract-value
+    // price is the signal date's LAST bar from the original prices
+    // (base.py:1622-1628: ffill().loc[date].iloc[-1] when no signal time).
+    val todayWithCv =
+      if (today.columns.contains(cvField)) today
+      else {
+        val lastBar = prices
+          .where(col(k.dateCol) === lit(signalDate))
+          .groupBy(col(k.sid))
+          .agg(max_by(col(cvField), col("time")).as(cvField))
+        today.join(broadcast(lastBar), Seq(k.sid), "left")
+      }
+    val targets = targetQuantities(todayWithCv, master, allocations, balances,
+      rates, strategy.accountBalanceFields, cvField)
     // D17 (base.py:1738-1758): constrain target quantities BEFORE the
     // position diff, mirroring the backtest-side D16 clamp.
     val (maxLong, maxShort) = strategy.limitPositionSizes(prices)

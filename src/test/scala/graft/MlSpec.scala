@@ -71,6 +71,27 @@ class MlSpec extends SparkSpec {
     assert(probas == Seq(0.0, 1.0)) // P(class=1) column, ml.py:494-509
   }
 
+  test("regressor trees squeeze 1-wide leaf outputs; unknown shapes raise " +
+    "(ml.py:491-509)") {
+    def tree(values: Array[Array[Double]], classes: Seq[Long]) =
+      OpaquePredictor(DecisionTreeModel(
+        features = Array(0, -1, -1), thresholds = Array(0.5, 0.0, 0.0),
+        lefts = Array(1, -1, -1), rights = Array(2, -1, -1),
+        values = Array(Array.empty[Double]) ++ values, classes = classes))
+    val df = Seq(Seq(0.0), Seq(1.0)).toDF("features")
+    // regressor: leaves carry a single value → prediction is that value
+    val reg = tree(Array(Array(1.25), Array(-2.5)), Seq.empty)
+    assert(reg.predict(df).select("prediction").collect().map(_.getDouble(0)).toSeq
+      == Seq(1.25, -2.5))
+    // 3-class proba output → the reference's NotImplementedError shape
+    val multi = tree(Array(Array(0.1, 0.2, 0.7), Array(0.7, 0.2, 0.1)), Seq(0L, 1L, 2L))
+    val e = intercept[org.apache.spark.SparkException] {
+      multi.predict(df).collect()
+    }
+    assert(e.getMessage.contains("Don't know what to do with predictions having shape (3,)")
+      || Option(e.getCause).exists(_.getMessage.contains("shape (3,)")))
+  }
+
   test("predict_proba golden: DecisionTreeML backtest (test_ml.py:844-1000)") {
     // fixture test_ml.py:874-897; model = perfectly-fit tree on close>10,
     // predict_proba → P(class=1); signals = proba < 0.5 (long below 10)

@@ -183,6 +183,41 @@ class TradeGoldenSpec extends SparkSpec {
     assert(rows("FI23456") == (("BUY", 1250.0, 11.25, "LMT")))
   }
 
+  test("short-only once-a-day intraday: signals from the 09:30 slice, " +
+    "contract values from the day's last bar (test_trade.py:581-729)") {
+    val intradayPrices = Seq(
+      ("FI12345", "2018-05-01", "09:30:00", 9.6, 9.88),
+      ("FI12345", "2018-05-01", "15:30:00", 10.45, 10.34),
+      ("FI12345", "2018-05-02", "09:30:00", 10.12, 10.23),
+      ("FI12345", "2018-05-02", "15:30:00", 15.45, 16.45),
+      ("FI12345", "2018-05-03", "09:30:00", 8.67, 8.90),
+      ("FI12345", "2018-05-03", "15:30:00", 12.30, 11.30),
+      ("FI23456", "2018-05-01", "09:30:00", 10.56, 9.89),
+      ("FI23456", "2018-05-01", "15:30:00", 12.01, 11.0),
+      ("FI23456", "2018-05-02", "09:30:00", 10.50, 8.50),
+      ("FI23456", "2018-05-02", "15:30:00", 9.80, 10.50),
+      ("FI23456", "2018-05-03", "09:30:00", 13.40, 14.10),
+      ("FI23456", "2018-05-03", "15:30:00", 14.50, 15.60))
+      .toDF("sid", "date", "time", "close", "open")
+      .withColumn("date", to_date($"date"))
+    object ShortAbove10 extends Strategy {
+      val code = "short-above-10"
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.groupBy("sid", "date")
+          .agg(max(when(col("time") === "09:30:00", col("open"))).as("open_0930"))
+          .withColumn("signal", -(col("open_0930") > 10).cast("int"))
+      override def signalsToTargetWeights(panel: DataFrame): DataFrame =
+        panel.withColumn("weight", Weights.fixedWeights(col("signal"), 0.25))
+    }
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 60000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(ShortAbove10, intradayPrices, master, allocations,
+      balances, rates, noPositions, noOrders, signalDate = "2018-05-03")
+    // −0.25 × 60K ÷ 14.50 (the 15:30 close, NOT the 09:30 signal bar)
+    assert(ordersOf(orders) == Map(("FI23456", "U123") -> (("SELL", 1034.0))))
+  }
+
   test("CONTRACT_VALUE_REFERENCE_FIELD: alternate price field, and the " +
     "no-candidate error (test_trade.py:872-1123)") {
     val auctionPrices = prices.withColumnRenamed("close", "auction_close")
