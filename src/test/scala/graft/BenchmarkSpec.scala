@@ -112,6 +112,40 @@ class BenchmarkSpec extends SparkSpec {
       "2018-05-03" -> -0.0015681)) // 210.12/210.45 - 1
   }
 
+  test("continuous intraday: benchmark is the intraday series itself " +
+    "(test_benchmark.py:1661-1780)") {
+    val contPrices = Seq(
+      ("FI12345", "2018-05-01", "10:00:00", 9.6), ("FI12345", "2018-05-01", "11:00:00", 10.45),
+      ("FI12345", "2018-05-01", "12:00:00", 10.12), ("FI12345", "2018-05-02", "10:00:00", 15.45),
+      ("FI12345", "2018-05-02", "11:00:00", 8.67), ("FI12345", "2018-05-02", "12:00:00", 12.30),
+      ("FI23456", "2018-05-01", "10:00:00", 10.56), ("FI23456", "2018-05-01", "11:00:00", 12.01),
+      ("FI23456", "2018-05-01", "12:00:00", 10.50), ("FI23456", "2018-05-02", "10:00:00", 9.80),
+      ("FI23456", "2018-05-02", "11:00:00", 13.40), ("FI23456", "2018-05-02", "12:00:00", 7.50))
+      .toDF("sid", "date", "time", "close").withColumn("date", to_date($"date"))
+    val contStrategy = new Strategy {
+      val code = "c-intraday"
+      override def keys: Panel.Keys =
+        Panel.Keys(sid = "sid", order = Seq("date", "time"), dateCol = "date")
+      override def benchmarkSid: Option[String] = Some("FI23456")
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("close") <= 10).cast("int"))
+    }
+    val bench = Backtest.run(contStrategy, contPrices)
+      .where($"field" === "Benchmark")
+      .orderBy("date", "time")
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("date").toString, r.getAs[String]("time")) ->
+        r7(r.getAs[Double]("value")))
+      .toSeq
+    assert(bench == Seq(
+      ("2018-05-01", "10:00:00") -> 0.0, // fillna(0)
+      ("2018-05-01", "11:00:00") -> 0.1373106, // 12.01/10.56 − 1
+      ("2018-05-01", "12:00:00") -> -0.1257286,
+      ("2018-05-02", "10:00:00") -> -0.0666667, // overnight slot-to-slot
+      ("2018-05-02", "11:00:00") -> 0.3673469,
+      ("2018-05-02", "12:00:00") -> -0.4402985))
+  }
+
   test("errors: missing BENCHMARK_TIME; intraday BENCHMARK_DB " +
     "(test_benchmark.py:743-865, 987)") {
     val noTime = intercept[IllegalArgumentException] {
