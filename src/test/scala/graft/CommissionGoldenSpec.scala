@@ -46,6 +46,52 @@ class CommissionGoldenSpec extends SparkSpec {
     assert(dates.map(d => results((field, sid, d))) == expected,
       s"$field/$sid: got ${dates.map(d => results((field, sid, d)))}")
 
+  test("futures commissions scale with multiplier and price magnifier " +
+    "(test_commissions.py:2657-3052)") {
+    val futPrices = Seq(
+      ("FI12345", "2018-05-01", 900.0), ("FI12345", "2018-05-02", 1100.0),
+      ("FI12345", "2018-05-03", 1050.0), ("FI12345", "2018-05-04", 999.0),
+      ("FI23456", "2018-05-01", 900.0), ("FI23456", "2018-05-02", 1100.0),
+      ("FI23456", "2018-05-03", 1050.0), ("FI23456", "2018-05-04", 999.0))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    def run(master: DataFrame): Map[(String, String), Double] = {
+      object FutLongShort extends Strategy {
+        val code = "fut-long-short"
+        override def commissionModel = Some(
+          graft.costs.FuturesCommission(brokerCommissionPerContract = 2))
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal",
+            when(col("close") <= 1000, 1).otherwise(-1))
+      }
+      Backtest.run(FutLongShort, futPrices, master = Some(master))
+        .where($"field" === "Commission")
+        .collect()
+        .map(r => (r.getAs[String]("sid"), r.getAs[java.sql.Date]("date").toString) ->
+          (Option(r.getAs[java.lang.Double]("value")).map(v => r7(v.toDouble))
+            .getOrElse(Double.NaN)))
+        .toMap
+    }
+    // multiplier: FI12345 ×10, FI23456 ×20 — double the multiplier,
+    // half the contracts, half the commission (test_commissions.py:2657)
+    val byMult = run(Seq(
+      ("FI12345", "FUT", Option(1.0), 10.0),
+      ("FI23456", "FUT", Option.empty[Double], 20.0)) // null magnifier → 1
+      .toDF("sid", "secType", "priceMagnifier", "multiplier"))
+    assert(byMult(("FI12345", "2018-05-02")) == 0.0000909)
+    assert(byMult(("FI12345", "2018-05-03")) == 0.0001905)
+    assert(byMult(("FI12345", "2018-05-04")) == 0.0)
+    assert(byMult(("FI23456", "2018-05-02")) == 0.0000455)
+    assert(byMult(("FI23456", "2018-05-03")) == 0.0000952)
+    // price magnifier: FI23456 ÷100 — 100× the contracts, 100× the
+    // commission (test_commissions.py:2856)
+    val byMag = run(Seq(
+      ("FI12345", "FUT", 1.0, 10.0), ("FI23456", "FUT", 100.0, 10.0))
+      .toDF("sid", "secType", "priceMagnifier", "multiplier"))
+    assert(byMag(("FI12345", "2018-05-02")) == 0.0000909)
+    assert(byMag(("FI23456", "2018-05-02")) == 0.0090909)
+    assert(byMag(("FI23456", "2018-05-03")) == 0.0190476)
+  }
+
   test("dispatch raises on an uncovered (secType,exchange,currency) group " +
     "(base.py:862-875)") {
     object Dispatched extends Strategy {
