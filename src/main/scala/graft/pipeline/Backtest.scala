@@ -201,7 +201,12 @@ object Backtest {
       panel: DataFrame,
       master: Option[DataFrame],
       cfg: Config)(implicit k: Keys): DataFrame = {
-    val nlvCol = cfg.nlv.map(v => lit(v))
+    // NLV source for min-commission floors: a per-security `nlv` column
+    // on the master wins (the reference's securities-master Nlv, mapped
+    // per currency, base.py:1856-1860); else the scalar Config.nlv.
+    val masterHasNlv = master.exists(_.columns.contains("nlv"))
+    val nlvCol =
+      if (masterHasNlv) Some(col("nlv")) else cfg.nlv.map(v => lit(v))
     // CONTRACT_VALUE_REFERENCE_FIELD (base.py:1862-1900) — resolved only
     // when a commission model actually needs contract values
     lazy val cvField = ContractValues.referenceField(
@@ -226,10 +231,10 @@ object Backtest {
             "(sectype,exchange,currency) but none is defined for " +
             missing.toSeq.sorted
               .map { case (s, e, c) => s"($s,$e,$c)" }.mkString(", "))
+      val dispatchCols = Seq("sid", "secType", "exchange", "currency",
+        "priceMagnifier", "multiplier") ++ (if (masterHasNlv) Seq("nlv") else Nil)
       val joined = panel.join(
-        broadcast(m.select("sid", "secType", "exchange", "currency",
-          "priceMagnifier", "multiplier")),
-        Seq("sid"), "left")
+        broadcast(m.select(dispatchCols.map(col): _*)), Seq("sid"), "left")
       // D12: fold per-group models into one nested when() expression
       val expr = strategy.commissionBySecGroup.foldLeft(lit(null).cast("double")) {
         case (acc, ((secType, exchange, currency), model)) =>
@@ -239,19 +244,19 @@ object Backtest {
       }
       joined
         .withColumn("commission", expr)
-        .drop("secType", "exchange", "currency", "priceMagnifier", "multiplier")
+        .drop("secType", "exchange", "currency", "priceMagnifier", "multiplier", "nlv")
     } else
       strategy.commissionModel match {
         case None => panel.withColumn("commission", lit(0.0))
         case Some(model) =>
           master match {
             case Some(m) =>
+              val cols = Seq("sid", "secType", "priceMagnifier", "multiplier") ++
+                (if (masterHasNlv) Seq("nlv") else Nil)
               panel
-                .join(
-                  broadcast(m.select("sid", "secType", "priceMagnifier", "multiplier")),
-                  Seq("sid"), "left")
+                .join(broadcast(m.select(cols.map(col): _*)), Seq("sid"), "left")
                 .withColumn("commission", model.commissions(cv, col("turnover"), nlvCol))
-                .drop("secType", "priceMagnifier", "multiplier")
+                .drop("secType", "priceMagnifier", "multiplier", "nlv")
             case None =>
               // no master: contract value = the raw reference price
               // (magnifier/multiplier 1)

@@ -46,6 +46,28 @@ class CommissionGoldenSpec extends SparkSpec {
     assert(dates.map(d => results((field, sid, d))) == expected,
       s"$field/$sid: got ${dates.map(d => results((field, sid, d)))}")
 
+  test("per-security NLV from the master drives the min-commission floor " +
+    "(base.py:1856-1860)") {
+    // same model for both sids; NLV differs per security → floors differ
+    object Floored extends Strategy {
+      val code = "floored"
+      override def commissionModel: Option[CommissionModel] = Some(
+        PercentageCommission(brokerCommissionRate = 0.0001, minCommission = 500))
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", when(col("close") <= 10, 1).otherwise(-1))
+    }
+    val master = Seq(
+      ("FI12345", "STK", 1.0, 1.0, 50000.0), // floor 500/50000 = 0.01
+      ("FI23456", "STK", 1.0, 1.0, 250000.0)) // floor 500/250000 = 0.002
+      .toDF("sid", "secType", "priceMagnifier", "multiplier", "nlv")
+    val out = Backtest.run(Floored, prices, master = Some(master))
+      .where($"field" === "Commission" && $"date" === "2018-05-02")
+      .collect()
+      .map(r => r.getAs[String]("sid") -> r7(r.getAs[Double]("value"))).toMap
+    assert(out("FI12345") == 0.01)
+    assert(out("FI23456") == 0.002)
+  }
+
   test("futures commissions scale with multiplier and price magnifier " +
     "(test_commissions.py:2657-3052)") {
     val futPrices = Seq(
