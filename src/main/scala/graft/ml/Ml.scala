@@ -107,13 +107,16 @@ final case class OpaquePredictor(model: DecisionTreeModel) extends PanelPredicto
     val m = model // serialized into the task closure once
     df.mapPartitions { rows =>
       rows.map { r =>
-        val x = r.getSeq[Double](featIdx).toArray
-        val s = m.scores(x)
-        val p =
-          if (s.length == 1) s(0)
-          else if (s.length == 2 && m.classes == Seq(0L, 1L)) s(1)
-          else throw new IllegalArgumentException(
-            s"Don't know what to do with predictions having shape (${s.length},)")
+        val xs = r.getSeq[Double](featIdx)
+        val p: Any =
+          if (xs == null) null // null features → null prediction
+          else {
+            val s = m.scores(xs.toArray)
+            if (s.length == 1) s(0)
+            else if (s.length == 2 && m.classes == Seq(0L, 1L)) s(1)
+            else throw new IllegalArgumentException(
+              s"Don't know what to do with predictions having shape (${s.length},)")
+          }
         Row.fromSeq(r.toSeq :+ p)
       }
     }(Encoders.row(outSchema))

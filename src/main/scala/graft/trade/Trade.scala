@@ -264,13 +264,17 @@ object Trade {
     // (base.py:1622-1628: ffill().loc[date].iloc[-1] when no signal time).
     val todayWithCv =
       if (today.columns.contains(cvField)) today
-      else {
+      else if (prices.columns.contains("time")) {
         val lastBar = prices
           .where(col(k.dateCol) === lit(signalDate))
           .groupBy(col(k.sid))
           .agg(max_by(col(cvField), col("time")).as(cvField))
         today.join(broadcast(lastBar), Seq(k.sid), "left")
-      }
+      } else
+        throw new IllegalArgumentException(
+          s"contract-value field '$cvField' is not present in the weights " +
+            "panel — keep it through the strategy hooks or set " +
+            "contractValueReferenceField")
     val targets = targetQuantities(todayWithCv, master, allocations, balances,
       rates, strategy.accountBalanceFields, cvField)
     // D17 (base.py:1738-1758): constrain target quantities BEFORE the
