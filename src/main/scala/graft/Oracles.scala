@@ -533,7 +533,10 @@ object Oracles {
          |UNION ALL SELECT sid, date, time, 'Weight', weight FROM m""".stripMargin,
 
     "d19b_benchmark_db" ->
-      s"""WITH $panelCte,
+      s"""WITH panel AS (
+         |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+         |         max(l_extendedprice) AS close
+         |  FROM lineitem WHERE l_suppkey <= 25 GROUP BY 1, 2),
          |dates AS (SELECT DISTINCT date FROM panel),
          |bm AS (
          |  SELECT CAST(o_orderdate AS DATE) AS date, max(o_totalprice) AS close
@@ -608,7 +611,7 @@ object Oracles {
       s"""WITH panel AS (
          |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
          |         max(l_extendedprice) AS close, count(*) AS n_trades
-         |  FROM lineitem GROUP BY 1, 2),
+         |  FROM lineitem WHERE l_suppkey <= 25 GROUP BY 1, 2),
          |sig AS (
          |  SELECT sid, date, close, n_trades,
          |         CAST(close < 30000 AS INT) AS signal FROM panel),

@@ -560,6 +560,8 @@ object Queries {
     }),
 
     // ---- D19: BENCHMARK_DB — benchmark from a separate EOD frame ----
+    // (25-supplier slice: the full-pipeline cost is already measured by
+    // backtest_pipeline; this query checks the benchmark-source path)
     "d19b_benchmark_db" -> ((s, dir) => {
       val benchFrame = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("date"))
@@ -573,7 +575,9 @@ object Queries {
         def pricesToSignals(prices: DataFrame): DataFrame =
           prices.withColumn("signal", (col("close") < 30000).cast("int"))
       }
-      val panel = supplierPanel(s, dir).withColumn("sid", col("sid").cast("string"))
+      val panel = supplierPanel(s, dir)
+        .where(col("sid") <= 25)
+        .withColumn("sid", col("sid").cast("string"))
       Backtest.run(DbBench, panel).where(col("field") === "Benchmark")
     }),
 
@@ -664,7 +668,10 @@ object Queries {
           "DollarVolume" -> (col("close") * col("n_trades")),
           "PrevClose" -> Panel.lagBySid(col("close"))(liKeys))
       }
+      // 25-supplier slice — checks the custom-fields melt, not pipeline
+      // throughput (that's backtest_pipeline's job)
       val panel = t(s, dir, "lineitem")
+        .where(col("l_suppkey") <= 25)
         .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
         .agg(max(col("l_extendedprice")).as("close"),
           count(lit(1)).as("n_trades"))
