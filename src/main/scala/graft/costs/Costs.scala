@@ -97,6 +97,55 @@ object CommissionModel {
   /** D11 `SpotFXCommission` (commission/fx.py:17-52): 0.2 bps, no min. */
   val spotFX: PercentageCommission = PercentageCommission(brokerCommissionRate = 0.00002)
   val none: PercentageCommission = PercentageCommission()
+
+  /** The reference's canned demo commission classes as parameter packs
+    * (commission/stk.py:190-273, fut.py:82-122) — same names, same
+    * numbers, so a migrating user keeps their COMMISSION_CLASS choices. */
+  object Demo {
+    val usStock = PerShareCommission(
+      brokerCommissionPerShare = 0.005, minCommission = 1.00)
+    val costPlusUSStock = PerShareCommission(
+      brokerCommissionPerShare = 0.0035,
+      exchangeFeePerShare = 0.0002 + 0.000119 / 2,
+      makerFeePerShare = -0.002, takerFeePerShare = 0.00118, makerRatio = 0,
+      commissionPercentageFeeRate = 0.000175 + 0.00056,
+      percentageFeeRate = 0.0000231, minCommission = 0.35)
+    val costPlusCanadaStock = PerShareCommission(
+      brokerCommissionPerShare = 0.008,
+      exchangeFeePerShare = 0.00017 + 0.00011,
+      makerFeePerShare = -0.0019, takerFeePerShare = 0.003, makerRatio = 0,
+      minCommission = 1.00)
+    val australiaStock = PercentageCommission(
+      brokerCommissionRate = 0.0008, minCommission = 5.00)
+    val franceStock = PercentageCommission(
+      brokerCommissionRate = 0.0008, exchangeFeeRate = 0.000095,
+      minCommission = 1.25)
+    val germanyStock = PercentageCommission(
+      brokerCommissionRate = 0.0008, exchangeFeeRate = 0.000048 + 0.00001,
+      minCommission = 1.25)
+    val hongKongStock = PercentageCommission(
+      brokerCommissionRate = 0.0008,
+      exchangeFeeRate = 0.00005 + 0.00002 + 0.001 + 0.000027,
+      minCommission = 18.00)
+    val japanStock = PercentageCommission(
+      brokerCommissionRate = 0.0005, exchangeFeeRate = 0.000004,
+      minCommission = 80.00)
+    val mexicoStock = PercentageCommission(
+      brokerCommissionRate = 0.0010, minCommission = 60.00)
+    val singaporeStock = PercentageCommission(
+      brokerCommissionRate = 0.0008, exchangeFeeRate = 0.00034775 + 0.00008025,
+      minCommission = 2.50)
+    val ukStock = PercentageCommission(
+      brokerCommissionRate = 0.0008, exchangeFeeRate = 0.000045 + 0.0025,
+      minCommission = 1.00)
+    val cmeEquityEMiniFixed = FuturesCommission(
+      brokerCommissionPerContract = 0.85, exchangeFeePerContract = 1.18)
+    val canadaCADFuturesTiered = FuturesCommission(
+      brokerCommissionPerContract = 0.85,
+      exchangeFeePerContract = 1.12 + 0.03 + 0.01)
+    val koreaFutures = PercentageCommission(brokerCommissionRate = 0.00004)
+    val koreaStockFutures = PercentageCommission(brokerCommissionRate = 0.0004)
+  }
 }
 
 /** Slippage models (reference slippage/{fixed,borrowfee}.py, D13-D14). */

@@ -78,6 +78,23 @@ class CostsSpec extends SparkSpec {
     assert(viaClass == 0.00025)
   }
 
+  test("demo commission catalog matches the reference's parameter packs " +
+    "(commission/stk.py:190-273, fut.py:82-122)") {
+    import CommissionModel.Demo
+    val df = Seq((200.0, 0.5)).toDF("cv", "turnover") // cv 200, half the book turned
+    def c(m: CommissionModel, nlv: Option[Double] = None): Double =
+      df.select(m.commissions($"cv", $"turnover", nlv.map(lit))).head.getDouble(0)
+    // US per-share: 0.005/200 × 0.5 = 0.0000125 (no NLV → no floor)
+    assert(c(Demo.usStock) == 0.005 / 200.0 * 0.5)
+    // floor binds: 1.00/10000 = 1e-4 > raw 1.25e-5
+    assert(c(Demo.usStock, nlv = Some(10000.0)) == 1.00 / 10000.0)
+    // percentage: 8 bps × 0.5 + 0.95 bps exchange fee × 0.5
+    assert(r7(c(Demo.franceStock)) == r7(0.0008 * 0.5 + 0.000095 * 0.5))
+    // futures: (0.85 + 1.18)/200 × 0.5
+    assert(r7(c(Demo.cmeEquityEMiniFixed)) == r7(2.03 / 200.0 * 0.5))
+    assert(c(Demo.koreaFutures) == 0.00004 * 0.5)
+  }
+
   test("IBKRBorrowFees golden: shorts × 1.02 × rate/360 × days held, " +
     "weekends ×3 (_tests/slippage/test_slippage.py:45-87)") {
     // fixture: positions + as-of borrow-fee rates per (sid, date)
