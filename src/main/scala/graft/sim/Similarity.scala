@@ -46,7 +46,14 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(0.0)
   }
 
+  /** Codegen'd native squared distance ([[graft.functions.SquaredDistance]])
+    * — bit-identical to [[euclideanHof]] (same sequential accumulation),
+    * keeps the IVF cell-assignment loop in whole-stage codegen. */
   def euclidean(a: Column, b: Column): Column =
+    sqrt(graft.functions.SquaredDistance.squaredDistanceNative(a, b))
+
+  /** The pure-builtin formulation, kept as the portability reference. */
+  def euclideanHof(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {
         val diff = x.cast("double") - y.cast("double")

@@ -74,9 +74,21 @@ class ToolboxSpec extends SparkSpec {
     assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
-  test("euclidean distance") {
+  test("euclidean distance: native expression bit-identical to the HOF form") {
     val d = Seq((Array(0.0f, 3.0f), Array(4.0f, 0.0f))).toDF("a", "b")
       .select(Similarity.euclidean($"a", $"b")).head.getDouble(0)
     assert(d == 5.0)
+    // equivalence over many float vectors (same sequential accumulation)
+    val vecs = spark.range(500).select(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(1), lit(16)),
+        i => (pmod($"id" * 31 + i * 7, lit(101)) / 10.0).cast("float")).as("a"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(lit(1), lit(16)),
+        i => (pmod($"id" * 17 + i * 13, lit(97)) / 10.0).cast("float")).as("b"))
+    val mismatches = vecs
+      .where(Similarity.euclidean($"a", $"b") =!= Similarity.euclideanHof($"a", $"b"))
+      .count()
+    assert(mismatches == 0)
   }
 }
