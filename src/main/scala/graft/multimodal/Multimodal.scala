@@ -51,34 +51,37 @@ object Multimodal {
     * stream of rows; the codec returns a fixed-length float vector per
     * payload. This is the Scala analog of `mapInPandas` — per-partition
     * batching, codec state initialized once per partition (not per row),
-    * output schema declared up front. */
+    * output schema declared up front. A TYPED `Dataset.mapPartitions`
+    * with a Row encoder, so the stage stays in the Tungsten pipeline
+    * (no RDD drop-out; upstream scans/filters still fuse). */
   def extractFeatures(
       df: DataFrame,
       idCol: String = "media_id",
       payloadCol: String = "payload",
       dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
+    import org.apache.spark.sql.Encoders
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       // per-partition codec init happens HERE (once), not per row
       val codec = MediaCodec.open(dim)
       rows.map { r =>
         val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
         Row(r.getLong(idIdx), codec.decodeStub(payload))
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    }(Encoders.row(outSchema))
   }
 }
 
-/** Codec seam. `decodeStub` is a deterministic fake — ??? the real decode
-  * (JPEG/PNG pixel decode, audio resample, video frame-sample) requires
-  * native libraries not present in this container. The fake derives a
-  * stable feature vector from payload bytes so the plumbing is testable. */
+/** Codec seam. `decodeStub` is a deterministic fake — a STUB standing in
+  * for the real decode (JPEG/PNG pixel decode, audio resample, video
+  * frame-sample), which requires native libraries not present in this
+  * container. The fake derives a stable feature vector from payload
+  * bytes so the Spark-side plumbing (schema, partitioning, batch shape)
+  * is real and testable; swap in a real codec without touching it. */
 final class MediaCodec private (dim: Int) {
   def decodeStub(payload: Array[Byte]): Seq[Float] = {
     if (payload == null) return null
