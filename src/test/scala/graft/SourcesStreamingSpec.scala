@@ -31,6 +31,22 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(plan.contains("PushedFilters"))
   }
 
+  test("price scan: excludeSids and times filters (S1, base.py:1243-1249)") {
+    val dir = Files.createTempDirectory("graft-prices2").toString
+    Seq(
+      ("A", "2024-01-01", "09:30:00", 1.0), ("A", "2024-01-01", "15:30:00", 2.0),
+      ("B", "2024-01-01", "09:30:00", 3.0), ("B", "2024-01-01", "15:30:00", 4.0),
+      ("C", "2024-01-01", "09:30:00", 5.0))
+      .toDF("sid", "date", "time", "close")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(dir)
+    val q = Sources.PriceQuery(
+      excludeSids = Seq("C"), times = Seq("15:30:00"))
+    val rows = Sources.prices(spark, dir, q)
+      .collect().map(r => r.getAs[String]("sid") -> r.getAs[Double]("close")).toMap
+    assert(rows == Map("A" -> 2.0, "B" -> 4.0))
+  }
+
   test("lookback widening converts trading days to calendar days + buffer (W7)") {
     // reference constants (base.py:1146-1181): 365/235 conversion
     assert(Sources.widenedStart("2024-06-01", 0) == "2024-06-01")
