@@ -56,6 +56,15 @@ object Trade {
     tradeTime match {
       case None => onDate
       case Some(t) =>
+        // validation (base.py:795-806): some bar must exist before the
+        // trade time — a silent empty slice would read as "no orders".
+        // limit(1) short-circuits the probe.
+        val anyEarlier = panel.select("time")
+          .where(col("time") < lit(t)).limit(1).count()
+        require(anyEarlier > 0,
+          "cannot determine which target weights to use for orders because " +
+            s"target weights DataFrame contains no times earlier than trade " +
+            s"time $t for signal date $signalDate")
         // W10: latest bar strictly before the trade time, per sid
         val eligible = onDate.where(col("time") < lit(t))
         val w = Window.partitionBy(k.sid).orderBy(col("time").desc)

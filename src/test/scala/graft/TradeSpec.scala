@@ -98,6 +98,24 @@ class TradeSpec extends SparkSpec {
     assert(err.getMessage.contains("2024-01-05") && err.getMessage.contains("stale"))
   }
 
+  test("todayWeights: latest bar before trade time; no earlier bar raises " +
+    "(W10/D20, base.py:794-806, test_trade_date_validation.py:189)") {
+    implicit val k: graft.panel.Panel.Keys =
+      graft.panel.Panel.Keys(sid = "sid", order = Seq("date", "time"), dateCol = "date")
+    val panel = Seq(
+      ("A", "2024-01-02", "09:30:00", 1.0), ("A", "2024-01-02", "11:00:00", 2.0),
+      ("A", "2024-01-02", "15:30:00", 3.0))
+      .toDF("sid", "date", "time", "weight")
+      .withColumn("date", to_date($"date"))
+    val picked = Trade.todayWeights(panel, "2024-01-02", Some("12:00:00"))
+      .select("weight").head.getDouble(0)
+    assert(picked == 2.0) // 11:00 bar, strictly before noon
+    val e = intercept[IllegalArgumentException] {
+      Trade.todayWeights(panel, "2024-01-02", Some("09:00:00"))
+    }
+    assert(e.getMessage.contains("no times earlier than trade time 09:00:00"))
+  }
+
   test("targetQuantities: weights × alloc × NLV × FX ÷ contract value (D21)") {
     val weights = Seq(("S1", 0.5, 100.0)).toDF("sid", "weight", "close")
     val master = Seq(("S1", "JPY", "STK", 1.0, 1.0))
