@@ -56,17 +56,26 @@ object Trade {
     tradeTime match {
       case None => onDate
       case Some(t) =>
-        // validation (base.py:795-806): some bar must exist before the
-        // trade time — a silent empty slice would read as "no orders".
-        // limit(1) short-circuits the probe.
-        val anyEarlier = panel.select("time")
-          .where(col("time") < lit(t)).limit(1).count()
-        require(anyEarlier > 0,
-          "cannot determine which target weights to use for orders because " +
-            s"target weights DataFrame contains no times earlier than trade " +
-            s"time $t for signal date $signalDate")
         // W10: latest bar strictly before the trade time, per sid
         val eligible = onDate.where(col("time") < lit(t))
+        // validation (base.py:795-830): an empty slice must not silently
+        // read as "no orders". In the reference's dense grid the two
+        // failure modes are separate checks; on a sparse long panel one
+        // limit(1) probe covers the happy path, and only a failure pays
+        // for the second probe to pick the right error.
+        if (eligible.limit(1).count() == 0) {
+          val anyEarlierTime =
+            panel.where(col("time") < lit(t)).limit(1).count() > 0
+          if (!anyEarlierTime)
+            throw new IllegalArgumentException(
+              "cannot determine which target weights to use for orders " +
+                "because target weights DataFrame contains no times earlier " +
+                s"than trade time $t for signal date $signalDate")
+          else
+            throw new IllegalArgumentException(
+              s"no $t data found in prices DataFrame for signal date " +
+                s"$signalDate, is the underlying data up-to-date?")
+        }
         val w = Window.partitionBy(k.sid).orderBy(col("time").desc)
         eligible.withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn")

@@ -114,6 +114,13 @@ class TradeSpec extends SparkSpec {
       Trade.todayWeights(panel, "2024-01-02", Some("09:00:00"))
     }
     assert(e.getMessage.contains("no times earlier than trade time 09:00:00"))
+    // stale date: earlier times exist in history but not on the signal date
+    // (base.py:810-830)
+    val stale = intercept[IllegalArgumentException] {
+      Trade.todayWeights(panel, "2024-01-03", Some("12:00:00"))
+    }
+    assert(stale.getMessage.contains(
+      "no 12:00:00 data found in prices DataFrame for signal date 2024-01-03"))
   }
 
   test("targetQuantities: weights × alloc × NLV × FX ÷ contract value (D21)") {
