@@ -37,7 +37,12 @@ object Trade {
       reviewDate: Option[String] = None,
       now: () => java.time.Instant = () => java.time.Instant.now()): (String, String) =
     reviewDate match {
-      case Some(d) => (d, "23:59:59") // review date: end-of-day semantics
+      case Some(d) if d.contains(" ") =>
+        // review date with a time ("2018-05-02 12:05:00") — continuous
+        // intraday reviews slice at that moment (base.py:744-760)
+        val Array(date, time) = d.split(" ", 2)
+        (date, time)
+      case Some(d) => (d, "23:59:59") // date-only: end-of-day semantics
       case None =>
         val zoned = now().atZone(java.time.ZoneId.of(timezone))
         (zoned.toLocalDate.toString,

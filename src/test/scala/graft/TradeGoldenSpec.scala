@@ -183,6 +183,39 @@ class TradeGoldenSpec extends SparkSpec {
     assert(rows("FI23456") == (("BUY", 1250.0, 11.25, "LMT")))
   }
 
+  test("continuous intraday: review date with time slices the latest bar " +
+    "before it (test_trade.py:730-871)") {
+    val contPrices = Seq(
+      ("FI12345", "2018-05-01", "10:00:00", 9.6), ("FI12345", "2018-05-01", "11:00:00", 10.45),
+      ("FI12345", "2018-05-01", "12:00:00", 10.12), ("FI12345", "2018-05-02", "10:00:00", 15.45),
+      ("FI12345", "2018-05-02", "11:00:00", 8.67), ("FI12345", "2018-05-02", "12:00:00", 12.30),
+      ("FI23456", "2018-05-01", "10:00:00", 10.56), ("FI23456", "2018-05-01", "11:00:00", 12.01),
+      ("FI23456", "2018-05-01", "12:00:00", 10.50), ("FI23456", "2018-05-02", "10:00:00", 9.80),
+      ("FI23456", "2018-05-02", "11:00:00", 13.40), ("FI23456", "2018-05-02", "12:00:00", 7.50))
+      .toDF("sid", "date", "time", "close").withColumn("date", to_date($"date"))
+    object ContIntraday extends Strategy {
+      val code = "c-intraday-pivot-10"
+      override def keys: graft.panel.Panel.Keys =
+        graft.panel.Panel.Keys(sid = "sid", order = Seq("date", "time"), dateCol = "date")
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", when(col("close") <= 10, 1).otherwise(-1))
+    }
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 60000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val (sd, tt) = Trade.resolveSignalDateTime(
+      "America/New_York", reviewDate = Some("2018-05-02 12:05:00"))
+    assert((sd, tt) == (("2018-05-02", "12:05:00")))
+    val orders = Trade.run(ContIntraday, contPrices, master, allocations,
+      balances, rates, noPositions, noOrders,
+      signalDate = sd, tradeTime = Some(tt))
+    // signal time = 12:00 (latest bar < 12:05): FI12345 12.30 → short,
+    // FI23456 7.50 → long; equal weights ±0.5 at that slot
+    assert(ordersOf(orders) == Map(
+      ("FI12345", "U123") -> (("SELL", 2439.0)), // 0.5×60K/12.30
+      ("FI23456", "U123") -> (("BUY", 4000.0)))) // 0.5×60K/7.50
+  }
+
   test("short-only once-a-day intraday: signals from the 09:30 slice, " +
     "contract values from the day's last bar (test_trade.py:581-729)") {
     val intradayPrices = Seq(
