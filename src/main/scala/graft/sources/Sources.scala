@@ -69,6 +69,31 @@ object Sources {
       .withColumn("priceMagnifier", coalesce(col("priceMagnifier"), lit(1.0)))
       .withColumn("multiplier", coalesce(col("multiplier"), lit(1.0)))
 
+  /** Append per-security NLV from a currency → equity map (reference
+    * base.py:1117-1139): each security's currency selects its account
+    * equity; CASH pairs use the Symbol's base currency ("EUR.USD" → EUR);
+    * a currency with no NLV raises the reference's error. The per-sid
+    * `nlv` column then drives min-commission floors (D8).
+    * Validation is a driver-side distinct over the broadcast-sized
+    * master. */
+  def withNlv(master: DataFrame, nlvByCurrency: Map[String, Double]): DataFrame = {
+    val currencyExpr =
+      if (master.columns.contains("symbol"))
+        when(col("secType") === "CASH",
+          split(col("symbol"), "\\.").getItem(0)).otherwise(col("currency"))
+      else col("currency")
+    val required = master.select(currencyExpr.as("__c")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = required -- nlvByCurrency.keySet
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        "NLV dict is missing values for required currencies: " +
+          missing.toSeq.sorted.mkString(", "))
+    val nlvMap = map(nlvByCurrency.toSeq
+      .flatMap { case (c, v) => Seq(lit(c), lit(v)) }: _*)
+    master.withColumn("nlv", element_at(nlvMap, currencyExpr))
+  }
+
   /** S3/S4/S5: tiny live-state tables (balances, FX rates, positions,
     * open orders) — plain reads; format chosen by extension. */
   def stateTable(spark: SparkSession, path: String): DataFrame =

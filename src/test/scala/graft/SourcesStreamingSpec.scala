@@ -57,6 +57,25 @@ class SourcesStreamingSpec extends SparkSpec {
       java.time.LocalDate.parse("2024-06-01").minusDays(402).toString)
   }
 
+  test("withNlv: currency → equity map to per-security NLV; CASH uses the " +
+    "Symbol's base currency; missing currencies raise (base.py:1117-1139)") {
+    val master = Seq(
+      ("FI1", "STK", "USD", "AAPL"),
+      ("FI2", "STK", "JPY", "7203"),
+      ("FI3", "CASH", "USD", "EUR.USD")) // NLV keyed by EUR, not USD
+      .toDF("sid", "secType", "currency", "symbol")
+    val withNlv = Sources.withNlv(master,
+      Map("USD" -> 100000.0, "JPY" -> 9000000.0, "EUR" -> 80000.0))
+      .collect().map(r => r.getAs[String]("sid") -> r.getAs[Double]("nlv")).toMap
+    assert(withNlv == Map("FI1" -> 100000.0, "FI2" -> 9000000.0, "FI3" -> 80000.0))
+
+    val e = intercept[IllegalArgumentException] {
+      Sources.withNlv(master, Map("USD" -> 100000.0, "JPY" -> 9000000.0))
+    }
+    assert(e.getMessage ==
+      "NLV dict is missing values for required currencies: EUR")
+  }
+
   test("ResultCache: computes once, reuses until a dependency is newer (S7)") {
     val cacheDir = Files.createTempDirectory("graft-cache").toString
     val cache = new Sources.ResultCache(spark, cacheDir)
