@@ -35,6 +35,65 @@ object Oracles {
        |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
        |  FROM pos)""".stripMargin
 
+  /** §3.2 trade lifecycle SQL, parameterized by the signal-date CTE body:
+    * `trade_full` uses the last panel date, `trade_cal` the second-to-last
+    * (a closed exchange's last-close date). */
+  private def tradeFullSql(lastd: String): String =
+    s"""WITH $sigCte,
+       |lastd AS ($lastd),
+       |today AS (
+       |  SELECT sid, weight, close FROM wts JOIN lastd ON wts.date = lastd.d),
+       |mast AS (
+       |  SELECT sid, CASE WHEN sid % 4 = 0 THEN 'JPY' ELSE 'USD' END AS qc
+       |  FROM (SELECT DISTINCT sid FROM panel)),
+       |accounts AS (
+       |  SELECT * FROM (VALUES
+       |    ('U1', 0.6, 'USD', 1000000.0),
+       |    ('U2', 0.4, 'EUR', 500000.0)) AS t(account, allocation, bc, nlv)),
+       |rates AS (
+       |  SELECT * FROM (VALUES
+       |    ('USD', 'JPY', 110.0), ('EUR', 'USD', 1.1),
+       |    ('EUR', 'JPY', 121.0)) AS t(bc, qc, rate)),
+       |fanned AS (
+       |  SELECT today.sid, today.weight, today.close, m.qc,
+       |         a.account, a.allocation, a.bc, a.nlv
+       |  FROM today JOIN mast m ON today.sid = m.sid CROSS JOIN accounts a),
+       |withrate AS (
+       |  SELECT f.*, CASE WHEN f.bc = f.qc THEN 1.0 ELSE r.rate END AS rate
+       |  FROM fanned f LEFT JOIN rates r ON f.bc = r.bc AND f.qc = r.qc),
+       |targets AS (
+       |  SELECT sid, account,
+       |    CAST(coalesce(round(weight * allocation * nlv * rate /
+       |      abs(CASE WHEN close <> 0 THEN close END)), 0) AS BIGINT) AS tq
+       |  FROM withrate),
+       |pos AS (
+       |  SELECT s_suppkey AS sid, 'U1' AS account, round(s_acctbal / 100) AS q
+       |  FROM supplier WHERE s_suppkey % 5 = 0),
+       |oo AS (
+       |  SELECT s_suppkey AS sid, 'U2' AS account,
+       |    sum(CASE WHEN s_suppkey % 2 = 0 THEN round(s_acctbal / 200)
+       |             ELSE -round(s_acctbal / 200) END) AS rem
+       |  FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1, 2),
+       |held AS (
+       |  SELECT coalesce(pos.sid, oo.sid) AS sid,
+       |         coalesce(pos.account, oo.account) AS account,
+       |         coalesce(q, 0) + coalesce(rem, 0) AS quantity
+       |  FROM pos FULL OUTER JOIN oo ON pos.sid = oo.sid AND pos.account = oo.account),
+       |net AS (
+       |  SELECT t.sid, t.account, coalesce(h.quantity, 0) AS held, t.tq,
+       |         t.tq - coalesce(h.quantity, 0) AS nq
+       |  FROM targets t LEFT JOIN held h
+       |    ON t.sid = h.sid AND t.account = h.account),
+       |gated AS (
+       |  SELECT sid, account,
+       |    CASE WHEN ((tq > 0 AND held > 0) OR (tq < 0 AND held < 0))
+       |              AND abs(nq / held) < 0.25
+       |         THEN 0 ELSE nq END AS nq
+       |  FROM net)
+       |SELECT sid, account, CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
+       |       'demo' AS "orderRef", CAST(round(abs(nq)) AS BIGINT) AS "totalQuantity"
+       |FROM gated WHERE nq <> 0 AND round(nq) <> 0""".stripMargin
+
   val all: Map[String, String] = Map(
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
@@ -257,14 +316,14 @@ object Oracles {
          |  SELECT t.sid, t.account, t.tq - coalesce(h.quantity, 0) AS nq
          |  FROM today t LEFT JOIN held h ON t.sid = h.sid AND t.account = h.account)
          |SELECT sid, account, CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
-         |       'demo' AS "orderRef", abs(nq) AS "totalQuantity"
-         |FROM net WHERE nq <> 0""".stripMargin,
+         |       'demo' AS "orderRef", CAST(round(abs(nq)) AS BIGINT) AS "totalQuantity"
+         |FROM net WHERE nq <> 0 AND round(nq) <> 0""".stripMargin,
 
     "d23_child_orders" ->
       """WITH stubs AS (
         |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
         |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
-        |         'demo' AS "orderRef", round(s_acctbal) AS "totalQuantity"
+        |         'demo' AS "orderRef", CAST(round(s_acctbal) AS BIGINT) AS "totalQuantity"
         |  FROM supplier WHERE s_acctbal > 0),
         |parents AS (
         |  SELECT *, sid || '.' || account || '.' || "orderRef" AS "orderId" FROM stubs)
@@ -334,61 +393,12 @@ object Oracles {
          |SELECT sid, date, (CASE WHEN lsc > 0 THEN lsc ELSE ssc END) + 0.0 AS weight
          |FROM scaled""".stripMargin,
 
-    "trade_full" ->
-      s"""WITH $sigCte,
-         |lastd AS (SELECT max(date) AS d FROM panel),
-         |today AS (
-         |  SELECT sid, weight, close FROM wts JOIN lastd ON wts.date = lastd.d),
-         |mast AS (
-         |  SELECT sid, CASE WHEN sid % 4 = 0 THEN 'JPY' ELSE 'USD' END AS qc
-         |  FROM (SELECT DISTINCT sid FROM panel)),
-         |accounts AS (
-         |  SELECT * FROM (VALUES
-         |    ('U1', 0.6, 'USD', 1000000.0),
-         |    ('U2', 0.4, 'EUR', 500000.0)) AS t(account, allocation, bc, nlv)),
-         |rates AS (
-         |  SELECT * FROM (VALUES
-         |    ('USD', 'JPY', 110.0), ('EUR', 'USD', 1.1),
-         |    ('EUR', 'JPY', 121.0)) AS t(bc, qc, rate)),
-         |fanned AS (
-         |  SELECT today.sid, today.weight, today.close, m.qc,
-         |         a.account, a.allocation, a.bc, a.nlv
-         |  FROM today JOIN mast m ON today.sid = m.sid CROSS JOIN accounts a),
-         |withrate AS (
-         |  SELECT f.*, CASE WHEN f.bc = f.qc THEN 1.0 ELSE r.rate END AS rate
-         |  FROM fanned f LEFT JOIN rates r ON f.bc = r.bc AND f.qc = r.qc),
-         |targets AS (
-         |  SELECT sid, account,
-         |    coalesce(round(weight * allocation * nlv * rate /
-         |      abs(CASE WHEN close <> 0 THEN close END)), 0) AS tq
-         |  FROM withrate),
-         |pos AS (
-         |  SELECT s_suppkey AS sid, 'U1' AS account, round(s_acctbal / 100) AS q
-         |  FROM supplier WHERE s_suppkey % 5 = 0),
-         |oo AS (
-         |  SELECT s_suppkey AS sid, 'U2' AS account,
-         |    sum(CASE WHEN s_suppkey % 2 = 0 THEN round(s_acctbal / 200)
-         |             ELSE -round(s_acctbal / 200) END) AS rem
-         |  FROM supplier WHERE s_suppkey % 7 = 0 GROUP BY 1, 2),
-         |held AS (
-         |  SELECT coalesce(pos.sid, oo.sid) AS sid,
-         |         coalesce(pos.account, oo.account) AS account,
-         |         coalesce(q, 0) + coalesce(rem, 0) AS quantity
-         |  FROM pos FULL OUTER JOIN oo ON pos.sid = oo.sid AND pos.account = oo.account),
-         |net AS (
-         |  SELECT t.sid, t.account, coalesce(h.quantity, 0) AS held, t.tq,
-         |         t.tq - coalesce(h.quantity, 0) AS nq
-         |  FROM targets t LEFT JOIN held h
-         |    ON t.sid = h.sid AND t.account = h.account),
-         |gated AS (
-         |  SELECT sid, account,
-         |    CASE WHEN ((tq > 0 AND held > 0) OR (tq < 0 AND held < 0))
-         |              AND abs(nq / held) < 0.25
-         |         THEN 0 ELSE nq END AS nq
-         |  FROM net)
-         |SELECT sid, account, CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
-         |       'demo' AS "orderRef", abs(nq) AS "totalQuantity"
-         |FROM gated WHERE nq <> 0""".stripMargin,
+    "trade_full" -> tradeFullSql("SELECT max(date) AS d FROM panel"),
+
+    // trade_cal: the closed-calendar signal date resolves to the
+    // second-to-last panel date (the exchange's last close)
+    "trade_cal" -> tradeFullSql(
+      "SELECT max(date) AS d FROM panel WHERE date < (SELECT max(date) FROM panel)"),
 
     "d19_benchmark" ->
       s"""WITH $panelCte,
@@ -604,8 +614,8 @@ object Oracles {
          |  FROM targets t JOIN lim ON t.sid = lim.sid)
          |SELECT sid, 'U1' AS account,
          |       CASE WHEN nq > 0 THEN 'BUY' ELSE 'SELL' END AS action,
-         |       'd17' AS "orderRef", abs(nq) AS "totalQuantity"
-         |FROM clamped WHERE nq <> 0""".stripMargin,
+         |       'd17' AS "orderRef", CAST(round(abs(nq)) AS BIGINT) AS "totalQuantity"
+         |FROM clamped WHERE nq <> 0 AND round(nq) <> 0""".stripMargin,
 
     "s8_custom_fields" ->
       s"""WITH panel AS (

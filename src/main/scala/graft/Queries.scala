@@ -57,6 +57,42 @@ object Queries {
       .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
       .agg(max(col("l_extendedprice")).as("close"))
 
+  /** §3.2 trade lifecycle body shared by `trade_full` (signal date = last
+    * panel date) and `trade_cal` (signal date from a closed exchange
+    * calendar): weights slice → FX/NLV targets → net vs held → stubs. */
+  private def tradeFullPipeline(
+      s: SparkSession, dir: String, panel: DataFrame, signalDate: String): DataFrame = {
+    implicit val k: Keys = liKeys
+    val master = t(s, dir, "supplier").select(
+      col("s_suppkey").as("sid"),
+      when(col("s_suppkey") % 4 === 0, "JPY").otherwise("USD").as("currency"),
+      lit("STK").as("secType"),
+      lit(1.0).as("priceMagnifier"),
+      lit(1.0).as("multiplier"))
+    val allocations = s.createDataFrame(Seq(
+      ("U1", 0.6), ("U2", 0.4))).toDF("account", "allocation")
+    val balances = s.createDataFrame(Seq(
+      ("U1", "USD", 1000000.0), ("U2", "EUR", 500000.0)))
+      .toDF("account", "currency", "netLiquidation")
+    val rates = s.createDataFrame(Seq(
+      ("USD", "JPY", 110.0), ("EUR", "USD", 1.1), ("EUR", "JPY", 121.0)))
+      .toDF("baseCurrency", "quoteCurrency", "rate")
+    val positions = t(s, dir, "supplier")
+      .where(col("s_suppkey") % 5 === 0)
+      .select(col("s_suppkey").as("sid"), lit("U1").as("account"),
+        round(col("s_acctbal") / 100).as("quantity"))
+    val openOrders = t(s, dir, "supplier")
+      .where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey").as("sid"), lit("U2").as("account"),
+        lit("demo").as("orderRef"), round(col("s_acctbal") / 200).as("remaining"),
+        when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"))
+    val today = Trade.todayWeights(panel, signalDate)
+    val targets = Trade.targetQuantities(today, master, allocations, balances, rates)
+    val held = Trade.positionsAndOrders(positions, openOrders)
+    val net = Trade.netQuantities(targets, held, Trade.RebalanceThreshold(0.25))
+    Trade.orderStubs(net, "demo")
+  }
+
   /** The flagship demo strategy: long suppliers whose close < 30000
     * (the BuyBelow10 golden-test shape, _tests/test_backtest.py:108). */
   object DemoStrategy extends Strategy {
@@ -376,7 +412,7 @@ object Queries {
         .select(col("s_suppkey").cast("string").as("sid"), lit("U1").as("account"),
           when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
           lit("demo").as("orderRef"),
-          round(col("s_acctbal")).as("totalQuantity"))
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
       val parents = stubs.withColumn("orderId",
         concat_ws(".", col("sid"), col("account"), col("orderRef")))
       val children = Trade.childOrders(parents)
@@ -408,40 +444,33 @@ object Queries {
 
     // ---- §3.2 full trade lifecycle: weights → FX/NLV → net qty → orders ----
     "trade_full" -> ((s, dir) => {
-      val master = t(s, dir, "supplier").select(
-        col("s_suppkey").as("sid"),
-        when(col("s_suppkey") % 4 === 0, "JPY").otherwise("USD").as("currency"),
-        lit("STK").as("secType"),
-        lit(1.0).as("priceMagnifier"),
-        lit(1.0).as("multiplier"))
-      val allocations = s.createDataFrame(Seq(
-        ("U1", 0.6), ("U2", 0.4))).toDF("account", "allocation")
-      val balances = s.createDataFrame(Seq(
-        ("U1", "USD", 1000000.0), ("U2", "EUR", 500000.0)))
-        .toDF("account", "currency", "netLiquidation")
-      val rates = s.createDataFrame(Seq(
-        ("USD", "JPY", 110.0), ("EUR", "USD", 1.1), ("EUR", "JPY", 121.0)))
-        .toDF("baseCurrency", "quoteCurrency", "rate")
-      val positions = t(s, dir, "supplier")
-        .where(col("s_suppkey") % 5 === 0)
-        .select(col("s_suppkey").as("sid"), lit("U1").as("account"),
-          round(col("s_acctbal") / 100).as("quantity"))
-      val openOrders = t(s, dir, "supplier")
-        .where(col("s_suppkey") % 7 === 0)
-        .select(col("s_suppkey").as("sid"), lit("U2").as("account"),
-          lit("demo").as("orderRef"), round(col("s_acctbal") / 200).as("remaining"),
-          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"))
-
       implicit val k: Keys = liKeys
       val panel = supplierPanel(s, dir)
         .withColumn("signal", (col("close") < 30000).cast("int"))
         .withColumn("weight", Weights.equalWeights(col("signal")))
       val lastDay = panel.agg(max(col("date"))).head.getDate(0).toString
-      val today = Trade.todayWeights(panel, lastDay)
-      val targets = Trade.targetQuantities(today, master, allocations, balances, rates)
-      val held = Trade.positionsAndOrders(positions, openOrders)
-      val net = Trade.netQuantities(targets, held, Trade.RebalanceThreshold(0.25))
-      Trade.orderStubs(net, "demo")
+      tradeFullPipeline(s, dir, panel, lastDay)
+    }),
+
+    // ---- D20 CALENDAR variant: a closed exchange dates the signals to
+    // when it last closed (base.py:745-750) — here the second-to-last
+    // panel date, so the result provably differs from trade_full ----
+    "trade_cal" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+      val prevDay = panel.where(
+        col("date") < panel.agg(max(col("date"))).head.getDate(0))
+        .agg(max(col("date"))).head.getDate(0).toString
+      // tiny calendar dimension: XNYS closed since prevDay's close
+      val calendars = s.createDataFrame(Seq(
+        ("XNYS", "closed", s"${prevDay}T16:00:00", "America/New_York")))
+        .toDF("exchange", "status", "since", "timezone")
+      val status = graft.trade.Calendars.statusFor(calendars, "XNYS")
+      val (signalDate, _) = Trade.resolveSignalDateTime(
+        "America/New_York", reviewDate = None, calendar = Some(status))
+      tradeFullPipeline(s, dir, panel, signalDate)
     }),
 
     // ---- D19: benchmark return series (ffill + pct_change) ----

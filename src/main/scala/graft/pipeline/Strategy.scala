@@ -59,6 +59,12 @@ trait Strategy {
     if (lookbackWindow > 0) lookbackWindow
     else rebalanceInterval.map(a => 252 + Strategy.intervalBars(a)).getOrElse(0)
 
+  /** Reference CALENDAR (base.py:742-757): exchange whose trading
+    * calendar drives live-trading signal-date resolution — a closed
+    * exchange dates signals to when it last closed. None = resolve from
+    * the strategy timezone only. */
+  def calendar: Option[String] = None
+
   /** Reference POSITIONS_CLOSED_DAILY (base.py:260): intraday strategies
     * whose turnover is 2× positions rather than diff. */
   def positionsClosedDaily: Boolean = false

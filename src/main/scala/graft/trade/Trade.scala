@@ -27,15 +27,17 @@ object Trade {
   final case class RebalanceThreshold(minPct: Double) extends Rebalance
 
   /** D20 date resolution (reference base.py:716-837): the signal date is
-    * the review date when given, else "today" in the strategy timezone;
-    * the trade time is that moment's "HH:mm:ss" (lexical, matching the
-    * reference's string time comparisons). The reference's exchange-
-    * calendar service variant is out of scope (SURVEY §7.5) — calendar
-    * closures surface as the staleness error below instead. */
+    * the review date when given, else derived from the exchange calendar
+    * when the strategy sets one (base.py:742-757: closed exchange → the
+    * moment it last closed; open → now in the calendar's timezone), else
+    * "today" in the strategy timezone. The trade time is that moment's
+    * "HH:mm:ss" (lexical, matching the reference's string time
+    * comparisons). */
   def resolveSignalDateTime(
       timezone: String,
       reviewDate: Option[String] = None,
-      now: () => java.time.Instant = () => java.time.Instant.now()): (String, String) =
+      now: () => java.time.Instant = () => java.time.Instant.now(),
+      calendar: Option[CalendarStatus] = None): (String, String) =
     reviewDate match {
       case Some(d) if d.contains(" ") =>
         // review date with a time ("2018-05-02 12:05:00") — continuous
@@ -44,10 +46,34 @@ object Trade {
         (date, time)
       case Some(d) => (d, "23:59:59") // date-only: end-of-day semantics
       case None =>
-        val zoned = now().atZone(java.time.ZoneId.of(timezone))
-        (zoned.toLocalDate.toString,
-          zoned.toLocalTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
+        calendar match {
+          case Some(st) if st.status == "closed" =>
+            // closed exchange: signals correspond to the date (and moment)
+            // it last closed (base.py:745-750)
+            splitTimestamp(st.since)
+          case Some(st) =>
+            // open exchange: today in the CALENDAR timezone, not the
+            // strategy timezone (base.py:751-753)
+            nowIn(st.timezone, now)
+          case None => nowIn(timezone, now)
+        }
     }
+
+  private def nowIn(timezone: String, now: () => java.time.Instant): (String, String) = {
+    val zoned = now().atZone(java.time.ZoneId.of(timezone))
+    (zoned.toLocalDate.toString,
+      zoned.toLocalTime.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss")))
+  }
+
+  /** "2018-05-01T14:00:00" / "2018-05-01 14:00:00" / "2018-05-01" →
+    * (date, "HH:mm:ss"); date-only means midnight, like pd.Timestamp. */
+  private def splitTimestamp(ts: String): (String, String) = {
+    val norm = ts.replace('T', ' ')
+    if (norm.contains(" ")) {
+      val Array(date, time) = norm.split(" ", 2)
+      (date, time.take(8))
+    } else (norm, "00:00:00")
+  }
 
   /** D20: slice the weights panel at the signal date (and latest
     * time ≤ tradeTime when intraday — reference base.py:794-795 picks
@@ -87,14 +113,29 @@ object Trade {
     }
   }
 
-  /** Staleness check (base.py:777-784): error if the panel's max date is
-    * older than the expected signal date. Driver-side scalar agg. */
-  def requireFresh(panel: DataFrame, signalDate: String)(implicit k: Keys): Unit = {
+  /** Staleness check (base.py:772-784): error if the panel's max date is
+    * older than the expected signal date. Driver-side scalar agg. When no
+    * calendar is set, the panel is daily, and the gap is exactly one day,
+    * the reference appends a hint that a trading calendar would have
+    * resolved the date to the last close (base.py:779-784). */
+  def requireFresh(
+      panel: DataFrame,
+      signalDate: String,
+      calendarSet: Boolean = false,
+      intraday: Boolean = false)(implicit k: Keys): Unit = {
     val maxDate = panel.agg(max(col(k.dateCol))).head.get(0)
-    require(
-      maxDate != null && maxDate.toString >= signalDate,
-      s"expected signal date $signalDate not present in prices (max date: $maxDate) — " +
-        "prices are stale")
+    val fresh = maxDate != null && maxDate.toString >= signalDate
+    if (!fresh) {
+      var msg =
+        s"expected signal date $signalDate not found in target weights DataFrame, " +
+          s"is the underlying data up-to-date? (max date is $maxDate) — prices are stale"
+      val oneDayGap = maxDate != null &&
+        java.time.LocalDate.parse(maxDate.toString.take(10)).plusDays(1).toString == signalDate
+      if (!calendarSet && !intraday && oneDayGap)
+        msg += s" If your strategy trades before the open and $signalDate data " +
+          "is not expected, try setting CALENDAR = <exchange>"
+      throw new IllegalArgumentException(msg)
+    }
   }
 
   /** R5 + J2 + D21 core: today's weights × allocations → target
@@ -161,13 +202,16 @@ object Trade {
     val cv = ContractValues.contractValue(
       col(cvField), col("secType"), col("priceMagnifier"), col("multiplier"))
     val safeCv = abs(when(cv =!= 0, cv))
+    // round().fillna(0).astype(int) (base.py:1734): share quantities are
+    // integers from here on — BIGINT, not DOUBLE, so a migrating user's
+    // golden dicts compare 10 to 10, not 10.0.
     withRate
       .withColumn(
         "target_quantity",
         coalesce(
           round(col("weight") * col("allocation") * col("netLiquidation") *
             col("rate") / safeCv),
-          lit(0.0)))
+          lit(0.0)).cast("long"))
       .select("sid", "account", "target_quantity")
   }
 
@@ -215,16 +259,18 @@ object Trade {
   }
 
   /** D22 order stubs (base.py:657-692): signed quantity → BUY/SELL rows,
-    * zeros dropped. */
+    * zeros dropped. TotalQuantity is an integer share count (the
+    * reference's quantities are `astype(int)` by base.py:1734; the
+    * round() here absorbs fractional held positions). */
   def orderStubs(netQuantities: DataFrame, orderRef: String): DataFrame =
     netQuantities
-      .where(col("net_quantity") =!= 0)
+      .where(col("net_quantity") =!= 0 && round(col("net_quantity")) =!= 0)
       .select(
         col("sid"),
         col("account"),
         when(col("net_quantity") > 0, "BUY").otherwise("SELL").as("action"),
         lit(orderRef).as("orderRef"),
-        abs(col("net_quantity")).as("totalQuantity"))
+        round(abs(col("net_quantity"))).cast("long").as("totalQuantity"))
 
   /** R6 `reindex_like_orders` (base.py:547-605): slice a panel column at
     * the signal date (and time) and attach it to the orders by sid — the
@@ -312,6 +358,49 @@ object Trade {
     val net = netQuantities(constrained, held, rebalance)
     val stubs = orderStubs(net, strategy.code)
     strategy.orderStubsToOrders(stubs, prices)
+  }
+}
+
+/** D20 exchange-calendar status (reference base.py:742-757). The
+  * reference queries a live calendar service
+  * (`list_calendar_statuses([CALENDAR])`); here statuses are plain data —
+  * a tiny (exchange, status, since, timezone) dimension the caller loads
+  * from wherever calendars live. `since` is the ISO moment the current
+  * status began: for a closed exchange, when it last closed. */
+final case class CalendarStatus(
+    exchange: String,
+    status: String, // "open" | "closed"
+    since: String, // "2018-05-01T14:00:00"
+    timezone: String)
+
+object Calendars {
+
+  /** Driver-side lookup on the broadcast-sized calendar dimension —
+    * one row per exchange, so a filtered head is the whole query. */
+  def statusFor(calendars: DataFrame, exchange: String): CalendarStatus = {
+    val rows = calendars
+      .where(col("exchange") === exchange)
+      .select("exchange", "status", "since", "timezone")
+      .limit(1).collect()
+    require(rows.nonEmpty, s"no calendar status found for exchange $exchange")
+    val r = rows.head
+    CalendarStatus(r.getString(0), r.getString(1), r.getString(2), r.getString(3))
+  }
+
+  /** Resolve a strategy's signal date/time: reviewDate > CALENDAR >
+    * strategy-timezone-now (base.py:738-757). */
+  def resolveForStrategy(
+      strategy: Strategy,
+      timezone: String,
+      calendars: Option[DataFrame] = None,
+      reviewDate: Option[String] = None,
+      now: () => java.time.Instant = () => java.time.Instant.now()): (String, String) = {
+    val status = strategy.calendar.map { exch =>
+      val cals = calendars.getOrElse(throw new IllegalArgumentException(
+        s"strategy sets calendar=$exch but no calendar statuses were provided"))
+      statusFor(cals, exch)
+    }
+    Trade.resolveSignalDateTime(timezone, reviewDate, now, status)
   }
 }
 

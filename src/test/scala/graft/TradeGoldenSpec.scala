@@ -41,7 +41,7 @@ class TradeGoldenSpec extends SparkSpec {
   private def ordersOf(df: DataFrame): Map[(String, String), (String, Double)] =
     df.collect().map { r: Row =>
       (r.getString(r.fieldIndex("sid")), r.getString(r.fieldIndex("account"))) ->
-        ((r.getString(r.fieldIndex("action")), r.getDouble(r.fieldIndex("totalQuantity"))))
+        ((r.getString(r.fieldIndex("action")), r.getLong(r.fieldIndex("totalQuantity")).toDouble))
     }.toMap
 
   object BuyBelow10 extends Strategy {
@@ -174,7 +174,7 @@ class TradeGoldenSpec extends SparkSpec {
       rates, noPositions, noOrders, signalDate = "2018-05-03")
     val rows = orders.collect().map { r: Row =>
       r.getString(r.fieldIndex("sid")) ->
-        ((r.getString(r.fieldIndex("action")), r.getDouble(r.fieldIndex("totalQuantity")),
+        ((r.getString(r.fieldIndex("action")), r.getLong(r.fieldIndex("totalQuantity")).toDouble,
           r.getDouble(r.fieldIndex("lmtPrice")), r.getString(r.fieldIndex("orderType"))))
     }.toMap
     // −0.25×0.5×85K/10.50 → SELL 1012 @ prior close 11.00;
@@ -349,5 +349,96 @@ class TradeGoldenSpec extends SparkSpec {
       ("FI12345", "DU234") -> (("SELL", 300.0)),
       ("FI23456", "U999") -> (("BUY", 1976.0)),
       ("FI23456", "DU111") -> (("BUY", 2065.0))))
+  }
+
+  // ---- D20 CALENDAR: exchange-calendar signal-date resolution ----
+
+  object BuyBelow1OnTsej extends Strategy {
+    val code = "buy-below-1"
+    override def calendar: Option[String] = Some("TSEJ")
+    def pricesToSignals(prices: DataFrame): DataFrame =
+      prices.withColumn("signal", (col("close") < 1).cast("int"))
+  }
+
+  // test_trade_date_validation.py:1364-1381 fixture: FI23456 closes at
+  // 0.99 on 2018-05-02 — the only below-1 close in the panel
+  private lazy val calPrices: DataFrame = Seq(
+    ("FI12345", "2018-05-01", 9.00), ("FI12345", "2018-05-02", 11.00),
+    ("FI12345", "2018-05-03", 10.50),
+    ("FI23456", "2018-05-01", 9.89), ("FI23456", "2018-05-02", 0.99),
+    ("FI23456", "2018-05-03", 8.50))
+    .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+
+  test("CALENDAR open: signal date is today in the CALENDAR timezone " +
+    "(base.py:751-753, test_trade_date_validation.py:1344)") {
+    val calendars = Seq(("TSEJ", "open", "2018-05-02T09:00:00", "Japan"))
+      .toDF("exchange", "status", "since", "timezone")
+    // 2018-05-02 10:40 in Japan = 2018-05-01 21:40 in New York — the
+    // strategy timezone alone would pick the WRONG date (05-01)
+    val now = () => java.time.Instant.parse("2018-05-02T01:40:00Z")
+    val (signalDate, _) = graft.trade.Calendars.resolveForStrategy(
+      BuyBelow1OnTsej, "America/New_York", Some(calendars), None, now)
+    assert(signalDate == "2018-05-02")
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(BuyBelow1OnTsej, calPrices, master, allocations,
+      balances, rates, noPositions, noOrders, signalDate = signalDate)
+    // 1.0 × 55K / 0.99 = 55556 (test_trade_date_validation.py:1480-1489)
+    assert(ordersOf(orders) == Map(("FI23456", "U123") -> (("BUY", 55556.0))))
+  }
+
+  test("CALENDAR closed: signal date is the exchange's last close " +
+    "(base.py:745-750, test_trade_date_validation.py:1489)") {
+    val calendars = Seq(("TSEJ", "closed", "2018-05-01T14:00:00", "Japan"))
+      .toDF("exchange", "status", "since", "timezone")
+    val now = () => java.time.Instant.parse("2018-05-02T01:40:00Z")
+    val (signalDate, tradeTime) = graft.trade.Calendars.resolveForStrategy(
+      BuyBelow1OnTsej, "America/New_York", Some(calendars), None, now)
+    assert(signalDate == "2018-05-01" && tradeTime == "14:00:00")
+    // no below-1 close on 05-01 → no orders
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val orders = Trade.run(BuyBelow1OnTsej, calPrices, master, allocations,
+      balances, rates, noPositions, noOrders, signalDate = signalDate)
+    assert(orders.isEmpty)
+  }
+
+  test("review date beats CALENDAR; missing statuses raise (base.py:738-744)") {
+    val calendars = Seq(("TSEJ", "closed", "2018-05-01T14:00:00", "Japan"))
+      .toDF("exchange", "status", "since", "timezone")
+    assert(graft.trade.Calendars.resolveForStrategy(
+      BuyBelow1OnTsej, "America/New_York", Some(calendars),
+      reviewDate = Some("2018-05-03")) == (("2018-05-03", "23:59:59")))
+    val err = intercept[IllegalArgumentException] {
+      graft.trade.Calendars.resolveForStrategy(
+        BuyBelow1OnTsej, "America/New_York", calendars = None)
+    }
+    assert(err.getMessage.contains("no calendar statuses"))
+    val err2 = intercept[IllegalArgumentException] {
+      graft.trade.Calendars.statusFor(calendars, "XNYS")
+    }
+    assert(err2.getMessage.contains("XNYS"))
+  }
+
+  test("staleness hint: a one-day gap without CALENDAR suggests setting it " +
+    "(base.py:779-784, test_trade_date_validation.py:1338)") {
+    implicit val k: Keys = graft.panel.Panel.eod
+    val hint = "try setting CALENDAR"
+    val oneDay = intercept[IllegalArgumentException] {
+      Trade.requireFresh(calPrices, "2018-05-04")
+    }
+    assert(oneDay.getMessage.contains("max date is 2018-05-03") &&
+      oneDay.getMessage.contains(hint))
+    // calendar set, or a gap of more than one day → no hint
+    val withCal = intercept[IllegalArgumentException] {
+      Trade.requireFresh(calPrices, "2018-05-04", calendarSet = true)
+    }
+    assert(!withCal.getMessage.contains(hint))
+    val twoDays = intercept[IllegalArgumentException] {
+      Trade.requireFresh(calPrices, "2018-05-05")
+    }
+    assert(!twoDays.getMessage.contains(hint))
   }
 }

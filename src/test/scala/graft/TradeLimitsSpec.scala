@@ -60,7 +60,7 @@ class TradeLimitsSpec extends SparkSpec {
       .collect()
       .map { r: Row =>
         (r.getString(r.fieldIndex("sid")), r.getString(r.fieldIndex("account"))) ->
-          ((r.getString(r.fieldIndex("action")), r.getDouble(r.fieldIndex("totalQuantity"))))
+          ((r.getString(r.fieldIndex("action")), r.getLong(r.fieldIndex("totalQuantity")).toDouble))
       }.toMap
   }
 

@@ -50,8 +50,8 @@ class TradeSpec extends SparkSpec {
     val net = Seq(("S1", "U1", 5.0), ("S2", "U1", -3.0), ("S3", "U1", 0.0))
       .toDF("sid", "account", "net_quantity")
     val stubs = Trade.orderStubs(net, "strat").collect()
-      .map(r => (r.getString(0), r.getString(2), r.getDouble(4))).toList.sortBy(_._1)
-    assert(stubs == List(("S1", "BUY", 5.0), ("S2", "SELL", 3.0)))
+      .map(r => (r.getString(0), r.getString(2), r.getLong(4))).toList.sortBy(_._1)
+    assert(stubs == List(("S1", "BUY", 5L), ("S2", "SELL", 3L)))
   }
 
   test("childOrders reverse the action and link ParentId (base.py:607-655)") {
@@ -132,7 +132,7 @@ class TradeSpec extends SparkSpec {
     val rates = Seq(("USD", "JPY", 110.0)).toDF("baseCurrency", "quoteCurrency", "rate")
     val out = Trade.targetQuantities(weights, master, allocations, balances, rates).head
     // 0.5 × 0.5 × 1,000,000 × 110 / 100 = 275,000
-    assert(out.getAs[Double]("target_quantity") == 275000.0)
+    assert(out.getAs[Long]("target_quantity") == 275000L)
   }
 
   test("targetQuantities: ACCOUNT_BALANCE_FIELD uses the lesser of several " +
@@ -147,7 +147,7 @@ class TradeSpec extends SparkSpec {
     val out = Trade.targetQuantities(weights, master, allocations, balances, rates,
       balanceFields = Seq("netLiquidation", "previousEquity")).head
     // lesser equity basis: 0.5 × 1.0 × 800,000 / 100 = 4,000
-    assert(out.getAs[Double]("target_quantity") == 4000.0)
+    assert(out.getAs[Long]("target_quantity") == 4000L)
   }
 
   test("intervalBars + effectiveLookback (base.py:1050-1086)") {
@@ -181,6 +181,6 @@ class TradeSpec extends SparkSpec {
       .select(lit("x").as("baseCurrency"), lit("x").as("quoteCurrency"), lit(1.0).as("rate"))
       .limit(0)
     val out = Trade.targetQuantities(weights, master, allocations, balances, rates).head
-    assert(out.getAs[Double]("target_quantity") == 200.0)
+    assert(out.getAs[Long]("target_quantity") == 200L)
   }
 }
