@@ -73,9 +73,12 @@ object TextQueries {
       Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
-    // simhash near-pairs via hamming-LSH banding (no all-pairs join)
+    // simhash near-pairs via hamming-LSH banding (no all-pairs join).
+    // Pinned to the 32-bit/4-band demo configuration the DuckDB bit-ops
+    // oracle replicates; the library default is 64-bit/8-band.
     "dd5_simhash" -> ((s, dir) =>
-      Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3)),
+      Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3,
+        bits = 32, bands = 4)),
 
     "dd6_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(

@@ -125,14 +125,25 @@ object Dedup {
     *
     * Scale shape: the band signatures are melted to long
     * `(band_idx, band_key, id)` rows, so ALL bands are bucketed by ONE
-    * shuffle on (band_idx, band_key) — not one per band. */
+    * shuffle on (band_idx, band_key) — not one per band.
+    *
+    * `maxBucket` guards the pair explosion: a bucket of m ids emits
+    * O(m²) pairs, so one degenerate bucket (mass exact-duplicates fed in
+    * without [[dropExactDuplicates]] first) concentrates the whole job in
+    * one task. Buckets above the cap are DROPPED from candidate
+    * generation — run exact dedup first if that loses recall you need.
+    * The bucket-size filter runs as a window count over the same shuffle
+    * BEFORE collect_list, so an oversized bucket never materializes as an
+    * in-memory array; the drop is observable via the Spark `observe`
+    * metric `minhash_buckets` (rows_in_overflow, max_bucket). */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleSize: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
     val sig = withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
     val bandCols = (0 until bands).map(b => col(s"band_$b"))
     // Pairs come from WITHIN each bucket (groupBy + collect_list + double
@@ -145,10 +156,15 @@ object Dedup {
     // exactly the candidate-pair count the join would have emitted.
     val melted = sig
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
-    melted
+    val sized = melted
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bk")))
+      .observe("minhash_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+    sized
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
       .groupBy("__band", "__bk")
       .agg(collect_list(col(idCol)).as("__ids"))
-      .where(size(col("__ids")) > 1)
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -176,8 +192,10 @@ object Dedup {
       threshold: Double = 0.7,
       shingleSize: Int = 3,
       bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    val cands =
+      minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
     val sh = shingleRows(docs, idCol, textCol, shingleSize)
       .groupBy(col(idCol))
       .agg(collect_list(col("__s")).as("__sh"))
@@ -189,15 +207,28 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash (Charikar 2002): 32-bit fingerprint where bit i is the sign
-    * of the sum over words of ±1 according to bit i of md5(word).
+  /** Per-word hash for simhash voting: ≤32 bits come from the first 8
+    * md5 hex chars (the historical 32-bit fingerprint, kept stable for
+    * the dd5 DuckDB oracle); wider fingerprints splice two 32-bit conv
+    * halves — `conv` of 16 hex chars would exceed Long.MaxValue and cast
+    * to null, so a single conv cannot produce a full 64-bit value. */
+  private def wordHash(w: Column, bits: Int): Column =
+    if (bits <= 32) conv(substring(md5(w), 1, 8), 16, 10).cast("long")
+    else
+      shiftleft(conv(substring(md5(w), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(w), 9, 8), 16, 10).cast("long"))
+
+  /** SimHash (Charikar 2002): `bits`-wide fingerprint where bit i is the
+    * sign of the sum over words of ±1 according to bit i of md5(word).
     * Hamming-near fingerprints ⇒ similar documents. Pure column algebra:
-    * per-word 32-bit value from the first 8 md5 hex chars, then a
-    * bit-count aggregate per position. */
-  def simhash(textCol: Column, bits: Int = 32): Column = {
+    * per-word hash from the md5 hex, then a bit-count aggregate per
+    * position. Default 64-bit — the web-scale width (16-bit bands → 65k
+    * buckets per band under [[simhashNearPairs]]); 32-bit remains for
+    * demo corpora (≲10⁵ docs). */
+  def simhash(textCol: Column, bits: Int = 64): Column = {
     val words = array_distinct(
       split(trim(regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")), "\\s+"))
-    val hashes = transform(words, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    val hashes = transform(words, w => wordHash(w, bits))
     val bitCols = (0 until bits).map { i =>
       // votes for bit i: +1 when set, −1 when clear; MSB of the fingerprint
       val votes = aggregate(
@@ -218,13 +249,13 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      bits: Int = 32): DataFrame = {
+      bits: Int = 64): DataFrame = {
     val words = spread(docs, idCol)
       .select(col(idCol),
         explode(array_distinct(
           split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")), "\\s+")))
           .as("__w"))
-      .withColumn("__h", conv(substring(md5(col("__w")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h", wordHash(col("__w"), bits))
     val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
         .as(s"__v$i")
@@ -238,7 +269,7 @@ object Dedup {
 
   /** Hamming distance between two simhash fingerprints (popcount of the
     * XOR — codegen'd `bit_count`, width-independent). */
-  def hammingDistance(a: Column, b: Column, bits: Int = 32): Column =
+  def hammingDistance(a: Column, b: Column, bits: Int = 64): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** SimHash near-pairs via hamming-LSH banding — the dd5 scale path.
@@ -251,32 +282,42 @@ object Dedup {
     * popcount. Same shape as [[minhashCandidates]]: one shuffle for the
     * fingerprint agg, one for the band join.
     *
-    * At 32 bits / 4 bands the bucket alphabet is 256 per band — adequate
-    * to ~10⁵ docs per corpus shard; for web-scale runs use bits = 64
-    * (16-bit bands → 65k buckets per band), which [[simhashDf]] supports
-    * unchanged. */
+    * Default 64 bits / 8 bands: 8-bit bands keep the pigeonhole bound at
+    * maxHamming ≤ 7 with 256 buckets per band and a 64-bit verify. For
+    * bigger bucket alphabets at the same width use bands = 4 (16-bit
+    * bands → 65k buckets, maxHamming ≤ 3). The 32-bit/4-band demo
+    * configuration remains supported (and is what the dd5 oracle pins).
+    * `maxBucket` drops degenerate buckets before the in-bucket pair
+    * explosion, like [[minhashCandidates]]; the drop is observable via
+    * the `simhash_buckets` observe metric. */
   def simhashNearPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
-      bits: Int = 32,
-      bands: Int = 4): DataFrame = {
+      bits: Int = 64,
+      bands: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = simhashDf(docs, idCol, textCol, bits)
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
     val banded = fp.select(col(idCol), col("simhash"),
       posexplode(bandArr).as(Seq("__band", "__key")))
     // within-bucket pair generation — one pass over the fingerprints, no
-    // self-join (see minhashCandidates for the rationale)
+    // self-join (see minhashCandidates for the rationale); the window
+    // count guards collect_list from degenerate buckets
     banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__key")))
+      .observe("simhash_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
       .groupBy("__band", "__key")
       .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
         .as("__m"))
-      .where(size(col("__m")) > 1)
       .select(explode(col("__m")).as("a"), col("__m"))
       .select(col("a"), explode(col("__m")).as("b"))
       .where(col("a.id") < col("b.id"))

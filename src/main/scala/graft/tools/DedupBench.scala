@@ -49,9 +49,25 @@ object DedupBench {
       println(s"--- $n docs ---")
       time(s"exact groups")(Dedup.exactGroups(docs).count())
       time(s"minhash LSH candidates")(Dedup.minhashCandidates(docs).count())
-      time(s"simhash banded pairs (ham<=3)")(
+      time(s"simhash 64b/8band pairs (ham<=3)")(
         Dedup.simhashNearPairs(docs, maxHamming = 3).count())
+      time(s"simhash 32b/4band pairs (ham<=3)")(
+        Dedup.simhashNearPairs(docs, maxHamming = 3, bits = 32, bands = 4).count())
     }
+
+    // Adversarial: one giant exact-duplicate clique — every doc lands in
+    // the SAME bucket in every band. The maxBucket guard must drop it
+    // (0 pairs) without a straggler task; without the guard this is a
+    // 5·10⁹-pair explosion concentrated in one task.
+    val nAdv = sizes.max
+    val adversarial = spark.range(nAdv).select(col("id").as("doc_id"),
+      lit("identical adversarial document body with plenty of words to shingle")
+        .as("text"))
+    println(s"--- adversarial: $nAdv identical docs, default maxBucket ---")
+    time(s"minhash capped (expect 0 pairs)")(
+      Dedup.minhashCandidates(adversarial).count())
+    time(s"simhash capped (expect 0 pairs)")(
+      Dedup.simhashNearPairs(adversarial, maxHamming = 3).count())
     spark.stop()
   }
 }

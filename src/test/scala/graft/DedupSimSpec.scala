@@ -67,6 +67,36 @@ class DedupSimSpec extends SparkSpec {
     assert(viaCol == viaDf)
   }
 
+  test("simhashNearPairs at the 64-bit/8-band default equals the " +
+    "brute-force hamming filter (pigeonhole completeness)") {
+    val corpus = graft.tools.DedupBench.corpus(spark, 100)
+    val fp = Dedup.simhashDf(corpus) // 64-bit default
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .where($"a.doc_id" < $"b.doc_id" &&
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")) <= 7)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearPairs(corpus, maxHamming = 7)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the corpus's 10-doc groups are near-dups
+  }
+
+  test("maxBucket drops degenerate buckets instead of exploding pairs " +
+    "(adversarial all-duplicates corpus)") {
+    val dup = spark.range(50).select(col("id").as("doc_id"),
+      lit("identical adversarial document body with plenty of words to shingle")
+        .as("text"))
+    // every doc lands in ONE bucket of 50 per band: capped → no pairs
+    assert(Dedup.minhashCandidates(dup, maxBucket = 10).count() == 0)
+    assert(Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 10).count() == 0)
+    // raise the cap → the full duplicate clique comes back
+    assert(Dedup.minhashCandidates(dup, maxBucket = 1000).count() == 50L * 49 / 2)
+    assert(Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 1000).count() ==
+      50L * 49 / 2)
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 1
