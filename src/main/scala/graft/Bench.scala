@@ -55,7 +55,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: the driver captures only a stdout tail, so
+    // a long line can arrive truncated mid-JSON and parse as null. The
+    // file copy keeps the round artifact machine-parseable regardless.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

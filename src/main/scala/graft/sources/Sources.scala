@@ -145,9 +145,35 @@ object Sources {
       if (fresh) spark.read.parquet(dir.toString)
       else {
         val df = compute
-        df.write.mode("overwrite").parquet(dir.toString)
+        // Atomic publish: write to a session-unique temp dir, then rename
+        // into place. A crash mid-write leaves only an orphaned .tmp dir
+        // (never a half-written entry that a later session would read as
+        // valid-but-truncated), and two sessions racing on the same key
+        // each write their own temp — whichever renames last wins, which
+        // is the same last-writer-wins contract as mode("overwrite").
+        val tmp = Paths.get(
+          cacheDir, s".tmp-${keyHash(key)}-${java.util.UUID.randomUUID}")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        deleteRecursively(dir) // stale entry (incl. marker-less wreckage)
+        try
+          Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent writer published between our delete and move —
+          // their entry is complete (rename is all-or-nothing); use it
+          case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(tmp)
+        }
         spark.read.parquet(dir.toString)
       }
     }
+
+    private def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val stream = Files.walk(p)
+        try
+          stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        finally stream.close()
+      }
   }
 }

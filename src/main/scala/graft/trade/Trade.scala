@@ -91,12 +91,11 @@ object Trade {
         val eligible = onDate.where(col("time") < lit(t))
         // validation (base.py:795-830): an empty slice must not silently
         // read as "no orders". In the reference's dense grid the two
-        // failure modes are separate checks; on a sparse long panel one
-        // limit(1) probe covers the happy path, and only a failure pays
-        // for the second probe to pick the right error.
-        if (eligible.limit(1).count() == 0) {
-          val anyEarlierTime =
-            panel.where(col("time") < lit(t)).limit(1).count() > 0
+        // failure modes are separate checks; on a sparse long panel ONE
+        // isEmpty probe (a single take(1) job) covers the happy path, and
+        // only a failure pays for the second probe to pick the right error.
+        if (eligible.isEmpty) {
+          val anyEarlierTime = !panel.where(col("time") < lit(t)).isEmpty
           if (!anyEarlierTime)
             throw new IllegalArgumentException(
               "cannot determine which target weights to use for orders " +

@@ -79,6 +79,30 @@ class CacheSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("interrupted write recovery: a marker-less cache dir is replaced " +
+    "atomically, and no .tmp dirs are left behind") {
+    val (cache, dir) = newCache()
+    cache.getOrCompute("k1")(df(1.0)).collect()
+    // simulate a crash mid-write under the OLD non-atomic scheme: a cache
+    // entry directory with data but no _SUCCESS marker
+    val entry = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => !Paths.get(p).getFileName.toString.startsWith(".tmp-")).head
+    Files.deleteIfExists(Paths.get(entry, "_SUCCESS"))
+    var computes = 0
+    val recovered = cache.getOrCompute("k1") { computes += 1; df(2.0) }
+    assert(recovered.head.getDouble(1) == 2.0) // stale wreckage not served
+    assert(computes == 1)
+    assert(Files.exists(Paths.get(entry, "_SUCCESS"))) // entry republished
+    // subsequent call hits the repaired entry
+    assert(cache.getOrCompute("k1") { computes += 1; df(3.0) }
+      .head.getDouble(1) == 2.0)
+    assert(computes == 1)
+    // the atomic-publish temp dirs are renamed away, never accumulated
+    val leftovers = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(p => Paths.get(p).getFileName.toString.startsWith(".tmp-"))
+    assert(leftovers.isEmpty)
+  }
+
   test("MLStrategy feature cache: hit across backtests, noCache bypass " +
     "(ml.py:426-433)") {
     val (cache, _) = newCache()
