@@ -255,6 +255,40 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // nprobe=2 IVF: queries search their TWO nearest cells; the corpus
+    // keeps single-cell assignment, so (query, neighbor) pairs are unique
+    "sim4_ivf_nprobe" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      s"""WITH cent AS (
+         |  SELECT e2.label AS cell_id, e2.embedding AS centroid
+         |  FROM (SELECT label, min(vec_id) AS cid FROM embeddings GROUP BY 1) m
+         |  JOIN embeddings e2 ON e2.vec_id = m.cid),
+         |ranked_cells AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cell_id FROM ranked_cells WHERE rn = 1),
+         |qasgn AS (SELECT vec_id, cell_id FROM ranked_cells WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q
+         |  JOIN qasgn qa ON q.vec_id = qa.vec_id
+         |  JOIN asgn ca ON ca.cell_id = qa.cell_id
+         |  JOIN embeddings c ON c.vec_id = ca.vec_id
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
     "mm1_binary_meta" ->
       """WITH media AS (
         |  SELECT doc_id, text, encode(text) AS payload,

@@ -112,6 +112,20 @@ object TextQueries {
         embs.where(col("vec_id") < 5), embs, centroids, "vec_id", "embedding", k = 5)
     }),
 
+    // IVF with nprobe=2: each query searches its two nearest cells —
+    // better recall than sim3's single probe at 2× the candidate volume
+    "sim4_ivf_nprobe" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = embs
+        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
+        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
+          "__cid")
+        .select(col("label").as("cell_id"), col("centroid"))
+      Similarity.ivfTopK(
+        embs.where(col("vec_id") < 5), embs, centroids, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    }),
+
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")

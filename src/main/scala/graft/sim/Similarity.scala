@@ -141,18 +141,26 @@ object Similarity {
     * |corpus|/|cells| candidates per query in expectation. This is the
     * ANN scale path when sign-buckets ([[signLshTopK]]) are too coarse:
     * cell granularity follows the centroid count, not 2^dims. Recall < 1
-    * by design (single-probe; nprobe>1 = union more cells). */
+    * by design; `nprobe` > 1 probes the query's nprobe nearest cells
+    * (union) for materially better recall at nprobe× the candidate
+    * volume — the corpus keeps its single-cell assignment, so each
+    * (query, neighbor) pair still appears at most once and no dedup
+    * shuffle is needed. */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
       centroids: DataFrame, // (cell_id, centroid array<float>)
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
     val c = assignCells(corpus, centroids, vecCol, idCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         norm(col(vecCol)).as("__cn"), col("cell_id"))
-    val q = assignCells(queries, centroids, vecCol, idCol)
+    val qAssigned =
+      if (nprobe <= 1) assignCells(queries, centroids, vecCol, idCol)
+      else probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val q = qAssigned
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         norm(col(vecCol)).as("__qn"), col("cell_id"))
     val scored = c
@@ -177,6 +185,27 @@ object Similarity {
     * ×|centroids| row blowup before the single shuffle on `idCol`, and
     * no sort is needed — strictly better than a row_number window over
     * the blown-up relation. Ties break on the lower cell_id. */
+  /** Multi-probe assignment: each vector's `nprobe` nearest cells — one
+    * output row per (vector, probed cell). For the QUERY side of
+    * [[ivfTopK]], which is small by contract (it gets broadcast), so the
+    * row_number window over the ×|centroids| blowup is driver-trivial;
+    * the corpus side should keep [[assignCells]]'s sort-free min_by. */
+  def probeCells(
+      vectors: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid array<float>)
+      vecCol: String,
+      idCol: String = "vec_id",
+      nprobe: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__dist"), col("cell_id"))
+    vectors
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", euclidean(col(vecCol), col("centroid")))
+      .withColumn("__probe", row_number().over(w))
+      .where(col("__probe") <= nprobe)
+      .drop("__dist", "__probe", "centroid")
+  }
+
   def assignCells(
       vectors: DataFrame,
       centroids: DataFrame, // (cell_id, centroid array<float>)

@@ -74,6 +74,39 @@ class ToolboxSpec extends SparkSpec {
     assert(cells == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("probeCells returns the nprobe nearest cells; nprobe=2 IVF recall " +
+    "is >= single-probe and both are subsets of brute force") {
+    // 3 clusters around axes; vectors near cluster BOUNDARIES are the
+    // ones single-probe misses (their neighbors sit in the adjacent cell)
+    val vectors = Seq(
+      (1L, Array(0.9f, 0.1f, 0.0f)), (2L, Array(0.8f, 0.3f, 0.0f)),
+      (3L, Array(0.55f, 0.5f, 0.0f)), // boundary: cell 0, neighbors in 1
+      (4L, Array(0.4f, 0.6f, 0.0f)), (5L, Array(0.1f, 0.9f, 0.0f)),
+      (6L, Array(0.0f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)),
+      (2, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("cell_id", "centroid")
+    val probes = Similarity.probeCells(vectors, centroids, "embedding", nprobe = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(probes(3L) == Set(0, 1)) // boundary vector probes both cells
+    assert(probes(1L) == Set(0, 1)) // z-cell is always the farthest here
+    assert(probes.values.forall(_.size == 2))
+
+    val queries = vectors.where($"vec_id" === 3L)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val brute = hits(Similarity.bruteForceTopK(queries, vectors, "vec_id", "embedding", 3))
+    val one = hits(Similarity.ivfTopK(queries, vectors, centroids, "vec_id", "embedding", 3))
+    val two = hits(Similarity.ivfTopK(queries, vectors, centroids, "vec_id", "embedding", 3,
+      nprobe = 2))
+    assert(one.subsetOf(brute) && two.subsetOf(brute))
+    assert(one.subsetOf(two) && two.size > one.size) // nprobe=2 recovers
+    assert(two == brute) // ...the full top-3 on this fixture
+  }
+
   test("euclidean distance: native expression bit-identical to the HOF form") {
     val d = Seq((Array(0.0f, 3.0f), Array(4.0f, 0.0f))).toDF("a", "b")
       .select(Similarity.euclidean($"a", $"b")).head.getDouble(0)
