@@ -393,6 +393,11 @@ object Oracles {
          |SELECT sid, date, (CASE WHEN lsc > 0 THEN lsc ELSE ssc END) + 0.0 AS weight
          |FROM scaled""".stripMargin,
 
+    "s10_bucketed_scan" ->
+      s"""WITH $panelCte
+         |SELECT sid, close, date FROM panel
+         |WHERE date >= DATE '1995-01-01' AND date <= DATE '1995-03-31'""".stripMargin,
+
     "trade_full" -> tradeFullSql("SELECT max(date) AS d FROM panel"),
 
     // trade_cal: the closed-calendar signal date resolves to the

@@ -442,6 +442,18 @@ object Queries {
           .as("weight"))
     }),
 
+    // ---- S1 storage contract: publish date-partitioned + sid-bucketed,
+    // read back through the same PriceQuery pushdown (partition pruning;
+    // the layout's zero-exchange joins are proven in BucketingSpec —
+    // here the ORACLE proves the roundtrip loses nothing) ----
+    "s10_bucketed_scan" -> ((s, dir) => {
+      val panel = supplierPanel(s, dir)
+      graft.sources.Sources.writePrices(panel, "graft_s10_panel", buckets = 8)
+      graft.sources.Sources.pricesTable(s, "graft_s10_panel",
+        graft.sources.Sources.PriceQuery(
+          startDate = Some("1995-01-01"), endDate = Some("1995-03-31")))
+    }),
+
     // ---- §3.2 full trade lifecycle: weights → FX/NLV → net qty → orders ----
     "trade_full" -> ((s, dir) => {
       implicit val k: Keys = liKeys

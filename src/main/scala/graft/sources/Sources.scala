@@ -45,9 +45,80 @@ object Sources {
   }
 
   /** S1: long/field-pivoted price panel scan with pushdown. All filters are
-    * plain Column predicates → pushed to the parquet reader. */
+    * plain Column predicates → pushed to the parquet reader.
+    *
+    * Joins against this scan: dimensions (master, allocations, rates)
+    * are broadcast at every join site in this library. For a dimension
+    * too big to broadcast but much smaller than the panel — with a hot
+    * key (one sid dominating the fact rows) that AQE's runtime skew
+    * split can't touch because the layout was pre-partitioned —
+    * [[graft.panel.Skew.saltedJoin]] spreads the hot key across
+    * reducers with identical join semantics. For REPEATED large joins,
+    * prefer publishing the panel bucketed by sid via [[writePrices]]:
+    * co-located joins need no shuffle at all. */
   def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame = {
     var df = spark.read.parquet(path)
+    q.startDate.foreach(s =>
+      df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
+    q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))
+    if (q.sids.nonEmpty) df = df.where(col("sid").isin(q.sids: _*))
+    if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))
+    if (q.times.nonEmpty) df = df.where(col("time").isin(q.times: _*))
+    if (q.fields.nonEmpty) {
+      val keep = Seq("sid", "date", "time").filter(df.columns.contains) ++ q.fields
+      df = df.select(keep.distinct.map(col): _*)
+    }
+    df
+  }
+
+  /** S1 storage contract at scale: publish a panel date-partitioned and
+    * sid-bucketed.
+    *
+    *  - `partitionBy(date)`: every query in this library pushes a date
+    *    predicate (start/end, signal-date slice), which becomes partition
+    *    PRUNING — untouched dates are never listed, let alone read.
+    *  - `bucketBy(buckets, sid)` + `sortBy(sid)`: scans report
+    *    hash-partitioning on sid, so per-sid windows (lag/ffill/rolling —
+    *    the whole §2.6 family) and equi-joins against anything bucketed
+    *    the same way run with ZERO exchanges (BucketingSpec proves the
+    *    plan shape). Bucket metadata only exists in the catalog, so this
+    *    is a `saveAsTable`, not a path write.
+    *
+    * Size `buckets` so one bucket ≈ one executor-core's working set at
+    * the target scale (100 TB / 32 buckets is far too coarse; thousands
+    * are normal on a cluster — the local[32] default here mirrors the
+    * test shuffle parallelism). */
+  def writePrices(
+      df: DataFrame,
+      table: String,
+      buckets: Int = 32,
+      partitionCol: Option[String] = Some("date"),
+      bucketCol: String = "sid"): Unit = {
+    val spark = df.sparkSession
+    // With a persistent metastore DROP also removes the managed location.
+    // An in-memory catalog (fresh session) forgets the table but leaves
+    // the directory, which then blocks CREATE — clear the orphan too.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = Paths.get(warehouse, table.toLowerCase)
+    if (Files.exists(orphan)) {
+      val stream = Files.walk(orphan)
+      try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally stream.close()
+    }
+    var w = df.write.mode("overwrite").format("parquet")
+    partitionCol.foreach(p => w = w.partitionBy(p))
+    w.bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+  }
+
+  /** Catalog-table variant of [[prices]]: the same PriceQuery pushdown
+    * over a [[writePrices]]-published table. Date predicates prune
+    * partitions; the bucketed layout carries sid hash-partitioning into
+    * downstream joins and windows. */
+  def pricesTable(spark: SparkSession, table: String, q: PriceQuery = PriceQuery()): DataFrame = {
+    var df = spark.table(table)
     q.startDate.foreach(s =>
       df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
     q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))

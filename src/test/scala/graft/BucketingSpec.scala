@@ -43,4 +43,48 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_prices_bucketed")
     spark.sql("DROP TABLE graft_master_bucketed")
   }
+
+  test("writePrices publishes a date-partitioned sid-bucketed layout: " +
+    "partition pruning + shuffle-free join AND per-sid window") {
+    import graft.sources.Sources
+    val panel = spark.range(4000).select(
+      (col("id") % 40).as("sid"),
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 5).cast("int"))
+        .as("date"),
+      (col("id") % 97).cast("double").as("close"))
+    Sources.writePrices(panel, "graft_panel_pub", buckets = 8)
+    val dims = spark.range(40).select(
+      col("id").as("sid"), concat(lit("SYM"), col("id")).as("symbol"))
+    Sources.writePrices(dims, "graft_dims_pub", buckets = 8, partitionCol = None)
+
+    // date predicate prunes partitions at the source (not a post-filter)
+    val oneDay = Sources.pricesTable(spark, "graft_panel_pub",
+      Sources.PriceQuery(startDate = Some("2024-01-03"), endDate = Some("2024-01-03")))
+    assert(oneDay.count() == 800)
+    val scanMeta = oneDay.queryExecution.executedPlan.toString
+    assert(scanMeta.contains("PartitionFilters") &&
+      scanMeta.contains("2024-01-03"),
+      s"expected the date filter in PartitionFilters, got:\n$scanMeta")
+
+    // bucketed join: no exchange on either side
+    val joined = Sources.pricesTable(spark, "graft_panel_pub")
+      .hint("shuffle_merge")
+      .join(spark.table("graft_dims_pub"), "sid")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"))
+    assert(joined.count() == 4000)
+
+    // per-sid window (the §2.6 family) rides the bucket layout:
+    // sort yes, shuffle no
+    implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+    val lagged = Sources.pricesTable(spark, "graft_panel_pub")
+      .withColumn("prev", graft.panel.Panel.lagBySid(col("close")))
+    val lagPlan = lagged.queryExecution.executedPlan.toString
+    assert(!lagPlan.contains("Exchange hashpartitioning"),
+      s"expected the per-sid window to reuse bucket partitioning, got:\n$lagPlan")
+    assert(lagged.where(col("prev").isNotNull).count() > 0)
+
+    spark.sql("DROP TABLE graft_panel_pub")
+    spark.sql("DROP TABLE graft_dims_pub")
+  }
 }
