@@ -35,6 +35,34 @@ object Oracles {
        |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
        |  FROM pos)""".stripMargin
 
+  /** perf_* shared pipeline: demo melt Return rows (damped ×0.001, same
+    * op order as the Spark query) → per-date exact pico sum → sign-aware
+    * running product of (1+r) and its running peak. */
+  private val perfPkCte =
+    s"""$turnoverCte,
+       |gro AS (
+       |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+       |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+       |  FROM trn),
+       |ret AS (
+       |  SELECT date,
+       |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
+       |      AS BIGINT) / 1e12 AS r
+       |  FROM gro GROUP BY date),
+       |cum AS (
+       |  SELECT date, r,
+       |    CASE WHEN sum(CASE WHEN 1 + r = 0 THEN 1 ELSE 0 END) OVER w > 0 THEN 0.0
+       |         ELSE exp(sum(CASE WHEN 1 + r <> 0 THEN ln(abs(1 + r))
+       |                          ELSE 0.0 END) OVER w) *
+       |              (1.0 - (sum(CASE WHEN 1 + r < 0 THEN 1 ELSE 0 END) OVER w % 2) * 2)
+       |    END AS c
+       |  FROM ret
+       |  WINDOW w AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pk AS (
+       |  SELECT *, max(c) OVER (ORDER BY date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM cum)""".stripMargin
+
   /** §3.2 trade lifecycle SQL, parameterized by the signal-date CTE body:
     * `trade_full` uses the last panel date, `trade_cal` the second-to-last
     * (a closed exchange's last-close date). */
@@ -660,6 +688,32 @@ object Oracles {
          |UNION ALL SELECT sid, date, 'Weight', weight FROM m
          |UNION ALL SELECT sid, date, 'DollarVolume', close * n_trades FROM m
          |UNION ALL SELECT sid, date, 'PrevClose', prev_close FROM m""".stripMargin,
+
+    // perf_*: per-date Return aggregation (exact integer-pico sum of the
+    // ×0.001-damped gross, mirroring the Spark operation order) →
+    // sign-aware cumprod via exp∘Σln|1+r| with the running negative
+    // count choosing the sign; outputs rounded to 6dp to absorb
+    // cross-engine libm ulp noise
+    "perf_daily" ->
+      s"""WITH $perfPkCte
+         |SELECT date, r AS "return", round(c - 1, 6) AS cum_return,
+         |       round(CASE WHEN p <> 0 THEN c / p - 1 END, 6) AS drawdown
+         |FROM pk""".stripMargin,
+
+    "perf_summary" ->
+      s"""WITH $perfPkCte,
+         |st AS (
+         |  SELECT count(*) AS n_days, arg_max(c, date) AS endc, avg(r) AS mu,
+         |         stddev_samp(r) AS sigma,
+         |         min(CASE WHEN p <> 0 THEN c / p - 1 END) AS mdd
+         |  FROM pk)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(endc - 1, 6) AS total_return,
+         |  round(CASE WHEN endc > 0
+         |             THEN pow(endc, 252.0 / n_days) - 1 END, 6) AS cagr,
+         |  round(mu / sigma * sqrt(252.0), 6) AS sharpe,
+         |  round(mdd, 6) AS max_drawdown
+         |FROM st""".stripMargin,
 
     "backtest_pipeline" ->
       s"""WITH $turnoverCte,

@@ -93,6 +93,14 @@ object Queries {
     Trade.orderStubs(net, "demo")
   }
 
+  /** Demo results melt with return-like magnitudes for the perf_*
+    * queries: the raw supplier-panel series compounds out of double
+    * range (see the catalog comment). */
+  private def dampedMelt(s: SparkSession, dir: String): DataFrame =
+    Backtest.run(DemoStrategy, supplierPanel(s, dir))
+      .withColumn("value",
+        when(col("field") === "Return", col("value") * 0.001).otherwise(col("value")))
+
   /** The flagship demo strategy: long suppliers whose close < 30000
     * (the BuyBelow10 golden-test shape, _tests/test_backtest.py:108). */
   object DemoStrategy extends Strategy {
@@ -669,6 +677,18 @@ object Queries {
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))
     }),
+
+    // ---- performance measures over the results melt (moonchart-style:
+    // the first thing a migrating user computes after backtest()).
+    // TPC-H "prices" swing 20× bar-to-bar, so the raw demo series
+    // compounds past double range (exp(1282)); damping the Return field
+    // ×0.001 keeps the demo magnitudes return-like without touching the
+    // measure implementations ----
+    "perf_daily" -> ((s, dir) =>
+      graft.perf.Performance.dailySeries(dampedMelt(s, dir))),
+
+    "perf_summary" -> ((s, dir) =>
+      graft.perf.Performance.summary(dampedMelt(s, dir))),
 
     // ---- D17: trade-side position limits clamp target quantities ----
     "d17_trade_limits" -> ((s, dir) => {

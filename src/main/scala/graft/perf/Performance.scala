@@ -1,0 +1,99 @@
+package graft.perf
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-backtest performance measures over the results melt — the
+  * aggregate views (cumulative return, drawdown, CAGR, Sharpe) a user of
+  * the reference computes from its results CSV with the companion
+  * charting package (DailyPerformance-style; the reference engine itself
+  * stops at the melt, SURVEY §3.1). Not reference-engine parity — a
+  * convenience layer over the `Return` field.
+  *
+  * Scale shape: ONE hash aggregation collapses the (sid, date) melt to a
+  * per-date series — integer-scaled so the cross-sid sum is order-free —
+  * and the cumulative/drawdown pass is a single ordered window over that
+  * ALREADY-AGGREGATED series (≤ one row per trading date by
+  * construction, like the benchmark ffill in Backtest — the unpartitioned
+  * window is bounded, not a data-volume sort).
+  */
+object Performance {
+
+  /** Per-date portfolio return: the cross-sid sum of the melt's `Return`
+    * rows. Summed as integer picos (×1e12, exact in a long for |r| ≤
+    * ~10⁶) so the unordered distributed sum is deterministic — a plain
+    * double sum differs in the last ulp run-to-run and engine-to-engine. */
+  def dailyReturns(results: DataFrame, dateCol: String = "date"): DataFrame =
+    results
+      .where(col("field") === "Return")
+      .groupBy(col(dateCol))
+      .agg((sum(round(col("value") * 1e12).cast("long")) / 1e12).as("return"))
+
+  /** Running product of (1 + return) over the date-ordered window —
+    * cumprod semantics without a product aggregate: exp∘Σln over |1+r|,
+    * sign restored from the running count of negative factors, zero
+    * factors pinning the product at 0 from then on. Sign-aware because a
+    * leveraged day CAN lose more than 100% (1+r < 0); plain Σlog1p would
+    * throw on it. */
+  private def withCumFactor(daily: DataFrame, dateCol: String): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = col("return") + 1
+    daily
+      .withColumn("__lnab", when(g =!= 0, log(abs(g))).otherwise(lit(0.0)))
+      .withColumn("__negs", sum(when(g < 0, 1L).otherwise(0L)).over(w))
+      .withColumn("__zeros", sum(when(g === 0, 1L).otherwise(0L)).over(w))
+      .withColumn(
+        "__cum",
+        when(col("__zeros") > 0, 0.0).otherwise(
+          exp(sum(col("__lnab")).over(w)) *
+            (lit(1.0) - pmod(col("__negs"), lit(2)) * 2)))
+      .withColumn("__peak", max(col("__cum")).over(w))
+      .drop("__lnab", "__negs", "__zeros")
+  }
+
+  /** Daily performance series: (date, return, cum_return, drawdown).
+    * Drawdown is the drop from the running peak of the compounded
+    * curve (null while the peak is 0). */
+  def dailySeries(results: DataFrame, dateCol: String = "date"): DataFrame =
+    withCumFactor(dailyReturns(results, dateCol), dateCol)
+      .select(
+        col(dateCol),
+        col("return"),
+        round(col("__cum") - 1, 6).as("cum_return"),
+        round(when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1), 6)
+          .as("drawdown"))
+
+  /** One-row summary: n_days, total_return, CAGR (trading-day
+    * annualization: (1+total)^(periodsPerYear/n) − 1), annualized Sharpe
+    * (mean/std × √periodsPerYear, rf = 0), max drawdown. Outputs rounded
+    * to 6 decimals — the last-ulp noise of avg/stddev/exp is engine-
+    * dependent; the rounded values are not. */
+  def summary(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val series = withCumFactor(dailyReturns(results, dateCol), dateCol)
+      .withColumn("__dd",
+        when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1))
+    series
+      .agg(
+        count(lit(1)).as("n_days"),
+        max_by(col("__cum"), col(dateCol)).as("__end"),
+        avg(col("return")).as("__mu"),
+        stddev_samp(col("return")).as("__sigma"),
+        min(col("__dd")).as("__mdd"))
+      .select(
+        col("n_days"),
+        round(col("__end") - 1, 6).as("total_return"),
+        // annualized growth is undefined once the compounded value goes
+        // non-positive (a >100% loss happened) — null, not NaN
+        round(when(col("__end") > 0,
+          pow(col("__end"), lit(periodsPerYear.toDouble) / col("n_days")) - 1), 6)
+          .as("cagr"),
+        round(col("__mu") / col("__sigma") * math.sqrt(periodsPerYear.toDouble), 6)
+          .as("sharpe"),
+        round(col("__mdd"), 6).as("max_drawdown"))
+  }
+}

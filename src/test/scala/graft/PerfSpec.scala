@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.perf.Performance
+
+/** Performance measures over the results melt: hand-computed golden
+  * values for a three-day, two-sid series.
+  */
+class PerfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // per-date portfolio returns after cross-sid summing:
+  // d1: 0.06 + 0.04 = 0.10 ; d2: -0.03 - 0.02 = -0.05 ; d3: 0.01 + 0.01 = 0.02
+  private lazy val melt = Seq(
+    ("A", "2024-01-01", "Return", 0.06), ("B", "2024-01-01", "Return", 0.04),
+    ("A", "2024-01-02", "Return", -0.03), ("B", "2024-01-02", "Return", -0.02),
+    ("A", "2024-01-03", "Return", 0.01), ("B", "2024-01-03", "Return", 0.01),
+    // non-Return fields must be ignored
+    ("A", "2024-01-01", "Turnover", 9.99))
+    .toDF("sid", "date", "field", "value")
+    .withColumn("date", to_date($"date"))
+
+  test("dailySeries: compounding and drawdown from the running peak") {
+    val rows = Performance.dailySeries(melt).orderBy("date").collect()
+    assert(rows.map(_.getAs[Double]("return")).toSeq == Seq(0.10, -0.05, 0.02))
+    // cum: 1.1 ; 1.1×0.95 = 1.045 ; ×1.02 = 1.0659
+    assert(rows.map(_.getAs[Double]("cum_return")).toSeq ==
+      Seq(0.1, 0.045, 0.0659))
+    // drawdown from peak 1.1: 0 ; 1.045/1.1−1 ; recovered to 1.0659/1.1−1
+    assert(rows(0).getAs[Double]("drawdown") == 0.0)
+    assert(rows(1).getAs[Double]("drawdown") == math.rint((1.045 / 1.1 - 1) * 1e6) / 1e6)
+    assert(rows(2).getAs[Double]("drawdown") == math.rint((1.0659 / 1.1 - 1) * 1e6) / 1e6)
+  }
+
+  test("summary: total, CAGR, Sharpe, max drawdown") {
+    val s = Performance.summary(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Double]("total_return") == 0.0659)
+    val expectedCagr = math.pow(1.0659, 252.0 / 3) - 1
+    assert(math.abs(s.getAs[Double]("cagr") - expectedCagr) < 1e-6)
+    val r = Seq(0.10, -0.05, 0.02)
+    val mu = r.sum / 3
+    val sigma = math.sqrt(r.map(x => (x - mu) * (x - mu)).sum / 2)
+    val expectedSharpe = mu / sigma * math.sqrt(252.0)
+    assert(math.abs(s.getAs[Double]("sharpe") - expectedSharpe) < 1e-6)
+    assert(s.getAs[Double]("max_drawdown") ==
+      math.rint((1.045 / 1.1 - 1) * 1e6) / 1e6)
+  }
+
+  test("compounding survives a >100% daily loss: sign-aware cumprod, " +
+    "CAGR null once the compounded value goes non-positive") {
+    val leveraged = Seq(
+      ("A", "2024-01-01", "Return", 0.5),
+      ("A", "2024-01-02", "Return", -1.5), // 1+r = −0.5: cum 1.5 → −0.75
+      ("A", "2024-01-03", "Return", 0.2)) // cum −0.75 × 1.2 = −0.9
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.dailySeries(leveraged).orderBy("date").collect()
+    assert(rows.map(_.getAs[Double]("cum_return")).toSeq ==
+      Seq(0.5, -1.75, -1.9))
+    // running peak stays 1.5; drawdowns below −100% are real here
+    assert(rows.map(_.getAs[Double]("drawdown")).toSeq ==
+      Seq(0.0, -1.5, -1.6))
+    val s = Performance.summary(leveraged).head
+    assert(s.getAs[Double]("total_return") == -1.9)
+    assert(s.isNullAt(s.fieldIndex("cagr"))) // not NaN
+    assert(s.getAs[Double]("max_drawdown") == -1.6)
+  }
+
+  test("a −100% day pins the compounded curve at zero thereafter") {
+    val wiped = Seq(
+      ("A", "2024-01-01", "Return", 0.5),
+      ("A", "2024-01-02", "Return", -1.0),
+      ("A", "2024-01-03", "Return", 0.3))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.dailySeries(wiped).orderBy("date").collect()
+    assert(rows.map(_.getAs[Double]("cum_return")).toSeq ==
+      Seq(0.5, -1.0, -1.0))
+  }
+
+  test("summary composes with the real backtest melt (non-degenerate)") {
+    val panel = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 11.0),
+      ("A", "2024-01-03", 9.0), ("A", "2024-01-04", 10.0),
+      ("B", "2024-01-01", 20.0), ("B", "2024-01-02", 19.0),
+      ("B", "2024-01-03", 21.0), ("B", "2024-01-04", 20.0))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    object S extends graft.pipeline.Strategy {
+      val code = "perf-demo"
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) =
+        p.withColumn("signal", (col("close") < 20).cast("int"))
+    }
+    val s = Performance.summary(graft.pipeline.Backtest.run(S, panel)).head
+    assert(s.getAs[Long]("n_days") == 4L)
+    assert(s.getAs[Double]("max_drawdown") <= 0.0)
+  }
+}
