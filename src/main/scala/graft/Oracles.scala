@@ -354,7 +354,9 @@ object Oracles {
         |         'demo' AS "orderRef", CAST(round(s_acctbal) AS BIGINT) AS "totalQuantity"
         |  FROM supplier WHERE s_acctbal > 0),
         |parents AS (
-        |  SELECT *, sid || '.' || account || '.' || "orderRef" AS "orderId" FROM stubs)
+        |  SELECT *, CAST(row_number() OVER (ORDER BY sid, account) - 1 AS VARCHAR)
+        |            || '.0' AS "orderId"
+        |  FROM stubs)
         |SELECT sid, account, action, "orderRef", "totalQuantity", "orderId",
         |       CAST(NULL AS VARCHAR) AS "parentId"
         |FROM parents

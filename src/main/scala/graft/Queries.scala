@@ -421,8 +421,9 @@ object Queries {
           when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
           lit("demo").as("orderRef"),
           round(col("s_acctbal")).cast("long").as("totalQuantity"))
-      val parents = stubs.withColumn("orderId",
-        concat_ws(".", col("sid"), col("account"), col("orderRef")))
+      // fixed id suffix so the positional "row.suffix" ids (base.py:650)
+      // are deterministic for the oracle
+      val parents = Trade.withOrderIds(stubs, suffix = "0")
       val children = Trade.childOrders(parents)
       parents.withColumn("parentId", lit(null).cast("string"))
         .unionByName(children.withColumn("orderId", lit(null).cast("string")))

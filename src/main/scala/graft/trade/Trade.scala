@@ -291,20 +291,31 @@ object Trade {
       broadcast(sliced.select(col(k.sid), col(valueCol))), Seq(k.sid), "left")
   }
 
-  /** D23 child/bracket orders (base.py:607-655): copy orders, reverse the
-    * action, link ParentId ← OrderId. */
-  def childOrders(orders: DataFrame): DataFrame = {
-    val withIds =
-      if (orders.columns.contains("orderId")) orders
-      else orders.withColumn(
+  /** Assign order ids in the reference's shape (base.py:650-651): the
+    * row's POSITION in (sid, account) order, "." , a session-unique
+    * suffix — "0.1691856000", "1.1691856000", … The unpartitioned
+    * row_number window is bounded by design: an orders frame is one row
+    * per (sid, account) traded today, not a data-volume relation. */
+  def withOrderIds(
+      orders: DataFrame,
+      suffix: String = (System.currentTimeMillis / 1000L).toString): DataFrame =
+    if (orders.columns.contains("orderId")) orders
+    else {
+      val w = Window.orderBy("sid", "account")
+      orders.withColumn(
         "orderId",
-        concat_ws(".", col("sid"), col("account"), col("orderRef")))
-    withIds
+        concat_ws(".", (row_number().over(w) - 1).cast("string"), lit(suffix)))
+    }
+
+  /** D23 child/bracket orders (base.py:607-655): copy orders, reverse the
+    * action, link ParentId ← OrderId (assigning positional ids first if
+    * the frame has none, like the reference). */
+  def childOrders(orders: DataFrame): DataFrame =
+    withOrderIds(orders)
       .withColumnRenamed("orderId", "parentId")
       .withColumn(
         "action",
         when(col("action") === "BUY", "SELL").otherwise("BUY"))
-  }
 
   /** Full trade() driver (§3.2). Returns the orders table, empty when all
     * net quantities are zero (base.py:1800). */

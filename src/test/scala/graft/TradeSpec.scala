@@ -54,14 +54,24 @@ class TradeSpec extends SparkSpec {
     assert(stubs == List(("S1", "BUY", 5L), ("S2", "SELL", 3L)))
   }
 
-  test("childOrders reverse the action and link ParentId (base.py:607-655)") {
-    val orders = Seq(("S1", "U1", "BUY", "strat", 5.0))
+  test("childOrders reverse the action and link ParentId via positional " +
+    "ids, reference shape row.suffix (base.py:607-655)") {
+    val orders = Seq(
+      ("S2", "U1", "SELL", "strat", 3.0),
+      ("S1", "U1", "BUY", "strat", 5.0))
       .toDF("sid", "account", "action", "orderRef", "totalQuantity")
-    val children = Trade.childOrders(orders).collect()
-    assert(children.length == 1)
-    val c = children.head
-    assert(c.getAs[String]("action") == "SELL")
-    assert(c.getAs[String]("parentId") == "S1.U1.strat")
+    val parents = Trade.withOrderIds(orders, suffix = "99")
+      .collect().map(r => r.getAs[String]("sid") -> r.getAs[String]("orderId")).toMap
+    // positions follow (sid, account) order, not input order
+    assert(parents == Map("S1" -> "0.99", "S2" -> "1.99"))
+    val children = Trade.childOrders(Trade.withOrderIds(orders, suffix = "99"))
+      .collect().map(r => (r.getAs[String]("sid"), r.getAs[String]("action"),
+        r.getAs[String]("parentId"))).toSet
+    assert(children == Set(("S1", "SELL", "0.99"), ("S2", "BUY", "1.99")))
+    // pre-assigned ids are respected, not overwritten
+    val custom = orders.withColumn("orderId", concat_ws("-", $"sid", $"orderRef"))
+    assert(Trade.childOrders(custom).collect()
+      .map(_.getAs[String]("parentId")).toSet == Set("S1-strat", "S2-strat"))
   }
 
   test("AsOf.join picks most recent value at or before probe date (J6)") {
