@@ -425,8 +425,9 @@ object Oracles {
 
     "s10_bucketed_scan" ->
       s"""WITH $panelCte
-         |SELECT sid, close, date FROM panel
-         |WHERE date >= DATE '1995-01-01' AND date <= DATE '1995-03-31'""".stripMargin,
+         |SELECT sid, date, close FROM panel
+         |WHERE date >= DATE '1995-01-01' AND date <= DATE '1995-06-30'
+         |  AND date >= DATE '1995-01-01' AND date <= DATE '1995-03-31'""".stripMargin,
 
     "trade_full" -> tradeFullSql("SELECT max(date) AS d FROM panel"),
 
