@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.Dedup
+
+/** Streaming near-duplicate detection — the continuous-ingest companion
+  * to the batch [[graft.dedup.Dedup.simhashNearPairs]].
+  *
+  * Shape: the simhash fingerprint is a pure per-row column expression
+  * (no windows, no aggregations), so it runs under any streaming output
+  * mode; band keys explode exactly like the batch hamming-LSH path; and
+  * within-bucket matching becomes KEYED STATE — each (band, key) group
+  * keeps the last `maxState` fingerprints it has seen and emits a match
+  * row whenever a new document lands within `maxHamming` of a kept one.
+  * Matches are found ACROSS micro-batches (the whole point of the
+  * streaming path: a duplicate arriving an hour after its original is
+  * still caught, bounded only by the state cap, not the batch boundary).
+  *
+  * Scale notes:
+  *  - State per bucket is a capped ring (newest `maxState` kept): the
+  *    streaming analogue of the batch `maxBucket` guard — a degenerate
+  *    bucket forgets oldest fingerprints instead of growing without
+  *    bound. 2×8 bytes × maxState × live buckets bounds the state store.
+  *  - A pair that agrees on several bands is emitted once per agreeing
+  *    band (append-mode state is per-group; cross-group dedup would need
+  *    another shuffle). Downstream consumers dedup per micro-batch with
+  *    `dropDuplicates` or tolerate the multiplicity, like the batch
+  *    path's pre-`distinct()` stream.
+  */
+object StreamingDedup {
+
+  final case class BandedDoc(bucket: String, docId: Long, simhash: Long)
+  final case class NearMatch(idA: Long, idB: Long, hamming: Int)
+  final case class BucketState(ids: Array[Long], hashes: Array[Long])
+
+  /** Per-row fingerprint + exploded band keys — usable on a streaming or
+    * batch frame. The bucket key embeds the band index, so one stateful
+    * grouping covers all bands (mirrors the batch melt). */
+  def banded(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bits: Int = 64,
+      bands: Int = 8): DataFrame = {
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandArr = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
+    docs
+      .withColumn("simhash", Dedup.simhash(col(textCol), bits))
+      .select(col(idCol).as("docId"), col("simhash"),
+        posexplode(bandArr).as(Seq("__band", "__key")))
+      .select(
+        concat_ws(":", col("__band"), col("__key")).as("bucket"),
+        col("docId"), col("simhash"))
+  }
+
+  /** Streaming near-pairs: groupByKey(bucket) + flatMapGroupsWithState.
+    * Append mode, no timeout — state lives for the run (cap it with
+    * `maxState`; add a timeout policy upstream if buckets churn). */
+  def nearPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      bands: Int = 8,
+      maxState: Int = 1000): Dataset[NearMatch] = {
+    require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs, idCol, textCol, bits, bands)
+      .as[BandedDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        matchWithinBucket(maxHamming, maxState))
+  }
+
+  /** The per-bucket state transition: compare each arriving fingerprint
+    * against the kept ones (popcount), emit matches, append to the ring. */
+  private[graft] def matchWithinBucket(maxHamming: Int, maxState: Int)(
+      bucket: String,
+      rows: Iterator[BandedDoc],
+      state: GroupState[BucketState]): Iterator[NearMatch] = {
+    var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+    var hashes = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+    val out = scala.collection.mutable.ListBuffer.empty[NearMatch]
+    rows.foreach { doc =>
+      var i = 0
+      while (i < ids.length) {
+        if (ids(i) != doc.docId) {
+          val d = java.lang.Long.bitCount(hashes(i) ^ doc.simhash)
+          if (d <= maxHamming)
+            out += NearMatch(
+              math.min(ids(i), doc.docId), math.max(ids(i), doc.docId), d)
+        }
+        i += 1
+      }
+      ids = ids :+ doc.docId
+      hashes = hashes :+ doc.simhash
+      if (ids.length > maxState) { // ring: forget oldest
+        ids = ids.drop(ids.length - maxState)
+        hashes = hashes.drop(hashes.length - maxState)
+      }
+    }
+    state.update(BucketState(ids, hashes))
+    out.iterator
+  }
+}
