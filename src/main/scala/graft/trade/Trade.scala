@@ -317,6 +317,36 @@ object Trade {
         "action",
         when(col("action") === "BUY", "SELL").otherwise("BUY"))
 
+  /** Live entry point: resolve the signal date/time (reviewDate >
+    * CALENDAR > strategy-timezone-now, base.py:738-757), validate price
+    * freshness (with the calendar hint on a one-day gap,
+    * base.py:772-784), then run the order pipeline — the reference's
+    * `trade()` end-to-end with resolution included. [[run]] remains the
+    * explicit-date entry for backtest-shaped callers and tests. */
+  def runLive(
+      strategy: Strategy,
+      timezone: String,
+      prices: DataFrame,
+      master: DataFrame,
+      allocations: DataFrame,
+      balances: DataFrame,
+      rates: DataFrame,
+      positions: DataFrame,
+      openOrders: DataFrame,
+      calendars: Option[DataFrame] = None,
+      reviewDate: Option[String] = None,
+      rebalance: Rebalance = AllowRebalance,
+      now: () => java.time.Instant = () => java.time.Instant.now()): DataFrame = {
+    implicit val k: Keys = strategy.keys
+    val (signalDate, tradeTime) =
+      Calendars.resolveForStrategy(strategy, timezone, calendars, reviewDate, now)
+    val intraday = prices.columns.contains("time")
+    requireFresh(prices, signalDate,
+      calendarSet = strategy.calendar.isDefined, intraday = intraday)
+    run(strategy, prices, master, allocations, balances, rates, positions,
+      openOrders, signalDate, if (intraday) Some(tradeTime) else None, rebalance)
+  }
+
   /** Full trade() driver (§3.2). Returns the orders table, empty when all
     * net quantities are zero (base.py:1800). */
   def run(

@@ -97,6 +97,26 @@ class DedupSimSpec extends SparkSpec {
       50L * 49 / 2)
   }
 
+  test("bucket overflow is observable via the observe() metrics") {
+    val dup = spark.range(50).select(col("id").as("doc_id"),
+      lit("identical adversarial document body with plenty of words to shingle")
+        .as("text"))
+    // QueryExecution.observedMetrics is not populated under AQE
+    // (the metrics still flow to QueryExecutionListeners either way —
+    // this direct read is the test-friendly path)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = Dedup.minhashCandidates(dup, maxBucket = 10)
+      capped.collect()
+      val m = capped.queryExecution.observedMetrics("minhash_buckets")
+      // all 50 docs share one bucket per band (4 bands): 200 melted rows
+      // sit in overflowing buckets; the largest bucket is the full clique
+      assert(m.getAs[Long]("rows_in_overflow") == 200L)
+      assert(m.getAs[Long]("max_bucket") == 50L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 1

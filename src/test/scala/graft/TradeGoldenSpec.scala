@@ -422,6 +422,31 @@ class TradeGoldenSpec extends SparkSpec {
     assert(err2.getMessage.contains("XNYS"))
   }
 
+  test("runLive end-to-end: calendar resolution + freshness + orders " +
+    "in one call (base.py:1572-1806 with 738-784)") {
+    val calendars = Seq(("TSEJ", "open", "2018-05-02T09:00:00", "Japan"))
+      .toDF("exchange", "status", "since", "timezone")
+    val allocations = Seq(("U123", 1.0)).toDF("account", "allocation")
+    val balances = Seq(("U123", "USD", 55000.0))
+      .toDF("account", "currency", "netLiquidation")
+    val now = () => java.time.Instant.parse("2018-05-02T01:40:00Z")
+    val orders = Trade.runLive(BuyBelow1OnTsej, "America/New_York", calPrices,
+      master, allocations, balances, rates, noPositions, noOrders,
+      calendars = Some(calendars), now = now)
+    assert(ordersOf(orders) == Map(("FI23456", "U123") -> (("BUY", 55556.0))))
+
+    // stale prices: "now" two days past the panel, open calendar → the
+    // resolved date is missing and the error names the max date (no
+    // one-day hint — the gap is 2 days)
+    val later = () => java.time.Instant.parse("2018-05-05T01:40:00Z")
+    val err = intercept[IllegalArgumentException] {
+      Trade.runLive(BuyBelow1OnTsej, "America/New_York", calPrices,
+        master, allocations, balances, rates, noPositions, noOrders,
+        calendars = Some(calendars), now = later)
+    }
+    assert(err.getMessage.contains("max date is 2018-05-03"))
+  }
+
   test("staleness hint: a one-day gap without CALENDAR suggests setting it " +
     "(base.py:779-784, test_trade_date_validation.py:1338)") {
     implicit val k: Keys = graft.panel.Panel.eod
