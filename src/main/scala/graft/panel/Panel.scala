@@ -173,14 +173,20 @@ object Panel {
   /** Densify: complete the (sid × date[,time]) grid so ordered window ops
     * see every slot (the reference's panels are dense by construction,
     * base.py:808-810). Missing values become nulls.
-    * Cross join of two tiny distinct sets then a left join back — the
-    * dimension sides are small; the fact-side join is a shuffle on the
-    * grid keys and prunes nothing, so call once at ingest, not per-op. */
+    *
+    * Scale shape (plan-audited): two tiny distincts, a broadcast
+    * nested-loop cross join building the |sids|×|slots| grid, then the
+    * left join back, which exchanges BOTH sides on the compound key —
+    * the grid rows are narrow synthetic (sid, slot) tuples, so the extra
+    * exchange moves keys, not data. (Partitioning by sid alone cannot be
+    * reused across the join under Spark's default
+    * requireAllClusterKeysForCoPartition.) The join prunes nothing, so
+    * call once at ingest, not per-op. */
   def densify(df: DataFrame)(implicit k: Keys): DataFrame = {
     val sids = df.select(k.sid).distinct()
     val slots = df.select(k.order.map(col): _*).distinct()
-    val grid = slots.crossJoin(broadcast(sids))
-    grid.join(df, k.order :+ k.sid, "left")
+    val grid = sids.crossJoin(broadcast(slots))
+    grid.join(df, k.sid +: k.order, "left")
   }
 
   /** Forward-fill an entire value column across a densified grid —
