@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry.queries vs DuckDB oracles.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [name1,name2,...]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against the
@@ -43,14 +43,20 @@ def normalize(rows):
     return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    ok = fail = 0
+    ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            # explicit subset (mirrors Verify's third arg); outside the
+            # subset = skip. Within it — or in a full run — a missing
+            # dump still FAILS below: a query that errored wrote nothing.
+            skipped += 1
+            continue
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
@@ -82,7 +88,8 @@ def main(sf_dir, out_dir):
         else:
             print(f"OK   {name} ({len(spark_rows)} rows)")
             ok += 1
-    print(f"\n{ok} ok, {fail} fail")
+    note = f", {skipped} not in this subset" if skipped else ""
+    print(f"\n{ok} ok, {fail} fail{note}")
     return 1 if fail else 0
 
 
@@ -91,4 +98,5 @@ def repr_col(c):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))
