@@ -50,14 +50,36 @@ trait Strategy {
     * ("close", "open", realtime aggregates). */
   def contractValueReferenceField: Option[String] = None
 
+  /** `*_WINDOW`-style params (base.py:1063-1065): the rolling windows the
+    * strategy's signals use. When no explicit `lookbackWindow` is set,
+    * the inferred lookback is their MAX (the reference scans class
+    * attributes ending in _WINDOW; here they are declared). */
+  def windowParams: Seq[Int] = Nil
+
+  /** `*_INTERVAL`-style offset aliases (base.py:1068-1081): the widest
+    * interval's trading-day span widens the inferred lookback so
+    * periodic resampling still sees enough history. Defaults to the
+    * single `rebalanceInterval`. */
+  def intervalParams: Seq[String] = rebalanceInterval.toSeq
+
   /** Effective lookback bars (base.py:1050-1086): an explicit
-    * `lookbackWindow` wins as-is; otherwise an interval implies the
-    * reference's default 252-bar window plus one interval span. The
-    * reference counts business days from "today"; here fixed trading-day
+    * `lookbackWindow` wins as-is; else max(windowParams) — 252 when
+    * windows are declared-empty but an interval is — plus the widest
+    * interval span. All unset → 0 (the engine skips scan widening; the
+    * reference always widens by its 252 default because its data
+    * service charges per-scan — a Spark scan prunes instead). The
+    * reference counts business days from "today"; fixed trading-day
     * spans keep the plan deterministic. */
   final def effectiveLookback: Int =
     if (lookbackWindow > 0) lookbackWindow
-    else rebalanceInterval.map(a => 252 + Strategy.intervalBars(a)).getOrElse(0)
+    else {
+      val spans = intervalParams.map(Strategy.intervalBars).filter(_ > 0)
+      if (windowParams.isEmpty && spans.isEmpty) 0
+      else {
+        val base = if (windowParams.nonEmpty) windowParams.max else 252
+        base + (if (spans.nonEmpty) spans.max else 0)
+      }
+    }
 
   /** Reference CALENDAR (base.py:742-757): exchange whose trading
     * calendar drives live-trading signal-date resolution — a closed

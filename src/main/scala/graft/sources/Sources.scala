@@ -140,6 +140,23 @@ object Sources {
       .withColumn("priceMagnifier", coalesce(col("priceMagnifier"), lit(1.0)))
       .withColumn("multiplier", coalesce(col("multiplier"), lit(1.0)))
 
+  /** Infer the strategy timezone from the securities master when none is
+    * set explicitly (reference base.py:1117-1125): exactly one distinct
+    * master timezone infers; several raise the reference's error.
+    * Driver-side distinct over the broadcast-sized dimension. */
+  def inferTimezone(master: DataFrame, explicit: Option[String] = None): String =
+    explicit.getOrElse {
+      val tzs = master.select("timezone").distinct()
+        .collect().map(_.getString(0)).filter(_ != null).sorted
+      if (tzs.length > 1)
+        throw new IllegalArgumentException(
+          "cannot infer timezone because multiple timezones are present " +
+            s"in data, please specify TIMEZONE explicitly (timezones: ${tzs.mkString(", ")})")
+      require(tzs.nonEmpty,
+        "cannot infer timezone: securities master has no timezone values")
+      tzs.head
+    }
+
   /** Append per-security NLV from a currency → equity map (reference
     * base.py:1117-1139): each security's currency selects its account
     * equity; CASH pairs use the Symbol's base currency ("EUR.USD" → EUR);

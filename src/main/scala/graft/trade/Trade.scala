@@ -285,6 +285,13 @@ object Trade {
     val sliced = signalTime match {
       case Some(t) if panel.columns.contains("time") =>
         onDate.where(col("time") === lit(t))
+      case None if panel.columns.contains("time") =>
+        // base.py:595-599: a time-indexed frame with no signal time would
+        // join multiple rows per sid — the reference raises; so do we
+        throw new IllegalArgumentException(
+          "cannot reindex DataFrame like orders because DataFrame contains " +
+            "'time', please take a cross-section first, for example: " +
+            "panel.where(col(\"time\") === \"15:45:00\")")
       case _ => onDate
     }
     orders.join(

@@ -181,6 +181,66 @@ class TradeSpec extends SparkSpec {
     assert(explicit.effectiveLookback == 30) // explicit window wins as-is
   }
 
+  test("lookback inferred from window/interval params " +
+    "(test_prices.py:272,371: max window + widest interval)") {
+    import graft.pipeline.Strategy
+    val windows = new Strategy {
+      val code = "w"
+      override def windowParams: Seq[Int] = Seq(20, 50)
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(windows.effectiveLookback == 50) // max window, NOT 252
+    val both = new Strategy {
+      val code = "wi"
+      override def windowParams: Seq[Int] = Seq(20, 50)
+      override def intervalParams: Seq[String] = Seq("W", "M")
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(both.effectiveLookback == 50 + 22) // + widest interval span
+    val none = new Strategy {
+      val code = "n"
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(none.effectiveLookback == 0) // unset: engine skips widening
+  }
+
+  test("reindexLikeOrders raises on a time-indexed panel without a " +
+    "signal time (test_orders.py:213, base.py:595-599)") {
+    implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+    val orders = Seq(("A", "U1", "BUY", "x", 5L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val intradayPanel = Seq(
+      ("A", "2024-01-02", "09:30:00", 10.0), ("A", "2024-01-02", "15:30:00", 11.0))
+      .toDF("sid", "date", "time", "close")
+      .withColumn("date", to_date($"date"))
+    val err = intercept[IllegalArgumentException] {
+      Trade.reindexLikeOrders(orders, intradayPanel, "close", "2024-01-02")
+    }
+    assert(err.getMessage.contains("take a cross-section first"))
+    // with a signal time the slice is well-defined
+    val ok = Trade.reindexLikeOrders(
+      orders, intradayPanel, "close", "2024-01-02", Some("15:30:00"))
+    assert(ok.head.getAs[Double]("close") == 11.0)
+  }
+
+  test("inferTimezone: one master timezone infers; several raise " +
+    "(test_prices.py:670, base.py:1117-1125)") {
+    import graft.sources.Sources
+    val one = Seq(("FI1", "America/New_York"), ("FI2", "America/New_York"))
+      .toDF("sid", "timezone")
+    assert(Sources.inferTimezone(one) == "America/New_York")
+    assert(Sources.inferTimezone(one, explicit = Some("Asia/Tokyo")) == "Asia/Tokyo")
+    val two = Seq(("FI1", "America/New_York"), ("FI2", "Japan"))
+      .toDF("sid", "timezone")
+    val err = intercept[IllegalArgumentException] {
+      Sources.inferTimezone(two)
+    }
+    assert(err.getMessage.contains(
+      "cannot infer timezone because multiple timezones are present"))
+    assert(err.getMessage.contains("America/New_York") &&
+      err.getMessage.contains("Japan"))
+  }
+
   test("targetQuantities: self-rate ≡ 1 when currencies match (base.py:1720)") {
     val weights = Seq(("S1", 0.1, 50.0)).toDF("sid", "weight", "close")
     val master = Seq(("S1", "USD", "STK", 1.0, 1.0))
