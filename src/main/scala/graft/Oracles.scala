@@ -239,6 +239,21 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // min/max are order-free; the cents sum is exact integers; std is
+    // rounded to 6dp (windowed variance accumulation order is an engine
+    // internal — DuckDB segment-trees, Spark streams the frame)
+    "w6b_rolling_family" ->
+      s"""SELECT event_id, user_id,
+         |  CASE WHEN count(value) OVER w = 4 THEN min(value) OVER w END AS rolling_min_4,
+         |  CASE WHEN count(value) OVER w = 4 THEN max(value) OVER w END AS rolling_max_4,
+         |  CASE WHEN count(${c("value")}) OVER w = 4
+         |       THEN CAST(sum(${c("value")}) OVER w AS BIGINT) END AS rolling_sum_cents_4,
+         |  round(CASE WHEN count(value) OVER w = 4
+         |             THEN stddev_samp(value) OVER w END, 6) AS rolling_std_4
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "w2_cumsum" ->
       s"""SELECT event_id, user_id,
          |  CAST(sum(${c("value")}) OVER (PARTITION BY user_id ORDER BY ts, event_id

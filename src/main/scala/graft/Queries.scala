@@ -264,6 +264,17 @@ object Queries {
         Panel.rollingMean(col("value"), 3).as("rolling_mean_3"))
     }),
 
+    // ---- the rest of the W6 rolling family (min/max/sum-cents/std) ----
+    "w6b_rolling_family" -> ((s, dir) => {
+      implicit val k: Keys = evKeys
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        Panel.rollingMin(col("value"), 4).as("rolling_min_4"),
+        Panel.rollingMax(col("value"), 4).as("rolling_max_4"),
+        Panel.rollingSum(cents(col("value")), 4).as("rolling_sum_cents_4"),
+        round(Panel.rollingStd(col("value"), 4), 6).as("rolling_std_4"))
+    }),
+
     // ---- cumulative sum (running total) ----
     "w2_cumsum" -> ((s, dir) => {
       implicit val k: Keys = evKeys
