@@ -361,6 +361,37 @@ object TextOracles {
         |SELECT media_id,
         |  round(CAST(CAST(s1 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f1,
         |  round(CAST(CAST(s8 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f8
-        |FROM piv""".stripMargin
+        |FROM piv""".stripMargin,
+
+    // resize stub = center crop to 16×8 = 128 bytes; md5 over the
+    // (upper-)hex of the cropped blob in both engines
+    "mm3_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(least(128, len) AS BIGINT) AS resized_len,
+        |  md5(upper(substring(hx,
+        |    2 * ((len - least(128, len)) // 2) + 1,
+        |    2 * least(128, len)))) AS resized_md5
+        |FROM m""".stripMargin,
+
+    // frame stub = 32-byte windows every 24 bytes, at most 5 per doc
+    "mm4_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, hx,
+        |         unnest(range(0, least(5,
+        |           CASE WHEN len >= 32 THEN (len - 32) // 24 + 1 ELSE 0 END)))
+        |           AS frame_idx
+        |  FROM m)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(32 AS BIGINT) AS frame_len,
+        |  md5(upper(substring(hx, CAST(frame_idx * 48 + 1 AS BIGINT), 64))) AS frame_md5
+        |FROM f""".stripMargin
   )
 }

@@ -147,6 +147,28 @@ object TextQueries {
         .select(col("media_id"),
           round(element_at(col("features"), 1), 4).as("f1"),
           round(element_at(col("features"), 8), 4).as("f8"))
+    }),
+
+    // resize plumbing: 16×8 center-crop stub; the oracle re-derives the
+    // cropped bytes and both engines hash their md5
+    "mm3_resize" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.resize(media, width = 16, height = 8)
+        .select(col("media_id"),
+          length(col("resized")).cast("long").as("resized_len"),
+          md5(upper(hex(col("resized")))).as("resized_md5"))
+    }),
+
+    // frame-sample plumbing: row explosion in typed space (32-byte
+    // frames every 24 bytes, ≤5 per doc), frame contents md5-checked
+    "mm4_frame_sample" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(media, frameBytes = 32, strideBytes = 24, maxFrames = 5)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          md5(upper(hex(col("frame")))).as("frame_md5"))
     })
   )
 }

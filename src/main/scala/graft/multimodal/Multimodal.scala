@@ -74,6 +74,63 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Resize plumbing: binary → binary through the same typed
+    * mapPartitions contract (codec opened once per partition, declared
+    * output schema, no RDD drop-out). The stub kernel is a deterministic
+    * center crop to width×height bytes — contiguous, so a SQL oracle
+    * reproduces the output bytes exactly; a real pixel resampler swaps
+    * in at the codec seam. */
+  def resize(
+      df: DataFrame,
+      width: Int,
+      height: Int,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val codec = MediaCodec.open(width * height)
+      rows.map { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        Row(r.getLong(idIdx), codec.resizeStub(payload, width, height))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sample plumbing: one media row explodes into n frame rows —
+    * the typed-mapPartitions flatMap shape real video sampling needs
+    * (output cardinality decided per row by the codec, schema declared
+    * up front). The stub samples fixed-width byte windows every
+    * `strideBytes`; a real demuxer/decoder swaps in at the seam. */
+  def sampleFrames(
+      df: DataFrame,
+      frameBytes: Int,
+      strideBytes: Int,
+      maxFrames: Int,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      val codec = MediaCodec.open(frameBytes)
+      rows.flatMap { r =>
+        val payload = if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        codec.frameStub(payload, frameBytes, strideBytes, maxFrames).map {
+          case (i, frame) => Row(r.getLong(idIdx), i, frame)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }
 
 /** Codec seam. `decodeStub` is a deterministic fake — a STUB standing in
@@ -97,6 +154,32 @@ final class MediaCodec private (dim: Int) {
     }
     val n = math.max(1, payload.length / dim)
     sums.map(s => (s / 255.0 / n).toFloat).toSeq
+  }
+
+  /** STUB resize kernel: center crop to width×height bytes (whole
+    * payload when shorter). Real implementation: pixel decode +
+    * resample. Contiguous by design so oracles can reproduce it. */
+  def resizeStub(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    if (payload == null) return null
+    val n = width * height
+    val len = math.min(n, payload.length)
+    val off = (payload.length - len) / 2
+    java.util.Arrays.copyOfRange(payload, off, off + len)
+  }
+
+  /** STUB frame sampler: fixed-width windows every `strideBytes`, capped
+    * at `maxFrames`; payloads shorter than one frame yield none. Real
+    * implementation: container demux + keyframe decode. */
+  def frameStub(
+      payload: Array[Byte],
+      frameBytes: Int,
+      strideBytes: Int,
+      maxFrames: Int): Seq[(Int, Array[Byte])] = {
+    if (payload == null || payload.length < frameBytes) return Nil
+    val n = math.min(maxFrames, (payload.length - frameBytes) / strideBytes + 1)
+    (0 until n).map(i =>
+      (i, java.util.Arrays.copyOfRange(
+        payload, i * strideBytes, i * strideBytes + frameBytes)))
   }
 }
 

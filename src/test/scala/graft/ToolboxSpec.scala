@@ -62,6 +62,32 @@ class ToolboxSpec extends SparkSpec {
     assert(row.getAs[String]("content_md5").length == 32)
   }
 
+  test("resize/frame-sample stubs: center crop, strided windows, " +
+    "short-payload edges (mm3/mm4 plumbing)") {
+    import graft.multimodal.MediaCodec
+    val codec = MediaCodec.open(4)
+    val bytes = (0 until 10).map(_.toByte).toArray
+    // center crop 2×2 = 4 bytes of 10 → offset (10-4)/2 = 3
+    assert(codec.resizeStub(bytes, 2, 2).toSeq == Seq[Byte](3, 4, 5, 6))
+    // shorter than the target: whole payload back
+    assert(codec.resizeStub(bytes, 4, 4).toSeq == bytes.toSeq)
+    assert(codec.resizeStub(null, 2, 2) == null)
+    // frames of 4 every 3 from 10 bytes: (10-4)/3+1 = 3 frames
+    val frames = codec.frameStub(bytes, 4, 3, maxFrames = 5)
+    assert(frames.map(_._1) == Seq(0, 1, 2))
+    assert(frames.map(_._2.toSeq) == Seq(
+      Seq[Byte](0, 1, 2, 3), Seq[Byte](3, 4, 5, 6), Seq[Byte](6, 7, 8, 9)))
+    assert(codec.frameStub(bytes, 4, 3, maxFrames = 2).length == 2) // capped
+    assert(codec.frameStub(Array[Byte](1, 2), 4, 3, 5).isEmpty) // too short
+    assert(codec.frameStub(null, 4, 3, 5).isEmpty)
+
+    // dataframe plumbing: one row explodes to 3 typed frame rows
+    val media = Seq((7L, bytes)).toDF("media_id", "payload")
+    val out = Multimodal.sampleFrames(media, 4, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(out == Seq((7L, 0), (7L, 1), (7L, 2)))
+  }
+
   test("assignCells routes vectors to the nearest centroid (IVF)") {
     val vectors = Seq(
       (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)), (3L, Array(1.1f, -0.1f)))
