@@ -733,6 +733,38 @@ object Oracles {
          |  round(mdd, 6) AS max_drawdown
          |FROM st""".stripMargin,
 
+    "perf_benchmark" ->
+      s"""WITH $turnoverCte,
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+         |  FROM trn),
+         |ret AS (
+         |  SELECT date,
+         |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
+         |      AS BIGINT) / 1e12 AS r
+         |  FROM gro GROUP BY date),
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
+         |bf AS (
+         |  SELECT d.date,
+         |    last_value(bcl.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bcl ON d.date = bcl.date),
+         |br AS (
+         |  SELECT date, coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS b
+         |  FROM bf),
+         |j AS (SELECT ret.date, r, b FROM ret JOIN br ON ret.date = br.date),
+         |st AS (
+         |  SELECT count(*) AS n_days, covar_samp(r, b) AS cv, var_samp(b) AS vb,
+         |         avg(r) AS mur, avg(b) AS mub, corr(r, b) AS co
+         |  FROM j)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(CASE WHEN vb <> 0 THEN cv / vb END, 6) AS beta,
+         |  round(CASE WHEN vb <> 0 THEN (mur - cv / vb * mub) * 252 END, 6) AS alpha,
+         |  round(co, 6) AS correlation
+         |FROM st""".stripMargin,
+
     "backtest_pipeline" ->
       s"""WITH $turnoverCte,
          |gro AS (

@@ -711,6 +711,24 @@ object Queries {
     "perf_summary" -> ((s, dir) =>
       graft.perf.Performance.summary(dampedMelt(s, dir))),
 
+    // benchmark-relative: beta/alpha/correlation of the damped demo
+    // returns vs the D19 benchmark-return rows (sid 1's ffilled closes)
+    "perf_benchmark" -> ((s, dir) => {
+      object BenchmarkedDemo extends Strategy {
+        val code = "perf-bench"
+        override def keys: Keys = liKeys
+        override def benchmarkSid: Option[String] = Some("1")
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+      }
+      val melt = Backtest.run(BenchmarkedDemo,
+        supplierPanel(s, dir).withColumn("sid", col("sid").cast("string")))
+        .withColumn("value",
+          when(col("field") === "Return", col("value") * 0.001)
+            .otherwise(col("value")))
+      graft.perf.Performance.vsBenchmark(melt)
+    }),
+
     // ---- D17: trade-side position limits clamp target quantities ----
     "d17_trade_limits" -> ((s, dir) => {
       implicit val k: Keys = liKeys

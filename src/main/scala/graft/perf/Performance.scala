@@ -65,6 +65,39 @@ object Performance {
         round(when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1), 6)
           .as("drawdown"))
 
+  /** Benchmark-relative one-row summary. The melt's `Benchmark` rows
+    * carry per-date benchmark RETURNS (D19: pct_change of the ffilled
+    * benchmark closes), one row per date — joined against the per-date
+    * portfolio return: sample beta (cov/var), alpha as the per-period
+    * intercept × periodsPerYear, and correlation. Outputs rounded to
+    * 6dp (unordered covariance/variance accumulation is engine
+    * noise below that). */
+  def vsBenchmark(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val r = dailyReturns(results, dateCol)
+    val b = results
+      .where(col("field") === "Benchmark")
+      .select(col(dateCol), col("value").as("bench_return"))
+    r.join(b, dateCol)
+      .agg(
+        count(lit(1)).as("n_days"),
+        covar_samp(col("return"), col("bench_return")).as("__cv"),
+        var_samp(col("bench_return")).as("__vb"),
+        avg(col("return")).as("__mur"),
+        avg(col("bench_return")).as("__mub"),
+        corr(col("return"), col("bench_return")).as("__corr"))
+      .select(
+        col("n_days"),
+        round(when(col("__vb") =!= 0, col("__cv") / col("__vb")), 6).as("beta"),
+        round(
+          when(col("__vb") =!= 0,
+            (col("__mur") - col("__cv") / col("__vb") * col("__mub")) *
+              periodsPerYear), 6).as("alpha"),
+        round(col("__corr"), 6).as("correlation"))
+  }
+
   /** One-row summary: n_days, total_return, CAGR (trading-day
     * annualization: (1+total)^(periodsPerYear/n) − 1), annualized Sharpe
     * (mean/std × √periodsPerYear, rf = 0), max drawdown. Outputs rounded

@@ -80,6 +80,22 @@ class PerfSpec extends SparkSpec {
       Seq(0.5, -1.0, -1.0))
   }
 
+  test("vsBenchmark: beta/alpha/correlation golden (perfect correlation " +
+    "at 2x leverage has beta 2, corr 1)") {
+    // portfolio return is exactly 2× the benchmark return every day
+    val melt = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", -0.04), ("1", "2024-01-02", "Benchmark", -0.02),
+      ("A", "2024-01-03", "Return", 0.06), ("1", "2024-01-03", "Benchmark", 0.03))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.vsBenchmark(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Double]("beta") == 2.0)
+    assert(s.getAs[Double]("alpha") == 0.0) // r = 2b exactly → no intercept
+    assert(s.getAs[Double]("correlation") == 1.0)
+  }
+
   test("summary composes with the real backtest melt (non-degenerate)") {
     val panel = Seq(
       ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 11.0),
