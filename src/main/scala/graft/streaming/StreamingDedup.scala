@@ -59,8 +59,12 @@ object StreamingDedup {
   }
 
   /** Streaming near-pairs: groupByKey(bucket) + flatMapGroupsWithState.
-    * Append mode, no timeout — state lives for the run (cap it with
-    * `maxState`; add a timeout policy upstream if buckets churn). */
+    * Append mode. `stateTtl` (e.g. "2 hours") evicts a bucket's state
+    * after that long without new arrivals — the state-store analogue of
+    * a dedup watermark: duplicates farther apart than the TTL are no
+    * longer caught, and the store stays bounded by ACTIVE buckets
+    * instead of all buckets ever seen. None = state lives for the run
+    * (the `maxState` ring still caps each bucket). */
   def nearPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -68,24 +72,34 @@ object StreamingDedup {
       maxHamming: Int = 3,
       bits: Int = 64,
       bands: Int = 8,
-      maxState: Int = 1000): Dataset[NearMatch] = {
+      maxState: Int = 1000,
+      stateTtl: Option[String] = None): Dataset[NearMatch] = {
     require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded(docs, idCol, textCol, bits, bands)
       .as[BandedDoc]
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        matchWithinBucket(maxHamming, maxState))
+        OutputMode.Append, timeoutConf)(
+        matchWithinBucket(maxHamming, maxState, stateTtl))
   }
 
   /** The per-bucket state transition: compare each arriving fingerprint
-    * against the kept ones (popcount), emit matches, append to the ring. */
-  private[graft] def matchWithinBucket(maxHamming: Int, maxState: Int)(
+    * against the kept ones (popcount), emit matches, append to the ring.
+    * A timed-out invocation drops the bucket's state and emits nothing. */
+  private[graft] def matchWithinBucket(
+      maxHamming: Int, maxState: Int, stateTtl: Option[String] = None)(
       bucket: String,
       rows: Iterator[BandedDoc],
       state: GroupState[BucketState]): Iterator[NearMatch] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
     var hashes = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
     val out = scala.collection.mutable.ListBuffer.empty[NearMatch]
@@ -108,6 +122,7 @@ object StreamingDedup {
       }
     }
     state.update(BucketState(ids, hashes))
+    stateTtl.foreach(state.setTimeoutDuration)
     out.iterator
   }
 }

@@ -83,4 +83,29 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out == List(StreamingDedup.NearMatch(3L, 5L, 1)))
     assert(state.get.ids.toSeq == Seq(5L, 3L, 7L)) // all three retained
   }
+
+  test("stateTtl: a timed-out bucket drops its state and emits nothing; " +
+    "live invocations arm the timeout") {
+    val timedOut = TestGroupState.create[StreamingDedup.BucketState](
+      org.apache.spark.api.java.Optional.of(
+        StreamingDedup.BucketState(Array(1L), Array(0L))),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = StreamingDedup.matchWithinBucket(3, 10, Some("2 hours"))(
+      "b", Iterator.empty, timedOut).toList
+    assert(out.isEmpty)
+    assert(timedOut.isRemoved) // evicted, not re-armed
+
+    val live = TestGroupState.create[StreamingDedup.BucketState](
+      org.apache.spark.api.java.Optional.empty[StreamingDedup.BucketState](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    StreamingDedup.matchWithinBucket(3, 10, Some("2 hours"))(
+      "b", Iterator(StreamingDedup.BandedDoc("b", 1L, 0L)), live).toList
+    assert(live.exists) // state kept...
+    assert(live.getTimeoutTimestampMs.isPresent ||
+      live.isUpdated) // ...and the TTL armed (processing-time timeout set)
+  }
 }
