@@ -63,6 +63,28 @@ object Oracles {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
        |  FROM cum)""".stripMargin
 
+  /** The default backtest's full 10-field melt — used by
+    * `backtest_pipeline` directly and by `p8_truncation` wrapped in the
+    * start-date cut. */
+  private val backtestMeltSql =
+    s"""WITH $turnoverCte,
+       |gro AS (
+       |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+       |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+       |  FROM trn),
+       |m AS (SELECT sid, date, signal, weight, position, gross, turnover FROM gro)
+       |SELECT sid, date, 'AbsExposure' AS field, abs(position) AS value FROM m
+       |UNION ALL SELECT sid, date, 'AbsWeight', abs(weight) FROM m
+       |UNION ALL SELECT sid, date, 'Commission', 0.0 FROM m
+       |UNION ALL SELECT sid, date, 'NetExposure', position FROM m
+       |UNION ALL SELECT sid, date, 'Return', coalesce(gross, 0.0) FROM m
+       |UNION ALL SELECT sid, date, 'Signal', CAST(signal AS DOUBLE) FROM m
+       |UNION ALL SELECT sid, date, 'Slippage', 0.0 FROM m
+       |UNION ALL SELECT sid, date, 'TotalHoldings',
+       |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
+       |UNION ALL SELECT sid, date, 'Turnover', turnover FROM m
+       |UNION ALL SELECT sid, date, 'Weight', weight FROM m""".stripMargin
+
   /** §3.2 trade lifecycle SQL, parameterized by the signal-date CTE body:
     * `trade_full` uses the last panel date, `trade_cal` the second-to-last
     * (a closed exchange's last-close date). */
@@ -765,23 +787,30 @@ object Oracles {
          |  round(co, 6) AS correlation
          |FROM st""".stripMargin,
 
-    "backtest_pipeline" ->
-      s"""WITH $turnoverCte,
-         |gro AS (
-         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
-         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
-         |  FROM trn),
-         |m AS (SELECT sid, date, signal, weight, position, gross, turnover FROM gro)
-         |SELECT sid, date, 'AbsExposure' AS field, abs(position) AS value FROM m
-         |UNION ALL SELECT sid, date, 'AbsWeight', abs(weight) FROM m
-         |UNION ALL SELECT sid, date, 'Commission', 0.0 FROM m
-         |UNION ALL SELECT sid, date, 'NetExposure', position FROM m
-         |UNION ALL SELECT sid, date, 'Return', coalesce(gross, 0.0) FROM m
-         |UNION ALL SELECT sid, date, 'Signal', CAST(signal AS DOUBLE) FROM m
-         |UNION ALL SELECT sid, date, 'Slippage', 0.0 FROM m
-         |UNION ALL SELECT sid, date, 'TotalHoldings',
-         |  CASE WHEN coalesce(position, 0) <> 0 THEN 1.0 ELSE 0.0 END FROM m
-         |UNION ALL SELECT sid, date, 'Turnover', turnover FROM m
-         |UNION ALL SELECT sid, date, 'Weight', weight FROM m""".stripMargin
+    "backtest_pipeline" -> backtestMeltSql,
+
+    // P8: results truncated at the requested start; the window ops above
+    // the cut still saw the full history (base.py:1395-1398)
+    "p8_truncation" ->
+      s"""SELECT * FROM ($backtestMeltSql)
+         |WHERE date >= DATE '1996-01-01'""".stripMargin,
+
+    // D24: sid relabeled Symbol(Sid) from the master (base.py:1390-1393)
+    "d24_label_sids" ->
+      s"""WITH $sigCte
+         |SELECT s.s_name || '(' || CAST(w.sid AS VARCHAR) || ')' AS sid,
+         |       w.date, 'Weight' AS field, w.weight AS value
+         |FROM wts w JOIN supplier s ON w.sid = s.s_suppkey""".stripMargin,
+
+    // D9: per-share commission — broker + exchange per-share over price,
+    // plus the value fee; term order mirrors the Spark expression
+    "d9_pershare" ->
+      s"""WITH $turnoverCte
+         |SELECT sid, date,
+         |  0.005 / abs(CASE WHEN close <> 0 THEN close END) * turnover
+         |  + 0.003 / abs(CASE WHEN close <> 0 THEN close END) * turnover
+         |  + turnover * 0.0001 AS commission
+         |FROM trn""".stripMargin,
+
   )
 }

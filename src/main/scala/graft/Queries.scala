@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.alloc.Weights
-import graft.costs.{FixedSlippage, PercentageCommission}
+import graft.costs.{FixedSlippage, PercentageCommission, PerShareCommission}
 import graft.panel.Panel
 import graft.panel.Panel.Keys
 import graft.pipeline.{Backtest, Strategy}
@@ -697,6 +697,38 @@ object Queries {
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))
+    }),
+
+    // ---- P8: start-date truncation — windows see full history, the
+    // results are cut at the requested start (base.py:1395-1398) ----
+    "p8_truncation" -> ((s, dir) =>
+      Backtest.run(DemoStrategy, supplierPanel(s, dir),
+        cfg = Backtest.Config(startDate = Some("1996-01-01")))),
+
+    // ---- D24: label sids as Symbol(Sid) via the master's symbol ----
+    "d24_label_sids" -> ((s, dir) => {
+      val master = t(s, dir, "supplier").select(
+        col("s_suppkey").as("sid"), col("s_name").as("symbol"))
+      Backtest.run(DemoStrategy, supplierPanel(s, dir), master = Some(master),
+        cfg = Backtest.Config(labelSids = true))
+        .where(col("field") === "Weight") // compact one-field slice
+    }),
+
+    // ---- D9: per-share commission (broker + exchange per-share fees ÷
+    // price, plus a value-based fee) ----
+    "d9_pershare" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val model = PerShareCommission(
+        brokerCommissionPerShare = 0.005,
+        exchangeFeePerShare = 0.003,
+        percentageFeeRate = 0.0001)
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      p.select(col("sid"), col("date"),
+        model.commissions(col("close"), col("turnover"), None).as("commission"))
     }),
 
     // ---- performance measures over the results melt (moonchart-style:
