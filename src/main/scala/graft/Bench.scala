@@ -61,7 +61,7 @@ object Bench {
     // Also persist to a file: the driver captures only a stdout tail, so
     // a long line can arrive truncated mid-JSON and parse as null. The
     // file copy keeps the round artifact machine-parseable regardless.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LATEST.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

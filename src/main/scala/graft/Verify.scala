@@ -16,6 +16,11 @@ object Verify {
       case Array(a, b) => (a, b, None)
       case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
     }
+    // a typo'd subset name would otherwise run nothing and read as a pass
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -240,6 +240,47 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** One-pass scalar simhash — identical fingerprints to [[simhash]] /
+    * [[simhashDf]] (same normalization, md5-derived word hash, vote
+    * rule; equivalence spec-asserted) in a SINGLE traversal per
+    * document. For per-row hot paths where neither the exploded
+    * aggregation ([[simhashDf]]) nor codegen is available — the
+    * streaming ingest UDF: the column [[simhash]] evaluates one
+    * interpreted higher-order pass per BIT (64 at the default width). */
+  def simhashScalar(text: String, bits: Int = 64): Long = {
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", " ").trim
+    val words = norm.split("\\s+").distinct
+    val votes = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    words.foreach { w =>
+      md.reset()
+      val d = md.digest(w.getBytes("UTF-8"))
+      // first 8 md5 hex chars = bytes 0-3 big-endian; chars 9-16 = 4-7
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h =
+        if (bits <= 32) h1
+        else {
+          val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+          (h1 << 32) | h2
+        }
+      var i = 0
+      while (i < bits) {
+        if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var fp = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
   /** DataFrame-level simhash: identical fingerprints to [[simhash]], but
     * computed by exploding distinct words and aggregating ±1 votes per
     * bit with plain hash-agg sums — one codegen'd aggregation instead of

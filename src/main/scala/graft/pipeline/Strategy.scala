@@ -72,13 +72,15 @@ trait Strategy {
     * spans keep the plan deterministic. */
   final def effectiveLookback: Int =
     if (lookbackWindow > 0) lookbackWindow
+    else if (windowParams.isEmpty && intervalParams.isEmpty) 0
     else {
-      val spans = intervalParams.map(Strategy.intervalBars).filter(_ > 0)
-      if (windowParams.isEmpty && spans.isEmpty) 0
-      else {
-        val base = if (windowParams.nonEmpty) windowParams.max else 252
-        base + (if (spans.nonEmpty) spans.max else 0)
-      }
+      // an interval that intervalBars cannot parse contributes 0 bars
+      // but still signals "history matters": the 252 default applies
+      // (the reference's unparsable aliases are silently skipped the
+      // same way, base.py:1073-1077)
+      val base = if (windowParams.nonEmpty) windowParams.max else 252
+      val spans = intervalParams.map(Strategy.intervalBars)
+      base + (if (spans.nonEmpty) spans.max else 0)
     }
 
   /** Reference CALENDAR (base.py:742-757): exchange whose trading

@@ -176,15 +176,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style coarse quantization: assign each vector to its nearest of
-    * `centroids` (small, broadcast); ANN then probes only matching cells.
-    * Centroids come from any upstream clustering (e.g. sampled k-means).
-    *
-    * Scale shape: broadcast cross join → `min_by` hash aggregation keyed
-    * on the vector id. The partial (map-side) aggregate collapses the
-    * ×|centroids| row blowup before the single shuffle on `idCol`, and
-    * no sort is needed — strictly better than a row_number window over
-    * the blown-up relation. Ties break on the lower cell_id. */
   /** Multi-probe assignment: each vector's `nprobe` nearest cells — one
     * output row per (vector, probed cell). For the QUERY side of
     * [[ivfTopK]], which is small by contract (it gets broadcast), so the
@@ -206,6 +197,15 @@ object Similarity {
       .drop("__dist", "__probe", "centroid")
   }
 
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `centroids` (small, broadcast); ANN then probes only matching cells.
+    * Centroids come from any upstream clustering (e.g. sampled k-means).
+    *
+    * Scale shape: broadcast cross join → `min_by` hash aggregation keyed
+    * on the vector id. The partial (map-side) aggregate collapses the
+    * ×|centroids| row blowup before the single shuffle on `idCol`, and
+    * no sort is needed — strictly better than a row_number window over
+    * the blown-up relation. Ties break on the lower cell_id. */
   def assignCells(
       vectors: DataFrame,
       centroids: DataFrame, // (cell_id, centroid array<float>)

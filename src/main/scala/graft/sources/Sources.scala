@@ -56,8 +56,13 @@ object Sources {
     * reducers with identical join semantics. For REPEATED large joins,
     * prefer publishing the panel bucketed by sid via [[writePrices]]:
     * co-located joins need no shuffle at all. */
-  def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame = {
-    var df = spark.read.parquet(path)
+  def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame =
+    applyQuery(spark.read.parquet(path), q)
+
+  /** The PriceQuery → Catalyst-predicate translation shared by the path
+    * scan ([[prices]]) and the catalog scan ([[pricesTable]]). */
+  private def applyQuery(source: DataFrame, q: PriceQuery): DataFrame = {
+    var df = source
     q.startDate.foreach(s =>
       df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
     q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))
@@ -117,20 +122,8 @@ object Sources {
     * over a [[writePrices]]-published table. Date predicates prune
     * partitions; the bucketed layout carries sid hash-partitioning into
     * downstream joins and windows. */
-  def pricesTable(spark: SparkSession, table: String, q: PriceQuery = PriceQuery()): DataFrame = {
-    var df = spark.table(table)
-    q.startDate.foreach(s =>
-      df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
-    q.endDate.foreach(e => df = df.where(col("date") <= lit(e)))
-    if (q.sids.nonEmpty) df = df.where(col("sid").isin(q.sids: _*))
-    if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))
-    if (q.times.nonEmpty) df = df.where(col("time").isin(q.times: _*))
-    if (q.fields.nonEmpty) {
-      val keep = Seq("sid", "date", "time").filter(df.columns.contains) ++ q.fields
-      df = df.select(keep.distinct.map(col): _*)
-    }
-    df
-  }
+  def pricesTable(spark: SparkSession, table: String, q: PriceQuery = PriceQuery()): DataFrame =
+    applyQuery(spark.table(table), q)
 
   /** S2: securities master — small dimension; callers wrap in
     * `broadcast()` at the join site. priceMagnifier/multiplier nulls
@@ -247,8 +240,11 @@ object Sources {
           Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         catch {
           // a concurrent writer published between our delete and move —
-          // their entry is complete (rename is all-or-nothing); use it
-          case _: java.nio.file.FileAlreadyExistsException =>
+          // their entry is complete (rename is all-or-nothing); use it.
+          // Linux surfaces rename-onto-nonempty-dir as ENOTEMPTY
+          // (DirectoryNotEmptyException), not FileAlreadyExists.
+          case _: java.nio.file.FileAlreadyExistsException |
+              _: java.nio.file.DirectoryNotEmptyException =>
             deleteRecursively(tmp)
         }
         spark.read.parquet(dir.toString)

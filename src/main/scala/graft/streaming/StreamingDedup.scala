@@ -49,8 +49,16 @@ object StreamingDedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
+    // one-pass scalar UDF, not the Dedup.simhash column expression: the
+    // HOF form re-walks the word array once per bit (64 interpreted
+    // passes/row at the default width) — too slow for continuous ingest,
+    // and the codegen'd exploded aggregation (simhashDf) cannot run
+    // before flatMapGroupsWithState in append mode. Fingerprints are
+    // bit-identical across all three forms (spec-asserted).
+    val fingerprint = udf((text: String) =>
+      if (text == null) null else java.lang.Long.valueOf(Dedup.simhashScalar(text, bits)))
     docs
-      .withColumn("simhash", Dedup.simhash(col(textCol), bits))
+      .withColumn("simhash", fingerprint(col(textCol)))
       .select(col(idCol).as("docId"), col("simhash"),
         posexplode(bandArr).as(Seq("__band", "__key")))
       .select(
@@ -104,21 +112,24 @@ object StreamingDedup {
     var hashes = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
     val out = scala.collection.mutable.ListBuffer.empty[NearMatch]
     rows.foreach { doc =>
-      var i = 0
-      while (i < ids.length) {
-        if (ids(i) != doc.docId) {
+      // at-least-once sources re-deliver: a docId already in the ring
+      // already emitted its matches — skip entirely, so duplicates
+      // neither re-emit nor evict real fingerprints from the ring
+      if (!ids.contains(doc.docId)) {
+        var i = 0
+        while (i < ids.length) {
           val d = java.lang.Long.bitCount(hashes(i) ^ doc.simhash)
           if (d <= maxHamming)
             out += NearMatch(
               math.min(ids(i), doc.docId), math.max(ids(i), doc.docId), d)
+          i += 1
         }
-        i += 1
-      }
-      ids = ids :+ doc.docId
-      hashes = hashes :+ doc.simhash
-      if (ids.length > maxState) { // ring: forget oldest
-        ids = ids.drop(ids.length - maxState)
-        hashes = hashes.drop(hashes.length - maxState)
+        ids = ids :+ doc.docId
+        hashes = hashes :+ doc.simhash
+        if (ids.length > maxState) { // ring: forget oldest
+          ids = ids.drop(ids.length - maxState)
+          hashes = hashes.drop(hashes.length - maxState)
+        }
       }
     }
     state.update(BucketState(ids, hashes))

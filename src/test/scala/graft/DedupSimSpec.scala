@@ -59,6 +59,20 @@ class DedupSimSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
+  test("simhashScalar matches the column-expression simhash exactly " +
+    "(32 and 64 bits, incl. empty/punctuation-only edge strings)") {
+    val edge = docs.unionByName(Seq(
+      (10L, ""), (11L, "!!! ???"), (12L, "  spaced   out  "))
+      .toDF("doc_id", "text"))
+    for (bits <- Seq(32, 64)) {
+      val viaCol = edge.select($"doc_id", Dedup.simhash($"text", bits).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaScalar = edge.collect()
+        .map(r => r.getLong(0) -> Dedup.simhashScalar(r.getString(1), bits)).toMap
+      assert(viaCol == viaScalar, s"bits=$bits")
+    }
+  }
+
   test("simhashDf matches the column-expression simhash exactly") {
     val viaCol = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

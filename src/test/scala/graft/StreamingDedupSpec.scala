@@ -84,6 +84,22 @@ class StreamingDedupSpec extends SparkSpec {
     assert(state.get.ids.toSeq == Seq(5L, 3L, 7L)) // all three retained
   }
 
+  test("re-delivered docIds are idempotent: no duplicate emits, no ring " +
+    "eviction (at-least-once sources)") {
+    val state = TestGroupState.create[StreamingDedup.BucketState](
+      org.apache.spark.api.java.Optional.empty[StreamingDedup.BucketState](),
+      GroupStateTimeout.NoTimeout, 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val doc = StreamingDedup.BandedDoc("b", 1L, 0x0FL)
+    val near = StreamingDedup.BandedDoc("b", 2L, 0x0EL)
+    val out = StreamingDedup.matchWithinBucket(maxHamming = 1, maxState = 10)(
+      "b", Iterator(doc, doc, near, doc), state).toList
+    // the pair emits ONCE; re-deliveries of doc 1 add nothing
+    assert(out == List(StreamingDedup.NearMatch(1L, 2L, 1)))
+    assert(state.get.ids.toSeq == Seq(1L, 2L)) // ring holds each id once
+  }
+
   test("stateTtl: a timed-out bucket drops its state and emits nothing; " +
     "live invocations arm the timeout") {
     val timedOut = TestGroupState.create[StreamingDedup.BucketState](

@@ -202,6 +202,14 @@ class TradeSpec extends SparkSpec {
       def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
     }
     assert(none.effectiveLookback == 0) // unset: engine skips widening
+    // an interval that intervalBars cannot parse still signals "history
+    // matters": the 252 default applies, 0 extra bars (base.py:1073-1077)
+    val unparsable = new Strategy {
+      val code = "u"
+      override def rebalanceInterval: Option[String] = Some("30min")
+      def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+    }
+    assert(unparsable.effectiveLookback == 252)
   }
 
   test("reindexLikeOrders raises on a time-indexed panel without a " +

@@ -49,6 +49,12 @@ def main(sf_dir, out_dir, only=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        unknown = only - set(oracle)
+        if unknown:
+            # a typo'd name would otherwise read as "0 ok, 0 fail" = pass
+            print(f"FAIL unknown query names in subset: {', '.join(sorted(unknown))}")
+            return 1
     ok = fail = skipped = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
