@@ -49,16 +49,15 @@ object StreamingDedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
-    // one-pass scalar UDF, not the Dedup.simhash column expression: the
-    // HOF form re-walks the word array once per bit (64 interpreted
-    // passes/row at the default width) — too slow for continuous ingest,
-    // and the codegen'd exploded aggregation (simhashDf) cannot run
-    // before flatMapGroupsWithState in append mode. Fingerprints are
-    // bit-identical across all three forms (spec-asserted).
-    val fingerprint = udf((text: String) =>
-      if (text == null) null else java.lang.Long.valueOf(Dedup.simhashScalar(text, bits)))
+    // the native one-pass expression, not Dedup.simhash: the HOF form
+    // re-walks the word array once per bit (64 interpreted passes/row at
+    // the default width) — too slow for continuous ingest — and the
+    // codegen'd exploded aggregation (simhashDf) cannot run before
+    // flatMapGroupsWithState in append mode. Fingerprints are
+    // bit-identical across all forms (spec-asserted).
     docs
-      .withColumn("simhash", fingerprint(col(textCol)))
+      .withColumn("simhash",
+        graft.functions.SimHash.simhashNative(col(textCol), bits))
       .select(col(idCol).as("docId"), col("simhash"),
         posexplode(bandArr).as(Seq("__band", "__key")))
       .select(

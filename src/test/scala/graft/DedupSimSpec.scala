@@ -73,6 +73,26 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("native SimHash expression matches the HOF simhash exactly on " +
+    "non-null text; null text is null (not the HOF's coerced 0)") {
+    import graft.functions.SimHash
+    val edge = docs.unionByName(Seq(
+      (10L, ""), (11L, "!!! ???")).toDF("doc_id", "text"))
+    for (bits <- Seq(32, 64)) {
+      val mismatches = edge.where(
+        SimHash.simhashNative($"text", bits) =!= Dedup.simhash($"text", bits))
+        .count()
+      assert(mismatches == 0, s"bits=$bits")
+    }
+    // null semantics: native → null (SQL convention); the HOF form's
+    // when().otherwise(0) coerces null votes to fingerprint 0, and the
+    // exploded aggregation drops the row — three forms, three historical
+    // null behaviors, so the native one picks the SQL-conventional one
+    val nulls = Seq((12L, Option.empty[String])).toDF("doc_id", "text")
+    assert(nulls.select(SimHash.simhashNative($"text")).head.isNullAt(0))
+    assert(nulls.select(Dedup.simhash($"text")).head.getLong(0) == 0L)
+  }
+
   test("simhashDf matches the column-expression simhash exactly") {
     val viaCol = docs.select($"doc_id", Dedup.simhash($"text").as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
