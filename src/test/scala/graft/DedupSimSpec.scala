@@ -91,6 +91,18 @@ class DedupSimSpec extends SparkSpec {
     val nulls = Seq((12L, Option.empty[String])).toDF("doc_id", "text")
     assert(nulls.select(SimHash.simhashNative($"text")).head.isNullAt(0))
     assert(nulls.select(Dedup.simhash($"text")).head.getLong(0) == 0L)
+
+    // the generated code must actually COMPILE (Janino failures fall
+    // back to interpreted silently under the default FALLBACK mode, so
+    // a broken doGenCode would otherwise pass every value assertion)
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try
+      assert(docs.select(SimHash.simhashNative($"text")).count() == 5)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
   }
 
   test("simhashDf matches the column-expression simhash exactly") {
