@@ -755,6 +755,26 @@ object Oracles {
          |  round(mdd, 6) AS max_drawdown
          |FROM st""".stripMargin,
 
+    // rolling Sharpe: windowed mean/std over the per-date pico-sum
+    // series; std accumulation order is engine-internal → 6dp rounding
+    "perf_rolling" ->
+      s"""WITH $turnoverCte,
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+         |  FROM trn),
+         |ret AS (
+         |  SELECT date,
+         |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
+         |      AS BIGINT) / 1e12 AS r
+         |  FROM gro GROUP BY date)
+         |SELECT date, r AS "return",
+         |  round(CASE WHEN count(r) OVER w = 21
+         |             THEN avg(r) OVER w / stddev_samp(r) OVER w * sqrt(252.0)
+         |        END, 6) AS rolling_sharpe_21
+         |FROM ret
+         |WINDOW w AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "perf_benchmark" ->
       s"""WITH $turnoverCte,
          |gro AS (

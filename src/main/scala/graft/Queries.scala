@@ -743,6 +743,10 @@ object Queries {
     "perf_summary" -> ((s, dir) =>
       graft.perf.Performance.summary(dampedMelt(s, dir))),
 
+    // rolling 21-day annualized Sharpe over the damped demo returns
+    "perf_rolling" -> ((s, dir) =>
+      graft.perf.Performance.rollingSharpe(dampedMelt(s, dir), window = 21)),
+
     // benchmark-relative: beta/alpha/correlation of the damped demo
     // returns vs the D19 benchmark-return rows (sid 1's ffilled closes)
     "perf_benchmark" -> ((s, dir) => {

@@ -65,6 +65,29 @@ object Performance {
         round(when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1), 6)
           .as("drawdown"))
 
+  /** Rolling annualized Sharpe over the per-date return series: for each
+    * date, mean/std of the trailing `window` returns × √periodsPerYear,
+    * null until a full window accrues (pandas min_periods semantics,
+    * like the W6 family). Ordered ROWS frame over the already-aggregated
+    * series — same bounded unpartitioned-window shape as [[dailySeries]]. */
+  def rollingSharpe(
+      results: DataFrame,
+      window: Int,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    dailyReturns(results, dateCol)
+      .select(
+        col(dateCol),
+        col("return"),
+        round(
+          when(count(col("return")).over(w) === window,
+            avg(col("return")).over(w) / stddev_samp(col("return")).over(w) *
+              math.sqrt(periodsPerYear.toDouble)), 6)
+          .as(s"rolling_sharpe_$window"))
+  }
+
   /** Benchmark-relative one-row summary. The melt's `Benchmark` rows
     * carry per-date benchmark RETURNS (D19: pct_change of the ffilled
     * benchmark closes), one row per date — joined against the per-date

@@ -80,6 +80,23 @@ class PerfSpec extends SparkSpec {
       Seq(0.5, -1.0, -1.0))
   }
 
+  test("rollingSharpe: trailing window, null until full (min_periods)") {
+    val m = Seq(
+      ("A", "2024-01-01", "Return", 0.10), ("A", "2024-01-02", "Return", -0.05),
+      ("A", "2024-01-03", "Return", 0.02), ("A", "2024-01-04", "Return", 0.04))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.rollingSharpe(m, window = 3).orderBy("date").collect()
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2)) // window not full
+    def sharpe(r: Seq[Double]): Double = {
+      val mu = r.sum / r.length
+      val sd = math.sqrt(r.map(x => (x - mu) * (x - mu)).sum / (r.length - 1))
+      math.rint(mu / sd * math.sqrt(252.0) * 1e6) / 1e6
+    }
+    assert(rows(2).getDouble(2) == sharpe(Seq(0.10, -0.05, 0.02)))
+    assert(rows(3).getDouble(2) == sharpe(Seq(-0.05, 0.02, 0.04))) // trailing
+  }
+
   test("vsBenchmark: beta/alpha/correlation golden (perfect correlation " +
     "at 2x leverage has beta 2, corr 1)") {
     // portfolio return is exactly 2× the benchmark return every day
