@@ -35,10 +35,11 @@ object Oracles {
        |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
        |  FROM pos)""".stripMargin
 
-  /** perf_* shared pipeline: demo melt Return rows (damped ×0.001, same
-    * op order as the Spark query) → per-date exact pico sum → sign-aware
-    * running product of (1+r) and its running peak. */
-  private val perfPkCte =
+  /** perf_* shared return series: demo melt Return rows (damped ×0.001,
+    * same op order as the Spark query) → per-date exact pico sum. The
+    * single source of truth for the damping/scaling constants across
+    * perf_daily/perf_summary/perf_rolling/perf_benchmark. */
+  private val perfRetCte =
     s"""$turnoverCte,
        |gro AS (
        |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
@@ -48,7 +49,11 @@ object Oracles {
        |  SELECT date,
        |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
        |      AS BIGINT) / 1e12 AS r
-       |  FROM gro GROUP BY date),
+       |  FROM gro GROUP BY date)""".stripMargin
+
+  /** ... plus the sign-aware running product of (1+r) and its peak. */
+  private val perfPkCte =
+    s"""$perfRetCte,
        |cum AS (
        |  SELECT date, r,
        |    CASE WHEN sum(CASE WHEN 1 + r = 0 THEN 1 ELSE 0 END) OVER w > 0 THEN 0.0
@@ -758,34 +763,17 @@ object Oracles {
     // rolling Sharpe: windowed mean/std over the per-date pico-sum
     // series; std accumulation order is engine-internal → 6dp rounding
     "perf_rolling" ->
-      s"""WITH $turnoverCte,
-         |gro AS (
-         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
-         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
-         |  FROM trn),
-         |ret AS (
-         |  SELECT date,
-         |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
-         |      AS BIGINT) / 1e12 AS r
-         |  FROM gro GROUP BY date)
+      s"""WITH $perfRetCte
          |SELECT date, r AS "return",
          |  round(CASE WHEN count(r) OVER w = 21
+         |              AND stddev_samp(r) OVER w <> 0
          |             THEN avg(r) OVER w / stddev_samp(r) OVER w * sqrt(252.0)
          |        END, 6) AS rolling_sharpe_21
          |FROM ret
          |WINDOW w AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "perf_benchmark" ->
-      s"""WITH $turnoverCte,
-         |gro AS (
-         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
-         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
-         |  FROM trn),
-         |ret AS (
-         |  SELECT date,
-         |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
-         |      AS BIGINT) / 1e12 AS r
-         |  FROM gro GROUP BY date),
+      s"""WITH $perfRetCte,
          |dates AS (SELECT DISTINCT date FROM panel),
          |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
          |bf AS (

@@ -30,6 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
 
+  // JVM shifts wrap at 64: out-of-range widths would alias vote
+  // positions silently instead of failing
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in 1..64, got $bits")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =

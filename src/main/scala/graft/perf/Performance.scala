@@ -82,7 +82,8 @@ object Performance {
         col(dateCol),
         col("return"),
         round(
-          when(count(col("return")).over(w) === window,
+          when(count(col("return")).over(w) === window &&
+            stddev_samp(col("return")).over(w) =!= 0, // flat window → null
             avg(col("return")).over(w) / stddev_samp(col("return")).over(w) *
               math.sqrt(periodsPerYear.toDouble)), 6)
           .as(s"rolling_sharpe_$window"))

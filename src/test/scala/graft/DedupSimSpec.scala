@@ -79,8 +79,10 @@ class DedupSimSpec extends SparkSpec {
     val edge = docs.unionByName(Seq(
       (10L, ""), (11L, "!!! ???")).toDF("doc_id", "text"))
     for (bits <- Seq(32, 64)) {
+      // null-SAFE comparison: a native regression to null on non-null
+      // text must count as a mismatch, which =!= would silently drop
       val mismatches = edge.where(
-        SimHash.simhashNative($"text", bits) =!= Dedup.simhash($"text", bits))
+        !(SimHash.simhashNative($"text", bits) <=> Dedup.simhash($"text", bits)))
         .count()
       assert(mismatches == 0, s"bits=$bits")
     }
@@ -97,9 +99,13 @@ class DedupSimSpec extends SparkSpec {
     // a broken doGenCode would otherwise pass every value assertion)
     val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    try
-      assert(docs.select(SimHash.simhashNative($"text")).count() == 5)
-    finally prev match {
+    try {
+      // aggregate over the COMPUTED column — a bare count() would let
+      // column pruning remove the projection and compile nothing
+      val agg = docs.select(SimHash.simhashNative($"text").as("h"))
+        .agg(sum($"h")).head
+      assert(!agg.isNullAt(0))
+    } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")
     }
