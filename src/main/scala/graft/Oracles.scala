@@ -655,6 +655,22 @@ object Oracles {
          |       coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS value
          |FROM f""".stripMargin,
 
+    // forest = mean over trees of normalized leaf counts; with the query's
+    // dyadic leaves the per-branch probabilities are exactly 0.375 /
+    // 0.625 / 0.8125 (tree1 {0.25, 0.75, 0.875} avg'd with tree2
+    // {0.5, 0.5, 0.75}) — stated directly, so the oracle independently
+    // pins the ensemble math rather than re-running it
+    "ml3_forest_proba" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  CAST(CASE WHEN NOT (close < 30000) THEN 0.375
+         |            WHEN NOT (close < 15000) THEN 0.625 ELSE 0.8125 END AS DOUBLE)
+         |    AS prediction,
+         |  CAST((CASE WHEN NOT (close < 30000) THEN 0.375
+         |             WHEN NOT (close < 15000) THEN 0.625 ELSE 0.8125 END) < 0.5 AS INT)
+         |    AS signal
+         |FROM panel""".stripMargin,
+
     "ml2_tree_proba" ->
       s"""WITH $panelCte
          |SELECT sid, date,

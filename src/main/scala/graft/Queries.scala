@@ -694,6 +694,36 @@ object Queries {
           (col("prediction") < 0.5).cast("int").as("signal"))
     }),
 
+    // ---- M2: forest ensemble via ModelPredictor.load("forest") —
+    // per-tree leaf-count normalization + cross-tree averaging
+    // (sklearn RandomForest predict_proba; test_ml.py:844 pattern).
+    // Leaf counts are dyadic (sums 8 and 4) so the probabilities are
+    // exact binary fractions — the oracle's decimal arithmetic and the
+    // JVM's double arithmetic agree bit-for-bit ----
+    "ml3_forest_proba" -> ((s, dir) => {
+      val json =
+        """{"modelType":"forest","classes":[0,1],"trees":[[
+          |{"feature":0,"threshold":0.5,"left":1,"right":2},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[6,2]},
+          |{"feature":1,"threshold":0.5,"left":3,"right":4},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[2,6]},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[1,7]}],[
+          |{"feature":1,"threshold":0.5,"left":1,"right":2},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[2,2]},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[1,3]}]]}"""
+          .stripMargin.replace("\n", "")
+      val tmp = java.nio.file.Files.createTempFile("graft_forest", ".json")
+      java.nio.file.Files.writeString(tmp, json)
+      val predictor = graft.ml.ModelPredictor.load(s, tmp.toString)
+      val withF = supplierPanel(s, dir)
+        .withColumn("f1", (col("close") < 30000).cast("double"))
+        .withColumn("f2", (col("close") < 15000).cast("double"))
+      val assembled = graft.ml.Features.assemble(withF, Seq("f1", "f2"))
+      predictor.predict(assembled)
+        .select(col("sid"), col("date"), col("prediction"),
+          (col("prediction") < 0.5).cast("int").as("signal"))
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.panel.Panel
 import graft.panel.Panel.Keys
+import graft.{GraftError, ParameterError}
 
 /** Commission models (reference commission/{base,stk,fut,fx}.py, D8-D11).
   *
@@ -205,7 +206,7 @@ object ContractValues {
   def referenceField(columns: Seq[String], explicit: Option[String]): String =
     explicit.getOrElse(
       candidateFields.find(columns.contains).getOrElse(
-        throw new IllegalArgumentException(
+        throw new ParameterError(
           "Can't identify a suitable field to use to calculate contract values. " +
             "Please set contractValueReferenceField = '<field>' to indicate " +
             "which price field to use to calculate contract values.")))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.panel.Panel
 import graft.panel.Panel.Keys
 import graft.pipeline.Strategy
+import graft.{GraftError, ParameterError}
 
 /** ML-strategy surface — reference `MoonshotML` (ml.py:354-517, SURVEY
   * §2.9/§3.3).
@@ -69,6 +70,13 @@ final case class LinearPredictor(
   }
 }
 
+/** An opaque (non-column-algebra) model: a per-row score-vector function
+  * shipped to executors inside the [[OpaquePredictor]] task closure. */
+trait OpaqueModel extends Serializable {
+  def scores(x: Array[Double]): Array[Double]
+  def classes: Seq[Long]
+}
+
 /** Array-encoded binary decision tree (the shape sklearn's
   * `tree_.__getstate__()["nodes"]` exports): internal nodes route
   * `x(feature) <= threshold` left, else right; leaves (feature = −1)
@@ -81,12 +89,48 @@ final case class DecisionTreeModel(
     rights: Array[Int],
     values: Array[Array[Double]],
     classes: Seq[Long])
-    extends Serializable {
+    extends OpaqueModel {
   def scores(x: Array[Double]): Array[Double] = {
     var i = 0
     while (features(i) >= 0)
       i = if (x(features(i)) <= thresholds(i)) lefts(i) else rights(i)
     values(i)
+  }
+}
+
+/** Ensemble of trees — sklearn RandomForest/ExtraTrees/bagging semantics
+  * (the reference loads such models via joblib, ml.py:211-225, and runs
+  * predict_proba on them, _tests/test_ml.py:844).
+  *
+  * Classifier leaves hold per-class sample counts; sklearn's forest
+  * `predict_proba` normalizes each tree's leaf counts to probabilities,
+  * then averages across trees — so does [[scores]] (already-normalized
+  * leaves are a no-op: the row sum is 1). 1-wide leaves (regression)
+  * average raw values. Offline export: for each `estimator_` in the
+  * sklearn forest, dump `tree_.__getstate__()["nodes"]` (+ leaf `values`)
+  * to one `trees[i]` node array of the JSON spec. */
+final case class ForestModel(trees: Array[DecisionTreeModel], classes: Seq[Long])
+    extends OpaqueModel {
+  require(trees.nonEmpty, "forest model must have at least one tree")
+  def scores(x: Array[Double]): Array[Double] = {
+    val acc = new Array[Double](trees(0).scores(x).length)
+    var t = 0
+    while (t < trees.length) {
+      val s = trees(t).scores(x)
+      if (s.length == 1) acc(0) += s(0)
+      else {
+        var sum = 0.0
+        var i = 0
+        while (i < s.length) { sum += s(i); i += 1 }
+        val norm = if (sum == 0.0) 1.0 else sum
+        i = 0
+        while (i < s.length) { acc(i) += s(i) / norm; i += 1 }
+      }
+      t += 1
+    }
+    var i = 0
+    while (i < acc.length) { acc(i) /= trees.length; i += 1 }
+    acc
   }
 }
 
@@ -97,7 +141,7 @@ final case class DecisionTreeModel(
   * classifiers with classes [0, 1] keep the last column (P(class=1),
   * i.e. predict_proba); anything else is an error, matching the
   * reference's NotImplementedError. */
-final case class OpaquePredictor(model: DecisionTreeModel) extends PanelPredictor {
+final case class OpaquePredictor(model: OpaqueModel) extends PanelPredictor {
   def predict(df: DataFrame, featuresCol: String = "features"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
@@ -114,7 +158,7 @@ final case class OpaquePredictor(model: DecisionTreeModel) extends PanelPredicto
             val s = m.scores(xs.toArray)
             if (s.length == 1) s(0)
             else if (s.length == 2 && m.classes == Seq(0L, 1L)) s(1)
-            else throw new IllegalArgumentException(
+            else throw new GraftError(
               s"Don't know what to do with predictions having shape (${s.length},)")
           }
         Row.fromSeq(r.toSeq :+ p)
@@ -147,6 +191,7 @@ object ModelPredictor {
       .add("intercept", DoubleType)
       .add("classes", ArrayType(LongType))
       .add("nodes", ArrayType(nodeType))
+      .add("trees", ArrayType(ArrayType(nodeType)))
     val row = spark.read.schema(schema).json(path).head()
     row.getString(0) match {
       case "linear" =>
@@ -154,24 +199,29 @@ object ModelPredictor {
       case "logistic" =>
         LinearPredictor(row.getSeq[Double](1), row.getDouble(2), logistic = true)
       case "tree" =>
-        val nodes = row.getSeq[org.apache.spark.sql.Row](4)
-        DecisionTreePredictorFromRows(nodes, row.getSeq[Long](3))
+        OpaquePredictor(treeFromRows(row.getSeq[org.apache.spark.sql.Row](4),
+          row.getSeq[Long](3)))
+      case "forest" =>
+        val classes = row.getSeq[Long](3)
+        val trees = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](5)
+          .map(t => treeFromRows(t.toSeq, classes)).toArray
+        OpaquePredictor(ForestModel(trees, classes))
       case other =>
-        throw new IllegalArgumentException(s"unknown modelType: $other")
+        throw new ParameterError(s"unknown modelType: $other")
     }
   }
 
-  private def DecisionTreePredictorFromRows(
+  private def treeFromRows(
       nodes: Seq[org.apache.spark.sql.Row],
-      classes: Seq[Long]): OpaquePredictor =
-    OpaquePredictor(DecisionTreeModel(
+      classes: Seq[Long]): DecisionTreeModel =
+    DecisionTreeModel(
       features = nodes.map(_.getLong(0).toInt).toArray,
       thresholds = nodes.map(n => if (n.isNullAt(1)) 0.0 else n.getDouble(1)).toArray,
       lefts = nodes.map(_.getLong(2).toInt).toArray,
       rights = nodes.map(_.getLong(3).toInt).toArray,
       values = nodes.map(n =>
         if (n.isNullAt(4)) Array.empty[Double] else n.getSeq[Double](4).toArray).toArray,
-      classes = classes))
+      classes = classes)
 }
 
 /** Reference `MoonshotML`: `prices_to_signals` is replaced by

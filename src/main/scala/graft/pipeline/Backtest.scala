@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.costs.{CommissionModel, ContractValues, FixedSlippage}
 import graft.panel.Panel
 import graft.panel.Panel.Keys
+import graft.{GraftError, ParameterError}
 
 /** The backtest driver — reference `Moonshot.backtest()`
   * (strategies/base.py:1293-1400, lifecycle SURVEY §3.1).
@@ -97,7 +98,7 @@ object Backtest {
     val reserved = standard.map(_._1).toSet ++ Set("TotalHolding", "Benchmark")
     strategy.customFields.foreach { case (name, _) =>
       if (reserved.contains(name))
-        throw new IllegalArgumentException(s"name $name is a reserved name")
+        throw new ParameterError(s"name $name is a reserved name")
     }
     val measures = standard ++ strategy.customFields.map {
       case (n, c) => n -> c.cast("double")
@@ -169,7 +170,7 @@ object Backtest {
         if (pricesHaveTime && !intradayResults) {
           // once-a-day intraday: collapse to daily at BENCHMARK_TIME
           val t = strategy.benchmarkTime.getOrElse(
-            throw new IllegalArgumentException(
+            throw new ParameterError(
               s"Cannot extract BENCHMARK $benchmarkSid from prices because " +
                 "prices contains intraday prices but no BENCHMARK_TIME specified"))
           own.where(col("time") === lit(t))
@@ -216,7 +217,7 @@ object Backtest {
 
     if (strategy.commissionBySecGroup.nonEmpty) {
       val m = master.getOrElse(
-        throw new IllegalArgumentException("commission dispatch requires a master"))
+        throw new ParameterError("commission dispatch requires a master"))
       // coverage validation (base.py:862-875): every (secType, exchange,
       // currency) group in the master must have a model — no silent null
       // commissions. The master is a broadcast-sized dimension, so the
@@ -226,7 +227,7 @@ object Backtest {
         .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
       val missing = required -- strategy.commissionBySecGroup.keySet
       if (missing.nonEmpty)
-        throw new IllegalArgumentException(
+        throw new ParameterError(
           "expected a commission class for each combination of " +
             "(sectype,exchange,currency) but none is defined for " +
             missing.toSeq.sorted
@@ -294,9 +295,9 @@ object Limits {
       nlv: Option[Double],
       cvField: String = "close")(implicit k: Keys): DataFrame = {
     val m = master.getOrElse(
-      throw new IllegalArgumentException("limit_position_sizes requires a master"))
+      throw new ParameterError("limit_position_sizes requires a master"))
     val nlvValue = nlv.getOrElse(
-      throw new IllegalArgumentException("must provide NLVs if using limit_position_sizes"))
+      throw new ParameterError("must provide NLVs if using limit_position_sizes"))
 
     var p = panel.join(
       broadcast(m.select("sid", "secType", "priceMagnifier", "multiplier")),

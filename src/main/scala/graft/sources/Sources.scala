@@ -5,6 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{GraftError, ParameterError}
 
 /** File-based connectors replacing the reference's HTTP data services
   * (SURVEY §2.1 S1-S9; reference base.py:1183-1282, 1088-1144).
@@ -142,7 +143,7 @@ object Sources {
       val tzs = master.select("timezone").distinct()
         .collect().map(_.getString(0)).filter(_ != null).sorted
       if (tzs.length > 1)
-        throw new IllegalArgumentException(
+        throw new ParameterError(
           "cannot infer timezone because multiple timezones are present " +
             s"in data, please specify TIMEZONE explicitly (timezones: ${tzs.mkString(", ")})")
       require(tzs.nonEmpty,
@@ -167,7 +168,7 @@ object Sources {
       .collect().map(_.getString(0)).toSet
     val missing = required -- nlvByCurrency.keySet
     if (missing.nonEmpty)
-      throw new IllegalArgumentException(
+      throw new ParameterError(
         "NLV dict is missing values for required currencies: " +
           missing.toSeq.sorted.mkString(", "))
     val nlvMap = map(nlvByCurrency.toSeq

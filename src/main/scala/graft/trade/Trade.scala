@@ -8,6 +8,7 @@ import graft.costs.ContractValues
 import graft.panel.Panel
 import graft.panel.Panel.Keys
 import graft.pipeline.Strategy
+import graft.{GraftError, ParameterError}
 
 /** Live-trading order generation — reference `Moonshot.trade()`
   * (strategies/base.py:1572-1806, lifecycle SURVEY §3.2).
@@ -97,12 +98,12 @@ object Trade {
         if (eligible.isEmpty) {
           val anyEarlierTime = !panel.where(col("time") < lit(t)).isEmpty
           if (!anyEarlierTime)
-            throw new IllegalArgumentException(
+            throw new GraftError(
               "cannot determine which target weights to use for orders " +
                 "because target weights DataFrame contains no times earlier " +
                 s"than trade time $t for signal date $signalDate")
           else
-            throw new IllegalArgumentException(
+            throw new GraftError(
               s"no $t data found in prices DataFrame for signal date " +
                 s"$signalDate, is the underlying data up-to-date?")
         }
@@ -133,7 +134,7 @@ object Trade {
       if (!calendarSet && !intraday && oneDayGap)
         msg += s" If your strategy trades before the open and $signalDate data " +
           "is not expected, try setting CALENDAR = <exchange>"
-      throw new IllegalArgumentException(msg)
+      throw new GraftError(msg)
     }
   }
 
@@ -288,7 +289,7 @@ object Trade {
       case None if panel.columns.contains("time") =>
         // base.py:595-599: a time-indexed frame with no signal time would
         // join multiple rows per sid — the reference raises; so do we
-        throw new IllegalArgumentException(
+        throw new GraftError(
           "cannot reindex DataFrame like orders because DataFrame contains " +
             "'time', please take a cross-section first, for example: " +
             "panel.where(col(\"time\") === \"15:45:00\")")
@@ -387,7 +388,7 @@ object Trade {
           .agg(max_by(col(cvField), col("time")).as(cvField))
         today.join(broadcast(lastBar), Seq(k.sid), "left")
       } else
-        throw new IllegalArgumentException(
+        throw new ParameterError(
           s"contract-value field '$cvField' is not present in the weights " +
             "panel — keep it through the strategy hooks or set " +
             "contractValueReferenceField")
@@ -443,7 +444,7 @@ object Calendars {
       reviewDate: Option[String] = None,
       now: () => java.time.Instant = () => java.time.Instant.now()): (String, String) = {
     val status = strategy.calendar.map { exch =>
-      val cals = calendars.getOrElse(throw new IllegalArgumentException(
+      val cals = calendars.getOrElse(throw new ParameterError(
         s"strategy sets calendar=$exch but no calendar statuses were provided"))
       statusFor(cals, exch)
     }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ml.{DecisionTreeModel, Features, LinearPredictor, MLStrategy, ModelPredictor, OpaquePredictor, PanelPredictor}
+import graft.ml.{DecisionTreeModel, Features, ForestModel, LinearPredictor, MLStrategy, ModelPredictor, OpaquePredictor, PanelPredictor}
 import graft.panel.Panel
 import graft.pipeline.Backtest
 
@@ -90,6 +90,52 @@ class MlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Don't know what to do with predictions having shape (3,)")
       || Option(e.getCause).exists(_.getMessage.contains("shape (3,)")))
+  }
+
+  test("ForestModel normalizes each tree's leaf counts, then averages " +
+    "(sklearn RandomForest predict_proba semantics)") {
+    def stump(leftCounts: Array[Double], rightCounts: Array[Double]) =
+      DecisionTreeModel(
+        features = Array(0, -1, -1), thresholds = Array(0.5, 0.0, 0.0),
+        lefts = Array(1, -1, -1), rights = Array(2, -1, -1),
+        values = Array(Array.empty, leftCounts, rightCounts),
+        classes = Seq(0L, 1L))
+    val forest = ForestModel(Array(
+      stump(Array(6.0, 2.0), Array(2.0, 6.0)),   // → P1 0.25 | 0.75
+      stump(Array(2.0, 2.0), Array(1.0, 3.0))),  // → P1 0.5  | 0.75
+      classes = Seq(0L, 1L))
+    // x=0 routes left: mean(2/8, 2/4) = 0.375; x=1 right: mean(6/8, 3/4) = 0.75
+    assert(forest.scores(Array(0.0)).toSeq == Seq(0.625, 0.375))
+    assert(forest.scores(Array(1.0)).toSeq == Seq(0.25, 0.75))
+    // already-normalized leaves are a fixpoint (probability leaves work too)
+    val probForest = ForestModel(Array(
+      stump(Array(1.0, 0.0), Array(0.0, 1.0)),
+      stump(Array(1.0, 0.0), Array(0.0, 1.0))), classes = Seq(0L, 1L))
+    assert(probForest.scores(Array(1.0)).toSeq == Seq(0.0, 1.0))
+    // 1-wide leaves (regression forest): mean of raw leaf values
+    val regForest = ForestModel(Array(
+      stump(Array(1.0), Array(3.0)).copy(classes = Nil),
+      stump(Array(2.0), Array(5.0)).copy(classes = Nil)), classes = Nil)
+    assert(regForest.scores(Array(1.0)).toSeq == Seq(4.0))
+  }
+
+  test("ModelPredictor loads a forest spec; predict keeps P(class=1) " +
+    "(test_ml.py:844 ensemble variant)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_forest_spec")
+    val p = dir.resolve("forest.json")
+    java.nio.file.Files.writeString(p,
+      """{"modelType":"forest","classes":[0,1],"trees":[[
+        |{"feature":0,"threshold":0.5,"left":1,"right":2},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[6,2]},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[2,6]}],[
+        |{"feature":0,"threshold":0.5,"left":1,"right":2},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[2,2]},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[1,3]}]]}"""
+        .stripMargin.replace("\n", ""))
+    val forest = ModelPredictor.load(spark, p.toString)
+    val probas = forest.predict(Seq(Seq(0.0), Seq(1.0)).toDF("features"))
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(probas == Seq(0.375, 0.75))
   }
 
   test("predict_proba golden: DecisionTreeML backtest (test_ml.py:844-1000)") {
