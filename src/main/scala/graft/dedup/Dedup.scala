@@ -183,8 +183,20 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: LSH candidates → verify with exact Jaccard ≥
-    * threshold. Returns (id_a, id_b, jaccard). The verify join re-reads
-    * only candidate rows — at scale the candidate set is ≪ n². */
+    * threshold. Returns (id_a, id_b, jaccard).
+    *
+    * Verify-stage prune: only docs appearing in ≥1 candidate pair are
+    * re-shingled (left-semi join on id_a ∪ id_b before [[shingleRows]]).
+    * At web scale the candidate docs are a tiny fraction of the corpus
+    * (∝ true duplicate mass), so the verify stage reads candidate docs
+    * only instead of making a second O(corpus) shingle pass. The
+    * candidate subplan appears several times in the resulting tree
+    * (semi-join filter + both verify-join sides); its trailing
+    * distinct() shuffle is a canonically-identical Exchange at every
+    * occurrence, so the physical plan reuses ONE shuffle
+    * (ReusedExchange — asserted in DedupSimSpec) and the minhash
+    * pipeline still runs once. Shingled-doc count is observable via the
+    * `neardup_verify` observe metric. */
   def nearDuplicates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -196,7 +208,12 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val cands =
       minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
-    val sh = shingleRows(docs, idCol, textCol, shingleSize)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    val pruned = docs.join(candIds, Seq(idCol), "left_semi")
+      .observe("neardup_verify", count(lit(1)).as("docs_shingled"))
+    val sh = shingleRows(pruned, idCol, textCol, shingleSize)
       .groupBy(col(idCol))
       .agg(collect_list(col("__s")).as("__sh"))
     cands

@@ -29,6 +29,19 @@ object DedupBench {
     spark.range(n).select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
 
+  /** Realistic dup-mass profile: only 10% of docs sit in 10-doc dup
+    * clusters, the other 90% are unique — exercises the verify-stage
+    * semi-join prune (only cluster docs should be re-shingled). */
+  def sparseCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val id = col("id")
+    val group = when(pmod(id, lit(100L)) < 10, id - pmod(id, lit(10L))).otherwise(id)
+    val words =
+      (0 until 48).map(i =>
+        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(99991L)))) ++
+        (48 until 50).map(i => concat(lit("w"), pmod(id * 17 + lit(i * 13), lit(997))))
+    spark.range(n).select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -44,11 +57,41 @@ object DedupBench {
       println(f"[dedupbench] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
     }
 
+    // observedMetrics is empty on the DataFrame under AQE; the
+    // QueryExecutionListener path receives it either way
+    @volatile var shingled = -1L
+    val metricListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("neardup_verify")
+          .foreach(r => shingled = r.getAs[Long]("docs_shingled"))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(metricListener)
+
     sizes.foreach { n =>
       val docs = corpus(spark, n)
       println(s"--- $n docs ---")
       time(s"exact groups")(Dedup.exactGroups(docs).count())
       time(s"minhash LSH candidates")(Dedup.minhashCandidates(docs).count())
+      time(s"near-dup full (jaccard>=0.5)") {
+        shingled = -1L
+        val rows = Dedup.nearDuplicates(docs, threshold = 0.5).count()
+        // the listener fires asynchronously after count() returns
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (shingled < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+        println(s"[dedupbench]   verify stage shingled $shingled of $n docs (semi-join prune)")
+        rows
+      }
+      time(s"near-dup sparse (10% dup mass)") {
+        shingled = -1L
+        val rows = Dedup.nearDuplicates(sparseCorpus(spark, n), threshold = 0.5).count()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (shingled < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+        println(s"[dedupbench]   verify stage shingled $shingled of $n docs (semi-join prune)")
+        rows
+      }
       time(s"simhash 64b/8band pairs (ham<=3)")(
         Dedup.simhashNearPairs(docs, maxHamming = 3).count())
       time(s"simhash 32b/4band pairs (ham<=3)")(

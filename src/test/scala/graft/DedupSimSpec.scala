@@ -52,6 +52,30 @@ class DedupSimSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0)
   }
 
+  test("nearDuplicates verify stage is pruned to candidate docs and the " +
+    "candidate shuffle is reused, not recomputed") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val nd = Dedup.nearDuplicates(docs, threshold = 0.0)
+      val plan = nd.queryExecution.executedPlan.toString
+      // the semi-join prune is in the plan...
+      assert(plan.contains("LeftSemi"), plan)
+      // ...and the candidate pipeline's distinct() shuffle is planned as
+      // ONE exchange + ReusedExchange at the other occurrences (a
+      // recompute would show several md5/posexplode minhash subtrees)
+      assert(plan.contains("ReusedExchange"), plan)
+      // values unchanged by the prune
+      val j = nd.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(j((1L, 2L)) == 1.0)
+      // only docs in ≥1 candidate pair were shingled in the verify stage
+      val m = nd.queryExecution.observedMetrics("neardup_verify")
+      val candDocs = Dedup.minhashCandidates(docs)
+        .select(explode(array($"id_a", $"id_b"))).distinct().count()
+      assert(m.getAs[Long]("docs_shingled") == candDocs)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("simhash: identical docs have hamming distance 0 (dd5)") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
