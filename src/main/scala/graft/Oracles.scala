@@ -156,6 +156,19 @@ object Oracles {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01'
         |  AND l_quantity < 10""".stripMargin,
 
+    "s1_universes" ->
+      """WITH panel AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS sid,
+        |         CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT sid, date, close FROM panel
+        |WHERE date >= DATE '1995-01-01' AND date <= DATE '1995-06-30'
+        |  AND sid IN (SELECT CAST(s_suppkey AS VARCHAR) FROM supplier
+        |              WHERE s_nationkey IN (1, 2))
+        |  AND sid NOT IN (SELECT CAST(s_suppkey AS VARCHAR) FROM supplier
+        |                  WHERE s_nationkey = 2)""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

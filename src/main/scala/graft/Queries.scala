@@ -124,6 +124,26 @@ object Queries {
           to_date(col("l_shipdate")).as("ship_date"))
     }),
 
+    // ---- S1 universes pushdown: universe names resolved to sids via a
+    // (universe, sid) membership table (the data service's universe
+    // registry; base.py:1240-1245), then pushed to the scan as an isin.
+    // N1 ∪ N2 minus N2 → nation-1 suppliers only ----
+    "s1_universes" -> ((s, dir) => {
+      import graft.sources.Sources
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1u_panel"
+      supplierPanel(s, dir)
+        .select(col("sid").cast("string").as("sid"), col("date"), col("close"))
+        .write.mode("overwrite").parquet(tmp)
+      val membership = t(s, dir, "supplier").select(
+        concat(lit("N"), col("s_nationkey")).as("universe"),
+        col("s_suppkey").cast("string").as("sid"))
+      Sources.prices(s, tmp,
+        Sources.PriceQuery(
+          startDate = Some("1995-01-01"), endDate = Some("1995-06-30"),
+          universes = Seq("N1", "N2"), excludeUniverses = Seq("N2")),
+        universeMembership = Some(membership))
+    }),
+
     // ---- A5/P4: hash aggregate (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")

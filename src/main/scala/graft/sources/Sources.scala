@@ -23,9 +23,47 @@ object Sources {
       endDate: Option[String] = None,
       sids: Seq[String] = Nil,
       excludeSids: Seq[String] = Nil, // exclude_sids, base.py:1243
+      universes: Seq[String] = Nil, // UNIVERSES, base.py:1242
+      excludeUniverses: Seq[String] = Nil, // EXCLUDE_UNIVERSES, base.py:1244
       fields: Seq[String] = Nil, // column pruning (DB_FIELDS, base.py:1248)
       times: Seq[String] = Nil, // times-of-day filter, base.py:1249
       lookbackBars: Int = 0) // W7 widening — see widenedStart
+
+  /** Resolve universe names into sid predicates via a `(universe, sid)`
+    * membership table (reference base.py:1240-1245: UNIVERSES /
+    * EXCLUDE_UNIVERSES ride the same service query as sids — here the
+    * membership table plays the data service's universe registry).
+    *
+    * Resolution is a driver-side collect over the membership dimension —
+    * bounded like the master (universe membership ≪ panel) — so the
+    * result is a plain `isin` that reaches the parquet scan as
+    * PushedFilters; a semi-join would shuffle the panel instead. Keep the
+    * membership `sid` dtype equal to the panel's so the pushed predicate
+    * stays cast-free. Unknown universe names raise ParameterError
+    * (mirroring the service's no-such-universe failure). Universe sids
+    * UNION with explicit sids (and likewise for excludes), matching the
+    * service's semantics. */
+  def resolveUniverses(q: PriceQuery, membership: DataFrame): PriceQuery = {
+    if (q.universes.isEmpty && q.excludeUniverses.isEmpty) return q
+    def members(names: Seq[String]): Seq[String] =
+      if (names.isEmpty) Nil
+      else {
+        val rows = membership
+          .where(col("universe").isin(names: _*))
+          .select(col("universe"), col("sid").cast("string"))
+          .distinct().collect()
+        val missing = names.toSet -- rows.map(_.getString(0)).toSet
+        if (missing.nonEmpty)
+          throw new ParameterError(
+            s"no such universe(s): ${missing.toSeq.sorted.mkString(", ")}")
+        rows.map(_.getString(1)).toSeq
+      }
+    q.copy(
+      sids = (q.sids ++ members(q.universes)).distinct,
+      excludeSids = (q.excludeSids ++ members(q.excludeUniverses)).distinct,
+      universes = Nil,
+      excludeUniverses = Nil)
+  }
 
   /** W7 lookback planner (reference base.py:1146-1181): the scan start is
     * widened backward so the first tradeable date has `lookbackBars` bars
@@ -57,8 +95,24 @@ object Sources {
     * reducers with identical join semantics. For REPEATED large joins,
     * prefer publishing the panel bucketed by sid via [[writePrices]]:
     * co-located joins need no shuffle at all. */
-  def prices(spark: SparkSession, path: String, q: PriceQuery = PriceQuery()): DataFrame =
-    applyQuery(spark.read.parquet(path), q)
+  def prices(
+      spark: SparkSession,
+      path: String,
+      q: PriceQuery = PriceQuery(),
+      universeMembership: Option[DataFrame] = None): DataFrame =
+    applyQuery(spark.read.parquet(path), resolve(q, universeMembership))
+
+  private def resolve(q: PriceQuery, membership: Option[DataFrame]): PriceQuery =
+    membership match {
+      case Some(m) => resolveUniverses(q, m)
+      case None =>
+        if (q.universes.nonEmpty || q.excludeUniverses.nonEmpty)
+          throw new ParameterError(
+            "query names universes but no universe membership table was " +
+              "provided — pass universeMembership or pre-resolve with " +
+              "resolveUniverses")
+        q
+    }
 
   /** The PriceQuery → Catalyst-predicate translation shared by the path
     * scan ([[prices]]) and the catalog scan ([[pricesTable]]). */
@@ -123,8 +177,12 @@ object Sources {
     * over a [[writePrices]]-published table. Date predicates prune
     * partitions; the bucketed layout carries sid hash-partitioning into
     * downstream joins and windows. */
-  def pricesTable(spark: SparkSession, table: String, q: PriceQuery = PriceQuery()): DataFrame =
-    applyQuery(spark.table(table), q)
+  def pricesTable(
+      spark: SparkSession,
+      table: String,
+      q: PriceQuery = PriceQuery(),
+      universeMembership: Option[DataFrame] = None): DataFrame =
+    applyQuery(spark.table(table), resolve(q, universeMembership))
 
   /** S2: securities master — small dimension; callers wrap in
     * `broadcast()` at the join site. priceMagnifier/multiplier nulls

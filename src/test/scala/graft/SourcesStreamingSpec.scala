@@ -47,6 +47,46 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(rows == Map("A" -> 2.0, "B" -> 4.0))
   }
 
+  test("universes resolve to sid predicates pushed to the scan " +
+    "(base.py:1240-1245)") {
+    val dir = Files.createTempDirectory("graft-prices3").toString
+    Seq(
+      ("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0),
+      ("C", "2024-01-01", 3.0), ("D", "2024-01-01", 4.0))
+      .toDF("sid", "date", "close")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(dir)
+    val membership = Seq(
+      ("tech", "A"), ("tech", "B"), ("fin", "B"), ("fin", "C"))
+      .toDF("universe", "sid")
+    val q = Sources.PriceQuery(
+      universes = Seq("tech", "fin"), excludeUniverses = Seq("fin"))
+    val df = Sources.prices(spark, dir, q, Some(membership))
+    // tech ∪ fin = {A,B,C}; minus fin = {A} (B is in both → excluded)
+    assert(df.collect().map(_.getAs[String]("sid")).toSeq == Seq("A"))
+    // the resolved sid predicates reach the parquet scan as pushed
+    // filters (driver-side resolution, not a panel-shuffling semi-join)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("In(sid") || plan.contains("EqualTo(sid") ||
+      plan.contains("Not(In(sid"), plan)
+    // explicit sids union with universe members
+    val union = Sources.prices(spark, dir,
+      Sources.PriceQuery(sids = Seq("D"), universes = Seq("tech")),
+      Some(membership))
+    assert(union.collect().map(_.getAs[String]("sid")).sorted.toSeq ==
+      Seq("A", "B", "D"))
+    // unknown universe name → ParameterError, like the service
+    intercept[ParameterError] {
+      Sources.prices(spark, dir,
+        Sources.PriceQuery(universes = Seq("nope")), Some(membership))
+    }
+    // universes without a membership table → ParameterError
+    intercept[ParameterError] {
+      Sources.prices(spark, dir, Sources.PriceQuery(universes = Seq("tech")))
+    }
+  }
+
   test("lookback widening converts trading days to calendar days + buffer (W7)") {
     // reference constants (base.py:1146-1181): 365/235 conversion
     assert(Sources.widenedStart("2024-06-01", 0) == "2024-06-01")
