@@ -381,6 +381,18 @@ object Oracles {
          |        THEN 2.5 / 1000000 ELSE broker END) + turnover * 0.0002 AS commission
          |FROM br""".stripMargin,
 
+    "d10_futures_commission" ->
+      s"""WITH $turnoverCte
+         |SELECT sid, date,
+         |  (CASE WHEN close <> 0 THEN (0.85 + 1.18 + 0.01) / close END) * turnover
+         |    AS commission
+         |FROM trn""".stripMargin,
+
+    "d11_spotfx" ->
+      s"""WITH $turnoverCte
+         |SELECT sid, date, turnover * 0.00002 + turnover * 0.0 AS commission
+         |FROM trn""".stripMargin,
+
     "d13_slippage" ->
       s"""WITH $turnoverCte
          |SELECT sid, date, turnover * 0.0005 AS slippage FROM trn""".stripMargin,

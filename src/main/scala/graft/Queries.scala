@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.alloc.Weights
-import graft.costs.{FixedSlippage, PercentageCommission, PerShareCommission}
+import graft.costs.{CommissionModel, FixedSlippage, FuturesCommission, PercentageCommission, PerShareCommission}
 import graft.panel.Panel
 import graft.panel.Panel.Keys
 import graft.pipeline.{Backtest, Strategy}
@@ -410,6 +410,37 @@ object Queries {
         .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
       p.select(col("sid"), col("date"),
         model.commissions(col("close"), col("turnover"), Some(lit(nlv))).as("commission"))
+    }),
+
+    // ---- D10: futures per-contract commission (fut.py:62-80) ----
+    "d10_futures_commission" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val model = FuturesCommission(
+        brokerCommissionPerContract = 0.85, exchangeFeePerContract = 1.18,
+        carryingFeePerContract = 0.01)
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      p.select(col("sid"), col("date"),
+        model.commissions(col("close"), col("turnover"), None).as("commission"))
+    }),
+
+    // ---- D11: spot FX commission (fx.py:17-52; 0.2 bps, no min) ----
+    "d11_spotfx" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      // CASH contract value ≡ 1 (base.py:1906-1908); NLV present but
+      // SpotFXCommission has no min floor, so enforceMin is a no-op.
+      p.select(col("sid"), col("date"),
+        CommissionModel.spotFX
+          .commissions(lit(1.0), col("turnover"), Some(lit(1000000.0)))
+          .as("commission"))
     }),
 
     // ---- D13: fixed slippage ----
