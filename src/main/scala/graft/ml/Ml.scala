@@ -55,7 +55,15 @@ trait PanelPredictor extends Serializable {
 }
 
 /** Linear/logistic baseline predictor: w·x + b, optionally squashed.
-  * Pure column algebra → whole-stage codegen, shuffles nothing. */
+  * Pure column algebra → whole-stage codegen, shuffles nothing.
+  *
+  * `getItem` (GetArrayItem), NOT `element_at`: when the optimizer inlines
+  * the upstream `CreateArray` from [[Features.assemble]], `ElementAt`
+  * resolves nullable=false (constant index, known bounds, non-null
+  * elements) yet its codegen still assigns `ev.isNull` in the
+  * bounds-check branch — Janino rejects the undeclared variable and the
+  * ENTIRE stage silently falls back to interpreted row processing
+  * (Spark 4.1.2; MlSpec pins the compiled path under CODEGEN_ONLY). */
 final case class LinearPredictor(
     weights: Seq[Double],
     intercept: Double = 0.0,
@@ -63,7 +71,7 @@ final case class LinearPredictor(
     extends PanelPredictor {
   def predict(df: DataFrame, featuresCol: String = "features"): DataFrame = {
     val dot = weights.zipWithIndex
-      .map { case (w, i) => element_at(col(featuresCol), i + 1) * lit(w) }
+      .map { case (w, i) => col(featuresCol).getItem(i) * lit(w) }
       .foldLeft(lit(intercept): Column)(_ + _)
     val p = if (logistic) lit(1.0) / (lit(1.0) + exp(-dot)) else dot
     df.withColumn("prediction", p)

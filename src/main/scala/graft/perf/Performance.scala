@@ -20,15 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Performance {
 
+  /** Largest |per-row return| whose pico-scaling stays exact in a long
+    * (Long.MaxValue / 1e12 ≈ 9.22e6 — i.e. a 922,000,000% single-day
+    * return; anything near it is corrupted input, not a return). */
+  private[graft] val MaxAbsReturn: Double = 9.0e6
+
   /** Per-date portfolio return: the cross-sid sum of the melt's `Return`
     * rows. Summed as integer picos (×1e12, exact in a long for |r| ≤
     * ~10⁶) so the unordered distributed sum is deterministic — a plain
-    * double sum differs in the last ulp run-to-run and engine-to-engine. */
-  def dailyReturns(results: DataFrame, dateCol: String = "date"): DataFrame =
+    * double sum differs in the last ulp run-to-run and engine-to-engine.
+    * Rows beyond [[MaxAbsReturn]] would WRAP the long — fail loudly
+    * instead (a corrupted melt should never silently flip sign). */
+  def dailyReturns(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val pico = when(
+      abs(col("value")) > MaxAbsReturn,
+      raise_error(format_string(
+        "Return magnitude %s exceeds the exact pico-summation bound " +
+          s"$MaxAbsReturn — corrupted results melt?", col("value"))).cast("long"))
+      .otherwise(round(col("value") * 1e12).cast("long"))
     results
       .where(col("field") === "Return")
       .groupBy(col(dateCol))
-      .agg((sum(round(col("value") * 1e12).cast("long")) / 1e12).as("return"))
+      .agg((sum(pico) / 1e12).as("return"))
+  }
 
   /** Running product of (1 + return) over the date-ordered window —
     * cumprod semantics without a product aggregate: exp∘Σln over |1+r|,

@@ -75,10 +75,7 @@ object Sources {
     if (lookbackBars <= 0) return startDate
     val daysPerYear = 365.0
     val tradingDaysPerYear = 260.0 - 25.0
-    val buffer =
-      if (lookbackBars == 0) 0
-      else if (lookbackBars <= 5) 2
-      else 10
+    val buffer = if (lookbackBars <= 5) 2 else 10
     val back = math.ceil(lookbackBars * daysPerYear / tradingDaysPerYear).toLong + buffer
     java.time.LocalDate.parse(startDate).minusDays(back).toString
   }

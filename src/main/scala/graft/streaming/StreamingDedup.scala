@@ -107,31 +107,61 @@ object StreamingDedup {
       state.remove()
       return Iterator.empty
     }
-    var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
-    var hashes = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+    require(maxState > 0, "maxState must be positive")
+    // Fixed-capacity ring + hash membership: O(1) append/evict and O(1)
+    // re-delivery probe per arrival (the previous `ids :+ id` copied both
+    // state arrays per arrival — a burst of m docs into one hot bucket
+    // cost O(m·maxState) allocations). The O(size) popcount scan per
+    // arrival is inherent to within-bucket matching.
+    val prior = state.getOption
+    val priorIds = prior.map(_.ids).getOrElse(Array.empty[Long])
+    val priorHashes = prior.map(_.hashes).getOrElse(Array.empty[Long])
+    val cap = maxState
+    val ids = new Array[Long](cap)
+    val hashes = new Array[Long](cap)
+    val n0 = math.min(priorIds.length, cap) // newest cap entries survive
+    System.arraycopy(priorIds, priorIds.length - n0, ids, 0, n0)
+    System.arraycopy(priorHashes, priorHashes.length - n0, hashes, 0, n0)
+    var head = 0 // ring index of the oldest kept entry
+    var size = n0
+    val seen = new java.util.HashSet[java.lang.Long](cap * 2)
+    var i = 0
+    while (i < size) { seen.add(ids(i)); i += 1 }
     val out = scala.collection.mutable.ListBuffer.empty[NearMatch]
     rows.foreach { doc =>
-      // at-least-once sources re-deliver: a docId already in the ring
+      // at-least-once sources re-deliver: a docId still in the ring
       // already emitted its matches — skip entirely, so duplicates
       // neither re-emit nor evict real fingerprints from the ring
-      if (!ids.contains(doc.docId)) {
-        var i = 0
-        while (i < ids.length) {
-          val d = java.lang.Long.bitCount(hashes(i) ^ doc.simhash)
+      if (seen.add(doc.docId)) {
+        var j = 0
+        while (j < size) { // oldest→newest, matching the pre-ring order
+          val idx = (head + j) % cap
+          val d = java.lang.Long.bitCount(hashes(idx) ^ doc.simhash)
           if (d <= maxHamming)
             out += NearMatch(
-              math.min(ids(i), doc.docId), math.max(ids(i), doc.docId), d)
-          i += 1
+              math.min(ids(idx), doc.docId), math.max(ids(idx), doc.docId), d)
+          j += 1
         }
-        ids = ids :+ doc.docId
-        hashes = hashes :+ doc.simhash
-        if (ids.length > maxState) { // ring: forget oldest
-          ids = ids.drop(ids.length - maxState)
-          hashes = hashes.drop(hashes.length - maxState)
+        if (size < cap) {
+          val idx = (head + size) % cap
+          ids(idx) = doc.docId; hashes(idx) = doc.simhash; size += 1
+        } else { // full: overwrite the oldest in place
+          seen.remove(ids(head))
+          ids(head) = doc.docId; hashes(head) = doc.simhash
+          head = (head + 1) % cap
         }
       }
     }
-    state.update(BucketState(ids, hashes))
+    // materialize oldest→newest for the state encoder
+    val outIds = new Array[Long](size)
+    val outHashes = new Array[Long](size)
+    i = 0
+    while (i < size) {
+      val idx = (head + i) % cap
+      outIds(i) = ids(idx); outHashes(i) = hashes(idx)
+      i += 1
+    }
+    state.update(BucketState(outIds, outHashes))
     stateTtl.foreach(state.setTimeoutDuration)
     out.iterator
   }

@@ -183,6 +183,26 @@ class MlSpec extends SparkSpec {
     assert(series("Weight", "FI23456") == Seq(Some(0.5), Some(0.0), Some(1.0), Some(0.0)))
   }
 
+  test("LinearPredictor over an assembled feature array stays in compiled " +
+    "codegen (element_at on an inlined CreateArray breaks Janino)") {
+    // under the default FALLBACK mode a Janino failure silently degrades
+    // the whole stage to interpreted row processing — force CODEGEN_ONLY
+    // so a regression fails the suite instead of a benchmark
+    val df = Seq(("A", 1.0, 2.0), ("B", 3.0, 4.0)).toDF("sid", "f1", "f2")
+    val assembled = Features.assemble(df, Seq("f1", "f2"))
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = LinearPredictor(Seq(1.0, 10.0), intercept = 0.5)
+        .predict(assembled)
+        .select(sum($"prediction")).head
+      assert(out.getDouble(0) == (0.5 + 1.0 + 20.0) + (0.5 + 3.0 + 40.0))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("MLStrategy runs end-to-end through the backtest pipeline (§3.3)") {
     object MomentumML extends MLStrategy {
       val code = "ml-momentum"

@@ -80,6 +80,29 @@ class PerfSpec extends SparkSpec {
       Seq(0.5, -1.0, -1.0))
   }
 
+  test("a return beyond the exact pico-summation bound fails loudly " +
+    "instead of wrapping the long") {
+    val corrupted = Seq(
+      ("A", "2024-01-01", "Return", 0.06),
+      ("B", "2024-01-02", "Return", 1.0e7)) // > MaxAbsReturn: corrupted melt
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val e = intercept[Exception] {
+      Performance.dailyReturns(corrupted).collect()
+    }
+    // Spark wraps the raise_error in a SparkRuntimeException chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_ != null) &&
+      messages(e).filter(_ != null).mkString.contains("pico-summation bound"))
+    // a value AT the bound still sums exactly
+    val ok = Seq(("A", "2024-01-01", "Return", Performance.MaxAbsReturn))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    assert(Performance.dailyReturns(ok).head.getAs[Double]("return") ==
+      Performance.MaxAbsReturn)
+  }
+
   test("rollingSharpe: trailing window, null until full (min_periods)") {
     val m = Seq(
       ("A", "2024-01-01", "Return", 0.10), ("A", "2024-01-02", "Return", -0.05),
