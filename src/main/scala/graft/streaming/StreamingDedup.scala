@@ -108,59 +108,71 @@ object StreamingDedup {
       return Iterator.empty
     }
     require(maxState > 0, "maxState must be positive")
-    // Fixed-capacity ring + hash membership: O(1) append/evict and O(1)
-    // re-delivery probe per arrival (the previous `ids :+ id` copied both
-    // state arrays per arrival — a burst of m docs into one hot bucket
-    // cost O(m·maxState) allocations). The O(size) popcount scan per
-    // arrival is inherent to within-bucket matching.
+    // Zero-copy ring over (prior state ++ append buffer): the prior
+    // arrays are scanned in place (no copy-in, no hash set — the
+    // re-delivery membership probe FUSES into the popcount scan each
+    // arrival already pays), new arrivals land in a growable primitive
+    // buffer, and eviction advances a start offset over the logical
+    // concatenation. Per arrival: one O(live) scan + amortized-O(1)
+    // append. The previous `ids :+ id` copied both state arrays per
+    // arrival — a burst of m docs into one hot bucket cost
+    // O(m·maxState) allocations.
     val prior = state.getOption
-    val priorIds = prior.map(_.ids).getOrElse(Array.empty[Long])
-    val priorHashes = prior.map(_.hashes).getOrElse(Array.empty[Long])
+    val baseIds = prior.map(_.ids).getOrElse(Array.empty[Long])
+    val baseHashes = prior.map(_.hashes).getOrElse(Array.empty[Long])
+    val baseLen = baseIds.length
     val cap = maxState
-    val ids = new Array[Long](cap)
-    val hashes = new Array[Long](cap)
-    val n0 = math.min(priorIds.length, cap) // newest cap entries survive
-    System.arraycopy(priorIds, priorIds.length - n0, ids, 0, n0)
-    System.arraycopy(priorHashes, priorHashes.length - n0, hashes, 0, n0)
-    var head = 0 // ring index of the oldest kept entry
-    var size = n0
-    val seen = new java.util.HashSet[java.lang.Long](cap * 2)
-    var i = 0
-    while (i < size) { seen.add(ids(i)); i += 1 }
+    var bufIds = new Array[Long](8)
+    var bufHashes = new Array[Long](8)
+    var bufLen = 0
+    var start = math.max(0, baseLen - cap) // oldest live logical index
     val out = scala.collection.mutable.ListBuffer.empty[NearMatch]
+    val pending = new scala.collection.mutable.ArrayBuffer[NearMatch](4)
     rows.foreach { doc =>
+      pending.clear()
       // at-least-once sources re-deliver: a docId still in the ring
-      // already emitted its matches — skip entirely, so duplicates
-      // neither re-emit nor evict real fingerprints from the ring
-      if (seen.add(doc.docId)) {
-        var j = 0
-        while (j < size) { // oldest→newest, matching the pre-ring order
-          val idx = (head + j) % cap
-          val d = java.lang.Long.bitCount(hashes(idx) ^ doc.simhash)
+      // already emitted its matches — skip entirely (discard pending),
+      // so duplicates neither re-emit nor evict real fingerprints
+      var isMember = false
+      var li = start
+      val total = baseLen + bufLen
+      while (li < total && !isMember) { // oldest→newest
+        val inBase = li < baseLen
+        val id = if (inBase) baseIds(li) else bufIds(li - baseLen)
+        if (id == doc.docId) isMember = true
+        else {
+          val h = if (inBase) baseHashes(li) else bufHashes(li - baseLen)
+          val d = java.lang.Long.bitCount(h ^ doc.simhash)
           if (d <= maxHamming)
-            out += NearMatch(
-              math.min(ids(idx), doc.docId), math.max(ids(idx), doc.docId), d)
-          j += 1
+            pending += NearMatch(
+              math.min(id, doc.docId), math.max(id, doc.docId), d)
         }
-        if (size < cap) {
-          val idx = (head + size) % cap
-          ids(idx) = doc.docId; hashes(idx) = doc.simhash; size += 1
-        } else { // full: overwrite the oldest in place
-          seen.remove(ids(head))
-          ids(head) = doc.docId; hashes(head) = doc.simhash
-          head = (head + 1) % cap
+        li += 1
+      }
+      if (!isMember) {
+        out ++= pending
+        if (bufLen == bufIds.length) { // double the append buffer
+          bufIds = java.util.Arrays.copyOf(bufIds, bufLen * 2)
+          bufHashes = java.util.Arrays.copyOf(bufHashes, bufLen * 2)
         }
+        bufIds(bufLen) = doc.docId
+        bufHashes(bufLen) = doc.simhash
+        bufLen += 1
+        if (baseLen + bufLen - start > cap) start += 1 // forget oldest
       }
     }
-    // materialize oldest→newest for the state encoder
+    // materialize the live window oldest→newest for the state encoder
+    val size = baseLen + bufLen - start
     val outIds = new Array[Long](size)
     val outHashes = new Array[Long](size)
-    i = 0
-    while (i < size) {
-      val idx = (head + i) % cap
-      outIds(i) = ids(idx); outHashes(i) = hashes(idx)
-      i += 1
+    val fromBase = math.max(0, baseLen - start)
+    if (fromBase > 0) {
+      System.arraycopy(baseIds, start, outIds, 0, fromBase)
+      System.arraycopy(baseHashes, start, outHashes, 0, fromBase)
     }
+    val bufFrom = math.max(0, start - baseLen)
+    System.arraycopy(bufIds, bufFrom, outIds, fromBase, bufLen - bufFrom)
+    System.arraycopy(bufHashes, bufFrom, outHashes, fromBase, bufLen - bufFrom)
     state.update(BucketState(outIds, outHashes))
     stateTtl.foreach(state.setTimeoutDuration)
     out.iterator

@@ -15,16 +15,23 @@ import graft.dedup.Dedup
   */
 object DedupBench {
 
+  /** Group-seed vocabulary modulus. Must exceed any doc count benched:
+    * two group seeds congruent mod the vocabulary share ALL 48 core
+    * words, so a modulus below n (the old 99991 at 1 M docs) welds
+    * "unique" docs into accidental clusters and the sparse corpus stops
+    * measuring the verify-stage prune. */
+  private val Vocab = 2147483629L // prime
+
   /** 50-word docs; doc groups of 10 share the first 48 words (derived
-    * from the group seed over a 99991-word vocabulary, so distinct groups
-    * stay distinct), the last 2 words are per-doc perturbations. Every
-    * group is a true near-duplicate cluster of exactly 10. */
+    * from the group seed over a [[Vocab]]-word vocabulary, so distinct
+    * groups stay distinct), the last 2 words are per-doc perturbations.
+    * Every group is a true near-duplicate cluster of exactly 10. */
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     val id = col("id")
     val group = id - pmod(id, lit(10L))
     val words =
       (0 until 48).map(i =>
-        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(99991L)))) ++
+        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(Vocab)))) ++
         (48 until 50).map(i => concat(lit("w"), pmod(id * 17 + lit(i * 13), lit(997))))
     spark.range(n).select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
@@ -37,7 +44,7 @@ object DedupBench {
     val group = when(pmod(id, lit(100L)) < 10, id - pmod(id, lit(10L))).otherwise(id)
     val words =
       (0 until 48).map(i =>
-        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(99991L)))) ++
+        concat(lit("w"), pmod(group * 4099 + lit(i * i * 7 + i), lit(Vocab)))) ++
         (48 until 50).map(i => concat(lit("w"), pmod(id * 17 + lit(i * 13), lit(997))))
     spark.range(n).select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
   }

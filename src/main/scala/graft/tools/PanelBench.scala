@@ -35,7 +35,10 @@ object PanelBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val shapes = Seq((1000, 1000), (10000, 2500))
+    // args: pairs of sids days (e.g. "10000 10000" = 100 M bars)
+    val shapes =
+      if (args.nonEmpty) args.toSeq.map(_.toInt).grouped(2).map(p => (p(0), p(1))).toSeq
+      else Seq((1000, 1000), (10000, 2500))
     shapes.foreach { case (sids, days) =>
       val p = panel(spark, sids, days)
       // warm the generation path

@@ -1,0 +1,99 @@
+package graft.tools
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.{BandedDoc, BucketState, NearMatch}
+
+/** Micro-bench for the per-event hot path of streaming near-dup: a burst
+  * of m arrivals into ONE hot bucket through `matchWithinBucket`
+  * (ring-buffer state), vs the pre-ring reference implementation
+  * (`ids :+ id` array copies) inlined here for comparison. No Spark
+  * session — the state transition is a pure function of
+  * (rows, prior state).
+  *
+  * Usage: runMain graft.tools.StreamStateBench [arrivals maxState]
+  */
+object StreamStateBench {
+
+  /** Minimal driver-side GroupState for benching the transition. */
+  private final class Mem(var v: Option[BucketState])
+      extends GroupState[BucketState] {
+    def exists: Boolean = v.isDefined
+    def get: BucketState = v.get
+    def getOption: Option[BucketState] = v
+    def update(s: BucketState): Unit = v = Some(s)
+    def remove(): Unit = v = None
+    def hasTimedOut: Boolean = false
+    def setTimeoutDuration(d: Long): Unit = ()
+    def setTimeoutDuration(d: String): Unit = ()
+    def setTimeoutTimestamp(t: Long): Unit = ()
+    def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+    def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+    def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+    def getCurrentWatermarkMs(): Long = 0L
+    def getCurrentProcessingTimeMs(): Long = 0L
+  }
+
+  /** The pre-ring transition (round-3 code): full array copy per arrival. */
+  private def legacy(maxHamming: Int, maxState: Int)(
+      rows: Iterator[BandedDoc], state: GroupState[BucketState]): Iterator[NearMatch] = {
+    var ids = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+    var hashes = state.getOption.map(_.hashes).getOrElse(Array.empty[Long])
+    val out = ListBuffer.empty[NearMatch]
+    rows.foreach { doc =>
+      if (!ids.contains(doc.docId)) {
+        var i = 0
+        while (i < ids.length) {
+          val d = java.lang.Long.bitCount(hashes(i) ^ doc.simhash)
+          if (d <= maxHamming)
+            out += NearMatch(
+              math.min(ids(i), doc.docId), math.max(ids(i), doc.docId), d)
+          i += 1
+        }
+        ids = ids :+ doc.docId
+        hashes = hashes :+ doc.simhash
+        if (ids.length > maxState) {
+          ids = ids.drop(ids.length - maxState)
+          hashes = hashes.drop(hashes.length - maxState)
+        }
+      }
+    }
+    state.update(BucketState(ids, hashes))
+    out.iterator
+  }
+
+  def main(args: Array[String]): Unit = {
+    val arrivals = if (args.length > 0) args(0).toInt else 100000
+    val maxState = if (args.length > 1) args(1).toInt else 1000
+    // far-apart fingerprints: exercise the scan, emit few matches
+    def docs: Iterator[BandedDoc] =
+      Iterator.range(0, arrivals).map(i => BandedDoc("b", i.toLong, i.toLong * 0x9E3779B97F4A7C15L))
+
+    def run(name: String, mode: String)(
+        f: (Iterator[BandedDoc], GroupState[BucketState]) => Iterator[NearMatch]): Unit = {
+      // warm-up round then measured round. "steady": one arrival per
+      // invocation (state round-trips through arrays each trigger);
+      // "burst": all arrivals in ONE invocation (hot-bucket micro-batch).
+      (1 to 2).foreach { round =>
+        val st = new Mem(None)
+        var matches = 0L
+        val t0 = System.nanoTime()
+        if (mode == "steady") docs.foreach(d => matches += f(Iterator.single(d), st).size)
+        else matches = f(docs, st).size.toLong
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (round == 2)
+          println(f"[streamstate] $name%-26s $mode%-6s $arrivals arrivals, maxState=$maxState: " +
+            f"$secs%6.2f s (${arrivals / secs / 1e3}%8.1f k-arrivals/s, $matches matches)")
+      }
+    }
+
+    for (mode <- Seq("steady", "burst")) {
+      run("fused-scan ring (current)", mode)((rows, st) =>
+        StreamingDedup.matchWithinBucket(maxHamming = 3, maxState)("b", rows, st))
+      run("array append (round 3)", mode)(legacy(maxHamming = 3, maxState))
+    }
+  }
+}
