@@ -169,6 +169,25 @@ object Oracles {
         |  AND sid NOT IN (SELECT CAST(s_suppkey AS VARCHAR) FROM supplier
         |                  WHERE s_nationkey = 2)""".stripMargin,
 
+    // W7: the widened-start literal 1995-11-20 IS the assertion — it is
+    // Sources.widenedStart("1996-01-01", 20) evaluated by hand
+    // (ceil(20·365/235) + 10 = 42 calendar days back)
+    "w7_lookback_widen" ->
+      """WITH panel AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT sid, date,
+        |    CASE WHEN count(close) OVER win = 20
+        |         THEN CAST(sum(CAST(round(close * 100) AS BIGINT)) OVER win AS BIGINT)
+        |    END AS roll20_cents
+        |  FROM panel WHERE date >= DATE '1995-11-20'
+        |  WINDOW win AS (PARTITION BY sid ORDER BY date
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT sid, date, roll20_cents FROM w
+        |WHERE date >= DATE '1996-01-01'""".stripMargin,
+
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -381,11 +400,15 @@ object Oracles {
          |        THEN 2.5 / 1000000 ELSE broker END) + turnover * 0.0002 AS commission
          |FROM br""".stripMargin,
 
+    // literals summed as DOUBLEs: DuckDB would otherwise add them as
+    // exact DECIMALs (2.04), one ulp off the engine's double sum — at
+    // sf0.1 one row of 533k straddles the 9-decimal compare boundary
     "d10_futures_commission" ->
       s"""WITH $turnoverCte
          |SELECT sid, date,
-         |  (CASE WHEN close <> 0 THEN (0.85 + 1.18 + 0.01) / close END) * turnover
-         |    AS commission
+         |  (CASE WHEN close <> 0
+         |        THEN (0.85::DOUBLE + 1.18::DOUBLE + 0.01::DOUBLE) / close END)
+         |    * turnover AS commission
          |FROM trn""".stripMargin,
 
     "d11_spotfx" ->

@@ -144,6 +144,23 @@ object Queries {
         universeMembership = Some(membership))
     }),
 
+    // ---- W7: lookback widening + P8 truncation, end to end. The scan
+    // start is widened so the FIRST requested date already has a full
+    // 20-bar rolling window; the oracle replicates the widening heuristic
+    // as a literal date (1996-01-01 minus ceil(20·365/235)+10 = 42 days =
+    // 1995-11-20), so a drift in widenedStart's constants hash-fails ----
+    "w7_lookback_widen" -> ((s, dir) => {
+      import graft.sources.Sources
+      implicit val k: Keys = liKeys
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_w7_panel"
+      supplierPanel(s, dir).write.mode("overwrite").parquet(tmp)
+      Sources.prices(s, tmp,
+        Sources.PriceQuery(startDate = Some("1996-01-01"), lookbackBars = 20))
+        .withColumn("roll20_cents", Panel.rollingSum(cents(col("close")), 20))
+        .where(col("date") >= "1996-01-01") // truncate back to the requested start
+        .select(col("sid"), col("date"), col("roll20_cents"))
+    }),
+
     // ---- A5/P4: hash aggregate (TPC-H Q1 shape) ----
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")

@@ -178,6 +178,53 @@ object TextOracles {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM verify WHERE jaccard >= 0.5""".stripMargin,
 
+    // connected components via transitive closure (WITH RECURSIVE): the
+    // undirected closure of every verified pair always re-reaches the
+    // start node (a→b→a), so min(b) over reach(a, ·) IS the component
+    // minimum — the same label the engine's min-propagation converges to
+    "dd7_dup_clusters" ->
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster
+         |FROM reach GROUP BY a""".stripMargin,
+
+    "dd8_survivors" ->
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT a FROM reach GROUP BY a HAVING min(b) <> a)""".stripMargin,
+
     "dd6_embedding_neardup" -> {
       val cos = cosine("a.embedding", "b.embedding")
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cosine

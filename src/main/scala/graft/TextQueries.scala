@@ -73,6 +73,20 @@ object TextQueries {
       Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    // connected components over the verified dd4 pairs → canonical
+    // (minimum-id) cluster labels; survivors = docs minus non-canonicals
+    "dd7_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5))
+        .select(col("id").as("doc_id"), col("cluster"))),
+
+    "dd8_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, threshold = 0.5))
+      Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
+    }),
+
     // simhash near-pairs via hamming-LSH banding (no all-pairs join).
     // Pinned to the 32-bit/4-band demo configuration the DuckDB bit-ops
     // oracle replicates; the library default is 64-bit/8-band.

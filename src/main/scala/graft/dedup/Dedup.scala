@@ -224,6 +224,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate clustering: connected components over verified near-dup
+    * pairs, labeling every clustered doc with the MINIMUM id of its
+    * component (the canonical survivor). Returns (id, cluster).
+    *
+    * Iterative min-label propagation: each round, a node's label becomes
+    * the min of its own and its neighbors' labels — one equi-join shuffle
+    * + partial-aggregated min per round, converging in O(component
+    * diameter) rounds. Near-dup components are band-bucket cliques and
+    * their unions, so the diameter is small (2-4 rounds in practice);
+    * `localCheckpoint` truncates the growing lineage each round, and the
+    * per-round convergence probe is a bounded driver scalar (one long).
+    * A component whose diameter exceeds `maxIters` fails loudly rather
+    * than returning partly-propagated labels (for adversarial chain
+    * topologies raise `maxIters` — rounds are cheap — or pre-split with
+    * the alternating large-star/small-star variant of Kiveris et al.,
+    * which this graph shape does not need). */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // both directions of every pair appear, so src alone covers all nodes
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__dl")), "dst")
+        .groupBy("src")
+        .agg(min("__dl").as("__nbrMin"))
+        .withColumnRenamed("src", "id")
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("cluster"), coalesce(col("__nbrMin"), col("cluster"))).as("cluster"),
+          (coalesce(col("__nbrMin"), col("cluster")) < col("cluster"))
+            .cast("long").as("__chg"))
+        .localCheckpoint(true)
+      changed = updated.agg(coalesce(sum("__chg"), lit(0L))).head.getLong(0)
+      labels = updated.drop("__chg")
+      iter += 1
+    }
+    if (changed > 0)
+      throw new graft.GraftError(
+        s"duplicate clustering did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise it")
+    labels
+  }
+
+  /** Survivor selection: drop every doc labeled with a cluster minimum
+    * other than itself — keeps one canonical doc per near-dup component
+    * plus all unclustered docs. The non-survivor set is an anti-join
+    * against the (tiny relative to corpus) clustered-node labels. */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.where(col("id") =!= col("cluster")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Per-word hash for simhash voting: ≤32 bits come from the first 8
     * md5 hex chars (the historical 32-bit fingerprint, kept stable for
     * the dd5 DuckDB oracle); wider fingerprints splice two 32-bit conv

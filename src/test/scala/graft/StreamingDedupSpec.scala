@@ -100,6 +100,64 @@ class StreamingDedupSpec extends SparkSpec {
     assert(state.get.ids.toSeq == Seq(1L, 2L)) // ring holds each id once
   }
 
+  test("randomized equivalence: the fused-scan ring transition matches a " +
+    "naive reference model across bursts, re-deliveries, and evictions") {
+    // reference model: per arrival, scan kept fingerprints oldest→newest,
+    // emit matches unless the docId is already kept, append, trim to the
+    // newest maxState — the semantics the round-3 array-append implemented
+    def reference(maxHamming: Int, maxState: Int, arrivals: Seq[StreamingDedup.BandedDoc],
+        prior: Option[StreamingDedup.BucketState])
+        : (List[StreamingDedup.NearMatch], Seq[Long], Seq[Long]) = {
+      var ids = prior.map(_.ids.toSeq).getOrElse(Seq.empty)
+      var hashes = prior.map(_.hashes.toSeq).getOrElse(Seq.empty)
+      val out = List.newBuilder[StreamingDedup.NearMatch]
+      arrivals.foreach { doc =>
+        if (!ids.contains(doc.docId)) {
+          ids.zip(hashes).foreach { case (id, h) =>
+            val d = java.lang.Long.bitCount(h ^ doc.simhash)
+            if (d <= maxHamming)
+              out += StreamingDedup.NearMatch(
+                math.min(id, doc.docId), math.max(id, doc.docId), d)
+          }
+          ids :+= doc.docId; hashes :+= doc.simhash
+          if (ids.length > maxState) {
+            ids = ids.takeRight(maxState); hashes = hashes.takeRight(maxState)
+          }
+        }
+      }
+      (out.result(), ids, hashes)
+    }
+    def freshState(prior: Option[StreamingDedup.BucketState]) =
+      TestGroupState.create[StreamingDedup.BucketState](
+        prior.map(org.apache.spark.api.java.Optional.of[StreamingDedup.BucketState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty()),
+        GroupStateTimeout.NoTimeout, 0L,
+        org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 200).foreach { trial =>
+      val maxState = 1 + rnd.nextInt(8)
+      val maxHamming = rnd.nextInt(4)
+      // small id/hash spaces force collisions, re-deliveries, and matches
+      val nBatches = 1 + rnd.nextInt(4)
+      var state: Option[StreamingDedup.BucketState] = None
+      var refState: Option[StreamingDedup.BucketState] = None
+      (1 to nBatches).foreach { _ =>
+        val batch = Seq.fill(rnd.nextInt(12))(StreamingDedup.BandedDoc(
+          "b", rnd.nextInt(10).toLong, rnd.nextInt(16).toLong))
+        val st = freshState(state)
+        val got = StreamingDedup.matchWithinBucket(maxHamming, maxState)(
+          "b", batch.iterator, st).toList
+        val (want, wantIds, wantHashes) = reference(maxHamming, maxState, batch, refState)
+        assert(got == want, s"trial $trial maxState=$maxState ham=$maxHamming batch=$batch")
+        assert(st.get.ids.toSeq == wantIds && st.get.hashes.toSeq == wantHashes,
+          s"trial $trial state mismatch")
+        state = Some(st.get)
+        refState = Some(StreamingDedup.BucketState(wantIds.toArray, wantHashes.toArray))
+      }
+    }
+  }
+
   test("stateTtl: a timed-out bucket drops its state and emits nothing; " +
     "live invocations arm the timeout") {
     val timedOut = TestGroupState.create[StreamingDedup.BucketState](
