@@ -148,6 +148,24 @@ object TextOracles {
         |                          '\s+'))), ' ')) AS canonical_fp
         |FROM documents""".stripMargin,
 
+    "tx6_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM w),
+        |c AS (SELECT doc_id, w, n,
+        |  CASE WHEN n = 0 THEN 0
+        |       ELSE CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT) + 1 END AS k
+        |  FROM n),
+        |e AS (SELECT doc_id, w, n, unnest(range(0, k)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(least(64, n - i*48) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(w[(i*48 + 1):(i*48 + least(64, n - i*48))], ' '))
+        |    AS chunk_md5
+        |FROM e""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT md5(lower(trim(text))) AS content_key,
         |  min(doc_id) AS canonical_id, count(*) AS dup_count

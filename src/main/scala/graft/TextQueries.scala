@@ -59,6 +59,16 @@ object TextQueries {
         TextAnalysis.canonicalFingerprint(col("text")).as("canonical_fp"))
     }),
 
+    // sequence chunking: fixed 64-token windows, stride 48 (16-token
+    // overlap) — the standard context-window prep; empty docs drop out
+    "tx6_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunks(col("text"), chunkSize = 64, stride = 48))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
+          md5(col("c.chunk_text")).as("chunk_md5"))),
+
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"))),

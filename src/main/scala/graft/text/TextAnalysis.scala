@@ -106,6 +106,38 @@ object TextAnalysis {
     round(score, 6)
   }
 
+  /** Sequence chunking for LLM preprocessing: split a document into
+    * fixed token windows of `chunkSize` whitespace tokens advancing by
+    * `stride` (overlap = chunkSize − stride), the standard
+    * context-window preparation for training/RAG ingestion. Returns an
+    * array of (chunk_id, n_tokens, chunk_text) structs to explode —
+    * pure codegen column algebra on the scan (split + sequence +
+    * transform + slice), shuffle-free, so chunking 100 TB is exactly a
+    * pass over the input splits. The final window may be shorter than
+    * `chunkSize`; empty/whitespace-only docs chunk to an empty array
+    * (dropped by the explode, like the reference shingler). */
+  def chunks(text: Column, chunkSize: Int = 64, stride: Int = 48): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val words = split(trim(text), "\\s+")
+    val n = when(length(trim(text)) === 0, 0).otherwise(size(words))
+    // chunk count: 1 + ceil(max(n - chunkSize, 0) / stride); windows
+    // starting at 1, 1+stride, … cover every token, last may be short
+    val k = when(n === 0, 0).otherwise(
+      ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int") + 1)
+    when(k > 0,
+      transform(
+        sequence(lit(0), k - 1),
+        i => {
+          val tokens = least(lit(chunkSize), n - i * stride)
+          struct(
+            i.as("chunk_id"),
+            tokens.cast("long").as("n_tokens"),
+            concat_ws(" ", slice(words, i * stride + 1, tokens)).as("chunk_text"))
+        }))
+      .otherwise(array().cast("array<struct<chunk_id:int,n_tokens:bigint,chunk_text:string>>"))
+  }
+
   /** Exact-content fingerprint: md5 of the raw text. */
   def contentHash(text: Column): Column = md5(text)
 

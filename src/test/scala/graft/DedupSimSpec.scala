@@ -253,4 +253,31 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
   }
+
+  test("chunks: stride windows cover every token with the configured " +
+    "overlap; short/empty docs behave (tx6)") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Seq((1L, text10), (2L, "a b c"), (3L, ""), (4L, "   "))
+      .toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(TextAnalysis.chunks($"text", chunkSize = 4, stride = 3)).as("c"))
+      .select($"doc_id", $"c.chunk_id", $"c.n_tokens", $"c.chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: 10 tokens, size 4 stride 3 → k = ceil((10−4)/3)+1 = 3
+    // chunks at starts 0,3,6 — each overlaps the previous by 1 token and
+    // the last window reaching the end stops the sequence (no redundant
+    // trailing chunk)
+    assert(out((1L, 0)) == (4L, "t1 t2 t3 t4"))
+    assert(out((1L, 1)) == (4L, "t4 t5 t6 t7"))
+    assert(out((1L, 2)) == (4L, "t7 t8 t9 t10"))
+    assert(!out.contains((1L, 3)))
+    // doc 2 fits one short chunk; empty/blank docs chunk to nothing
+    assert(out((2L, 0)) == (3L, "a b c"))
+    assert(!out.keySet.exists(_._1 >= 3L))
+    // every token of doc 1 appears in ≥1 chunk (coverage)
+    val covered = out.collect { case ((1L, _), (_, t)) => t.split(" ") }.flatten.toSet
+    assert((1 to 10).forall(i => covered.contains(s"t$i")))
+  }
 }
