@@ -148,6 +148,30 @@ object TextOracles {
         |                          '\s+'))), ' ')) AS canonical_fp
         |FROM documents""".stripMargin,
 
+    // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
+    // engine-independent, so membership reproduces bit-for-bit
+    "sp1_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'corpus-v1', doc_id)), 1, 8))
+        |         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source FROM h
+        |WHERE u < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+        |           ELSE 0.1 END)""".stripMargin,
+
+    "sp2_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'split', doc_id)), 1, 8))
+        |         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
     "tx6_chunks" ->
       """WITH w AS (
         |  SELECT doc_id,

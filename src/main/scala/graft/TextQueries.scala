@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{Sampling, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries: text analysis, dedup,
   * similarity search, multimodal plumbing — over the `documents` and
@@ -58,6 +58,21 @@ object TextQueries {
         TextAnalysis.contentHash(col("text")).as("content_md5"),
         TextAnalysis.canonicalFingerprint(col("text")).as("canonical_fp"))
     }),
+
+    // deterministic stratified sampling: keep all of src0, a quarter of
+    // src1, a tenth of everything else — membership is a stable id-hash
+    // (reproducible across runs/engines/cluster sizes, no RNG)
+    "sp1_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.25),
+        defaultRate = 0.1, seed = "corpus-v1")
+        .select(col("doc_id"), col("source"))),
+
+    // deterministic 80/10/10 train/val/test split — full membership map
+    "sp2_split" -> ((s, dir) =>
+      Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))),
 
     // sequence chunking: fixed 64-token windows, stride 48 (16-token
     // overlap) — the standard context-window prep; empty docs drop out

@@ -254,6 +254,37 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
   }
 
+  test("sampling: hash samples are deterministic, nested across rates, " +
+    "and splits partition the corpus on stable boundaries") {
+    import graft.text.Sampling
+    val ids = spark.range(2000).toDF("doc_id")
+    val r10 = Sampling.sampleByHash(ids, "doc_id", 0.10, seed = "s")
+      .collect().map(_.getLong(0)).toSet
+    val r30 = Sampling.sampleByHash(ids, "doc_id", 0.30, seed = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(r10.subsetOf(r30)) // nested: growing the rate keeps every row
+    assert(r10 == Sampling.sampleByHash(ids, "doc_id", 0.10, seed = "s")
+      .collect().map(_.getLong(0)).toSet) // deterministic re-run
+    // ~binomial around the rate (loose 5-sigma bounds)
+    assert(math.abs(r30.size - 600) < 5 * math.sqrt(2000 * 0.3 * 0.7))
+
+    val split = Sampling.splitByHash(ids, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 2000) // exhaustive: every row gets exactly one split
+    assert(split.values.toSet == Set("train", "val", "test"))
+    // split fractions near the decimal bounds (0.8 / 0.9), loose 5-sigma
+    val nTrain = split.values.count(_ == "train")
+    val nVal = split.values.count(_ == "val")
+    assert(math.abs(nTrain - 1600) < 5 * math.sqrt(2000 * 0.8 * 0.2))
+    assert(math.abs(nVal - 200) < 5 * math.sqrt(2000 * 0.1 * 0.9))
+
+    intercept[graft.ParameterError](
+      Sampling.sampleByHash(ids, "doc_id", 1.2))
+    intercept[graft.ParameterError](
+      Sampling.splitByHash(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("chunks: stride windows cover every token with the configured " +
     "overlap; short/empty docs behave (tx6)") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
