@@ -267,6 +267,51 @@ object TextOracles {
          |WHERE doc_id NOT IN (
          |  SELECT a FROM reach GROUP BY a HAVING min(b) <> a)""".stripMargin,
 
+    // cross-corpus (decontamination) variant: the band join is BETWEEN
+    // the corpus half (doc_id >= 50) and the eval half (< 50)
+    "dd9_decontamination" -> {
+      val unions = (0 until 4).map { b =>
+        s"""SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id
+           |  FROM sig a JOIN sig b ON a.band_$b = b.band_$b
+           |  WHERE a.doc_id >= 50 AND b.doc_id < 50""".stripMargin
+      }
+      s"""WITH $sigCte,
+         |cand AS (
+         |  ${unions.mkString("\n  UNION\n  ")}),
+         |verify AS (
+         |  SELECT c.corpus_id, c.ref_id,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM cand c
+         |  JOIN sig a ON c.corpus_id = a.doc_id
+         |  JOIN sig b ON c.ref_id = b.doc_id)
+         |SELECT corpus_id, ref_id, round(jaccard, 6) AS jaccard
+         |FROM verify WHERE jaccard >= 0.5""".stripMargin
+    },
+
+    "dd10_decontaminated" -> {
+      val unions = (0 until 4).map { b =>
+        s"""SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id
+           |  FROM sig a JOIN sig b ON a.band_$b = b.band_$b
+           |  WHERE a.doc_id >= 50 AND b.doc_id < 50""".stripMargin
+      }
+      s"""WITH $sigCte,
+         |cand AS (
+         |  ${unions.mkString("\n  UNION\n  ")}),
+         |verify AS (
+         |  SELECT c.corpus_id,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM cand c
+         |  JOIN sig a ON c.corpus_id = a.doc_id
+         |  JOIN sig b ON c.ref_id = b.doc_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (
+         |  SELECT corpus_id FROM verify WHERE jaccard >= 0.5)""".stripMargin
+    },
+
     "dd6_embedding_neardup" -> {
       val cos = cosine("a.embedding", "b.embedding")
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cosine

@@ -112,6 +112,24 @@ object TextQueries {
       Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
     }),
 
+    // cross-corpus decontamination: docs 50+ are the "training corpus",
+    // docs <50 the "eval set"; matches then the decontaminated corpus
+    "dd9_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossNearDuplicates(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    "dd10_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") >= 50)
+      val matches = Dedup.crossNearDuplicates(
+        corpus, docs.where(col("doc_id") < 50), threshold = 0.5)
+      Dedup.decontaminate(corpus, matches).select(col("doc_id"))
+    }),
+
     // simhash near-pairs via hamming-LSH banding (no all-pairs join).
     // Pinned to the 32-bit/4-band demo configuration the DuckDB bit-ops
     // oracle replicates; the library default is 64-bit/8-band.

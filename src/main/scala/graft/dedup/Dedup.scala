@@ -224,6 +224,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicate matches — the decontamination primitive:
+    * which corpus docs near-match any doc of a reference set (an eval
+    * benchmark, a held-out test split)? Same LSH shape as
+    * [[nearDuplicates]] but the band bucket join is BETWEEN two corpora,
+    * so candidate cost ∝ true cross-duplicate mass, never |corpus|²;
+    * the verify stage shingles only candidate docs on both sides.
+    * `broadcastRef = true` (default) hints the reference side into a
+    * broadcast join — eval sets are dimension-sized next to a training
+    * corpus; disable for corpus-vs-corpus dedup of comparable sizes.
+    * Returns (corpus_id, ref_id, jaccard). */
+  def crossNearDuplicates(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      broadcastRef: Boolean = true): DataFrame = {
+    val bandCols = (0 until bands).map(b => col(s"band_$b"))
+    def melted(docs: DataFrame, as: String) =
+      withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .select(col(idCol).as(as), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
+    val rm = melted(ref, "ref_id")
+    val cands = melted(corpus, "corpus_id")
+      .join(if (broadcastRef) broadcast(rm) else rm, Seq("__band", "__bk"))
+      .select("corpus_id", "ref_id")
+      .distinct()
+    def prunedShingles(docs: DataFrame, as: String, ids: DataFrame) =
+      shingleRows(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
+        idCol, textCol, shingleSize)
+        .groupBy(col(idCol))
+        .agg(collect_list(col("__s")).as("__sh"))
+        .select(col(idCol).as(as), col("__sh"))
+    val ca = prunedShingles(corpus, "corpus_id", cands.select("corpus_id").distinct())
+    val rb = prunedShingles(ref, "ref_id", cands.select("ref_id").distinct())
+      .withColumnRenamed("__sh", "__shr")
+    cands
+      .join(ca, "corpus_id")
+      .join(if (broadcastRef) broadcast(rb) else rb, "ref_id")
+      .withColumn("jaccard", jaccard(col("__sh"), col("__shr")))
+      .where(col("jaccard") >= threshold)
+      .select("corpus_id", "ref_id", "jaccard")
+  }
+
+  /** Decontamination projection: corpus minus everything near-matching
+    * the reference set (anti-join on the match ids). */
+  def decontaminate(
+      corpus: DataFrame,
+      matches: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    corpus.join(
+      matches.select(col("corpus_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Duplicate clustering: connected components over verified near-dup
     * pairs, labeling every clustered doc with the MINIMUM id of its
     * component (the canonical survivor). Returns (id, cluster).

@@ -254,6 +254,30 @@ class DedupSimSpec extends SparkSpec {
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 3)
   }
 
+  test("crossNearDuplicates finds corpus docs matching the eval set and " +
+    "decontaminate drops exactly those (both broadcast modes)") {
+    val eval = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated benchmark question about databases and queries"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (101L, "training document with entirely different content about spark engines"),
+      (102L, "completely unrelated benchmark question about databases and queries"))
+      .toDF("doc_id", "text")
+    for (bcast <- Seq(true, false)) {
+      val m = graft.dedup.Dedup.crossNearDuplicates(
+        corpus, eval, threshold = 0.5, broadcastRef = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m == Set((100L, 1L), (102L, 2L)), s"broadcastRef=$bcast")
+      val kept = graft.dedup.Dedup.decontaminate(
+        corpus, graft.dedup.Dedup.crossNearDuplicates(
+          corpus, eval, threshold = 0.5, broadcastRef = bcast))
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(101L), s"broadcastRef=$bcast")
+    }
+  }
+
   test("sampling: hash samples are deterministic, nested across rates, " +
     "and splits partition the corpus on stable boundaries") {
     import graft.text.Sampling
