@@ -148,6 +148,12 @@ object TextOracles {
         |                          '\s+'))), ' ')) AS canonical_fp
         |FROM documents""".stripMargin,
 
+    "tx7_top_ngrams" ->
+      s"""WITH $shinglesCte,
+         |flat AS (SELECT unnest(sh) AS ngram FROM sh)
+         |SELECT ngram, count(*) AS n FROM flat
+         |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+
     // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
     // engine-independent, so membership reproduces bit-for-bit
     "sp1_stratified_sample" ->

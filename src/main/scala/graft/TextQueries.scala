@@ -84,6 +84,17 @@ object TextQueries {
         .select(col("doc_id"), col("c.chunk_id"), col("c.n_tokens"),
           md5(col("c.chunk_text")).as("chunk_md5"))),
 
+    // corpus statistics: the 20 most frequent word-trigrams (count desc,
+    // n-gram asc tiebreak) — one count agg over the shingle stream plus
+    // a top-k that Spark 4 executes rank-limited (WindowGroupLimit), so
+    // only k rows per partition survive to the final sort
+    "tx7_top_ngrams" -> ((s, dir) =>
+      Dedup.shingleRows(t(s, dir, "documents"))
+        .groupBy(col("__s").as("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)),
+
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"))),
