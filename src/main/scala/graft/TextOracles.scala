@@ -154,6 +154,92 @@ object TextOracles {
          |SELECT ngram, count(*) AS n FROM flat
          |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
 
+    // Gopher filter parity: fractions rounded to 6 BEFORE the keep
+    // comparison, exactly as the Spark side computes them
+    "tx8_repetition" ->
+      s"""WITH $wordsCte,
+         |grams AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g2,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_transform(range(1, len(w) - 1),
+         |                             i -> array_to_string(w[i:i+2], ' '))
+         |         ELSE [] END AS g3
+         |  FROM words),
+         |ln AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+         |         THEN length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE /
+         |              len(regexp_split_to_array(trim(text), '\\s+'))
+         |         ELSE 0.0 END AS mwl,
+         |    ${occ("text", "#")} + ${occ("text", "...")} + ${occ("text", "…")} AS syms
+         |  FROM documents),
+         |fr AS (
+         |  SELECT b.doc_id, b.tok, b.mwl,
+         |    CASE WHEN len(g.g2) > 0
+         |         THEN round(list_max(list_transform(g.g2,
+         |                x -> len(list_filter(g.g2, y -> y = x))))::DOUBLE / len(g.g2), 6)
+         |         ELSE 0.0 END AS top2,
+         |    CASE WHEN len(g.g3) > 0
+         |         THEN round(1.0 - len(list_distinct(g.g3))::DOUBLE / len(g.g3), 6)
+         |         ELSE 0.0 END AS dup3,
+         |    CASE WHEN len(l.ls) > 0
+         |         THEN round(1.0 - len(list_distinct(l.ls))::DOUBLE / len(l.ls), 6)
+         |         ELSE 0.0 END AS dupline,
+         |    CASE WHEN len(l.ls) > 0
+         |         THEN round(len(list_filter(l.ls,
+         |                x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))::DOUBLE
+         |              / len(l.ls), 6)
+         |         ELSE 0.0 END AS bullet,
+         |    CASE WHEN len(l.ls) > 0
+         |         THEN round(len(list_filter(l.ls,
+         |                x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))::DOUBLE
+         |              / len(l.ls), 6)
+         |         ELSE 0.0 END AS ellip,
+         |    CASE WHEN b.tok > 0 THEN round(b.syms::DOUBLE / b.tok, 6)
+         |         ELSE 0.0 END AS sym
+         |  FROM base b JOIN grams g ON b.doc_id = g.doc_id
+         |              JOIN ln l ON b.doc_id = l.doc_id)
+         |SELECT doc_id, top2 AS top2gram_frac, dup3 AS dup3gram_frac,
+         |  dupline AS dup_line_frac, sym AS symbol_ratio,
+         |  CAST(tok >= 20 AND tok <= 100000 AND mwl >= 3 AND mwl <= 10
+         |       AND sym < 0.1 AND dupline < 0.30 AND bullet < 0.90
+         |       AND ellip < 0.30 AND top2 < 0.20 AND dup3 < 0.60 AS INT) AS keep
+         |FROM fr""".stripMargin,
+
+    "tx9_pii" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or 415-555-' ||
+         |    lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.0.' ||
+         |    (doc_id % 256)::VARCHAR || '.1 ssn 123-45-6789' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$email'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(t, '$ipv4'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(t, '$phone'))::BIGINT AS n_phone,
+         |  len(regexp_extract_all(t, '$ssn'))::BIGINT AS n_ssn,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ipv4', '<IP>', 'g'),
+         |      '$ssn', '<SSN>', 'g'),
+         |      '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p""".stripMargin
+    },
+
     // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
     // engine-independent, so membership reproduces bit-for-bit
     "sp1_stratified_sample" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{Sampling, TextAnalysis}
+import graft.text.{Pii, Sampling, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries: text analysis, dedup,
   * similarity search, multimodal plumbing — over the `documents` and
@@ -94,6 +94,39 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram"))
         .limit(20)),
+
+    // Gopher-style repetition/boilerplate filter (Rae et al. 2021 §A1.1):
+    // per-doc n-gram repetition fractions + line-level boilerplate
+    // signals + the composite keep verdict — all codegen'd column
+    // algebra on the scan, shuffle-free
+    "tx8_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.topNgramFraction(col("text"), 2).as("top2gram_frac"),
+        TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3gram_frac"),
+        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
+        TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"),
+        TextAnalysis.gopherKeep(col("text")).cast("int").as("keep"))),
+
+    // PII scrub: the corpus has no organic PII, so the query plants a
+    // deterministic contact string derived from doc_id (identically in
+    // the oracle SQL) and then counts + redacts it — pinning pattern
+    // semantics end-to-end, not just on empty input
+    "tx9_pii" -> ((s, dir) => {
+      val planted = concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".1 ssn 123-45-6789"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Pii.emailCount(planted).as("n_email"),
+        Pii.ipv4Count(planted).as("n_ipv4"),
+        Pii.phoneCount(planted).as("n_phone"),
+        Pii.ssnCount(planted).as("n_ssn"),
+        md5(Pii.redact(planted)).as("redacted_md5"))
+    }),
 
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>

@@ -148,4 +148,106 @@ object TextAnalysis {
     val words = split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), "\\s+")
     md5(concat_ws(" ", array_sort(array_distinct(words))))
   }
+
+  // --- Repetition / boilerplate filters (Gopher §A1.1-style rules) ---
+  //
+  // All pure column algebra over per-document arrays: per-row cost is
+  // bounded by document length, nothing shuffles, so the filter pass over
+  // 100 TB is exactly one scan. The nested-lambda counts are O(L²) in the
+  // per-doc line/n-gram count — fine for real documents (L ≤ a few
+  // thousand); the alternative sort-and-run-length form saves nothing at
+  // these sizes and doesn't exist in the oracle engine.
+
+  /** Normalized word array: lowercase, non-alphanumerics → space. Same
+    * normalization as [[canonicalFingerprint]] and the dedup shingler. */
+  def normWords(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9 ]", " ")), "\\s+")
+
+  /** Space-joined word n-grams; empty array for docs with < n words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val w = normWords(text)
+    val nw = when(length(trim(text)) === 0, 0).otherwise(size(w))
+    when(nw >= n,
+      transform(sequence(lit(1), nw - (n - 1)), i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction of n-gram occurrences claimed by the single most frequent
+    * n-gram (Gopher "top n-gram character fraction", token-weighted
+    * variant). 0 for docs with no n-grams. */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) > 0,
+      round(array_max(transform(g, x => size(filter(g, y => y === x))))
+        .cast("double") / size(g), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of n-grams that are repeats of an earlier one
+    * (1 − distinct/total) — Gopher's duplicate-n-gram rule. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) > 0,
+      round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
+      .otherwise(0.0)
+  }
+
+  /** Non-blank lines of the document. */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= "")
+
+  /** Fraction of non-blank lines that duplicate another line — the
+    * classic boilerplate (nav bars, footers) signal. */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      round(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of non-blank lines starting with a bullet marker. */
+  def bulletLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      round(size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / size(ls), 6))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of non-blank lines ending with an ellipsis (truncated
+    * snippets / "read more" previews). */
+  def ellipsisLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) > 0,
+      round(size(filter(ls, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
+        .cast("double") / size(ls), 6))
+      .otherwise(0.0)
+  }
+
+  /** Symbol-to-word ratio: '#' and ellipsis occurrences per word. */
+  def symbolWordRatio(text: Column): Column = {
+    val t = tokenCount(text)
+    val syms = countOccurrences(text, "#") + countOccurrences(text, "...") +
+      countOccurrences(text, "…")
+    when(t > 0, round(syms.cast("double") / t, 6)).otherwise(0.0)
+  }
+
+  /** Composite Gopher-style keep/drop verdict. Thresholds follow the
+    * published rules (Rae et al. 2021, Table A1), with the word-count
+    * floor lowered to 20 so short-doc corpora aren't vacuously all-drop:
+    * 20 ≤ words ≤ 100k, 3 ≤ mean word length ≤ 10, symbol ratio < 0.1,
+    * dup-line fraction < 0.30, bullet lines < 0.90, ellipsis lines
+    * < 0.30, top-2-gram fraction < 0.20, dup-3-gram fraction < 0.60. */
+  def gopherKeep(text: Column): Column = {
+    val t = tokenCount(text)
+    (t >= 20) && (t <= 100000) &&
+      (meanWordLength(text) >= 3) && (meanWordLength(text) <= 10) &&
+      (symbolWordRatio(text) < 0.1) &&
+      (dupLineFraction(text) < 0.30) &&
+      (bulletLineFraction(text) < 0.90) &&
+      (ellipsisLineFraction(text) < 0.30) &&
+      (topNgramFraction(text, 2) < 0.20) &&
+      (dupNgramFraction(text, 3) < 0.60)
+  }
 }

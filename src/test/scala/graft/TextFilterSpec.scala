@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Pii, TextAnalysis}
+
+/** Gopher-style repetition filters and PII scrubbing. The oracle query
+  * (tx8/tx9) pins cross-engine parity on the corpus; these goldens pin
+  * the semantics the corpus can't exercise — multi-line boilerplate,
+  * bullet/ellipsis lines, and each PII pattern individually.
+  */
+class TextFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head.get(0)
+
+  test("dupLineFraction: repeated nav/footer lines, blank lines ignored") {
+    val doc = "Home | About\nreal content here\n\nHome | About\nmore content"
+    // 4 non-blank lines, 3 distinct -> 1/4 duplicated
+    assert(one(doc, TextAnalysis.dupLineFraction(col("text"))) == 0.25)
+    assert(one("single line", TextAnalysis.dupLineFraction(col("text"))) == 0.0)
+    assert(one("", TextAnalysis.dupLineFraction(col("text"))) == 0.0)
+  }
+
+  test("bullet and ellipsis line fractions") {
+    val doc = "- item one\n* item two\nplain line\nteaser ends here...\nanother…"
+    assert(one(doc, TextAnalysis.bulletLineFraction(col("text"))) == 0.4)
+    assert(one(doc, TextAnalysis.ellipsisLineFraction(col("text"))) == 0.4)
+  }
+
+  test("top/dup n-gram fractions: golden on a crafted doc") {
+    // words: a b a b c -> bigrams: [a b, b a, a b, b c]; top "a b" = 2/4
+    val doc = "a b a b c"
+    assert(one(doc, TextAnalysis.topNgramFraction(col("text"), 2)) == 0.5)
+    // trigrams: [a b a, b a b, a b c] all distinct -> dup 0
+    assert(one(doc, TextAnalysis.dupNgramFraction(col("text"), 3)) == 0.0)
+    // fully repetitive: "x y x y x y" bigrams [x y, y x, x y, y x, x y]
+    // -> 3 distinct? no: 2 distinct of 5 -> dup = 0.6
+    assert(one("x y x y x y", TextAnalysis.dupNgramFraction(col("text"), 2)) == 0.6)
+    // shorter than n -> empty gram array -> 0
+    assert(one("solo", TextAnalysis.topNgramFraction(col("text"), 2)) == 0.0)
+  }
+
+  test("gopherKeep drops short, repetitive, and symbol-heavy docs") {
+    val good = (1 to 30).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
+    val short = "too short to keep"
+    val repetitive = Seq.fill(40)("buy now buy now").mkString(" ")
+    val hashy = (1 to 30).map(i => s"## header$i #tag").mkString(" ")
+    val df = Seq(good, short, repetitive, hashy).toDF("text")
+      .select(TextAnalysis.gopherKeep(col("text")).as("k"))
+    assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
+  }
+
+  test("PII counts and typed redaction") {
+    val doc = "mail bob.smith+x@corp.example.org, host 192.168.0.1, " +
+      "call 415-555-0042 or ssn 078-05-1120 end"
+    val row = Seq(doc).toDF("text").select(
+      Pii.emailCount(col("text")).as("e"),
+      Pii.ipv4Count(col("text")).as("i"),
+      Pii.phoneCount(col("text")).as("p"),
+      Pii.ssnCount(col("text")).as("s"),
+      Pii.redact(col("text")).as("r")).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((1L, 1L, 1L, 1L)))
+    assert(row.getString(4) ==
+      "mail <EMAIL>, host <IP>, call <PHONE> or ssn <SSN> end")
+  }
+
+  test("PII: no false hits on clean text; redact is identity") {
+    val clean = "plain words 12 34 and a-b-c nothing to scrub"
+    assert(one(clean, Pii.piiCount(col("text"))) == 0L)
+    assert(one(clean, Pii.redact(col("text"))) == clean)
+  }
+}
