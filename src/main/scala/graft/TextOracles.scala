@@ -240,6 +240,84 @@ object TextOracles {
          |FROM p""".stripMargin
     },
 
+    // packing parity: BIGINT-only arithmetic (off // B exact in both
+    // engines), per-shard running sum ordered by doc_id
+    "pk1_pack_sequences" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n,
+        |    CAST(concat('0x', substr(md5('pack|' || doc_id::VARCHAR), 1, 8))
+        |         AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+        |  FROM n WHERE n > 0)
+        |SELECT shard, u.seq_id, doc_id,
+        |  least(off + n, (u.seq_id + 1) * 512) - greatest(off, u.seq_id * 512) AS tok_in_seq
+        |FROM c, unnest(generate_series(off // 512, (off + n - 1) // 512)) AS u(seq_id)"""
+        .stripMargin,
+
+    // BM25 parity: integer corpus stats (N, Σdl, df) so the unordered
+    // combine is exact; every literal cast ::DOUBLE (a bare 0.5 is
+    // DECIMAL in DuckDB and decimal division would diverge from IEEE);
+    // operand order mirrors the Spark expression tree token for token
+    "ir1_bm25" -> {
+      def tf(i: Int, term: String) = s"len(list_filter(w, x -> x = '$term'))::BIGINT AS tf$i"
+      val terms = Seq("spark", "join", "window")
+      val scores = terms.zipWithIndex.map { case (_, i) =>
+        s"""ln(1.0::DOUBLE + (N - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE))
+           | * tf$i * (1.2::DOUBLE + 1) /
+           | (tf$i + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE * N / sumdl))"""
+          .stripMargin.replace("\n", "")
+      }
+      s"""WITH wd AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         |                          '\\s+') AS w
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS dl,
+         |    ${terms.zipWithIndex.map { case (t, i) => tf(i, t) }.mkString(",\n    ")}
+         |  FROM wd),
+         |st AS (
+         |  SELECT count(*)::BIGINT AS N, CAST(sum(dl) AS BIGINT) AS sumdl,
+         |    ${terms.indices.map(i =>
+             s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+             .mkString(",\n    ")}
+         |  FROM tf)
+         |SELECT doc_id, score FROM (
+         |  SELECT doc_id, round(${scores.mkString(" + ")}, 6) AS score
+         |  FROM tf, st)
+         |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    "sp3_mixture_rates" ->
+      """WITH tok AS (
+        |  SELECT source AS stratum,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT stratum, tokens,
+        |    CASE WHEN stratum = 'src1' THEN 0.20::DOUBLE
+        |         WHEN stratum = 'src0' THEN 0.30::DOUBLE
+        |         ELSE (0.5::DOUBLE / 18) END AS tgt
+        |  FROM tok),
+        |w AS (
+        |  SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS total,
+        |    min(CASE WHEN tgt > 0 THEN tokens::DOUBLE / tgt END) OVER () AS lambda
+        |  FROM t)
+        |SELECT stratum, tokens,
+        |  round(tokens::DOUBLE / total, 6) AS share,
+        |  round(CASE WHEN tgt > 0 THEN least(1.0::DOUBLE, lambda * tgt / tokens)
+        |        ELSE 0.0::DOUBLE END, 6) AS rate
+        |FROM w""".stripMargin,
+
     // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
     // engine-independent, so membership reproduces bit-for-bit
     "sp1_stratified_sample" ->

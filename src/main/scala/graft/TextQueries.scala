@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{Pii, Sampling, TextAnalysis}
+import graft.text.{Packing, Pii, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries: text analysis, dedup,
   * similarity search, multimodal plumbing — over the `documents` and
@@ -127,6 +127,28 @@ object TextQueries {
         Pii.ssnCount(planted).as("n_ssn"),
         md5(Pii.redact(planted)).as("redacted_md5"))
     }),
+
+    // GPT-style sequence packing: 8 independent md5-sharded token
+    // streams, 512-token budget — one shuffle on shard, per-shard
+    // running sum, deterministic across reruns/cluster sizes
+    "pk1_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        budget = 512, shards = 8)),
+
+    // BM25 top-20 for a fixed query — per-term tf as column algebra on
+    // the scan, corpus stats as ONE broadcast scalar row, fixed-order
+    // term-score summation for bit determinism
+    "ir1_bm25" -> ((s, dir) =>
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"))),
+
+    // domain-mixture reweighting: per-source token mass -> the Bernoulli
+    // rate hitting a 30/20/uniform-rest target mix with max retention
+    "sp3_mixture_rates" -> ((s, dir) =>
+      Sampling.mixtureRates(t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")),
+        targets = Map("src0" -> 0.30, "src1" -> 0.20),
+        defaultTarget = 0.5 / 18)),
 
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ParameterError
@@ -86,5 +87,51 @@ object Sampling {
       case (((name, _), bound), acc) => when(h < bound, name).otherwise(acc)
     }
     df.withColumn(outCol, expr)
+  }
+
+  /** Domain-mixture reweighting: given target mixture proportions per
+    * stratum (data-mixing a la The Pile / Dolma recipes), compute the
+    * per-stratum Bernoulli rate that hits the target mixture while
+    * keeping as much data as possible — the limiting stratum (smallest
+    * tokens/target ratio) keeps rate 1 and everything else downsamples
+    * to match. Targets needn't sum to 1 (only ratios matter).
+    *
+    * Returns one row per stratum: (stratum, tokens, share, rate) —
+    * feed `rate` to [[stratifiedSample]] (via the returned map) to
+    * materialize the mix. Token counts aggregate as integers (exact
+    * unordered combine); the post-aggregation frame is one row per
+    * stratum, so the unpartitioned window over it is bounded by
+    * construction, not a data-volume sort.
+    */
+  def mixtureRates(
+      df: DataFrame,
+      stratumCol: String,
+      tokensCol: Column,
+      targets: Map[String, Double],
+      defaultTarget: Double = 0.0): DataFrame = {
+    ((targets.values.toSeq :+ defaultTarget)).foreach { t =>
+      if (t < 0) throw new ParameterError(s"target proportions must be >= 0: $t")
+    }
+    val target = targets.toSeq.sortBy(_._1).foldLeft(lit(defaultTarget)) {
+      case (acc, (k, t)) => when(col("stratum") === k, t).otherwise(acc)
+    }
+    val perStratum = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokensCol.cast("long")).as("tokens"))
+      .withColumn("__target", target)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perStratum
+      .withColumn("__total", sum(col("tokens")).over(all))
+      .withColumn("__lambda",
+        min(when(col("__target") > 0, col("tokens").cast("double") / col("__target")))
+          .over(all))
+      .select(
+        col("stratum"), col("tokens"),
+        round(col("tokens").cast("double") / col("__total"), 6).as("share"),
+        round(
+          when(col("__target") > 0,
+            least(lit(1.0), col("__lambda") * col("__target") / col("tokens")))
+            .otherwise(0.0), 6).as("rate"))
   }
 }

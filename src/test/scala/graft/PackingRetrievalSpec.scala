@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Packing, Retrieval, Sampling, TextAnalysis}
+
+/** Sequence packing, BM25 retrieval, and mixture reweighting: semantic
+  * invariants + plan shape (the tx/pk/ir/sp oracle queries pin
+  * cross-engine numerics; these pin the properties).
+  */
+class PackingRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b c d e"),          // 5 tokens
+    (2L, "f g h"),              // 3
+    (3L, "i j k l m n o p"),    // 8
+    (4L, ""),                   // empty -> dropped
+    (5L, "q r s t u v")         // 6
+  ).toDF("doc_id", "text")
+
+  test("packing: every token lands in exactly one sequence slot") {
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 4, shards = 2)
+    val perDoc = packed.groupBy("doc_id").agg(sum("tok_in_seq").as("t"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 5L, 2L -> 3L, 3L -> 8L, 5L -> 6L))
+  }
+
+  test("packing: sequences are full except each shard's last") {
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 4, shards = 2)
+    val bySeq = packed.groupBy("shard", "seq_id").agg(sum("tok_in_seq").as("t"))
+      .orderBy("shard", "seq_id")
+      .as[(Long, Long, Long)].collect()
+    bySeq.groupBy(_._1).foreach { case (_, seqs) =>
+      seqs.init.foreach { case (_, _, t) => assert(t == 4L, s"non-final seq not full: $seqs") }
+      assert(seqs.last._3 <= 4L)
+    }
+    // ids are dense from 0 per shard
+    bySeq.groupBy(_._1).foreach { case (_, seqs) =>
+      assert(seqs.map(_._2).toSeq == seqs.indices.map(_.toLong))
+    }
+  }
+
+  test("packing: deterministic across repartitioning; one exchange in the plan") {
+    val a = Packing.packSequences(docs, "doc_id", "text", budget = 4, shards = 2)
+      .collect().toSet
+    val b = Packing.packSequences(docs.repartition(7), "doc_id", "text", budget = 4, shards = 2)
+      .collect().toSet
+    assert(a == b)
+    val plan = Packing.packSequences(docs, "doc_id", "text", budget = 4, shards = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange (on shard):\n$plan")
+  }
+
+  test("bm25: frequency, rarity, and absence behave") {
+    val corpus = Seq(
+      (1L, "spark spark spark runs fast"),
+      (2L, "spark runs"),
+      (3L, "plain words only here"),
+      (4L, "common common common common"),
+      (5L, "common word")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), topK = 10)
+      .as[(Long, Double)].collect()
+    // only docs containing the term; more occurrences rank higher
+    assert(top.map(_._1).toSeq == Seq(1L, 2L))
+    assert(top(0)._2 > top(1)._2)
+    // a rarer term outscores a common one at equal tf
+    val two = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("word", "common"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(two(5L) > two(4L) || two.size == 2) // doc5 has rare 'word' + 'common'
+  }
+
+  test("mixture rates: limiting stratum keeps everything, mix hits target") {
+    val df = (1 to 100).map(i => (i.toLong, "w " * (if (i <= 25) 4 else 12), if (i <= 25) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val rates = Sampling.mixtureRates(df, "source",
+      TextAnalysis.tokenCount(col("text")), targets = Map("a" -> 0.5, "b" -> 0.5))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // tokens: a = 25*4 = 100, b = 75*12 = 900; lambda = min(200, 1800) = 200
+    assert(rates("a")._2 == 100L && rates("b")._2 == 900L)
+    assert(rates("a")._4 == 1.0)                    // limiting stratum keeps all
+    assert(rates("b")._4 == 0.111111)               // 100/900 rounded to 6
+    assert(rates("a")._3 == 0.1 && rates("b")._3 == 0.9)
+  }
+}
