@@ -55,6 +55,22 @@ object TextOracles {
        |  FROM sh WHERE len(sh) > 0)""".stripMargin
   }
 
+  /** corpus/ref n-gram CTEs for the exact-overlap decontamination
+    * oracles: distinct word n-grams per doc, eval set = doc_id < 50. */
+  private def overlapCte(n: Int) =
+    s"""$wordsCte,
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= $n
+       |         THEN list_transform(range(1, len(w) - ${n - 2}),
+       |                             i -> array_to_string(w[i:i+${n - 1}], ' '))
+       |         ELSE [] END AS g
+       |  FROM words),
+       |ref AS (SELECT DISTINCT * FROM
+       |  (SELECT unnest(g) AS s FROM gr WHERE doc_id < 50)),
+       |cg AS (SELECT DISTINCT * FROM
+       |  (SELECT doc_id, unnest(g) AS s FROM gr WHERE doc_id >= 50))""".stripMargin
+
   private val candidatesCte = {
     val unions = (0 until 4).map { b =>
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -481,6 +497,18 @@ object TextOracles {
          |WHERE doc_id >= 50 AND doc_id NOT IN (
          |  SELECT corpus_id FROM verify WHERE jaccard >= 0.5)""".stripMargin
     },
+
+    "dd11_ngram_overlap" ->
+      s"""WITH ${overlapCte(5)}
+         |SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS hits
+         |FROM cg JOIN ref USING (s)
+         |GROUP BY 1""".stripMargin,
+
+    "dd12_exact_decontaminated" ->
+      s"""WITH ${overlapCte(5)}
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (
+         |  SELECT DISTINCT cg.doc_id FROM cg JOIN ref USING (s))""".stripMargin,
 
     "dd6_embedding_neardup" -> {
       val cos = cosine("a.embedding", "b.embedding")

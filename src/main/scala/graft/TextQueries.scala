@@ -188,6 +188,22 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // exact n-gram collision decontamination (GPT-3 appendix-C rule,
+    // 5-grams here since the synthetic docs are short): corpus docs
+    // quoting any eval 5-gram verbatim, then the cleaned corpus
+    "dd11_ngram_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramOverlap(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
+    }),
+
+    "dd12_exact_decontaminated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateExact(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
+        .select(col("doc_id"))
+    }),
+
     "dd10_decontaminated" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpus = docs.where(col("doc_id") >= 50)

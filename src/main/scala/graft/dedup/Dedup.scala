@@ -280,6 +280,56 @@ object Dedup {
       matches.select(col("corpus_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Exact n-gram overlap decontamination (the GPT-3 appendix-C /
+    * PaLM-style 13-gram collision rule): flag every corpus doc that
+    * shares at least one exact word n-gram with the reference set (an
+    * eval benchmark / held-out split). Complements
+    * [[crossNearDuplicates]]: near-dup catches paraphrased leakage,
+    * exact n-gram collision catches verbatim quotation of even a single
+    * benchmark sentence inside an otherwise-unrelated doc (where
+    * whole-doc Jaccard stays far below any threshold).
+    * Returns (corpus_id, hits) — hits = DISTINCT overlapping n-grams.
+    *
+    * Scale shape: both sides stream through [[shingleRows]]
+    * (volume-linear; one window shuffle on the doc id each); the
+    * reference side collapses to distinct n-gram hashes — benchmark
+    * eval sets are dimension-sized next to a training corpus, so they
+    * broadcast by default and the collision test is a broadcast
+    * equi-join on a 32-hex key with no corpus×ref pair blowup. The
+    * per-doc count then rides the id partitioning the shingle window
+    * already established. `broadcastRef = false` for a reference corpus
+    * too big to broadcast — the join degrades to a shuffled hash join
+    * on the n-gram hash, cost still ∝ collision mass. */
+  def ngramOverlap(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13,
+      broadcastRef: Boolean = true): DataFrame = {
+    val refGrams = shingleRows(ref, idCol, textCol, n)
+      .select(md5(col("__s")).as("__h")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"), md5(col("__s")).as("__h"))
+      .join(if (broadcastRef) broadcast(refGrams) else refGrams, "__h")
+      .groupBy("corpus_id")
+      .agg(count_distinct(col("__h")).as("hits"))
+  }
+
+  /** Exact-overlap decontamination projection: corpus minus every doc
+    * flagged by [[ngramOverlap]] (anti-join on the flagged ids). */
+  def decontaminateExact(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13,
+      broadcastRef: Boolean = true): DataFrame =
+    corpus.join(
+      ngramOverlap(corpus, ref, idCol, textCol, n, broadcastRef)
+        .select(col("corpus_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Duplicate clustering: connected components over verified near-dup
     * pairs, labeling every clustered doc with the MINIMUM id of its
     * component (the canonical survivor). Returns (id, cluster).

@@ -278,6 +278,40 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("ngramOverlap flags verbatim n-gram quotation that whole-doc " +
+    "Jaccard misses, counts distinct overlaps once, and " +
+    "decontaminateExact drops exactly the flagged docs (both modes)") {
+    val eval = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // quotes eval doc 1's only 5-gram inside a long unrelated doc —
+      // whole-doc Jaccard vs eval is tiny, exact 13-gram-style collision
+      // is the signal; the quote appears TWICE (hits must still be 1)
+      (100L, "one two three four five alpha beta gamma delta epsilon six " +
+        "seven eight nine ten alpha beta gamma delta epsilon eleven"),
+      // shares only a 4-gram suffix: below n=5, must NOT flag
+      (101L, "different opening beta gamma delta epsilon"),
+      (102L, "entirely unrelated training document about spark engines"))
+      .toDF("doc_id", "text")
+    for (bcast <- Seq(true, false)) {
+      val hits = Dedup.ngramOverlap(corpus, eval, n = 5, broadcastRef = bcast)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits == Map(100L -> 1L), s"broadcastRef=$bcast")
+      val kept = Dedup.decontaminateExact(corpus, eval, n = 5, broadcastRef = bcast)
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(101L, 102L), s"broadcastRef=$bcast")
+    }
+    // two distinct overlapping n-grams → hits = 2
+    val corpus2 = Seq(
+      (200L, "alpha beta gamma delta epsilon and zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val h2 = Dedup.ngramOverlap(corpus2, eval, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h2 == Map(200L -> 2L))
+  }
+
   test("sampling: hash samples are deterministic, nested across rates, " +
     "and splits partition the corpus on stable boundaries") {
     import graft.text.Sampling
