@@ -498,6 +498,58 @@ object TextOracles {
          |  SELECT corpus_id FROM verify WHERE jaccard >= 0.5)""".stripMargin
     },
 
+    "tx10_lm_score" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, t FROM
+         |  (SELECT doc_id, unnest(w) AS t FROM words) WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS c FROM tok WHERE doc_id < 250 GROUP BY 1),
+         |stats AS (SELECT CAST(sum(c) AS BIGINT) AS tmass, count(*)::BIGINT AS v
+         |          FROM cnt),
+         |scored AS (
+         |  SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+         |    CAST(sum(CAST(round(ln(coalesce(cnt.c, 0) + 1.0) * 1000000) AS BIGINT))
+         |         AS BIGINT) AS s
+         |  FROM tok LEFT JOIN cnt USING (t) GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(ln((tmass + v)::DOUBLE) - s::DOUBLE / 1000000 / n_tokens, 6)
+         |    AS cross_entropy,
+         |  round(exp(ln((tmass + v)::DOUBLE) - s::DOUBLE / 1000000 / n_tokens), 4)
+         |    AS perplexity
+         |FROM scored CROSS JOIN stats""".stripMargin,
+
+    "sp4_dsir_weights" ->
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(g) AS s FROM gr)),
+         |tc AS (SELECT b, count(*) AS ct FROM feat
+         |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+         |       GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS cr FROM feat GROUP BY 1),
+         |tbl AS (
+         |  SELECT b,
+         |    CAST(round((ln(coalesce(ct, 0) + 1.0) - ln(coalesce(cr, 0) + 1.0))
+         |               * 1000000) AS BIGINT) AS m
+         |  FROM tc FULL OUTER JOIN rc USING (b)),
+         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS tt,
+         |               (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr),
+         |sc AS (
+         |  SELECT feat.doc_id, count(*)::BIGINT AS n_features,
+         |    CAST(sum(coalesce(tbl.m, 0)) AS BIGINT) AS s
+         |  FROM feat LEFT JOIN tbl USING (b) GROUP BY 1)
+         |SELECT doc_id, n_features,
+         |  round(s::DOUBLE / 1000000 / n_features
+         |        + ln((tr + 256)::DOUBLE) - ln((tt + 256)::DOUBLE), 6) AS log_weight
+         |FROM sc CROSS JOIN tot""".stripMargin,
+
     "dd11_ngram_overlap" ->
       s"""WITH ${overlapCte(5)}
          |SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS hits

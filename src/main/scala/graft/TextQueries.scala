@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.{Packing, Pii, Retrieval, Sampling, TextAnalysis}
+import graft.text.{LangModel, Packing, Pii, Retrieval, Sampling, TextAnalysis}
 
 /** LLM-training-data-pipeline operator queries: text analysis, dedup,
   * similarity search, multimodal plumbing — over the `documents` and
@@ -149,6 +149,23 @@ object TextQueries {
         TextAnalysis.tokenCount(col("text")),
         targets = Map("src0" -> 0.30, "src1" -> 0.20),
         defaultTarget = 0.5 / 18)),
+
+    // unigram-LM quality scoring (CCNet-style): LM trained on the first
+    // half of the corpus, every doc scored by cross-entropy against it —
+    // high CE = off-domain/low-quality; micro-nat integer sums keep the
+    // per-doc aggregation exact under any partitioning
+    "tx10_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LangModel.crossEntropy(docs, docs.where(col("doc_id") < 250))
+    }),
+
+    // DSIR importance log-weights: target = src0 docs, raw = the full
+    // pool, 256 hashed-bigram buckets — positive = target-like
+    "sp4_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      LangModel.dsirLogWeights(
+        docs, docs.where(col("source") === "src0"), docs, buckets = 256)
+    }),
 
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>

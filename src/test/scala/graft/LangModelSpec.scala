@@ -1,0 +1,93 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.text.LangModel
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def bucket(gram: String, buckets: Int): Long =
+    java.lang.Long.parseLong(md5hex(gram).substring(0, 8), 16) % buckets
+
+  test("crossEntropy golden: add-one unigram LM, OOV ceiling, dropped " +
+    "empty docs (tx10)") {
+    // ref counts: a→2, b→1; T=3, V=2 → denominator T+V = 5
+    val ref = Seq((0L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a"), // ce = ln5 − ln3
+      (2L, "c"), // OOV: ce = ln5 − ln1 = ln5 (the ceiling)
+      (3L, "a b"), // ce = ln5 − (ln3 + ln2)/2
+      (4L, "  "), // no tokens → dropped
+      (5L, "!!!")) // normalizes to nothing → dropped
+      .toDF("doc_id", "text")
+    val out = LangModel.crossEntropy(docs, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 1 && out(1L)._2 == q6(math.log(5) - math.log(3)))
+    assert(out(2L)._2 == q6(math.log(5)))
+    assert(out(2L)._3 == 5.0) // perplexity of the OOV ceiling = T+V
+    assert(out(3L)._1 == 2)
+    assert(out(3L)._2 == q6(math.log(5) - (math.log(3) + math.log(2)) / 2))
+    // in-domain text scores strictly below the OOV ceiling
+    assert(out(1L)._2 < out(2L)._2)
+  }
+
+  test("crossEntropy is invariant under repartitioning (micro-nat " +
+    "integer sums, not float accumulation)") {
+    val ref = Seq.tabulate(50)(i => (i.toLong, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"alpha w${i % 7} beta gamma delta"))
+      .toDF("doc_id", "text")
+    val a = LangModel.crossEntropy(docs, ref)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = LangModel.crossEntropy(docs.repartition(7), ref.repartition(3))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(a == b)
+  }
+
+  test("dsirLogWeights golden: target-like docs weigh positive, " +
+    "raw-only docs negative, symmetric magnitudes (sp4)") {
+    val B = 1024
+    // distinct feature buckets by construction of the test strings
+    assert(bucket("x y", B) != bucket("p q", B))
+    val target = Seq((0L, "x y")).toDF("doc_id", "text")
+    val raw = Seq((0L, "p q")).toDF("doc_id", "text")
+    val docs = Seq((1L, "x y"), (2L, "p q"), (3L, "z")).toDF("doc_id", "text")
+    val out = LangModel.dsirLogWeights(docs, target, raw, buckets = B)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    // Tt = Tr = 1 → the totals shift cancels; per-feature term is
+    // ln(ct+1) − ln(cr+1) = ±ln2
+    assert(out(1L) == ((1L, q6(math.log(2)))))
+    assert(out(2L) == ((1L, q6(-math.log(2)))))
+    assert(!out.contains(3L)) // single word: no bigram features
+  }
+
+  test("dsirLogWeights: feature count = words − 1; repartition-invariant") {
+    val target = Seq((0L, "spark streams shuffle data fast")).toDF("doc_id", "text")
+    val raw = Seq((0L, "pandas frames copy data slowly"), (1L, "other filler rows here"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "spark streams shuffle data"), // 3 bigrams, target-like
+      (2L, "pandas frames copy data slowly too")) // raw-like
+      .toDF("doc_id", "text")
+    val a = LangModel.dsirLogWeights(docs, target, raw, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a.find(_._1 == 1L).get._2 == 3L)
+    assert(a.find(_._1 == 2L).get._2 == 5L)
+    assert(a.find(_._1 == 1L).get._3 > 0)
+    assert(a.find(_._1 == 2L).get._3 < 0)
+    val b = LangModel.dsirLogWeights(docs.repartition(5), target, raw, buckets = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+}
