@@ -673,6 +673,75 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // one Lloyd iteration from the 8 lowest-vec_id seeds; per-dim means
+    // as exact micro-integer sums (matches kmeansCentroids' quantization)
+    "sim5_kmeans" -> {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      s"""WITH cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |px AS (
+         |  SELECT a.cell_id, t.i AS dim,
+         |    CAST(round(e.embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+         |  FROM asgn a JOIN embeddings e USING (vec_id), range(0, 64) t(i))
+         |SELECT cell_id, CAST(dim AS INT) AS dim,
+         |  CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
+         |FROM px GROUP BY 1, 2""".stripMargin
+    },
+
+    // PQ/ADC: 8×8-dim subspaces, sub-codebooks = subvectors of vec_id
+    // 0..7; encode picks the nearest sub-centroid per (vector, subspace),
+    // search sums the 8 query→sub-centroid distances in subspace order
+    "sim6_pq_topk" -> {
+      def sq8(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 9), " +
+          s"i -> ($a::DOUBLE - $b::DOUBLE) * ($a::DOUBLE - $b::DOUBLE)))"
+      val encDist = sq8("e.embedding[cb.subspace * 8 + i]", "cb.sc[i]")
+      val adcDist =
+        "list_sum(list_transform(range(0, 8), s -> " +
+          "list_sum(list_transform(range(1, 9), i -> " +
+          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE) * " +
+          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE)))))"
+      s"""WITH cb AS (
+         |  SELECT t.s AS subspace, e.vec_id AS code,
+         |         e.embedding[t.s * 8 + 1 : t.s * 8 + 8] AS sc
+         |  FROM embeddings e, range(0, 8) t(s) WHERE e.vec_id < 8),
+         |enc AS (
+         |  SELECT vec_id, subspace, code FROM (
+         |    SELECT e.vec_id, cb.subspace, cb.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+         |        ORDER BY $encDist, cb.code) AS rn
+         |    FROM embeddings e CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |encl AS (
+         |  SELECT vec_id, list(code ORDER BY subspace) AS codes
+         |  FROM enc GROUP BY 1),
+         |cb1 AS (SELECT subspace, list(sc ORDER BY code) AS cents
+         |        FROM cb GROUP BY 1),
+         |cbn AS (SELECT list(cents ORDER BY subspace) AS cbl FROM cb1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($adcDist, 6) AS adist
+         |  FROM embeddings q, encl c, cbn
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
     "mm1_binary_meta" ->
       """WITH media AS (
         |  SELECT doc_id, text, encode(text) AS payload,

@@ -282,6 +282,30 @@ object TextQueries {
         k = 5, nprobe = 2)
     }),
 
+    // k-means training for the IVF coarse quantizer: deterministic
+    // seeding (the 8 lowest-vec_id vectors), one Lloyd iteration, long
+    // (cell, dim, value) output — the oracle replays assignment + the
+    // micro-integer per-dimension mean
+    "sim5_kmeans" -> ((s, dir) =>
+      Similarity.kmeansCentroids(t(s, dir, "embeddings"), k = 8, iters = 1)
+        .select(col("cell_id"),
+          posexplode(col("centroid")).as(Seq("dim", "value")))),
+
+    // product quantization: 8×8-dim subspaces, sub-codebooks = the
+    // subvectors of the 8 lowest-id embeddings; ADC top-5 per query —
+    // the corpus is searched from codes only (no float vectors read)
+    "sim6_pq_topk" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val cb = embs.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          posexplode(transform(sequence(lit(0), lit(7)),
+            sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
+            .as(Seq("subspace", "subcentroid")))
+        .select(col("subspace"), col("code"), col("subcentroid"))
+      val encoded = Similarity.pqEncode(embs, cb)
+      Similarity.pqTopK(embs.where(col("vec_id") < 5), encoded, cb, k = 5)
+    }),
+
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")

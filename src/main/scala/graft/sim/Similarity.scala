@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ParameterError
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
   *
@@ -221,5 +223,157 @@ object Similarity {
         struct(col("__dist"), col("cell_id"))).as("__best"))
     best.select(
       col(idCol) +: others.map(c => col(s"__best.`$c`")) :+ col("__best.cell_id"): _*)
+  }
+
+  /** Lloyd's k-means, trained fully relationally — the standard way to
+    * fit [[ivfTopK]]'s coarse quantizer on a sample (or all) of the
+    * corpus. Deterministic seeding: the k lowest-id vectors become cells
+    * 0..k−1 in id order (no RNG — same property as the sampling family:
+    * reruns, retries and cluster resizes train the identical model).
+    * Returns (cell_id, centroid array<double>).
+    *
+    * Each iteration is (1) one broadcast nearest-centroid assignment
+    * ([[assignCells]]: crossJoin(broadcast) + min_by partial agg, ONE
+    * shuffle on the vector id) and (2) one per-(cell, dim) mean —
+    * posexplode + hash agg, ONE shuffle on (cell, dim) whose output is
+    * at most k·d rows. Component values are quantized to micro integers
+    * (`round(x·10⁶)` as BIGINT) before summation, so centroids are exact
+    * integer means — bit-reproducible across partitionings and engines
+    * (the dedup/LangModel determinism stance). Cells that capture no
+    * vectors keep their previous centroid. The tiny centroid frame is
+    * `localCheckpoint`ed each round, truncating the growing lineage
+    * (duplicateClusters precedent) — k·d doubles per round, driver-safe
+    * by construction. */
+  def kmeansCentroids(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    if (k <= 0) throw new ParameterError(s"k must be positive: $k")
+    if (iters < 0) throw new ParameterError(s"iters must be >= 0: $iters")
+    val v = vectors.select(col(idCol), col(vecCol))
+    // bounded k-row frame: the unpartitioned window is not a data sort
+    val seedW = Window.orderBy(col(idCol))
+    var centroids = v.orderBy(col(idCol)).limit(k)
+      .select(
+        (row_number().over(seedW).cast("long") - 1).as("cell_id"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val means = assignCells(v, centroids, vecCol, idCol)
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("cell_id"), col("__d"))
+        .agg(
+          sum(round(col("__x").cast("double") * 1e6, 0).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("__d"), col("__s"), col("__n"))))
+          .as("__a"))
+        .select(col("cell_id"),
+          transform(col("__a"),
+            e => e.getField("__s").cast("double") / e.getField("__n") / 1e6)
+            .as("centroid"))
+      centroids = centroids
+        .select(col("cell_id"), col("centroid").as("__prev"))
+        .join(means, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint()
+      i += 1
+    }
+    centroids
+  }
+
+  /** Product-quantization encode (Jégou et al. 2011): split each vector
+    * into the codebook's subspaces and store, per subspace, the code of
+    * the nearest sub-centroid — compressing a d-dim float vector to m
+    * small ints, the memory lever that lets a 100 TB embedding corpus
+    * fit an ANN index. `codebooks` = (subspace, code, subcentroid
+    * array); codes must be dense 0..k_sub−1 within each subspace (the
+    * [[pqTopK]] distance-table lookup indexes by code).
+    *
+    * Same plan shape as [[assignCells]]: crossJoin(broadcast(codebook))
+    * → min_by partial agg keyed on (id, subspace) — the ×(m·k_sub) row
+    * blowup collapses map-side — then one array assembly per id.
+    * Returns (id, codes array<int>). */
+  def pqEncode(
+      vectors: DataFrame,
+      codebooks: DataFrame, // (subspace, code, subcentroid)
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val subDim = size(col("subcentroid"))
+    vectors
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("__dist",
+        graft.functions.SquaredDistance.squaredDistanceNative(
+          slice(col(vecCol), col("subspace") * subDim + 1, subDim),
+          col("subcentroid")))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min_by(col("code"), struct(col("__dist"), col("code"))).as("__code"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("__code")))).as("__a"))
+      .select(col(idCol),
+        transform(col("__a"), e => e.getField("__code").cast("int")).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance
+    * of each query to each PQ-encoded corpus vector as the sum of
+    * per-subspace exact distances query→sub-centroid, looked up from a
+    * per-query distance table. Output (query_id, neighbor_id, adist,
+    * rank) — adist ascending, ties by neighbor id, rounded to 6 (last-
+    * ulp tolerance stance of the sim family).
+    *
+    * Scale shape: the codebook folds into ONE nested-array row (≤
+    * k_sub·d doubles by construction) broadcast onto the query side,
+    * where the m×k_sub distance table is precomputed per query as
+    * column algebra; the encoded corpus then streams ONCE through a
+    * crossJoin(broadcast(queries)) and each pair costs m array lookups
+    * summed in fixed subspace order (deterministic) — no explode, no
+    * per-subspace shuffle, no join back to the float vectors. Compose
+    * with [[assignCells]]/[[ivfTopK]] cells to prune the streamed
+    * corpus to the probed cells first — IVFADC. */
+  def pqTopK(
+      queries: DataFrame,
+      encoded: DataFrame, // (id, codes array<int>) from [[pqEncode]]
+      codebooks: DataFrame, // (subspace, code, subcentroid)
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // fold the codebook to one nested-array row: __cb[s+1][c+1] = subcentroid
+    val cbRow = codebooks
+      .groupBy(col("subspace"))
+      .agg(array_sort(collect_list(struct(col("code"), col("subcentroid"))))
+        .as("__cs"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("__cs")))).as("__a"))
+      .select(transform(col("__a"),
+        s => transform(s.getField("__cs"), c => c.getField("subcentroid")))
+        .as("__cb"))
+    val subDim = size(element_at(element_at(col("__cb"), 1), 1))
+    // per-query distance table in the same nested shape as __cb
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cbRow))
+      .select(col("query_id"),
+        transform(col("__cb"), (cents, s) =>
+          transform(cents, c =>
+            graft.functions.SquaredDistance.squaredDistanceNative(
+              slice(col("__qv"), s * subDim + 1, subDim), c))).as("__dt"))
+    val adist = aggregate(
+      transform(col("codes"), (c, s) =>
+        element_at(element_at(col("__dt"), s + 1), c + 1)),
+      lit(0.0), (acc, d) => acc + d)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    encoded
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adist, 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
   }
 }
