@@ -89,6 +89,72 @@ object TextOracles {
   private def cosine(a: String, b: String) =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
+  /** Gopher-filter CTE chain (words → grams/lines → per-doc fractions in
+    * `fr`), shared by tx8 and the pipeline_text composition. Fractions
+    * are rounded to 6 BEFORE any keep comparison, exactly as the Spark
+    * side computes them. */
+  private val gopherCtes =
+    s"""$wordsCte,
+       |grams AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 2
+       |         THEN list_transform(range(1, len(w)),
+       |                             i -> array_to_string(w[i:i+1], ' '))
+       |         ELSE [] END AS g2,
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(1, len(w) - 1),
+       |                             i -> array_to_string(w[i:i+2], ' '))
+       |         ELSE [] END AS g3
+       |  FROM words),
+       |ln AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+       |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+       |         THEN length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE /
+       |              len(regexp_split_to_array(trim(text), '\\s+'))
+       |         ELSE 0.0 END AS mwl,
+       |    ${occ("text", "#")} + ${occ("text", "...")} + ${occ("text", "…")} AS syms
+       |  FROM documents),
+       |fr AS (
+       |  SELECT b.doc_id, b.tok, b.mwl,
+       |    CASE WHEN len(g.g2) > 0
+       |         THEN round(list_max(list_transform(g.g2,
+       |                x -> len(list_filter(g.g2, y -> y = x))))::DOUBLE / len(g.g2), 6)
+       |         ELSE 0.0 END AS top2,
+       |    CASE WHEN len(g.g3) > 0
+       |         THEN round(1.0 - len(list_distinct(g.g3))::DOUBLE / len(g.g3), 6)
+       |         ELSE 0.0 END AS dup3,
+       |    CASE WHEN len(l.ls) > 0
+       |         THEN round(1.0 - len(list_distinct(l.ls))::DOUBLE / len(l.ls), 6)
+       |         ELSE 0.0 END AS dupline,
+       |    CASE WHEN len(l.ls) > 0
+       |         THEN round(len(list_filter(l.ls,
+       |                x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))::DOUBLE
+       |              / len(l.ls), 6)
+       |         ELSE 0.0 END AS bullet,
+       |    CASE WHEN len(l.ls) > 0
+       |         THEN round(len(list_filter(l.ls,
+       |                x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))::DOUBLE
+       |              / len(l.ls), 6)
+       |         ELSE 0.0 END AS ellip,
+       |    CASE WHEN b.tok > 0 THEN round(b.syms::DOUBLE / b.tok, 6)
+       |         ELSE 0.0 END AS sym
+       |  FROM base b JOIN grams g ON b.doc_id = g.doc_id
+       |              JOIN ln l ON b.doc_id = l.doc_id)""".stripMargin
+
+  /** The composite keep predicate over `fr`'s columns (Rae et al. 2021
+    * Table A1 thresholds, word floor lowered to 20 — TextAnalysis
+    * .gopherKeep). */
+  private val gopherKeepSql =
+    "tok >= 20 AND tok <= 100000 AND mwl >= 3 AND mwl <= 10 " +
+      "AND sym < 0.1 AND dupline < 0.30 AND bullet < 0.90 " +
+      "AND ellip < 0.30 AND top2 < 0.20 AND dup3 < 0.60"
+
   val all: Map[String, String] = Map(
     "tx1_token_stats" ->
       """SELECT doc_id,
@@ -173,64 +239,52 @@ object TextOracles {
     // Gopher filter parity: fractions rounded to 6 BEFORE the keep
     // comparison, exactly as the Spark side computes them
     "tx8_repetition" ->
-      s"""WITH $wordsCte,
-         |grams AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) >= 2
-         |         THEN list_transform(range(1, len(w)),
-         |                             i -> array_to_string(w[i:i+1], ' '))
-         |         ELSE [] END AS g2,
-         |    CASE WHEN len(w) >= 3
-         |         THEN list_transform(range(1, len(w) - 1),
-         |                             i -> array_to_string(w[i:i+2], ' '))
-         |         ELSE [] END AS g3
-         |  FROM words),
-         |ln AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
-         |  FROM documents),
-         |base AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN 0
-         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
-         |    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
-         |         THEN length(regexp_replace(trim(text), '\\s+', '', 'g'))::DOUBLE /
-         |              len(regexp_split_to_array(trim(text), '\\s+'))
-         |         ELSE 0.0 END AS mwl,
-         |    ${occ("text", "#")} + ${occ("text", "...")} + ${occ("text", "…")} AS syms
-         |  FROM documents),
-         |fr AS (
-         |  SELECT b.doc_id, b.tok, b.mwl,
-         |    CASE WHEN len(g.g2) > 0
-         |         THEN round(list_max(list_transform(g.g2,
-         |                x -> len(list_filter(g.g2, y -> y = x))))::DOUBLE / len(g.g2), 6)
-         |         ELSE 0.0 END AS top2,
-         |    CASE WHEN len(g.g3) > 0
-         |         THEN round(1.0 - len(list_distinct(g.g3))::DOUBLE / len(g.g3), 6)
-         |         ELSE 0.0 END AS dup3,
-         |    CASE WHEN len(l.ls) > 0
-         |         THEN round(1.0 - len(list_distinct(l.ls))::DOUBLE / len(l.ls), 6)
-         |         ELSE 0.0 END AS dupline,
-         |    CASE WHEN len(l.ls) > 0
-         |         THEN round(len(list_filter(l.ls,
-         |                x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•')))::DOUBLE
-         |              / len(l.ls), 6)
-         |         ELSE 0.0 END AS bullet,
-         |    CASE WHEN len(l.ls) > 0
-         |         THEN round(len(list_filter(l.ls,
-         |                x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))::DOUBLE
-         |              / len(l.ls), 6)
-         |         ELSE 0.0 END AS ellip,
-         |    CASE WHEN b.tok > 0 THEN round(b.syms::DOUBLE / b.tok, 6)
-         |         ELSE 0.0 END AS sym
-         |  FROM base b JOIN grams g ON b.doc_id = g.doc_id
-         |              JOIN ln l ON b.doc_id = l.doc_id)
+      s"""WITH $gopherCtes
          |SELECT doc_id, top2 AS top2gram_frac, dup3 AS dup3gram_frac,
          |  dupline AS dup_line_frac, sym AS symbol_ratio,
-         |  CAST(tok >= 20 AND tok <= 100000 AND mwl >= 3 AND mwl <= 10
-         |       AND sym < 0.1 AND dupline < 0.30 AND bullet < 0.90
-         |       AND ellip < 0.30 AND top2 < 0.20 AND dup3 < 0.60 AS INT) AS keep
+         |  CAST($gopherKeepSql AS INT) AS keep
          |FROM fr""".stripMargin,
+
+    // end-to-end curation pipeline: Gopher keep → exact dedup (lowest id
+    // survives) → exact 5-gram decontamination vs the eval set → 90/10
+    // split → per-(split, source) doc/token mass. Integer aggregates
+    // only, so the whole chain hash-compares exactly.
+    "pipeline_text" ->
+      s"""WITH $gopherCtes,
+         |keepset AS (
+         |  SELECT doc_id FROM fr
+         |  WHERE doc_id >= 50 AND $gopherKeepSql),
+         |dedup AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN keepset k USING (doc_id)
+         |  QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(d.text)))
+         |                             ORDER BY d.doc_id) = 1),
+         |gr5 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 5
+         |         THEN list_transform(range(1, len(w) - 3),
+         |                             i -> array_to_string(w[i:i+4], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |refg AS (SELECT DISTINCT * FROM
+         |  (SELECT unnest(g) AS s FROM gr5 WHERE doc_id < 50)),
+         |cgr AS (SELECT DISTINCT * FROM
+         |  (SELECT gr5.doc_id, unnest(gr5.g) AS s
+         |   FROM gr5 JOIN dedup USING (doc_id))),
+         |flagged AS (SELECT DISTINCT cgr.doc_id FROM cgr JOIN refg USING (s)),
+         |clean AS (SELECT * FROM dedup
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |sp AS (
+         |  SELECT source, text,
+         |    CASE WHEN CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'split', doc_id)), 1, 8))
+         |              AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.9
+         |         THEN 'train' ELSE 'val' END AS split
+         |  FROM clean)
+         |SELECT split, source, count(*)::BIGINT AS docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+         |       AS BIGINT) AS tokens
+         |FROM sp GROUP BY 1, 2""".stripMargin,
 
     "tx9_pii" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"

@@ -167,6 +167,26 @@ object TextQueries {
         docs, docs.where(col("source") === "src0"), docs, buckets = 256)
     }),
 
+    // the flagship curation composition — every stage is the library
+    // operator a real 100 TB pipeline would chain: Gopher quality filter
+    // (shuffle-free scan) → exact dedup (one hash shuffle) → exact
+    // 5-gram decontamination vs the eval set (broadcast collision join)
+    // → deterministic 90/10 split (scan predicate) → per-(split, source)
+    // doc/token mass (integer agg). Hash-exact end to end.
+    "pipeline_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val eval = docs.where(col("doc_id") < 50)
+      val corpus = docs.where(col("doc_id") >= 50)
+      val kept = corpus.where(TextAnalysis.gopherKeep(col("text")))
+      val deduped = Dedup.dropExactDuplicates(kept)
+      val clean = Dedup.decontaminateExact(deduped, eval, n = 5)
+      Sampling.splitByHash(clean, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy(col("split"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+    }),
+
     // ---- dedup ----
     "dd1_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"))),

@@ -173,57 +173,85 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** [[topNgramFraction]] over an n-gram array column: the count of the
+    * most frequent element, computed as the LONGEST RUN in the sorted
+    * array — one `array_sort` + one sequential `aggregate` pass.
+    *
+    * The formulation matters enormously: the naive nested-lambda count
+    * (`transform(g, x => size(filter(g, y => y === x)))`) is not just
+    * O(G²) — Catalyst does no common-subexpression elimination inside
+    * higher-order-function lambdas, so when `g` is the gram-construction
+    * expression itself (the normal case after predicate pushdown
+    * substitutes column aliases), the inner `filter` REBUILDS the whole
+    * array (regex normalize + split + per-gram concat) for every outer
+    * element: ~0.3 s per 50-word doc interpreted, which at corpus scale
+    * is not a scan, it's a meltdown. The sorted-run form references `g`
+    * a constant number of times and touches each element once. */
+  def topNgramFractionOf(g: Column): Column = {
+    val best = aggregate(
+      array_sort(g),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(g) > 0, round(best.cast("double") / size(g), 6)).otherwise(0.0)
+  }
+
   /** Fraction of n-gram occurrences claimed by the single most frequent
     * n-gram (Gopher "top n-gram character fraction", token-weighted
     * variant). 0 for docs with no n-grams. */
-  def topNgramFraction(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
-    when(size(g) > 0,
-      round(array_max(transform(g, x => size(filter(g, y => y === x))))
-        .cast("double") / size(g), 6))
-      .otherwise(0.0)
-  }
+  def topNgramFraction(text: Column, n: Int): Column =
+    topNgramFractionOf(wordNgrams(text, n))
 
-  /** Fraction of n-grams that are repeats of an earlier one
-    * (1 − distinct/total) — Gopher's duplicate-n-gram rule. */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val g = wordNgrams(text, n)
+  /** [[dupNgramFraction]] over a pre-materialized n-gram array. */
+  def dupNgramFractionOf(g: Column): Column =
     when(size(g) > 0,
       round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 6))
       .otherwise(0.0)
-  }
+
+  /** Fraction of n-grams that are repeats of an earlier one
+    * (1 − distinct/total) — Gopher's duplicate-n-gram rule. */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    dupNgramFractionOf(wordNgrams(text, n))
 
   /** Non-blank lines of the document. */
   def lines(text: Column): Column =
     filter(split(text, "\n"), l => trim(l) =!= "")
 
-  /** Fraction of non-blank lines that duplicate another line — the
-    * classic boilerplate (nav bars, footers) signal. */
-  def dupLineFraction(text: Column): Column = {
-    val ls = lines(text)
+  /** [[dupLineFraction]] over a pre-materialized line array. */
+  def dupLineFractionOf(ls: Column): Column =
     when(size(ls) > 0,
       round(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls), 6))
       .otherwise(0.0)
-  }
 
-  /** Fraction of non-blank lines starting with a bullet marker. */
-  def bulletLineFraction(text: Column): Column = {
-    val ls = lines(text)
+  /** Fraction of non-blank lines that duplicate another line — the
+    * classic boilerplate (nav bars, footers) signal. */
+  def dupLineFraction(text: Column): Column = dupLineFractionOf(lines(text))
+
+  /** [[bulletLineFraction]] over a pre-materialized line array. */
+  def bulletLineFractionOf(ls: Column): Column =
     when(size(ls) > 0,
       round(size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
         .cast("double") / size(ls), 6))
       .otherwise(0.0)
-  }
 
-  /** Fraction of non-blank lines ending with an ellipsis (truncated
-    * snippets / "read more" previews). */
-  def ellipsisLineFraction(text: Column): Column = {
-    val ls = lines(text)
+  /** Fraction of non-blank lines starting with a bullet marker. */
+  def bulletLineFraction(text: Column): Column = bulletLineFractionOf(lines(text))
+
+  /** [[ellipsisLineFraction]] over a pre-materialized line array. */
+  def ellipsisLineFractionOf(ls: Column): Column =
     when(size(ls) > 0,
       round(size(filter(ls, l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…")))
         .cast("double") / size(ls), 6))
       .otherwise(0.0)
-  }
+
+  /** Fraction of non-blank lines ending with an ellipsis (truncated
+    * snippets / "read more" previews). */
+  def ellipsisLineFraction(text: Column): Column = ellipsisLineFractionOf(lines(text))
 
   /** Symbol-to-word ratio: '#' and ellipsis occurrences per word. */
   def symbolWordRatio(text: Column): Column = {

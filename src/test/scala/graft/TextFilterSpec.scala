@@ -42,6 +42,25 @@ class TextFilterSpec extends SparkSpec {
     assert(one("solo", TextAnalysis.topNgramFraction(col("text"), 2)) == 0.0)
   }
 
+  test("topNgramFraction sorted-run form equals the naive quadratic " +
+    "count on randomized docs") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "x1", "y2")
+    val rnd = new scala.util.Random(42)
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40) + 1)(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    def naive(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        round(array_max(transform(g, x => size(filter(g, y => y === x))))
+          .cast("double") / size(g), 6)).otherwise(0.0)
+    val out = docs.select(
+      TextAnalysis.topNgramFraction(col("text"), 2).as("fast"),
+      naive(TextAnalysis.wordNgrams(col("text"), 2)).as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("gopherKeep drops short, repetitive, and symbol-heavy docs") {
     val good = (1 to 30).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
     val short = "too short to keep"
