@@ -604,6 +604,24 @@ object TextOracles {
          |        + ln((tr + 256)::DOUBLE) - ln((tt + 256)::DOUBLE), 6) AS log_weight
          |FROM sc CROSS JOIN tot""".stripMargin,
 
+    "dd13_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'Shared boilerplate footer' || chr(10) ||
+        |    'row ' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM planted),
+        |ln AS (
+        |  SELECT doc_id, s.i AS p, s.l AS l FROM (
+        |    SELECT doc_id, unnest(list_transform(a, (x, i) -> {'i': i, 'l': x})) AS s
+        |    FROM ls)
+        |  WHERE trim(s.l) <> ''),
+        |kept AS (
+        |  SELECT doc_id, p, l FROM ln
+        |  QUALIFY row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
+        |SELECT doc_id, md5(string_agg(l, chr(10) ORDER BY p)) AS text_md5
+        |FROM kept GROUP BY 1""".stripMargin,
+
     "dd11_ngram_overlap" ->
       s"""WITH ${overlapCte(5)}
          |SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS hits

@@ -97,16 +97,19 @@ object TextQueries {
 
     // Gopher-style repetition/boilerplate filter (Rae et al. 2021 §A1.1):
     // per-doc n-gram repetition fractions + line-level boilerplate
-    // signals + the composite keep verdict — all codegen'd column
-    // algebra on the scan, shuffle-free
-    "tx8_repetition" -> ((s, dir) =>
+    // signals + the composite keep verdict — ONE native one-pass struct
+    // per doc on the scan (GopherSignals), shuffle-free; the column-
+    // algebra reference forms are equivalence-pinned in TextFilterSpec
+    "tx8_repetition" -> ((s, dir) => {
+      val g = TextAnalysis.gopherSignals(col("text"))
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.topNgramFraction(col("text"), 2).as("top2gram_frac"),
-        TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3gram_frac"),
-        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
-        TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"),
-        TextAnalysis.gopherKeep(col("text")).cast("int").as("keep"))),
+        g.getField("top2gram_frac").as("top2gram_frac"),
+        g.getField("dup3gram_frac").as("dup3gram_frac"),
+        g.getField("dup_line_frac").as("dup_line_frac"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("keep").cast("int").as("keep"))
+    }),
 
     // PII scrub: the corpus has no organic PII, so the query plants a
     // deterministic contact string derived from doc_id (identically in
@@ -177,7 +180,7 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val eval = docs.where(col("doc_id") < 50)
       val corpus = docs.where(col("doc_id") >= 50)
-      val kept = corpus.where(TextAnalysis.gopherKeep(col("text")))
+      val kept = corpus.where(TextAnalysis.gopherKeepNative(col("text")))
       val deduped = Dedup.dropExactDuplicates(kept)
       val clean = Dedup.decontaminateExact(deduped, eval, n = 5)
       Sampling.splitByHash(clean, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
@@ -223,6 +226,21 @@ object TextQueries {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
         threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    // C4-style corpus-wide line dedup: every doc gets an identical
+    // planted footer line (killed everywhere but the first doc) plus a
+    // unique per-doc line (always survives) — exercising multi-line
+    // semantics the single-line synthetic corpus can't; md5 pins the
+    // reassembled text
+    "dd13_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          lit("\nShared boilerplate footer"),
+          lit("\nrow "), col("doc_id")).as("text"))
+      Dedup.dropDuplicateLines(planted)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
     }),
 
     // exact n-gram collision decontamination (GPT-3 appendix-C rule,

@@ -330,6 +330,40 @@ object Dedup {
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2
+    * keep-first-occurrence; CCNet's paragraph hashing is the same shape):
+    * drop every non-blank line that already occurred ANYWHERE in the
+    * corpus — in a lower-id doc, or earlier in the same doc — then
+    * reassemble each document in original line order. The classic kill
+    * for boilerplate (nav bars, cookie banners, footers) that repeats
+    * across millions of pages but never makes whole docs near-dups.
+    * Documents whose every line is dropped disappear. Returns (id, text).
+    *
+    * Scale shape: posexplode lines (volume-linear) → ONE window ranked
+    * by (doc id, line position) partitioned on the line hash (md5 — a
+    * uniformly distributed shuffle key regardless of how skewed the
+    * boilerplate is) → keep rank 1 → one groupBy(id) reassembly via a
+    * sorted struct collect. Two shuffles, both linear, no pair joins.
+    * The per-bucket sort cost is bounded by the duplicate mass of THAT
+    * line, and a pathologically hot line (the empty-footer case) still
+    * sorts only its own occurrences. */
+  def dropDuplicateLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ln = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
+      .where(trim(col("__l")) =!= "")
+    val w = Window.partitionBy(md5(col("__l"))).orderBy(col(idCol), col("__p"))
+    ln
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__l")))).as("__a"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("__a"), e => e.getField("__l"))).as(textCol))
+  }
+
   /** Duplicate clustering: connected components over verified near-dup
     * pairs, labeling every clustered doc with the MINIMUM id of its
     * component (the canonical survivor). Returns (id, cluster).

@@ -278,4 +278,19 @@ object TextAnalysis {
       (topNgramFraction(text, 2) < 0.20) &&
       (dupNgramFraction(text, 3) < 0.60)
   }
+
+  /** All Gopher signals as ONE native one-pass struct
+    * ([[graft.functions.GopherSignals]]): fields (tok, mwl,
+    * top2gram_frac, dup3gram_frac, dup_line_frac, bullet_line_frac,
+    * ellipsis_line_frac, symbol_ratio, keep) — value-identical to the
+    * column forms above (equivalence-asserted in TextFilterSpec), ~100×
+    * cheaper per doc because the n-gram arrays are never materialized
+    * as Catalyst values. This is the form corpus-scale scans should
+    * use; the column forms stay as the reference semantics. */
+  def gopherSignals(text: Column): Column =
+    graft.functions.GopherSignals.gopherSignalsNative(text)
+
+  /** [[gopherKeep]] via the native one-pass kernel. */
+  def gopherKeepNative(text: Column): Column =
+    gopherSignals(text).getField("keep")
 }

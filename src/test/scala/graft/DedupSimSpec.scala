@@ -312,6 +312,22 @@ class DedupSimSpec extends SparkSpec {
     assert(h2 == Map(200L -> 2L))
   }
 
+  test("dropDuplicateLines keeps only the first corpus-wide occurrence " +
+    "of each line and reassembles docs in original order (dd13)") {
+    val docs = Seq(
+      (1L, "intro one\n\nshared footer\nbody A"),
+      (2L, "intro two\nshared footer\nbody B\nintro two"),
+      (3L, "shared footer")) // every line a dup → doc disappears
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // blank line dropped; doc 1 owns the footer (lowest id)
+    assert(out(1L) == "intro one\nshared footer\nbody A")
+    // footer deduped away; the WITHIN-doc repeat of "intro two" too
+    assert(out(2L) == "intro two\nbody B")
+    assert(!out.contains(3L))
+  }
+
   test("sampling: hash samples are deterministic, nested across rates, " +
     "and splits partition the corpus on stable boundaries") {
     import graft.text.Sampling

@@ -61,6 +61,63 @@ class TextFilterSpec extends SparkSpec {
     out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native GopherSignals is value-identical to the column reference " +
+    "forms on edge cases and randomized docs") {
+    val words = Seq("alpha", "beta", "gamma", "Delta", "x9", "#tag", "it's")
+    val rnd = new scala.util.Random(7)
+    val edge = Seq(
+      "", " ", "   ", "\t", "\n\n", "!!!", "a", "a b",
+      "- bullet one\n- bullet two\nplain",
+      "truncated line...\nanother…\nplain line",
+      "dup\ndup\ndup\nother",
+      "# lots # of # symbols # here # now",
+      "repeat repeat repeat repeat repeat repeat",
+      "line with trailing spaces   \n   leading spaces",
+      "ends with newline\n", "Ünïcodé tëxt with áccents",
+      "a  b   c    d") // multi-space runs
+    val random = Seq.tabulate(40) { _ =>
+      Seq.fill(rnd.nextInt(60) + 1) {
+        if (rnd.nextInt(8) == 0) "\n" else words(rnd.nextInt(words.size))
+      }.mkString(" ")
+    }
+    val docs = (edge ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val g = TextAnalysis.gopherSignals(col("text"))
+    val out = docs.select(
+      col("doc_id"),
+      g.getField("tok").as("n_tok"),
+      g.getField("mwl").as("n_mwl"),
+      g.getField("top2gram_frac").as("n_top2"),
+      g.getField("dup3gram_frac").as("n_dup3"),
+      g.getField("dup_line_frac").as("n_dupl"),
+      g.getField("bullet_line_frac").as("n_bul"),
+      g.getField("ellipsis_line_frac").as("n_ell"),
+      g.getField("symbol_ratio").as("n_sym"),
+      g.getField("keep").as("n_keep"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("r_tok"),
+      TextAnalysis.meanWordLength(col("text")).as("r_mwl"),
+      TextAnalysis.topNgramFraction(col("text"), 2).as("r_top2"),
+      TextAnalysis.dupNgramFraction(col("text"), 3).as("r_dup3"),
+      TextAnalysis.dupLineFraction(col("text")).as("r_dupl"),
+      TextAnalysis.bulletLineFraction(col("text")).as("r_bul"),
+      TextAnalysis.ellipsisLineFraction(col("text")).as("r_ell"),
+      round(TextAnalysis.symbolWordRatio(col("text")), 6).as("r_sym"),
+      TextAnalysis.gopherKeep(col("text")).as("r_keep"))
+      .collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == r.getLong(10), s"tok doc $id")
+      assert(r.getDouble(2) == r.getDouble(11), s"mwl doc $id")
+      assert(r.getDouble(3) == r.getDouble(12), s"top2 doc $id")
+      assert(r.getDouble(4) == r.getDouble(13), s"dup3 doc $id")
+      assert(r.getDouble(5) == r.getDouble(14), s"dup_line doc $id")
+      assert(r.getDouble(6) == r.getDouble(15), s"bullet doc $id")
+      assert(r.getDouble(7) == r.getDouble(16), s"ellipsis doc $id")
+      assert(r.getDouble(8) == r.getDouble(17), s"symbol doc $id")
+      assert(r.getBoolean(9) == r.getBoolean(18), s"keep doc $id")
+    }
+  }
+
   test("gopherKeep drops short, repetitive, and symbol-heavy docs") {
     val good = (1 to 30).map(i => s"alpha$i beta$i gamma$i delta$i").mkString(" ")
     val short = "too short to keep"
