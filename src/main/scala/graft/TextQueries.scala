@@ -344,6 +344,27 @@ object TextQueries {
       Similarity.pqTopK(embs.where(col("vec_id") < 5), encoded, cb, k = 5)
     }),
 
+    // IVFADC (the FAISS composition): IVF cells prune candidates, ADC
+    // over PQ codes scores them — corpus floats are never read after
+    // indexing; label-min centroids (as sim3) + vec_id<8 sub-codebooks
+    // (as sim6)
+    "sim7_ivfadc" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = embs
+        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
+        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
+          "__cid")
+        .select(col("label").as("cell_id"), col("centroid"))
+      val cb = embs.where(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("code"),
+          posexplode(transform(sequence(lit(0), lit(7)),
+            sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
+            .as(Seq("subspace", "subcentroid")))
+        .select(col("subspace"), col("code"), col("subcentroid"))
+      Similarity.ivfadcTopK(
+        embs.where(col("vec_id") < 5), embs, centroids, cb, k = 5)
+    }),
+
     // ---- multimodal plumbing ----
     "mm1_binary_meta" -> ((s, dir) => {
       val media = t(s, dir, "documents")

@@ -335,14 +335,51 @@ object Similarity {
     * per-subspace shuffle, no join back to the float vectors. Compose
     * with [[assignCells]]/[[ivfTopK]] cells to prune the streamed
     * corpus to the probed cells first — IVFADC. */
-  def pqTopK(
+  /** IVFADC (Jégou et al. 2011, the FAISS default): IVF cells prune the
+    * candidate set, ADC over PQ codes scores it — neither the pruning
+    * nor the scoring ever reads a corpus float vector after indexing.
+    * The index is (cell_id, codes) per corpus vector: [[assignCells]]
+    * once + [[pqEncode]] once, both linear; search joins the query's
+    * `nprobe` nearest cells against the index on cell_id (broadcast
+    * query side) and ranks by the same per-query distance table as
+    * [[pqTopK]]. Expected scan per query: nprobe/|cells| of the codes —
+    * the memory AND compute shape that survives a 100 TB embedding
+    * corpus. Output (query_id, neighbor_id, adist, rank). */
+  def ivfadcTopK(
       queries: DataFrame,
-      encoded: DataFrame, // (id, codes array<int>) from [[pqEncode]]
+      corpus: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid)
       codebooks: DataFrame, // (subspace, code, subcentroid)
       k: Int,
+      nprobe: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // fold the codebook to one nested-array row: __cb[s+1][c+1] = subcentroid
+    val index = assignCells(corpus, centroids, vecCol, idCol)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+      .join(pqEncode(corpus, codebooks, idCol, vecCol), idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    val qCells =
+      if (nprobe <= 1) assignCells(queries, centroids, vecCol, idCol)
+      else probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val q = withDistanceTable(
+      qCells.select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id")),
+      codebooks)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    index
+      .join(broadcast(q), "cell_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adcDistance(col("codes"), col("__dt")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** Fold `codebooks` onto each row of `df` as a per-query ADC distance
+    * table `__dt` (nested array: __dt[s+1][c+1] = ‖q_s − centroid_{s,c}‖²),
+    * computed as column algebra from the one-row nested codebook
+    * broadcast. Expects a `__qv` vector column. */
+  private def withDistanceTable(df: DataFrame, codebooks: DataFrame): DataFrame = {
     val cbRow = codebooks
       .groupBy(col("subspace"))
       .agg(array_sort(collect_list(struct(col("code"), col("subcentroid"))))
@@ -352,26 +389,40 @@ object Similarity {
         s => transform(s.getField("__cs"), c => c.getField("subcentroid")))
         .as("__cb"))
     val subDim = size(element_at(element_at(col("__cb"), 1), 1))
-    // per-query distance table in the same nested shape as __cb
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    df
       .crossJoin(broadcast(cbRow))
-      .select(col("query_id"),
+      .withColumn("__dt",
         transform(col("__cb"), (cents, s) =>
           transform(cents, c =>
             graft.functions.SquaredDistance.squaredDistanceNative(
-              slice(col("__qv"), s * subDim + 1, subDim), c))).as("__dt"))
-    val adist = aggregate(
-      transform(col("codes"), (c, s) =>
-        element_at(element_at(col("__dt"), s + 1), c + 1)),
+              slice(col("__qv"), s * subDim + 1, subDim), c))))
+      .drop("__cb", "__qv")
+  }
+
+  /** ADC distance: m fixed-order lookups of `codes` into the `dt`
+    * nested distance table, summed sequentially (deterministic). */
+  private def adcDistance(codes: Column, dt: Column): Column =
+    aggregate(
+      transform(codes, (c, s) => element_at(element_at(dt, s + 1), c + 1)),
       lit(0.0), (acc, d) => acc + d)
+
+  def pqTopK(
+      queries: DataFrame,
+      encoded: DataFrame, // (id, codes array<int>) from [[pqEncode]]
+      codebooks: DataFrame, // (subspace, code, subcentroid)
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withDistanceTable(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      codebooks)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     encoded
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", round(adist, 6))
+      .withColumn("adist", round(adcDistance(col("codes"), col("__dt")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist", "rank")

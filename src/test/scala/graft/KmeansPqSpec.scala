@@ -87,6 +87,25 @@ class KmeansPqSpec extends SparkSpec {
     assert(out.toList == List((0L, 1L, 0.0, 1), (0L, 2L, 400.0, 2)))
   }
 
+  test("ivfadcTopK prunes candidates to the probed cells and scores by " +
+    "ADC; nprobe widens the reach (sim7)") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(10f, 10f, 0f, 0f)), (3L, Seq(10f, 10f, 10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(10f, 10f, 10f, 10f)))
+      .toDF("cell_id", "centroid")
+    // cells: v0→0; v1, v2 tie (200 vs 200) → lower cell 0; v3→1
+    val q = vecs.where(col("vec_id") === 0)
+    val one = Similarity.ivfadcTopK(q, vecs, centroids, codebook, k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(one == List((1L, 200.0), (2L, 200.0))) // v3 pruned: other cell
+    val two = Similarity.ivfadcTopK(q, vecs, centroids, codebook, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    assert(two == List((1L, 200.0), (2L, 200.0), (3L, 400.0)))
+  }
+
   test("pqTopK matches brute force when quantization is lossless " +
     "(vectors ON the codebook grid)") {
     // every vector IS a codebook point → ADC distance = true distance
