@@ -145,6 +145,17 @@ object TextQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "window"))),
 
+    // token-budget selection: keep the highest-quality docs until a
+    // 10k-token budget fills — score histogram + bounded cumulative
+    // window + boundary-bin hash sampling, never a global sort
+    "sp5_token_budget" -> ((s, dir) =>
+      Sampling.selectByTokenBudget(
+        t(s, dir, "documents"), "doc_id",
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.tokenCount(col("text")),
+        budget = 10000)
+        .select(col("doc_id"))),
+
     // domain-mixture reweighting: per-source token mass -> the Bernoulli
     // rate hitting a 30/20/uniform-rest target mix with max retention
     "sp3_mixture_rates" -> ((s, dir) =>

@@ -103,6 +103,55 @@ object Sampling {
     * stratum, so the unpartitioned window over it is bounded by
     * construction, not a data-volume sort.
     */
+  /** Select the highest-quality documents until a token budget fills —
+    * the "take the best N tokens" curation step — WITHOUT a global sort:
+    * (1) one linear pass histograms token mass into `buckets` quantized
+    * score bins; (2) a cumulative window over the ≤`buckets`-row
+    * histogram (bounded by construction, not a data sort) finds the
+    * threshold bin and the fractional keep-rate inside it; (3) one
+    * linear filter keeps every doc above the threshold bin and
+    * hash-samples the boundary bin at that rate. Expected selected
+    * token mass = `budget` (exact above the boundary, Bernoulli inside
+    * it); membership is deterministic (stable id hash, no RNG).
+    *
+    * `scoreCol` must be in [0, 1] (e.g. TextAnalysis.qualityScore).
+    * Returns the selected rows. A budget ≥ the corpus keeps everything;
+    * a budget ≤ 0 keeps nothing. */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      tokensCol: Column,
+      budget: Long,
+      buckets: Int = 1000,
+      seed: String = "budget"): DataFrame = {
+    if (buckets <= 0) throw new ParameterError(s"buckets must be positive: $buckets")
+    val bin = least(floor(scoreCol * buckets).cast("int"), lit(buckets - 1))
+    val hist = df
+      .select(bin.as("__bin"), tokensCol.cast("long").as("__tok"))
+      .groupBy("__bin").agg(sum(col("__tok")).as("__mass"))
+    // bounded window: ≤ `buckets` rows by construction
+    val w = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("__cum", sum(col("__mass")).over(w))
+      .withColumn("__above", col("__cum") - col("__mass"))
+    // the boundary bin: first (descending) bin where cum >= budget;
+    // everything above it is kept whole, inside it keep rate fills the
+    // remainder; bins below contribute nothing
+    val thresholds = marked.select(
+      col("__bin"),
+      when(col("__cum") <= budget, 1.0)
+        .when(col("__above") >= budget, 0.0)
+        .otherwise((lit(budget) - col("__above")).cast("double") / col("__mass"))
+        .as("__rate"))
+    df
+      .withColumn("__bin", bin)
+      .join(broadcast(thresholds), Seq("__bin"), "left")
+      .where(hashUnit(col(idCol), seed) < coalesce(col("__rate"), lit(0.0)))
+      .drop("__bin", "__rate")
+  }
+
   def mixtureRates(
       df: DataFrame,
       stratumCol: String,

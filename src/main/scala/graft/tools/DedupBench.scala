@@ -103,6 +103,18 @@ object DedupBench {
         Dedup.simhashNearPairs(docs, maxHamming = 3).count())
       time(s"simhash 32b/4band pairs (ham<=3)")(
         Dedup.simhashNearPairs(docs, maxHamming = 3, bits = 32, bands = 4).count())
+      // eval set = every 1000th doc's text, re-id'd: each eval doc's
+      // 48-word core collides with its source group → hits ∝ eval size
+      val eval = docs.where(pmod(col("doc_id"), lit(1000L)) === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      time(s"exact 13-gram decontamination")(
+        Dedup.decontaminateExact(docs, eval, n = 13).count())
+      time(s"line dedup (corpus-wide)")(
+        Dedup.dropDuplicateLines(docs).count())
+      time(s"gopher signals filter (native)")(
+        docs.where(graft.text.TextAnalysis.gopherKeepNative(col("text"))).count())
+      time(s"unigram-LM cross-entropy (self-ref)")(
+        graft.text.LangModel.crossEntropy(docs, docs).count())
     }
 
     // Adversarial: one giant exact-duplicate clique — every doc lands in

@@ -328,6 +328,29 @@ class DedupSimSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("selectByTokenBudget keeps whole high bins, hash-samples the " +
+    "boundary bin at the fill rate, and degenerates cleanly (sp5)") {
+    import graft.text.Sampling
+    // three quality tiers, 10 docs × 10 tokens each
+    val rows = (0 until 10).map(i => (i.toLong, 0.95, 10L)) ++
+      (10 until 20).map(i => (i.toLong, 0.50, 10L)) ++
+      (20 until 30).map(i => (i.toLong, 0.10, 10L))
+    val df = rows.toDF("doc_id", "score", "tokens")
+    def sel(budget: Long) = Sampling.selectByTokenBudget(
+      df, "doc_id", col("score"), col("tokens"), budget)
+      .collect().map(_.getLong(0)).toSet
+    // budget = exactly the top tier → top tier kept whole, nothing else
+    assert(sel(100L) == (0L until 10L).toSet)
+    // budget 150: top tier whole + the 0.5 tier Bernoulli at rate 0.5 —
+    // membership must equal sampleByHash at the same rate and seed
+    val mid = Sampling.sampleByHash(
+      df.where(col("score") === 0.5), "doc_id", 0.5, seed = "budget")
+      .collect().map(_.getLong(0)).toSet
+    assert(sel(150L) == (0L until 10L).toSet ++ mid)
+    assert(sel(0L).isEmpty)
+    assert(sel(10000L) == (0L until 30L).toSet) // budget ≥ corpus: all
+  }
+
   test("sampling: hash samples are deterministic, nested across rates, " +
     "and splits partition the corpus on stable boundaries") {
     import graft.text.Sampling
