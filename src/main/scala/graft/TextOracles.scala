@@ -597,6 +597,20 @@ object TextOracles {
          |  SELECT corpus_id FROM verify WHERE jaccard >= 0.5)""".stripMargin
     },
 
+    "tx11_normalize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' A' || chr(778) || ' ring' ||
+        |    chr(7) || 'bell  wide   gaps' || chr(9) || chr(9) || 'tabs ' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t]+', ' ', 'g'))) AS clean_md5,
+        |  length(nfc_normalize(t))::BIGINT AS nfc_len,
+        |  length(t)::BIGINT AS raw_len
+        |FROM p""".stripMargin,
+
     "tx10_lm_score" ->
       s"""WITH $wordsCte,
          |tok AS (SELECT doc_id, t FROM

@@ -164,6 +164,19 @@ object TextQueries {
         targets = Map("src0" -> 0.30, "src1" -> 0.20),
         defaultTarget = 0.5 / 18)),
 
+    // unicode normalization + ingest cleanup: planted decomposed
+    // accents (e+◌́, A+◌̊), a control char, and space/tab runs —
+    // NFC composes, controls strip, runs collapse; md5 pins the result
+    "tx11_normalize" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" cafe\u0301 A\u030A ring\u0007bell  wide   gaps\t\ttabs "))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextAnalysis.cleanText(planted)).as("clean_md5"),
+        length(TextAnalysis.nfcNormalize(planted)).cast("long").as("nfc_len"),
+        length(planted).cast("long").as("raw_len"))
+    }),
+
     // unigram-LM quality scoring (CCNet-style): LM trained on the first
     // half of the corpus, every doc scored by cross-entropy against it —
     // high CE = off-domain/low-quality; micro-nat integer sums keep the

@@ -138,6 +138,22 @@ object TextAnalysis {
       .otherwise(array().cast("array<struct<chunk_id:int,n_tokens:bigint,chunk_text:string>>"))
   }
 
+  /** Unicode NFC normalization (native expression,
+    * [[graft.functions.NfcNormalize]]): composed and decomposed forms
+    * of the same glyph must dedup/fingerprint/shingle identically. */
+  def nfcNormalize(text: Column): Column =
+    graft.functions.NfcNormalize.nfcNormalizeNative(text)
+
+  /** Standard ingest cleanup: NFC normalize, strip C0/DEL control
+    * characters (keeping \n and \t structure first-class: \t collapses
+    * with spaces, \n survives as line structure), collapse space/tab
+    * runs to a single space, trim. One codegen'd pass on the scan. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Exact-content fingerprint: md5 of the raw text. */
   def contentHash(text: Column): Column = md5(text)
 

@@ -328,6 +328,21 @@ class DedupSimSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("ngramOverlap plan shape: eval grams broadcast, corpus never " +
+    "pair-joins the reference") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((100L, "one two three alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramOverlap(corpus, eval, n = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "the distinct eval-gram set must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "no shuffled or all-pairs join on the collision test")
+    assert(out.count() == 1)
+  }
+
   test("selectByTokenBudget keeps whole high bins, hash-samples the " +
     "boundary bin at the fill rate, and degenerates cleanly (sp5)") {
     import graft.text.Sampling

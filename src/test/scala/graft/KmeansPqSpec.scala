@@ -106,6 +106,25 @@ class KmeansPqSpec extends SparkSpec {
     assert(two == List((1L, 200.0), (2L, 200.0), (3L, 400.0)))
   }
 
+  test("pqTopK plan shape: the encoded corpus streams once — no " +
+    "Generate/explode, queries + codebook broadcast, rank-limited top-k") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(10f, 10f, 0f, 0f)), (3L, Seq(10f, 10f, 10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val encoded = Similarity.pqEncode(vecs, codebook)
+    val out = Similarity.pqTopK(
+      vecs.where(col("vec_id") === 0), encoded, codebook, k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "ADC scoring must not explode the corpus codes")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "query+distance-table side must broadcast")
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k must execute rank-limited, not sort-everything")
+    assert(out.count() == 2)
+  }
+
   test("pqTopK matches brute force when quantization is lossless " +
     "(vectors ON the codebook grid)") {
     // every vector IS a codebook point → ADC distance = true distance

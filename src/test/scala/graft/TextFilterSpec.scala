@@ -128,6 +128,20 @@ class TextFilterSpec extends SparkSpec {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
   }
 
+  test("NFC normalization composes decomposed glyphs; cleanText strips " +
+    "controls and collapses runs idempotently (tx11)") {
+    val decomposed = "cafe\u0301 and A\u030A"
+    val composed = "café and Å"
+    assert(one(decomposed, TextAnalysis.nfcNormalize(col("text"))) == composed)
+    // already-NFC text passes through unchanged
+    assert(one(composed, TextAnalysis.nfcNormalize(col("text"))) == composed)
+    val messy = "  ab  c\t\td  \nline2  "
+    assert(one(messy, TextAnalysis.cleanText(col("text"))) == "ab c d \nline2")
+    // idempotent: cleaning clean text is the identity
+    val once = one(messy, TextAnalysis.cleanText(col("text"))).asInstanceOf[String]
+    assert(one(once, TextAnalysis.cleanText(col("text"))) == once)
+  }
+
   test("PII counts and typed redaction") {
     val doc = "mail bob.smith+x@corp.example.org, host 192.168.0.1, " +
       "call 415-555-0042 or ssn 078-05-1120 end"
