@@ -824,6 +824,24 @@ object Oracles {
          |  round(mdd, 6) AS max_drawdown
          |FROM st""".stripMargin,
 
+    "perf_ratios" ->
+      s"""WITH $perfPkCte,
+         |st AS (
+         |  SELECT count(*) AS n_days, arg_max(c, date) AS endc, avg(r) AS mu,
+         |         stddev_samp(r) AS sigma,
+         |         avg(pow(least(r, 0.0), 2)) AS dvar,
+         |         min(CASE WHEN p <> 0 THEN c / p - 1 END) AS mdd,
+         |         CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins
+         |  FROM pk)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(sigma * sqrt(252.0), 6) AS ann_volatility,
+         |  round(CASE WHEN dvar > 0 THEN mu / sqrt(dvar) * sqrt(252.0) END, 6)
+         |    AS sortino,
+         |  round(CASE WHEN mdd < 0 AND endc > 0
+         |             THEN (pow(endc, 252.0 / n_days) - 1) / -mdd END, 6) AS calmar,
+         |  round(wins::DOUBLE / n_days, 6) AS hit_rate
+         |FROM st""".stripMargin,
+
     // rolling Sharpe: windowed mean/std over the per-date pico-sum
     // series; std accumulation order is engine-internal → 6dp rounding
     "perf_rolling" ->

@@ -845,6 +845,11 @@ object Queries {
     "perf_rolling" -> ((s, dir) =>
       graft.perf.Performance.rollingSharpe(dampedMelt(s, dir), window = 21)),
 
+    // risk ratios: annualized vol, Sortino, Calmar, hit rate — one
+    // bounded hash agg over the same per-date pico-sum series
+    "perf_ratios" -> ((s, dir) =>
+      graft.perf.Performance.ratios(dampedMelt(s, dir))),
+
     // benchmark-relative: beta/alpha/correlation of the damped demo
     // returns vs the D19 benchmark-return rows (sid 1's ffilled closes)
     "perf_benchmark" -> ((s, dir) => {

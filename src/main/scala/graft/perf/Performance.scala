@@ -136,6 +136,44 @@ object Performance {
         round(col("__corr"), 6).as("correlation"))
   }
 
+  /** Risk-ratio one-row summary: annualized volatility (σ×√P), Sortino
+    * (mean over downside deviation × √P, rf = 0, downside deviation as
+    * the root mean square of the NEGATIVE returns over ALL periods —
+    * the common convention), Calmar (CAGR / |max drawdown|), and hit
+    * rate (fraction of positive days — exact integer count ratio).
+    * Same bounded shape as [[summary]]: one hash agg over the per-date
+    * series; outputs rounded to 6 (unordered float accumulation is
+    * engine noise below that, the vsBenchmark stance). Sortino is null
+    * for an all-non-negative series (no downside), Calmar null when
+    * CAGR is undefined or the curve never drew down. */
+  def ratios(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val p = periodsPerYear.toDouble
+    val series = withCumFactor(dailyReturns(results, dateCol), dateCol)
+      .withColumn("__dd",
+        when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1))
+    series
+      .agg(
+        count(lit(1)).as("n_days"),
+        max_by(col("__cum"), col(dateCol)).as("__end"),
+        avg(col("return")).as("__mu"),
+        stddev_samp(col("return")).as("__sigma"),
+        avg(pow(least(col("return"), lit(0.0)), 2)).as("__dvar"),
+        min(col("__dd")).as("__mdd"),
+        sum(when(col("return") > 0, 1L).otherwise(0L)).as("__wins"))
+      .select(
+        col("n_days"),
+        round(col("__sigma") * math.sqrt(p), 6).as("ann_volatility"),
+        round(when(col("__dvar") > 0,
+          col("__mu") / sqrt(col("__dvar")) * math.sqrt(p)), 6).as("sortino"),
+        round(when(col("__mdd") < 0 && col("__end") > 0,
+          (pow(col("__end"), lit(p) / col("n_days")) - 1) / -col("__mdd")), 6)
+          .as("calmar"),
+        round(col("__wins").cast("double") / col("n_days"), 6).as("hit_rate"))
+  }
+
   /** One-row summary: n_days, total_return, CAGR (trading-day
     * annualization: (1+total)^(periodsPerYear/n) − 1), annualized Sharpe
     * (mean/std × √periodsPerYear, rf = 0), max drawdown. Outputs rounded

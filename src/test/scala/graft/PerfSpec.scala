@@ -48,6 +48,31 @@ class PerfSpec extends SparkSpec {
       math.rint((1.045 / 1.1 - 1) * 1e6) / 1e6)
   }
 
+  test("ratios: annualized vol, Sortino, Calmar, hit rate goldens; " +
+    "Sortino null with no downside") {
+    val s = Performance.ratios(melt).head
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(s.getAs[Long]("n_days") == 3L)
+    val rs = Seq(0.10, -0.05, 0.02)
+    val mu = rs.sum / 3
+    val sigma = math.sqrt(rs.map(r => (r - mu) * (r - mu)).sum / 2)
+    assert(s.getAs[Double]("ann_volatility") == q6(sigma * math.sqrt(252.0)))
+    val ddev = math.sqrt(rs.map(r => math.min(r, 0.0)).map(r => r * r).sum / 3)
+    assert(s.getAs[Double]("sortino") == q6(mu / ddev * math.sqrt(252.0)))
+    val cagr = math.pow(1.0659, 252.0 / 3) - 1
+    assert(s.getAs[Double]("calmar") == q6(cagr / 0.05))
+    assert(s.getAs[Double]("hit_rate") == q6(2.0 / 3))
+    // all-positive series: no downside, no drawdown → nulls
+    val up = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.02))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val u = Performance.ratios(up).head
+    assert(u.isNullAt(u.fieldIndex("sortino")))
+    assert(u.isNullAt(u.fieldIndex("calmar")))
+    assert(u.getAs[Double]("hit_rate") == 1.0)
+  }
+
   test("compounding survives a >100% daily loss: sign-aware cumprod, " +
     "CAGR null once the compounded value goes non-positive") {
     val leveraged = Seq(

@@ -162,6 +162,33 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(spark.table(qname).count() == batchDistinct)
   }
 
+  test("structured streaming: native expressions (cleanText, " +
+    "GopherSignals, NfcNormalize) run in streaming plans and match batch") {
+    import graft.text.TextAnalysis
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val streamed = spark.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    def curate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      md5(TextAnalysis.cleanText(col("text"))).as("clean_md5"),
+      TextAnalysis.gopherKeepNative(col("text")).as("keep"))
+    val qname = "native_stream_out"
+    val q = curate(streamed).writeStream
+      .outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val stream = spark.table(qname).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val batch = curate(raw).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("structured streaming: hourly windowed aggregation matches batch (§2.10 extra)") {
     // stream the events table with Trigger.AvailableNow into memory
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
