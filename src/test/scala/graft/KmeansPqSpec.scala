@@ -106,6 +106,23 @@ class KmeansPqSpec extends SparkSpec {
     assert(two == List((1L, 200.0), (2L, 200.0), (3L, 400.0)))
   }
 
+  test("end-to-end ANN train→index→search: kmeans centroids (double " +
+    "precision) feed ivfadcTopK over float vectors") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(10f, 10f, 0f, 0f)), (3L, Seq(10f, 10f, 10f, 10f)),
+      (4L, Seq(1f, 1f, 1f, 1f)), (5L, Seq(9f, 9f, 9f, 9f)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.kmeansCentroids(vecs, k = 2, iters = 2)
+    val out = Similarity.ivfadcTopK(
+      vecs.where(col("vec_id") === 0), vecs, trained, codebook,
+      k = 5, nprobe = 1)
+      .collect().map(r => r.getLong(1)).toList
+    // v0's trained cell contains the low-corner points; every returned
+    // neighbor must come from it and be ADC-ordered
+    assert(out.nonEmpty && out.forall(Set(1L, 2L, 4L).contains))
+  }
+
   test("pqTopK plan shape: the encoded corpus streams once — no " +
     "Generate/explode, queries + codebook broadcast, rank-limited top-k") {
     val vecs = Seq(
