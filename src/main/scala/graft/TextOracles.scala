@@ -681,6 +681,38 @@ object TextOracles {
         |SELECT doc_id, md5(string_agg(l, chr(10) ORDER BY p)) AS text_md5
         |FROM kept GROUP BY 1""".stripMargin,
 
+    "dd14_redact_spans" ->
+      s"""WITH $wordsCte,
+         |tok AS (
+         |  SELECT doc_id, s.i AS p, s.l AS tokn FROM (
+         |    SELECT doc_id, unnest(list_transform(w, (x, i) -> {'i': i, 'l': x})) AS s
+         |    FROM words)
+         |  WHERE s.l <> '' AND doc_id >= 50),
+         |gr AS (
+         |  SELECT doc_id, s.i AS p, s.g AS g FROM (
+         |    SELECT doc_id,
+         |      unnest(CASE WHEN len(w) >= 5
+         |             THEN list_transform(range(1, len(w) - 3),
+         |                    i -> {'i': i, 'g': array_to_string(w[i:i+4], ' ')})
+         |             ELSE [] END) AS s
+         |    FROM words WHERE doc_id >= 50)),
+         |refs AS (SELECT DISTINCT * FROM (
+         |  SELECT unnest(CASE WHEN len(w) >= 5
+         |           THEN list_transform(range(1, len(w) - 3),
+         |                  i -> array_to_string(w[i:i+4], ' '))
+         |           ELSE [] END) AS g
+         |  FROM words WHERE doc_id < 50)),
+         |covered AS (
+         |  SELECT DISTINCT gr.doc_id, gr.p + t.o AS p
+         |  FROM gr JOIN refs USING (g), range(0, 5) t(o)),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.tokn
+         |  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.doc_id IS NULL)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  md5(string_agg(tokn, ' ' ORDER BY p)) AS redacted_md5
+         |FROM kept GROUP BY 1""".stripMargin,
+
     "dd11_ngram_overlap" ->
       s"""WITH ${overlapCte(5)}
          |SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS hits

@@ -276,6 +276,15 @@ object TextQueries {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
     }),
 
+    // span redaction: excise exactly the tokens covered by a quoted
+    // eval 5-gram, keep the rest of the doc (normalized token space)
+    "dd14_redact_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.redactContaminated(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
+        .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("redacted_md5"))
+    }),
+
     "dd12_exact_decontaminated" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminateExact(

@@ -330,6 +330,61 @@ object Dedup {
         .select(col("corpus_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Contaminated-SPAN redaction: instead of dropping every corpus doc
+    * that quotes an eval n-gram ([[decontaminateExact]] — which wastes
+    * an entire document over one quoted benchmark sentence), excise
+    * exactly the tokens covered by some matching n-gram and keep the
+    * rest. Returns (id, n_tokens, text) in NORMALIZED token space (the
+    * n-gram match space — lowercased alphanumeric words; raw-byte
+    * offsets don't survive word-level shingling, and training corpora
+    * are tokenized downstream anyway). Docs whose every token is
+    * covered (or that normalize to nothing) disappear.
+    *
+    * Scale shape: reference grams hash + distinct + broadcast (as
+    * [[ngramOverlap]]); corpus tokens posexplode once; gram assembly
+    * rides ONE per-doc window; flagged gram starts explode to n covered
+    * positions each — extra rows ∝ collision mass only — and the
+    * anti-join + reassembly ride the id partitioning. Volume-linear,
+    * no pair joins. */
+  def redactContaminated(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13,
+      broadcastRef: Boolean = true): DataFrame = {
+    val refGrams = shingleRows(ref, idCol, textCol, n)
+      .select(md5(col("__s")).as("__h")).distinct()
+    val toks = corpus
+      .select(col(idCol),
+        posexplode(
+          split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")), "\\s+"))
+          .as(Seq("__p", "__w")))
+      .where(col("__w") =!= "")
+    val w = Window.partitionBy(idCol).orderBy("__p")
+    val parts = (0 until n).map { k =>
+      (if (k == 0) col("__w") else lead(col("__w"), k).over(w)).as(s"__w$k")
+    }
+    val grams = toks
+      .select(col(idCol) +: col("__p") +: parts: _*)
+      .where(col(s"__w${n - 1}").isNotNull)
+      .select(col(idCol), col("__p"),
+        md5(concat_ws(" ", (0 until n).map(i => col(s"__w$i")): _*)).as("__h"))
+    val covered = grams
+      .join(if (broadcastRef) broadcast(refGrams) else refGrams, "__h")
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__p"))
+      .distinct()
+    toks
+      .join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_sort(collect_list(struct(col("__p"), col("__w")))).as("__a"))
+      .select(col(idCol), col("n_tokens"),
+        concat_ws(" ", transform(col("__a"), e => e.getField("__w"))).as(textCol))
+  }
+
   /** C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2
     * keep-first-occurrence; CCNet's paragraph hashing is the same shape):
     * drop every non-blank line that already occurred ANYWHERE in the

@@ -312,6 +312,24 @@ class DedupSimSpec extends SparkSpec {
     assert(h2 == Map(200L -> 2L))
   }
 
+  test("redactContaminated excises exactly the quoted spans, keeps the " +
+    "rest, and vanishes fully-covered docs (dd14)") {
+    val eval = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // quote mid-doc: only the 5 covered tokens go
+      (100L, "one two three alpha beta gamma delta epsilon four five"),
+      // two disjoint quotes cover everything → doc disappears
+      (101L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+      // clean doc survives whole — but in normalized token space
+      (102L, "Hello, World! Nothing shared HERE with their evals"))
+      .toDF("doc_id", "text")
+    val out = Dedup.redactContaminated(corpus, eval, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(100L) == ((5L, "one two three four five")))
+    assert(!out.contains(101L))
+    assert(out(102L) == ((8L, "hello world nothing shared here with their evals")))
+  }
+
   test("dropDuplicateLines keeps only the first corpus-wide occurrence " +
     "of each line and reassembles docs in original order (dd13)") {
     val docs = Seq(
