@@ -49,6 +49,20 @@ class ExceptionsSpec extends SparkSpec {
     assert(e.isInstanceOf[GraftError])
   }
 
+  test("LLM-pipeline operator misconfiguration raises ParameterError: " +
+    "kmeans k, DSIR buckets, budget-selection buckets, sample rates") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val vecs = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    import graft.text.{LangModel, Sampling}
+    import graft.sim.Similarity
+    intercept[ParameterError](Similarity.kmeansCentroids(vecs, k = 0))
+    intercept[ParameterError](Similarity.kmeansCentroids(vecs, k = 2, iters = -1))
+    intercept[ParameterError](LangModel.dsirLogWeights(docs, docs, docs, buckets = 0))
+    intercept[ParameterError](Sampling.selectByTokenBudget(
+      docs, "doc_id", lit(0.5), lit(1L), budget = 10, buckets = 0))
+    intercept[ParameterError](Sampling.sampleByHash(docs, "doc_id", 1.5))
+  }
+
   test("unknown modelType raises ParameterError (ml.py:216 family)") {
     val p = java.nio.file.Files.createTempFile("graft_badmodel", ".json")
     java.nio.file.Files.writeString(p, """{"modelType":"keras"}""")
