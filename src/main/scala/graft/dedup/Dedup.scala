@@ -343,9 +343,9 @@ object Dedup {
     * Scale shape: reference grams hash + distinct + broadcast (as
     * [[ngramOverlap]]); corpus tokens posexplode once; gram assembly
     * rides ONE per-doc window; flagged gram starts explode to n covered
-    * positions each — extra rows ∝ collision mass only — and the
-    * anti-join + reassembly ride the id partitioning. Volume-linear,
-    * no pair joins. */
+    * positions each — extra rows ∝ collision mass only. Three linear
+    * shuffles total (gram window on id, covered-position dedup and
+    * anti-join on (id, position), reassembly on id); no pair joins. */
   def redactContaminated(
       corpus: DataFrame,
       ref: DataFrame,
