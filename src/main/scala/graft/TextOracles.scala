@@ -597,6 +597,64 @@ object TextOracles {
          |  SELECT corpus_id FROM verify WHERE jaccard >= 0.5)""".stripMargin
     },
 
+    // corpus report: language pick (tx2), Gopher keep (tx8 CTEs),
+    // quality (tx3 formula), micro-quantized quality mean
+    "tx12_corpus_report" -> {
+      val stop = langScore("en")
+      val scores = Seq("de", "en", "es", "fr", "it")
+        .map(l => s"(${langScore(l)}) AS s_$l").mkString(", ")
+      s"""WITH $ltCte,
+         |$gopherCtes,
+         |sc AS (SELECT doc_id, $scores FROM lt),
+         |pick AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it)
+         |              AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it)
+         |              AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it)
+         |              AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it)
+         |              AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN 'fr'
+         |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it)
+         |              AND greatest(s_de, s_en, s_es, s_fr, s_it) > 0 THEN 'it'
+         |         ELSE 'und' END AS lang_id
+         |  FROM sc),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round((CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN (CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END)
+         |                 >= 3 AND
+         |                 (CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END)
+         |                 <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |      least((CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END) * 5.0,
+         |            1.0) * 0.2 +
+         |      (1.0 - least((CASE WHEN n > 0 THEN digit::DOUBLE / n ELSE 0.0 END) * 5.0,
+         |                   1.0)) * 0.2, 6) AS quality,
+         |    tok
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |      length(text) AS n,
+         |      length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |      (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |      ($stop) AS stops
+         |    FROM lt)),
+         |keepv AS (SELECT doc_id, CAST($gopherKeepSql AS INT) AS keep FROM fr)
+         |SELECT p.lang_id, d.source, count(*)::BIGINT AS docs,
+         |  CAST(sum(q.tok) AS BIGINT) AS tokens,
+         |  round(sum(k.keep)::DOUBLE / count(*), 6) AS keep_rate,
+         |  round(CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS BIGINT)::DOUBLE
+         |        / count(*) / 1000000, 6) AS mean_quality
+         |FROM documents d
+         |JOIN pick p USING (doc_id)
+         |JOIN qual q USING (doc_id)
+         |JOIN keepv k USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     "tx11_normalize" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -164,6 +164,30 @@ object TextQueries {
         targets = Map("src0" -> 0.30, "src1" -> 0.20),
         defaultTarget = 0.5 / 18)),
 
+    // corpus-health report: per-(language, source) doc counts, token
+    // mass, Gopher-keep rate, and mean quality — the dashboard every
+    // curation run publishes; integer sums + micro-quantized quality
+    // mean so the aggregate hash-compares exactly
+    "tx12_corpus_report" -> ((s, dir) => {
+      val g = TextAnalysis.gopherSignals(col("text"))
+      t(s, dir, "documents")
+        .select(
+          TextAnalysis.langId(col("text")).as("lang_id"),
+          col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+          g.getField("keep").cast("long").as("__keep"),
+          round(TextAnalysis.qualityScore(col("text")) * 1e6, 0)
+            .cast("long").as("__qm"))
+        .groupBy(col("lang_id"), col("source"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("__tok")).as("tokens"),
+          round(sum(col("__keep")).cast("double") / count(lit(1)), 6)
+            .as("keep_rate"),
+          round(sum(col("__qm")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_quality"))
+    }),
+
     // unicode normalization + ingest cleanup: planted decomposed
     // accents (e+◌́, A+◌̊), a control char, and space/tab runs —
     // NFC composes, controls strip, runs collapse; md5 pins the result
