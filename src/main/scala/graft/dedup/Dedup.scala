@@ -249,10 +249,16 @@ object Dedup {
       withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
         .select(col(idCol).as(as), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
     val rm = melted(ref, "ref_id")
+    // materialize the candidate pairs once (∝ cross-duplicate mass):
+    // they are referenced three times below (verify join + both
+    // semi-join prunes), and relying on runtime exchange reuse leaves
+    // the two minhash sig pipelines exposed to partial re-execution —
+    // the duplicateClusters edge-list lesson
     val cands = melted(corpus, "corpus_id")
       .join(if (broadcastRef) broadcast(rm) else rm, Seq("__band", "__bk"))
       .select("corpus_id", "ref_id")
       .distinct()
+      .localCheckpoint()
     def prunedShingles(docs: DataFrame, as: String, ids: DataFrame) =
       shingleRows(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
         idCol, textCol, shingleSize)
