@@ -663,7 +663,7 @@ object TextOracles {
         |  FROM documents)
         |SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(nfc_normalize(t),
-        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
         |      '[ \t]+', ' ', 'g'))) AS clean_md5,
         |  length(nfc_normalize(t))::BIGINT AS nfc_len,
         |  length(t)::BIGINT AS raw_len

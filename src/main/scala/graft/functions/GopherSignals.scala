@@ -168,8 +168,14 @@ object GopherSignals {
     val ellipsis = if (nLines > 0) round6(nEllipsis.toDouble / nLines) else 0.0
 
     // normalized words (TextAnalysis.normWords); the empty-doc guard of
-    // wordNgrams keys on the ORIGINAL text's trim, mirrored here
-    val norm = trimSpaces(nonAlnumPattern.matcher(text.toLowerCase).replaceAll(" "))
+    // wordNgrams keys on the ORIGINAL text's trim, mirrored here.
+    // Lowercase through Spark's own UTF8String path, NOT
+    // String.toLowerCase(): on a tr-TR-locale JVM the latter maps ASCII
+    // 'I' to dotless 'ı' while Spark's lower() lowercases pure-ASCII
+    // strings byte-wise — UTF8String.toLowerCase IS the lower()
+    // kernel, so parity holds on every locale by construction
+    val lower = UTF8String.fromString(text).toLowerCase.toString
+    val norm = trimSpaces(nonAlnumPattern.matcher(lower).replaceAll(" "))
     val words: Array[String] =
       if (trimmed.isEmpty) Array.empty else wsPattern.split(norm, -1)
     val nw = words.length

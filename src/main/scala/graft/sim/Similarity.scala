@@ -298,19 +298,61 @@ object Similarity {
     * → min_by partial agg keyed on (id, subspace) — the ×(m·k_sub) row
     * blowup collapses map-side — then one array assembly per id.
     * Returns (id, codes array<int>). */
+  /** Driver-side codebook contract check — the codebook is
+    * dimension-sized by construction (it broadcasts), so this bounded
+    * collect follows the same contract as the commission-dispatch
+    * coverage validation: subspaces dense 0..m−1, codes dense
+    * 0..k_sub−1 within each subspace (the ADC distance table indexes
+    * by code), uniform sub-centroid dimension. Returns (m, subDim). */
+  private def codebookShape(codebooks: DataFrame): (Int, Int) = {
+    val rows = codebooks
+      .groupBy(col("subspace").cast("int").as("__s"))
+      .agg(
+        count(lit(1)).as("__n"), count_distinct(col("code")).as("__nc"),
+        min(col("code").cast("int")).as("__lo"), max(col("code").cast("int")).as("__hi"),
+        min(size(col("subcentroid"))).as("__dlo"), max(size(col("subcentroid"))).as("__dhi"))
+      .collect()
+    if (rows.isEmpty) throw new ParameterError("codebooks must be non-empty")
+    val subs = rows.map(_.getAs[Int]("__s")).sorted
+    if (!subs.sameElements(Array.range(0, subs.length)))
+      throw new ParameterError(
+        s"codebook subspaces must be dense 0..m-1: ${subs.mkString(", ")}")
+    rows.foreach { r =>
+      if (r.getAs[Long]("__nc") != r.getAs[Long]("__n") ||
+        r.getAs[Int]("__lo") != 0 || r.getAs[Int]("__hi") != r.getAs[Long]("__n") - 1)
+        throw new ParameterError(
+          s"codebook codes must be dense 0..k_sub-1 within subspace ${r.getAs[Int]("__s")}")
+    }
+    val dims = rows.flatMap(r => Seq(r.getAs[Int]("__dlo"), r.getAs[Int]("__dhi"))).distinct
+    if (dims.length != 1)
+      throw new ParameterError(
+        s"sub-centroid dimensions must be uniform: ${dims.sorted.mkString(", ")}")
+    (subs.length, dims.head)
+  }
+
+  /** Per-row tiling guard: [[graft.functions.SquaredDistance]] loops to
+    * the SHORTER array, so a vector that doesn't tile the codebook's
+    * m×subDim layout would silently encode/score a prefix — raise
+    * instead (the Performance.dailyReturns loud-failure stance). */
+  private def guardedSubDist(vec: Column, sub: Column, m: Int, subDim: Int): Column =
+    when(size(vec) =!= m * subDim,
+      raise_error(format_string(
+        s"vector length %s does not tile the codebook's $m×$subDim subspaces",
+        size(vec).cast("string"))).cast("double"))
+      .otherwise(
+        graft.functions.SquaredDistance.squaredDistanceNative(
+          slice(vec, col("subspace") * subDim + 1, lit(subDim)), sub))
+
   def pqEncode(
       vectors: DataFrame,
       codebooks: DataFrame, // (subspace, code, subcentroid)
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val subDim = size(col("subcentroid"))
+    val (m, subDim) = codebookShape(codebooks)
     vectors
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(codebooks))
-      .withColumn("__dist",
-        graft.functions.SquaredDistance.squaredDistanceNative(
-          slice(col(vecCol), col("subspace") * subDim + 1, subDim),
-          col("subcentroid")))
+      .withColumn("__dist", guardedSubDist(col(vecCol), col("subcentroid"), m, subDim))
       .groupBy(col(idCol), col("subspace"))
       .agg(min_by(col("code"), struct(col("__dist"), col("code"))).as("__code"))
       .groupBy(col(idCol))
@@ -319,22 +361,6 @@ object Similarity {
         transform(col("__a"), e => e.getField("__code").cast("int")).as("codes"))
   }
 
-  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance
-    * of each query to each PQ-encoded corpus vector as the sum of
-    * per-subspace exact distances query→sub-centroid, looked up from a
-    * per-query distance table. Output (query_id, neighbor_id, adist,
-    * rank) — adist ascending, ties by neighbor id, rounded to 6 (last-
-    * ulp tolerance stance of the sim family).
-    *
-    * Scale shape: the codebook folds into ONE nested-array row (≤
-    * k_sub·d doubles by construction) broadcast onto the query side,
-    * where the m×k_sub distance table is precomputed per query as
-    * column algebra; the encoded corpus then streams ONCE through a
-    * crossJoin(broadcast(queries)) and each pair costs m array lookups
-    * summed in fixed subspace order (deterministic) — no explode, no
-    * per-subspace shuffle, no join back to the float vectors. Compose
-    * with [[assignCells]]/[[ivfTopK]] cells to prune the streamed
-    * corpus to the probed cells first — IVFADC. */
   /** IVFADC (Jégou et al. 2011, the FAISS default): IVF cells prune the
     * candidate set, ADC over PQ codes scores it — neither the pruning
     * nor the scoring ever reads a corpus float vector after indexing.
@@ -361,9 +387,10 @@ object Similarity {
     val qCells =
       if (nprobe <= 1) assignCells(queries, centroids, vecCol, idCol)
       else probeCells(queries, centroids, vecCol, idCol, nprobe)
+    val (m, subDim) = codebookShape(codebooks)
     val q = withDistanceTable(
       qCells.select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id")),
-      codebooks)
+      codebooks, m, subDim)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     index
@@ -378,8 +405,10 @@ object Similarity {
   /** Fold `codebooks` onto each row of `df` as a per-query ADC distance
     * table `__dt` (nested array: __dt[s+1][c+1] = ‖q_s − centroid_{s,c}‖²),
     * computed as column algebra from the one-row nested codebook
-    * broadcast. Expects a `__qv` vector column. */
-  private def withDistanceTable(df: DataFrame, codebooks: DataFrame): DataFrame = {
+    * broadcast. Expects a `__qv` vector column; query vectors that
+    * don't tile m×subDim raise (same stance as [[guardedSubDist]]). */
+  private def withDistanceTable(
+      df: DataFrame, codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
     val cbRow = codebooks
       .groupBy(col("subspace"))
       .agg(array_sort(collect_list(struct(col("code"), col("subcentroid"))))
@@ -388,14 +417,19 @@ object Similarity {
       .select(transform(col("__a"),
         s => transform(s.getField("__cs"), c => c.getField("subcentroid")))
         .as("__cb"))
-    val subDim = size(element_at(element_at(col("__cb"), 1), 1))
     df
       .crossJoin(broadcast(cbRow))
       .withColumn("__dt",
         transform(col("__cb"), (cents, s) =>
           transform(cents, c =>
-            graft.functions.SquaredDistance.squaredDistanceNative(
-              slice(col("__qv"), s * subDim + 1, subDim), c))))
+            when(size(col("__qv")) =!= m * subDim,
+              raise_error(format_string(
+                s"query vector length %s does not tile the codebook's " +
+                  s"$m×$subDim subspaces",
+                size(col("__qv")).cast("string"))).cast("double"))
+              .otherwise(
+                graft.functions.SquaredDistance.squaredDistanceNative(
+                  slice(col("__qv"), s * subDim + 1, lit(subDim)), c)))))
       .drop("__cb", "__qv")
   }
 
@@ -406,6 +440,21 @@ object Similarity {
       transform(codes, (c, s) => element_at(element_at(dt, s + 1), c + 1)),
       lit(0.0), (acc, d) => acc + d)
 
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared distance
+    * of each query to each PQ-encoded corpus vector as the sum of
+    * per-subspace exact distances query→sub-centroid, looked up from a
+    * per-query distance table. Output (query_id, neighbor_id, adist,
+    * rank) — adist ascending, ties by neighbor id, rounded to 6 (last-
+    * ulp tolerance stance of the sim family).
+    *
+    * Scale shape: the codebook folds into ONE nested-array row (≤
+    * k_sub·d doubles by construction) broadcast onto the query side,
+    * where the m×k_sub distance table is precomputed per query as
+    * column algebra; the encoded corpus then streams ONCE through a
+    * crossJoin(broadcast(queries)) and each pair costs m array lookups
+    * summed in fixed subspace order (deterministic) — no explode, no
+    * per-subspace shuffle, no join back to the float vectors.
+    * [[ivfadcTopK]] composes this with IVF cell pruning. */
   def pqTopK(
       queries: DataFrame,
       encoded: DataFrame, // (id, codes array<int>) from [[pqEncode]]
@@ -413,9 +462,10 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val (m, subDim) = codebookShape(codebooks)
     val q = withDistanceTable(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      codebooks)
+      codebooks, m, subDim)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     encoded

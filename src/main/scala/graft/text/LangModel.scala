@@ -61,7 +61,12 @@ object LangModel {
       idCol: String = "doc_id",
       textCol: String = "text",
       broadcastVocab: Boolean = false): DataFrame = {
-    val counts = unigramCounts(ref, textCol)
+    // materialize the vocab counts once: they feed BOTH the scalar
+    // stats agg and the per-token scoring join, and relying on runtime
+    // exchange reuse leaves the reference-corpus explode+groupBy
+    // exposed to re-execution (the crossNearDuplicates lesson); the
+    // frame is vocab-sized, not corpus-sized
+    val counts = unigramCounts(ref, textCol).localCheckpoint()
     // ONE integer scalar row: total token mass T and vocab size V
     val stats = counts.agg(
       sum(col("__cnt")).as("__T"), count(lit(1)).as("__V"))
@@ -122,8 +127,13 @@ object LangModel {
       graft.dedup.Dedup.shingleRows(corpus, idCol, textCol, n = 2)
         .select(featureBucket(col("__s"), buckets).as("__b"))
 
+    // each bucket-count frame (≤ `buckets` rows) feeds both the ratio
+    // table and its totals agg — materialize instead of re-running the
+    // corpus shingle pipelines (see crossEntropy's counts note)
     val tCnt = bucketRows(target).groupBy("__b").agg(count(lit(1)).as("__ct"))
+      .localCheckpoint()
     val rCnt = bucketRows(raw).groupBy("__b").agg(count(lit(1)).as("__cr"))
+      .localCheckpoint()
     // ≤ `buckets` rows: the full smoothed ratio table, broadcastable by
     // construction (buckets absent from both corpora never join anyway —
     // their micro term would be ln(1)−ln(1) = 0, matching the coalesce)

@@ -145,13 +145,14 @@ object TextAnalysis {
     graft.functions.NfcNormalize.nfcNormalizeNative(text)
 
   /** Standard ingest cleanup: NFC normalize, strip C0/DEL control
-    * characters (keeping \n and \t structure first-class: \t collapses
-    * with spaces, \n survives as line structure), collapse space/tab
+    * characters — INCLUDING \r, so CRLF and LF encodings of the same
+    * content clean to identical bytes — keeping \n (line structure)
+    * and \t (collapsed with spaces) first-class, collapse space/tab
     * runs to a single space, trim. One codegen'd pass on the scan. */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(nfcNormalize(text),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       "[ \\t]+", " "))
 
   /** Exact-content fingerprint: md5 of the raw text. */

@@ -106,6 +106,31 @@ class KmeansPqSpec extends SparkSpec {
     assert(two == List((1L, 200.0), (2L, 200.0), (3L, 400.0)))
   }
 
+  test("PQ validation: malformed codebooks raise ParameterError, " +
+    "non-tiling vectors fail loudly instead of encoding a prefix") {
+    val vecs = Seq((1L, Seq(1f, 0f, 9f, 9f))).toDF("vec_id", "embedding")
+    // codes not dense within a subspace
+    val gappy = Seq((0, 0, Seq(0f, 0f)), (0, 2, Seq(10f, 10f)),
+      (1, 0, Seq(0f, 0f)), (1, 1, Seq(10f, 10f)))
+      .toDF("subspace", "code", "subcentroid")
+    intercept[ParameterError](Similarity.pqEncode(vecs, gappy))
+    // subspaces not dense
+    val skipped = Seq((0, 0, Seq(0f, 0f)), (2, 0, Seq(0f, 0f)))
+      .toDF("subspace", "code", "subcentroid")
+    intercept[ParameterError](Similarity.pqEncode(vecs, skipped))
+    // non-uniform sub-dimension
+    val ragged = Seq((0, 0, Seq(0f, 0f)), (1, 0, Seq(0f, 0f, 0f)))
+      .toDF("subspace", "code", "subcentroid")
+    intercept[ParameterError](Similarity.pqEncode(vecs, ragged))
+    // 6-dim vector cannot tile the 2×2 codebook → runtime raise, not a
+    // silent prefix encode
+    val bad = Seq((1L, Seq(1f, 0f, 9f, 9f, 1f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.pqEncode(bad, codebook).collect())
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("does not tile") ||
+        Option(e.getCause).exists(_.getMessage.contains("does not tile"))))
+  }
+
   test("end-to-end ANN train→index→search: kmeans centroids (double " +
     "precision) feed ivfadcTopK over float vectors") {
     val vecs = Seq(

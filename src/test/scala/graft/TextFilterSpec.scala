@@ -135,11 +135,14 @@ class TextFilterSpec extends SparkSpec {
     assert(one(decomposed, TextAnalysis.nfcNormalize(col("text"))) == composed)
     // already-NFC text passes through unchanged
     assert(one(composed, TextAnalysis.nfcNormalize(col("text"))) == composed)
-    val messy = "  ab  c\t\td  \nline2  "
+    val messy = "  a\u0007b  c\t\td  \nline2  "
     assert(one(messy, TextAnalysis.cleanText(col("text"))) == "ab c d \nline2")
     // idempotent: cleaning clean text is the identity
     val once = one(messy, TextAnalysis.cleanText(col("text"))).asInstanceOf[String]
     assert(one(once, TextAnalysis.cleanText(col("text"))) == once)
+    // CRLF and LF encodings of the same content clean identically
+    assert(one("line1\r\nline2\r\n", TextAnalysis.cleanText(col("text"))) ==
+      one("line1\nline2\n", TextAnalysis.cleanText(col("text"))))
   }
 
   test("PII counts and typed redaction") {
