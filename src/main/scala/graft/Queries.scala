@@ -130,7 +130,7 @@ object Queries {
     // N1 ∪ N2 minus N2 → nation-1 suppliers only ----
     "s1_universes" -> ((s, dir) => {
       import graft.sources.Sources
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s1u_panel"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s1u_panel").toString
       supplierPanel(s, dir)
         .select(col("sid").cast("string").as("sid"), col("date"), col("close"))
         .write.mode("overwrite").parquet(tmp)
@@ -152,7 +152,7 @@ object Queries {
     "w7_lookback_widen" -> ((s, dir) => {
       import graft.sources.Sources
       implicit val k: Keys = liKeys
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_w7_panel"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_w7_panel").toString
       supplierPanel(s, dir).write.mode("overwrite").parquet(tmp)
       Sources.prices(s, tmp,
         Sources.PriceQuery(startDate = Some("1996-01-01"), lookbackBars = 20))

@@ -425,11 +425,14 @@ object TextOracles {
         |  FROM tok),
         |w AS (
         |  SELECT *, CAST(sum(tokens) OVER () AS BIGINT) AS total,
-        |    min(CASE WHEN tgt > 0 THEN tokens::DOUBLE / tgt END) OVER () AS lambda
+        |    min(CASE WHEN tgt > 0 AND tokens > 0
+        |             THEN tokens::DOUBLE / tgt END) OVER () AS lambda
         |  FROM t)
         |SELECT stratum, tokens,
         |  round(tokens::DOUBLE / total, 6) AS share,
-        |  round(CASE WHEN tgt > 0 THEN least(1.0::DOUBLE, lambda * tgt / tokens)
+        |  round(CASE WHEN tgt > 0 AND tokens > 0
+        |             THEN least(1.0::DOUBLE, lambda * tgt / tokens)
+        |        WHEN tgt > 0 THEN 1.0::DOUBLE
         |        ELSE 0.0::DOUBLE END, 6) AS rate
         |FROM w""".stripMargin,
 

@@ -243,19 +243,36 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      broadcastRef: Boolean = true): DataFrame = {
+      broadcastRef: Boolean = true,
+      maxBucket: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map(b => col(s"band_$b"))
+    // each melt is referenced twice (hot-key census + the guarded join)
+    // — materialize rather than re-running the minhash sig pipeline
     def melted(docs: DataFrame, as: String) =
       withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
         .select(col(idCol).as(as), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
+        .localCheckpoint()
     val rm = melted(ref, "ref_id")
+    val cm = melted(corpus, "corpus_id")
+    // degenerate-bucket guard (same stance as minhashCandidates'
+    // maxBucket): shared boilerplate can put m corpus × n ref docs into
+    // ONE (band, key) bucket, and the equi-join would emit m·n rows in
+    // a single task — drop any bucket exceeding maxBucket on EITHER
+    // side (observably few keys by definition, so the anti-join
+    // broadcasts); candidate cost stays ∝ true cross-duplicate mass
+    def hotKeys(df: DataFrame) = df
+      .groupBy("__band", "__bk").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucket).select("__band", "__bk")
+    val hot = hotKeys(cm).union(hotKeys(rm)).distinct()
+    val cmOk = cm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
+    val rmOk = rm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
     // materialize the candidate pairs once (∝ cross-duplicate mass):
     // they are referenced three times below (verify join + both
     // semi-join prunes), and relying on runtime exchange reuse leaves
     // the two minhash sig pipelines exposed to partial re-execution —
     // the duplicateClusters edge-list lesson
-    val cands = melted(corpus, "corpus_id")
-      .join(if (broadcastRef) broadcast(rm) else rm, Seq("__band", "__bk"))
+    val cands = cmOk
+      .join(if (broadcastRef) broadcast(rmOk) else rmOk, Seq("__band", "__bk"))
       .select("corpus_id", "ref_id")
       .distinct()
       .localCheckpoint()

@@ -120,8 +120,24 @@ final case class DecisionTreeModel(
 final case class ForestModel(trees: Array[DecisionTreeModel], classes: Seq[Long])
     extends OpaqueModel {
   require(trees.nonEmpty, "forest model must have at least one tree")
+  // every leaf of every tree must emit the same score width: a mixed
+  // forest would mis-index the accumulator deep inside an executor —
+  // validate once at construction, and size the per-row accumulator
+  // from it (the old sizing walked tree 0 an extra time per row)
+  private val scoreWidth: Int = {
+    val widths = trees.iterator.flatMap { t =>
+      // only LEAVES (feature < 0) carry scores; internal nodes may
+      // store empty value rows depending on the exporter
+      t.features.indices.iterator
+        .filter(i => t.features(i) < 0)
+        .map(i => t.values(i).length)
+    }.toSet
+    require(widths.size == 1,
+      s"forest trees emit inconsistent score widths: ${widths.toSeq.sorted.mkString(", ")}")
+    widths.head
+  }
   def scores(x: Array[Double]): Array[Double] = {
-    val acc = new Array[Double](trees(0).scores(x).length)
+    val acc = new Array[Double](scoreWidth)
     var t = 0
     while (t < trees.length) {
       val s = trees(t).scores(x)

@@ -29,8 +29,10 @@ object Performance {
     * rows. Summed as integer picos (×1e12, exact in a long for |r| ≤
     * ~10⁶) so the unordered distributed sum is deterministic — a plain
     * double sum differs in the last ulp run-to-run and engine-to-engine.
-    * Rows beyond [[MaxAbsReturn]] would WRAP the long — fail loudly
-    * instead (a corrupted melt should never silently flip sign). */
+    * Rows beyond [[MaxAbsReturn]] fail loudly (a corrupted melt should
+    * never silently flip sign), and the CROSS-ROW accumulator is
+    * decimal(38,0) — several near-bound rows on one date would wrap a
+    * long sum even though each row passes the per-row check. */
   def dailyReturns(results: DataFrame, dateCol: String = "date"): DataFrame = {
     val pico = when(
       abs(col("value")) > MaxAbsReturn,
@@ -41,7 +43,8 @@ object Performance {
     results
       .where(col("field") === "Return")
       .groupBy(col(dateCol))
-      .agg((sum(pico) / 1e12).as("return"))
+      .agg((sum(pico.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / 1e12).as("return"))
   }
 
   /** Running product of (1 + return) over the date-ordered window —

@@ -42,9 +42,15 @@ object Retrieval {
     val dl = when(length(trim(col(textCol))) === 0, 0).otherwise(size(words)).cast("long")
     def tf(term: String): Column = size(filter(words, w => w === lit(term))).cast("long")
 
+    // materialize the narrow (id, dl, tf…) frame once: it feeds both
+    // the stats aggregate and the scoring pass, and without a common
+    // exchange nothing dedups the two corpus scans + tokenizations
+    // (the crossNearDuplicates lesson) — this IS the "one scan" the
+    // design comment promises
     val perDoc = docs.select(
       col(idCol) +: dl.as("__dl") +:
         queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
+      .localCheckpoint()
 
     // one scalar row: N, Σdl, df_i — integer aggregates only, so the
     // unordered combine is exact (see Verify gotchas on float sums)

@@ -172,15 +172,22 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     perStratum
       .withColumn("__total", sum(col("tokens")).over(all))
+      // a stratum with a positive target but ZERO tokens cannot supply
+      // anything: excluding it from the binding-constraint min is the
+      // only sane reading — folding its 0/target ratio in would zero
+      // λ and silently drop every other stratum
       .withColumn("__lambda",
-        min(when(col("__target") > 0, col("tokens").cast("double") / col("__target")))
+        min(when(col("__target") > 0 && col("tokens") > 0,
+          col("tokens").cast("double") / col("__target")))
           .over(all))
       .select(
         col("stratum"), col("tokens"),
         round(col("tokens").cast("double") / col("__total"), 6).as("share"),
         round(
-          when(col("__target") > 0,
+          when(col("__target") > 0 && col("tokens") > 0,
             least(lit(1.0), col("__lambda") * col("__target") / col("tokens")))
+            // targeted but empty: keep the nothing it has (max retention)
+            .when(col("__target") > 0, 1.0)
             .otherwise(0.0), 6).as("rate"))
   }
 }

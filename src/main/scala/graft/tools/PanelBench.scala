@@ -37,8 +37,11 @@ object PanelBench {
 
     // args: pairs of sids days (e.g. "10000 10000" = 100 M bars)
     val shapes =
-      if (args.nonEmpty) args.toSeq.map(_.toInt).grouped(2).map(p => (p(0), p(1))).toSeq
-      else Seq((1000, 1000), (10000, 2500))
+      if (args.nonEmpty) {
+        require(args.length % 2 == 0 && args.forall(_.matches("\\d+")),
+          s"usage: PanelBench [<sids> <days>]... — got: ${args.mkString(" ")}")
+        args.toSeq.map(_.toInt).grouped(2).map(p => (p(0), p(1))).toSeq
+      } else Seq((1000, 1000), (10000, 2500))
     shapes.foreach { case (sids, days) =>
       val p = panel(spark, sids, days)
       // warm the generation path

@@ -278,6 +278,20 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDuplicates: a degenerate shared bucket is dropped by " +
+    "maxBucket instead of exploding m×n candidate pairs") {
+    val boiler = "identical license header boilerplate text appearing " +
+      "everywhere in both corpora with plenty of words"
+    val corpus = (0 until 30).map(i => (100L + i, boiler)).toDF("doc_id", "text")
+    val eval = (0 until 30).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    // every doc lands in ONE bucket per band on both sides (30 > cap)
+    assert(Dedup.crossNearDuplicates(
+      corpus, eval, threshold = 0.5, maxBucket = 10).count() == 0)
+    // under the cap the same content matches normally (5×5 clique)
+    assert(Dedup.crossNearDuplicates(
+      corpus.limit(5), eval.limit(5), threshold = 0.5, maxBucket = 10).count() == 25)
+  }
+
   test("ngramOverlap flags verbatim n-gram quotation that whole-doc " +
     "Jaccard misses, counts distinct overlaps once, and " +
     "decontaminateExact drops exactly the flagged docs (both modes)") {

@@ -84,4 +84,17 @@ class PackingRetrievalSpec extends SparkSpec {
     assert(rates("b")._4 == 0.111111)               // 100/900 rounded to 6
     assert(rates("a")._3 == 0.1 && rates("b")._3 == 0.9)
   }
+
+  test("mixture rates: a targeted stratum with ZERO tokens cannot zero " +
+    "the binding constraint for everyone else") {
+    val df = Seq(
+      (1L, "w w w w", "a"), (2L, "w w w w", "a"),
+      (3L, "   ", "empty")) // targeted but token-less
+      .toDF("doc_id", "text", "source")
+    val rates = Sampling.mixtureRates(df, "source",
+      TextAnalysis.tokenCount(col("text")), targets = Map("a" -> 0.5, "empty" -> 0.5))
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rates("a")._4 == 1.0) // NOT dragged to 0 by the empty stratum
+    assert(rates("empty")._2 == 0L && rates("empty")._4 == 1.0)
+  }
 }
