@@ -130,6 +130,13 @@ object DedupBench {
       Dedup.minhashCandidates(adversarial).count())
     time(s"simhash capped (expect 0 pairs)")(
       Dedup.simhashNearPairs(adversarial, maxHamming = 3).count())
+    // cross-corpus: identical boilerplate on BOTH sides would emit
+    // |corpus|×|ref| candidate pairs in one task without the guard
+    time(s"cross-corpus capped (expect 0 pairs)")(
+      Dedup.crossNearDuplicates(
+        adversarial,
+        adversarial.select((col("doc_id") + 2000000000L).as("doc_id"), col("text")),
+        threshold = 0.5).count())
     spark.stop()
   }
 }
