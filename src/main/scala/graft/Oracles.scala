@@ -156,6 +156,19 @@ object Oracles {
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-03-01'
         |  AND l_quantity < 10""".stripMargin,
 
+    // S1 benchmark auto-append: the restricted sid set (3, 7) plus the
+    // strategy's benchmark sid 1 — the append is the operator under test,
+    // so the oracle inlines the EXPECTED post-append predicate
+    "s1_benchmark_append" ->
+      """WITH panel AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS sid,
+        |         CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT sid, date, close FROM panel
+        |WHERE date >= DATE '1995-01-01' AND date <= DATE '1995-06-30'
+        |  AND sid IN ('3', '7', '1')""".stripMargin,
+
     "s1_universes" ->
       """WITH panel AS (
         |  SELECT CAST(l_suppkey AS VARCHAR) AS sid,
@@ -693,7 +706,7 @@ object Oracles {
          |         CAST(max(${c("value")}) AS DOUBLE) AS close
          |  FROM events GROUP BY 1, 2, 3),
          |dates AS (SELECT DISTINCT date FROM ev),
-         |bc AS (SELECT date, close FROM ev WHERE sid = '3' AND time = '12'),
+         |bc AS (SELECT date, close FROM ev WHERE sid = '3' AND time = '11'),
          |f AS (
          |  SELECT d.date,
          |    last_value(bc.close IGNORE NULLS) OVER (ORDER BY d.date

@@ -30,6 +30,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch parquet dir for queries that exercise the scan planner over
+    * a written panel — removed recursively at JVM exit (a fresh dir per
+    * invocation avoids cross-run collisions; the shutdown hook keeps
+    * repeated invocations from leaking them). */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   /** events as a panel: sid=user_id, ordered by (ts, event_id). */
   private val evKeys = Keys(sid = "user_id", order = Seq("ts", "event_id"),
     dateCol = "day", slot = Seq("day"))
@@ -130,7 +146,7 @@ object Queries {
     // N1 ∪ N2 minus N2 → nation-1 suppliers only ----
     "s1_universes" -> ((s, dir) => {
       import graft.sources.Sources
-      val tmp = java.nio.file.Files.createTempDirectory("graft_s1u_panel").toString
+      val tmp = tempDir("graft_s1u_panel")
       supplierPanel(s, dir)
         .select(col("sid").cast("string").as("sid"), col("date"), col("close"))
         .write.mode("overwrite").parquet(tmp)
@@ -144,6 +160,30 @@ object Queries {
         universeMembership = Some(membership))
     }),
 
+    // ---- S1 benchmark auto-append (base.py:1227-1234): a SIDS-restricted
+    // scan for a strategy with a BENCHMARK and no BENCHMARK_DB appends the
+    // benchmark sid to the scan predicate — without it the panel would
+    // miss the benchmark's rows and D19 would raise benchmark-missing ----
+    "s1_benchmark_append" -> ((s, dir) => {
+      import graft.sources.Sources
+      object RestrictedBench extends Strategy {
+        val code = "s1-bench"
+        override def keys: Keys = liKeys
+        override def benchmarkSid: Option[String] = Some("1")
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 30000).cast("int"))
+      }
+      val tmp = tempDir("graft_s1b_panel")
+      supplierPanel(s, dir)
+        .select(col("sid").cast("string").as("sid"), col("date"), col("close"))
+        .write.mode("overwrite").parquet(tmp)
+      val q = Sources.forStrategy(
+        Sources.PriceQuery(startDate = Some("1995-01-01"),
+          endDate = Some("1995-06-30"), sids = Seq("3", "7")),
+        RestrictedBench)
+      Sources.prices(s, tmp, q)
+    }),
+
     // ---- W7: lookback widening + P8 truncation, end to end. The scan
     // start is widened so the FIRST requested date already has a full
     // 20-bar rolling window; the oracle replicates the widening heuristic
@@ -152,7 +192,7 @@ object Queries {
     "w7_lookback_widen" -> ((s, dir) => {
       import graft.sources.Sources
       implicit val k: Keys = liKeys
-      val tmp = java.nio.file.Files.createTempDirectory("graft_w7_panel").toString
+      val tmp = tempDir("graft_w7_panel")
       supplierPanel(s, dir).write.mode("overwrite").parquet(tmp)
       Sources.prices(s, tmp,
         Sources.PriceQuery(startDate = Some("1996-01-01"), lookbackBars = 20))
@@ -725,7 +765,10 @@ object Queries {
         val code = "ev-bench"
         override def keys: Keys = liKeys // daily results over intraday prices
         override def benchmarkSid: Option[String] = Some("3")
-        override def benchmarkTime: Option[String] = Some("12")
+        // hour 11 exists for sid 3 at every test scale factor — a time
+        // with no bars now RAISES (the D19 loud-failure contract) rather
+        // than producing a flat series, so the demo must pick a live one
+        override def benchmarkTime: Option[String] = Some("11")
         def pricesToSignals(prices: DataFrame): DataFrame =
           prices.groupBy("sid", "date")
             .agg(max(col("close")).as("close"))

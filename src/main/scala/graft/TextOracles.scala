@@ -533,6 +533,32 @@ object TextOracles {
          |SELECT a AS doc_id, min(b) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // dd7+dd8 composed from ONE closure: every doc labeled with its
+    // component minimum (itself when unclustered), survivor = canonical
+    "pipeline_dedup" ->
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster, d.doc_id) AS cluster,
+         |  coalesce(l.cluster, d.doc_id) = d.doc_id AS survivor
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
+
     "dd8_survivors" ->
       s"""WITH RECURSIVE $candidatesCte,
          |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),

@@ -266,6 +266,24 @@ object TextQueries {
       Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
     }),
 
+    // how a real pipeline composes dd7+dd8: ONE clustering run (the
+    // candidate+verify+propagation pipeline executes once — its edge
+    // list is checkpointed inside duplicateClusters) labels every doc
+    // and derives the survivor flag from the same labels, instead of
+    // re-running LSH end-to-end per projection like the two standalone
+    // queries must
+    "pipeline_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, threshold = 0.5))
+      val label = coalesce(col("cluster"), col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("cluster")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), label.as("cluster"),
+          (label === col("doc_id")).as("survivor"))
+    }),
+
     // cross-corpus decontamination: docs 50+ are the "training corpus",
     // docs <50 the "eval set"; matches then the decontaminated corpus
     "dd9_decontamination" -> ((s, dir) => {

@@ -247,11 +247,15 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val bandCols = (0 until bands).map(b => col(s"band_$b"))
     // each melt is referenced twice (hot-key census + the guarded join)
-    // — materialize rather than re-running the minhash sig pipeline
+    // — materialize rather than re-running the minhash sig pipeline.
+    // LAZY checkpoint: the frame is corpus-sized, so an eager one would
+    // run Spark jobs at CONSTRUCTION time (before the caller even acts)
+    // and is storage the caller never opted into until they execute;
+    // lazy materializes on first use and is reused from there on.
     def melted(docs: DataFrame, as: String) =
       withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
         .select(col(idCol).as(as), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     val rm = melted(ref, "ref_id")
     val cm = melted(corpus, "corpus_id")
     // degenerate-bucket guard (same stance as minhashCandidates'
@@ -259,23 +263,29 @@ object Dedup {
     // ONE (band, key) bucket, and the equi-join would emit m·n rows in
     // a single task — drop any bucket exceeding maxBucket on EITHER
     // side (observably few keys by definition, so the anti-join
-    // broadcasts); candidate cost stays ∝ true cross-duplicate mass
+    // broadcasts); candidate cost stays ∝ true cross-duplicate mass.
+    // The drop is NOT silent: the `cross_hot_buckets` observe metric
+    // reports how many (band, key) buckets were pruned — docs whose
+    // only collisions sat in pruned buckets get no candidates, so a
+    // non-zero count is the signal to raise maxBucket or pre-dedup.
     def hotKeys(df: DataFrame) = df
       .groupBy("__band", "__bk").agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBucket).select("__band", "__bk")
     val hot = hotKeys(cm).union(hotKeys(rm)).distinct()
+      .observe("cross_hot_buckets", count(lit(1)).as("dropped_buckets"))
     val cmOk = cm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
     val rmOk = rm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
     // materialize the candidate pairs once (∝ cross-duplicate mass):
     // they are referenced three times below (verify join + both
     // semi-join prunes), and relying on runtime exchange reuse leaves
     // the two minhash sig pipelines exposed to partial re-execution —
-    // the duplicateClusters edge-list lesson
+    // the duplicateClusters edge-list lesson (lazy: first action
+    // computes it, the other two references reuse)
     val cands = cmOk
       .join(if (broadcastRef) broadcast(rmOk) else rmOk, Seq("__band", "__bk"))
       .select("corpus_id", "ref_id")
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def prunedShingles(docs: DataFrame, as: String, ids: DataFrame) =
       shingleRows(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
         idCol, textCol, shingleSize)
@@ -677,22 +687,43 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate
     * pairs share a coarse bucket (provided column), verified by cosine ≥
-    * threshold. For unblocked ANN use [[graft.sim.Similarity]]. */
+    * threshold. For unblocked ANN use [[graft.sim.Similarity]].
+    *
+    * Same within-bucket pair generation as [[minhashCandidates]] (one
+    * pass, no self-join — a self-equi-join would run the scan + norm
+    * pipeline once per aliased side) with the same `maxBucket` guard: a
+    * bucket of m vectors emits O(m²) cosine pairs, so one degenerate
+    * bucket (a zero vector, a default embedding) would concentrate the
+    * whole job in one task. Oversized buckets are DROPPED before the
+    * collect_list ever materializes them — observable via the
+    * `embedding_buckets` observe metric. Unlike the id-only minhash
+    * lists, a bucket list here carries the vectors (≤ maxBucket·dim
+    * doubles per group) — size `maxBucket` with the embedding dimension
+    * in mind (the 1000 default holds a 768-dim bucket ≈ 6 MB). */
   def embeddingNearDuplicates(
       embs: DataFrame,
       idCol: String,
       vecCol: String,
       bucketCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
     import graft.sim.Similarity
-    val l = embs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      Similarity.norm(col(vecCol)).as("__na"), col(bucketCol).as("__bk"))
-    val r = embs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      Similarity.norm(col(vecCol)).as("__nb"), col(bucketCol).as("__bk"))
-    l.join(r, "__bk")
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        Similarity.cosinePrenormed(col("__va"), col("__vb"), col("__na"), col("__nb")))
+    embs
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.norm(col(vecCol)).as("__nm"), col(bucketCol).as("__bk"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__bk")))
+      .observe("embedding_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy("__bk")
+      .agg(collect_list(struct(col("__id"), col("__v"), col("__nm"))).as("__m"))
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .where(col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        Similarity.cosinePrenormed(
+          col("a.__v"), col("b.__v"), col("a.__nm"), col("b.__nm")).as("cosine"))
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

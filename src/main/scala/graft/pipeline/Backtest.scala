@@ -148,7 +148,15 @@ object Backtest {
     * The single-series ffill/pct_change runs as an unpartitioned Window —
     * one row per result slot, tiny by construction (the reference's
     * single benchmark column); the grid is the distinct result slots,
-    * kept pruned before the join. */
+    * kept pruned before the join.
+    *
+    * Loud-failure contract (base.py:1482-1499): a benchmark sid absent
+    * from the price data, or a BENCHMARK_TIME matching no bars, RAISES —
+    * the left join below would otherwise ffill nothing and manufacture a
+    * flat 0.0 Benchmark series, silently corrupting every
+    * benchmark-relative measure downstream. The probes are bounded
+    * driver actions over the sid-filtered scan (`isEmpty` = one
+    * pushdown-pruned partial scan — the `requireFresh` cost class). */
   private def benchmarkReturns(
       strategy: Strategy,
       prices: DataFrame,
@@ -158,23 +166,43 @@ object Backtest {
     val pricesHaveTime = prices.columns.contains("time")
     val grid = prices.select(k.order.map(col): _*).distinct()
 
+    def requireRows(df: DataFrame, db: String): DataFrame = {
+      if (df.isEmpty)
+        throw new GraftError(
+          s"BENCHMARK Sid $benchmarkSid is not in $db data")
+      df
+    }
+
     val closes: DataFrame = strategy.benchmarkPrices match {
       case Some(b) =>
         // base.py:1442-1444
         require(!b.columns.contains("time"),
           "only end-of-day databases are supported for BENCHMARK_DB")
-        b.where(col(k.sid) === benchmarkSid)
-          .select(col(k.dateCol), col("close").as("__bc"))
+        requireRows(
+          b.where(col(k.sid) === benchmarkSid)
+            .select(col(k.dateCol), col("close").as("__bc")),
+          "BENCHMARK_DB")
       case None =>
-        val own = prices.where(col(k.sid) === benchmarkSid)
+        // base.py:1469-1477: the reference extracts the first candidate
+        // field and raises MoonshotParameterError when it's absent —
+        // its candidate loop can only ever accept "Close"
+        if (!prices.columns.contains("close"))
+          throw new ParameterError(
+            s"Cannot extract BENCHMARK $benchmarkSid from prices data " +
+              "without one of close, open, bid, ask, high, low")
+        val own = requireRows(prices.where(col(k.sid) === benchmarkSid), "prices")
         if (pricesHaveTime && !intradayResults) {
           // once-a-day intraday: collapse to daily at BENCHMARK_TIME
           val t = strategy.benchmarkTime.getOrElse(
             throw new ParameterError(
               s"Cannot extract BENCHMARK $benchmarkSid from prices because " +
                 "prices contains intraday prices but no BENCHMARK_TIME specified"))
-          own.where(col("time") === lit(t))
+          val sliced = own.where(col("time") === lit(t))
             .select(col(k.dateCol), col("close").as("__bc"))
+          if (sliced.isEmpty)
+            throw new GraftError(
+              s"BENCHMARK_TIME $t is not in prices data")
+          sliced
         } else own.select(k.order.map(col) :+ col("close").as("__bc"): _*)
     }
 

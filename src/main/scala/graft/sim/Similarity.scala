@@ -349,6 +349,19 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (m, subDim) = codebookShape(codebooks)
+    pqEncodeShaped(vectors, codebooks, m, subDim, idCol, vecCol)
+  }
+
+  /** [[pqEncode]] with a pre-validated codebook shape — lets composed
+    * searches ([[ivfadcTopK]]) run the driver-side [[codebookShape]]
+    * aggregation job once instead of once per use site. */
+  private def pqEncodeShaped(
+      vectors: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     vectors
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(codebooks))
@@ -380,14 +393,14 @@ object Similarity {
       nprobe: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val (m, subDim) = codebookShape(codebooks) // once: encode + table share it
     val index = assignCells(corpus, centroids, vecCol, idCol)
       .select(col(idCol), col(vecCol), col("cell_id"))
-      .join(pqEncode(corpus, codebooks, idCol, vecCol), idCol)
+      .join(pqEncodeShaped(corpus, codebooks, m, subDim, idCol, vecCol), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
     val qCells =
       if (nprobe <= 1) assignCells(queries, centroids, vecCol, idCol)
       else probeCells(queries, centroids, vecCol, idCol, nprobe)
-    val (m, subDim) = codebookShape(codebooks)
     val q = withDistanceTable(
       qCells.select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("cell_id")),
       codebooks, m, subDim)

@@ -27,7 +27,36 @@ object Sources {
       excludeUniverses: Seq[String] = Nil, // EXCLUDE_UNIVERSES, base.py:1244
       fields: Seq[String] = Nil, // column pruning (DB_FIELDS, base.py:1248)
       times: Seq[String] = Nil, // times-of-day filter, base.py:1249
-      lookbackBars: Int = 0) // W7 widening — see widenedStart
+      lookbackBars: Int = 0, // W7 widening — see widenedStart
+      contFut: Option[String] = None, // CONT_FUT, base.py:1247 — see resolveDataDir
+      dataFrequency: Option[String] = None) // DB_DATA_FREQUENCY, base.py:1250
+
+  /** Reference get_prices sid assembly (base.py:1224-1234): the strategy's
+    * BENCHMARK sid is auto-appended to the queried sids when
+    *  - the strategy names a benchmark,
+    *  - no BENCHMARK_DB is configured (the benchmark must come from the
+    *    price panel itself), and
+    *  - the query restricts the scan by sids or universes (an
+    *    unrestricted scan reads the whole store, benchmark included).
+    * Without the append, a SIDS-restricted strategy with a BENCHMARK
+    * would scan a panel missing the benchmark's rows and the backtest
+    * would raise D19's benchmark-missing error. Also fills the W7
+    * lookback widening from the strategy (base.py:1217-1218) when the
+    * query didn't set its own. */
+  def forStrategy(q: PriceQuery, strategy: graft.pipeline.Strategy): PriceQuery = {
+    val widened =
+      if (q.lookbackBars == 0 && strategy.effectiveLookback > 0)
+        q.copy(lookbackBars = strategy.effectiveLookback)
+      else q
+    strategy.benchmarkSid match {
+      case Some(b)
+        if strategy.benchmarkPrices.isEmpty &&
+          (widened.sids.nonEmpty || widened.universes.nonEmpty) &&
+          !widened.sids.contains(b) =>
+        widened.copy(sids = widened.sids :+ b)
+      case _ => widened
+    }
+  }
 
   /** Resolve universe names into sid predicates via a `(universe, sid)`
     * membership table (reference base.py:1240-1245: UNIVERSES /
@@ -97,7 +126,63 @@ object Sources {
       path: String,
       q: PriceQuery = PriceQuery(),
       universeMembership: Option[DataFrame] = None): DataFrame =
-    applyQuery(spark.read.parquet(path), resolve(q, universeMembership))
+    applyQuery(spark.read.parquet(resolveDataDir(path, q)),
+      resolve(q, universeMembership))
+
+  /** S1 multi-DB scan (`DB` as a list, base.py:1220-1223): one PriceQuery
+    * over several stores, unioned by column name — stores may carry
+    * different field sets (a history db next to a realtime-aggregate db);
+    * absent columns null-fill, like the reference's cross-db concat. The
+    * query's predicates push into EVERY union branch (Catalyst pushes
+    * filters through Union), so each store prunes independently. */
+  def pricesUnion(
+      spark: SparkSession,
+      paths: Seq[String],
+      q: PriceQuery = PriceQuery(),
+      universeMembership: Option[DataFrame] = None): DataFrame = {
+    if (paths.isEmpty) throw new ParameterError("paths must be non-empty")
+    val resolved = resolve(q, universeMembership)
+    val scans = paths.map(p => spark.read.parquet(resolveDataDir(p, q)))
+    applyQuery(
+      scans.reduce(_.unionByName(_, allowMissingColumns = true)), resolved)
+  }
+
+  /** Storage-variant resolution for the two kwargs the reference pushes
+    * into the data service itself rather than the predicate pack:
+    *
+    *  - CONT_FUT (base.py:1247): continuous-futures rollover adjustment
+    *    happens at PUBLISH time in this engine — the storage contract is
+    *    a pre-adjusted variant panel at `path/cont_fut=<mode>/` written
+    *    alongside the raw panel. A query naming a mode with no such
+    *    variant RAISES: silently scanning unadjusted futures prices
+    *    would corrupt every downstream return (the loud-failure stance).
+    *  - DB_DATA_FREQUENCY (base.py:1250): stores that publish both bar
+    *    frequencies keep them at `path/daily/` and `path/minute/`; the
+    *    selector picks the subdirectory when it exists and is otherwise
+    *    ignored (the reference ignores data_frequency for non-Zipline
+    *    dbs the same way). Values other than daily/minute raise. */
+  private[graft] def resolveDataDir(path: String, q: PriceQuery): String = {
+    val afterContFut = q.contFut match {
+      case None => path
+      case Some(mode) =>
+        val variant = s"$path/cont_fut=$mode"
+        if (!Files.isDirectory(Paths.get(variant)))
+          throw new ParameterError(
+            s"CONT_FUT=$mode requested but no pre-adjusted variant exists at " +
+              s"$variant — publish the rollover-adjusted panel there (see " +
+              "resolveDataDir's storage contract)")
+        variant
+    }
+    q.dataFrequency match {
+      case None => afterContFut
+      case Some(freq) =>
+        if (freq != "daily" && freq != "minute")
+          throw new ParameterError(
+            s"DB_DATA_FREQUENCY must be daily or minute: $freq")
+        val variant = s"$afterContFut/$freq"
+        if (Files.isDirectory(Paths.get(variant))) variant else afterContFut
+    }
+  }
 
   private def resolve(q: PriceQuery, membership: Option[DataFrame]): PriceQuery =
     membership match {

@@ -64,9 +64,12 @@ object LangModel {
     // materialize the vocab counts once: they feed BOTH the scalar
     // stats agg and the per-token scoring join, and relying on runtime
     // exchange reuse leaves the reference-corpus explode+groupBy
-    // exposed to re-execution (the crossNearDuplicates lesson); the
-    // frame is vocab-sized, not corpus-sized
-    val counts = unigramCounts(ref, textCol).localCheckpoint()
+    // exposed to re-execution (the crossNearDuplicates lesson). The
+    // frame is vocab-sized, not corpus-sized — but a web-corpus vocab
+    // is open-ended, so the checkpoint is LAZY: no Spark job runs at
+    // construction time, materialization happens on the caller's first
+    // action and is reused from there.
+    val counts = unigramCounts(ref, textCol).localCheckpoint(eager = false)
     // ONE integer scalar row: total token mass T and vocab size V
     val stats = counts.agg(
       sum(col("__cnt")).as("__T"), count(lit(1)).as("__V"))

@@ -46,11 +46,14 @@ object Retrieval {
     // the stats aggregate and the scoring pass, and without a common
     // exchange nothing dedups the two corpus scans + tokenizations
     // (the crossNearDuplicates lesson) — this IS the "one scan" the
-    // design comment promises
+    // design comment promises. LAZY checkpoint: the frame is
+    // corpus-row-count-sized, so materialization waits for the caller's
+    // first action instead of running jobs at construction time; the
+    // stats subquery computes it, the scoring pass reuses it.
     val perDoc = docs.select(
       col(idCol) +: dl.as("__dl") +:
         queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // one scalar row: N, Σdl, df_i — integer aggregates only, so the
     // unordered combine is exact (see Verify gotchas on float sums)

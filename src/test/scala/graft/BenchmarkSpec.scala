@@ -146,6 +146,54 @@ class BenchmarkSpec extends SparkSpec {
       ("2018-05-02", "12:00:00") -> -0.4402985))
   }
 
+  test("errors: benchmark sid absent from prices / BENCHMARK_DB raises " +
+    "instead of a silent flat 0.0 series (base.py:1482-1485)") {
+    val strategy = new Strategy {
+      val code = "buy-below-10"
+      override def benchmarkSid: Option[String] = Some("FI99999")
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("close") < 10).cast("int"))
+    }
+    val e = intercept[GraftError] { Backtest.run(strategy, eodPrices) }
+    assert(e.getMessage == "BENCHMARK Sid FI99999 is not in prices data")
+
+    val benchDb = Seq(("FI34567", "2018-05-01", 199.60))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    val e2 = intercept[GraftError] {
+      Backtest.run(
+        dailyIntradayStrategy(bSid = Some("FI00000"), bPrices = Some(benchDb)),
+        intradayPrices)
+    }
+    assert(e2.getMessage == "BENCHMARK Sid FI00000 is not in BENCHMARK_DB data")
+  }
+
+  test("errors: BENCHMARK_TIME matching no bars raises (base.py:1497-1499)") {
+    val e = intercept[GraftError] {
+      Backtest.run(
+        dailyIntradayStrategy(bSid = Some("FI12345"), bTime = Some("10:00:00")),
+        intradayPrices)
+    }
+    assert(e.getMessage == "BENCHMARK_TIME 10:00:00 is not in prices data")
+  }
+
+  test("errors: no close field to extract the benchmark from " +
+    "(base.py:1469-1477)") {
+    val pricesNoClose = eodPrices.withColumnRenamed("close", "px")
+    val strategy = new Strategy {
+      val code = "no-close"
+      override def benchmarkSid: Option[String] = Some("FI23456")
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("px") < 10).cast("int"))
+      override def positionsToGrossReturns(panel: DataFrame): DataFrame = {
+        implicit val k: Panel.Keys = keys
+        panel.withColumn("gross",
+          Panel.pctChange(col("px")) * Panel.lagBySid(col("position")))
+      }
+    }
+    val e = intercept[ParameterError] { Backtest.run(strategy, pricesNoClose) }
+    assert(e.getMessage.contains("without one of close, open, bid, ask, high, low"))
+  }
+
   test("errors: missing BENCHMARK_TIME; intraday BENCHMARK_DB " +
     "(test_benchmark.py:743-865, 987)") {
     val noTime = intercept[IllegalArgumentException] {

@@ -193,6 +193,30 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("embeddingNearDuplicates: a degenerate blocking bucket is dropped " +
+    "by maxBucket instead of exploding m² cosine pairs in one task") {
+    val hot = spark.range(50).select(col("id").as("doc_id"),
+      array(lit(1.0f), lit(0.0f)).as("emb"), lit("hot").as("bucket"))
+    // one bucket of 50 identical vectors over the cap → 0 pairs, completes
+    assert(Dedup.embeddingNearDuplicates(
+      hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10).count() == 0)
+    // within the cap → the full duplicate clique
+    assert(Dedup.embeddingNearDuplicates(
+      hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 1000).count() ==
+      50L * 49 / 2)
+    // the drop is observable (same contract as minhash/simhash)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = Dedup.embeddingNearDuplicates(
+        hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10)
+      capped.collect()
+      val m = capped.queryExecution.observedMetrics("embedding_buckets")
+      assert(m.getAs[Long]("rows_in_overflow") == 50L)
+      assert(m.getAs[Long]("max_bucket") == 50L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   private lazy val vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 1

@@ -161,6 +161,80 @@ class PerfSpec extends SparkSpec {
     assert(s.getAs[Double]("correlation") == 1.0)
   }
 
+  test("vsBenchmark derives the melt lineage once: one-pass conditional " +
+    "aggregation, no self-join (the perf_benchmark 3.7x regression fix)") {
+    val melt = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", -0.04), ("1", "2024-01-02", "Benchmark", -0.02))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val plan = Performance.vsBenchmark(melt).queryExecution.executedPlan.toString
+    // the old shape joined dailyReturns against a Benchmark filter of the
+    // SAME melt — two differently-aliased copies of the whole upstream
+    // lineage; the one-pass form has no join at all
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("vsBenchmark: dates missing either series drop (inner-join " +
+    "semantics); several Benchmark rows per date raise") {
+    val partial = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", -0.04), // no Benchmark row this date
+      ("1", "2024-01-03", "Benchmark", 0.03)) // no Return row this date
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    assert(Performance.vsBenchmark(partial).head.getAs[Long]("n_days") == 1L)
+
+    val intradayish = Seq(
+      ("A", "2024-01-01", "Return", 0.02),
+      ("1", "2024-01-01", "Benchmark", 0.01),
+      ("1", "2024-01-01", "Benchmark", 0.02)) // two slots on one date
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val e = intercept[Exception] {
+      Performance.vsBenchmark(intradayish).head
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).filter(_ != null).mkString.contains("needs daily"))
+  }
+
+  test("dailyReturns' raise_error guard + decimal accumulator compile " +
+    "under whole-stage codegen (no silent interpreted fallback)") {
+    val m = Seq(
+      ("A", "2024-01-01", "Return", 0.06), ("B", "2024-01-01", "Return", 0.04),
+      ("A", "2024-01-02", "Return", -0.05))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val daily = Performance.dailyReturns(m).orderBy("date")
+      val rows = daily.collect()
+      assert(rows.map(_.getAs[Double]("return")).toSeq == Seq(0.1, -0.05))
+      // the aggregates carrying the decimal(38,0) accumulator must sit
+      // inside a codegen span (starred operators), not fall back to
+      // interpreted row processing — read the plan AFTER executing this
+      // exact query so AQE's final plan (with codegen ids) is what prints
+      // AQE appends the pre-execution "== Initial Plan ==" section, which
+      // never carries codegen ids — inspect only the final plan above it
+      // codegen'd operators print with a "*(n)" codegen-id star in the
+      // final AQE plan; an interpreted fallback would drop the star
+      val plan = daily.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+      assert(aggLines.nonEmpty && aggLines.forall(_.contains("*(")), plan)
+    } finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    }
+  }
+
   test("summary composes with the real backtest melt (non-degenerate)") {
     val panel = Seq(
       ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 11.0),

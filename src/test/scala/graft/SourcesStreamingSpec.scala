@@ -87,6 +87,105 @@ class SourcesStreamingSpec extends SparkSpec {
     }
   }
 
+  test("forStrategy appends the benchmark sid to a restricted scan " +
+    "(base.py:1227-1234) and fills the lookback from the strategy") {
+    def strat(bSid: Option[String], bDb: Option[org.apache.spark.sql.DataFrame] = None,
+        lookback: Int = 0) =
+      new graft.pipeline.Strategy {
+        val code = "fs"
+        override def benchmarkSid: Option[String] = bSid
+        override def benchmarkPrices: Option[org.apache.spark.sql.DataFrame] = bDb
+        override def lookbackWindow: Int = lookback
+        def pricesToSignals(p: org.apache.spark.sql.DataFrame) = p
+      }
+    val restricted = Sources.PriceQuery(sids = Seq("A", "B"))
+    // appended when sids restrict and the benchmark must come from the panel
+    assert(Sources.forStrategy(restricted, strat(Some("SPY"))).sids ==
+      Seq("A", "B", "SPY"))
+    // universes restrict the scan the same way
+    assert(Sources.forStrategy(Sources.PriceQuery(universes = Seq("tech")),
+      strat(Some("SPY"))).sids == Seq("SPY"))
+    // NOT appended: unrestricted scan reads the whole store anyway
+    assert(Sources.forStrategy(Sources.PriceQuery(), strat(Some("SPY"))).sids.isEmpty)
+    // NOT appended: BENCHMARK_DB supplies the benchmark separately
+    val db = Seq(("SPY", "2024-01-01", 1.0)).toDF("sid", "date", "close")
+    assert(Sources.forStrategy(restricted, strat(Some("SPY"), bDb = Some(db))).sids ==
+      Seq("A", "B"))
+    // NOT duplicated when already queried
+    assert(Sources.forStrategy(
+      Sources.PriceQuery(sids = Seq("SPY", "A")), strat(Some("SPY"))).sids ==
+      Seq("SPY", "A"))
+    // lookback fills from the strategy unless the query set its own
+    assert(Sources.forStrategy(restricted, strat(None, lookback = 20)).lookbackBars == 20)
+    assert(Sources.forStrategy(restricted.copy(lookbackBars = 5),
+      strat(None, lookback = 20)).lookbackBars == 5)
+  }
+
+  test("CONT_FUT selects the pre-adjusted variant (raising when absent) " +
+    "and DB_DATA_FREQUENCY picks a frequency subdirectory when present " +
+    "(base.py:1247, 1250)") {
+    val root = Files.createTempDirectory("graft-variants").toString
+    def write(sub: String, rows: Seq[(String, String, Double)]): Unit =
+      rows.toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+        .write.mode("overwrite").parquet(s"$root/$sub")
+    write("cont_fut=concat", Seq(("FUT1", "2024-01-01", 100.0)))
+    write("daily", Seq(("A", "2024-01-01", 1.0)))
+    // raw store files live at the root itself
+    Seq(("A", "2024-01-01", 2.0), ("A", "2024-01-02", 3.0))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(s"$root/raw")
+
+    // contFut routes to the pre-adjusted variant
+    val fut = Sources.prices(spark, root,
+      Sources.PriceQuery(contFut = Some("concat")))
+    assert(fut.collect().map(_.getAs[Double]("close")).toSeq == Seq(100.0))
+    // naming a mode with no published variant raises — scanning raw
+    // futures prices as if adjusted would silently corrupt returns
+    intercept[ParameterError] {
+      Sources.prices(spark, s"$root/raw", Sources.PriceQuery(contFut = Some("concat")))
+    }
+    // data frequency picks the subdirectory when it exists…
+    val daily = Sources.prices(spark, root,
+      Sources.PriceQuery(dataFrequency = Some("daily")))
+    assert(daily.collect().map(_.getAs[Double]("close")).toSeq == Seq(1.0))
+    // …and is ignored when it doesn't (the reference's non-Zipline rule)
+    val ignored = Sources.prices(spark, s"$root/raw",
+      Sources.PriceQuery(dataFrequency = Some("daily")))
+    assert(ignored.count() == 2)
+    intercept[ParameterError] {
+      Sources.prices(spark, root, Sources.PriceQuery(dataFrequency = Some("hourly")))
+    }
+  }
+
+  test("pricesUnion scans several stores as one panel, null-filling " +
+    "disjoint fields, with predicates pushed into every branch " +
+    "(multi-DB codes, base.py:1220-1223)") {
+    val d1 = Files.createTempDirectory("graft-db1").toString
+    val d2 = Files.createTempDirectory("graft-db2").toString
+    Seq(("A", "2024-01-01", 1.0, 100.0), ("B", "2024-01-01", 2.0, 200.0))
+      .toDF("sid", "date", "close", "volume")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(d1)
+    // second store carries a different field set (no volume, adds vwap)
+    Seq(("C", "2024-01-01", 3.0, 3.1), ("D", "2024-01-01", 4.0, 4.1))
+      .toDF("sid", "date", "close", "vwap")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(d2)
+    val df = Sources.pricesUnion(spark, Seq(d1, d2),
+      Sources.PriceQuery(excludeSids = Seq("D")))
+    val rows = df.collect().map(r => r.getAs[String]("sid") ->
+      (r.getAs[Double]("close"), Option(r.getAs[Any]("volume")),
+        Option(r.getAs[Any]("vwap")))).toMap
+    assert(rows.keySet == Set("A", "B", "C"))
+    assert(rows("A") == ((1.0, Some(100.0), None))) // vwap null-filled
+    assert(rows("C") == ((3.0, None, Some(3.1)))) // volume null-filled
+    // the sid predicate reaches BOTH parquet scans
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.sliding("PushedFilters".length).count(_ == "PushedFilters") >= 2 ||
+      "PushedFilters".r.findAllIn(plan).size >= 2, plan)
+    intercept[ParameterError] { Sources.pricesUnion(spark, Nil) }
+  }
+
   test("lookback widening converts trading days to calendar days + buffer (W7)") {
     // reference constants (base.py:1146-1181): 365/235 conversion
     assert(Sources.widenedStart("2024-06-01", 0) == "2024-06-01")
