@@ -66,32 +66,37 @@ object Dedup {
 
   /** Exploded shingle stream `(id, shingle)` — the scale path.
     *
-    * posexplode the word array, then assemble each n-gram with `lead()`
-    * over a per-doc window. Every expression here is whole-stage
-    * codegen'd; the array-lambda formulation ([[shingles]]) drops the
-    * plan into interpreted higher-order-function evaluation (~2.4 ms/doc
-    * measured — 25× slower). The window sort rides the same hash
-    * partitioning the downstream groupBy(id) needs. */
+    * Round 5: one native expression ([[graft.functions.ShingleArray]])
+    * builds the whole shingle array per row inside whole-stage codegen,
+    * then a single Generate explodes it — byte-identical output to the
+    * previous posexplode→`lead()`-window chain WITHOUT the per-doc sort
+    * of the word stream (the window rode a hash exchange; now the only
+    * shuffle left is [[spread]]'s parallelism repartition, which
+    * coarse-partitioned local inputs still need before the CPU-heavy
+    * md5 work downstream). The array-lambda formulation ([[shingles]])
+    * remains the reference semantics; it evaluates interpreted (~2.4
+    * ms/doc, 25× slower) and stays out of hot paths. */
   def shingleRows(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 3): DataFrame = {
-    val words = spread(docs, idCol).select(
+      n: Int = 3): DataFrame =
+    spread(docs, idCol).select(
       col(idCol),
-      posexplode(
-        split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")), "\\s+"))
-        .as(Seq("__p", "__w")))
-    val w = Window.partitionBy(idCol).orderBy("__p")
-    val parts = (0 until n).map { k =>
-      (if (k == 0) col("__w") else lead(col("__w"), k).over(w)).as(s"__w$k")
-    }
-    words
-      .select(col(idCol) +: parts: _*)
-      .where(col(s"__w${n - 1}").isNotNull) // drop incomplete tail n-grams
-      .select(col(idCol),
-        concat_ws(" ", (0 until n).map(i => col(s"__w$i")): _*).as("__s"))
-  }
+      explode(graft.functions.MinHashShingles.shingleArrayNative(col(textCol), n))
+        .as("__s"))
+
+  /** Shingle set per doc as ONE projected array column — the verify-stage
+    * form: no explode, no re-collect, zero shuffles. Output
+    * `(id, __sh array<string>)`; shingle-less docs keep an empty array. */
+  private[graft] def shingleArrays(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      graft.functions.MinHashShingles.shingleArrayNative(col(textCol), n).as("__sh"))
 
   /** MinHash signatures + LSH band keys. numHashes = bands × rowsPerBand.
     * Band key b = md5 of the concatenated minhashes in that band.
@@ -101,7 +106,12 @@ object Dedup {
     * aggregation, one pass over the shingle stream, one shuffle on the
     * id. (The array-lambda formulation — array_min(transform(...)) —
     * is not whole-stage-codegen'd and gets re-inlined once per hash by
-    * projection collapse: measured 60× slower at 8 hashes.) */
+    * projection collapse: measured 60× slower at 8 hashes.)
+    *
+    * This wide (id, band_0..band_{b-1}) form is the REFERENCE semantics
+    * and the equivalence anchor for the native kernel; the operators
+    * below use [[minhashMelted]] (one native expression + posexplode —
+    * no signature aggregation at all). */
   def withMinhashBands(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -120,6 +130,27 @@ object Dedup {
     }
     sig.select(col(idCol) +: bandCols: _*)
   }
+
+  /** Melted band rows `(id, __band, __bk)` via the native one-pass
+    * [[graft.functions.MinHashBands]] expression: the whole signature
+    * (shingling, per-salt min-md5 folds, band keys) is computed inside
+    * whole-stage codegen per row and posexplode melts it — hash-identical
+    * to `withMinhashBands` + posexplode (spec-asserted) with NO shingle
+    * window and NO signature aggregation. Shingle-less docs return a
+    * null band array, which Generate drops — same docs the old
+    * aggregation never emitted. [[spread]] stays: the md5 folding is the
+    * CPU-heavy stage and a coarse-partitioned source would serialize it. */
+  private def minhashMelted(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      bands: Int,
+      rowsPerBand: Int): DataFrame =
+    spread(docs, idCol).select(
+      col(idCol),
+      posexplode(graft.functions.MinHashShingles.minhashBandsNative(
+        col(textCol), shingleSize, bands, rowsPerBand)).as(Seq("__band", "__bk")))
 
   /** LSH candidate pairs: ids sharing any band bucket (deduplicated).
     *
@@ -144,8 +175,6 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       maxBucket: Int = 10000): DataFrame = {
-    val sig = withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val bandCols = (0 until bands).map(b => col(s"band_$b"))
     // Pairs come from WITHIN each bucket (groupBy + collect_list + double
     // explode) rather than a self-equi-join: the signature pipeline runs
     // once — a self-join would compute it per side (the planner does not
@@ -154,8 +183,9 @@ object Dedup {
     // the session. Bucket lists stay small by construction: md5 band keys
     // only collide for genuine near-duplicates, so the explode² blowup is
     // exactly the candidate-pair count the join would have emitted.
-    val melted = sig
-      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
+    // Round 5: the melt comes straight from the native minhash_bands
+    // expression — no shingle window, no signature aggregation.
+    val melted = minhashMelted(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
     val sized = melted
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bk")))
       .observe("minhash_buckets",
@@ -186,17 +216,21 @@ object Dedup {
     * threshold. Returns (id_a, id_b, jaccard).
     *
     * Verify-stage prune: only docs appearing in ≥1 candidate pair are
-    * re-shingled (left-semi join on id_a ∪ id_b before [[shingleRows]]).
-    * At web scale the candidate docs are a tiny fraction of the corpus
-    * (∝ true duplicate mass), so the verify stage reads candidate docs
-    * only instead of making a second O(corpus) shingle pass. The
-    * candidate subplan appears several times in the resulting tree
-    * (semi-join filter + both verify-join sides); its trailing
-    * distinct() shuffle is a canonically-identical Exchange at every
-    * occurrence, so the physical plan reuses ONE shuffle
-    * (ReusedExchange — asserted in DedupSimSpec) and the minhash
-    * pipeline still runs once. Shingled-doc count is observable via the
-    * `neardup_verify` observe metric. */
+    * re-shingled (left-semi join on id_a ∪ id_b before the shingle
+    * projection). At web scale the candidate docs are a tiny fraction of
+    * the corpus (∝ true duplicate mass), so the verify stage reads
+    * candidate docs only instead of making a second O(corpus) shingle
+    * pass. Round 5: shingle sets come from the native array expression
+    * (no explode→re-collect round trip). The shingled frame feeds BOTH
+    * verify-join sides under different aliases, so it ends in a
+    * `repartition(id)` — a canonically-identical Exchange at both
+    * occurrences, which the planner turns into ONE shuffle +
+    * ReusedExchange (asserted in DedupSimSpec): the semi-join and the
+    * shingle projection run once, exactly like the collect_list
+    * aggregation this replaces, minus its explode→re-collect round
+    * trip. The candidate pipeline's own trailing distinct() exchange is
+    * reused the same way across its three occurrences. Shingled-doc
+    * count is observable via the `neardup_verify` observe metric. */
   def nearDuplicates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -213,9 +247,8 @@ object Dedup {
       .distinct()
     val pruned = docs.join(candIds, Seq(idCol), "left_semi")
       .observe("neardup_verify", count(lit(1)).as("docs_shingled"))
-    val sh = shingleRows(pruned, idCol, textCol, shingleSize)
-      .groupBy(col(idCol))
-      .agg(collect_list(col("__s")).as("__sh"))
+    val sh = shingleArrays(pruned, idCol, textCol, shingleSize)
+      .repartition(col(idCol))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
@@ -245,16 +278,17 @@ object Dedup {
       rowsPerBand: Int = 2,
       broadcastRef: Boolean = true,
       maxBucket: Int = 10000): DataFrame = {
-    val bandCols = (0 until bands).map(b => col(s"band_$b"))
     // each melt is referenced twice (hot-key census + the guarded join)
     // — materialize rather than re-running the minhash sig pipeline.
     // LAZY checkpoint: the frame is corpus-sized, so an eager one would
     // run Spark jobs at CONSTRUCTION time (before the caller even acts)
     // and is storage the caller never opted into until they execute;
     // lazy materializes on first use and is reused from there on.
+    // Round 5: the melt is the native minhash_bands expression + one
+    // posexplode (see minhashMelted) — no shingle window, no sig agg.
     def melted(docs: DataFrame, as: String) =
-      withMinhashBands(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-        .select(col(idCol).as(as), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
+      minhashMelted(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumnRenamed(idCol, as)
         .localCheckpoint(eager = false)
     val rm = melted(ref, "ref_id")
     val cm = melted(corpus, "corpus_id")
@@ -287,10 +321,8 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = false)
     def prunedShingles(docs: DataFrame, as: String, ids: DataFrame) =
-      shingleRows(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
+      shingleArrays(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
         idCol, textCol, shingleSize)
-        .groupBy(col(idCol))
-        .agg(collect_list(col("__s")).as("__sh"))
         .select(col(idCol).as(as), col("__sh"))
     val ca = prunedShingles(corpus, "corpus_id", cands.select("corpus_id").distinct())
     val rb = prunedShingles(ref, "ref_id", cands.select("ref_id").distinct())

@@ -39,6 +39,48 @@ class DedupSimSpec extends SparkSpec {
     assert(sh(5L).isEmpty)
   }
 
+  test("native shingle_array / minhash_bands are value-identical to the " +
+    "HOF / exploded-aggregation reference forms (real corpus + edges), " +
+    "under CODEGEN_ONLY") {
+    import graft.functions.MinHashShingles
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (9001L, ""), (9002L, "!!! ?? ..."), (9003L, "one two"),
+        (9004L, "  spaced   out   words  here  now  "),
+        (9005L, "Tabs\tand\nnewlines &*() punctuation2 mixed CASE words"))
+        .toDF("doc_id", "text"))
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // shingles: the native array must equal the HOF reference form
+      // element-for-element (same order)
+      val viaNative = corpus
+        .select($"doc_id", MinHashShingles.shingleArrayNative($"text", 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val viaHof = corpus
+        .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(viaNative == viaHof)
+      // minhash band keys: the native one-pass array must match the
+      // exploded min-aggregation form (shingle-less docs: null vs absent)
+      val nativeBands = corpus
+        .select($"doc_id",
+          MinHashShingles.minhashBandsNative($"text", 3, 4, 2).as("b"))
+        .where($"b".isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val aggBands = Dedup.withMinhashBands(corpus)
+        .collect().map(r =>
+          r.getLong(0) -> (1 to 4).map(i => r.getString(i)).toSeq).toMap
+      assert(nativeBands == aggBands)
+      assert(nativeBands.nonEmpty && !nativeBands.contains(9001L) &&
+        !nativeBands.contains(9003L)) // < 3 words → no signature
+    } finally prevFactory match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("minhash LSH finds the duplicate pair, not the unrelated one (dd3)") {
     val pairs = Dedup.minhashCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
