@@ -669,8 +669,14 @@ object Dedup {
     * equal-width bands. Candidates therefore come from ONE self-equi-join
     * on (band_idx, band_bits) over the exploded band rows — never an
     * all-pairs theta join — and each candidate is verified with the exact
-    * popcount. Same shape as [[minhashCandidates]]: one shuffle for the
-    * fingerprint agg, one for the band join.
+    * popcount. Same shape as [[minhashCandidates]]: the fingerprint is
+    * the native one-pass [[graft.functions.SimHash]] expression (round
+    * 5 — the exploded ±1-vote aggregation [[simhashDf]] stays as the
+    * reference form and spec anchor), so the only exchanges are
+    * [[spread]]'s parallelism repartition and the band-bucket shuffle.
+    * Null-text docs are filtered first: the aggregation never emitted a
+    * row for them, while the native expression would carry a null
+    * fingerprint into the banding.
     *
     * Default 64 bits / 8 bands: 8-bit bands keep the pigeonhole bound at
     * maxHamming ≤ 7 with 256 buckets per band and a 64-bit verify. For
@@ -691,7 +697,9 @@ object Dedup {
     require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
     val width = bits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val fp = simhashDf(docs, idCol, textCol, bits)
+    val fp = spread(docs.where(col(textCol).isNotNull), idCol)
+      .select(col(idCol),
+        graft.functions.SimHash.simhashNative(col(textCol), bits).as("simhash"))
     val bandArr = array((0 until bands).map(b =>
       shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
     val banded = fp.select(col(idCol), col("simhash"),
