@@ -717,6 +717,43 @@ object TextOracles {
          |    AS perplexity
          |FROM scored CROSS JOIN stats""".stripMargin,
 
+    // tx10's scoring chain + CCNet sampled cutoffs: the rate-0.5 md5
+    // sample's 1/3- and 2/3-quantiles under the (score, id) total order,
+    // replayed as max-over-the-k-smallest; bucket labels by when-chain
+    "tx13_ppl_buckets" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, t FROM
+         |  (SELECT doc_id, unnest(w) AS t FROM words) WHERE t <> ''),
+         |cnt AS (SELECT t, count(*) AS c FROM tok WHERE doc_id < 250 GROUP BY 1),
+         |stats AS (SELECT CAST(sum(c) AS BIGINT) AS tmass, count(*)::BIGINT AS v
+         |          FROM cnt),
+         |scored AS (
+         |  SELECT tok.doc_id, count(*)::BIGINT AS n_tokens,
+         |    CAST(sum(CAST(round(ln(coalesce(cnt.c, 0) + 1.0) * 1000000) AS BIGINT))
+         |         AS BIGINT) AS s
+         |  FROM tok LEFT JOIN cnt USING (t) GROUP BY 1),
+         |ce AS (
+         |  SELECT doc_id,
+         |    round(ln((tmass + v)::DOUBLE) - s::DOUBLE / 1000000 / n_tokens, 6)
+         |      AS cross_entropy
+         |  FROM scored CROSS JOIN stats),
+         |samp AS (
+         |  SELECT doc_id, cross_entropy FROM ce
+         |  WHERE CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'tx13', doc_id)), 1, 8))
+         |        AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.5),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM samp),
+         |rk AS (SELECT cross_entropy,
+         |         row_number() OVER (ORDER BY cross_entropy, doc_id) AS rn
+         |       FROM samp),
+         |cuts AS (SELECT
+         |  (SELECT max(cross_entropy) FROM rk, nn WHERE rn <= ceil(n * (1.0/3))) AS c1,
+         |  (SELECT max(cross_entropy) FROM rk, nn WHERE rn <= ceil(n * (2.0/3))) AS c2)
+         |SELECT doc_id, cross_entropy,
+         |  CASE WHEN cross_entropy <= c1 THEN 'head'
+         |       WHEN cross_entropy <= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM ce CROSS JOIN cuts""".stripMargin,
+
     "sp4_dsir_weights" ->
       s"""WITH $wordsCte,
          |gr AS (
@@ -947,6 +984,62 @@ object TextOracles {
          |SELECT cell_id, CAST(dim AS INT) AS dim,
          |  CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
          |FROM px GROUP BY 1, 2""".stripMargin
+    },
+
+    // SemDeDup: sim5's one-Lloyd k-means replayed into centroid lists,
+    // nearest-centroid assignment (euclid, tie cell_id), within-cell
+    // cosine pairs ≥ τ, each pair dropping its higher-(centroid-cosine,
+    // id) member — survivors by NOT IN
+    "sd1_semdedup" -> {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      s"""WITH cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |asgn0 AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |px AS (
+         |  SELECT a.cell_id, t.i AS dim,
+         |    CAST(round(e.embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+         |  FROM asgn0 a JOIN embeddings e USING (vec_id), range(0, 64) t(i)),
+         |cm AS (
+         |  SELECT cell_id, dim,
+         |    CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
+         |  FROM px GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell_id, list(value ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |prio AS (
+         |  SELECT e.vec_id, a.cell_id,
+         |    ${cosine("e.embedding", "c.centroid")} AS cc
+         |  FROM embeddings e JOIN asgn a USING (vec_id)
+         |  JOIN cent c USING (cell_id)),
+         |pairs AS (
+         |  SELECT p1.vec_id AS v1, p1.cc AS cc1, p2.vec_id AS v2, p2.cc AS cc2
+         |  FROM prio p1 JOIN prio p2
+         |    ON p1.cell_id = p2.cell_id AND p1.vec_id < p2.vec_id
+         |  JOIN embeddings e1 ON e1.vec_id = p1.vec_id
+         |  JOIN embeddings e2 ON e2.vec_id = p2.vec_id
+         |  WHERE ${cosine("e1.embedding", "e2.embedding")} >= 0.3),
+         |losers AS (
+         |  SELECT DISTINCT CASE WHEN (cc1, v1) >= (cc2, v2) THEN v1 ELSE v2 END
+         |    AS vec_id FROM pairs)
+         |SELECT p.vec_id, p.cell_id, round(p.cc, 6) AS cent_cos
+         |FROM prio p
+         |WHERE p.vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
     },
 
     // PQ/ADC: 8×8-dim subspaces, sub-codebooks = subvectors of vec_id

@@ -210,6 +210,23 @@ object TextQueries {
       LangModel.crossEntropy(docs, docs.where(col("doc_id") < 250))
     }),
 
+    // CCNet head/middle/tail (Wenzek 2020): cutoffs = 1/3- and
+    // 2/3-quantiles of cross-entropy over a rate-0.5 hash sample
+    // (sampled cutoffs then constant filter, CCNet's own split), bucket
+    // assignment a pure when-chain. The scored frame is lazily
+    // checkpointed: the cutoff probes and the final projection share ONE
+    // crossEntropy run
+    "tx13_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = LangModel.crossEntropy(docs, docs.where(col("doc_id") < 250))
+        .localCheckpoint(eager = false)
+      val cuts = Sampling.hashSampleQuantiles(
+        scored, "doc_id", "cross_entropy", Seq(1.0 / 3, 2.0 / 3),
+        rate = 0.5, seed = "tx13")
+      LangModel.perplexityBuckets(scored, cuts)
+        .select(col("doc_id"), col("cross_entropy"), col("bucket"))
+    }),
+
     // DSIR importance log-weights: target = src0 docs, raw = the full
     // pool, 256 hashed-bigram buckets — positive = target-like
     "sp4_dsir_weights" -> ((s, dir) => {
@@ -403,6 +420,18 @@ object TextQueries {
       Similarity.kmeansCentroids(t(s, dir, "embeddings"), k = 8, iters = 1)
         .select(col("cell_id"),
           posexplode(col("centroid")).as(Seq("dim", "value")))),
+
+    // SemDeDup (Abbas 2023): the sim5 quantizer (8 cells, one Lloyd
+    // round from deterministic seeds) partitions the embedding space;
+    // within each assigned cell, cosine-near pairs keep only the member
+    // farthest from the centroid. maxBucket=2000 ≥ the corpus at every
+    // test SF, so no cell overflows the pruning guard
+    "sd1_semdedup" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(embs, k = 8, iters = 1)
+      Dedup.semanticDeduplicate(embs, centroids, "vec_id", "embedding",
+        threshold = 0.3, maxBucket = 2000)
+    }),
 
     // product quantization: 8×8-dim subspaces, sub-codebooks = the
     // subvectors of the 8 lowest-id embeddings; ADC top-5 per query —

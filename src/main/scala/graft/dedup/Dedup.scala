@@ -774,4 +774,79 @@ object Dedup {
       .withColumn("fingerprint", TextAnalysis.canonicalFingerprint(col(textCol)))
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("dup_count"))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with a coarse quantizer, then drop semantic duplicates WITHIN
+    * each cluster — pairs above the cosine threshold keep only the member
+    * FARTHEST from the cluster centroid (the paper's keep-low-centroid-
+    * similarity rule, which retains the cluster's diverse rim rather than
+    * its redundant core).
+    *
+    * `centroids` is any trained quantizer, normally
+    * [[graft.sim.Similarity.kmeansCentroids]] — the same deterministic
+    * model the IVF family uses, so one k-means fit can serve both ANN
+    * search and semantic dedup.
+    *
+    * Scale shape: assignment is [[graft.sim.Similarity.assignCells]]
+    * (broadcast crossJoin → min_by partial agg, ONE shuffle on the id);
+    * the pair stage is the [[embeddingNearDuplicates]] within-bucket
+    * generation keyed on the ASSIGNED CELL — cost ∝ Σ cell m², bounded
+    * by `maxBucket` with the `semdedup_cells` observe metric (an
+    * oversized cell only loses its intra-cell PRUNING — its members all
+    * survive — which is the conservative failure for a dedup). The drop
+    * rule is per-PAIR (each pair independently discards its
+    * higher-(centroid-cosine, id) member), not connected-component
+    * closure: one extra linear shuffle instead of [[duplicateClusters]]'
+    * O(diameter) propagation rounds, matching the published
+    * implementations' semantics. Ties (identical vectors have identical
+    * centroid cosines) break on the id, so the survivor set is
+    * deterministic under any partitioning.
+    *
+    * (`maxBucket` < 2 makes the pair filter statically unsatisfiable —
+    * Catalyst folds the whole pair subtree, including the observe node,
+    * to an empty relation: everyone survives and no metric is emitted.)
+    *
+    * Returns the SURVIVORS: (id, cell_id, cent_cos round 6). */
+  def semanticDeduplicate(
+      embs: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid) — e.g. kmeansCentroids
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.sim.Similarity
+    val prio = Similarity.assignCells(
+      embs.select(col(idCol), col(vecCol)), centroids, vecCol, idCol)
+      .join(broadcast(centroids), Seq("cell_id"))
+      .select(col("cell_id"), col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.norm(col(vecCol)).as("__nm"),
+        Similarity.cosine(col(vecCol), col("centroid")).as("__cc"))
+      // referenced by BOTH the pair stage and the survivor anti-join —
+      // lazy checkpoint so the assignment runs once, on first action
+      .localCheckpoint(eager = false)
+    val losers = prio
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell_id")))
+      .observe("semdedup_cells",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_cell"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("__id"), col("__v"), col("__nm"), col("__cc")))
+        .as("__m"))
+      .select(explode(col("__m")).as("a"), col("__m"))
+      .select(col("a"), explode(col("__m")).as("b"))
+      .where(col("a.__id") < col("b.__id"))
+      .where(Similarity.cosinePrenormed(
+        col("a.__v"), col("b.__v"), col("a.__nm"), col("b.__nm")) >= threshold)
+      // drop the pair member CLOSER to the centroid (higher cent_cos)
+      .select(greatest(
+        struct(col("a.__cc").as("cc"), col("a.__id").as("id")),
+        struct(col("b.__cc").as("cc"), col("b.__id").as("id")))
+        .getField("id").as("__id"))
+      .distinct()
+    prio.join(losers, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cell_id"),
+        round(col("__cc"), 6).as("cent_cos"))
+  }
 }

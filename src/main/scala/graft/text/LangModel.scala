@@ -94,6 +94,34 @@ object LangModel {
         round(exp(ce), 4).as("perplexity"))
   }
 
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020): label each
+    * scored document by where its LM score falls against precomputed
+    * cutoffs — `labels(i)` for score ≤ `cutoffs(i)`, the last label
+    * above every cutoff. Lower cross-entropy = more reference-like, so
+    * with ascending cutoffs the first label is CCNet's "head" (best
+    * third). Cutoffs normally come from
+    * [[Sampling.hashSampleQuantiles]] over a [[crossEntropy]] run —
+    * exactly CCNet's sampled-cutoffs-then-constant-filter split, which
+    * keeps this a pure codegen'd when-chain: shuffle-free, volume-
+    * linear, pushed past column pruning; no global sort or single-
+    * partition ntile window anywhere. */
+  def perplexityBuckets(
+      scored: DataFrame,
+      cutoffs: Seq[Double],
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      scoreCol: String = "cross_entropy"): DataFrame = {
+    if (labels.size != cutoffs.size + 1)
+      throw new ParameterError(
+        s"need exactly ${cutoffs.size + 1} labels for ${cutoffs.size} cutoffs, " +
+          s"got ${labels.size}")
+    if (cutoffs.sorted != cutoffs)
+      throw new ParameterError(s"cutoffs must be ascending: $cutoffs")
+    val bucket = cutoffs.zip(labels).foldRight(lit(labels.last)) {
+      case ((c, l), acc) => when(col(scoreCol) <= c, l).otherwise(acc)
+    }
+    scored.withColumn("bucket", bucket)
+  }
+
   /** Hashed bigram feature bucket in [0, buckets): first 8 md5 hex chars
     * of the space-joined bigram, mod the bucket count — engine-
     * independent (the md5 idiom of the dedup/sampling family). */

@@ -59,6 +59,41 @@ object Sampling {
     df.where(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** Quantile cutoffs of `valueCol` over a deterministic hash sample —
+    * the CCNet cutoff computation (Wenzek et al. 2020 compute their
+    * head/middle/tail perplexity cutoffs from a sample per language, then
+    * apply them as constants): for each fraction f, the ⌈f·n⌉-th
+    * smallest sampled value under the total order (value, id).
+    *
+    * Driver contract: ONE count + one distributed top-k per fraction
+    * (TakeOrdered of k ≤ sample-size rows, then a scalar max) — bounded
+    * by the SAMPLE, never the corpus; size `rate` so the sample is
+    * top-k-safe (CCNet's own cutoffs come from far smaller samples than
+    * that). The id tiebreak makes every cutoff reproducible under any
+    * partitioning and in the DuckDB oracle. Raises [[ParameterError]] on
+    * an empty sample rather than returning silent nulls. */
+  def hashSampleQuantiles(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      fractions: Seq[Double],
+      rate: Double,
+      seed: String = "0"): Seq[Double] = {
+    fractions.foreach { f =>
+      if (f <= 0 || f > 1) throw new ParameterError(s"fraction must be in (0, 1]: $f")
+    }
+    val samp = sampleByHash(df.select(col(idCol), col(valueCol)), idCol, rate, seed)
+    val n = samp.count()
+    if (n == 0)
+      throw new ParameterError(
+        s"hash sample at rate $rate selected no rows; raise the rate")
+    fractions.map { f =>
+      val k = math.ceil(f * n).toInt
+      samp.orderBy(col(valueCol), col(idCol)).limit(k)
+        .agg(max(col(valueCol)).cast("double")).head.getDouble(0)
+    }
+  }
+
   /** Deterministic train/val/test (or any weighted) split: each row gets
     * the first split whose cumulative weight exceeds its id-hash.
     * Weights must sum to 1 (tolerance 1e-9). Splits are STABLE under

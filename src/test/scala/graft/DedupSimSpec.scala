@@ -521,4 +521,45 @@ class DedupSimSpec extends SparkSpec {
     val covered = out.collect { case ((1L, _), (_, t)) => t.split(" ") }.flatten.toSet
     assert((1 to 10).forall(i => covered.contains(s"t$i")))
   }
+
+  // two cells: x-axis and y-axis centroids. v1/v2 are near-dups in cell
+  // 0 with v1 closer to the centroid; v3/v4 are near-dups in cell 1 with
+  // IDENTICAL centroid cosines (the id tiebreak case).
+  private lazy val sdVecs = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(-0.1f, 1.0f)),
+    (4L, Array(0.1f, 1.0f)))
+    .toDF("vec_id", "embedding")
+  private lazy val sdCents = Seq(
+    (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("cell_id", "centroid")
+
+  test("semanticDeduplicate keeps the pair member FARTHEST from the " +
+    "centroid; centroid-cosine ties break on the id (sd1)") {
+    val out = Dedup.semanticDeduplicate(
+      sdVecs, sdCents, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cell 0: pair (1,2) cos≈0.994 — v1 has cent_cos 1.0 > v2's 0.994 →
+    // v1 dropped. cell 1: pair (3,4) cos≈0.980 — cent_cos both 1/√1.01 →
+    // tie → the higher id (4) dropped.
+    assert(out == Map(2L -> 0L, 3L -> 1L))
+  }
+
+  test("semanticDeduplicate: an oversized cell loses only its pruning — " +
+    "members all survive, and the drop is observable") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // three per cell over a cap of 2 → both cells dropped from pairing
+      val six = sdVecs.union(Seq(
+        (5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)))
+        .toDF("vec_id", "embedding"))
+      val out = Dedup.semanticDeduplicate(
+        six, sdCents, "vec_id", "embedding", threshold = 0.95, maxBucket = 2)
+      assert(out.collect().length == 6) // nobody dropped: conservative failure
+      val m = out.queryExecution.observedMetrics("semdedup_cells")
+      assert(m.getAs[Long]("rows_in_overflow") == 6L)
+      assert(m.getAs[Long]("max_cell") == 3L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }

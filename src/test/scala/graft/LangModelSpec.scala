@@ -90,4 +90,42 @@ class LangModelSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(a == b)
   }
+
+  test("perplexityBuckets: when-chain labels against ascending cutoffs; " +
+    "boundary scores take the lower bucket (tx13)") {
+    val scored = Seq((1L, 1.0), (2L, 2.0), (3L, 2.5), (4L, 9.9))
+      .toDF("doc_id", "cross_entropy")
+    val out = LangModel.perplexityBuckets(scored, Seq(2.0, 3.0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle", 4L -> "tail"))
+    intercept[graft.ParameterError] {
+      LangModel.perplexityBuckets(scored, Seq(3.0, 2.0)) // not ascending
+    }
+    intercept[graft.ParameterError] {
+      LangModel.perplexityBuckets(scored, Seq(2.0), Seq("only")) // label arity
+    }
+  }
+
+  test("hashSampleQuantiles: k-th smallest under the (value, id) total " +
+    "order, invariant under repartitioning; empty sample raises") {
+    import graft.text.Sampling
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("doc_id", "v")
+    val cuts = Sampling.hashSampleQuantiles(
+      df, "doc_id", "v", Seq(1.0 / 3, 2.0 / 3), rate = 0.5, seed = "q")
+    val cuts2 = Sampling.hashSampleQuantiles(
+      df.repartition(7), "doc_id", "v", Seq(1.0 / 3, 2.0 / 3), rate = 0.5, seed = "q")
+    assert(cuts == cuts2)
+    // replay: the sampled values sorted; cutoffs are the ceil(f·n)-th
+    val samp = Sampling.sampleByHash(df, "doc_id", 0.5, "q")
+      .collect().map(_.getDouble(1)).sorted
+    def kth(f: Double) = samp(math.ceil(f * samp.length).toInt - 1)
+    assert(cuts == Seq(kth(1.0 / 3), kth(2.0 / 3)))
+    assert(cuts.head < cuts.last)
+    intercept[graft.ParameterError] {
+      Sampling.hashSampleQuantiles(df, "doc_id", "v", Seq(0.5), rate = 0.0)
+    }
+    intercept[graft.ParameterError] {
+      Sampling.hashSampleQuantiles(df, "doc_id", "v", Seq(1.5), rate = 0.5)
+    }
+  }
 }
