@@ -221,15 +221,15 @@ object Dedup {
     * the corpus (∝ true duplicate mass), so the verify stage reads
     * candidate docs only instead of making a second O(corpus) shingle
     * pass. Round 5: shingle sets come from the native array expression
-    * (no explode→re-collect round trip). The shingled frame feeds BOTH
-    * verify-join sides under different aliases, so it ends in a
-    * `repartition(id)` — a canonically-identical Exchange at both
-    * occurrences, which the planner turns into ONE shuffle +
-    * ReusedExchange (asserted in DedupSimSpec): the semi-join and the
-    * shingle projection run once, exactly like the collect_list
-    * aggregation this replaces, minus its explode→re-collect round
-    * trip. The candidate pipeline's own trailing distinct() exchange is
-    * reused the same way across its three occurrences. Shingled-doc
+    * (no explode→re-collect round trip), and both the candidate frame
+    * (referenced 3×: two prune projections + the verify probe) and the
+    * repartitioned shingle frame (referenced 2×: both verify-join
+    * sides) are LAZILY checkpointed — planner/AQE exchange reuse does
+    * not bridge differently-aliased occurrences of these subtrees (the
+    * 1 M-doc bench measured the candidate pipeline executing 3×
+    * without the checkpoint), so each pipeline runs exactly once at
+    * first action, and the checkpointed shingle RDD keeps its hash
+    * partitioning so the verify joins are exchange-free. Shingled-doc
     * count is observable via the `neardup_verify` observe metric. */
   def nearDuplicates(
       docs: DataFrame,
@@ -240,15 +240,36 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       maxBucket: Int = 10000): DataFrame = {
+    // the candidate frame is referenced THREE times (both id projections
+    // of the semi-join prune + the verify join's probe side). The
+    // trailing distinct() exchange is canonically identical at all three
+    // occurrences, but AQE does NOT reuse stages across the
+    // CollectMetrics-bearing subtrees — measured at 1 M docs the whole
+    // candidate pipeline executed 3× (458 s vs ~250 s). Lazy checkpoint:
+    // no job at construction, the pipeline runs once at first action.
+    // (The checkpoint swallows the inner `minhash_buckets` metric for
+    // this composition; call minhashCandidates directly to observe it.)
     val cands =
       minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
+        .localCheckpoint(eager = false)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
       .distinct()
     val pruned = docs.join(candIds, Seq(idCol), "left_semi")
-      .observe("neardup_verify", count(lit(1)).as("docs_shingled"))
+    // the shingled frame feeds BOTH verify-join sides under different
+    // aliases. Planner exchange reuse does NOT bridge the two aliased
+    // occurrences here (measured: the semi-join + shingle pass executed
+    // per side), so the repartitioned frame is lazily checkpointed —
+    // ONE shingle pass + ONE shuffle at first action, and the
+    // checkpointed RDD keeps its hash partitioning, so both verify
+    // joins consume it exchange-free. The observe sits ABOVE the
+    // checkpoint (a metric below a checkpoint is invisible to
+    // downstream query executions); each join streams the full frame,
+    // so the metric reports one row per shingled doc either way.
     val sh = shingleArrays(pruned, idCol, textCol, shingleSize)
       .repartition(col(idCol))
+      .localCheckpoint(eager = false)
+      .observe("neardup_verify", count(lit(1)).as("docs_shingled"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
