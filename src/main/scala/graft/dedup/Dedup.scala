@@ -326,7 +326,14 @@ object Dedup {
     def hotKeys(df: DataFrame) = df
       .groupBy("__band", "__bk").agg(count(lit(1)).as("__n"))
       .where(col("__n") > maxBucket).select("__band", "__bk")
+    // referenced twice (both anti-joins) and aliased reuse doesn't
+    // bridge that (the nearDuplicates 1M lesson) — without the
+    // checkpoint the census pass over each melt runs twice. Bounded
+    // frame (hot keys are few by definition), checkpoint kept lazy so
+    // construction stays job-free; the observe sits ABOVE it (metrics
+    // below a checkpoint are invisible) and counts |hot| either way.
     val hot = hotKeys(cm).union(hotKeys(rm)).distinct()
+      .localCheckpoint(eager = false)
       .observe("cross_hot_buckets", count(lit(1)).as("dropped_buckets"))
     val cmOk = cm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
     val rmOk = rm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
@@ -427,11 +434,16 @@ object Dedup {
     * covered (or that normalize to nothing) disappear.
     *
     * Scale shape: reference grams hash + distinct + broadcast (as
-    * [[ngramOverlap]]); corpus tokens posexplode once; gram assembly
-    * rides ONE per-doc window; flagged gram starts explode to n covered
-    * positions each — extra rows ∝ collision mass only. Three linear
-    * shuffles total (gram window on id, covered-position dedup and
-    * anti-join on (id, position), reassembly on id); no pair joins. */
+    * [[ngramOverlap]]); gram assembly rides ONE per-doc window; flagged
+    * gram starts explode to n covered positions each — extra rows
+    * ∝ collision mass only. Three linear shuffles total (gram window on
+    * id, covered-position dedup and anti-join on (id, position),
+    * reassembly on id); no pair joins. The token explosion (`toks`) is
+    * deliberately computed TWICE (gram-hash pass + reassembly probe)
+    * rather than checkpointed — it is ~|corpus tokens| rows, the most
+    * expensive thing here to STORE, while recomputing it is one scan +
+    * one regex split (cheap, embarrassingly parallel); the collision
+    * side flows through a single reference. */
   def redactContaminated(
       corpus: DataFrame,
       ref: DataFrame,

@@ -152,6 +152,11 @@ object Sampling {
     * `scoreCol` must be in [0, 1] (e.g. TextAnalysis.qualityScore).
     * Returns the selected rows. A budget ≥ the corpus keeps everything;
     * a budget ≤ 0 keeps nothing. */
+  /** NOTE: `df` is deliberately traversed twice (histogram pass +
+    * selection pass) — both are volume-linear scans and the histogram
+    * output is bounded by `buckets`, so nothing corpus-sized is stored.
+    * If `df` carries an expensive derived score, checkpoint it at the
+    * call site; the operator won't pin corpus-sized state itself. */
   def selectByTokenBudget(
       df: DataFrame,
       idCol: String,
