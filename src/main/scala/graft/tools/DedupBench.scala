@@ -117,6 +117,42 @@ object DedupBench {
         graft.text.LangModel.crossEntropy(docs, docs).count())
     }
 
+    // SemDeDup at scale: 64-dim embedding corpus with 10% dup mass
+    // (10-vector groups share a pseudo-random direction; per-vector
+    // bump on one dimension keeps them near- but not exact-duplicates),
+    // quantizer trained on a 2% hash sample (k=4096, one Lloyd round —
+    // the FAISS practice), dedup then assigns ALL vectors and prunes
+    // within cells. Cost ∝ Σ cell m² with cells ≈ n/k, the paper's own
+    // scaling lever; the maxBucket guard caps any degenerate cell.
+    val nEmb = sizes.max
+    def embCorpus(n: Long): DataFrame = {
+      val id = col("id")
+      val group = when(pmod(id, lit(100L)) < 10, id - pmod(id, lit(10L))).otherwise(id)
+      spark.range(n).select(id.as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (pmod(group * 2654435761L + d.cast("long") * 40503L, lit(2039L))
+            .cast("double") / 2039.0 - 0.5)
+            + when(d === pmod(id, lit(64L)), 0.05).otherwise(0.0))
+          .as("embedding"))
+    }
+    val embs = embCorpus(nEmb)
+    println(s"--- semdedup: $nEmb 64-dim vectors ---")
+    val quantizer = graft.sim.Similarity.kmeansCentroids(
+      graft.text.Sampling.sampleByHash(embs, "vec_id", 0.02, "embbench"),
+      k = 4096, iters = 1)
+    time(s"semdedup k=4096 (10% dup mass)")(
+      Dedup.semanticDeduplicate(embs, quantizer, "vec_id", "embedding",
+        threshold = 0.8, maxBucket = 10000).count())
+    // every vector identical → ONE cell of n vectors: the guard must
+    // drop the cell from pairing (all survive) instead of exploding
+    // n²/2 cosine pairs in a single task; the remaining cost is the
+    // one unavoidable assignment pass
+    val embAdv = spark.range(nEmb).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), _ => lit(1.0)).as("embedding"))
+    time(s"semdedup adversarial one cell (capped)")(
+      Dedup.semanticDeduplicate(embAdv, quantizer, "vec_id", "embedding",
+        threshold = 0.8).count())
+
     // Adversarial: one giant exact-duplicate clique — every doc lands in
     // the SAME bucket in every band. The maxBucket guard must drop it
     // (0 pairs) without a straggler task; without the guard this is a
