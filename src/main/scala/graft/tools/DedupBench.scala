@@ -128,9 +128,13 @@ object DedupBench {
     def embCorpus(n: Long): DataFrame = {
       val id = col("id")
       val group = when(pmod(id, lit(100L)) < 10, id - pmod(id, lit(10L))).otherwise(id)
+      // murmur3 per (group, dim): a linear-congruential form here makes
+      // every group a constant shift of every other (near-collinear
+      // vectors → everything "deduplicates"); a real hash keeps
+      // inter-group cosines near 0 at 64 dims
       spark.range(n).select(id.as("vec_id"),
         transform(sequence(lit(0), lit(63)),
-          d => (pmod(group * 2654435761L + d.cast("long") * 40503L, lit(2039L))
+          d => (pmod(hash(group, d).cast("long"), lit(2039L))
             .cast("double") / 2039.0 - 0.5)
             + when(d === pmod(id, lit(64L)), 0.05).otherwise(0.0))
           .as("embedding"))
