@@ -843,6 +843,20 @@ object TextOracles {
          |FROM cg JOIN ref USING (s)
          |GROUP BY 1""".stripMargin,
 
+    // containment = hits over the doc's own distinct gram count; the
+    // flag compares the 6-decimal-rounded fraction, as the Spark side
+    "dd15_containment" ->
+      s"""WITH ${overlapCte(5)}
+         |SELECT corpus_id, n_grams, hits,
+         |  round(hits::DOUBLE / n_grams, 6) AS containment,
+         |  round(hits::DOUBLE / n_grams, 6) >= 0.7 AS contaminated
+         |FROM (
+         |  SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS n_grams,
+         |    CAST(sum(CASE WHEN ref.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits
+         |  FROM cg LEFT JOIN ref USING (s)
+         |  GROUP BY 1)""".stripMargin,
+
     "dd12_exact_decontaminated" ->
       s"""WITH ${overlapCte(5)}
          |SELECT doc_id FROM documents

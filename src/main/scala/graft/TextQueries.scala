@@ -335,6 +335,14 @@ object TextQueries {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
     }),
 
+    // PaLM containment rule: fraction of each corpus doc's distinct
+    // 5-grams seen anywhere in the eval set; contaminated = ≥ 70%
+    "dd15_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.containmentFractions(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
+    }),
+
     // span redaction: excise exactly the tokens covered by a quoted
     // eval 5-gram, keep the rest of the doc (normalized token space)
     "dd14_redact_spans" -> ((s, dir) => {

@@ -363,6 +363,48 @@ object Dedup {
       .select("corpus_id", "ref_id", "jaccard")
   }
 
+  /** PaLM-style containment-fraction contamination (Chowdhery et al.
+    * 2022, §apx. "memorization"): the fraction of a document's DISTINCT
+    * word n-grams that appear anywhere in the reference set — PaLM
+    * flags a doc contaminated when ≥70% of its 8-grams are seen in the
+    * eval data. Complements [[ngramOverlap]] (absolute hit count) and
+    * [[crossNearDuplicates]] (symmetric Jaccard, which a short eval doc
+    * quoted inside a long document never reaches): containment
+    * normalizes by the DOC's own gram count, so full-quote inclusions
+    * score 1.0 regardless of the size ratio.
+    *
+    * Scale shape: identical to [[ngramOverlap]] — reference grams
+    * collapse to distinct hashes (broadcast for eval-set-sized refs),
+    * corpus streams through the native shingle expression once, a LEFT
+    * join marks hits with no corpus×ref blowup, and two hash
+    * aggregations ride the id key (per-(doc, gram) dedup, then the
+    * per-doc fraction). Docs with fewer than n words have no grams and
+    * emit no row. Returns (corpus_id, n_grams, hits, containment,
+    * contaminated) with `contaminated` = containment ≥ `threshold`
+    * on the 6-decimal-rounded fraction. */
+  def containmentFractions(
+      corpus: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      threshold: Double = 0.7,
+      broadcastRef: Boolean = true): DataFrame = {
+    val refGrams = shingleRows(ref, idCol, textCol, n)
+      .select(md5(col("__s")).as("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol).as("corpus_id"), md5(col("__s")).as("__h"))
+      .join(if (broadcastRef) broadcast(refGrams) else refGrams, Seq("__h"), "left")
+      .groupBy("corpus_id", "__h")
+      .agg(max(coalesce(col("__hit"), lit(0L))).as("__g_hit"))
+      .groupBy("corpus_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("__g_hit")).as("hits"))
+      .withColumn("containment",
+        round(col("hits").cast("double") / col("n_grams"), 6))
+      .withColumn("contaminated", col("containment") >= threshold)
+  }
+
   /** Decontamination projection: corpus minus everything near-matching
     * the reference set (anti-join on the match ids). */
   def decontaminate(

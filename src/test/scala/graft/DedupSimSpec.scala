@@ -522,6 +522,21 @@ class DedupSimSpec extends SparkSpec {
     assert((1 to 10).forall(i => covered.contains(s"t$i")))
   }
 
+  test("containmentFractions: PaLM fraction-of-grams-seen rule; " +
+    "gram-less docs emit no row (dd15)") {
+    val out = Dedup.containmentFractions(
+      docs.where($"doc_id" =!= 1), docs.where($"doc_id" === 1),
+      n = 3, threshold = 0.7)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(out(2L) == ((7L, 7L, 1.0, true))) // exact dup: full containment
+    // reorder shares 6 of its 7 trigrams ("lazy dog the" is novel)
+    assert(out(3L) == ((7L, 6L, 0.857143, true)))
+    assert(out(4L)._2 == 0L && !out(4L)._4) // disjoint content
+    assert(!out.contains(5L)) // "hi": no trigrams, no row
+  }
+
   // two cells: x-axis and y-axis centroids. v1/v2 are near-dups in cell
   // 0 with v1 closer to the centroid; v3/v4 are near-dups in cell 1 with
   // IDENTICAL centroid cosines (the id tiebreak case).
