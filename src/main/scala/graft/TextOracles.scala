@@ -1056,6 +1056,55 @@ object TextOracles {
          |WHERE p.vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
     },
 
+    // SSL-prototypes: sd1's trained-quantizer assignment + centroid
+    // cosine, then per cell drop rank ≤ ⌊m/2⌋ under (cc DESC, id)
+    "sd2_prototypes" -> {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      s"""WITH cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |asgn0 AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |px AS (
+         |  SELECT a.cell_id, t.i AS dim,
+         |    CAST(round(e.embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+         |  FROM asgn0 a JOIN embeddings e USING (vec_id), range(0, 64) t(i)),
+         |cm AS (
+         |  SELECT cell_id, dim,
+         |    CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
+         |  FROM px GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell_id, list(value ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |prio AS (
+         |  SELECT e.vec_id, a.cell_id,
+         |    ${cosine("e.embedding", "c.centroid")} AS cc
+         |  FROM embeddings e JOIN asgn a USING (vec_id)
+         |  JOIN cent c USING (cell_id)),
+         |ranked AS (
+         |  SELECT vec_id, cell_id, cc,
+         |    row_number() OVER (PARTITION BY cell_id ORDER BY cc DESC, vec_id)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY cell_id) AS m
+         |  FROM prio)
+         |SELECT vec_id, cell_id, round(cc, 6) AS cent_cos
+         |FROM ranked WHERE rk > floor(0.5 * m)""".stripMargin
+    },
+
     // PQ/ADC: 8×8-dim subspaces, sub-codebooks = subvectors of vec_id
     // 0..7; encode picks the nearest sub-centroid per (vector, subspace),
     // search sums the 8 query→sub-centroid distances in subspace order

@@ -441,6 +441,16 @@ object TextQueries {
         threshold = 0.3, maxBucket = 2000)
     }),
 
+    // SSL-prototypes pruning (Sorscher 2022): same trained quantizer as
+    // sd1; per cell, drop the ⌊m/2⌋ members closest to the centroid and
+    // keep the hard rim
+    "sd2_prototypes" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(embs, k = 8, iters = 1)
+      Dedup.prototypePrune(embs, centroids, "vec_id", "embedding",
+        dropFraction = 0.5)
+    }),
+
     // product quantization: 8×8-dim subspaces, sub-codebooks = the
     // subvectors of the 8 lowest-id embeddings; ADC top-5 per query —
     // the corpus is searched from codes only (no float vectors read)

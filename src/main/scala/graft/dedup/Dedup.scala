@@ -883,6 +883,30 @@ object Dedup {
     * to an empty relation: everyone survives and no metric is emitted.)
     *
     * Returns the SURVIVORS: (id, cell_id, cent_cos round 6). */
+  /** Cell assignment + centroid-cosine priority for the cluster-based
+    * pruning family ([[semanticDeduplicate]], [[prototypePrune]]):
+    * (cell_id, __id, __v, __nm, __cc). `checkpoint` for callers that
+    * reference the frame more than once (pair stage + anti-join) —
+    * aliased exchange reuse doesn't bridge that (the nearDuplicates
+    * 1 M lesson); single-pass callers skip it so column pruning still
+    * reaches the scan (a checkpoint would pin the corpus-sized vector
+    * column they never read again). */
+  private def cellPriorities(
+      embs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      checkpoint: Boolean): DataFrame = {
+    import graft.sim.Similarity
+    val prio = Similarity.assignCells(
+      embs.select(col(idCol), col(vecCol)), centroids, vecCol, idCol)
+      .join(broadcast(centroids), Seq("cell_id"))
+      .select(col("cell_id"), col(idCol).as("__id"), col(vecCol).as("__v"),
+        Similarity.norm(col(vecCol)).as("__nm"),
+        Similarity.cosine(col(vecCol), col("centroid")).as("__cc"))
+    if (checkpoint) prio.localCheckpoint(eager = false) else prio
+  }
+
   def semanticDeduplicate(
       embs: DataFrame,
       centroids: DataFrame, // (cell_id, centroid) — e.g. kmeansCentroids
@@ -891,15 +915,7 @@ object Dedup {
       threshold: Double,
       maxBucket: Int = 1000): DataFrame = {
     import graft.sim.Similarity
-    val prio = Similarity.assignCells(
-      embs.select(col(idCol), col(vecCol)), centroids, vecCol, idCol)
-      .join(broadcast(centroids), Seq("cell_id"))
-      .select(col("cell_id"), col(idCol).as("__id"), col(vecCol).as("__v"),
-        Similarity.norm(col(vecCol)).as("__nm"),
-        Similarity.cosine(col(vecCol), col("centroid")).as("__cc"))
-      // referenced by BOTH the pair stage and the survivor anti-join —
-      // lazy checkpoint so the assignment runs once, on first action
-      .localCheckpoint(eager = false)
+    val prio = cellPriorities(embs, centroids, idCol, vecCol, checkpoint = true)
     val losers = prio
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell_id")))
       .observe("semdedup_cells",
@@ -921,6 +937,47 @@ object Dedup {
         .getField("id").as("__id"))
       .distinct()
     prio.join(losers, Seq("__id"), "left_anti")
+      .select(col("__id").as(idCol), col("cell_id"),
+        round(col("__cc"), 6).as("cent_cos"))
+  }
+
+  /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): within each cluster, DROP the most prototypical
+    * `dropFraction` of examples — the ones closest to their centroid —
+    * and keep the hard rim, the selection that beats random pruning on
+    * large corpora in the paper. The same trained quantizer serves
+    * [[semanticDeduplicate]], the IVF family, and this.
+    *
+    * Per cell of m members the drop count is ⌊dropFraction·m⌋ under the
+    * (centroid-cosine DESC, id) total order, so the survivor set is
+    * deterministic and a 1-member cell never empties. Scale shape: one
+    * assignment shuffle ([[graft.sim.Similarity.assignCells]]) + ONE
+    * rank window partitioned by cell — cells are corpus/k sized by
+    * construction (scale k with the corpus as the quantizer fit
+    * already requires); no pair generation at all, so no maxBucket is
+    * needed — a degenerate cell costs one task's sort of its members,
+    * never m².
+    *
+    * Returns survivors: (id, cell_id, cent_cos round 6). */
+  def prototypePrune(
+      embs: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid) — e.g. kmeansCentroids
+      idCol: String,
+      vecCol: String,
+      dropFraction: Double): DataFrame = {
+    if (dropFraction < 0 || dropFraction >= 1)
+      throw new graft.ParameterError(
+        s"dropFraction must be in [0, 1): $dropFraction")
+    // single downstream pass → no checkpoint; project the vector away
+    // BEFORE the rank window so its exchange moves (cell, id, cc) rows,
+    // not 64-float embeddings
+    val prio = cellPriorities(embs, centroids, idCol, vecCol, checkpoint = false)
+      .select(col("cell_id"), col("__id"), col("__cc"))
+    val w = Window.partitionBy("cell_id").orderBy(col("__cc").desc, col("__id"))
+    prio
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy("cell_id")))
+      .where(col("__rk") > floor(lit(dropFraction) * col("__m")))
       .select(col("__id").as(idCol), col("cell_id"),
         round(col("__cc"), 6).as("cent_cos"))
   }

@@ -560,6 +560,29 @@ class DedupSimSpec extends SparkSpec {
     assert(out == Map(2L -> 0L, 3L -> 1L))
   }
 
+  test("prototypePrune drops the ⌊f·m⌋ most-prototypical per cell under " +
+    "(cent_cos DESC, id); singleton cells survive (sd2)") {
+    // cell 0 members by cent_cos: v1 (1.0) > v2 (≈0.994) > v5 — wait v5
+    // is (0.8, 0.2): cc = 0.8/√0.68 ≈ 0.970 — order v1, v2, v5; m=3 →
+    // drop ⌊1.5⌋ = 1 (v1). cell 1: v3/v4 tie on cc → id order v3, v4,
+    // v6 (cc = 0.8/√0.68 lowest); m=3 → drop v3 (the id tiebreak).
+    val six = sdVecs.union(Seq(
+      (5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding"))
+    val out = Dedup.prototypePrune(six, sdCents, "vec_id", "embedding", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 5L, 4L, 6L))
+    // dropFraction 0 keeps everyone; a singleton cell never empties
+    val one = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Dedup.prototypePrune(one, sdCents, "vec_id", "embedding", 0.9)
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+    assert(Dedup.prototypePrune(six, sdCents, "vec_id", "embedding", 0.0)
+      .count() == 6)
+    intercept[graft.ParameterError] {
+      Dedup.prototypePrune(six, sdCents, "vec_id", "embedding", 1.0)
+    }
+  }
+
   test("semanticDeduplicate: an oversized cell loses only its pruning — " +
     "members all survive, and the drop is observable") {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
