@@ -837,6 +837,39 @@ object TextOracles {
          |  md5(string_agg(tokn, ' ' ORDER BY p)) AS redacted_md5
          |FROM kept GROUP BY 1""".stripMargin,
 
+    // ExactSubstr self-dedup: rank every 5-gram occurrence by
+    // (doc_id, position); rank > 1 occurrences excise their 5 covered
+    // tokens; docs reassemble from survivors in original order
+    "dd16_exact_substrings" ->
+      s"""WITH $wordsCte,
+         |tok AS (
+         |  SELECT doc_id, s.i AS p, s.l AS tokn FROM (
+         |    SELECT doc_id, unnest(list_transform(w, (x, i) -> {'i': i, 'l': x})) AS s
+         |    FROM words)
+         |  WHERE s.l <> ''),
+         |gr AS (
+         |  SELECT doc_id, s.i AS p, s.g AS g FROM (
+         |    SELECT doc_id,
+         |      unnest(CASE WHEN len(w) >= 5
+         |             THEN list_transform(range(1, len(w) - 3),
+         |                    i -> {'i': i, 'g': array_to_string(w[i:i+4], ' ')})
+         |             ELSE [] END) AS s
+         |    FROM words)),
+         |ranked AS (
+         |  SELECT doc_id, p,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+         |  FROM gr),
+         |covered AS (
+         |  SELECT DISTINCT r.doc_id, r.p + t.o AS p
+         |  FROM ranked r, range(0, 5) t(o) WHERE r.rn > 1),
+         |kept AS (
+         |  SELECT t.doc_id, t.p, t.tokn
+         |  FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.doc_id IS NULL)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  md5(string_agg(tokn, ' ' ORDER BY p)) AS dedup_md5
+         |FROM kept GROUP BY 1""".stripMargin,
+
     "dd11_ngram_overlap" ->
       s"""WITH ${overlapCte(5)}
          |SELECT cg.doc_id AS corpus_id, count(*)::BIGINT AS hits

@@ -352,6 +352,14 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("redacted_md5"))
     }),
 
+    // ExactSubstr self-dedup (Lee 2021): corpus-first occurrence of each
+    // 5-gram survives; later occurrences lose their covered tokens
+    "dd16_exact_substrings" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupExactSubstrings(docs, n = 5)
+        .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("dedup_md5"))
+    }),
+
     "dd12_exact_decontaminated" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminateExact(

@@ -495,34 +495,105 @@ object Dedup {
       broadcastRef: Boolean = true): DataFrame = {
     val refGrams = shingleRows(ref, idCol, textCol, n)
       .select(md5(col("__s")).as("__h")).distinct()
-    val toks = corpus
+    val toks = normalizedTokens(corpus, idCol, textCol)
+    val covered = tokenGrams(toks, idCol, n)
+      .join(if (broadcastRef) broadcast(refGrams) else refGrams, "__h")
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__p"))
+      .distinct()
+    reassemble(toks.join(covered, Seq(idCol, "__p"), "left_anti"),
+      idCol, textCol)
+  }
+
+  /** The normalized token space shared by the span-excision operators
+    * ([[redactContaminated]], [[dedupExactSubstrings]]): lowercased
+    * alphanumeric words with their 0-based positions, (id, __p, __w). */
+  private def normalizedTokens(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol),
         posexplode(
           split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " ")), "\\s+"))
           .as(Seq("__p", "__w")))
       .where(col("__w") =!= "")
+
+  /** Word n-gram hashes over [[normalizedTokens]] rows: (id, __p, __h)
+    * with __p the gram's START token position — assembled by ONE
+    * per-doc lead() window (no self-join). */
+  private def tokenGrams(toks: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__p")
     val parts = (0 until n).map { k =>
       (if (k == 0) col("__w") else lead(col("__w"), k).over(w)).as(s"__w$k")
     }
-    val grams = toks
+    toks
       .select(col(idCol) +: col("__p") +: parts: _*)
       .where(col(s"__w${n - 1}").isNotNull)
       .select(col(idCol), col("__p"),
         md5(concat_ws(" ", (0 until n).map(i => col(s"__w$i")): _*)).as("__h"))
-    val covered = grams
-      .join(if (broadcastRef) broadcast(refGrams) else refGrams, "__h")
-      .select(col(idCol),
-        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__p"))
-      .distinct()
-    toks
-      .join(covered, Seq(idCol, "__p"), "left_anti")
+  }
+
+  /** Rebuild (id, n_tokens, text) from surviving [[normalizedTokens]]
+    * rows in original token order. Docs with no surviving tokens
+    * disappear (groupBy over an empty group emits nothing). */
+  private def reassemble(
+      kept: DataFrame, idCol: String, textCol: String): DataFrame =
+    kept
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
         array_sort(collect_list(struct(col("__p"), col("__w")))).as("__a"))
       .select(col(idCol), col("n_tokens"),
         concat_ws(" ", transform(col("__a"), e => e.getField("__w"))).as(textCol))
+
+  /** ExactSubstr self-deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every word n-gram
+    * keeps its corpus-FIRST occurrence under the (doc id, position)
+    * total order; every LATER occurrence — in a higher-id doc, later in
+    * the same doc, or a doc's verbatim quote of another — has its n
+    * covered tokens excised, and the doc keeps the rest. This is
+    * [[redactContaminated]]'s span-excision turned on the corpus
+    * itself: it kills repeated boilerplate PASSAGES (license headers,
+    * templated paragraphs) that repeat across documents too short a
+    * fraction of each doc for whole-doc near-dup to fire, without
+    * discarding the unique remainder of any document. Returns
+    * (id, n_tokens, text) in the normalized token space (the dd14
+    * contract); docs whose every token is covered disappear.
+    *
+    * The reference implementation builds a corpus-wide suffix array —
+    * inherently sequential over a single flattened byte string. The
+    * Spark-native equivalent is sliding-gram hashing: same removal
+    * semantics at word granularity (a duplicated run of m ≥ n tokens is
+    * covered by its m − n + 1 duplicated grams, so whole repeated
+    * passages excise completely), volume-linear, and shuffle-
+    * partitioned by the gram hash rather than sorted globally.
+    *
+    * Scale shape: tokens explode once per pass (recomputed in the
+    * reassembly probe, not stored — the dd14 stance); gram assembly
+    * rides ONE per-doc window; first-vs-later ranking is ONE window
+    * partitioned on the gram hash ordered by (id, position) — the
+    * [[dropDuplicateLines]] shape: a pathologically hot gram ("all
+    * rights reserved …" × 10⁸) sorts only its own occurrences inside
+    * its own hash bucket, cost ∝ that gram's duplicate mass, never
+    * corpus². Covered positions explode n rows per DUPLICATE gram
+    * occurrence only (∝ duplicate mass). Four linear shuffles (gram
+    * window on id, rank window on the hash, covered-position distinct
+    * on (id, p), reassembly on id); no pair joins anywhere. */
+  def dedupExactSubstrings(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    val toks = normalizedTokens(docs, idCol, textCol)
+    val later = tokenGrams(toks, idCol, n)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__h").orderBy(col(idCol), col("__p"))))
+      .where(col("__rn") > 1)
+    val covered = later
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (n - 1))).as("__p"))
+      .distinct()
+    reassemble(toks.join(covered, Seq(idCol, "__p"), "left_anti"),
+      idCol, textCol)
   }
 
   /** C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2

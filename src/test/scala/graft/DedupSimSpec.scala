@@ -410,6 +410,27 @@ class DedupSimSpec extends SparkSpec {
     assert(out(102L) == ((8L, "hello world nothing shared here with their evals")))
   }
 
+  test("dedupExactSubstrings keeps the corpus-first occurrence of each " +
+    "n-gram, excises later ones — across docs and within a doc (dd16)") {
+    val docs = Seq(
+      // owns "a b c d e" and "b c d e f" (lowest id)
+      (1L, "a b c d e f"),
+      // quotes doc 1's gram mid-doc → loses the 5 covered tokens only
+      (2L, "x a b c d e y"),
+      // exact dup of doc 1 → every token covered → disappears
+      (3L, "a b c d e f"),
+      // WITHIN-doc repeat: gram "p q r s t" recurs at position 5 →
+      // the second copy excises, the first stays
+      (4L, "p q r s t p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupExactSubstrings(docs, n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((6L, "a b c d e f")))
+    assert(out(2L) == ((2L, "x y")))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((5L, "p q r s t")))
+  }
+
   test("dropDuplicateLines keeps only the first corpus-wide occurrence " +
     "of each line and reassembles docs in original order (dd13)") {
     val docs = Seq(
