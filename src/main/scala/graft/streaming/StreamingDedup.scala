@@ -95,6 +95,72 @@ object StreamingDedup {
         matchWithinBucket(maxHamming, maxState, stateTtl))
   }
 
+  /** Streaming exact-duplicate suppression: emit only the FIRST
+    * occurrence of each document body (md5 of the text) across the
+    * stream's lifetime — the continuous-ingest analogue of
+    * [[graft.dedup.Dedup.exactGroups]]' keep-first rule. Built on
+    * Spark's own dedup state rather than custom
+    * flatMapGroupsWithState: `dropDuplicates` keeps one fingerprint
+    * per distinct body forever; passing `eventTimeCol` + `delay`
+    * switches to `dropDuplicatesWithinWatermark`, whose state evicts
+    * once the watermark passes a fingerprint's last-seen event time —
+    * the bounded-state form a 24/7 ingest needs (duplicates farther
+    * apart than the delay are no longer suppressed: the
+    * [[nearPairs]] stateTtl trade, made by the same watermark
+    * mechanism every stateful Spark pipeline already uses).
+    * Works identically on a batch frame (keep-any semantics there —
+    * batch `dropDuplicates` has no arrival order). */
+  def exactDedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      eventTimeCol: Option[String] = None,
+      delay: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("__fp", md5(col(textCol)))
+    val out = eventTimeCol match {
+      case Some(t) =>
+        fp.withWatermark(t, delay).dropDuplicatesWithinWatermark("__fp")
+      case None => fp.dropDuplicates("__fp")
+    }
+    out.drop("__fp")
+  }
+
+  /** Streaming exact n-gram decontamination flags: for each arriving
+    * document, emit one row per DISTINCT word n-gram it shares with a
+    * STATIC reference set (eval benchmarks) — (id, gram md5). The
+    * gram space matches the batch [[graft.dedup.Dedup.ngramOverlap]]
+    * exactly, so a doc flagged here is precisely a doc the batch
+    * operator would flag; a doc sharing k distinct grams emits k rows
+    * (count them for the batch operator's `hits`, or dedup downstream —
+    * the [[nearPairs]] per-band multiplicity stance; collapsing to one
+    * row per doc would need a stateful streaming aggregation for
+    * nothing the consumer can't do).
+    *
+    * Shape: the stream side is ONE native shingle pass per row +
+    * posexplode (stateless, append-safe — no window, no watermark, no
+    * state store); the reference side is a batch frame collapsed to
+    * distinct gram hashes, broadcast into a stream-static LEFT SEMI
+    * equi-join — re-probed per micro-batch at broadcast-hash cost.
+    * `broadcastRef = false` degrades to a shuffled stream-static join
+    * for an oversized reference, cost still ∝ collision mass. */
+  def contaminatedIds(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 13,
+      broadcastRef: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val refGrams = Dedup.shingleRows(ref, idCol, textCol, n)
+      .select(md5(col("__s")).as("__h")).distinct()
+    docs
+      .select(col(idCol), explode(array_distinct(
+        graft.functions.MinHashShingles.shingleArrayNative(col(textCol), n)))
+        .as("__s"))
+      .select(col(idCol), md5(col("__s")).as("__h"))
+      .join(if (broadcastRef) broadcast(refGrams) else refGrams, Seq("__h"),
+        "left_semi")
+  }
+
   /** The per-bucket state transition: compare each arriving fingerprint
     * against the kept ones (popcount), emit matches, append to the ring.
     * A timed-out invocation drops the bucket's state and emits nothing. */

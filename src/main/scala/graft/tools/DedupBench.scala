@@ -111,6 +111,13 @@ object DedupBench {
         Dedup.decontaminateExact(docs, eval, n = 13).count())
       time(s"line dedup (corpus-wide)")(
         Dedup.dropDuplicateLines(docs).count())
+      // dup-heavy: 10-doc groups share their 48-word core, so ~all
+      // grams in 9 of 10 docs are later occurrences → cost is dominated
+      // by the covered-position mass, the operator's worst realistic case
+      time(s"exactsubstr self-dedup n=13")(
+        Dedup.dedupExactSubstrings(docs).count())
+      time(s"exactsubstr self-dedup sparse")(
+        Dedup.dedupExactSubstrings(sparseCorpus(spark, n)).count())
       time(s"gopher signals filter (native)")(
         docs.where(graft.text.TextAnalysis.gopherKeepNative(col("text"))).count())
       time(s"unigram-LM cross-entropy (self-ref)")(
@@ -170,6 +177,11 @@ object DedupBench {
       Dedup.minhashCandidates(adversarial).count())
     time(s"simhash capped (expect 0 pairs)")(
       Dedup.simhashNearPairs(adversarial, maxHamming = 3).count())
+    // exactsubstr has no pair join to bomb: n identical docs put n
+    // occurrences in each gram's hash bucket — one window sort per
+    // bucket, covered mass ∝ n — and exactly the FIRST doc survives
+    time(s"exactsubstr adversarial (expect 1 doc)")(
+      Dedup.dedupExactSubstrings(adversarial).count())
     // cross-corpus: identical boilerplate on BOTH sides would emit
     // |corpus|×|ref| candidate pairs in one task without the guard
     time(s"cross-corpus capped (expect 0 pairs)")(

@@ -182,4 +182,62 @@ class StreamingDedupSpec extends SparkSpec {
     assert(live.getTimeoutTimestampMs.isPresent ||
       live.isUpdated) // ...and the TTL armed (processing-time timeout set)
   }
+
+  test("exactDedupStream suppresses later occurrences of a body across " +
+    "micro-batches; batch replay of a suppressed dup stays suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.exactDedupStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_exact")
+      .start()
+    try {
+      input.addData((1L, base), (2L, "something else entirely for batch one"))
+      q.processAllAvailable()
+      // same body, later batch → suppressed against the dedup state
+      input.addData((3L, base), (4L, "a third distinct body arrives fine"))
+      q.processAllAvailable()
+      input.addData((5L, base)) // and again
+      q.processAllAvailable()
+      val ids = spark.table("sdedup_exact").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("contaminatedIds flags stream docs sharing an n-gram with the " +
+    "static reference — one row per distinct shared gram, batch-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((900L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.contaminatedIds(docs, ref, n = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_decon")
+      .start()
+    try {
+      input.addData(
+        // quotes grams "alpha beta gamma delta epsilon" AND
+        // "beta gamma delta epsilon zeta" → 2 distinct shared grams
+        (10L, "intro alpha beta gamma delta epsilon zeta outro"),
+        (11L, "nothing shared with the benchmark set at all here"))
+      q.processAllAvailable()
+      // a later batch re-probes the same static reference
+      input.addData((12L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      val out = spark.table("sdedup_decon").select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out.count(_ == 10L) == 2 && out.count(_ == 12L) == 1 &&
+        !out.contains(11L))
+      // flag parity with the batch operator on the same frames
+      val batchDocs = Seq(
+        (10L, "intro alpha beta gamma delta epsilon zeta outro"),
+        (11L, "nothing shared with the benchmark set at all here"),
+        (12L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      val batch = graft.dedup.Dedup.ngramOverlap(batchDocs, ref, n = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch == Map(10L -> 2L, 12L -> 1L))
+    } finally q.stop()
+  }
 }
