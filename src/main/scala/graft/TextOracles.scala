@@ -379,6 +379,22 @@ object TextOracles {
     // combine is exact; every literal cast ::DOUBLE (a bare 0.5 is
     // DECIMAL in DuckDB and decimal division would diverge from IEEE);
     // operand order mirrors the Spark expression tree token for token
+    // sparse tf-idf: tf per (doc, term), df over the tf pairs (hapax
+    // pruned at df >= 2), weight tf·ln(N/df) rounded 6
+    "ir2_tfidf" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+         |tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM tok WHERE term <> '' GROUP BY 1, 2),
+         |df AS (
+         |  SELECT term, count(*)::BIGINT AS df
+         |  FROM tf GROUP BY 1 HAVING count(*) >= 2),
+         |n AS (SELECT count(*)::BIGINT AS nn FROM documents)
+         |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |  round(tf.tf * ln(nn::DOUBLE / df.df), 6) AS tfidf
+         |FROM tf JOIN df USING (term), n""".stripMargin,
+
     "ir1_bm25" -> {
       def tf(i: Int, term: String) = s"len(list_filter(w, x -> x = '$term'))::BIGINT AS tf$i"
       val terms = Seq("spark", "join", "window")

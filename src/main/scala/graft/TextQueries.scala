@@ -145,6 +145,10 @@ object TextQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "window"))),
 
+    // sparse tf-idf document vectors, hapax tail pruned at df >= 2
+    "ir2_tfidf" -> ((s, dir) =>
+      Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 2)),
+
     // token-budget selection: keep the highest-quality docs until a
     // 10k-token budget fills — score histogram + bounded cumulative
     // window + boundary-bin hash sampling, never a global sort

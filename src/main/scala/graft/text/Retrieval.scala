@@ -76,4 +76,48 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Corpus-wide tf-idf document vectors in sparse (doc, term) form —
+    * the inverted-index companion to [[bm25TopK]]'s fixed-query scoring:
+    * one row per (document, distinct term) with the raw term frequency,
+    * the term's document frequency, and weight tf × ln(N/df) (the
+    * classic Salton form; ln(N/df) ≥ 0, = 0 for a term in every doc).
+    * Terms live in the [[TextAnalysis.normWords]] space. `minDf` prunes
+    * the hapax tail (df < minDf terms are noise for retrieval and
+    * dominate the vocabulary row count at corpus scale).
+    *
+    * Scale shape: tokens explode once (volume-linear) into a
+    * groupBy(id, term) tf aggregation (map-side partial combine);
+    * the (id, term) frame is LAZILY checkpointed because BOTH the df
+    * aggregation and the output join consume it (differently-aliased
+    * subtrees re-execute the tokenize otherwise — the bm25 lesson);
+    * df is one further groupBy(term) whose output is vocabulary-sized
+    * (AQE broadcasts the join back when the vocab is small; a 100 TB
+    * corpus vocabulary stays a shuffled equi-join on the term — linear,
+    * no pair blowup). N is ONE bounded scalar row broadcast in, the
+    * bm25 stats-row pattern. No global sort; weight is per-row
+    * arithmetic, rounded to 6 so `ln` last-ulp noise can't leak into
+    * hashes. */
+  def tfidf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 1): DataFrame = {
+    if (minDf < 1) throw new ParameterError(s"minDf must be >= 1: $minDf")
+    val tf = docs
+      .select(col(idCol), explode(TextAnalysis.normWords(col(textCol))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val n = docs.agg(count(lit(1)).as("__N"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("__N").cast("double") / col("df")), 6)
+          .as("tfidf"))
+  }
 }

@@ -179,9 +179,11 @@ object DedupBench {
       Dedup.simhashNearPairs(adversarial, maxHamming = 3).count())
     // exactsubstr has no pair join to bomb: n identical docs put n
     // occurrences in each gram's hash bucket — one window sort per
-    // bucket, covered mass ∝ n — and exactly the FIRST doc survives
+    // bucket, covered mass ∝ n — and exactly the FIRST doc survives.
+    // n = 5: the 10-word body must actually form grams (13 > 10 words
+    // would vacuously keep everyone)
     time(s"exactsubstr adversarial (expect 1 doc)")(
-      Dedup.dedupExactSubstrings(adversarial).count())
+      Dedup.dedupExactSubstrings(adversarial, n = 5).count())
     // cross-corpus: identical boilerplate on BOTH sides would emit
     // |corpus|×|ref| candidate pairs in one task without the guard
     time(s"cross-corpus capped (expect 0 pairs)")(

@@ -85,6 +85,28 @@ class PackingRetrievalSpec extends SparkSpec {
     assert(rates("a")._3 == 0.1 && rates("b")._3 == 0.9)
   }
 
+  test("tfidf: tf, df, the Salton weight, and the minDf prune (ir2)") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "Unique, WORDS only!")) // normalization folds case/punct
+      .toDF("doc_id", "text")
+    val all = Retrieval.tfidf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(all((1L, "apple")) == ((2L, 1L, 2.197225))) // 2·ln(3/1)
+    assert(all((1L, "banana")) == ((1L, 2L, 0.405465))) // ln(3/2)
+    assert(all((2L, "banana")) == ((1L, 2L, 0.405465)))
+    assert(all((3L, "unique")) == ((1L, 1L, 1.098612))) // ln 3, normalized
+    assert(all.size == 7)
+    // df >= 2 keeps exactly the shared term's rows
+    val pruned = Retrieval.tfidf(docs, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(pruned == Set((1L, "banana"), (2L, "banana")))
+    intercept[graft.ParameterError] {
+      Retrieval.tfidf(docs, "doc_id", "text", minDf = 0)
+    }
+  }
+
   test("mixture rates: a targeted stratum with ZERO tokens cannot zero " +
     "the binding constraint for everyone else") {
     val df = Seq(
