@@ -890,6 +890,44 @@ object Oracles {
          |  round(co, 6) AS correlation
          |FROM st""".stripMargin,
 
+    // trailing 21-day beta: windowed cov/var over the SAME joint series
+    // as perf_benchmark; covariance accumulation order → 6dp rounding
+    "perf_rollbeta" ->
+      s"""WITH $perfRetCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
+         |bf AS (
+         |  SELECT d.date,
+         |    last_value(bcl.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bcl ON d.date = bcl.date),
+         |br AS (
+         |  SELECT date, coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS b
+         |  FROM bf),
+         |j AS (SELECT ret.date, r, b FROM ret JOIN br ON ret.date = br.date)
+         |SELECT date, r AS "return", b AS bench_return,
+         |  round(CASE WHEN count(*) OVER w = 21 AND var_samp(b) OVER w <> 0
+         |             THEN covar_samp(r, b) OVER w / var_samp(b) OVER w
+         |        END, 6) + 0.0 AS rolling_beta_21
+         |FROM j
+         |WINDOW w AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // calendar-month Π(1+r)−1 with the sign/zero rules; the log-space
+    // sum is micro-nat-quantized to an exact integer sum, as the Spark side
+    "perf_monthly" ->
+      s"""WITH $perfRetCte
+         |SELECT CAST(date_trunc('month', date) AS DATE) AS "month",
+         |  count(*)::BIGINT AS n_days,
+         |  round(CASE
+         |    WHEN sum(CASE WHEN 1 + r = 0 THEN 1 ELSE 0 END) > 0 THEN -1.0
+         |    ELSE exp(CAST(sum(CASE WHEN 1 + r <> 0
+         |               THEN CAST(round(ln(abs(1 + r)) * 1e12) AS BIGINT)
+         |               ELSE 0 END) AS BIGINT) / 1e12)
+         |         * (1.0 - (sum(CASE WHEN 1 + r < 0 THEN 1 ELSE 0 END) % 2) * 2)
+         |         - 1
+         |    END, 6) AS monthly_return
+         |FROM ret GROUP BY 1""".stripMargin,
+
     "backtest_pipeline" -> backtestMeltSql,
 
     // P8: results truncated at the requested start; the window ops above

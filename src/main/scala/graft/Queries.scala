@@ -135,6 +135,23 @@ object Queries {
       .withColumn("value",
         when(col("field") === "Return", col("value") * 0.001).otherwise(col("value")))
 
+  /** [[dampedMelt]] with a BENCHMARK (sid 1) — the joint-series input of
+    * perf_benchmark and perf_rollbeta. */
+  private def benchmarkedMelt(s: SparkSession, dir: String): DataFrame = {
+    object BenchmarkedDemo extends Strategy {
+      val code = "perf-bench"
+      override def keys: Keys = liKeys
+      override def benchmarkSid: Option[String] = Some("1")
+      def pricesToSignals(prices: DataFrame): DataFrame =
+        prices.withColumn("signal", (col("close") < 30000).cast("int"))
+    }
+    Backtest.run(BenchmarkedDemo,
+      supplierPanel(s, dir).withColumn("sid", col("sid").cast("string")))
+      .withColumn("value",
+        when(col("field") === "Return", col("value") * 0.001)
+          .otherwise(col("value")))
+  }
+
   /** The flagship demo strategy: long suppliers whose close < 30000
     * (the BuyBelow10 golden-test shape, _tests/test_backtest.py:108). */
   object DemoStrategy extends Strategy {
@@ -906,21 +923,16 @@ object Queries {
 
     // benchmark-relative: beta/alpha/correlation of the damped demo
     // returns vs the D19 benchmark-return rows (sid 1's ffilled closes)
-    "perf_benchmark" -> ((s, dir) => {
-      object BenchmarkedDemo extends Strategy {
-        val code = "perf-bench"
-        override def keys: Keys = liKeys
-        override def benchmarkSid: Option[String] = Some("1")
-        def pricesToSignals(prices: DataFrame): DataFrame =
-          prices.withColumn("signal", (col("close") < 30000).cast("int"))
-      }
-      val melt = Backtest.run(BenchmarkedDemo,
-        supplierPanel(s, dir).withColumn("sid", col("sid").cast("string")))
-        .withColumn("value",
-          when(col("field") === "Return", col("value") * 0.001)
-            .otherwise(col("value")))
-      graft.perf.Performance.vsBenchmark(melt)
-    }),
+    "perf_benchmark" -> ((s, dir) =>
+      graft.perf.Performance.vsBenchmark(benchmarkedMelt(s, dir))),
+
+    // trailing 21-day beta series over the same joint per-date pass
+    "perf_rollbeta" -> ((s, dir) =>
+      graft.perf.Performance.rollingBeta(benchmarkedMelt(s, dir), window = 21)),
+
+    // calendar-month compounded returns (micro-nat-exact log-space sum)
+    "perf_monthly" -> ((s, dir) =>
+      graft.perf.Performance.monthlyReturns(dampedMelt(s, dir))),
 
     // ---- D17: trade-side position limits clamp target quantities ----
     "d17_trade_limits" -> ((s, dir) => {

@@ -131,10 +131,12 @@ object Performance {
     * join this replaces. Requires ≤ 1 Benchmark row per date (daily
     * results — the D19 contract); several rows per date (an intraday
     * melt) raise rather than silently averaging. */
-  def vsBenchmark(
-      results: DataFrame,
-      dateCol: String = "date",
-      periodsPerYear: Int = 252): DataFrame = {
+  /** Per-date (return, bench_return) joint series out of ONE pass over
+    * the melt — shared by [[vsBenchmark]] and [[rollingBeta]] (see
+    * [[vsBenchmark]]'s scaladoc for why a join of two melt derivations
+    * is wrong). Dates lacking either field drop out; > 1 Benchmark row
+    * per date raises. */
+  private def benchmarkJoined(results: DataFrame, dateCol: String): DataFrame = {
     val isRet = col("field") === "Return"
     val isBench = col("field") === "Benchmark"
     results
@@ -154,6 +156,13 @@ object Performance {
               "results to daily first", col("__nb"), col(dateCol).cast("string")))
             .cast("double"))
           .otherwise(col("__b")))
+  }
+
+  def vsBenchmark(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    benchmarkJoined(results, dateCol)
       .agg(
         count(lit(1)).as("n_days"),
         covar_samp(col("return"), col("bench_return")).as("__cv"),
@@ -169,6 +178,68 @@ object Performance {
             (col("__mur") - col("__cv") / col("__vb") * col("__mub")) *
               periodsPerYear), 6).as("alpha"),
         round(col("__corr"), 6).as("correlation"))
+  }
+
+  /** Rolling sample beta of the portfolio vs the melt's `Benchmark`
+    * rows: for each date, cov/var over the trailing `window` joint
+    * observations, null until a full window accrues or while the
+    * benchmark variance is 0 (a flat-benchmark window has no defined
+    * beta) — the [[rollingSharpe]] min_periods stance. Derived from the
+    * SAME one-pass per-date aggregation as [[vsBenchmark]]; the rolling
+    * pass is an ordered ROWS frame over the already-aggregated series
+    * (bounded unpartitioned window, ≤ one row per trading date).
+    * Output (date, return, bench_return, rolling_beta_N) rounded to 6
+    * (windowed covariance accumulation order is engine noise below
+    * that). */
+  def rollingBeta(
+      results: DataFrame,
+      window: Int,
+      dateCol: String = "date"): DataFrame = {
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    benchmarkJoined(results, dateCol)
+      .select(
+        col(dateCol),
+        col("return"),
+        col("bench_return"),
+        // + 0.0 normalizes IEEE −0.0 (a tiny negative covariance rounds
+        // to −0.0, which hashes differently — the D1 weights lesson)
+        (round(
+          when(count(lit(1)).over(w) === window &&
+            var_samp(col("bench_return")).over(w) =!= 0,
+            covar_samp(col("return"), col("bench_return")).over(w) /
+              var_samp(col("bench_return")).over(w)), 6) + 0.0)
+          .as(s"rolling_beta_$window"))
+  }
+
+  /** Calendar-month compounded returns over the per-date series:
+    * Π(1+r) − 1 per month, with the [[withCumFactor]] sign/zero rules
+    * (a > 100% loss flips the product's sign; a −100% day pins the
+    * month at −1). The log-space sum is micro-nat-quantized (×10¹²,
+    * rounded to integer, decimal accumulator) so the unordered
+    * distributed sum is EXACT — a plain double Σln differs in the last
+    * ulp run-to-run (the unigram-LM lesson). One hash aggregation over
+    * the per-date series (itself one agg over the melt); no windows.
+    * Output (month, n_days, monthly_return round 6). */
+  def monthlyReturns(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val g = col("return") + 1
+    dailyReturns(results, dateCol)
+      .groupBy(trunc(col(dateCol), "month").as("month"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        (sum(when(g =!= 0, round(log(abs(g)) * 1e12).cast("long")).otherwise(0L)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e12).as("__lnsum"),
+        sum(when(g < 0, 1L).otherwise(0L)).as("__negs"),
+        sum(when(g === 0, 1L).otherwise(0L)).as("__zeros"))
+      .select(
+        col("month"),
+        col("n_days"),
+        round(
+          when(col("__zeros") > 0, -1.0).otherwise(
+            exp(col("__lnsum")) *
+              (lit(1.0) - pmod(col("__negs"), lit(2)) * 2) - 1), 6)
+          .as("monthly_return"))
   }
 
   /** Risk-ratio one-row summary: annualized volatility (σ×√P), Sortino

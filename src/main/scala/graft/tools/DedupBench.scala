@@ -56,9 +56,14 @@ object DedupBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(20000L, 100000L)
+    // args: sizes, plus an optional `only=<substring>` row filter for
+    // targeted scale runs (the full 1 M suite is a multi-suite marathon)
+    val only = args.collectFirst { case a if a.startsWith("only=") => a.drop(5) }
+    val sizeArgs = args.toSeq.filterNot(_.startsWith("only="))
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(20000L, 100000L)
 
     def time(name: String)(f: => Long): Unit = {
+      if (only.exists(s => !name.contains(s))) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"[dedupbench] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
@@ -148,7 +153,9 @@ object DedupBench {
     }
     val embs = embCorpus(nEmb)
     println(s"--- semdedup: $nEmb 64-dim vectors ---")
-    val quantizer = graft.sim.Similarity.kmeansCentroids(
+    // lazy: the kmeans fit eagerly checkpoints per round, so an
+    // `only=` run that skips the semdedup rows must not pay for it
+    lazy val quantizer = graft.sim.Similarity.kmeansCentroids(
       graft.text.Sampling.sampleByHash(embs, "vec_id", 0.02, "embbench"),
       k = 4096, iters = 1)
     time(s"semdedup k=4096 (10% dup mass)")(

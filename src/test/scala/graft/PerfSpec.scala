@@ -175,6 +175,50 @@ class PerfSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("rollingBeta: trailing-window cov/var, null until full and on a " +
+    "flat-benchmark window; one-pass lineage (no join)") {
+    // r = 2b: every full window has beta exactly 2
+    val melt = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", -0.04), ("1", "2024-01-02", "Benchmark", -0.02),
+      ("A", "2024-01-03", "Return", 0.06), ("1", "2024-01-03", "Benchmark", 0.03))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val out = Performance.rollingBeta(melt, window = 2).orderBy("date").collect()
+    assert(out(0).isNullAt(3)) // min_periods
+    assert(out(1).getAs[Double]("rolling_beta_2") == 2.0)
+    assert(out(2).getAs[Double]("rolling_beta_2") == 2.0)
+    // flat benchmark → var 0 → null, not ±Infinity
+    val flat = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", -0.04), ("1", "2024-01-02", "Benchmark", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    assert(Performance.rollingBeta(flat, window = 2)
+      .orderBy("date").collect()(1).isNullAt(3))
+    val plan = Performance.rollingBeta(melt, window = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("monthlyReturns: per-month compounding with the sign and zero " +
+    "rules; the log-space sum is integer-exact") {
+    val m = Seq(
+      // Jan: 1.1 × 0.95 − 1
+      ("A", "2024-01-05", "Return", 0.10), ("A", "2024-01-06", "Return", -0.05),
+      // Feb: a −250% day then −20%: (−1.5)×0.8 → −1.2 → month −2.2
+      ("A", "2024-02-01", "Return", -2.50), ("A", "2024-02-02", "Return", -0.20),
+      // Mar: a −100% day pins the month at exactly −1
+      ("A", "2024-03-01", "Return", 0.50), ("A", "2024-03-02", "Return", -1.00))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.monthlyReturns(m).orderBy("month").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(rows(0) == (("2024-01-01", 2L, math.rint((1.1 * 0.95 - 1) * 1e6) / 1e6)))
+    assert(rows(1) == (("2024-02-01", 2L, -2.2)))
+    assert(rows(2) == (("2024-03-01", 2L, -1.0)))
+  }
+
   test("vsBenchmark: dates missing either series drop (inner-join " +
     "semantics); several Benchmark rows per date raise") {
     val partial = Seq(
