@@ -853,6 +853,46 @@ object TextOracles {
          |  md5(string_agg(tokn, ' ' ORDER BY p)) AS redacted_md5
          |FROM kept GROUP BY 1""".stripMargin,
 
+    // most-frequent trigrams with occurrence and doc counts
+    "tx14_top_ngrams" ->
+      s"""WITH $shinglesCte,
+         |g AS (SELECT doc_id, unnest(sh) AS ngram FROM sh)
+         |SELECT ngram, count(*)::BIGINT AS occurrences,
+         |  count(DISTINCT doc_id)::BIGINT AS docs
+         |FROM g GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY occurrences DESC, ngram LIMIT 50""".stripMargin,
+
+    // best doc per source under (tx3 quality DESC, doc_id): the ranking
+    // uses the 6-rounded quality BOTH engines agree on exactly
+    "dd17_source_best" -> {
+      val stop = langScore("en")
+      s"""WITH $ltCte,
+         |comp AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM lt),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round((CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN tok > 0 AND nospace::DOUBLE / tok >= 3
+         |                 AND nospace::DOUBLE / tok <= 10
+         |            THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |      least((CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END)
+         |            * 5.0, 1.0) * 0.2 +
+         |      (1.0 - least((CASE WHEN n > 0 THEN digit::DOUBLE / n
+         |                    ELSE 0.0 END) * 5.0, 1.0)) * 0.2, 6) AS quality
+         |  FROM comp)
+         |SELECT source, doc_id, quality FROM q
+         |QUALIFY row_number()
+         |  OVER (PARTITION BY source ORDER BY quality DESC, doc_id) = 1""".stripMargin
+    },
+
     // ExactSubstr self-dedup: rank every 5-gram occurrence by
     // (doc_id, position); rank > 1 occurrences excise their 5 covered
     // tokens; docs reassemble from survivors in original order

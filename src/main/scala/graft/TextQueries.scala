@@ -356,6 +356,19 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("redacted_md5"))
     }),
 
+    // boilerplate mining: most-frequent trigrams corpus-wide
+    "tx14_top_ngrams" -> ((s, dir) =>
+      Dedup.frequentNgrams(t(s, dir, "documents"), n = 3, topK = 50)),
+
+    // URL-level dedup: the best doc per source by the tx3 quality score
+    "dd17_source_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepBestPerKey(docs, "source",
+        graft.text.TextAnalysis.qualityScore(col("text")))
+        .select(col("source"), col("doc_id"),
+          graft.text.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
     // ExactSubstr self-dedup (Lee 2021): corpus-first occurrence of each
     // 5-gram survives; later occurrences lose their covered tokens
     "dd16_exact_substrings" -> ((s, dir) => {

@@ -596,6 +596,57 @@ object Dedup {
       idCol, textCol)
   }
 
+  /** Source/URL-level dedup (the CCNet/C4 "one document per URL" stage):
+    * keep exactly ONE row per `keyCol` — the one maximizing `priority`
+    * (e.g. [[graft.text.TextAnalysis.qualityScore]]), ties broken by the
+    * LOWEST `idCol`. Returns the surviving rows with their original
+    * columns.
+    *
+    * Scale shape: ONE aggregation with `min_by` over (−priority, id) —
+    * partial map-side combine means each executor ships one candidate
+    * row per key per partition, NOT the key's whole group (a window
+    * rank would shuffle and sort every row of a hot key). Numeric
+    * `priority` required (the negation is the tie-break trick);
+    * IEEE −0.0/0.0 compare equal in Spark ordering so the id breaks
+    * that tie too. */
+  def keepBestPerKey(
+      docs: DataFrame,
+      keyCol: String,
+      priority: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val payload = struct(docs.columns.map(col): _*)
+    docs
+      .groupBy(col(keyCol).as("__k"))
+      .agg(min_by(payload, struct((-priority).as("__np"), col(idCol))).as("__best"))
+      .select(col("__best.*"))
+  }
+
+  /** Corpus-wide most-frequent word n-grams — the boilerplate-mining
+    * report (what C4/CCNet operators eyeball before writing removal
+    * rules): (ngram, occurrences, docs) for the `topK` grams with at
+    * least `minCount` occurrences, ties broken by the gram text.
+    *
+    * Scale shape: shingles stream volume-linearly into ONE count
+    * aggregation (map-side partial combine collapses repeats before the
+    * shuffle — the hot boilerplate gram is exactly the one that
+    * combines best), the per-gram doc count is a count_distinct expand
+    * on the same keys, and the top-k is TakeOrdered (no global sort
+    * materialization). */
+  def frequentNgrams(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      topK: Int = 50,
+      minCount: Int = 2): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .groupBy(col("__s").as("ngram"))
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col(idCol)).as("docs"))
+      .where(col("occurrences") >= minCount)
+      .orderBy(col("occurrences").desc, col("ngram"))
+      .limit(topK)
+
   /** C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2
     * keep-first-occurrence; CCNet's paragraph hashing is the same shape):
     * drop every non-blank line that already occurred ANYWHERE in the

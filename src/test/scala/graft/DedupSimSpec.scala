@@ -410,6 +410,36 @@ class DedupSimSpec extends SparkSpec {
     assert(out(102L) == ((8L, "hello world nothing shared here with their evals")))
   }
 
+  test("keepBestPerKey keeps one row per key by (priority DESC, id ASC) " +
+    "with original columns (dd17)") {
+    val docs = Seq(
+      (1L, "a.com", 0.5), (2L, "a.com", 0.9), (3L, "a.com", 0.9), // tie → id 2
+      (4L, "b.com", 0.1),
+      (5L, "c.com", -0.3), (6L, "c.com", -0.2)) // negatives order correctly
+      .toDF("doc_id", "source", "q")
+    val out = Dedup.keepBestPerKey(docs, "source", col("q"), "doc_id")
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getDouble(2)))).toMap
+    assert(out == Map("a.com" -> ((2L, 0.9)), "b.com" -> ((4L, 0.1)),
+      "c.com" -> ((6L, -0.2))))
+  }
+
+  test("frequentNgrams counts occurrences and distinct docs, orders by " +
+    "(count DESC, gram), respects minCount and topK (tx14)") {
+    val docs = Seq(
+      (1L, "x y z x y z"), // "x y z" twice in one doc, "y z x" once...
+      (2L, "x y z tail"), // ...and "x y z" again here
+      (3L, "p q r only once"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.frequentNgrams(docs, n = 3, topK = 10, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head == (("x y z", 3L, 2L))) // 3 occurrences across 2 docs
+    assert(rows.forall(_._2 >= 2))
+    assert(!rows.exists(_._1 == "p q r")) // minCount prunes the hapax
+    // topK truncates on the (count, gram) total order
+    assert(Dedup.frequentNgrams(docs, n = 3, topK = 1, minCount = 1)
+      .collect().map(_.getString(0)).toSeq == Seq("x y z"))
+  }
+
   test("dedupExactSubstrings keeps the corpus-first occurrence of each " +
     "n-gram, excises later ones — across docs and within a doc (dd16)") {
     val docs = Seq(
