@@ -928,6 +928,44 @@ object Oracles {
          |    END, 6) AS monthly_return
          |FROM ret GROUP BY 1""".stripMargin,
 
+    // classification metrics: per-distinct-score counts, tie-aware
+    // Mann-Whitney AUC in exact integer pair mass (HUGEINT), micro-nat
+    // logloss / micro brier, accuracy at 0.5 — the Spark quantizations
+    "ml4_metrics" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p,
+         |         CAST(sum(1 - y) AS BIGINT) AS n
+         |  FROM pr GROUP BY 1),
+         |cl AS (
+         |  SELECT *, least(greatest(s, 1e-15), 1 - 1e-15) AS sclip,
+         |    sum(p) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS cp,
+         |    sum(p) OVER () AS ptot
+         |  FROM sc),
+         |rows_ AS (
+         |  SELECT p, n,
+         |    n * (2 * (ptot - cp) + p) AS u2,
+         |    CASE WHEN s >= 0.5 THEN p ELSE n END AS ok,
+         |    p * CAST(round(-ln(sclip) * 1e12) AS BIGINT)
+         |      + n * CAST(round(-ln(1 - sclip) * 1e12) AS BIGINT) AS ll,
+         |    p * CAST(round(pow(1 - s, 2) * 1e12) AS BIGINT)
+         |      + n * CAST(round(pow(s, 2) * 1e12) AS BIGINT) AS br
+         |  FROM cl)
+         |SELECT CAST(sum(p + n) AS BIGINT) AS n,
+         |  CAST(sum(p) AS BIGINT) AS positives,
+         |  round(CASE WHEN sum(p) > 0 AND sum(n) > 0
+         |             THEN sum(u2)::DOUBLE / (2.0 * sum(p) * sum(n)) END, 6)
+         |    AS auc,
+         |  round(sum(ok)::DOUBLE / sum(p + n), 6) AS accuracy,
+         |  round(sum(ll)::DOUBLE / 1e12 / sum(p + n), 6) AS logloss,
+         |  round(sum(br)::DOUBLE / 1e12 / sum(p + n), 6) AS brier
+         |FROM rows_""".stripMargin,
+
     "backtest_pipeline" -> backtestMeltSql,
 
     // P8: results truncated at the requested start; the window ops above

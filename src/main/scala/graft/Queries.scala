@@ -863,6 +863,16 @@ object Queries {
           (col("prediction") < 0.5).cast("int").as("signal"))
     }),
 
+    // ---- M-eval: binary-classification metrics over a scored panel —
+    // quantized sigmoid-ish score (ties exercise the AUC half-credit),
+    // label = close >= 22000 ----
+    "ml4_metrics" -> ((s, dir) => {
+      val preds = supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        (col("close") >= 22000).cast("long").as("label"))
+      graft.ml.Evaluation.classificationMetrics(preds)
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))

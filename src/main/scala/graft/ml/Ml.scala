@@ -48,6 +48,99 @@ object Features {
     }
 }
 
+/** Binary-classification evaluation over a predictions frame — the
+  * metrics a training/curation pipeline computes after every scoring
+  * pass (sklearn.metrics semantics re-expressed as exact distributed
+  * aggregation).
+  */
+object Evaluation {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.types.DecimalType
+
+  /** One-row (n, positives, auc, accuracy, logloss, brier) for
+    * probability scores against {0,1} labels (anything else raises).
+    *
+    *  - AUC: P(score⁺ > score⁻) + ½P(=) — the Mann-Whitney form with
+    *    tie credit, computed from per-DISTINCT-SCORE counts: pair mass
+    *    is counted with integer arithmetic in a decimal(38,0)
+    *    accumulator (P×N overflows a long at ~10⁹ rows each side), so
+    *    the result is exact, not a float accumulation. Null when only
+    *    one class is present (AUC undefined).
+    *  - accuracy: exact integer count of (score ≥ 0.5) = label.
+    *  - logloss: −mean ln p̂(label), scores clipped to [10⁻¹⁵, 1−10⁻¹⁵]
+    *    (the sklearn clip); brier: mean (score − label)². Both are
+    *    per-distinct-score values × integer counts, micro-nat/micro
+    *    quantized (×10¹², rounded) BEFORE the distributed sum — the
+    *    unordered float sum would wobble the last ulp.
+    *
+    * Scale shape: ONE hash aggregation on the score (map-side combine —
+    * the per-score frame is bounded by score cardinality, which is what
+    * any AUC computation ranks over), one bounded ordered window over
+    * those distinct scores for the cumulative positive mass, one final
+    * scalar aggregation. No per-pair work anywhere: a 10¹² × 10¹²
+    * pair space costs exactly |distinct scores| window rows. */
+  def classificationMetrics(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val eps = 1e-15
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val s = col("__s")
+    val clip = least(greatest(s, lit(eps)), lit(1 - eps))
+    val dec = DecimalType(38, 0)
+    val perScore = preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(s)
+      .agg(
+        sum(col("__y")).as("__p"),
+        sum(lit(1L) - col("__y")).as("__n"))
+      // per-score metric contributions, micro-quantized to integers
+      // BEFORE the final distributed sum (exact; see scaladoc)
+      .withColumn("__ll",
+        (col("__p") * round(-log(clip) * 1e12).cast(dec) +
+          col("__n") * round(-log(lit(1.0) - clip) * 1e12).cast(dec)).cast(dec))
+      .withColumn("__br",
+        (col("__p") * round(pow(lit(1.0) - s, 2) * 1e12).cast(dec) +
+          col("__n") * round(pow(s, 2) * 1e12).cast(dec)).cast(dec))
+      .withColumn("__acc",
+        when(s >= 0.5, col("__p")).otherwise(col("__n")))
+    // cumulative positives at-or-below each score: a window over the
+    // DISTINCT-score frame (bounded — this is the rank axis itself)
+    val w = Window.orderBy(s).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(s).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perScore
+      .withColumn("__cp", sum(col("__p")).over(w))
+      .withColumn("__Ptot", sum(col("__p")).over(wAll))
+      // per-score pair mass: neg_s × (2·posAbove_s + pos_s), halved at
+      // the end — every term integer, decimal(38,0) accumulation
+      .withColumn("__u2row",
+        col("__n").cast(dec) *
+          (lit(2) * (col("__Ptot") - col("__cp")) + col("__p")).cast(dec))
+    cum
+      .agg(
+        sum(col("__p") + col("__n")).as("__rows"),
+        sum(col("__p")).as("__P"),
+        sum(col("__n")).as("__N"),
+        sum(col("__u2row")).as("__u2"),
+        sum(col("__acc")).as("__ok"),
+        sum(col("__ll")).as("__lls"),
+        sum(col("__br")).as("__brs"))
+      .select(
+        col("__rows").cast("long").as("n"),
+        col("__P").cast("long").as("positives"),
+        round(when(col("__P") > 0 && col("__N") > 0,
+          col("__u2").cast("double") /
+            (lit(2.0) * col("__P") * col("__N"))), 6).as("auc"),
+        round(col("__ok").cast("double") / col("__rows"), 6).as("accuracy"),
+        round(col("__lls").cast("double") / 1e12 / col("__rows"), 6).as("logloss"),
+        round(col("__brs").cast("double") / 1e12 / col("__rows"), 6).as("brier"))
+  }
+}
+
 /** M2 seam: adds a `prediction` column to a panel with a `features`
   * array column. */
 trait PanelPredictor extends Serializable {

@@ -219,4 +219,29 @@ class MlSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("sid") -> r.getAs[Double]("value")).toMap
     assert(sig("A") == 1.0 && sig("B") == 0.0)
   }
+
+  test("classificationMetrics: tie-aware AUC, accuracy, logloss, brier " +
+    "goldens; one-class AUC null; non-binary label raises (ml4)") {
+    val preds = Seq(
+      (0.9, 1L), (0.9, 0L), (0.8, 1L), (0.3, 0L), (0.3, 1L), (0.1, 0L))
+      .toDF("prediction", "label")
+    val m = graft.ml.Evaluation.classificationMetrics(preds).head
+    assert(m.getAs[Long]("n") == 6L && m.getAs[Long]("positives") == 3L)
+    // pairs: 0.9→(tie ½ + 1 + 1), 0.8→2, 0.3→(tie ½ + 1) = 6 of 9
+    assert(m.getAs[Double]("auc") == 0.666667)
+    assert(m.getAs[Double]("accuracy") == 0.666667)
+    // −[ln.9+ln.1+ln.8+ln.7+ln.3+ln.9]/6, micro-nat-quantized
+    assert(m.getAs[Double]("logloss") == 0.716183)
+    // [.01+.81+.04+.09+.49+.01]/6
+    assert(m.getAs[Double]("brier") == 0.241667)
+
+    val oneClass = Seq((0.9, 1L), (0.2, 1L)).toDF("prediction", "label")
+    val o = graft.ml.Evaluation.classificationMetrics(oneClass).head
+    assert(o.isNullAt(2) && o.getAs[Double]("accuracy") == 0.5)
+
+    val bad = Seq((0.9, 2L)).toDF("prediction", "label")
+    assertThrows[Exception] {
+      graft.ml.Evaluation.classificationMetrics(bad).head
+    }
+  }
 }
