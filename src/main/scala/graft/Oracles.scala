@@ -966,6 +966,52 @@ object Oracles {
          |  round(sum(br)::DOUBLE / 1e12 / sum(p + n), 6) AS brier
          |FROM rows_""".stripMargin,
 
+    // calibration bins: equal-width buckets (last edge closed), exact
+    // event rate, micro-quantized mean predicted score
+    "ml5_calibration" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel)
+         |SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+         |  count(*)::BIGINT AS n,
+         |  round(CAST(sum(CAST(round(s * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE
+         |        / 1e12 / count(*), 6) AS mean_predicted,
+         |  round(sum(y)::DOUBLE / count(*), 6) AS event_rate
+         |FROM pr GROUP BY 1""".stripMargin,
+
+    // average precision: AP = Σ ΔR·P over DESCENDING distinct-score
+    // thresholds, each term micro-quantized before the sum
+    "ml6_avg_precision" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*)::BIGINT AS c
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT *,
+         |    sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS tp,
+         |    sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS pp,
+         |    sum(p) OVER () AS pt
+         |  FROM sc),
+         |t AS (
+         |  SELECT c, pt,
+         |    CAST(round(p::DOUBLE / pt * (tp::DOUBLE / pp) * 1e12) AS BIGINT)
+         |      AS term
+         |  FROM cm)
+         |SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(max(pt) AS BIGINT) AS positives,
+         |  round(CASE WHEN max(pt) > 0
+         |             THEN CAST(sum(term) AS BIGINT)::DOUBLE / 1e12 END, 6)
+         |    AS average_precision
+         |FROM t""".stripMargin,
+
     "backtest_pipeline" -> backtestMeltSql,
 
     // P8: results truncated at the requested start; the window ops above

@@ -873,6 +873,22 @@ object Queries {
       graft.ml.Evaluation.classificationMetrics(preds)
     }),
 
+    // ---- calibration bins + average precision over the same scored
+    // panel as ml4 ----
+    "ml5_calibration" -> ((s, dir) => {
+      val preds = supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        (col("close") >= 22000).cast("long").as("label"))
+      graft.ml.Evaluation.calibrationBins(preds)
+    }),
+
+    "ml6_avg_precision" -> ((s, dir) => {
+      val preds = supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        (col("close") >= 22000).cast("long").as("label"))
+      graft.ml.Evaluation.averagePrecision(preds)
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))

@@ -139,6 +139,83 @@ object Evaluation {
         round(col("__lls").cast("double") / 1e12 / col("__rows"), 6).as("logloss"),
         round(col("__brs").cast("double") / 1e12 / col("__rows"), 6).as("brier"))
   }
+
+  /** Calibration (reliability) bins: scores in [0,1] bucketed into
+    * `bins` equal widths (the final edge closed: score 1.0 lands in the
+    * last bin); per bin the count, exact observed event rate, and the
+    * mean predicted score with the sum micro-quantized (×10¹²) so the
+    * distributed accumulation is exact. Empty bins are absent (their
+    * calibration is undefined, matching sklearn's
+    * calibration_curve). One hash aggregation, no windows. */
+  def calibrationBins(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label",
+      bins: Int = 10): DataFrame = {
+    if (bins < 1) throw new ParameterError(s"bins must be >= 1: $bins")
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(least(floor(col("__s") * bins), lit(bins - 1)).cast("long")
+        .as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__y")).as("__p"),
+        sum(round(col("__s") * 1e12).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("__ssum"))
+      .select(
+        col("bin"),
+        col("n"),
+        round(col("__ssum").cast("double") / 1e12 / col("n"), 6)
+          .as("mean_predicted"),
+        round(col("__p").cast("double") / col("n"), 6).as("event_rate"))
+  }
+
+  /** Average precision (the area under the precision-recall curve as
+    * sklearn computes it): AP = Σ_k (R_k − R_{k−1}) · P_k over
+    * DESCENDING distinct score thresholds, ties grouped per threshold.
+    * Every P_k and ΔR_k is a ratio of integer counts; each term is
+    * micro-quantized (×10¹², rounded) before the distributed sum, so
+    * the result is deterministic. Same scale shape as
+    * [[classificationMetrics]]: one hash agg on the score, one bounded
+    * window over distinct scores, one scalar agg. Null when no
+    * positives exist. */
+  def averagePrecision(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val s = col("__s")
+    val wDesc = Window.orderBy(s.desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(s.desc).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(s)
+      .agg(sum(col("__y")).as("__p"), count(lit(1)).as("__c"))
+      .withColumn("__tp", sum(col("__p")).over(wDesc)) // TP at threshold
+      .withColumn("__pp", sum(col("__c")).over(wDesc)) // predicted positive
+      // "__pt", NOT "__P": Spark resolves columns case-insensitively, so
+      // "__P" next to "__p" is a silent collision
+      .withColumn("__pt", sum(col("__p")).over(wAll))
+      // ΔR·P per threshold, micro-quantized for the exact final sum
+      .withColumn("__term",
+        round(col("__p").cast("double") / col("__pt") *
+          (col("__tp").cast("double") / col("__pp")) * 1e12).cast("long"))
+      .agg(
+        sum(col("__c")).cast("long").as("n"),
+        max(col("__pt")).cast("long").as("positives"),
+        round(when(max(col("__pt")) > 0,
+          sum(col("__term").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+            / 1e12), 6).as("average_precision"))
+  }
 }
 
 /** M2 seam: adds a `prediction` column to a panel with a `features`

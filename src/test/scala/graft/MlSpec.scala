@@ -244,4 +244,32 @@ class MlSpec extends SparkSpec {
       graft.ml.Evaluation.classificationMetrics(bad).head
     }
   }
+
+  test("calibrationBins: closed last edge, exact rates, micro-quantized " +
+    "means; averagePrecision: ΔR·P over descending thresholds (ml5/ml6)") {
+    val preds = Seq(
+      (0.9, 1L), (0.9, 0L), (0.8, 1L), (0.3, 0L), (0.3, 1L), (0.1, 0L))
+      .toDF("prediction", "label")
+    val bins = graft.ml.Evaluation.calibrationBins(preds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(bins(9L) == ((2L, 0.9, 0.5)))
+    assert(bins(8L) == ((1L, 0.8, 1.0)))
+    assert(bins(3L) == ((2L, 0.3, 0.5)))
+    assert(bins(1L) == ((1L, 0.1, 0.0)))
+    assert(bins.size == 4) // empty bins absent
+    // score exactly 1.0 lands in the LAST bin, not a phantom bin 10
+    val edge = Seq((1.0, 1L)).toDF("prediction", "label")
+    assert(graft.ml.Evaluation.calibrationBins(edge)
+      .head.getLong(0) == 9L)
+
+    val ap = graft.ml.Evaluation.averagePrecision(preds).head
+    // thresholds desc: P=(1/2, 2/3, 3/5, 3/6), ΔR=(1/3, 1/3, 1/3, 0)
+    // → 1/6 + 2/9 + 1/5 = 0.588889
+    assert(ap.getAs[Long]("n") == 6L && ap.getAs[Long]("positives") == 3L)
+    assert(ap.getAs[Double]("average_precision") == 0.588889)
+    // no positives → null, not 0
+    val nopos = Seq((0.9, 0L), (0.1, 0L)).toDF("prediction", "label")
+    assert(graft.ml.Evaluation.averagePrecision(nopos).head.isNullAt(2))
+  }
 }
