@@ -1012,6 +1012,31 @@ object Oracles {
          |    AS average_precision
          |FROM t""".stripMargin,
 
+    // regression metrics: micro-quantized residual sums (exact),
+    // R² via Σy² − (Σy)²/n, null on constant actuals
+    "ml7_regression" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT close / 60000.0 * 0.9 + 0.05 AS p, close / 60000.0 AS y
+         |  FROM panel),
+         |q AS (
+         |  SELECT CAST(round((p - y) * (p - y) * 1e12) AS BIGINT) AS se,
+         |    CAST(round(abs(p - y) * 1e12) AS BIGINT) AS ae,
+         |    CAST(round(y * 1e12) AS BIGINT) AS yy,
+         |    CAST(round(y * y * 1e12) AS BIGINT) AS y2
+         |  FROM pr)
+         |SELECT count(*)::BIGINT AS n,
+         |  round(sqrt(CAST(sum(se) AS BIGINT)::DOUBLE / 1e12 / count(*)), 6)
+         |    AS rmse,
+         |  round(CAST(sum(ae) AS BIGINT)::DOUBLE / 1e12 / count(*), 6) AS mae,
+         |  round(CASE WHEN CAST(sum(y2) AS BIGINT)::DOUBLE / 1e12
+         |          - pow(CAST(sum(yy) AS BIGINT)::DOUBLE / 1e12, 2) / count(*) > 0
+         |        THEN 1.0 - (CAST(sum(se) AS BIGINT)::DOUBLE / 1e12)
+         |          / (CAST(sum(y2) AS BIGINT)::DOUBLE / 1e12
+         |             - pow(CAST(sum(yy) AS BIGINT)::DOUBLE / 1e12, 2) / count(*))
+         |        END, 6) AS r2
+         |FROM q""".stripMargin,
+
     "backtest_pipeline" -> backtestMeltSql,
 
     // P8: results truncated at the requested start; the window ops above

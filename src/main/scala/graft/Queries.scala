@@ -889,6 +889,15 @@ object Queries {
       graft.ml.Evaluation.averagePrecision(preds)
     }),
 
+    // regression metrics in a normalized label space (micro-quantized
+    // residuals stay integer-exact in a BIGINT oracle)
+    "ml7_regression" -> ((s, dir) => {
+      val preds = supplierPanel(s, dir).select(
+        (col("close") / 60000.0 * 0.9 + 0.05).as("prediction"),
+        (col("close") / 60000.0).as("label"))
+      graft.ml.Evaluation.regressionMetrics(preds)
+    }),
+
     // ---- the flagship: full backtest pipeline, melted results panel ----
     "backtest_pipeline" -> ((s, dir) => {
       Backtest.run(DemoStrategy, supplierPanel(s, dir))

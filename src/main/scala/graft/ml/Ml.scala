@@ -174,6 +174,45 @@ object Evaluation {
         round(col("__p").cast("double") / col("n"), 6).as("event_rate"))
   }
 
+  /** Regression evaluation: one row (n, rmse, mae, r2) for predicted vs
+    * actual doubles. Every per-row residual statistic is micro-quantized
+    * (×10¹², rounded to an integer, decimal(38,0) accumulated) BEFORE
+    * the distributed sum — RMSE/MAE/R² are then exact and
+    * partitioning-invariant instead of float-accumulation noise. R² via
+    * the algebraic identity Σ(y−ȳ)² = Σy² − (Σy)²/n (no second pass for
+    * ȳ); null when the actuals are constant (undefined). One hash
+    * aggregation, no windows, no joins. Outputs rounded to 6. */
+  def regressionMetrics(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def q(c: Column): Column = round(c * 1e12).cast(dec)
+    val err = col(scoreCol) - col(labelCol)
+    preds
+      .select(
+        q(err * err).as("__se"),
+        q(abs(err)).as("__ae"),
+        q(col(labelCol)).as("__y"),
+        q(col(labelCol) * col(labelCol)).as("__y2"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__se")).as("__sse"),
+        sum(col("__ae")).as("__sae"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__y2")).as("__sy2"))
+      .select(
+        col("__n").cast("long").as("n"),
+        round(sqrt(col("__sse").cast("double") / 1e12 / col("__n")), 6).as("rmse"),
+        round(col("__sae").cast("double") / 1e12 / col("__n"), 6).as("mae"),
+        round({
+          val sst = col("__sy2").cast("double") / 1e12 -
+            pow(col("__sy").cast("double") / 1e12, 2) / col("__n")
+          when(sst > 0,
+            lit(1.0) - (col("__sse").cast("double") / 1e12) / sst)
+        }, 6).as("r2"))
+  }
+
   /** Average precision (the area under the precision-recall curve as
     * sklearn computes it): AP = Σ_k (R_k − R_{k−1}) · P_k over
     * DESCENDING distinct score thresholds, ties grouped per threshold.

@@ -421,6 +421,14 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getDouble(2)))).toMap
     assert(out == Map("a.com" -> ((2L, 0.9)), "b.com" -> ((4L, 0.1)),
       "c.com" -> ((6L, -0.2))))
+    // plan tripwire: ONE min_by aggregation with a partial (map-side)
+    // phase, NOT a rank window — a Window here would shuffle and sort a
+    // hot key's whole group into one task
+    val plan = Dedup.keepBestPerKey(docs, "source", col("q"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min_by") || plan.contains("partial_minby") ||
+      plan.toLowerCase.contains("partial_min_by"), plan)
   }
 
   test("frequentNgrams counts occurrences and distinct docs, orders by " +

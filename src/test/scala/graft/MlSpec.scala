@@ -272,4 +272,18 @@ class MlSpec extends SparkSpec {
     val nopos = Seq((0.9, 0L), (0.1, 0L)).toDF("prediction", "label")
     assert(graft.ml.Evaluation.averagePrecision(nopos).head.isNullAt(2))
   }
+
+  test("regressionMetrics: rmse/mae goldens, R² identity, constant " +
+    "actuals → null R² (ml7)") {
+    val preds = Seq((2.5, 2.0), (1.0, 2.0), (3.0, 4.0))
+      .toDF("prediction", "label")
+    val m = graft.ml.Evaluation.regressionMetrics(preds).head
+    assert(m.getAs[Long]("n") == 3L)
+    // mse = (0.25+1+1)/3; sst = 24 − 64/3; r2 = 1 − 2.25/(8/3)
+    assert(m.getAs[Double]("rmse") == 0.866025)
+    assert(m.getAs[Double]("mae") == 0.833333)
+    assert(m.getAs[Double]("r2") == 0.15625)
+    val const = Seq((1.0, 2.0), (2.0, 2.0)).toDF("prediction", "label")
+    assert(graft.ml.Evaluation.regressionMetrics(const).head.isNullAt(3))
+  }
 }

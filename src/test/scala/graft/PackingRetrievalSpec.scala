@@ -105,6 +105,14 @@ class PackingRetrievalSpec extends SparkSpec {
     intercept[graft.ParameterError] {
       Retrieval.tfidf(docs, "doc_id", "text", minDf = 0)
     }
+    // plan tripwire: the (id, term) checkpoint feeds BOTH the df agg
+    // and the output join — the tokenize/explode must appear ZERO times
+    // in the final plan (it lives behind the checkpoint's Scan
+    // ExistingRDD); a Generate node here means the lazy checkpoint was
+    // dropped and the corpus tokenizes once per aliased consumer
+    val plan = Retrieval.tfidf(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
   }
 
   test("mixture rates: a targeted stratum with ZERO tokens cannot zero " +
