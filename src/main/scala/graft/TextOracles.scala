@@ -454,6 +454,12 @@ object TextOracles {
 
     // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
     // engine-independent, so membership reproduces bit-for-bit
+    // k lowest (md5(seed|id), id) rows per stratum
+    "sp6_k_per_stratum" ->
+      """SELECT source, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(concat_ws('|', 'r5', doc_id)), doc_id) <= 7""".stripMargin,
+
     "sp1_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, source,

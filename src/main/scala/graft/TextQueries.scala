@@ -69,6 +69,12 @@ object TextQueries {
         .select(col("doc_id"), col("source"))),
 
     // deterministic 80/10/10 train/val/test split — full membership map
+    // exactly-7-per-source deterministic eval sample
+    "sp6_k_per_stratum" -> ((s, dir) =>
+      Sampling.sampleKPerStratum(t(s, dir, "documents"), "doc_id", "source",
+        k = 7, seed = "r5")
+        .select(col("source"), col("doc_id"))),
+
     "sp2_split" -> ((s, dir) =>
       Sampling.splitByHash(t(s, dir, "documents"), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))

@@ -59,6 +59,34 @@ object Sampling {
     df.where(hashUnit(col(idCol), seed) < rate)
   }
 
+  /** Exactly-k-per-stratum deterministic sample — eval/holdout-set
+    * construction where each stratum (language, source, quality bucket)
+    * must contribute a FIXED count, not a rate: within each stratum the
+    * k lowest (md5(seed‖id), id) rows are kept, so membership is a pure
+    * function of (id, seed) — stable under retries, resizes, and
+    * engine — and a stratum with fewer than k rows keeps them all.
+    *
+    * Scale shape: ONE rank window partitioned by the stratum — and the
+    * `rank <= k` filter directly over row_number is exactly the shape
+    * Catalyst rewrites to WindowGroupLimit (asserted in spec): each map
+    * task keeps only its local top-k per stratum BEFORE the exchange,
+    * so a 10¹¹-row stratum ships ~k×partitions rows, not its whole
+    * mass. */
+  def sampleKPerStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      k: Int,
+      seed: String = "0"): DataFrame = {
+    if (k < 1) throw new ParameterError(s"k must be >= 1: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Quantile cutoffs of `valueCol` over a deterministic hash sample —
     * the CCNet cutoff computation (Wenzek et al. 2020 compute their
     * head/middle/tail perplexity cutoffs from a sample per language, then

@@ -554,6 +554,34 @@ class DedupSimSpec extends SparkSpec {
       Sampling.splitByHash(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("sampleKPerStratum: exactly k per stratum, short strata survive " +
+    "whole, seed-deterministic, WindowGroupLimit in the plan (sp6)") {
+    import graft.text.Sampling
+    val df = spark.range(100).toDF("doc_id")
+      .withColumn("src", (col("doc_id") % 3).cast("string"))
+      .union(Seq((900L, "tiny"), (901L, "tiny")).toDF("doc_id", "src"))
+    val out = Sampling.sampleKPerStratum(df, "doc_id", "src", k = 5, seed = "e")
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    val bySrc = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc("0").size == 5 && bySrc("1").size == 5 && bySrc("2").size == 5)
+    assert(bySrc("tiny") == Set(900L, 901L)) // < k keeps all
+    // pure function of (id, seed): identical on re-run, different seed
+    // reshuffles membership
+    val again = Sampling.sampleKPerStratum(df, "doc_id", "src", 5, "e")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_._2).toSet)
+    val other = Sampling.sampleKPerStratum(df, "doc_id", "src", 5, "f")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != again)
+    // the rank<=k filter must compile to the partial top-k operator:
+    // each map task keeps k rows per stratum BEFORE the exchange
+    val plan = Sampling.sampleKPerStratum(df, "doc_id", "src", 5, "e")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    intercept[graft.ParameterError](
+      Sampling.sampleKPerStratum(df, "doc_id", "src", 0))
+  }
+
   test("chunks: stride windows cover every token with the configured " +
     "overlap; short/empty docs behave (tx6)") {
     val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
