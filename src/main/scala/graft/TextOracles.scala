@@ -1244,62 +1244,11 @@ object TextOracles {
     },
 
     // IVFADC = sim3's cell assignment ∘ sim6's ADC scoring
-    "sim7_ivfadc" -> {
-      def sqDist(a: String, b: String) =
-        s"sqrt(list_sum(list_transform(range(1, 65), " +
-          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
-      def sq8(a: String, b: String) =
-        s"list_sum(list_transform(range(1, 9), " +
-          s"i -> ($a::DOUBLE - $b::DOUBLE) * ($a::DOUBLE - $b::DOUBLE)))"
-      val encDist = sq8("e.embedding[cb.subspace * 8 + i]", "cb.sc[i]")
-      val adcDist =
-        "list_sum(list_transform(range(0, 8), s -> " +
-          "list_sum(list_transform(range(1, 9), i -> " +
-          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE) * " +
-          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE)))))"
-      s"""WITH cent AS (
-         |  SELECT e2.label AS cell_id, e2.embedding AS centroid
-         |  FROM (SELECT label, min(vec_id) AS cid FROM embeddings GROUP BY 1) m
-         |  JOIN embeddings e2 ON e2.vec_id = m.cid),
-         |asgn AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT e.vec_id, c.cell_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
-         |    FROM embeddings e CROSS JOIN cent c)
-         |  WHERE rn = 1),
-         |cb AS (
-         |  SELECT t.s AS subspace, e.vec_id AS code,
-         |         e.embedding[t.s * 8 + 1 : t.s * 8 + 8] AS sc
-         |  FROM embeddings e, range(0, 8) t(s) WHERE e.vec_id < 8),
-         |enc AS (
-         |  SELECT vec_id, subspace, code FROM (
-         |    SELECT e.vec_id, cb.subspace, cb.code,
-         |      row_number() OVER (PARTITION BY e.vec_id, cb.subspace
-         |        ORDER BY $encDist, cb.code) AS rn
-         |    FROM embeddings e CROSS JOIN cb)
-         |  WHERE rn = 1),
-         |encl AS (
-         |  SELECT vec_id, list(code ORDER BY subspace) AS codes
-         |  FROM enc GROUP BY 1),
-         |cb1 AS (SELECT subspace, list(sc ORDER BY code) AS cents
-         |        FROM cb GROUP BY 1),
-         |cbn AS (SELECT list(cents ORDER BY subspace) AS cbl FROM cb1),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |         round($adcDist, 6) AS adist
-         |  FROM embeddings q
-         |  JOIN asgn qa ON q.vec_id = qa.vec_id
-         |  JOIN asgn ca ON ca.cell_id = qa.cell_id
-         |  JOIN encl c ON c.vec_id = ca.vec_id, cbn
-         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adist, neighbor_id) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
-         |FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    // sim8 searches the PUBLISHED index: same inputs, same semantics,
+    // same replay — only the Spark-side storage path differs
+    "sim8_index_search" -> sim7IvfadcSql,
+
+    "sim7_ivfadc" -> sim7IvfadcSql,
 
     "mm1_binary_meta" ->
       """WITH media AS (
@@ -1406,4 +1355,63 @@ object TextOracles {
         |  md5(upper(substring(hx, CAST(frame_idx * 48 + 1 AS BIGINT), 64))) AS frame_md5
         |FROM f""".stripMargin
   )
+
+  /** IVFADC replay (sim3's cell assignment ∘ sim6's ADC scoring) —
+    * shared by sim7 (in-memory index) and sim8 (published index). */
+  private lazy val sim7IvfadcSql: String = {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      def sq8(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 9), " +
+          s"i -> ($a::DOUBLE - $b::DOUBLE) * ($a::DOUBLE - $b::DOUBLE)))"
+      val encDist = sq8("e.embedding[cb.subspace * 8 + i]", "cb.sc[i]")
+      val adcDist =
+        "list_sum(list_transform(range(0, 8), s -> " +
+          "list_sum(list_transform(range(1, 9), i -> " +
+          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE) * " +
+          "(q.embedding[s * 8 + i]::DOUBLE - cbn.cbl[s + 1][c.codes[s + 1] + 1][i]::DOUBLE)))))"
+      s"""WITH cent AS (
+         |  SELECT e2.label AS cell_id, e2.embedding AS centroid
+         |  FROM (SELECT label, min(vec_id) AS cid FROM embeddings GROUP BY 1) m
+         |  JOIN embeddings e2 ON e2.vec_id = m.cid),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |cb AS (
+         |  SELECT t.s AS subspace, e.vec_id AS code,
+         |         e.embedding[t.s * 8 + 1 : t.s * 8 + 8] AS sc
+         |  FROM embeddings e, range(0, 8) t(s) WHERE e.vec_id < 8),
+         |enc AS (
+         |  SELECT vec_id, subspace, code FROM (
+         |    SELECT e.vec_id, cb.subspace, cb.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, cb.subspace
+         |        ORDER BY $encDist, cb.code) AS rn
+         |    FROM embeddings e CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |encl AS (
+         |  SELECT vec_id, list(code ORDER BY subspace) AS codes
+         |  FROM enc GROUP BY 1),
+         |cb1 AS (SELECT subspace, list(sc ORDER BY code) AS cents
+         |        FROM cb GROUP BY 1),
+         |cbn AS (SELECT list(cents ORDER BY subspace) AS cbl FROM cb1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($adcDist, 6) AS adist
+         |  FROM embeddings q
+         |  JOIN asgn qa ON q.vec_id = qa.vec_id
+         |  JOIN asgn ca ON ca.cell_id = qa.cell_id
+         |  JOIN encl c ON c.vec_id = ca.vec_id, cbn
+         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 }

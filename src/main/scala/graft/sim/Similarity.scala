@@ -398,6 +398,26 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
       .join(pqEncodeShaped(corpus, codebooks, m, subDim, idCol, vecCol), idCol)
       .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    adcSearch(index, queries, centroids, codebooks, m, subDim, k, nprobe,
+      idCol, vecCol)
+  }
+
+  /** The shared IVFADC search tail: probe cells for each query, fold
+    * the per-query distance table, broadcast onto the (cell-restricted)
+    * codes and rank. Used by [[ivfadcTopK]] (in-memory index) and
+    * [[searchIvfadcIndex]] (published index, where the cell_id join
+    * additionally drives dynamic partition pruning of the codes scan). */
+  private def adcSearch(
+      index: DataFrame, // (neighbor_id, cell_id, codes)
+      queries: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      nprobe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val qCells =
       if (nprobe <= 1) assignCells(queries, centroids, vecCol, idCol)
       else probeCells(queries, centroids, vecCol, idCol, nprobe)
@@ -413,6 +433,54 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  /** Publish a trained IVFADC index as PARTITIONED parquet under `dir`:
+    * the PQ codes land in `codes/` partitioned BY CELL — so the IVF
+    * probe becomes a STORAGE-layer operation — with the centroid and
+    * codebook dimension tables alongside. An index built once serves
+    * every subsequent search job (the FAISS build/search split, in
+    * parquet). */
+  def writeIvfadcIndex(
+      dir: String,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (m, subDim) = codebookShape(codebooks)
+    assignCells(corpus, centroids, vecCol, idCol)
+      .select(col(idCol), col("cell_id"))
+      .join(pqEncodeShaped(corpus, codebooks, m, subDim, idCol, vecCol), idCol)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/codes")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Search a [[writeIvfadcIndex]]-published index. Result-identical to
+    * [[ivfadcTopK]] on the same inputs; the difference is WHERE the IVF
+    * pruning happens: the broadcast cell_id equi-join against the
+    * cell-PARTITIONED codes triggers dynamic partition pruning, so only
+    * the probed cells' parquet files are ever READ (spec-asserted via
+    * the scan's dynamicpruning filter). Expected I/O per query:
+    * nprobe/|cells| of the index — the property that makes a published
+    * 100 TB index searchable from a laptop-sized driver plan. */
+  def searchIvfadcIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 1,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val index = spark.read.parquet(s"$dir/codes")
+      .select(col("neighbor_id"), col("cell_id"), col("codes"))
+    val (m, subDim) = codebookShape(codebooks)
+    adcSearch(index, queries, centroids, codebooks, m, subDim, k, nprobe,
+      idCol, vecCol)
   }
 
   /** Fold `codebooks` onto each row of `df` as a per-query ADC distance

@@ -106,6 +106,66 @@ class KmeansPqSpec extends SparkSpec {
     assert(two == List((1L, 200.0), (2L, 200.0), (3L, 400.0)))
   }
 
+  test("published index search matches ivfadcTopK; the codes scan is " +
+    "dynamically partition-pruned to the probed cells (sim8)") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 10f, 10f)),
+      (2L, Seq(10f, 10f, 0f, 0f)), (3L, Seq(10f, 10f, 10f, 10f)))
+      .toDF("vec_id", "embedding")
+    // Int cell ids: the read-back partition column is inferred Int, and
+    // a cast on the partition key would silently disable DPP
+    val centroids = Seq(
+      (0, Seq(0f, 0f, 0f, 0f)), (1, Seq(10f, 10f, 10f, 10f)))
+      .toDF("cell_id", "centroid")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    try {
+      Similarity.writeIvfadcIndex(dir, vecs, centroids, codebook)
+      val q = vecs.where(col("vec_id") === 0)
+      val fromIndex = Similarity.searchIvfadcIndex(spark, dir, q, k = 5)
+      val inMemory = Similarity.ivfadcTopK(q, vecs, centroids, codebook, k = 5)
+      assert(fromIndex.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet ==
+        inMemory.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet)
+      // the IVF probe happens at the STORAGE layer: the parquet scan of
+      // the codes carries a dynamic-pruning filter on cell_id, so only
+      // the probed cells' files are read. At KB test scale the planner's
+      // cost heuristic (scan bytes × fallbackFilterRatio > build size)
+      // says pruning isn't worth it — raise the ratio to see the
+      // at-scale plan, where the codes dwarf any query batch
+      val stats = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      val ratio = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      try {
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio",
+          "100000")
+        // the DPP rule looks for a surviving selective Filter on the
+        // query side — over a LocalRelation the filter constant-folds
+        // away first, so back the queries with parquet as production would
+        vecs.write.mode("overwrite").parquet(s"$dir/vecs")
+        val qp = spark.read.parquet(s"$dir/vecs").where(col("vec_id") === 0)
+        val plan = Similarity.searchIvfadcIndex(spark, dir, qp, k = 5)
+          .queryExecution.executedPlan.toString
+        assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+      } finally {
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats", stats)
+        spark.conf.set(
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", ratio)
+      }
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(new java.io.File(dir))
+    }
+  }
+
   test("PQ validation: malformed codebooks raise ParameterError, " +
     "non-tiling vectors fail loudly instead of encoding a prefix") {
     val vecs = Seq((1L, Seq(1f, 0f, 9f, 9f))).toDF("vec_id", "embedding")
