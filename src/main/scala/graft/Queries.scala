@@ -34,7 +34,7 @@ object Queries {
     * a written panel — removed recursively at JVM exit (a fresh dir per
     * invocation avoids cross-run collisions; the shutdown hook keeps
     * repeated invocations from leaking them). */
-  private def tempDir(prefix: String): String = {
+  private[graft] def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
@@ -134,6 +134,15 @@ object Queries {
     Backtest.run(DemoStrategy, supplierPanel(s, dir))
       .withColumn("value",
         when(col("field") === "Return", col("value") * 0.001).otherwise(col("value")))
+
+  /** The scored panel behind ml4/ml5/ml6: quantized score in [0, 1]
+    * (round-1 of close/60000 — ties exercise the AUC half-credit) with
+    * label close >= 22000; ONE recipe so the three queries and their
+    * oracles can't drift apart. */
+  private def scoredPanel(s: SparkSession, dir: String): DataFrame =
+    supplierPanel(s, dir).select(
+      least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+      (col("close") >= 22000).cast("long").as("label"))
 
   /** [[dampedMelt]] with a BENCHMARK (sid 1) — the joint-series input of
     * perf_benchmark and perf_rollbeta. */
@@ -866,28 +875,16 @@ object Queries {
     // ---- M-eval: binary-classification metrics over a scored panel —
     // quantized sigmoid-ish score (ties exercise the AUC half-credit),
     // label = close >= 22000 ----
-    "ml4_metrics" -> ((s, dir) => {
-      val preds = supplierPanel(s, dir).select(
-        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
-        (col("close") >= 22000).cast("long").as("label"))
-      graft.ml.Evaluation.classificationMetrics(preds)
-    }),
+    "ml4_metrics" -> ((s, dir) =>
+      graft.ml.Evaluation.classificationMetrics(scoredPanel(s, dir))),
 
     // ---- calibration bins + average precision over the same scored
     // panel as ml4 ----
-    "ml5_calibration" -> ((s, dir) => {
-      val preds = supplierPanel(s, dir).select(
-        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
-        (col("close") >= 22000).cast("long").as("label"))
-      graft.ml.Evaluation.calibrationBins(preds)
-    }),
+    "ml5_calibration" -> ((s, dir) =>
+      graft.ml.Evaluation.calibrationBins(scoredPanel(s, dir))),
 
-    "ml6_avg_precision" -> ((s, dir) => {
-      val preds = supplierPanel(s, dir).select(
-        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
-        (col("close") >= 22000).cast("long").as("label"))
-      graft.ml.Evaluation.averagePrecision(preds)
-    }),
+    "ml6_avg_precision" -> ((s, dir) =>
+      graft.ml.Evaluation.averagePrecision(scoredPanel(s, dir))),
 
     // regression metrics in a normalized label space (micro-quantized
     // residuals stay integer-exact in a BIGINT oracle)

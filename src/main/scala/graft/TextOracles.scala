@@ -896,7 +896,8 @@ object TextOracles {
          |  FROM comp)
          |SELECT source, doc_id, quality FROM q
          |QUALIFY row_number()
-         |  OVER (PARTITION BY source ORDER BY quality DESC, doc_id) = 1""".stripMargin
+         |  OVER (PARTITION BY source
+         |        ORDER BY quality DESC NULLS LAST, doc_id) = 1""".stripMargin
     },
 
     // ExactSubstr self-dedup: rank every 5-gram occurrence by

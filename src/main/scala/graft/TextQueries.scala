@@ -18,19 +18,27 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Scratch dir for queries that publish-and-read-back (the index
-    * demo) — removed recursively at JVM exit, the Queries.tempDir
-    * contract. */
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(p.toFile)
-    }))
-    p.toString
+  /** Scratch dir for queries that publish-and-read-back — the shared
+    * [[Queries.tempDir]] (removed recursively at JVM exit). */
+  private def tempDir(prefix: String): String = Queries.tempDir(prefix)
+
+  /** The sim7/sim8 shared index fixture: label-seeded centroids and the
+    * 8×8-dim sub-codebook from the 8 lowest-id embeddings — ONE recipe,
+    * so the "sim8 is result-identical to sim7" invariant (they share an
+    * oracle) can't drift. */
+  private def ivfFixture(embs: DataFrame): (DataFrame, DataFrame) = {
+    val centroids = embs
+      .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
+      .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
+        "__cid")
+      .select(col("label").as("cell_id"), col("centroid"))
+    val cb = embs.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
+          .as(Seq("subspace", "subcentroid")))
+      .select(col("subspace"), col("code"), col("subcentroid"))
+    (centroids, cb)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -518,17 +526,7 @@ object TextQueries {
     // (as sim6)
     "sim7_ivfadc" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val centroids = embs
-        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
-        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
-          "__cid")
-        .select(col("label").as("cell_id"), col("centroid"))
-      val cb = embs.where(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("code"),
-          posexplode(transform(sequence(lit(0), lit(7)),
-            sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
-            .as(Seq("subspace", "subcentroid")))
-        .select(col("subspace"), col("code"), col("subcentroid"))
+      val (centroids, cb) = ivfFixture(embs)
       Similarity.ivfadcTopK(
         embs.where(col("vec_id") < 5), embs, centroids, cb, k = 5)
     }),
@@ -538,17 +536,7 @@ object TextQueries {
     // pruning on the codes scan; result-identical to sim7
     "sim8_index_search" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
-      val centroids = embs
-        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
-        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
-          "__cid")
-        .select(col("label").as("cell_id"), col("centroid"))
-      val cb = embs.where(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("code"),
-          posexplode(transform(sequence(lit(0), lit(7)),
-            sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
-            .as(Seq("subspace", "subcentroid")))
-        .select(col("subspace"), col("code"), col("subcentroid"))
+      val (centroids, cb) = ivfFixture(embs)
       val ix = tempDir("graft_ivf_index")
       Similarity.writeIvfadcIndex(ix, embs, centroids, cb)
       Similarity.searchIvfadcIndex(s, ix, embs.where(col("vec_id") < 5), k = 5)

@@ -615,9 +615,13 @@ object Dedup {
       priority: Column,
       idCol: String = "doc_id"): DataFrame = {
     val payload = struct(docs.columns.map(col): _*)
+    // null priority → +∞ in the MIN ordering = always LOSES (bare
+    // struct ordering is nulls-FIRST, which would crown the one doc
+    // whose score is undefined); an all-null group falls to lowest id
+    val np = coalesce(-priority, lit(Double.PositiveInfinity))
     docs
       .groupBy(col(keyCol).as("__k"))
-      .agg(min_by(payload, struct((-priority).as("__np"), col(idCol))).as("__best"))
+      .agg(min_by(payload, struct(np.as("__np"), col(idCol))).as("__best"))
       .select(col("__best.*"))
   }
 

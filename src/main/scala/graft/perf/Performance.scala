@@ -114,28 +114,19 @@ object Performance {
           .as(s"rolling_sharpe_$window"))
   }
 
-  /** Benchmark-relative one-row summary. The melt's `Benchmark` rows
+  /** Per-date (return, bench_return) joint series — shared by
+    * [[vsBenchmark]] and [[rollingBeta]]. The melt's `Benchmark` rows
     * carry per-date benchmark RETURNS (D19: pct_change of the ffilled
-    * benchmark closes), one row per date — joined against the per-date
-    * portfolio return: sample beta (cov/var), alpha as the per-period
-    * intercept × periodsPerYear, and correlation. Outputs rounded to
-    * 6dp (unordered covariance/variance accumulation is engine
-    * noise below that).
-    *
-    * One pass over the melt: both per-date series come out of a SINGLE
-    * `groupBy(date)` with conditional aggregates — a `dailyReturns ⋈
-    * filter(Benchmark)` join would run the whole upstream backtest
-    * lineage once per differently-aliased join input (the planner does
-    * not reuse exchanges across them — measured 3.7× on the bench
-    * harness). Dates lacking either field drop out, matching the inner
-    * join this replaces. Requires ≤ 1 Benchmark row per date (daily
-    * results — the D19 contract); several rows per date (an intraday
-    * melt) raise rather than silently averaging. */
-  /** Per-date (return, bench_return) joint series out of ONE pass over
-    * the melt — shared by [[vsBenchmark]] and [[rollingBeta]] (see
-    * [[vsBenchmark]]'s scaladoc for why a join of two melt derivations
-    * is wrong). Dates lacking either field drop out; > 1 Benchmark row
-    * per date raises. */
+    * benchmark closes), one row per date, combined with the per-date
+    * portfolio return in ONE pass over the melt: both series come out
+    * of a SINGLE `groupBy(date)` with conditional aggregates — a
+    * `dailyReturns ⋈ filter(Benchmark)` join would run the whole
+    * upstream backtest lineage once per differently-aliased join input
+    * (the planner does not reuse exchanges across them — measured 3.7×
+    * on the bench harness). Dates lacking either field drop out,
+    * matching the inner join this replaces. Requires ≤ 1 Benchmark row
+    * per date (daily results — the D19 contract); several rows per
+    * date (an intraday melt) raise rather than silently averaging. */
   private def benchmarkJoined(results: DataFrame, dateCol: String): DataFrame = {
     val isRet = col("field") === "Return"
     val isBench = col("field") === "Benchmark"
@@ -158,6 +149,11 @@ object Performance {
           .otherwise(col("__b")))
   }
 
+  /** Benchmark-relative one-row summary over [[benchmarkJoined]]'s
+    * joint series: sample beta (cov/var), alpha as the per-period
+    * intercept × periodsPerYear, and correlation. Outputs rounded to
+    * 6dp (unordered covariance/variance accumulation is engine noise
+    * below that). */
   def vsBenchmark(
       results: DataFrame,
       dateCol: String = "date",

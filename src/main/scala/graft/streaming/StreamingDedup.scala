@@ -96,7 +96,8 @@ object StreamingDedup {
   }
 
   /** Streaming exact-duplicate suppression: emit only the FIRST
-    * occurrence of each document body (md5 of the text) across the
+    * occurrence of each document body (md5 of the lowercased trimmed
+    * text — [[graft.dedup.Dedup.exactGroups]]' content key) across the
     * stream's lifetime — the continuous-ingest analogue of
     * [[graft.dedup.Dedup.exactGroups]]' keep-first rule. Built on
     * Spark's own dedup state rather than custom
@@ -115,7 +116,10 @@ object StreamingDedup {
       textCol: String = "text",
       eventTimeCol: Option[String] = None,
       delay: String = "1 hour"): DataFrame = {
-    val fp = docs.withColumn("__fp", md5(col(textCol)))
+    // md5(lower(trim(…))): the SAME content key as the batch
+    // exactGroups, so batch-deduped history and streamed ingest agree
+    // on what "exact duplicate" means
+    val fp = docs.withColumn("__fp", md5(lower(trim(col(textCol)))))
     val out = eventTimeCol match {
       case Some(t) =>
         fp.withWatermark(t, delay).dropDuplicatesWithinWatermark("__fp")

@@ -421,6 +421,16 @@ class DedupSimSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getDouble(2)))).toMap
     assert(out == Map("a.com" -> ((2L, 0.9)), "b.com" -> ((4L, 0.1)),
       "c.com" -> ((6L, -0.2))))
+    // a NULL priority must LOSE to any scored row (bare struct ordering
+    // is nulls-first and would crown the unscored doc); an all-null
+    // group falls back to the lowest id
+    val withNulls = Seq(
+      (1L, "a.com", Some(0.2)), (2L, "a.com", None),
+      (3L, "n.com", None), (4L, "n.com", None))
+      .toDF("doc_id", "source", "q")
+    val nOut = Dedup.keepBestPerKey(withNulls, "source", col("q"), "doc_id")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(nOut == Map("a.com" -> 1L, "n.com" -> 3L))
     // plan tripwire: ONE min_by aggregation with a partial (map-side)
     // phase, NOT a rank window — a Window here would shuffle and sort a
     // hot key's whole group into one task
