@@ -41,7 +41,12 @@ object Bench {
         case '\r' => "\\r"; case '\t' => "\\t"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional args = query-name filter (local iteration on a hot query;
+    // the round driver passes none and gets the full catalog).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

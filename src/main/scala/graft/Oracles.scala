@@ -345,6 +345,44 @@ object Oracles {
          |    AS day_total_cents
          |FROM events""".stripMargin,
 
+    // PX cross-sectional family: values are never null in the panel, so
+    // the Spark side's null-gating never fires and the SQL stays plain
+    "px1_rank_avg" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  rank() OVER (PARTITION BY date ORDER BY close)
+         |    + (count(*) OVER (PARTITION BY date, close) - 1) / 2.0 AS rank_avg
+         |FROM panel""".stripMargin,
+
+    "px2_zscore" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  round(CASE WHEN stddev_samp(close) OVER w <> 0
+         |    THEN (close - avg(close) OVER w) / stddev_samp(close) OVER w
+         |  END, 6) AS zscore
+         |FROM panel WINDOW w AS (PARTITION BY date)""".stripMargin,
+
+    "px3_demean" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  ${c("close")} - avg(${c("close")}) OVER (PARTITION BY date)
+         |    AS demeaned_cents
+         |FROM panel""".stripMargin,
+
+    "px4_quantile_bin" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  ntile(5) OVER (PARTITION BY date ORDER BY close, sid) AS quintile
+         |FROM panel""".stripMargin,
+
+    "px5_winsorize" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  round(least(greatest(close,
+         |      quantile_cont(close, 0.05) OVER (PARTITION BY date)),
+         |    quantile_cont(close, 0.95) OVER (PARTITION BY date)), 6) AS wclose
+         |FROM panel""".stripMargin,
+
     "a3_first_per_group" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,
          |  min_by(${c("value")}, event_id) AS first_cents

@@ -414,6 +414,45 @@ object Queries {
         Panel.perDateSum(cents(col("value"))).as("day_total_cents"))
     }),
 
+    // ---- PX: cross-sectional (per-date) panel transforms — the pandas
+    // axis=1 idioms (rank / zscore / demean / quantile-bin / winsorize)
+    // user strategies compose inside pricesToSignals; each is ONE window
+    // over the date slot, no joins ----
+    "px1_rank_avg" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        Panel.perDateRankAvg(col("close")).as("rank_avg"))
+    }),
+    "px2_zscore" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        round(Panel.zscore(col("close")), 6).as("zscore"))
+    }),
+    // demean over exact integer cents: every partial sum is an integer-
+    // valued double < 2^53, so the cross-engine mean is EXACT and the
+    // output hashes with no rounding (a rounded dollar variant sat on a
+    // half-ulp boundary and flipped at the 6th decimal between engines)
+    "px3_demean" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        Panel.demean(cents(col("close"))).as("demeaned_cents"))
+    }),
+    "px4_quantile_bin" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        Panel.quantileBin(col("close"), 5, col("sid")).cast("long").as("quintile"))
+    }),
+    "px5_winsorize" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"),
+        round(Panel.winsorize(col("close"), 0.05, 0.95), 6).as("wclose"))
+    }),
+
     // ---- A3: first-per-group (ordered) ----
     "a3_first_per_group" -> ((s, dir) => {
       events(s, dir)

@@ -117,6 +117,52 @@ object Panel {
   def perDateSumWhere(c: Column, cond: Column)(implicit k: Keys): Column =
     sum(when(cond, c).otherwise(lit(0.0))).over(k.byDate)
 
+  /** Cross-sectional average rank of `c` within the date slot — pandas
+    * `rank(axis=1)` (method='average', the default), the idiom user
+    * strategies rank signals with (SURVEY §2: strategies compose extra
+    * pandas ops the engine must expose). Ties share the mean of their
+    * positional ranks: `rank() + (tie_count − 1)/2`, computed from two
+    * window functions over the SAME (slot, value) ordering — no
+    * row_number tiebreak, so the result is independent of row order
+    * within a tie (deterministic under any partitioning). Nulls get no
+    * rank and don't SHIFT ranks (pandas NaN stance) — ordered nulls-last
+    * (Spark's ASC default is nulls-FIRST, which would offset every real
+    * rank by the null count; DuckDB's default is already nulls-last). */
+  def perDateRankAvg(c: Column)(implicit k: Keys): Column = {
+    val ordered = Window.partitionBy(k.slotCols.map(col): _*).orderBy(c.asc_nulls_last)
+    val ties = Window.partitionBy((k.slotCols.map(col) :+ c): _*)
+    when(c.isNotNull,
+      rank().over(ordered) + (count(lit(1)).over(ties) - 1) / 2.0)
+  }
+
+  /** Cross-sectional z-score within the date slot: (c − μ_date)/σ_date,
+    * null when the slot is flat (σ=0) — the [[safeDiv]] ÷0 stance.
+    * pandas `sub(mean(axis=1)).div(std(axis=1))`. */
+  def zscore(c: Column)(implicit k: Keys): Column =
+    safeDiv(c - avg(c).over(k.byDate), stddev_samp(c).over(k.byDate))
+
+  /** Cross-sectional demean within the date slot (factor-neutralize the
+    * panel's per-date level — pandas `sub(mean(axis=1), axis=0)`). */
+  def demean(c: Column)(implicit k: Keys): Column =
+    c - avg(c).over(k.byDate)
+
+  /** Cross-sectional quantile bin (1..q) within the date slot — the
+    * quintile/decile bucketing quant portfolios are formed from (long
+    * top bucket, short bottom). `ntile` needs a TOTAL order to be
+    * deterministic, so ties break by the `tiebreak` column (the sid);
+    * pandas `qcut` differs on ties but has no deterministic distributed
+    * equivalent. */
+  def quantileBin(c: Column, q: Int, tiebreak: Column)(implicit k: Keys): Column =
+    ntile(q).over(Window.partitionBy(k.slotCols.map(col): _*).orderBy(c, tiebreak))
+
+  /** Winsorize: clamp `c` to its per-slot [lo, hi] quantiles (linear-
+    * interpolated exact percentile — Spark and DuckDB agree on the
+    * definition). The standard outlier guard before [[zscore]]. */
+  def winsorize(c: Column, lo: Double, hi: Double)(implicit k: Keys): Column = {
+    val w = k.byDate
+    clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
+  }
+
   // ---- scalar helpers (SURVEY §2.7) ----
 
   /** Guarded division: a/b where b≠0, else null — THE engine-wide ÷0

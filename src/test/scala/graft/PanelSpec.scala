@@ -79,6 +79,58 @@ class PanelSpec extends SparkSpec {
       Set(("A", "x", 1.0), ("A", "y", 2.0)))
   }
 
+  test("perDateRankAvg shares tied ranks, skips nulls (pandas rank axis=1)") {
+    val xs = Seq(
+      ("A", "2024-01-01", Some(5.0)),
+      ("B", "2024-01-01", Some(5.0)),
+      ("C", "2024-01-01", Some(9.0)),
+      ("D", "2024-01-01", None))
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val out = xs.select($"sid", Panel.perDateRankAvg($"value").as("r"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // ties at 5.0 share (1+2)/2 = 1.5; 9.0 ranks 3; null gets no rank
+    assert(out("A").contains(1.5) && out("B").contains(1.5))
+    assert(out("C").contains(3.0))
+    assert(out("D").isEmpty)
+  }
+
+  test("zscore is null on a flat slot; demean centers the slot") {
+    val xs = Seq(
+      ("A", "2024-01-01", 4.0), ("B", "2024-01-01", 8.0),
+      ("A", "2024-01-02", 7.0), ("B", "2024-01-02", 7.0))
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val z = xs.select($"sid", $"date".cast("string"), Panel.zscore($"value").as("z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // sample std of (4,8) = 2√2; (4−6)/2√2 = −1/√2
+    assert(z(("A", "2024-01-01")).map(r7).contains(r7(-1 / math.sqrt(2))))
+    assert(z(("A", "2024-01-02")).isEmpty) // flat slot: σ = 0 → null
+    val d = xs.select($"sid", $"date".cast("string"), Panel.demean($"value").as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(d(("A", "2024-01-01")) == -2.0 && d(("B", "2024-01-01")) == 2.0)
+  }
+
+  test("quantileBin buckets each slot 1..q with deterministic ties") {
+    val xs = (1 to 10).map(i => (s"S$i", "2024-01-01", i.toDouble))
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val out = xs.select($"sid", Panel.quantileBin($"value", 5, $"sid").as("q"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out("S1") == 1 && out("S2") == 1)
+    assert(out("S9") == 5 && out("S10") == 5)
+  }
+
+  test("winsorize clamps to the slot's [lo, hi] exact quantiles") {
+    val xs = (1 to 100).map(i => (s"S$i", "2024-01-01", i.toDouble))
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val out = xs.select($"sid", Panel.winsorize($"value", 0.05, 0.95).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // interpolated p05 of 1..100 = 1 + 0.05×99 = 5.95; p95 = 95.05
+    assert(out("S1") == 5.95 && out("S3") == 5.95)
+    assert(out("S100") == 95.05 && out("S98") == 95.05)
+    assert(out("S50") == 50.0) // interior untouched
+  }
+
   test("safeDiv guards zero denominators (§2.7)") {
     val out = Seq((1.0, 0.0), (4.0, 2.0)).toDF("a", "b")
       .select(Panel.safeDiv($"a", $"b").as("q")).collect()
