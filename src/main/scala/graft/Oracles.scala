@@ -383,6 +383,25 @@ object Oracles {
          |    quantile_cont(close, 0.95) OVER (PARTITION BY date)), 6) AS wclose
          |FROM panel""".stripMargin,
 
+    // per-row ret is identical IEEE arithmetic in both engines; the
+    // cross-row sum goes through exact pico integers (HUGEINT/decimal)
+    "es1_event_study" ->
+      s"""WITH $panelCte,
+         |rnp AS (
+         |  SELECT sid, date, close,
+         |    row_number() OVER (PARTITION BY sid ORDER BY date) AS rn,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |ev AS (SELECT sid, rn FROM rnp WHERE ret < -0.5),
+         |evo AS (
+         |  SELECT ev.sid, ev.rn + offs.off AS rn, offs.off
+         |  FROM ev CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS off) offs)
+         |SELECT evo.off AS offset, count(*) AS n_obs,
+         |  CAST(CAST(sum(CAST(round(p.ret * 1e12) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / 1e12 AS sum_return
+         |FROM evo JOIN rnp p ON p.sid = evo.sid AND p.rn = evo.rn
+         |GROUP BY 1""".stripMargin,
+
     "a3_first_per_group" ->
       s"""SELECT user_id, CAST(ts AS DATE) AS day,
          |  min_by(${c("value")}, event_id) AS first_cents

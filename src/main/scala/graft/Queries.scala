@@ -453,6 +453,25 @@ object Queries {
         round(Panel.winsorize(col("close"), 0.05, 0.95), 6).as("wclose"))
     }),
 
+    // ---- ES1: event study — align returns around crash events by
+    // trading-day offset and aggregate the curve. Offsets explode on the
+    // small event side and equi-join back on (sid, row#): one panel
+    // scan, no range join. Pico-exact return sums (decimal accumulator —
+    // a long would overflow at |ret|≈100 × 1e12 × 50k rows) ----
+    "es1_event_study" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("ret", Panel.pctChange(col("close")))
+      val events = panel.where(col("ret") < -0.5).select(col("sid"), col("date"))
+      graft.panel.EventStudy.align(panel, events, 3, 3, Seq("ret"))
+        .groupBy(col("offset").cast("long").as("offset"))
+        .agg(
+          count(lit(1)).as("n_obs"),
+          (sum(round(col("ret") * 1e12).cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1e12).as("sum_return"))
+    }),
+
     // ---- A3: first-per-group (ordered) ----
     "a3_first_per_group" -> ((s, dir) => {
       events(s, dir)

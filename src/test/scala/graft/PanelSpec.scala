@@ -131,6 +131,29 @@ class PanelSpec extends SparkSpec {
     assert(out("S50") == 50.0) // interior untouched
   }
 
+  test("EventStudy.align keys rows by trading-day offset, drops edges") {
+    import graft.panel.EventStudy
+    // sid A trades 1,2,3,5 Jan (gap on the 4th): offsets are ROW
+    // offsets, so the +1 neighbor of Jan 3 is Jan 5, not the gap
+    val panel = Seq(
+      ("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0),
+      ("A", "2024-01-03", 3.0), ("A", "2024-01-05", 5.0),
+      ("B", "2024-01-01", 9.0))
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val events = Seq(("A", "2024-01-03"), ("B", "2024-01-01"))
+      .toDF("sid", "date").withColumn("date", to_date($"date"))
+    val out = EventStudy.align(panel, events, 1, 1, Seq("value"))
+      .select($"sid", $"event_date".cast("string"), $"offset", $"value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(out(("A", "2024-01-03", 0)) == 3.0)
+    assert(out(("A", "2024-01-03", -1)) == 2.0)
+    assert(out(("A", "2024-01-03", 1)) == 5.0) // row offset skips the gap
+    assert(out(("B", "2024-01-01", 0)) == 9.0)
+    // B has no −1/+1 rows: edge offsets drop out (inner join)
+    assert(out.size == 4)
+  }
+
   test("safeDiv guards zero denominators (§2.7)") {
     val out = Seq((1.0, 0.0), (4.0, 2.0)).toDF("a", "b")
       .select(Panel.safeDiv($"a", $"b").as("q")).collect()
