@@ -383,6 +383,36 @@ object Oracles {
          |    quantile_cont(close, 0.95) OVER (PARTITION BY date)), 6) AS wclose
          |FROM panel""".stripMargin,
 
+    // the full default-backtest replay (sig→wts→pos→gro CTE chain),
+    // re-partitioned by (variant, …) — an independent SQL formulation of
+    // the sweep, not a transliteration of the grouped-Keys plan
+    "sw1_param_sweep" ->
+      s"""WITH $panelCte,
+         |vp AS (
+         |  SELECT p.*, v.variant, v.threshold FROM panel p
+         |  CROSS JOIN (VALUES ('t20k', 20000.0), ('t30k', 30000.0),
+         |              ('t40k', 40000.0)) v(variant, threshold)),
+         |sig AS (
+         |  SELECT variant, sid, date, close,
+         |         CAST(close < threshold AS INT) AS signal FROM vp),
+         |wts AS (
+         |  SELECT *, CAST(signal AS DOUBLE) /
+         |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY variant, date) <> 0
+         |          THEN sum(abs(signal)) OVER (PARTITION BY variant, date)
+         |          ELSE 1 END) AS weight
+         |  FROM sig),
+         |pos AS (
+         |  SELECT *, lag(weight) OVER (PARTITION BY variant, sid ORDER BY date)
+         |    AS position FROM wts),
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY variant, sid ORDER BY date) - 1)
+         |    * lag(position) OVER (PARTITION BY variant, sid ORDER BY date) AS gross
+         |  FROM pos)
+         |SELECT variant, count(*) AS n_rows,
+         |  CAST(CAST(sum(CAST(round(coalesce(gross, 0.0) * 1e12) AS BIGINT)) AS BIGINT)
+         |    AS DOUBLE) / 1e12 AS sum_return
+         |FROM gro GROUP BY 1""".stripMargin,
+
     // per-row ret is identical IEEE arithmetic in both engines; the
     // cross-row sum goes through exact pico integers (HUGEINT/decimal)
     "es1_event_study" ->

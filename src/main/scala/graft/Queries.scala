@@ -453,6 +453,34 @@ object Queries {
         round(Panel.winsorize(col("close"), 0.05, 0.95), 6).as("wclose"))
     }),
 
+    // ---- SW1: parameter sweep — N strategy variants in ONE plan over
+    // ONE panel scan. The tiny variant dimension broadcast-crosses into
+    // the panel and Keys.group partitions every window/slot by variant,
+    // so the full backtest pipeline (signals → weights → positions →
+    // gross → melt) runs per variant with no per-variant rescan; shuffle
+    // volume is the honest ×V cost, scan volume is ×1 ----
+    "sw1_param_sweep" -> ((s, dir) => {
+      implicit val k: Keys = liKeys.copy(group = Seq("variant"))
+      object SweepStrategy extends Strategy {
+        val code = "sweep"
+        override def keys: Keys = k
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < col("threshold")).cast("int"))
+      }
+      val variants = s.createDataFrame(Seq(
+        ("t20k", 20000.0), ("t30k", 30000.0), ("t40k", 40000.0)))
+        .toDF("variant", "threshold")
+      val panel = supplierPanel(s, dir).crossJoin(broadcast(variants))
+      Backtest.run(SweepStrategy, panel)
+        .where(col("field") === "Return")
+        .groupBy("variant")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (sum(round(col("value") * 1e12).cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / 1e12).as("sum_return"))
+    }),
+
     // ---- ES1: event study — align returns around crash events by
     // trading-day offset and aggregate the curve. Offsets explode on the
     // small event side and equi-join back on (sid, row#): one panel

@@ -26,19 +26,27 @@ object Panel {
 
   /** Ordering key for panel windows. `time` is a lexically-ordered
     * "HH:MM:SS" string, matching the reference (base.py:795); extra
-    * tiebreaker columns make ordering total when (date,time) repeats. */
+    * tiebreaker columns make ordering total when (date,time) repeats.
+    *
+    * `group` adds outer panel dimensions INSIDE one frame — a parameter
+    * sweep's `variant`, a multi-account book's `account`: every per-sid
+    * window partitions by (group, sid) and every cross-sectional slot by
+    * (group, date[, time]), so N independent panels run in ONE plan over
+    * one scan. (Grid builders like [[densify]] are per-panel ops — build
+    * the grid before crossing in the group dimension.) */
   final case class Keys(
       sid: String = "sid",
       order: Seq[String] = Seq("date"),
       dateCol: String = "date",
-      slot: Seq[String] = Nil) {
+      slot: Seq[String] = Nil,
+      group: Seq[String] = Nil) {
     /** Cross-sectional slot key: (date) at EOD grain, (date, time) at
       * intraday grain (pandas axis=1 ops are per ROW of the wide frame).
-      * Defaults to the order cols; override when the ordering key is
-      * finer than the slot (e.g. tiebreakers like event ids). */
-    def slotCols: Seq[String] = if (slot.nonEmpty) slot else order
+      * Defaults to group ++ order cols; override when the ordering key
+      * is finer than the slot (e.g. tiebreakers like event ids). */
+    def slotCols: Seq[String] = if (slot.nonEmpty) slot else group ++ order
     def bySid: WindowSpec =
-      Window.partitionBy(sid).orderBy(order.map(col): _*)
+      Window.partitionBy((group :+ sid).map(col): _*).orderBy(order.map(col): _*)
     def byDate: WindowSpec = Window.partitionBy(slotCols.map(col): _*)
     def cumFrame: WindowSpec =
       bySid.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -104,7 +104,7 @@ object Backtest {
       case (n, c) => n -> c.cast("double")
     }
 
-    val keyCols = (k.sid +: k.order).distinct
+    val keyCols = (k.group ++ (k.sid +: k.order)).distinct
     val projected = p.select(
       keyCols.map(col) ++ measures.map { case (n, c) => c.as(n) }: _*)
     var results = Panel.meltFields(projected, keyCols, measures.map(_._1))
@@ -112,6 +112,13 @@ object Backtest {
     // D19 Benchmark field (base.py:1379-1380 → 1402-1500): the benchmark
     // sid's closes reindexed to the full date grid, ffilled, pct_changed.
     strategy.benchmarkSid.foreach { bs =>
+      // a grouped (sweep/multi-book) melt would need per-group benchmark
+      // rows; the single-series D19 contract doesn't define that — raise
+      // here rather than let unionByName fail on the missing group cols
+      if (k.group.nonEmpty)
+        throw new ParameterError(
+          "BENCHMARK is not supported with grouped keys (parameter sweep); " +
+            "compute benchmark measures on a single-variant run")
       results = results.unionByName(benchmarkReturns(strategy, prices, bs))
     }
 
