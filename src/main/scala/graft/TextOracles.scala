@@ -530,6 +530,25 @@ object TextOracles {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM verify WHERE jaccard >= 0.5""".stripMargin,
 
+    // incremental = the full-corpus near-dup result restricted to pairs
+    // that involve a batch doc (id >= 400): LSH banding is deterministic,
+    // so indexing old docs then banding the batch reproduces exactly the
+    // full computation's buckets — an independent replay of that identity
+    "dd18_incremental" ->
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand
+         |          WHERE id_a >= 400 OR id_b >= 400),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id)
+         |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+         |FROM verify WHERE jaccard >= 0.5""".stripMargin,
+
     // connected components via transitive closure (WITH RECURSIVE): the
     // undirected closure of every verified pair always re-reaches the
     // start node (a→b→a), so min(b) over reach(a, ·) IS the component

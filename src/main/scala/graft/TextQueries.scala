@@ -385,6 +385,20 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("redacted_md5"))
     }),
 
+    // incremental ingest dedup: docs < 400 are the already-indexed
+    // corpus (published band index in scratch parquet), docs >= 400 the
+    // new batch — near-dup pairs involving a batch doc, verified at the
+    // dd4 threshold, WITHOUT re-minhashing the indexed side
+    "dd18_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val indexed = docs.where(col("doc_id") < 400)
+      val ix = tempDir("graft_band_index")
+      Dedup.writeMinhashIndex(ix, indexed)
+      Dedup.incrementalNearDuplicates(
+        s, ix, docs.where(col("doc_id") >= 400), indexed, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
     // boilerplate mining: most-frequent trigrams corpus-wide
     "tx14_top_ngrams" -> ((s, dir) =>
       Dedup.frequentNgrams(t(s, dir, "documents"), n = 3, topK = 50)),

@@ -278,6 +278,134 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Publish a corpus's melted LSH band rows `(id, __band, __bk)` as a
+    * parquet band index, partitioned by band position — the dedup
+    * build/search split (the [[graft.sim.Similarity.writeIvfadcIndex]]
+    * pattern): index once, then every subsequent ingest batch is checked
+    * against the corpus WITHOUT re-shingling or re-minhashing it. The
+    * incremental scan reads three narrow columns (id, band, key) instead
+    * of the corpus text — at 100 TB of text the band index is ~10⁻³ of
+    * the corpus bytes, and the corpus text is only touched at verify,
+    * semi-joined down to candidate ids (∝ duplicate mass of the batch). */
+  def writeMinhashIndex(
+      dir: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2): Unit =
+    minhashMelted(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("__band").parquet(dir)
+
+  /** Append a new batch's band rows to an existing [[writeMinhashIndex]]
+    * index (after the batch passed [[incrementalNearDuplicates]] and was
+    * admitted). Caller contract: batch ids are disjoint from indexed ids,
+    * and the (shingleSize, bands, rowsPerBand) parameters match the
+    * build — band keys from different parameters never collide usefully,
+    * they just silently find nothing. */
+  def appendToMinhashIndex(
+      dir: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2): Unit =
+    minhashMelted(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
+      .write.mode("append").partitionBy("__band").parquet(dir)
+
+  /** Candidate pairs of an ingest batch against a published band index
+    * (plus within-batch pairs): ids sharing any band bucket where at
+    * least ONE side is new. Identical pair semantics to running
+    * [[minhashCandidates]] over (indexed ∪ batch) and keeping pairs that
+    * involve a batch doc — spec-asserted — but the indexed corpus
+    * contributes a narrow parquet scan, not a minhash recompute.
+    *
+    * Scale shape: the batch's band keys (bounded by the batch, the small
+    * side by construction) broadcast-semi-join the index melt BEFORE the
+    * bucket shuffle, so only buckets the batch actually touches are
+    * shuffled — index rows reaching the window ∝ the batch's collision
+    * mass, not |index|. Same `maxBucket` window-count guard + observe
+    * metric (`incremental_buckets`) as [[minhashCandidates]]. */
+  def incrementalCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    val idx = spark.read.parquet(dir)
+      .select(col(idCol), col("__band").cast("int").as("__band"), col("__bk"),
+        lit(false).as("__new"))
+    // the batch melt feeds BOTH the union and the key-prune side — lazy
+    // checkpoint so the batch minhash pipeline runs once (the dd4
+    // aliased-recompute policy)
+    val neu =
+      minhashMelted(batch, idCol, textCol, shingleSize, bands, rowsPerBand)
+        .withColumn("__new", lit(true))
+        .localCheckpoint(eager = false)
+    val newKeys = neu.select("__band", "__bk").distinct()
+    val sized = idx.unionByName(neu)
+      .join(newKeys.hint("broadcast"), Seq("__band", "__bk"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bk")))
+      .observe("incremental_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+    sized
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy("__band", "__bk")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__new"))).as("__ids"))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
+      .where(col("a.id") < col("b.id") && (col("a.__new") || col("b.__new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental near-dup pipeline: [[incrementalCandidates]] against a
+    * published index → exact-Jaccard verify at `threshold`. `corpus` is
+    * the indexed docs' TEXT table (a storage scan at scale) — it is only
+    * read for docs appearing in a candidate pair (left-semi prune, the
+    * [[nearDuplicates]] verify stance), so the per-batch cost is the
+    * batch minhash + a narrow index scan + verify ∝ duplicate mass.
+    * Result-identical to `nearDuplicates(indexed ∪ batch)` filtered to
+    * pairs involving a batch doc. Returns (id_a, id_b, jaccard). */
+  def incrementalNearDuplicates(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    val cands = incrementalCandidates(spark, dir, batch, idCol, textCol,
+      shingleSize, bands, rowsPerBand, maxBucket)
+      .localCheckpoint(eager = false)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    val texts = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+      .join(candIds, Seq(idCol), "left_semi")
+    val sh = shingleArrays(texts, idCol, textCol, shingleSize)
+      .repartition(col(idCol))
+      .localCheckpoint(eager = false)
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cross-corpus near-duplicate matches — the decontamination primitive:
     * which corpus docs near-match any doc of a reference set (an eval
     * benchmark, a held-out test split)? Same LSH shape as
