@@ -530,6 +530,79 @@ object TextOracles {
          |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
          |FROM verify WHERE jaccard >= 0.5""".stripMargin,
 
+    // hashed unigram+bigram feature stream shared by the classifier
+    // oracles: same normalization as wordsCte, same md5-prefix bucket
+    // hash as sp4, empty tokens dropped (the engine's shingle stream
+    // never emits them)
+    "cl1_nb_model" ->
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(w) AS s FROM words
+         |        UNION ALL
+         |        SELECT doc_id, unnest(g) AS s FROM gr)
+         |  WHERE s <> '')
+         |SELECT d.lang AS label, f.b AS bucket, count(*) AS cnt
+         |FROM feat f JOIN documents d USING (doc_id)
+         |WHERE doc_id < 400 GROUP BY 1, 2""".stripMargin,
+
+    "cl2_nb_classify" ->
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(w) AS s FROM words
+         |        UNION ALL
+         |        SELECT doc_id, unnest(g) AS s FROM gr)
+         |  WHERE s <> ''),
+         |model AS (
+         |  SELECT d.lang AS label, f.b,
+         |    count(*) AS cnt,
+         |    CAST(round(ln(count(*) + 1.0) * 1000000) AS BIGINT) AS m
+         |  FROM feat f JOIN documents d USING (doc_id)
+         |  WHERE doc_id < 400 GROUP BY 1, 2),
+         |tot AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS T FROM model GROUP BY 1),
+         |pri AS (SELECT lang AS label, count(*) AS nl
+         |        FROM documents WHERE doc_id < 400 GROUP BY 1),
+         |nn AS (SELECT CAST(sum(nl) AS BIGINT) AS N FROM pri),
+         |stats AS (
+         |  SELECT label, ln(nl::DOUBLE / N) AS prior,
+         |    ln((T + 256)::DOUBLE) AS lntb
+         |  FROM tot JOIN pri USING (label) CROSS JOIN nn),
+         |sc AS (
+         |  SELECT f.doc_id, s.label,
+         |    CAST(CAST(sum(coalesce(mo.m, 0)) AS BIGINT) AS DOUBLE) / 1000000
+         |      - count(*)::DOUBLE * s.lntb + s.prior AS score
+         |  FROM (SELECT doc_id, b FROM feat WHERE doc_id >= 400) f
+         |  CROSS JOIN stats s
+         |  LEFT JOIN model mo ON mo.label = s.label AND mo.b = f.b
+         |  GROUP BY f.doc_id, s.label, s.lntb, s.prior),
+         |r AS (
+         |  SELECT doc_id, label, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label) AS rn,
+         |    score - coalesce(lead(score) OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label), score) AS margin
+         |  FROM sc)
+         |SELECT doc_id, label AS predicted,
+         |  round(score, 6) AS score, round(margin, 6) AS margin
+         |FROM r WHERE rn = 1""".stripMargin,
+
     // incremental = the full-corpus near-dup result restricted to pairs
     // that involve a batch doc (id >= 400): LSH banding is deterministic,
     // so indexing old docs then banding the batch reproduces exactly the

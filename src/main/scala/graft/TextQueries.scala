@@ -385,6 +385,23 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), md5(col("text")).as("redacted_md5"))
     }),
 
+    // fastText-shaped hashed-n-gram NB classifier: the count model over
+    // the labeled half (label = lang, 5 classes, 256 hash buckets)
+    "cl1_nb_model" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Classifier.nbModel(
+        docs.where(col("doc_id") < 400), labelCol = "lang", buckets = 256)
+    }),
+
+    // train on docs < 400, classify the rest: argmax label + margin
+    "cl2_nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Classifier.nbClassify(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400),
+        labelCol = "lang", buckets = 256)
+    }),
+
     // incremental ingest dedup: docs < 400 are the already-indexed
     // corpus (published band index in scratch parquet), docs >= 400 the
     // new batch — near-dup pairs involving a batch doc, verified at the

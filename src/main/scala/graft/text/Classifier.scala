@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ParameterError
+
+/** Hashed n-gram text classification — the fastText-shaped quality /
+  * domain classifier of LLM curation pipelines (Joulin et al. 2016
+  * "Bag of Tricks for Efficient Text Classification"; the GPT-3 /
+  * CCNet quality-filter stage trains exactly this: a linear model over
+  * hashed word + bigram features). Training here is multinomial Naive
+  * Bayes rather than SGD: the MLE counts are ONE hash aggregation over
+  * the exploded feature stream — embarrassingly parallel, deterministic,
+  * and exactly reproducible by the SQL oracle — and at classifier sizes
+  * used for corpus filtering (binary/few-class, hashed buckets) NB is
+  * the standard strong baseline the fastText paper itself benchmarks.
+  *
+  * Features: word unigrams + bigrams over [[TextAnalysis]]-normalized
+  * words, hashed into `buckets` via [[LangModel.featureBucket]] (first
+  * 8 md5 hex chars mod buckets — engine-independent).
+  *
+  * Scale shape: the model is bounded by labels × buckets rows BY
+  * CONSTRUCTION, so every scoring join broadcasts; training is one
+  * explode + hash-groupBy (volume-linear, one shuffle on the feature
+  * key); scoring is explode → broadcast-join → one integer-sum
+  * aggregation on the doc id, then a per-doc argmax window over L rows
+  * per doc. No all-pairs joins, no driver-side model state.
+  *
+  * Cross-engine determinism: the per-feature log-likelihood term
+  * ln(c+1) is quantized to micro-nats (×10⁶, BIGINT) before the
+  * per-doc sum — unordered integer addition is exact — and the
+  * label-constant parts (feature-total penalty, prior) are per-row
+  * IEEE scalar arithmetic, identical in any engine (the LangModel /
+  * BM25 stance). */
+object Classifier {
+
+  /** Hashed feature rows `(keyCol, __b)`: word unigrams UNION ALL
+    * bigrams (duplicates kept — multinomial tf), each hashed into
+    * [0, buckets). Docs with no normalized words contribute nothing —
+    * the 1-shingle stream emits "" for empty/punct-only text (split of
+    * the empty string), which is not a word; filtered here. */
+  def featureRows(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    if (buckets <= 0) throw new ParameterError(s"buckets must be positive: $buckets")
+    graft.dedup.Dedup.shingleRows(docs, keyCol, textCol, n = 1)
+      .unionAll(graft.dedup.Dedup.shingleRows(docs, keyCol, textCol, n = 2))
+      .where(col("__s") =!= "")
+      .select(col(keyCol), LangModel.featureBucket(col("__s"), buckets).as("__b"))
+  }
+
+  /** The Naive Bayes count model: `(label, bucket, cnt)` — feature
+    * occurrence counts per label over the labeled corpus, ≤ labels ×
+    * buckets rows. Smoothed log-likelihoods derive from it as
+    * ln(cnt+1) − ln(T_label + buckets). */
+  def nbModel(
+      labeled: DataFrame,
+      labelCol: String = "label",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame =
+    featureRows(labeled, labelCol, textCol, buckets)
+      .groupBy(col(labelCol).as("label"), col("__b").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Classify `docs` with an NB model trained on `labeled` (which
+    * carries `labelCol` + `textCol`). Returns one row per SCORED doc:
+    * `(id, predicted, score, margin)` — score is the winning label's
+    * log-posterior (up to the shared evidence constant), margin the
+    * gap to the runner-up (0.0 when there is only one label; a small
+    * margin = low-confidence call, the filterable band). Docs with no
+    * features are dropped (nothing to condition on — the DSIR stance).
+    * Ties break toward the lexically-smallest label.
+    *
+    * The model, label stats, and prior frames are all bounded (labels ×
+    * buckets / labels rows) and eagerly checkpointed — they feed
+    * multiple joins and recomputing the labeled-corpus explode per
+    * reference would dominate (the dsirLogWeights counts note). */
+  def nbClassify(
+      docs: DataFrame,
+      labeled: DataFrame,
+      idCol: String = "doc_id",
+      labelCol: String = "label",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    // bounded: ≤ labels × buckets rows; feeds the score join AND the
+    // per-label totals below
+    val model = nbModel(labeled, labelCol, textCol, buckets)
+      .withColumn("__m", round(log(col("cnt").cast("double") + 1.0) * 1e6, 0)
+        .cast("long"))
+      .localCheckpoint()
+    // per-label constants: feature total T_l (from the model — exact),
+    // doc-count prior ln(n_l / N)
+    val totals = model.groupBy("label").agg(sum(col("cnt")).as("__T"))
+    val priors = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nl"))
+    val stats = totals.join(priors, "label")
+      .crossJoin(priors.agg(sum(col("__nl")).as("__N")))
+      .select(
+        col("label"),
+        log(col("__nl").cast("double") / col("__N")).as("__prior"),
+        log((col("__T") + buckets).cast("double")).as("__lnTB"))
+      .localCheckpoint()
+
+    val feats = featureRows(docs, idCol, textCol, buckets)
+    val scored = feats
+      .crossJoin(broadcast(stats))
+      .join(
+        broadcast(model.select(
+          col("label").as("__ml"), col("bucket"), col("__m"))),
+        col("__b") === col("bucket") && col("label") === col("__ml"),
+        "left")
+      .groupBy(col(idCol), col("label"), col("__prior"), col("__lnTB"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(coalesce(col("__m"), lit(0L))).as("__S"))
+      .select(
+        col(idCol),
+        col("label"),
+        (col("__S").cast("double") / 1e6 -
+          col("__n").cast("double") * col("__lnTB") + col("__prior"))
+          .as("__score"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("label"))
+    scored
+      .select(
+        col(idCol),
+        col("label"),
+        col("__score"),
+        row_number().over(w).as("__rn"),
+        (col("__score") -
+          coalesce(lead(col("__score"), 1).over(w), col("__score")))
+          .as("__margin"))
+      .where(col("__rn") === 1)
+      .select(
+        col(idCol),
+        col("label").as("predicted"),
+        round(col("__score"), 6).as("score"),
+        round(col("__margin"), 6).as("margin"))
+  }
+}
+
