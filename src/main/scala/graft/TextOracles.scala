@@ -1045,6 +1045,40 @@ object TextOracles {
          |  FROM cg LEFT JOIN ref USING (s)
          |  GROUP BY 1)""".stripMargin,
 
+    // Bloom membership, bit-exact: same md5-slice double hashing as the
+    // engine (h1 = md5[1..14], h2 = md5[15..28] forced odd, both mod m
+    // BEFORE the i·h2 multiply), filter = distinct positions over the
+    // ref grams, gram hit = all k probe positions set
+    "dd19_bloom" ->
+      s"""WITH ${overlapCte(5)},
+         |filt AS (
+         |  SELECT DISTINCT
+         |    ((CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % 65536) +
+         |     i * ((CAST(concat('0x', substr(md5(s), 15, 14)) AS BIGINT) | 1)
+         |          % 65536)) % 65536 AS pos
+         |  FROM ref CROSS JOIN (SELECT unnest(range(4)) AS i)),
+         |cgpos AS (
+         |  SELECT doc_id, s,
+         |    ((CAST(concat('0x', substr(md5(s), 1, 14)) AS BIGINT) % 65536) +
+         |     i * ((CAST(concat('0x', substr(md5(s), 15, 14)) AS BIGINT) | 1)
+         |          % 65536)) % 65536 AS pos
+         |  FROM cg CROSS JOIN (SELECT unnest(range(4)) AS i)),
+         |gh AS (
+         |  SELECT c.doc_id, c.s,
+         |    CAST(sum(CASE WHEN f.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nset
+         |  FROM cgpos c LEFT JOIN filt f ON c.pos = f.pos
+         |  GROUP BY 1, 2),
+         |dh AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         |    CAST(sum(CASE WHEN nset = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM gh GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_hits, 0) AS n_hits,
+         |  coalesce(n_hits, 0) >= 1 AS contaminated
+         |FROM documents d LEFT JOIN dh USING (doc_id)
+         |WHERE d.doc_id >= 50""".stripMargin,
+
     "dd12_exact_decontaminated" ->
       s"""WITH ${overlapCte(5)}
          |SELECT doc_id FROM documents

@@ -416,6 +416,16 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // Bloom-filter membership decontamination: filter = the set-bit
+    // relation over eval 5-grams (Kirsch–Mitzenmacher double hashing,
+    // 2^16 bits, k=4), probe = docs whose grams have all 4 bits set
+    "dd19_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Bloom.contaminated(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50),
+        n = 5, mBits = 1 << 16, k = 4)
+    }),
+
     // boilerplate mining: most-frequent trigrams corpus-wide
     "tx14_top_ngrams" -> ((s, dir) =>
       Dedup.frequentNgrams(t(s, dir, "documents"), n = 3, topK = 50)),
