@@ -1015,6 +1015,91 @@ object Oracles {
          |    END, 6) AS monthly_return
          |FROM ret GROUP BY 1""".stripMargin,
 
+    // per-sid additive attribution: exact pico sums per sid, grand
+    // total as an integer sum, share as one double division
+    "perf_attrib" ->
+      s"""WITH $turnoverCte,
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+         |  FROM trn),
+         |ps AS (
+         |  SELECT sid,
+         |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
+         |      AS BIGINT) AS p,
+         |    CAST(sum(CASE WHEN coalesce(position, 0) <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS days_held
+         |  FROM gro GROUP BY sid),
+         |t AS (SELECT CAST(sum(p) AS BIGINT) AS tot FROM ps)
+         |SELECT sid, round(p / 1e12, 6) AS contribution, days_held,
+         |  round(CASE WHEN tot <> 0 THEN p::DOUBLE / tot::DOUBLE END, 6) AS share
+         |FROM ps CROSS JOIN t""".stripMargin,
+
+    // round-trip trades: same-sign nonzero position runs per sid; the
+    // run's return books one row forward (D18 lag), summed in picos
+    "perf_trips" ->
+      s"""WITH $turnoverCte,
+         |gro AS (
+         |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+         |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+         |  FROM trn),
+         |j AS (
+         |  SELECT sid, date, coalesce(position, 0.0) AS ne,
+         |    CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT) AS pr
+         |  FROM gro),
+         |x AS (
+         |  SELECT sid, date, ne, pr,
+         |    lead(pr) OVER (PARTITION BY sid ORDER BY date) AS fwd,
+         |    CASE WHEN ne > 0 THEN 1 WHEN ne < 0 THEN -1 ELSE 0 END AS sgn
+         |  FROM j),
+         |st AS (
+         |  SELECT *, CASE WHEN sgn <> 0 AND
+         |      coalesce(lag(sgn) OVER (PARTITION BY sid ORDER BY date), 0) <> sgn
+         |    THEN 1 ELSE 0 END AS strt
+         |  FROM x),
+         |tr AS (
+         |  SELECT *, CAST(sum(strt) OVER (PARTITION BY sid ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS trip
+         |  FROM st)
+         |SELECT sid, trip, min(date) AS entry_date, max(date) AS exit_date,
+         |  count(*)::BIGINT AS n_days,
+         |  max(CASE WHEN sgn > 0 THEN 'long' ELSE 'short' END) AS side,
+         |  round(CAST(sum(fwd) AS BIGINT) / 1e12, 6) + 0.0 AS trip_return
+         |FROM tr WHERE sgn <> 0
+         |GROUP BY sid, trip""".stripMargin,
+
+    // purged k-fold assignment table: ntile blocks over the distinct
+    // trading dates, embargo strip = 3 ranks either side of the block
+    "ml8_purged_cv" ->
+      s"""WITH $panelCte,
+         |d AS (SELECT DISTINCT date FROM panel),
+         |r AS (SELECT date, row_number() OVER (ORDER BY date) AS rk,
+         |             ntile(5) OVER (ORDER BY date) AS dfold FROM d),
+         |b AS (SELECT dfold AS fold, min(rk) AS mn, max(rk) AS mx
+         |      FROM r GROUP BY 1)
+         |SELECT CAST(b.fold AS BIGINT) AS fold, r.date,
+         |  CASE WHEN r.rk BETWEEN b.mn AND b.mx THEN 'test'
+         |       WHEN r.rk BETWEEN b.mn - 3 AND b.mn - 1
+         |         OR r.rk BETWEEN b.mx + 1 AND b.mx + 3 THEN 'purged'
+         |       ELSE 'train' END AS role
+         |FROM r CROSS JOIN b""".stripMargin,
+
+    // expanding walk-forward: blocks 1..5; split s tests block s+1,
+    // trains on earlier blocks minus the 3-rank pre-test embargo
+    "ml9_walk_forward" ->
+      s"""WITH $panelCte,
+         |d AS (SELECT DISTINCT date FROM panel),
+         |r AS (SELECT date, row_number() OVER (ORDER BY date) AS rk,
+         |             ntile(5) OVER (ORDER BY date) AS blk FROM d),
+         |ts AS (SELECT blk - 1 AS split, min(rk) AS t0 FROM r
+         |       WHERE blk > 1 GROUP BY 1)
+         |SELECT CAST(ts.split AS BIGINT) AS split, r.date,
+         |  CASE WHEN r.blk = ts.split + 1 THEN 'test'
+         |       WHEN r.blk > ts.split + 1 THEN 'unused'
+         |       WHEN r.rk >= ts.t0 - 3 THEN 'purged'
+         |       ELSE 'train' END AS role
+         |FROM r CROSS JOIN ts""".stripMargin,
+
     // classification metrics: per-distinct-score counts, tie-aware
     // Mann-Whitney AUC in exact integer pair mass (HUGEINT), micro-nat
     // logloss / micro brier, accuracy at 0.5 — the Spark quantizations

@@ -1052,6 +1052,28 @@ object Queries {
     "perf_monthly" -> ((s, dir) =>
       graft.perf.Performance.monthlyReturns(dampedMelt(s, dir))),
 
+    // per-sid additive return attribution + share of the total
+    "perf_attrib" -> ((s, dir) =>
+      graft.perf.Performance.attribution(dampedMelt(s, dir))),
+
+    // round-trip trades: same-sign nonzero NetExposure runs per sid,
+    // trip return = exact pico sum of each run's lead(Return) rows
+    "perf_trips" -> ((s, dir) =>
+      graft.perf.Performance.roundTrips(dampedMelt(s, dir))),
+
+    // purged k-fold CV assignment table over the panel's trading dates
+    // (López de Prado embargo: 3 trading days each side of the block)
+    "ml8_purged_cv" -> ((s, dir) =>
+      graft.ml.Validation.purgedFolds(
+        supplierPanel(s, dir), nFolds = 5, embargoDays = 3)
+        .select(col("fold").cast("long").as("fold"), col("date"), col("role"))),
+
+    // expanding walk-forward splits with a pre-test embargo strip
+    "ml9_walk_forward" -> ((s, dir) =>
+      graft.ml.Validation.walkForward(
+        supplierPanel(s, dir), nSplits = 4, embargoDays = 3)
+        .select(col("split").cast("long").as("split"), col("date"), col("role"))),
+
     // ---- D17: trade-side position limits clamp target quantities ----
     "d17_trade_limits" -> ((s, dir) => {
       implicit val k: Keys = liKeys

@@ -1045,6 +1045,41 @@ object TextOracles {
          |  FROM cg LEFT JOIN ref USING (s)
          |  GROUP BY 1)""".stripMargin,
 
+    // top-V vocabulary: count over the unigram stream (empty-split
+    // artifact dropped), deterministic (cnt DESC, word) tie-break
+    "tx15_vocab" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS s FROM words),
+         |c AS (SELECT s AS word, count(*)::BIGINT AS cnt
+         |      FROM tok WHERE s <> '' GROUP BY 1),
+         |r AS (SELECT word, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+         |          AS "rank"
+         |      FROM c)
+         |SELECT * FROM r WHERE "rank" <= 100""".stripMargin,
+
+    // per-doc OOV mass vs the same top-100 vocabulary; wordless docs
+    // emit 0 tokens with a null rate
+    "tx16_oov" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, unnest(w) AS s FROM words) WHERE s <> ''),
+         |c AS (SELECT s AS word, count(*)::BIGINT AS cnt
+         |      FROM tok GROUP BY 1),
+         |v AS (SELECT word FROM
+         |  (SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rn
+         |   FROM c) WHERE rn <= 100),
+         |st AS (
+         |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |    CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oov
+         |  FROM tok t LEFT JOIN v ON t.s = v.word
+         |  GROUP BY 1)
+         |SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+         |  coalesce(st.n_oov, 0) AS n_oov,
+         |  round(st.n_oov::DOUBLE / st.n_tokens, 6) AS oov_rate
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
+
     // Bloom membership, bit-exact: same md5-slice double hashing as the
     // engine (h1 = md5[1..14], h2 = md5[15..28] forced odd, both mod m
     // BEFORE the i·h2 multiply), filter = distinct positions over the

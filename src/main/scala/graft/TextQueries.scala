@@ -416,6 +416,19 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // tokenizer-prep vocabulary: top-100 words by count (lexicographic
+    // tie-break), rank 1..V
+    "tx15_vocab" -> ((s, dir) =>
+      graft.text.Vocab.vocabulary(t(s, dir, "documents"), topV = 100)
+        .select(col("word"), col("cnt"), col("rank").cast("long").as("rank"))),
+
+    // per-doc OOV mass against that same top-100 vocabulary
+    "tx16_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Vocab.oovRates(
+        docs, graft.text.Vocab.vocabulary(docs, topV = 100))
+    }),
+
     // Bloom-filter membership decontamination: filter = the set-bit
     // relation over eval 5-grams (Kirsch–Mitzenmacher double hashing,
     // 2^16 bits, k=4), probe = docs whose grams have all 4 bits set

@@ -208,6 +208,87 @@ object Performance {
           .as(s"rolling_beta_$window"))
   }
 
+  /** Per-sid return attribution: each sid's arithmetic contribution to
+    * the portfolio's total return (Σ of its Return rows — the additive
+    * attribution convention) plus days held and share of the total.
+    *
+    * ONE conditional aggregation over the melt (the vsBenchmark
+    * stance): Return and NetExposure rows fold in the same
+    * `groupBy(sid)`. Exactness: contributions accumulate as pico
+    * decimals, and the grand total is a decimal window sum over the
+    * ALREADY-AGGREGATED per-sid frame (bounded by |sids|, and decimal
+    * addition is order-free — no float nondeterminism), so `share` is
+    * one per-row IEEE division. */
+  def attribution(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val isRet = col("field") === "Return"
+    val isNE = col("field") === "NetExposure"
+    val perSid = results
+      .where(isRet || isNE)
+      .groupBy(col("sid"))
+      .agg(
+        sum(when(isRet, picoReturn).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("__p"),
+        sum(when(isNE && col("value") =!= 0, 1L).otherwise(0L)).as("days_held"))
+    val total = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perSid
+      .withColumn("__t", sum(col("__p")).over(total))
+      .select(
+        col("sid"),
+        round(col("__p").cast("double") / 1e12, 6).as("contribution"),
+        col("days_held"),
+        round(when(col("__t") =!= 0,
+          col("__p").cast("double") / col("__t").cast("double")), 6).as("share"))
+  }
+
+  /** Round-trip trades from the melt: maximal same-sign runs of
+    * nonzero NetExposure per sid, with entry/exit dates, length, side,
+    * and the trip's arithmetic return. Returns LAG positions in the
+    * backtest (D18: today's Return = yesterday's position × today's
+    * price move), so the return EARNED by the position held on date d
+    * books on the NEXT row — each trip sums `lead(Return)` over its
+    * run, in exact picos.
+    *
+    * Shape: one conditional aggregation collapses the melt to a
+    * per-(sid, date) joint frame (one shuffle), two windows ride the
+    * same sid hash partitioning, and the final rollup groups by
+    * (sid, trip). Daily-results contract like [[vsBenchmark]]. */
+  def roundTrips(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val isRet = col("field") === "Return"
+    val isNE = col("field") === "NetExposure"
+    val joint = results
+      .where(isRet || isNE)
+      .groupBy(col("sid"), col(dateCol))
+      .agg(
+        max(when(isNE, col("value"))).as("__ne"),
+        sum(when(isRet, picoReturn)).as("__pr"))
+    val w = Window.partitionBy(col("sid")).orderBy(col(dateCol))
+    val sgn = when(coalesce(col("__ne"), lit(0.0)) > 0, 1)
+      .when(coalesce(col("__ne"), lit(0.0)) < 0, -1).otherwise(0)
+    val trips = joint
+      .withColumn("__fwd", lead(col("__pr"), 1).over(w))
+      .withColumn("__sgn", sgn)
+      .withColumn("__start",
+        when(col("__sgn") =!= 0 &&
+          coalesce(lag(col("__sgn"), 1).over(w), lit(0)) =!= col("__sgn"), 1L)
+          .otherwise(0L))
+      .withColumn("__trip", sum(col("__start")).over(w))
+    trips
+      .where(col("__sgn") =!= 0)
+      .groupBy(col("sid"), col("__trip").as("trip"))
+      .agg(
+        min(col(dateCol)).as("entry_date"),
+        max(col(dateCol)).as("exit_date"),
+        count(lit(1)).as("n_days"),
+        max(when(col("__sgn") > 0, "long").otherwise("short")).as("side"),
+        (sum(col("__fwd").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e12).as("__r"))
+      .select(
+        col("sid"), col("trip"), col("entry_date"), col("exit_date"),
+        col("n_days"), col("side"), round(col("__r"), 6).as("trip_return"))
+  }
+
   /** Calendar-month compounded returns over the per-date series:
     * Π(1+r) − 1 per month, with the [[withCumFactor]] sign/zero rules
     * (a > 100% loss flips the product's sign; a −100% day pins the

@@ -295,4 +295,70 @@ class PerfSpec extends SparkSpec {
     assert(s.getAs[Long]("n_days") == 4L)
     assert(s.getAs[Double]("max_drawdown") <= 0.0)
   }
+
+  // melt with NetExposure runs for attribution/round-trip goldens:
+  // sid A long Jan1-2 (earns Jan2-3 returns), flat Jan3;
+  // sid B short Jan2-3 (earns Jan3 + nothing after series end)
+  private lazy val posMelt = Seq(
+    ("A", "2024-01-01", "NetExposure", 0.5),
+    ("A", "2024-01-02", "NetExposure", 0.5),
+    ("A", "2024-01-03", "NetExposure", 0.0),
+    ("B", "2024-01-01", "NetExposure", 0.0),
+    ("B", "2024-01-02", "NetExposure", -0.5),
+    ("B", "2024-01-03", "NetExposure", -0.5),
+    ("A", "2024-01-01", "Return", 0.0), ("B", "2024-01-01", "Return", 0.0),
+    ("A", "2024-01-02", "Return", 0.02), ("B", "2024-01-02", "Return", 0.0),
+    ("A", "2024-01-03", "Return", 0.01), ("B", "2024-01-03", "Return", -0.005))
+    .toDF("sid", "date", "field", "value")
+    .withColumn("date", to_date($"date"))
+
+  test("attribution: additive per-sid contributions, shares sum to 1") {
+    val rows = Performance.attribution(posMelt).orderBy("sid").collect()
+    val a = rows(0); val b = rows(1)
+    assert(a.getAs[Double]("contribution") == 0.03) // 0.02 + 0.01
+    assert(b.getAs[Double]("contribution") == -0.005)
+    assert(a.getAs[Long]("days_held") == 2L)
+    assert(b.getAs[Long]("days_held") == 2L)
+    // shares: 0.03/0.025 = 1.2, -0.005/0.025 = -0.2
+    assert(a.getAs[Double]("share") == 1.2)
+    assert(b.getAs[Double]("share") == -0.2)
+  }
+
+  test("roundTrips: same-sign runs with lead-aligned returns") {
+    val rows = Performance.roundTrips(posMelt).orderBy("sid").collect()
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getAs[String]("side") == "long")
+    assert(a.getDate(2).toString == "2024-01-01") // entry
+    assert(a.getDate(3).toString == "2024-01-02") // exit (flat on Jan 3)
+    assert(a.getAs[Long]("n_days") == 2L)
+    // lead(Return): Jan1 row → Jan2's 0.02, Jan2 row → Jan3's 0.01
+    assert(a.getAs[Double]("trip_return") == 0.03)
+    val b = rows(1)
+    assert(b.getAs[String]("side") == "short")
+    assert(b.getDate(2).toString == "2024-01-02")
+    assert(b.getDate(3).toString == "2024-01-03")
+    // lead: Jan2 row → Jan3's −0.005; Jan3 row → null (series end)
+    assert(b.getAs[Double]("trip_return") == -0.005)
+  }
+
+  test("roundTrips: a sign flip closes one trip and opens another") {
+    val flip = Seq(
+      ("C", "2024-01-01", "NetExposure", 1.0),
+      ("C", "2024-01-02", "NetExposure", -1.0),
+      ("C", "2024-01-03", "NetExposure", -1.0),
+      ("C", "2024-01-01", "Return", 0.0),
+      ("C", "2024-01-02", "Return", 0.04),
+      ("C", "2024-01-03", "Return", -0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.roundTrips(flip).orderBy("trip").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("side") == "long")
+    assert(rows(0).getAs[Long]("n_days") == 1L)
+    assert(rows(0).getAs[Double]("trip_return") == 0.04)
+    assert(rows(1).getAs[String]("side") == "short")
+    assert(rows(1).getAs[Long]("n_days") == 2L)
+    assert(rows(1).getAs[Double]("trip_return") == -0.01)
+  }
 }

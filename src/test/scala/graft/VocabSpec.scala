@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Vocab
+
+/** Vocabulary top-V selection (deterministic tie-break) and per-doc
+  * OOV mass. */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma alpha"),
+    (2L, "alpha beta delta"),
+    (3L, "epsilon! epsilon?"),
+    (4L, ""))
+    .toDF("doc_id", "text")
+
+  test("vocabulary counts multiplicatively and ranks with word tie-break") {
+    val v = Vocab.vocabulary(docs, topV = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // alpha ×3; beta ×2, epsilon ×2 tie → beta before epsilon
+    assert(v.toSeq == Seq(("alpha", 3L, 1), ("beta", 2L, 2), ("epsilon", 2L, 3)))
+  }
+
+  test("oovRates: token mass, not distinct types; blank docs null rate") {
+    val v = Vocab.vocabulary(docs, topV = 3) // alpha, beta, epsilon
+    val out = Vocab.oovRates(docs, v)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(1L) == ((4L, 1L, Some(0.25)))) // gamma OOV once of 4 tokens
+    assert(out(2L) == ((3L, 1L, Some(round3(1.0 / 3)))))
+    assert(out(3L) == ((2L, 0L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None))) // wordless: null rate
+  }
+
+  private def round3(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("topV guard") {
+    intercept[ParameterError](Vocab.vocabulary(docs, topV = 0))
+  }
+}
