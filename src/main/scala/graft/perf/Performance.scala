@@ -357,6 +357,80 @@ object Performance {
         round(col("__wins").cast("double") / col("n_days"), 6).as("hit_rate"))
   }
 
+  /** Historical VaR/CVaR one-row summary at `confidence` (default 95%):
+    * VaR is the exact linear-interpolated `1 − confidence` quantile of
+    * the per-date return series (Spark `percentile` ≡ DuckDB
+    * `quantile_cont` — the winsorize lesson), CVaR (expected shortfall)
+    * the mean of the tail at or below it. The quantile rides a BOUNDED
+    * unpartitioned window over the already-aggregated series (≤ one row
+    * per trading date, the [[dailySeries]] stance), and the tail mean
+    * re-quantizes the pico-exact returns to integers so the unordered
+    * sum is deterministic; only the final division is IEEE. The tail is
+    * never empty (the minimum return is ≤ any quantile). Outputs
+    * (n_days, var_NN, cvar_NN) rounded to 6dp — interpolation libm
+    * noise is below that. */
+  def valueAtRisk(
+      results: DataFrame,
+      dateCol: String = "date",
+      confidence: Double = 0.95): DataFrame = {
+    require(confidence > 0 && confidence < 1,
+      s"confidence must be in (0, 1): $confidence")
+    val tag = math.round(confidence * 100).toString
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    dailyReturns(results, dateCol)
+      .withColumn("__v", percentile(col("return"), lit(1 - confidence)).over(whole))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(max(col("__v")), 6).as(s"var_$tag"),
+        round(
+          sum(when(col("return") <= col("__v"),
+            round(col("return") * 1e12).cast("long"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") /
+            sum(when(col("return") <= col("__v"), 1L).otherwise(0L)) / 1e12,
+          6).as(s"cvar_$tag"))
+  }
+
+  /** Drawdown-episode table: maximal runs of underwater dates (compounded
+    * curve below its running peak) with entry/trough/recovery dates,
+    * length, and depth. Episode boundaries come from a running count of
+    * NON-underwater dates (island detection — no self-join); the trough
+    * is the episode's minimum ROUNDED drawdown, earliest date on ties:
+    * selecting by the raw float would be cross-engine nondeterministic
+    * when two dates sit within a libm ulp (the 6dp-rounding stance
+    * applied to the ARGMIN, not just the output). Episodes are numbered
+    * 1..k by start date. All windows are bounded by the per-date series
+    * (≤ one row per trading date); depth rounds to 6dp. */
+  def drawdowns(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val ordered = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = withCumFactor(dailyReturns(results, dateCol), dateCol)
+      .withColumn("__dd",
+        when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1))
+      .withColumn("__under",
+        col("__dd").isNotNull && col("__dd") < 0)
+      .withColumn("__isl",
+        sum(when(col("__under"), 0L).otherwise(1L)).over(ordered))
+    val episodes = series
+      .where(col("__under"))
+      .withColumn("__rdd", round(col("__dd"), 6))
+      .groupBy(col("__isl"))
+      .agg(
+        min(col(dateCol)).as("start_date"),
+        min_by(col(dateCol), struct(col("__rdd"), col(dateCol)))
+          .as("trough_date"),
+        max(col(dateCol)).as("end_date"),
+        count(lit(1)).as("n_days"),
+        min(col("__rdd")).as("depth"))
+    episodes
+      .select(
+        row_number().over(Window.orderBy(col("start_date")))
+          .cast("long").as("episode"),
+        col("start_date"), col("trough_date"), col("end_date"),
+        col("n_days"), col("depth"))
+  }
+
   /** One-row summary: n_days, total_return, CAGR (trading-day
     * annualization: (1+total)^(periodsPerYear/n) − 1), annualized Sharpe
     * (mean/std × √periodsPerYear, rf = 0), max drawdown. Outputs rounded

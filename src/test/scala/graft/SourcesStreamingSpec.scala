@@ -296,7 +296,13 @@ class SourcesStreamingSpec extends SparkSpec {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
     def hourly(df: org.apache.spark.sql.DataFrame) = {
-      val ts = timestamp_micros((col("ts") / 1000).cast("long"))
+      // events.ts arrives as a nanos long under
+      // spark.sql.legacy.parquet.nanosAsLong, or as TIMESTAMP(_NTZ)
+      // without it — handle both (the Queries.events contract)
+      val ts =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros((col("ts") / 1000).cast("long"))
+        else col("ts").cast("timestamp")
       df.withColumn("__ts", ts)
         .withWatermark("__ts", "1 hour")
         .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
