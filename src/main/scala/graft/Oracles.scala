@@ -1068,6 +1068,47 @@ object Oracles {
          |FROM tr WHERE sgn <> 0
          |GROUP BY sid, trip""".stripMargin,
 
+    // historical VaR/CVaR: quantile_cont ≡ Spark percentile (both exact
+    // linear interpolation); CVaR tail re-quantized to pico integers so
+    // the unordered sum matches the Spark accumulation exactly
+    "perf_var" ->
+      s"""WITH $perfRetCte,
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |             quantile_cont(r, 0.05) AS q FROM ret),
+         |t AS (SELECT sum(CAST(round(r * 1e12) AS BIGINT)) AS s,
+         |             count(*) AS cnt
+         |      FROM ret, v WHERE r <= v.q)
+         |SELECT v.n_days, round(v.q, 6) AS var_95,
+         |  round(CAST(t.s AS DOUBLE) / t.cnt / 1e12, 6) AS cvar_95
+         |FROM v, t""".stripMargin,
+
+    // drawdown episodes: island detection via the running count of
+    // non-underwater dates; trough argmin on the ROUNDED depth (ties →
+    // earliest date) mirrors the Spark min_by(struct(rdd, date))
+    "perf_drawdowns" ->
+      s"""WITH $perfPkCte,
+         |dd AS (
+         |  SELECT date, CASE WHEN p <> 0 THEN c / p - 1 END AS d FROM pk),
+         |isl AS (
+         |  SELECT date, d,
+         |    sum(CASE WHEN d IS NOT NULL AND d < 0 THEN 0 ELSE 1 END)
+         |      OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND CURRENT ROW) AS grp
+         |  FROM dd),
+         |u AS (SELECT date, round(d, 6) AS rdd, grp
+         |      FROM isl WHERE d IS NOT NULL AND d < 0),
+         |tr AS (SELECT grp, date AS trough_date,
+         |         row_number() OVER (PARTITION BY grp ORDER BY rdd, date) AS rn
+         |       FROM u),
+         |ep AS (
+         |  SELECT u.grp, min(u.date) AS start_date, max(u.date) AS end_date,
+         |    CAST(count(*) AS BIGINT) AS n_days, min(u.rdd) AS depth
+         |  FROM u GROUP BY u.grp)
+         |SELECT CAST(row_number() OVER (ORDER BY ep.start_date) AS BIGINT)
+         |    AS episode,
+         |  ep.start_date, tr.trough_date, ep.end_date, ep.n_days, ep.depth
+         |FROM ep JOIN tr ON ep.grp = tr.grp AND tr.rn = 1""".stripMargin,
+
     // purged k-fold assignment table: ntile blocks over the distinct
     // trading dates, embargo strip = 3 ranks either side of the block
     "ml8_purged_cv" ->

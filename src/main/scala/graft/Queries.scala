@@ -1061,6 +1061,14 @@ object Queries {
     "perf_trips" -> ((s, dir) =>
       graft.perf.Performance.roundTrips(dampedMelt(s, dir))),
 
+    // historical 95% VaR/CVaR over the per-date pico-sum return series
+    "perf_var" -> ((s, dir) =>
+      graft.perf.Performance.valueAtRisk(dampedMelt(s, dir))),
+
+    // drawdown-episode table: underwater runs of the compounded curve
+    "perf_drawdowns" -> ((s, dir) =>
+      graft.perf.Performance.drawdowns(dampedMelt(s, dir))),
+
     // purged k-fold CV assignment table over the panel's trading dates
     // (López de Prado embargo: 3 trading days each side of the block)
     "ml8_purged_cv" -> ((s, dir) =>

@@ -361,4 +361,61 @@ class PerfSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("n_days") == 2L)
     assert(rows(1).getAs[Double]("trip_return") == -0.01)
   }
+
+  test("valueAtRisk: interpolated quantile and tail mean goldens") {
+    // sorted returns [−0.05, 0.02, 0.10]; p=0.05 ⇒ idx 0.05×2 = 0.1 ⇒
+    // −0.05 + 0.1×(0.02 − (−0.05)) = −0.043; tail (r ≤ −0.043) = {−0.05}
+    val s = Performance.valueAtRisk(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Double]("var_95") == -0.043)
+    assert(s.getAs[Double]("cvar_95") == -0.05)
+    // degenerate confidence rejected loudly
+    intercept[IllegalArgumentException] {
+      Performance.valueAtRisk(melt, confidence = 1.0)
+    }
+  }
+
+  test("drawdowns: single underwater episode with trough argmin") {
+    // cum 1.1, 1.045, 1.0659; peak 1.1 — one episode spanning d2-d3,
+    // depths −0.05 then −0.031 ⇒ trough = d2, depth −0.05
+    val rows = Performance.drawdowns(melt).collect()
+    assert(rows.length == 1)
+    val ep = rows(0)
+    assert(ep.getAs[Long]("episode") == 1L)
+    assert(ep.getDate(1).toString == "2024-01-02") // start
+    assert(ep.getDate(2).toString == "2024-01-02") // trough
+    assert(ep.getDate(3).toString == "2024-01-03") // end
+    assert(ep.getAs[Long]("n_days") == 2L)
+    assert(ep.getAs[Double]("depth") == -0.05)
+  }
+
+  test("drawdowns: recovery splits episodes; depth ties pick the " +
+    "earliest trough date") {
+    // cum 1.1 (peak), 1.045 (under), 1.254 (new peak), 1.1286 (under)
+    val two = Seq(
+      ("A", "2024-01-01", "Return", 0.1),
+      ("A", "2024-01-02", "Return", -0.05),
+      ("A", "2024-01-03", "Return", 0.2),
+      ("A", "2024-01-04", "Return", -0.1))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val rows = Performance.drawdowns(two).orderBy("episode").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDate(1).toString == "2024-01-02")
+    assert(rows(0).getAs[Long]("n_days") == 1L)
+    assert(rows(0).getAs[Double]("depth") == -0.05)
+    assert(rows(1).getDate(1).toString == "2024-01-04")
+    assert(rows(1).getAs[Double]("depth") == -0.1)
+    // tie: dd −0.05 on both underwater dates → earliest is the trough
+    val tie = Seq(
+      ("A", "2024-01-01", "Return", 0.1),
+      ("A", "2024-01-02", "Return", -0.05),
+      ("A", "2024-01-03", "Return", 0.0))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val t = Performance.drawdowns(tie).collect()
+    assert(t.length == 1)
+    assert(t(0).getDate(2).toString == "2024-01-02")
+    assert(t(0).getAs[Long]("n_days") == 2L)
+  }
 }
