@@ -1045,6 +1045,36 @@ object TextOracles {
          |  FROM cg LEFT JOIN ref USING (s)
          |  GROUP BY 1)""".stripMargin,
 
+    // URL normalization: the oracle derives the EXPECTED canonical form
+    // independently from the construction recipe (scheme/host lowered,
+    // www and utm_source stripped, fragment dropped, path case kept) —
+    // pinning every rule at corpus scale rather than re-running the
+    // regex chain
+    "ur1_normalize" ->
+      """SELECT doc_id,
+        |  'https://' || lower(source) || '.com/' || lang || '/Doc/' ||
+        |    doc_id || '?page=' || (doc_id % 7) AS url_norm,
+        |  lower(source) || '.com' AS domain
+        |FROM documents""".stripMargin,
+
+    // exact-URL dedup: tracking-only query variants collapse per
+    // (source, lang) page → lowest doc_id survives
+    "ur2_url_dedup" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    // domain cap: crawl.{source}.co.uk registers as {source}.co.uk
+    // (multi-part suffix), ≤ 25 docs per domain by (md5(id), id)
+    "ur3_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 25""".stripMargin,
+
     // top-V vocabulary: count over the unigram stream (empty-split
     // artifact dropped), deterministic (cnt DESC, word) tie-break
     "tx15_vocab" ->

@@ -429,6 +429,43 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // ---- URL curation (RefinedWeb-style pre-content stages) over a
+    // deterministic URL derived from the documents table: mixed-case
+    // scheme/host, tracking params, and a modulo fragment exercise
+    // every normalization rule ----
+    "ur1_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".com/"),
+          col("lang"), lit("/Doc/"), col("doc_id"),
+          lit("?utm_source=graft&page="), pmod(col("doc_id"), lit(7)),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("#sec")).otherwise(lit(""))))
+      docs.select(col("doc_id"),
+        graft.text.Urls.normalizeUrl(col("url")).as("url_norm"),
+        graft.text.Urls.registeredDomain(
+          graft.text.Urls.normalizeUrl(col("url"))).as("domain"))
+    }),
+
+    // exact-URL dedup: the URL drops the doc-unique path so each
+    // (source, lang) page has many claimants — lowest doc_id wins
+    "ur2_url_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("http://"), col("source"), lit(".com/"), col("lang"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("?utm_campaign=x")).otherwise(lit(""))))
+      graft.text.Urls.urlDedup(docs, "url")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
+    // per-domain cap: sources map to .co.uk domains, ≤ 25 docs each by
+    // the stable md5 order
+    "ur3_domain_cap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://crawl."), col("source"), lit(".co.uk/d/"),
+          col("doc_id")))
+      graft.text.Urls.domainCap(docs, "url", maxPerDomain = 25)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Bloom-filter membership decontamination: filter = the set-bit
     // relation over eval 5-grams (Kirsch–Mitzenmacher double hashing,
     // 2^16 bits, k=4), probe = docs whose grams have all 4 bits set
