@@ -155,6 +155,67 @@ object TextOracles {
       "AND sym < 0.1 AND dupline < 0.30 AND bullet < 0.90 " +
       "AND ellip < 0.30 AND top2 < 0.20 AND dup3 < 0.60"
 
+  /** Shared base CTEs of the logistic-regression oracles: the hashed
+    * unigram+bigram stream (cl1's feat), per-doc counts with the bias
+    * pseudo-bucket −1, 0/1 is-English labels on the training split, and
+    * the empty iteration-0 weight frame. */
+  private val logregBaseCtes =
+    s"""$wordsCte,
+       |gr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 2
+       |         THEN list_transform(range(1, len(w)),
+       |                             i -> array_to_string(w[i:i+1], ' '))
+       |         ELSE [] END AS g
+       |  FROM words),
+       |feat AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+       |  FROM (SELECT doc_id, unnest(w) AS s FROM words
+       |        UNION ALL
+       |        SELECT doc_id, unnest(g) AS s FROM gr)
+       |  WHERE s <> ''),
+       |fx AS (
+       |  SELECT doc_id, b, count(*)::BIGINT AS x
+       |  FROM feat WHERE doc_id < 400 GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM documents WHERE doc_id < 400),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |        FROM documents WHERE doc_id < 400),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM lab),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS wm
+       |       WHERE 1 = 0)""".stripMargin
+
+  /** One unrolled GD iteration: micro-integer logits (exact), per-row
+    * sigmoid, micro-rounded residuals, per-bucket gradient sum, and the
+    * half-up-rounded step — the identical arithmetic, same operation
+    * order, as Classifier.logregTrain with lr = 0.5, l2 = 0. */
+  private def logregIterCte(i: Int): String =
+    s"""z$i AS (
+       |  SELECT l.doc_id, l.y, coalesce(s.zm, 0) AS zm
+       |  FROM lab l LEFT JOIN (
+       |    SELECT fx.doc_id, CAST(sum(w.wm * fx.x) AS BIGINT) AS zm
+       |    FROM fx JOIN w${i - 1} w ON fx.b = w.b GROUP BY fx.doc_id) s
+       |  ON l.doc_id = s.doc_id),
+       |r$i AS (
+       |  SELECT doc_id,
+       |    CAST(round((1.0 / (1.0 + exp(-(zm::DOUBLE / 1e6))) - y) * 1e6)
+       |      AS BIGINT) AS rm
+       |  FROM z$i),
+       |g$i AS (
+       |  SELECT b, CAST(sum(rm * x) AS BIGINT) AS g
+       |  FROM fx JOIN r$i USING (doc_id) GROUP BY b),
+       |w$i AS (
+       |  SELECT coalesce(w.b, g.b) AS b,
+       |    coalesce(w.wm, 0) -
+       |      CAST(round(0.5 * (coalesce(g.g, 0)::DOUBLE / (SELECT n FROM nn)))
+       |        AS BIGINT) AS wm
+       |  FROM w${i - 1} w FULL JOIN g$i g ON w.b = g.b)""".stripMargin
+
+  private val logregTrainedCtes: String =
+    (logregBaseCtes +: (1 to 3).map(logregIterCte)).mkString(",\n")
+
   val all: Map[String, String] = Map(
     "tx1_token_stats" ->
       """SELECT doc_id,
@@ -602,6 +663,27 @@ object TextOracles {
          |SELECT doc_id, label AS predicted,
          |  round(score, 6) AS score, round(margin, 6) AS margin
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // logistic regression: 3 GD iterations unrolled as CTEs — the
+    // whole training loop replayed in SQL, weights compared exactly
+    // (micro-integer arithmetic makes the replay deterministic)
+    "cl3_logreg_model" ->
+      s"""WITH $logregTrainedCtes
+         |SELECT b AS bucket, wm::DOUBLE / 1e6 AS weight FROM w3""".stripMargin,
+
+    "cl4_logreg_scores" ->
+      s"""WITH $logregTrainedCtes,
+         |fxs AS (
+         |  SELECT doc_id, b, count(*)::BIGINT AS x
+         |  FROM feat WHERE doc_id >= 400 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM documents WHERE doc_id >= 400)
+         |SELECT f.doc_id,
+         |  round(1.0 / (1.0 + exp(-(CAST(sum(coalesce(w.wm, 0) * f.x)
+         |    AS BIGINT)::DOUBLE / 1e6))), 6) AS prob
+         |FROM fxs f LEFT JOIN w3 w ON f.b = w.b
+         |GROUP BY f.doc_id""".stripMargin,
 
     // incremental = the full-corpus near-dup result restricted to pairs
     // that involve a batch doc (id >= 400): LSH banding is deterministic,

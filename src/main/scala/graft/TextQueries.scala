@@ -429,6 +429,25 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // ---- logistic regression: full-batch GD as DataFrame ops, the
+    // discriminative half of the fastText quality-filter recipe.
+    // Train: is-English on doc_id < 400; score the held-out tail ----
+    "cl3_logreg_model" -> ((s, dir) =>
+      graft.text.Classifier.logregTrain(
+        t(s, dir, "documents").where(col("doc_id") < 400)
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        buckets = 256, iterations = 3, learningRate = 0.5)),
+
+    "cl4_logreg_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.Classifier.logregTrain(
+        docs.where(col("doc_id") < 400)
+          .withColumn("label", (col("lang") === "en").cast("long")),
+        buckets = 256, iterations = 3, learningRate = 0.5)
+      graft.text.Classifier.logregScore(
+        docs.where(col("doc_id") >= 400), model, buckets = 256)
+    }),
+
     // ---- URL curation (RefinedWeb-style pre-content stages) over a
     // deterministic URL derived from the documents table: mixed-case
     // scheme/host, tracking params, and a modulo fragment exercise

@@ -141,5 +141,135 @@ object Classifier {
         round(col("__score"), 6).as("score"),
         round(col("__margin"), 6).as("margin"))
   }
+
+  /** Bias pseudo-bucket: every doc carries one occurrence, so the
+    * intercept trains/scores through the SAME join+agg path as real
+    * features (no special-case bias plumbing in either engine). */
+  val BiasBucket: Long = -1L
+
+  /** Per-doc hashed feature counts `(keyCol, bucket, __x)` with the
+    * bias row appended — the design matrix of [[logregTrain]] in sparse
+    * COO form. One explode + one hash aggregation. */
+  def featureCounts(
+      docs: DataFrame,
+      keyCol: String,
+      textCol: String,
+      buckets: Int): DataFrame =
+    featureRows(docs, keyCol, textCol, buckets)
+      .groupBy(col(keyCol), col("__b").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("__x"))
+      .unionByName(docs.select(
+        col(keyCol), lit(BiasBucket).as("bucket"), lit(1L).as("__x")))
+
+  /** Binary logistic regression over hashed n-gram features, trained by
+    * full-batch gradient descent run ENTIRELY as DataFrame ops — the
+    * SGD half of the fastText recipe, complementing [[nbModel]] (same
+    * feature space, discriminative instead of generative). Returns the
+    * weight frame `(bucket, weight)` — ≤ buckets+1 rows by
+    * construction, [[BiasBucket]] holding the intercept.
+    *
+    * Per iteration: logits are one broadcast-join of the sparse design
+    * matrix against the bounded weight frame + one sum per doc;
+    * gradients one join against the per-doc residuals + one sum per
+    * bucket. 2 linear shuffles × `iterations`, model always broadcast,
+    * no driver-side vectors — the shape survives a corpus of any size
+    * (the gradient accumulator is decimal(38,0): a trillion-doc sum
+    * can't wrap).
+    *
+    * Cross-engine determinism (the micro-nat stance, applied to
+    * training): weights and residuals live as micro-quantized BIGINTs —
+    * logit = Σ w_micro·x is EXACT integer arithmetic; only the per-row
+    * sigmoid and the per-bucket step (lr·(ḡ + l2·w), rounded back to
+    * micro) are IEEE, each computed from identical exact inputs in any
+    * engine. GD on μ-quantized weights converges the same as float GD
+    * until steps approach 1e-6 — far below any useful lr.
+    *
+    * `labelCol` must be 0/1. The labeled count feeding the gradient
+    * mean is a bounded driver scalar (one count job — the requireFresh
+    * cost class). */
+  def logregTrain(
+      labeled: DataFrame,
+      idCol: String = "doc_id",
+      labelCol: String = "label",
+      textCol: String = "text",
+      buckets: Int = 4096,
+      iterations: Int = 3,
+      learningRate: Double = 0.5,
+      l2: Double = 0.0): DataFrame = {
+    if (iterations <= 0)
+      throw new ParameterError(s"iterations must be positive: $iterations")
+    if (learningRate <= 0)
+      throw new ParameterError(s"learningRate must be positive: $learningRate")
+    // corpus-sized, referenced 2× per iteration → non-eager checkpoint
+    // (lineage cut without pinning the corpus in executor storage)
+    val fx = featureCounts(labeled, idCol, textCol, buckets)
+      .localCheckpoint(eager = false)
+    val labels = labeled.select(col(idCol), col(labelCol).cast("long").as("__y"))
+      .localCheckpoint(eager = false)
+    val n = labels.count().toDouble
+    if (n == 0) throw new ParameterError("logregTrain: empty labeled corpus")
+
+    var w: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      // exact integer logit in micro units; absent w (first pass) ≡ 0
+      val z = w match {
+        case None => labels.withColumn("__zm", lit(0L))
+        case Some(wf) =>
+          labels.join(
+            fx.join(broadcast(wf), "bucket")
+              .groupBy(col(idCol))
+              .agg(sum(col("__wm") * col("__x")).as("__zm")),
+            Seq(idCol), "left")
+            .withColumn("__zm", coalesce(col("__zm"), lit(0L)))
+      }
+      val resid = z.select(
+        col(idCol),
+        round((lit(1.0) / (lit(1.0) + exp(-(col("__zm").cast("double") / lit(1e6))))
+          - col("__y").cast("double")) * 1e6, 0).cast("long").as("__rm"))
+      val grad = fx.join(resid, idCol)
+        .groupBy(col("bucket"))
+        .agg(sum((col("__rm") * col("__x"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("__g"))
+      val next = (w match {
+        case None => grad.withColumn("__wm", lit(0L))
+        case Some(wf) => wf.join(grad, Seq("bucket"), "full")
+          .select(col("bucket"),
+            coalesce(col("__wm"), lit(0L)).as("__wm"),
+            col("__g"))
+      }).select(
+        col("bucket"),
+        (col("__wm") - round(lit(learningRate) *
+          (coalesce(col("__g"), lit(0L)).cast("double") / lit(n) +
+            lit(l2) * col("__wm").cast("double") / lit(1e6)), 0)
+          .cast("long")).as("__wm"))
+      // bounded (≤ buckets+1 rows): eager checkpoint truncates the
+      // per-iteration lineage growth and feeds the next broadcast
+      w = Some(next.localCheckpoint())
+    }
+    w.get.select(col("bucket"),
+      (col("__wm").cast("double") / 1e6).as("weight"))
+  }
+
+  /** Score `docs` with a [[logregTrain]] weight frame: `(id, prob)` —
+    * P(label=1), every doc scored (the bias row guarantees a logit even
+    * for wordless text). One broadcast join + one per-doc sum. */
+  def logregScore(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 4096): DataFrame = {
+    val wm = model.select(col("bucket"),
+      round(col("weight") * 1e6, 0).cast("long").as("__wm"))
+    featureCounts(docs, idCol, textCol, buckets)
+      .join(broadcast(wm), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__wm"), lit(0L)) * col("__x")).as("__zm"))
+      .select(col(idCol),
+        round(lit(1.0) /
+          (lit(1.0) + exp(-(col("__zm").cast("double") / lit(1e6)))), 6)
+          .as("prob"))
+  }
 }
 

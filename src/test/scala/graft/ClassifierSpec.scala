@@ -73,4 +73,93 @@ class ClassifierSpec extends SparkSpec {
       Classifier.nbModel(labeled, buckets = 0)
     }
   }
+
+  // ---- logistic regression ----
+
+  private val lrData = Seq(
+    (1L, 1L, "good great fine"),
+    (2L, 1L, "good nice work"),
+    (3L, 0L, "bad awful mess"),
+    (4L, 0L, "bad poor junk"),
+    (5L, 1L, "great good solid"),
+    (6L, 0L, "awful bad broken"))
+
+  /** The engine's feature map, replicated driver-side: unigram+bigram
+    * buckets (md5-prefix hash) plus the bias pseudo-bucket. */
+  private def denseFeats(text: String, buckets: Int): Map[Long, Long] = {
+    import graft.functions.MinHashShingles.shingleStrings
+    val fs = (shingleStrings(text, 1) ++ shingleStrings(text, 2))
+      .filter(_.nonEmpty)
+      .map(s => java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 8),
+        16) % buckets)
+    fs.groupBy(identity).map { case (b, xs) => b -> xs.length.toLong } +
+      (Classifier.BiasBucket -> 1L)
+  }
+
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("logregTrain matches an independently-computed dense GD exactly") {
+    val buckets = 64; val iters = 3; val lr = 0.5
+    val df = lrData.toDF("doc_id", "label", "text")
+    val model = Classifier.logregTrain(
+      df, buckets = buckets, iterations = iters, learningRate = lr)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // dense driver-side replication of the same micro-quantized GD
+    val docs = lrData.map { case (_, y, text) => (y, denseFeats(text, buckets)) }
+    val n = docs.length.toDouble
+    var w = Map.empty[Long, Long] // micro weights
+    for (_ <- 1 to iters) {
+      val resid = docs.map { case (y, f) =>
+        val zm = f.map { case (b, x) => w.getOrElse(b, 0L) * x }.sum
+        val p = 1.0 / (1.0 + math.exp(-(zm.toDouble / 1e6)))
+        (halfUp((p - y) * 1e6), f)
+      }
+      val grad = resid.flatMap { case (rm, f) =>
+        f.map { case (b, x) => b -> rm * x }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      w = (w.keySet ++ grad.keySet).map { b =>
+        b -> (w.getOrElse(b, 0L) -
+          halfUp(lr * (grad.getOrElse(b, 0L).toDouble / n +
+            0.0 * w.getOrElse(b, 0L).toDouble / 1e6)))
+      }.toMap
+    }
+    val expect = w.map { case (b, wm) => b -> wm / 1e6 }
+    assert(model == expect)
+    // discriminative sanity: "good" buckets positive, "bad" negative
+    def b(s: String): Long = denseFeats(s, buckets).keys.filter(_ >= 0).head
+    assert(model(b("good")) > 0 && model(b("bad")) < 0)
+  }
+
+  test("logregScore: exact sigmoid of the micro logit; bias-only docs " +
+    "still score") {
+    val buckets = 64
+    val df = lrData.toDF("doc_id", "label", "text")
+    val model = Classifier.logregTrain(df, buckets = buckets, iterations = 2)
+    val docs = Seq((10L, "good great"), (11L, "bad awful"), (12L, "???"))
+      .toDF("doc_id", "text")
+    val p = Classifier.logregScore(docs, model, buckets = buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p.keySet == Set(10L, 11L, 12L)) // wordless doc scored via bias
+    assert(p(10L) > 0.5 && p(11L) < 0.5)
+    // exact: replicate doc 10's logit from the model frame
+    val wm = model.collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val zm = denseFeats("good great", buckets)
+      .map { case (b, x) => wm.getOrElse(b, 0L) * x }.sum
+    val expect = BigDecimal(1.0 / (1.0 + math.exp(-(zm.toDouble / 1e6))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p(10L) == expect)
+  }
+
+  test("logregTrain parameter validation") {
+    val df = lrData.toDF("doc_id", "label", "text")
+    intercept[ParameterError] { Classifier.logregTrain(df, iterations = 0) }
+    intercept[ParameterError] { Classifier.logregTrain(df, learningRate = 0.0) }
+    intercept[ParameterError] {
+      Classifier.logregTrain(df.where(lit(false))).collect()
+    }
+  }
 }
