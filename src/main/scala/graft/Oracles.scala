@@ -1109,6 +1109,23 @@ object Oracles {
          |  ep.start_date, tr.trough_date, ep.end_date, ep.n_days, ep.depth
          |FROM ep JOIN tr ON ep.grp = tr.grp AND tr.rn = 1""".stripMargin,
 
+    // vol targeting: windowed stddev → round 6 → lagged division, so
+    // both engines divide the IDENTICAL rounded input
+    "perf_voltarget" ->
+      s"""WITH $perfRetCte,
+         |rv AS (
+         |  SELECT date, r,
+         |    round(CASE WHEN count(r) OVER w = 21
+         |               THEN stddev_samp(r) OVER w * sqrt(252.0)
+         |          END, 6) AS realized_vol
+         |  FROM ret
+         |  WINDOW w AS (ORDER BY date ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
+         |lg AS (SELECT *, lag(realized_vol) OVER (ORDER BY date) AS pv FROM rv)
+         |SELECT date, r AS "return", realized_vol,
+         |  coalesce(CASE WHEN pv > 0 THEN round(least(0.10 / pv, 3.0), 6)
+         |                WHEN pv = 0 THEN 3.0 END, 1.0) AS scale
+         |FROM lg""".stripMargin,
+
     // purged k-fold assignment table: ntile blocks over the distinct
     // trading dates, embargo strip = 3 ranks either side of the block
     "ml8_purged_cv" ->

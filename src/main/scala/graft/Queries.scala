@@ -1069,6 +1069,12 @@ object Queries {
     "perf_drawdowns" -> ((s, dir) =>
       graft.perf.Performance.drawdowns(dampedMelt(s, dir))),
 
+    // vol targeting: trailing 21-day realized vol and the lagged
+    // tradeable exposure scale toward 10% annualized
+    "perf_voltarget" -> ((s, dir) =>
+      graft.perf.Performance.volTargetScale(
+        dampedMelt(s, dir), targetVol = 0.10, window = 21)),
+
     // purged k-fold CV assignment table over the panel's trading dates
     // (López de Prado embargo: 3 trading days each side of the block)
     "ml8_purged_cv" -> ((s, dir) =>

@@ -664,6 +664,18 @@ object TextOracles {
          |  round(score, 6) AS score, round(margin, 6) AS margin
          |FROM r WHERE rn = 1""".stripMargin,
 
+    // exact-phrase search: each query doc's leading trigram vs the
+    // corpus trigram stream — overlapping occurrences by construction
+    "ir3_phrase" ->
+      s"""WITH $shinglesCte,
+         |ph AS (
+         |  SELECT doc_id AS phrase_id, array_to_string(w[1:3], ' ') AS p
+         |  FROM words WHERE doc_id < 5 AND len(w) >= 3),
+         |g AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+         |SELECT ph.phrase_id, g.doc_id, count(*)::BIGINT AS n_hits
+         |FROM g JOIN ph ON g.s = ph.p
+         |GROUP BY 1, 2""".stripMargin,
+
     // logistic regression: 3 GD iterations unrolled as CTEs — the
     // whole training loop replayed in SQL, weights compared exactly
     // (micro-integer arithmetic makes the replay deterministic)

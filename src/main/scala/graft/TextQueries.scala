@@ -429,6 +429,19 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // exact-phrase search: the 5 lowest-id docs' leading trigrams as
+    // the query set, matched by sliding-gram equi-join (overlapping
+    // occurrence counts)
+    "ir3_phrase" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs.where(col("doc_id") < 5).select(
+        col("doc_id").as("phrase_id"),
+        graft.functions.MinHashShingles.shingleArrayNative(col("text"), 3)
+          .getItem(0).as("phrase"))
+        .where(col("phrase").isNotNull)
+      graft.text.Retrieval.phraseMatches(docs, phrases)
+    }),
+
     // ---- logistic regression: full-batch GD as DataFrame ops, the
     // discriminative half of the fastText quality-filter recipe.
     // Train: is-English on doc_id < 400; score the held-out tail ----

@@ -431,6 +431,49 @@ object Performance {
         col("n_days"), col("depth"))
   }
 
+  /** Volatility-targeting series: trailing realized vol of the per-date
+    * portfolio return (annualized sample stddev over `window` dates,
+    * null until a full window accrues — min_periods) and the exposure
+    * scale for EACH date computed from the window ending the PRIOR
+    * date (lagged one day, so the scale is tradeable — no lookahead).
+    * scale = target/realized clamped to `maxLeverage`; a zero-vol
+    * window scales at the clamp; dates with no usable trailing window
+    * scale 1.0 (unscaled). Multiply a weight panel by `scale` joined
+    * on date to get vol-targeted weights.
+    *
+    * The scale derives from the ROUNDED realized vol, so both sides of
+    * the division are identical in any engine (the rolling-Sharpe 6dp
+    * stance applied to an input, not just an output). Bounded
+    * unpartitioned window over the per-date series, like
+    * [[dailySeries]]. */
+  def volTargetScale(
+      results: DataFrame,
+      targetVol: Double,
+      window: Int,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252,
+      maxLeverage: Double = 3.0): DataFrame = {
+    require(targetVol > 0, s"targetVol must be positive: $targetVol")
+    require(window >= 2, s"window must be >= 2: $window")
+    require(maxLeverage > 0, s"maxLeverage must be positive: $maxLeverage")
+    val w = Window.orderBy(col(dateCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val ordered = Window.orderBy(col(dateCol))
+    dailyReturns(results, dateCol)
+      .withColumn("realized_vol",
+        round(when(count(col("return")).over(w) === window,
+          stddev_samp(col("return")).over(w) *
+            math.sqrt(periodsPerYear.toDouble)), 6))
+      .withColumn("__pv", lag(col("realized_vol"), 1).over(ordered))
+      .withColumn("scale",
+        coalesce(
+          when(col("__pv") > 0,
+            round(least(lit(targetVol) / col("__pv"), lit(maxLeverage)), 6))
+            .when(col("__pv") === 0, lit(maxLeverage)),
+          lit(1.0)))
+      .drop("__pv")
+  }
+
   /** One-row summary: n_days, total_return, CAGR (trading-day
     * annualization: (1+total)^(periodsPerYear/n) − 1), annualized Sharpe
     * (mean/std × √periodsPerYear, rf = 0), max drawdown. Outputs rounded

@@ -120,4 +120,51 @@ object Retrieval {
         round(col("tf") * log(col("__N").cast("double") / col("df")), 6)
           .as("tfidf"))
   }
+
+  /** Exact-phrase matches: for each phrase, every document whose
+    * normalized word stream contains that word sequence, with the
+    * OVERLAPPING occurrence count — `(phraseIdCol, idCol, n_hits)`.
+    *
+    * Scale design: no positional inverted index. The classic plan
+    * (posting-list self-joins per query word) concentrates on stopword
+    * hot keys; here the corpus streams ONCE PER DISTINCT PHRASE LENGTH
+    * as sliding L-grams and equi-joins the broadcast phrase list on the
+    * FULL phrase — the join key's selectivity IS the match mass, so
+    * output and shuffle are proportional to true hits at any corpus
+    * size. The distinct-length set is a bounded driver scalar over the
+    * (small, user-supplied) phrase frame — the requireFresh cost class.
+    *
+    * Phrases are normalized with the same kernel as documents
+    * (lower → non-alphanumeric scrub → whitespace split); a phrase
+    * that normalizes to no words raises [[ParameterError]] — it would
+    * otherwise silently match nothing. */
+  def phraseMatches(
+      docs: DataFrame,
+      phrases: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      phraseIdCol: String = "phrase_id",
+      phraseCol: String = "phrase"): DataFrame = {
+    val norm = phrases.select(
+      col(phraseIdCol),
+      array_join(filter(TextAnalysis.normWords(col(phraseCol)),
+        w => w =!= ""), " ").as("__p"))
+      .withColumn("__len", when(col("__p") === "", 0)
+        .otherwise(size(split(col("__p"), " "))))
+    // bounded driver probe over the query frame, not the corpus
+    val lengths = norm.select(col("__len")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (lengths.isEmpty) throw new ParameterError("phrases frame is empty")
+    if (lengths.head == 0)
+      throw new ParameterError(
+        "a phrase normalized to no words — it can never match")
+    val hits = lengths.map { len =>
+      graft.dedup.Dedup.shingleRows(docs, idCol, textCol, n = len)
+        .join(broadcast(norm.where(col("__len") === len)),
+          col("__s") === col("__p"))
+        .groupBy(col(phraseIdCol), col(idCol))
+        .agg(count(lit(1)).as("n_hits"))
+    }
+    hits.reduce(_ unionByName _)
+  }
 }

@@ -115,6 +115,35 @@ class PackingRetrievalSpec extends SparkSpec {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("phraseMatches: overlapping counts, mixed lengths, normalization, " +
+    "and loud empty-phrase failure") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat mat"),
+      (2L, "a cat sat here"),
+      (3L, "unrelated words entirely"),
+      (4L, "cat cat cat"))
+      .toDF("doc_id", "text")
+    val phrases = Seq(
+      (10L, "Cat Sat!"),     // normalizes to "cat sat" (len 2)
+      (20L, "cat"),          // unigram
+      (30L, "cat cat"))      // overlapping in doc 4: positions 1,2
+      .toDF("phrase_id", "phrase")
+    val out = Retrieval.phraseMatches(docs, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((10L, 1L)) == 2) // "cat sat" twice in doc 1
+    assert(out((10L, 2L)) == 1)
+    assert(out.get((10L, 3L)).isEmpty)
+    assert(out((20L, 4L)) == 3) // unigram counts every occurrence
+    assert(out((30L, 4L)) == 2) // overlapping "cat cat"
+    intercept[graft.ParameterError] {
+      Retrieval.phraseMatches(docs, Seq((1L, "!!!")).toDF("phrase_id", "phrase"))
+    }
+    intercept[graft.ParameterError] {
+      Retrieval.phraseMatches(docs,
+        phrases.where($"phrase_id" < 0))
+    }
+  }
+
   test("mixture rates: a targeted stratum with ZERO tokens cannot zero " +
     "the binding constraint for everyone else") {
     val df = Seq(

@@ -362,6 +362,38 @@ class PerfSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("trip_return") == -0.01)
   }
 
+  test("volTargetScale: lagged tradeable scale, clamp, and zero-vol cap") {
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    val rows = Performance.volTargetScale(melt, targetVol = 0.10, window = 2)
+      .orderBy("date").collect()
+    // d1: no full window → null vol, scale 1.0
+    assert(rows(0).isNullAt(rows(0).fieldIndex("realized_vol")))
+    assert(rows(0).getAs[Double]("scale") == 1.0)
+    // d2: rv = stddev([.10,−.05])·√252 but the SCALE still lags → 1.0
+    val rv2 = q6(0.15 / math.sqrt(2.0) * math.sqrt(252.0))
+    assert(rows(1).getAs[Double]("realized_vol") == rv2)
+    assert(rows(1).getAs[Double]("scale") == 1.0)
+    // d3: scale from d2's ROUNDED vol, clamped at maxLeverage 3.0
+    assert(rows(2).getAs[Double]("scale") == q6(0.10 / rv2))
+    // flat series: zero realized vol → next day scales at the clamp
+    val flat = Seq(
+      ("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.01),
+      ("A", "2024-01-03", "Return", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val f = Performance.volTargetScale(flat, targetVol = 0.10, window = 2)
+      .orderBy("date").collect()
+    assert(f(1).getAs[Double]("realized_vol") == 0.0)
+    assert(f(2).getAs[Double]("scale") == 3.0)
+    intercept[IllegalArgumentException] {
+      Performance.volTargetScale(melt, targetVol = 0.0, window = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Performance.volTargetScale(melt, targetVol = 0.1, window = 1)
+    }
+  }
+
   test("valueAtRisk: interpolated quantile and tail mean goldens") {
     // sorted returns [−0.05, 0.02, 0.10]; p=0.05 ⇒ idx 0.05×2 = 0.1 ⇒
     // −0.05 + 0.1×(0.02 − (−0.05)) = −0.043; tail (r ≤ −0.043) = {−0.05}
