@@ -664,6 +664,36 @@ object TextOracles {
          |  round(score, 6) AS score, round(margin, 6) AS margin
          |FROM r WHERE rn = 1""".stripMargin,
 
+    // BPE step-0 pair statistics: word-freq table → per-word char
+    // sequences (+ '_' end marker) → adjacent-pair frequency sums
+    "bpe0_pairs" ->
+      s"""WITH $wordsCte,
+         |wf AS (SELECT s AS word, count(*)::BIGINT AS freq
+         |       FROM (SELECT unnest(w) AS s FROM words)
+         |       WHERE s <> '' GROUP BY 1),
+         |cs AS (SELECT freq, list_append(string_split(word, ''), '_') AS c
+         |       FROM wf),
+         |pr AS (SELECT freq, c[i] AS l, c[i + 1] AS r
+         |       FROM cs, unnest(range(1, len(c))) AS t(i))
+         |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+         |FROM pr GROUP BY 1, 2""".stripMargin,
+
+    // per-doc char entropy: H = ln n − (Σ c·ln c)/n, the Σ term
+    // micro-nat quantized per (doc, char) so the sum is order-free
+    "tx17_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::BIGINT AS n
+        |       FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+        |    CAST(sum(CAST(round(ln(n::DOUBLE) * 1e6) AS BIGINT) * n) AS BIGINT)
+        |      AS s
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  round(ln(n_chars::DOUBLE) - s::DOUBLE / 1e6 / n_chars, 6) AS entropy
+        |FROM st""".stripMargin,
+
     // exact-phrase search: each query doc's leading trigram vs the
     // corpus trigram stream — overlapping occurrences by construction
     "ir3_phrase" ->

@@ -429,6 +429,28 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // ---- BPE tokenizer training. bpe0 (pair stats, the corpus-scale
+    // half) is oracle-checked; the merge LOOP's greedy fold is a
+    // sequential recurrence no SQL can express → bpe1/bpe2 are
+    // rows-only here and exactly pinned by BpeSpec's independent
+    // reference implementation ----
+    "bpe0_pairs" -> ((s, dir) =>
+      graft.text.Bpe.initialPairCounts(t(s, dir, "documents"))),
+
+    "bpe1_merges" -> ((s, dir) =>
+      graft.text.Bpe.learnMerges(t(s, dir, "documents"), numMerges = 10)),
+
+    "bpe2_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Bpe.encode(
+        docs, graft.text.Bpe.learnMerges(docs, numMerges = 10))
+    }),
+
+    // per-doc character-level Shannon entropy (compression-ratio
+    // quality proxy): micro-nat-exact histogram sum
+    "tx17_entropy" -> ((s, dir) =>
+      graft.text.TextAnalysis.charEntropy(t(s, dir, "documents"))),
+
     // exact-phrase search: the 5 lowest-id docs' leading trigrams as
     // the query set, matched by sliding-gram equi-join (overlapping
     // occurrence counts)

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -310,4 +310,40 @@ object TextAnalysis {
   /** [[gopherKeep]] via the native one-pass kernel. */
   def gopherKeepNative(text: Column): Column =
     gopherSignals(text).getField("keep")
+
+  /** Per-document character-level Shannon entropy in nats — the
+    * compression-ratio quality proxy (low entropy = repetitive
+    * boilerplate / padding; the CCNet-adjacent filter that needs no
+    * model). Returns `(idCol, n_chars, entropy)` over docs with ≥ 1
+    * character; empty docs are dropped (entropy of nothing is
+    * undefined, and a 0-char doc fails every length filter anyway).
+    *
+    * Not a frame-level DataFrame op by accident: entropy needs the
+    * per-doc histogram, so this is one explode + one (doc, char)
+    * count + one per-doc sum — two linear shuffles, no window over
+    * raw text. H = ln n − (Σ c·ln c)/n with the Σ term micro-nat
+    * quantized per (doc, char) row (exact unordered integer sum —
+    * the LangModel stance); only the outer ln/division are IEEE,
+    * identical per-row in any engine. Rounded to 6dp. */
+  def charEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__c"))
+      .where(col("__c") =!= "")
+      .groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_chars"),
+        sum(round(log(col("__n").cast("double")) * 1e6, 0).cast("long") *
+          col("__n")).as("__s"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        round(
+          log(col("n_chars").cast("double")) -
+            col("__s").cast("double") / 1e6 / col("n_chars"), 6)
+          .as("entropy"))
 }

@@ -164,4 +164,19 @@ class TextFilterSpec extends SparkSpec {
     assert(one(clean, Pii.piiCount(col("text"))) == 0L)
     assert(one(clean, Pii.redact(col("text"))) == clean)
   }
+
+  test("charEntropy: histogram goldens, uniform vs constant text, " +
+    "empty docs dropped") {
+    val docs = Seq(
+      (1L, "aabb"),   // 2×a + 2×b: H = ln4 − (4·ln2)/4 = ln2
+      (2L, "aaaa"),   // single symbol: H = 0
+      (3L, ""))       // no chars → dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 == 0.693147) // ln 2 @ 6dp via the micro-nat path
+    assert(out(2L) == ((4L, 0.0)))
+  }
 }
