@@ -454,6 +454,69 @@ object Oracles {
          |  count(*) AS n, CAST(sum(${c("value")}) AS BIGINT) AS sum_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // sessionization: exact integer-microsecond gaps, (ts, event_id)
+    // tie order, running new-session sum per user
+    "ev2_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                 OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0
+        |            END AS nw
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM e)),
+        |x AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // first-occurrence funnel: per-user conditional mins, monotone chain
+    "ev3_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+        |                 AND t1 <= t2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL
+        |                 AND t3 IS NOT NULL AND t1 <= t2 AND t2 <= t3
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM f)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step, n1 AS n_users FROM c
+        |UNION ALL SELECT 2, 'click', n2 FROM c
+        |UNION ALL SELECT 3, 'purchase', n3 FROM c""".stripMargin,
+
+    // day-cohort retention: distinct active days joined to first day
+    "ev4_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |co AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT co.cohort_day,
+        |  CAST(ud.day - co.cohort_day AS BIGINT) AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM ud JOIN co USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // consecutive event-type bigrams; topK 25 covers every pair of the
+    // 5 types, so the limit cannot truncate
+    "ev5_transitions" ->
+      """WITH x AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*)::BIGINT AS n
+        |FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     "d1_equal_weights" ->
       s"""WITH $sigCte
          |SELECT sid, date, signal, weight FROM wts""".stripMargin,

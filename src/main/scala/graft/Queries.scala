@@ -534,6 +534,20 @@ object Queries {
           col("n"), col("sum_cents"))
     }),
 
+    // ---- event analytics: sessions / funnel / retention / paths ----
+    "ev2_sessions" -> ((s, dir) =>
+      graft.events.Events.sessionStats(events(s, dir), gapSeconds = 1800)),
+
+    "ev3_funnel" -> ((s, dir) =>
+      graft.events.Events.funnel(
+        events(s, dir), Seq("view", "click", "purchase"))),
+
+    "ev4_retention" -> ((s, dir) =>
+      graft.events.Events.retentionCohorts(events(s, dir))),
+
+    "ev5_transitions" -> ((s, dir) =>
+      graft.events.Events.transitions(events(s, dir), topK = 25)),
+
     // ---- D1: equal-weight allocation ----
     "d1_equal_weights" -> ((s, dir) => {
       implicit val k: Keys = liKeys

@@ -1,0 +1,153 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ParameterError
+
+/** Event-stream analytics over an append-only (user, ts, type) log —
+  * the session/funnel/retention/path views every product-analytics
+  * pipeline derives, and at LLM scale the same shapes that segment
+  * interaction logs into training conversations.
+  *
+  * Scale shape: every operator is windows/aggregations partitioned by
+  * the user key — one shuffle on `userCol`, per-user partitions bounded
+  * by a single user's event count (the natural skew bound of an event
+  * log; a runaway bot user shows up as ONE hot partition and is exactly
+  * the thing [[graft.plans.Skew]] salting exists for). No self-joins on
+  * time ranges: ordering is expressed with lag/cumsum windows.
+  * Timestamps order within user by (ts, eventIdCol) so duplicate
+  * timestamps can't make results partition-dependent.
+  */
+object Events {
+
+  /** Exact integer microseconds of a timestamp column, tolerant of
+    * TIMESTAMP vs TIMESTAMP_NTZ inputs (parquet writes either,
+    * depending on isAdjustedToUTC; the cast is a no-op for LTZ and
+    * session-UTC reinterpretation for NTZ). */
+  private def micros(c: org.apache.spark.sql.Column) =
+    unix_micros(c.cast("timestamp"))
+
+  /** Gap-based sessionization: a new session starts where the gap from
+    * the user's previous event exceeds `gapSeconds`. Adds `session_idx`
+    * (1-based per user, in time order) to every event row. One window
+    * pass (lag + running sum) on the user partition. */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (gapSeconds <= 0)
+      throw new ParameterError(s"gapSeconds must be positive: $gapSeconds")
+    // gaps in exact integer MICROseconds — second-truncating the
+    // timestamps first would move events near the gap boundary between
+    // engines that truncate differently
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    events
+      .withColumn("__prev", lag(micros(col(tsCol)), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          micros(col(tsCol)) - col("__prev") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .drop("__prev", "__new")
+  }
+
+  /** Per-session summary: (user, session_idx, n_events, start_ts,
+    * end_ts, duration_sec). One aggregation over [[sessionize]]. */
+  def sessionStats(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      eventIdCol: String = "event_id"): DataFrame =
+    sessionize(events, gapSeconds, userCol, tsCol, eventIdCol)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+      .withColumn("duration_sec",
+        (micros(col("end_ts")) - micros(col("start_ts"))) / lit(1e6))
+
+  /** First-occurrence funnel: a user reaches stage k when the FIRST
+    * occurrences of steps 1..k are in non-decreasing time order
+    * (t₁ ≤ t₂ ≤ … ≤ tₖ — the "did A before first B before first C"
+    * semantics; re-doing an earlier step later never un-converts).
+    * Returns one row per stage: (stage, step, n_users). ONE hash
+    * aggregation per user (k conditional mins) + one bounded count —
+    * no per-stage joins, no event self-joins. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    if (steps.isEmpty) throw new ParameterError("funnel steps must be non-empty")
+    if (steps.distinct.size != steps.size)
+      throw new ParameterError(s"duplicate funnel steps: ${steps.mkString(", ")}")
+    val aggCols = steps.map(s =>
+      min(when(col(typeCol) === s, col(tsCol))).as(s"__t_$s"))
+    val perUser = events.groupBy(col(userCol)).agg(aggCols.head, aggCols.tail: _*)
+    val reached = steps.indices.map { k =>
+      val chain = (0 to k).map(i => col(s"__t_${steps(i)}"))
+      val ordered = chain.sliding(2).filter(_.size == 2)
+        .map(p => p(0) <= p(1))
+        .foldLeft(chain.map(_.isNotNull).reduce(_ && _))(_ && _)
+      sum(ordered.cast("long")).as(s"__n_$k")
+    }
+    val counts = perUser.agg(reached.head, reached.tail: _*)
+    val stages = steps.indices.map { k =>
+      struct(lit(k + 1L).as("stage"), lit(steps(k)).as("step"),
+        col(s"__n_$k").as("n_users"))
+    }
+    counts
+      .select(explode(array(stages: _*)).as("__r"))
+      .select(col("__r.stage"), col("__r.step"), col("__r.n_users"))
+  }
+
+  /** Day-granular retention cohorts: cohort = the user's first active
+    * day; one row per (cohort_day, day_offset) with the distinct-user
+    * count active that many days after their first day (offset 0 =
+    * cohort size). Cost: one (user, day) dedup, one per-user min, one
+    * user-keyed join (both sides already shuffled on user), one count
+    * agg. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val userDays = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = userDays.groupBy(col(userCol))
+      .agg(min(col("__day")).as("cohort_day"))
+    userDays.join(cohorts, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Top-K consecutive event-type transitions (the path/Markov view):
+    * per user in (ts, eventId) order, count (type → next type) bigrams
+    * corpus-wide. Deterministic top-K: (count DESC, from, to) via
+    * TakeOrderedAndProject. */
+  def transitions(
+      events: DataFrame,
+      topK: Int,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (topK <= 0) throw new ParameterError(s"topK must be positive: $topK")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.events.Events
+
+/** Event analytics goldens: gap sessionization (boundary-exact),
+  * first-occurrence funnel semantics, day cohorts, transition counts. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val log = Seq(
+    // user 1: two sessions split by a 31-min gap; duplicate-ts events
+    (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, 1L, ts("2024-01-01 10:10:00"), "click"),
+    (3L, 1L, ts("2024-01-01 10:10:00"), "view"), // same ts: id breaks tie
+    (4L, 1L, ts("2024-01-01 10:41:00.000001"), "purchase"), // 31m 1µs gap
+    // user 2: one session; funnel reaches view→click but purchase FIRST
+    // occurred before click → stage 3 not reached
+    (5L, 2L, ts("2024-01-02 09:00:00"), "view"),
+    (6L, 2L, ts("2024-01-02 09:01:00"), "purchase"),
+    (7L, 2L, ts("2024-01-02 09:02:00"), "click"),
+    (8L, 2L, ts("2024-01-03 09:00:00"), "view")) // day-1 retention
+    .toDF("event_id", "user_id", "ts", "event_type")
+
+  test("sessionize: gap strictly over the threshold opens a session; " +
+    "exactly-at-gap does not") {
+    val s = Events.sessionize(log, gapSeconds = 1860) // 31 min
+      .select("event_id", "session_idx")
+      .as[(Long, Long)].collect().toMap
+    // 31m1µs > 31m ⇒ event 4 starts session 2
+    assert(s(1L) == 1L && s(2L) == 1L && s(3L) == 1L && s(4L) == 2L)
+    assert(s(5L) == 1L && s(7L) == 1L)
+    // with a 32-minute gap everything is one session
+    val s2 = Events.sessionize(log, gapSeconds = 1920)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(s2(4L) == 1L)
+    intercept[ParameterError] { Events.sessionize(log, 0) }
+  }
+
+  test("sessionStats: counts, bounds, exact duration") {
+    val st = Events.sessionStats(log, gapSeconds = 1860)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5))).toMap
+    assert(st((1L, 1L))._1 == 3L) // events 1-3
+    assert(st((1L, 1L))._2 == 600.0) // 10:00 → 10:10
+    assert(st((1L, 2L))._1 == 1L)
+    assert(st((1L, 2L))._2 == 0.0)
+  }
+
+  test("funnel: first-occurrence ordering; out-of-order first step " +
+    "blocks later stages") {
+    val f = Events.funnel(log, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(f(1L) == (("view", 2L)))     // both users viewed
+    assert(f(2L) == (("click", 2L)))    // both clicked after first view
+    // user 1 purchased after click; user 2's FIRST purchase predates click
+    assert(f(3L) == (("purchase", 1L)))
+    intercept[ParameterError] { Events.funnel(log, Seq.empty) }
+    intercept[ParameterError] { Events.funnel(log, Seq("a", "a")) }
+  }
+
+  test("retentionCohorts: first-day cohorts with distinct-user offsets") {
+    val r = Events.retentionCohorts(log)
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2))
+      .toMap
+    assert(r(("2024-01-01", 0L)) == 1L) // user 1's only day
+    assert(r(("2024-01-02", 0L)) == 1L) // user 2 cohort
+    assert(r(("2024-01-02", 1L)) == 1L) // user 2 active next day
+    assert(r.size == 3)
+  }
+
+  test("transitions: per-user consecutive bigrams with deterministic " +
+    "tie order") {
+    val t = Events.transitions(log, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // user 1: view→click, click→view (same-ts tie by id), view→purchase
+    // user 2: view→purchase, purchase→click, click→view (next day)
+    assert(t(("view", "click")) == 1L)
+    assert(t(("click", "view")) == 2L)
+    assert(t(("view", "purchase")) == 2L)
+    assert(t(("purchase", "click")) == 1L)
+    assert(t.values.sum == 6L) // 8 events − 2 users
+  }
+}
