@@ -1297,6 +1297,53 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // ranking eval: sim1's ranked list at k=10 vs same-label relevance;
+    // DCG/IDCG terms micro-quantized to exact integer sums
+    "sim9_rank_eval" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |rk AS (SELECT * FROM ranked WHERE rank <= 10),
+         |rel AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.label = c.label AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |rc AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+         |h AS (
+         |  SELECT r.query_id, count(*)::BIGINT AS n_hits,
+         |    min(r.rank) AS minr,
+         |    CAST(sum(CAST(round(1e6 / log2(r.rank + 1)) AS BIGINT)) AS BIGINT)
+         |      AS dcgm
+         |  FROM rk r JOIN rel USING (query_id, neighbor_id) GROUP BY 1),
+         |j AS (
+         |  SELECT b.query_id, coalesce(rc.n_rel, 0) AS n_rel,
+         |    coalesce(h.n_hits, 0) AS n_hits, h.minr, h.dcgm
+         |  FROM (SELECT DISTINCT query_id FROM rk) b
+         |  LEFT JOIN rc USING (query_id) LEFT JOIN h USING (query_id)),
+         |gt AS (
+         |  SELECT i, CAST(sum(gm) OVER (ORDER BY i
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM (SELECT i, CAST(round(1e6 / log2(i + 1)) AS BIGINT) AS gm
+         |        FROM range(1, 11) t(i)))
+         |SELECT query_id, n_rel, n_hits,
+         |  CASE WHEN n_rel > 0
+         |       THEN round(n_hits::DOUBLE / n_rel, 6) END AS recall_at_k,
+         |  coalesce(round(1.0 / minr, 6), 0.0) AS mrr,
+         |  CASE WHEN n_rel > 0
+         |       THEN round(coalesce(dcgm, 0)::DOUBLE / gt.cum, 6)
+         |  END AS ndcg_at_k
+         |FROM j LEFT JOIN gt ON gt.i = least(j.n_rel, 10)""".stripMargin
+    },
+
     "sim2_lsh_topk" -> {
       val cos = cosine("q.embedding", "c.embedding")
       def bucket(v: String) =

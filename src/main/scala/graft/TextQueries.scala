@@ -586,6 +586,21 @@ object TextQueries {
         embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
     }),
 
+    // ranking-quality eval of the brute-force retriever against
+    // same-label ground truth: recall@10 / MRR / nDCG@10 per query
+    "sim9_rank_eval" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 10)
+      val rel = embs.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(embs.select(col("vec_id").as("neighbor_id"), col("label")),
+          col("__ql") === col("label") &&
+            col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      graft.sim.RankEval.rankingMetrics(ranked, rel, k = 10)
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       Similarity.signLshTopK(
