@@ -216,7 +216,51 @@ object TextOracles {
   private val logregTrainedCtes: String =
     (logregBaseCtes +: (1 to 3).map(logregIterCte)).mkString(",\n")
 
+  /** One unrolled PageRank power step: per-edge contributions rounded
+    * to picos (exact integer sums per dst), dangling mass via anti-set,
+    * damped base — the identical arithmetic as graph.PageRank with
+    * damping 0.85. */
+  private def pagerankIterCte(i: Int): String =
+    s"""c$i AS (
+       |  SELECT pr.dst AS node,
+       |    CAST(sum(CAST(round(r.r * pr.p) AS BIGINT)) AS BIGINT) AS c
+       |  FROM pr JOIN r${i - 1} r ON pr.src = r.node GROUP BY 1),
+       |dg$i AS (
+       |  SELECT coalesce(sum(r.r), 0) AS dm FROM r${i - 1} r
+       |  WHERE r.node NOT IN (SELECT DISTINCT src FROM pr)),
+       |r$i AS (
+       |  SELECT n.node,
+       |    (SELECT CAST(round((1.0 - 0.85) / count(*) * 1e12) AS BIGINT)
+       |     FROM nodes) +
+       |    CAST(round(0.85 * (coalesce(c.c, 0) +
+       |      CAST(round(dg$i.dm / (SELECT count(*) FROM nodes)) AS BIGINT)))
+       |      AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN c$i c USING (node) CROSS JOIN dg$i)""".stripMargin
+
+  private val pagerankCtes: String =
+    (Seq(
+      """ed AS (
+        |  SELECT a.source AS src, b.source AS dst, count(*)::DOUBLE AS w
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  GROUP BY 1, 2)""".stripMargin,
+      """nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM ed UNION SELECT dst FROM ed))""".stripMargin,
+      """pr AS (
+        |  SELECT src, dst, w / W AS p FROM
+        |    (SELECT *, sum(w) OVER (PARTITION BY src) AS W FROM ed))""".stripMargin,
+      """r0 AS (
+        |  SELECT node,
+        |    (SELECT CAST(round(1.0 / count(*) * 1e12) AS BIGINT) FROM nodes)
+        |      AS r
+        |  FROM nodes)""".stripMargin) ++ (1 to 3).map(pagerankIterCte))
+      .mkString(",\n")
+
   val all: Map[String, String] = Map(
+    "gr1_pagerank" ->
+      s"""WITH $pagerankCtes
+         |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3""".stripMargin,
+
     "tx1_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
@@ -693,6 +737,29 @@ object TextOracles {
         |SELECT doc_id, n_chars,
         |  round(ln(n_chars::DOUBLE) - s::DOUBLE / 1e6 / n_chars, 6) AS entropy
         |FROM st""".stripMargin,
+
+    // PMI collocations: joint over the bigram total, marginals over the
+    // unigram total; selection on the ROUNDED pmi then (l, r)
+    "tx18_pmi" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS s FROM words),
+         |uni AS (SELECT s AS word, count(*)::BIGINT AS cu
+         |        FROM tok WHERE s <> '' GROUP BY 1),
+         |bg AS (SELECT w[i] AS l, w[i + 1] AS r
+         |       FROM words, unnest(range(1, len(w))) AS t(i)),
+         |bgc AS (SELECT l, r, count(*)::BIGINT AS pair_cnt
+         |        FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS tb FROM bgc),
+         |nu AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uni)
+         |SELECT b.l, b.r, b.pair_cnt,
+         |  round(ln((b.pair_cnt::DOUBLE / nb.tb) /
+         |    ((cl.cu::DOUBLE / nu.tu) * (cr.cu::DOUBLE / nu.tu))), 6) AS pmi
+         |FROM bgc b
+         |JOIN uni cl ON b.l = cl.word
+         |JOIN uni cr ON b.r = cr.word
+         |CROSS JOIN nb CROSS JOIN nu
+         |WHERE b.pair_cnt >= 5
+         |ORDER BY pmi DESC, b.l, b.r LIMIT 100""".stripMargin,
 
     // exact-phrase search: each query doc's leading trigram vs the
     // corpus trigram stream — overlapping occurrences by construction

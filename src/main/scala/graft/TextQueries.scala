@@ -429,6 +429,18 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // weighted PageRank over the source-transition graph (consecutive
+    // doc_ids link their sources): 3 damped power steps, pico-exact
+    "gr1_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.alias("a")
+        .join(d.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      graft.graph.PageRank.pagerank(e, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
+
     // ---- BPE tokenizer training. bpe0 (pair stats, the corpus-scale
     // half) is oracle-checked; the merge LOOP's greedy fold is a
     // sequential recurrence no SQL can express → bpe1/bpe2 are
@@ -450,6 +462,10 @@ object TextQueries {
     // quality proxy): micro-nat-exact histogram sum
     "tx17_entropy" -> ((s, dir) =>
       graft.text.TextAnalysis.charEntropy(t(s, dir, "documents"))),
+
+    // top-100 adjacent-word collocations by PMI (min pair count 5)
+    "tx18_pmi" -> ((s, dir) =>
+      graft.text.Vocab.collocations(t(s, dir, "documents"))),
 
     // exact-phrase search: the 5 lowest-id docs' leading trigrams as
     // the query set, matched by sliding-gram equi-join (overlapping

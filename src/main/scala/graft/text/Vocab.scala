@@ -69,4 +69,52 @@ object Vocab {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
+
+  /** Top-K adjacent-word collocations by pointwise mutual information:
+    * `(l, r, pair_cnt, pmi)` — the statistical-phrase miner (word2vec
+    * phrase pass / multi-word-expression detection). PMI =
+    * ln(p(l,r) / (p(l)·p(r))) with the joint over the bigram total and
+    * marginals over the unigram total. `minCount` floors the joint
+    * count (PMI's low-frequency pathology: a 1-count pair of two rare
+    * words maxes the score).
+    *
+    * Scale shape: one bigram agg + one unigram agg (both map-side
+    * combining), totals as ONE scalar row crossJoined back, two
+    * vocab-keyed equi-joins for the marginals, TakeOrderedAndProject
+    * for the top-K. Selection orders by the ROUNDED pmi then (l, r) —
+    * ranking on the raw double would be engine-dependent within an
+    * ulp. */
+  def collocations(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCount: Long = 5L,
+      topK: Int = 100): DataFrame = {
+    if (minCount < 1) throw new ParameterError(s"minCount must be >= 1: $minCount")
+    if (topK <= 0) throw new ParameterError(s"topK must be positive: $topK")
+    val uni = words(docs, idCol, textCol)
+      .groupBy(col("__s").as("word")).agg(count(lit(1)).as("__cu"))
+    // bigram totals derive from the AGGREGATED counts (vocab²-bounded),
+    // not a second corpus pass
+    val bigAll = graft.dedup.Dedup.shingleRows(docs, idCol, textCol, n = 2)
+      .where(col("__s") =!= "")
+      .select(split(col("__s"), " ").getItem(0).as("l"),
+        split(col("__s"), " ").getItem(1).as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("pair_cnt"))
+      .localCheckpoint(eager = false)
+    val big = bigAll.where(col("pair_cnt") >= minCount)
+    val totals = uni.agg(sum(col("__cu")).as("__Nu"))
+      .crossJoin(bigAll.agg(sum(col("pair_cnt")).as("__Nb")))
+    big
+      .join(uni.select(col("word").as("l"), col("__cu").as("__cl")), "l")
+      .join(uni.select(col("word").as("r"), col("__cu").as("__cr")), "r")
+      .crossJoin(broadcast(totals))
+      .select(col("l"), col("r"), col("pair_cnt"),
+        round(log(
+          (col("pair_cnt").cast("double") / col("__Nb")) /
+            ((col("__cl").cast("double") / col("__Nu")) *
+              (col("__cr").cast("double") / col("__Nu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("l"), col("r"))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+
+/** PageRank goldens: ring symmetry, weighted split, dangling-mass
+  * redistribution — against a dense driver-side replication of the
+  * same pico-quantized iteration. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRanks(
+      edges: Seq[(String, String, Double)],
+      iters: Int,
+      d: Double = 0.85): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = math.round((1.0 - d) / n * 1e12)
+    var r = nodes.map(_ -> math.round(1.0 / n * 1e12)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .map { case (s, t, w) => t -> math.round(r(s).toDouble * (w / outW(s))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val dm = nodes.filterNot(outW.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> (base + math.round(d *
+          (contrib.getOrElse(v, 0L) + math.round(dm.toDouble / n)).toDouble))
+      }.toMap
+    }
+    r.map { case (k, v) => k -> v / 1e12 }
+  }
+
+  private def run(
+      edges: Seq[(String, String, Double)], iters: Int): Map[String, Double] =
+    PageRank.pagerank(edges.toDF("src", "dst", "weight"), iters)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+  test("symmetric ring: equal ranks, sum ~1") {
+    val ring = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+    val got = run(ring, 3)
+    assert(got.values.toSet.size == 1)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got == refRanks(ring, 3))
+  }
+
+  test("weighted edges split contributions by w/W; matches the dense " +
+    "replication exactly") {
+    val g = Seq(("a", "b", 3.0), ("a", "c", 1.0), ("b", "a", 1.0),
+      ("c", "a", 1.0))
+    val got = run(g, 4)
+    assert(got == refRanks(g, 4))
+    assert(got("b") > got("c")) // 75% of a's vote vs 25%
+  }
+
+  test("dangling node redistributes its mass uniformly") {
+    val g = Seq(("a", "b", 1.0)) // b has no out-edges
+    val got = run(g, 3)
+    assert(got == refRanks(g, 3))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6) // mass conserved
+    intercept[ParameterError] { PageRank.pagerank(
+      g.toDF("src", "dst", "weight"), 0) }
+    intercept[ParameterError] { PageRank.pagerank(
+      g.toDF("src", "dst", "weight"), 3, damping = 1.0) }
+  }
+}

@@ -40,4 +40,29 @@ class VocabSpec extends SparkSpec {
   test("topV guard") {
     intercept[ParameterError](Vocab.vocabulary(docs, topV = 0))
   }
+
+  test("collocations: PMI goldens — a glued pair outranks independent " +
+    "co-occurrence; minCount floors; deterministic order") {
+    import org.apache.spark.sql.functions.col
+    // "new york" always adjacent; "the" floats freely
+    val corpus = Seq(
+      (1L, "new york the cat"),
+      (2L, "new york the dog"),
+      (3L, "the cat saw new york"))
+      .toDF("doc_id", "text")
+    val out = Vocab.collocations(corpus, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // unigram total 13; bigram total 10; c(new york)=3, c(new)=c(york)=3
+    val pmiNY = round3(math.log((3.0 / 10) / ((3.0 / 13) * (3.0 / 13))))
+    assert(out(("new", "york")) == ((3L, pmiNY)))
+    // "york the" occurs twice: c(the)=3
+    val pmiYT = round3(math.log((2.0 / 10) / ((3.0 / 13) * (3.0 / 13))))
+    assert(out(("york", "the")) == ((2L, pmiYT)))
+    assert(pmiNY > pmiYT)
+    // pairs under minCount are absent
+    assert(!out.contains(("the", "cat")) || out(("the", "cat"))._1 >= 2)
+    intercept[ParameterError](Vocab.collocations(corpus, minCount = 0))
+    intercept[ParameterError](Vocab.collocations(corpus, topK = 0))
+  }
 }
