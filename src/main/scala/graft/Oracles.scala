@@ -506,6 +506,28 @@ object Oracles {
         |  count(*)::BIGINT AS n_users
         |FROM ud JOIN co USING (user_id) GROUP BY 1, 2""".stripMargin,
 
+    // z-score anomalies: mean/std ROUNDED before the division so z
+    // divides identical inputs in both engines
+    "ev6_anomaly" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, cnt,
+        |    count(cnt) OVER w = 7 AS fw,
+        |    round(avg(cnt) OVER w, 6) AS mean,
+        |    round(stddev_samp(cnt) OVER w, 6) AS std
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cnt, mean, std,
+        |  CASE WHEN fw AND std > 0
+        |       THEN round((cnt - mean) / std, 6) END AS z,
+        |  coalesce(abs(CASE WHEN fw AND std > 0
+        |                    THEN round((cnt - mean) / std, 6) END) >= 2.0,
+        |           false) AS anomaly
+        |FROM s""".stripMargin,
+
     // consecutive event-type bigrams; topK 25 covers every pair of the
     // 5 types, so the limit cannot truncate
     "ev5_transitions" ->

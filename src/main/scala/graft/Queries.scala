@@ -548,6 +548,10 @@ object Queries {
     "ev5_transitions" -> ((s, dir) =>
       graft.events.Events.transitions(events(s, dir), topK = 25)),
 
+    // trailing-7-day z-score anomalies on daily per-type counts
+    "ev6_anomaly" -> ((s, dir) =>
+      graft.events.Events.countAnomalies(events(s, dir), window = 7)),
+
     // ---- D1: equal-weight allocation ----
     "d1_equal_weights" -> ((s, dir) => {
       implicit val k: Keys = liKeys

@@ -1411,6 +1411,23 @@ object TextOracles {
          |FROM j LEFT JOIN gt ON gt.i = least(j.n_rel, 10)""".stripMargin
     },
 
+    // hard negatives: sim1's scored pairs restricted to label mismatch
+    "sim10_hard_negatives" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      s"""WITH scored AS (
+         |  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.label <> c.label
+         |  WHERE q.vec_id < 5),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |    ORDER BY cosine DESC, negative_id) AS rank
+         |  FROM scored)
+         |SELECT anchor_id, negative_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
     "sim2_lsh_topk" -> {
       val cos = cosine("q.embedding", "c.embedding")
       def bucket(v: String) =

@@ -617,6 +617,15 @@ object TextQueries {
       graft.sim.RankEval.rankingMetrics(ranked, rel, k = 10)
     }),
 
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per anchor (contrastive-training prep)
+    "sim10_hard_negatives" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", "label",
+        k = 5)
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       Similarity.signLshTopK(

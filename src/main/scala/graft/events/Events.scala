@@ -129,6 +129,39 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Daily event-count anomaly scores per type: trailing-window z-score
+    * of each (type, day) count against the preceding `window` OBSERVED
+    * days of that type (row frame — days with zero events don't appear
+    * and don't dilute; a silent day shows up as the NEXT day's spike).
+    * z is null until a full window accrues or when the window is flat
+    * (σ = 0). Both mean and σ round to 6dp BEFORE the z division, so
+    * the z itself divides identical inputs in any engine (the
+    * vol-target stance). One agg + one window per type partition. */
+  def countAnomalies(
+      events: DataFrame,
+      window: Int,
+      threshold: Double = 2.0,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    if (window < 2) throw new ParameterError(s"window must be >= 2: $window")
+    if (threshold <= 0)
+      throw new ParameterError(s"threshold must be positive: $threshold")
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("day"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__full", count(col("cnt")).over(w) === window)
+      .withColumn("mean", round(avg(col("cnt")).over(w), 6))
+      .withColumn("std", round(stddev_samp(col("cnt")).over(w), 6))
+      .withColumn("z",
+        when(col("__full") && col("std") > 0,
+          round((col("cnt") - col("mean")) / col("std"), 6)))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__full")
+  }
+
   /** Top-K consecutive event-type transitions (the path/Markov view):
     * per user in (ts, eventId) order, count (type → next type) bigrams
     * corpus-wide. Deterministic top-K: (count DESC, from, to) via

@@ -100,6 +100,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` most-similar corpus vectors whose LABEL DIFFERS — the
+    * negatives a triplet/InfoNCE loss learns most from (maximally
+    * confusable by the current embedding). Same shape and determinism
+    * contract as [[bruteForceTopK]] (anchors broadcast, corpus streams
+    * once, WindowGroupLimit top-k, (cosine DESC, id) tie-break), with
+    * the label predicate pushed below the window so skipped pairs cost
+    * one codegen'd comparison, not a cosine.
+    * Output: (anchor_id, negative_id, cosine, rank). */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"), col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("negative_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"), col(labelCol).as("__cl"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("negative_id"))
+    c.crossJoin(broadcast(a))
+      .where(col("__cl") =!= col("__ql"))
+      .withColumn("cosine",
+        round(cosinePrenormed(col("__qv"), col("__cv"), col("__qn"), col("__cn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("anchor_id", "negative_id", "cosine", "rank")
+  }
+
   /** Coarse LSH bucket key: sign bits of the first `dims` vector
     * components, e.g. "+-+-". element_at is 1-based (parity with SQL). */
   def signBucket(vec: Column, dims: Int = 4): Column =

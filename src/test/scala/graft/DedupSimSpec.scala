@@ -291,6 +291,20 @@ class DedupSimSpec extends SparkSpec {
     assert(out.sortBy(_._1).map(_._2).toSeq == Seq(2L, 5L))
   }
 
+  test("hardNegatives: only different-label vectors rank, nearest first " +
+    "(sim10)") {
+    val labeled = vecs.withColumn("label",
+      when($"vec_id".isin(1L, 2L, 5L), 0).otherwise(1))
+    val out = Similarity.hardNegatives(
+      labeled.where($"vec_id" === 1), labeled, "vec_id", "embedding",
+      "label", k = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("negative_id")))
+      .sortBy(_._1).map(_._2).toSeq
+    // same-label 2 and 5 excluded; among label-1: orthogonal 3 (cos 0)
+    // beats opposite 4 (cos −1)
+    assert(out == Seq(3L, 4L))
+  }
+
   test("signLshTopK searches only matching sign buckets (sim2)") {
     val out = Similarity.signLshTopK(
       vecs.where($"vec_id" === 1), vecs, "vec_id", "embedding", k = 5)

@@ -74,6 +74,32 @@ class EventsSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("countAnomalies: flat history scores a spike; partial windows " +
+    "and flat windows are null") {
+    // type A: 1/day for 7 days then a 10-count spike on day 8
+    val rows = (1 to 7).map(d =>
+      (d.toLong, 9L, ts(f"2024-01-0$d 12:00:00"), "A")) ++
+      (100L to 109L).map(i => (i, 9L, ts("2024-01-08 12:00:00"), "A"))
+    val log = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.countAnomalies(log, window = 7)
+      .collect().map(r => r.getDate(1).toString ->
+        (Option(r.get(5)), r.getBoolean(6))).toMap
+    assert(out("2024-01-07")._1 == None) // flat window: σ = 0 → null z
+    assert(!out("2024-01-07")._2)
+    // day 8 window = [1,1,1,1,1,1,10]: mean 16/7, σ = stddev_samp
+    val cnts = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 10.0)
+    val mu = BigDecimal(cnts.sum / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd = BigDecimal(math.sqrt(
+      cnts.map(c => math.pow(c - cnts.sum / 7, 2)).sum / 6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = BigDecimal((10.0 - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("2024-01-08") == ((Some(z), z >= 2.0)))
+    assert(out("2024-01-03")._1 == None) // partial window
+    intercept[ParameterError] { Events.countAnomalies(log, 1) }
+  }
+
   test("transitions: per-user consecutive bigrams with deterministic " +
     "tie order") {
     val t = Events.transitions(log, topK = 10)
