@@ -1377,5 +1377,90 @@ object Oracles {
          |  + turnover * 0.0001 AS commission
          |FROM trn""".stripMargin,
 
+    // signal eval: per-date Spearman IC of close vs 1-day forward
+    // return — exact HUGEINT sums over doubled average ranks (ties
+    // share), one double division per date, −0.0 normalized
+    "ic1_spearman" ->
+      s"""WITH $panelCte,
+         |fwd AS (
+         |  SELECT sid, date, close,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |b AS (SELECT * FROM fwd WHERE f IS NOT NULL),
+         |r AS (
+         |  SELECT date,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+         |      + count(*) OVER (PARTITION BY date, close) - 1 AS HUGEINT) AS rx,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY f)
+         |      + count(*) OVER (PARTITION BY date, f) - 1 AS HUGEINT) AS ry
+         |  FROM b),
+         |st AS (
+         |  SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |         sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+         |  FROM r GROUP BY date)
+         |SELECT date, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS ic
+         |FROM st""".stripMargin,
+
+    // signal eval: quintile-portfolio mean forward return per date —
+    // ntile over (close, sid), exact pico mean per bucket
+    "ic2_quantile_returns" ->
+      s"""WITH $panelCte,
+         |fwd AS (
+         |  SELECT sid, date, close,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |b AS (SELECT * FROM fwd WHERE f IS NOT NULL),
+         |q AS (
+         |  SELECT date,
+         |    ntile(5) OVER (PARTITION BY date ORDER BY close, sid) AS bin,
+         |    CAST(round(f * 1e12) AS HUGEINT) AS fp
+         |  FROM b)
+         |SELECT date, bin, count(*) AS n,
+         |  round(CAST(sum(fp) AS DOUBLE) / count(*) / 1e12, 6) + 0.0 AS mean_fwd
+         |FROM q GROUP BY date, bin""".stripMargin,
+
+    // M2 gbt: additive raw scores — base 0.25 + 0.5·(tree on close<30000
+    // + tree on close<15000); all constants dyadic, so literal CASE
+    // arithmetic reproduces the JVM sums bit-for-bit
+    "ml10_gbt" ->
+      s"""WITH $panelCte
+         |SELECT sid, date,
+         |  CAST(CASE WHEN NOT (close < 30000) THEN 0.625
+         |            WHEN NOT (close < 15000) THEN 0.0 ELSE 0.3125 END AS DOUBLE)
+         |    AS prediction,
+         |  CAST((CASE WHEN NOT (close < 30000) THEN 0.625
+         |             WHEN NOT (close < 15000) THEN 0.0 ELSE 0.3125 END) < 0.5 AS INT)
+         |    AS signal
+         |FROM panel""".stripMargin,
+
+    // active-return summary vs the benchmark joint series: annualized
+    // mean excess, tracking error, information ratio (6dp; sqrt is
+    // IEEE-exact so both engines agree on √252)
+    "perf_active" ->
+      s"""WITH $perfRetCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
+         |bf AS (
+         |  SELECT d.date,
+         |    last_value(bcl.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bcl ON d.date = bcl.date),
+         |br AS (
+         |  SELECT date, coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS b
+         |  FROM bf),
+         |j AS (SELECT ret.date, r - b AS a FROM ret JOIN br ON ret.date = br.date),
+         |st AS (
+         |  SELECT count(*) AS n_days, avg(a) AS mu, stddev_samp(a) AS sd FROM j)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(mu * 252, 6) + 0.0 AS active_return_ann,
+         |  round(sd * sqrt(252), 6) AS tracking_error,
+         |  round(CASE WHEN sd <> 0 THEN mu / sd * sqrt(252) END, 6) + 0.0
+         |    AS info_ratio
+         |FROM st""".stripMargin,
+
   )
 }

@@ -1171,6 +1171,56 @@ object Queries {
           date_format(col("ts"), "HH").as("time"))
         .agg(max(cents(col("value"))).cast("double").as("close"))
       Backtest.run(EventIntraday, panel)
-    })
+    }),
+
+    // ---- signal eval: per-date Spearman IC of price level vs 1-day
+    // forward return (exact decimal rank sums; one double division/date)
+    "ic1_spearman" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val withFwd = graft.perf.Signals.withForwardReturn(
+        supplierPanel(s, dir), horizon = 1)
+      graft.perf.Signals.infoCoefficient(
+        withFwd, col("close"), col("fwd_return"))
+    }),
+
+    // ---- signal eval: quintile-portfolio mean forward returns per date
+    // (ntile with sid tiebreak; exact pico mean per bucket)
+    "ic2_quantile_returns" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val withFwd = graft.perf.Signals.withForwardReturn(
+        supplierPanel(s, dir), horizon = 1)
+      graft.perf.Signals.quantileReturns(
+        withFwd, col("close"), col("fwd_return"), q = 5, tiebreak = col("sid"))
+    }),
+
+    // ---- M2: gradient-boosted trees via ModelPredictor.load("gbt") —
+    // additive raw scores (base + lr·Σ leaves); all constants dyadic so
+    // the JVM sums and the oracle's literal CASE agree bit-for-bit ----
+    "ml10_gbt" -> ((s, dir) => {
+      val json =
+        """{"modelType":"gbt","learningRate":0.5,"baseScore":0.25,"trees":[[
+          |{"feature":0,"threshold":0.5,"left":1,"right":2},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.5]},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[-0.75]}],[
+          |{"feature":1,"threshold":0.5,"left":1,"right":2},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.25]},
+          |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.875]}]]}"""
+          .stripMargin.replace("\n", "")
+      val tmp = java.nio.file.Files.createTempFile("graft_model", ".json")
+      java.nio.file.Files.writeString(tmp, json)
+      val predictor = graft.ml.ModelPredictor.load(s, tmp.toString)
+      val withF = supplierPanel(s, dir)
+        .withColumn("f1", (col("close") < 30000).cast("double"))
+        .withColumn("f2", (col("close") < 15000).cast("double"))
+      val assembled = graft.ml.Features.assemble(withF, Seq("f1", "f2"))
+      predictor.predict(assembled)
+        .select(col("sid"), col("date"), col("prediction"),
+          (col("prediction") < 0.5).cast("int").as("signal"))
+    }),
+
+    // ---- active-return summary vs the benchmark: annualized active
+    // return, tracking error, information ratio (one joint per-date pass)
+    "perf_active" -> ((s, dir) =>
+      graft.perf.Performance.activeStats(benchmarkedMelt(s, dir)))
   )
 }

@@ -557,6 +557,30 @@ object TextOracles {
         |        ELSE 0.0::DOUBLE END, 6) AS rate
         |FROM w""".stripMargin,
 
+    // temperature-scaled mixture: q ∝ share^0.3, max-retention rates
+    // r = (share^(α−1)) / max(share^(α−1)); pow noise is sub-6dp
+    "sp7_temperature" ->
+      """WITH tok AS (
+        |  SELECT source AS stratum,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT stratum, tokens,
+        |    tokens::DOUBLE / CAST(sum(tokens) OVER () AS BIGINT) AS share
+        |  FROM tok),
+        |p AS (
+        |  SELECT stratum, tokens, share,
+        |    CASE WHEN tokens > 0 THEN pow(share, 0.3) END AS qa,
+        |    CASE WHEN tokens > 0 THEN pow(share, 0.3 - 1) END AS wt
+        |  FROM w)
+        |SELECT stratum, tokens,
+        |  round(share, 6) AS share,
+        |  round(coalesce(qa / sum(qa) OVER (), 0.0), 6) AS target_share,
+        |  round(coalesce(wt / max(wt) OVER (), 0.0), 6) AS rate
+        |FROM p""".stripMargin,
+
     // hash-unit = first 8 md5 hex chars of (seed|id) scaled by 2^-32 —
     // engine-independent, so membership reproduces bit-for-bit
     // k lowest (md5(seed|id), id) rows per stratum

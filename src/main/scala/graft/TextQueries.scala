@@ -197,6 +197,12 @@ object TextQueries {
         targets = Map("src0" -> 0.30, "src1" -> 0.20),
         defaultTarget = 0.5 / 18)),
 
+    // temperature-scaled (α-sampling) mixture rates: target mix derived
+    // from the observed shares q ∝ p^α, max-retention rates
+    "sp7_temperature" -> ((s, dir) =>
+      Sampling.temperatureRates(t(s, dir, "documents"), "source",
+        TextAnalysis.tokenCount(col("text")), alpha = 0.3)),
+
     // corpus-health report: per-(language, source) doc counts, token
     // mass, Gopher-keep rate, and mean quality — the dashboard every
     // curation run publishes; integer sums + micro-quantized quality

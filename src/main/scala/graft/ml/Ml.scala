@@ -367,6 +367,39 @@ final case class ForestModel(trees: Array[DecisionTreeModel], classes: Seq[Long]
   }
 }
 
+/** Gradient-boosted tree ensemble — sklearn `GradientBoosting*` /
+  * XGBoost-style additive model: raw score = baseScore + learningRate ·
+  * Σ per-tree raw leaf values. Boosting trees carry 1-wide REGRESSION
+  * leaves (each fits residuals), unlike [[ForestModel]]'s per-class
+  * count leaves — mixed widths are a construction error, not a per-row
+  * surprise. `logistic=true` squashes the raw score through a sigmoid
+  * (binary GradientBoostingClassifier `predict_proba` → P(class=1));
+  * either way the output is 1-wide, so [[OpaquePredictor]] squeezes it
+  * (ml.py:491-509's 1-column branch). */
+final case class GbtModel(
+    trees: Array[DecisionTreeModel],
+    learningRate: Double = 1.0,
+    baseScore: Double = 0.0,
+    logistic: Boolean = false)
+    extends OpaqueModel {
+  require(trees.nonEmpty, "gbt model must have at least one tree")
+  require(
+    trees.forall(t =>
+      t.features.indices.forall(i => t.features(i) >= 0 || t.values(i).length == 1)),
+    "gbt trees must carry 1-wide regression leaves (raw additive scores, " +
+      "not per-class counts)")
+  def classes: Seq[Long] = Nil
+  def scores(x: Array[Double]): Array[Double] = {
+    var raw = baseScore
+    var t = 0
+    while (t < trees.length) {
+      raw += learningRate * trees(t).scores(x)(0)
+      t += 1
+    }
+    Array(if (logistic) 1.0 / (1.0 + math.exp(-raw)) else raw)
+  }
+}
+
 /** M2 opaque-model predictor: appends `prediction` via a typed
   * `Dataset.mapPartitions` (stays in the Tungsten pipeline via a Row
   * encoder — no RDD drop-out). Multi-class score vectors collapse per
@@ -406,9 +439,11 @@ final case class OpaquePredictor(model: OpaqueModel) extends PanelPredictor {
   * object graphs; a declarative spec is the portable equivalent).
   *
   * Spec (one JSON object): `modelType` of `linear` | `logistic` |
-  * `tree`; linear/logistic carry `weights` + `intercept`; `tree`
-  * carries parallel node arrays + `classes`. The file is tiny and read
-  * driver-side through `spark.read.json` with an explicit schema. */
+  * `tree` | `forest` | `gbt`; linear/logistic carry `weights` +
+  * `intercept`; `tree` carries parallel node arrays + `classes`;
+  * `forest`/`gbt` carry `trees` (gbt adds `learningRate`, `baseScore`,
+  * `logistic`). The file is tiny and read driver-side through
+  * `spark.read.json` with an explicit schema. */
 object ModelPredictor {
   import org.apache.spark.sql.SparkSession
 
@@ -425,6 +460,9 @@ object ModelPredictor {
       .add("classes", ArrayType(LongType))
       .add("nodes", ArrayType(nodeType))
       .add("trees", ArrayType(ArrayType(nodeType)))
+      .add("learningRate", DoubleType)
+      .add("baseScore", DoubleType)
+      .add("logistic", BooleanType)
     val row = spark.read.schema(schema).json(path).head()
     row.getString(0) match {
       case "linear" =>
@@ -439,6 +477,14 @@ object ModelPredictor {
         val trees = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](5)
           .map(t => treeFromRows(t.toSeq, classes)).toArray
         OpaquePredictor(ForestModel(trees, classes))
+      case "gbt" =>
+        val trees = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](5)
+          .map(t => treeFromRows(t.toSeq, Nil)).toArray
+        OpaquePredictor(GbtModel(
+          trees,
+          learningRate = if (row.isNullAt(6)) 1.0 else row.getDouble(6),
+          baseScore = if (row.isNullAt(7)) 0.0 else row.getDouble(7),
+          logistic = !row.isNullAt(8) && row.getBoolean(8)))
       case other =>
         throw new ParameterError(s"unknown modelType: $other")
     }

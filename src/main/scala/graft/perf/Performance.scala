@@ -505,4 +505,34 @@ object Performance {
           .as("sharpe"),
         round(col("__mdd"), 6).as("max_drawdown"))
   }
+
+  /** Active-return one-row summary vs the melt's `Benchmark` rows: the
+    * benchmark-relative COUNTERPART of [[vsBenchmark]] (beta/alpha view)
+    * — annualized active return (mean excess × periodsPerYear), tracking
+    * error (stddev of excess × √periodsPerYear), and information ratio
+    * (their per-period ratio). Same shape as [[vsBenchmark]]: the ONE
+    * [[benchmarkJoined]] per-date pass feeds a single bounded
+    * aggregation; 6dp rounding absorbs the unordered avg/stddev
+    * accumulation ulps (the vsBenchmark precedent). Null TE/IR on a
+    * single-day series (stddev_samp undefined) or flat excess (IR only). */
+  def activeStats(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    benchmarkJoined(results, dateCol)
+      .select((col("return") - col("bench_return")).as("__a"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        avg(col("__a")).as("__mu"),
+        stddev_samp(col("__a")).as("__sd"))
+      .select(
+        col("n_days"),
+        // + 0.0 normalizes IEEE −0.0 (the rollingBeta lesson)
+        (round(col("__mu") * periodsPerYear, 6) + 0.0).as("active_return_ann"),
+        round(col("__sd") * math.sqrt(periodsPerYear.toDouble), 6)
+          .as("tracking_error"),
+        (round(when(col("__sd") =!= 0,
+          col("__mu") / col("__sd") * math.sqrt(periodsPerYear.toDouble)), 6) + 0.0)
+          .as("info_ratio"))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.perf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** Pre-backtest signal evaluation — the alphalens-style questions a user
+  * asks of `prices_to_signals` output BEFORE committing to a full
+  * backtest: does the signal rank-order forward returns (information
+  * coefficient), and do the top quantiles outperform the bottom
+  * (quantile portfolio returns)? The reference leaves this to pandas
+  * notebooks over the panel; at 100 TB the panel never fits one node,
+  * so both measures are expressed as per-date-slot windows + one hash
+  * aggregation — the cross-sectional family's plan shape
+  * (`Panel.perDateRankAvg`), no joins beyond what the panel already has.
+  *
+  * Determinism: ranks are exact integers (2× the average tie rank), so
+  * every Spearman sum is an exact decimal(38,0) accumulation — the
+  * engine-order-dependent part is ONE double division per date, rounded
+  * to 6dp. Forward returns are per-row IEEE ratios (bit-deterministic).
+  */
+object Signals {
+
+  /** h-period forward return per sid: price(t+h)/price(t) − 1 via a lead
+    * window over the sid ordering — the label the signal is evaluated
+    * against. Null on the last h bars of each sid (pandas shift(-h)
+    * stance: no wraparound, no zero-fill). */
+  def withForwardReturn(
+      df: DataFrame,
+      horizon: Int,
+      priceCol: String = "close",
+      outCol: String = "fwd_return")(implicit k: Keys): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    df.withColumn(outCol,
+      lead(col(priceCol), horizon).over(k.bySid) / col(priceCol) - 1)
+  }
+
+  /** Doubled average rank (ties share): 2·rank + tie_count − 1 is an
+    * exact INTEGER even for shared ranks — the Spearman sums over it are
+    * order-free exact arithmetic. Nulls rank last and get no rank
+    * (the [[Panel.perDateRankAvg]] stance). */
+  private def rank2x(c: Column)(implicit k: Keys): Column = {
+    val ordered = Window.partitionBy(k.slotCols.map(col): _*).orderBy(c.asc_nulls_last)
+    val ties = Window.partitionBy((k.slotCols.map(col) :+ c): _*)
+    when(c.isNotNull,
+      lit(2L) * rank().over(ordered) + count(lit(1)).over(ties) - 1L)
+  }
+
+  /** Per-date Spearman information coefficient of `signal` vs `fwd`:
+    * Pearson correlation of the within-date average ranks, from EXACT
+    * decimal(38,0) rank sums (n·Σxy − Σx·Σy over integer doubled ranks —
+    * immune to accumulation order at any cross-section width; a long
+    * accumulator would wrap near n ≈ 10⁶ sids/date since the sums grow
+    * ∝ 4n³). Rows where either side is null are excluded (pandas
+    * `corr` pairwise-complete stance); ic is null when n < 2 or either
+    * side is flat (zero rank variance). Output (date, n, ic) with ic
+    * rounded to 6dp — the one double division per date is the only
+    * engine-noise site.
+    *
+    * Plan: two rank windows over the date slot (the cross-sectional
+    * family's one exchange) + ONE hash aggregation per date. No joins,
+    * no global sort — scales with the panel scan. */
+  def infoCoefficient(
+      df: DataFrame,
+      signal: Column,
+      fwd: Column)(implicit k: Keys): DataFrame = {
+    val both = df.where(signal.isNotNull && fwd.isNotNull)
+    val dec = "decimal(38,0)"
+    val ranked = both
+      .withColumn("__rx", rank2x(signal).cast(dec))
+      .withColumn("__ry", rank2x(fwd).cast(dec))
+    ranked
+      .groupBy(k.slotCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"),
+        sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+      .select(
+        (k.slotCols.map(col) :+ col("n") :+ {
+          val n = col("n").cast(dec)
+          val covN = n * col("__sxy") - col("__sx") * col("__sy")
+          val vxN = n * col("__sxx") - col("__sx") * col("__sx")
+          val vyN = n * col("__syy") - col("__sy") * col("__sy")
+          // + 0.0 normalizes IEEE −0.0 (the rollingBeta lesson)
+          (round(
+            when(col("n") >= 2 && vxN =!= 0 && vyN =!= 0,
+              covN.cast("double") /
+                sqrt(vxN.cast("double") * vyN.cast("double"))), 6) + 0.0).as("ic")
+        }): _*)
+  }
+
+  /** Per-(date, quantile-bin) mean forward return: bin the signal into q
+    * cross-sectional buckets ([[Panel.quantileBin]] — explicit tiebreak
+    * so ntile is deterministic) and average the forward return per
+    * bucket as an exact integer pico sum ÷ count (order-free; the
+    * per-row pico scaling of an IEEE ratio is bit-deterministic).
+    * Long-the-top-short-the-bottom spread is `mean_fwd[q] −
+    * mean_fwd[1]` downstream. Null-forward rows (the last h bars) are
+    * excluded BEFORE binning so partial dates don't skew bucket sizes.
+    * Output (date, bin, n, mean_fwd) with mean_fwd rounded to 6dp.
+    *
+    * Plan: one ntile window over the date slot + ONE hash aggregation —
+    * (dates × q) result rows, no joins. */
+  def quantileReturns(
+      df: DataFrame,
+      signal: Column,
+      fwd: Column,
+      q: Int,
+      tiebreak: Column)(implicit k: Keys): DataFrame = {
+    require(q >= 2, s"need at least 2 quantile bins: $q")
+    df.where(signal.isNotNull && fwd.isNotNull)
+      .withColumn("__bin", Panel.quantileBin(signal, q, tiebreak))
+      .withColumn("__fp", round(fwd * 1e12).cast("decimal(38,0)"))
+      // long bin: Spark's ntile is INT, most SQL engines' is BIGINT —
+      // emit the wider type so results compare schema-identical
+      .groupBy((k.slotCols.map(col) :+ col("__bin").cast("long").as("bin")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__fp")).as("__s"))
+      .withColumn("mean_fwd",
+        round(col("__s").cast("double") / col("n") / 1e12, 6) + 0.0)
+      .drop("__s")
+  }
+}

@@ -258,4 +258,48 @@ object Sampling {
             .when(col("__target") > 0, 1.0)
             .otherwise(0.0), 6).as("rate"))
   }
+
+  /** Temperature-scaled mixture rates (the mC4/mT5 α-sampling rule,
+    * Raffel 2020 §3.4.3 / UniMax motivation): instead of explicit
+    * targets, the target mix is DERIVED from the observed token shares —
+    * q_i ∝ p_i^α — which up-weights small strata for α < 1 (α = 1 keeps
+    * the natural mix, α = 0 is uniform). Retention rates follow the
+    * [[mixtureRates]] max-retention rule: r_i = (q_i/p_i) / max_j
+    * (q_j/p_j) = (p_i/p_b)^(α−1) where b is the binding stratum (the
+    * smallest share when α < 1, the largest when α > 1), so the binding
+    * stratum keeps everything and no rate exceeds 1.
+    *
+    * Same plan as [[mixtureRates]]: one hash aggregation to per-stratum
+    * token mass, then a bounded (≤ |strata| rows) window pass — nothing
+    * data-volume is sorted or joined. `share`, `target_share` (the
+    * α-scaled mix the rates realize) and `rate` rounded to 6dp: `pow`
+    * is the one libm-dependent site, and its cross-engine noise is ulps,
+    * not 1e-6s. Empty strata (0 tokens) rate 0 and are excluded from
+    * the binding max — pow(0, α−1) would be ∞ for α < 1. */
+  def temperatureRates(
+      df: DataFrame,
+      stratumCol: String,
+      tokensCol: Column,
+      alpha: Double): DataFrame = {
+    if (alpha < 0)
+      throw new ParameterError(s"temperature alpha must be >= 0: $alpha")
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokensCol.cast("long")).as("tokens"))
+      .withColumn("__total", sum(col("tokens")).over(all))
+      .withColumn("__share", col("tokens").cast("double") / col("__total"))
+      .withColumn("__qa", when(col("tokens") > 0, pow(col("__share"), alpha)))
+      .withColumn("__w", when(col("tokens") > 0, pow(col("__share"), alpha - 1)))
+      .select(
+        col("stratum"), col("tokens"),
+        round(col("__share"), 6).as("share"),
+        round(
+          coalesce(col("__qa") / sum(col("__qa")).over(all), lit(0.0)), 6)
+          .as("target_share"),
+        round(
+          coalesce(col("__w") / max(col("__w")).over(all), lit(0.0)), 6)
+          .as("rate"))
+  }
 }

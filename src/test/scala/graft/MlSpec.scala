@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ml.{DecisionTreeModel, Features, ForestModel, LinearPredictor, MLStrategy, ModelPredictor, OpaquePredictor, PanelPredictor}
+import graft.ml.{DecisionTreeModel, Features, ForestModel, GbtModel, LinearPredictor, MLStrategy, ModelPredictor, OpaquePredictor, PanelPredictor}
 import graft.panel.Panel
 import graft.pipeline.Backtest
 
@@ -285,5 +285,53 @@ class MlSpec extends SparkSpec {
     assert(m.getAs[Double]("r2") == 0.15625)
     val const = Seq((1.0, 2.0), (2.0, 2.0)).toDF("prediction", "label")
     assert(graft.ml.Evaluation.regressionMetrics(const).head.isNullAt(3))
+  }
+
+  test("GbtModel: additive raw scores, sigmoid squash, leaf-width guard (ml10)") {
+    def stump(left: Double, right: Double) =
+      DecisionTreeModel(
+        features = Array(0, -1, -1), thresholds = Array(0.5, 0.0, 0.0),
+        lefts = Array(1, -1, -1), rights = Array(2, -1, -1),
+        values = Array(Array.empty, Array(left), Array(right)),
+        classes = Nil)
+    // raw = 0.25 + 0.5·(t0 + t1): x=0 → 0.25+0.5·(0.5+0.25)=0.625
+    val gbt = GbtModel(Array(stump(0.5, -0.75), stump(0.25, 0.875)),
+      learningRate = 0.5, baseScore = 0.25)
+    assert(gbt.scores(Array(0.0)).toSeq == Seq(0.625))
+    assert(gbt.scores(Array(1.0)).toSeq == Seq(0.25 + 0.5 * (-0.75 + 0.875)))
+    // logistic: sigmoid of the same raw score (predict_proba P(class=1))
+    val cls = gbt.copy(logistic = true)
+    assert(cls.scores(Array(0.0)).toSeq == Seq(1.0 / (1.0 + math.exp(-0.625))))
+    // per-class count leaves are a forest shape, not a gbt shape — loud
+    val wide = DecisionTreeModel(
+      features = Array(-1), thresholds = Array(0.0),
+      lefts = Array(-1), rights = Array(-1),
+      values = Array(Array(1.0, 2.0)), classes = Seq(0L, 1L))
+    intercept[IllegalArgumentException](GbtModel(Array(wide)))
+  }
+
+  test("ModelPredictor loads a gbt spec; defaults lr=1, base=0, raw output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gbt_spec")
+    val p = dir.resolve("gbt.json")
+    java.nio.file.Files.writeString(p,
+      """{"modelType":"gbt","trees":[[
+        |{"feature":0,"threshold":0.5,"left":1,"right":2},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[1.5]},
+        |{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[-2.0]}]]}"""
+        .stripMargin.replace("\n", ""))
+    val gbt = ModelPredictor.load(spark, p.toString)
+    val raw = gbt.predict(Seq(Seq(0.0), Seq(1.0)).toDF("features"))
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(raw == Seq(1.5, -2.0))
+    // logistic spec: P(class=1) through the sigmoid
+    val p2 = dir.resolve("gbt_cls.json")
+    java.nio.file.Files.writeString(p2,
+      """{"modelType":"gbt","learningRate":2.0,"baseScore":1.0,"logistic":true,
+        |"trees":[[{"feature":-1,"threshold":0.0,"left":-1,"right":-1,"value":[0.5]}]]}"""
+        .stripMargin.replace("\n", ""))
+    val cls = ModelPredictor.load(spark, p2.toString)
+    val probas = cls.predict(Seq(Seq(0.0)).toDF("features"))
+      .select("prediction").collect().map(_.getDouble(0)).toSeq
+    assert(probas == Seq(1.0 / (1.0 + math.exp(-2.0))))
   }
 }

@@ -85,6 +85,31 @@ class PackingRetrievalSpec extends SparkSpec {
     assert(rates("a")._3 == 0.1 && rates("b")._3 == 0.9)
   }
 
+  test("temperature rates: α-scaled target mix, binding stratum keeps all, " +
+    "α=1 is the natural mix, empty stratum rate 0 (sp7)") {
+    // direct token counts per stratum: a 90, b 10, c 0 (empty docs)
+    val df = Seq(("a", 90L), ("b", 10L), ("c", 0L)).toDF("source", "n")
+    val half = Sampling.temperatureRates(df, "source", col("n"), alpha = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(half("a")._3 == 0.9 && half("b")._3 == 0.1 && half("c")._3 == 0.0)
+    // q ∝ √p: √0.9/(√0.9+√0.1) = 3/4 exactly (√0.9 = 3√0.1 in reals;
+    // float noise is sub-6dp)
+    assert(half("a")._4 == 0.75 && half("b")._4 == 0.25 && half("c")._4 == 0.0)
+    // w = p^(α−1): smallest nonzero share binds → b keeps everything,
+    // a keeps (0.1/0.9)^0.5 = 1/3
+    assert(half("b")._5 == 1.0)
+    assert(half("a")._5 == 0.333333)
+    assert(half("c")._5 == 0.0)
+    // α = 1: natural mix, every stratum keeps everything
+    val nat = Sampling.temperatureRates(df, "source", col("n"), alpha = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(nat("a")._4 == 0.9 && nat("a")._5 == 1.0 && nat("b")._5 == 1.0)
+    intercept[ParameterError](
+      Sampling.temperatureRates(df, "source", col("n"), alpha = -0.1))
+  }
+
   test("tfidf: tf, df, the Salton weight, and the minDf prune (ir2)") {
     val docs = Seq(
       (1L, "apple banana apple"), (2L, "banana cherry"),

@@ -161,6 +161,41 @@ class PerfSpec extends SparkSpec {
     assert(s.getAs[Double]("correlation") == 1.0)
   }
 
+  test("activeStats: annualized active return, tracking error, info ratio; " +
+    "null TE/IR on one day, null IR on flat excess") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // excess = r − b: 0.5 then 1.0 (both exactly representable)
+    val melt = Seq(
+      ("A", "2024-01-01", "Return", 0.75), ("1", "2024-01-01", "Benchmark", 0.25),
+      ("A", "2024-01-02", "Return", 1.25), ("1", "2024-01-02", "Benchmark", 0.25))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.activeStats(melt).head
+    val mu = 0.75 // mean(0.5, 1.0)
+    val sd = math.sqrt(0.125) // stddev_samp
+    assert(s.getAs[Long]("n_days") == 2L)
+    assert(s.getAs[Double]("active_return_ann") == r6(mu * 252))
+    assert(s.getAs[Double]("tracking_error") == r6(sd * math.sqrt(252.0)))
+    assert(s.getAs[Double]("info_ratio") == r6(mu / sd * math.sqrt(252.0)))
+    // single day: stddev_samp undefined → null TE and IR
+    val one = Performance.activeStats(melt.where($"date" === "2024-01-01")).head
+    assert(one.getAs[Long]("n_days") == 1L)
+    assert(one.isNullAt(2) && one.isNullAt(3))
+    // constant excess → TE 0, IR null (not ±Infinity)
+    val flat = Seq(
+      ("A", "2024-01-01", "Return", 0.75), ("1", "2024-01-01", "Benchmark", 0.25),
+      ("A", "2024-01-02", "Return", 0.75), ("1", "2024-01-02", "Benchmark", 0.25))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val f = Performance.activeStats(flat).head
+    assert(f.getAs[Double]("tracking_error") == 0.0)
+    assert(f.isNullAt(3))
+    // one-pass lineage: no self-join of the melt
+    val plan = Performance.activeStats(melt).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("vsBenchmark derives the melt lineage once: one-pass conditional " +
     "aggregation, no self-join (the perf_benchmark 3.7x regression fix)") {
     val melt = Seq(

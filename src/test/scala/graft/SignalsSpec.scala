@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.panel.Panel.Keys
+import graft.perf.Signals
+
+/** Signal-evaluation goldens: Spearman IC (tie sharing, flat-side null,
+  * sign), forward returns (shift(-h) null tail), and quantile-portfolio
+  * means (deterministic ntile, null-forward exclusion). */
+class SignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val k: Keys = Keys(sid = "sid", order = Seq("date"))
+
+  test("withForwardReturn: price(t+h)/price(t) − 1 per sid, null tail") {
+    val df = Seq(
+      ("A", "2024-01-01", 100.0), ("A", "2024-01-02", 110.0),
+      ("A", "2024-01-03", 99.0), ("B", "2024-01-01", 50.0),
+      ("B", "2024-01-02", 60.0)).toDF("sid", "date", "close")
+    val out = Signals.withForwardReturn(df, horizon = 1)
+      .orderBy("sid", "date")
+      .select("sid", "fwd_return").as[(String, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("A", Some(110.0 / 100.0 - 1)), ("A", Some(99.0 / 110.0 - 1)),
+      ("A", None), ("B", Some(60.0 / 50.0 - 1)), ("B", None)))
+    // h beyond the sid's history → all null, not wraparound
+    val far = Signals.withForwardReturn(df, horizon = 5)
+    assert(far.where(col("fwd_return").isNotNull).count() == 0)
+    intercept[IllegalArgumentException](Signals.withForwardReturn(df, 0))
+  }
+
+  test("infoCoefficient: ±1 on monotone cross-sections, tie sharing golden") {
+    val df = Seq(
+      // date 1: perfectly monotone increasing → ic 1
+      ("2024-01-01", "A", 1.0, 0.01), ("2024-01-01", "B", 2.0, 0.02),
+      ("2024-01-01", "C", 3.0, 0.03), ("2024-01-01", "D", 4.0, 0.04),
+      // date 2: perfectly inverted → ic −1
+      ("2024-01-02", "A", 1.0, 0.04), ("2024-01-02", "B", 2.0, 0.03),
+      ("2024-01-02", "C", 3.0, 0.02), ("2024-01-02", "D", 4.0, 0.01),
+      // date 3: signal ties share ranks — hand-computed Spearman:
+      // x ranks (avg) = 1.5, 1.5, 3; y ranks = 1, 2, 3 →
+      // ic = 18/√(18·24) = √3/2 ≈ 0.866025
+      ("2024-01-03", "A", 1.0, 0.01), ("2024-01-03", "B", 1.0, 0.02),
+      ("2024-01-03", "C", 2.0, 0.03))
+      .toDF("date", "sid", "signal", "fwd")
+    val out = Signals.infoCoefficient(df, col("signal"), col("fwd"))
+      .orderBy("date")
+      .select("date", "n", "ic").as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 4L, Some(1.0)),
+      ("2024-01-02", 4L, Some(-1.0)),
+      ("2024-01-03", 3L, Some(0.866025))))
+  }
+
+  test("infoCoefficient: flat side → null ic; null rows excluded; n<2 → null") {
+    val df = Seq(
+      ("2024-01-01", "A", 5.0, 0.01), ("2024-01-01", "B", 5.0, 0.02),
+      ("2024-01-01", "C", 5.0, 0.03), // flat signal: zero rank variance
+      ("2024-01-02", "A", 1.0, 0.01), // singleton cross-section
+      ("2024-01-03", "A", 1.0, 0.01), ("2024-01-03", "B", 2.0, 0.02),
+      ("2024-01-03", "C", 3.0, Double.NaN))
+      .toDF("date", "sid", "signal", "fwd")
+      .withColumn("fwd", when(!isnan(col("fwd")), col("fwd")))
+    val out = Signals.infoCoefficient(df, col("signal"), col("fwd"))
+      .orderBy("date")
+      .select("date", "n", "ic").as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 3L, None),
+      ("2024-01-02", 1L, None),
+      // the C null-fwd row is excluded BEFORE ranking: remaining 2 rows
+      // are monotone → 1
+      ("2024-01-03", 2L, Some(1.0))))
+  }
+
+  test("quantileReturns: per-bin exact means, null-forward rows excluded") {
+    val rows = (1 to 10).map { i =>
+      ("2024-01-01", f"S$i%02d", i.toDouble, i / 100.0)
+    } :+ (("2024-01-01", "S11", 99.0, Double.NaN))
+    val df = rows.toDF("date", "sid", "signal", "fwd")
+      .withColumn("fwd", when(!isnan(col("fwd")), col("fwd")))
+    val out = Signals.quantileReturns(
+      df, col("signal"), col("fwd"), q = 5, tiebreak = col("sid"))
+      .orderBy("bin")
+      .select("bin", "n", "mean_fwd").as[(Long, Long, Double)].collect()
+    // 10 non-null rows → 2 per quintile; bin b holds signals 2b−1, 2b
+    assert(out.toSeq == (1 to 5).map(b =>
+      (b.toLong, 2L, ((2 * b - 1) + 2 * b) / 2.0 / 100.0)))
+    intercept[IllegalArgumentException](
+      Signals.quantileReturns(df, col("signal"), col("fwd"), 1, col("sid")))
+  }
+}
