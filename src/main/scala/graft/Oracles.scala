@@ -51,6 +51,66 @@ object Oracles {
        |      AS BIGINT) / 1e12 AS r
        |  FROM gro GROUP BY date)""".stripMargin
 
+
+  /** Shared Fama-MacBeth pass-1 SQL: per-date Cramer coefficients
+    * (the fm1 result; fm2 wraps it as a CTE). */
+  private val fmCoeffsSql =
+    s"""WITH $panelCte,
+         |pf AS (
+         |  SELECT sid, date, close,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS mom,
+         |    close / 10000.0 AS lvl,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |b AS (SELECT * FROM pf
+         |      WHERE f IS NOT NULL AND mom IS NOT NULL AND lvl IS NOT NULL),
+         |m AS (
+         |  SELECT date,
+         |    CAST(round(f * 1e6) AS HUGEINT) AS y,
+         |    CAST(round(mom * 1e6) AS HUGEINT) AS x1,
+         |    CAST(round(lvl * 1e6) AS HUGEINT) AS x2
+         |  FROM b),
+         |ag AS (
+         |  SELECT date, count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2,
+         |    sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         |    sum(y) AS sy, sum(x1*y) AS s1y, sum(x2*y) AS s2y
+         |  FROM m GROUP BY date),
+         |dd AS (
+         |  SELECT date, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+         |    CAST(s11 AS DOUBLE) AS s11d, CAST(s22 AS DOUBLE) AS s22d,
+         |    CAST(s12 AS DOUBLE) AS s12d, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd
+         |  FROM ag),
+         |cr AS (
+         |  SELECT date, n,
+         |    nd * (s11d * s22d - s12d * s12d) AS t1,
+         |    s1d * (s1d * s22d - s12d * s2d) AS t2,
+         |    s2d * (s1d * s12d - s11d * s2d) AS t3,
+         |    syd * (s11d * s22d - s12d * s12d)
+         |      - s1d * (s1yd * s22d - s12d * s2yd)
+         |      + s2d * (s1yd * s12d - s11d * s2yd) AS det_a,
+         |    nd * (s1yd * s22d - s12d * s2yd)
+         |      - syd * (s1d * s22d - s12d * s2d)
+         |      + s2d * (s1d * s2yd - s1yd * s2d) AS det_b1,
+         |    nd * (s11d * s2yd - s1yd * s12d)
+         |      - s1d * (s1d * s2yd - s1yd * s2d)
+         |      + syd * (s1d * s12d - s11d * s2d) AS det_b2
+         |  FROM dd),
+         |fx AS (
+         |  SELECT date, n, det_a, det_b1, det_b2, t1 - t2 + t3 AS det,
+         |    abs(t1) + abs(t2) + abs(t3) AS mag
+         |  FROM cr),
+         |ok AS (
+         |  SELECT *, n >= 3 AND mag > 0 AND abs(det) > mag * 1e-9 AS good
+         |  FROM fx)
+         |SELECT date, n,
+         |  round(CASE WHEN good THEN det_a / det / 1e6 END, 6) + 0.0 AS alpha,
+         |  round(CASE WHEN good THEN det_b1 / det END, 6) + 0.0 AS beta1,
+         |  round(CASE WHEN good THEN det_b2 / det END, 6) + 0.0 AS beta2
+         |FROM ok""".stripMargin
+
   /** ... plus the sign-aware running product of (1+r) and its peak. */
   private val perfPkCte =
     s"""$perfRetCte,
@@ -1436,6 +1496,108 @@ object Oracles {
          |             WHEN NOT (close < 15000) THEN 0.0 ELSE 0.3125 END) < 0.5 AS INT)
          |    AS signal
          |FROM panel""".stripMargin,
+
+    // IC time-series summary over the ic1 per-date series: exact micro
+    // re-quantization of the 6dp ICs → order-free HUGEINT sums
+    "ic3_ic_summary" ->
+      s"""WITH $panelCte,
+         |fwd AS (
+         |  SELECT sid, date, close,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |b AS (SELECT * FROM fwd WHERE f IS NOT NULL),
+         |r AS (
+         |  SELECT date,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+         |      + count(*) OVER (PARTITION BY date, close) - 1 AS HUGEINT) AS rx,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY f)
+         |      + count(*) OVER (PARTITION BY date, f) - 1 AS HUGEINT) AS ry
+         |  FROM b),
+         |st AS (
+         |  SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |         sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+         |  FROM r GROUP BY date),
+         |ic AS (
+         |  SELECT round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS ic
+         |  FROM st),
+         |mi AS (SELECT ic, CAST(round(ic * 1e6) AS HUGEINT) AS m FROM ic
+         |       WHERE ic IS NOT NULL),
+         |ag AS (
+         |  SELECT count(*) AS n, sum(m) AS s, sum(m*m) AS ss,
+         |         sum(CASE WHEN ic > 0 THEN 1 ELSE 0 END) AS hits
+         |  FROM mi),
+         |dd AS (
+         |  SELECT n, hits, CAST(n AS DOUBLE) AS nd,
+         |         CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd
+         |  FROM ag),
+         |fx AS (
+         |  SELECT n, hits, nd, sd / nd / 1e6 AS mean,
+         |         sqrt((ssd * nd - sd * sd) / (nd * (nd - 1))) / 1e6 AS std
+         |  FROM dd)
+         |SELECT CAST(n AS BIGINT) AS n_dates,
+         |  round(CASE WHEN n > 0 THEN mean END, 6) + 0.0 AS mean_ic,
+         |  round(CASE WHEN n >= 2 AND std <> 0 THEN mean / std END, 6) + 0.0
+         |    AS ic_ir,
+         |  round(CASE WHEN n >= 2 AND std <> 0 THEN mean / std * sqrt(nd) END, 6)
+         |    + 0.0 AS t_stat,
+         |  round(CASE WHEN n > 0 THEN CAST(hits AS DOUBLE) / nd END, 6) AS hit_rate
+         |FROM fx""".stripMargin,
+
+    // Fama-MacBeth pass 1: per-date OLS of fwd return on (momentum,
+    // scaled level) — HUGEINT micro moments, double Cramer with the
+    // SAME parenthesization as the Spark expression tree
+    "fm1_fama_macbeth" -> fmCoeffsSql,
+
+    // Fama-MacBeth pass 2: mean premia + t-stats over the pass-1
+    // coefficient series (micro re-quantization of the 6dp outputs)
+    "fm2_risk_premia" ->
+      s"""WITH co AS ($fmCoeffsSql),
+         |ag AS (
+         |  SELECT
+         |    count(alpha) AS na, sum(CAST(round(alpha * 1e6) AS HUGEINT)) AS s_a,
+         |    sum(CAST(round(alpha * 1e6) AS HUGEINT)
+         |      * CAST(round(alpha * 1e6) AS HUGEINT)) AS ss_a,
+         |    count(beta1) AS n1, sum(CAST(round(beta1 * 1e6) AS HUGEINT)) AS s_1,
+         |    sum(CAST(round(beta1 * 1e6) AS HUGEINT)
+         |      * CAST(round(beta1 * 1e6) AS HUGEINT)) AS ss_1,
+         |    count(beta2) AS n2, sum(CAST(round(beta2 * 1e6) AS HUGEINT)) AS s_2,
+         |    sum(CAST(round(beta2 * 1e6) AS HUGEINT)
+         |      * CAST(round(beta2 * 1e6) AS HUGEINT)) AS ss_2
+         |  FROM co),
+         |fx AS (
+         |  SELECT *,
+         |    CAST(na AS DOUBLE) AS nad, CAST(n1 AS DOUBLE) AS n1d,
+         |    CAST(n2 AS DOUBLE) AS n2d,
+         |    CAST(s_a AS DOUBLE) AS sad, CAST(ss_a AS DOUBLE) AS ssad,
+         |    CAST(s_1 AS DOUBLE) AS s1d, CAST(ss_1 AS DOUBLE) AS ss1d,
+         |    CAST(s_2 AS DOUBLE) AS s2d, CAST(ss_2 AS DOUBLE) AS ss2d
+         |  FROM ag),
+         |ms AS (
+         |  SELECT *,
+         |    sad / nad / 1e6 AS mean_a,
+         |    sqrt((ssad * nad - sad * sad) / (nad * (nad - 1))) / 1e6 AS std_a,
+         |    s1d / n1d / 1e6 AS mean_1,
+         |    sqrt((ss1d * n1d - s1d * s1d) / (n1d * (n1d - 1))) / 1e6 AS std_1,
+         |    s2d / n2d / 1e6 AS mean_2,
+         |    sqrt((ss2d * n2d - s2d * s2d) / (n2d * (n2d - 1))) / 1e6 AS std_2
+         |  FROM fx)
+         |SELECT
+         |  CAST(na AS BIGINT) AS n_alpha,
+         |  round(CASE WHEN na > 0 THEN mean_a END, 6) + 0.0 AS mean_alpha,
+         |  round(CASE WHEN na >= 2 AND std_a <> 0 THEN mean_a / std_a * sqrt(nad)
+         |        END, 6) + 0.0 AS t_alpha,
+         |  CAST(n1 AS BIGINT) AS n_beta1,
+         |  round(CASE WHEN n1 > 0 THEN mean_1 END, 6) + 0.0 AS mean_beta1,
+         |  round(CASE WHEN n1 >= 2 AND std_1 <> 0 THEN mean_1 / std_1 * sqrt(n1d)
+         |        END, 6) + 0.0 AS t_beta1,
+         |  CAST(n2 AS BIGINT) AS n_beta2,
+         |  round(CASE WHEN n2 > 0 THEN mean_2 END, 6) + 0.0 AS mean_beta2,
+         |  round(CASE WHEN n2 >= 2 AND std_2 <> 0 THEN mean_2 / std_2 * sqrt(n2d)
+         |        END, 6) + 0.0 AS t_beta2
+         |FROM ms""".stripMargin,
 
     // active-return summary vs the benchmark joint series: annualized
     // mean excess, tracking error, information ratio (6dp; sqrt is

@@ -1221,6 +1221,43 @@ object Queries {
     // ---- active-return summary vs the benchmark: annualized active
     // return, tracking error, information ratio (one joint per-date pass)
     "perf_active" -> ((s, dir) =>
-      graft.perf.Performance.activeStats(benchmarkedMelt(s, dir)))
+      graft.perf.Performance.activeStats(benchmarkedMelt(s, dir))),
+
+    // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
+    // the ic1 per-date Spearman series (exact micro re-quantization)
+    "ic3_ic_summary" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val withFwd = graft.perf.Signals.withForwardReturn(
+        supplierPanel(s, dir), horizon = 1)
+      graft.perf.Signals.icSummary(
+        graft.perf.Signals.infoCoefficient(
+          withFwd, col("close"), col("fwd_return")))
+    }),
+
+    // ---- Fama-MacBeth pass 1: per-date cross-sectional OLS of the
+    // 1-day forward return on (1-day momentum, scaled price level) —
+    // exact micro moment sums + a Cramer solve on the bounded frame
+    "fm1_fama_macbeth" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("mom", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .withColumn("lvl", col("close") / 10000.0)
+      val withFwd = graft.perf.Signals.withForwardReturn(panel, horizon = 1)
+      graft.perf.FactorModel.crossSectionalRegression(
+        withFwd, col("fwd_return"), col("mom"), col("lvl"))
+    }),
+
+    // ---- Fama-MacBeth pass 2: mean risk premia + t-stats over the
+    // per-date coefficient series
+    "fm2_risk_premia" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("mom", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .withColumn("lvl", col("close") / 10000.0)
+      val withFwd = graft.perf.Signals.withForwardReturn(panel, horizon = 1)
+      graft.perf.FactorModel.riskPremia(
+        graft.perf.FactorModel.crossSectionalRegression(
+          withFwd, col("fwd_return"), col("mom"), col("lvl")))
+    })
   )
 }

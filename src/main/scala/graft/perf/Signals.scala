@@ -95,6 +95,38 @@ object Signals {
         }): _*)
   }
 
+  /** Time-series summary of a per-date IC series ([[infoCoefficient]]
+    * output): mean IC, ICIR (mean/std — the signal's risk-adjusted
+    * consistency), t-stat (ICIR·√n) and hit rate (share of positive-IC
+    * dates). Null-IC dates (thin/flat cross-sections) are excluded.
+    * IC arrives 6dp-rounded, so ×1e6 re-quantization is exact and the
+    * sums accumulate order-free in decimal(38,0); one double division
+    * at the end (6dp). Bounded input (≤ one row per date) → one-row
+    * output; ICIR/t null when n < 2 or the series is flat. */
+  def icSummary(ic: DataFrame, icCol: String = "ic"): DataFrame = {
+    val dec = "decimal(38,0)"
+    val m = round(col(icCol) * 1e6).cast(dec)
+    val n = col("n_dates").cast("double")
+    val s = col("__s").cast("double"); val ss = col("__ss").cast("double")
+    val mean = s / n / 1e6
+    // sample variance: (Σx²·n − (Σx)²)/(n(n−1)) at micro scale
+    val std = sqrt((ss * n - s * s) / (n * (n - 1))) / 1e6
+    ic.agg(
+        count(col(icCol)).as("n_dates"),
+        sum(m).as("__s"),
+        sum(m * m).as("__ss"),
+        sum(when(col(icCol) > 0, 1L).otherwise(0L)).as("__hits"))
+      .select(
+        col("n_dates"),
+        (round(when(col("n_dates") > 0, mean), 6) + 0.0).as("mean_ic"),
+        (round(when(col("n_dates") >= 2 && std =!= 0.0, mean / std), 6) + 0.0)
+          .as("ic_ir"),
+        (round(when(col("n_dates") >= 2 && std =!= 0.0,
+          mean / std * sqrt(n)), 6) + 0.0).as("t_stat"),
+        round(when(col("n_dates") > 0,
+          col("__hits").cast("double") / n), 6).as("hit_rate"))
+  }
+
   /** Per-(date, quantile-bin) mean forward return: bin the signal into q
     * cross-sectional buckets ([[Panel.quantileBin]] — explicit tiebreak
     * so ntile is deterministic) and average the forward return per

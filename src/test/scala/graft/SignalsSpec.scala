@@ -73,6 +73,27 @@ class SignalsSpec extends SparkSpec {
       ("2024-01-03", 2L, Some(1.0))))
   }
 
+  test("icSummary: mean/ICIR/t/hit-rate goldens; null ICs excluded; " +
+    "flat series → null ICIR") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ic = Seq(Some(0.5), Some(-0.5), Some(0.25), None).toDF("ic")
+    val out = Signals.icSummary(ic).head
+    val mean = 0.25 / 3 // Σic / n
+    val std = math.sqrt((0.5 * 0.5 + 0.5 * 0.5 + 0.25 * 0.25 -
+      3 * mean * mean) / 2) // sample std
+    assert(out.getAs[Long]("n_dates") == 3L)
+    assert(out.getAs[Double]("mean_ic") == r6(mean))
+    assert(out.getAs[Double]("ic_ir") == r6(mean / std))
+    assert(out.getAs[Double]("t_stat") == r6(mean / std * math.sqrt(3.0)))
+    assert(out.getAs[Double]("hit_rate") == 0.666667)
+    // flat series: std 0 → ICIR/t null, mean defined
+    val flat = Signals.icSummary(Seq(0.1, 0.1, 0.1).toDF("ic")).head
+    assert(flat.getAs[Double]("mean_ic") == 0.1)
+    assert(flat.isNullAt(2) && flat.isNullAt(3))
+    assert(flat.getAs[Double]("hit_rate") == 1.0)
+  }
+
   test("quantileReturns: per-bin exact means, null-forward rows excluded") {
     val rows = (1 to 10).map { i =>
       ("2024-01-01", f"S$i%02d", i.toDouble, i / 100.0)
