@@ -1497,6 +1497,66 @@ object Oracles {
          |    AS signal
          |FROM panel""".stripMargin,
 
+    // W11: per-sid lag-1 return autocorrelation — exact HUGEINT micro
+    // moments, one double division per sid
+    "w11_autocorr" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |pr AS (
+         |  SELECT sid, ret AS yv,
+         |    lag(ret) OVER (PARTITION BY sid ORDER BY date) AS xv
+         |  FROM rr),
+         |b AS (SELECT * FROM pr WHERE yv IS NOT NULL AND xv IS NOT NULL),
+         |m AS (
+         |  SELECT sid, CAST(round(yv * 1e6) AS HUGEINT) AS y,
+         |         CAST(round(xv * 1e6) AS HUGEINT) AS x
+         |  FROM b),
+         |st AS (
+         |  SELECT sid, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+         |  FROM m GROUP BY sid)
+         |SELECT sid, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS acf
+         |FROM st""".stripMargin,
+
+    // D26: volume-share (price-impact) slippage — the Zipline model;
+    // zero/null-volume bars with turnover are charged at the limit
+    "d26_volume_slippage" ->
+      """WITH panelv AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS volume
+        |  FROM lineitem GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT sid, date, close, volume,
+        |         CAST(close < 30000 AS INT) AS signal FROM panelv),
+        |wts AS (
+        |  SELECT *, CAST(signal AS DOUBLE) /
+        |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date) <> 0
+        |          THEN sum(abs(signal)) OVER (PARTITION BY date) ELSE 1 END) AS weight
+        |  FROM sig),
+        |pos AS (
+        |  SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position
+        |  FROM wts),
+        |trn AS (
+        |  SELECT *, abs(coalesce(position, 0) -
+        |    lag(coalesce(position, 0)) OVER (PARTITION BY sid ORDER BY date)) AS turnover
+        |  FROM pos),
+        |sh AS (
+        |  SELECT *, CASE WHEN turnover = 0 OR turnover IS NULL THEN 0.0
+        |                 WHEN volume IS NULL OR volume <= 0 THEN 0.025
+        |                 ELSE least(turnover * 1000000.0 / close / volume, 0.025)
+        |            END AS vshare
+        |  FROM trn)
+        |SELECT sid, date, turnover * 0.1 * vshare * vshare AS slippage
+        |FROM sh""".stripMargin,
+
     // IC time-series summary over the ic1 per-date series: exact micro
     // re-quantization of the 6dp ICs → order-free HUGEINT sums
     "ic3_ic_summary" ->

@@ -1247,6 +1247,32 @@ object Queries {
         withFwd, col("fwd_return"), col("mom"), col("lvl"))
     }),
 
+    // ---- W11: per-sid lag-1 autocorrelation of daily returns (exact
+    // micro moment sums; the mean-reversion diagnostic)
+    "w11_autocorr" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val rets = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+      Panel.autocorrelation(rets, col("ret"), lagK = 1)
+    }),
+
+    // ---- D26: volume-share (price-impact) slippage — the published
+    // Zipline model over a volume-bearing panel
+    "d26_volume_slippage" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          sum(col("l_quantity").cast("long")).cast("double").as("volume"))
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+        .withColumn("position", Panel.lagBySid(col("weight")))
+        .withColumn("turnover", abs(Panel.diffBySid(Panel.zeroFill(col("position")))))
+      p.select(col("sid"), col("date"),
+        graft.costs.VolumeShareSlippage(nlv = 1000000.0)
+          .slippage(col("turnover"), col("position")).as("slippage"))
+    }),
+
     // ---- Fama-MacBeth pass 2: mean risk premia + t-stats over the
     // per-date coefficient series
     "fm2_risk_premia" -> ((s, dir) => {

@@ -161,6 +161,37 @@ final case class FixedSlippage(oneWaySlippage: Double = 0.0005) extends Slippage
     turnover * lit(oneWaySlippage)
 }
 
+/** Volume-share slippage — the published Zipline/Quantopian
+  * `VolumeShareSlippage` market-impact model, adapted to weight space:
+  * impact fraction = priceImpact · volumeShare², where volumeShare =
+  * min(sharesTraded / barVolume, volumeLimit) and sharesTraded is
+  * derived from the weight-space turnover (turnover·NLV / price). Cost
+  * in return space = turnover · priceImpact · volumeShare² (the same
+  * convention as [[FixedSlippage]]: a fraction of NLV per bar).
+  *
+  * A zero/null-volume bar with nonzero turnover is charged AT the
+  * volume limit — an illiquid bar is maximally impacted, not free (the
+  * silent-0.0 benchmark lesson applied to costs). Requires `price` and
+  * `volume` columns on the panel; pure per-row column algebra (no
+  * windows beyond the turnover the caller already computed). */
+final case class VolumeShareSlippage(
+    nlv: Double,
+    volumeLimit: Double = 0.025,
+    priceImpact: Double = 0.1,
+    priceCol: String = "close",
+    volumeCol: String = "volume") extends SlippageModel {
+  require(nlv > 0, s"nlv must be positive: $nlv")
+  require(volumeLimit > 0, s"volumeLimit must be positive: $volumeLimit")
+  def slippage(turnover: Column, position: Column)(implicit k: Keys): Column = {
+    val shares = turnover * lit(nlv) / col(priceCol)
+    val share =
+      when(turnover === 0 || turnover.isNull, lit(0.0))
+        .when(col(volumeCol).isNull || col(volumeCol) <= 0, lit(volumeLimit))
+        .otherwise(least(shares / col(volumeCol), lit(volumeLimit)))
+    turnover * lit(priceImpact) * share * share
+  }
+}
+
 /** D14 `IBKRBorrowFees` (slippage/borrowfee.py:37-59): short positions ×
   * 1.02 collateral × (annual fee %/100/360) × days-held, where days-held
   * counts calendar days since the previous bar (weekends assessed ×3,

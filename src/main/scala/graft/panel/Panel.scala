@@ -171,6 +171,51 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** Per-sid lag-`lagK` autocorrelation of `value`: Pearson corr of
+    * (value_t, value_{t−lagK}) over each sid's ordered series — the
+    * mean-reversion/momentum diagnostic run before trusting a lag-based
+    * signal. Rows where either side is null (the first lagK bars, value
+    * gaps) are excluded pairwise.
+    *
+    * Plan: one lag window over the sid partitioning the W family
+    * already pays + ONE hash aggregation to (group, sid) — no joins, no
+    * global sort; |sids| result rows. Exactness: both sides are
+    * micro-quantized (×1e6) so the five moment sums accumulate in
+    * decimal(38,0) (order-free); one double division per sid, rounded
+    * to 6dp, −0.0-normalized; null when n < 2 or either side is flat.
+    * Output (group…, sid, n, acf). */
+  def autocorrelation(df: DataFrame, value: Column, lagK: Int)(
+      implicit k: Keys): DataFrame = {
+    require(lagK >= 1, s"lag must be >= 1: $lagK")
+    val dec = "decimal(38,0)"
+    def micro(c: Column) = round(c * 1e6).cast(dec)
+    val keyCols = (k.group :+ k.sid).map(col)
+    val paired = df
+      .withColumn("__x", lag(value, lagK).over(k.bySid))
+      .where(value.isNotNull && col("__x").isNotNull)
+      .select((keyCols :+ micro(value).as("__y") :+ micro(col("__x")).as("__x")): _*)
+    val agg = paired
+      .groupBy(keyCols: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val n = col("n").cast(dec)
+    val covN = n * col("__sxy") - col("__sx") * col("__sy")
+    val vxN = n * col("__sxx") - col("__sx") * col("__sx")
+    val vyN = n * col("__syy") - col("__sy") * col("__sy")
+    agg.select(
+      (keyCols :+ col("n") :+
+        (round(
+          when(col("n") >= 2 && vxN =!= 0 && vyN =!= 0,
+            covN.cast("double") /
+              sqrt(vxN.cast("double") * vyN.cast("double"))), 6) + 0.0)
+          .as("acf")): _*)
+  }
+
   // ---- scalar helpers (SURVEY §2.7) ----
 
   /** Guarded division: a/b where b≠0, else null — THE engine-wide ÷0

@@ -132,4 +132,27 @@ class CostsSpec extends SparkSpec {
     assert(f("FI23456", "2018-06-08") == 0.0000085) // 3× for the weekend gap
     assert(f("FI23456", "2018-06-09") == 0.000002833)
   }
+
+  test("VolumeShareSlippage: impact = turnover·k·share², capped at the " +
+    "volume limit; illiquid bars charge the limit; zero turnover free") {
+    val m = VolumeShareSlippage(nlv = 1024.0)
+    val df = Seq(
+      // (close, volume, turnover)
+      ("cap", 2.0, 1024.0, 0.5),      // share 256/1024 = 0.25 → capped 0.025
+      ("open", 2.0, 1e6, 0.5),        // share 256/1e6, uncapped
+      ("dry", 2.0, 0.0, 0.5),         // zero volume + turnover → limit
+      ("flat", 2.0, 1024.0, 0.0))     // no trade → no impact
+      .toDF("sid", "close", "volume", "turnover")
+    val out = df.select(col("sid"),
+      m.slippage(col("turnover"), lit(0.0)).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(out("cap") == 0.5 * 0.1 * 0.025 * 0.025)
+    val share = 0.5 * 1024.0 / 2.0 / 1e6
+    assert(out("open") == 0.5 * 0.1 * share * share)
+    assert(out("dry") == 0.5 * 0.1 * 0.025 * 0.025)
+    assert(out("flat") == 0.0)
+    intercept[IllegalArgumentException](VolumeShareSlippage(nlv = 0.0))
+    intercept[IllegalArgumentException](
+      VolumeShareSlippage(nlv = 1.0, volumeLimit = 0.0))
+  }
 }

@@ -159,4 +159,22 @@ class PanelSpec extends SparkSpec {
       .select(Panel.safeDiv($"a", $"b").as("q")).collect()
     assert(out(0).isNullAt(0) && out(1).getDouble(0) == 2.0)
   }
+
+  test("autocorrelation: ±1 on linear/alternating series, flat → null, " +
+    "pairless sids absent, lag guard (w11)") {
+    val df = Seq(
+      ("A", 1, 1.0), ("A", 2, 2.0), ("A", 3, 3.0), ("A", 4, 4.0), ("A", 5, 5.0),
+      ("B", 1, 1.0), ("B", 2, -1.0), ("B", 3, 1.0), ("B", 4, -1.0), ("B", 5, 1.0),
+      ("C", 1, 5.0), ("C", 2, 5.0), ("C", 3, 5.0),
+      ("D", 1, 7.0)) // a single bar has no (t, t−1) pair at all
+      .toDF("sid", "date", "v")
+    val out = Panel.autocorrelation(df, col("v"), lagK = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("A") == ((4L, Some(1.0))))   // linear ramp
+    assert(out("B") == ((4L, Some(-1.0))))  // perfect alternation
+    assert(out("C") == ((2L, None)))        // flat: zero variance
+    assert(!out.contains("D"))
+    intercept[IllegalArgumentException](Panel.autocorrelation(df, col("v"), 0))
+  }
 }
