@@ -1525,6 +1525,44 @@ object Oracles {
          |    END, 6) + 0.0 AS acf
          |FROM st""".stripMargin,
 
+    // W12: monthly OHLCV — min_by/max_by firsts/lasts, exact long volume
+    "w12_ohlcv" ->
+      """WITH panelv AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS volume
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT sid, CAST(date_trunc('month', date) AS DATE) AS bucket,
+        |  min_by(close, date) AS open, max(close) AS high, min(close) AS low,
+        |  max_by(close, date) AS close,
+        |  CAST(sum(CAST(volume AS BIGINT)) AS BIGINT) AS volume,
+        |  count(*) AS n_bars
+        |FROM panelv GROUP BY 1, 2""".stripMargin,
+
+    // back-adjustment: pico-nat-quantized ln factors, reverse running
+    // sum (same-date actions sort after the bar), exp at the bar
+    "adj1_back_adjust" ->
+      s"""WITH $panelCte,
+         |acts AS (
+         |  SELECT s_suppkey AS sid, DATE '1995-06-15' AS date,
+         |         CAST(round(ln(0.5) * 1e12) AS BIGINT) AS lq
+         |  FROM supplier WHERE s_suppkey % 7 = 0
+         |  UNION ALL
+         |  SELECT s_suppkey, DATE '1997-01-10', CAST(round(ln(2.0) * 1e12) AS BIGINT)
+         |  FROM supplier WHERE s_suppkey % 3 = 0),
+         |u AS (
+         |  SELECT sid, date, close, 0 AS tag, CAST(NULL AS BIGINT) AS lq FROM panel
+         |  UNION ALL
+         |  SELECT sid, date, NULL, 1, lq FROM acts),
+         |sc AS (
+         |  SELECT *, sum(lq) OVER (PARTITION BY sid ORDER BY date DESC, tag ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+         |  FROM u)
+         |SELECT sid, date, close,
+         |  round(exp(coalesce(ls, 0) / 1e12), 9) AS adj_factor,
+         |  round(close * round(exp(coalesce(ls, 0) / 1e12), 9), 6) AS adj_close
+         |FROM sc WHERE tag = 0""".stripMargin,
+
     // D26: volume-share (price-impact) slippage — the Zipline model;
     // zero/null-volume bars with turnover are charged at the limit
     "d26_volume_slippage" ->

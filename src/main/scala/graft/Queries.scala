@@ -1256,6 +1256,32 @@ object Queries {
       Panel.autocorrelation(rets, col("ret"), lagK = 1)
     }),
 
+    // ---- W12: OHLCV interval resampling — monthly bars via order-free
+    // min_by/max_by partial aggs (no window, no sort)
+    "w12_ohlcv" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          sum(col("l_quantity").cast("long")).cast("double").as("volume"))
+      Panel.resampleOhlcv(p,
+        to_date(date_trunc("month", col("date"))), col("close"), col("volume"))
+    }),
+
+    // ---- corporate-action back-adjustment: split/dividend factors
+    // applied to all EARLIER bars via one reverse-scan window (no joins)
+    "adj1_back_adjust" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val sup = t(s, dir, "supplier")
+      val actions = sup.where(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey").as("sid"),
+          to_date(lit("1995-06-15")).as("date"), lit(0.5).as("factor"))
+        .unionByName(sup.where(col("s_suppkey") % 3 === 0)
+          .select(col("s_suppkey").as("sid"),
+            to_date(lit("1997-01-10")).as("date"), lit(2.0).as("factor")))
+      graft.panel.Adjustments.backAdjust(supplierPanel(s, dir), actions)
+    }),
+
     // ---- D26: volume-share (price-impact) slippage — the published
     // Zipline model over a volume-bearing panel
     "d26_volume_slippage" -> ((s, dir) => {

@@ -171,6 +171,30 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** W8 companion: OHLCV interval resampling — collapse each sid's bars
+    * into `bucket`-grain bars with open = first price, high/low =
+    * max/min, close = last price, volume = summed size, n_bars. First/
+    * last are `min_by`/`max_by` over the Keys ORDER (made total by the
+    * caller's tiebreakers), so they are order-free partial aggregations
+    * — one hash agg, map-side combined, no window, no sort. Volume sums
+    * as a long (exact); prices flow through max/min untouched (no float
+    * accumulation at all). */
+  def resampleOhlcv(
+      df: DataFrame,
+      bucket: Column,
+      price: Column,
+      volume: Column)(implicit k: Keys): DataFrame = {
+    val orderKey = struct(k.order.map(col): _*)
+    df.groupBy(((k.group :+ k.sid).map(col) :+ bucket.as("bucket")): _*)
+      .agg(
+        min_by(price, orderKey).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, orderKey).as("close"),
+        sum(volume.cast("long")).as("volume"),
+        count(lit(1)).as("n_bars"))
+  }
+
   /** Per-sid lag-`lagK` autocorrelation of `value`: Pearson corr of
     * (value_t, value_{t−lagK}) over each sid's ordered series — the
     * mean-reversion/momentum diagnostic run before trusting a lag-based

@@ -177,4 +177,25 @@ class PanelSpec extends SparkSpec {
     assert(!out.contains("D"))
     intercept[IllegalArgumentException](Panel.autocorrelation(df, col("v"), 0))
   }
+
+  test("resampleOhlcv: first/last by order key regardless of row order, " +
+    "exact volume, per-bucket bounds (w12)") {
+    val bars = Seq( // deliberately shuffled input row order
+      ("A", "2024-01-20", 30.0, 5.0), ("A", "2024-01-05", 10.0, 2.0),
+      ("A", "2024-01-12", 40.0, 1.0), ("A", "2024-02-03", 7.0, 4.0),
+      ("B", "2024-01-31", 100.0, 10.0))
+      .toDF("sid", "date", "close", "volume")
+      .withColumn("date", to_date(col("date")))
+    val out = Panel.resampleOhlcv(bars,
+      to_date(date_trunc("month", col("date"))), col("close"), col("volume"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+    val a = out(("A", "2024-01-01"))
+    assert(a.getAs[Double]("open") == 10.0)   // earliest bar, not first row
+    assert(a.getAs[Double]("high") == 40.0 && a.getAs[Double]("low") == 10.0)
+    assert(a.getAs[Double]("close") == 30.0)  // latest bar
+    assert(a.getAs[Long]("volume") == 8L && a.getAs[Long]("n_bars") == 3L)
+    val feb = out(("A", "2024-02-01"))
+    assert(feb.getAs[Double]("open") == 7.0 && feb.getAs[Double]("close") == 7.0)
+    assert(out(("B", "2024-01-01")).getAs[Long]("volume") == 10L)
+  }
 }
