@@ -557,6 +557,67 @@ object TextOracles {
         |        ELSE 0.0::DOUBLE END, 6) AS rate
         |FROM w""".stripMargin,
 
+    // Unicode-script census: length-minus-stripped per literal char
+    // range (BMP only, so UTF-16 and code-point lengths agree)
+    "tx19_scripts" -> {
+      def cnt(cls: String) = s"len(t) - len(regexp_replace(t, '$cls', '', 'g'))"
+      val l = cnt("[A-Za-zÀ-ɏ]"); val c = cnt("[Ѐ-ӿ]")
+      val k = cnt("[一-鿿぀-ヿ가-힯]"); val a = cnt("[؀-ۿ]")
+      val d = cnt("[0-9]")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN ' привет мир' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' مرحبا' ELSE '' END) AS t
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, t,
+         |    CAST(len(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS n_chars,
+         |    CAST($l AS BIGINT) AS lc, CAST($c AS BIGINT) AS cc,
+         |    CAST($k AS BIGINT) AS kc, CAST($a AS BIGINT) AS ac,
+         |    CAST($d AS BIGINT) AS dc
+         |  FROM p)
+         |SELECT doc_id, n_chars,
+         |  round(CASE WHEN n_chars > 0 THEN lc::DOUBLE / n_chars ELSE 0.0 END, 6)
+         |    AS latin_frac,
+         |  round(CASE WHEN n_chars > 0 THEN cc::DOUBLE / n_chars ELSE 0.0 END, 6)
+         |    AS cyrillic_frac,
+         |  round(CASE WHEN n_chars > 0 THEN kc::DOUBLE / n_chars ELSE 0.0 END, 6)
+         |    AS cjk_frac,
+         |  round(CASE WHEN n_chars > 0 THEN ac::DOUBLE / n_chars ELSE 0.0 END, 6)
+         |    AS arabic_frac,
+         |  round(CASE WHEN n_chars > 0 THEN dc::DOUBLE / n_chars ELSE 0.0 END, 6)
+         |    AS digit_frac,
+         |  CASE WHEN lc >= cc AND lc >= kc AND lc >= ac AND lc > 0 THEN 'latin'
+         |       WHEN cc >= kc AND cc >= ac AND cc > 0 THEN 'cyrillic'
+         |       WHEN kc >= ac AND kc > 0 THEN 'cjk'
+         |       WHEN ac > 0 THEN 'arabic'
+         |       ELSE 'none' END AS dominant
+         |FROM n""".stripMargin
+    },
+
+    // signature-agreement Jaccard estimate over the dd3 candidate set:
+    // fraction of agreeing min-md5 components, exact matches/8 ratio
+    "dd20_minhash_estimate" -> {
+      val mh = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS mh$i")
+        .mkString(",\n    ")
+      val agree = (0 until 8).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |mh AS (
+         |  SELECT doc_id,
+         |    $mh
+         |  FROM sig)
+         |SELECT p.id_a, p.id_b,
+         |  ($agree) / 8.0 AS est_jaccard
+         |FROM pairs p
+         |JOIN mh a ON p.id_a = a.doc_id
+         |JOIN mh b ON p.id_b = b.doc_id""".stripMargin
+    },
+
     // temperature-scaled mixture: q ∝ share^0.3, max-retention rates
     // r = (share^(α−1)) / max(share^(α−1)); pow noise is sub-6dp
     "sp7_temperature" ->

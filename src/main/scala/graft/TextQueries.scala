@@ -203,6 +203,29 @@ object TextQueries {
       Sampling.temperatureRates(t(s, dir, "documents"), "source",
         TextAnalysis.tokenCount(col("text")), alpha = 0.3)),
 
+    // Unicode-script census: planted Cyrillic/CJK/Arabic suffixes so the
+    // oracle pins every char-range class, not just the Latin corpus
+    "tx19_scripts" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .withColumn("t", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" 你好世界")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" مرحبا")).otherwise(lit(""))))
+      val denom = TextAnalysis.nonSpaceChars(col("t"))
+      val fracs = TextAnalysis.scriptCounts(col("t")).map { case (name, cnt) =>
+        round(when(denom > 0, cnt.cast("double") / denom).otherwise(0.0), 6)
+          .as(s"${name}_frac")
+      }
+      planted.select(
+        (col("doc_id") +: denom.as("n_chars") +: fracs :+
+          TextAnalysis.dominantScript(col("t")).as("dominant")): _*)
+    }),
+
+    // verify-free near-dup scoring: signature-agreement Jaccard estimate
+    // over the LSH candidate pairs (no second text read)
+    "dd20_minhash_estimate" -> ((s, dir) =>
+      Dedup.minhashJaccardEstimates(t(s, dir, "documents"))),
+
     // corpus-health report: per-(language, source) doc counts, token
     // mass, Gopher-keep rate, and mean quality — the dashboard every
     // curation run publishes; integer sums + micro-quantized quality

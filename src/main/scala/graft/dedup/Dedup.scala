@@ -202,6 +202,71 @@ object Dedup {
       .distinct()
   }
 
+  /** Verify-FREE near-dup scoring: estimate each candidate pair's
+    * Jaccard as the fraction of agreeing MinHash signature components
+    * (E[agree] = J, Broder 1997) — the web-scale shortcut that never
+    * re-reads document text. Where [[nearDuplicates]]' verify stage
+    * re-shingles candidate docs (exact but a second text read), the
+    * estimator touches only the numHashes×32-hex signatures already
+    * computed for banding; at 100 TB that is the difference between
+    * re-scanning candidate text and joining two tiny signature columns.
+    *
+    * ONE shingle pass total: the signature aggregation (exploded
+    * min-md5, one shuffle on the id) is lazily checkpointed and feeds
+    * (a) the band melt → bucket pairs (same `maxBucket` window guard +
+    * `minhash_est_buckets` observe metric as [[minhashCandidates]]) and
+    * (b) both aliased sides of the estimate join — without the
+    * checkpoint the planner would re-run the signature pipeline 3×
+    * (the dd4 lesson). Output (id_a, id_b, est_jaccard); the estimate
+    * is an exact small-integer ratio (matches/numHashes), no rounding
+    * needed. */
+  def minhashJaccardEstimates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleSize: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 10000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val exploded = shingleRows(docs, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("__s")))).as(s"__mh$i"))
+    val sig = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .localCheckpoint(eager = false)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", slice: _*))
+    }
+    val melted = sig.select(
+      col(idCol), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
+    val pairs = melted
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bk")))
+      .observe("minhash_est_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .groupBy("__band", "__bk")
+      .agg(collect_list(col(idCol)).as("__ids"))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val a = sig.select(
+      (col(idCol).as("id_a") +:
+        (0 until numHashes).map(i => col(s"__mh$i").as(s"__a$i"))): _*)
+    val b = sig.select(
+      (col(idCol).as("id_b") +:
+        (0 until numHashes).map(i => col(s"__mh$i").as(s"__b$i"))): _*)
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
+  }
+
   /** n-gram (word-shingle) Jaccard similarity for a candidate pair —
     * |A∩B| / |A∪B| over distinct shingles. */
   def jaccard(a: Column, b: Column): Column = {

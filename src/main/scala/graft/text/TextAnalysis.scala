@@ -88,6 +88,45 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double")
         / length(text)).otherwise(0.0)
 
+  /** Unicode-script census for multilingual curation: per-script char
+    * counts over Latin / Cyrillic / CJK (Han+Kana+Hangul) / Arabic plus
+    * digits, as length-minus-stripped (both Java regex and RE2 treat the
+    * literal-range classes identically, the [[graft.text.Pii]] stance).
+    * The char ranges are BMP literals, so `length` (UTF-16 units in the
+    * JVM, code points in engines like DuckDB) counts them identically.
+    * Fractions are over NON-WHITESPACE chars, rounded 6dp; `dominant`
+    * picks the largest letter-script count with ties resolved in fixed
+    * priority order (latin > cyrillic > cjk > arabic), `none` when no
+    * scripted char appears. Pure codegen'd column algebra — one scan. */
+  private val latinClass = "[A-Za-zÀ-ɏ]"
+  private val cyrillicClass = "[Ѐ-ӿ]"
+  private val cjkClass = "[一-鿿぀-ヿ가-힯]"
+  private val arabicClass = "[؀-ۿ]"
+
+  private def classCount(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+
+  def scriptCounts(text: Column): Seq[(String, Column)] = Seq(
+    "latin" -> classCount(text, latinClass),
+    "cyrillic" -> classCount(text, cyrillicClass),
+    "cjk" -> classCount(text, cjkClass),
+    "arabic" -> classCount(text, arabicClass),
+    "digit" -> classCount(text, "[0-9]"))
+
+  def dominantScript(text: Column): Column = {
+    val m = scriptCounts(text).toMap
+    val (l, c, k, a) = (m("latin"), m("cyrillic"), m("cjk"), m("arabic"))
+    when(l >= c && l >= k && l >= a && l > 0, "latin")
+      .when(c >= k && c >= a && c > 0, "cyrillic")
+      .when(k >= a && k > 0, "cjk")
+      .when(a > 0, "arabic")
+      .otherwise("none")
+  }
+
+  /** Non-whitespace char count — the [[scriptCounts]] denominator. */
+  def nonSpaceChars(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
   def stopwordRatio(text: Column): Column = {
     val t = tokenCount(text)
     val hits = langMarkers("en").map(m => countOccurrences(lowercase(text), m)).reduce(_ + _)

@@ -711,4 +711,21 @@ class DedupSimSpec extends SparkSpec {
       assert(m.getAs[Long]("max_cell") == 3L)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("minhashJaccardEstimates: exact duplicates estimate 1.0, only " +
+    "candidate pairs are scored, degenerate buckets drop (dd20)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely unrelated content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashJaccardEstimates(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0))) // all 8 components agree
+    // a hot bucket beyond maxBucket is dropped, not exploded
+    val clones = (1L to 5L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashJaccardEstimates(clones, maxBucket = 3).count() == 0)
+  }
 }

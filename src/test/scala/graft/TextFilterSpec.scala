@@ -179,4 +179,30 @@ class TextFilterSpec extends SparkSpec {
     assert(out(1L)._2 == 0.693147) // ln 2 @ 6dp via the micro-nat path
     assert(out(2L) == ((4L, 0.0)))
   }
+
+  test("script census: per-range counts, dominance priority, empty text " +
+    "(tx19)") {
+    val df = Seq(
+      (1L, "abc привет"),     // latin 3, cyrillic 6 → cyrillic dominates
+      (2L, "hello world 123"), // latin 10, digits 3 → latin
+      (3L, "你好世界"),         // cjk 4
+      (4L, "مرحبا abcde"),     // arabic 5 = latin 5 → tie → latin priority
+      (5L, ""))
+      .toDF("doc_id", "t")
+    val counts = TextAnalysis.scriptCounts(col("t")).toMap
+    val out = df.select(col("doc_id"),
+      counts("latin").as("l"), counts("cyrillic").as("c"),
+      counts("cjk").as("k"), counts("arabic").as("a"),
+      counts("digit").as("d"),
+      TextAnalysis.nonSpaceChars(col("t")).as("n"),
+      TextAnalysis.dominantScript(col("t")).as("dom"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("l") == 3 && out(1L).getAs[Long]("c") == 6)
+    assert(out(1L).getAs[String]("dom") == "cyrillic")
+    assert(out(2L).getAs[Long]("d") == 3 && out(2L).getAs[String]("dom") == "latin")
+    assert(out(3L).getAs[Long]("k") == 4 && out(3L).getAs[String]("dom") == "cjk")
+    assert(out(4L).getAs[Long]("a") == 5 && out(4L).getAs[String]("dom") == "latin")
+    assert(out(5L).getAs[Long]("n") == 0 && out(5L).getAs[String]("dom") == "none")
+    assert(out(1L).getAs[Long]("n") == 9) // space excluded
+  }
 }
