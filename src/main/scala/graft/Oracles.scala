@@ -1525,6 +1525,48 @@ object Oracles {
          |    END, 6) + 0.0 AS acf
          |FROM st""".stripMargin,
 
+    // J8: range join replayed as a plain BETWEEN join (the oracle can
+    // afford the theta-join; the engine buckets it into an equi-join)
+    "j8_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |iv AS (SELECT user_id, day, min(ts) AS s FROM e GROUP BY 1, 2)
+        |SELECT e.user_id, e.day, e.event_id
+        |FROM e JOIN iv ON e.user_id = iv.user_id AND e.day = iv.day
+        |WHERE e.ts >= iv.s AND e.ts <= iv.s + INTERVAL 1 HOUR""".stripMargin,
+
+    // D27: inverse-vol weights — rounded trailing vol, micro-quantized
+    // 1/vol, exact integer per-date normalizer
+    "d27_inverse_vol" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date, close,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |vv AS (
+         |  SELECT *, CASE WHEN count(ret) OVER f = 21
+         |                 THEN round(stddev_samp(ret) OVER f, 6) END AS vol
+         |  FROM rr
+         |  WINDOW f AS (PARTITION BY sid ORDER BY date
+         |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)),
+         |sg AS (
+         |  SELECT *, CASE WHEN close < 30000 THEN 1.0 ELSE -1.0 END AS signal
+         |  FROM vv),
+         |qq AS (
+         |  SELECT *, CASE WHEN signal <> 0 AND vol > 0
+         |                 THEN CAST(round(abs(signal) / vol * 1e6) AS BIGINT)
+         |                 ELSE 0 END AS ivq
+         |  FROM sg),
+         |tt AS (
+         |  SELECT *, CAST(sum(ivq) OVER (PARTITION BY date) AS BIGINT) AS tot
+         |  FROM qq)
+         |SELECT sid, date,
+         |  (CASE WHEN tot <> 0 THEN CAST(sign(signal) AS DOUBLE) * ivq::DOUBLE / tot
+         |        ELSE 0.0 END) + 0.0 AS weight
+         |FROM tt""".stripMargin,
+
     // W12: monthly OHLCV — min_by/max_by firsts/lasts, exact long volume
     "w12_ohlcv" ->
       """WITH panelv AS (

@@ -1256,6 +1256,32 @@ object Queries {
       Panel.autocorrelation(rets, col("ret"), lagK = 1)
     }),
 
+    // ---- J8: point-in-interval range join via bin bucketization (the
+    // equi-join rewrite of a BETWEEN theta-join) — events within the
+    // first hour of each (user, day)
+    "j8_interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val iv = e.groupBy(col("user_id"), col("day"))
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + expr("INTERVAL 1 HOUR"))
+      graft.panel.Intervals.pointInInterval(e, iv, Seq("user_id", "day"))
+        .select(col("user_id"), col("day"), col("event_id"))
+    }),
+
+    // ---- D27: inverse-volatility allocation over the rounded trailing
+    // 21-bar vol (exact micro-quantized per-date normalizer)
+    "d27_inverse_vol" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .withColumn("vol",
+          when(count(col("ret")).over(k.rollingFrame(21)) === 21,
+            round(stddev_samp(col("ret")).over(k.rollingFrame(21)), 6)))
+        .withColumn("signal", when(col("close") < 30000, 1.0).otherwise(-1.0))
+      p.select(col("sid"), col("date"),
+        Weights.inverseVolWeights(col("signal"), col("vol")).as("weight"))
+    }),
+
     // ---- W12: OHLCV interval resampling — monthly bars via order-free
     // min_by/max_by partial aggs (no window, no sort)
     "w12_ohlcv" -> ((s, dir) => {

@@ -72,4 +72,25 @@ object Weights {
     // hash-match decimal engines; a no-op for every other value.
     when(longScaled > 0, longScaled).otherwise(shortScaled) + lit(0.0)
   }
+
+  /** Inverse-volatility allocation (risk-parity-lite): each active
+    * signal's weight ∝ 1/vol, normalized so per-date |weights| sum to 1
+    * — low-vol names carry more capital, the standard vol-balanced
+    * sizing published far beyond any one engine. `vol` is the caller's
+    * trailing volatility column, expected PRE-ROUNDED (the voltarget
+    * stance: identical inputs divide identically in any engine).
+    *
+    * Exactness: 1/vol is quantized to micro units per row, so the
+    * per-date normalizer is an exact integer sum (order-free); the
+    * final weight is one per-row division of exact integers. Rows with
+    * null/zero/negative vol (warm-up bars, degenerate series) get
+    * weight 0 — not a share of the book. Same one-shuffle shape as
+    * D1-D5. */
+  def inverseVolWeights(signal: Column, vol: Column)(implicit k: Keys): Column = {
+    val ivq = when(signal =!= 0 && signal.isNotNull && vol > 0,
+      round(abs(signal) / vol * 1e6).cast("long")).otherwise(0L)
+    val tot = sum(ivq).over(k.byDate)
+    when(tot =!= 0, signum(signal) * ivq.cast("double") / tot).otherwise(0.0) +
+      lit(0.0) // −0.0 → +0.0 (a zero-quantized short row)
+  }
 }

@@ -142,4 +142,24 @@ class WeightsSpec extends SparkSpec {
     assert(out(("C", "2024-01-01")) == 0.0)
     assert(out(("A", "2024-01-02")) == -1.0)
   }
+
+  test("inverseVolWeights: capital ∝ 1/vol, per-date |w| sums to 1, " +
+    "null/zero-vol rows weight 0 (d27)") {
+    val df = Seq(
+      // date 1: vols 0.01 and 0.02 → weights 2/3 and −1/3
+      ("A", "2024-01-01", 1.0, Some(0.01)), ("B", "2024-01-01", -1.0, Some(0.02)),
+      // date 2: one null vol (warm-up) → all capital to the other
+      ("A", "2024-01-02", 1.0, None), ("B", "2024-01-02", 1.0, Some(0.05)),
+      // date 3: nothing allocatable
+      ("A", "2024-01-03", 1.0, None))
+      .toDF("sid", "date", "signal", "vol")
+    val out = df.select(col("sid"), col("date"),
+      Weights.inverseVolWeights(col("signal"), col("vol")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out(("A", "2024-01-01")) - 2.0 / 3) < 1e-12)
+    assert(math.abs(out(("B", "2024-01-01")) + 1.0 / 3) < 1e-12)
+    assert(out(("A", "2024-01-02")) == 0.0)
+    assert(out(("B", "2024-01-02")) == 1.0)
+    assert(out(("A", "2024-01-03")) == 0.0)
+  }
 }
