@@ -618,6 +618,108 @@ object TextOracles {
          |JOIN mh b ON p.id_b = b.doc_id""".stripMargin
     },
 
+    // semantic decontamination: sd1's trained quantizer partitions the
+    // space; corpus×eval cosine within shared cells, best match per doc
+    "sd3_semantic_decontam" -> {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      s"""WITH cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |asgn0 AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |px AS (
+         |  SELECT a.cell_id, t.i AS dim,
+         |    CAST(round(e.embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+         |  FROM asgn0 a JOIN embeddings e USING (vec_id), range(0, 64) t(i)),
+         |cm AS (
+         |  SELECT cell_id, dim,
+         |    CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
+         |  FROM px GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell_id, list(value ORDER BY dim) AS centroid FROM cm GROUP BY 1),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |pr AS (
+         |  SELECT e.vec_id, a.cell_id, e.embedding
+         |  FROM embeddings e JOIN asgn a USING (vec_id)),
+         |pairs AS (
+         |  SELECT co.vec_id AS cid, ev.vec_id AS eid,
+         |    ${cosine("co.embedding", "ev.embedding")} AS sim
+         |  FROM pr co JOIN pr ev ON co.cell_id = ev.cell_id
+         |  WHERE co.vec_id >= 100 AND ev.vec_id < 100)
+         |SELECT cid AS vec_id, eid AS eval_id, round(sim, 6) AS sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cid
+         |    ORDER BY sim DESC, eid DESC) AS rn
+         |  FROM pairs WHERE sim >= 0.3)
+         |WHERE rn = 1""".stripMargin
+    },
+
+    // hybrid RRF: bm25 lexical top-50 ∪ cosine semantic top-50, fused
+    // as exact pico-quantized 1/(60+rank) sums
+    "ir4_rrf" -> {
+      def tf(i: Int, term: String) = s"len(list_filter(w, x -> x = '$term'))::BIGINT AS tf$i"
+      val terms = Seq("spark", "join", "window")
+      val scores = terms.zipWithIndex.map { case (_, i) =>
+        s"""ln(1.0::DOUBLE + (N - df$i + 0.5::DOUBLE) / (df$i + 0.5::DOUBLE))
+           | * tf$i * (1.2::DOUBLE + 1) /
+           | (tf$i + 1.2::DOUBLE * (1 - 0.75::DOUBLE + 0.75::DOUBLE * dl::DOUBLE * N / sumdl))"""
+          .stripMargin.replace("\n", "")
+      }
+      s"""WITH wd AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         |                          '\\s+') AS w
+         |  FROM documents),
+         |tfx AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS dl,
+         |    ${terms.zipWithIndex.map { case (t, i) => tf(i, t) }.mkString(",\n    ")}
+         |  FROM wd),
+         |st AS (
+         |  SELECT count(*)::BIGINT AS N, CAST(sum(dl) AS BIGINT) AS sumdl,
+         |    ${terms.indices.map(i =>
+             s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+             .mkString(",\n    ")}
+         |  FROM tfx),
+         |lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM (
+         |    SELECT doc_id, score FROM (
+         |      SELECT doc_id, round(${scores.mkString(" + ")}, 6) AS score
+         |      FROM tfx, st)
+         |    WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 50)),
+         |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |sem AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+         |  FROM (
+         |    SELECT e.vec_id AS doc_id, round(${cosine("e.embedding", "qv.q")}, 6) AS cosine
+         |    FROM embeddings e, qv WHERE e.vec_id <> 0
+         |    ORDER BY cosine DESC, doc_id LIMIT 50)),
+         |tm AS (
+         |  SELECT doc_id, CAST(round(1e12 / (60 + r)) AS BIGINT) AS t FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, CAST(round(1e12 / (60 + r)) AS BIGINT) AS t FROM sem),
+         |g AS (
+         |  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s2, count(*) AS n_lists
+         |  FROM tm GROUP BY 1)
+         |SELECT doc_id, n_lists, s2::DOUBLE / 1e12 AS rrf_score, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY s2 DESC, doc_id) AS rank FROM g)
+         |WHERE rank <= 20""".stripMargin
+    },
+
     // temperature-scaled mixture: q ∝ share^0.3, max-retention rates
     // r = (share^(α−1)) / max(share^(α−1)); pow noise is sub-6dp
     "sp7_temperature" ->

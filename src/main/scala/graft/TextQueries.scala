@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -225,6 +226,32 @@ object TextQueries {
     // over the LSH candidate pairs (no second text read)
     "dd20_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashJaccardEstimates(t(s, dir, "documents"))),
+
+    // semantic decontamination: corpus (vec_id >= 100) embeddings flagged
+    // when cosine-near ANY eval (vec_id < 100) member of their quantizer
+    // cell — the paraphrase leakage exact/minhash decontamination misses
+    "sd3_semantic_decontam" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(embs, k = 8, iters = 1)
+      Dedup.semanticContamination(
+        embs.where(col("vec_id") >= 100), embs.where(col("vec_id") < 100),
+        centroids, "vec_id", "embedding", threshold = 0.3, maxBucket = 2000)
+    }),
+
+    // hybrid search: reciprocal-rank fusion of the bm25 lexical top-50
+    // and the cosine semantic top-50 (query vector 0)
+    "ir4_rrf" -> ((s, dir) => {
+      val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"), topK = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val embs = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        embs.where(col("vec_id") === 0), embs, "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", topK = 20)
+    }),
 
     // corpus-health report: per-(language, source) doc counts, token
     // mass, Gopher-keep rate, and mean quality — the dashboard every

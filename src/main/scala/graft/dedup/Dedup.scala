@@ -1260,6 +1260,55 @@ object Dedup {
         round(col("__cc"), 6).as("cent_cos"))
   }
 
+  /** Semantic decontamination — the [[semanticDeduplicate]] mechanism
+    * pointed ACROSS corpora (the embedding-space analogue of
+    * [[crossNearDuplicates]]): flag corpus docs whose embedding is
+    * cosine-≥ `threshold` to ANY eval-set embedding sharing its
+    * quantizer cell. Paraphrased eval leakage that exact/minhash
+    * decontamination misses (different tokens, same meaning) lands in
+    * the same cell and scores high.
+    *
+    * Scale shape: both sides pay one cell-assignment pass; the EVAL
+    * side (benchmark-sized, orders smaller than the corpus) collapses
+    * to per-cell member lists and BROADCASTS, so the corpus streams
+    * once with no shuffle beyond its assignment and comparisons cost
+    * |corpus ∩ occupied cells| × cell's eval members — never
+    * corpus × eval. Eval cells beyond `maxBucket` are dropped LOUDLY
+    * (`semdecon_cells` observe metric): a dropped hot cell loses
+    * recall, raise the cap or refine the quantizer. Returns one row
+    * per contaminated corpus doc: (idCol, eval_id, sim round 6) with
+    * the strongest match (ties → higher eval id, the struct-max
+    * order). */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      centroids: DataFrame, // (cell_id, centroid) — e.g. kmeansCentroids
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.sim.Similarity
+    val c = cellPriorities(corpus, centroids, idCol, vecCol, checkpoint = false)
+    val e = cellPriorities(evalSet, centroids, idCol, vecCol, checkpoint = false)
+    val evalCells = e
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell_id")))
+      .observe("semdecon_cells",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_cell"))
+      .where(col("__n") <= maxBucket)
+      .groupBy("cell_id")
+      .agg(collect_list(struct(col("__id"), col("__v"), col("__nm"))).as("__em"))
+    c.join(broadcast(evalCells), Seq("cell_id"))
+      .select(col("__id"), col("__v"), col("__nm"), explode(col("__em")).as("ev"))
+      .withColumn("__sim", Similarity.cosinePrenormed(
+        col("__v"), col("ev.__v"), col("__nm"), col("ev.__nm")))
+      .where(col("__sim") >= threshold)
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__sim"), col("ev.__id"))).as("__m"))
+      .select(col("__id").as(idCol), col("__m.__id").as("eval_id"),
+        round(col("__m.__sim"), 6).as("sim"))
+  }
+
   /** SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     * scaling laws"): within each cluster, DROP the most prototypical
     * `dropFraction` of examples — the ones closest to their centroid —

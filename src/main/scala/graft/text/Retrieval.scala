@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ParameterError
@@ -75,6 +76,44 @@ object Retrieval {
       .where(col("score") > 0)
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fused(d) =
+    * Σ_lists 1/(k + rank_list(d)) — the standard score-free way to
+    * combine a lexical and a semantic ranking (hybrid search). Inputs
+    * are frames that are ALREADY bounded top-k lists carrying `docCol`
+    * + `rankCol` (1-based); the fusion aggregation and final ranking
+    * run over Σ|lists| rows — bounded by construction, so the global
+    * ordering window is not a data-volume sort (pass `partitionCols`
+    * for per-query fusion to keep it per-slot anyway).
+    *
+    * Each term is pico-quantized (round(1e12/(k+rank)) — rank is a
+    * small int, so the value is identical in any engine) and summed as
+    * exact integers: fusion order can't wobble the score. Output
+    * (partitionCols…, docCol, n_lists, rrf_score, rank) with
+    * deterministic (score DESC, doc) ordering. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      docCol: String,
+      rankCol: String = "rank",
+      kRrf: Int = 60,
+      topK: Int = 20,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    if (rankings.isEmpty) throw new ParameterError("rrfFuse needs >= 1 ranking")
+    if (kRrf < 0) throw new ParameterError(s"kRrf must be >= 0: $kRrf")
+    val keyCols = partitionCols :+ docCol
+    val terms = rankings.map(_.select(
+      (keyCols.map(col) :+
+        round(lit(1e12) / (lit(kRrf) + col(rankCol))).cast("long").as("__t")): _*))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col("__s").desc, col(docCol))
+    terms.reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__t")).as("__s"), count(lit(1)).as("n_lists"))
+      .withColumn("rrf_score", col("__s").cast("double") / 1e12)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .drop("__s")
   }
 
   /** Corpus-wide tf-idf document vectors in sparse (doc, term) form —

@@ -728,4 +728,22 @@ class DedupSimSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.minhashJaccardEstimates(clones, maxBucket = 3).count() == 0)
   }
+
+  test("semanticContamination: flags corpus vectors cosine-near an eval " +
+    "member of the SAME cell; other cells never compared (sd3)") {
+    val centroids = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cell_id", "centroid")
+    val evalSet = Seq((900L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f)),   // cell 0, cos ≈ 0.999 vs eval → flagged
+      (2L, Seq(0.1f, 0.9f)),    // cell 1: no eval member → never compared
+      (3L, Seq(1.0f, -0.9f)))   // cell 0 but cos ≈ 0.71 < threshold
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticContamination(
+      corpus, evalSet, centroids, "vec_id", "embedding", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1)
+    assert(out.head._1 == 1L && out.head._2 == 900L && out.head._3 > 0.99)
+  }
 }

@@ -181,4 +181,22 @@ class PackingRetrievalSpec extends SparkSpec {
     assert(rates("a")._4 == 1.0) // NOT dragged to 0 by the empty stratum
     assert(rates("empty")._2 == 0L && rates("empty")._4 == 1.0)
   }
+
+  test("rrfFuse: 1/(k+rank) terms sum exactly across lists, rank by " +
+    "fused score with doc tiebreak (ir4)") {
+    val l1 = Seq(("A", 1), ("B", 2)).toDF("doc", "rank")
+    val l2 = Seq(("B", 1), ("C", 2)).toDF("doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), "doc", kRrf = 0, topK = 10)
+      .orderBy("rank")
+      .select("doc", "n_lists", "rrf_score", "rank")
+      .as[(String, Long, Double, Int)].collect()
+    // B: 1/2 + 1/1 = 1.5; A: 1.0; C: 0.5
+    assert(out.toSeq == Seq(
+      ("B", 2L, 1.5, 1), ("A", 1L, 1.0, 2), ("C", 1L, 0.5, 3)))
+    // topK truncates the fused list
+    assert(Retrieval.rrfFuse(Seq(l1, l2), "doc", kRrf = 0, topK = 1)
+      .count() == 1)
+    intercept[ParameterError](Retrieval.rrfFuse(Nil, "doc"))
+    intercept[ParameterError](Retrieval.rrfFuse(Seq(l1), "doc", kRrf = -1))
+  }
 }
