@@ -1497,6 +1497,56 @@ object Oracles {
          |    AS signal
          |FROM panel""".stripMargin,
 
+    // EV7: first/last-touch attribution — one cumulative frame per user
+    "ev7_attribution" -> {
+      def t(c: String) = s"CASE WHEN event_type IN ('view','click') THEN $c END"
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         |  FROM events),
+         |m AS (
+         |  SELECT *,
+         |    first_value(${t("event_id")} IGNORE NULLS) OVER w AS fid,
+         |    first_value(${t("event_type")} IGNORE NULLS) OVER w AS fty,
+         |    last_value(${t("event_id")} IGNORE NULLS) OVER w AS lid,
+         |    last_value(${t("event_type")} IGNORE NULLS) OVER w AS lty,
+         |    last_value(${t("ts")} IGNORE NULLS) OVER w AS lts
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, event_id AS conversion_id,
+         |  fid AS first_touch_id, fty AS first_touch_type,
+         |  lid AS last_touch_id, lty AS last_touch_type,
+         |  (epoch_us(ts) - epoch_us(lts)) / 1e6 AS sec_since_touch
+         |FROM m WHERE event_type = 'purchase'""".stripMargin
+    },
+
+    // PX6: market-residualized returns — exact pico market mean, rounded
+    // trailing beta, r − β·m
+    "px6_residual" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |mm AS (
+         |  SELECT *,
+         |    CASE WHEN count(ret) OVER (PARTITION BY date) > 0
+         |         THEN CAST(sum(CAST(round(ret * 1e12) AS HUGEINT))
+         |                OVER (PARTITION BY date) AS DOUBLE)
+         |              / count(ret) OVER (PARTITION BY date) / 1e12 END AS m
+         |  FROM rr),
+         |bb AS (
+         |  SELECT *,
+         |    round(CASE WHEN count(ret) OVER f = 21 AND var_samp(m) OVER f <> 0
+         |               THEN covar_samp(ret, m) OVER f / var_samp(m) OVER f
+         |          END, 6) + 0.0 AS beta_21
+         |  FROM mm
+         |  WINDOW f AS (PARTITION BY sid ORDER BY date
+         |               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+         |SELECT sid, date, round(m, 6) + 0.0 AS mkt_ret, beta_21,
+         |  round(ret - beta_21 * m, 6) + 0.0 AS resid
+         |FROM bb""".stripMargin,
+
     // W11: per-sid lag-1 return autocorrelation — exact HUGEINT micro
     // moments, one double division per sid
     "w11_autocorr" ->

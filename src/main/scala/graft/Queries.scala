@@ -552,6 +552,21 @@ object Queries {
     "ev6_anomaly" -> ((s, dir) =>
       graft.events.Events.countAnomalies(events(s, dir), window = 7)),
 
+    // first-/last-touch attribution of purchases to view/click events
+    "ev7_attribution" -> ((s, dir) =>
+      graft.events.Events.attribution(
+        events(s, dir), Seq("view", "click"), "purchase")),
+
+    // ---- PX6: market-residualized returns (r − β·m over the panel's
+    // own cross-sectional mean factor)
+    "px6_residual" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+      Panel.residualReturns(p, col("ret"), window = 21)
+        .select("sid", "date", "mkt_ret", "beta_21", "resid")
+    }),
+
     // ---- D1: equal-weight allocation ----
     "d1_equal_weights" -> ((s, dir) => {
       implicit val k: Keys = liKeys

@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -182,5 +182,45 @@ object Events {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("from_type"), col("to_type"))
       .limit(topK)
+  }
+
+  /** First-/last-touch attribution: for every `conversionType` event,
+    * the FIRST and the most recent `touchTypes` event at or before it
+    * in the user's (ts, event_id)-ordered stream, plus seconds since
+    * the last touch. The marketing-analytics staple (which campaign
+    * click gets credit for the purchase), and the event-stream form of
+    * the as-of join — expressed as first/last-ignore-nulls over ONE
+    * cumulative frame per user: one shuffle on the user key, no
+    * self-joins, no per-conversion scans. Conversions with no prior
+    * touch keep null touch columns (pandas merge_asof stance, not a
+    * dropped row). Ties at the same timestamp resolve by event_id (the
+    * stream's total order). */
+  def attribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      conversionType: String): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    def touch(c: Column) = when(isTouch, c)
+    events
+      .withColumn("__fid", first(touch(col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("__fty", first(touch(col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("__lid", last(touch(col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("__lty", last(touch(col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("__lts", last(touch(col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === conversionType)
+      .select(
+        col("user_id"),
+        col("event_id").as("conversion_id"),
+        col("__fid").as("first_touch_id"),
+        col("__fty").as("first_touch_type"),
+        col("__lid").as("last_touch_id"),
+        col("__lty").as("last_touch_type"),
+        // exact integer µs difference; one division per row
+        ((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("__lts").cast("timestamp"))) / 1e6)
+          .as("sec_since_touch"))
   }
 }

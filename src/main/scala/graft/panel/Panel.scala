@@ -171,6 +171,44 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** Market-residualized returns: r − β·m, where m is the equal-weight
+    * cross-sectional mean return (the panel's own market factor) and β
+    * is each sid's trailing `window`-bar sample beta vs m — the
+    * market-neutralization step before cross-sectional signal work
+    * (px2's zscore removes the per-date LEVEL; this removes each sid's
+    * market EXPOSURE).
+    *
+    * Plan: m is one date-slot window (exact pico-integer mean — the
+    * cross-sid sum can't wobble), β one trailing window over the sid
+    * partitioning the W family already pays — no joins. β is rounded
+    * to 6dp before use (windowed covariance accumulation is engine
+    * noise below that — the rollingBeta stance), null until `window`
+    * non-null returns accrue or while the market variance is 0;
+    * `resid` rounds to 6dp, null wherever β or r is. Appends
+    * (mkt_ret, beta_N, resid). */
+  def residualReturns(
+      df: DataFrame,
+      ret: Column,
+      window: Int)(implicit k: Keys): DataFrame = {
+    require(window >= 2, s"beta window must be >= 2: $window")
+    val slot = k.byDate
+    // null (not NaN) on a return-less date so covar pairs skip it
+    val m = when(count(ret).over(slot) > 0,
+      sum(round(ret * 1e12).cast("decimal(38,0)")).over(slot)
+        .cast("double") / count(ret).over(slot) / 1e12)
+    val f = k.rollingFrame(window)
+    val full = count(ret).over(f) === window
+    val beta = round(
+      when(full && var_samp(col("__m")).over(f) =!= 0,
+        covar_samp(ret, col("__m")).over(f) / var_samp(col("__m")).over(f)), 6) + 0.0
+    df.withColumn("__m", m)
+      .withColumn(s"beta_$window", beta)
+      .withColumn("resid",
+        round(ret - col(s"beta_$window") * col("__m"), 6) + 0.0)
+      .withColumn("mkt_ret", round(col("__m"), 6) + 0.0)
+      .drop("__m")
+  }
+
   /** W8 companion: OHLCV interval resampling — collapse each sid's bars
     * into `bucket`-grain bars with open = first price, high/low =
     * max/min, close = last price, volume = summed size, n_bars. First/

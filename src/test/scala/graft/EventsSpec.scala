@@ -112,4 +112,31 @@ class EventsSpec extends SparkSpec {
     assert(t(("purchase", "click")) == 1L)
     assert(t.values.sum == 6L) // 8 events − 2 users
   }
+
+  test("attribution: first/last touch per conversion, null when no prior " +
+    "touch, exact seconds since last touch (ev7)") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, "u1", "view", t(0)), (2L, "u1", "click", t(10)),
+      (3L, "u1", "purchase", t(25)), (4L, "u1", "click", t(40)),
+      (5L, "u1", "purchase", t(100)),
+      (6L, "u2", "purchase", t(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.attribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(r => r.getLong(1) -> r).toMap
+    val c3 = out(3L)
+    assert(c3.getAs[Long]("first_touch_id") == 1L)
+    assert(c3.getAs[String]("first_touch_type") == "view")
+    assert(c3.getAs[Long]("last_touch_id") == 2L)
+    assert(c3.getAs[Double]("sec_since_touch") == 15.0)
+    val c5 = out(5L)
+    assert(c5.getAs[Long]("first_touch_id") == 1L) // first touch is stable
+    assert(c5.getAs[Long]("last_touch_id") == 4L)  // latest click wins
+    assert(c5.getAs[Double]("sec_since_touch") == 60.0)
+    val c6 = out(6L) // conversion with no touch history: kept, nulls
+    assert(c6.isNullAt(c6.fieldIndex("first_touch_id")))
+    assert(c6.isNullAt(c6.fieldIndex("sec_since_touch")))
+    intercept[IllegalArgumentException](Events.attribution(ev, Nil, "purchase"))
+  }
 }

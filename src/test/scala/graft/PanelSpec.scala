@@ -198,4 +198,29 @@ class PanelSpec extends SparkSpec {
     assert(feb.getAs[Double]("open") == 7.0 && feb.getAs[Double]("close") == 7.0)
     assert(out(("B", "2024-01-01")).getAs[Long]("volume") == 10L)
   }
+
+  test("residualReturns: beta recovers exact exposure, residual zero for " +
+    "a pure-beta sid, null until the window fills (px6)") {
+    // B is flat so m = A/2 exactly; A is 2× the market → beta 2, resid 0
+    val df = Seq(
+      ("A", "2024-01-01", 0.02), ("B", "2024-01-01", 0.0),
+      ("A", "2024-01-02", 0.04), ("B", "2024-01-02", 0.0),
+      ("A", "2024-01-03", -0.02), ("B", "2024-01-03", 0.0),
+      ("A", "2024-01-04", 0.06), ("B", "2024-01-04", 0.0))
+      .toDF("sid", "date", "ret")
+    val out = Panel.residualReturns(df, col("ret"), window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // first bar: window not full → null beta and resid
+    assert(out(("A", "2024-01-01")).isNullAt(3))
+    val a2 = out(("A", "2024-01-02"))
+    assert(a2.getAs[Double]("beta_2") == 2.0)
+    assert(a2.getAs[Double]("resid") == 0.0)
+    assert(a2.getAs[Double]("mkt_ret") == 0.02)
+    val b2 = out(("B", "2024-01-02"))
+    assert(b2.getAs[Double]("beta_2") == 0.0)
+    assert(b2.getAs[Double]("resid") == 0.0)
+    assert(out(("A", "2024-01-04")).getAs[Double]("beta_2") == 2.0)
+    intercept[IllegalArgumentException](
+      Panel.residualReturns(df, col("ret"), window = 1))
+  }
 }
