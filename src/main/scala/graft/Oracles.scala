@@ -1497,6 +1497,51 @@ object Oracles {
          |    AS signal
          |FROM panel""".stripMargin,
 
+    // ML11: PR curve — per-distinct-score cumulative tp/fp, exact ints
+    "ml11_pr_curve" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*)::BIGINT AS c
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT *,
+         |    CAST(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(sum(c - p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+         |                          PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         |    CAST(sum(p) OVER () AS BIGINT) AS tot
+         |  FROM sc)
+         |SELECT s AS threshold, tp, fp,
+         |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
+         |  round(CASE WHEN tot > 0 THEN tp::DOUBLE / tot END, 6) AS recall
+         |FROM cm""".stripMargin,
+
+    // D28: TWAP slices — integer split with remainder-first, zero
+    // slices dropped, parent ids positional "row.0"
+    "d28_twap_slices" ->
+      """WITH stubs AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
+        |         'demo' AS "orderRef", CAST(round(s_acctbal) AS BIGINT) AS tq
+        |  FROM supplier WHERE s_acctbal > 0),
+        |parents AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY sid, account) - 1 AS VARCHAR)
+        |            || '.0' AS pid
+        |  FROM stubs),
+        |sl AS (
+        |  SELECT p.*, t.i,
+        |    CASE t.i WHEN 0 THEN '09:30:00' WHEN 1 THEN '12:00:00'
+        |             ELSE '15:30:00' END AS slice_time,
+        |    tq // 3 + (CASE WHEN t.i < tq % 3 THEN 1 ELSE 0 END) AS quantity
+        |  FROM parents p CROSS JOIN range(0, 3) t(i))
+        |SELECT sid, account, action, "orderRef", pid AS "parentId",
+        |       CAST(i AS INT) AS slice_idx, slice_time, quantity
+        |FROM sl WHERE quantity > 0""".stripMargin,
+
     // EV7: first/last-touch attribution — one cumulative frame per user
     "ev7_attribution" -> {
       def t(c: String) = s"CASE WHEN event_type IN ('view','click') THEN $c END"

@@ -1005,6 +1005,23 @@ object Queries {
     "ml6_avg_precision" -> ((s, dir) =>
       graft.ml.Evaluation.averagePrecision(scoredPanel(s, dir))),
 
+    // precision-recall operating points per distinct score threshold
+    "ml11_pr_curve" -> ((s, dir) =>
+      graft.ml.Evaluation.prCurve(scoredPanel(s, dir))),
+
+    // ---- D28: TWAP slicing — each stub split into 3 timed child
+    // slices, earlier slices absorb the integer remainder
+    "d28_twap_slices" -> ((s, dir) => {
+      val stubs = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"), lit("U1").as("account"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
+          lit("demo").as("orderRef"),
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
+      Trade.twapSlices(stubs,
+        times = Seq("09:30:00", "12:00:00", "15:30:00"), suffix = "0")
+    }),
+
     // regression metrics in a normalized label space (micro-quantized
     // residuals stay integer-exact in a BIGINT oracle)
     "ml7_regression" -> ((s, dir) => {

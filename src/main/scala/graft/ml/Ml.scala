@@ -255,6 +255,43 @@ object Evaluation {
             org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
             / 1e12), 6).as("average_precision"))
   }
+
+  /** Precision-recall curve points: one row per DISTINCT score,
+    * treating "score ≥ threshold" as the positive prediction — the
+    * operating-point table behind [[averagePrecision]]'s single
+    * number (pick a threshold by reading this, not by re-scoring).
+    * Same scale shape as the AUC/AP machinery: ONE hash aggregation
+    * to |distinct scores| rows, then descending cumulative sums over
+    * that bounded frame; tp/fp are exact integers and precision/
+    * recall one per-row division each (6dp). Null recall on an
+    * all-negative frame (no positives to recall). */
+  def prCurve(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val t = col("threshold")
+    val wDesc = Window.orderBy(t.desc).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(t.desc).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    preds
+      .select(col(scoreCol).as("threshold"), lbl.as("__y"))
+      .groupBy(t)
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
+      .withColumn("tp", sum(col("__pos")).over(wDesc))
+      .withColumn("fp", sum(col("__c") - col("__pos")).over(wDesc))
+      // "__tot", NOT "__P" — the averagePrecision case-collision lesson
+      .withColumn("__tot", sum(col("__pos")).over(wAll))
+      .select(
+        t, col("tp"), col("fp"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+          .as("precision"),
+        round(when(col("__tot") > 0,
+          col("tp").cast("double") / col("__tot")), 6).as("recall"))
+  }
 }
 
 /** M2 seam: adds a `prediction` column to a panel with a `features`

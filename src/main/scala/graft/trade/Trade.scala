@@ -325,6 +325,44 @@ object Trade {
         "action",
         when(col("action") === "BUY", "SELL").otherwise("BUY"))
 
+  /** TWAP order slicing: split each stub into `times.length` timed child
+    * slices of equal size, earlier slices absorbing the integer
+    * remainder (a 10-share order over 3 times trades 4/3/3) — the
+    * standard large-order execution schedule, downstream of [[orderStubs]]
+    * the way [[childOrders]] is. Pure integer column algebra + one
+    * bounded explode (|times| × orders rows); zero-quantity slices are
+    * dropped, so an order smaller than the slice count trades only its
+    * first `totalQuantity` slices. Output keeps the parent's id as
+    * `parentId` with the slice index and time. */
+  def twapSlices(
+      stubs: DataFrame,
+      times: Seq[String],
+      suffix: String = (System.currentTimeMillis / 1000L).toString): DataFrame = {
+    if (times.isEmpty)
+      throw new ParameterError("twapSlices needs at least one execution time")
+    if (times.distinct.size != times.size)
+      throw new ParameterError(s"duplicate execution times: ${times.mkString(", ")}")
+    val n = times.length
+    val rem = pmod(col("totalQuantity"), lit(n.toLong))
+    // totalQuantity is a positive long ≪ 2^53 (share counts), so the
+    // double division truncates exactly
+    val base = (col("totalQuantity") / n).cast("long")
+    val slices = array(times.zipWithIndex.map { case (t, i) =>
+      struct(
+        lit(i).as("slice_idx"),
+        lit(t).as("slice_time"),
+        (base + when(lit(i) < rem, 1L).otherwise(0L)).as("quantity"))
+    }: _*)
+    withOrderIds(stubs, suffix)
+      .select(col("sid"), col("account"), col("action"), col("orderRef"),
+        col("orderId").as("parentId"), explode(slices).as("__s"))
+      .where(col("__s.quantity") > 0)
+      .select(col("sid"), col("account"), col("action"), col("orderRef"),
+        col("parentId"), col("__s.slice_idx").as("slice_idx"),
+        col("__s.slice_time").as("slice_time"),
+        col("__s.quantity").as("quantity"))
+  }
+
   /** Live entry point: resolve the signal date/time (reviewDate >
     * CALENDAR > strategy-timezone-now, base.py:738-757), validate price
     * freshness (with the calendar hint on a one-day gap,

@@ -334,4 +334,21 @@ class MlSpec extends SparkSpec {
       .select("prediction").collect().map(_.getDouble(0)).toSeq
     assert(probas == Seq(1.0 / (1.0 + math.exp(-2.0))))
   }
+
+  test("prCurve: cumulative operating points per distinct score; null " +
+    "recall with no positives (ml11)") {
+    val preds = Seq((0.9, 1L), (0.9, 0L), (0.5, 1L), (0.1, 0L))
+      .toDF("prediction", "label")
+    val out = graft.ml.Evaluation.prCurve(preds)
+      .orderBy(col("threshold").desc)
+      .select("threshold", "tp", "fp", "precision", "recall")
+      .as[(Double, Long, Long, Double, Double)].collect()
+    assert(out.toSeq == Seq(
+      (0.9, 1L, 1L, 0.5, 0.5),
+      (0.5, 2L, 1L, 0.666667, 1.0),
+      (0.1, 2L, 2L, 0.5, 1.0)))
+    val nopos = Seq((0.9, 0L), (0.1, 0L)).toDF("prediction", "label")
+    val r = graft.ml.Evaluation.prCurve(nopos).orderBy(col("threshold").desc).head
+    assert(r.getAs[Double]("precision") == 0.0 && r.isNullAt(4))
+  }
 }

@@ -261,4 +261,28 @@ class TradeSpec extends SparkSpec {
     val out = Trade.targetQuantities(weights, master, allocations, balances, rates).head
     assert(out.getAs[Long]("target_quantity") == 200L)
   }
+
+  test("twapSlices: remainder-first integer split, zero slices dropped, " +
+    "duplicate times raise (d28)") {
+    val stubs = Seq(
+      ("S1", "U1", "BUY", "demo", 10L),
+      ("S2", "U1", "SELL", "demo", 2L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val out = Trade.twapSlices(stubs,
+      times = Seq("09:30:00", "12:00:00", "15:30:00"), suffix = "7")
+      .collect().map(r => (r.getString(0), r.getAs[Int]("slice_idx")) -> r).toMap
+    // 10 over 3 → 4/3/3 at the three times
+    assert(out(("S1", 0)).getAs[Long]("quantity") == 4L)
+    assert(out(("S1", 1)).getAs[Long]("quantity") == 3L)
+    assert(out(("S1", 2)).getAs[Long]("quantity") == 3L)
+    assert(out(("S1", 1)).getAs[String]("slice_time") == "12:00:00")
+    assert(out(("S1", 0)).getAs[String]("parentId") == "0.7")
+    // 2 over 3 → 1/1 and the third slice vanishes
+    assert(out(("S2", 0)).getAs[Long]("quantity") == 1L)
+    assert(out(("S2", 1)).getAs[Long]("quantity") == 1L)
+    assert(!out.contains(("S2", 2)))
+    assert(out.size == 5)
+    intercept[graft.ParameterError](Trade.twapSlices(stubs, Seq("a", "a")))
+    intercept[graft.ParameterError](Trade.twapSlices(stubs, Nil))
+  }
 }
