@@ -39,6 +39,29 @@ object Oracles {
     * same op order as the Spark query) → per-date exact pico sum. The
     * single source of truth for the damping/scaling constants across
     * perf_daily/perf_summary/perf_rolling/perf_benchmark. */
+  /** Parameterized damped-return chain (the perfRetCte machinery with a
+    * selectable signal threshold and CTE suffix) — port1 combines two. */
+  private def retChain(th: Int, sfx: String): String =
+    s"""sig$sfx AS (
+       |  SELECT sid, date, close, CAST(close < $th AS INT) AS signal FROM panel),
+       |wts$sfx AS (
+       |  SELECT *, CAST(signal AS DOUBLE) /
+       |    (CASE WHEN sum(abs(signal)) OVER (PARTITION BY date) <> 0
+       |          THEN sum(abs(signal)) OVER (PARTITION BY date) ELSE 1 END) AS weight
+       |  FROM sig$sfx),
+       |pos$sfx AS (
+       |  SELECT *, lag(weight) OVER (PARTITION BY sid ORDER BY date) AS position
+       |  FROM wts$sfx),
+       |gro$sfx AS (
+       |  SELECT *, (close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1) *
+       |    lag(position) OVER (PARTITION BY sid ORDER BY date) AS gross
+       |  FROM pos$sfx),
+       |ret$sfx AS (
+       |  SELECT date,
+       |    CAST(sum(CAST(round((coalesce(gross, 0.0) * 0.001) * 1e12) AS BIGINT))
+       |      AS BIGINT) / 1e12 AS r$sfx
+       |  FROM gro$sfx GROUP BY date)""".stripMargin
+
   private val perfRetCte =
     s"""$turnoverCte,
        |gro AS (
@@ -1496,6 +1519,45 @@ object Oracles {
          |             WHEN NOT (close < 15000) THEN 0.0 ELSE 0.3125 END) < 0.5 AS INT)
          |    AS signal
          |FROM panel""".stripMargin,
+
+    // PX7: named-book correlation matrix — exact HUGEINT pair moments
+    // (the oracle replays via a date self-join; the engine uses one
+    // grid agg + one moment agg, same math)
+    "px7_corr_matrix" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |m AS (
+         |  SELECT CAST(sid AS VARCHAR) AS s, date,
+         |         CAST(round(ret * 1e6) AS HUGEINT) AS v
+         |  FROM rr
+         |  WHERE ret IS NOT NULL AND CAST(sid AS VARCHAR) IN ('1','2','3','4')),
+         |pj AS (
+         |  SELECT a.s AS sa, b.s AS sb, a.v AS x, b.v AS y
+         |  FROM m a JOIN m b
+         |    ON a.date = b.date AND CAST(a.s AS BIGINT) < CAST(b.s AS BIGINT)),
+         |st AS (
+         |  SELECT sa, sb, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+         |  FROM pj GROUP BY 1, 2)
+         |SELECT sa AS sid_a, sb AS sid_b, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS corr
+         |FROM st""".stripMargin,
+
+    // portfolio combination: two damped demo books, fixed-order blend
+    "port1_combined" ->
+      s"""WITH $panelCte,
+         |${retChain(30000, "a")},
+         |${retChain(15000, "b")}
+         |SELECT reta.date, ra AS ret_0, rb AS ret_1,
+         |  round(coalesce(ra, 0.0) * 0.6 + coalesce(rb, 0.0) * 0.4, 6) + 0.0
+         |    AS combined_return
+         |FROM reta JOIN retb ON reta.date = retb.date""".stripMargin,
 
     // ML11: PR curve — per-distinct-score cumulative tp/fp, exact ints
     "ml11_pr_curve" ->

@@ -557,6 +557,31 @@ object Queries {
       graft.events.Events.attribution(
         events(s, dir), Seq("view", "click"), "purchase")),
 
+    // ---- PX7: pairwise return-correlation matrix for a named book
+    "px7_corr_matrix" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+      Panel.correlationMatrix(p, col("ret"), Seq("1", "2", "3", "4"))
+    }),
+
+    // ---- portfolio combination: 0.6/0.4 blend of the close<30000 and
+    // close<15000 demo books' daily returns
+    "port1_combined" -> ((s, dir) => {
+      object Demo15 extends Strategy {
+        val code = "demo15"
+        override def keys: Keys = liKeys
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 15000).cast("int"))
+      }
+      val meltB = Backtest.run(Demo15, supplierPanel(s, dir))
+        .withColumn("value",
+          when(col("field") === "Return", col("value") * 0.001)
+            .otherwise(col("value")))
+      graft.perf.Performance.combineReturns(
+        Seq((dampedMelt(s, dir), 0.6), (meltB, 0.4)))
+    }),
+
     // ---- PX6: market-residualized returns (r − β·m over the panel's
     // own cross-sectional mean factor)
     "px6_residual" -> ((s, dir) => {

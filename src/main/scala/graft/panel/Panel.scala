@@ -171,6 +171,74 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** Pairwise return-correlation matrix for a NAMED sid set — the
+    * portfolio-risk input (diversification check, covariance seed for
+    * sizing). Deliberately bounded: the caller names the sids (a book
+    * is tens of names, not the whole universe), capped at 50 because
+    * the aggregation carries O(N²) moment expressions; an all-pairs
+    * corpus matrix is a different (blocked) algorithm.
+    *
+    * Plan: one filtered hash agg to (date × N) grid cells, then ONE
+    * global aggregation computing every pair's moment sums — no joins,
+    * no window. Pairwise-complete: a pair's sums cover only dates where
+    * BOTH sids have a return. Exactness: micro-quantized returns →
+    * decimal(38,0) sums; one double division per pair (6dp,
+    * −0.0-normalized). Output (sid_a, sid_b, n, corr) for i < j in the
+    * given sid order. */
+  def correlationMatrix(
+      df: DataFrame,
+      ret: Column,
+      sids: Seq[String])(implicit k: Keys): DataFrame = {
+    require(sids.size >= 2, s"need at least 2 sids: ${sids.size}")
+    require(sids.size <= 50,
+      s"correlationMatrix is for a named book (<= 50 sids), got ${sids.size}; " +
+        "use a blocked all-pairs algorithm for corpus-wide matrices")
+    require(sids.distinct.size == sids.size, "duplicate sids")
+    val dec = "decimal(38,0)"
+    val n = sids.length
+    val grid = df
+      .where(col(k.sid).cast("string").isin(sids: _*))
+      .groupBy(k.slotCols.map(col): _*)
+      .agg(
+        max(when(col(k.sid).cast("string") === sids.head,
+          round(ret * 1e6).cast("long"))).as("__v0"),
+        sids.tail.zipWithIndex.map { case (s, i) =>
+          max(when(col(k.sid).cast("string") === s,
+            round(ret * 1e6).cast("long"))).as(s"__v${i + 1}")
+        }: _*)
+    val pairs = for (i <- 0 until n; j <- (i + 1) until n) yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val vi = col(s"__v$i"); val vj = col(s"__v$j")
+      val both = vi.isNotNull && vj.isNotNull
+      def m(c: Column) = when(both, c.cast(dec))
+      Seq(
+        sum(when(both, 1L)).as(s"__n_${i}_$j"),
+        sum(m(vi)).as(s"__sx_${i}_$j"),
+        sum(m(vj)).as(s"__sy_${i}_$j"),
+        sum(m(vi * vi)).as(s"__sxx_${i}_$j"),
+        sum(m(vj * vj)).as(s"__syy_${i}_$j"),
+        sum(m(vi * vj)).as(s"__sxy_${i}_$j"))
+    }
+    val one = grid.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      val nn = coalesce(col(s"__n_${i}_$j"), lit(0L))
+      val nd = nn.cast(dec)
+      val covN = nd * col(s"__sxy_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sy_${i}_$j")
+      val vxN = nd * col(s"__sxx_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sx_${i}_$j")
+      val vyN = nd * col(s"__syy_${i}_$j") -
+        col(s"__sy_${i}_$j") * col(s"__sy_${i}_$j")
+      struct(
+        lit(sids(i)).as("sid_a"), lit(sids(j)).as("sid_b"), nn.as("n"),
+        (round(when(nn >= 2 && vxN =!= 0 && vyN =!= 0,
+          covN.cast("double") /
+            sqrt(vxN.cast("double") * vyN.cast("double"))), 6) + 0.0).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.sid_a"), col("__r.sid_b"), col("__r.n"), col("__r.corr"))
+  }
+
   /** Market-residualized returns: r − β·m, where m is the equal-weight
     * cross-sectional mean return (the panel's own market factor) and β
     * is each sid's trailing `window`-bar sample beta vs m — the

@@ -506,6 +506,35 @@ object Performance {
         round(col("__mdd"), 6).as("max_drawdown"))
   }
 
+  /** Multi-strategy portfolio combination: the per-date weighted sum of
+    * each strategy's portfolio return — allocating a book across
+    * backtests the way the reference's Moonchart notebooks combine
+    * results CSVs. Each melt collapses through [[dailyReturns]] (exact
+    * pico sums), the tagged union groups by date ONCE, and the k
+    * per-strategy returns combine in FIXED column order (k is the
+    * strategy count — a handful — so the fold is per-row arithmetic,
+    * deterministic in any engine). A date missing from a strategy
+    * contributes 0 (that book simply wasn't trading). Output (date,
+    * ret_0…ret_{k−1}, combined_return round 6). */
+  def combineReturns(
+      strategies: Seq[(DataFrame, Double)],
+      dateCol: String = "date"): DataFrame = {
+    require(strategies.nonEmpty, "need at least one strategy")
+    val tagged = strategies.zipWithIndex.map { case ((melt, _), i) =>
+      dailyReturns(melt, dateCol)
+        .select(col(dateCol), lit(i).as("__k"), col("return"))
+    }.reduce(_ unionByName _)
+    val perStrat = strategies.indices.map(i =>
+      max(when(col("__k") === i, col("return"))).as(s"ret_$i"))
+    val combined = strategies.zipWithIndex
+      .map { case ((_, w), i) => coalesce(col(s"ret_$i"), lit(0.0)) * w }
+      .reduce(_ + _)
+    tagged
+      .groupBy(col(dateCol))
+      .agg(perStrat.head, perStrat.tail: _*)
+      .withColumn("combined_return", round(combined, 6) + 0.0)
+  }
+
   /** Active-return one-row summary vs the melt's `Benchmark` rows: the
     * benchmark-relative COUNTERPART of [[vsBenchmark]] (beta/alpha view)
     * — annualized active return (mean excess × periodsPerYear), tracking

@@ -223,4 +223,26 @@ class PanelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Panel.residualReturns(df, col("ret"), window = 1))
   }
+
+  test("correlationMatrix: ±1 on scaled/inverted books, pairwise-complete " +
+    "n, bounded-set guards (px7)") {
+    val df = Seq(
+      ("A", "d1", 0.01), ("A", "d2", 0.02), ("A", "d3", 0.03),
+      ("B", "d1", 0.02), ("B", "d2", 0.04), ("B", "d3", 0.06),
+      ("C", "d1", -0.01), ("C", "d2", -0.02), ("C", "d3", -0.03),
+      ("D", "d2", 0.05)) // one overlapping date → n=1, corr null
+      .toDF("sid", "date", "ret")
+    val out = Panel.correlationMatrix(df, col("ret"), Seq("A", "B", "C", "D"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(("A", "B")) == ((3L, Some(1.0))))
+    assert(out(("A", "C")) == ((3L, Some(-1.0))))
+    assert(out(("B", "C")) == ((3L, Some(-1.0))))
+    assert(out(("A", "D")) == ((1L, None)))
+    assert(out.size == 6)
+    intercept[IllegalArgumentException](
+      Panel.correlationMatrix(df, col("ret"), Seq("A")))
+    intercept[IllegalArgumentException](
+      Panel.correlationMatrix(df, col("ret"), (1 to 51).map(_.toString)))
+  }
 }

@@ -485,4 +485,21 @@ class PerfSpec extends SparkSpec {
     assert(t(0).getDate(2).toString == "2024-01-02")
     assert(t(0).getAs[Long]("n_days") == 2L)
   }
+
+  test("combineReturns: per-date weighted blend, absent strategy-dates " +
+    "contribute zero (port1)") {
+    def melt(rows: Seq[(String, Double)]) = rows
+      .map { case (d, v) => ("X", d, "Return", v) }
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val a = melt(Seq(("2024-01-01", 0.01), ("2024-01-02", 0.02)))
+    val b = melt(Seq(("2024-01-02", 0.1)))
+    val out = Performance.combineReturns(Seq((a, 0.5), (b, 2.0)))
+      .orderBy("date").collect()
+    assert(out(0).getAs[Double]("ret_0") == 0.01)
+    assert(out(0).isNullAt(2)) // strategy b not trading on day 1
+    assert(out(0).getAs[Double]("combined_return") == 0.005)
+    assert(out(1).getAs[Double]("combined_return") == 0.21) // 0.01 + 0.2
+    intercept[IllegalArgumentException](Performance.combineReturns(Nil))
+  }
 }
