@@ -1604,6 +1604,55 @@ object Oracles {
         |       CAST(i AS INT) AS slice_idx, slice_time, quantity
         |FROM sl WHERE quantity > 0""".stripMargin,
 
+    // J9: interval overlap replayed as the plain predicate join
+    "j9_overlap_join" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |         CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        |a AS (SELECT user_id, day, min(ts) AS start_ts FROM e GROUP BY 1, 2),
+        |b AS (SELECT user_id, day, min(ts) AS r_start_ts FROM e
+        |      WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT a.user_id, a.day, a.start_ts, b.r_start_ts
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.day = b.day
+        |WHERE a.start_ts <= b.r_start_ts + INTERVAL 3 HOUR
+        |  AND b.r_start_ts <= a.start_ts + INTERVAL 2 HOUR""".stripMargin,
+
+    // ML12: scaler — exact HUGEINT micro moments → one stats row,
+    // per-row (x − mean)/std
+    "ml12_scaler" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date, close,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS ret
+         |  FROM panel),
+         |ag AS (
+         |  SELECT
+         |    count(close) AS nc, sum(CAST(round(close * 1e6) AS HUGEINT)) AS sc,
+         |    sum(CAST(round(close * 1e6) AS HUGEINT)
+         |      * CAST(round(close * 1e6) AS HUGEINT)) AS ssc,
+         |    count(ret) AS nr, sum(CAST(round(ret * 1e6) AS HUGEINT)) AS sr,
+         |    sum(CAST(round(ret * 1e6) AS HUGEINT)
+         |      * CAST(round(ret * 1e6) AS HUGEINT)) AS ssr
+         |  FROM rr),
+         |st AS (
+         |  SELECT
+         |    round(CASE WHEN nc > 0 THEN CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)
+         |      / 1e6 END, 6) + 0.0 AS mc,
+         |    round(CASE WHEN nc >= 2 THEN sqrt((CAST(ssc AS DOUBLE) * CAST(nc AS DOUBLE)
+         |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+         |      / (CAST(nc AS DOUBLE) * (CAST(nc AS DOUBLE) - 1))) / 1e6 END, 6) AS dc,
+         |    round(CASE WHEN nr > 0 THEN CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE)
+         |      / 1e6 END, 6) + 0.0 AS mr,
+         |    round(CASE WHEN nr >= 2 THEN sqrt((CAST(ssr AS DOUBLE) * CAST(nr AS DOUBLE)
+         |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+         |      / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1))) / 1e6 END, 6) AS dr
+         |  FROM ag)
+         |SELECT sid, date,
+         |  round(CASE WHEN dc > 0 THEN (close - mc) / dc END, 6) + 0.0 AS close_z,
+         |  round(CASE WHEN dr > 0 THEN (ret - mr) / dr END, 6) + 0.0 AS ret_z
+         |FROM rr, st""".stripMargin,
+
     // EV7: first/last-touch attribution — one cumulative frame per user
     "ev7_attribution" -> {
       def t(c: String) = s"CASE WHEN event_type IN ('view','click') THEN $c END"

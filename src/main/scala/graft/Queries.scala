@@ -1365,6 +1365,32 @@ object Queries {
       graft.panel.Adjustments.backAdjust(supplierPanel(s, dir), actions)
     }),
 
+    // ---- J9: interval-overlap join via the anchor-bin trick — first
+    // click within 2h of the day's first event (3h click window)
+    "j9_overlap_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val a = e.groupBy(col("user_id"), col("day"))
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + expr("INTERVAL 2 HOURS"))
+      val b = e.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("ts")).as("r_start_ts"))
+        .withColumn("r_end_ts", col("r_start_ts") + expr("INTERVAL 3 HOURS"))
+      graft.panel.Intervals.intervalOverlap(a, b, Seq("user_id", "day"))
+        .select("user_id", "day", "start_ts", "r_start_ts")
+    }),
+
+    // ---- ML12: standard scaler fit + transform (exact micro moments,
+    // broadcast stats row)
+    "ml12_scaler" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+      val stats = graft.ml.Features.scalerFit(p, Seq("close", "ret"))
+      graft.ml.Features.scalerTransform(p, stats, Seq("close", "ret"))
+        .select("sid", "date", "close_z", "ret_z")
+    }),
+
     // ---- D26: volume-share (price-impact) slippage — the published
     // Zipline model over a volume-bearing panel
     "d26_volume_slippage" -> ((s, dir) => {

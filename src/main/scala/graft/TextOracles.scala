@@ -774,6 +774,22 @@ object TextOracles {
         |       ELSE 'test' END AS split
         |FROM h""".stripMargin,
 
+    // leakage-free group split: hash the group key (null → per-row id)
+    "sp8_group_split" ->
+      """WITH g AS (
+        |  SELECT doc_id, nullif(source, 'src0') AS grp,
+        |    coalesce(nullif(source, 'src0'),
+        |             '__row|' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, grp,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'split', key)), 1, 8))
+        |         AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        |  FROM g)
+        |SELECT doc_id, grp,
+        |  CASE WHEN u < 0.8 THEN 'train' ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+
     "tx6_chunks" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -238,6 +238,14 @@ object TextQueries {
         centroids, "vec_id", "embedding", threshold = 0.3, maxBucket = 2000)
     }),
 
+    // leakage-free split: assign by SOURCE group (near-dups from one
+    // site stay together); src0 rows get a null group → per-row fallback
+    "sp8_group_split" -> ((s, dir) =>
+      Sampling.splitByGroup(
+        t(s, dir, "documents").withColumn("grp", expr("nullif(source, 'src0')")),
+        "grp", "doc_id", Seq("train" -> 0.8, "test" -> 0.2))
+        .select("doc_id", "grp", "split")),
+
     // hybrid search: reciprocal-rank fusion of the bm25 lexical top-50
     // and the cosine semantic top-50 (query vector 0)
     "ir4_rrf" -> ((s, dir) => {

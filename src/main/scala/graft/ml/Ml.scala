@@ -46,6 +46,56 @@ object Features {
       d.withColumn(s"return_${n}d",
         Panel.safeDiv(col(closeCol), Panel.lagBySid(col(closeCol), n)) - 1.0)
     }
+
+  /** Fit a standard scaler: ONE row with each feature's mean and sample
+    * std (sklearn StandardScaler's fit half). Moments accumulate as
+    * exact micro-quantized decimal sums (order-free under any
+    * partitioning) and the published stats round to 6dp — the stats ARE
+    * the model artifact, so they must reproduce bit-for-bit across
+    * refits on reshuffled data. Null feature values are excluded
+    * per-column (pairwise-complete). */
+  def scalerFit(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val dec = "decimal(38,0)"
+    val aggs = featureCols.flatMap { c =>
+      val m = round(col(c) * 1e6).cast(dec)
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        sum(m).as(s"__s_$c"),
+        sum(m * m).as(s"__ss_$c"))
+    }
+    val outs = featureCols.flatMap { c =>
+      val n = col(s"__n_$c").cast("double")
+      val s = col(s"__s_$c").cast("double")
+      val ss = col(s"__ss_$c").cast("double")
+      Seq(
+        col(s"__n_$c").as(s"n_$c"),
+        (round(when(col(s"__n_$c") > 0, s / n / 1e6), 6) + 0.0).as(s"mean_$c"),
+        round(when(col(s"__n_$c") >= 2,
+          sqrt((ss * n - s * s) / (n * (n - 1))) / 1e6), 6).as(s"std_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*).select(outs: _*)
+  }
+
+  /** Apply fitted scaler stats: z_c = (x_c − mean_c)/std_c per feature
+    * (null where the feature, the stats, or a zero/degenerate std make
+    * the z undefined — never ±Infinity). `stats` is [[scalerFit]]'s
+    * one-row frame, broadcast onto the data as a scalar-row cross join
+    * (the bm25 stats-row pattern). */
+  def scalerTransform(
+      df: DataFrame,
+      stats: DataFrame,
+      featureCols: Seq[String],
+      suffix: String = "_z"): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val scaled = df.crossJoin(broadcast(stats))
+    val drop = featureCols.flatMap(c => Seq(s"n_$c", s"mean_$c", s"std_$c"))
+    featureCols.foldLeft(scaled) { (d, c) =>
+      d.withColumn(s"$c$suffix",
+        (round(when(col(s"std_$c") > 0,
+          (col(c) - col(s"mean_$c")) / col(s"std_$c")), 6) + 0.0))
+    }.drop(drop: _*)
+  }
 }
 
 /** Binary-classification evaluation over a predictions frame — the

@@ -63,4 +63,54 @@ object Intervals {
       .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: pairs of intervals from `left` and `right`
+    * that share any instant ([aStart ≤ bEnd] ∧ [bStart ≤ aEnd], both
+    * inclusive) on equal keys — trading-halt × bar-window overlap,
+    * session × outage attribution. Same bucketization as
+    * [[pointInInterval]], with the standard DEDUP-FREE anchor trick:
+    * two overlapping intervals co-occupy every bin of their
+    * intersection, so a naive bin equi-join emits the pair once per
+    * shared bin — instead the pair is kept ONLY in the intersection's
+    * FIRST bin (bin == floor(max(start_a, start_b))), which exists iff
+    * the intervals overlap. One hash equi-join, no distinct pass, no
+    * nested loop. Column names must differ between the two sides
+    * (left keeps its names; right's start/end are parameters). */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStart: String = "start_ts",
+      leftEnd: String = "end_ts",
+      rightStart: String = "r_start_ts",
+      rightEnd: String = "r_end_ts",
+      bucket: Long = 600000000L,
+      maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(bucket > 0, s"bucket width must be positive micros: $bucket")
+    def explodeBins(df: DataFrame, s: String, e: String): DataFrame = {
+      def bin(c: String) = floor(unix_micros(col(c).cast("timestamp")) / bucket)
+      val nb = bin(e) - bin(s) + 1
+      val guarded =
+        when(col(e) < col(s),
+          raise_error(format_string(
+            "interval end %s before start %s",
+            col(e).cast("string"), col(s).cast("string"))).cast("long"))
+          .when(nb > maxBinsPerInterval,
+            raise_error(format_string(
+              s"interval [%s, %s] spans %s bins (> $maxBinsPerInterval): " +
+                "widen the bucket or split the interval",
+              col(s).cast("string"), col(e).cast("string"),
+              nb.cast("string"))).cast("long"))
+          .otherwise(nb)
+      df.withColumn("__bin", explode(sequence(bin(s), bin(s) + guarded - 1)))
+    }
+    val anchor = floor(
+      unix_micros(greatest(col(leftStart), col(rightStart)).cast("timestamp")) /
+        bucket)
+    explodeBins(left, leftStart, leftEnd)
+      .join(explodeBins(right, rightStart, rightEnd), keyCols :+ "__bin", "inner")
+      .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .where(col("__bin") === anchor)
+      .drop("__bin")
+  }
 }

@@ -133,12 +133,20 @@ object Sampling {
       idCol: String,
       splits: Seq[(String, Double)],
       seed: String = "split",
-      outCol: String = "split"): DataFrame = {
+      outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, splitExpr(col(idCol), splits, seed))
+
+  /** The split when-chain over an arbitrary key column — shared by
+    * [[splitByHash]] (row identity) and [[splitByGroup]] (group key). */
+  private def splitExpr(
+      key: Column,
+      splits: Seq[(String, Double)],
+      seed: String): Column = {
     if (splits.isEmpty) throw new ParameterError("splits must be non-empty")
     val total = splits.map(_._2).sum
     if (math.abs(total - 1.0) > 1e-9)
       throw new ParameterError(s"split weights must sum to 1: $total")
-    val h = hashUnit(col(idCol), seed)
+    val h = hashUnit(key, seed)
     // decimal accumulation: double 0.8+0.1 is 0.9000000000000001, which
     // would disagree with the 0.9 a user (or the oracle) writes down
     val cum = splits
@@ -146,10 +154,31 @@ object Sampling {
       .map(_.toDouble)
     // strict left-to-right when-chain on cumulative bounds; the final
     // split is the unconditional tail so hash 0.999999… can't fall out
-    val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), bound), acc) => when(h < bound, name).otherwise(acc)
     }
-    df.withColumn(outCol, expr)
+  }
+
+  /** Leakage-free split: assign by a GROUP key — registered domain,
+    * near-dup cluster id, author — so every member of a group lands in
+    * the SAME split. Splitting by row id leaks: near-duplicate pages
+    * from one site straddle train/test and the eval set stops being
+    * held out. Weights then govern the share of GROUPS, not rows (a
+    * hot domain drags its whole mass into one split — that asymmetry
+    * IS the point). Null group keys fall back to the per-row id (each
+    * such row its own singleton group) instead of pooling into one
+    * mega-group that would land entirely in one split. */
+  def splitByGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: String = "split",
+      outCol: String = "split"): DataFrame = {
+    val key = coalesce(
+      col(groupCol).cast("string"),
+      concat(lit("__row|"), col(idCol).cast("string")))
+    df.withColumn(outCol, splitExpr(key, splits, seed))
   }
 
   /** Domain-mixture reweighting: given target mixture proportions per

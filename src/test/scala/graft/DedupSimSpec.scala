@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{Sampling, TextAnalysis}
 
 class DedupSimSpec extends SparkSpec {
   import spark.implicits._
@@ -745,5 +745,22 @@ class DedupSimSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.length == 1)
     assert(out.head._1 == 1L && out.head._2 == 900L && out.head._3 > 0.99)
+  }
+
+  test("splitByGroup: every member of a group shares its split; null " +
+    "groups fall back to per-row identity (sp8)") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) null else s"dom${i % 10}"))
+      .toDF("doc_id", "grp")
+    val out = Sampling.splitByGroup(df, "grp", "doc_id",
+      Seq("train" -> 0.8, "test" -> 0.2))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    // a group never straddles splits
+    out.filter(_._2.isDefined).groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).toSet.size == 1, rows.take(3).toSeq)
+    }
+    // null-group rows split independently, not as one mega-group
+    val nullSplits = out.filter(_._2.isEmpty).map(_._3).toSet
+    assert(nullSplits.size == 2, s"null rows pooled: $nullSplits")
   }
 }

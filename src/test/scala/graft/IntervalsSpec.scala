@@ -58,4 +58,23 @@ class IntervalsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("intervalOverlap: one row per overlapping pair (even across many " +
+    "shared bins), touching endpoints count, disjoint pairs drop (j9)") {
+    val a = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), "a1"),
+      ("u1", ts("2024-01-01 13:00:00"), ts("2024-01-01 13:30:00"), "a2"))
+      .toDF("user_id", "start_ts", "end_ts", "a_id")
+    val b = Seq(
+      // overlaps a1 over 10:00-11:00 — SEVEN shared 10-min bins
+      ("u1", ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"), "b1"),
+      // touches a1 exactly at its end instant: inclusive overlap
+      ("u1", ts("2024-01-01 11:00:00"), ts("2024-01-01 11:15:00"), "b2"),
+      // disjoint from everything
+      ("u1", ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00"), "b3"))
+      .toDF("user_id", "r_start_ts", "r_end_ts", "b_id")
+    val out = Intervals.intervalOverlap(a, b, Seq("user_id"))
+      .select("a_id", "b_id").as[(String, String)].collect().sorted
+    assert(out.toSeq == Seq(("a1", "b1"), ("a1", "b2")))
+  }
 }

@@ -351,4 +351,21 @@ class MlSpec extends SparkSpec {
     val r = graft.ml.Evaluation.prCurve(nopos).orderBy(col("threshold").desc).head
     assert(r.getAs[Double]("precision") == 0.0 && r.isNullAt(4))
   }
+
+  test("scalerFit/scalerTransform: exact moment goldens, z recovery, " +
+    "degenerate std → null (ml12)") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    val stats = graft.ml.Features.scalerFit(df, Seq("x", "c")).head
+    assert(stats.getAs[Long]("n_x") == 3L)
+    assert(stats.getAs[Double]("mean_x") == 2.0)
+    assert(stats.getAs[Double]("std_x") == 1.0)
+    assert(stats.getAs[Double]("std_c") == 0.0) // constant feature
+    val z = graft.ml.Features.scalerTransform(df,
+      graft.ml.Features.scalerFit(df, Seq("x", "c")), Seq("x", "c"))
+      .orderBy("x").collect()
+    assert(z.map(_.getAs[Double]("x_z")).toSeq == Seq(-1.0, 0.0, 1.0))
+    // zero-std feature: null z, not ±Infinity
+    assert(z.forall(_.isNullAt(z.head.fieldIndex("c_z"))))
+    intercept[IllegalArgumentException](graft.ml.Features.scalerFit(df, Nil))
+  }
 }
