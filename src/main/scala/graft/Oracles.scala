@@ -1787,6 +1787,31 @@ object Oracles {
         |  count(*) AS n_bars
         |FROM panelv GROUP BY 1, 2""".stripMargin,
 
+    // W13: Parkinson / Garman-Klass range volatility over the monthly
+    // OHLC bars (constants inlined as the JVM's exact doubles)
+    "w13_range_vol" -> {
+      val c4ln2 = 4.0 * math.log(2.0)
+      val c2ln2m1 = 2.0 * math.log(2.0) - 1.0
+      """WITH panelv AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS volume
+        |  FROM lineitem GROUP BY 1, 2),
+        |bars AS (
+        |  SELECT sid, CAST(date_trunc('month', date) AS DATE) AS bucket,
+        |    min_by(close, date) AS o, max(close) AS h, min(close) AS l,
+        |    max_by(close, date) AS c
+        |  FROM panelv GROUP BY 1, 2)
+        |SELECT sid, bucket,
+        |  round(CASE WHEN h > 0 AND l > 0 AND h >= l
+        |""".stripMargin +
+        s"""        THEN sqrt(ln(h / l) * ln(h / l) / $c4ln2) END, 6) AS parkinson,
+           |  round(CASE WHEN h > 0 AND l > 0 AND h >= l AND o > 0 AND c > 0
+           |        THEN sqrt(greatest(0.0, ln(h / l) * ln(h / l) * 0.5
+           |          - $c2ln2m1 * ln(c / o) * ln(c / o))) END, 6) AS garman_klass
+           |FROM bars""".stripMargin
+    },
+
     // back-adjustment: pico-nat-quantized ln factors, reverse running
     // sum (same-date actions sort after the bar), exp at the bar
     "adj1_back_adjust" ->

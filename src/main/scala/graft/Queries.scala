@@ -1351,6 +1351,20 @@ object Queries {
         to_date(date_trunc("month", col("date"))), col("close"), col("volume"))
     }),
 
+    // ---- W13: range-based volatility (Parkinson / Garman-Klass) over
+    // the monthly OHLC bars
+    "w13_range_vol" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          sum(col("l_quantity").cast("long")).cast("double").as("volume"))
+      val bars = Panel.resampleOhlcv(p,
+        to_date(date_trunc("month", col("date"))), col("close"), col("volume"))
+      Panel.rangeVolatility(bars)
+        .select("sid", "bucket", "parkinson", "garman_klass")
+    }),
+
     // ---- corporate-action back-adjustment: split/dividend factors
     // applied to all EARLIER bars via one reverse-scan window (no joins)
     "adj1_back_adjust" -> ((s, dir) => {

@@ -618,6 +618,60 @@ object TextOracles {
          |JOIN mh b ON p.id_b = b.doc_id""".stripMargin
     },
 
+    // quality-aware survivors: dd8's recursive closure labels clusters,
+    // dd17's quality replay ranks members, best (quality DESC, id) wins
+    "dd21_best_survivors" -> {
+      val stop = langScore("en")
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+         |$ltCte,
+         |comp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM lt),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN tok > 0 AND nospace::DOUBLE / tok >= 3
+         |                 AND nospace::DOUBLE / tok <= 10
+         |            THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |      least((CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END)
+         |            * 5.0, 1.0) * 0.2 +
+         |      (1.0 - least((CASE WHEN n > 0 THEN digit::DOUBLE / n
+         |                    ELSE 0.0 END) * 5.0, 1.0)) * 0.2, 6) AS quality
+         |  FROM comp),
+         |losers AS (
+         |  SELECT id FROM (
+         |    SELECT l.id, row_number() OVER (PARTITION BY l.cluster
+         |      ORDER BY q.quality DESC, l.id) AS rn
+         |    FROM lab l JOIN q ON l.id = q.doc_id)
+         |  WHERE rn > 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
+    },
+
     // semantic decontamination: sd1's trained quantizer partitions the
     // space; corpus×eval cosine within shared cells, best match per doc
     "sd3_semantic_decontam" -> {

@@ -227,6 +227,17 @@ object TextQueries {
     "dd20_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashJaccardEstimates(t(s, dir, "documents"))),
 
+    // quality-aware survivors: each near-dup cluster keeps its BEST
+    // member by the tx3 quality score (not the min id)
+    "dd21_best_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, threshold = 0.5))
+      Dedup.keepBestPerCluster(docs, clusters,
+        TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"))
+    }),
+
     // semantic decontamination: corpus (vec_id >= 100) embeddings flagged
     // when cosine-near ANY eval (vec_id < 100) member of their quantizer
     // cell — the paraphrase leakage exact/minhash decontamination misses

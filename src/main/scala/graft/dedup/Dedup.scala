@@ -950,6 +950,34 @@ object Dedup {
       clusters.where(col("id") =!= col("cluster")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware survivor selection: where [[dropNearDuplicates]]
+    * keeps each near-dup cluster's min-LABEL member (an arbitrary but
+    * deterministic choice), this keeps the cluster's BEST member by a
+    * caller-supplied quality score — the curation-grade policy (keep
+    * the cleanest copy of the boilerplate family, not the
+    * lowest-numbered one). Ties break to the lowest id; unclustered
+    * docs always survive.
+    *
+    * Plan: quality is evaluated for CLUSTERED docs only (a left-semi
+    * prune — cluster mass ∝ duplicates, so a corpus-wide score pass is
+    * never paid here), one rank window per cluster (bounded by cluster
+    * size), one anti-join back. */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      clusters: DataFrame,
+      quality: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clustered = docs
+      .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol))
+      .select(col(idCol), col("cluster"), quality.as("__q"))
+    val losers = clustered
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("__q").desc, col(idCol))))
+      .where(col("__rn") > 1)
+      .select(col(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-word hash for simhash voting: ≤32 bits come from the first 8
     * md5 hex chars (the historical 32-bit fingerprint, kept stable for
     * the dd5 DuckDB oracle); wider fingerprints splice two 32-bit conv

@@ -239,6 +239,33 @@ object Panel {
       .select(col("__r.sid_a"), col("__r.sid_b"), col("__r.n"), col("__r.corr"))
   }
 
+  /** Range-based volatility estimators over OHLC bars (the
+    * [[resampleOhlcv]] output): Parkinson 1980 (high/low range) and
+    * Garman-Klass 1980 (range + open/close) per-bar variance — both
+    * published estimators are ~5-7× more efficient than close-to-close
+    * sampling at the same bar count. Pure per-row arithmetic on the
+    * bar frame (no windows, no shuffles beyond what produced the
+    * bars); outputs are per-bar VOLATILITIES (√variance) rounded to
+    * 6dp — `ln` is the one libm site and its cross-engine noise is
+    * ulps. Null on degenerate bars (non-positive high/low/open). */
+  def rangeVolatility(
+      bars: DataFrame,
+      openCol: String = "open",
+      highCol: String = "high",
+      lowCol: String = "low",
+      closeCol: String = "close"): DataFrame = {
+    val ok = col(highCol) > 0 && col(lowCol) > 0 && col(highCol) >= col(lowCol)
+    val hl = log(col(highCol) / col(lowCol))
+    val co = log(col(closeCol) / col(openCol))
+    val parkinson = sqrt(hl * hl / (4.0 * math.log(2.0)))
+    val gk = sqrt(greatest(
+      lit(0.0), hl * hl * 0.5 - lit(2.0 * math.log(2.0) - 1.0) * co * co))
+    bars
+      .withColumn("parkinson", round(when(ok, parkinson), 6))
+      .withColumn("garman_klass",
+        round(when(ok && col(openCol) > 0 && col(closeCol) > 0, gk), 6))
+  }
+
   /** Market-residualized returns: r − β·m, where m is the equal-weight
     * cross-sectional mean return (the panel's own market factor) and β
     * is each sid's trailing `window`-bar sample beta vs m — the

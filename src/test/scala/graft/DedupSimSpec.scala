@@ -763,4 +763,22 @@ class DedupSimSpec extends SparkSpec {
     val nullSplits = out.filter(_._2.isEmpty).map(_._3).toSet
     assert(nullSplits.size == 2, s"null rows pooled: $nullSplits")
   }
+
+  test("keepBestPerCluster: the highest-quality member survives (not the " +
+    "min id); ties break low; unclustered docs untouched (dd21)") {
+    val docs = Seq(
+      (1L, "short"), (2L, "a much better document body"), (3L, "unrelated"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("id", "cluster")
+    val q = Seq((1L, 0.2), (2L, 0.9), (3L, 0.1)).toDF("doc_id", "qv")
+    val withQ = docs.join(q, "doc_id")
+    val out = Dedup.keepBestPerCluster(withQ, clusters, col("qv"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 3L)) // 2 beats 1 on quality; 3 unclustered
+    // equal quality → lowest id
+    val tie = Seq((1L, 0.5), (2L, 0.5), (3L, 0.1)).toDF("doc_id", "qv")
+    val out2 = Dedup.keepBestPerCluster(docs.join(tie, "doc_id"), clusters, col("qv"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(1L, 3L))
+  }
 }

@@ -245,4 +245,24 @@ class PanelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Panel.correlationMatrix(df, col("ret"), (1 to 51).map(_.toString)))
   }
+
+  test("rangeVolatility: Parkinson/Garman-Klass goldens, flat bar → 0, " +
+    "degenerate bar → null (w13)") {
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val e = math.exp(1.0)
+    val bars = Seq(
+      // h/l = e → ln(h/l) = 1: parkinson = √(1/(4ln2)); c=o → gk = √0.5
+      ("A", 1.0, e, 1.0, 1.0),
+      ("B", 5.0, 5.0, 5.0, 5.0),   // flat bar: zero range
+      ("C", 1.0, 0.0, 0.0, 1.0))   // degenerate (non-positive range)
+      .toDF("sid", "open", "high", "low", "close")
+    val out = Panel.rangeVolatility(bars)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("parkinson") ==
+      r6(math.sqrt(1.0 / (4.0 * math.log(2.0)))))
+    assert(out("A").getAs[Double]("garman_klass") == r6(math.sqrt(0.5)))
+    assert(out("B").getAs[Double]("parkinson") == 0.0)
+    assert(out("B").getAs[Double]("garman_klass") == 0.0)
+    assert(out("C").isNullAt(out("C").fieldIndex("parkinson")))
+  }
 }
