@@ -1868,6 +1868,80 @@ object Oracles {
         |SELECT sid, date, turnover * 0.1 * vshare * vshare AS slippage
         |FROM sh""".stripMargin,
 
+    // up/down capture: conditional pico sums over the benchmark joint
+    // series; capture = Σr/Σb per side (the means' ratio)
+    "perf_capture" ->
+      s"""WITH $perfRetCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
+         |bf AS (
+         |  SELECT d.date,
+         |    last_value(bcl.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bcl ON d.date = bcl.date),
+         |br AS (
+         |  SELECT date, coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS b
+         |  FROM bf),
+         |j AS (SELECT ret.date, r, b FROM ret JOIN br ON ret.date = br.date),
+         |ag AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         |    sum(CASE WHEN b > 0 THEN CAST(round(r * 1e12) AS HUGEINT) END) AS ru,
+         |    sum(CASE WHEN b > 0 THEN CAST(round(b * 1e12) AS HUGEINT) END) AS bu,
+         |    CAST(sum(CASE WHEN b < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         |    sum(CASE WHEN b < 0 THEN CAST(round(r * 1e12) AS HUGEINT) END) AS rd,
+         |    sum(CASE WHEN b < 0 THEN CAST(round(b * 1e12) AS HUGEINT) END) AS bd
+         |  FROM j)
+         |SELECT n_up, n_down,
+         |  round(CASE WHEN n_up > 0 AND bu <> 0
+         |             THEN CAST(ru AS DOUBLE) / CAST(bu AS DOUBLE) END, 6) + 0.0
+         |    AS up_capture,
+         |  round(CASE WHEN n_down > 0 AND bd <> 0
+         |             THEN CAST(rd AS DOUBLE) / CAST(bd AS DOUBLE) END, 6) + 0.0
+         |    AS down_capture
+         |FROM ag""".stripMargin,
+
+    // D29: 5% ADV participation cap — floor clamp, missing ADV drops
+    "d29_adv_cap" ->
+      """WITH stubs AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
+        |         'demo' AS "orderRef", CAST(round(s_acctbal) AS BIGINT) AS tq
+        |  FROM supplier WHERE s_acctbal > 0),
+        |adv AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS sid,
+        |         CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |           / count(*) AS adv
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.sid, s.account, s.action, s."orderRef",
+        |  CASE WHEN a.adv IS NULL THEN 0
+        |       ELSE least(s.tq, CAST(floor(a.adv * 0.05) AS BIGINT))
+        |  END AS "totalQuantity",
+        |  (a.adv IS NULL OR s.tq > CAST(floor(a.adv * 0.05) AS BIGINT))
+        |    AS was_capped
+        |FROM stubs s LEFT JOIN adv a ON s.sid = a.sid
+        |WHERE CASE WHEN a.adv IS NULL THEN 0
+        |           ELSE least(s.tq, CAST(floor(a.adv * 0.05) AS BIGINT)) END > 0"""
+        .stripMargin,
+
+    // EV8: conversion-lag percentiles — exact µs lags, quantile_cont
+    "ev8_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS f,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t
+        |  FROM e GROUP BY 1),
+        |lg AS (
+        |  SELECT (t - f) / 1e6 AS lag FROM pu
+        |  WHERE f IS NOT NULL AND t IS NOT NULL AND t >= f)
+        |SELECT count(*) AS n_users,
+        |  round(quantile_cont(lag, 0.25), 6) AS p25,
+        |  round(quantile_cont(lag, 0.5), 6) AS p50,
+        |  round(quantile_cont(lag, 0.9), 6) AS p90
+        |FROM lg""".stripMargin,
+
     // IC time-series summary over the ic1 per-date series: exact micro
     // re-quantization of the 6dp ICs → order-free HUGEINT sums
     "ic3_ic_summary" ->

@@ -1280,6 +1280,30 @@ object Queries {
     "perf_active" -> ((s, dir) =>
       graft.perf.Performance.activeStats(benchmarkedMelt(s, dir))),
 
+    // ---- up/down capture vs the benchmark: ratios of exact pico sums
+    "perf_capture" -> ((s, dir) =>
+      graft.perf.Performance.captureRatios(benchmarkedMelt(s, dir))),
+
+    // ---- D29: participation-rate cap — stubs clamped at 5% of the
+    // sid's average daily volume (missing ADV → untradeable)
+    "d29_adv_cap" -> ((s, dir) => {
+      val stubs = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"), lit("U1").as("account"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
+          lit("demo").as("orderRef"),
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
+      val adv = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").cast("string").as("sid"))
+        .agg((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1))).as("adv"))
+      Trade.capByParticipation(stubs, adv, rate = 0.05)
+    }),
+
+    // ---- EV8: view→purchase conversion-lag percentiles
+    "ev8_conversion_lag" -> ((s, dir) =>
+      graft.events.Events.conversionLag(events(s, dir), "view", "purchase")),
+
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
     "ic3_ic_summary" -> ((s, dir) => {

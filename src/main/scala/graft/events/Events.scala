@@ -184,6 +184,40 @@ object Events {
       .limit(topK)
   }
 
+  /** Conversion-lag distribution: seconds from each user's FIRST
+    * `fromType` event to their FIRST `toType` event (users converting
+    * before ever touching `fromType`, or never converting, are
+    * excluded), summarized as exact interpolated percentiles — the
+    * "how long does view→purchase take" funnel-latency view. ONE hash
+    * aggregation per user (two conditional mins — the funnel shape) +
+    * one bounded percentile pass over the per-user lags; lags are
+    * exact integer microseconds ÷ 1e6, and `percentile` interpolation
+    * is the same formula in Spark and DuckDB (the winsorize lesson),
+    * rounded to 6dp. */
+  def conversionLag(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      percentiles: Seq[Double] = Seq(0.25, 0.5, 0.9),
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0, 1]: ${percentiles.mkString(", ")}")
+    val lag = events
+      .groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === fromType, micros(col(tsCol)))).as("__f"),
+        min(when(col(typeCol) === toType, micros(col(tsCol)))).as("__t"))
+      .where(col("__f").isNotNull && col("__t").isNotNull && col("__t") >= col("__f"))
+      .select(((col("__t") - col("__f")) / 1e6).as("__lag"))
+    val aggs = count(lit(1)).as("n_users") +:
+      percentiles.map(p =>
+        round(percentile(col("__lag"), lit(p)), 6)
+          .as(s"p${(p * 100).round}"))
+    lag.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** First-/last-touch attribution: for every `conversionType` event,
     * the FIRST and the most recent `touchTypes` event at or before it
     * in the user's (ts, event_id)-ordered stream, plus seconds since

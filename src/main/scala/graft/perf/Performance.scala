@@ -506,6 +506,37 @@ object Performance {
         round(col("__mdd"), 6).as("max_drawdown"))
   }
 
+  /** Up-/down-capture ratios vs the melt's `Benchmark` rows: mean
+    * portfolio return on benchmark-up days over mean benchmark return
+    * on those days (and the down-day analogue) — the institutional
+    * "does it keep up in rallies / protect in selloffs" pair. Because
+    * both sides divide by the same day count, each capture is the
+    * RATIO OF EXACT PICO SUMS (returns re-quantized per row before the
+    * conditional sums), so the only double op is one division per
+    * ratio (6dp). Flat-benchmark days (b = 0) belong to neither side.
+    * Null when a side has no days or a zero benchmark sum. */
+  def captureRatios(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val dec = "decimal(38,0)"
+    def pico(c: Column) = round(c * 1e12).cast(dec)
+    benchmarkJoined(results, dateCol)
+      .select(col("return").as("__r"), col("bench_return").as("__b"))
+      .agg(
+        sum(when(col("__b") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("__b") > 0, pico(col("__r")))).as("__ru"),
+        sum(when(col("__b") > 0, pico(col("__b")))).as("__bu"),
+        sum(when(col("__b") < 0, 1L).otherwise(0L)).as("n_down"),
+        sum(when(col("__b") < 0, pico(col("__r")))).as("__rd"),
+        sum(when(col("__b") < 0, pico(col("__b")))).as("__bd"))
+      .select(
+        col("n_up"), col("n_down"),
+        (round(when(col("n_up") > 0 && col("__bu") =!= 0,
+          col("__ru").cast("double") / col("__bu").cast("double")), 6) + 0.0)
+          .as("up_capture"),
+        (round(when(col("n_down") > 0 && col("__bd") =!= 0,
+          col("__rd").cast("double") / col("__bd").cast("double")), 6) + 0.0)
+          .as("down_capture"))
+  }
+
   /** Multi-strategy portfolio combination: the per-date weighted sum of
     * each strategy's portfolio return — allocating a book across
     * backtests the way the reference's Moonchart notebooks combine

@@ -325,6 +325,35 @@ object Trade {
         "action",
         when(col("action") === "BUY", "SELL").otherwise("BUY"))
 
+  /** Participation-rate cap: clamp each order stub's quantity at
+    * `rate` × the sid's average daily volume — the standard execution
+    * constraint (never be more than X% of the tape). `adv` is a
+    * per-sid frame (sid, adv) the caller computed from its volume
+    * panel (trailing mean, full-history mean — its choice); it is
+    * broadcast onto the bounded stubs frame. A sid missing from `adv`
+    * is UNTRADEABLE (capped to 0 and dropped) rather than uncapped —
+    * no volume data means no participation estimate, and a silent
+    * uncapped order is the expensive kind of wrong. Capped quantities
+    * floor (never round up past the limit); `was_capped` flags the
+    * clamped rows. */
+  def capByParticipation(
+      stubs: DataFrame,
+      adv: DataFrame,
+      rate: Double): DataFrame = {
+    if (rate <= 0 || rate > 1)
+      throw new ParameterError(s"participation rate must be in (0, 1]: $rate")
+    val cap = floor(col("adv") * rate).cast("long")
+    stubs
+      .join(broadcast(adv), Seq("sid"), "left")
+      .withColumn("was_capped",
+        col("adv").isNull || col("totalQuantity") > cap)
+      .withColumn("totalQuantity",
+        when(col("adv").isNull, 0L)
+          .otherwise(least(col("totalQuantity"), cap)))
+      .where(col("totalQuantity") > 0)
+      .drop("adv")
+  }
+
   /** TWAP order slicing: split each stub into `times.length` timed child
     * slices of equal size, earlier slices absorbing the integer
     * remainder (a 10-share order over 3 times trades 4/3/3) — the

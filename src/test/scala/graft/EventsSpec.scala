@@ -139,4 +139,24 @@ class EventsSpec extends SparkSpec {
     assert(c6.isNullAt(c6.fieldIndex("sec_since_touch")))
     intercept[IllegalArgumentException](Events.attribution(ev, Nil, "purchase"))
   }
+
+  test("conversionLag: first-view→first-purchase seconds, interpolated " +
+    "percentiles; pre-touch and non-converting users excluded (ev8)") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    def t(sec: Int) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, "u1", "view", t(0)), (2L, "u1", "purchase", t(100)),
+      (3L, "u2", "view", t(0)), (4L, "u2", "purchase", t(50)),
+      (5L, "u3", "purchase", t(10)), (6L, "u3", "view", t(20)), // converted first
+      (7L, "u4", "view", t(0))) // never converts
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.conversionLag(ev, "view", "purchase").head
+    assert(out.getAs[Long]("n_users") == 2L)
+    // lags [50, 100]: p25 = 62.5, p50 = 75, p90 = 95 (linear interpolation)
+    assert(out.getAs[Double]("p25") == 62.5)
+    assert(out.getAs[Double]("p50") == 75.0)
+    assert(out.getAs[Double]("p90") == 95.0)
+    intercept[IllegalArgumentException](
+      Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
+  }
 }

@@ -502,4 +502,23 @@ class PerfSpec extends SparkSpec {
     assert(out(1).getAs[Double]("combined_return") == 0.21) // 0.01 + 0.2
     intercept[IllegalArgumentException](Performance.combineReturns(Nil))
   }
+
+  test("captureRatios: ratio of pico sums per side, flat days excluded, " +
+    "one-sided series → null (perf_capture)") {
+    val melt = Seq(
+      ("A", "2024-01-01", "Return", 0.02), ("1", "2024-01-01", "Benchmark", 0.01),
+      ("A", "2024-01-02", "Return", 0.02), ("1", "2024-01-02", "Benchmark", 0.01),
+      ("A", "2024-01-03", "Return", -0.01), ("1", "2024-01-03", "Benchmark", -0.02),
+      ("A", "2024-01-04", "Return", 9.9), ("1", "2024-01-04", "Benchmark", 0.0))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.captureRatios(melt).head
+    assert(s.getAs[Long]("n_up") == 2L && s.getAs[Long]("n_down") == 1L)
+    assert(s.getAs[Double]("up_capture") == 2.0)  // 0.04/0.02
+    assert(s.getAs[Double]("down_capture") == 0.5) // −0.01/−0.02
+    val allUp = Performance.captureRatios(
+      melt.where($"date" <= "2024-01-02")).head
+    assert(allUp.getAs[Long]("n_down") == 0L)
+    assert(allUp.isNullAt(allUp.fieldIndex("down_capture")))
+  }
 }

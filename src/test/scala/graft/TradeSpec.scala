@@ -285,4 +285,22 @@ class TradeSpec extends SparkSpec {
     intercept[graft.ParameterError](Trade.twapSlices(stubs, Seq("a", "a")))
     intercept[graft.ParameterError](Trade.twapSlices(stubs, Nil))
   }
+
+  test("capByParticipation: floor clamp at rate·ADV, missing ADV drops " +
+    "the order, flags only clamped rows (d29)") {
+    val stubs = Seq(
+      ("S1", "U1", "BUY", "demo", 100L),  // clamped to 50
+      ("S2", "U1", "SELL", "demo", 30L),  // under the cap
+      ("S3", "U1", "BUY", "demo", 10L))   // no ADV → untradeable
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val adv = Seq(("S1", 1000.0), ("S2", 1000.0)).toDF("sid", "adv")
+    val out = Trade.capByParticipation(stubs, adv, rate = 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("totalQuantity"), r.getAs[Boolean]("was_capped")))).toMap
+    assert(out("S1") == ((50L, true)))
+    assert(out("S2") == ((30L, false)))
+    assert(!out.contains("S3"))
+    intercept[graft.ParameterError](Trade.capByParticipation(stubs, adv, 0.0))
+    intercept[graft.ParameterError](Trade.capByParticipation(stubs, adv, 1.5))
+  }
 }
