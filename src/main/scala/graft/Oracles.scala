@@ -1787,6 +1787,56 @@ object Oracles {
         |  count(*) AS n_bars
         |FROM panelv GROUP BY 1, 2""".stripMargin,
 
+    // W14: ATR — per-bar true range, exact micro rolling mean
+    "w14_atr" ->
+      """WITH bars AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS h, min(l_extendedprice) AS l,
+        |         max(l_extendedprice) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT *, lag(c) OVER (PARTITION BY sid ORDER BY date) AS prevc
+        |  FROM bars),
+        |tr AS (
+        |  SELECT sid, date,
+        |    CASE WHEN prevc IS NULL THEN h - l
+        |         ELSE greatest(h - l, abs(h - prevc), abs(l - prevc)) END AS tr
+        |  FROM pc),
+        |m AS (SELECT *, CAST(round(tr * 1e6) AS HUGEINT) AS trm FROM tr)
+        |SELECT sid, date, tr,
+        |  round(CASE WHEN count(trm) OVER f = 14
+        |             THEN CAST(sum(trm) OVER f AS DOUBLE) / 14 / 1e6 END, 6)
+        |    AS atr_14
+        |FROM m
+        |WINDOW f AS (PARTITION BY sid ORDER BY date
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // W15: Cutler RSI — 100·ΣG/(ΣG+ΣL) over exact micro change sums
+    "w15_rsi" ->
+      s"""WITH $panelCte,
+         |d AS (
+         |  SELECT sid, date,
+         |    CAST(round(close * 1e6) AS HUGEINT)
+         |      - lag(CAST(round(close * 1e6) AS HUGEINT))
+         |        OVER (PARTITION BY sid ORDER BY date) AS df
+         |  FROM panel),
+         |gl AS (
+         |  SELECT sid, date,
+         |    CASE WHEN df IS NULL THEN NULL
+         |         WHEN df > 0 THEN df ELSE 0 END AS g,
+         |    CASE WHEN df IS NULL THEN NULL
+         |         WHEN df < 0 THEN -df ELSE 0 END AS l
+         |  FROM d)
+         |SELECT sid, date,
+         |  round(CASE WHEN count(g) OVER f = 14
+         |               AND sum(g) OVER f + sum(l) OVER f <> 0
+         |             THEN CAST(sum(g) OVER f AS DOUBLE) * 100.0
+         |               / CAST(sum(g) OVER f + sum(l) OVER f AS DOUBLE) END, 6)
+         |    AS rsi_14
+         |FROM gl
+         |WINDOW f AS (PARTITION BY sid ORDER BY date
+         |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // W13: Parkinson / Garman-Klass range volatility over the monthly
     // OHLC bars (constants inlined as the JVM's exact doubles)
     "w13_range_vol" -> {

@@ -1375,6 +1375,25 @@ object Queries {
         to_date(date_trunc("month", col("date"))), col("close"), col("volume"))
     }),
 
+    // ---- W14: Average True Range over daily high/low/close bars
+    "w14_atr" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val bars = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max(col("l_extendedprice")).as("close"))
+      graft.panel.Indicators.atr(bars, window = 14)
+        .select("sid", "date", "tr", "atr_14")
+    }),
+
+    // ---- W15: RSI (Cutler's SMA form) — exact integer gain/loss sums
+    "w15_rsi" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      graft.panel.Indicators.rsi(supplierPanel(s, dir), window = 14)
+        .select("sid", "date", "rsi_14")
+    }),
+
     // ---- W13: range-based volatility (Parkinson / Garman-Klass) over
     // the monthly OHLC bars
     "w13_range_vol" -> ((s, dir) => {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.panel.{Indicators, Panel}
+import graft.panel.Panel.Keys
+
+/** Technical-indicator goldens: ATR true-range cases (gap bars), RSI
+  * gain/loss ratios, warm-up and flat-window nulls. */
+class IndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private implicit val k: Keys = Panel.eod
+
+  test("atr: TR covers range and gaps, trailing mean exact, null until " +
+    "the window fills (w14)") {
+    val bars = Seq(
+      ("A", "d1", 10.0, 8.0, 9.0),  // first bar: TR = h − l = 2
+      ("A", "d2", 9.0, 7.0, 8.0),   // max(2, 0, 2) = 2
+      ("A", "d3", 15.0, 14.0, 15.0)) // gap up: max(1, 7, 6) = 7
+      .toDF("sid", "date", "high", "low", "close")
+    val out = Indicators.atr(bars, window = 2)
+      .orderBy("date").collect()
+    assert(out.map(_.getAs[Double]("tr")).toSeq == Seq(2.0, 2.0, 7.0))
+    assert(out(0).isNullAt(out(0).fieldIndex("atr_2")))
+    assert(out(1).getAs[Double]("atr_2") == 2.0)
+    assert(out(2).getAs[Double]("atr_2") == 4.5)
+    intercept[IllegalArgumentException](Indicators.atr(bars, 0))
+  }
+
+  test("rsi: 100·ΣG/(ΣG+ΣL) goldens, all-loss → 0, flat window → null, " +
+    "first bar's undefined change never fills the window (w15)") {
+    val bars = Seq(
+      ("A", "d1", 10.0), ("A", "d2", 12.0), ("A", "d3", 11.0),
+      ("A", "d4", 11.0), ("A", "d5", 9.0),
+      ("B", "d1", 5.0), ("B", "d2", 5.0), ("B", "d3", 5.0))
+      .toDF("sid", "date", "close")
+    val out = Indicators.rsi(bars, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("A", "d1")).isEmpty)
+    assert(out(("A", "d2")).isEmpty) // only ONE defined change so far
+    assert(out(("A", "d3")) == Some(66.666667)) // G=2, L=1
+    assert(out(("A", "d4")) == Some(0.0))       // changes −1, 0 → all loss
+    assert(out(("A", "d5")) == Some(0.0))
+    assert(out(("B", "d3")).isEmpty) // flat: ΣG+ΣL = 0 → undefined
+  }
+}
