@@ -1837,6 +1837,42 @@ object Oracles {
          |WINDOW f AS (PARTITION BY sid ORDER BY date
          |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // W16: stochastic %K — order-free rolling extremes
+    "w16_stochastic" ->
+      """WITH bars AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS h, min(l_extendedprice) AS l,
+        |         max(l_extendedprice) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT sid, date,
+        |  round(CASE WHEN count(c) OVER f = 14
+        |               AND max(h) OVER f <> min(l) OVER f
+        |             THEN (c - min(l) OVER f) * 100.0
+        |               / (max(h) OVER f - min(l) OVER f) END, 6) + 0.0
+        |    AS stoch_k_14
+        |FROM bars
+        |WINDOW f AS (PARTITION BY sid ORDER BY date
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // W17: on-balance volume — signed exact long cumsum
+    "w17_obv" ->
+      """WITH bars AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+        |  FROM lineitem GROUP BY 1, 2),
+        |d AS (
+        |  SELECT *, CAST(round(close * 1e6) AS HUGEINT)
+        |    - lag(CAST(round(close * 1e6) AS HUGEINT))
+        |      OVER (PARTITION BY sid ORDER BY date) AS df
+        |  FROM bars)
+        |SELECT sid, date,
+        |  CAST(sum(CASE WHEN df IS NULL OR df = 0 THEN 0
+        |                WHEN df > 0 THEN vol ELSE -vol END)
+        |    OVER (PARTITION BY sid ORDER BY date ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS obv
+        |FROM d""".stripMargin,
+
     // W13: Parkinson / Garman-Klass range volatility over the monthly
     // OHLC bars (constants inlined as the JVM's exact doubles)
     "w13_range_vol" -> {

@@ -1394,6 +1394,30 @@ object Queries {
         .select("sid", "date", "rsi_14")
     }),
 
+    // ---- W16: stochastic %K over daily bars (order-free rolling
+    // extremes, one division per row)
+    "w16_stochastic" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val bars = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("high"),
+          min(col("l_extendedprice")).as("low"),
+          max(col("l_extendedprice")).as("close"))
+      graft.panel.Indicators.stochasticK(bars, window = 14)
+        .select("sid", "date", "stoch_k_14")
+    }),
+
+    // ---- W17: on-balance volume — exact signed long cumsum
+    "w17_obv" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val bars = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          sum(col("l_quantity").cast("long")).as("volume"))
+      graft.panel.Indicators.obv(bars)
+        .select("sid", "date", "obv")
+    }),
+
     // ---- W13: range-based volatility (Parkinson / Garman-Klass) over
     // the monthly OHLC bars
     "w13_range_vol" -> ((s, dir) => {

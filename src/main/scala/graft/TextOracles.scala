@@ -618,6 +618,17 @@ object TextOracles {
          |JOIN mh b ON p.id_b = b.doc_id""".stripMargin
     },
 
+    // lexical diversity: distinct/total normalized words
+    "tx20_ttr" ->
+      s"""WITH $wordsCte,
+         |cl AS (
+         |  SELECT doc_id, list_filter(w, x -> x <> '') AS cw FROM words)
+         |SELECT doc_id,
+         |  CASE WHEN len(cw) > 0
+         |       THEN round(len(list_distinct(cw))::DOUBLE / len(cw), 6)
+         |       ELSE 0.0 END AS ttr
+         |FROM cl""".stripMargin,
+
     // quality-aware survivors: dd8's recursive closure labels clusters,
     // dd17's quality replay ranks members, best (quality DESC, id) wins
     "dd21_best_survivors" -> {

@@ -227,6 +227,11 @@ object TextQueries {
     "dd20_minhash_estimate" -> ((s, dir) =>
       Dedup.minhashJaccardEstimates(t(s, dir, "documents"))),
 
+    // lexical diversity: distinct/total word ratio per doc
+    "tx20_ttr" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"))),
+
     // quality-aware survivors: each near-dup cluster keeps its BEST
     // member by the tx3 quality score (not the min id)
     "dd21_best_survivors" -> ((s, dir) => {

@@ -46,6 +46,44 @@ object Indicators {
       .drop("__trm")
   }
 
+  /** Stochastic oscillator %K: 100·(close − Lₙ)/(Hₙ − Lₙ), where Hₙ/Lₙ
+    * are the trailing `window` high/low extremes — where the close sits
+    * in its recent range. Rolling max/min are ORDER-FREE exact
+    * aggregates (no accumulation at all), so %K is one per-row division
+    * (6dp); null until the window fills or when the range is flat
+    * (Hₙ = Lₙ). Appends `stoch_k_<window>`. */
+  def stochasticK(
+      bars: DataFrame,
+      window: Int,
+      highCol: String = "high",
+      lowCol: String = "low",
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val f = k.rollingFrame(window)
+    val hn = max(col(highCol)).over(f)
+    val ln = min(col(lowCol)).over(f)
+    bars.withColumn(s"stoch_k_$window",
+      round(when(count(col(closeCol)).over(f) === window && hn =!= ln,
+        (col(closeCol) - ln) * 100.0 / (hn - ln)), 6) + 0.0)
+  }
+
+  /** On-Balance Volume: running Σ sign(Δclose)·volume per sid — the
+    * classic volume-flow confirmation line. Volume is summed as exact
+    * longs (flat days contribute 0, the first bar has no defined change
+    * and contributes 0 — Granville's convention), so the cumulative
+    * series is an exact integer under any partitioning. Appends
+    * `obv`. */
+  def obv(
+      bars: DataFrame,
+      closeCol: String = "close",
+      volumeCol: String = "volume")(implicit k: Keys): DataFrame = {
+    val diff = micro(col(closeCol)) - micro(lag(col(closeCol), 1).over(k.bySid))
+    val signed = when(diff.isNull || diff === 0, 0L)
+      .when(diff > 0, col(volumeCol).cast("long"))
+      .otherwise(-col(volumeCol).cast("long"))
+    bars.withColumn("obv", sum(signed).over(k.cumFrame))
+  }
+
   /** Relative Strength Index (Cutler's SMA form — Wilder's original
     * smoothing is recursive and not window-expressible; the SMA variant
     * is the standard fixed-window restatement): RSI = 100·ΣG/(ΣG+ΣL)

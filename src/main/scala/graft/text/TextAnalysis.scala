@@ -127,6 +127,21 @@ object TextAnalysis {
   def nonSpaceChars(text: Column): Column =
     length(regexp_replace(text, "\\s", "")).cast("long")
 
+  /** Type-token ratio: distinct normalized words / total words — the
+    * lexical-diversity signal (templated or spun text scores low, and
+    * TTR complements the Gopher repetition fractions from the variety
+    * side). Per-row exact integer ratio rounded to 6dp; 0 for
+    * token-less docs. The HOF filter/distinct stay per-row over one
+    * doc's words (no corpus-scale lambda hot path — the GopherSignals
+    * native-expression threshold is repeated n-gram ARRAY REBUILDS,
+    * not a single pass). */
+  def typeTokenRatio(text: Column): Column = {
+    val clean = filter(normWords(text), w => w =!= lit(""))
+    when(size(clean) > 0,
+      round(size(array_distinct(clean)).cast("double") / size(clean), 6))
+      .otherwise(0.0)
+  }
+
   def stopwordRatio(text: Column): Column = {
     val t = tokenCount(text)
     val hits = langMarkers("en").map(m => countOccurrences(lowercase(text), m)).reduce(_ + _)

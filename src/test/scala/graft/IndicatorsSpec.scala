@@ -45,4 +45,33 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(("A", "d5")) == Some(0.0))
     assert(out(("B", "d3")).isEmpty) // flat: ΣG+ΣL = 0 → undefined
   }
+
+  test("stochasticK: position in the rolling range, flat range → null " +
+    "(w16)") {
+    val bars = Seq(
+      ("A", "d1", 10.0, 8.0, 9.0), ("A", "d2", 12.0, 9.0, 11.0),
+      ("A", "d3", 11.0, 10.0, 10.0),
+      ("B", "d1", 5.0, 5.0, 5.0), ("B", "d2", 5.0, 5.0, 5.0))
+      .toDF("sid", "date", "high", "low", "close")
+    val out = Indicators.stochasticK(bars, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out(("A", "d1")).isEmpty) // window not full
+    // d2: H=12, L=8, close 11 → (11−8)/4·100 = 75
+    assert(out(("A", "d2")) == Some(75.0))
+    // d3: H=12, L=9, close 10 → 1/3·100
+    assert(out(("A", "d3")) == Some(33.333333))
+    assert(out(("B", "d2")).isEmpty) // flat range
+  }
+
+  test("obv: signed volume cumsum; first bar and flat days contribute 0 " +
+    "(w17)") {
+    val bars = Seq(
+      ("A", "d1", 10.0, 100L), ("A", "d2", 12.0, 50L),
+      ("A", "d3", 12.0, 70L), ("A", "d4", 11.0, 30L))
+      .toDF("sid", "date", "close", "volume")
+    val out = Indicators.obv(bars).orderBy("date")
+      .select("obv").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 50L, 50L, 20L))
+  }
 }

@@ -205,4 +205,21 @@ class TextFilterSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n") == 0 && out(5L).getAs[String]("dom") == "none")
     assert(out(1L).getAs[Long]("n") == 9) // space excluded
   }
+
+  test("typeTokenRatio: diversity ratio, repetition lowers it, empty 0 " +
+    "(tx20)") {
+    val df = Seq(
+      (1L, "all words are fully distinct"),
+      (2L, "spam spam spam spam"),
+      (3L, ""),
+      (4L, "Mixed CASE mixed case")) // normalization folds case
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.typeTokenRatio(col("t")).as("ttr"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.25)
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 0.5)
+  }
 }
