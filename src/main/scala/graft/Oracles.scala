@@ -1559,6 +1559,45 @@ object Oracles {
          |    AS combined_return
          |FROM reta JOIN retb ON reta.date = retb.date""".stripMargin,
 
+    // ML13: two-sample KS — exact integer CDF numerators, one division
+    "ml13_ks_drift" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS v, date
+         |  FROM panel),
+         |t AS (
+         |  SELECT v,
+         |    CASE WHEN date < DATE '1995-01-01' THEN 1 ELSE 0 END AS a,
+         |    CASE WHEN date >= DATE '1995-01-01' THEN 1 ELSE 0 END AS b
+         |  FROM pr),
+         |g AS (
+         |  SELECT v, CAST(sum(a) AS HUGEINT) AS ca0,
+         |         CAST(sum(b) AS HUGEINT) AS cb0
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT *, sum(ca0) OVER wa AS ca, sum(cb0) OVER wa AS cb,
+         |         sum(ca0) OVER () AS na, sum(cb0) OVER () AS nb
+         |  FROM g
+         |  WINDOW wa AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |mx AS (
+         |  SELECT max(na) AS fa, max(nb) AS fb,
+         |         max(abs(ca * nb - cb * na)) AS d
+         |  FROM c)
+         |SELECT CAST(fa AS BIGINT) AS n_a, CAST(fb AS BIGINT) AS n_b,
+         |  round(CASE WHEN fa > 0 AND fb > 0
+         |             THEN CAST(d AS DOUBLE)
+         |               / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)) END, 6) AS ks,
+         |  round(CASE WHEN fa > 0 AND fb > 0
+         |             THEN least(1.0, 2.0 * exp(-2.0
+         |               * (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) + CAST(fb AS DOUBLE)))
+         |               * (CAST(d AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)))
+         |               * (CAST(d AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)))))
+         |        END, 6) AS p_value
+         |FROM mx""".stripMargin,
+
     // ML11: PR curve — per-distinct-score cumulative tp/fp, exact ints
     "ml11_pr_curve" ->
       s"""WITH $panelCte,

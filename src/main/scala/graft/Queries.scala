@@ -1034,6 +1034,17 @@ object Queries {
     "ml11_pr_curve" -> ((s, dir) =>
       graft.ml.Evaluation.prCurve(scoredPanel(s, dir))),
 
+    // ---- ML13: KS drift between the early and late halves of the
+    // score distribution (exact integer cumulative CDFs)
+    "ml13_ks_drift" -> ((s, dir) => {
+      val p = supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        col("date"))
+      graft.ml.Evaluation.ksDrift(
+        p.where(col("date") < "1995-01-01"),
+        p.where(col("date") >= "1995-01-01"))
+    }),
+
     // ---- D28: TWAP slicing — each stub split into 3 timed child
     // slices, earlier slices absorb the integer remainder
     "d28_twap_slices" -> ((s, dir) => {

@@ -306,6 +306,60 @@ object Evaluation {
             / 1e12), 6).as("average_precision"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic: D = max |F_a − F_b|
+    * over the pooled distinct values — the standard monitor for "has
+    * the live score/feature distribution drifted from training". Exact
+    * arithmetic throughout: with cumulative counts c_a, c_b and totals
+    * n_a, n_b, D = max |c_a·n_b − c_b·n_a| / (n_a·n_b) — the max runs
+    * over exact integer numerators (decimal: the product reaches
+    * n_a·n_b ~ 10²⁴ at corpus scale), and ONE division at the end
+    * (6dp). Same scale shape as the AUC machinery: one hash agg to
+    * |distinct values| rows + cumulative windows over that frame. Also
+    * reports the asymptotic two-sided p-value 2·exp(−2·m·D²) with m =
+    * n_a·n_b/(n_a+n_b) (clamped to [0,1]; libm exp noise is under the
+    * 6dp). Null D when either sample is empty. */
+  def ksDrift(
+      a: DataFrame,
+      b: DataFrame,
+      scoreCol: String = "prediction"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tagged = a.select(col(scoreCol).as("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
+      .unionByName(
+        b.select(col(scoreCol).as("__v"), lit(0L).as("__a"), lit(1L).as("__b")))
+    val wAsc = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("__v")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val perV = tagged
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).as("__ca0"), sum(col("__b")).as("__cb0"))
+      .withColumn("__ca", sum(col("__ca0")).over(wAsc).cast(dec))
+      .withColumn("__cb", sum(col("__cb0")).over(wAsc).cast(dec))
+      .withColumn("__na", sum(col("__ca0")).over(wAll).cast(dec))
+      .withColumn("__nb", sum(col("__cb0")).over(wAll).cast(dec))
+      .withColumn("__num",
+        abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+    perV
+      .agg(
+        max(col("__na")).as("__fa"),
+        max(col("__nb")).as("__fb"),
+        max(col("__num")).as("__d"))
+      .select(
+        col("__fa").cast("long").as("n_a"),
+        col("__fb").cast("long").as("n_b"),
+        round(when(col("__fa") > 0 && col("__fb") > 0,
+          col("__d").cast("double") /
+            (col("__fa").cast("double") * col("__fb").cast("double"))), 6)
+          .as("ks"), {
+          val d = col("__d").cast("double") /
+            (col("__fa").cast("double") * col("__fb").cast("double"))
+          val m = col("__fa").cast("double") * col("__fb").cast("double") /
+            (col("__fa").cast("double") + col("__fb").cast("double"))
+          round(when(col("__fa") > 0 && col("__fb") > 0,
+            least(lit(1.0), lit(2.0) * exp(lit(-2.0) * m * d * d))), 6)
+            .as("p_value")
+        })
+  }
+
   /** Precision-recall curve points: one row per DISTINCT score,
     * treating "score ≥ threshold" as the positive prediction — the
     * operating-point table behind [[averagePrecision]]'s single

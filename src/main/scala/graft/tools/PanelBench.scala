@@ -52,6 +52,28 @@ object PanelBench {
       val rows = sids.toLong * days
       println(f"[panelbench] ${sids}sids x ${days}d (${rows / 1000000.0}%.1fM bars) -> " +
         f"$n results rows in $secs%.1f s (${rows / secs / 1e6}%.1f M bars/s)")
+
+      // signal-eval family at the same scale: Spearman IC (two rank
+      // windows + one hash agg) and the Fama-MacBeth Cramer pass (one
+      // hash agg of nine exact moments) — both should track the scan,
+      // not add join/sort cliffs
+      implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+      val withFwd = graft.perf.Signals.withForwardReturn(p, horizon = 1)
+      val t1 = System.nanoTime()
+      val icN = graft.perf.Signals
+        .infoCoefficient(withFwd, col("close"), col("fwd_return")).count()
+      val icSecs = (System.nanoTime() - t1) / 1e9
+      println(f"[panelbench] ic over ${rows / 1000000.0}%.1fM bars -> " +
+        f"$icN dates in $icSecs%.1f s (${rows / icSecs / 1e6}%.1f M bars/s)")
+      val fmIn = withFwd
+        .withColumn("mom", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .withColumn("lvl", col("close") / 100.0)
+      val t2 = System.nanoTime()
+      val fmN = graft.perf.FactorModel.crossSectionalRegression(
+        fmIn, col("fwd_return"), col("mom"), col("lvl")).count()
+      val fmSecs = (System.nanoTime() - t2) / 1e9
+      println(f"[panelbench] fama-macbeth over ${rows / 1000000.0}%.1fM bars -> " +
+        f"$fmN dates in $fmSecs%.1f s (${rows / fmSecs / 1e6}%.1f M bars/s)")
     }
     spark.stop()
   }

@@ -368,4 +368,24 @@ class MlSpec extends SparkSpec {
     assert(z.forall(_.isNullAt(z.head.fieldIndex("c_z"))))
     intercept[IllegalArgumentException](graft.ml.Features.scalerFit(df, Nil))
   }
+
+  test("ksDrift: exact D over pooled distinct values, asymptotic p, " +
+    "identical samples → 0 (ml13)") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val a = Seq(1.0, 2.0, 3.0).toDF("prediction")
+    val b = Seq(3.0, 4.0).toDF("prediction")
+    val s = graft.ml.Evaluation.ksDrift(a, b).head
+    assert(s.getAs[Long]("n_a") == 3L && s.getAs[Long]("n_b") == 2L)
+    // CDFs diverge most at v=2: |2/3 − 0/2| = 2/3
+    assert(s.getAs[Double]("ks") == r6(2.0 / 3))
+    val m = 3.0 * 2.0 / 5.0
+    val d = 4.0 / 6.0 // max|ca·nb − cb·na| / (na·nb)
+    assert(s.getAs[Double]("p_value") ==
+      r6(math.min(1.0, 2.0 * math.exp(-2.0 * m * d * d))))
+    // identical distributions: D = 0, p clamps to 1
+    val same = graft.ml.Evaluation.ksDrift(a, a).head
+    assert(same.getAs[Double]("ks") == 0.0)
+    assert(same.getAs[Double]("p_value") == 1.0)
+  }
 }

@@ -71,4 +71,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("ic1/fm1: the signal-eval family is agg+window only — no joins " +
+    "anywhere in the plan") {
+    implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+    val panel = Seq(
+      ("A", "2024-01-01", 10.0, 0.01), ("B", "2024-01-01", 20.0, 0.02),
+      ("A", "2024-01-02", 11.0, 0.03), ("B", "2024-01-02", 21.0, 0.04))
+      .toDF("sid", "date", "close", "fwd")
+    val ic = graft.perf.Signals.infoCoefficient(panel, col("close"), col("fwd"))
+    assert(!finalPlan(ic).contains("Join"), finalPlan(ic))
+    val fm = graft.perf.FactorModel.crossSectionalRegression(
+      panel, col("fwd"), col("close"), col("close") * 2 + col("fwd"))
+    assert(!finalPlan(fm).contains("Join"), finalPlan(fm))
+  }
+
+  test("adj1: back-adjustment is union+window — no joins (the actions " +
+    "ride the bar stream)") {
+    implicit val k: graft.panel.Panel.Keys = graft.panel.Panel.eod
+    val panel = Seq(("A", java.sql.Date.valueOf("2024-01-01"), 10.0))
+      .toDF("sid", "date", "close")
+    val actions = Seq(("A", java.sql.Date.valueOf("2024-02-01"), 0.5))
+      .toDF("sid", "date", "factor")
+    val plan = finalPlan(graft.panel.Adjustments.backAdjust(panel, actions))
+    assert(!plan.contains("Join"), plan)
+  }
 }
