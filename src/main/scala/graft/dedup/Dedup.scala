@@ -152,6 +152,37 @@ object Dedup {
       posexplode(graft.functions.MinHashShingles.minhashBandsNative(
         col(textCol), shingleSize, bands, rowsPerBand)).as(Seq("__band", "__bk")))
 
+  /** LSH parameter planner: pick (bands, rowsPerBand) for a target
+    * Jaccard threshold within a hash budget. The s-curve P(candidate) =
+    * 1 − (1 − s^r)^b has its steepest point near s* ≈ (1/b)^(1/r); the
+    * planner scans every (b, r) with b·r ≤ maxHashes and returns the
+    * configuration whose s* lands closest to `threshold`, along with
+    * the capture probability AT the threshold — the driver-side sizing
+    * arithmetic every minhash deployment does once (Leskovec et al.,
+    * MMDS ch. 3). Pure driver math over ≤ maxHashes² cells; no Spark
+    * job. */
+  final case class LshPlan(
+      bands: Int, rowsPerBand: Int, crossover: Double, pAtThreshold: Double)
+
+  def lshPlan(threshold: Double, maxHashes: Int = 64): LshPlan = {
+    if (threshold <= 0 || threshold >= 1)
+      throw new graft.ParameterError(
+        s"threshold must be in (0, 1): $threshold")
+    if (maxHashes < 2)
+      throw new graft.ParameterError(s"maxHashes must be >= 2: $maxHashes")
+    val candidates = for {
+      r <- 1 to maxHashes
+      b <- 1 to maxHashes / r
+      if b * r >= 2
+    } yield {
+      val sStar = math.pow(1.0 / b, 1.0 / r)
+      val pAtT = 1.0 - math.pow(1.0 - math.pow(threshold, r), b)
+      LshPlan(b, r, sStar, pAtT)
+    }
+    candidates.minBy(p =>
+      (math.abs(p.crossover - threshold), -p.bands * p.rowsPerBand))
+  }
+
   /** LSH candidate pairs: ids sharing any band bucket (deduplicated).
     *
     * Scale shape: the band signatures are melted to long

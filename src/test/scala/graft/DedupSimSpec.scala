@@ -781,4 +781,23 @@ class DedupSimSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(out2.toSeq == Seq(1L, 3L))
   }
+
+  test("lshPlan: crossover lands near the target threshold within the " +
+    "hash budget; guards on domain") {
+    val p = Dedup.lshPlan(threshold = 0.5, maxHashes = 64)
+    assert(p.bands * p.rowsPerBand <= 64)
+    assert(math.abs(p.crossover - 0.5) < 0.08, p.toString)
+    assert(p.pAtThreshold > 0.3 && p.pAtThreshold < 0.8, p.toString)
+    // a high threshold wants more rows per band (sharper curve, fewer
+    // low-similarity collisions) than a low one
+    val hi = Dedup.lshPlan(threshold = 0.9, maxHashes = 64)
+    val lo = Dedup.lshPlan(threshold = 0.2, maxHashes = 64)
+    assert(hi.rowsPerBand > lo.rowsPerBand, s"$hi vs $lo")
+    // the default dd3 config (4 bands × 2 rows) targets ~0.5: the
+    // planner's crossover for that shape is (1/4)^(1/2) = 0.5 exactly
+    assert(Dedup.lshPlan(0.5, maxHashes = 8) ==
+      Dedup.LshPlan(4, 2, 0.5, 1.0 - math.pow(1.0 - 0.25, 4)))
+    intercept[graft.ParameterError](Dedup.lshPlan(0.0))
+    intercept[graft.ParameterError](Dedup.lshPlan(0.5, maxHashes = 1))
+  }
 }
