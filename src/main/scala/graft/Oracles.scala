@@ -1598,6 +1598,39 @@ object Oracles {
          |        END, 6) AS p_value
          |FROM mx""".stripMargin,
 
+    // ML14: PSI over 10 equal-width score bins — exact counts, ε-floored
+    // fractions, micro-nat-quantized total (bins empty on both sides are
+    // absent from the grouped frame, contribution 0)
+    "ml14_psi" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS v, date
+         |  FROM panel),
+         |t AS (
+         |  SELECT v,
+         |    CASE WHEN date < DATE '1995-01-01' THEN 1 ELSE 0 END AS e,
+         |    CASE WHEN date >= DATE '1995-01-01' THEN 1 ELSE 0 END AS a
+         |  FROM pr),
+         |g AS (
+         |  SELECT CAST(least(greatest(floor((v - 0.0) / 0.1), 0), 9) AS BIGINT)
+         |           AS bin,
+         |         CAST(sum(e) AS BIGINT) AS n_expected,
+         |         CAST(sum(a) AS BIGINT) AS n_actual
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT *, sum(n_expected) OVER () AS ne, sum(n_actual) OVER () AS na,
+         |    greatest(n_expected::DOUBLE / sum(n_expected) OVER (), 1e-6) AS pe,
+         |    greatest(n_actual::DOUBLE / sum(n_actual) OVER (), 1e-6) AS pa
+         |  FROM g),
+         |k AS (SELECT *, (pa - pe) * ln(pa / pe) AS ctr FROM c)
+         |SELECT bin, n_expected, n_actual,
+         |  round(n_expected::DOUBLE / ne, 6) AS expected_frac,
+         |  round(n_actual::DOUBLE / na, 6) AS actual_frac,
+         |  round(ctr, 6) + 0.0 AS contribution,
+         |  round(sum(CAST(round(ctr * 1e12) AS HUGEINT)) OVER ()::DOUBLE
+         |    / 1e12, 6) AS psi
+         |FROM k""".stripMargin,
+
     // ML11: PR curve — per-distinct-score cumulative tp/fp, exact ints
     "ml11_pr_curve" ->
       s"""WITH $panelCte,
@@ -2193,6 +2226,92 @@ object Oracles {
          |  round(CASE WHEN sd <> 0 THEN mu / sd * sqrt(252) END, 6) + 0.0
          |    AS info_ratio
          |FROM st""".stripMargin,
+
+    // Omega at τ=0: gain and loss mass as exact integer pico sums over
+    // the per-date series; the division is the only IEEE op
+    "perf_omega" ->
+      s"""WITH $perfRetCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |  CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  round(CASE
+         |    WHEN sum(CASE WHEN r < 0 THEN CAST(round((0 - r) * 1e12) AS BIGINT)
+         |             ELSE 0 END) <> 0
+         |    THEN sum(CASE WHEN r > 0 THEN CAST(round(r * 1e12) AS BIGINT)
+         |             ELSE 0 END)::DOUBLE /
+         |         sum(CASE WHEN r < 0 THEN CAST(round((0 - r) * 1e12) AS BIGINT)
+         |             ELSE 0 END)::DOUBLE
+         |    END, 6) AS omega
+         |FROM ret""".stripMargin,
+
+    // Ulcer index: RMS of the 6dp-rounded drawdown, micro-quantized so
+    // the mean of squares is exact; Martin = CAGR / ulcer
+    "perf_ulcer" ->
+      s"""WITH $perfPkCte,
+         |dd AS (
+         |  SELECT date, c,
+         |    CAST(round(round(CASE WHEN p <> 0 THEN c / p - 1 END, 6) * 1e6)
+         |      AS BIGINT) AS ddu
+         |  FROM pk),
+         |st AS (
+         |  SELECT count(*) AS n_days, count(ddu) AS nd,
+         |         arg_max(c, date) AS endc,
+         |         sum(CAST(ddu AS HUGEINT) * CAST(ddu AS HUGEINT)) AS sq
+         |  FROM dd)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(sqrt(sq::DOUBLE / nd) / 1e6, 6) AS ulcer_index,
+         |  round(CASE WHEN sq > 0 AND endc > 0
+         |             THEN (pow(endc, 252.0 / n_days) - 1) /
+         |                  (sqrt(sq::DOUBLE / nd) / 1e6) END, 6) AS martin_ratio
+         |FROM st""".stripMargin,
+
+    // longest win/loss streaks: island detection on the return sign
+    // (exact integers end-to-end)
+    "perf_streaks" ->
+      s"""WITH $perfRetCte,
+         |sg AS (
+         |  SELECT date, CASE WHEN r > 0 THEN 1 WHEN r < 0 THEN -1 ELSE 0 END
+         |    AS sgn
+         |  FROM ret),
+         |br AS (
+         |  SELECT date, sgn,
+         |    CASE WHEN coalesce(lag(sgn) OVER (ORDER BY date), 99) <> sgn
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM sg),
+         |rn AS (
+         |  SELECT date, sgn, sum(brk) OVER (ORDER BY date
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM br),
+         |runs AS (SELECT run, max(sgn) AS s, count(*) AS len FROM rn GROUP BY run)
+         |SELECT CAST(sum(len) AS BIGINT) AS n_days,
+         |  CAST(coalesce(max(CASE WHEN s = 1 THEN len END), 0) AS BIGINT)
+         |    AS max_win_streak,
+         |  CAST(coalesce(max(CASE WHEN s = -1 THEN len END), 0) AS BIGINT)
+         |    AS max_loss_streak
+         |FROM runs""".stripMargin,
+
+    // skew/kurtosis via the explicit raw-moment expansion — engine
+    // builtins disagree on small-sample corrections, the algebra doesn't
+    "perf_moments" ->
+      s"""WITH $perfRetCte,
+         |st AS (
+         |  SELECT count(*) AS n, sum(CAST(round(r * 1e12) AS BIGINT)) AS s1,
+         |         avg(r * r) AS a2, avg(r * r * r) AS a3,
+         |         avg(r * r * r * r) AS a4
+         |  FROM ret),
+         |m AS (SELECT n, s1::DOUBLE / 1e12 / n AS mu, a2, a3, a4 FROM st),
+         |cm AS (
+         |  SELECT n, mu, a2 - mu * mu AS m2,
+         |         a3 - 3 * mu * a2 + 2 * mu * mu * mu AS m3,
+         |         a4 - 4 * mu * a3 + 6 * mu * mu * a2 - 3 * pow(mu, 4) AS m4
+         |  FROM m)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  round(mu, 6) + 0.0 AS mean,
+         |  round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) + 0.0
+         |    AS skewness,
+         |  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END, 6) + 0.0
+         |    AS excess_kurtosis
+         |FROM cm""".stripMargin,
 
   )
 }

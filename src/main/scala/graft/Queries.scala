@@ -1045,6 +1045,17 @@ object Queries {
         p.where(col("date") >= "1995-01-01"))
     }),
 
+    // ---- ML14: PSI drift between the same early/late score halves as
+    // ml13 — 10 equal-width bins, exact counts, micro-nat-exact total
+    "ml14_psi" -> ((s, dir) => {
+      val p = supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        col("date"))
+      graft.ml.Evaluation.psiDrift(
+        p.where(col("date") < "1995-01-01"),
+        p.where(col("date") >= "1995-01-01"))
+    }),
+
     // ---- D28: TWAP slicing — each stub split into 3 timed child
     // slices, earlier slices absorb the integer remainder
     "d28_twap_slices" -> ((s, dir) => {
@@ -1294,6 +1305,26 @@ object Queries {
     // ---- up/down capture vs the benchmark: ratios of exact pico sums
     "perf_capture" -> ((s, dir) =>
       graft.perf.Performance.captureRatios(benchmarkedMelt(s, dir))),
+
+    // ---- Omega ratio at τ=0: gain/loss mass as exact pico sums,
+    // one final division
+    "perf_omega" -> ((s, dir) =>
+      graft.perf.Performance.omegaRatio(dampedMelt(s, dir))),
+
+    // ---- Ulcer index + Martin ratio: RMS of the 6dp-rounded drawdown
+    // series (micro-quantized exact mean of squares)
+    "perf_ulcer" -> ((s, dir) =>
+      graft.perf.Performance.ulcerIndex(dampedMelt(s, dir))),
+
+    // ---- longest win/loss streaks: island detection on the return
+    // sign — all-integer output, no float path
+    "perf_streaks" -> ((s, dir) =>
+      graft.perf.Performance.streaks(dampedMelt(s, dir))),
+
+    // ---- skewness / excess kurtosis via the explicit raw-moment
+    // algebra (the only formulation both engines mirror exactly)
+    "perf_moments" -> ((s, dir) =>
+      graft.perf.Performance.momentStats(dampedMelt(s, dir))),
 
     // ---- D29: participation-rate cap — stubs clamped at 5% of the
     // sid's average daily volume (missing ADV → untradeable)

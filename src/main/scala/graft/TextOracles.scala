@@ -1569,6 +1569,56 @@ object TextOracles {
          |  round(st.n_oov::DOUBLE / st.n_tokens, 6) AS oov_rate
          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
+    // Zipf fit over the top-100 word frequencies: exact counts/ranks,
+    // regr_slope/regr_r2 of ln(count) on ln(rank) (both engines use the
+    // SQL-standard covariance algebra; 6dp absorbs accumulation ulps)
+    "tx21_zipf" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, unnest(w) AS s FROM words),
+         |c AS (SELECT s AS word, count(*)::BIGINT AS cnt
+         |      FROM tok WHERE s <> '' GROUP BY 1),
+         |r AS (SELECT word, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+         |          AS rn
+         |      FROM c),
+         |v AS (SELECT * FROM r WHERE rn <= 100)
+         |SELECT CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  round(regr_slope(ln(cnt), ln(rn)), 6) AS zipf_slope,
+         |  round(regr_r2(ln(cnt), ln(rn)), 6) AS zipf_r2
+         |FROM v""".stripMargin,
+
+    // KL/JS between the even/odd doc_id halves: add-one smoothing over
+    // the union vocab, per-word contributions quantized to integer
+    // picos before the sum (the micro-nat determinism pattern)
+    "tx22_divergence" ->
+      s"""WITH $wordsCte,
+         |tk AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, unnest(w) AS s FROM words) WHERE s <> ''),
+         |ca AS (SELECT s, count(*)::BIGINT AS c FROM tk
+         |       WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT s, count(*)::BIGINT AS c FROM tk
+         |       WHERE doc_id % 2 = 1 GROUP BY 1),
+         |j AS (SELECT coalesce(ca.c, 0) AS x, coalesce(cb.c, 0) AS y
+         |      FROM ca FULL OUTER JOIN cb ON ca.s = cb.s),
+         |st AS (SELECT count(*)::BIGINT AS V, CAST(sum(x) AS BIGINT) AS na,
+         |              CAST(sum(y) AS BIGINT) AS nb FROM j),
+         |k AS (SELECT V, na, nb,
+         |        (x + 1)::DOUBLE / (na + V) AS p,
+         |        (y + 1)::DOUBLE / (nb + V) AS q
+         |      FROM j, st)
+         |SELECT CAST(max(V) AS BIGINT) AS vocab_size,
+         |  CAST(max(na) AS BIGINT) AS n_tokens_a,
+         |  CAST(max(nb) AS BIGINT) AS n_tokens_b,
+         |  round(sum(CAST(round(p * ln(p / q) * 1e12) AS HUGEINT))::DOUBLE
+         |    / 1e12, 6) AS kl_ab,
+         |  round(sum(CAST(round(q * ln(q / p) * 1e12) AS HUGEINT))::DOUBLE
+         |    / 1e12, 6) AS kl_ba,
+         |  round(sum(CAST(round(0.5 * (p * ln(p / ((p + q) / 2)) +
+         |    q * ln(q / ((p + q) / 2))) * 1e12) AS HUGEINT))::DOUBLE
+         |    / 1e12, 6) AS js
+         |FROM k""".stripMargin,
+
     // Bloom membership, bit-exact: same md5-slice double hashing as the
     // engine (h1 = md5[1..14], h2 = md5[15..28] forced odd, both mod m
     // BEFORE the i·h2 multiply), filter = distinct positions over the

@@ -509,6 +509,20 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // Zipf fit over the top-100 word frequencies: ln(count) ~ ln(rank)
+    // least-squares slope + R² (corpus-health signal, slope ≈ −1)
+    "tx21_zipf" -> ((s, dir) =>
+      graft.text.Vocab.zipfFit(t(s, dir, "documents"), topV = 100)),
+
+    // KL/JS divergence between the even- and odd-doc_id halves of the
+    // corpus: add-one-smoothed unigram distributions, pico-exact sums
+    "tx22_divergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.LangModel.corpusDivergence(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1))
+    }),
+
     // weighted PageRank over the source-transition graph (consecutive
     // doc_ids link their sources): 3 damped power steps, pico-exact
     "gr1_pagerank" -> ((s, dir) => {

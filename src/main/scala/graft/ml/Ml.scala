@@ -360,6 +360,66 @@ object Evaluation {
         })
   }
 
+  /** Population Stability Index between an expected (baseline) and an
+    * actual (live) score distribution over `bins` equal-width buckets
+    * on [lo, hi] — the classical model-monitoring drift number
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted), the
+    * coarse-binned complement of [[ksDrift]]'s exact sup-distance.
+    * Out-of-range scores clamp into the edge bins (they still carry
+    * mass); zero-count sides floor at ε = 10⁻⁶ (the standard guard —
+    * PSI is undefined at an empty bin otherwise). Per-bin fractions
+    * derive from EXACT integer counts, so each bin's contribution is
+    * deterministic per-row IEEE; the total re-quantizes contributions
+    * to micro-nats before summing over the ≤ `bins`-row frame (the
+    * unigram-LM lesson — a plain double Σ differs engine-to-engine).
+    * Bins empty on BOTH sides are omitted (their contribution is 0).
+    *
+    * Scale shape: one union scan → ONE hash aggregation to ≤ `bins`
+    * rows; the totals ride a bounded unpartitioned window over that
+    * frame. Output one row per occupied bin, each row also carrying
+    * the total (bin, n_expected, n_actual, expected_frac, actual_frac,
+    * contribution, psi). */
+  def psiDrift(
+      expected: DataFrame,
+      actual: DataFrame,
+      scoreCol: String = "prediction",
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 1.0): DataFrame = {
+    if (bins < 1) throw new ParameterError(s"bins must be >= 1: $bins")
+    if (!(hi > lo)) throw new ParameterError(s"need hi > lo: [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val eps = 1e-6
+    val tagged = expected
+      .select(col(scoreCol).as("__v"), lit(1L).as("__e"), lit(0L).as("__a"))
+      .unionByName(actual
+        .select(col(scoreCol).as("__v"), lit(0L).as("__e"), lit(1L).as("__a")))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = tagged
+      .groupBy(least(greatest(
+        floor((col("__v") - lo) / width), lit(0)), lit(bins - 1))
+        .cast("long").as("bin"))
+      .agg(sum(col("__e")).as("n_expected"), sum(col("__a")).as("n_actual"))
+      .withColumn("__ne", sum(col("n_expected")).over(wAll))
+      .withColumn("__na", sum(col("n_actual")).over(wAll))
+    val pe = greatest(col("n_expected").cast("double") / col("__ne"), lit(eps))
+    val pa = greatest(col("n_actual").cast("double") / col("__na"), lit(eps))
+    binned
+      .withColumn("__c", (pa - pe) * log(pa / pe))
+      .withColumn("psi",
+        round(sum(round(col("__c") * 1e12).cast("long")
+          .cast(DecimalType(38, 0))).over(wAll).cast("double") / 1e12, 6))
+      .select(
+        col("bin"), col("n_expected"), col("n_actual"),
+        round(col("n_expected").cast("double") / col("__ne"), 6)
+          .as("expected_frac"),
+        round(col("n_actual").cast("double") / col("__na"), 6)
+          .as("actual_frac"),
+        (round(col("__c"), 6) + 0.0).as("contribution"),
+        col("psi"))
+  }
+
   /** Precision-recall curve points: one row per DISTINCT score,
     * treating "score ≥ threshold" as the positive prediction — the
     * operating-point table behind [[averagePrecision]]'s single

@@ -595,4 +595,141 @@ object Performance {
           col("__mu") / col("__sd") * math.sqrt(periodsPerYear.toDouble)), 6) + 0.0)
           .as("info_ratio"))
   }
+
+  /** Omega ratio at `threshold` (default 0): Σ(r−τ)⁺ / Σ(τ−r)⁺ over the
+    * per-date return series — the gain/loss-mass ratio that, unlike
+    * Sharpe, uses the WHOLE distribution rather than its first two
+    * moments. Both sums are EXACT pico sums (per-row excess re-quantized
+    * ×10¹², decimal-accumulated) so the only IEEE op is the one final
+    * division — the [[captureRatios]] stance. Null when there are no
+    * sub-threshold days (the ratio diverges). One bounded hash agg over
+    * the per-date series. Output (n_days, n_above, n_below, omega). */
+  def omegaRatio(
+      results: DataFrame,
+      threshold: Double = 0.0,
+      dateCol: String = "date"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = col("return")
+    dailyReturns(results, dateCol)
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(when(r > threshold, 1L).otherwise(0L)).as("n_above"),
+        sum(when(r < threshold, 1L).otherwise(0L)).as("n_below"),
+        sum(when(r > threshold,
+          round((r - threshold) * 1e12).cast("long")).otherwise(0L)
+          .cast(dec)).as("__g"),
+        sum(when(r < threshold,
+          round((lit(threshold) - r) * 1e12).cast("long")).otherwise(0L)
+          .cast(dec)).as("__l"))
+      .select(
+        col("n_days"), col("n_above"), col("n_below"),
+        round(when(col("__l") =!= 0,
+          col("__g").cast("double") / col("__l").cast("double")), 6)
+          .as("omega"))
+  }
+
+  /** Ulcer index and Martin ratio: the root-mean-square drawdown of the
+    * compounded curve (Peter Martin's pain measure — depth × duration
+    * sensitive, unlike max drawdown's single worst point) and
+    * CAGR / ulcer. Each date's drawdown is ROUNDED to 6dp before
+    * squaring (the [[drawdowns]] argmin stance: the raw exp∘Σln curve
+    * differs cross-engine in the last ulp, the rounded one doesn't),
+    * then micro-quantized so the mean of squares is an exact decimal
+    * sum — the only IEEE ops are the final sqrt and division. Dates
+    * with an undefined drawdown (running peak pinned at 0 — the curve
+    * hit a −100% day) are excluded from the mean. Martin is null when
+    * the curve never drew down or CAGR is undefined ([[summary]]'s
+    * rule). Bounded windows over the per-date series only. */
+  def ulcerIndex(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ddMicro = round(round(
+      when(col("__peak") =!= 0, col("__cum") / col("__peak") - 1), 6) * 1e6)
+      .cast("long")
+    withCumFactor(dailyReturns(results, dateCol), dateCol)
+      .withColumn("__ddu", ddMicro)
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(col("__ddu")).as("__nd"),
+        max_by(col("__cum"), col(dateCol)).as("__end"),
+        sum(col("__ddu").cast(dec) * col("__ddu").cast(dec)).as("__sq"))
+      .select(
+        col("n_days"),
+        round(sqrt(col("__sq").cast("double") / col("__nd")) / 1e6, 6)
+          .as("ulcer_index"),
+        round(when(col("__sq") > 0 && col("__end") > 0,
+          (pow(col("__end"),
+            lit(periodsPerYear.toDouble) / col("n_days")) - 1) /
+            (sqrt(col("__sq").cast("double") / col("__nd")) / 1e6)), 6)
+          .as("martin_ratio"))
+  }
+
+  /** Longest win/loss streaks over the per-date return series: maximal
+    * runs of consecutive positive (negative) days — island detection on
+    * the return's sign, the [[drawdowns]] pattern, so no self-join. Flat
+    * days (r = 0) break both kinds of streak. All-integer outputs — no
+    * float path at all. Two bounded passes over the per-date series
+    * (≤ one row per trading date). Output one row
+    * (n_days, max_win_streak, max_loss_streak). */
+  def streaks(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val ordered = Window.orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sgn = when(col("return") > 0, 1).when(col("return") < 0, -1)
+      .otherwise(0)
+    dailyReturns(results, dateCol)
+      .withColumn("__sgn", sgn)
+      .withColumn("__brk",
+        when(coalesce(lag(col("__sgn"), 1).over(Window.orderBy(col(dateCol))),
+          lit(99)) =!= col("__sgn"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__brk")).over(ordered))
+      .groupBy(col("__run"))
+      .agg(max(col("__sgn")).as("__s"), count(lit(1)).as("__len"))
+      .agg(
+        sum(col("__len")).as("n_days"),
+        coalesce(max(when(col("__s") === 1, col("__len"))), lit(0L))
+          .as("max_win_streak"),
+        coalesce(max(when(col("__s") === -1, col("__len"))), lit(0L))
+          .as("max_loss_streak"))
+  }
+
+  /** Distribution moments of the per-date return series: skewness
+    * (m₃/m₂^1.5) and EXCESS kurtosis (m₄/m₂² − 3) via the explicit
+    * raw-moment expansion — NOT the engine's `skewness`/`kurtosis`
+    * builtins, whose small-sample corrections differ engine-to-engine
+    * (Spark's are population-form, DuckDB's sample-form; the explicit
+    * algebra is the only formulation both can mirror exactly). The mean
+    * is the EXACT pico sum over n; the higher raw moments are double
+    * averages whose accumulation-order noise sits ~10 orders below the
+    * 6dp rounding. Null skew/kurt for a flat series (m₂ = 0). One
+    * bounded hash agg. Output (n_days, mean, skewness, excess_kurtosis). */
+  def momentStats(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = col("return")
+    dailyReturns(results, dateCol)
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(round(r * 1e12).cast("long").cast(dec)).as("__s1"),
+        avg(r * r).as("__a2"),
+        avg(r * r * r).as("__a3"),
+        avg(r * r * r * r).as("__a4"))
+      .withColumn("__mu", col("__s1").cast("double") / 1e12 / col("n_days"))
+      .withColumn("__m2", col("__a2") - col("__mu") * col("__mu"))
+      .withColumn("__m3",
+        col("__a3") - lit(3) * col("__mu") * col("__a2") +
+          lit(2) * col("__mu") * col("__mu") * col("__mu"))
+      .withColumn("__m4",
+        col("__a4") - lit(4) * col("__mu") * col("__a3") +
+          lit(6) * col("__mu") * col("__mu") * col("__a2") -
+          lit(3) * pow(col("__mu"), 4))
+      .select(
+        col("n_days"),
+        (round(col("__mu"), 6) + 0.0).as("mean"),
+        (round(when(col("__m2") > 0,
+          col("__m3") / pow(col("__m2"), 1.5)), 6) + 0.0).as("skewness"),
+        (round(when(col("__m2") > 0,
+          col("__m4") / (col("__m2") * col("__m2")) - 3), 6) + 0.0)
+          .as("excess_kurtosis"))
+  }
 }

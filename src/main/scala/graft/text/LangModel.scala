@@ -193,4 +193,63 @@ object LangModel {
         round(col("__S").cast("double") / 1e6 / col("n_features") + shift, 6)
           .as("log_weight"))
   }
+
+  /** Unigram-distribution divergences between two corpora: KL(A‖B),
+    * KL(B‖A), and the (symmetric, ln-2-bounded) Jensen-Shannon
+    * divergence over their add-one-smoothed word distributions —
+    * "how far has this month's crawl drifted from the reference mix"
+    * as ONE number per direction, the corpus-level complement of
+    * [[dsirLogWeights]]' per-document importance view. Smoothing is
+    * over the UNION vocabulary (p = (c_A + 1) / (N_A + V)), so
+    * one-sided words contribute finitely and both KLs are defined.
+    *
+    * Exactness: counts are exact longs; V/N_A/N_B fold to ONE scalar
+    * row crossJoined back (the BM25 stance), each word's divergence
+    * contributions quantize to integer picos before the distributed
+    * sum (the micro-nat lesson — a plain double Σ over an unordered
+    * word partitioning differs run-to-run), and the joined count
+    * frame is lazily checkpointed because it feeds both the scalar
+    * agg and the contribution pass (the crossEntropy lesson).
+    *
+    * Scale shape: two count aggregations (map-side combining), one
+    * full-outer equi-join on the word key (co-partitioned), one final
+    * agg to a single row. Nothing driver-side, nothing quadratic.
+    * Output (vocab_size, n_tokens_a, n_tokens_b, kl_ab, kl_ba, js). */
+  def corpusDivergence(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val joined = unigramCounts(a, textCol).withColumnRenamed("__cnt", "__ca")
+      .join(unigramCounts(b, textCol).withColumnRenamed("__cnt", "__cb"),
+        Seq("__token"), "full_outer")
+      .select(
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .localCheckpoint(eager = false)
+    val stats = joined.agg(
+      count(lit(1)).as("__V"),
+      sum(col("__ca")).as("__Na"),
+      sum(col("__cb")).as("__Nb"))
+    val p = (col("__ca") + 1).cast("double") /
+      (col("__Na") + col("__V")).cast("double")
+    val q = (col("__cb") + 1).cast("double") /
+      (col("__Nb") + col("__V")).cast("double")
+    val m = (p + q) / 2
+    def pico(c: Column): Column = round(c * 1e12).cast("long").cast(dec)
+    joined
+      .crossJoin(broadcast(stats))
+      .agg(
+        max(col("__V")).as("vocab_size"),
+        max(col("__Na")).as("n_tokens_a"),
+        max(col("__Nb")).as("n_tokens_b"),
+        sum(pico(p * log(p / q))).as("__kab"),
+        sum(pico(q * log(q / p))).as("__kba"),
+        sum(pico(lit(0.5) * (p * log(p / m) + q * log(q / m)))).as("__js"))
+      .select(
+        col("vocab_size"), col("n_tokens_a"), col("n_tokens_b"),
+        round(col("__kab").cast("double") / 1e12, 6).as("kl_ab"),
+        round(col("__kba").cast("double") / 1e12, 6).as("kl_ba"),
+        round(col("__js").cast("double") / 1e12, 6).as("js"))
+  }
 }

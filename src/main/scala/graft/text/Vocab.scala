@@ -117,4 +117,29 @@ object Vocab {
       .orderBy(col("pmi").desc, col("l"), col("r"))
       .limit(topK)
   }
+
+  /** Zipf-law fit over the top-V word frequencies: the least-squares
+    * slope (and R²) of ln(count) on ln(rank) — a healthy natural-
+    * language corpus fits slope ≈ −1; a flat slope flags templated/
+    * boilerplate text and a cliff flags a truncated or deduplicated-
+    * to-death vocabulary (corpus-health companion to
+    * [[graft.text.TextAnalysis]]'s per-doc signals). Counts and ranks
+    * are exact integers from [[vocabulary]]; the regression runs over
+    * the ≤ V-row frame via the engine's regr_slope/regr_r2 (identical
+    * covariance algebra in any engine; accumulation-order noise over
+    * ≤ V rows sits far below the 6dp rounding). Output one row
+    * (n_types, n_tokens, zipf_slope, zipf_r2) — n_tokens is the
+    * top-V token mass, matching what the fit actually saw. */
+  def zipfFit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topV: Int = 100): DataFrame =
+    vocabulary(docs, idCol, textCol, topV)
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("n_tokens"),
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 6)
+          .as("zipf_slope"),
+        round(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("zipf_r2"))
 }

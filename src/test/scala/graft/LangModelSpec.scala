@@ -128,4 +128,28 @@ class LangModelSpec extends SparkSpec {
       Sampling.hashSampleQuantiles(df, "doc_id", "v", Seq(1.5), rate = 0.5)
     }
   }
+
+  test("corpusDivergence: add-one-smoothed KL/JS goldens; identical " +
+    "corpora → 0 (tx22)") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x y y z")).toDF("doc_id", "text")
+    val s = LangModel.corpusDivergence(a, b).head
+    assert(s.getAs[Long]("vocab_size") == 3L)
+    assert(s.getAs[Long]("n_tokens_a") == 3L)
+    assert(s.getAs[Long]("n_tokens_b") == 4L)
+    // p = (cA+1)/(3+3), q = (cB+1)/(4+3) over {x, y, z}
+    val p = Seq(3.0 / 6, 2.0 / 6, 1.0 / 6)
+    val q = Seq(2.0 / 7, 3.0 / 7, 2.0 / 7)
+    def kl(u: Seq[Double], v: Seq[Double]) =
+      u.zip(v).map { case (x, y) => x * math.log(x / y) }.sum
+    assert(math.abs(s.getAs[Double]("kl_ab") - kl(p, q)) < 1e-6)
+    assert(math.abs(s.getAs[Double]("kl_ba") - kl(q, p)) < 1e-6)
+    val m = p.zip(q).map { case (x, y) => (x + y) / 2 }
+    val js = 0.5 * (kl(p, m) + kl(q, m))
+    assert(math.abs(s.getAs[Double]("js") - js) < 1e-6)
+    assert(s.getAs[Double]("js") <= math.log(2) + 1e-9) // JS ≤ ln 2
+    val same = LangModel.corpusDivergence(a, a).head
+    assert(same.getAs[Double]("kl_ab") == 0.0)
+    assert(same.getAs[Double]("js") == 0.0)
+  }
 }

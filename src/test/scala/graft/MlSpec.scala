@@ -388,4 +388,30 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("ks") == 0.0)
     assert(same.getAs[Double]("p_value") == 1.0)
   }
+
+  test("psiDrift: per-bin contributions with ε-floored empty sides; " +
+    "identical distributions → 0 (ml14)") {
+    val e = Seq(0.05, 0.15, 0.15, 0.95).toDF("prediction")
+    val a = Seq(0.05, 0.85, 0.85, 0.95).toDF("prediction")
+    val rows = graft.ml.Evaluation.psiDrift(e, a)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 8L, 9L))
+    // bin 1: expected-only (2/4 vs ε) ; bin 8 is its mirror
+    assert(rows(1L).getAs[Long]("n_expected") == 2L &&
+      rows(1L).getAs[Long]("n_actual") == 0L)
+    val c1 = (1e-6 - 0.5) * math.log(1e-6 / 0.5)
+    assert(math.abs(rows(1L).getAs[Double]("contribution") - c1) < 1e-5)
+    assert(math.abs(rows(8L).getAs[Double]("contribution") - c1) < 1e-5)
+    // matched bins contribute 0; the total is the two floored bins
+    assert(rows(0L).getAs[Double]("contribution") == 0.0)
+    val psi = rows(0L).getAs[Double]("psi")
+    assert(rows.values.forall(_.getAs[Double]("psi") == psi))
+    assert(math.abs(psi - 2 * c1) < 1e-5)
+    // identical frames: every contribution and the total are exactly 0
+    val same = graft.ml.Evaluation.psiDrift(e, e).collect()
+    assert(same.forall(_.getAs[Double]("psi") == 0.0))
+    intercept[graft.ParameterError](graft.ml.Evaluation.psiDrift(e, a, bins = 0))
+    intercept[graft.ParameterError](
+      graft.ml.Evaluation.psiDrift(e, a, lo = 1.0, hi = 0.0))
+  }
 }

@@ -521,4 +521,92 @@ class PerfSpec extends SparkSpec {
     assert(allUp.getAs[Long]("n_down") == 0L)
     assert(allUp.isNullAt(allUp.fieldIndex("down_capture")))
   }
+
+  test("omegaRatio: gain/loss mass as exact pico sums; no-loss series " +
+    "→ null (perf_omega)") {
+    // gains 0.10 + 0.02 = 0.12 ; losses 0.05 → omega 2.4 exactly
+    val s = Performance.omegaRatio(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Long]("n_above") == 2L && s.getAs[Long]("n_below") == 1L)
+    assert(s.getAs[Double]("omega") == 2.4)
+    val up = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.02))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val u = Performance.omegaRatio(up).head
+    assert(u.isNullAt(u.fieldIndex("omega")))
+    // threshold shifts both sides: τ=0.05 → gains 0.05, losses 0.10+0.03
+    val t = Performance.omegaRatio(melt, threshold = 0.05).head
+    assert(t.getAs[Long]("n_above") == 1L && t.getAs[Long]("n_below") == 2L)
+    assert(t.getAs[Double]("omega") == math.rint(0.05 / 0.13 * 1e6) / 1e6)
+  }
+
+  test("ulcerIndex: RMS of the 6dp-rounded drawdowns; Martin = CAGR/ulcer; " +
+    "never-underwater curve → null Martin (perf_ulcer)") {
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    // dd series (6dp): 0, −0.05, 1.0659/1.1−1 = −0.031 → micro 0, −50000, −31000
+    val sq = 50000.0 * 50000 + 31000.0 * 31000
+    val ulcerRaw = math.sqrt(sq / 3) / 1e6
+    val s = Performance.ulcerIndex(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Double]("ulcer_index") == q6(ulcerRaw))
+    val cagr = math.pow(1.0659, 252.0 / 3) - 1
+    assert(math.abs(s.getAs[Double]("martin_ratio") - cagr / ulcerRaw) < 1e-5)
+    // monotone-up curve: every dd is 0 → ulcer 0, Martin null
+    val up = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.02))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val u = Performance.ulcerIndex(up).head
+    assert(u.getAs[Double]("ulcer_index") == 0.0)
+    assert(u.isNullAt(u.fieldIndex("martin_ratio")))
+  }
+
+  test("streaks: maximal win/loss runs, flat days break both " +
+    "(perf_streaks)") {
+    val series = Seq(
+      ("2024-01-01", 0.01), ("2024-01-02", 0.02), ("2024-01-03", 0.01),
+      ("2024-01-04", -0.01), ("2024-01-05", -0.02),
+      ("2024-01-06", 0.0), // flat: breaks the next win run
+      ("2024-01-07", 0.01))
+      .map { case (d, r) => ("A", d, "Return", r) }
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.streaks(series).head
+    assert(s.getAs[Long]("n_days") == 7L)
+    assert(s.getAs[Long]("max_win_streak") == 3L)
+    assert(s.getAs[Long]("max_loss_streak") == 2L)
+    // all-flat series: both streaks 0
+    val flat = Seq(("A", "2024-01-01", "Return", 0.0))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val f = Performance.streaks(flat).head
+    assert(f.getAs[Long]("max_win_streak") == 0L)
+    assert(f.getAs[Long]("max_loss_streak") == 0L)
+  }
+
+  test("momentStats: raw-moment algebra goldens; flat series → null " +
+    "skew/kurt (perf_moments)") {
+    val r = Seq(0.10, -0.05, 0.02)
+    val mu = (r.map(x => math.rint(x * 1e12)).sum / 1e12) / 3
+    val a2 = r.map(x => x * x).sum / 3
+    val a3 = r.map(x => x * x * x).sum / 3
+    val a4 = r.map(x => x * x * x * x).sum / 3
+    val m2 = a2 - mu * mu
+    val m3 = a3 - 3 * mu * a2 + 2 * mu * mu * mu
+    val m4 = a4 - 4 * mu * a3 + 6 * mu * mu * a2 - 3 * math.pow(mu, 4)
+    val s = Performance.momentStats(melt).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(math.abs(s.getAs[Double]("mean") - mu) < 1e-6)
+    assert(math.abs(s.getAs[Double]("skewness") - m3 / math.pow(m2, 1.5)) < 1e-5)
+    assert(math.abs(s.getAs[Double]("excess_kurtosis") - (m4 / (m2 * m2) - 3)) < 1e-5)
+    val flat = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val f = Performance.momentStats(flat).head
+    assert(f.getAs[Double]("mean") == 0.01)
+    assert(f.isNullAt(f.fieldIndex("skewness")))
+    assert(f.isNullAt(f.fieldIndex("excess_kurtosis")))
+  }
 }

@@ -65,4 +65,25 @@ class VocabSpec extends SparkSpec {
     intercept[ParameterError](Vocab.collocations(corpus, minCount = 0))
     intercept[ParameterError](Vocab.collocations(corpus, topK = 0))
   }
+
+  test("zipfFit: least-squares slope/R² of ln(count) on ln(rank) " +
+    "(tx21)") {
+    // counts a=8 b=4 c=2 d=1 → ranks 1..4
+    val docs = Seq((1L, "a a a a a a a a b b b b c c d")).toDF("doc_id", "text")
+    val s = Vocab.zipfFit(docs).head
+    assert(s.getAs[Long]("n_types") == 4L)
+    assert(s.getAs[Long]("n_tokens") == 15L)
+    // closed-form least squares over the four (ln rank, ln cnt) points
+    val xs = Seq(1.0, 2.0, 3.0, 4.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 2.0, 1.0).map(math.log)
+    val mx = xs.sum / 4; val my = ys.sum / 4
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum
+    val vy = ys.map(y => (y - my) * (y - my)).sum
+    val slope = cov / vx
+    assert(math.abs(s.getAs[Double]("zipf_slope") - slope) < 1e-6)
+    assert(s.getAs[Double]("zipf_slope") < 0) // frequency falls with rank
+    val r2 = cov * cov / (vx * vy)
+    assert(math.abs(s.getAs[Double]("zipf_r2") - r2) < 1e-6)
+  }
 }
