@@ -2313,5 +2313,102 @@ object Oracles {
          |    AS excess_kurtosis
          |FROM cm""".stripMargin,
 
+    // W18: Bollinger bands — micro-exact SMA mid; bands from the
+    // 6dp-rounded rolling sample stddev (rounded BEFORE the band math)
+    "w18_bollinger" ->
+      s"""WITH $panelCte,
+         |b AS (
+         |  SELECT sid, date,
+         |    CASE WHEN count(close) OVER w = 20
+         |         THEN round(CAST(sum(CAST(round(close * 1e6) AS BIGINT))
+         |              OVER w AS DOUBLE) / 20 / 1e6, 6) END AS mid,
+         |    CASE WHEN count(close) OVER w = 20
+         |         THEN round(stddev_samp(close) OVER w, 6) END AS sd
+         |  FROM panel
+         |  WINDOW w AS (PARTITION BY sid ORDER BY date
+         |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT sid, date, mid AS bb_mid_20,
+         |  round(mid + 2.0 * sd, 6) AS bb_up_20,
+         |  round(mid - 2.0 * sd, 6) AS bb_dn_20
+         |FROM b""".stripMargin,
+
+    // W19: rolling VWAP — micro-exact notional / exact long volume
+    "w19_vwap" ->
+      """WITH bars AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |         max(l_extendedprice) AS close,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT sid, date,
+        |  CASE WHEN count(close) OVER w = 10
+        |        AND sum(vol) OVER w <> 0
+        |       THEN round(CAST(sum(CAST(round(close * vol * 1e6) AS HUGEINT))
+        |            OVER w AS DOUBLE) / (sum(vol) OVER w)) / 1e6
+        |  END AS vwap_10
+        |FROM bars
+        |WINDOW w AS (PARTITION BY sid ORDER BY date
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // portfolio concentration: per-date HHI over micro-quantized
+    // AbsWeight values + the effective position count from the SAME sum
+    "perf_hhi" ->
+      s"""WITH $turnoverCte
+         |SELECT date,
+         |  CAST(sum(CASE WHEN abs(weight) <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_positions,
+         |  round(sum(CAST(round(abs(weight) * 1e6) AS HUGEINT)
+         |          * CAST(round(abs(weight) * 1e6) AS HUGEINT))::DOUBLE
+         |        / 1e12, 6) AS hhi,
+         |  round(CASE WHEN sum(CAST(round(abs(weight) * 1e6) AS HUGEINT)
+         |          * CAST(round(abs(weight) * 1e6) AS HUGEINT)) > 0
+         |        THEN 1e12 / sum(CAST(round(abs(weight) * 1e6) AS HUGEINT)
+         |          * CAST(round(abs(weight) * 1e6) AS HUGEINT))::DOUBLE
+         |        END, 6) AS effective_n
+         |FROM wts GROUP BY date""".stripMargin,
+
+    // ML15: expected calibration error — bin-weighted |gap| over the
+    // ml5 bins; gaps are exact micro ints (6dp-rounded bin outputs)
+    "ml15_ece" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |cb AS (
+         |  SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+         |    count(*)::BIGINT AS n,
+         |    round(CAST(sum(CAST(round(s * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE
+         |          / 1e12 / count(*), 6) AS mp,
+         |    round(sum(y)::DOUBLE / count(*), 6) AS er
+         |  FROM pr GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n, count(*)::BIGINT AS n_bins,
+         |  round(sum(CAST(round(abs(er - mp) * 1e6) AS HUGEINT)
+         |          * CAST(n AS HUGEINT))::DOUBLE / sum(n) / 1e6, 6) AS ece
+         |FROM cb""".stripMargin,
+
+    // ML16: Cohen's kappa — exact-integer observed/expected agreement,
+    // one division
+    "ml16_kappa" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT CAST(close >= 22000 AS BIGINT) AS a,
+         |    CAST(least(1.0::DOUBLE, round(close / 60000.0, 1)) >= 0.5
+         |      AS BIGINT) AS b
+         |  FROM panel),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+         |  FROM pr),
+         |m1 AS (SELECT a AS k, count(*)::HUGEINT AS n1 FROM pr GROUP BY 1),
+         |m2 AS (SELECT b AS k, count(*)::HUGEINT AS n2 FROM pr GROUP BY 1),
+         |p AS (SELECT coalesce(sum(n1 * n2), 0) AS pe2
+         |      FROM m1 JOIN m2 USING (k))
+         |SELECT n, agree,
+         |  round(CASE WHEN CAST(n AS HUGEINT) * n <> pe2
+         |             THEN (CAST(n AS HUGEINT) * agree - pe2)::DOUBLE
+         |                / (CAST(n AS HUGEINT) * n - pe2)::DOUBLE END, 6)
+         |    AS kappa
+         |FROM tot, p""".stripMargin,
+
   )
 }

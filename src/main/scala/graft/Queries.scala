@@ -1460,6 +1460,42 @@ object Queries {
         .select("sid", "date", "obv")
     }),
 
+    // ---- W18: Bollinger bands — exact-micro SMA mid, bands from the
+    // 6dp-rounded rolling stddev
+    "w18_bollinger" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      graft.panel.Indicators.bollinger(supplierPanel(s, dir), window = 20)
+        .select("sid", "date", "bb_mid_20", "bb_up_20", "bb_dn_20")
+    }),
+
+    // ---- W19: rolling VWAP — micro-exact notional over exact long
+    // volume, one division per bar
+    "w19_vwap" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val bars = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
+        .agg(max(col("l_extendedprice")).as("close"),
+          sum(col("l_quantity").cast("long")).as("volume"))
+      graft.panel.Indicators.vwap(bars, window = 10)
+        .select("sid", "date", "vwap_10")
+    }),
+
+    // ---- portfolio concentration: per-date HHI + effective position
+    // count over the melt's AbsWeight rows
+    "perf_hhi" -> ((s, dir) =>
+      graft.perf.Performance.concentration(dampedMelt(s, dir))),
+
+    // ---- ML15: expected calibration error over the ml5 bins
+    "ml15_ece" -> ((s, dir) =>
+      graft.ml.Evaluation.expectedCalibrationError(scoredPanel(s, dir))),
+
+    // ---- ML16: Cohen's kappa — the 0.5-thresholded score as a second
+    // rater against the label (chance-corrected agreement, exact ints)
+    "ml16_kappa" -> ((s, dir) =>
+      graft.ml.Evaluation.cohenKappa(
+        scoredPanel(s, dir)
+          .withColumn("label2", (col("prediction") >= 0.5).cast("long")))),
+
     // ---- W13: range-based volatility (Parkinson / Garman-Klass) over
     // the monthly OHLC bars
     "w13_range_vol" -> ((s, dir) => {

@@ -360,6 +360,74 @@ object Evaluation {
         })
   }
 
+  /** Expected Calibration Error over [[calibrationBins]]: the
+    * bin-count-weighted mean |event_rate − mean_predicted| — the one
+    * number answering "when the model says 70%, does it happen 70% of
+    * the time". Each bin's gap derives from the bins' 6dp-rounded
+    * outputs, so it is an EXACT micro integer; the weighted sum is a
+    * decimal product-sum over the ≤ `bins`-row frame and the final
+    * division by N is the only IEEE op. Output one row
+    * (n, n_bins, ece). */
+  def expectedCalibrationError(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label",
+      bins: Int = 10): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val gapMicro = round(
+      abs(col("event_rate") - col("mean_predicted")) * 1e6).cast("long")
+    calibrationBins(preds, scoreCol, labelCol, bins)
+      .agg(
+        sum(col("n")).as("n"),
+        count(lit(1)).as("n_bins"),
+        sum(gapMicro.cast(dec) * col("n").cast(dec)).as("__w"))
+      .select(
+        col("n"), col("n_bins"),
+        round(col("__w").cast("double") / col("n") / 1e6, 6).as("ece"))
+  }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement for label-QC (two annotators, or a new classifier vs
+    * the incumbent). Because both the observed and the expected
+    * agreement are ratios of exact integer counts, kappa reduces to
+    * ONE division: (n·agree − Σ_k n₁ₖ·n₂ₖ) / (n² − Σ_k n₁ₖ·n₂ₖ), all
+    * decimal-exact. Rows with a null on either side are dropped (no
+    * agreement semantics for missing labels). Null when the
+    * denominator is 0 (both raters constant — kappa undefined).
+    *
+    * Scale shape: the paired frame is lazily checkpointed (it feeds
+    * the totals agg and both marginal aggs — the crossEntropy lesson);
+    * marginals are class-bounded, so their join and the final
+    * crossJoin never carry data volume. Output (n, agree, kappa). */
+  def cohenKappa(
+      df: DataFrame,
+      col1: String = "label",
+      col2: String = "label2"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df
+      .where(col(col1).isNotNull && col(col2).isNotNull)
+      .select(col(col1).cast("string").as("__a"),
+        col(col2).cast("string").as("__b"))
+      .localCheckpoint(eager = false)
+    val tot = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
+    val pe2 = base.groupBy(col("__a").as("__k"))
+      .agg(count(lit(1)).as("__n1"))
+      .join(base.groupBy(col("__b").as("__k")).agg(count(lit(1)).as("__n2")),
+        Seq("__k"), "inner")
+      .agg(coalesce(sum(col("__n1").cast(dec) * col("__n2").cast(dec)),
+        lit(0).cast(dec)).as("__pe2"))
+    tot.crossJoin(broadcast(pe2))
+      .select(
+        col("n"), col("agree"),
+        round(when(col("n").cast(dec) * col("n").cast(dec) =!= col("__pe2"),
+          (col("n").cast(dec) * col("agree").cast(dec) - col("__pe2"))
+            .cast("double") /
+            (col("n").cast(dec) * col("n").cast(dec) - col("__pe2"))
+              .cast("double")), 6).as("kappa"))
+  }
+
   /** Population Stability Index between an expected (baseline) and an
     * actual (live) score distribution over `bins` equal-width buckets
     * on [lo, hi] — the classical model-monitoring drift number

@@ -115,4 +115,58 @@ object Indicators {
       })
       .drop("__g", "__l")
   }
+
+  /** Bollinger bands: trailing `window`-bar SMA ± `numStd` sample
+    * standard deviations — the mean-reversion envelope. The mid line
+    * is an exact micro sum over the window; the band offset derives
+    * from the ROUNDED 6dp stddev (windowed σ accumulation is
+    * engine-internal; rounding BEFORE the band arithmetic makes the
+    * band values reproducible anywhere — the volTargetScale stance).
+    * Null until the window fills. Appends `bb_mid_<w>`, `bb_up_<w>`,
+    * `bb_dn_<w>`. */
+  def bollinger(
+      bars: DataFrame,
+      window: Int,
+      numStd: Double = 2.0,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(numStd > 0, s"numStd must be positive: $numStd")
+    val f = k.rollingFrame(window)
+    val full = count(col(closeCol)).over(f) === window
+    val mid = round(when(full,
+      sum(micro(col(closeCol))).over(f).cast("double") / window / 1e6), 6)
+    val sd = round(when(full, stddev_samp(col(closeCol)).over(f)), 6)
+    bars
+      .withColumn(s"bb_mid_$window", mid)
+      .withColumn(s"bb_up_$window",
+        round(col(s"bb_mid_$window") + sd * numStd, 6))
+      .withColumn(s"bb_dn_$window",
+        round(col(s"bb_mid_$window") - sd * numStd, 6))
+  }
+
+  /** Rolling volume-weighted average price: Σ(close·volume)/Σvolume
+    * over the trailing `window` bars — the institutional execution
+    * benchmark (a close above its VWAP is trading rich). The notional
+    * numerator is micro-quantized per bar and the volume denominator
+    * summed as exact longs, so the VWAP is ONE division of exact
+    * integers. Null until the window fills or while the window's total
+    * volume is 0 (undefined, not 0/0). Appends `vwap_<window>`. */
+  def vwap(
+      bars: DataFrame,
+      window: Int,
+      closeCol: String = "close",
+      volumeCol: String = "volume")(implicit k: Keys): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val f = k.rollingFrame(window)
+    val notional = micro(col(closeCol) * col(volumeCol))
+    val vol = sum(col(volumeCol).cast("long")).over(f)
+    // round the micro-int quotient, THEN scale down: rounding the
+    // already-divided double at 6dp can land exactly on a .5 decimal
+    // boundary where BigDecimal-style and multiply-round engines
+    // disagree by one ulp (observed at sf0.01); the integer quotient
+    // is correctly rounded in both
+    bars.withColumn(s"vwap_$window",
+      when(count(col(closeCol)).over(f) === window && vol =!= 0,
+        round(sum(notional).over(f).cast("double") / vol) / 1e6))
+  }
 }

@@ -694,6 +694,31 @@ object Performance {
           .as("max_loss_streak"))
   }
 
+  /** Per-date portfolio concentration from the melt's `AbsWeight`
+    * rows: the Herfindahl–Hirschman index Σ|wᵢ|² and its reciprocal,
+    * the effective number of positions — "the book says 50 names but
+    * is really 7 bets" as a daily series. Weights are micro-quantized
+    * before squaring, so the HHI is an exact integer ratio under any
+    * partitioning and 1/HHI divides the SAME exact sum (no
+    * rounded-then-inverted drift). Dates with no nonzero weight emit
+    * hhi 0 and a null effective_n. ONE hash aggregation over the melt
+    * — the [[dailyReturns]] shape. */
+  def concentration(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wMicro = round(col("value") * 1e6).cast("long").cast(dec)
+    results
+      .where(col("field") === "AbsWeight")
+      .groupBy(col(dateCol))
+      .agg(
+        sum(when(col("value") =!= 0, 1L).otherwise(0L)).as("n_positions"),
+        sum(wMicro * wMicro).as("__s"))
+      .select(
+        col(dateCol), col("n_positions"),
+        round(col("__s").cast("double") / 1e12, 6).as("hhi"),
+        round(when(col("__s") > 0, lit(1e12) / col("__s").cast("double")), 6)
+          .as("effective_n"))
+  }
+
   /** Distribution moments of the per-date return series: skewness
     * (m₃/m₂^1.5) and EXCESS kurtosis (m₄/m₂² − 3) via the explicit
     * raw-moment expansion — NOT the engine's `skewness`/`kurtosis`

@@ -74,4 +74,40 @@ class IndicatorsSpec extends SparkSpec {
       .select("obv").as[Long].collect()
     assert(out.toSeq == Seq(0L, 50L, 50L, 20L))
   }
+
+  test("bollinger: exact-micro SMA mid, bands from the rounded rolling " +
+    "stddev, null until the window fills (w18)") {
+    val bars = Seq(
+      ("A", "d1", 10.0), ("A", "d2", 14.0), ("A", "d3", 12.0))
+      .toDF("sid", "date", "close")
+    val out = Indicators.bollinger(bars, window = 2)
+      .orderBy("date").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("bb_mid_2")))
+    // window (10, 14): mid 12, sd_samp = |14−10|/√2 = 2.828427
+    val sd1 = math.rint(math.sqrt(8.0) * 1e6) / 1e6
+    assert(out(1).getAs[Double]("bb_mid_2") == 12.0)
+    assert(out(1).getAs[Double]("bb_up_2") == 12.0 + 2 * sd1)
+    assert(out(1).getAs[Double]("bb_dn_2") == 12.0 - 2 * sd1)
+    // window (14, 12): mid 13, sd = √2
+    val sd2 = math.rint(math.sqrt(2.0) * 1e6) / 1e6
+    assert(out(2).getAs[Double]("bb_mid_2") == 13.0)
+    assert(out(2).getAs[Double]("bb_up_2") == 13.0 + 2 * sd2)
+    intercept[IllegalArgumentException](Indicators.bollinger(bars, 1))
+  }
+
+  test("vwap: micro-exact notional over exact volume, zero-volume " +
+    "window → null (w19)") {
+    val bars = Seq(
+      ("A", "d1", 10.0, 100L), ("A", "d2", 20.0, 300L),
+      ("A", "d3", 30.0, 0L), ("A", "d4", 40.0, 0L))
+      .toDF("sid", "date", "close", "volume")
+    val out = Indicators.vwap(bars, window = 2).orderBy("date").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("vwap_2")))
+    // (10·100 + 20·300) / 400 = 17.5
+    assert(out(1).getAs[Double]("vwap_2") == 17.5)
+    // (20·300 + 30·0) / 300 = 20
+    assert(out(2).getAs[Double]("vwap_2") == 20.0)
+    // both bars zero-volume → undefined
+    assert(out(3).isNullAt(out(3).fieldIndex("vwap_2")))
+  }
 }

@@ -389,6 +389,44 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("p_value") == 1.0)
   }
 
+  test("expectedCalibrationError: bin-weighted |gap| golden; a " +
+    "perfectly calibrated frame → 0 (ml15)") {
+    // bin 1 (score .15): 4 rows, event rate .25, gap .1
+    // bin 8 (score .85): 1 row, event rate 1, gap .15
+    val preds = Seq(
+      (0.15, 1L), (0.15, 0L), (0.15, 0L), (0.15, 0L), (0.85, 1L))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.expectedCalibrationError(preds).head
+    assert(s.getAs[Long]("n") == 5L && s.getAs[Long]("n_bins") == 2L)
+    // (4·0.1 + 1·0.15) / 5 = 0.11
+    assert(s.getAs[Double]("ece") == 0.11)
+    val cal = Seq((0.5, 1L), (0.5, 0L)).toDF("prediction", "label")
+    assert(graft.ml.Evaluation.expectedCalibrationError(cal)
+      .head.getAs[Double]("ece") == 0.0)
+  }
+
+  test("cohenKappa: exact-integer chance correction; constant raters " +
+    "→ null; null labels dropped (ml16)") {
+    // confusion: a=1∩b=1: 2, a=0∩b=0: 1, a=1∩b=0: 1 → po = 3/4
+    // marginals a: 3/1 ; b: 2/2 → pe·16 = 3·2 + 1·2 = 8 → pe = 1/2
+    val df = Seq(
+      (1L, 1L), (1L, 1L), (1L, 0L), (0L, 0L))
+      .toDF("label", "label2")
+    val s = graft.ml.Evaluation.cohenKappa(df).head
+    assert(s.getAs[Long]("n") == 4L && s.getAs[Long]("agree") == 3L)
+    // κ = (po − pe)/(1 − pe) = (3/4 − 1/2)/(1/2) = 0.5
+    assert(s.getAs[Double]("kappa") == 0.5)
+    // both raters constant: denominator 0 → null
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("label", "label2")
+    val c = graft.ml.Evaluation.cohenKappa(const).head
+    assert(c.isNullAt(c.fieldIndex("kappa")))
+    // null rows dropped before counting
+    val withNull = Seq(
+      (Some(1L), Some(1L)), (Some(1L), None), (None, Some(0L)))
+      .toDF("label", "label2")
+    assert(graft.ml.Evaluation.cohenKappa(withNull).head.getAs[Long]("n") == 1L)
+  }
+
   test("psiDrift: per-bin contributions with ε-floored empty sides; " +
     "identical distributions → 0 (ml14)") {
     val e = Seq(0.05, 0.15, 0.15, 0.95).toDF("prediction")

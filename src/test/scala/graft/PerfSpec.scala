@@ -585,6 +585,29 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("concentration: per-date HHI and effective position count from " +
+    "AbsWeight rows (perf_hhi)") {
+    val m = Seq(
+      // d1: weights 0.5/0.5 → HHI 0.5, effective 2
+      ("A", "2024-01-01", "AbsWeight", 0.5),
+      ("B", "2024-01-01", "AbsWeight", 0.5),
+      // d2: concentrated 1.0 → HHI 1, effective 1 (zero weight ignored)
+      ("A", "2024-01-02", "AbsWeight", 1.0),
+      ("B", "2024-01-02", "AbsWeight", 0.0),
+      // other fields must be ignored
+      ("A", "2024-01-01", "Return", 9.9))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val out = Performance.concentration(m)
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString -> r).toMap
+    assert(out("2024-01-01").getAs[Long]("n_positions") == 2L)
+    assert(out("2024-01-01").getAs[Double]("hhi") == 0.5)
+    assert(out("2024-01-01").getAs[Double]("effective_n") == 2.0)
+    assert(out("2024-01-02").getAs[Long]("n_positions") == 1L)
+    assert(out("2024-01-02").getAs[Double]("hhi") == 1.0)
+    assert(out("2024-01-02").getAs[Double]("effective_n") == 1.0)
+  }
+
   test("momentStats: raw-moment algebra goldens; flat series → null " +
     "skew/kurt (perf_moments)") {
     val r = Seq(0.10, -0.05, 0.02)
