@@ -2100,6 +2100,28 @@ object Oracles {
         |  round(quantile_cont(lag, 0.9), 6) AS p90
         |FROM lg""".stripMargin,
 
+    // DAU + trailing-28-day actives via the interval sweep: per-user
+    // disjoint coverage intervals → exact count(*) per day, no distinct
+    "ev9_active_users" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS m FROM ev),
+        |iv AS (
+        |  SELECT u, d,
+        |    least(coalesce(lead(d) OVER (PARTITION BY u ORDER BY d) - 1,
+        |                   (SELECT m FROM mx)),
+        |          d + 27, (SELECT m FROM mx)) AS e
+        |  FROM ev),
+        |ex AS (
+        |  SELECT d, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |    CAST(e AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM iv)
+        |SELECT date,
+        |  CAST(sum(CASE WHEN date = d THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |  count(*)::BIGINT AS active_28
+        |FROM ex GROUP BY 1""".stripMargin,
+
     // IC time-series summary over the ic1 per-date series: exact micro
     // re-quantization of the 6dp ICs → order-free HUGEINT sums
     "ic3_ic_summary" ->

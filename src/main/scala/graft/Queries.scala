@@ -1346,6 +1346,11 @@ object Queries {
     "ev8_conversion_lag" -> ((s, dir) =>
       graft.events.Events.conversionLag(events(s, dir), "view", "purchase")),
 
+    // ---- DAU + trailing-28-day active users via the interval sweep
+    // (no count-distinct windows — each user emits ≤ 1 row per day)
+    "ev9_active_users" -> ((s, dir) =>
+      graft.events.Events.activeUsers(events(s, dir), window = 28)),
+
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
     "ic3_ic_summary" -> ((s, dir) => {

@@ -257,4 +257,51 @@ object Events {
           unix_micros(col("__lts").cast("timestamp"))) / 1e6)
           .as("sec_since_touch"))
   }
+
+  /** Daily + trailing-`window`-day active users (DAU/WAU/MAU family)
+    * WITHOUT a count-distinct-over-window: each user's deduped activity
+    * days become disjoint coverage intervals — day aᵢ covers
+    * [aᵢ, min(aᵢ + window − 1, aᵢ₊₁ − 1, last observed day)] — so after
+    * the interval explode every user contributes AT MOST ONE row per
+    * covered day and the rolling-distinct count is a plain exact
+    * count(*). A windowed `approx_count_distinct` would be inexact and
+    * a per-day distinct self-join quadratic; this is the interval-sweep
+    * restatement.
+    *
+    * Scale shape: one distinct shuffle to user-days, one lead window on
+    * the user partition, an explode bounded by window × |user-days|
+    * rows worst case (each ≤ `window` days, far less on dense
+    * activity), one final date aggregation. Days beyond the last
+    * observed day are clipped (the series ends with the data, not
+    * `window` days of phantom decay). Output
+    * (date, dau, active_<window>), dates with an in-window active user
+    * only. */
+  def activeUsers(
+      events: DataFrame,
+      window: Int = 28,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (window < 1) throw new ParameterError(s"window must be >= 1: $window")
+    val days = events
+      .select(col(userCol).as("__u"),
+        to_date(col(tsCol).cast("timestamp")).as("__d"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the max-date agg AND the sweep
+    val maxD = days.agg(max(col("__d")).as("__mx"))
+    val w = Window.partitionBy(col("__u")).orderBy(col("__d"))
+    days
+      .withColumn("__next", lead(col("__d"), 1).over(w))
+      .crossJoin(broadcast(maxD))
+      .withColumn("__end",
+        least(
+          coalesce(date_sub(col("__next"), 1), col("__mx")),
+          date_add(col("__d"), window - 1),
+          col("__mx")))
+      .select(col("__d"),
+        explode(sequence(col("__d"), col("__end"))).as("date"))
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("date") === col("__d"), 1L).otherwise(0L)).as("dau"),
+        count(lit(1)).as(s"active_$window"))
+  }
 }

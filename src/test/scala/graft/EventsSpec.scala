@@ -159,4 +159,24 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
+
+  test("activeUsers: interval-sweep rolling actives — one row per user " +
+    "per covered day, clipped at the last observed day (ev9)") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), (2L, 1L, ts("2024-01-01 11:00:00")),
+      (3L, 1L, ts("2024-01-02 10:00:00")),
+      (4L, 2L, ts("2024-01-01 10:00:00")), (5L, 2L, ts("2024-01-05 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Events.activeUsers(ev, window = 3)
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("active_3"))).toMap
+    // u1: [d1,d1] then [d2,d4] ; u2: [d1,d3] then [d5,d5]
+    assert(out("2024-01-01") == ((2L, 2L)))
+    assert(out("2024-01-02") == ((1L, 2L)))
+    assert(out("2024-01-03") == ((0L, 2L)))
+    assert(out("2024-01-04") == ((0L, 1L)))
+    assert(out("2024-01-05") == ((1L, 1L)))
+    assert(out.size == 5)
+    intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
+  }
 }
