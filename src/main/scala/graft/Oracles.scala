@@ -1463,6 +1463,54 @@ object Oracles {
     // signal eval: per-date Spearman IC of close vs 1-day forward
     // return — exact HUGEINT sums over doubled average ranks (ties
     // share), one double division per date, −0.0 normalized
+    // IC decay: one ic1-shaped rank/moment block per horizon, UNION ALL,
+    // mean of the 6dp per-date ICs with integer-quotient rounding
+    "ic4_decay" -> {
+      def block(h: Int): String =
+        s"""SELECT CAST($h AS BIGINT) AS horizon,
+           |  count(ic)::BIGINT AS n_dates,
+           |  round(sum(CAST(round(ic * 1e6) AS HUGEINT))::DOUBLE
+           |    / count(ic)) / 1e6 + 0.0 AS mean_ic
+           |FROM (
+           |  SELECT date,
+           |    CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+           |      THEN round(CAST(n*sxy - sx*sy AS DOUBLE) /
+           |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |           * CAST(n*syy - sy*sy AS DOUBLE)), 6) + 0.0
+           |    END AS ic
+           |  FROM (
+           |    SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+           |           sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+           |    FROM (
+           |      SELECT date,
+           |        CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+           |          + count(*) OVER (PARTITION BY date, close) - 1
+           |          AS HUGEINT) AS rx,
+           |        CAST(2*rank() OVER (PARTITION BY date ORDER BY f)
+           |          + count(*) OVER (PARTITION BY date, f) - 1
+           |          AS HUGEINT) AS ry
+           |      FROM (
+           |        SELECT sid, date, close,
+           |          lead(close, $h) OVER (PARTITION BY sid ORDER BY date)
+           |            / close - 1 AS f
+           |        FROM panel) q1 WHERE f IS NOT NULL) q2
+           |    GROUP BY date) q3) q4""".stripMargin
+      s"""WITH $panelCte
+         |${Seq(1, 5, 21).map(block).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // day-of-week seasonality: isodow grouping (Mon=1), exact pico
+    // sums, integer-quotient rounding for mean and hit rate
+    "perf_seasonality" ->
+      s"""WITH $perfRetCte
+         |SELECT CAST(isodow(date) AS BIGINT) AS day_of_week,
+         |  count(*)::BIGINT AS n_days,
+         |  round(sum(CAST(round(r * 1e12) AS HUGEINT))::DOUBLE
+         |    / count(*)) / 1e12 + 0.0 AS mean_return,
+         |  round(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)::DOUBLE * 1e6
+         |    / count(*)) / 1e6 AS hit_rate
+         |FROM ret GROUP BY 1""".stripMargin,
+
     "ic1_spearman" ->
       s"""WITH $panelCte,
          |fwd AS (

@@ -1351,6 +1351,19 @@ object Queries {
     "ev9_active_users" -> ((s, dir) =>
       graft.events.Events.activeUsers(events(s, dir), window = 28)),
 
+    // ---- IC decay curve: mean Spearman IC at 1/5/21-day horizons —
+    // how fast the close-level signal's information dies
+    "ic4_decay" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      graft.perf.Signals.icDecay(
+        supplierPanel(s, dir), col("close"), horizons = Seq(1, 5, 21))
+    }),
+
+    // ---- day-of-week seasonality of the portfolio return series
+    // (ISO weekday numbering; integer-quotient rounding)
+    "perf_seasonality" -> ((s, dir) =>
+      graft.perf.Performance.seasonality(dampedMelt(s, dir))),
+
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
     "ic3_ic_summary" -> ((s, dir) => {

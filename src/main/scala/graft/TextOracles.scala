@@ -1569,6 +1569,24 @@ object TextOracles {
          |  round(st.n_oov::DOUBLE / st.n_tokens, 6) AS oov_rate
          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
+    // Flesch reading ease: exact sentence/word/vowel-group counts,
+    // per-row IEEE score at 6dp
+    "tx23_readability" ->
+      """SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  round(CASE WHEN n_words > 0 AND n_sentences > 0
+        |    THEN 206.835 - 1.015 * n_words::DOUBLE / n_sentences
+        |       - 84.6 * n_syllables::DOUBLE / n_words END, 6) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> trim(s) <> '')) AS BIGINT) AS n_sentences,
+        |    CAST(len(list_filter(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |      '\s+'), w -> w <> '')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents) q""".stripMargin,
+
     // Zipf fit over the top-100 word frequencies: exact counts/ranks,
     // regr_slope/regr_r2 of ln(count) on ln(rank) (both engines use the
     // SQL-standard covariance algebra; 6dp absorbs accumulation ulps)

@@ -232,6 +232,19 @@ object TextQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.typeTokenRatio(col("text")).as("ttr"))),
 
+    // Flesch reading ease + its three exact counts (vowel-group
+    // syllable heuristic — the no-dictionary standard)
+    "tx23_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.sentenceCount(col("text")).cast("long").as("n_sentences"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            TextAnalysis.normWords(col("text")),
+            w => w =!= lit(""))).cast("long").as("n_words"),
+        TextAnalysis.syllableEstimate(col("text")).cast("long")
+          .as("n_syllables"),
+        TextAnalysis.fleschReadingEase(col("text")).as("flesch"))),
+
     // quality-aware survivors: each near-dup cluster keeps its BEST
     // member by the tx3 quality score (not the min id)
     "dd21_best_survivors" -> ((s, dir) => {

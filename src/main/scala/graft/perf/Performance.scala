@@ -694,6 +694,30 @@ object Performance {
           .as("max_loss_streak"))
   }
 
+  /** Day-of-week seasonality of the per-date return series: mean
+    * return and hit rate per weekday (1 = Monday … 7 = Sunday — ISO
+    * numbering, NOT the engine's locale-dependent dayofweek). The mean
+    * divides the exact per-weekday pico sum by the day count and
+    * rounds the INTEGER quotient before scaling (the VWAP .5-boundary
+    * lesson); the hit rate gets the same treatment at micro scale.
+    * One bounded hash agg over the per-date series (≤ 7 output rows).
+    * Output (day_of_week, n_days, mean_return, hit_rate). */
+  def seasonality(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dailyReturns(results, dateCol)
+      .groupBy((weekday(col(dateCol)) + 1).cast("long").as("day_of_week"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(round(col("return") * 1e12).cast("long").cast(dec)).as("__s"),
+        sum(when(col("return") > 0, 1L).otherwise(0L)).as("__w"))
+      .select(
+        col("day_of_week"), col("n_days"),
+        (round(col("__s").cast("double") / col("n_days")) / 1e12 + 0.0)
+          .as("mean_return"),
+        (round(col("__w").cast("double") * 1e6 / col("n_days")) / 1e6)
+          .as("hit_rate"))
+  }
+
   /** Per-date portfolio concentration from the melt's `AbsWeight`
     * rows: the Herfindahl–Hirschman index Σ|wᵢ|² and its reciprocal,
     * the effective number of positions — "the book says 50 names but

@@ -103,6 +103,40 @@ object Signals {
     * sums accumulate order-free in decimal(38,0); one double division
     * at the end (6dp). Bounded input (≤ one row per date) → one-row
     * output; ICIR/t null when n < 2 or the series is flat. */
+  /** IC decay curve: the mean per-date Spearman IC of `signal` at each
+    * forward horizon — how fast the signal's information content dies
+    * (a 1-day signal with flat decay is tradeable weekly; a cliff after
+    * day 1 is not). One [[infoCoefficient]] pass per horizon over the
+    * SAME panel (each is the cross-sectional family's two rank windows
+    * + one agg; k horizons = k·that, no joins), unioned and collapsed
+    * to one row per horizon. The mean re-quantizes the 6dp ICs to
+    * micro ints (the icSummary stance) and rounds the integer quotient
+    * BEFORE scaling down (the VWAP .5-boundary lesson). Output
+    * (horizon, n_dates, mean_ic). */
+  def icDecay(
+      df: DataFrame,
+      signal: Column,
+      horizons: Seq[Int],
+      priceCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(horizons.nonEmpty, "horizons must be non-empty")
+    require(horizons.distinct == horizons, s"duplicate horizons: $horizons")
+    val dec = "decimal(38,0)"
+    val perH = horizons.map { h =>
+      infoCoefficient(
+        withForwardReturn(df, h, priceCol), signal, col("fwd_return"))
+        .select(lit(h.toLong).as("horizon"), col("ic"))
+    }.reduce(_ unionByName _)
+    perH
+      .groupBy(col("horizon"))
+      .agg(
+        count(col("ic")).as("n_dates"),
+        sum(round(col("ic") * 1e6).cast(dec)).as("__s"))
+      .select(
+        col("horizon"), col("n_dates"),
+        (round(col("__s").cast("double") / col("n_dates")) / 1e6 + 0.0)
+          .as("mean_ic"))
+  }
+
   def icSummary(ic: DataFrame, icCol: String = "ic"): DataFrame = {
     val dec = "decimal(38,0)"
     val m = round(col(icCol) * 1e6).cast(dec)

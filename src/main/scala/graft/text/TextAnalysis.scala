@@ -142,6 +142,35 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  /** Sentence count: non-blank segments after splitting on terminal
+    * punctuation runs ([.!?]+). A text with no terminator is one
+    * sentence (its single non-blank segment). */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(text, "[.!?]+"), s => trim(s) =!= lit("")))
+
+  /** Syllable estimate: vowel-group count ([aeiouy]+ runs) over the
+    * lowercased text — the standard no-dictionary heuristic (each
+    * vowel cluster ≈ one syllable nucleus). Deterministic and
+    * oracle-mirrorable, unlike dictionary syllabifiers. */
+  def syllableEstimate(text: Column): Column =
+    regexp_count(lower(text), lit("[aeiouy]+"))
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with [[syllableEstimate]]'s vowel-group
+    * heuristic. ~90+ reads as grade-school text, < 30 as academic
+    * prose; training-data curation uses it as a complexity-mix
+    * signal. Null for wordless or sentence-less text (the ratios are
+    * undefined). All three counts are exact integers from one
+    * per-row pass; the score is per-row IEEE arithmetic (6dp). */
+  def fleschReadingEase(text: Column): Column = {
+    val w = size(filter(normWords(text), x => x =!= lit("")))
+    val s = sentenceCount(text)
+    val syl = syllableEstimate(text)
+    round(when(w > 0 && s > 0,
+      lit(206.835) - lit(1.015) * w.cast("double") / s -
+        lit(84.6) * syl.cast("double") / w), 6)
+  }
+
   def stopwordRatio(text: Column): Column = {
     val t = tokenCount(text)
     val hits = langMarkers("en").map(m => countOccurrences(lowercase(text), m)).reduce(_ + _)

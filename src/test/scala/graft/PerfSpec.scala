@@ -585,6 +585,24 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("seasonality: ISO-weekday grouping, exact means and hit rates " +
+    "(perf_seasonality)") {
+    // 2024-01-01 and 2024-01-08 are Mondays; 2024-01-02 a Tuesday
+    val m = Seq(
+      ("A", "2024-01-01", "Return", 0.1),
+      ("A", "2024-01-08", "Return", 0.2),
+      ("A", "2024-01-02", "Return", -0.05))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val out = Performance.seasonality(m)
+      .collect().map(r => r.getAs[Long]("day_of_week") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("mean_return"),
+          r.getAs[Double]("hit_rate"))).toMap
+    assert(out(1L) == ((2L, 0.15, 1.0)))
+    assert(out(2L) == ((1L, -0.05, 0.0)))
+    assert(out.size == 2)
+  }
+
   test("concentration: per-date HHI and effective position count from " +
     "AbsWeight rows (perf_hhi)") {
     val m = Seq(

@@ -110,4 +110,24 @@ class SignalsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Signals.quantileReturns(df, col("signal"), col("fwd"), 1, col("sid")))
   }
+
+  test("icDecay: mean per-date Spearman IC per horizon; shorter " +
+    "horizons keep more dates (ic4)") {
+    import org.apache.spark.sql.functions.col
+    // close rises with sid but the forward return FALLS with sid on
+    // every date → IC = −1 at every horizon that still has data
+    val df = (for {
+      (sid, base) <- Seq(("A", 10.0), ("B", 20.0), ("C", 30.0))
+      (d, i) <- Seq("2024-01-01", "2024-01-02", "2024-01-03").zipWithIndex
+    } yield (sid, d, base + i)).toDF("sid", "date", "close")
+    val out = Signals.icDecay(df, col("close"), horizons = Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("horizon") ->
+        (r.getAs[Long]("n_dates"), r.getAs[Double]("mean_ic"))).toMap
+    assert(out(1L) == ((2L, -1.0))) // d1 and d2 have 1-day forwards
+    assert(out(2L) == ((1L, -1.0))) // only d1 has a 2-day forward
+    intercept[IllegalArgumentException](
+      Signals.icDecay(df, col("close"), horizons = Nil))
+    intercept[IllegalArgumentException](
+      Signals.icDecay(df, col("close"), horizons = Seq(1, 1)))
+  }
 }

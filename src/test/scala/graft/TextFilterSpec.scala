@@ -222,4 +222,29 @@ class TextFilterSpec extends SparkSpec {
     assert(out(3L) == 0.0)
     assert(out(4L) == 0.5)
   }
+
+  test("fleschReadingEase: exact counts, vowel-group syllables, null " +
+    "for wordless text (tx23)") {
+    val df = Seq(
+      (1L, "Hello world. Quick test!"),
+      (2L, "no terminator here"),
+      (3L, "..."),
+      (4L, ""))
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.sentenceCount(col("t")).as("s"),
+      TextAnalysis.syllableEstimate(col("t")).as("syl"),
+      TextAnalysis.fleschReadingEase(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 2 sentences, 4 words, 5 vowel groups (e,o | o | ui | e)
+    assert(out(1L).getAs[Int]("s") == 2)
+    assert(out(1L).getAs[Int]("syl") == 5)
+    val expected = 206.835 - 1.015 * (4.0 / 2) - 84.6 * (5.0 / 4)
+    assert(math.abs(out(1L).getAs[Double]("f") - expected) < 1e-6)
+    // no terminal punctuation: one sentence
+    assert(out(2L).getAs[Int]("s") == 1)
+    // punctuation-only / empty text: no words → null score
+    assert(out(3L).isNullAt(out(3L).fieldIndex("f")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("f")))
+  }
 }
