@@ -261,6 +261,46 @@ object TextOracles {
       s"""WITH $pagerankCtes
          |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3""".stripMargin,
 
+    // triangles via the same degree-ordered orientation: each triangle
+    // closes once at its lowest-ordered apex; row-value comparisons
+    // mirror the Spark struct ordering
+    "gr2_triangles" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |e0 AS (
+        |  SELECT a.source AS s, b.source AS t
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        |und AS (
+        |  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |  FROM e0 WHERE s <> t AND s IS NOT NULL AND t IS NOT NULL),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) q
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.degree <= db.degree THEN u.a ELSE u.b END AS u,
+        |         CASE WHEN da.degree <= db.degree THEN u.b ELSE u.a END AS v,
+        |         CASE WHEN da.degree <= db.degree THEN db.degree
+        |              ELSE da.degree END AS dv
+        |  FROM und u JOIN deg da ON u.a = da.node
+        |             JOIN deg db ON u.b = db.node),
+        |w AS (
+        |  SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+        |  FROM o e1 JOIN o e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)),
+        |c AS (SELECT apex, x, y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+        |pn AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT apex AS node FROM c
+        |    UNION ALL SELECT x FROM c
+        |    UNION ALL SELECT y FROM c) q
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  coalesce(pn.triangles, 0) AS triangles,
+        |  round(CASE WHEN deg.degree >= 2
+        |    THEN coalesce(pn.triangles, 0)::DOUBLE * 2e6
+        |       / (deg.degree * (deg.degree - 1)) END) / 1e6 AS clustering
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node""".stripMargin,
+
     "tx1_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

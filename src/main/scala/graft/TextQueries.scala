@@ -548,6 +548,17 @@ object TextQueries {
         .select(col("node"), round(col("rank"), 6).as("rank"))
     }),
 
+    // triangle counts + clustering coefficient over the undirected
+    // source-transition graph (degree-ordered orientation — the skew
+    // guard for power-law graphs)
+    "gr2_triangles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.alias("a")
+        .join(d.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.source").as("src"), col("b.source").as("dst"))
+      graft.graph.PageRank.triangles(e)
+    }),
+
     // ---- BPE tokenizer training. bpe0 (pair stats, the corpus-scale
     // half) is oracle-checked; the merge LOOP's greedy fold is a
     // sequential recurrence no SQL can express → bpe1/bpe2 are

@@ -64,4 +64,36 @@ class PageRankSpec extends SparkSpec {
     intercept[ParameterError] { PageRank.pagerank(
       g.toDF("src", "dst", "weight"), 3, damping = 1.0) }
   }
+
+  test("triangles: one triangle + pendant; duplicates, reversals, and " +
+    "self-loops dropped; clustering goldens (gr2)") {
+    // triangle {a,b,c} plus pendant d off c; noise edges collapse
+    val e = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("a", "a"))
+      .toDF("src", "dst")
+    val out = PageRank.triangles(e)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+          Option(r.get(r.fieldIndex("clustering")))
+            .map(_.asInstanceOf[Double]))).toMap
+    assert(out("a") == ((2L, 1L, Some(1.0))))
+    assert(out("b") == ((2L, 1L, Some(1.0))))
+    // c: degree 3, one triangle among 3 possible pairs → 1/3
+    assert(out("c") == ((3L, 1L, Some(0.333333))))
+    // pendant: no pairs to close → 0 triangles, undefined coefficient
+    assert(out("d") == ((1L, 0L, None)))
+  }
+
+  test("triangles: K4 — every node closes all three of its pairs") {
+    val nodes = Seq("a", "b", "c", "d")
+    val e = (for {
+      x <- nodes; y <- nodes if x < y
+    } yield (x, y)).toDF("src", "dst")
+    val out = PageRank.triangles(e)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("triangles"), r.getAs[Double]("clustering"))).toMap
+    // K4 has 4 triangles, each node in 3 of them; C(3,2)=3 pairs all closed
+    assert(out.values.forall(_ == ((3L, 1.0))))
+  }
 }
