@@ -1499,6 +1499,27 @@ object Oracles {
          |${Seq(1, 5, 21).map(block).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // per-sid variance attribution: raw-moment covariance of each sid's
+    // melt Return against the per-date portfolio return
+    "perf_riskcontrib" ->
+      s"""WITH $perfRetCte,
+         |ri AS (SELECT sid, date, coalesce(gross, 0.0) * 0.001 AS x FROM gro),
+         |j AS (SELECT ri.sid, ri.x, ret.r AS p
+         |      FROM ri JOIN ret ON ri.date = ret.date),
+         |st AS (
+         |  SELECT sid, count(*) AS n, avg(x) AS mi, avg(p) AS mp,
+         |         avg(x*p) AS aip, avg(x*x) AS aii, avg(p*p) AS app
+         |  FROM j GROUP BY sid),
+         |cm AS (
+         |  SELECT sid, n, aip - mi*mp AS cov, app - mp*mp AS vp,
+         |         aii - mi*mi AS vi
+         |  FROM st)
+         |SELECT sid, CAST(n AS BIGINT) AS n_days,
+         |  round(CASE WHEN vp > 0 THEN cov / vp END, 6) + 0.0 AS risk_share,
+         |  round(CASE WHEN vp > 0 AND vi > 0
+         |             THEN cov / sqrt(vi * vp) END, 6) + 0.0 AS corr_port
+         |FROM cm""".stripMargin,
+
     // day-of-week seasonality: isodow grouping (Mon=1), exact pico
     // sums, integer-quotient rounding for mean and hit rate
     "perf_seasonality" ->

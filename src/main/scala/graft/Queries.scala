@@ -1364,6 +1364,11 @@ object Queries {
     "perf_seasonality" -> ((s, dir) =>
       graft.perf.Performance.seasonality(dampedMelt(s, dir))),
 
+    // ---- per-sid variance attribution: covariance share of portfolio
+    // risk + correlation to the book (raw-moment algebra)
+    "perf_riskcontrib" -> ((s, dir) =>
+      graft.perf.Performance.riskContributions(dampedMelt(s, dir))),
+
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
     "ic3_ic_summary" -> ((s, dir) => {

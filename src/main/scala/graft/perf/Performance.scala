@@ -694,6 +694,46 @@ object Performance {
           .as("max_loss_streak"))
   }
 
+  /** Per-sid risk contributions: each sid's share of portfolio
+    * variance (covariance attribution — shares sum to 1 over a dense
+    * melt) and its correlation to the portfolio — "which names
+    * actually drive the book's risk", the variance-side complement of
+    * [[attribution]]'s return shares. Computed as one pass over the
+    * melt's Return rows joined to the per-date portfolio return
+    * (bounded frame → broadcast), then a per-sid aggregation using
+    * the explicit raw-moment algebra ([[momentStats]]' stance — the
+    * only formulation both engines mirror exactly); population
+    * moments, so the shares telescope exactly. Null share/corr when
+    * the portfolio (or the sid) is flat. Output
+    * (sid, n_days, risk_share, corr_port), 6dp. */
+  def riskContributions(results: DataFrame, dateCol: String = "date"): DataFrame = {
+    val rs = results
+      .where(col("field") === "Return")
+      .select(col("sid"), col(dateCol), col("value").as("__r"))
+    val daily = dailyReturns(results, dateCol)
+      .select(col(dateCol), col("return").as("__p"))
+    rs
+      .join(broadcast(daily), Seq(dateCol))
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        avg(col("__r")).as("__mi"),
+        avg(col("__p")).as("__mp"),
+        avg(col("__r") * col("__p")).as("__aip"),
+        avg(col("__r") * col("__r")).as("__aii"),
+        avg(col("__p") * col("__p")).as("__app"))
+      .withColumn("__cov", col("__aip") - col("__mi") * col("__mp"))
+      .withColumn("__vp", col("__app") - col("__mp") * col("__mp"))
+      .withColumn("__vi", col("__aii") - col("__mi") * col("__mi"))
+      .select(
+        col("sid"), col("n_days"),
+        (round(when(col("__vp") > 0, col("__cov") / col("__vp")), 6) + 0.0)
+          .as("risk_share"),
+        (round(when(col("__vp") > 0 && col("__vi") > 0,
+          col("__cov") / sqrt(col("__vi") * col("__vp"))), 6) + 0.0)
+          .as("corr_port"))
+  }
+
   /** Day-of-week seasonality of the per-date return series: mean
     * return and hit rate per weekday (1 = Monday … 7 = Sunday — ISO
     * numbering, NOT the engine's locale-dependent dayofweek). The mean

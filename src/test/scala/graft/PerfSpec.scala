@@ -585,6 +585,24 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("riskContributions: covariance shares telescope to 1; corr to " +
+    "portfolio golden (perf_riskcontrib)") {
+    val ra = Seq(0.06, -0.03, 0.01); val rb = Seq(0.04, -0.02, 0.01)
+    val p = ra.zip(rb).map { case (x, y) => x + y }
+    def mean(xs: Seq[Double]) = xs.sum / xs.length
+    def cov(xs: Seq[Double], ys: Seq[Double]) =
+      mean(xs.zip(ys).map { case (x, y) => x * y }) - mean(xs) * mean(ys)
+    val out = Performance.riskContributions(melt)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val shareA = cov(ra, p) / cov(p, p)
+    assert(math.abs(out("A").getAs[Double]("risk_share") - shareA) < 1e-6)
+    assert(math.abs(out("A").getAs[Double]("risk_share") +
+      out("B").getAs[Double]("risk_share") - 1.0) < 2e-6)
+    val corrA = cov(ra, p) / math.sqrt(cov(ra, ra) * cov(p, p))
+    assert(math.abs(out("A").getAs[Double]("corr_port") - corrA) < 1e-6)
+    assert(out("A").getAs[Long]("n_days") == 3L)
+  }
+
   test("seasonality: ISO-weekday grouping, exact means and hit rates " +
     "(perf_seasonality)") {
     // 2024-01-01 and 2024-01-08 are Mondays; 2024-01-02 a Tuesday
