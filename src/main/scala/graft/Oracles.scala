@@ -466,6 +466,24 @@ object Oracles {
          |    quantile_cont(close, 0.95) OVER (PARTITION BY date)), 6) AS wclose
          |FROM panel""".stripMargin,
 
+    // PX8: robust z — per-date median and MAD (two windowed
+    // interpolated quantiles, the winsorize precedent), 6dp
+    "px8_robust_z" ->
+      s"""WITH $panelCte,
+         |m AS (
+         |  SELECT sid, date, close,
+         |    quantile_cont(close, 0.5) OVER (PARTITION BY date) AS med
+         |  FROM panel),
+         |d AS (
+         |  SELECT *, quantile_cont(abs(close - med), 0.5)
+         |    OVER (PARTITION BY date) AS mad
+         |  FROM m)
+         |SELECT sid, date,
+         |  round(CASE WHEN mad <> 0
+         |             THEN (close - med) * 0.6745 / mad END, 6) + 0.0
+         |    AS robust_z
+         |FROM d""".stripMargin,
+
     // the full default-backtest replay (sig→wts→pos→gro CTE chain),
     // re-partitioned by (variant, …) — an independent SQL formulation of
     // the sweep, not a transliteration of the grouped-Keys plan

@@ -453,6 +453,14 @@ object Queries {
         round(Panel.winsorize(col("close"), 0.05, 0.95), 6).as("wclose"))
     }),
 
+    // ---- PX8: robust (median/MAD) cross-sectional z-score — the
+    // outlier-immune zscore
+    "px8_robust_z" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.withRobustZscore(supplierPanel(s, dir), col("close"))
+        .select("sid", "date", "robust_z")
+    }),
+
     // ---- SW1: parameter sweep — N strategy variants in ONE plan over
     // ONE panel scan. The tiny variant dimension broadcast-crosses into
     // the panel and Keys.group partitions every window/slot by variant,

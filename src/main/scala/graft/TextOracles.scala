@@ -1609,6 +1609,21 @@ object TextOracles {
          |  round(st.n_oov::DOUBLE / st.n_tokens, 6) AS oov_rate
          |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin,
 
+    // encoding-damage census: exact artifact counts + the conservative
+    // suspect verdict
+    "tx24_encoding" ->
+      """SELECT doc_id, n_replacement, n_control, n_mojibake,
+        |  (n_replacement > 0 OR n_control > 0 OR n_mojibake > 2) AS suspect
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+        |    CAST(len(regexp_extract_all(text, 'Ã|â€')) AS BIGINT)
+        |      AS n_mojibake
+        |  FROM documents) q""".stripMargin,
+
     // Flesch reading ease: exact sentence/word/vowel-group counts,
     // per-row IEEE score at 6dp
     "tx23_readability" ->

@@ -232,6 +232,18 @@ object TextQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.typeTokenRatio(col("text")).as("ttr"))),
 
+    // encoding-damage census: U+FFFD, raw C0 controls, and UTF-8-as-
+    // Latin-1 double-decoding signatures (all exact per-row counts)
+    "tx24_encoding" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.replacementCharCount(col("text")).cast("long")
+          .as("n_replacement"),
+        TextAnalysis.controlCharCount(col("text")).cast("long")
+          .as("n_control"),
+        TextAnalysis.mojibakeCount(col("text")).cast("long")
+          .as("n_mojibake"),
+        TextAnalysis.encodingSuspect(col("text")).as("suspect"))),
+
     // Flesch reading ease + its three exact counts (vowel-group
     // syllable heuristic — the no-dictionary standard)
     "tx23_readability" -> ((s, dir) =>

@@ -171,6 +171,31 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** Cross-sectional robust z-score: 0.6745·(x − median)/MAD per date
+    * slot (median absolute deviation, scaled so a normal sample reads
+    * in σ units) — the outlier-immune counterpart of [[zscore]] (one
+    * corrupt print moves a mean-based z arbitrarily; the median pair
+    * doesn't budge). A DataFrame op rather than a Column helper
+    * because the MAD percentile takes the median's RESULT as input —
+    * a window over a window must be two projection steps (both ride
+    * the same cross-sectional exchange; Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the winsorize precedent). Null when MAD = 0 (a
+    * majority-constant slot has no robust scale). Appends `out`,
+    * 6dp. */
+  def withRobustZscore(
+      df: DataFrame,
+      c: Column,
+      out: String = "robust_z")(implicit k: Keys): DataFrame = {
+    val w = k.byDate
+    df
+      .withColumn("__med", percentile(c, lit(0.5)).over(w))
+      .withColumn("__mad", percentile(abs(c - col("__med")), lit(0.5)).over(w))
+      .withColumn(out,
+        round(when(col("__mad") =!= 0,
+          (c - col("__med")) * 0.6745 / col("__mad")), 6) + 0.0)
+      .drop("__med", "__mad")
+  }
+
   /** Pairwise return-correlation matrix for a NAMED sid set — the
     * portfolio-risk input (diversification check, covariance seed for
     * sizing). Deliberately bounded: the caller names the sids (a book

@@ -142,6 +142,36 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  // --- Encoding-damage signals (mojibake detection) ---
+  //
+  // Web-crawl curation drops or re-decodes documents whose bytes were
+  // decoded with the wrong charset; the three countable artifacts are
+  // U+FFFD replacement chars (decoder gave up), raw C0 control chars
+  // (binary leaked into "text"), and the Ã/â€ pair signatures of UTF-8
+  // read as Latin-1/Windows-1252. All per-row exact integer counts —
+  // one scan, codegen'd regexp.
+
+  /** Count of U+FFFD replacement characters. */
+  def replacementCharCount(text: Column): Column =
+    regexp_count(text, lit("�"))
+
+  /** Count of raw C0 control characters excluding tab/LF/CR. */
+  def controlCharCount(text: Column): Column =
+    regexp_count(text, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+
+  /** Count of UTF-8-as-Latin-1 double-decoding signatures (the Ã and
+    * â€ prefixes every mangled accented char / smart quote produces).
+    * A couple can occur in legitimate text (a capital A-tilde); a run
+    * of them cannot. */
+  def mojibakeCount(text: Column): Column =
+    regexp_count(text, lit("Ã|â€"))
+
+  /** Conservative keep/flag verdict: any replacement or control char,
+    * or more than `mojibakeTolerance` double-decoding signatures. */
+  def encodingSuspect(text: Column, mojibakeTolerance: Int = 2): Column =
+    replacementCharCount(text) > 0 || controlCharCount(text) > 0 ||
+      mojibakeCount(text) > mojibakeTolerance
+
   /** Sentence count: non-blank segments after splitting on terminal
     * punctuation runs ([.!?]+). A text with no terminator is one
     * sentence (its single non-blank segment). */

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.PageRank
+
+/** Triangle-counting scale bench (BASELINE.md): deterministic synthetic
+  * edge lists generated distributed (spark.range — no driver
+  * materialization), timed through [[PageRank.triangles]].
+  *
+  * Two shapes per size: a pseudo-random multigraph (Knuth-hash
+  * endpoints — dense enough that wedges close), and the adversarial
+  * STAR (every edge shares one hub). The star is the degree-ordered
+  * orientation's whole point: naive wedge generation at the hub is
+  * O(n²) pairs in ONE task; oriented, every leaf points INTO the hub
+  * (leaves order below it), each leaf's out-degree is 1, so zero
+  * wedges form and the job completes in the scan time. */
+object GraphBench {
+
+  /** m pseudo-random edges over n nodes. Murmur-hashed endpoints, NOT
+    * an affine map of the id: two affine endpoint formulas make every
+    * edge collinear (dst ≡ a·src + b mod n) and the "random" graph has
+    * zero triangles — the synthetic-corpus near-collinearity trap from
+    * the round-4 semdedup bench, in graph form. Self-loops land and
+    * are dropped by the operator (part of the contract under test). */
+  def randomEdges(spark: SparkSession, m: Long, n: Long): DataFrame =
+    spark.range(m).select(
+      pmod(hash(col("id"), lit(1)).cast("long"), lit(n)).as("src"),
+      pmod(hash(col("id"), lit(2)).cast("long"), lit(n)).as("dst"))
+
+  /** The adversarial star: n leaves all attached to hub 0. */
+  def starEdges(spark: SparkSession, n: Long): DataFrame =
+    spark.range(1, n + 1).select(lit(0L).as("src"), col("id").as("dst"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val shapes: Seq[(String, DataFrame)] =
+      if (args.isEmpty) Seq(
+        "random m=1M n=100k" -> randomEdges(spark, 1000000L, 100000L),
+        "random m=10M n=1M" -> randomEdges(spark, 10000000L, 1000000L),
+        "star n=1M" -> starEdges(spark, 1000000L))
+      else args.toSeq.map { a =>
+        val p = a.split(":").map(_.toLong)
+        s"random m=${p(0)} n=${p(1)}" -> randomEdges(spark, p(0), p(1))
+      }
+
+    shapes.foreach { case (name, e) =>
+      e.count() // warm the generation path
+      val (row, sec) = time {
+        PageRank.triangles(e)
+          .agg(count(lit(1)), sum(col("triangles")), max(col("triangles")))
+          .head
+      }
+      // each triangle is counted at its 3 corners → total/3 triangles
+      println(f"$name%-22s nodes=${row.getLong(0)}%9d " +
+        f"triangles=${Option(row.get(1)).map(_.toString).getOrElse("0")}%12s/3 " +
+        f"maxPerNode=${Option(row.get(2)).map(_.toString).getOrElse("0")}%10s " +
+        f"${sec}%7.1f s")
+    }
+    spark.stop()
+  }
+}

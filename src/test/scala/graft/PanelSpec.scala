@@ -131,6 +131,26 @@ class PanelSpec extends SparkSpec {
     assert(out("S50") == 50.0) // interior untouched
   }
 
+  test("withRobustZscore: median/MAD scaling shrugs off the outlier; " +
+    "zero MAD → null (px8)") {
+    val xs = Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex
+      .map { case (v, i) => (s"S$i", "2024-01-01", v) }
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val out = Panel.withRobustZscore(xs, $"value")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // med 2.5; |d| = [1.5, .5, .5, 7.5] → MAD = (.5 + 1.5)/2 = 1.0
+    def q6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out("S0") == q6(0.6745 * (1.0 - 2.5)))
+    assert(out("S1") == q6(0.6745 * (2.0 - 2.5)))
+    assert(out("S3") == q6(0.6745 * (10.0 - 2.5)))
+    // majority-constant slot: MAD 0 → null
+    val flat = Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => (s"S$i", "2024-01-01", v) }
+      .toDF("sid", "date", "value").withColumn("date", to_date($"date"))
+    val f = Panel.withRobustZscore(flat, $"value").collect()
+    assert(f.forall(_.isNullAt(3)))
+  }
+
   test("EventStudy.align keys rows by trading-day offset, drops edges") {
     import graft.panel.EventStudy
     // sid A trades 1,2,3,5 Jan (gap on the 4th): offsets are ROW

@@ -223,6 +223,29 @@ class TextFilterSpec extends SparkSpec {
     assert(out(4L) == 0.5)
   }
 
+  test("encoding damage: replacement/control/mojibake counts and the " +
+    "suspect verdict (tx24)") {
+    val df = Seq(
+      (1L, "caf�e"),               // decoder gave up
+      (2L, "clean text, nothing odd"),
+      (3L, "weird\u0001byte\ttab ok"),  // C0 control (tab exempt)
+      (4L, "SÃ£o Paulo Ã© Ã³timo hÃ¡"), // 4 double-decode hits
+      (5L, "SÃo alone"))                // 1 hit: below tolerance
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.replacementCharCount(col("t")).as("r"),
+      TextAnalysis.controlCharCount(col("t")).as("c"),
+      TextAnalysis.mojibakeCount(col("t")).as("m"),
+      TextAnalysis.encodingSuspect(col("t")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1, 0, 0, true)))
+    assert(out(2L) == ((0, 0, 0, false)))
+    assert(out(3L) == ((0, 1, 0, true)))
+    assert(out(4L)._3 == 4 && out(4L)._4)
+    assert(out(5L) == ((0, 0, 1, false)))
+  }
+
   test("fleschReadingEase: exact counts, vowel-group syllables, null " +
     "for wordless text (tx23)") {
     val df = Seq(
