@@ -2187,6 +2187,35 @@ object Oracles {
         |  round(quantile_cont(lag, 0.9), 6) AS p90
         |FROM lg""".stripMargin,
 
+    // A/B conversion z-test: md5 arm split, exact counts, pooled z
+    "ev10_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'ab', user_id)),
+        |      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.5 AS a
+        |  FROM events GROUP BY user_id),
+        |st AS (
+        |  SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(conv_a::DOUBLE * 1e6 / n_a) / 1e6 AS rate_a,
+        |  round(conv_b::DOUBLE * 1e6 / n_b) / 1e6 AS rate_b,
+        |  round(CASE WHEN n_a > 0 AND n_b > 0
+        |          AND (conv_a + conv_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE) > 0
+        |          AND (conv_a + conv_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE) < 1
+        |        THEN (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+        |           / sqrt(((conv_a + conv_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE))
+        |                * (1.0 - (conv_a + conv_b)::DOUBLE
+        |                       / (n_a::DOUBLE + n_b::DOUBLE))
+        |                * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+        |        END, 6) + 0.0 AS z_score
+        |FROM st""".stripMargin,
+
     // DAU + trailing-28-day actives via the interval sweep: per-user
     // disjoint coverage intervals → exact count(*) per day, no distinct
     "ev9_active_users" ->

@@ -1359,6 +1359,11 @@ object Queries {
     "ev9_active_users" -> ((s, dir) =>
       graft.events.Events.activeUsers(events(s, dir), window = 28)),
 
+    // ---- A/B conversion test: deterministic md5 arm assignment,
+    // exact counts, pooled two-proportion z
+    "ev10_ab_test" -> ((s, dir) =>
+      graft.events.Events.abTest(events(s, dir), "purchase")),
+
     // ---- IC decay curve: mean Spearman IC at 1/5/21-day horizons —
     // how fast the close-level signal's information dies
     "ic4_decay" -> ((s, dir) => {

@@ -258,6 +258,50 @@ object Events {
           .as("sec_since_touch"))
   }
 
+  /** Two-proportion A/B conversion test with DETERMINISTIC hash
+    * assignment ([[graft.text.Sampling.hashUnit]] — the same md5 split
+    * in any engine, retry/resize-proof): users below 0.5 are arm A,
+    * conversion = any `conversionType` event. Outputs per-arm exact
+    * counts, rates (integer-quotient rounding), and the pooled
+    * two-proportion z statistic — the number a launch review reads;
+    * |z| > 1.96 ≈ 95% two-sided. The z is one algebraic expression of
+    * exact integer ratios (identical IEEE in any engine, 6dp); null
+    * when an arm is empty or the pooled rate is degenerate (0 or 1 —
+    * no variance). One groupBy(user) agg + ONE scalar row. */
+  def abTest(
+      events: DataFrame,
+      conversionType: String,
+      seed: String = "ab",
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L))
+        .as("__c"))
+      .withColumn("__a",
+        graft.text.Sampling.hashUnit(col(userCol), seed) < 0.5)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pool = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    perUser
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__a"), col("__c")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("__a"), col("__c")).otherwise(0L)).as("conv_b"))
+      .select(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        (round(col("conv_a").cast("double") * 1e6 / col("n_a")) / 1e6)
+          .as("rate_a"),
+        (round(col("conv_b").cast("double") * 1e6 / col("n_b")) / 1e6)
+          .as("rate_b"),
+        (round(when(col("n_a") > 0 && col("n_b") > 0 &&
+          pool > 0 && pool < 1,
+          (pa - pb) / sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))),
+          6) + 0.0).as("z_score"))
+  }
+
   /** Daily + trailing-`window`-day active users (DAU/WAU/MAU family)
     * WITHOUT a count-distinct-over-window: each user's deduped activity
     * days become disjoint coverage intervals — day aᵢ covers

@@ -160,6 +160,40 @@ class EventsSpec extends SparkSpec {
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
 
+  test("abTest: deterministic arm split, exact counts, pooled " +
+    "two-proportion z golden (ev10)") {
+    import graft.text.Sampling
+    // many users so both arms are populated; conversion iff user % 3 == 0
+    val ev = (1L to 60L).flatMap { u =>
+      Seq((u * 10, u, ts("2024-01-01 10:00:00"), "view")) ++
+        (if (u % 3 == 0) Seq((u * 10 + 1, u, ts("2024-01-01 11:00:00"), "purchase"))
+         else Nil)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+    val s = Events.abTest(ev, "purchase").head
+    val na = s.getAs[Long]("n_a"); val nb = s.getAs[Long]("n_b")
+    val ca = s.getAs[Long]("conv_a"); val cb = s.getAs[Long]("conv_b")
+    assert(na + nb == 60L && ca + cb == 20L)
+    assert(na > 0 && nb > 0)
+    // replay the arm assignment: counts must match the hash split
+    val expA = (1L to 60L).count { u =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab|$u".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 4294967296.0 < 0.5
+    }
+    assert(na == expA)
+    // z from the same pooled formula
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(s.getAs[Double]("z_score") - z) < 1e-5)
+    // degenerate: everyone converts → null z
+    val all = (1L to 10L).map(u => (u, u, ts("2024-01-01 10:00:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val d = Events.abTest(all, "purchase").head
+    assert(d.isNullAt(d.fieldIndex("z_score")))
+  }
+
   test("activeUsers: interval-sweep rolling actives — one row per user " +
     "per covered day, clipped at the last observed day (ev9)") {
     val ev = Seq(
