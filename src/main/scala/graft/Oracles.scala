@@ -1481,6 +1481,63 @@ object Oracles {
     // signal eval: per-date Spearman IC of close vs 1-day forward
     // return — exact HUGEINT sums over doubled average ranks (ties
     // share), one double division per date, −0.0 normalized
+    // Poisson-bootstrap CI: same ic1 chain, then 200 hash-weighted
+    // resamples — the Poisson(1) cutoffs are the Scala doubles inlined
+    // (Double.toString round-trips bit-exact)
+    "ic5_bootstrap" -> {
+      val wCase = graft.perf.Signals.PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH $panelCte,
+         |fwd AS (
+         |  SELECT sid, date, close,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |bb AS (SELECT * FROM fwd WHERE f IS NOT NULL),
+         |r AS (
+         |  SELECT date,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+         |      + count(*) OVER (PARTITION BY date, close) - 1 AS HUGEINT) AS rx,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY f)
+         |      + count(*) OVER (PARTITION BY date, f) - 1 AS HUGEINT) AS ry
+         |  FROM bb),
+         |st AS (
+         |  SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |         sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+         |  FROM r GROUP BY date),
+         |ics AS (
+         |  SELECT date,
+         |    round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0
+         |                AND n*syy - sy*sy <> 0
+         |      THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |        sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+         |           * CAST(n*syy - sy*sy AS DOUBLE)) END, 6) + 0.0 AS ic
+         |  FROM st),
+         |base AS (
+         |  SELECT date AS d, CAST(round(ic * 1e6) AS BIGINT) AS m
+         |  FROM ics WHERE ic IS NOT NULL),
+         |x AS (
+         |  SELECT t.range AS rb, m,
+         |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'boot',
+         |      t.range, d)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+         |  FROM base, range(200) t),
+         |wx AS (SELECT rb, m, $wCase AS w FROM x),
+         |means AS (
+         |  SELECT rb,
+         |    round(sum(CAST(w AS HUGEINT) * m)::DOUBLE / sum(w)) / 1e6 AS mn
+         |  FROM wx GROUP BY rb HAVING sum(w) > 0),
+         |ci AS (
+         |  SELECT count(*)::BIGINT AS n_boot,
+         |    round(quantile_cont(mn, 0.025), 6) AS ci_lo,
+         |    round(quantile_cont(mn, 0.975), 6) AS ci_hi
+         |  FROM means),
+         |ov AS (
+         |  SELECT count(*)::BIGINT AS n_dates,
+         |    round(sum(m)::DOUBLE / count(*)) / 1e6 AS mean_ic
+         |  FROM base)
+         |SELECT n_boot, n_dates, mean_ic, ci_lo, ci_hi FROM ci, ov""".stripMargin
+    },
+
     // IC decay: one ic1-shaped rank/moment block per horizon, UNION ALL,
     // mean of the 6dp per-date ICs with integer-quotient rounding
     "ic4_decay" -> {

@@ -1364,6 +1364,16 @@ object Queries {
     "ev10_ab_test" -> ((s, dir) =>
       graft.events.Events.abTest(events(s, dir), "purchase")),
 
+    // ---- Poisson-bootstrap CI for the mean IC: 200 deterministic
+    // hash-weighted resamples of the ic1 series
+    "ic5_bootstrap" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val ics = graft.perf.Signals.infoCoefficient(
+        graft.perf.Signals.withForwardReturn(supplierPanel(s, dir), 1),
+        col("close"), col("fwd_return"))
+      graft.perf.Signals.icBootstrap(ics)
+    }),
+
     // ---- IC decay curve: mean Spearman IC at 1/5/21-day horizons —
     // how fast the close-level signal's information dies
     "ic4_decay" -> ((s, dir) => {

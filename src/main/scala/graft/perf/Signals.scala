@@ -137,6 +137,78 @@ object Signals {
           .as("mean_ic"))
   }
 
+  /** Poisson(1) cumulative cutoffs for k = 0..7 (the tail clamps at 8).
+    * Shared by the Spark plan and (via Double.toString round-trip —
+    * shortest-repr parsing is bit-exact) the SQL oracle. */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    var p = math.exp(-1.0)
+    val out = Seq.newBuilder[Double]
+    var c = 0.0
+    for (k <- 0 to 7) {
+      c += p; out += c; p /= (k + 1).toDouble + 0.0
+      // p for k+1 = p_k / (k+1)
+    }
+    out.result()
+  }
+
+  /** Bootstrap confidence interval for the MEAN per-date IC: B
+    * deterministic Poisson(1) resamples of the IC series (the
+    * "Poisson bootstrap" — each replica's weight for date d is an
+    * inverse-CDF lookup on the md5 hash of (replica, date), so the
+    * whole procedure is reproducible in any engine and needs no
+    * random state), replica means as exact micro sums with
+    * integer-quotient rounding, then interpolated percentiles over
+    * the B-row replica frame. Answers "is the mean IC distinguishable
+    * from 0" without distributional assumptions — the icSummary
+    * t-stat's nonparametric check.
+    *
+    * Scale shape: the IC frame is bounded (one row per date), so the
+    * date × B cross join is bounded × B (broadcast the B-row side),
+    * one hash agg to B replica means, one bounded agg to the CI row.
+    * Output (n_boot, n_dates, mean_ic, ci_lo, ci_hi). */
+  def icBootstrap(
+      ic: DataFrame,
+      b: Int = 200,
+      alpha: Double = 0.05,
+      seed: String = "boot",
+      icCol: String = "ic",
+      dateCol: String = "date"): DataFrame = {
+    require(b >= 2, s"need at least 2 replicas: $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1): $alpha")
+    val dec = "decimal(38,0)"
+    val spark = ic.sparkSession
+    val reps = spark.range(b).select(col("id").as("__b"))
+    val base = ic.where(col(icCol).isNotNull)
+      .select(col(dateCol).as("__d"),
+        round(col(icCol) * 1e6).cast("long").as("__m"))
+      .localCheckpoint(eager = false) // feeds the resample AND the plain mean
+    val u = graft.text.Sampling.hashUnit(
+      concat_ws("|", col("__b"), col("__d")), seed)
+    val w = PoissonCdf.zipWithIndex.foldRight(lit(8)) {
+      case ((c, k), acc) => when(u < c, k).otherwise(acc)
+    }
+    val means = base
+      .crossJoin(broadcast(reps))
+      .withColumn("__w", w.cast("long"))
+      .groupBy(col("__b"))
+      .agg(sum((col("__w") * col("__m")).cast(dec)).as("__s"),
+        sum(col("__w")).as("__n"))
+      .where(col("__n") > 0)
+      .select((round(col("__s").cast("double") / col("__n")) / 1e6)
+        .as("__mean"))
+    val ci = means.agg(
+      count(lit(1)).as("n_boot"),
+      round(percentile(col("__mean"), lit(alpha / 2)), 6).as("ci_lo"),
+      round(percentile(col("__mean"), lit(1 - alpha / 2)), 6).as("ci_hi"))
+    val overall = base.agg(
+      count(lit(1)).as("n_dates"),
+      (round(sum(col("__m").cast(dec)).cast("double") / count(lit(1))) / 1e6)
+        .as("mean_ic"))
+    ci.crossJoin(broadcast(overall))
+      .select(col("n_boot"), col("n_dates"), col("mean_ic"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   def icSummary(ic: DataFrame, icCol: String = "ic"): DataFrame = {
     val dec = "decimal(38,0)"
     val m = round(col(icCol) * 1e6).cast(dec)

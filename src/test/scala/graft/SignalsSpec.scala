@@ -111,6 +111,34 @@ class SignalsSpec extends SparkSpec {
       Signals.quantileReturns(df, col("signal"), col("fwd"), 1, col("sid")))
   }
 
+  test("icBootstrap: deterministic Poisson resamples, CI brackets the " +
+    "mean, reruns identical (ic5)") {
+    import org.apache.spark.sql.functions.col
+    val ics = (1 to 40).map(i => (f"2024-01-$i%02d".take(10), // fake dates
+      if (i <= 31) f"2024-01-$i%02d" else f"2024-02-${i - 31}%02d", 0.1 + (i % 5) * 0.05))
+      .map { case (_, d, v) => (d, v) }
+      .toDF("date", "ic")
+    val s = graft.perf.Signals.icBootstrap(ics, b = 50).head
+    assert(s.getAs[Long]("n_boot") == 50L)
+    assert(s.getAs[Long]("n_dates") == 40L)
+    val mean = s.getAs[Double]("mean_ic")
+    val (lo, hi) = (s.getAs[Double]("ci_lo"), s.getAs[Double]("ci_hi"))
+    assert(lo <= mean && mean <= hi)
+    assert(lo >= 0.1 && hi <= 0.3) // resample means live inside the data range
+    assert(lo < hi) // the series isn't constant, so the CI has width
+    // fully deterministic: a second run is bit-identical
+    val s2 = graft.perf.Signals.icBootstrap(ics, b = 50).head
+    assert(s2.getAs[Double]("ci_lo") == lo && s2.getAs[Double]("ci_hi") == hi)
+    intercept[IllegalArgumentException](
+      graft.perf.Signals.icBootstrap(ics, b = 1))
+    intercept[IllegalArgumentException](
+      graft.perf.Signals.icBootstrap(ics, alpha = 0.0))
+    // Poisson cutoffs: cumulative, increasing, e^-1 first, ~0.99998 last
+    val cdf = graft.perf.Signals.PoissonCdf
+    assert(math.abs(cdf.head - math.exp(-1.0)) < 1e-15)
+    assert(cdf == cdf.sorted && cdf.last > 0.9999 && cdf.last < 1.0)
+  }
+
   test("icDecay: mean per-date Spearman IC per horizon; shorter " +
     "horizons keep more dates (ic4)") {
     import org.apache.spark.sql.functions.col
