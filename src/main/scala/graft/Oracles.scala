@@ -2244,6 +2244,28 @@ object Oracles {
         |  round(quantile_cont(lag, 0.9), 6) AS p90
         |FROM lg""".stripMargin,
 
+    // J10: tolerance as-of — DuckDB's NATIVE ASOF JOIN as the
+    // independent formulation of the union+tag+window plan
+    "j10_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_type, value
+        |  FROM events),
+        |v AS (SELECT user_id, ts, event_id FROM e WHERE event_type = 'view'),
+        |p0 AS (SELECT user_id, ts, max(value) AS value FROM e
+        |       WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT v.user_id, v.event_id, p0.value,
+        |    epoch_us(v.ts) - epoch_us(p0.ts) AS age
+        |  FROM v ASOF LEFT JOIN p0
+        |    ON v.user_id = p0.user_id AND v.ts >= p0.ts)
+        |SELECT user_id, event_id,
+        |  round(CASE WHEN age IS NOT NULL AND age <= 3600000000
+        |             THEN value END, 6) AS value,
+        |  CASE WHEN age IS NOT NULL AND age <= 3600000000
+        |       THEN age END AS asof_age_us
+        |FROM j""".stripMargin,
+
     // A/B conversion z-test: md5 arm split, exact counts, pooled z
     "ev10_ab_test" ->
       """WITH pu AS (

@@ -1364,6 +1364,21 @@ object Queries {
     "ev10_ab_test" -> ((s, dir) =>
       graft.events.Events.abTest(events(s, dir), "purchase")),
 
+    // ---- J10: generic as-of join with staleness tolerance — each view
+    // picks up the user's latest purchase value within 1 hour
+    "j10_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.panel.Intervals.asofJoin(
+        views, purchases, Seq("user_id"),
+        toleranceMicros = 3600L * 1000000L)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"), col("asof_age_us"))
+    }),
+
     // ---- Poisson-bootstrap CI for the mean IC: 200 deterministic
     // hash-weighted resamples of the ic1 series
     "ic5_bootstrap" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.panel
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval (range) join at scale — trade↔quote matching,
@@ -112,5 +113,71 @@ object Intervals {
       .where(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
       .where(col("__bin") === anchor)
       .drop("__bin")
+  }
+
+  /** Generic left as-of join with a staleness tolerance: every `left`
+    * row picks up the LATEST `right` row with equal `keyCols` and
+    * right.ts ≤ left.ts — but a match older than `toleranceMicros`
+    * nulls out instead of silently attaching stale data (a quote from
+    * last Tuesday is not "the prevailing quote"). Appends `right`'s
+    * value columns and `asof_age_us` (exact integer µs, null when no
+    * in-tolerance match).
+    *
+    * Shape: the J6 union+tag+window formulation — NO range-exploded
+    * join, no per-left-row scan of the right side. Both inputs tag and
+    * union, ONE window per key partition ordered by (µs, side) — right
+    * rows sort before left at the same instant, so an equal-timestamp
+    * quote matches — and a last-ignoring-nulls carries each value
+    * forward. Cost is one shuffle of |left| + |right| rows on the key.
+    * `right` is first collapsed to one row per (keys, ts) by
+    * per-column max — duplicate same-instant quotes would otherwise
+    * make "the last one" partition-order-dependent. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String = "ts",
+      rightTsCol: String = "ts",
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
+    require(toleranceMicros > 0, s"tolerance must be positive µs: $toleranceMicros")
+    val valCols = right.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == rightTsCol)
+    require(valCols.nonEmpty, "right side has no value columns")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rightC = right.groupBy((keyCols.map(col) :+ col(rightTsCol)): _*)
+      .agg(max(col(valCols.head)).as(valCols.head),
+        valCols.tail.map(c => max(col(c)).as(c)): _*)
+    val l2 = left.select(
+      keyCols.map(col) ++ Seq(
+        unix_micros(col(leftTsCol).cast("timestamp")).as("__tm"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col).toSeq: _*).as("__row")) ++
+        valCols.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+    val r2 = rightC.select(
+      keyCols.map(col) ++ Seq(
+        unix_micros(col(rightTsCol).cast("timestamp")).as("__tm"),
+        lit(0).as("__side"),
+        lit(null).cast(l2.schema("__row").dataType).as("__row")) ++
+        valCols.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__tm"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carried(c: String) =
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w)
+    val matchedTs =
+      last(when(col("__side") === 0, col("__tm")), ignoreNulls = true).over(w)
+    val age = col("__tm") - col("__mt")
+    val keep = col("__mt").isNotNull && age <= toleranceMicros
+    l2.unionByName(r2)
+      .withColumn("__mt", matchedTs)
+      .select(
+        Seq(col("__side"), col("__row")) ++
+          valCols.map(c => when(keep, carried(c)).as(c)) :+
+          when(keep, age).as("asof_age_us"): _*)
+      .where(col("__side") === 1)
+      .select(
+        left.columns.map(c => col("__row").getField(c).as(c)).toSeq ++
+          valCols.map(col) :+ col("asof_age_us"): _*)
   }
 }

@@ -77,4 +77,40 @@ class IntervalsSpec extends SparkSpec {
       .select("a_id", "b_id").as[(String, String)].collect().sorted
     assert(out.toSeq == Seq(("a1", "b1"), ("a1", "b2")))
   }
+
+  test("asofJoin: latest in-tolerance match, equal instants match, " +
+    "stale matches null out, same-ts right rows collapse (j10)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val views = Seq(
+      ("u1", t("2024-01-01 10:01:40"), "v1"), // 100s
+      ("u1", t("2024-01-01 10:03:20"), "v2"), // 200s
+      ("u2", t("2024-01-01 10:00:50"), "v3")) // no right rows at all
+      .toDF("user_id", "ts", "view_id")
+    val quotes = Seq(
+      ("u1", t("2024-01-01 10:01:30"), 1.0), // duplicate instant:
+      ("u1", t("2024-01-01 10:01:30"), 0.5), //   collapses to max 1.0
+      ("u1", t("2024-01-01 10:01:40"), 2.0), // equal ts to v1
+      ("u1", t("2024-01-01 10:02:30"), 3.0)) // 50s before v2
+      .toDF("user_id", "ts", "value")
+    val out = Intervals.asofJoin(
+      views, quotes, Seq("user_id"), toleranceMicros = 30L * 1000000L)
+      .collect().map(r => r.getAs[String]("view_id") ->
+        (Option(r.get(r.fieldIndex("value"))),
+          Option(r.get(r.fieldIndex("asof_age_us"))))).toMap
+    // v1: the equal-instant quote wins, age 0
+    assert(out("v1") == ((Some(2.0), Some(0L))))
+    // v2: latest quote is 50 s old — beyond the 30 s tolerance
+    assert(out("v2") == ((None, None)))
+    assert(out("v3") == ((None, None)))
+    // unlimited tolerance: v2 attaches the 50 s-old quote
+    val loose = Intervals.asofJoin(views, quotes, Seq("user_id"))
+      .collect().map(r => r.getAs[String]("view_id") ->
+        Option(r.get(r.fieldIndex("value")))).toMap
+    assert(loose("v2") == Some(3.0))
+    // duplicate-instant collapse is the per-column max
+    val dup = Intervals.asofJoin(
+      views.where($"view_id" === "v1"), quotes.where($"value" <= 1.0),
+      Seq("user_id")).head
+    assert(dup.getAs[Double]("value") == 1.0)
+  }
 }
