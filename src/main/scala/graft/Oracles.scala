@@ -1798,6 +1798,38 @@ object Oracles {
          |  round(CASE WHEN tot > 0 THEN tp::DOUBLE / tot END, 6) AS recall
          |FROM cm""".stripMargin,
 
+    // ML17: best-F1 operating point over the ml11 chain — the F1
+    // ordering key is the same IEEE double from exact ints in both
+    // engines; ties resolve to the lowest threshold
+    "ml17_best_threshold" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*)::BIGINT AS c
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT *,
+         |    CAST(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(sum(c - p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+         |                          PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         |    CAST(sum(p) OVER () AS BIGINT) AS tot
+         |  FROM sc),
+         |f AS (
+         |  SELECT s AS threshold, tp, fp, CAST(tot - tp AS BIGINT) AS fn,
+         |    round(tp::DOUBLE / (tp + fp), 6) AS precision,
+         |    round(CASE WHEN tot > 0 THEN tp::DOUBLE / tot END, 6) AS recall,
+         |    CASE WHEN 2*tp + fp + (tot - tp) > 0
+         |         THEN 2.0 * tp / CAST(2*tp + fp + (tot - tp) AS DOUBLE)
+         |    END AS f1r
+         |  FROM cm)
+         |SELECT threshold, tp, fp, fn, precision, recall,
+         |  round(f1r, 6) AS f1
+         |FROM f ORDER BY f1r DESC NULLS LAST, threshold LIMIT 1""".stripMargin,
+
     // D28: TWAP slices — integer split with remainder-first, zero
     // slices dropped, parent ids positional "row.0"
     "d28_twap_slices" ->

@@ -1053,6 +1053,10 @@ object Queries {
         p.where(col("date") >= "1995-01-01"))
     }),
 
+    // ---- ML17: the F1-optimal operating point on the ml11 curve
+    "ml17_best_threshold" -> ((s, dir) =>
+      graft.ml.Evaluation.bestThreshold(scoredPanel(s, dir))),
+
     // ---- ML14: PSI drift between the same early/late score halves as
     // ml13 — 10 equal-width bins, exact counts, micro-nat-exact total
     "ml14_psi" -> ((s, dir) => {

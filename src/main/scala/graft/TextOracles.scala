@@ -1642,6 +1642,18 @@ object TextOracles {
         |      AS BIGINT) AS n_syllables
         |  FROM documents) q""".stripMargin,
 
+    // SP10: A-ES weighted sample — ln(u)/w keys rounded to 9dp, top-k
+    // by (key DESC, id)
+    "sp10_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(ln(CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'ws',
+        |      doc_id)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+        |      / n_chars, 9) AS sample_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, source, n_chars, sample_key
+        |FROM h ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+
     // Zipf fit over the top-100 word frequencies: exact counts/ranks,
     // regr_slope/regr_r2 of ln(count) on ln(rank) (both engines use the
     // SQL-standard covariance algebra; 6dp absorbs accumulation ulps)

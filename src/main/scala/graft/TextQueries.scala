@@ -534,6 +534,14 @@ object TextQueries {
         docs, graft.text.Vocab.vocabulary(docs, topV = 100))
     }),
 
+    // SP10: Efraimidis-Spirakis weighted sample — 100 docs tilted
+    // toward length, exactly reproducible (9dp key, id tiebreak)
+    "sp10_weighted_sample" -> ((s, dir) =>
+      graft.text.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "n_chars", k = 100)),
+
     // Zipf fit over the top-100 word frequencies: ln(count) ~ ln(rank)
     // least-squares slope + R² (corpus-health signal, slope ≈ −1)
     "tx21_zipf" -> ((s, dir) =>

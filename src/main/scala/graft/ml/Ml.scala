@@ -497,6 +497,33 @@ object Evaluation {
     * that bounded frame; tp/fp are exact integers and precision/
     * recall one per-row division each (6dp). Null recall on an
     * all-negative frame (no positives to recall). */
+  /** Operating-point selection: the threshold maximizing F1 over the
+    * [[prCurve]] operating points, ties to the LOWEST threshold (more
+    * recall at equal F1). F1 derives from exact integer tp/fp/fn, so
+    * the ordering key is the same IEEE double in any engine and the
+    * argmax is deterministic; selection is TakeOrderedAndProject over
+    * the bounded distinct-score frame (no global sort). Output one row
+    * (threshold, tp, fp, fn, precision, recall, f1). */
+  def bestThreshold(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val t = col("threshold")
+    val f1 = when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+      lit(2.0) * col("tp") /
+        (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+    prCurve(preds, scoreCol, labelCol)
+      .withColumn("fn",
+        max(col("tp")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)) - col("tp"))
+      .withColumn("__f1", f1)
+      .orderBy(col("__f1").desc_nulls_last, t)
+      .limit(1)
+      .select(t, col("tp"), col("fp"), col("fn"),
+        col("precision"), col("recall"),
+        round(col("__f1"), 6).as("f1"))
+  }
+
   def prCurve(
       preds: DataFrame,
       scoreCol: String = "prediction",

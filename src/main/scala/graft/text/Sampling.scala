@@ -87,6 +87,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row's key is ln(u)/w for the id-hash
+    * uniform u — a monotone form of u^(1/w) — and the k LARGEST keys
+    * win, so selection probability tilts toward heavy rows while
+    * staying exactly reproducible (resubmit-proof, engine-independent).
+    * Keys are ROUNDED to 9dp before ranking with the id as tiebreak —
+    * ranking on the raw ln would let a last-ulp libm difference flip a
+    * near-tie between engines (the collocations lesson). Selection is
+    * TakeOrderedAndProject (per-partition top-k + a k-row driver
+    * merge — no global sort). Non-positive or null weights drop (a
+    * zero-weight row can never be sampled; silently keeping it with
+    * key −∞ would be the same thing, loudly). Appends `sample_key`. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String = "ws"): DataFrame = {
+    if (k < 1) throw new ParameterError(s"k must be >= 1: $k")
+    val key = round(
+      log(hashUnit(col(idCol), seed)) / col(weightCol).cast("double"), 9)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key", key)
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Quantile cutoffs of `valueCol` over a deterministic hash sample —
     * the CCNet cutoff computation (Wenzek et al. 2020 compute their
     * head/middle/tail perplexity cutoffs from a sample per language, then

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 
-import graft.text.LangModel
+import graft.text.{LangModel, Sampling}
 
 class LangModelSpec extends SparkSpec {
   import spark.implicits._
@@ -127,6 +127,28 @@ class LangModelSpec extends SparkSpec {
     intercept[graft.ParameterError] {
       Sampling.hashSampleQuantiles(df, "doc_id", "v", Seq(1.5), rate = 0.5)
     }
+  }
+
+  test("weightedSample: heavy rows win more often, selection exactly " +
+    "reproducible, non-positive weights drop (sp10)") {
+    // one huge-weight row among many light ones: it should (almost)
+    // always make a k=5 cut — ln(u)/w → 0⁻ as w grows
+    val df = ((1L to 50L).map(i => (i, 1.0)) :+ (99L, 1e9))
+      .toDF("doc_id", "w")
+    val picked = Sampling.weightedSample(df, "doc_id", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.contains(99L))
+    assert(picked.size == 5)
+    // deterministic: second run identical
+    val again = Sampling.weightedSample(df, "doc_id", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == picked)
+    // zero/negative/null weights can never be sampled
+    val bad = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(bad, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    intercept[graft.ParameterError](
+      Sampling.weightedSample(df, "doc_id", "w", k = 0))
   }
 
   test("corpusDivergence: add-one-smoothed KL/JS goldens; identical " +

@@ -389,6 +389,26 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("p_value") == 1.0)
   }
 
+  test("bestThreshold: F1 argmax with lowest-threshold tiebreak " +
+    "(ml17)") {
+    // scores: 0.9 (pos), 0.7 (neg), 0.5 (pos), 0.3 (neg)
+    // t=0.9: tp1 fp0 fn1 → F1 2/3 ; t=0.5: tp2 fp1 fn0 → F1 4/5 (best)
+    val preds = Seq((0.9, 1L), (0.7, 0L), (0.5, 1L), (0.3, 0L))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.bestThreshold(preds).head
+    assert(s.getAs[Double]("threshold") == 0.5)
+    assert(s.getAs[Long]("tp") == 2L && s.getAs[Long]("fp") == 1L &&
+      s.getAs[Long]("fn") == 0L)
+    assert(s.getAs[Double]("f1") == 0.8)
+    // exact F1 tie: (tp,fp,fn) = (1,0,1) at 0.9 and (2,2,0) at 0.5
+    // both give F1 = 2/3 → the LOWEST threshold wins
+    val tied = Seq((0.9, 1L), (0.7, 0L), (0.6, 0L), (0.5, 1L))
+      .toDF("prediction", "label")
+    val f = graft.ml.Evaluation.bestThreshold(tied).head
+    assert(f.getAs[Double]("threshold") == 0.5)
+    assert(f.getAs[Double]("f1") == 0.666667)
+  }
+
   test("expectedCalibrationError: bin-weighted |gap| golden; a " +
     "perfectly calibrated frame → 0 (ml15)") {
     // bin 1 (score .15): 4 rows, event rate .25, gap .1
