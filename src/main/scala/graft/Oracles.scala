@@ -1595,6 +1595,29 @@ object Oracles {
          |             THEN cov / sqrt(vi * vp) END, 6) + 0.0 AS corr_port
          |FROM cm""".stripMargin,
 
+    // D30: beta-hedge overlay — 6dp risk-contribution betas joined to
+    // the equal-weight book, pico-exact per-date −Σ w·β
+    "d30_beta_hedge" ->
+      s"""WITH $perfRetCte,
+         |ri AS (SELECT sid, date, coalesce(gross, 0.0) * 0.001 AS x FROM gro),
+         |j AS (SELECT ri.sid, ri.x, ret.r AS p
+         |      FROM ri JOIN ret ON ri.date = ret.date),
+         |stx AS (
+         |  SELECT sid, avg(x) AS mi, avg(p) AS mp,
+         |         avg(x*p) AS aip, avg(p*p) AS app
+         |  FROM j GROUP BY sid),
+         |betas AS (
+         |  SELECT sid,
+         |    round(CASE WHEN app - mp*mp > 0
+         |               THEN (aip - mi*mp) / (app - mp*mp) END, 6) + 0.0
+         |      AS beta
+         |  FROM stx)
+         |SELECT w.date, 'BENCH' AS sid,
+         |  -(sum(CAST(round(w.weight * coalesce(b.beta, 0.0) * 1e12)
+         |       AS HUGEINT))::DOUBLE / 1e12) + 0.0 AS hedge_weight
+         |FROM wts w LEFT JOIN betas b ON w.sid = b.sid
+         |GROUP BY w.date""".stripMargin,
+
     // day-of-week seasonality: isodow grouping (Mon=1), exact pico
     // sums, integer-quotient rounding for mean and hit rate
     "perf_seasonality" ->

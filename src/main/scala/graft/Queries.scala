@@ -1411,6 +1411,18 @@ object Queries {
     "perf_riskcontrib" -> ((s, dir) =>
       graft.perf.Performance.riskContributions(dampedMelt(s, dir))),
 
+    // ---- D30: benchmark-hedge overlay — per-date −Σ w·β on a hedge
+    // sid, betas = the 6dp risk-contribution shares (beta-to-portfolio)
+    "d30_beta_hedge" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val weights = supplierPanel(s, dir)
+        .withColumn("signal", (col("close") < 30000).cast("int"))
+        .withColumn("weight", Weights.equalWeights(col("signal")))
+      val betas = graft.perf.Performance.riskContributions(dampedMelt(s, dir))
+        .select(col("sid"), col("risk_share").as("beta"))
+      Weights.betaHedge(weights, betas, hedgeSid = "BENCH")
+    }),
+
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
     "ic3_ic_summary" -> ((s, dir) => {

@@ -1,6 +1,6 @@
 package graft.alloc
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.panel.Panel
@@ -92,5 +92,39 @@ object Weights {
     val tot = sum(ivq).over(k.byDate)
     when(tot =!= 0, signum(signal) * ivq.cast("double") / tot).otherwise(0.0) +
       lit(0.0) // −0.0 → +0.0 (a zero-quantized short row)
+  }
+
+  /** D30: benchmark-hedge overlay — the per-date hedge weight
+    * −Σᵢ wᵢ·βᵢ to put on `hedgeSid` so the book's market beta nets to
+    * ~0 (the index-future overlay every beta-aware desk runs; D5's
+    * dollar-neutral is NOT beta-neutral when longs and shorts carry
+    * different betas). `betas` is a per-sid dimension frame (e.g.
+    * [[graft.perf.Performance.riskContributions]]' risk_share, which
+    * IS beta-to-portfolio) — expected PRE-ROUNDED (the voltarget
+    * stance), broadcast into the weights panel. Sids with no beta
+    * contribute 0 (can't hedge what isn't measured — they stay in the
+    * book unhedged, documented rather than silently scaled). Per-row
+    * w·β exposures quantize to picos so the per-date sum is exact.
+    * Output one row per date: (dateCol, sidCol = hedgeSid,
+    * hedge_weight). */
+  def betaHedge(
+      weights: DataFrame,
+      betas: DataFrame,
+      hedgeSid: String,
+      weightCol: String = "weight",
+      betaCol: String = "beta",
+      sidCol: String = "sid",
+      dateCol: String = "date"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    weights
+      .join(broadcast(betas.select(col(sidCol), col(betaCol))),
+        Seq(sidCol), "left")
+      .groupBy(col(dateCol))
+      .agg(sum(
+        round(col(weightCol) * coalesce(col(betaCol), lit(0.0)) * 1e12)
+          .cast("long").cast(dec)).as("__e"))
+      .select(
+        col(dateCol), lit(hedgeSid).as(sidCol),
+        (-(col("__e").cast("double") / 1e12) + 0.0).as("hedge_weight"))
   }
 }

@@ -162,4 +162,25 @@ class WeightsSpec extends SparkSpec {
     assert(out(("B", "2024-01-02")) == 1.0)
     assert(out(("A", "2024-01-03")) == 0.0)
   }
+
+  test("betaHedge: per-date −Σ w·β on the hedge sid; missing betas " +
+    "contribute 0; zero net beta → +0.0 (d30)") {
+    val weights = Seq(
+      ("A", "2024-01-01", 0.5), ("B", "2024-01-01", 0.5),
+      ("A", "2024-01-02", 1.0), ("C", "2024-01-02", -1.0))
+      .toDF("sid", "date", "weight")
+    val betas = Seq(("A", 1.2), ("B", 0.8)).toDF("sid", "beta") // C unknown
+    val byDate = Weights.betaHedge(weights, betas, "SPY")
+      .collect().map(r => r.getAs[String]("date") ->
+        (r.getAs[String]("sid"), r.getAs[Double]("hedge_weight"))).toMap
+    // d1: −(0.5·1.2 + 0.5·0.8) = −1.0 ; d2: C has no beta → −(1.0·1.2)
+    assert(byDate("2024-01-01") == (("SPY", -1.0)))
+    assert(byDate("2024-01-02") == (("SPY", -1.2)))
+    // exactly offsetting book: hedge is +0.0, not −0.0
+    val flat = Seq(("A", "2024-01-01", 0.5), ("B", "2024-01-01", -0.75))
+      .toDF("sid", "date", "weight")
+    val fb = Seq(("A", 1.5), ("B", 1.0)).toDF("sid", "beta")
+    val h = Weights.betaHedge(flat, fb, "SPY").head.getAs[Double]("hedge_weight")
+    assert(h == 0.0 && (1.0 / h) > 0) // +0.0, not −0.0
+  }
 }
