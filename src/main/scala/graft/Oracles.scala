@@ -1821,6 +1821,60 @@ object Oracles {
          |  round(CASE WHEN tot > 0 THEN tp::DOUBLE / tot END, 6) AS recall
          |FROM cm""".stripMargin,
 
+    // ML18: pinball loss at τ = 10/50/90 — per-row losses micro-
+    // quantized, integer-quotient means. The (τ−1) factors are the
+    // SCALA-evaluated doubles inlined (SQL-side decimal `0.9 - 1`
+    // differs from IEEE `0.9 - 1` by an ulp)
+    "ml18_pinball" -> {
+      def b(t: Double, a: String) =
+        s"""    CAST(round(greatest((y - s) * $t, (y - s) * ${t - 1}) * 1e6)
+           |      AS HUGEINT) AS $a""".stripMargin
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         close / 60000.0 AS y
+         |  FROM panel),
+         |q AS (
+         |  SELECT
+         |${b(0.1, "l10")},
+         |${b(0.5, "l50")},
+         |${b(0.9, "l90")}
+         |  FROM pr)
+         |SELECT count(*)::BIGINT AS n,
+         |  round(sum(l10)::DOUBLE / count(*)) / 1e6 AS pinball_10,
+         |  round(sum(l50)::DOUBLE / count(*)) / 1e6 AS pinball_50,
+         |  round(sum(l90)::DOUBLE / count(*)) / 1e6 AS pinball_90
+         |FROM q""".stripMargin
+    },
+
+    // D31: square-root impact — exact-int participation under one
+    // sqrt, 6dp-rounded σ input, null on unknown ADV/σ
+    "d31_sqrt_impact" ->
+      s"""WITH $panelCte,
+         |stubs AS (
+         |  SELECT CAST(s_suppkey AS VARCHAR) AS sid,
+         |         CAST(round(s_acctbal) AS BIGINT) AS "totalQuantity"
+         |  FROM supplier WHERE s_acctbal > 0),
+         |adv AS (
+         |  SELECT CAST(l_suppkey AS VARCHAR) AS sid,
+         |         sum(CAST(l_quantity AS BIGINT))::DOUBLE / count(*) AS adv
+         |  FROM lineitem GROUP BY 1),
+         |rr AS (
+         |  SELECT sid, close / lag(close) OVER (PARTITION BY sid
+         |    ORDER BY date) - 1 AS r
+         |  FROM panel),
+         |sg AS (
+         |  SELECT CAST(sid AS VARCHAR) AS sid,
+         |         round(stddev_samp(r), 6) AS sigma
+         |  FROM rr GROUP BY 1)
+         |SELECT s.sid, s."totalQuantity", round(a.adv, 6) AS adv, g.sigma,
+         |  round(CASE WHEN a.adv > 0 AND g.sigma > 0
+         |              AND s."totalQuantity" > 0
+         |        THEN sqrt(s."totalQuantity"::DOUBLE / a.adv)
+         |           * g.sigma * 1.0 * 1e4 END, 6) AS impact_bps
+         |FROM stubs s LEFT JOIN adv a ON s.sid = a.sid
+         |             LEFT JOIN sg g ON s.sid = g.sid""".stripMargin,
+
     // ML17: best-F1 operating point over the ml11 chain — the F1
     // ordering key is the same IEEE double from exact ints in both
     // engines; ties resolve to the lowest threshold

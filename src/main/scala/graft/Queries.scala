@@ -1644,6 +1644,39 @@ object Queries {
           .slippage(col("turnover"), col("position")).as("slippage"))
     }),
 
+    // ---- ML18: quantile (pinball) loss at τ = 10/50/90 for the
+    // quantized score as a forecast of the continuous ratio
+    "ml18_pinball" -> ((s, dir) =>
+      graft.ml.Evaluation.quantileLoss(supplierPanel(s, dir).select(
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        (col("close") / 60000.0).as("label")))),
+
+    // ---- D31: square-root market-impact estimate per stub —
+    // coef·σ·√(Q/ADV) in bps, null when ADV or σ is unknown
+    "d31_sqrt_impact" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val stubs = t(s, dir, "supplier").where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"),
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
+      val adv = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").cast("string").as("sid"))
+        .agg((sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1))).as("adv"))
+      val sig = supplierPanel(s, dir)
+        .withColumn("r",
+          col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .groupBy(col("sid").cast("string").as("sid"))
+        .agg(round(stddev_samp(col("r")), 6).as("sigma"))
+      stubs
+        .join(adv, Seq("sid"), "left")
+        .join(sig, Seq("sid"), "left")
+        .select(col("sid"), col("totalQuantity"),
+          round(col("adv"), 6).as("adv"), col("sigma"),
+          graft.costs.SqrtImpact.impactBps(
+            col("totalQuantity"), col("adv"), col("sigma"))
+            .as("impact_bps"))
+    }),
+
     // ---- Fama-MacBeth pass 2: mean risk premia + t-stats over the
     // per-date coefficient series
     "fm2_risk_premia" -> ((s, dir) => {

@@ -208,6 +208,29 @@ final case class BorrowFees(borrowFeeCol: String = "borrow_fee") extends Slippag
   }
 }
 
+/** D31: square-root market-impact estimate — the published
+  * institutional cost model (Almgren et al. 2005; Grinold & Kahn):
+  * impact ≈ coef · σ_daily · √(Q / ADV), i.e. cost scales with the
+  * square root of participation, not linearly (small orders are
+  * nearly free, 2× the size costs √2×). The model every pre-trade
+  * cost check runs; complements the fill-time [[VolumeShareSlippage]]
+  * with an ex-ante per-order number. */
+object SqrtImpact {
+  /** Estimated impact in basis points for an order of `quantity`
+    * shares against `adv` average daily volume and `sigma` daily
+    * return volatility (PRE-ROUNDED, the voltarget stance — identical
+    * inputs compute identically in any engine). Null — not 0 — when
+    * ADV or σ is missing/non-positive: an unknown cost is not a free
+    * trade. One per-row sqrt; 6dp. */
+  def impactBps(
+      quantity: Column,
+      adv: Column,
+      sigma: Column,
+      coef: Double = 1.0): Column =
+    round(when(adv > 0 && sigma > 0 && quantity > 0,
+      sqrt(quantity.cast("double") / adv) * sigma * coef * 1e4), 6)
+}
+
 /** D7 contract values (reference base.py:1857-1913): price ÷ priceMagnifier
   * × multiplier; spot FX (secType CASH) contract value ≡ 1
   * (base.py:1906-1908). Magnifier/multiplier nulls default to 1. */

@@ -497,6 +497,39 @@ object Evaluation {
     * that bounded frame; tp/fp are exact integers and precision/
     * recall one per-row division each (6dp). Null recall on an
     * all-negative frame (no positives to recall). */
+  /** Quantile (pinball) loss for probabilistic forecasts: for each τ,
+    * mean of max(τ·(y−ŷ), (τ−1)·(y−ŷ)) — the scoring rule a quantile
+    * forecast is trained and judged by (under-prediction costs τ,
+    * over-prediction 1−τ; the τ=0.5 case is half the MAE). ONE pass:
+    * per-row losses for every τ quantize to micro ints in the same
+    * projection, the aggregation emits one exact decimal sum per τ,
+    * and each mean rounds the integer quotient before scaling (the
+    * VWAP .5-boundary lesson). Output one row:
+    * (n, pinball_<τ·100> per τ). */
+  def quantileLoss(
+      preds: DataFrame,
+      taus: Seq[Double] = Seq(0.1, 0.5, 0.9),
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    if (taus.isEmpty) throw new ParameterError("need at least one tau")
+    taus.foreach(t => if (t <= 0 || t >= 1)
+      throw new ParameterError(s"tau must be in (0, 1): $t"))
+    val dec = DecimalType(38, 0)
+    val d = col(labelCol).cast("double") - col(scoreCol).cast("double")
+    def lossMicro(t: Double): Column =
+      round(greatest(d * t, d * (t - 1)) * 1e6).cast("long").cast(dec)
+    val aggs = taus.map(t =>
+      sum(lossMicro(t)).as(s"__s${math.round(t * 100)}"))
+    val outs = taus.map { t =>
+      val tag = math.round(t * 100).toString
+      (round(col(s"__s$tag").cast("double") / col("n")) / 1e6)
+        .as(s"pinball_$tag")
+    }
+    preds
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .select(col("n") +: outs: _*)
+  }
+
   /** Operating-point selection: the threshold maximizing F1 over the
     * [[prCurve]] operating points, ties to the LOWEST threshold (more
     * recall at equal F1). F1 derives from exact integer tp/fp/fn, so

@@ -155,4 +155,24 @@ class CostsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       VolumeShareSlippage(nlv = 1.0, volumeLimit = 0.0))
   }
+
+  test("SqrtImpact: coef·σ·√(Q/ADV) in bps; unknown ADV/σ → null, " +
+    "not free (d31)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 100L, Some(400.0), Some(0.02)),  // √0.25·0.02·1e4 = 100 bps
+      ("b", 400L, Some(400.0), Some(0.02)),  // √1 → 200 bps (√-scaling)
+      ("c", 100L, None, Some(0.02)),         // no ADV
+      ("d", 100L, Some(400.0), None),        // no σ
+      ("e", 0L, Some(400.0), Some(0.02)))    // nothing to trade
+      .toDF("sid", "q", "adv", "sigma")
+    val out = df.select(col("sid"),
+      graft.costs.SqrtImpact.impactBps(col("q"), col("adv"), col("sigma"))
+        .as("bps"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out("a") == Some(100.0))
+    assert(out("b") == Some(200.0)) // 4× the size, 2× the cost
+    assert(out("c").isEmpty && out("d").isEmpty && out("e").isEmpty)
+  }
 }

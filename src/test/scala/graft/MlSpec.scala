@@ -389,6 +389,26 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("p_value") == 1.0)
   }
 
+  test("quantileLoss: pinball goldens — under-prediction costs τ, " +
+    "over-prediction 1−τ (ml18)") {
+    val preds = Seq((1.0, 2.0), (2.0, 2.0)).toDF("prediction", "label")
+    val s = graft.ml.Evaluation.quantileLoss(preds).head
+    assert(s.getAs[Long]("n") == 2L)
+    // d = +1 and 0: mean losses τ/2 per tau
+    assert(s.getAs[Double]("pinball_10") == 0.05)
+    assert(s.getAs[Double]("pinball_50") == 0.25)
+    assert(s.getAs[Double]("pinball_90") == 0.45)
+    // over-prediction flips the weights: d = −1 costs 1−τ
+    val over = Seq((3.0, 2.0)).toDF("prediction", "label")
+    val o = graft.ml.Evaluation.quantileLoss(over).head
+    assert(o.getAs[Double]("pinball_10") == 0.9)
+    assert(o.getAs[Double]("pinball_90") == 0.1)
+    intercept[graft.ParameterError](
+      graft.ml.Evaluation.quantileLoss(preds, taus = Nil))
+    intercept[graft.ParameterError](
+      graft.ml.Evaluation.quantileLoss(preds, taus = Seq(1.0)))
+  }
+
   test("bestThreshold: F1 argmax with lowest-threshold tiebreak " +
     "(ml17)") {
     // scores: 0.9 (pos), 0.7 (neg), 0.5 (pos), 0.3 (neg)
