@@ -1595,6 +1595,50 @@ object Oracles {
          |             THEN cov / sqrt(vi * vp) END, 6) + 0.0 AS corr_port
          |FROM cm""".stripMargin,
 
+    // lead-lag CCF vs the benchmark: the perf_benchmark joint chain,
+    // one shifted block per lag
+    "perf_ccf" -> {
+      def block(l: Int): String = {
+        val sh = if (l >= 0) s"lag(b, $l)" else s"lead(b, ${-l})"
+        s"""SELECT CAST($l AS BIGINT) AS lag, count(*)::BIGINT AS n,
+           |  round(corr(r, bl), 6) + 0.0 AS ccf
+           |FROM (SELECT r, $sh OVER (ORDER BY date) AS bl FROM j) q
+           |WHERE bl IS NOT NULL""".stripMargin
+      }
+      s"""WITH $perfRetCte,
+         |dates AS (SELECT DISTINCT date FROM panel),
+         |bcl AS (SELECT date, close FROM panel WHERE sid = 1),
+         |bf AS (
+         |  SELECT d.date,
+         |    last_value(bcl.close IGNORE NULLS) OVER (ORDER BY d.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+         |  FROM dates d LEFT JOIN bcl ON d.date = bcl.date),
+         |br AS (
+         |  SELECT date, coalesce(c / lag(c) OVER (ORDER BY date) - 1, 0.0) AS b
+         |  FROM bf),
+         |j AS (SELECT ret.date, r, b FROM ret JOIN br ON ret.date = br.date)
+         |${(-3 to 3).map(block).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // W20: variance ratio — ln(close/close_{t-q}) makes the q-period
+    // return one expression; raw-moment population variances
+    "w20_variance_ratio" ->
+      s"""WITH $panelCte,
+         |lr AS (
+         |  SELECT sid,
+         |    ln(close / lag(close, 1) OVER w) AS r1,
+         |    ln(close / lag(close, 5) OVER w) AS rq
+         |  FROM panel WINDOW w AS (PARTITION BY sid ORDER BY date)),
+         |st AS (
+         |  SELECT sid, count(*) AS n_days, count(r1) AS n1, avg(r1) AS a1,
+         |    avg(r1*r1) AS a11, count(rq) AS nq, avg(rq) AS aq,
+         |    avg(rq*rq) AS aqq
+         |  FROM lr GROUP BY sid)
+         |SELECT sid, CAST(n_days AS BIGINT) AS n_days,
+         |  round(CASE WHEN n1 >= 2 AND nq >= 2 AND a11 - a1*a1 > 0
+         |        THEN (aqq - aq*aq) / (5.0 * (a11 - a1*a1)) END, 6) AS vr_5
+         |FROM st""".stripMargin,
+
     // D30: beta-hedge overlay — 6dp risk-contribution betas joined to
     // the equal-weight book, pico-exact per-date −Σ w·β
     "d30_beta_hedge" ->

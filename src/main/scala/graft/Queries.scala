@@ -1411,6 +1411,17 @@ object Queries {
     "perf_riskcontrib" -> ((s, dir) =>
       graft.perf.Performance.riskContributions(dampedMelt(s, dir))),
 
+    // ---- lead-lag cross-correlation vs the benchmark at ±3 lags
+    "perf_ccf" -> ((s, dir) =>
+      graft.perf.Performance.crossCorrelation(benchmarkedMelt(s, dir))),
+
+    // ---- W20: Lo-MacKinlay variance ratio at q=5 per sid
+    // (momentum > 1, mean reversion < 1)
+    "w20_variance_ratio" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.varianceRatio(supplierPanel(s, dir), q = 5)
+    }),
+
     // ---- D30: benchmark-hedge overlay — per-date −Σ w·β on a hedge
     // sid, betas = the 6dp risk-contribution shares (beta-to-portfolio)
     "d30_beta_hedge" -> ((s, dir) => {

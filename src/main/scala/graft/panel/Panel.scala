@@ -171,6 +171,48 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** W20: Lo–MacKinlay variance ratio per sid —
+    * Var(q-period log return) / (q · Var(1-period log return)) over
+    * overlapping windows: ≈ 1 for a random walk, > 1 momentum, < 1
+    * mean reversion. Log returns make the q-period return ONE
+    * expression (ln(close/close_{t−q})) instead of a rolling sum, and
+    * both variances use the explicit raw-moment algebra
+    * ([[graft.perf.Performance.momentStats]]' stance — engine
+    * variance builtins differ in small-sample form). The simple
+    * overlapping population-variance estimator (no heteroskedasticity
+    * correction), documented rather than silently approximated. One
+    * window pass + one hash agg per sid; null when the 1-period
+    * variance is 0 or either side lacks 2 observations. Output
+    * (sid, n_days, vr_<q>) with 6dp. */
+  def varianceRatio(
+      df: DataFrame,
+      q: Int,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(q >= 2, s"q must be >= 2: $q")
+    val r1 = log(col(closeCol) / lag(col(closeCol), 1).over(k.bySid))
+    val rq = log(col(closeCol) / lag(col(closeCol), q).over(k.bySid))
+    df
+      .withColumn("__r1", r1)
+      .withColumn("__rq", rq)
+      .groupBy(col(k.sid).as("sid"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        count(col("__r1")).as("__n1"),
+        avg(col("__r1")).as("__a1"),
+        avg(col("__r1") * col("__r1")).as("__a11"),
+        count(col("__rq")).as("__nq"),
+        avg(col("__rq")).as("__aq"),
+        avg(col("__rq") * col("__rq")).as("__aqq"))
+      .select(
+        col("sid"), col("n_days"),
+        round(when(
+          col("__n1") >= 2 && col("__nq") >= 2 &&
+            col("__a11") - col("__a1") * col("__a1") > 0,
+          (col("__aqq") - col("__aq") * col("__aq")) /
+            (lit(q.toDouble) * (col("__a11") - col("__a1") * col("__a1")))),
+          6).as(s"vr_$q"))
+  }
+
   /** Cross-sectional robust z-score: 0.6745·(x − median)/MAD per date
     * slot (median absolute deviation, scaled so a normal sample reads
     * in σ units) — the outlier-immune counterpart of [[zscore]] (one

@@ -734,6 +734,38 @@ object Performance {
           .as("corr_port"))
   }
 
+  /** Lead-lag cross-correlation vs the melt's Benchmark rows:
+    * corr(r_t, b_{t−ℓ}) for ℓ ∈ [−maxLag, maxLag] — positive ℓ means
+    * the benchmark LEADS the portfolio (a peak off ℓ = 0 is either
+    * stale pricing or a genuinely lagged strategy; contemporaneous-only
+    * beta misses both). Each lag is one shifted window + one bounded
+    * agg over the SAME [[benchmarkJoined]] per-date frame (lazily
+    * checkpointed — it feeds 2·maxLag + 1 derivations, the
+    * crossEntropy lesson). Engine `corr` over the bounded series, 6dp
+    * (the vsBenchmark precedent). Output (lag, n, ccf). */
+  def crossCorrelation(
+      results: DataFrame,
+      maxLag: Int = 3,
+      dateCol: String = "date"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val joint = benchmarkJoined(results, dateCol)
+      .select(col(dateCol), col("return").as("__r"),
+        col("bench_return").as("__b"))
+      .localCheckpoint(eager = false)
+    val w = Window.orderBy(col(dateCol))
+    (-maxLag to maxLag).map { l =>
+      val shifted =
+        if (l >= 0) lag(col("__b"), l).over(w) else lead(col("__b"), -l).over(w)
+      joint
+        .select(col("__r"), shifted.as("__bl"))
+        .where(col("__bl").isNotNull)
+        .agg(
+          count(lit(1)).as("n"),
+          (round(corr(col("__r"), col("__bl")), 6) + 0.0).as("ccf"))
+        .select(lit(l.toLong).as("lag"), col("n"), col("ccf"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Day-of-week seasonality of the per-date return series: mean
     * return and hit rate per weekday (1 = Monday … 7 = Sunday — ISO
     * numbering, NOT the engine's locale-dependent dayofweek). The mean

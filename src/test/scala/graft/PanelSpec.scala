@@ -131,6 +131,23 @@ class PanelSpec extends SparkSpec {
     assert(out("S50") == 50.0) // interior untouched
   }
 
+  test("varianceRatio: perfect mean reversion → 0, flat series → null " +
+    "(w20)") {
+    implicit val k = Panel.eod
+    // A oscillates 100↔110: every 2-period log return is exactly 0
+    val rows = (1 to 6).map(i =>
+      ("A", f"2024-01-0$i", if (i % 2 == 1) 100.0 else 110.0)) ++
+      (1 to 6).map(i => ("B", f"2024-01-0$i", 50.0)) // flat: no variance
+    val df = rows.toDF("sid", "date", "close")
+      .withColumn("date", to_date($"date"))
+    val out = Panel.varianceRatio(df, q = 2)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(r.fieldIndex("vr_2")))).toMap
+    assert(out("A") == Some(0.0))
+    assert(out("B").isEmpty)
+    intercept[IllegalArgumentException](Panel.varianceRatio(df, q = 1))
+  }
+
   test("withRobustZscore: median/MAD scaling shrugs off the outlier; " +
     "zero MAD → null (px8)") {
     val xs = Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex

@@ -585,6 +585,26 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("crossCorrelation: a one-day-lagged book peaks at lag +1 " +
+    "(perf_ccf)") {
+    val b = Seq(0.01, 0.02, -0.01, 0.03)
+    // r_t = b_{t-1}: the portfolio replays yesterday's benchmark move
+    val r = 0.05 +: b.dropRight(1)
+    val m = (1 to 4).flatMap { t =>
+      Seq(("A", f"2024-01-0$t", "Return", r(t - 1)),
+        ("1", f"2024-01-0$t", "Benchmark", b(t - 1)))
+    }.toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val out = Performance.crossCorrelation(m, maxLag = 1)
+      .collect().map(row => row.getAs[Long]("lag") ->
+        (row.getAs[Long]("n"), row.getAs[Double]("ccf"))).toMap
+    assert(out.keySet == Set(-1L, 0L, 1L))
+    assert(out(1L) == ((3L, 1.0))) // perfect correlation one day back
+    assert(out(0L)._1 == 4L && out(0L)._2 < 1.0)
+    intercept[IllegalArgumentException](
+      Performance.crossCorrelation(m, maxLag = 0))
+  }
+
   test("riskContributions: covariance shares telescope to 1; corr to " +
     "portfolio golden (perf_riskcontrib)") {
     val ra = Seq(0.06, -0.03, 0.01); val rb = Seq(0.04, -0.02, 0.01)
