@@ -929,6 +929,22 @@ object TextOracles {
       s"""WITH $candidatesCte
          |SELECT DISTINCT id_a, id_b FROM cand""".stripMargin,
 
+    // DD22: edit-distance verify over the dd3 candidates — DuckDB's
+    // levenshtein implements the same classic recurrence
+    "dd22_edit_verify" ->
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |tx AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         |    round(1.0 - levenshtein(da.text, db.text)::DOUBLE /
+         |      greatest(length(da.text), length(db.text), 1), 6)
+         |      AS similarity
+         |  FROM pairs p
+         |  JOIN documents da ON p.id_a = da.doc_id
+         |  JOIN documents db ON p.id_b = db.doc_id)
+         |SELECT * FROM tx WHERE similarity >= 0.3""".stripMargin,
+
     "dd4_near_duplicates" ->
       s"""WITH $candidatesCte,
          |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),

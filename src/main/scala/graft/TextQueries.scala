@@ -407,6 +407,14 @@ object TextQueries {
       Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    // DD22: character-level (edit distance) verification of the dd3
+    // candidates — order-sensitive where shingle Jaccard is not
+    "dd22_edit_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.editVerify(docs, Dedup.minhashCandidates(docs),
+        threshold = 0.3)
+    }),
+
     // connected components over the verified dd4 pairs → canonical
     // (minimum-id) cluster labels; survivors = docs minus non-canonicals
     "dd7_dup_clusters" -> ((s, dir) =>

@@ -327,6 +327,41 @@ object Dedup {
     * first action, and the checkpointed shingle RDD keeps its hash
     * partitioning so the verify joins are exchange-free. Shingled-doc
     * count is observable via the `neardup_verify` observe metric. */
+  /** DD22: edit-distance verification of an LSH candidate set — the
+    * character-level second opinion next to [[nearDuplicates]]' shingle
+    * Jaccard (Jaccard is blind to ORDER: "a b c d" and "d c b a" share
+    * unigram shingles; edit distance is not). similarity =
+    * 1 − lev/max(|a|, |b|); pairs at or above `threshold` survive.
+    *
+    * Cost is ∝ candidate-pair mass × |a|·|b| per pair (the classic DP)
+    * — strictly a VERIFY stage for LSH-sized candidate sets over
+    * short-to-medium documents, never an all-pairs primitive; the
+    * candidate generator's maxBucket guard is what bounds it. Exact
+    * integer distance (both engines implement the same classic
+    * recurrence), one double division, 6dp. Output
+    * (id_a, id_b, edit_distance, similarity). */
+  def editVerify(
+      docs: DataFrame,
+      candidates: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0, 1]: $threshold")
+    val sim = round(
+      lit(1.0) - col("edit_distance").cast("double") /
+        greatest(length(col("__ta")), length(col("__tb")), lit(1)), 6)
+    candidates
+      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("similarity", sim)
+      .where(col("similarity") >= threshold)
+      .select(col("id_a"), col("id_b"), col("edit_distance"),
+        col("similarity"))
+  }
+
   def nearDuplicates(
       docs: DataFrame,
       idCol: String = "doc_id",

@@ -800,4 +800,29 @@ class DedupSimSpec extends SparkSpec {
     intercept[graft.ParameterError](Dedup.lshPlan(0.0))
     intercept[graft.ParameterError](Dedup.lshPlan(0.5, maxHashes = 1))
   }
+
+  test("editVerify: exact distances, threshold filter, order " +
+    "sensitivity where Jaccard is blind (dd22)") {
+    val docs = Seq(
+      (1L, "abcd"), (2L, "abxd"), (3L, "zzzz"),
+      (4L, "a b c d"), (5L, "d c b a")).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.editVerify(docs, cands, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("edit_distance"), r.getAs[Double]("similarity"))).toMap
+    // one substitution over length 4 → sim 0.75
+    assert(out((1L, 2L)) == ((1L, 0.75)))
+    // nothing shared → sim 0, filtered
+    assert(!out.contains((1L, 3L)))
+    // word-reversed doc: unigram-shingle Jaccard would call these
+    // identical; character edit distance kills the pair
+    assert(!out.contains((4L, 5L)))
+    // empty-vs-empty guards the division and keeps sim = 1
+    val empty = Dedup.editVerify(
+      Seq((1L, ""), (2L, "")).toDF("doc_id", "text"),
+      Seq((1L, 2L)).toDF("id_a", "id_b")).head
+    assert(empty.getAs[Double]("similarity") == 1.0)
+    intercept[IllegalArgumentException](
+      Dedup.editVerify(docs, cands, threshold = 1.5))
+  }
 }
