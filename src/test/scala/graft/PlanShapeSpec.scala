@@ -96,4 +96,48 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(graft.panel.Adjustments.backAdjust(panel, actions))
     assert(!plan.contains("Join"), plan)
   }
+
+  test("gr2: triangle counting is equi-joins only — no broadcast " +
+    "nested loop, no cartesian (the theta-join scale killers)") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src", "dst")
+    val plan = finalPlan(graft.graph.PageRank.triangles(e))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("j10: tolerance as-of is union+window — ONE hash exchange on " +
+    "the key, never a range join") {
+    val l = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val r = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val plan = finalPlan(
+      graft.panel.Intervals.asofJoin(l, r, Seq("user_id")))
+    assert(!plan.contains("Join"), plan) // no join operator AT ALL
+    assert(count(plan, "Exchange hashpartitioning") <= 2, plan)
+  }
+
+  test("ev9: active users is dedup + window + explode — no data-volume " +
+    "join (the only join is the one-row max-date broadcast)") {
+    val ev = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val plan = finalPlan(graft.events.Events.activeUsers(ev, window = 7))
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the scalar max-date crossJoin broadcasts its ONE row; a second
+    // BNLJ would mean a real frame stopped broadcasting
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1, plan)
+    assert(plan.contains("Generate explode"), plan) // the interval sweep
+  }
+
+  test("ic5: the bootstrap cross join broadcasts the B-row replica " +
+    "side — the bounded frame never shuffles against it") {
+    val ics = Seq(("2024-01-01", 0.1), ("2024-01-02", 0.2))
+      .toDF("date", "ic")
+    val plan = finalPlan(graft.perf.Signals.icBootstrap(ics, b = 8))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
