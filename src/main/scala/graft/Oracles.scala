@@ -1595,6 +1595,25 @@ object Oracles {
          |             THEN cov / sqrt(vi * vp) END, 6) + 0.0 AS corr_port
          |FROM cm""".stripMargin,
 
+    // financing: per-date micro-exact gross leverage from AbsExposure
+    // (= |position|), calendar-gap days, (g−1)⁺·rate·days/360
+    "perf_financing" ->
+      s"""WITH $turnoverCte,
+         |g AS (
+         |  SELECT date,
+         |    CAST(sum(CAST(round(abs(coalesce(position, 0.0)) * 1e6)
+         |      AS BIGINT)) AS BIGINT)::DOUBLE / 1e6 AS gr
+         |  FROM trn GROUP BY date),
+         |d AS (
+         |  SELECT date, gr,
+         |    CAST(coalesce(date_diff('day', lag(date) OVER (ORDER BY date),
+         |      date), 1) AS BIGINT) AS days
+         |  FROM g)
+         |SELECT date, round(gr, 6) AS gross_leverage, days,
+         |  round(greatest(gr - 1.0, 0.0) * 0.06 * days / 360.0, 6)
+         |    AS financing
+         |FROM d""".stripMargin,
+
     // lead-lag CCF vs the benchmark: the perf_benchmark joint chain,
     // one shifted block per lag
     "perf_ccf" -> {

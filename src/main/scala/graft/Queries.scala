@@ -1415,6 +1415,11 @@ object Queries {
     "perf_ccf" -> ((s, dir) =>
       graft.perf.Performance.crossCorrelation(benchmarkedMelt(s, dir))),
 
+    // ---- financing costs: margin interest on gross leverage above 1
+    // (micro-exact per-date gross, calendar-gap day weighting)
+    "perf_financing" -> ((s, dir) =>
+      graft.perf.Performance.financingCosts(dampedMelt(s, dir), rate = 0.06)),
+
     // ---- W20: Lo-MacKinlay variance ratio at q=5 per sid
     // (momentum > 1, mean reversion < 1)
     "w20_variance_ratio" -> ((s, dir) => {

@@ -734,6 +734,43 @@ object Performance {
           .as("corr_port"))
   }
 
+  /** Financing (margin-interest) cost series: each date charges
+    * (gross_leverage − `threshold`)⁺ · rate · days/360 — the broker
+    * interest on the borrowed fraction of the book (a 2× book pays
+    * carry on the 1× it borrowed; the D14 borrow fee covers the short
+    * side's stock loan, this covers the CASH). Gross leverage is the
+    * per-date sum of the melt's `AbsExposure` rows, micro-quantized so
+    * the cross-sid sum is exact; `days` is the calendar gap since the
+    * previous results date (weekends charge 3×, the D14/W9
+    * convention; the first date charges 1). One hash agg + one
+    * bounded lag window. Output (date, gross_leverage, days,
+    * financing), 6dp. */
+  def financingCosts(
+      results: DataFrame,
+      rate: Double,
+      threshold: Double = 1.0,
+      dateCol: String = "date"): DataFrame = {
+    require(rate >= 0, s"rate must be >= 0: $rate")
+    require(threshold >= 0, s"threshold must be >= 0: $threshold")
+    val w = Window.orderBy(col(dateCol))
+    results
+      .where(col("field") === "AbsExposure")
+      .groupBy(col(dateCol))
+      // null AbsExposure (the first date's undefined lag position)
+      // counts as zero leverage, not a null gross
+      .agg((sum(coalesce(round(col("value") * 1e6).cast("long"), lit(0L)))
+        .cast("double") / 1e6).as("__g"))
+      .withColumn("days",
+        coalesce(datediff(col(dateCol), lag(col(dateCol), 1).over(w)),
+          lit(1)).cast("long"))
+      .select(
+        col(dateCol),
+        round(col("__g"), 6).as("gross_leverage"),
+        col("days"),
+        round(greatest(col("__g") - threshold, lit(0.0)) * rate *
+          col("days") / 360.0, 6).as("financing"))
+  }
+
   /** Lead-lag cross-correlation vs the melt's Benchmark rows:
     * corr(r_t, b_{t−ℓ}) for ℓ ∈ [−maxLag, maxLag] — positive ℓ means
     * the benchmark LEADS the portfolio (a peak off ℓ = 0 is either

@@ -585,6 +585,31 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("financingCosts: carry on the borrowed fraction only, weekend " +
+    "gap charges 3 days (perf_financing)") {
+    val m = Seq(
+      // Friday: 2× gross → borrowed 1×
+      ("A", "2024-01-05", "AbsExposure", 1.2),
+      ("B", "2024-01-05", "AbsExposure", 0.8),
+      // Monday (3-day gap): 0.9 gross → nothing borrowed
+      ("A", "2024-01-08", "AbsExposure", 0.9),
+      ("A", "2024-01-08", "Return", 9.9)) // other fields ignored
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val out = Performance.financingCosts(m, rate = 0.06)
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString -> r).toMap
+    val fri = out("2024-01-05")
+    assert(fri.getAs[Double]("gross_leverage") == 2.0)
+    assert(fri.getAs[Long]("days") == 1L)
+    assert(fri.getAs[Double]("financing") ==
+      math.rint(1.0 * 0.06 / 360.0 * 1e6) / 1e6)
+    val mon = out("2024-01-08")
+    assert(mon.getAs[Long]("days") == 3L)
+    assert(mon.getAs[Double]("financing") == 0.0) // under the threshold
+    intercept[IllegalArgumentException](
+      Performance.financingCosts(m, rate = -0.01))
+  }
+
   test("crossCorrelation: a one-day-lagged book peaks at lag +1 " +
     "(perf_ccf)") {
     val b = Seq(0.01, 0.02, -0.01, 0.03)
