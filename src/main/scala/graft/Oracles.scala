@@ -2467,6 +2467,42 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // Kaplan-Meier: exact risk/event counts, micro-nat log-space
+    // survival product, d = n pins the curve at 0
+    "ev11_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f,
+        |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM pu),
+        |obs AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', l, (SELECT m FROM mx)) >= 1
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |bd AS (
+        |  SELECT dur, count(*)::BIGINT AS c, CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |nn AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY dur DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        |  FROM bd),
+        |st AS (
+        |  SELECT dur, n, d,
+        |    CASE WHEN d < n
+        |         THEN CAST(round(ln((n - d)::DOUBLE / n) * 1e12) AS BIGINT)
+        |    END AS lnm,
+        |    sum(CASE WHEN d = n THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS gone
+        |  FROM nn WHERE d > 0)
+        |SELECT dur AS t, n AS n_risk, d AS n_events,
+        |  round(CASE WHEN gone > 0 THEN 0.0
+        |        ELSE exp(sum(lnm) OVER (ORDER BY dur
+        |          ROWS UNBOUNDED PRECEDING)::DOUBLE / 1e12) END, 6)
+        |    AS survival
+        |FROM st""".stripMargin,
+
     // DAU + trailing-28-day actives via the interval sweep: per-user
     // disjoint coverage intervals → exact count(*) per day, no distinct
     "ev9_active_users" ->

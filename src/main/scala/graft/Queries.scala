@@ -1368,6 +1368,10 @@ object Queries {
     "ev10_ab_test" -> ((s, dir) =>
       graft.events.Events.abTest(events(s, dir), "purchase")),
 
+    // ---- Kaplan-Meier user-lifetime survival with right censoring
+    "ev11_kaplan_meier" -> ((s, dir) =>
+      graft.events.Events.kaplanMeier(events(s, dir), censorDays = 1)),
+
     // ---- J10: generic as-of join with staleness tolerance — each view
     // picks up the user's latest purchase value within 1 hour
     "j10_asof_tolerance" -> ((s, dir) => {

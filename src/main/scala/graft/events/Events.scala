@@ -258,6 +258,66 @@ object Events {
           .as("sec_since_touch"))
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes: S(t) =
+    * Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), the right-censoring-correct "how long do
+    * users stay" estimator (naive mean lifetime is biased low because
+    * users still active at the corpus edge haven't finished living).
+    * A user's lifetime is last-activity − first-activity in days; the
+    * user is an EVENT (churned) if their last activity is at least
+    * `censorDays` before the corpus's last day, CENSORED otherwise
+    * (they count in the risk sets they reach but never as a death).
+    *
+    * Exactness: risk and event counts are exact integers (one
+    * per-user agg, one per-duration agg, a reverse-cumulative count
+    * over the bounded duration frame); each step's ln(1 − d/n) is
+    * computed on identical integer-ratio doubles in any engine,
+    * micro-nat-quantized, and cumulatively summed (the monthlyReturns
+    * product pattern) — a d = n step pins S at 0 from there on
+    * instead of ln(0). Curve rows only at event times (standard KM).
+    * Output (t, n_risk, n_events, survival), 6dp. */
+  def kaplanMeier(
+      events: DataFrame,
+      censorDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (censorDays < 1)
+      throw new ParameterError(s"censorDays must be >= 1: $censorDays")
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(day).as("__f"), max(day).as("__l"))
+      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+    val maxD = perUser.agg(max(col("__l")).as("__mx"))
+    val obs = perUser
+      .crossJoin(broadcast(maxD))
+      .select(
+        datediff(col("__l"), col("__f")).cast("long").as("__dur"),
+        when(datediff(col("__mx"), col("__l")) >= censorDays, 1L)
+          .otherwise(0L).as("__ev"))
+    val wDesc = Window.orderBy(col("__dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs
+      .groupBy(col("__dur"))
+      .agg(count(lit(1)).as("__c"), sum(col("__ev")).as("__d"))
+      .withColumn("__n", sum(col("__c")).over(wDesc))
+      .where(col("__d") > 0)
+      .withColumn("__lnm",
+        when(col("__d") < col("__n"),
+          round(log((col("__n") - col("__d")).cast("double") /
+            col("__n")) * 1e12).cast("long")))
+      .withColumn("__gone",
+        sum(when(col("__d") === col("__n"), 1L).otherwise(0L)).over(wAsc))
+      .select(
+        col("__dur").as("t"),
+        col("__n").as("n_risk"),
+        col("__d").as("n_events"),
+        round(when(col("__gone") > 0, 0.0).otherwise(
+          exp(sum(col("__lnm")).over(wAsc).cast("double") / 1e12)), 6)
+          .as("survival"))
+  }
+
   /** Two-proportion A/B conversion test with DETERMINISTIC hash
     * assignment ([[graft.text.Sampling.hashUnit]] — the same md5 split
     * in any engine, retry/resize-proof): users below 0.5 are arm A,

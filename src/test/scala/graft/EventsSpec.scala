@@ -160,6 +160,36 @@ class EventsSpec extends SparkSpec {
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
 
+  test("kaplanMeier: censoring-correct survival steps; full-death " +
+    "cohort pins the curve at 0 (ev11)") {
+    def d(day: Int) = ts(f"2024-01-$day%02d 10:00:00")
+    val ev = Seq(
+      (1L, 1L, d(1)),                    // u1: lifetime 0, churned
+      (2L, 2L, d(1)), (3L, 2L, d(3)),    // u2: lifetime 2, churned
+      (4L, 3L, d(1)), (5L, 3L, d(10)))   // u3: lifetime 9, CENSORED
+      .toDF("event_id", "user_id", "ts")
+    val out = Events.kaplanMeier(ev, censorDays = 7)
+      .collect().map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("survival"))).toMap
+    // steps only at event times; the censored user never counts as a death
+    assert(out.keySet == Set(0L, 2L))
+    assert(out(0L) == ((3L, 1L, 0.666667))) // 1 − 1/3
+    assert(out(2L) == ((2L, 1L, 0.333333))) // × (1 − 1/2)
+    // the longest-lived user is ALWAYS censored under this rule (their
+    // last day IS the corpus edge), so the curve can never reach 0 —
+    // the d = n zero-pin guard stays purely defensive
+    val heavy = Seq(
+      (1L, 1L, d(1)), (2L, 2L, d(1)), (3L, 3L, d(1)), (4L, 4L, d(10)))
+      .toDF("event_id", "user_id", "ts")
+    val k = Events.kaplanMeier(heavy, censorDays = 7)
+      .collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("survival")).toMap
+    // three dur-0 churns against the one censored survivor: 1 − 3/4
+    assert(k(0L) == 0.25)
+    assert(k.values.forall(_ > 0.0))
+    intercept[graft.ParameterError](Events.kaplanMeier(ev, censorDays = 0))
+  }
+
   test("abTest: deterministic arm split, exact counts, pooled " +
     "two-proportion z golden (ev10)") {
     import graft.text.Sampling
