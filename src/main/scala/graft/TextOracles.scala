@@ -1768,6 +1768,33 @@ object TextOracles {
          |WHERE $cos >= 0.3""".stripMargin
     },
 
+    // SIM11: centroid drift — per-dim micro-exact means (1-based list
+    // index ↔ posexplode's 0-based: only the grouping key, never output)
+    "sim11_centroid_drift" ->
+      """WITH dims AS (
+        |  SELECT vec_id % 2 = 0 AS ga,
+        |    unnest(generate_series(1, len(embedding))) AS d, embedding
+        |  FROM embeddings),
+        |vals AS (SELECT ga, d, embedding[d]::DOUBLE AS x FROM dims),
+        |pd AS (
+        |  SELECT d,
+        |    sum(CASE WHEN ga THEN CAST(round(x * 1e6) AS BIGINT) END) AS sa,
+        |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    sum(CASE WHEN NOT ga THEN CAST(round(x * 1e6) AS BIGINT) END) AS sb,
+        |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM vals GROUP BY d),
+        |ct AS (
+        |  SELECT d, na, nb,
+        |    sa::DOUBLE / na / 1e6 AS ca, sb::DOUBLE / nb / 1e6 AS cb
+        |  FROM pd)
+        |SELECT count(*)::BIGINT AS n_dims,
+        |  max(na) AS n_a, max(nb) AS n_b,
+        |  round(CASE WHEN sum(ca*ca) > 0 AND sum(cb*cb) > 0
+        |        THEN sum(ca*cb) / sqrt(sum(ca*ca) * sum(cb*cb)) END, 6)
+        |    AS cosine,
+        |  round(sqrt(sum((ca-cb)*(ca-cb))), 6) AS l2
+        |FROM ct""".stripMargin,
+
     "sim1_bruteforce_topk" -> {
       val cos = cosine("q.embedding", "c.embedding")
       s"""WITH scored AS (

@@ -772,6 +772,15 @@ object TextQueries {
         k = 5)
     }),
 
+    // SIM11: centroid drift between the even/odd vec_id halves —
+    // cosine + L2 of the exact-micro per-dimension means
+    "sim11_centroid_drift" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+        embs.where(col("vec_id") % 2 === 0),
+        embs.where(col("vec_id") % 2 === 1))
+    }),
+
     "sim2_lsh_topk" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       Similarity.signLshTopK(

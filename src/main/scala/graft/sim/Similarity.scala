@@ -589,4 +589,49 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adist", "rank")
   }
+
+  /** SIM11: embedding-centroid drift between two corpora — cosine and
+    * L2 distance of the per-dimension mean vectors, the embedding-space
+    * analogue of [[graft.ml.Evaluation.ksDrift]]/psiDrift ("did this
+    * month's crawl move in representation space"). Each corpus's
+    * centroid derives from EXACT per-dimension micro sums (posexplode →
+    * one conditional agg per dimension; component = exact-int sum over
+    * exact-int count, one division), and the final cosine/L2 fold runs
+    * over the BOUNDED dimension frame (≤ embedding width rows — 6dp
+    * absorbs its accumulation ulps). Null cosine when either centroid
+    * is the zero vector. Output one row
+    * (n_dims, n_a, n_b, cosine, l2). */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val tagged = a.select(col(vecCol).as("__v"), lit(1L).as("__t"))
+      .unionByName(b.select(col(vecCol).as("__v"), lit(0L).as("__t")))
+    val perDim = tagged
+      .select(col("__t"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(
+        sum(when(col("__t") === 1,
+          round(col("__x").cast("double") * 1e6).cast("long"))).as("__sa"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__t") === 0,
+          round(col("__x").cast("double") * 1e6).cast("long"))).as("__sb"),
+        sum(when(col("__t") === 0, 1L).otherwise(0L)).as("__nb"))
+    val ca = col("__sa").cast("double") / col("__na") / 1e6
+    val cb = col("__sb").cast("double") / col("__nb") / 1e6
+    perDim
+      .agg(
+        count(lit(1)).as("n_dims"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(ca * cb).as("__dot"),
+        sum(ca * ca).as("__qa"),
+        sum(cb * cb).as("__qb"),
+        sum((ca - cb) * (ca - cb)).as("__l2"))
+      .select(
+        col("n_dims"), col("n_a"), col("n_b"),
+        round(when(col("__qa") > 0 && col("__qb") > 0,
+          col("__dot") / sqrt(col("__qa") * col("__qb"))), 6).as("cosine"),
+        round(sqrt(col("__l2")), 6).as("l2"))
+  }
 }

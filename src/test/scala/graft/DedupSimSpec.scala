@@ -801,6 +801,24 @@ class DedupSimSpec extends SparkSpec {
     intercept[graft.ParameterError](Dedup.lshPlan(0.5, maxHashes = 1))
   }
 
+  test("centroidDrift: cosine/L2 of exact-micro centroids; identical " +
+    "corpora → (1, 0); zero centroid → null cosine (sim11)") {
+    val a = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Seq(0f, 2f))).toDF("vec_id", "embedding")
+    val s = Similarity.centroidDrift(a, b).head
+    assert(s.getAs[Long]("n_dims") == 2L)
+    assert(s.getAs[Long]("n_a") == 2L && s.getAs[Long]("n_b") == 1L)
+    assert(s.getAs[Double]("cosine") == 0.0) // orthogonal centroids
+    assert(s.getAs[Double]("l2") == math.rint(math.sqrt(5.0) * 1e6) / 1e6)
+    val same = Similarity.centroidDrift(a, a).head
+    assert(same.getAs[Double]("cosine") == 1.0)
+    assert(same.getAs[Double]("l2") == 0.0)
+    val zero = Seq((9L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val z = Similarity.centroidDrift(a, zero).head
+    assert(z.isNullAt(z.fieldIndex("cosine")))
+  }
+
   test("editVerify: exact distances, threshold filter, order " +
     "sensitivity where Jaccard is blind (dd22)") {
     val docs = Seq(
