@@ -1789,6 +1789,24 @@ object Oracles {
          |    AS combined_return
          |FROM reta JOIN retb ON reta.date = retb.date""".stripMargin,
 
+    // risk-parity blend: 6dp vols → exact micro inverse-vol weights →
+    // the port1 join with derived weights
+    "port2_riskparity" ->
+      s"""WITH $panelCte,
+         |${retChain(30000, "a")},
+         |${retChain(15000, "b")},
+         |va AS (SELECT round(stddev_samp(ra), 6) AS v FROM reta),
+         |vb AS (SELECT round(stddev_samp(rb), 6) AS v FROM retb),
+         |wq AS (SELECT round(1e6 / va.v) AS qa, round(1e6 / vb.v) AS qb
+         |       FROM va, vb)
+         |SELECT reta.date, ra AS ret_0, rb AS ret_1,
+         |  round(coalesce(ra, 0.0) * (qa / (qa + qb)) +
+         |        coalesce(rb, 0.0) * (qb / (qa + qb)), 6) + 0.0
+         |    AS combined_return,
+         |  round(qa / (qa + qb), 6) AS weight_0,
+         |  round(qb / (qa + qb), 6) AS weight_1
+         |FROM reta JOIN retb ON reta.date = retb.date, wq""".stripMargin,
+
     // ML13: two-sample KS — exact integer CDF numerators, one division
     "ml13_ks_drift" ->
       s"""WITH $panelCte,

@@ -590,6 +590,23 @@ object Queries {
         Seq((dampedMelt(s, dir), 0.6), (meltB, 0.4)))
     }),
 
+    // ---- risk-parity blend of the same two books: weights derived
+    // ∝ 1/σ (exact micro-int normalizer, bounded driver vol probe)
+    "port2_riskparity" -> ((s, dir) => {
+      object Demo15b extends Strategy {
+        val code = "demo15b"
+        override def keys: Keys = liKeys
+        def pricesToSignals(prices: DataFrame): DataFrame =
+          prices.withColumn("signal", (col("close") < 15000).cast("int"))
+      }
+      val meltB = Backtest.run(Demo15b, supplierPanel(s, dir))
+        .withColumn("value",
+          when(col("field") === "Return", col("value") * 0.001)
+            .otherwise(col("value")))
+      graft.perf.Performance.riskParityCombine(
+        Seq(dampedMelt(s, dir), meltB))
+    }),
+
     // ---- PX6: market-residualized returns (r − β·m over the panel's
     // own cross-sectional mean factor)
     "px6_residual" -> ((s, dir) => {

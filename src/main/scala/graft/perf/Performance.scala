@@ -566,6 +566,44 @@ object Performance {
       .withColumn("combined_return", round(combined, 6) + 0.0)
   }
 
+  /** Risk-parity combination of strategy books: [[combineReturns]]
+    * with the weights DERIVED — each book weighted ∝ 1/σ of its own
+    * per-date return series, normalized to sum 1 (the equal-risk,
+    * not equal-dollar, allocation every multi-strategy desk defaults
+    * to). Each σ is the 6dp-rounded full-sample stddev and the
+    * inverse-vol normalizer is an exact micro-integer ratio (the D27
+    * inverseVolWeights discipline), so every weight is one division
+    * of exact ints. The per-book vol frame is BOUNDED (k rows) — the
+    * zero/degenerate-σ probe is a bounded driver action (the
+    * requireFresh cost class) raising [[graft.ParameterError]]
+    * loudly: a flat book would otherwise take infinite weight.
+    * Output (date, ret_0…ret_{k−1}, weight_0…, combined_return). */
+  def riskParityCombine(
+      strategies: Seq[DataFrame],
+      dateCol: String = "date"): DataFrame = {
+    require(strategies.size >= 2, "need at least two strategy books")
+    val vols = strategies.zipWithIndex.map { case (melt, i) =>
+      val v = dailyReturns(melt, dateCol)
+        .agg(round(stddev_samp(col("return")), 6).as("v")).head
+      if (v.isNullAt(0) || v.getDouble(0) <= 0)
+        throw new graft.ParameterError(
+          s"strategy $i has degenerate volatility " +
+            s"${if (v.isNullAt(0)) "null" else v.getDouble(0).toString} — " +
+            "risk parity undefined for a flat book")
+      v.getDouble(0)
+    }
+    val ivq = vols.map(v => math.round(1e6 / v))
+    val total = ivq.sum.toDouble
+    val weighted = strategies.zip(ivq).map { case (melt, q) =>
+      (melt, q / total)
+    }
+    val out = combineReturns(weighted, dateCol)
+    weighted.map(_._2).zipWithIndex
+      .foldLeft(out) { case (df, (w, i)) =>
+        df.withColumn(s"weight_$i", round(lit(w), 6))
+      }
+  }
+
   /** Active-return one-row summary vs the melt's `Benchmark` rows: the
     * benchmark-relative COUNTERPART of [[vsBenchmark]] (beta/alpha view)
     * — annualized active return (mean excess × periodsPerYear), tracking

@@ -585,6 +585,32 @@ class PerfSpec extends SparkSpec {
     assert(f.getAs[Long]("max_loss_streak") == 0L)
   }
 
+  test("riskParityCombine: weights ∝ 1/σ normalized; flat book raises " +
+    "(port2)") {
+    // book A: ±0.02 alternating (σ small); book B: ±0.06 (3× the vol)
+    def mk(scale: Double) = (1 to 8).map(i =>
+      ("A", f"2024-01-0$i", "Return", if (i % 2 == 0) scale else -scale))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val a = mk(0.02); val b = mk(0.06)
+    val out = Performance.riskParityCombine(Seq(a, b))
+      .orderBy("date").collect()
+    val wa = out.head.getAs[Double]("weight_0")
+    val wb = out.head.getAs[Double]("weight_1")
+    // 3× vol → 1/3 the weight: wa = 0.75, wb = 0.25
+    assert(math.abs(wa - 0.75) < 1e-6 && math.abs(wb - 0.25) < 1e-6)
+    // combined day 2: 0.75·0.02 + 0.25·0.06 = 0.03
+    assert(out(1).getAs[Double]("combined_return") == 0.03)
+    val flat = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    intercept[graft.ParameterError](
+      Performance.riskParityCombine(Seq(a, flat)))
+    intercept[IllegalArgumentException](
+      Performance.riskParityCombine(Seq(a)))
+  }
+
   test("financingCosts: carry on the borrowed fraction only, weekend " +
     "gap charges 3 days (perf_financing)") {
     val m = Seq(
