@@ -1846,6 +1846,62 @@ object Oracles {
          |        END, 6) AS p_value
          |FROM mx""".stripMargin,
 
+    // ML19: top-decile lift — integer-exact k, whole-tie cut at the
+    // first distinct score reaching it
+    "ml19_lift" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*)::BIGINT AS c
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT s AS threshold,
+         |    CAST(sum(p) OVER wd AS BIGINT) AS tp,
+         |    CAST(sum(c) OVER wd AS BIGINT) AS cnt,
+         |    CAST(sum(p) OVER () AS BIGINT) AS tot,
+         |    CAST(sum(c) OVER () AS BIGINT) AS nn
+         |  FROM sc
+         |  WINDOW wd AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)),
+         |cut AS (
+         |  SELECT *, (nn * 10 + 99) // 100 AS k FROM cm
+         |  WHERE cnt >= (nn * 10 + 99) // 100
+         |  ORDER BY cnt LIMIT 1)
+         |SELECT nn AS n, CAST(k AS BIGINT) AS k, threshold,
+         |  cnt AS n_taken, tp AS pos_taken,
+         |  round(tp::DOUBLE / cnt, 6) AS precision_at_k,
+         |  round(tot::DOUBLE / nn, 6) AS base_rate,
+         |  round(CASE WHEN tot > 0
+         |        THEN (tp::DOUBLE / cnt) / (tot::DOUBLE / nn) END, 6) AS lift
+         |FROM cut""".stripMargin,
+
+    // EV12: stickiness over the ev9 sweep
+    "ev12_stickiness" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS m FROM ev),
+        |iv AS (
+        |  SELECT u, d,
+        |    least(coalesce(lead(d) OVER (PARTITION BY u ORDER BY d) - 1,
+        |                   (SELECT m FROM mx)),
+        |          d + 27, (SELECT m FROM mx)) AS e
+        |  FROM ev),
+        |ex AS (
+        |  SELECT d, CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |    CAST(e AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+        |  FROM iv),
+        |ag AS (
+        |  SELECT date,
+        |    CAST(sum(CASE WHEN date = d THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+        |    count(*)::BIGINT AS active_28
+        |  FROM ex GROUP BY 1)
+        |SELECT date, dau, active_28,
+        |  round(dau::DOUBLE * 1e6 / active_28) / 1e6 AS stickiness
+        |FROM ag""".stripMargin,
+
     // ML14: PSI over 10 equal-width score bins — exact counts, ε-floored
     // fractions, micro-nat-quantized total (bins empty on both sides are
     // absent from the grouped frame, contribution 0)

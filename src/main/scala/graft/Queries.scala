@@ -1074,6 +1074,17 @@ object Queries {
     "ml17_best_threshold" -> ((s, dir) =>
       graft.ml.Evaluation.bestThreshold(scoredPanel(s, dir))),
 
+    // ---- ML19: lift in the top decile of scores (integer-exact k,
+    // whole-tie cut convention)
+    "ml19_lift" -> ((s, dir) =>
+      graft.ml.Evaluation.liftAtPercent(scoredPanel(s, dir))),
+
+    // ---- EV12: stickiness — DAU over trailing-28-day actives
+    "ev12_stickiness" -> ((s, dir) =>
+      graft.events.Events.activeUsers(events(s, dir), window = 28)
+        .withColumn("stickiness",
+          round(col("dau").cast("double") * 1e6 / col("active_28")) / 1e6)),
+
     // ---- ML14: PSI drift between the same early/late score halves as
     // ml13 — 10 equal-width bins, exact counts, micro-nat-exact total
     "ml14_psi" -> ((s, dir) => {

@@ -389,6 +389,27 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("p_value") == 1.0)
   }
 
+  test("liftAtPercent: integer-exact k, whole-tie cut, lift over the " +
+    "base rate (ml19)") {
+    // 10 rows: scores 1.0(pos), .9(pos), .8(neg), then 7 at .1 (2 pos)
+    val preds = (Seq((1.0, 1L), (0.9, 1L), (0.8, 0L)) ++
+      Seq.fill(5)((0.1, 0L)) ++ Seq.fill(2)((0.1, 1L)))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.liftAtPercent(preds, percent = 20).head
+    // k = ceil(10·0.2) = 2; the cut lands exactly after score .9
+    assert(s.getAs[Long]("n") == 10L && s.getAs[Long]("k") == 2L)
+    assert(s.getAs[Long]("n_taken") == 2L && s.getAs[Long]("pos_taken") == 2L)
+    assert(s.getAs[Double]("precision_at_k") == 1.0)
+    assert(s.getAs[Double]("base_rate") == 0.4)
+    assert(s.getAs[Double]("lift") == 2.5)
+    // a tie straddling k: k = ceil(10·0.5) = 5 but the .1 block is
+    // indivisible → the whole block (all 10 rows) is taken
+    val t = graft.ml.Evaluation.liftAtPercent(preds, percent = 50).head
+    assert(t.getAs[Long]("k") == 5L && t.getAs[Long]("n_taken") == 10L)
+    intercept[graft.ParameterError](
+      graft.ml.Evaluation.liftAtPercent(preds, percent = 0))
+  }
+
   test("quantileLoss: pinball goldens — under-prediction costs τ, " +
     "over-prediction 1−τ (ml18)") {
     val preds = Seq((1.0, 2.0), (2.0, 2.0)).toDF("prediction", "label")
