@@ -1877,6 +1877,65 @@ object Oracles {
          |        THEN (tp::DOUBLE / cnt) / (tot::DOUBLE / nn) END, 6) AS lift
          |FROM cut""".stripMargin,
 
+    // ML20: confusion at 0.5 — exact counts, balanced accuracy, MCC
+    "ml20_confusion" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) >= 0.5 AS h,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |cm AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    CAST(sum(CASE WHEN h AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN h AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT h AND y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS tn,
+         |    CAST(sum(CASE WHEN NOT h AND y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS fn
+         |  FROM pr)
+         |SELECT n, tp, fp, tn, fn,
+         |  round((tp::DOUBLE + tn::DOUBLE) / n::DOUBLE, 6) AS accuracy,
+         |  round(CASE WHEN tp + fn > 0 AND tn + fp > 0
+         |        THEN (tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE) +
+         |              tn::DOUBLE / (tn::DOUBLE + fp::DOUBLE)) / 2 END, 6)
+         |    AS balanced_accuracy,
+         |  round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+         |              AND tn + fp > 0 AND tn + fn > 0
+         |        THEN (tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE) /
+         |          sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |             * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE))
+         |        END, 6) + 0.0 AS mcc
+         |FROM cm""".stripMargin,
+
+    // EV13: cohort LTV — exact cents, integer-quotient per-user values
+    "ev13_cohort_ltv" ->
+      """WITH fu AS (
+        |  SELECT user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f
+        |  FROM events GROUP BY 1),
+        |fc AS (
+        |  SELECT user_id, f,
+        |    CAST(date_trunc('week', f) AS DATE) AS cohort
+        |  FROM fu),
+        |sz AS (SELECT cohort, count(*)::BIGINT AS n_users FROM fc GROUP BY 1),
+        |rv AS (
+        |  SELECT fc.cohort,
+        |    CAST(date_diff('day', fc.f, CAST(CAST(e.ts AS TIMESTAMP) AS DATE))
+        |      AS BIGINT) AS age_days,
+        |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT cohort, age_days,
+        |    CAST(sum(c) OVER (PARTITION BY cohort ORDER BY age_days
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM rv)
+        |SELECT cu.cohort, cu.age_days, sz.n_users,
+        |  round(cu.cum::DOUBLE * 1e4 / sz.n_users) / 1e6
+        |    AS cum_value_per_user
+        |FROM cu JOIN sz ON cu.cohort = sz.cohort""".stripMargin,
+
     // EV12: stickiness over the ev9 sweep
     "ev12_stickiness" ->
       """WITH ev AS (

@@ -1079,6 +1079,15 @@ object Queries {
     "ml19_lift" -> ((s, dir) =>
       graft.ml.Evaluation.liftAtPercent(scoredPanel(s, dir))),
 
+    // ---- ML20: confusion at 0.5 + balanced accuracy + Matthews corr
+    "ml20_confusion" -> ((s, dir) =>
+      graft.ml.Evaluation.confusionAt(scoredPanel(s, dir))),
+
+    // ---- EV13: cohort LTV — cumulative purchase cents per user by
+    // signup-week cohort age
+    "ev13_cohort_ltv" -> ((s, dir) =>
+      graft.events.Events.cohortLtv(events(s, dir))),
+
     // ---- EV12: stickiness — DAU over trailing-28-day actives
     "ev12_stickiness" -> ((s, dir) =>
       graft.events.Events.activeUsers(events(s, dir), window = 28)

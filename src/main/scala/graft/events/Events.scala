@@ -258,6 +258,52 @@ object Events {
           .as("sec_since_touch"))
   }
 
+  /** Cohort LTV curves: cumulative revenue per user by cohort age —
+    * "what is a week-N signup worth by day d", the payback-period
+    * table. Users cohort by FIRST-activity week; every revenue event
+    * books at its age in days since that first day; ages accumulate
+    * per cohort and divide by the FULL cohort size (users who never
+    * pay still dilute — that's the point of per-user LTV). Revenue
+    * sums as exact integer cents, the cumulative pass is a window per
+    * cohort over the bounded (cohort, age) frame, and the final
+    * division rounds the integer quotient (micro per user). Output
+    * (cohort, age_days, n_users, n_payers, cum_value_per_user). */
+  def cohortLtv(
+      events: DataFrame,
+      revenueType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val firsts = events
+      .groupBy(col(userCol))
+      .agg(min(day).as("__f"))
+      .withColumn("__cohort", date_trunc("week", col("__f")).cast("date"))
+      .localCheckpoint(eager = false) // feeds sizes AND the revenue join
+    val sizes = firsts.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("n_users"))
+    val rev = events
+      .where(col(typeCol) === revenueType && col(valueCol).isNotNull)
+      .select(col(userCol), day.as("__d"),
+        round(col(valueCol) * 100).cast("long").as("__cents"))
+      .join(firsts, Seq(userCol))
+      .groupBy(col("__cohort"), datediff(col("__d"), col("__f")).cast("long")
+        .as("age_days"))
+      .agg(sum(col("__cents")).as("__c"))
+    val w = Window.partitionBy(col("__cohort")).orderBy(col("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(sizes), Seq("__cohort"))
+      .select(
+        col("__cohort").as("cohort"),
+        col("age_days"),
+        col("n_users"),
+        (round(col("__cum").cast("double") * 1e4 / col("n_users")) / 1e6)
+          .as("cum_value_per_user"))
+  }
+
   /** Kaplan–Meier survival curve over user lifetimes: S(t) =
     * Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ), the right-censoring-correct "how long do
     * users stay" estimator (naive mean lifetime is biased low because

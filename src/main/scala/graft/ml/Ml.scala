@@ -497,6 +497,51 @@ object Evaluation {
     * that bounded frame; tp/fp are exact integers and precision/
     * recall one per-row division each (6dp). Null recall on an
     * all-negative frame (no positives to recall). */
+  /** Confusion matrix at a threshold plus the three summary rates a
+    * class-imbalanced problem actually needs: accuracy, BALANCED
+    * accuracy ((TPR + TNR)/2 — accuracy lies at 99:1 imbalance), and
+    * Matthews correlation (the single number that only rewards doing
+    * well on BOTH classes). Counts are exact integers from one hash
+    * agg; the MCC products run as doubles (their 10⁻¹⁶ relative error
+    * sits far below the 6dp rounding — decimal can't hold n⁴ anyway)
+    * and MCC/balanced-accuracy are null when a marginal is empty.
+    * Output one row (n, tp, fp, tn, fn, accuracy, balanced_accuracy,
+    * mcc). */
+  def confusionAt(
+      preds: DataFrame,
+      threshold: Double = 0.5,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val hit = col(scoreCol) >= threshold
+    def d(c: Column) = c.cast("double")
+    preds
+      .select(hit.as("__h"), lbl.as("__y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__h") && col("__y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__h") && col("__y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__h") && col("__y") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("__h") && col("__y") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(
+        col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((d(col("tp")) + d(col("tn"))) / d(col("n")), 6).as("accuracy"),
+        round(when(col("tp") + col("fn") > 0 && col("tn") + col("fp") > 0,
+          (d(col("tp")) / (d(col("tp")) + d(col("fn"))) +
+            d(col("tn")) / (d(col("tn")) + d(col("fp")))) / 2), 6)
+          .as("balanced_accuracy"),
+        (round(when(
+          col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+            col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+          (d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) /
+            sqrt((d(col("tp")) + d(col("fp"))) * (d(col("tp")) + d(col("fn"))) *
+              (d(col("tn")) + d(col("fp"))) * (d(col("tn")) + d(col("fn"))))),
+          6) + 0.0).as("mcc"))
+  }
+
   /** Lift at the top `percent`% of scores: precision among the
     * highest-scored ceil(n·percent/100) rows over the base rate — the
     * campaign-targeting number ("scoring finds 3.2× more converters

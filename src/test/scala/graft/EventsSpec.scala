@@ -160,6 +160,28 @@ class EventsSpec extends SparkSpec {
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
 
+  test("cohortLtv: signup-week cohorts, exact cents, non-payers " +
+    "dilute the per-user value (ev13)") {
+    val ev = Seq(
+      // cohort of Mon 2024-01-01: u1 pays twice, u2 never pays
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", Some(10.0)),
+      (2L, 1L, ts("2024-01-03 10:00:00"), "purchase", Some(5.0)),
+      (3L, 2L, ts("2024-01-02 10:00:00"), "view", None),
+      // next week's cohort: u3 pays on age 1
+      (4L, 3L, ts("2024-01-08 10:00:00"), "view", None),
+      (5L, 3L, ts("2024-01-09 10:00:00"), "purchase", Some(7.0)))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.cohortLtv(ev)
+      .collect().map(r => (r.getAs[java.sql.Date]("cohort").toString,
+        r.getAs[Long]("age_days")) ->
+        (r.getAs[Long]("n_users"), r.getAs[Double]("cum_value_per_user"))).toMap
+    // $10 over 2 users → 5/user; +$5 by age 2 → 7.5/user
+    assert(out(("2024-01-01", 0L)) == ((2L, 5.0)))
+    assert(out(("2024-01-01", 2L)) == ((2L, 7.5)))
+    assert(out(("2024-01-08", 1L)) == ((1L, 7.0)))
+    assert(out.size == 3)
+  }
+
   test("kaplanMeier: censoring-correct survival steps; full-death " +
     "cohort pins the curve at 0 (ev11)") {
     def d(day: Int) = ts(f"2024-01-$day%02d 10:00:00")

@@ -389,6 +389,26 @@ class MlSpec extends SparkSpec {
     assert(same.getAs[Double]("p_value") == 1.0)
   }
 
+  test("confusionAt: exact matrix, balanced accuracy, MCC; degenerate " +
+    "marginal → null (ml20)") {
+    val preds = Seq((0.9, 1L), (0.8, 0L), (0.3, 1L), (0.1, 0L))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.confusionAt(preds).head
+    assert((s.getAs[Long]("tp"), s.getAs[Long]("fp"),
+      s.getAs[Long]("tn"), s.getAs[Long]("fn")) == ((1L, 1L, 1L, 1L)))
+    assert(s.getAs[Double]("accuracy") == 0.5)
+    assert(s.getAs[Double]("balanced_accuracy") == 0.5)
+    assert(s.getAs[Double]("mcc") == 0.0)
+    val perfect = Seq((0.9, 1L), (0.1, 0L)).toDF("prediction", "label")
+    assert(graft.ml.Evaluation.confusionAt(perfect)
+      .head.getAs[Double]("mcc") == 1.0)
+    // one-class labels: TNR undefined → balanced/MCC null
+    val onecls = Seq((0.9, 1L), (0.1, 1L)).toDF("prediction", "label")
+    val o = graft.ml.Evaluation.confusionAt(onecls).head
+    assert(o.isNullAt(o.fieldIndex("balanced_accuracy")))
+    assert(o.isNullAt(o.fieldIndex("mcc")))
+  }
+
   test("liftAtPercent: integer-exact k, whole-tie cut, lift over the " +
     "base rate (ml19)") {
     // 10 rows: scores 1.0(pos), .9(pos), .8(neg), then 7 at .1 (2 pos)
