@@ -1846,6 +1846,42 @@ object Oracles {
          |        END, 6) AS p_value
          |FROM mx""".stripMargin,
 
+    // ML21: class-separation KS — the ml13 chain with the label split
+    "ml21_separation" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS v,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |t AS (SELECT v, y AS a, 1 - y AS b FROM pr),
+         |g AS (
+         |  SELECT v, CAST(sum(a) AS HUGEINT) AS ca0,
+         |         CAST(sum(b) AS HUGEINT) AS cb0
+         |  FROM t GROUP BY 1),
+         |c AS (
+         |  SELECT *, sum(ca0) OVER wa AS ca, sum(cb0) OVER wa AS cb,
+         |         sum(ca0) OVER () AS na, sum(cb0) OVER () AS nb
+         |  FROM g
+         |  WINDOW wa AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+         |mx AS (
+         |  SELECT max(na) AS fa, max(nb) AS fb,
+         |         max(abs(ca * nb - cb * na)) AS d
+         |  FROM c)
+         |SELECT CAST(fa AS BIGINT) AS n_a, CAST(fb AS BIGINT) AS n_b,
+         |  round(CASE WHEN fa > 0 AND fb > 0
+         |             THEN CAST(d AS DOUBLE)
+         |               / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)) END, 6) AS ks,
+         |  round(CASE WHEN fa > 0 AND fb > 0
+         |             THEN least(1.0, 2.0 * exp(-2.0
+         |               * (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) + CAST(fb AS DOUBLE)))
+         |               * (CAST(d AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)))
+         |               * (CAST(d AS DOUBLE)
+         |                  / (CAST(fa AS DOUBLE) * CAST(fb AS DOUBLE)))))
+         |        END, 6) AS p_value
+         |FROM mx""".stripMargin,
+
     // ML19: top-decile lift — integer-exact k, whole-tie cut at the
     // first distinct score reaching it
     "ml19_lift" ->

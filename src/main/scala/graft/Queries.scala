@@ -1083,6 +1083,15 @@ object Queries {
     "ml20_confusion" -> ((s, dir) =>
       graft.ml.Evaluation.confusionAt(scoredPanel(s, dir))),
 
+    // ---- ML21: class-separation KS — the score distributions of the
+    // two label classes through the ml13 drift machinery (KS here is
+    // the separability twin of AUC)
+    "ml21_separation" -> ((s, dir) => {
+      val p = scoredPanel(s, dir)
+      graft.ml.Evaluation.ksDrift(
+        p.where(col("label") === 1), p.where(col("label") === 0))
+    }),
+
     // ---- EV13: cohort LTV — cumulative purchase cents per user by
     // signup-week cohort age
     "ev13_cohort_ltv" -> ((s, dir) =>

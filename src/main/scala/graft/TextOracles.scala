@@ -1768,6 +1768,27 @@ object TextOracles {
          |WHERE $cos >= 0.3""".stripMargin
     },
 
+    // SIM12: diversity = 2·(E‖x‖² − ‖Ex‖²) from per-dim exact sums
+    "sim12_diversity" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1, len(embedding))) AS d, embedding
+        |  FROM embeddings),
+        |vals AS (
+        |  SELECT d, CAST(round(embedding[d]::DOUBLE * 1e6) AS HUGEINT) AS q
+        |  FROM dims),
+        |pd AS (
+        |  SELECT d, count(*)::BIGINT AS n, sum(q) AS s, sum(q * q) AS ss
+        |  FROM vals GROUP BY d),
+        |fold AS (
+        |  SELECT max(n) AS n, count(*)::BIGINT AS n_dims,
+        |    sum(ss::DOUBLE / n / 1e12) AS msn,
+        |    sum((s::DOUBLE / n / 1e6) * (s::DOUBLE / n / 1e6)) AS csn
+        |  FROM pd)
+        |SELECT n, n_dims, round(msn, 6) AS mean_sq_norm,
+        |  round(csn, 6) AS centroid_sq_norm,
+        |  round(2.0 * (msn - csn), 6) AS diversity
+        |FROM fold""".stripMargin,
+
     // SIM11: centroid drift — per-dim micro-exact means (1-based list
     // index ↔ posexplode's 0-based: only the grouping key, never output)
     "sim11_centroid_drift" ->

@@ -772,6 +772,10 @@ object TextQueries {
         k = 5)
     }),
 
+    // SIM12: corpus diversity via the closed form — no pair join
+    "sim12_diversity" -> ((s, dir) =>
+      Similarity.diversity(t(s, dir, "embeddings"))),
+
     // SIM11: centroid drift between the even/odd vec_id halves —
     // cosine + L2 of the exact-micro per-dimension means
     "sim11_centroid_drift" -> ((s, dir) => {

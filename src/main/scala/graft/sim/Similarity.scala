@@ -590,6 +590,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "adist", "rank")
   }
 
+  /** SIM12: corpus embedding diversity WITHOUT a pair join — the mean
+    * pairwise squared distance via the closed form
+    * E‖x−y‖² = 2·(E‖x‖² − ‖Ex‖²) (i.i.d. x, y): a collapsed-mode or
+    * over-deduplicated corpus shows up as a diversity cliff, and the
+    * naive all-pairs formulation is exactly the O(n²) join this
+    * library never ships. One posexplode pass to per-dimension exact
+    * sums (components micro-quantized; Σq and Σq² decimal-exact), then
+    * a bounded fold over the embedding width. Output one row
+    * (n, n_dims, mean_sq_norm, centroid_sq_norm, diversity), 6dp. */
+  def diversity(vecs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = round(col("__x").cast("double") * 1e6).cast("long")
+    val perDim = vecs
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(q.cast(dec)).as("__s"),
+        sum((q.cast(dec) * q.cast(dec))).as("__ss"))
+    val meanSq = col("__ss").cast("double") / col("__n") / 1e12
+    val cSq = (col("__s").cast("double") / col("__n") / 1e6) *
+      (col("__s").cast("double") / col("__n") / 1e6)
+    perDim
+      .agg(
+        max(col("__n")).as("n"),
+        count(lit(1)).as("n_dims"),
+        sum(meanSq).as("__msn"),
+        sum(cSq).as("__csn"))
+      .select(
+        col("n"), col("n_dims"),
+        round(col("__msn"), 6).as("mean_sq_norm"),
+        round(col("__csn"), 6).as("centroid_sq_norm"),
+        round(lit(2.0) * (col("__msn") - col("__csn")), 6).as("diversity"))
+  }
+
   /** SIM11: embedding-centroid drift between two corpora — cosine and
     * L2 distance of the per-dimension mean vectors, the embedding-space
     * analogue of [[graft.ml.Evaluation.ksDrift]]/psiDrift ("did this

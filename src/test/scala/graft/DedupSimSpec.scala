@@ -801,6 +801,23 @@ class DedupSimSpec extends SparkSpec {
     intercept[graft.ParameterError](Dedup.lshPlan(0.5, maxHashes = 1))
   }
 
+  test("diversity: closed-form mean pairwise squared distance — " +
+    "identical corpus → 0, antipodal pair → 2 (sim12)") {
+    val same = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val s = Similarity.diversity(same).head
+    assert(s.getAs[Long]("n") == 2L && s.getAs[Long]("n_dims") == 2L)
+    assert(s.getAs[Double]("diversity") == 0.0)
+    // x = (1,0), y = (−1,0): E‖x‖² = 1, centroid = 0 → diversity 2
+    // (the iid mean includes self-pairs: (0 + 4 + 4 + 0)/4 = 2)
+    val anti = Seq((1L, Seq(1f, 0f)), (2L, Seq(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.diversity(anti).head
+    assert(a.getAs[Double]("mean_sq_norm") == 1.0)
+    assert(a.getAs[Double]("centroid_sq_norm") == 0.0)
+    assert(a.getAs[Double]("diversity") == 2.0)
+  }
+
   test("centroidDrift: cosine/L2 of exact-micro centroids; identical " +
     "corpora → (1, 0); zero centroid → null cosine (sim11)") {
     val a = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)))
