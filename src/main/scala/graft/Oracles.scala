@@ -1943,6 +1943,112 @@ object Oracles {
          |        END, 6) + 0.0 AS mcc
          |FROM cm""".stripMargin,
 
+    // EV14: Markov removal-effect attribution — the power steps unroll
+    // as generated CTEs (the pagerank precedent); integer half-up
+    // rounding for effect/share (both engines agree on int division)
+    "ev14_markov_attribution" -> {
+      val touches = Seq("view", "click", "signup")
+      val steps = 6
+      def scen(tag: String, removed: Option[String]): String = {
+        val e = removed match {
+          case None => s"e_$tag AS (SELECT f, t, cnt FROM edges)"
+          case Some(c) =>
+            s"""e_$tag AS (
+               |  SELECT f, CASE WHEN t = '$c' THEN 'NULL' ELSE t END AS t,
+               |         CAST(sum(cnt) AS BIGINT) AS cnt
+               |  FROM edges GROUP BY 1, 2)""".stripMargin
+        }
+        val p =
+          s"""p_$tag AS (
+             |  SELECT e_$tag.f, e_$tag.t, cnt, outc
+             |  FROM e_$tag JOIN tot ON e_$tag.f = tot.f)""".stripMargin
+        val v0 = s"v_${tag}_0 AS (SELECT 'START' AS state, " +
+          "CAST(1000000000000 AS BIGINT) AS mass)"
+        // ONE reference to the previous step per CTE: DuckDB inlines
+        // CTE references, so a UNION reading v_{k-1} twice doubles the
+        // expansion per step (2^steps copies of the whole chain — the
+        // planner hang this replaced). Absorbing rows ride the LEFT
+        // JOIN's null side instead.
+        val vs = (1 to steps).map { k =>
+          s"""v_${tag}_$k AS (
+             |  SELECT state, CAST(sum(mass) AS BIGINT) AS mass FROM (
+             |    SELECT
+             |      CASE WHEN v.state IN ('CONV', 'NULL') THEN v.state
+             |           ELSE p.t END AS state,
+             |      CASE WHEN v.state IN ('CONV', 'NULL') THEN v.mass
+             |           ELSE CAST(round(v.mass::DOUBLE *
+             |             (p.cnt::DOUBLE / p.outc::DOUBLE)) AS BIGINT)
+             |      END AS mass
+             |    FROM v_${tag}_${k - 1} v
+             |    LEFT JOIN p_$tag p
+             |      ON v.state = p.f AND v.state NOT IN ('CONV', 'NULL')) q
+             |  WHERE state IS NOT NULL
+             |  GROUP BY state)""".stripMargin
+        }.mkString(",\n")
+        val cm = s"c_$tag AS (SELECT coalesce(max(mass), 0) AS m " +
+          s"FROM v_${tag}_$steps WHERE state = 'CONV')"
+        Seq(e, p, v0, vs, cm).mkString(",\n")
+      }
+      val scens = scen("base", None) + ",\n" +
+        touches.zipWithIndex.map { case (c, i) =>
+          scen(s"rm$i", Some(c))
+        }.mkString(",\n")
+      // every scalar referenced ONCE: DuckDB inlines CTEs, so repeated
+      // scalar subqueries re-expand the whole power-step chain each
+      // time (observed as a planner blowup/hang)
+      val finCols = touches.indices
+        .map(i => s"(SELECT m FROM c_rm$i) AS m$i").mkString(", ")
+      val teExpr = touches.indices
+        .map(i => s"greatest(bm - m$i, 0)").mkString(" + ")
+      val rows = touches.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS channel,
+           |  bm::DOUBLE / 1e12 AS base_p,
+           |  m$i::DOUBLE / 1e12 AS removed_p,
+           |  ((greatest(bm - m$i, 0) + 500000) // 1000000)::DOUBLE / 1e6
+           |    AS removal_effect,
+           |  CASE WHEN te > 0
+           |    THEN ((2 * greatest(bm - m$i, 0) * 1000000 + te)
+           |          // (2 * te))::DOUBLE / 1e6
+           |    ELSE 0.0 END AS share
+           |FROM fin""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events
+         |  WHERE event_type IN (${(touches :+ "purchase")
+            .map(t => s"'$t'").mkString(", ")})),
+         |j AS (
+         |  SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS pc
+         |  FROM ev),
+         |jr AS (SELECT * FROM j WHERE pc = 0),
+         |sx AS (
+         |  SELECT user_id, ts, event_id,
+         |    coalesce(lag(event_type) OVER w, 'START') AS f,
+         |    event_type AS t,
+         |    lead(event_type) OVER w IS NULL AS lastr
+         |  FROM jr
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |er AS (
+         |  SELECT f, t FROM sx
+         |  UNION ALL
+         |  SELECT t AS f, 'NULL' AS t FROM sx
+         |  WHERE lastr AND t <> 'purchase'),
+         |edges AS (
+         |  SELECT f, CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS t,
+         |         count(*)::BIGINT AS cnt
+         |  FROM er GROUP BY 1, 2),
+         |tot AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS outc
+         |        FROM edges GROUP BY 1),
+         |$scens,
+         |fin0 AS (SELECT (SELECT m FROM c_base) AS bm, $finCols),
+         |fin AS (SELECT *, $teExpr AS te FROM fin0)
+         |$rows""".stripMargin
+    },
+
     // EV13: cohort LTV — exact cents, integer-quotient per-user values
     "ev13_cohort_ltv" ->
       """WITH fu AS (

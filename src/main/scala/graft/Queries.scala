@@ -1097,6 +1097,12 @@ object Queries {
     "ev13_cohort_ltv" -> ((s, dir) =>
       graft.events.Events.cohortLtv(events(s, dir))),
 
+    // ---- EV14: Markov removal-effect attribution — 6-step chain over
+    // view/click/signup journeys converting at purchase
+    "ev14_markov_attribution" -> ((s, dir) =>
+      graft.events.Events.markovAttribution(
+        events(s, dir), Seq("view", "click", "signup"), "purchase")),
+
     // ---- EV12: stickiness — DAU over trailing-28-day actives
     "ev12_stickiness" -> ((s, dir) =>
       graft.events.Events.activeUsers(events(s, dir), window = 28)

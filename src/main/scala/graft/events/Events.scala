@@ -258,6 +258,119 @@ object Events {
           .as("sec_since_touch"))
   }
 
+  /** EV14: Markov removal-effect attribution (Anderl et al. 2014 —
+    * the published multi-touch model that replaced last-click): build
+    * the first-order chain over journey touchpoints, measure the
+    * K-step conversion probability from START, then for each channel
+    * REDIRECT every transition into it to the loss state and measure
+    * again — the channel's credit is how much conversion probability
+    * disappears without it, normalized across channels.
+    *
+    * Journeys: per user in (ts, event_id) order, truncated after the
+    * FIRST conversion; a journey without one ends in NULL (loss).
+    * Transition counts are exact integers over the BOUNDED state space
+    * (|touchTypes| + 3), so every downstream frame is dimension-sized:
+    * the K power steps are tiny joins with masses kept as pico longs
+    * (each step rounds mass·(cnt/out) — the PageRank discipline), and
+    * the per-scenario conversion masses are bounded driver scalars
+    * (the requireFresh cost class). `steps` bounds path length
+    * explicitly (paths longer than K earn no credit — documented,
+    * not silent). Output one row per channel:
+    * (channel, base_p, removed_p, removal_effect, share). */
+  def markovAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      conversionType: String,
+      steps: Int = 6,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (touchTypes.isEmpty)
+      throw new ParameterError("touchTypes must be non-empty")
+    if (touchTypes.contains(conversionType))
+      throw new ParameterError(
+        s"conversionType $conversionType cannot also be a touch type")
+    if (steps < 1) throw new ParameterError(s"steps must be >= 1: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val journey = events
+      .where(col(typeCol).isin((touchTypes :+ conversionType): _*))
+      .withColumn("__isconv",
+        (col(typeCol) === conversionType).cast("long"))
+      .withColumn("__prevconv", coalesce(
+        sum(col("__isconv")).over(w.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .where(col("__prevconv") === 0)
+    val wj = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val steps0 = journey
+      .withColumn("__from", coalesce(lag(col(typeCol), 1).over(wj), lit("START")))
+      .withColumn("__to", col(typeCol))
+      .withColumn("__last", lead(col(typeCol), 1).over(wj).isNull)
+    val edgesRaw = steps0.select(col("__from"), col("__to"))
+      .unionByName(steps0
+        .where(col("__last") && col("__to") =!= conversionType)
+        .select(col("__to").as("__from"), lit("NULL").as("__to")))
+    // mapped to absorbing names once: conversion → CONV
+    val edges = edgesRaw
+      .withColumn("__to",
+        when(col("__to") === conversionType, "CONV").otherwise(col("__to")))
+      .groupBy(col("__from"), col("__to"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(eager = false) // bounded; reused per scenario
+    val totals = edges.groupBy(col("__from"))
+      .agg(sum(col("__cnt")).as("__out"))
+
+    def convMass(removed: Option[String]): Long = {
+      val scenEdges = removed match {
+        case None => edges
+        case Some(c) => edges
+          .withColumn("__to",
+            when(col("__to") === c, "NULL").otherwise(col("__to")))
+          .groupBy(col("__from"), col("__to"))
+          .agg(sum(col("__cnt")).as("__cnt"))
+      }
+      val probs = scenEdges.join(totals, "__from")
+      var v = Seq(("START", 1000000000000L)).toDF("__state", "__mass")
+      for (_ <- 1 to steps) {
+        val absorbed = v.where(col("__state").isin("CONV", "NULL"))
+        val flowed = v.join(probs, col("__state") === col("__from"))
+          .select(col("__to").as("__state"),
+            round(col("__mass").cast("double") *
+              (col("__cnt").cast("double") / col("__out").cast("double")))
+              .cast("long").as("__mass"))
+        v = absorbed.unionByName(flowed)
+          .groupBy(col("__state")).agg(sum(col("__mass")).as("__mass"))
+          .localCheckpoint(eager = false) // truncate the growing lineage
+      }
+      v.where(col("__state") === "CONV")
+        .select(col("__mass")).collect() // bounded: ≤ 1 row
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+    }
+
+    val base = convMass(None)
+    val removedMasses = touchTypes.map(c => c -> convMass(Some(c)))
+    // integer half-up rounding throughout — math.rint is half-EVEN and
+    // SQL round half-up, so a .5 boundary would hash-split the engines;
+    // per-step rounding can leave a picos-scale negative effect → clamp
+    val effects = removedMasses.map { case (c, m) =>
+      (c, m, math.max(base - m, 0L))
+    }
+    val totalEff = effects.map(_._3).sum
+    effects.map { case (c, m, e) =>
+      val effect = ((e + 500000L) / 1000000L) / 1e6
+      val share =
+        if (totalEff > 0)
+          ((2L * e * 1000000L + totalEff) / (2L * totalEff)) / 1e6
+        else 0.0
+      (c, base / 1e12, m / 1e12, effect, share)
+    }.toDF("channel", "base_p", "removed_p", "removal_effect", "share")
+  }
+
   /** Cohort LTV curves: cumulative revenue per user by cohort age —
     * "what is a week-N signup worth by day d", the payback-period
     * table. Users cohort by FIRST-activity week; every revenue event

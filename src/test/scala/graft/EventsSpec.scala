@@ -160,6 +160,34 @@ class EventsSpec extends SparkSpec {
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
 
+  test("markovAttribution: removal effects from the K-step chain " +
+    "golden; validations (ev14)") {
+    // u1: view → purchase ; u2: view → (loss) ; u3: click → purchase
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "purchase"),
+      (3L, 2L, ts("2024-01-01 11:00:00"), "view"),
+      (4L, 3L, ts("2024-01-01 12:00:00"), "click"),
+      (5L, 3L, ts("2024-01-01 12:05:00"), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.markovAttribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // base: START→view 2/3 · view→CONV 1/2  +  START→click 1/3 · 1 = 2/3
+    assert(math.abs(out("view").getAs[Double]("base_p") - 2.0 / 3) < 1e-9)
+    // removing either channel kills its 1/3 of conversion mass
+    assert(out("view").getAs[Double]("removal_effect") == 0.333333)
+    assert(out("click").getAs[Double]("removal_effect") == 0.333333)
+    assert(out("view").getAs[Double]("share") == 0.5)
+    assert(out("click").getAs[Double]("share") == 0.5)
+    assert(math.abs(out("click").getAs[Double]("removed_p") - 1.0 / 3) < 1e-6)
+    intercept[graft.ParameterError](
+      Events.markovAttribution(ev, Nil, "purchase"))
+    intercept[graft.ParameterError](
+      Events.markovAttribution(ev, Seq("purchase"), "purchase"))
+    intercept[graft.ParameterError](
+      Events.markovAttribution(ev, Seq("view"), "purchase", steps = 0))
+  }
+
   test("cohortLtv: signup-week cohorts, exact cents, non-payers " +
     "dilute the per-user value (ev13)") {
     val ev = Seq(
