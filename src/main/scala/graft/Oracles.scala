@@ -1639,6 +1639,21 @@ object Oracles {
          |${(-3 to 3).map(block).mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // W21: per-sid max drawdown — 6dp-rounded ratio BEFORE the min
+    "w21_sid_drawdown" ->
+      s"""WITH $panelCte,
+         |dd AS (
+         |  SELECT sid,
+         |    round(CASE WHEN max(close) OVER (PARTITION BY sid ORDER BY date
+         |            ROWS UNBOUNDED PRECEDING) > 0
+         |          THEN close / max(close) OVER (PARTITION BY sid
+         |            ORDER BY date ROWS UNBOUNDED PRECEDING) - 1 END, 6)
+         |      AS d
+         |  FROM panel)
+         |SELECT sid, count(*)::BIGINT AS n_days,
+         |  coalesce(min(d), 0.0) + 0.0 AS max_drawdown
+         |FROM dd GROUP BY sid""".stripMargin,
+
     // W20: variance ratio — ln(close/close_{t-q}) makes the q-period
     // return one expression; raw-moment population variances
     "w20_variance_ratio" ->

@@ -1483,6 +1483,12 @@ object Queries {
       Panel.varianceRatio(supplierPanel(s, dir), q = 5)
     }),
 
+    // ---- W21: per-sid max drawdown (universe screen)
+    "w21_sid_drawdown" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.sidMaxDrawdown(supplierPanel(s, dir))
+    }),
+
     // ---- D30: benchmark-hedge overlay — per-date −Σ w·β on a hedge
     // sid, betas = the 6dp risk-contribution shares (beta-to-portfolio)
     "d30_beta_hedge" -> ((s, dir) => {

@@ -171,6 +171,27 @@ object Panel {
     clamp(c, percentile(c, lit(lo)).over(w), percentile(c, lit(hi)).over(w))
   }
 
+  /** W21: per-sid maximum drawdown of the close series — the
+    * universe-screening column ("drop anything that ever fell 80%")
+    * next to the portfolio-level [[graft.perf.Performance.drawdowns]]
+    * episode table. One cumulative-max window + one hash agg per sid;
+    * each date's drawdown is close/cummax − 1 ROUNDED to 6dp before
+    * the min (the drawdowns argmin stance — the raw ratio differs
+    * cross-engine in the last ulp). Sids that never fell emit 0.
+    * Output (sid, n_days, max_drawdown). */
+  def sidMaxDrawdown(
+      df: DataFrame,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    val peak = max(col(closeCol)).over(k.cumFrame)
+    df
+      .withColumn("__dd",
+        round(when(peak > 0, col(closeCol) / peak - 1), 6))
+      .groupBy(col(k.sid).as("sid"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        (coalesce(min(col("__dd")), lit(0.0)) + 0.0).as("max_drawdown"))
+  }
+
   /** W20: Lo–MacKinlay variance ratio per sid —
     * Var(q-period log return) / (q · Var(1-period log return)) over
     * overlapping windows: ≈ 1 for a random walk, > 1 momentum, < 1

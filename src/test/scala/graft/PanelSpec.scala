@@ -131,6 +131,22 @@ class PanelSpec extends SparkSpec {
     assert(out("S50") == 50.0) // interior untouched
   }
 
+  test("sidMaxDrawdown: trough vs running peak per sid; monotone " +
+    "series → 0 (w21)") {
+    implicit val k = Panel.eod
+    val df = Seq(
+      ("A", "2024-01-01", 100.0), ("A", "2024-01-02", 150.0),
+      ("A", "2024-01-03", 75.0),  // −50% off the 150 peak
+      ("A", "2024-01-04", 160.0), // recovery doesn't erase the trough
+      ("B", "2024-01-01", 10.0), ("B", "2024-01-02", 20.0))
+      .toDF("sid", "date", "close").withColumn("date", to_date($"date"))
+    val out = Panel.sidMaxDrawdown(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("max_drawdown"))).toMap
+    assert(out("A") == ((4L, -0.5)))
+    assert(out("B") == ((2L, 0.0)))
+  }
+
   test("varianceRatio: perfect mean reversion → 0, flat series → null " +
     "(w20)") {
     implicit val k = Panel.eod
