@@ -64,9 +64,23 @@ object EventsBench {
         Events.sessionize(ev, gapSeconds = 1800)
           .agg(max(col("session_idx"))).head
       }
+      // Markov attribution over hash-typed events: the transition
+      // count is the only data-volume stage — everything after is
+      // dimension-sized regardless of event count
+      val typed = ev.withColumn("event_type",
+        element_at(
+          array(lit("view"), lit("click"), lit("signup"), lit("purchase")),
+          (pmod(hash(col("event_id"), lit(3)).cast("long"), lit(4)) + 1)
+            .cast("int")))
+      val (mk, tMk) = time {
+        Events.markovAttribution(
+          typed, Seq("view", "click", "signup"), "purchase")
+          .agg(max(col("base_p"))).head
+      }
       println(f"$name%-24s activeUsers: days=${nAu.getLong(0)}%4d " +
         f"maxActive=${nAu.getLong(1)}%8d ${tAu}%6.1f s | " +
-        f"sessionize: maxIdx=${nSe.getLong(0)}%7d ${tSe}%6.1f s")
+        f"sessionize: maxIdx=${nSe.getLong(0)}%7d ${tSe}%6.1f s | " +
+        f"markov: baseP=${mk.getDouble(0)}%6.4f ${tMk}%6.1f s")
     }
     spark.stop()
   }

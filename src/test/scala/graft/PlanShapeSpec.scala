@@ -140,4 +140,13 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("sim12: diversity is explode + two aggs — zero joins (the " +
+    "closed form replaces the O(n²) pair join)") {
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val plan = finalPlan(Similarity.diversity(vecs))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Generate posexplode"), plan)
+  }
 }
