@@ -2757,6 +2757,40 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // EV15: burstiness — exact µs gaps, decimal raw moments per user,
+    // micro-requantized corpus mean
+    "ev15_burstiness" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS m
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    m - lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id) AS gp
+        |  FROM e),
+        |gg AS (SELECT user_id, gp FROM g WHERE gp IS NOT NULL),
+        |pu AS (
+        |  SELECT user_id, count(*) AS n,
+        |    CAST(sum(gp) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(gp AS HUGEINT) * CAST(gp AS HUGEINT)) AS HUGEINT)
+        |      AS ss
+        |  FROM gg GROUP BY 1),
+        |bs AS (
+        |  SELECT user_id,
+        |    round(CASE WHEN sg + mu > 0 THEN (sg - mu) / (sg + mu) END, 6)
+        |      AS b
+        |  FROM (
+        |    SELECT user_id, mu,
+        |      sqrt(greatest(ss::DOUBLE / n - mu * mu, 0.0)) AS sg
+        |    FROM (SELECT user_id, n, ss, s::DOUBLE / n AS mu FROM pu
+        |          WHERE n >= 2) q1) q2),
+        |bn AS (SELECT * FROM bs WHERE b IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  round(CAST(sum(CAST(round(b * 1e6) AS BIGINT)) AS BIGINT)::DOUBLE
+        |    / count(*)) / 1e6 + 0.0 AS mean_burstiness,
+        |  round(sum(CASE WHEN b > 0 THEN 1 ELSE 0 END)::DOUBLE * 1e6
+        |    / count(*)) / 1e6 AS frac_bursty
+        |FROM bn""".stripMargin,
+
     // Kaplan-Meier: exact risk/event counts, micro-nat log-space
     // survival product, d = n pins the curve at 0
     "ev11_kaplan_meier" ->

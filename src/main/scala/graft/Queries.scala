@@ -1424,6 +1424,11 @@ object Queries {
     "ev11_kaplan_meier" -> ((s, dir) =>
       graft.events.Events.kaplanMeier(events(s, dir), censorDays = 1)),
 
+    // ---- EV15: inter-event burstiness (periodic −1 … Poisson 0 …
+    // bursty +1) — bot/organic discrimination
+    "ev15_burstiness" -> ((s, dir) =>
+      graft.events.Events.burstiness(events(s, dir))),
+
     // ---- J10: generic as-of join with staleness tolerance — each view
     // picks up the user's latest purchase value within 1 hour
     "j10_asof_tolerance" -> ((s, dir) => {

@@ -1689,6 +1689,39 @@ object TextOracles {
          |  round(regr_r2(ln(cnt), ln(rn)), 6) AS zipf_r2
          |FROM v""".stripMargin,
 
+    // Heaps fit: nested samples via per-word min doc-hash — one pass,
+    // fraction literals are the Scala doubles inlined
+    "tx26_heaps" -> {
+      val fr = (1 to 10).map(_ / 10.0).mkString(", ")
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, unnest(w) AS s FROM words) q WHERE s <> ''),
+         |tu AS (
+         |  SELECT doc_id, s,
+         |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'heaps',
+         |      doc_id)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+         |  FROM tok),
+         |pw AS (SELECT s, min(u) AS umin FROM tu GROUP BY s),
+         |fr AS (SELECT unnest([$fr]) AS f),
+         |vv AS (
+         |  SELECT fr.f,
+         |    CAST(sum(CASE WHEN pw.umin < fr.f THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS v
+         |  FROM fr, pw GROUP BY fr.f),
+         |nn AS (
+         |  SELECT fr.f,
+         |    CAST(sum(CASE WHEN tu.u < fr.f THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n
+         |  FROM fr, tu GROUP BY fr.f),
+         |pt AS (SELECT vv.f, v, n FROM vv JOIN nn ON vv.f = nn.f
+         |       WHERE v > 0 AND n > 0)
+         |SELECT count(*)::BIGINT AS n_points,
+         |  round(regr_slope(ln(v), ln(n)), 6) AS heaps_beta,
+         |  round(regr_r2(ln(v), ln(n)), 6) AS heaps_r2,
+         |  max(v) AS v_full, max(n) AS n_full
+         |FROM pt""".stripMargin
+    },
+
     // KL/JS between the even/odd doc_id halves: add-one smoothing over
     // the union vocab, per-word contributions quantized to integer
     // picos before the sum (the micro-nat determinism pattern)

@@ -555,6 +555,11 @@ object TextQueries {
     "tx21_zipf" -> ((s, dir) =>
       graft.text.Vocab.zipfFit(t(s, dir, "documents"), topV = 100)),
 
+    // Heaps'-law fit: ten nested hash-sampled corpora from ONE pass,
+    // V ∝ N^β slope over the log-log points
+    "tx26_heaps" -> ((s, dir) =>
+      graft.text.Vocab.heapsFit(t(s, dir, "documents"))),
+
     // KL/JS divergence between the even- and odd-doc_id halves of the
     // corpus: add-one-smoothed unigram distributions, pico-exact sums
     "tx22_divergence" -> ((s, dir) => {

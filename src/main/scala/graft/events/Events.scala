@@ -258,6 +258,59 @@ object Events {
           .as("sec_since_touch"))
   }
 
+  /** EV15: inter-event burstiness (Goh & Barabási 2008): per user,
+    * B = (σ − μ)/(σ + μ) over inter-arrival times — B → −1 periodic
+    * (a cron job), ≈ 0 Poisson (organic), → +1 bursty (a human; also
+    * a scraper between sleeps). The per-user moments use exact
+    * integer-microsecond gaps with decimal sums (raw-moment algebra),
+    * B rounds to 6dp per user, and the corpus roll-up re-quantizes
+    * the rounded Bs to micro ints (the icSummary stance) with
+    * integer-quotient means. Users with fewer than `minGaps`
+    * inter-arrivals are excluded (one gap always yields σ = 0 →
+    * B = −1, which would just count users with two events). One
+    * window pass + two hash aggs. Output one row
+    * (n_users, mean_burstiness, frac_bursty). */
+  def burstiness(
+      events: DataFrame,
+      minGaps: Int = 2,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (minGaps < 1) throw new ParameterError(s"minGaps must be >= 1: $minGaps")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    val gaps = events
+      .withColumn("__m", micros(col(tsCol)))
+      .withColumn("__g", col("__m") - lag(col("__m"), 1).over(w))
+      .where(col("__g").isNotNull)
+    val perUser = gaps
+      .groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__g").cast(dec)).as("__s"),
+        sum((col("__g").cast(dec) * col("__g").cast(dec))).as("__ss"))
+      .where(col("__n") >= minGaps)
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__sg",
+        sqrt(greatest(col("__ss").cast("double") / col("__n") -
+          col("__mu") * col("__mu"), lit(0.0))))
+      .withColumn("__b",
+        round(when(col("__sg") + col("__mu") > 0,
+          (col("__sg") - col("__mu")) / (col("__sg") + col("__mu"))), 6))
+      .where(col("__b").isNotNull)
+    perUser
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(round(col("__b") * 1e6).cast("long")).as("__bs"),
+        sum(when(col("__b") > 0, 1L).otherwise(0L)).as("__pos"))
+      .select(
+        col("n_users"),
+        (round(col("__bs").cast("double") / col("n_users")) / 1e6 + 0.0)
+          .as("mean_burstiness"),
+        (round(col("__pos").cast("double") * 1e6 / col("n_users")) / 1e6)
+          .as("frac_bursty"))
+  }
+
   /** EV14: Markov removal-effect attribution (Anderl et al. 2014 —
     * the published multi-touch model that replaced last-click): build
     * the first-order chain over journey touchpoints, measure the

@@ -142,4 +142,57 @@ object Vocab {
         round(regr_slope(log(col("cnt")), log(col("rank"))), 6)
           .as("zipf_slope"),
         round(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("zipf_r2"))
+
+  /** Heaps'-law fit — vocabulary growth V(N) ≈ k·N^β measured in ONE
+    * pass via nested hash sampling: a document's md5 hash unit u is
+    * compared against every fraction f at once, so a word's presence
+    * in the f-sample is `min(u over its docs) < f` and the f-sample's
+    * token mass is the sum over docs with u < f — ten nested corpora
+    * from two aggregations, no ten-fold rescan. β for natural text
+    * sits ≈ 0.4–0.6; templated or synthetic corpora deviate hard, so
+    * the slope is a corpus-health signal next to [[zipfFit]]. The
+    * (V, N) points are exact integers; the log-log slope comes from
+    * regr_slope over the ≤ |fractions|-row frame (6dp). Output one
+    * row (n_points, heaps_beta, heaps_r2, plus v_100/n_100 — the
+    * full-corpus types/tokens). */
+  def heapsFit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fractions: Seq[Double] = (1 to 10).map(_ / 10.0),
+      seed: String = "heaps"): DataFrame = {
+    if (fractions.isEmpty || fractions.exists(f => f <= 0 || f > 1))
+      throw new ParameterError(s"fractions must be in (0, 1]: $fractions")
+    val u = Sampling.hashUnit(col(idCol), seed)
+    val toks = words(docs, idCol, textCol).withColumn("__u", u)
+      .localCheckpoint(eager = false) // feeds the type AND token aggs
+    // per word: the smallest doc-hash that carries it into a sample
+    val perWord = toks.groupBy(col("__s"))
+      .agg(min(col("__u")).as("__umin"))
+    val typeCounts = perWord.agg(
+      fractions.zipWithIndex.map { case (f, i) =>
+        sum(when(col("__umin") < f, 1L).otherwise(0L)).as(s"__v$i")
+      }.head, fractions.zipWithIndex.tail.map { case (f, i) =>
+        sum(when(col("__umin") < f, 1L).otherwise(0L)).as(s"__v$i")
+      }: _*)
+    val tokenCounts = toks.agg(
+      fractions.zipWithIndex.map { case (f, i) =>
+        sum(when(col("__u") < f, 1L).otherwise(0L)).as(s"__n$i")
+      }.head, fractions.zipWithIndex.tail.map { case (f, i) =>
+        sum(when(col("__u") < f, 1L).otherwise(0L)).as(s"__n$i")
+      }: _*)
+    val points = fractions.indices.map(i =>
+      s"named_struct('v', __v$i, 'n', __n$i)").mkString(", ")
+    typeCounts.crossJoin(broadcast(tokenCounts))
+      .select(explode(expr(s"array($points)")).as("__p"))
+      .select(col("__p.v").as("__v"), col("__p.n").as("__n"))
+      .where(col("__v") > 0 && col("__n") > 0)
+      .agg(
+        count(lit(1)).as("n_points"),
+        round(regr_slope(log(col("__v")), log(col("__n"))), 6)
+          .as("heaps_beta"),
+        round(regr_r2(log(col("__v")), log(col("__n"))), 6).as("heaps_r2"),
+        max(col("__v")).as("v_full"),
+        max(col("__n")).as("n_full"))
+  }
 }

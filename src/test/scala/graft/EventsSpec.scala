@@ -160,6 +160,33 @@ class EventsSpec extends SparkSpec {
       Events.conversionLag(ev, "view", "purchase", percentiles = Seq(1.5)))
   }
 
+  test("burstiness: periodic user → −1, bursty user > 0, corpus " +
+    "roll-up exact (ev15)") {
+    // A: metronome every 10 s (σ = 0 → B = −1)
+    val a = (0 to 4).map(i =>
+      (i.toLong, 1L, ts(f"2024-01-01 10:00:${i * 10}%02d")))
+    // B: three quick hits then a long silence
+    val bGaps = Seq(1L, 1L, 1L, 100L)
+    val bTimes = bGaps.scanLeft(0L)(_ + _)
+    val b = bTimes.zipWithIndex.map { case (t, i) =>
+      (100L + i, 2L, new java.sql.Timestamp(
+        ts("2024-01-01 12:00:00").getTime + t * 1000L))
+    }
+    val ev = (a ++ b).toDF("event_id", "user_id", "ts")
+    val s = Events.burstiness(ev).head
+    assert(s.getAs[Long]("n_users") == 2L)
+    val gs = bGaps.map(_ * 1e6) // µs
+    val mu = gs.sum / 4
+    val sg = math.sqrt(gs.map(g => g * g).sum / 4 - mu * mu)
+    val bB = math.rint((sg - mu) / (sg + mu) * 1e6) / 1e6
+    val expectedMean = math.rint((-1e6 + bB * 1e6) / 2) / 1e6
+    // 2µ tolerance: this replication uses rint (half-even) while the
+    // engine rounds half-up — the ORACLE pins the exact value
+    assert(math.abs(s.getAs[Double]("mean_burstiness") - expectedMean) < 2e-6)
+    assert(s.getAs[Double]("frac_bursty") == 0.5)
+    intercept[graft.ParameterError](Events.burstiness(ev, minGaps = 0))
+  }
+
   test("markovAttribution: removal effects from the K-step chain " +
     "golden; validations (ev14)") {
     // u1: view → purchase ; u2: view → (loss) ; u3: click → purchase

@@ -86,4 +86,23 @@ class VocabSpec extends SparkSpec {
     val r2 = cov * cov / (vx * vy)
     assert(math.abs(s.getAs[Double]("zipf_r2") - r2) < 1e-6)
   }
+
+  test("heapsFit: exact full-corpus endpoints, sub-linear growth, " +
+    "rerun-identical (tx26)") {
+    val rnd = new scala.util.Random(11)
+    val words = (1 to 40).map(i => s"w$i")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(20)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val s = Vocab.heapsFit(docs).head
+    assert(s.getAs[Long]("n_full") == 600L) // 30 docs × 20 tokens
+    assert(s.getAs[Long]("v_full") <= 40L && s.getAs[Long]("v_full") > 20L)
+    assert(s.getAs[Long]("n_points") >= 5L)
+    // vocabulary grows SUB-linearly in tokens
+    val beta = s.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta < 1.0)
+    val again = Vocab.heapsFit(docs).head
+    assert(again.getAs[Double]("heaps_beta") == beta)
+    intercept[ParameterError](Vocab.heapsFit(docs, fractions = Seq(1.5)))
+  }
 }
