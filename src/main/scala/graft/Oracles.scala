@@ -2757,6 +2757,76 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // EV16: activity Gini — same histogram-telescoped Lorenz algebra as
+    // the engine (HUGEINT exact), gini micro-rounded
+    "ev16_gini" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (
+        |  SELECT event_type, n, count(*) AS c FROM pu GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, n, c,
+        |    coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY n
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS rk
+        |  FROM h),
+        |blocks AS (
+        |  SELECT event_type, c,
+        |    CAST(n AS HUGEINT) * c AS s_blk,
+        |    CAST(n AS HUGEINT) *
+        |      (CAST(c AS HUGEINT) * rk + (c * (c - 1) // 2)) AS w_blk
+        |  FROM r),
+        |agg AS (
+        |  SELECT event_type, sum(c) AS n_users, sum(s_blk) AS s,
+        |    sum(w_blk) AS w
+        |  FROM blocks GROUP BY 1)
+        |SELECT event_type, n_users::BIGINT AS n_users,
+        |  s::BIGINT AS total_events,
+        |  round((2.0 * w::DOUBLE / (n_users::DOUBLE * s::DOUBLE)
+        |    - (n_users + 1)::DOUBLE / n_users) * 1e6) / 1e6 + 0.0 AS gini
+        |FROM agg""".stripMargin,
+
+    // EV17: RFM — integer metrics (days/counts/cents), value-tied
+    // quintile bins ceil(5·cum/N) over each metric histogram
+    "ev17_rfm" ->
+      """WITH anchor AS (
+        |  SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS a
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |      (SELECT a FROM anchor))) AS rec,
+        |    count(*) AS freq,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0)
+        |      AS mon
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS tot FROM pu),
+        |rb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT rec AS v, sum(count(*)) OVER (ORDER BY rec
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM pu GROUP BY rec), n),
+        |fb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT freq AS v, sum(count(*)) OVER (ORDER BY freq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM pu GROUP BY freq), n),
+        |mb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT mon AS v, sum(count(*)) OVER (ORDER BY mon
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM pu GROUP BY mon), n)
+        |SELECT rb.bin AS r_bin, fb.bin AS f_bin, mb.bin AS m_bin,
+        |  count(*)::BIGINT AS n_users,
+        |  sum(pu.mon)::BIGINT AS monetary_cents
+        |FROM pu
+        |JOIN rb ON pu.rec = rb.v
+        |JOIN fb ON pu.freq = fb.v
+        |JOIN mb ON pu.mon = mb.v
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // EV15: burstiness — exact µs gaps, decimal raw moments per user,
     // micro-requantized corpus mean
     "ev15_burstiness" ->

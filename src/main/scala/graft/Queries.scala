@@ -1429,6 +1429,16 @@ object Queries {
     "ev15_burstiness" -> ((s, dir) =>
       graft.events.Events.burstiness(events(s, dir))),
 
+    // ---- EV16: activity-concentration Gini per event type — Lorenz
+    // mass telescoped over the count histogram, no per-user ranking
+    "ev16_gini" -> ((s, dir) =>
+      graft.events.Events.activityGini(events(s, dir))),
+
+    // ---- EV17: RFM quintile segmentation with exact value-tied bins
+    // from integer histograms (no unpartitioned ntile over users)
+    "ev17_rfm" -> ((s, dir) =>
+      graft.events.Events.rfmSegments(events(s, dir))),
+
     // ---- J10: generic as-of join with staleness tolerance — each view
     // picks up the user's latest purchase value within 1 hour
     "j10_asof_tolerance" -> ((s, dir) => {

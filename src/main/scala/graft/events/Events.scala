@@ -620,4 +620,120 @@ object Events {
         sum(when(col("date") === col("__d"), 1L).otherwise(0L)).as("dau"),
         count(lit(1)).as(s"active_$window"))
   }
+
+  /** EV16: Gini coefficient of per-user activity concentration, per
+    * event type — the Lorenz-curve summary behind "1% of users generate
+    * X% of events" (and, on an LLM interaction log, "these N accounts
+    * are the scraper traffic").
+    *
+    * Computed WITHOUT ranking individual users: per-user counts are
+    * integers, so they collapse to a (type, count)→users histogram and
+    * the rank-weighted Lorenz sum telescopes per block — a run of `c`
+    * users sharing count `n` starting at rank `r` contributes
+    * n·(c·r + c·(c−1)/2) regardless of tie order. The only window runs
+    * over the HISTOGRAM (bounded by distinct per-user counts, not by
+    * users), so no per-type user sort exists anywhere: two hash aggs,
+    * one dimension-sized window, exact decimal sums. Gini =
+    * 2·W/(N·S) − (N+1)/N over ascending counts.
+    * Output (event_type, n_users, total_events, gini). */
+  def activityGini(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = events
+      .groupBy(col(typeCol), col(userCol))
+      .agg(count(lit(1)).as("__n"))
+    val hist = perUser
+      .groupBy(col(typeCol), col("__n"))
+      .agg(count(lit(1)).as("__c"))
+    val wh = Window.partitionBy(col(typeCol)).orderBy(col("__n"))
+    hist
+      .withColumn("__r", // starting rank of this count-block (1-based)
+        coalesce(sum(col("__c")).over(
+          wh.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      // triangular tie-term c·(c−1)/2 in exact long DIV (always even;
+      // long holds it up to ~3e9 users sharing one count value)
+      .withColumn("__half", expr("__c * (__c - 1) DIV 2"))
+      .withColumn("__w", // block Lorenz mass: n·Σ_{i=r}^{r+c−1} i
+        col("__n").cast(dec) *
+          (col("__c").cast(dec) * col("__r").cast(dec) +
+            col("__half").cast(dec)))
+      .groupBy(col(typeCol))
+      .agg(
+        sum(col("__c")).as("n_users"),
+        sum(col("__n").cast(dec) * col("__c").cast(dec)).as("__s"),
+        sum(col("__w")).as("__wsum"))
+      .select(
+        col(typeCol),
+        col("n_users"),
+        col("__s").cast("long").as("total_events"),
+        (round(
+          (lit(2.0) * col("__wsum").cast("double") /
+            (col("n_users").cast("double") * col("__s").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users")) * 1e6)
+          / 1e6 + 0.0).as("gini"))
+  }
+
+  /** EV17: RFM segmentation (recency / frequency / monetary quintiles)
+    * — the classic lifecycle segmentation, computed with EXACT
+    * value-tied quantile bins instead of `ntile`: an unpartitioned
+    * ntile over every user is a single-task global sort at scale, so
+    * each metric is first quantized to integers (days / counts /
+    * cents), collapsed to a value→users histogram, and the bin of a
+    * value-block is ceil(5·cum/N) over the histogram's cumulative
+    * count — ties share a bin by construction, results are invariant
+    * to partitioning, and the only windows run over the histograms
+    * (bounded by distinct metric values). Users join their bins back
+    * on the metric value (histogram side is value-distinct; broadcast
+    * when small). Recency bin 1 = most recent fifth; frequency and
+    * monetary bin 5 = heaviest fifth. Monetary sums `valueCol` over
+    * `monetaryType` events only (0 for users without any).
+    * Output one row per populated (r_bin, f_bin, m_bin) segment:
+    * (r_bin, f_bin, m_bin, n_users, monetary_cents). */
+  def rfmSegments(
+      events: DataFrame,
+      monetaryType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val anchor = events.agg(max(to_date(col(tsCol).cast("timestamp")))
+      .as("__anchor"))
+    val perUser = events
+      .crossJoin(broadcast(anchor))
+      .groupBy(col(userCol))
+      .agg(
+        min(datediff(col("__anchor"), to_date(col(tsCol).cast("timestamp"))))
+          .cast("long").as("__rec"),
+        count(lit(1)).as("__freq"),
+        coalesce(sum(when(col(typeCol) === monetaryType,
+          round(col(valueCol) * 100).cast("long")).otherwise(0L)), lit(0L))
+          .as("__mon"))
+      .localCheckpoint(eager = false) // feeds three histograms + the join
+    // value-tied quintile bin over a metric's integer histogram:
+    // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
+    // ascending — so the largest fifth lands in bin 5 for every metric
+    // (for recency "largest" = stalest days, i.e. bin 1 = most recent)
+    def bins(metric: String): DataFrame = {
+      val wv = Window.orderBy(col(metric).asc) // over the HISTOGRAM, not users
+      perUser.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          wv.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__tot", sum(col("__c")).over(
+          wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(metric),
+          (floor((col("__cum") * 5 - 1) / col("__tot")) + 1)
+            .cast("long").as(s"${metric}_bin"))
+    }
+    perUser
+      .join(broadcast(bins("__rec")), "__rec")
+      .join(broadcast(bins("__freq")), "__freq")
+      .join(broadcast(bins("__mon")), "__mon")
+      .groupBy(
+        col("__rec_bin").as("r_bin"),
+        col("__freq_bin").as("f_bin"),
+        col("__mon_bin").as("m_bin"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__mon")).as("monetary_cents"))
+  }
 }

@@ -320,4 +320,48 @@ class EventsSpec extends SparkSpec {
     assert(out.size == 5)
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
+
+  test("activityGini: histogram-telescoped Lorenz mass matches the " +
+    "textbook rank form; uniform counts give gini 0 (ev16)") {
+    // counts [1,1,1,1,6]: N=5, S=10, W=1+2+3+4+30=40 → G=0.4
+    val ev = ((1L to 4L).map(u => (u, u, ts("2024-01-01 10:00:00"), "view")) ++
+      (5L to 10L).map(i => (i + 10L, 5L, ts("2024-01-01 10:00:00"), "view")))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val g = Events.activityGini(ev).head
+    assert(g.getAs[Long]("n_users") == 5L)
+    assert(g.getAs[Long]("total_events") == 10L)
+    assert(math.abs(g.getAs[Double]("gini") - 0.4) < 1e-9)
+    // perfectly uniform activity → 0 concentration
+    val uni = (1L to 6L).map(u => (u, (u - 1) / 2 + 1, // 3 users × 2 events
+      ts("2024-01-01 10:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    assert(Events.activityGini(uni).head.getAs[Double]("gini") == 0.0)
+  }
+
+  test("rfmSegments: value-tied quintile bins — ties share a bin, " +
+    "heaviest fifth lands in bin 5, recency bin 1 is most recent (ev17)") {
+    // 5 users, distinct frequencies 1..5 (user u emits u events), user 5
+    // most recent, user 1 stalest; only user 5 purchases
+    val ev = (1L to 5L).flatMap { u =>
+      (1L to u).map { i =>
+        (u * 100 + i, u, ts(s"2024-01-0$u 10:00:00"),
+          if (u == 5L && i == 1L) "purchase" else "view", 12.345)
+      }
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.rfmSegments(ev).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == 5L)
+    // user 5: most events (f_bin 5), most recent (r_bin 1), only payer
+    // (m_bin 5), monetary 1235 cents (round half-up of 1234.5)
+    val payer = rows.find(_.getAs[Long]("monetary_cents") > 0).get
+    assert(payer.getAs[Long]("f_bin") == 5L)
+    assert(payer.getAs[Long]("r_bin") == 1L)
+    assert(payer.getAs[Long]("m_bin") == 5L)
+    assert(payer.getAs[Long]("monetary_cents") == 1235L)
+    // user 1: one event, stalest → r_bin 5, f_bin 1; zero monetary ties
+    // with users 1-4 → they share ONE m_bin (value-tied binning), and
+    // 4 of 5 users ⇒ ceil(5·4/5) = bin 4
+    val stale = rows.find(r => r.getAs[Long]("f_bin") == 1L).get
+    assert(stale.getAs[Long]("r_bin") == 5L)
+    assert(stale.getAs[Long]("m_bin") == 4L)
+  }
 }
