@@ -2282,6 +2282,37 @@ object Oracles {
         |       CAST(i AS INT) AS slice_idx, slice_time, quantity
         |FROM sl WHERE quantity > 0""".stripMargin,
 
+    // D32: Almgren-Chriss — the sinh schedule fractions are computed
+    // HERE with the same JVM arithmetic the engine uses (Math.sinh,
+    // 12-dp rint) and inlined as literals, so both engines quantize
+    // shares from bit-identical constants
+    "d32_almgren" -> {
+      val n = 3; val kT = 2.0
+      val f = (0 to n).map(j => math.rint(math.sinh(kT * (n - j).toDouble / n) /
+        math.sinh(kT) * 1e12) / 1e12)
+      s"""WITH stubs AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
+        |         'demo' AS "orderRef", CAST(round(s_acctbal) AS BIGINT) AS tq
+        |  FROM supplier WHERE s_acctbal > 0),
+        |parents AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY sid, account) - 1 AS VARCHAR)
+        |            || '.0' AS pid
+        |  FROM stubs),
+        |sl AS (
+        |  SELECT p.*, t.i,
+        |    CASE t.i WHEN 0 THEN '09:30:00' WHEN 1 THEN '12:00:00'
+        |             ELSE '15:30:00' END AS slice_time,
+        |    CAST(round(tq * (CASE t.i WHEN 0 THEN ${f(0)} WHEN 1 THEN ${f(1)}
+        |                     ELSE ${f(2)} END)) AS BIGINT)
+        |    - CAST(round(tq * (CASE t.i WHEN 0 THEN ${f(1)} WHEN 1 THEN ${f(2)}
+        |                       ELSE ${f(3)} END)) AS BIGINT) AS quantity
+        |  FROM parents p CROSS JOIN range(0, 3) t(i))
+        |SELECT sid, account, action, "orderRef", pid AS "parentId",
+        |       CAST(i AS INT) AS slice_idx, slice_time, quantity
+        |FROM sl WHERE quantity > 0""".stripMargin
+    },
+
     // J9: interval overlap replayed as the plain predicate join
     "j9_overlap_join" ->
       """WITH e AS (
@@ -3204,6 +3235,44 @@ object Oracles {
          |  round(sum(CAST(round(abs(er - mp) * 1e6) AS HUGEINT)
          |          * CAST(n AS HUGEINT))::DOUBLE / sum(n) / 1e6, 6) AS ece
          |FROM cb""".stripMargin,
+
+    // ML22: Brier decomposition — pico-quantized per-row/per-bin terms,
+    // resolution via the one-pass identity Σn·ȳ_k² − N·ȳ²
+    "ml22_brier" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |cb AS (
+         |  SELECT CAST(least(floor(s * 10), 9) AS BIGINT) AS bin,
+         |    count(*)::BIGINT AS n,
+         |    CAST(sum(y) AS BIGINT) AS p,
+         |    CAST(sum(CAST(round(s * 1e12) AS BIGINT)) AS HUGEINT) AS ssum,
+         |    CAST(sum(CAST(round((s - y) * (s - y) * 1e12) AS BIGINT))
+         |      AS HUGEINT) AS sq
+         |  FROM pr GROUP BY 1),
+         |cb2 AS (
+         |  SELECT n, p, sq,
+         |    ssum::DOUBLE / 1e12 / n AS mean, p::DOUBLE / n AS rate
+         |  FROM cb),
+         |ag AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n, count(*)::BIGINT AS n_bins,
+         |    sum(sq) AS b, CAST(sum(p) AS BIGINT) AS ptot,
+         |    sum(CAST(round((mean - rate) * (mean - rate) * 1e12)
+         |      AS HUGEINT) * CAST(n AS HUGEINT)) AS rel,
+         |    sum(CAST(round(rate * rate * 1e12) AS HUGEINT)
+         |      * CAST(n AS HUGEINT)) AS r2
+         |  FROM cb2)
+         |SELECT n, n_bins,
+         |  round(b::DOUBLE / 1e12 / n, 6) AS brier,
+         |  round(rel::DOUBLE / 1e12 / n, 6) AS reliability,
+         |  round(greatest(r2::DOUBLE / 1e12 / n
+         |    - (ptot::DOUBLE / n) * (ptot::DOUBLE / n), 0.0), 6)
+         |    AS resolution,
+         |  round((ptot::DOUBLE / n) * (1.0 - ptot::DOUBLE / n), 6)
+         |    AS uncertainty
+         |FROM ag""".stripMargin,
 
     // ML16: Cohen's kappa — exact-integer observed/expected agreement,
     // one division

@@ -1133,6 +1133,20 @@ object Queries {
         times = Seq("09:30:00", "12:00:00", "15:30:00"), suffix = "0")
     }),
 
+    // ---- D32: Almgren-Chriss risk-averse execution schedule — sinh
+    // trajectory front-loads vs d28's uniform TWAP on the same stubs
+    "d32_almgren" -> ((s, dir) => {
+      val stubs = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"), lit("U1").as("account"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
+          lit("demo").as("orderRef"),
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
+      Trade.almgrenSlices(stubs,
+        times = Seq("09:30:00", "12:00:00", "15:30:00"), kappaT = 2.0,
+        suffix = "0")
+    }),
+
     // regression metrics in a normalized label space (micro-quantized
     // residuals stay integer-exact in a BIGINT oracle)
     "ml7_regression" -> ((s, dir) => {
@@ -1658,6 +1672,11 @@ object Queries {
     // ---- ML15: expected calibration error over the ml5 bins
     "ml15_ece" -> ((s, dir) =>
       graft.ml.Evaluation.expectedCalibrationError(scoredPanel(s, dir))),
+
+    // ---- ML22: Murphy decomposition of the Brier score — calibration
+    // (reliability), skill (resolution), and the base-rate floor
+    "ml22_brier" -> ((s, dir) =>
+      graft.ml.Evaluation.brierDecomposition(scoredPanel(s, dir))),
 
     // ---- ML16: Cohen's kappa — the 0.5-thresholded score as a second
     // rater against the label (chance-corrected agreement, exact ints)

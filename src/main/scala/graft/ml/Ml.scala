@@ -386,6 +386,71 @@ object Evaluation {
         round(col("__w").cast("double") / col("n") / 1e6, 6).as("ece"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973): raw Brier
+    * plus its binned reliability / resolution / uncertainty terms —
+    * reliability is the calibration gap [[expectedCalibrationError]]
+    * squares, resolution is how far the bins' event rates spread from
+    * the base rate (the skill), and uncertainty ȳ(1−ȳ) is the
+    * irreducible floor. For within-bin-constant forecasts,
+    * brier = reliability − resolution + uncertainty exactly; for
+    * continuous scores the identity holds up to within-bin variance
+    * (documented, matching the standard verification practice).
+    *
+    * Exactness: per-row (s−y)² and per-bin squared gaps are pico-
+    * quantized before the distributed sums (decimal accumulation), so
+    * every term is partitioning-invariant; the base rate is a ratio of
+    * exact integer counts. Two hash aggregations (rows → bins → one
+    * row), no windows, no joins.
+    * Output (n, n_bins, brier, reliability, resolution, uncertainty). */
+  def brierDecomposition(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label",
+      bins: Int = 10): DataFrame = {
+    if (bins < 1) throw new ParameterError(s"bins must be >= 1: $bins")
+    val dec = DecimalType(38, 0)
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val perBin = preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(least(floor(col("__s") * bins), lit(bins - 1)).cast("long")
+        .as("__bin"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__y")).as("__p"),
+        sum(round(col("__s") * 1e12).cast(dec)).as("__ssum"),
+        sum(round((col("__s") - col("__y")) * (col("__s") - col("__y"))
+          * 1e12).cast(dec)).as("__sq"))
+      .withColumn("__rate", col("__p").cast("double") / col("__n"))
+      .withColumn("__mean", col("__ssum").cast("double") / 1e12 / col("__n"))
+    perBin
+      .agg(
+        sum(col("__n")).as("n"),
+        count(lit(1)).as("n_bins"),
+        sum(col("__sq")).as("__b"),
+        sum(col("__p")).as("__ptot"),
+        sum(round((col("__mean") - col("__rate")) *
+          (col("__mean") - col("__rate")) * 1e12).cast(dec)
+          * col("__n").cast(dec)).as("__rel"),
+        // resolution needs the global base rate — exact integer ratio,
+        // folded in below via Σ n_k·ȳ_k² − N·ȳ² (one-pass identity)
+        sum(round(col("__rate") * col("__rate") * 1e12).cast(dec)
+          * col("__n").cast(dec)).as("__r2"))
+      .withColumn("__base", col("__ptot").cast("double") / col("n"))
+      .select(
+        col("n"), col("n_bins"),
+        round(col("__b").cast("double") / 1e12 / col("n"), 6).as("brier"),
+        round(col("__rel").cast("double") / 1e12 / col("n"), 6)
+          .as("reliability"),
+        round(greatest(
+          col("__r2").cast("double") / 1e12 / col("n") -
+            col("__base") * col("__base"), lit(0.0)), 6).as("resolution"),
+        round(col("__base") * (lit(1.0) - col("__base")), 6)
+          .as("uncertainty"))
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * agreement for label-QC (two annotators, or a new classifier vs
     * the incumbent). Because both the observed and the expected

@@ -392,6 +392,56 @@ object Trade {
         col("__s.quantity").as("quantity"))
   }
 
+  /** D32: Almgren-Chriss optimal execution schedule (Almgren & Chriss
+    * 2000, closed form): remaining holdings after slice j follow
+    * sinh(κT·(1−j/N))/sinh(κT) — risk aversion front-loads the
+    * schedule; κT → 0 recovers [[twapSlices]]' uniform trajectory.
+    * `kappaT` is the dimensionless urgency κ·T (callers calibrate it
+    * from λσ²/η off-line; the engine takes the shape parameter, not a
+    * market-impact model).
+    *
+    * The N schedule fractions are DRIVER-side constants (rounded to 12
+    * dp before quantizing shares, so the integer schedule is exact and
+    * engine-independent); per-order slice quantities telescope from
+    * rounded remaining-holdings — they sum to totalQuantity exactly and
+    * are non-negative because rounding preserves monotonicity. Same
+    * bounded explode shape as [[twapSlices]]; zero slices dropped.
+    * Output (sid, account, action, orderRef, parentId, slice_idx,
+    * slice_time, quantity). */
+  def almgrenSlices(
+      stubs: DataFrame,
+      times: Seq[String],
+      kappaT: Double,
+      suffix: String = (System.currentTimeMillis / 1000L).toString): DataFrame = {
+    if (times.isEmpty)
+      throw new ParameterError("almgrenSlices needs at least one execution time")
+    if (times.distinct.size != times.size)
+      throw new ParameterError(s"duplicate execution times: ${times.mkString(", ")}")
+    if (kappaT <= 0)
+      throw new ParameterError(s"kappaT must be positive: $kappaT")
+    val n = times.length
+    // remaining fraction AFTER slice j (j = 0 → 1.0, j = N → 0.0)
+    val frac: Int => Double = j =>
+      math.rint(math.sinh(kappaT * (n - j).toDouble / n) /
+        math.sinh(kappaT) * 1e12) / 1e12
+    def remaining(j: Int) =
+      round(col("totalQuantity") * lit(frac(j))).cast("long")
+    val slices = array(times.zipWithIndex.map { case (t, i) =>
+      struct(
+        lit(i).as("slice_idx"),
+        lit(t).as("slice_time"),
+        (remaining(i) - remaining(i + 1)).as("quantity"))
+    }: _*)
+    withOrderIds(stubs, suffix)
+      .select(col("sid"), col("account"), col("action"), col("orderRef"),
+        col("orderId").as("parentId"), explode(slices).as("__s"))
+      .where(col("__s.quantity") > 0)
+      .select(col("sid"), col("account"), col("action"), col("orderRef"),
+        col("parentId"), col("__s.slice_idx").as("slice_idx"),
+        col("__s.slice_time").as("slice_time"),
+        col("__s.quantity").as("quantity"))
+  }
+
   /** Live entry point: resolve the signal date/time (reviewDate >
     * CALENDAR > strategy-timezone-now, base.py:738-757), validate price
     * freshness (with the calendar hint on a one-day gap,

@@ -486,6 +486,32 @@ class MlSpec extends SparkSpec {
       .head.getAs[Double]("ece") == 0.0)
   }
 
+  test("brierDecomposition: Murphy identity holds exactly for bin-" +
+    "constant forecasts; perfect hard forecasts zero everything but " +
+    "resolution (ml22)") {
+    // bin-constant scores → brier = rel − res + unc exactly
+    val preds = Seq(
+      (0.15, 1L), (0.15, 0L), (0.15, 0L), (0.15, 0L), (0.85, 1L))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.brierDecomposition(preds).head
+    val (b, rel, res, unc) = (s.getAs[Double]("brier"),
+      s.getAs[Double]("reliability"), s.getAs[Double]("resolution"),
+      s.getAs[Double]("uncertainty"))
+    // brier = (0.85² + 3·0.15² + 0.15²)/5 = 0.1625
+    assert(math.abs(b - 0.1625) < 1e-9)
+    assert(math.abs(b - (rel - res + unc)) < 1e-6)
+    // ȳ = 0.4 → unc = 0.24; rates .25/1 vs base .4 → res = (4·.0225+1·.36)/5
+    assert(unc == 0.24)
+    assert(math.abs(res - 0.09) < 1e-6)
+    // oracle-style hard forecasts: reliability 0, resolution = unc
+    val hard = Seq((0.0, 0L), (0.0, 0L), (1.0, 1L), (1.0, 1L))
+      .toDF("prediction", "label")
+    val h = graft.ml.Evaluation.brierDecomposition(hard).head
+    assert(h.getAs[Double]("brier") == 0.0)
+    assert(h.getAs[Double]("reliability") == 0.0)
+    assert(h.getAs[Double]("resolution") == h.getAs[Double]("uncertainty"))
+  }
+
   test("cohenKappa: exact-integer chance correction; constant raters " +
     "→ null; null labels dropped (ml16)") {
     // confusion: a=1∩b=1: 2, a=0∩b=0: 1, a=1∩b=0: 1 → po = 3/4

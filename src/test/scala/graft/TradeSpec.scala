@@ -286,6 +286,29 @@ class TradeSpec extends SparkSpec {
     intercept[graft.ParameterError](Trade.twapSlices(stubs, Nil))
   }
 
+  test("almgrenSlices: sinh schedule front-loads, slices telescope to " +
+    "the full quantity, zero tails dropped (d32)") {
+    val stubs = Seq(("S1", "U1", "BUY", "demo", 1000L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val times = Seq("09:30:00", "12:00:00", "15:30:00")
+    val qty = Trade.almgrenSlices(stubs, times, kappaT = 2.0, suffix = "7")
+      .collect().map(r => r.getAs[Int]("slice_idx") -> r.getAs[Long]("quantity"))
+      .toMap
+    // fractions sinh(2(3−j)/3)/sinh(2): 1, .5178…, .1994… → 482/318/200-ish
+    assert(qty.values.sum == 1000L)
+    assert(qty(0) > qty(1) && qty(1) > qty(2)) // risk aversion front-loads
+    val f1 = math.rint(math.sinh(2.0 * 2 / 3) / math.sinh(2.0) * 1e12) / 1e12
+    assert(qty(0) == 1000L - math.rint(1000 * f1).toLong)
+    // a tiny order trades only its leading slices — zero tail dropped
+    val tiny = Seq(("S2", "U1", "BUY", "demo", 1L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val tq = Trade.almgrenSlices(tiny, times, kappaT = 2.0, suffix = "7")
+      .collect()
+    assert(tq.map(_.getAs[Long]("quantity")).sum == 1L && tq.length == 1)
+    intercept[graft.ParameterError](
+      Trade.almgrenSlices(stubs, times, kappaT = 0.0))
+  }
+
   test("capByParticipation: floor clamp at rate·ADV, missing ADV drops " +
     "the order, flags only clamped rows (d29)") {
     val stubs = Seq(
