@@ -1162,6 +1162,64 @@ object TextOracles {
          |SELECT a AS doc_id, min(b) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // DD23: soft-dedup weights — the dd7 closure labels clusters, then
+    // every doc weighs 1/|cluster| (1 when unclustered)
+    "dd23_soft_weights" ->
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster, count(*) AS cs FROM clusters GROUP BY 1)
+         |SELECT d.doc_id, coalesce(s.cs, 1)::BIGINT AS cluster_size,
+         |  round(1.0 / coalesce(s.cs, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN clusters c ON d.doc_id = c.id
+         |LEFT JOIN sizes s ON c.cluster = s.cluster""".stripMargin,
+
+    // TX25: per-source boilerplate removal — line doc-frequency within
+    // the source, full-occurrence removal past the 50% threshold
+    "tx25_boilerplate" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'Visit ' || source || '.example.com' ||
+        |    chr(10) || 'row ' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, source, string_split(text, chr(10)) AS a
+        |       FROM planted),
+        |ln AS (
+        |  SELECT doc_id, source, s.i AS p, s.l AS l FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(a, (x, i) -> {'i': i, 'l': x})) AS s
+        |    FROM ls)
+        |  WHERE trim(s.l) <> ''),
+        |tot AS (SELECT source, count(*) AS docs FROM planted GROUP BY 1),
+        |df AS (
+        |  SELECT source, l, count(DISTINCT doc_id) AS df FROM ln
+        |  GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT df.source, df.l FROM df JOIN tot USING (source)
+        |  WHERE df.df >= 2 AND df.df >= tot.docs * 0.5)
+        |SELECT ln.doc_id, ln.source,
+        |  md5(string_agg(ln.l, chr(10) ORDER BY ln.p)) AS text_md5
+        |FROM ln
+        |LEFT JOIN boiler b ON ln.source = b.source AND ln.l = b.l
+        |WHERE b.l IS NULL
+        |GROUP BY 1, 2""".stripMargin,
+
     // dd7+dd8 composed from ONE closure: every doc labeled with its
     // component minimum (itself when unclustered), survivor = canonical
     "pipeline_dedup" ->

@@ -429,6 +429,27 @@ object TextQueries {
       Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
     }),
 
+    // ---- DD23: soft dedup — 1/|cluster| sampling weights instead of
+    // dropping (repetition-aware curation; feeds sp10 weightedSample)
+    "dd23_soft_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.softDedupWeights(docs,
+        Dedup.duplicateClusters(Dedup.nearDuplicates(docs, threshold = 0.5)))
+    }),
+
+    // ---- TX25: per-source boilerplate-line removal — every doc gets a
+    // planted source footer (appears in 100% of the source's docs →
+    // removed everywhere) plus a unique row line (kept)
+    "tx25_boilerplate" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        concat(col("text"),
+          lit("\nVisit "), col("source"), lit(".example.com"),
+          lit("\nrow "), col("doc_id")).as("text"))
+      Dedup.dropBoilerplateLines(planted)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"))
+    }),
+
     // how a real pipeline composes dd7+dd8: ONE clustering run (the
     // candidate+verify+propagation pipeline executes once — its edge
     // list is checkpointed inside duplicateClusters) labels every doc

@@ -944,6 +944,55 @@ object Dedup {
         concat_ws("\n", transform(col("__a"), e => e.getField("__l"))).as(textCol))
   }
 
+  /** Per-source boilerplate-line removal (the RefinedWeb/CCNet policy
+    * distinct from [[dropDuplicateLines]]' keep-first): a line is
+    * boilerplate within a source when it occurs in at least `minDocs`
+    * documents AND in at least `fracDocs` of that source's documents —
+    * then EVERY occurrence is removed (a nav bar is noise in the first
+    * page too, which keep-first cannot express). Documents whose every
+    * line is boilerplate disappear. Returns (id, source, text).
+    *
+    * Scale shape: one posexplode (volume-linear) → distinct on
+    * (source, line-hash, doc) → count per (source, line-hash) joined
+    * against the per-source doc totals (|sources|-bounded broadcast) →
+    * the boilerplate set is (source, hash)-distinct with mass ∝ lines
+    * repeated past the threshold, anti-joined back on the uniformly
+    * distributed hash key → sorted-struct reassembly. Three linear
+    * shuffles, no pair joins, no windows over unbounded groups. */
+  def dropBoilerplateLines(
+      docs: DataFrame,
+      minDocs: Int = 2,
+      fracDocs: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    if (minDocs < 1)
+      throw new graft.ParameterError(s"minDocs must be >= 1: $minDocs")
+    if (fracDocs <= 0 || fracDocs > 1)
+      throw new graft.ParameterError(s"fracDocs must be in (0, 1]: $fracDocs")
+    val ln = docs
+      .select(col(idCol), col(sourceCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__l")))
+      .where(trim(col("__l")) =!= "")
+      .withColumn("__h", md5(col("__l")))
+    val srcTotals = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__docs"))
+    val boiler = ln
+      .select(col(sourceCol), col("__h"), col(idCol)).distinct()
+      .groupBy(col(sourceCol), col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .join(broadcast(srcTotals), sourceCol)
+      .where(col("__df") >= minDocs &&
+        col("__df") >= col("__docs") * fracDocs)
+      .select(col(sourceCol), col("__h"))
+    ln
+      .join(boiler, Seq(sourceCol, "__h"), "left_anti")
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(array_sort(collect_list(struct(col("__p"), col("__l")))).as("__a"))
+      .select(col(idCol), col(sourceCol),
+        concat_ws("\n", transform(col("__a"), e => e.getField("__l"))).as(textCol))
+  }
+
   /** Duplicate clustering: connected components over verified near-dup
     * pairs, labeling every clustered doc with the MINIMUM id of its
     * component (the canonical survivor). Returns (id, cluster).
@@ -1042,6 +1091,33 @@ object Dedup {
       .where(col("__rn") > 1)
       .select(col(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Soft deduplication: instead of DROPPING near-duplicates, every doc
+    * gets a sampling weight 1/|cluster| (1.0 for unclustered docs) — a
+    * cluster of n near-identical pages contributes one doc's worth of
+    * probability mass in expectation. This is the repetition-aware
+    * alternative to hard dedup used when duplicates carry signal
+    * (popularity, canonical phrasing) that outright removal destroys;
+    * feed the weights to [[graft.text.Sampling.weightedSample]].
+    *
+    * Plan: cluster sizes are one hash agg over the clusters frame
+    * (mass ∝ duplicates), then two left joins back onto the corpus ids
+    * — both join keys are cluster labels/doc ids, the size side is
+    * duplicate-mass-bounded. Returns (id, cluster_size, weight). */
+  def softDedupWeights(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__cs"))
+    docs.select(col(idCol))
+      .join(clusters.select(col("id").as(idCol), col("cluster")),
+        Seq(idCol), "left")
+      .join(sizes, Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("__cs"), lit(1L)).as("cluster_size"),
+        round(lit(1.0) / coalesce(col("__cs"), lit(1L)), 6).as("weight"))
   }
 
   /** Per-word hash for simhash voting: ≤32 bits come from the first 8

@@ -509,6 +509,44 @@ class DedupSimSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
+  test("dropBoilerplateLines removes EVERY occurrence of a line past the " +
+    "per-source frequency threshold; other sources keep theirs (tx25)") {
+    val docs = Seq(
+      (1L, "s1", "body one\nnav bar\nfooter"),
+      (2L, "s1", "body two\nnav bar\nfooter"),
+      (3L, "s1", "body three\nnav bar"),
+      (4L, "s2", "nav bar\nother body")) // 1 of 1 s2 docs but minDocs=2
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dropBoilerplateLines(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // "nav bar" in 3/3 s1 docs → gone everywhere in s1 (incl. doc 1);
+    // "footer" in 2/3 ≥ 50% → gone; bodies unique → kept
+    assert(out(1L) == "body one")
+    assert(out(2L) == "body two")
+    assert(out(3L) == "body three")
+    // s2 has one doc: its nav bar misses minDocs=2 and survives
+    assert(out(4L) == "nav bar\nother body")
+    // a doc that is pure boilerplate disappears
+    val pure = Seq((1L, "s1", "x"), (2L, "s1", "x")).toDF("doc_id", "source", "text")
+    assert(Dedup.dropBoilerplateLines(pure).count() == 0L)
+    intercept[graft.ParameterError](Dedup.dropBoilerplateLines(docs, minDocs = 0))
+    intercept[graft.ParameterError](Dedup.dropBoilerplateLines(docs, fracDocs = 1.5))
+  }
+
+  test("softDedupWeights: clustered docs weigh 1/|cluster|, unclustered " +
+    "1.0; total weight = unique-doc mass (dd23)") {
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val out = Dedup.softDedupWeights(docs, clusters)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("cluster_size"), r.getAs[Double]("weight")))).toMap
+    assert(out(1L) == ((3L, 0.333333)) && out(2L) == ((3L, 0.333333)))
+    assert(out(4L) == ((1L, 1.0)) && out(5L) == ((1L, 1.0)))
+    // expected mass: one cluster + two singletons ≈ 3 docs
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 2.999999) < 1e-9)
+  }
+
   test("ngramOverlap plan shape: eval grams broadcast, corpus never " +
     "pair-joins the reference") {
     val eval = Seq((1L, "alpha beta gamma delta epsilon"))
