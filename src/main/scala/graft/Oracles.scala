@@ -1794,6 +1794,97 @@ object Oracles {
          |    END, 6) + 0.0 AS corr
          |FROM st""".stripMargin,
 
+    // W22: Hurst — micro block sums, decimal per-scale moments, nano
+    // log-log points, integer OLS sums
+    "w22_hurst" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date,
+         |    CAST(round(ln(close / lag(close)
+         |      OVER (PARTITION BY sid ORDER BY date)) * 1e6) AS BIGINT) AS r
+         |  FROM panel),
+         |rn AS (
+         |  SELECT sid, r,
+         |    row_number() OVER (PARTITION BY sid ORDER BY date) - 1 AS rn
+         |  FROM rr WHERE r IS NOT NULL),
+         |b AS (
+         |  SELECT sid, k, rn // k AS blk, count(*) AS c, sum(r) AS bs
+         |  FROM rn CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k) sc
+         |  GROUP BY 1, 2, 3),
+         |vb AS (
+         |  SELECT sid, k, count(*) AS nb, sum(bs::HUGEINT) AS s,
+         |         sum(bs::HUGEINT * bs) AS ss
+         |  FROM b WHERE c = k GROUP BY 1, 2),
+         |vk AS (
+         |  SELECT sid, k,
+         |    (nb * ss - s * s)::DOUBLE / (nb::DOUBLE * (nb - 1)) AS var
+         |  FROM vb WHERE nb >= 2),
+         |pt AS (
+         |  SELECT sid, CAST(round(ln(k::DOUBLE) * 1e9) AS BIGINT) AS lk,
+         |         CAST(round(ln(var) * 1e9) AS BIGINT) AS lv
+         |  FROM vk WHERE var > 0),
+         |ag AS (
+         |  SELECT sid, count(*) AS ns, sum(lk) AS slk, sum(lv) AS slv,
+         |         sum(lk::HUGEINT * lk) AS slkk,
+         |         sum(lk::HUGEINT * lv) AS slkv
+         |  FROM pt GROUP BY 1)
+         |SELECT sid, ns::BIGINT AS n_scales,
+         |  round(CASE WHEN ns >= 2 AND ns * slkk - slk * slk <> 0
+         |        THEN (ns * slkv - slk * slv)::DOUBLE
+         |           / (ns * slkk - slk * slk)::DOUBLE / 2 END, 6) + 0.0
+         |    AS hurst
+         |FROM ag""".stripMargin,
+
+    // COINT1: Engle-Granger — micro log prices, decimal OLS moments,
+    // residuals re-quantized before the DW sums (mirrors the engine)
+    "coint1_pairs" ->
+      s"""WITH $panelCte,
+         |m AS (
+         |  SELECT CAST(sid AS VARCHAR) AS s, date,
+         |         CAST(round(ln(close) * 1e6) AS BIGINT) AS v
+         |  FROM panel
+         |  WHERE close > 0 AND CAST(sid AS VARCHAR) IN ('1','2','3','4')),
+         |pj AS (
+         |  SELECT a.s AS sa, b.s AS sb, a.date AS date, a.v AS y, b.v AS x
+         |  FROM m a JOIN m b
+         |    ON a.date = b.date AND CAST(a.s AS BIGINT) < CAST(b.s AS BIGINT)),
+         |st AS (
+         |  SELECT sa, sb, count(*) AS n, sum(x::HUGEINT) AS sx,
+         |         sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx,
+         |         sum(x::HUGEINT * y) AS sxy
+         |  FROM pj GROUP BY 1, 2),
+         |co AS (
+         |  SELECT sa, sb, n, sx, sy,
+         |    CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
+         |         THEN (n * sxy - sx * sy)::DOUBLE
+         |            / (n * sxx - sx * sx)::DOUBLE END AS beta
+         |  FROM st),
+         |co2 AS (
+         |  SELECT *, (sy::DOUBLE - beta * sx::DOUBLE) / n::DOUBLE AS alpha
+         |  FROM co),
+         |er AS (
+         |  SELECT p.sa, p.sb, p.date,
+         |    CAST(round(p.y - c.alpha - c.beta * p.x) AS BIGINT) AS e
+         |  FROM pj p JOIN co2 c ON p.sa = c.sa AND p.sb = c.sb
+         |  WHERE c.beta IS NOT NULL),
+         |ed AS (
+         |  SELECT sa, sb, e,
+         |    e - lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS d
+         |  FROM er),
+         |ag AS (
+         |  SELECT sa, sb, sum(e::HUGEINT * e) AS see,
+         |         sum(d::HUGEINT * d) AS sdd
+         |  FROM ed GROUP BY 1, 2)
+         |SELECT c.sa AS sid_a, c.sb AS sid_b, CAST(c.n AS BIGINT) AS n,
+         |  round(c.beta, 6) + 0.0 AS beta,
+         |  round(c.alpha / 1e6, 6) + 0.0 AS alpha,
+         |  round(CASE WHEN see > 0 THEN sdd::DOUBLE / see::DOUBLE END, 6)
+         |    + 0.0 AS crdw,
+         |  round(sqrt(see::DOUBLE / c.n::DOUBLE) / 1e6, 6) + 0.0
+         |    AS resid_std
+         |FROM co2 c
+         |LEFT JOIN ag ON c.sa = ag.sa AND c.sb = ag.sb""".stripMargin,
+
     // portfolio combination: two damped demo books, fixed-order blend
     "port1_combined" ->
       s"""WITH $panelCte,

@@ -573,6 +573,21 @@ object Queries {
       Panel.correlationMatrix(p, col("ret"), Seq("1", "2", "3", "4"))
     }),
 
+    // ---- W22: Hurst exponent — aggregated-variance log-log slope
+    // across block scales (persistence/mean-reversion regime)
+    "w22_hurst" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.hurstExponent(supplierPanel(s, dir))
+    }),
+
+    // ---- COINT1: Engle-Granger pairs screen — log-price OLS hedge
+    // ratio + CRDW residual stationarity statistic per pair
+    "coint1_pairs" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.cointegrationScreen(
+        supplierPanel(s, dir), col("close"), Seq("1", "2", "3", "4"))
+    }),
+
     // ---- portfolio combination: 0.6/0.4 blend of the close<30000 and
     // close<15000 demo books' daily returns
     "port1_combined" -> ((s, dir) => {

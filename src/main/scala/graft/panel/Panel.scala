@@ -234,6 +234,85 @@ object Panel {
           6).as(s"vr_$q"))
   }
 
+  /** W22: Hurst exponent via the aggregated-variance method (Taqqu,
+    * Teverovsky & Willinger 1995): per sid, log returns are summed over
+    * non-overlapping blocks of k ∈ `scales`; for self-similar series
+    * Var(block sum) ∝ k^2H, so H is half the OLS slope of ln Var_k on
+    * ln k. H ≈ 0.5 random walk, > 0.5 trending/persistent, < 0.5
+    * mean-reverting — the regime diagnostic behind [[varianceRatio]],
+    * summarized across scales instead of at one q.
+    *
+    * Exactness: returns are micro-quantized longs, block sums exact,
+    * per-scale variance from decimal moments; the ≤|scales| log-log
+    * points are nano-quantized before the per-sid OLS sums, so the
+    * tiny final aggregation is integer-exact too (a 4-double sum
+    * would be partitioning-order noise). Plan: one window pass (lag +
+    * row_number), a bounded explode (×|scales|), two hash aggs, no
+    * joins. Incomplete trailing blocks are dropped; scales with < 2
+    * complete blocks or zero variance contribute no point; sids with
+    * < 2 points yield null. Output (sid, n_scales, hurst). */
+  def hurstExponent(
+      df: DataFrame,
+      scales: Seq[Int] = Seq(1, 2, 4, 8),
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(scales.size >= 2, s"need at least 2 scales: $scales")
+    require(scales.forall(_ >= 1) && scales.distinct.size == scales.size,
+      s"scales must be distinct positives: $scales")
+    val dec = "decimal(38,0)"
+    val r = round(log(col(closeCol) / lag(col(closeCol), 1).over(k.bySid))
+      * 1e6).cast("long")
+    val rets = df
+      .withColumn("__r", r)
+      .where(col("__r").isNotNull)
+      .withColumn("__rn",
+        row_number().over(k.bySid) - 1)
+    val lkOf = scales.map(s => s -> math.rint(math.log(s.toDouble) * 1e9).toLong)
+    val blocks = rets
+      .select(col(k.sid).as("sid"), col("__rn"), col("__r"),
+        explode(lit(scales.toArray)).as("__k"))
+      .groupBy(col("sid"), col("__k"),
+        floor(col("__rn") / col("__k")).as("__blk"))
+      .agg(count(lit(1)).as("__c"), sum(col("__r")).as("__bs"))
+      .where(col("__c") === col("__k")) // complete blocks only
+    val perScale = blocks
+      .groupBy(col("sid"), col("__k"))
+      .agg(
+        count(lit(1)).as("__nb"),
+        sum(col("__bs").cast(dec)).as("__s"),
+        sum((col("__bs").cast(dec) * col("__bs").cast(dec))).as("__ss"))
+      .where(col("__nb") >= 2)
+      .withColumn("__var",
+        (col("__nb").cast(dec) * col("__ss") - col("__s") * col("__s"))
+          .cast("double") /
+          (col("__nb").cast("double") * (col("__nb") - 1).cast("double")))
+      .where(col("__var") > 0)
+      .withColumn("__lv", round(log(col("__var")) * 1e9).cast("long"))
+      .withColumn("__lk",
+        lkOf.tail.foldLeft(when(col("__k") === lkOf.head._1,
+          lit(lkOf.head._2))) { case (acc, (s, v)) =>
+          acc.when(col("__k") === s, lit(v))
+        })
+    perScale
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n_scales"),
+        sum(col("__lk")).as("__slk"),
+        sum(col("__lv")).as("__slv"),
+        sum((col("__lk").cast(dec) * col("__lk").cast(dec))).as("__slkk"),
+        sum((col("__lk").cast(dec) * col("__lv").cast(dec))).as("__slkv"))
+      .select(
+        col("sid"), col("n_scales"),
+        (round(when(
+          col("n_scales") >= 2 &&
+            col("n_scales").cast(dec) * col("__slkk") -
+              col("__slk").cast(dec) * col("__slk").cast(dec) =!= 0,
+          (col("n_scales").cast(dec) * col("__slkv") -
+            col("__slk").cast(dec) * col("__slv").cast(dec)).cast("double") /
+            (col("n_scales").cast(dec) * col("__slkk") -
+              col("__slk").cast(dec) * col("__slk").cast(dec)).cast("double")
+            / 2.0), 6) + 0.0).as("hurst"))
+  }
+
   /** Cross-sectional robust z-score: 0.6745·(x − median)/MAD per date
     * slot (median absolute deviation, scaled so a normal sample reads
     * in σ units) — the outlier-immune counterpart of [[zscore]] (one
@@ -325,6 +404,123 @@ object Panel {
     }
     one.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.sid_a"), col("__r.sid_b"), col("__r.n"), col("__r.corr"))
+  }
+
+  /** Engle-Granger cointegration screen over a bounded book of sid
+    * pairs (Engle & Granger 1987 step 1 + the Sargan-Bhargava 1983
+    * CRDW statistic as the step-2 residual test): per pair (a, b),
+    * OLS of a's log price on b's (β̂ the hedge ratio, α̂ the spread
+    * level), then the cointegrating-regression Durbin-Watson
+    * Σ(Δe)²/Σe² over the residual series — CRDW ≈ 0 means the spread
+    * random-walks (NOT cointegrated); the Sargan-Bhargava tables put
+    * the 5% rejection of no-cointegration around 0.39 at T = 100.
+    *
+    * Same bounded-book contract as [[correlationMatrix]] (≤ 50 sids —
+    * pair state lives in ONE aggregation row, not a pair join).
+    * Exactness: log prices micro-quantized; OLS from decimal moment
+    * sums; residuals re-quantized to micro before the Δ/Σ sums, so
+    * both passes are partitioning-invariant. Plan: grid pivot (one
+    * shuffle, lazily checkpointed — it feeds the moment agg AND the
+    * residual pass), one-row stats broadcast back, one ordered window
+    * over the date-grain series (post-aggregation, bounded), one final
+    * agg. Output (sid_a, sid_b, n, beta, alpha, crdw, resid_std) with
+    * alpha/resid_std in log-price units. */
+  def cointegrationScreen(
+      df: DataFrame,
+      price: Column,
+      sids: Seq[String])(implicit k: Keys): DataFrame = {
+    require(sids.size >= 2, s"need at least 2 sids: ${sids.size}")
+    require(sids.size <= 50,
+      s"cointegrationScreen is for a named book (<= 50 sids), got ${sids.size}")
+    require(sids.distinct.size == sids.size, "duplicate sids")
+    val dec = "decimal(38,0)"
+    val n = sids.length
+    val lp = round(log(price) * 1e6).cast("long")
+    val grid = df
+      .where(col(k.sid).cast("string").isin(sids: _*) && price > 0)
+      .groupBy(k.slotCols.map(col): _*)
+      .agg(
+        max(when(col(k.sid).cast("string") === sids.head, lp)).as("__v0"),
+        sids.tail.zipWithIndex.map { case (s, i) =>
+          max(when(col(k.sid).cast("string") === s, lp)).as(s"__v${i + 1}")
+        }: _*)
+      .localCheckpoint(eager = false)
+    val pairs = for (i <- 0 until n; j <- (i + 1) until n) yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val y = col(s"__v$i"); val x = col(s"__v$j")
+      val both = y.isNotNull && x.isNotNull
+      def m(c: Column) = when(both, c.cast(dec))
+      Seq(
+        sum(when(both, 1L)).as(s"__n_${i}_$j"),
+        sum(m(x)).as(s"__sx_${i}_$j"),
+        sum(m(y)).as(s"__sy_${i}_$j"),
+        sum(m(x * x)).as(s"__sxx_${i}_$j"),
+        sum(m(x * y)).as(s"__sxy_${i}_$j"))
+    }
+    val stats = grid.agg(aggs.head, aggs.tail: _*)
+    // residual pass: ê_t = y_t − α̂ − β̂x_t re-quantized to micro longs
+    val withE = grid.crossJoin(broadcast(stats))
+    val eCols = pairs.map { case (i, j) =>
+      val y = col(s"__v$i"); val x = col(s"__v$j")
+      val nn = col(s"__n_${i}_$j").cast(dec)
+      val vx = nn * col(s"__sxx_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sx_${i}_$j")
+      val beta = when(col(s"__n_${i}_$j") >= 3 && vx =!= 0,
+        (nn * col(s"__sxy_${i}_$j") -
+          col(s"__sx_${i}_$j") * col(s"__sy_${i}_$j")).cast("double") /
+          vx.cast("double"))
+      val alpha = (col(s"__sy_${i}_$j").cast("double") -
+        beta * col(s"__sx_${i}_$j").cast("double")) /
+        col(s"__n_${i}_$j").cast("double")
+      when(y.isNotNull && x.isNotNull,
+        round(y - alpha - beta * x).cast("long")).as(s"__e_${i}_$j")
+    }
+    val wOrd = Window.orderBy(k.slotCols.map(col): _*)
+    val series = withE.select(k.slotCols.map(col) ++ eCols: _*)
+    val lagged = series.select(
+      pairs.flatMap { case (i, j) =>
+        val e = col(s"__e_${i}_$j")
+        // previous OBSERVED residual — pairs skip dates they miss
+        val prev = last(e, ignoreNulls = true)
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+        Seq(e, when(e.isNotNull && prev.isNotNull, e - prev)
+          .as(s"__d_${i}_$j"))
+      }: _*)
+    val aggs2 = pairs.flatMap { case (i, j) =>
+      val e = col(s"__e_${i}_$j"); val d = col(s"__d_${i}_$j")
+      Seq(
+        count(e).as(s"__cnt_${i}_$j"),
+        sum((e.cast(dec) * e.cast(dec))).as(s"__see_${i}_$j"),
+        sum((d.cast(dec) * d.cast(dec))).as(s"__sdd_${i}_$j"))
+    }
+    val one2 = lagged.agg(aggs2.head, aggs2.tail: _*)
+      .crossJoin(broadcast(stats))
+    val rows = pairs.map { case (i, j) =>
+      val nn = coalesce(col(s"__n_${i}_$j"), lit(0L))
+      val nd = nn.cast(dec)
+      val vx = nd * col(s"__sxx_${i}_$j") -
+        col(s"__sx_${i}_$j") * col(s"__sx_${i}_$j")
+      val beta = when(nn >= 3 && vx =!= 0,
+        (nd * col(s"__sxy_${i}_$j") -
+          col(s"__sx_${i}_$j") * col(s"__sy_${i}_$j")).cast("double") /
+          vx.cast("double"))
+      val alpha = (col(s"__sy_${i}_$j").cast("double") -
+        beta * col(s"__sx_${i}_$j").cast("double")) / nn.cast("double")
+      val see = col(s"__see_${i}_$j").cast("double")
+      val crdw = when(see > 0,
+        col(s"__sdd_${i}_$j").cast("double") / see)
+      struct(
+        lit(sids(i)).as("sid_a"), lit(sids(j)).as("sid_b"), nn.as("n"),
+        (round(beta, 6) + 0.0).as("beta"),
+        (round(alpha / 1e6, 6) + 0.0).as("alpha"),
+        (round(crdw, 6) + 0.0).as("crdw"),
+        (round(sqrt(see / nn.cast("double")) / 1e6, 6) + 0.0)
+          .as("resid_std"))
+    }
+    one2.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.sid_a"), col("__r.sid_b"), col("__r.n"),
+        col("__r.beta"), col("__r.alpha"), col("__r.crdw"),
+        col("__r.resid_std"))
   }
 
   /** Range-based volatility estimators over OHLC bars (the

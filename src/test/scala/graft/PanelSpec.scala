@@ -299,6 +299,61 @@ class PanelSpec extends SparkSpec {
       Panel.correlationMatrix(df, col("ret"), (1 to 51).map(_.toString)))
   }
 
+  test("cointegrationScreen: exact-linear pair recovers beta/alpha with " +
+    "stationary-spread crdw; a trending non-pair scores near 0 (coint1)") {
+    val rnd = new scala.util.Random(7)
+    var wa = 100.0
+    val rows = (1 to 400).flatMap { t =>
+      wa *= math.exp(rnd.nextGaussian() * 0.01)
+      val d = f"d$t%04d"
+      // B = exactly A²·e (log: 2·logA + 1); C an independent walk seeded
+      // off a different stream slice
+      Seq(("A", d, wa), ("B", d, wa * wa * math.E),
+        ("C", d, 100.0 * math.exp(0.015 * t + math.sin(t * 0.77) * 0.2)))
+    }.toDF("sid", "date", "close")
+    val out = Panel.cointegrationScreen(rows, col("close"), Seq("A", "B", "C"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Long]("n") == 400L)
+    // log B = 2·log A + 1 exactly → β = 0.5 regressing A on B
+    assert(math.abs(ab.getAs[Double]("beta") - 0.5) < 1e-3)
+    assert(math.abs(ab.getAs[Double]("alpha") + 0.5) < 1e-2)
+    // residuals are quantization dust → tiny std; crdw well above the
+    // Sargan-Bhargava bound (perfectly stationary spread)
+    assert(ab.getAs[Double]("resid_std") < 1e-4)
+    assert(ab.getAs[Double]("crdw") > 1.0)
+    // A vs the smooth trending C: spread inherits A's random walk →
+    // CRDW collapses toward 0 (no cointegration)
+    val ac = out(("A", "C"))
+    assert(ac.getAs[Double]("crdw") < 0.5, ac.toString)
+    intercept[IllegalArgumentException](
+      Panel.cointegrationScreen(rows, col("close"), Seq("A")))
+  }
+
+  test("hurstExponent: iid returns sit near H=0.5, an antipersistent " +
+    "series reads lower (w22)") {
+    val rnd = new scala.util.Random(11)
+    var pw = 100.0; var pm = 100.0; var lastR = 0.0
+    val rows = (1 to 1024).flatMap { t =>
+      val e = rnd.nextGaussian() * 0.01
+      pw *= math.exp(e) // iid log returns → H ≈ 0.5
+      // antipersistent: strong negative autocorrelation
+      val r2 = -0.6 * lastR + e; lastR = r2; pm *= math.exp(r2)
+      val d = f"d$t%04d"
+      Seq(("W", d, pw), ("M", d, pm))
+    }.toDF("sid", "date", "close")
+    val h = Panel.hurstExponent(rows)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_scales"), r.getAs[Double]("hurst")))).toMap
+    assert(h("W")._1 == 4L)
+    assert(math.abs(h("W")._2 - 0.5) < 0.12, h.toString)
+    assert(h("M")._2 < h("W")._2 - 0.1, h.toString) // mean reversion ↓H
+    intercept[IllegalArgumentException](
+      Panel.hurstExponent(rows, scales = Seq(2)))
+    intercept[IllegalArgumentException](
+      Panel.hurstExponent(rows, scales = Seq(2, 2, 4)))
+  }
+
   test("rangeVolatility: Parkinson/Garman-Klass goldens, flat bar → 0, " +
     "degenerate bar → null (w13)") {
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
