@@ -2303,6 +2303,26 @@ object TextOracles {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
+    // MM5: stub pHash = md5 splice (payload is the UTF-8 text bytes, so
+    // md5(text) = md5(payload)); the banded engine path is pigeonhole-
+    // complete at hamming ≤ 3 < 4 bands, so the all-pairs replay here
+    // returns the same set
+    "mm5_phash_pairs" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+        |fp AS (
+        |  SELECT media_id,
+        |    CAST('0x' || substring(md5(text), 1, 8) AS UBIGINT)
+        |      * 4294967296::UBIGINT
+        |      + CAST('0x' || substring(md5(text), 9, 8) AS UBIGINT) AS h
+        |  FROM media)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+
     // byte-stride stub features: exact integer byte sums per slot, one
     // double division, cast to float — reproduces MediaCodec.decodeStub
     "mm2_media_features" ->

@@ -935,6 +935,19 @@ object TextQueries {
           round(element_at(col("features"), 8), 4).as("f8"))
     }),
 
+    // ---- MM5: perceptual-hash near-dup pairs — stub pHash (md5
+    // splice) through the REAL banding+verify dataflow; 50 planted
+    // byte-identical payload copies → hamming-0 pairs
+    "mm5_phash_pairs" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val planted = media.unionByName(
+        media.where(col("media_id") < 50)
+          .select((col("media_id") + 100000L).as("media_id"), col("payload")))
+      Multimodal.perceptualNearPairs(planted)
+    }),
+
     // resize plumbing: 16×8 center-crop stub; the oracle re-derives the
     // cropped bytes and both engines hash their md5
     "mm3_resize" -> ((s, dir) => {

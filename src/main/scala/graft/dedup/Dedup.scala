@@ -1258,27 +1258,50 @@ object Dedup {
       bits: Int = 64,
       bands: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
-    val width = bits / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val fp = spread(docs.where(col(textCol).isNotNull), idCol)
       .select(col(idCol),
-        graft.functions.SimHash.simhashNative(col(textCol), bits).as("simhash"))
+        graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
+    fingerprintNearPairs(fp, idCol, "__fp", maxHamming, bits, bands,
+      maxBucket, metricName = "simhash_buckets")
+  }
+
+  /** Hamming-LSH banded near-pairs over ANY precomputed bit fingerprint
+    * — the generic core behind [[simhashNearPairs]] (text) and
+    * [[graft.multimodal.Multimodal.perceptualNearPairs]] (media pHash):
+    * band the fingerprint, candidates share a (band, key) bucket, exact
+    * popcount verifies. Pigeonhole-complete for maxHamming < bands.
+    * Same `maxBucket` degenerate-bucket guard + observe metric as every
+    * other pair-explosion site. Output (id_a, id_b, hamming). */
+  def fingerprintNearPairs(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bits: Int = 64,
+      bands: Int = 8,
+      maxBucket: Int = 10000,
+      metricName: String = "fingerprint_buckets"): DataFrame = {
+    require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
+    require(bits % bands == 0, s"bands must divide bits: $bits/$bands")
+    val width = bits / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val bandArr = array((0 until bands).map(b =>
-      shiftright(col("simhash"), b * width).bitwiseAND(mask)): _*)
-    val banded = fp.select(col(idCol), col("simhash"),
-      posexplode(bandArr).as(Seq("__band", "__key")))
+      shiftright(col(fpCol), b * width).bitwiseAND(mask)): _*)
+    val banded = fp
+      .where(col(fpCol).isNotNull)
+      .select(col(idCol), col(fpCol),
+        posexplode(bandArr).as(Seq("__band", "__key")))
     // within-bucket pair generation — one pass over the fingerprints, no
     // self-join (see minhashCandidates for the rationale); the window
     // count guards collect_list from degenerate buckets
     banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__key")))
-      .observe("simhash_buckets",
+      .observe(metricName,
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
       .where(col("__n") > 1 && col("__n") <= maxBucket)
       .groupBy("__band", "__key")
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))
+      .agg(collect_list(struct(col(idCol).as("id"), col(fpCol).as("sh")))
         .as("__m"))
       .select(explode(col("__m")).as("a"), col("__m"))
       .select(col("a"), explode(col("__m")).as("b"))

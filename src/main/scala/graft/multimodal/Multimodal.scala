@@ -75,6 +75,40 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** MM5: 64-bit perceptual-hash column — the fingerprint a real image
+    * pipeline derives from decoded pixels (DCT low-frequency sign bits,
+    * pHash). The kernel here is a STUB like every codec kernel in this
+    * module: it splices the payload's md5 into a 64-bit value (pure
+    * column algebra, so the oracle reproduces it bit-for-bit). The
+    * honest consequence: the stub matches only byte-identical payloads
+    * (md5 avalanches), where a real pHash also catches re-encodes and
+    * resizes — the banding/verify dataflow downstream is identical
+    * either way and is the part under test. */
+  def perceptualHashStub(payload: Column): Column =
+    when(payload.isNotNull,
+      shiftleft(conv(substring(md5(payload), 1, 8), 16, 10).cast("long"), 32)
+        .bitwiseOR(conv(substring(md5(payload), 9, 8), 16, 10).cast("long")))
+
+  /** MM5: perceptual near-duplicate pairs over a media table — pHash
+    * each payload, then hamming-LSH banding + exact popcount verify via
+    * [[graft.dedup.Dedup.fingerprintNearPairs]] (pigeonhole-complete
+    * for maxHamming < bands, maxBucket-guarded like every other pair
+    * site). 16-bit bands default: 65k buckets per band, maxHamming ≤ 3.
+    * Output (id_a, id_b, hamming). */
+  def perceptualNearPairs(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val fp = df.select(col(idCol),
+      perceptualHashStub(col(payloadCol)).as("__fp"))
+    graft.dedup.Dedup.fingerprintNearPairs(fp, idCol, "__fp", maxHamming,
+      bits = 64, bands = bands, maxBucket = maxBucket,
+      metricName = "phash_buckets")
+  }
+
   /** Resize plumbing: binary → binary through the same typed
     * mapPartitions contract (codec opened once per partition, declared
     * output schema, no RDD drop-out). The stub kernel is a deterministic

@@ -88,6 +88,26 @@ class ToolboxSpec extends SparkSpec {
     assert(out == Seq((7L, 0), (7L, 1), (7L, 2)))
   }
 
+  test("perceptualNearPairs: identical payloads pair at hamming 0 " +
+    "through the banded path; distinct payloads never pair (mm5)") {
+    val media = Seq(
+      (1L, "same bytes"), (2L, "same bytes"), (3L, "different"),
+      (4L, "same bytes")) // a 3-clique of identical payloads
+      .toDF("media_id", "text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val out = Multimodal.perceptualNearPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(out.toSeq == Seq((1L, 2L, 0L), (1L, 4L, 0L), (2L, 4L, 0L)))
+    // pigeonhole guard: maxHamming must stay below the band count
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualNearPairs(media, maxHamming = 4, bands = 4))
+    // null payloads are dropped, not banded
+    val withNull = media.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("media_id", "text")
+        .withColumn("payload", encode($"text", "UTF-8")))
+    assert(Multimodal.perceptualNearPairs(withNull).count() == 3L)
+  }
+
   test("assignCells routes vectors to the nearest centroid (IVF)") {
     val vectors = Seq(
       (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.8f)), (3L, Array(1.1f, -0.1f)))
