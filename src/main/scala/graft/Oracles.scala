@@ -669,6 +669,40 @@ object Oracles {
       s"""WITH $turnoverCte
          |SELECT sid, date, turnover FROM trn""".stripMargin,
 
+    // D33: d5's neutralized book, shorts clamped by the locate table
+    // (missing locate → unshortable, −0.0 normalized on both engines)
+    "d33_borrow_constraint" ->
+      s"""WITH $panelCte,
+         |sig AS (
+         |  SELECT sid, date, CASE WHEN close < 30000 THEN 1.0 ELSE -1.0 END AS w FROM panel),
+         |tot AS (
+         |  SELECT *,
+         |    sum(CASE WHEN w > 0 THEN w ELSE 0 END) OVER (PARTITION BY date) AS tl,
+         |    sum(abs(CASE WHEN w < 0 THEN w ELSE 0 END)) OVER (PARTITION BY date) AS tsh
+         |  FROM sig),
+         |sides AS (
+         |  SELECT sid, date, CASE WHEN w > 0 THEN w ELSE 0 END AS lw,
+         |         CASE WHEN w < 0 THEN w ELSE 0 END AS sw, tl, tsh FROM tot),
+         |scaled AS (
+         |  SELECT sid, date,
+         |    CASE WHEN tl <= tsh THEN lw
+         |         ELSE lw * tsh / (CASE WHEN tl = 0 THEN 1 ELSE tl END) END AS lsc,
+         |    CASE WHEN tsh <= tl THEN sw
+         |         ELSE sw * tl / (CASE WHEN tsh = 0 THEN 1 ELSE tsh END) END AS ssc
+         |  FROM sides),
+         |nw AS (
+         |  SELECT sid, date,
+         |    (CASE WHEN lsc > 0 THEN lsc ELSE ssc END) + 0.0 AS w FROM scaled),
+         |bor AS (
+         |  SELECT s_suppkey AS sid, 0.02 AS msw FROM supplier
+         |  WHERE s_suppkey % 2 = 1)
+         |SELECT n.sid, n.date,
+         |  CASE WHEN n.w < 0
+         |       THEN (-least(-n.w, coalesce(b.msw, 0.0))) + 0.0
+         |       ELSE n.w END AS weight,
+         |  (n.w < 0 AND (b.msw IS NULL OR -n.w > b.msw)) AS was_constrained
+         |FROM nw n LEFT JOIN bor b ON n.sid = b.sid""".stripMargin,
+
     "d16_limit" ->
       s"""WITH $sigCte,
          |qty AS (
@@ -2612,6 +2646,28 @@ object Oracles {
         |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // W15: Cutler RSI — 100·ΣG/(ΣG+ΣL) over exact micro change sums
+    // W23: Kaufman ER — micro bar changes, exact windowed path/net sums
+    "w23_efficiency" ->
+      s"""WITH $panelCte,
+         |d AS (
+         |  SELECT sid, date,
+         |    CAST(round(close * 1e6) AS HUGEINT) -
+         |    CAST(round(lag(close) OVER (PARTITION BY sid ORDER BY date)
+         |      * 1e6) AS HUGEINT) AS dd
+         |  FROM panel),
+         |r AS (
+         |  SELECT sid, date,
+         |    count(dd) OVER w AS c,
+         |    sum(abs(dd)) OVER w AS path,
+         |    abs(sum(dd) OVER w) AS net
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY sid ORDER BY date
+         |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         |SELECT sid, date,
+         |  round(CASE WHEN c = 10 AND path <> 0
+         |        THEN net::DOUBLE / path::DOUBLE END, 6) AS ker_10
+         |FROM r""".stripMargin,
+
     "w15_rsi" ->
       s"""WITH $panelCte,
          |d AS (

@@ -651,6 +651,21 @@ object Queries {
         Weights.neutralizeWeights(col("signal")).as("weight"))
     }),
 
+    // ---- D33: short-sale locate constraint — shorts clamped at the
+    // borrow table's per-sid cap; sids without a locate are unshortable
+    "d33_borrow_constraint" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val w = supplierPanel(s, dir)
+        .withColumn("signal",
+          when(col("close") < 30000, 1.0).otherwise(-1.0))
+        .select(col("sid"), col("date"),
+          Weights.neutralizeWeights(col("signal")).as("weight"))
+      val borrow = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey").as("sid"), lit(0.02).as("max_short_weight"))
+      Weights.constrainShortsByBorrow(w, borrow)
+    }),
+
     // ---- D6: turnover ----
     "d6_turnover" -> ((s, dir) => {
       implicit val k: Keys = liKeys
@@ -1633,6 +1648,14 @@ object Queries {
       implicit val k: Keys = liKeys
       graft.panel.Indicators.rsi(supplierPanel(s, dir), window = 14)
         .select("sid", "date", "rsi_14")
+    }),
+
+    // ---- W23: Kaufman Efficiency Ratio — signal/noise trendiness over
+    // a 10-bar window (exact micro path/net sums)
+    "w23_efficiency" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      graft.panel.Indicators.efficiencyRatio(supplierPanel(s, dir), window = 10)
+        .select("sid", "date", "ker_10")
     }),
 
     // ---- W16: stochastic %K over daily bars (order-free rolling

@@ -127,4 +127,33 @@ object Weights {
         col(dateCol), lit(hedgeSid).as(sidCol),
         (-(col("__e").cast("double") / 1e12) + 0.0).as("hedge_weight"))
   }
+
+  /** D33: short-sale locate constraint — clamp each SHORT weight at the
+    * sid's `max_short_weight` from the borrow/locate table (easy-to-
+    * borrow names carry a large cap, hard-to-borrow a small one). A sid
+    * MISSING from the table is unshortable (clamped to 0), the
+    * capByParticipation stance: no locate data means no short, and a
+    * silently unconstrained short is the expensive kind of wrong. Long
+    * weights pass through untouched. `was_constrained` flags clamped
+    * rows. Pure broadcast-join + clamp (the borrow table is a
+    * dimension); no arithmetic beyond negate/least, so weights keep
+    * their exact upstream values. */
+  def constrainShortsByBorrow(
+      weights: DataFrame,
+      borrow: DataFrame,
+      weightCol: String = "weight",
+      sidCol: String = "sid"): DataFrame =
+    weights
+      .join(broadcast(borrow.select(col(sidCol), col("max_short_weight"))),
+        Seq(sidCol), "left")
+      .withColumn("was_constrained",
+        col(weightCol) < 0 && (col("max_short_weight").isNull ||
+          -col(weightCol) > col("max_short_weight")))
+      .withColumn(weightCol,
+        when(col(weightCol) < 0,
+          // + 0.0: an unshortable sid clamps to −0.0 → normalize
+          -least(-col(weightCol), coalesce(col("max_short_weight"), lit(0.0)))
+            + lit(0.0))
+          .otherwise(col(weightCol)))
+      .drop("max_short_weight")
 }

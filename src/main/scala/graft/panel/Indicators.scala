@@ -116,6 +116,32 @@ object Indicators {
       .drop("__g", "__l")
   }
 
+  /** W23: Kaufman Efficiency Ratio (Kaufman 1995): |net n-bar change| /
+    * Σ|bar changes| over the same trailing window — 1 on a straight
+    * line (all movement is signal), → 0 on churn (all movement is
+    * noise). The adaptivity dial of KAMA and the cheapest trendiness
+    * screen there is. Micro-quantized bar changes make both sums exact
+    * integers; null until the window has `window` changes or when the
+    * path length is 0 (a flat window has no efficiency). Appends
+    * `ker_<window>`. */
+  def efficiencyRatio(
+      bars: DataFrame,
+      window: Int,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val diff = micro(col(closeCol)) - micro(lag(col(closeCol), 1).over(k.bySid))
+    val f = k.rollingFrame(window)
+    bars
+      .withColumn("__d", diff)
+      .withColumn(s"ker_$window", {
+        val path = sum(abs(col("__d"))).over(f)
+        val net = abs(sum(col("__d")).over(f))
+        round(when(count(col("__d")).over(f) === window && path =!= 0,
+          net.cast("double") / path.cast("double")), 6)
+      })
+      .drop("__d")
+  }
+
   /** Bollinger bands: trailing `window`-bar SMA ± `numStd` sample
     * standard deviations — the mean-reversion envelope. The mid line
     * is an exact micro sum over the window; the band offset derives

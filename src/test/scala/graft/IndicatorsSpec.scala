@@ -28,6 +28,24 @@ class IndicatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Indicators.atr(bars, 0))
   }
 
+  test("efficiencyRatio: straight line → 1, round trip → 0, flat " +
+    "window → null, null until filled (w23)") {
+    val bars = (Seq(
+      ("A", "d1", 10.0), ("A", "d2", 11.0), ("A", "d3", 12.0), // monotone
+      ("B", "d1", 10.0), ("B", "d2", 12.0), ("B", "d3", 10.0), // round trip
+      ("C", "d1", 5.0), ("C", "d2", 5.0), ("C", "d3", 5.0)))   // flat
+      .toDF("sid", "date", "close")
+    val out = Indicators.efficiencyRatio(bars, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(r.fieldIndex("ker_2"))) None
+         else Some(r.getAs[Double]("ker_2")))).toMap
+    assert(out(("A", "d2")).isEmpty) // only 1 change in the frame
+    assert(out(("A", "d3")).contains(1.0)) // |2|/2: pure trend
+    assert(out(("B", "d3")).contains(0.0)) // |0|/4: pure churn
+    assert(out(("C", "d3")).isEmpty) // zero path length → undefined
+    intercept[IllegalArgumentException](Indicators.efficiencyRatio(bars, 0))
+  }
+
   test("rsi: 100·ΣG/(ΣG+ΣL) goldens, all-loss → 0, flat window → null, " +
     "first bar's undefined change never fills the window (w15)") {
     val bars = Seq(

@@ -183,4 +183,22 @@ class WeightsSpec extends SparkSpec {
     val h = Weights.betaHedge(flat, fb, "SPY").head.getAs[Double]("hedge_weight")
     assert(h == 0.0 && (1.0 / h) > 0) // +0.0, not −0.0
   }
+
+  test("constrainShortsByBorrow: shorts clamp at the locate cap, " +
+    "missing locate → +0.0 unshortable, longs untouched (d33)") {
+    val weights = Seq(
+      ("A", "2024-01-01", -0.10), // capped at 0.05
+      ("B", "2024-01-01", -0.02), // under the cap → unchanged
+      ("C", "2024-01-01", -0.10), // no locate → 0
+      ("D", "2024-01-01", 0.30))  // long → untouched
+      .toDF("sid", "date", "weight")
+    val borrow = Seq(("A", 0.05), ("B", 0.05)).toDF("sid", "max_short_weight")
+    val out = Weights.constrainShortsByBorrow(weights, borrow)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("weight"), r.getAs[Boolean]("was_constrained")))).toMap
+    assert(out("A") == ((-0.05, true)))
+    assert(out("B") == ((-0.02, false)))
+    assert(out("C")._2 && out("C")._1 == 0.0 && (1.0 / out("C")._1) > 0) // +0.0
+    assert(out("D") == ((0.30, false)))
+  }
 }
