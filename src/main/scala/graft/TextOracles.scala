@@ -1922,6 +1922,45 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // SIM13: recall@10 of the 16-dim-prefix ranking vs the full-64
+    // ranking — both replayed with the sim1 tie rule
+    "sim13_matryoshka" -> {
+      val cosF = cosine("q.embedding", "c.embedding")
+      val cosT = cosine("q.e16", "c.e16")
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding, embedding[1:16] AS e16
+         |  FROM embeddings),
+         |sf AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cosF, 6) AS cosine
+         |  FROM t q JOIN t c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |rf AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM sf)
+         |  WHERE rank <= 10),
+         |st AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cosT, 6) AS cosine
+         |  FROM t q JOIN t c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |rt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM st)
+         |  WHERE rank <= 10)
+         |SELECT rf.query_id,
+         |  CAST(sum(CASE WHEN rt.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS hits,
+         |  round(sum(CASE WHEN rt.neighbor_id IS NULL THEN 0 ELSE 1 END)
+         |    / 10.0, 6) AS recall
+         |FROM rf
+         |LEFT JOIN rt ON rf.query_id = rt.query_id
+         |            AND rf.neighbor_id = rt.neighbor_id
+         |GROUP BY 1""".stripMargin
+    },
+
     // ranking eval: sim1's ranked list at k=10 vs same-label relevance;
     // DCG/IDCG terms micro-quantized to exact integer sums
     "sim9_rank_eval" -> {

@@ -774,6 +774,28 @@ object TextQueries {
         embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
     }),
 
+    // ---- SIM13: Matryoshka-style truncation eval — recall@10 of the
+    // first-16-dims retriever against the full-64-dim ground truth
+    // (composes sim1's operator at two widths; the cheap-prefix index
+    // quality question every MRL deployment asks)
+    "sim13_matryoshka" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      def trunc(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val qs = embs.where(col("vec_id") < 5)
+      val full = Similarity.bruteForceTopK(qs, embs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val short = Similarity
+        .bruteForceTopK(trunc(qs), trunc(embs), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      full
+        .join(short, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("hits"))
+        .select(col("query_id"), col("hits"),
+          round(col("hits") / 10.0, 6).as("recall"))
+    }),
+
     // ranking-quality eval of the brute-force retriever against
     // same-label ground truth: recall@10 / MRR / nDCG@10 per query
     "sim9_rank_eval" -> ((s, dir) => {
