@@ -77,10 +77,23 @@ object EventsBench {
           typed, Seq("view", "click", "signup"), "purchase")
           .agg(max(col("base_p"))).head
       }
+      // gini rides the same typed frame; rfm needs a value column
+      val (gi, tGi) = time {
+        Events.activityGini(typed).agg(max(col("gini"))).head
+      }
+      val valued = typed.withColumn("value",
+        (pmod(hash(col("event_id"), lit(5)).cast("long"), lit(10000L))
+          .cast("double") / 100.0))
+      val (rf, tRf) = time {
+        Events.rfmSegments(valued).agg(
+          count(lit(1)), sum(col("n_users"))).head
+      }
       println(f"$name%-24s activeUsers: days=${nAu.getLong(0)}%4d " +
         f"maxActive=${nAu.getLong(1)}%8d ${tAu}%6.1f s | " +
         f"sessionize: maxIdx=${nSe.getLong(0)}%7d ${tSe}%6.1f s | " +
-        f"markov: baseP=${mk.getDouble(0)}%6.4f ${tMk}%6.1f s")
+        f"markov: baseP=${mk.getDouble(0)}%6.4f ${tMk}%6.1f s | " +
+        f"gini: max=${gi.getDouble(0)}%6.4f ${tGi}%6.1f s | " +
+        f"rfm: cells=${rf.getLong(0)}%3d users=${rf.getLong(1)}%8d ${tRf}%6.1f s")
     }
     spark.stop()
   }
