@@ -104,6 +104,16 @@ object DedupBench {
         println(s"[dedupbench]   verify stage shingled $shingled of $n docs (semi-join prune)")
         rows
       }
+      time(s"boilerplate lines (20 sources)") {
+        // 3-line docs: body + per-source footer (boilerplate in 100% of
+        // the source) + unique row line — removal mass is n footers
+        val multi = docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(20L)).cast("string").as("source"),
+          concat(col("text"), lit("\nfooter for src "),
+            pmod(col("doc_id"), lit(20L)), lit("\nrow "), col("doc_id"))
+            .as("text"))
+        Dedup.dropBoilerplateLines(multi).count()
+      }
       time(s"simhash 64b/8band pairs (ham<=3)")(
         Dedup.simhashNearPairs(docs, maxHamming = 3).count())
       time(s"simhash 32b/4band pairs (ham<=3)")(
