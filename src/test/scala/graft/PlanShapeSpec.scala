@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.panel.Panel
 import graft.sim.Similarity
 import graft.text.Packing
 
@@ -148,5 +149,46 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(Similarity.diversity(vecs))
     assert(!plan.contains("Join"), plan)
     assert(plan.contains("Generate posexplode"), plan)
+  }
+
+  test("ev16: gini never sorts users — the only window partitions by " +
+    "event type over the count HISTOGRAM, and no user-keyed exchange " +
+    "feeds a window") {
+    import java.sql.Timestamp
+    val ev = (1L to 40L).map(i => (i, i % 7,
+      Timestamp.valueOf("2024-01-01 10:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val plan = finalPlan(graft.events.Events.activityGini(ev))
+    // two hash aggregations before the window: (type,user) then (type,n)
+    assert(count(plan, "HashAggregate") >= 4, plan) // partial+final × 2+
+    // the window's partition key is the event type, never the user
+    assert(!plan.contains("windowspecdefinition(user_id"), plan)
+  }
+
+  test("ev17: rfm joins bins back via BROADCAST — user volume never " +
+    "shuffles against the histograms") {
+    import java.sql.Timestamp
+    val ev = (1L to 40L).map(i => (i, i % 7,
+      Timestamp.valueOf("2024-01-01 10:00:00"),
+      if (i % 5 == 0) "purchase" else "view", 3.5))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val plan = finalPlan(graft.events.Events.rfmSegments(ev))
+    assert(count(plan, "BroadcastHashJoin") >= 3, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("coint1: the pair screen pivots the grid ONCE — pair moments " +
+    "live in one aggregation row, never a panel self-join") {
+    implicit val k: Panel.Keys = Panel.eod
+    val rows = (1 to 30).flatMap(t => Seq(
+      ("A", f"d$t%02d", 100.0 + t), ("B", f"d$t%02d", 50.0 + 2 * t)))
+      .toDF("sid", "date", "close")
+    val plan = finalPlan(
+      Panel.cointegrationScreen(rows, col("close"), Seq("A", "B")))
+    // residual pass rides the broadcast stats row; the panel itself is
+    // never joined against another alias of itself
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
   }
 }
