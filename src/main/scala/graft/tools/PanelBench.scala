@@ -74,6 +74,22 @@ object PanelBench {
       val fmSecs = (System.nanoTime() - t2) / 1e9
       println(f"[panelbench] fama-macbeth over ${rows / 1000000.0}%.1fM bars -> " +
         f"$fmN dates in $fmSecs%.1f s (${rows / fmSecs / 1e6}%.1f M bars/s)")
+
+      // Hurst at full width (per-sid windows + bounded explode) and the
+      // cointegration screen over a 10-sid book carved from the same
+      // panel (the book is bounded by contract; the cost is the scan)
+      val t3 = System.nanoTime()
+      val hN = graft.panel.Panel.hurstExponent(p).count()
+      val hSecs = (System.nanoTime() - t3) / 1e9
+      println(f"[panelbench] hurst over ${rows / 1000000.0}%.1fM bars -> " +
+        f"$hN sids in $hSecs%.1f s (${rows / hSecs / 1e6}%.1f M bars/s)")
+      val book = (0 until 10).map(i => s"S$i")
+      val t4 = System.nanoTime()
+      val cN = graft.panel.Panel
+        .cointegrationScreen(p, col("close"), book).count()
+      val cSecs = (System.nanoTime() - t4) / 1e9
+      println(f"[panelbench] coint 10-sid book over ${rows / 1000000.0}%.1fM bars -> " +
+        f"$cN pairs in $cSecs%.1f s")
     }
     spark.stop()
   }
