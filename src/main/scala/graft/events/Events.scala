@@ -378,35 +378,45 @@ object Events {
     val totals = edges.groupBy(col("__from"))
       .agg(sum(col("__cnt")).as("__out"))
 
-    def convMass(removed: Option[String]): Long = {
-      val scenEdges = removed match {
-        case None => edges
-        case Some(c) => edges
-          .withColumn("__to",
-            when(col("__to") === c, "NULL").otherwise(col("__to")))
-          .groupBy(col("__from"), col("__to"))
-          .agg(sum(col("__cnt")).as("__cnt"))
-      }
-      val probs = scenEdges.join(totals, "__from")
-      var v = Seq(("START", 1000000000000L)).toDF("__state", "__mass")
-      for (_ <- 1 to steps) {
-        val absorbed = v.where(col("__state").isin("CONV", "NULL"))
-        val flowed = v.join(probs, col("__state") === col("__from"))
-          .select(col("__to").as("__state"),
-            round(col("__mass").cast("double") *
-              (col("__cnt").cast("double") / col("__out").cast("double")))
-              .cast("long").as("__mass"))
-        v = absorbed.unionByName(flowed)
-          .groupBy(col("__state")).agg(sum(col("__mass")).as("__mass"))
-          .localCheckpoint(eager = false) // truncate the growing lineage
-      }
-      v.where(col("__state") === "CONV")
-        .select(col("__mass")).collect() // bounded: ≤ 1 row
-        .headOption.map(_.getLong(0)).getOrElse(0L)
+    // ALL scenarios (base + one per removed channel) iterate in ONE
+    // tagged frame: the per-scenario chains are independent and
+    // identically sized, so batching turns (|channels|+1) × steps job
+    // chains into `steps` joins over a (scenario × states)-bounded
+    // frame — 4× fewer jobs on the bench query, bit-identical masses
+    // (each (scenario, state) row sees exactly the arithmetic the
+    // per-scenario loop ran).
+    if (touchTypes.contains("__BASE__"))
+      throw new ParameterError("channel name __BASE__ is reserved")
+    val scens = ("__BASE__" +: touchTypes).toDF("__scen")
+    val probs = edges.crossJoin(broadcast(scens))
+      .withColumn("__to",
+        when(col("__to") === col("__scen"), "NULL").otherwise(col("__to")))
+      .groupBy(col("__scen"), col("__from"), col("__to"))
+      .agg(sum(col("__cnt")).as("__cnt"))
+      // redirect preserves out-degree, so totals are scenario-free
+      .join(totals, "__from")
+      .withColumnRenamed("__from", "__state")
+      .localCheckpoint(eager = false)
+    var v = scens.select(col("__scen"), lit("START").as("__state"),
+      lit(1000000000000L).as("__mass"))
+    for (_ <- 1 to steps) {
+      val absorbed = v.where(col("__state").isin("CONV", "NULL"))
+      val flowed = v.join(probs, Seq("__scen", "__state"))
+        .select(col("__scen"), col("__to").as("__state"),
+          round(col("__mass").cast("double") *
+            (col("__cnt").cast("double") / col("__out").cast("double")))
+            .cast("long").as("__mass"))
+      v = absorbed.unionByName(flowed)
+        .groupBy(col("__scen"), col("__state"))
+        .agg(sum(col("__mass")).as("__mass"))
+        .localCheckpoint(eager = false) // truncate the growing lineage
     }
-
-    val base = convMass(None)
-    val removedMasses = touchTypes.map(c => c -> convMass(Some(c)))
+    val masses = v.where(col("__state") === "CONV")
+      .select(col("__scen"), col("__mass"))
+      .collect() // bounded: ≤ |channels| + 1 rows
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = masses.getOrElse("__BASE__", 0L)
+    val removedMasses = touchTypes.map(c => c -> masses.getOrElse(c, 0L))
     // integer half-up rounding throughout — math.rint is half-EVEN and
     // SQL round half-up, so a .5 boundary would hash-split the engines;
     // per-step rounding can leave a picos-scale negative effect → clamp
