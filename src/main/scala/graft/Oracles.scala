@@ -3421,6 +3421,51 @@ object Oracles {
          |    AS uncertainty
          |FROM ag""".stripMargin,
 
+    // ML23: DeLong — half-count placements over the score histogram,
+    // HUGEINT moments, one double division per output term
+    "ml23_auc_delong" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |h AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS cp,
+         |         CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM pr GROUP BY 1),
+         |pl AS (
+         |  SELECT cp, cn,
+         |    coalesce(sum(cn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS nb,
+         |    coalesce(sum(cp) OVER (ORDER BY s
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+         |      AS pa
+         |  FROM h),
+         |ag AS (
+         |  SELECT CAST(sum(cp) AS BIGINT) AS n_pos,
+         |    CAST(sum(cn) AS BIGINT) AS n_neg,
+         |    sum(cp::HUGEINT * (nb * 2 + cn)) AS s10,
+         |    sum(cp::HUGEINT * (nb * 2 + cn) * (nb * 2 + cn)) AS ss10,
+         |    sum(cn::HUGEINT * (pa * 2 + cp)) AS s01,
+         |    sum(cn::HUGEINT * (pa * 2 + cp) * (pa * 2 + cp)) AS ss01
+         |  FROM pl),
+         |fin AS (
+         |  SELECT n_pos, n_neg,
+         |    s10::DOUBLE / (n_pos::DOUBLE * n_neg::DOUBLE * 2.0) AS auc,
+         |    CASE WHEN n_pos >= 2 AND n_neg >= 2 THEN
+         |      sqrt(greatest(
+         |        ((ss10::DOUBLE - s10::DOUBLE * s10::DOUBLE / n_pos)
+         |          / (n_pos - 1) / (n_neg::DOUBLE * n_neg * 4.0)) / n_pos
+         |        + ((ss01::DOUBLE - s01::DOUBLE * s01::DOUBLE / n_neg)
+         |          / (n_neg - 1) / (n_pos::DOUBLE * n_pos * 4.0)) / n_neg,
+         |        0.0)) END AS se
+         |  FROM ag)
+         |SELECT n_pos, n_neg, round(auc, 6) AS auc, round(se, 6) AS se,
+         |  round(greatest(0.0, auc - 1.959964 * se), 6) + 0.0 AS ci_lo,
+         |  round(least(1.0, auc + 1.959964 * se), 6) AS ci_hi
+         |FROM fin""".stripMargin,
+
     // ML16: Cohen's kappa — exact-integer observed/expected agreement,
     // one division
     "ml16_kappa" ->

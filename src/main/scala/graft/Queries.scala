@@ -1716,6 +1716,11 @@ object Queries {
     "ml22_brier" -> ((s, dir) =>
       graft.ml.Evaluation.brierDecomposition(scoredPanel(s, dir))),
 
+    // ---- ML23: AUC ± DeLong 95% CI — exact half-count placement
+    // algebra over the score histogram
+    "ml23_auc_delong" -> ((s, dir) =>
+      graft.ml.Evaluation.aucDelong(scoredPanel(s, dir))),
+
     // ---- ML16: Cohen's kappa — the 0.5-thresholded score as a second
     // rater against the label (chance-corrected agreement, exact ints)
     "ml16_kappa" -> ((s, dir) =>

@@ -451,6 +451,73 @@ object Evaluation {
           .as("uncertainty"))
   }
 
+  /** ML23: AUC with its DeLong (1988) standard error and 95% normal CI
+    * — the published nonparametric variance every model-comparison
+    * writeup quotes, computed WITHOUT ranking rows: scores collapse to
+    * a score→(pos, neg) histogram, each positive block's placement
+    * V₁₀ = (#neg below + ½·ties)/N₋ is a ratio of exact integers
+    * shared by the whole block, and the DeLong moments fold to
+    * half-count units (u = 2·negBelow + ties) so AUC and both
+    * S-variances are decimal-exact ratios until the final divisions.
+    * The only windows run over the HISTOGRAM (bounded by distinct
+    * scores, the ev17 discipline). Two hash aggs + two histogram
+    * windows. Null se/CI when either class has < 2 members.
+    * Output (n_pos, n_neg, auc, se, ci_lo, ci_hi). */
+  def aucDelong(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val hist = preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__cp"),
+        sum(lit(1L) - col("__y")).as("__cn"))
+    val w = Window.orderBy(col("__s")) // over the histogram, not rows
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val placed = hist
+      .withColumn("__negBelow", coalesce(sum(col("__cn")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__posAbove", coalesce(sum(col("__cp")).over(
+        w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
+      .withColumn("__np", sum(col("__cp")).over(whole))
+      .withColumn("__nn", sum(col("__cn")).over(whole))
+      // half-count placements: u10/(2N₋) = V₁₀, u01/(2N₊) = V₀₁
+      .withColumn("__u10", (col("__negBelow") * 2 + col("__cn")).cast(dec))
+      .withColumn("__u01", (col("__posAbove") * 2 + col("__cp")).cast(dec))
+    placed
+      .agg(
+        max(col("__np")).as("n_pos"), max(col("__nn")).as("n_neg"),
+        sum(col("__cp").cast(dec) * col("__u10")).as("__s10"),
+        sum(col("__cp").cast(dec) * col("__u10") * col("__u10")).as("__ss10"),
+        sum(col("__cn").cast(dec) * col("__u01")).as("__s01"),
+        sum(col("__cn").cast(dec) * col("__u01") * col("__u01")).as("__ss01"))
+      .select(Seq(col("n_pos"), col("n_neg")) ++ {
+        val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
+        val auc = col("__s10").cast("double") / (np * nn * 2.0)
+        // S₁₀ = (Σc·u² − (Σc·u)²/N₊)/(N₊−1)/(2N₋)², S₀₁ symmetric
+        val s10 = (col("__ss10").cast("double") -
+          col("__s10").cast("double") * col("__s10").cast("double") / np) /
+          (np - 1) / (nn * nn * 4.0)
+        val s01 = (col("__ss01").cast("double") -
+          col("__s01").cast("double") * col("__s01").cast("double") / nn) /
+          (nn - 1) / (np * np * 4.0)
+        val se = when(col("n_pos") >= 2 && col("n_neg") >= 2,
+          sqrt(greatest(s10 / np + s01 / nn, lit(0.0))))
+        Seq(
+          round(auc, 6).as("auc"),
+          round(se, 6).as("se"),
+          (round(greatest(lit(0.0), auc - lit(1.959964) * se), 6) + 0.0)
+            .as("ci_lo"),
+          round(least(lit(1.0), auc + lit(1.959964) * se), 6).as("ci_hi"))
+      }: _*)
+  }
+
+
   /** Cohen's kappa between two label columns — chance-corrected
     * agreement for label-QC (two annotators, or a new classifier vs
     * the incumbent). Because both the observed and the expected

@@ -512,6 +512,32 @@ class MlSpec extends SparkSpec {
     assert(h.getAs[Double]("resolution") == h.getAs[Double]("uncertainty"))
   }
 
+  test("aucDelong: separable data → AUC 1 se 0; hand DeLong golden " +
+    "with ties; tiny class → null se (ml23)") {
+    // perfect separation: every pos above every neg
+    val sep = Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))
+      .toDF("prediction", "label")
+    val s = graft.ml.Evaluation.aucDelong(sep).head
+    assert(s.getAs[Long]("n_pos") == 2L && s.getAs[Long]("n_neg") == 2L)
+    assert(s.getAs[Double]("auc") == 1.0 && s.getAs[Double]("se") == 0.0)
+    assert(s.getAs[Double]("ci_lo") == 1.0 && s.getAs[Double]("ci_hi") == 1.0)
+    // hand golden with a tie: pos {0.8, 0.5}, neg {0.5, 0.3}
+    // V10(0.8) = 1, V10(0.5) = (1 + .5)/2 = .75 → AUC = .875
+    // S10 = (1−.875)²+(.75−.875)² /1 = .03125 ; V01: (0+.5·1)/2=.25, 0 →
+    // S01 = .03125 ; var = .03125/2·2 = .03125 → se = .176777
+    val tied = Seq((0.8, 1L), (0.5, 1L), (0.5, 0L), (0.3, 0L))
+      .toDF("prediction", "label")
+    val t = graft.ml.Evaluation.aucDelong(tied).head
+    assert(t.getAs[Double]("auc") == 0.875)
+    assert(math.abs(t.getAs[Double]("se") - 0.176777) < 1e-6)
+    assert(math.abs(t.getAs[Double]("ci_lo") -
+      math.max(0, 0.875 - 1.959964 * 0.17677669529663687)) < 1e-5)
+    // one positive: DeLong variance undefined → null se, null CI
+    val one = Seq((0.8, 1L), (0.5, 0L), (0.3, 0L)).toDF("prediction", "label")
+    val o = graft.ml.Evaluation.aucDelong(one).head
+    assert(o.isNullAt(o.fieldIndex("se")))
+  }
+
   test("cohenKappa: exact-integer chance correction; constant raters " +
     "→ null; null labels dropped (ml16)") {
     // confusion: a=1∩b=1: 2, a=0∩b=0: 1, a=1∩b=0: 1 → po = 3/4
