@@ -2935,6 +2935,52 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // EV18: new/returning decomposition off first active day
+    "ev18_new_returning" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date
+        |  FROM events),
+        |f AS (SELECT user_id, min(date) AS fd FROM d GROUP BY 1)
+        |SELECT d.date,
+        |  CAST(sum(CASE WHEN d.date = f.fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN d.date <> f.fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning_users,
+        |  count(*)::BIGINT AS dau
+        |FROM d JOIN f USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    // W24: underwater spells — spell ids from the running at-peak
+    // count, exact close-vs-cummax comparison
+    "w24_underwater" ->
+      s"""WITH $panelCte,
+         |p AS (
+         |  SELECT sid, date, close,
+         |    max(close) OVER (PARTITION BY sid ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+         |    CASE WHEN lead(close) OVER (PARTITION BY sid ORDER BY date)
+         |         IS NULL THEN 1 ELSE 0 END AS lst
+         |  FROM panel),
+         |s AS (
+         |  SELECT sid, date, CASE WHEN close < pk THEN 1 ELSE 0 END AS uw,
+         |    lst,
+         |    sum(CASE WHEN close < pk THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY sid ORDER BY date
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS spell
+         |  FROM p),
+         |g AS (
+         |  SELECT sid, spell, CAST(sum(uw) AS BIGINT) AS len,
+         |    max(CASE WHEN lst = 1 AND uw = 1 THEN 1 ELSE 0 END) AS opn,
+         |    count(*) AS days
+         |  FROM s GROUP BY 1, 2)
+         |SELECT sid, CAST(sum(days) AS BIGINT) AS n_days,
+         |  coalesce(max(len), 0)::BIGINT AS max_underwater,
+         |  CAST(coalesce(sum(CASE WHEN opn = 1 THEN len ELSE 0 END), 0)
+         |    AS BIGINT) AS open_underwater
+         |FROM g GROUP BY 1""".stripMargin,
+
     // EV16: activity Gini — same histogram-telescoped Lorenz algebra as
     // the engine (HUGEINT exact), gini micro-rounded
     "ev16_gini" ->

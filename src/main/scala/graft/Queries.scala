@@ -1473,6 +1473,17 @@ object Queries {
     "ev15_burstiness" -> ((s, dir) =>
       graft.events.Events.burstiness(events(s, dir))),
 
+    // ---- EV18: new-vs-returning DAU decomposition
+    "ev18_new_returning" -> ((s, dir) =>
+      graft.events.Events.newVsReturning(events(s, dir))),
+
+    // ---- W24: longest underwater spell per sid (duration complement
+    // of w21's drawdown magnitude)
+    "w24_underwater" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.sidUnderwaterDuration(supplierPanel(s, dir))
+    }),
+
     // ---- EV16: activity-concentration Gini per event type — Lorenz
     // mass telescoped over the count histogram, no per-user ranking
     "ev16_gini" -> ((s, dir) =>

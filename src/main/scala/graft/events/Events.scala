@@ -631,6 +631,32 @@ object Events {
         count(lit(1)).as(s"active_$window"))
   }
 
+  /** EV18: new-vs-returning DAU split — each active day of a user is
+    * "new" on their first-ever day and "returning" after, the growth
+    * decomposition behind every DAU chart. One distinct on
+    * (user, day), one per-user min window (unordered — no sort), one
+    * date aggregation. Output (date, new_users, returning_users,
+    * dau). */
+  def newVsReturning(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val days = events
+      .select(col(userCol).as("__u"),
+        to_date(col(tsCol).cast("timestamp")).as("date"))
+      .distinct()
+    days
+      .withColumn("__first",
+        min(col("date")).over(Window.partitionBy(col("__u"))))
+      .groupBy(col("date"))
+      .agg(
+        sum(when(col("date") === col("__first"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("date") =!= col("__first"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .withColumn("dau", col("new_users") + col("returning_users"))
+  }
+
   /** EV16: Gini coefficient of per-user activity concentration, per
     * event type — the Lorenz-curve summary behind "1% of users generate
     * X% of events" (and, on an LLM interaction log, "these N accounts

@@ -192,6 +192,40 @@ object Panel {
         (coalesce(min(col("__dd")), lit(0.0)) + 0.0).as("max_drawdown"))
   }
 
+  /** W24: per-sid longest underwater spell — the DURATION complement
+    * of [[sidMaxDrawdown]]'s magnitude ("how long until a new high",
+    * the drawdown question investors actually feel). A bar is
+    * underwater when close < running peak; spells are numbered by the
+    * running count of at-peak bars (one window), their lengths counted
+    * per (sid, spell), and the max + the still-open tail spell
+    * reported. The peak comparison is exact (cummax returns one of the
+    * series' own doubles), so spell boundaries can't drift between
+    * engines. Two windows + two hash aggs, all per-sid.
+    * Output (sid, n_days, max_underwater, open_underwater). */
+  def sidUnderwaterDuration(
+      df: DataFrame,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    val peak = max(col(closeCol)).over(k.cumFrame)
+    val spelled = df
+      .withColumn("__uw", (col(closeCol) < peak).cast("long"))
+      .withColumn("__spell", // at-peak bars close a spell: id = #peaks so far
+        sum(lit(1L) - col("__uw")).over(k.cumFrame))
+      .withColumn("__last", lead(col(closeCol), 1).over(k.bySid).isNull)
+    val spells = spelled
+      .groupBy(col(k.sid).as("sid"), col("__spell"))
+      .agg(sum(col("__uw")).as("__len"),
+        max(when(col("__last") && col("__uw") === 1, 1L).otherwise(0L))
+          .as("__open"),
+        count(lit(1)).as("__days"))
+    spells
+      .groupBy(col("sid"))
+      .agg(
+        sum(col("__days")).as("n_days"),
+        coalesce(max(col("__len")), lit(0L)).as("max_underwater"),
+        coalesce(sum(when(col("__open") === 1, col("__len")).otherwise(0L)),
+          lit(0L)).as("open_underwater"))
+  }
+
   /** W20: Lo–MacKinlay variance ratio per sid —
     * Var(q-period log return) / (q · Var(1-period log return)) over
     * overlapping windows: ≈ 1 for a random walk, > 1 momentum, < 1

@@ -321,6 +321,22 @@ class EventsSpec extends SparkSpec {
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
 
+  test("newVsReturning: first-ever day counts as new, later days " +
+    "returning; multiple events one day count once (ev18)") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "view"), // same day, same user
+      (3L, 1L, ts("2024-01-02 10:00:00"), "view"),
+      (4L, 2L, ts("2024-01-02 10:00:00"), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.newVsReturning(ev)
+      .collect().map(r => r.getAs[java.sql.Date]("date").toString ->
+        ((r.getAs[Long]("new_users"), r.getAs[Long]("returning_users"),
+          r.getAs[Long]("dau")))).toMap
+    assert(out("2024-01-01") == ((1L, 0L, 1L)))
+    assert(out("2024-01-02") == ((1L, 1L, 2L))) // u2 new, u1 returning
+  }
+
   test("activityGini: histogram-telescoped Lorenz mass matches the " +
     "textbook rank form; uniform counts give gini 0 (ev16)") {
     // counts [1,1,1,1,6]: N=5, S=10, W=1+2+3+4+30=40 → G=0.4

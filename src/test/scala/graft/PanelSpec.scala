@@ -147,6 +147,23 @@ class PanelSpec extends SparkSpec {
     assert(out("B") == ((2L, 0.0)))
   }
 
+  test("sidUnderwaterDuration: spell lengths between highs, open tail " +
+    "spell reported, monotone series → 0 (w24)") {
+    implicit val k = Panel.eod
+    val df = Seq(
+      ("A", "d1", 100.0), ("A", "d2", 90.0), ("A", "d3", 95.0),
+      ("A", "d4", 110.0), // recovery closes a 2-day spell
+      ("A", "d5", 105.0), ("A", "d6", 104.0), // open 2-day tail spell
+      ("B", "d1", 10.0), ("B", "d2", 20.0)) // monotone: never underwater
+      .toDF("sid", "date", "close")
+    val out = Panel.sidUnderwaterDuration(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("max_underwater"),
+          r.getAs[Long]("open_underwater")))).toMap
+    assert(out("A") == ((6L, 2L, 2L)))
+    assert(out("B") == ((2L, 0L, 0L)))
+  }
+
   test("varianceRatio: perfect mean reversion → 0, flat series → null " +
     "(w20)") {
     implicit val k = Panel.eod
