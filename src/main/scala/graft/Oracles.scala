@@ -1903,21 +1903,32 @@ object Oracles {
          |  WHERE c.beta IS NOT NULL),
          |ed AS (
          |  SELECT sa, sb, e,
-         |    e - lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS d
+         |    e - lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS d,
+         |    lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS pv
          |  FROM er),
          |ag AS (
-         |  SELECT sa, sb, sum(e::HUGEINT * e) AS see,
-         |         sum(d::HUGEINT * d) AS sdd
-         |  FROM ed GROUP BY 1, 2)
+         |  SELECT sa, sb, count(d) AS cnd,
+         |         sum(e::HUGEINT * e) AS see,
+         |         sum(d::HUGEINT * d) AS sdd,
+         |         sum(pv::HUGEINT * pv) AS spp,
+         |         sum(pv::HUGEINT * d) AS spd
+         |  FROM ed GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT *, spd::DOUBLE / spp::DOUBLE AS phi,
+         |    (sdd::DOUBLE - (spd::DOUBLE / spp::DOUBLE) * spd::DOUBLE)
+         |      / (cnd - 1)::DOUBLE AS s2
+         |  FROM ag)
          |SELECT c.sa AS sid_a, c.sb AS sid_b, CAST(c.n AS BIGINT) AS n,
          |  round(c.beta, 6) + 0.0 AS beta,
          |  round(c.alpha / 1e6, 6) + 0.0 AS alpha,
          |  round(CASE WHEN see > 0 THEN sdd::DOUBLE / see::DOUBLE END, 6)
          |    + 0.0 AS crdw,
+         |  round(CASE WHEN cnd >= 3 AND spp > 0 AND s2 > 0
+         |        THEN phi / sqrt(s2 / spp::DOUBLE) END, 6) + 0.0 AS adf_t,
          |  round(sqrt(see::DOUBLE / c.n::DOUBLE) / 1e6, 6) + 0.0
          |    AS resid_std
          |FROM co2 c
-         |LEFT JOIN ag ON c.sa = ag.sa AND c.sb = ag.sb""".stripMargin,
+         |LEFT JOIN ad ON c.sa = ad.sa AND c.sb = ad.sb""".stripMargin,
 
     // portfolio combination: two damped demo books, fixed-order blend
     "port1_combined" ->

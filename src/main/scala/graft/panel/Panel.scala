@@ -457,8 +457,10 @@ object Panel {
     * shuffle, lazily checkpointed — it feeds the moment agg AND the
     * residual pass), one-row stats broadcast back, one ordered window
     * over the date-grain series (post-aggregation, bounded), one final
-    * agg. Output (sid_a, sid_b, n, beta, alpha, crdw, resid_std) with
-    * alpha/resid_std in log-price units. */
+    * agg. Output (sid_a, sid_b, n, beta, alpha, crdw, adf_t,
+    * resid_std) with alpha/resid_std in log-price units; `adf_t` is
+    * the step-2 no-intercept Dickey-Fuller t on the residuals (5%
+    * no-cointegration rejection ≈ −3.34, Engle & Granger 1987). */
   def cointegrationScreen(
       df: DataFrame,
       price: Column,
@@ -522,10 +524,14 @@ object Panel {
       }: _*)
     val aggs2 = pairs.flatMap { case (i, j) =>
       val e = col(s"__e_${i}_$j"); val d = col(s"__d_${i}_$j")
+      val prev = e - d // the lagged residual, where a Δ exists
       Seq(
         count(e).as(s"__cnt_${i}_$j"),
+        count(d).as(s"__cnd_${i}_$j"),
         sum((e.cast(dec) * e.cast(dec))).as(s"__see_${i}_$j"),
-        sum((d.cast(dec) * d.cast(dec))).as(s"__sdd_${i}_$j"))
+        sum((d.cast(dec) * d.cast(dec))).as(s"__sdd_${i}_$j"),
+        sum((prev.cast(dec) * prev.cast(dec))).as(s"__spp_${i}_$j"),
+        sum((prev.cast(dec) * d.cast(dec))).as(s"__spd_${i}_$j"))
     }
     val one2 = lagged.agg(aggs2.head, aggs2.tail: _*)
       .crossJoin(broadcast(stats))
@@ -543,18 +549,32 @@ object Panel {
       val see = col(s"__see_${i}_$j").cast("double")
       val crdw = when(see > 0,
         col(s"__sdd_${i}_$j").cast("double") / see)
+      // Engle-Granger step 2: no-intercept Dickey-Fuller on the
+      // residuals, Δe_t = φ·e_{t−1}: φ from exact decimal sums, its
+      // t-statistic vs the DF distribution (5% no-cointegration
+      // rejection ≈ −3.34 for a 2-variable regression, Engle &
+      // Granger 1987 table II)
+      val nd2 = col(s"__cnd_${i}_$j")
+      val spp = col(s"__spp_${i}_$j").cast("double")
+      val spd = col(s"__spd_${i}_$j").cast("double")
+      val phi = spd / spp
+      val s2 = (col(s"__sdd_${i}_$j").cast("double") - phi * spd) /
+        (nd2 - 1).cast("double")
+      val adfT = when(nd2 >= 3 && spp > 0 && s2 > 0,
+        phi / sqrt(s2 / spp))
       struct(
         lit(sids(i)).as("sid_a"), lit(sids(j)).as("sid_b"), nn.as("n"),
         (round(beta, 6) + 0.0).as("beta"),
         (round(alpha / 1e6, 6) + 0.0).as("alpha"),
         (round(crdw, 6) + 0.0).as("crdw"),
+        (round(adfT, 6) + 0.0).as("adf_t"),
         (round(sqrt(see / nn.cast("double")) / 1e6, 6) + 0.0)
           .as("resid_std"))
     }
     one2.select(explode(array(rows: _*)).as("__r"))
       .select(col("__r.sid_a"), col("__r.sid_b"), col("__r.n"),
         col("__r.beta"), col("__r.alpha"), col("__r.crdw"),
-        col("__r.resid_std"))
+        col("__r.adf_t"), col("__r.resid_std"))
   }
 
   /** Range-based volatility estimators over OHLC bars (the

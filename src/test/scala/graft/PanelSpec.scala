@@ -339,6 +339,8 @@ class PanelSpec extends SparkSpec {
     // Sargan-Bhargava bound (perfectly stationary spread)
     assert(ab.getAs[Double]("resid_std") < 1e-4)
     assert(ab.getAs[Double]("crdw") > 1.0)
+    // step-2 ADF: the stationary spread rejects no-cointegration hard
+    assert(ab.getAs[Double]("adf_t") < -3.34, ab.toString)
     // A vs the smooth trending C: spread inherits A's random walk →
     // CRDW collapses toward 0 (no cointegration)
     val ac = out(("A", "C"))
