@@ -2962,6 +2962,41 @@ object Oracles {
         |FROM d JOIN f USING (user_id)
         |GROUP BY 1""".stripMargin,
 
+    // W25: rolling beta — micro returns, exact windowed moments, one
+    // division per emitted row
+    "w25_rolling_beta" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid, date,
+         |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1
+         |      AS ret
+         |  FROM panel),
+         |b AS (SELECT date, ret AS bret FROM rr WHERE sid = 1),
+         |j AS (SELECT rr.sid, rr.date, rr.ret, b.bret
+         |      FROM rr LEFT JOIN b USING (date)),
+         |q AS (
+         |  SELECT sid, date,
+         |    CASE WHEN ret IS NOT NULL AND bret IS NOT NULL
+         |         THEN CAST(round(ret * 1e6) AS BIGINT) END AS x,
+         |    CASE WHEN ret IS NOT NULL AND bret IS NOT NULL
+         |         THEN CAST(round(bret * 1e6) AS BIGINT) END AS y
+         |  FROM j),
+         |w AS (
+         |  SELECT sid, date,
+         |    count(x) OVER win AS n,
+         |    sum(x::HUGEINT) OVER win AS sx,
+         |    sum(y::HUGEINT) OVER win AS sy,
+         |    sum(x::HUGEINT * y) OVER win AS sxy,
+         |    sum(y::HUGEINT * y) OVER win AS syy
+         |  FROM q
+         |  WINDOW win AS (PARTITION BY sid ORDER BY date
+         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT sid, date,
+         |  round(CASE WHEN n = 20 AND n * syy - sy * sy <> 0
+         |        THEN (n * sxy - sx * sy)::DOUBLE
+         |           / (n * syy - sy * sy)::DOUBLE END, 6) AS beta_20
+         |FROM w""".stripMargin,
+
     // W24: underwater spells — spell ids from the running at-peak
     // count, exact close-vs-cummax comparison
     "w24_underwater" ->

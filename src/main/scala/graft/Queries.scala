@@ -1477,6 +1477,20 @@ object Queries {
     "ev18_new_returning" -> ((s, dir) =>
       graft.events.Events.newVsReturning(events(s, dir))),
 
+    // ---- W25: per-sid rolling beta vs the sid-1 benchmark series
+    // (broadcast date join + pure windows; feeds d30 betaHedge)
+    "w25_rolling_beta" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+      val bench = p.where(col("sid") === 1)
+        .select(col("date"), col("ret").as("bret"))
+      Panel.withRollingBeta(
+        p.join(broadcast(bench), Seq("date"), "left"),
+        col("ret"), col("bret"), window = 20)
+        .select(col("sid"), col("date"), col("beta_20"))
+    }),
+
     // ---- W24: longest underwater spell per sid (duration complement
     // of w21's drawdown magnitude)
     "w24_underwater" -> ((s, dir) => {

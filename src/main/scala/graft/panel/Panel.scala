@@ -192,6 +192,40 @@ object Panel {
         (coalesce(min(col("__dd")), lit(0.0)) + 0.0).as("max_drawdown"))
   }
 
+  /** W25: per-sid rolling beta to a benchmark return column — the
+    * beta PANEL [[graft.alloc.Weights.betaHedge]] consumes (its d30
+    * overlay needs per-sid betas; the portfolio-level
+    * [[graft.perf.Performance.rollingBeta]] answers a different
+    * question). Caller supplies both return columns already aligned
+    * on the row (join the benchmark series first — a broadcast date
+    * join); the op itself is pure windows, so it composes with any
+    * benchmark source. β = (nΣxy − ΣxΣy)/(nΣyy − (Σy)²) over the
+    * trailing `window` rows where BOTH returns exist, from
+    * micro-quantized exact sums; null until the window fills or when
+    * the benchmark variance is 0. Appends `beta_<window>` (6dp). */
+  def withRollingBeta(
+      df: DataFrame,
+      ret: Column,
+      benchRet: Column,
+      window: Int)(implicit k: Keys): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val f = k.rollingFrame(window)
+    val both = ret.isNotNull && benchRet.isNotNull
+    val x = when(both, round(ret * 1e6).cast("long"))
+    val y = when(both, round(benchRet * 1e6).cast("long"))
+    val n = count(x).over(f)
+    val sx = sum(x.cast(dec)).over(f)
+    val sy = sum(y.cast(dec)).over(f)
+    val sxy = sum((x.cast(dec) * y.cast(dec))).over(f)
+    val syy = sum((y.cast(dec) * y.cast(dec))).over(f)
+    val varY = n.cast(dec) * syy - sy * sy
+    df.withColumn(s"beta_$window",
+      round(when(n === window && varY =!= 0,
+        (n.cast(dec) * sxy - sx * sy).cast("double") /
+          varY.cast("double")), 6))
+  }
+
   /** W24: per-sid longest underwater spell — the DURATION complement
     * of [[sidMaxDrawdown]]'s magnitude ("how long until a new high",
     * the drawdown question investors actually feel). A bar is

@@ -147,6 +147,31 @@ class PanelSpec extends SparkSpec {
     assert(out("B") == ((2L, 0.0)))
   }
 
+  test("withRollingBeta: the benchmark itself reads beta 1, a 2x-levered " +
+    "clone reads 2, null until the window fills (w25)") {
+    implicit val k = Panel.eod
+    val rows = (1 to 6).flatMap { t =>
+      val b = if (t % 2 == 0) 0.01 else -0.02 // benchmark return path
+      Seq(("B", f"d$t%02d", b), ("L", f"d$t%02d", 2 * b),
+        ("N", f"d$t%02d", Double.NaN)) // N: no return → never fills
+    }.toDF("sid", "date", "ret")
+      .withColumn("ret", when(isnan(col("ret")), lit(null)).otherwise(col("ret")))
+    val bench = rows.where(col("sid") === "B")
+      .select(col("date"), col("ret").as("bret"))
+    val out = Panel.withRollingBeta(
+      rows.join(bench, Seq("date"), "left"), col("ret"), col("bret"),
+      window = 3)
+      .collect().map(r => (r.getAs[String]("date"), r.getAs[String]("sid")) ->
+        (if (r.isNullAt(r.fieldIndex("beta_3"))) None
+         else Some(r.getAs[Double]("beta_3")))).toMap
+    assert(out(("d02", "B")).isEmpty) // window not filled
+    assert(out(("d03", "B")).contains(1.0))
+    assert(out(("d06", "L")).contains(2.0))
+    assert(out(("d06", "N")).isEmpty)
+    intercept[IllegalArgumentException](
+      Panel.withRollingBeta(rows, col("ret"), col("ret"), window = 1))
+  }
+
   test("sidUnderwaterDuration: spell lengths between highs, open tail " +
     "spell reported, monotone series → 0 (w24)") {
     implicit val k = Panel.eod
