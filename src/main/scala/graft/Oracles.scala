@@ -2946,6 +2946,14 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // EV19: bounded 7×24 profile; DuckDB isodow = the engine's ISO map
+    "ev19_hourly_profile" ->
+      """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+        |  count(*)::BIGINT AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // EV18: new/returning decomposition off first active day
     "ev18_new_returning" ->
       """WITH d AS (

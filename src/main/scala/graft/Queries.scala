@@ -1473,6 +1473,10 @@ object Queries {
     "ev15_burstiness" -> ((s, dir) =>
       graft.events.Events.burstiness(events(s, dir))),
 
+    // ---- EV19: weekday × hour activity heatmap (ISO dow)
+    "ev19_hourly_profile" -> ((s, dir) =>
+      graft.events.Events.hourlyProfile(events(s, dir))),
+
     // ---- EV18: new-vs-returning DAU decomposition
     "ev18_new_returning" -> ((s, dir) =>
       graft.events.Events.newVsReturning(events(s, dir))),

@@ -1162,6 +1162,25 @@ object TextOracles {
          |SELECT a AS doc_id, min(b) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // TX27: per-source dup report — corpus-wide keep-first billing
+    "tx27_source_dups" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'src_copycat', text FROM documents
+        |  WHERE doc_id < 50),
+        |r AS (
+        |  SELECT source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |      AS rn
+        |  FROM planted)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS dup_rate
+        |FROM r GROUP BY 1""".stripMargin,
+
     // DD23: soft-dedup weights — the dd7 closure labels clusters, then
     // every doc weighs 1/|cluster| (1 when unclustered)
     "dd23_soft_weights" ->

@@ -429,6 +429,17 @@ object TextQueries {
       Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
     }),
 
+    // ---- TX27: per-source duplication report — 50 docs re-attributed
+    // to a copycat source show up as its 100% dup rate
+    "tx27_source_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            lit("src_copycat").as("source"), col("text")))
+      Dedup.sourceDupReport(planted)
+    }),
+
     // ---- DD23: soft dedup — 1/|cluster| sampling weights instead of
     // dropping (repetition-aware curation; feeds sp10 weightedSample)
     "dd23_soft_weights" -> ((s, dir) => {

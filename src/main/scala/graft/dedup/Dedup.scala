@@ -1093,6 +1093,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** TX27: per-source duplication report — the corpus-health view a
+    * curation run reads first ("which feed is re-crawling itself"):
+    * per source, document count and how many docs are exact duplicates
+    * of an earlier doc (corpus-WIDE first-occurrence, so a copy
+    * crossing sources bills to the copier, not the origin). One md5
+    * window + one hash agg. Output (source, n_docs, n_dup_docs,
+    * dup_rate 6dp). */
+  def sourceDupReport(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+  }
+
   /** Soft deduplication: instead of DROPPING near-duplicates, every doc
     * gets a sampling weight 1/|cluster| (1.0 for unclustered docs) — a
     * cluster of n near-identical pages contributes one doc's worth of

@@ -657,6 +657,27 @@ object Events {
       .withColumn("dau", col("new_users") + col("returning_users"))
   }
 
+  /** EV19: weekday × hour activity profile — the load heatmap behind
+    * capacity planning and bot forensics (humans have a diurnal
+    * shape; scrapers are flat). One hash aggregation on the bounded
+    * (7 × 24) grid; dow follows ISO (1 = Monday).
+    * Output (dow, hour, n_events, n_users). */
+  def hourlyProfile(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame =
+    events
+      .groupBy(
+        dayofweek(col(tsCol).cast("timestamp")).as("__d"), // 1 = Sunday
+        hour(col(tsCol).cast("timestamp")).cast("long").as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col(userCol)).as("n_users"))
+      // Spark dayofweek is 1=Sunday; report ISO 1=Monday..7=Sunday
+      .select(
+        (pmod(col("__d") + 5, lit(7)) + 1).cast("long").as("dow"),
+        col("hour"), col("n_events"), col("n_users"))
+
   /** EV16: Gini coefficient of per-user activity concentration, per
     * event type — the Lorenz-curve summary behind "1% of users generate
     * X% of events" (and, on an LLM interaction log, "these N accounts

@@ -533,6 +533,21 @@ class DedupSimSpec extends SparkSpec {
     intercept[graft.ParameterError](Dedup.dropBoilerplateLines(docs, fracDocs = 1.5))
   }
 
+  test("sourceDupReport: corpus-wide keep-first bills the copier source, " +
+    "not the origin (tx27)") {
+    val docs = Seq(
+      (1L, "origin", "body one"), (2L, "origin", "body two"),
+      (10L, "copycat", "body one"), (11L, "copycat", "body two"),
+      (12L, "copycat", "fresh content")) // its own original
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceDupReport(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Double]("dup_rate")))).toMap
+    assert(out("origin") == ((2L, 0L, 0.0)))
+    assert(out("copycat") == ((3L, 2L, 0.666667)))
+  }
+
   test("softDedupWeights: clustered docs weigh 1/|cluster|, unclustered " +
     "1.0; total weight = unique-doc mass (dd23)") {
     val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")

@@ -321,6 +321,22 @@ class EventsSpec extends SparkSpec {
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
 
+  test("hourlyProfile: ISO dow mapping (Monday=1), distinct users per " +
+    "cell (ev19)") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 09:30:00"), "view"), // a Monday
+      (2L, 2L, ts("2024-01-01 09:45:00"), "view"),
+      (3L, 1L, ts("2024-01-01 09:50:00"), "view"), // same user again
+      (4L, 1L, ts("2024-01-07 23:10:00"), "view")) // a Sunday
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.hourlyProfile(ev)
+      .collect().map(r => (r.getAs[Long]("dow"), r.getAs[Long]("hour")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_users")))).toMap
+    assert(out((1L, 9L)) == ((3L, 2L)))
+    assert(out((7L, 23L)) == ((1L, 1L)))
+    assert(out.size == 2)
+  }
+
   test("newVsReturning: first-ever day counts as new, later days " +
     "returning; multiple events one day count once (ev18)") {
     val ev = Seq(
