@@ -16,6 +16,71 @@ object Oracles {
       |         max(l_extendedprice) AS close
       |  FROM lineitem GROUP BY 1, 2)""".stripMargin
 
+  /** Engle-Granger CTE chain (micro log prices, decimal OLS moments,
+    * re-quantized residuals, DW + ADF sums) ending in the screen's
+    * output as CTE `scr` — shared by coint1 (select *) and coint2
+    * (best-pair spread replay). */
+  private val cointCtes =
+    s"""$panelCte,
+         |m AS (
+         |  SELECT CAST(sid AS VARCHAR) AS s, date,
+         |         CAST(round(ln(close) * 1e6) AS BIGINT) AS v
+         |  FROM panel
+         |  WHERE close > 0 AND CAST(sid AS VARCHAR) IN ('1','2','3','4')),
+         |pj AS (
+         |  SELECT a.s AS sa, b.s AS sb, a.date AS date, a.v AS y, b.v AS x
+         |  FROM m a JOIN m b
+         |    ON a.date = b.date AND CAST(a.s AS BIGINT) < CAST(b.s AS BIGINT)),
+         |st AS (
+         |  SELECT sa, sb, count(*) AS n, sum(x::HUGEINT) AS sx,
+         |         sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx,
+         |         sum(x::HUGEINT * y) AS sxy
+         |  FROM pj GROUP BY 1, 2),
+         |co AS (
+         |  SELECT sa, sb, n, sx, sy,
+         |    CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
+         |         THEN (n * sxy - sx * sy)::DOUBLE
+         |            / (n * sxx - sx * sx)::DOUBLE END AS beta
+         |  FROM st),
+         |co2 AS (
+         |  SELECT *, (sy::DOUBLE - beta * sx::DOUBLE) / n::DOUBLE AS alpha
+         |  FROM co),
+         |er AS (
+         |  SELECT p.sa, p.sb, p.date,
+         |    CAST(round(p.y - c.alpha - c.beta * p.x) AS BIGINT) AS e
+         |  FROM pj p JOIN co2 c ON p.sa = c.sa AND p.sb = c.sb
+         |  WHERE c.beta IS NOT NULL),
+         |ed AS (
+         |  SELECT sa, sb, e,
+         |    e - lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS d,
+         |    lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS pv
+         |  FROM er),
+         |ag AS (
+         |  SELECT sa, sb, count(d) AS cnd,
+         |         sum(e::HUGEINT * e) AS see,
+         |         sum(d::HUGEINT * d) AS sdd,
+         |         sum(pv::HUGEINT * pv) AS spp,
+         |         sum(pv::HUGEINT * d) AS spd
+         |  FROM ed GROUP BY 1, 2),
+         |ad AS (
+         |  SELECT *, spd::DOUBLE / spp::DOUBLE AS phi,
+         |    (sdd::DOUBLE - (spd::DOUBLE / spp::DOUBLE) * spd::DOUBLE)
+         |      / (cnd - 1)::DOUBLE AS s2
+         |  FROM ag),
+         |scr AS (
+         |  SELECT c.sa AS sid_a, c.sb AS sid_b, CAST(c.n AS BIGINT) AS n,
+         |    round(c.beta, 6) + 0.0 AS beta,
+         |    round(c.alpha / 1e6, 6) + 0.0 AS alpha,
+         |    round(CASE WHEN see > 0 THEN sdd::DOUBLE / see::DOUBLE END, 6)
+         |      + 0.0 AS crdw,
+         |    round(CASE WHEN cnd >= 3 AND spp > 0 AND s2 > 0
+         |          THEN phi / sqrt(s2 / spp::DOUBLE) END, 6) + 0.0 AS adf_t,
+         |    round(sqrt(see::DOUBLE / c.n::DOUBLE) / 1e6, 6) + 0.0
+         |      AS resid_std
+         |  FROM co2 c
+         |  LEFT JOIN ad ON c.sa = ad.sa AND c.sb = ad.sb)"""
+      .stripMargin
+
   private val sigCte =
     s"""$panelCte,
        |sig AS (
@@ -1872,63 +1937,50 @@ object Oracles {
     // COINT1: Engle-Granger — micro log prices, decimal OLS moments,
     // residuals re-quantized before the DW sums (mirrors the engine)
     "coint1_pairs" ->
-      s"""WITH $panelCte,
-         |m AS (
-         |  SELECT CAST(sid AS VARCHAR) AS s, date,
-         |         CAST(round(ln(close) * 1e6) AS BIGINT) AS v
-         |  FROM panel
-         |  WHERE close > 0 AND CAST(sid AS VARCHAR) IN ('1','2','3','4')),
-         |pj AS (
-         |  SELECT a.s AS sa, b.s AS sb, a.date AS date, a.v AS y, b.v AS x
-         |  FROM m a JOIN m b
-         |    ON a.date = b.date AND CAST(a.s AS BIGINT) < CAST(b.s AS BIGINT)),
-         |st AS (
-         |  SELECT sa, sb, count(*) AS n, sum(x::HUGEINT) AS sx,
-         |         sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx,
-         |         sum(x::HUGEINT * y) AS sxy
-         |  FROM pj GROUP BY 1, 2),
-         |co AS (
-         |  SELECT sa, sb, n, sx, sy,
-         |    CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
-         |         THEN (n * sxy - sx * sy)::DOUBLE
-         |            / (n * sxx - sx * sx)::DOUBLE END AS beta
-         |  FROM st),
-         |co2 AS (
-         |  SELECT *, (sy::DOUBLE - beta * sx::DOUBLE) / n::DOUBLE AS alpha
-         |  FROM co),
-         |er AS (
-         |  SELECT p.sa, p.sb, p.date,
-         |    CAST(round(p.y - c.alpha - c.beta * p.x) AS BIGINT) AS e
-         |  FROM pj p JOIN co2 c ON p.sa = c.sa AND p.sb = c.sb
-         |  WHERE c.beta IS NOT NULL),
-         |ed AS (
-         |  SELECT sa, sb, e,
-         |    e - lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS d,
-         |    lag(e) OVER (PARTITION BY sa, sb ORDER BY date) AS pv
-         |  FROM er),
-         |ag AS (
-         |  SELECT sa, sb, count(d) AS cnd,
-         |         sum(e::HUGEINT * e) AS see,
-         |         sum(d::HUGEINT * d) AS sdd,
-         |         sum(pv::HUGEINT * pv) AS spp,
-         |         sum(pv::HUGEINT * d) AS spd
-         |  FROM ed GROUP BY 1, 2),
-         |ad AS (
-         |  SELECT *, spd::DOUBLE / spp::DOUBLE AS phi,
-         |    (sdd::DOUBLE - (spd::DOUBLE / spp::DOUBLE) * spd::DOUBLE)
-         |      / (cnd - 1)::DOUBLE AS s2
-         |  FROM ag)
-         |SELECT c.sa AS sid_a, c.sb AS sid_b, CAST(c.n AS BIGINT) AS n,
-         |  round(c.beta, 6) + 0.0 AS beta,
-         |  round(c.alpha / 1e6, 6) + 0.0 AS alpha,
-         |  round(CASE WHEN see > 0 THEN sdd::DOUBLE / see::DOUBLE END, 6)
-         |    + 0.0 AS crdw,
-         |  round(CASE WHEN cnd >= 3 AND spp > 0 AND s2 > 0
-         |        THEN phi / sqrt(s2 / spp::DOUBLE) END, 6) + 0.0 AS adf_t,
-         |  round(sqrt(see::DOUBLE / c.n::DOUBLE) / 1e6, 6) + 0.0
-         |    AS resid_std
-         |FROM co2 c
-         |LEFT JOIN ad ON c.sa = ad.sa AND c.sb = ad.sb""".stripMargin,
+      s"""WITH $cointCtes
+         |SELECT * FROM scr""".stripMargin,
+
+    // COINT2: the trading leg — pick the screen's best (lowest adf_t)
+    // pair, z-score its spread with the ROUNDED beta/alpha constants
+    "coint2_spread_signal" ->
+      s"""WITH $cointCtes,
+         |best AS (
+         |  SELECT sid_a, sid_b, beta, alpha FROM scr
+         |  WHERE adf_t IS NOT NULL
+         |  ORDER BY adf_t, sid_a, sid_b LIMIT 1),
+         |g AS (
+         |  SELECT a.date, a.v AS la, c.v AS lb
+         |  FROM m a
+         |  JOIN m c ON a.date = c.date
+         |  WHERE a.s = (SELECT sid_a FROM best)
+         |    AND c.s = (SELECT sid_b FROM best)),
+         |sp AS (
+         |  SELECT g.date,
+         |    CAST(round(g.la - b.beta * g.lb - b.alpha * 1e6) AS BIGINT)
+         |      AS sq
+         |  FROM g, best b),
+         |wf AS (
+         |  SELECT date, sq,
+         |    count(sq) OVER win AS n,
+         |    sum(sq::HUGEINT) OVER win AS s1,
+         |    sum(sq::HUGEINT * sq) OVER win AS s2
+         |  FROM sp
+         |  WINDOW win AS (ORDER BY date
+         |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |zz AS (
+         |  SELECT date, sq,
+         |    round(CASE WHEN n = 20 AND sdr > 0
+         |          THEN (sq::DOUBLE - s1::DOUBLE / n) / sdr END, 6) + 0.0
+         |      AS z
+         |  FROM (SELECT *,
+         |          round(sqrt(greatest((n * s2 - s1 * s1)::DOUBLE
+         |            / (n::DOUBLE * (n - 1)), 0.0)), 6) AS sdr
+         |        FROM wf))
+         |SELECT date, round(sq::DOUBLE / 1e6, 6) + 0.0 AS spread, z,
+         |  CAST(CASE WHEN z > 2.0 THEN -1 WHEN z < -2.0 THEN 1
+         |       WHEN z IS NOT NULL THEN 0 END AS INT) AS signal
+         |FROM zz""".stripMargin,
+
 
     // portfolio combination: two damped demo books, fixed-order blend
     "port1_combined" ->

@@ -588,6 +588,24 @@ object Queries {
         supplierPanel(s, dir), col("close"), Seq("1", "2", "3", "4"))
     }),
 
+    // ---- COINT2: the trading leg — best (lowest adf_t) pair from the
+    // screen, rolling z-scored spread with ±2 entry bands; the pair
+    // pick is a bounded driver action (≤ 6 rows, requireFresh class)
+    "coint2_spread_signal" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+      val best = Panel.cointegrationScreen(p, col("close"),
+        Seq("1", "2", "3", "4"))
+        .where(col("adf_t").isNotNull)
+        .collect() // bounded pair frame
+        .minBy(r => (r.getAs[Double]("adf_t"), r.getAs[String]("sid_a"),
+          r.getAs[String]("sid_b")))
+      Panel.spreadZSignal(p, col("close"),
+        best.getAs[String]("sid_a"), best.getAs[String]("sid_b"),
+        best.getAs[Double]("beta"), best.getAs[Double]("alpha"),
+        window = 20)
+    }),
+
     // ---- portfolio combination: 0.6/0.4 blend of the close<30000 and
     // close<15000 demo books' daily returns
     "port1_combined" -> ((s, dir) => {

@@ -1493,6 +1493,50 @@ object TextOracles {
          |        + ln((tr + 256)::DOUBLE) - ln((tt + 256)::DOUBLE), 6) AS log_weight
          |FROM sc CROSS JOIN tot""".stripMargin,
 
+    // SP12: sp4's weight chain → exp → the sp10 A-ES replay
+    "sp12_dsir_sample" ->
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(g) AS s FROM gr)),
+         |tc AS (SELECT b, count(*) AS ct FROM feat
+         |       WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+         |       GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS cr FROM feat GROUP BY 1),
+         |tbl AS (
+         |  SELECT b,
+         |    CAST(round((ln(coalesce(ct, 0) + 1.0) - ln(coalesce(cr, 0) + 1.0))
+         |               * 1000000) AS BIGINT) AS m
+         |  FROM tc FULL OUTER JOIN rc USING (b)),
+         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS tt,
+         |               (SELECT CAST(sum(cr) AS BIGINT) FROM rc) AS tr),
+         |sc AS (
+         |  SELECT feat.doc_id, count(*)::BIGINT AS n_features,
+         |    CAST(sum(coalesce(tbl.m, 0)) AS BIGINT) AS s
+         |  FROM feat LEFT JOIN tbl USING (b) GROUP BY 1),
+         |lw AS (
+         |  SELECT doc_id,
+         |    round(exp(round(s::DOUBLE / 1000000 / n_features
+         |      + ln((tr + 256)::DOUBLE) - ln((tt + 256)::DOUBLE), 6)), 6)
+         |      AS dsir_w
+         |  FROM sc CROSS JOIN tot),
+         |h AS (
+         |  SELECT doc_id, dsir_w,
+         |    round(ln(CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'dsir',
+         |      doc_id)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0)
+         |      / dsir_w, 9) AS sample_key
+         |  FROM lw WHERE dsir_w IS NOT NULL AND dsir_w > 0)
+         |SELECT doc_id, dsir_w, sample_key
+         |FROM h ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+
     "dd13_line_dedup" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -373,6 +373,20 @@ object TextQueries {
         docs, docs.where(col("source") === "src0"), docs, buckets = 256)
     }),
 
+    // ---- SP12: the DSIR SELECTION step (Xie 2023 §2.3) — importance
+    // resample the corpus with the sp4 log weights via A-ES weighted
+    // sampling; the weight is exp(log_weight) PRE-ROUNDED to 6dp so
+    // both engines divide identical doubles (the voltarget stance)
+    "sp12_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lw = LangModel.dsirLogWeights(
+        docs, docs.where(col("source") === "src0"), docs, buckets = 256)
+      graft.text.Sampling.weightedSample(
+        lw.select(col("doc_id"),
+          round(exp(col("log_weight")), 6).as("dsir_w")),
+        "doc_id", "dsir_w", k = 100, seed = "dsir")
+    }),
+
     // the flagship curation composition — every stage is the library
     // operator a real 100 TB pipeline would chain: Gopher quality filter
     // (shuffle-free scan) → exact dedup (one hash shuffle) → exact

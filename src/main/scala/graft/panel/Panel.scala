@@ -611,6 +611,61 @@ object Panel {
         col("__r.adf_t"), col("__r.resid_std"))
   }
 
+  /** COINT2: z-scored spread signal for ONE cointegrated pair — the
+    * trading leg of [[cointegrationScreen]]: spread_t = ln a − β·ln b
+    * − α with the screen's PRE-ROUNDED 6dp β/α (the voltarget stance:
+    * identical constants in any engine), rolling z-score over
+    * `window` bars, and the classic bands — z > `entryZ` shorts the
+    * spread (signal −1: short a, long β·b), z < −entryZ longs it,
+    * |z| inside exits to 0. Spreads are re-quantized to micro longs
+    * so the rolling moment sums are exact; z divides the ROUNDED 6dp
+    * rolling std (engine-internal variance accumulation never reaches
+    * the output). One date-ordered window over the joined pair series
+    * (post-aggregation-sized). Output (date, spread, z, signal). */
+  def spreadZSignal(
+      df: DataFrame,
+      price: Column,
+      sidA: String,
+      sidB: String,
+      beta: Double,
+      alpha: Double,
+      window: Int,
+      entryZ: Double = 2.0)(implicit k: Keys): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(entryZ > 0, s"entryZ must be positive: $entryZ")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lp = round(log(price) * 1e6).cast("long")
+    val grid = df
+      .where(col(k.sid).cast("string").isin(sidA, sidB) && price > 0)
+      .groupBy(k.slotCols.map(col): _*)
+      .agg(
+        max(when(col(k.sid).cast("string") === sidA, lp)).as("__la"),
+        max(when(col(k.sid).cast("string") === sidB, lp)).as("__lb"))
+      .where(col("__la").isNotNull && col("__lb").isNotNull)
+    val w = Window.orderBy(k.slotCols.map(col): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val sq = round(col("__la") - lit(beta) * col("__lb") - lit(alpha * 1e6))
+      .cast("long")
+    val spread = grid.withColumn("__sq", sq)
+    val n = count(col("__sq")).over(w)
+    val s1 = sum(col("__sq").cast(dec)).over(w)
+    val s2 = sum((col("__sq").cast(dec) * col("__sq").cast(dec))).over(w)
+    val mean = s1.cast("double") / n.cast("double")
+    val sd = round(sqrt(greatest(
+      (n.cast(dec) * s2 - s1 * s1).cast("double") /
+        (n.cast("double") * (n - 1).cast("double")), lit(0.0))), 6)
+    val z = round(when(n === window && sd > 0,
+      (col("__sq").cast("double") - mean) / sd), 6)
+    spread
+      .withColumn("z", z + lit(0.0))
+      .withColumn("signal",
+        when(col("z") > entryZ, -1).when(col("z") < -entryZ, 1)
+          .when(col("z").isNotNull, 0).cast("int"))
+      .select(k.slotCols.map(col) :+
+        (round(col("__sq").cast("double") / 1e6, 6) + 0.0).as("spread") :+
+        col("z") :+ col("signal"): _*)
+  }
+
   /** Range-based volatility estimators over OHLC bars (the
     * [[resampleOhlcv]] output): Parkinson 1980 (high/low range) and
     * Garman-Klass 1980 (range + open/close) per-bar variance — both

@@ -374,6 +374,30 @@ class PanelSpec extends SparkSpec {
       Panel.cointegrationScreen(rows, col("close"), Seq("A")))
   }
 
+  test("spreadZSignal: band logic — spike shorts the spread, dip longs " +
+    "it, interior flat, null until the window fills (coint2)") {
+    implicit val k = Panel.eod
+    // B pinned at 1 (ln B = 0), β = 1, α = 0 → spread = ln A exactly
+    val rows = (1 to 30).flatMap { t =>
+      val s =
+        if (t == 25) 0.05 else if (t == 28) -0.05
+        else ((t % 5) - 2) * 0.001 // tame oscillation
+      Seq(("A", f"d$t%02d", math.exp(s)), ("B", f"d$t%02d", 1.0))
+    }.toDF("sid", "date", "close")
+    val out = Panel.spreadZSignal(rows, col("close"), "A", "B",
+      beta = 1.0, alpha = 0.0, window = 10)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(r.fieldIndex("z"))), r.get(r.fieldIndex("signal"))))).toMap
+    assert(out("d05")._1.isEmpty && out("d05")._2 == null) // warming up
+    assert(out("d25")._2 == -1) // +5σ-ish spike → short the spread
+    assert(out("d28")._2 == 1)  // deep dip → long
+    assert(out("d20")._2 == 0)  // inside the bands
+    intercept[IllegalArgumentException](
+      Panel.spreadZSignal(rows, col("close"), "A", "B", 1.0, 0.0, window = 1))
+    intercept[IllegalArgumentException](
+      Panel.spreadZSignal(rows, col("close"), "A", "B", 1.0, 0.0, 10, entryZ = 0))
+  }
+
   test("hurstExponent: iid returns sit near H=0.5, an antipersistent " +
     "series reads lower (w22)") {
     val rnd = new scala.util.Random(11)
