@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ParameterError
+
+/** Streaming heavy hitters — the Space-Saving summary (Metwally,
+  * Agrawal & El Abbadi 2005) as keyed streaming state: the continuous
+  * answer to "which keys are hot RIGHT NOW" (scraper IPs on an ingest
+  * log, runaway dedup buckets, hot sids) without counting every key
+  * ever seen.
+  *
+  * Sharding: keys hash into `shards` state groups, so each key lives
+  * in exactly ONE shard's summary — per-shard results are globally
+  * correct for their keys with no cross-shard merge, and the state
+  * store is bounded by shards × capacity entries regardless of the
+  * key universe (the streaming analogue of the batch `maxBucket`
+  * stance: bounded memory by construction, error bounded and
+  * REPORTED, never an unbounded map).
+  *
+  * Space-Saving guarantees, per shard with capacity m over n arrivals:
+  * `count` overestimates a key's true frequency by at most its `err`
+  * (the evicted minimum it inherited), true frequency ≥ count − err,
+  * and any key with true frequency > n/m is IN the summary. Capacity
+  * sizes to the 1/support you care about, not to the traffic.
+  */
+object StreamingHeavyHitters {
+
+  final case class ShardedKey(shard: Int, key: String)
+  /** `count` is the Space-Saving upper bound; `err` its max
+    * overestimate (0 for keys tracked since their first arrival). */
+  final case class HeavyHitter(shard: Int, key: String, count: Long, err: Long)
+  final case class ShardState(
+      keys: Array[String], counts: Array[Long], errs: Array[Long])
+
+  /** Stream (or batch) frame → per-shard Space-Saving summaries,
+    * emitted in UPDATE mode each micro-batch (every batch re-emits the
+    * full summary of each shard that saw data — the consumer upserts
+    * by (shard, key)). `minCount` suppresses the noise tail at emit
+    * time only; the summary itself always keeps `capacity` entries.
+    * `stateTtl` evicts idle shards like [[StreamingDedup.nearPairs]]. */
+  def topKeys(
+      events: DataFrame,
+      keyCol: String,
+      capacity: Int = 100,
+      shards: Int = 32,
+      minCount: Long = 1L,
+      stateTtl: Option[String] = None): Dataset[HeavyHitter] = {
+    if (capacity < 1) throw new ParameterError(s"capacity must be >= 1: $capacity")
+    if (shards < 1) throw new ParameterError(s"shards must be >= 1: $shards")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .select(pmod(hash(col(keyCol)), lit(shards)).cast("int").as("shard"),
+        col(keyCol).cast("string").as("key"))
+      .as[ShardedKey]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
+        summarize(capacity, minCount, stateTtl))
+  }
+
+  /** The per-shard transition: fold the batch's arrivals through the
+    * Space-Saving update, persist, emit the summary. */
+  private[graft] def summarize(
+      capacity: Int, minCount: Long, stateTtl: Option[String] = None)(
+      shard: Int,
+      rows: Iterator[ShardedKey],
+      state: GroupState[ShardState]): Iterator[HeavyHitter] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    // mutable summary: key → (count, err)
+    val m = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
+    state.getOption.foreach { s =>
+      var i = 0
+      while (i < s.keys.length) {
+        m.put(s.keys(i), (s.counts(i), s.errs(i))); i += 1
+      }
+    }
+    rows.foreach { r =>
+      m.get(r.key) match {
+        case Some((c, e)) => m.put(r.key, (c + 1, e))
+        case None if m.size < capacity => m.put(r.key, (1L, 0L))
+        case None =>
+          // evict the minimum-count entry; ties break on first-inserted
+          // (LinkedHashMap order) — deterministic for a given arrival order
+          val (mk, (mc, _)) = m.minBy { case (k, (c, _)) => (c, k) }
+          m.remove(mk)
+          m.put(r.key, (mc + 1, mc))
+      }
+    }
+    state.update(ShardState(
+      m.keys.toArray,
+      m.values.map(_._1).toArray,
+      m.values.map(_._2).toArray))
+    stateTtl.foreach(state.setTimeoutDuration)
+    m.iterator.collect {
+      case (k, (c, e)) if c >= minCount => HeavyHitter(shard, k, c, e)
+    }.toSeq.sortBy(h => (-h.count, h.key)).iterator
+  }
+}
