@@ -95,5 +95,47 @@ object StreamStateBench {
         StreamingDedup.matchWithinBucket(maxHamming = 3, maxState)("b", rows, st))
       run("array append (round 3)", mode)(legacy(maxHamming = 3, maxState))
     }
+
+    // heavy-hitters transition on a Zipf-ish arrival mix (hot key 10%,
+    // long tail) — one shard, capacity = maxState
+    import graft.streaming.StreamingHeavyHitters
+    import graft.streaming.StreamingHeavyHitters.{HeavyHitter, ShardedKey, ShardState}
+    final class MemHH(var v: Option[ShardState]) extends GroupState[ShardState] {
+      def exists: Boolean = v.isDefined
+      def get: ShardState = v.get
+      def getOption: Option[ShardState] = v
+      def update(s: ShardState): Unit = v = Some(s)
+      def remove(): Unit = v = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = ()
+      def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def keys: Iterator[ShardedKey] = Iterator.range(0, arrivals).map { i =>
+      val k = if (i % 10 == 0) "hot" else s"k${(i * 2654435761L) % (arrivals / 4)}"
+      ShardedKey(0, k)
+    }
+    (1 to 2).foreach { round =>
+      val st = new MemHH(None)
+      val t0 = System.nanoTime()
+      var emitted = 0L
+      // batch granularity 10k arrivals — the state round-trips per batch
+      keys.grouped(10000).foreach { g =>
+        emitted += StreamingHeavyHitters.summarize(maxState, 1L)(
+          0, g.iterator, st).size
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (round == 2) {
+        val top = st.v.get.keys.zip(st.v.get.counts).maxBy(_._2)
+        println(f"[streamstate] space-saving hh           batch  $arrivals arrivals, " +
+          f"capacity=$maxState: $secs%6.2f s " +
+          f"(${arrivals / secs / 1e3}%8.1f k-arrivals/s, top=${top._1}:${top._2})")
+      }
+    }
   }
 }
