@@ -1209,6 +1209,33 @@ object Oracles {
          |  round(mdd, 6) AS max_drawdown
          |FROM st""".stripMargin,
 
+    // Sharpe CI — pico raw moments, Lo (2002) SE, same op order as the
+    // engine
+    "perf_sharpe_ci" ->
+      s"""WITH $perfRetCte,
+         |q AS (SELECT CAST(round(r * 1e12) AS HUGEINT) AS p FROM ret),
+         |ag AS (SELECT count(*) AS n, sum(p) AS s, sum(p * p) AS ss
+         |       FROM q),
+         |fin AS (
+         |  SELECT n, s::DOUBLE / n AS mup,
+         |    sqrt(greatest((n * ss - s * s)::DOUBLE
+         |      / (n::DOUBLE * (n - 1)), 0.0)) AS sgp
+         |  FROM ag),
+         |sr AS (
+         |  SELECT n, mup / sgp AS srd,
+         |    sqrt((1.0 + (mup / sgp) * (mup / sgp) / 2.0) / n::DOUBLE)
+         |      AS sed,
+         |    (n >= 2 AND sgp > 0) AS ok
+         |  FROM fin)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  round(CASE WHEN ok THEN srd * sqrt(252.0) END, 6) AS sharpe,
+         |  round(CASE WHEN ok THEN sed * sqrt(252.0) END, 6) AS se,
+         |  round(CASE WHEN ok THEN (srd - 1.959964 * sed) * sqrt(252.0)
+         |        END, 6) + 0.0 AS ci_lo,
+         |  round(CASE WHEN ok THEN (srd + 1.959964 * sed) * sqrt(252.0)
+         |        END, 6) AS ci_hi
+         |FROM sr""".stripMargin,
+
     "perf_ratios" ->
       s"""WITH $perfPkCte,
          |st AS (

@@ -1253,6 +1253,10 @@ object Queries {
     "perf_summary" -> ((s, dir) =>
       graft.perf.Performance.summary(dampedMelt(s, dir))),
 
+    // Sharpe with Lo (2002) standard error and 95% CI
+    "perf_sharpe_ci" -> ((s, dir) =>
+      graft.perf.Performance.sharpeConfidence(dampedMelt(s, dir))),
+
     // rolling 21-day annualized Sharpe over the damped demo returns
     "perf_rolling" -> ((s, dir) =>
       graft.perf.Performance.rollingSharpe(dampedMelt(s, dir), window = 21)),

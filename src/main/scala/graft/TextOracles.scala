@@ -1162,6 +1162,23 @@ object TextOracles {
          |SELECT a AS doc_id, min(b) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // DD24: jaccard histogram over the verified candidate pairs
+    "dd24_jaccard_hist" ->
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id)
+         |SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT)
+         |    AS jaccard_bin,
+         |  count(*)::BIGINT AS n_pairs
+         |FROM verify GROUP BY 1""".stripMargin,
+
     // TX27: per-source dup report — corpus-wide keep-first billing
     "tx27_source_dups" ->
       """WITH planted AS (

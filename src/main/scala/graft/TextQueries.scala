@@ -454,6 +454,16 @@ object TextQueries {
       Dedup.sourceDupReport(planted)
     }),
 
+    // ---- DD24: Jaccard histogram of the LSH candidate pairs — the
+    // threshold-tuning evidence ("where does the similarity mass sit")
+    // from ONE candidate+verify pass (threshold 0 keeps every verified
+    // candidate; the LSH banding still bounds the pair mass)
+    "dd24_jaccard_hist" -> ((s, dir) =>
+      Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.0)
+        .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+          .as("jaccard_bin"))
+        .agg(count(lit(1)).as("n_pairs"))),
+
     // ---- DD23: soft dedup — 1/|cluster| sampling weights instead of
     // dropping (repetition-aware curation; feeds sp10 weightedSample)
     "dd23_soft_weights" -> ((s, dir) => {

@@ -506,6 +506,47 @@ object Performance {
         round(col("__mdd"), 6).as("max_drawdown"))
   }
 
+  /** Sharpe ratio with Lo's (2002) IID standard error and 95% CI —
+    * the statistic every track-record comparison needs next to the
+    * point estimate ("is 1.2 vs 0.9 even distinguishable at n=252?"):
+    * SE(ŜR) = √((1 + ŜR²/2)/n) per period, annualized like the ratio.
+    * Daily moments come from pico-quantized exact integer sums (the
+    * captureRatios discipline — `summary`'s avg/stddev is absorbed by
+    * 6dp rounding, but the CI arithmetic stacks three operations on
+    * them, so the inputs are exact here). One melt pass, one
+    * aggregation. Null when n < 2 or σ = 0.
+    * Output (n_days, sharpe, se, ci_lo, ci_hi), all annualized. */
+  def sharpeConfidence(
+      results: DataFrame,
+      dateCol: String = "date",
+      periodsPerYear: Int = 252): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ann = math.sqrt(periodsPerYear.toDouble)
+    dailyReturns(results, dateCol)
+      .select(round(col("return") * 1e12).cast(dec).as("__p"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__p")).as("__s"),
+        sum(col("__p") * col("__p")).as("__ss"))
+      .select(Seq(col("n_days")) ++ {
+        val n = col("n_days").cast("double")
+        val mup = col("__s").cast("double") / n
+        val sgp = sqrt(greatest(
+          (col("n_days").cast(dec) * col("__ss") - col("__s") * col("__s"))
+            .cast("double") / (n * (col("n_days") - 1).cast("double")),
+          lit(0.0)))
+        val srD = mup / sgp
+        val seD = sqrt((lit(1.0) + srD * srD / 2.0) / n)
+        val ok = col("n_days") >= 2 && sgp > 0
+        Seq(
+          round(when(ok, srD * ann), 6).as("sharpe"),
+          round(when(ok, seD * ann), 6).as("se"),
+          (round(when(ok, (srD - lit(1.959964) * seD) * ann), 6) + 0.0)
+            .as("ci_lo"),
+          round(when(ok, (srD + lit(1.959964) * seD) * ann), 6).as("ci_hi"))
+      }: _*)
+  }
+
   /** Up-/down-capture ratios vs the melt's `Benchmark` rows: mean
     * portfolio return on benchmark-up days over mean benchmark return
     * on those days (and the down-day analogue) — the institutional

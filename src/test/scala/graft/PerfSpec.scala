@@ -33,6 +33,30 @@ class PerfSpec extends SparkSpec {
     assert(rows(2).getAs[Double]("drawdown") == math.rint((1.0659 / 1.1 - 1) * 1e6) / 1e6)
   }
 
+  test("sharpeConfidence: Lo (2002) SE golden on a mean-zero series; " +
+    "flat series → null (perf_sharpe_ci)") {
+    // alternating ±1% over 4 days: SR = 0, SE_daily = √(1/4) = 0.5
+    val alt = (1 to 4).map(t =>
+      ("A", f"2024-01-0$t", "Return", if (t % 2 == 1) 0.01 else -0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.sharpeConfidence(alt).head
+    val ann = math.sqrt(252.0)
+    assert(s.getAs[Long]("n_days") == 4L)
+    assert(s.getAs[Double]("sharpe") == 0.0)
+    assert(s.getAs[Double]("se") ==
+      math.rint(math.sqrt((1.0 + 0.0) / 4) * ann * 1e6) / 1e6)
+    assert(s.getAs[Double]("ci_lo") ==
+      math.rint(-1.959964 * 0.5 * ann * 1e6) / 1e6)
+    assert(s.getAs[Double]("ci_hi") == -s.getAs[Double]("ci_lo"))
+    // zero variance → everything null but the count
+    val flat = (1 to 4).map(t => ("A", f"2024-01-0$t", "Return", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val f = Performance.sharpeConfidence(flat).head
+    assert(f.isNullAt(f.fieldIndex("sharpe")) && f.isNullAt(f.fieldIndex("se")))
+  }
+
   test("summary: total, CAGR, Sharpe, max drawdown") {
     val s = Performance.summary(melt).head
     assert(s.getAs[Long]("n_days") == 3L)
