@@ -142,8 +142,8 @@ object Oracles {
 
   /** Shared Fama-MacBeth pass-1 SQL: per-date Cramer coefficients
     * (the fm1 result; fm2 wraps it as a CTE). */
-  private val fmCoeffsSql =
-    s"""WITH $panelCte,
+  private val fmCoeffsCtes =
+    s"""$panelCte,
          |pf AS (
          |  SELECT sid, date, close,
          |    close / lag(close) OVER (PARTITION BY sid ORDER BY date) - 1 AS mom,
@@ -192,12 +192,17 @@ object Oracles {
          |  FROM cr),
          |ok AS (
          |  SELECT *, n >= 3 AND mag > 0 AND abs(det) > mag * 1e-9 AS good
-         |  FROM fx)
-         |SELECT date, n,
-         |  round(CASE WHEN good THEN det_a / det / 1e6 END, 6) + 0.0 AS alpha,
-         |  round(CASE WHEN good THEN det_b1 / det END, 6) + 0.0 AS beta1,
-         |  round(CASE WHEN good THEN det_b2 / det END, 6) + 0.0 AS beta2
-         |FROM ok""".stripMargin
+         |  FROM fx),
+         |coefs AS (
+         |  SELECT date, n,
+         |    round(CASE WHEN good THEN det_a / det / 1e6 END, 6) + 0.0 AS alpha,
+         |    round(CASE WHEN good THEN det_b1 / det END, 6) + 0.0 AS beta1,
+         |    round(CASE WHEN good THEN det_b2 / det END, 6) + 0.0 AS beta2
+         |  FROM ok)""".stripMargin
+
+  private val fmCoeffsSql =
+    s"""WITH $fmCoeffsCtes
+       |SELECT date, n, alpha, beta1, beta2 FROM coefs""".stripMargin
 
   /** ... plus the sign-aware running product of (1+r) and its peak. */
   private val perfPkCte =
@@ -3329,6 +3334,18 @@ object Oracles {
     // scaled level) — HUGEINT micro moments, double Cramer with the
     // SAME parenthesization as the Spark expression tree
     "fm1_fama_macbeth" -> fmCoeffsSql,
+
+    // PX9: residuals vs each date's two-factor fit — pf carries the raw
+    // rows (nulls included), coefs join on date
+    "px9_residual2" ->
+      s"""WITH $fmCoeffsCtes
+         |SELECT p.sid, p.date,
+         |  round(CASE WHEN p.f IS NOT NULL AND p.mom IS NOT NULL
+         |              AND p.lvl IS NOT NULL AND c.alpha IS NOT NULL
+         |        THEN p.f - c.alpha - c.beta1 * p.mom - c.beta2 * p.lvl
+         |        END, 6) + 0.0 AS resid2
+         |FROM pf p
+         |LEFT JOIN coefs c ON p.date = c.date""".stripMargin,
 
     // Fama-MacBeth pass 2: mean premia + t-stats over the pass-1
     // coefficient series (micro re-quantization of the 6dp outputs)

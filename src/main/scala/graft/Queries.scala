@@ -1635,6 +1635,19 @@ object Queries {
         withFwd, col("fwd_return"), col("mom"), col("lvl"))
     }),
 
+    // ---- PX9: two-factor cross-sectional residualization — each row's
+    // forward return neutralized against its date's (mom, lvl) fit
+    "px9_residual2" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val panel = supplierPanel(s, dir)
+        .withColumn("mom", col("close") / lag(col("close"), 1).over(k.bySid) - 1)
+        .withColumn("lvl", col("close") / 10000.0)
+      val withFwd = graft.perf.Signals.withForwardReturn(panel, horizon = 1)
+      graft.perf.FactorModel.withCrossSectionalResiduals(
+        withFwd, col("fwd_return"), col("mom"), col("lvl"))
+        .select(col("sid"), col("date"), col("resid2"))
+    }),
+
     // ---- W11: per-sid lag-1 autocorrelation of daily returns (exact
     // micro moment sums; the mean-reversion diagnostic)
     "w11_autocorr" -> ((s, dir) => {

@@ -33,6 +33,36 @@ object FactorModel {
   private def micro(c: Column): Column = round(c * 1e6).cast(Dec)
   private def d(c: Column): Column = c.cast("double")
 
+  /** PX9: per-row residuals from the [[crossSectionalRegression]] fit —
+    * the two-factor neutralization (beta + size, sector + momentum …)
+    * that single-factor [[graft.panel.Panel.residualReturns]] can't
+    * express: resid = y − α̂ − β̂₁f₁ − β̂₂f₂ against the row's own date
+    * fit. The coefficient frame is slot-sized (dates), broadcast back
+    * onto the panel; coefficients are the regression's ROUNDED 6dp
+    * outputs, so the residual is one deterministic per-row expression.
+    * Rows excluded from the fit (any null input) or on unfittable
+    * dates (n < 3, singular design) get a null residual. Appends
+    * `out`. */
+  def withCrossSectionalResiduals(
+      df: DataFrame,
+      y: Column,
+      f1: Column,
+      f2: Column,
+      out: String = "resid2")(implicit k: Keys): DataFrame = {
+    val coefs = crossSectionalRegression(df, y, f1, f2)
+      .select(k.slotCols.map(col) :+ col("alpha") :+ col("beta1") :+
+        col("beta2"): _*)
+    df
+      .join(broadcast(coefs), k.slotCols, "left")
+      .withColumn(out,
+        round(when(
+          y.isNotNull && f1.isNotNull && f2.isNotNull &&
+            col("alpha").isNotNull,
+          y - col("alpha") - col("beta1") * f1 - col("beta2") * f2), 6)
+          + lit(0.0))
+      .drop("alpha", "beta1", "beta2")
+  }
+
   /** Pass 1: per-date-slot OLS `y = a + b1·f1 + b2·f2` via exact moment
     * sums + Cramer's rule on the 3×3 normal equations. Rows with any
     * null among (y, f1, f2) are excluded (pairwise-complete, the

@@ -27,6 +27,34 @@ class FactorModelSpec extends SparkSpec {
     assert(out.getAs[Double]("beta2") == -1.0)
   }
 
+  test("withCrossSectionalResiduals: exact fit → zero residuals; a row " +
+    "off the plane keeps its distance; null inputs → null (px9)") {
+    val df = Seq(
+      ("2024-01-01", "A", 0.0, 0.0, Some(0.5)),
+      ("2024-01-01", "B", 1.0, 0.0, Some(2.5)),
+      ("2024-01-01", "C", 0.0, 1.0, Some(-0.5)),
+      ("2024-01-01", "D", 1.0, 1.0, Some(1.5)),
+      ("2024-01-02", "A", 0.0, 0.0, Option.empty[Double]))
+      .toDF("date", "sid", "f1", "f2", "y")
+    val out = FactorModel.withCrossSectionalResiduals(
+      df, col("y"), col("f1"), col("f2"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(r.fieldIndex("resid2")))).toMap
+    // the d1 plane fits exactly → residuals all +0.0
+    Seq("A", "B", "C", "D").foreach { s =>
+      assert(out(("2024-01-01", s)) == Some(0.0), s)
+    }
+    assert(out(("2024-01-02", "A")).isEmpty) // null y, unfittable date
+    // perturb one row: its residual absorbs most of the shift
+    val bent = df.where(col("y").isNotNull)
+      .withColumn("y", when(col("sid") === "D", 2.5).otherwise(col("y")))
+    val r = FactorModel.withCrossSectionalResiduals(
+      bent, col("y"), col("f1"), col("f2"))
+      .collect().map(x => x.getString(1) -> x.getAs[Double]("resid2")).toMap
+    assert(r("D") > 0.2) // D sits above its own date's best plane
+    assert(math.abs(r.values.sum) < 1e-4) // residuals ≈ mean-zero
+  }
+
   test("crossSectionalRegression: thin (n<3) and collinear dates → null " +
     "coefficients, not garbage") {
     val df = Seq(
