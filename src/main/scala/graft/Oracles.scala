@@ -2451,6 +2451,52 @@ object Oracles {
     // ML17: best-F1 operating point over the ml11 chain — the F1
     // ordering key is the same IEEE double from exact ints in both
     // engines; ties resolve to the lowest threshold
+    // Kelly — pico moments, f* = mu/var, same op order as the engine
+    "perf_kelly" ->
+      s"""WITH $perfRetCte,
+         |q AS (SELECT CAST(round(r * 1e12) AS HUGEINT) AS p FROM ret),
+         |ag AS (SELECT count(*) AS n, sum(p) AS s, sum(p * p) AS ss
+         |       FROM q),
+         |fin AS (
+         |  SELECT n, s::DOUBLE / n / 1e12 AS mu,
+         |    (n * ss - s * s)::DOUBLE / (n::DOUBLE * (n - 1)) / 1e24 AS vr
+         |  FROM ag)
+         |SELECT CAST(n AS BIGINT) AS n_days,
+         |  round(CASE WHEN n >= 2 AND vr > 0 THEN mu / vr END, 6) + 0.0
+         |    AS kelly,
+         |  round(CASE WHEN n >= 2 AND vr > 0 THEN mu / vr / 2.0 END, 6)
+         |    + 0.0 AS half_kelly
+         |FROM fin""".stripMargin,
+
+    // ML26: utility argmax over the threshold sweep; tn = maxFp − fp
+    "ml26_cost_threshold" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |sc AS (
+         |  SELECT s, CAST(sum(y) AS BIGINT) AS p, count(*)::BIGINT AS c
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT *,
+         |    CAST(sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                      AND CURRENT ROW) AS BIGINT) AS tp,
+         |    CAST(sum(c - p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+         |                          PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         |    CAST(sum(p) OVER () AS BIGINT) AS tot,
+         |    CAST(sum(c - p) OVER () AS BIGINT) AS totn
+         |  FROM sc),
+         |u AS (
+         |  SELECT s AS threshold, tp, fp,
+         |    CAST(tot - tp AS BIGINT) AS fn,
+         |    CAST(totn - fp AS BIGINT) AS tn,
+         |    tp * 1.0 + fp * (-1.0) + (tot - tp) * (-10.0)
+         |      + (totn - fp) * 0.0 AS ut
+         |  FROM cm)
+         |SELECT threshold, tp, fp, fn, tn, round(ut, 6) AS utility
+         |FROM u ORDER BY ut DESC, threshold LIMIT 1""".stripMargin,
+
     "ml17_best_threshold" ->
       s"""WITH $panelCte,
          |pr AS (

@@ -1257,6 +1257,15 @@ object Queries {
     "perf_sharpe_ci" -> ((s, dir) =>
       graft.perf.Performance.sharpeConfidence(dampedMelt(s, dir))),
 
+    // Kelly / half-Kelly growth-optimal fraction
+    "perf_kelly" -> ((s, dir) =>
+      graft.perf.Performance.kellyFraction(dampedMelt(s, dir))),
+
+    // ---- ML26: cost-sensitive threshold — FN costs 10× an FP
+    "ml26_cost_threshold" -> ((s, dir) =>
+      graft.ml.Evaluation.costThreshold(scoredPanel(s, dir),
+        uTp = 1.0, uFp = -1.0, uFn = -10.0, uTn = 0.0)),
+
     // rolling 21-day annualized Sharpe over the damped demo returns
     "perf_rolling" -> ((s, dir) =>
       graft.perf.Performance.rollingSharpe(dampedMelt(s, dir), window = 21)),

@@ -1162,6 +1162,30 @@ object TextOracles {
          |SELECT a AS doc_id, min(b) AS cluster
          |FROM reach GROUP BY a""".stripMargin,
 
+    // DD25: cluster-size histogram off the dd7 closure
+    "dd25_cluster_sizes" ->
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+         |sz AS (SELECT cluster, count(*) AS cs FROM cl GROUP BY 1)
+         |SELECT cs::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
+
     // DD24: jaccard histogram over the verified candidate pairs
     "dd24_jaccard_hist" ->
       s"""WITH $candidatesCte,

@@ -454,6 +454,16 @@ object TextQueries {
       Dedup.sourceDupReport(planted)
     }),
 
+    // ---- DD25: duplicate-cluster size histogram — the dup-mass
+    // distribution a curation report quotes ("mostly pairs, one
+    // 40-copy boilerplate family")
+    "dd25_cluster_sizes" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("__cs"))
+        .groupBy(col("__cs").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     // ---- DD24: Jaccard histogram of the LSH candidate pairs — the
     // threshold-tuning evidence ("where does the similarity mass sit")
     // from ONE candidate+verify pass (threshold 0 keeps every verified

@@ -785,6 +785,38 @@ object Evaluation {
         round(col("__f1"), 6).as("f1"))
   }
 
+  /** ML26: cost-sensitive threshold — argmax of expected utility over
+    * the [[prCurve]] operating points with a caller-supplied utility
+    * per outcome (u·tp + u·fp + u·fn + u·tn; costs are negative
+    * utilities): the deployment question ("a false negative costs 50×
+    * a false positive") that F1's implicit equal weighting cannot
+    * answer. Same machinery and determinism contract as
+    * [[bestThreshold]]: exact integer confusion counts per candidate
+    * threshold, utility is one double expression, ties take the
+    * LOWEST threshold, selection is a bounded top-1. Output one row
+    * (threshold, tp, fp, fn, tn, utility). */
+  def costThreshold(
+      preds: DataFrame,
+      uTp: Double, uFp: Double, uFn: Double, uTn: Double,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val t = col("threshold")
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    prCurve(preds, scoreCol, labelCol)
+      .withColumn("fn", max(col("tp")).over(wAll) - col("tp"))
+      // at the lowest candidate threshold every row predicts positive,
+      // so max(fp) = N and max(tp) = P — tn/fn fall out by complement
+      .withColumn("tn", max(col("fp")).over(wAll) - col("fp"))
+      .withColumn("__u",
+        col("tp") * uTp + col("fp") * uFp + col("fn") * uFn +
+          col("tn") * uTn)
+      .orderBy(col("__u").desc_nulls_last, t)
+      .limit(1)
+      .select(t, col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("__u"), 6).as("utility"))
+  }
+
   def prCurve(
       preds: DataFrame,
       scoreCol: String = "prediction",

@@ -547,6 +547,34 @@ object Performance {
       }: _*)
   }
 
+  /** Kelly criterion position fraction f* = μ/σ² over the daily return
+    * series (the growth-optimal leverage; half-Kelly is what anyone
+    * actually runs) — same pico-exact moment sums as
+    * [[sharpeConfidence]], one aggregation. Null when n < 2 or σ = 0.
+    * Output (n_days, kelly, half_kelly). */
+  def kellyFraction(
+      results: DataFrame,
+      dateCol: String = "date"): DataFrame = {
+    val dec = "decimal(38,0)"
+    dailyReturns(results, dateCol)
+      .select(round(col("return") * 1e12).cast(dec).as("__p"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__p")).as("__s"),
+        sum(col("__p") * col("__p")).as("__ss"))
+      .select(Seq(col("n_days")) ++ {
+        val n = col("n_days").cast("double")
+        val mu = col("__s").cast("double") / n / 1e12
+        val vr = (col("n_days").cast(dec) * col("__ss") -
+          col("__s") * col("__s")).cast("double") /
+          (n * (col("n_days") - 1).cast("double")) / 1e24
+        val ok = col("n_days") >= 2 && vr > 0
+        Seq(
+          (round(when(ok, mu / vr), 6) + 0.0).as("kelly"),
+          (round(when(ok, mu / vr / 2.0), 6) + 0.0).as("half_kelly"))
+      }: _*)
+  }
+
   /** Up-/down-capture ratios vs the melt's `Benchmark` rows: mean
     * portfolio return on benchmark-up days over mean benchmark return
     * on those days (and the down-day analogue) — the institutional

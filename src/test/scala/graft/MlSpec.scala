@@ -512,6 +512,26 @@ class MlSpec extends SparkSpec {
     assert(h.getAs[Double]("resolution") == h.getAs[Double]("uncertainty"))
   }
 
+  test("costThreshold: heavy FN cost pushes the threshold DOWN relative " +
+    "to best-F1; symmetric costs recover accuracy argmax (ml26)") {
+    // scores .9/.7 positive-ish, .6/.5 mixed, .2 negative
+    val preds = Seq(
+      (0.9, 1L), (0.7, 1L), (0.6, 0L), (0.5, 1L), (0.2, 0L))
+      .toDF("prediction", "label")
+    // FN = −10: capture ALL positives → threshold 0.5 despite the FP
+    val heavy = graft.ml.Evaluation.costThreshold(
+      preds, uTp = 1.0, uFp = -1.0, uFn = -10.0, uTn = 0.0).head
+    assert(heavy.getAs[Double]("threshold") == 0.5)
+    assert(heavy.getAs[Long]("fn") == 0L && heavy.getAs[Long]("fp") == 1L)
+    // utility = 3·1 + 1·(−1) = 2
+    assert(heavy.getAs[Double]("utility") == 2.0)
+    // FP = −10 flips it: stay precise at 0.7
+    val precise = graft.ml.Evaluation.costThreshold(
+      preds, uTp = 1.0, uFp = -10.0, uFn = 0.0, uTn = 0.0).head
+    assert(precise.getAs[Double]("threshold") == 0.7)
+    assert(precise.getAs[Long]("fp") == 0L && precise.getAs[Long]("tn") == 2L)
+  }
+
   test("aucDelong: separable data → AUC 1 se 0; hand DeLong golden " +
     "with ties; tiny class → null se (ml23)") {
     // perfect separation: every pos above every neg

@@ -57,6 +57,27 @@ class PerfSpec extends SparkSpec {
     assert(f.isNullAt(f.fieldIndex("sharpe")) && f.isNullAt(f.fieldIndex("se")))
   }
 
+  test("kellyFraction: f* = mu/var golden; flat series → null " +
+    "(perf_kelly)") {
+    // returns [0.02, 0.02, -0.01]: mu = 0.01, var = 3e-4 → f* = 33.33…
+    val m = Seq(
+      ("A", "2024-01-01", "Return", 0.02),
+      ("A", "2024-01-02", "Return", 0.02),
+      ("A", "2024-01-03", "Return", -0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    val s = Performance.kellyFraction(m).head
+    assert(s.getAs[Long]("n_days") == 3L)
+    assert(s.getAs[Double]("kelly") == 33.333333)
+    assert(s.getAs[Double]("half_kelly") == 16.666667)
+    val flat = Seq(("A", "2024-01-01", "Return", 0.01),
+      ("A", "2024-01-02", "Return", 0.01))
+      .toDF("sid", "date", "field", "value")
+      .withColumn("date", to_date($"date"))
+    assert(Performance.kellyFraction(flat).head
+      .isNullAt(1)) // zero variance → null kelly
+  }
+
   test("summary: total, CAGR, Sharpe, max drawdown") {
     val s = Performance.summary(melt).head
     assert(s.getAs[Long]("n_days") == 3L)
