@@ -2217,6 +2217,64 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // SIM14: IVF recall curve — the sim4 replay at three probe budgets
+    // against the sim1 brute-force ground truth
+    "sim14_nprobe_recall" -> {
+      val cos = cosine("q.embedding", "c.embedding")
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      val probes = Seq(1, 2, 4)
+      val perNp = probes.map { np =>
+        s"""sc$np AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         round($cos, 6) AS cosine
+           |  FROM embeddings q
+           |  JOIN rc qa ON q.vec_id = qa.vec_id AND qa.rn <= $np
+           |  JOIN asgn ca ON ca.cell_id = qa.cell_id
+           |  JOIN embeddings c ON c.vec_id = ca.vec_id
+           |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+           |r$np AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS rank FROM sc$np)
+           |  WHERE rank <= 5)""".stripMargin
+      }
+      val blocks = probes.map { np =>
+        s"""SELECT $np AS nprobe,
+           |  count(DISTINCT g.query_id)::BIGINT AS n_queries,
+           |  round(sum(CASE WHEN r$np.neighbor_id IS NULL THEN 0 ELSE 1
+           |        END)::DOUBLE
+           |    / (count(DISTINCT g.query_id) * 5)::DOUBLE, 6)
+           |    AS mean_recall
+           |FROM gt g
+           |LEFT JOIN r$np ON g.query_id = r$np.query_id
+           |             AND g.neighbor_id = r$np.neighbor_id""".stripMargin
+      }
+      s"""WITH cent AS (
+         |  SELECT e2.label AS cell_id, e2.embedding AS centroid
+         |  FROM (SELECT label, min(vec_id) AS cid FROM embeddings GROUP BY 1) m
+         |  JOIN embeddings e2 ON e2.vec_id = m.cid),
+         |rc AS (
+         |  SELECT e.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id) AS rn
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asgn AS (SELECT vec_id, cell_id FROM rc WHERE rn = 1),
+         |sg AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         round($cos, 6) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 5),
+         |gt AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank FROM sg)
+         |  WHERE rank <= 5),
+         |${perNp.mkString(",\n")}
+         |${blocks.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
     // one Lloyd iteration from the 8 lowest-vec_id seeds; per-dim means
     // as exact micro-integer sums (matches kmeansCentroids' quantization)
     "sim5_kmeans" -> {

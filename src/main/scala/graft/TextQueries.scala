@@ -911,6 +911,33 @@ object TextQueries {
         k = 5, nprobe = 2)
     }),
 
+    // ---- SIM14: recall-vs-nprobe curve — the IVF tuning table (what
+    // recall does each probe budget buy) against the brute-force
+    // ground truth, one row per nprobe ∈ {1, 2, 4}
+    "sim14_nprobe_recall" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = embs
+        .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
+        .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
+          "__cid")
+        .select(col("label").as("cell_id"), col("centroid"))
+      val qs = embs.where(col("vec_id") < 5)
+      val gt = Similarity.bruteForceTopK(qs, embs, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4).map { np =>
+        val got = Similarity.ivfTopK(qs, embs, centroids, "vec_id",
+          "embedding", k = 5, nprobe = np)
+          .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+        gt.join(got, Seq("query_id", "neighbor_id"), "left")
+          .agg(
+            count_distinct(col("query_id")).as("n_queries"),
+            coalesce(sum(col("__hit")), lit(0L)).as("__hits"))
+          .select(lit(np).as("nprobe"), col("n_queries"),
+            round(col("__hits").cast("double") /
+              (col("n_queries") * 5).cast("double"), 6).as("mean_recall"))
+      }.reduce(_ unionByName _)
+    }),
+
     // k-means training for the IVF coarse quantizer: deterministic
     // seeding (the 8 lowest-vec_id vectors), one Lloyd iteration, long
     // (cell, dim, value) output — the oracle replays assignment + the
