@@ -2548,6 +2548,38 @@ object Oracles {
         |       CAST(i AS INT) AS slice_idx, slice_time, quantity
         |FROM sl WHERE quantity > 0""".stripMargin,
 
+    // D35: crossing — per-sid BUY/SELL totals, running-sum clamp in
+    // (account, orderRef) order on each side
+    "d35_cross_orders" ->
+      """WITH stubs AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid,
+        |         CASE WHEN s_suppkey % 3 = 0 THEN 'U2' ELSE 'U1' END AS account,
+        |         CASE WHEN s_suppkey % 2 = 0 THEN 'BUY' ELSE 'SELL' END AS action,
+        |         'demo' AS "orderRef",
+        |         CAST(round(s_acctbal) AS BIGINT) AS tq
+        |  FROM supplier WHERE s_acctbal > 0),
+        |allst AS (
+        |  SELECT * FROM stubs
+        |  UNION ALL
+        |  SELECT sid, 'U3', 'SELL', 'demo', 100 FROM stubs
+        |  WHERE action = 'BUY'),
+        |tot AS (
+        |  SELECT *,
+        |    least(
+        |      coalesce(sum(CASE WHEN action = 'BUY' THEN tq END)
+        |        OVER (PARTITION BY sid), 0),
+        |      coalesce(sum(CASE WHEN action = 'SELL' THEN tq END)
+        |        OVER (PARTITION BY sid), 0)) AS crossq,
+        |    coalesce(sum(tq) OVER (PARTITION BY sid, action
+        |      ORDER BY account, "orderRef"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM allst)
+        |SELECT sid, account, action, "orderRef",
+        |  tq AS "totalQuantity",
+        |  greatest(0, least(tq, crossq - cb)) AS crossed_qty,
+        |  tq - greatest(0, least(tq, crossq - cb)) AS external_qty
+        |FROM tot""".stripMargin,
+
     // D32: Almgren-Chriss — the sinh schedule fractions are computed
     // HERE with the same JVM arithmetic the engine uses (Math.sinh,
     // 12-dp rint) and inlined as literals, so both engines quantize

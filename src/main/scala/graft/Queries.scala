@@ -1181,6 +1181,24 @@ object Queries {
         times = Seq("09:30:00", "12:00:00", "15:30:00"), suffix = "0")
     }),
 
+    // ---- D35: internal crossing — per-sid BUY/SELL netting across
+    // accounts, running-sum allocation in (account, orderRef) order
+    "d35_cross_orders" -> ((s, dir) => {
+      val stubs = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"),
+          when(col("s_suppkey") % 3 === 0, "U2").otherwise("U1").as("account"),
+          when(col("s_suppkey") % 2 === 0, "BUY").otherwise("SELL").as("action"),
+          lit("demo").as("orderRef"),
+          round(col("s_acctbal")).cast("long").as("totalQuantity"))
+      // plant an opposing order per sid so crossing mass exists: U3
+      // sells 100 of every even sid (the BUY side)
+      val opposing = stubs.where(col("action") === "BUY")
+        .select(col("sid"), lit("U3").as("account"), lit("SELL").as("action"),
+          lit("demo").as("orderRef"), lit(100L).as("totalQuantity"))
+      Trade.crossOrders(stubs.unionByName(opposing))
+    }),
+
     // ---- D32: Almgren-Chriss risk-averse execution schedule — sinh
     // trajectory front-loads vs d28's uniform TWAP on the same stubs
     "d32_almgren" -> ((s, dir) => {

@@ -392,6 +392,40 @@ object Trade {
         col("__s.quantity").as("quantity"))
   }
 
+  /** D35: internal order crossing — when one account BUYs a sid another
+    * account SELLs, the desk crosses internally and only the NET goes
+    * to market (half the commissions and none of the spread on the
+    * crossed quantity; also the compliance-visible "internalization"
+    * number). Per sid, the crossable quantity is min(ΣBUY, ΣSELL),
+    * allocated to each side's orders in deterministic (account,
+    * orderRef) order by a running-sum clamp — exact integer column
+    * algebra, one window per side partitioned by (sid, action)
+    * (bounded by a sid's order count), no joins beyond the broadcast
+    * of nothing: per-sid totals ride the same window pass. Output the
+    * stub rows + (crossed_qty, external_qty); fully crossed orders
+    * stay visible with external_qty 0. */
+  def crossOrders(stubs: DataFrame): DataFrame = {
+    val bySide = Window.partitionBy(col("sid"), col("action"))
+      .orderBy(col("account"), col("orderRef"))
+    val sidAll = Window.partitionBy(col("sid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sideTot = sum(when(col("action") === "BUY", col("totalQuantity")))
+      .over(sidAll)
+    val otherTot = sum(when(col("action") === "SELL", col("totalQuantity")))
+      .over(sidAll)
+    val crossQty = least(coalesce(sideTot, lit(0L)), coalesce(otherTot, lit(0L)))
+    val cumBefore = coalesce(
+      sum(col("totalQuantity")).over(bySide.rowsBetween(
+        Window.unboundedPreceding, -1)), lit(0L))
+    stubs
+      .withColumn("__cross", crossQty)
+      .withColumn("crossed_qty",
+        greatest(lit(0L), least(col("totalQuantity"),
+          col("__cross") - cumBefore)))
+      .withColumn("external_qty", col("totalQuantity") - col("crossed_qty"))
+      .drop("__cross")
+  }
+
   /** D32: Almgren-Chriss optimal execution schedule (Almgren & Chriss
     * 2000, closed form): remaining holdings after slice j follow
     * sinh(κT·(1−j/N))/sinh(κT) — risk aversion front-loads the

@@ -286,6 +286,28 @@ class TradeSpec extends SparkSpec {
     intercept[graft.ParameterError](Trade.twapSlices(stubs, Nil))
   }
 
+  test("crossOrders: per-sid BUY/SELL netting, running-sum allocation " +
+    "in account order, one-sided sids cross nothing (d35)") {
+    val stubs = Seq(
+      // S1: buys 30+20, sells 35 → cross 35: U1 gets 30, U2 gets 5
+      ("S1", "U1", "BUY", "a", 30L), ("S1", "U2", "BUY", "a", 20L),
+      ("S1", "U3", "SELL", "a", 35L),
+      // S2: only buys → nothing crosses
+      ("S2", "U1", "BUY", "a", 10L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val out = Trade.crossOrders(stubs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getAs[Long]("crossed_qty"), r.getAs[Long]("external_qty")))).toMap
+    assert(out(("S1", "U1", "BUY")) == ((30L, 0L)))
+    assert(out(("S1", "U2", "BUY")) == ((5L, 15L)))
+    assert(out(("S1", "U3", "SELL")) == ((35L, 0L)))
+    assert(out(("S2", "U1", "BUY")) == ((0L, 10L)))
+    // conservation: crossed BUY mass equals crossed SELL mass per sid
+    val s1 = out.filter(_._1._1 == "S1")
+    assert(s1.filter(_._1._3 == "BUY").values.map(_._1).sum ==
+      s1.filter(_._1._3 == "SELL").values.map(_._1).sum)
+  }
+
   test("almgrenSlices: sinh schedule front-loads, slices telescope to " +
     "the full quantity, zero tails dropped (d32)") {
     val stubs = Seq(("S1", "U1", "BUY", "demo", 1000L))
