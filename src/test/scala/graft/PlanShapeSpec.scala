@@ -177,6 +177,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("d35: order crossing is windows only — no join operator in the " +
+    "plan at all") {
+    val stubs = Seq(
+      ("S1", "U1", "BUY", "a", 30L), ("S1", "U3", "SELL", "a", 35L))
+      .toDF("sid", "account", "action", "orderRef", "totalQuantity")
+    val plan = finalPlan(graft.trade.Trade.crossOrders(stubs))
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("sp12: weighted sampling selects via TakeOrderedAndProject — " +
+    "no global sort survives to the plan") {
+    val docs = (1L to 50L).map(i => (i, i.toDouble)).toDF("doc_id", "w")
+    val plan = finalPlan(
+      graft.text.Sampling.weightedSample(docs, "doc_id", "w", k = 5))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("w25: rolling beta over a broadcast-joined benchmark — the panel " +
+    "never sort-merge-joins the date series") {
+    implicit val k: Panel.Keys = Panel.eod
+    val p = (1 to 25).flatMap(t => Seq(
+      ("A", f"d$t%02d", 0.01 * t), ("B", f"d$t%02d", 0.02 * t)))
+      .toDF("sid", "date", "ret")
+    val bench = p.where(col("sid") === "B")
+      .select(col("date"), col("ret").as("bret"))
+    val plan = finalPlan(Panel.withRollingBeta(
+      p.join(broadcast(bench), Seq("date"), "left"),
+      col("ret"), col("bret"), window = 5))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("coint1: the pair screen pivots the grid ONCE — pair moments " +
     "live in one aggregation row, never a panel self-join") {
     implicit val k: Panel.Keys = Panel.eod
