@@ -3695,6 +3695,84 @@ object Oracles {
          |    AS uncertainty
          |FROM ag""".stripMargin,
 
+    // ML27: gains table — value-tied score deciles, exact counts,
+    // bounded decile cumulative
+    "ml27_gains" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |h AS (
+         |  SELECT s, count(*)::BIGINT AS c, CAST(sum(y) AS BIGINT) AS p
+         |  FROM pr GROUP BY 1),
+         |cm AS (
+         |  SELECT *,
+         |    sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING
+         |                 AND CURRENT ROW) AS cum,
+         |    sum(c) OVER () AS tot, sum(p) OVER () AS pt
+         |  FROM h),
+         |dx AS (
+         |  SELECT CAST(floor((cum * 10 - 1) / tot) AS BIGINT) + 1 AS decile,
+         |         c, p, pt
+         |  FROM cm),
+         |g AS (
+         |  SELECT decile, CAST(sum(c) AS BIGINT) AS n,
+         |         CAST(sum(p) AS BIGINT) AS n_pos, max(pt) AS pt
+         |  FROM dx GROUP BY 1)
+         |SELECT decile, n, n_pos,
+         |  round(CASE WHEN pt > 0
+         |        THEN sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+         |             UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE / pt
+         |        END, 6) AS cum_capture
+         |FROM g""".stripMargin,
+
+    // EV20: retention decay — censoring-corrected pooled curve, nano
+    // log points, integer OLS sums, ln2 as the shared literal
+    "ev20_retention_fit" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |ch AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        |rc AS (
+        |  SELECT cohort_day,
+        |    date_diff('day', cohort_day, day) AS day_offset,
+        |    count(*) AS n_users
+        |  FROM d JOIN ch USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, n_users AS csize FROM rc
+        |       WHERE day_offset = 0),
+        |mx AS (SELECT max(cohort_day + day_offset::INT) AS mxd FROM rc),
+        |den AS (
+        |  SELECT o.d AS day_offset, CAST(sum(sz.csize) AS BIGINT) AS cap
+        |  FROM sz, mx, (SELECT unnest(range(1, 31)) AS d) o
+        |  WHERE date_diff('day', sz.cohort_day, mx.mxd) >= o.d
+        |  GROUP BY 1),
+        |ac AS (
+        |  SELECT day_offset, CAST(sum(n_users) AS BIGINT) AS act
+        |  FROM rc WHERE day_offset BETWEEN 1 AND 30 GROUP BY 1),
+        |pts AS (
+        |  SELECT den.day_offset AS x,
+        |    CAST(round(ln(ac.act::DOUBLE / den.cap::DOUBLE) * 1e9)
+        |      AS BIGINT) AS y
+        |  FROM den JOIN ac USING (day_offset)
+        |  WHERE den.cap > 0 AND ac.act > 0),
+        |ag AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+        |  FROM pts),
+        |fin AS (
+        |  SELECT n,
+        |    CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |         THEN -((n * sxy - sx * sy)::DOUBLE
+        |            / (n * sxx - sx * sx)::DOUBLE / 1e9) END AS lambda
+        |  FROM ag)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  round(lambda, 6) + 0.0 AS lambda,
+        |  round(CASE WHEN lambda > 0 THEN 0.6931471805599453 / lambda END,
+        |        6) + 0.0 AS half_life_days
+        |FROM fin""".stripMargin,
+
     // ML23: DeLong — half-count placements over the score histogram,
     // HUGEINT moments, one double division per output term
     "ml23_auc_delong" ->

@@ -1279,6 +1279,15 @@ object Queries {
     "perf_kelly" -> ((s, dir) =>
       graft.perf.Performance.kellyFraction(dampedMelt(s, dir))),
 
+    // ---- ML27: cumulative-gains decile table
+    "ml27_gains" -> ((s, dir) =>
+      graft.ml.Evaluation.gainsTable(scoredPanel(s, dir))),
+
+    // ---- EV20: pooled retention-decay fit with right-censoring
+    // correction — exponential λ and half-life
+    "ev20_retention_fit" -> ((s, dir) =>
+      graft.events.Events.retentionDecay(events(s, dir))),
+
     // ---- ML26: cost-sensitive threshold — FN costs 10× an FP
     "ml26_cost_threshold" -> ((s, dir) =>
       graft.ml.Evaluation.costThreshold(scoredPanel(s, dir),

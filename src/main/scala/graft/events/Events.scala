@@ -631,6 +631,69 @@ object Events {
         count(lit(1)).as(s"active_$window"))
   }
 
+  /** EV20: pooled retention-decay fit — exponential λ and half-life of
+    * the retention curve R(d) = retained(d) / capable(d), with the
+    * right-censoring correction a naive pooled curve gets wrong: a
+    * cohort only enters offset d's DENOMINATOR if the observation
+    * window reaches that far (cohort_day + d ≤ max observed day), so
+    * young cohorts don't drag the tail down. Fit: no-surprises OLS of
+    * ln R(d) on d over d = 1..maxOffset (R > 0), with nano-quantized
+    * log points and decimal sums (the hurst discipline) — both frames
+    * in the fit are offset-bounded (≤ maxOffset rows), cohort sizes are
+    * day-bounded, and the only data-volume work is retentionCohorts'
+    * own distinct + aggregation. Output one row
+    * (n_points, lambda, half_life_days). */
+  def retentionDecay(
+      events: DataFrame,
+      maxOffset: Int = 30,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (maxOffset < 2)
+      throw new ParameterError(s"maxOffset must be >= 2: $maxOffset")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rc = retentionCohorts(events, userCol, tsCol)
+      .localCheckpoint(eager = false) // feeds sizes, maxday, and actives
+    val sizes = rc.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("__size"))
+    val maxDay = rc.agg(max(
+      date_add(col("cohort_day"), col("day_offset").cast("int"))).as("__mx"))
+    val offsets = rc.sparkSession.range(1, maxOffset + 1)
+      .select(col("id").as("day_offset"))
+    val denom = sizes.crossJoin(broadcast(maxDay))
+      .crossJoin(broadcast(offsets))
+      .where(datediff(col("__mx"), col("cohort_day")) >= col("day_offset"))
+      .groupBy(col("day_offset"))
+      .agg(sum(col("__size")).as("__cap"))
+    val act = rc
+      .where(col("day_offset").between(1, maxOffset))
+      .groupBy(col("day_offset"))
+      .agg(sum(col("n_users")).as("__act"))
+    val pts = denom.join(act, Seq("day_offset"), "left")
+      .where(col("__cap") > 0 && coalesce(col("__act"), lit(0L)) > 0)
+      .select(col("day_offset").as("__x"),
+        round(log(col("__act").cast("double") / col("__cap").cast("double"))
+          * 1e9).cast("long").as("__y"))
+    pts
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum((col("__x").cast(dec) * col("__x").cast(dec))).as("__sxx"),
+        sum((col("__x").cast(dec) * col("__y").cast(dec))).as("__sxy"))
+      .select(Seq(col("n_points")) ++ {
+        val nd = col("n_points").cast(dec)
+        val det = nd * col("__sxx") - col("__sx").cast(dec) * col("__sx").cast(dec)
+        val slope = when(col("n_points") >= 2 && det =!= 0,
+          (nd * col("__sxy") - col("__sx").cast(dec) * col("__sy").cast(dec))
+            .cast("double") / det.cast("double") / 1e9)
+        val lambda = -slope
+        Seq(
+          (round(lambda, 6) + 0.0).as("lambda"),
+          (round(when(lambda > 0, lit(math.log(2.0)) / lambda), 6) + 0.0)
+            .as("half_life_days"))
+      }: _*)
+  }
+
   /** EV18: new-vs-returning DAU split — each active day of a user is
     * "new" on their first-ever day and "returning" after, the growth
     * decomposition behind every DAU chart. One distinct on

@@ -785,6 +785,52 @@ object Evaluation {
         round(col("__f1"), 6).as("f1"))
   }
 
+  /** ML27: cumulative-gains (decile capture) table — "contact the top
+    * k% by score, capture what fraction of the positives": the lift
+    * chart's underlying table, one row per score decile. Deciles are
+    * VALUE-TIED over the score histogram (ceil(10·cum/N) on the
+    * score-descending cumulative count — the ev17 discipline; ntile
+    * over rows would split ties nondeterministically), so bucket 1 is
+    * the top tenth by score with ties kept together. Counts are exact
+    * integers; the one window runs over the histogram and the decile
+    * cumulative over ≤ 10 rows. Output (decile, n, n_pos,
+    * cum_capture). */
+  def gainsTable(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
+      labelCol: String = "label",
+      buckets: Int = 10): DataFrame = {
+    if (buckets < 1) throw new ParameterError(s"buckets must be >= 1: $buckets")
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val w = Window.orderBy(col("__s").desc) // over the histogram
+    val hist = preds
+      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+      .withColumn("__cum", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__tot", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__ptot", sum(col("__p")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile",
+        (floor((col("__cum") * buckets - 1) / col("__tot")) + 1)
+          .cast("long"))
+    val wd = Window.orderBy(col("decile"))
+    hist
+      .groupBy(col("decile"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        max(col("__ptot")).as("__pt"))
+      .withColumn("cum_capture",
+        round(when(col("__pt") > 0,
+          sum(col("n_pos")).over(wd.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / col("__pt")), 6))
+      .drop("__pt")
+  }
+
   /** ML26: cost-sensitive threshold — argmax of expected utility over
     * the [[prCurve]] operating points with a caller-supplied utility
     * per outcome (u·tp + u·fp + u·fn + u·tn; costs are negative

@@ -321,6 +321,26 @@ class EventsSpec extends SparkSpec {
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
 
+  test("retentionDecay: exact-exponential cohort recovers lambda and " +
+    "half-life; censoring keeps young cohorts out of deep offsets " +
+    "(ev20)") {
+    // 64 users start day 1; halve daily for 4 offsets: R(d) = 2^-d →
+    // λ = ln 2, half-life exactly 1 day. A cohort born on the LAST
+    // observed day can reach no offset at all — censoring must exclude
+    // it from every denominator or the curve is polluted.
+    val rows = (0 to 4).flatMap { d =>
+      (1 to 64 / (1 << d)).map(u =>
+        (d * 1000L + u, u.toLong, ts(f"2024-01-0${d + 1} 10:00:00"), "view"))
+    } ++ (1 to 5).map(u => (9000L + u, 500L + u, ts("2024-01-05 10:00:00"), "view"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.events.Events.retentionDecay(ev).head
+    assert(out.getAs[Long]("n_points") == 4L)
+    assert(math.abs(out.getAs[Double]("lambda") - math.log(2.0)) < 1e-6)
+    assert(math.abs(out.getAs[Double]("half_life_days") - 1.0) < 1e-6)
+    intercept[graft.ParameterError](
+      graft.events.Events.retentionDecay(ev, maxOffset = 1))
+  }
+
   test("hourlyProfile: ISO dow mapping (Monday=1), distinct users per " +
     "cell (ev19)") {
     val ev = Seq(

@@ -512,6 +512,27 @@ class MlSpec extends SparkSpec {
     assert(h.getAs[Double]("resolution") == h.getAs[Double]("uncertainty"))
   }
 
+  test("gainsTable: value-tied deciles, cumulative capture reaches 1, " +
+    "a perfect ranker captures everything in the top bucket (ml27)") {
+    // 10 rows, distinct scores, positives at the top 3 scores
+    val preds = (1 to 10).map(i => (i / 10.0, if (i >= 8) 1L else 0L))
+      .toDF("prediction", "label")
+    val out = graft.ml.Evaluation.gainsTable(preds)
+      .collect().map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("cum_capture")))).toMap
+    assert(out(1L) == ((1L, 1L, 0.333333))) // top decile: score 1.0, pos
+    assert(out(3L)._3 == 1.0) // all 3 positives inside the top 3 deciles
+    assert(out(10L)._3 == 1.0)
+    assert(out.values.map(_._1).sum == 10L)
+    // ties share a decile: 10 equal scores → ONE bucket (decile 10)
+    val tied = (1 to 10).map(i => (0.5, if (i <= 2) 1L else 0L))
+      .toDF("prediction", "label")
+    val t = graft.ml.Evaluation.gainsTable(tied).collect()
+    assert(t.length == 1 && t.head.getAs[Long]("decile") == 10L)
+    assert(t.head.getAs[Double]("cum_capture") == 1.0)
+  }
+
   test("costThreshold: heavy FN cost pushes the threshold DOWN relative " +
     "to best-F1; symmetric costs recover accuracy argmax (ml26)") {
     // scores .9/.7 positive-ish, .6/.5 mixed, .2 negative
