@@ -3818,6 +3818,36 @@ object Oracles {
          |  round(least(1.0, auc + 1.959964 * se), 6) AS ci_hi
          |FROM fin""".stripMargin,
 
+    // ML28: per-segment AUC — the ml23 half-count algebra partitioned
+    // by segment
+    "ml28_auc_segments" ->
+      s"""WITH $panelCte,
+         |pr AS (
+         |  SELECT sid % 3 AS segment,
+         |         least(1.0::DOUBLE, round(close / 60000.0, 1)) AS s,
+         |         CASE WHEN close >= 22000 THEN 1 ELSE 0 END AS y
+         |  FROM panel),
+         |h AS (
+         |  SELECT segment, s, CAST(sum(y) AS BIGINT) AS cp,
+         |         CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM pr GROUP BY 1, 2),
+         |pl AS (
+         |  SELECT segment, cp, cn,
+         |    coalesce(sum(cn) OVER (PARTITION BY segment ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS nb
+         |  FROM h),
+         |ag AS (
+         |  SELECT segment, CAST(sum(cp) AS BIGINT) AS n_pos,
+         |    CAST(sum(cn) AS BIGINT) AS n_neg,
+         |    sum(cp::HUGEINT * (nb * 2 + cn)) AS s10
+         |  FROM pl GROUP BY 1)
+         |SELECT segment, n_pos, n_neg,
+         |  round(CASE WHEN n_pos > 0 AND n_neg > 0
+         |        THEN s10::DOUBLE / (n_pos::DOUBLE * n_neg::DOUBLE * 2.0)
+         |        END, 6) AS auc
+         |FROM ag""".stripMargin,
+
     // ML16: Cohen's kappa — exact-integer observed/expected agreement,
     // one division
     "ml16_kappa" ->

@@ -1821,6 +1821,15 @@ object Queries {
     "ml23_auc_delong" -> ((s, dir) =>
       graft.ml.Evaluation.aucDelong(scoredPanel(s, dir))),
 
+    // ---- ML28: per-segment AUC — the fairness/robustness slice
+    "ml28_auc_segments" -> ((s, dir) => {
+      val seg = supplierPanel(s, dir).select(
+        pmod(col("sid"), lit(3)).cast("long").as("segment"),
+        least(lit(1.0), round(col("close") / 60000.0, 1)).as("prediction"),
+        (col("close") >= 22000).cast("long").as("label"))
+      graft.ml.Evaluation.aucBySegment(seg, "segment")
+    }),
+
     // ---- ML16: Cohen's kappa — the 0.5-thresholded score as a second
     // rater against the label (chance-corrected agreement, exact ints)
     "ml16_kappa" -> ((s, dir) =>

@@ -518,6 +518,48 @@ object Evaluation {
   }
 
 
+  /** ML28: AUC per segment — the fairness/robustness slice table
+    * ("does the ranker hold up per region / per source / per device"):
+    * [[aucDelong]]'s half-count placement algebra with every window
+    * and aggregation partitioned by the segment column, so each
+    * segment's AUC is exactly what aucDelong would report on its
+    * slice, computed in ONE pass over a (segment, score) histogram.
+    * Segments with a missing class yield null AUC (undefined), not a
+    * crash. Output (segment, n_pos, n_neg, auc) sorted by the caller.
+    */
+  def aucBySegment(
+      preds: DataFrame,
+      segmentCol: String,
+      scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
+      .otherwise(raise_error(format_string(
+        s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
+        .cast("long"))
+    val w = Window.partitionBy(col("segment")).orderBy(col("__s"))
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    preds
+      .select(col(segmentCol).as("segment"), col(scoreCol).as("__s"),
+        lbl.as("__y"))
+      .groupBy(col("segment"), col("__s"))
+      .agg(sum(col("__y")).as("__cp"), sum(lit(1L) - col("__y")).as("__cn"))
+      .withColumn("__negBelow", coalesce(sum(col("__cn")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__u10", (col("__negBelow") * 2 + col("__cn")).cast(dec))
+      .groupBy(col("segment"))
+      .agg(
+        sum(col("__cp")).as("n_pos"),
+        sum(col("__cn")).as("n_neg"),
+        sum(col("__cp").cast(dec) * col("__u10")).as("__s10"))
+      .select(
+        col("segment"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__s10").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")
+              * 2.0)), 6).as("auc"))
+  }
+
   /** Cohen's kappa between two label columns — chance-corrected
     * agreement for label-QC (two annotators, or a new classifier vs
     * the incumbent). Because both the observed and the expected

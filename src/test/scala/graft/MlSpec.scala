@@ -512,6 +512,23 @@ class MlSpec extends SparkSpec {
     assert(h.getAs[Double]("resolution") == h.getAs[Double]("uncertainty"))
   }
 
+  test("aucBySegment: each slice matches aucDelong on that slice; a " +
+    "one-class segment yields null (ml28)") {
+    val preds = Seq(
+      // segment A: separable → AUC 1 ; segment B: tied case → 0.875
+      ("A", 0.9, 1L), ("A", 0.8, 1L), ("A", 0.2, 0L), ("A", 0.1, 0L),
+      ("B", 0.8, 1L), ("B", 0.5, 1L), ("B", 0.5, 0L), ("B", 0.3, 0L),
+      ("C", 0.7, 1L), ("C", 0.6, 1L)) // positives only
+      .toDF("seg", "prediction", "label")
+    val out = graft.ml.Evaluation.aucBySegment(preds, "seg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          Option(r.get(r.fieldIndex("auc")))))).toMap
+    assert(out("A") == ((2L, 2L, Some(1.0))))
+    assert(out("B") == ((2L, 2L, Some(0.875))))
+    assert(out("C") == ((2L, 0L, None)))
+  }
+
   test("gainsTable: value-tied deciles, cumulative capture reaches 1, " +
     "a perfect ranker captures everything in the top bucket (ml27)") {
     // 10 rows, distinct scores, positives at the top 3 scores
