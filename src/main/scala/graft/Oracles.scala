@@ -3361,6 +3361,72 @@ object Oracles {
 
     // IC time-series summary over the ic1 per-date series: exact micro
     // re-quantization of the 6dp ICs → order-free HUGEINT sums
+    // IC6: Newey-West — integer ×n demeaning, exact lag-product sums,
+    // Bartlett weights interpolated as the engine's own double literals
+    "ic6_newey_west" -> {
+      val lags = 5
+      val wts = (1 to lags).map(l => 2.0 * (1.0 - l.toDouble / (lags + 1)))
+      val lagCols = (1 to lags)
+        .map(l => s"lag(d, $l) OVER (ORDER BY date) AS d$l").mkString(",\n    ")
+      val gammas = (1 to lags)
+        .map(l => s"sum(d::HUGEINT * d$l) AS g$l").mkString(",\n    ")
+      val lrv = (1 to lags)
+        .map(l => s"+ ${wts(l - 1)} * (g$l::DOUBLE / nd)").mkString(" ")
+      s"""WITH $panelCte,
+         |fwd AS (
+         |  SELECT sid, date, close,
+         |    lead(close) OVER (PARTITION BY sid ORDER BY date) / close - 1 AS f
+         |  FROM panel),
+         |b AS (SELECT * FROM fwd WHERE f IS NOT NULL),
+         |r AS (
+         |  SELECT date,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+         |      + count(*) OVER (PARTITION BY date, close) - 1 AS HUGEINT) AS rx,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY f)
+         |      + count(*) OVER (PARTITION BY date, f) - 1 AS HUGEINT) AS ry
+         |  FROM b),
+         |st AS (
+         |  SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |         sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+         |  FROM r GROUP BY date),
+         |ics AS (
+         |  SELECT date,
+         |    round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS ic
+         |  FROM st),
+         |mi AS (SELECT date, CAST(round(ic * 1e6) AS BIGINT) AS m FROM ics
+         |       WHERE ic IS NOT NULL),
+         |tot AS (SELECT count(*) AS n, CAST(sum(m) AS BIGINT) AS sm FROM mi),
+         |dv AS (SELECT date, m * tot.n - tot.sm AS d FROM mi, tot),
+         |lg AS (
+         |  SELECT date, d,
+         |    $lagCols
+         |  FROM dv),
+         |ag AS (
+         |  SELECT count(*) AS n_dates, sum(d::HUGEINT * d) AS g0,
+         |    $gammas
+         |  FROM lg),
+         |fy AS (
+         |  SELECT ag.*, CAST(ag.n_dates AS DOUBLE) AS nd, tot.n, tot.sm
+         |  FROM ag, tot),
+         |fz AS (
+         |  SELECT n_dates,
+         |    sm::DOUBLE / nd / 1e6 AS mean,
+         |    sqrt((g0::DOUBLE / nd) / nd) / n / 1e6 AS sd0,
+         |    sqrt((g0::DOUBLE / nd $lrv) / nd) / n / 1e6 AS sdnw,
+         |    (n_dates >= ${lags + 2}) AS ok
+         |  FROM fy)
+         |SELECT CAST(n_dates AS BIGINT) AS n_dates,
+         |  round(CASE WHEN n_dates > 0 THEN mean END, 6) + 0.0 AS mean_ic,
+         |  round(CASE WHEN ok AND sd0 > 0 THEN mean / sd0 END, 6) + 0.0
+         |    AS t_iid,
+         |  round(CASE WHEN ok AND sdnw > 0 THEN mean / sdnw END, 6) + 0.0
+         |    AS t_nw
+         |FROM fz""".stripMargin
+    },
+
     "ic3_ic_summary" ->
       s"""WITH $panelCte,
          |fwd AS (

@@ -1649,6 +1649,17 @@ object Queries {
 
     // ---- IC time-series summary: mean IC, ICIR, t-stat, hit rate over
     // the ic1 per-date Spearman series (exact micro re-quantization)
+    // ---- IC6: Newey-West robust t for the IC mean (overlapping
+    // forward returns serially correlate the series)
+    "ic6_newey_west" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val withFwd = graft.perf.Signals.withForwardReturn(
+        supplierPanel(s, dir), horizon = 1)
+      graft.perf.Signals.icNeweyWest(
+        graft.perf.Signals.infoCoefficient(
+          withFwd, col("close"), col("fwd_return")))
+    }),
+
     "ic3_ic_summary" -> ((s, dir) => {
       implicit val k: Keys = liKeys
       val withFwd = graft.perf.Signals.withForwardReturn(

@@ -233,6 +233,62 @@ object Signals {
           col("__hits").cast("double") / n), 6).as("hit_rate"))
   }
 
+  /** IC6: Newey-West (1987) autocorrelation-robust t for the IC mean —
+    * overlapping forward returns serially correlate the IC series, so
+    * [[icSummary]]'s IID t overstates significance; the Bartlett-
+    * weighted long-run variance γ₀ + 2Σ_{l≤L}(1 − l/(L+1))γ_l is the
+    * published fix. Demeaned micro ICs come from one bounded
+    * unpartitioned window over the date-ordered series (the perf_daily
+    * post-aggregation class); each lag-l autocovariance is ONE exact
+    * decimal sum of lagged products, and the Bartlett weights are
+    * driver constants. Output one row
+    * (n_dates, mean_ic, t_iid, t_nw). */
+  def icNeweyWest(
+      ic: DataFrame,
+      lags: Int = 5,
+      icCol: String = "ic",
+      dateCol: String = "date"): DataFrame = {
+    require(lags >= 1, s"lags must be >= 1: $lags")
+    val dec = "decimal(38,0)"
+    val w = Window.orderBy(col(dateCol))
+    val base = ic.where(col(icCol).isNotNull)
+      .withColumn("__m", round(col(icCol) * 1e6).cast("long"))
+    // demeaning needs the global mean — exact integer ratio via a
+    // bounded one-row broadcast (the series is post-aggregation-sized)
+    val tot = base.agg(count(lit(1)).as("__n"), sum(col("__m")).as("__sm"))
+    val lagged = base.crossJoin(broadcast(tot))
+      .withColumn("__d", // micro deviations ×n: integer-exact demeaning
+        col("__m") * col("__n") - col("__sm"))
+      .select(Seq(col(dateCol), col("__n"), col("__d")) ++
+        (1 to lags).map(l => lag(col("__m") * col("__n") - col("__sm"), l)
+          .over(w).as(s"__d$l")): _*)
+    val aggs =
+      Seq(count(lit(1)).as("n_dates"),
+        sum(col("__d").cast(dec) * col("__d").cast(dec)).as("__g0")) ++
+        (1 to lags).map(l =>
+          sum(col("__d").cast(dec) * col(s"__d$l").cast(dec)).as(s"__g$l"))
+    lagged.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(tot))
+      .select(Seq(col("n_dates")) ++ {
+        val n = col("n_dates").cast("double")
+        val scale = col("__n").cast("double") // deviations carry ×n
+        val mean = col("__sm").cast("double") / n / 1e6
+        // γ_l = Σ d_t·d_{t−l} / n, in (micro·n)² units
+        def gamma(l: Int) =
+          (if (l == 0) col("__g0") else col(s"__g$l")).cast("double") / n
+        val lrv = (1 to lags).foldLeft(gamma(0)) { case (acc, l) =>
+          acc + lit(2.0 * (1.0 - l.toDouble / (lags + 1))) * gamma(l)
+        }
+        val sd0 = sqrt(gamma(0) / n) / scale / 1e6 // IID se of the mean
+        val sdNw = sqrt(lrv / n) / scale / 1e6
+        val ok = col("n_dates") >= (lags + 2)
+        Seq(
+          (round(when(col("n_dates") > 0, mean), 6) + 0.0).as("mean_ic"),
+          (round(when(ok && sd0 > 0, mean / sd0), 6) + 0.0).as("t_iid"),
+          (round(when(ok && sdNw > 0, mean / sdNw), 6) + 0.0).as("t_nw"))
+      }: _*)
+  }
+
   /** Per-(date, quantile-bin) mean forward return: bin the signal into q
     * cross-sectional buckets ([[Panel.quantileBin]] — explicit tiebreak
     * so ntile is deterministic) and average the forward return per

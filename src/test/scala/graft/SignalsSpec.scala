@@ -158,4 +158,23 @@ class SignalsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Signals.icDecay(df, col("close"), horizons = Seq(1, 1)))
   }
+
+  test("icNeweyWest: positive autocorrelation shrinks t below IID, " +
+    "alternation inflates it; mean matches icSummary (ic6)") {
+    import spark.implicits._
+    // persistent series: long runs of the same IC value
+    val runs = (1 to 120).map(t =>
+      (f"d$t%03d", if ((t - 1) / 20 % 2 == 0) 0.30 else -0.10))
+      .toDF("date", "ic")
+    val r = Signals.icNeweyWest(runs).head
+    assert(r.getAs[Long]("n_dates") == 120L)
+    assert(r.getAs[Double]("mean_ic") == 0.1)
+    assert(r.getAs[Double]("t_nw") < r.getAs[Double]("t_iid"))
+    // alternating series: negative lag-1 autocovariance → NW t larger
+    val alt = (1 to 120).map(t =>
+      (f"d$t%03d", if (t % 2 == 0) 0.30 else -0.10)).toDF("date", "ic")
+    val a = Signals.icNeweyWest(alt).head
+    assert(a.getAs[Double]("t_nw") > a.getAs[Double]("t_iid"))
+    intercept[IllegalArgumentException](Signals.icNeweyWest(runs, lags = 0))
+  }
 }
