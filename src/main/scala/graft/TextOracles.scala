@@ -1203,6 +1203,38 @@ object TextOracles {
          |  count(*)::BIGINT AS n_pairs
          |FROM verify GROUP BY 1""".stripMargin,
 
+    // TX28: source-overlap matrix — distinct (source, shingle) sets,
+    // pair intersections via the md5 equi-join, inner pairs only
+    "tx28_source_overlap" ->
+      """WITH planted AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'src_copycat', text FROM documents
+        |  WHERE doc_id < 50),
+        |w AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g')), '\s+') AS w
+        |  FROM planted),
+        |sh AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN len(w) >= 3
+        |           THEN list_transform(range(1, len(w) - 1),
+        |                               i -> array_to_string(w[i:i+2], ' '))
+        |           ELSE [] END) AS s
+        |  FROM w),
+        |ds AS (SELECT DISTINCT source, md5(s) AS h FROM sh),
+        |ps AS (SELECT source, count(*)::BIGINT AS n FROM ds GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS n_common
+        |  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, n_common,
+        |  round(n_common::DOUBLE / (pa.n + pb.n - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN ps pa ON inter.sa = pa.source
+        |JOIN ps pb ON inter.sb = pb.source""".stripMargin,
+
     // TX27: per-source dup report — corpus-wide keep-first billing
     "tx27_source_dups" ->
       """WITH planted AS (

@@ -443,6 +443,17 @@ object TextQueries {
       Dedup.dropNearDuplicates(docs, clusters).select(col("doc_id"))
     }),
 
+    // ---- TX28: source-overlap shingle-Jaccard matrix — the planted
+    // copycat source overlaps its victims; organic pairs stay low
+    "tx28_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            lit("src_copycat").as("source"), col("text")))
+      Dedup.sourceOverlapMatrix(planted)
+    }),
+
     // ---- TX27: per-source duplication report — 50 docs re-attributed
     // to a copycat source show up as its 100% dup rate
     "tx27_source_dups" -> ((s, dir) => {

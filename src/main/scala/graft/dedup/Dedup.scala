@@ -1116,6 +1116,51 @@ object Dedup {
         round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
   }
 
+  /** TX28: source-overlap matrix — shingle-set Jaccard between every
+    * pair of SOURCES ("which feeds copy each other", the corpus-level
+    * companion of [[sourceDupReport]]'s doc-level rate). The source
+    * column is a LOW-CARDINALITY dimension (feeds, crawls — tens, not
+    * millions): per distinct (source, shingle) the shingle's source
+    * SET is collected (bounded by |sources|) and pairs explode inside
+    * it — C(|sources|, 2) worst case per shingle, 1 for the typical
+    * unshared shingle — so intersection mass drives cost, never an
+    * all-pairs join of shingle sets. Per-source distinct counts are a
+    * bounded frame broadcast twice. Output (source_a, source_b,
+    * n_common, jaccard) for source_a < source_b. */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val ss = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
+      .join(shingleRows(docs, idCol, textCol, shingleSize)
+        .withColumnRenamed(idCol, "__id"), "__id")
+      .select(col("__src"), md5(col("__s")).as("__h"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds per-source counts + pairs
+    val perSource = ss.groupBy(col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    val inter = ss
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_set(col("__src"))).as("__set"))
+      .select(explode(col("__set")).as("a"), col("__set"))
+      .select(col("a"), explode(col("__set")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(perSource.select(col("__src").as("a"),
+        col("__n").as("__na"))), "a")
+      .join(broadcast(perSource.select(col("__src").as("b"),
+        col("__n").as("__nb"))), "b")
+      .select(col("a").as("source_a"), col("b").as("source_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Soft deduplication: instead of DROPPING near-duplicates, every doc
     * gets a sampling weight 1/|cluster| (1.0 for unclustered docs) — a
     * cluster of n near-identical pages contributes one doc's worth of

@@ -533,6 +533,25 @@ class DedupSimSpec extends SparkSpec {
     intercept[graft.ParameterError](Dedup.dropBoilerplateLines(docs, fracDocs = 1.5))
   }
 
+  test("sourceOverlapMatrix: identical sources read jaccard 1, disjoint " +
+    "pairs emit no row, partial overlap exact (tx28)") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"), // shingles: ab-g, b-g-d
+      (2L, "s2", "alpha beta gamma delta"), // identical set
+      (3L, "s3", "alpha beta gamma zeta"),  // shares 1 of 2 with s1
+      (4L, "s4", "one two three four"))     // disjoint
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlapMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    assert(out(("s1", "s2")) == ((2L, 1.0)))
+    // s1 ∩ s3 = {alpha beta gamma}: 1 common of 3 distinct → 1/3
+    assert(out(("s1", "s3")) == ((1L, 0.333333)))
+    assert(out(("s2", "s3")) == ((1L, 0.333333)))
+    assert(!out.contains(("s1", "s4")) && !out.contains(("s3", "s4")))
+    assert(out.size == 3)
+  }
+
   test("sourceDupReport: corpus-wide keep-first bills the copier source, " +
     "not the origin (tx27)") {
     val docs = Seq(
