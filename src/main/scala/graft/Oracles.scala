@@ -2548,6 +2548,34 @@ object Oracles {
         |       CAST(i AS INT) AS slice_idx, slice_time, quantity
         |FROM sl WHERE quantity > 0""".stripMargin,
 
+    // D40: reconciliation — planted breaks through the full outer join
+    "d40_reconcile" ->
+      """WITH expected AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CAST(round(s_acctbal) AS BIGINT) AS eq
+        |  FROM supplier WHERE s_suppkey % 2 = 0 AND s_acctbal > 0),
+        |reported AS (
+        |  SELECT CAST(s_suppkey AS VARCHAR) AS sid, 'U1' AS account,
+        |         CAST(round(s_acctbal) AS BIGINT)
+        |           + CASE WHEN s_suppkey % 5 = 0 THEN 10 ELSE 0 END AS rq
+        |  FROM supplier
+        |  WHERE s_acctbal > 0
+        |    AND (s_suppkey % 2 = 1 OR s_suppkey % 7 <> 0)
+        |    AND (s_suppkey % 2 = 0 OR s_suppkey % 3 = 0))
+        |SELECT coalesce(e.sid, r.sid) AS sid,
+        |  coalesce(e.account, r.account) AS account,
+        |  e.eq AS expected_qty, r.rq AS reported_qty,
+        |  coalesce(r.rq, 0) - coalesce(e.eq, 0) AS diff,
+        |  CASE WHEN e.eq IS NOT NULL AND r.rq IS NOT NULL
+        |            AND coalesce(r.rq, 0) - coalesce(e.eq, 0) = 0
+        |       THEN 'MATCHED'
+        |       WHEN e.eq IS NOT NULL AND r.rq IS NOT NULL THEN 'QTY_DIFF'
+        |       WHEN r.rq IS NULL THEN 'MISSING_AT_BROKER'
+        |       ELSE 'UNEXPECTED_AT_BROKER' END AS status
+        |FROM expected e
+        |FULL OUTER JOIN reported r
+        |  ON e.sid = r.sid AND e.account = r.account""".stripMargin,
+
     // D35: crossing — per-sid BUY/SELL totals, running-sum clamp in
     // (account, orderRef) order on each side
     "d35_cross_orders" ->

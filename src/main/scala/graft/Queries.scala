@@ -1181,6 +1181,27 @@ object Queries {
         times = Seq("09:30:00", "12:00:00", "15:30:00"), suffix = "0")
     }),
 
+    // ---- D40: position reconciliation — expected book vs a broker
+    // report with planted breaks (drops, qty drifts, strays)
+    "d40_reconcile" -> ((s, dir) => {
+      val expected = t(s, dir, "supplier")
+        .where(col("s_suppkey") % 2 === 0 && col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("string").as("sid"),
+          lit("U1").as("account"),
+          round(col("s_acctbal")).cast("long").as("quantity"))
+      val reported = t(s, dir, "supplier")
+        .where(col("s_acctbal") > 0)
+        .where(col("s_suppkey") % 2 === 1 || col("s_suppkey") % 7 =!= 0)
+        .select(col("s_suppkey").cast("string").as("sid"),
+          lit("U1").as("account"),
+          (round(col("s_acctbal")).cast("long") +
+            when(col("s_suppkey") % 5 === 0, 10L).otherwise(0L))
+            .as("quantity"))
+        .where(col("sid").cast("long") % 2 === 0 ||
+          col("sid").cast("long") % 3 === 0) // odd strays only when %3
+      Trade.reconcilePositions(expected, reported)
+    }),
+
     // ---- D35: internal crossing — per-sid BUY/SELL netting across
     // accounts, running-sum allocation in (account, orderRef) order
     "d35_cross_orders" -> ((s, dir) => {

@@ -392,6 +392,35 @@ object Trade {
         col("__s.quantity").as("quantity"))
   }
 
+  /** D40: position reconciliation — the expected book (what the engine
+    * believes it holds) full-outer-joined against the broker's report,
+    * every break labeled: MATCHED, QTY_DIFF, MISSING_AT_BROKER
+    * (position the broker doesn't show), UNEXPECTED_AT_BROKER (the
+    * reverse). The morning-check every live desk runs before enabling
+    * orders; both inputs are blotter-sized (S5's cost class), the join
+    * is one (sid, account) full outer with exact integer quantities.
+    * Output (sid, account, expected_qty, reported_qty, diff, status).
+    */
+  def reconcilePositions(
+      expected: DataFrame,
+      reported: DataFrame): DataFrame = {
+    val e = expected.select(col("sid"), col("account"),
+      col("quantity").as("expected_qty"))
+    val r = reported.select(col("sid"), col("account"),
+      col("quantity").as("reported_qty"))
+    e.join(r, Seq("sid", "account"), "full_outer")
+      .withColumn("diff",
+        coalesce(col("reported_qty"), lit(0L)) -
+          coalesce(col("expected_qty"), lit(0L)))
+      .withColumn("status",
+        when(col("expected_qty").isNotNull && col("reported_qty").isNotNull &&
+          col("diff") === 0, "MATCHED")
+          .when(col("expected_qty").isNotNull && col("reported_qty").isNotNull,
+            "QTY_DIFF")
+          .when(col("reported_qty").isNull, "MISSING_AT_BROKER")
+          .otherwise("UNEXPECTED_AT_BROKER"))
+  }
+
   /** D35: internal order crossing — when one account BUYs a sid another
     * account SELLs, the desk crosses internally and only the NET goes
     * to market (half the commissions and none of the spread on the

@@ -286,6 +286,21 @@ class TradeSpec extends SparkSpec {
     intercept[graft.ParameterError](Trade.twapSlices(stubs, Nil))
   }
 
+  test("reconcilePositions: each break class labeled, diff signed " +
+    "toward the broker (d40)") {
+    val expected = Seq(("S1", "U1", 100L), ("S2", "U1", 50L), ("S3", "U1", 10L))
+      .toDF("sid", "account", "quantity")
+    val reported = Seq(("S1", "U1", 100L), ("S2", "U1", 45L), ("S4", "U1", 7L))
+      .toDF("sid", "account", "quantity")
+    val out = Trade.reconcilePositions(expected, reported)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[String]("status"), r.getAs[Long]("diff")))).toMap
+    assert(out("S1") == (("MATCHED", 0L)))
+    assert(out("S2") == (("QTY_DIFF", -5L))) // broker shows 5 fewer
+    assert(out("S3") == (("MISSING_AT_BROKER", -10L)))
+    assert(out("S4") == (("UNEXPECTED_AT_BROKER", 7L)))
+  }
+
   test("crossOrders: per-sid BUY/SELL netting, running-sum allocation " +
     "in account order, one-sided sids cross nothing (d35)") {
     val stubs = Seq(
