@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+import graft.alloc.Weights
+import graft.panel.Panel
+import graft.panel.Panel.Keys
+
+/** Property-based invariants over random panels — the algebraic
+  * guarantees golden tests can't sweep: allocation caps, neutrality,
+  * turnover sign, soft-dedup mass conservation. Small generated panels
+  * (Spark jobs per case are not free), fixed seeds via ScalaCheck's
+  * deterministic default parameters.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, minSuccessful: Int = 12): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  import spark.implicits._
+
+  private implicit val k: Keys = Panel.eod
+
+  private val panelGen: Gen[Seq[(String, String, Int)]] = for {
+    nSids <- Gen.choose(2, 6)
+    nDates <- Gen.choose(2, 5)
+    signals <- Gen.listOfN(nSids * nDates, Gen.oneOf(-1, 0, 1))
+  } yield for {
+    s <- 0 until nSids; d <- 0 until nDates
+  } yield (s"S$s", f"2024-01-${d + 1}%02d", signals(s * nDates + d))
+
+  private def df(rows: Seq[(String, String, Int)]) =
+    rows.toDF("sid", "date", "signal")
+
+  test("equalWeights: per-date gross never exceeds the cap and every " +
+    "weight carries its signal's sign (D1 invariant)") {
+    check(Prop.forAll(panelGen) { rows =>
+      val out = df(rows)
+        .select($"sid", $"date", $"signal",
+          Weights.equalWeights($"signal", cap = 1.0).as("w"))
+        .collect()
+      val gross = out.groupBy(_.getString(1))
+        .map { case (_, rs) => rs.map(r => math.abs(r.getDouble(3))).sum }
+      val signsOk = out.forall { r =>
+        val (sig, w) = (r.getInt(2), r.getDouble(3))
+        (sig == 0 && w == 0.0) || math.signum(w) == math.signum(sig.toDouble)
+      }
+      (gross.forall(_ <= 1.0 + 1e-9) :| "gross <= cap") &&
+        (signsOk :| "sign preserved")
+    })
+  }
+
+  test("neutralizeWeights: after scaling, per-date long mass equals " +
+    "short mass whenever both sides exist (D5 invariant)") {
+    check(Prop.forAll(panelGen) { rows =>
+      val out = df(rows)
+        .select($"date", $"signal",
+          Weights.neutralizeWeights($"signal".cast("double")).as("w"))
+        .collect()
+      out.groupBy(_.getString(0)).forall { case (_, rs) =>
+        val longs = rs.map(_.getDouble(2)).filter(_ > 0).sum
+        val shorts = rs.map(_.getDouble(2)).filter(_ < 0).map(-_).sum
+        if (longs > 0 && shorts > 0) math.abs(longs - shorts) < 1e-9
+        else true // a one-sided date keeps its lighter-side zero
+      }
+    })
+  }
+
+  test("turnover = |diff positions| is non-negative and zero on a " +
+    "constant book (D6 invariant)") {
+    check(Prop.forAll(panelGen) { rows =>
+      val pos = df(rows).withColumn("position", $"signal".cast("double"))
+      val t = pos.select($"sid",
+        abs(Panel.diffBySid($"position")).as("turnover")).collect()
+      t.forall(r => r.isNullAt(1) || r.getDouble(1) >= 0.0)
+    })
+  }
+
+  test("softDedupWeights: total sampled mass equals the number of " +
+    "distinct survivors (dd23 invariant)") {
+    val clusterGen = for {
+      n <- Gen.choose(1, 20)
+      labels <- Gen.listOfN(n, Gen.choose(1L, 5L))
+    } yield labels.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    check(Prop.forAll(clusterGen) { members =>
+      val docs = members.map(_._1).map(Tuple1(_)).toDF("doc_id")
+      val clusters = members.toDF("id", "cluster")
+      val w = graft.dedup.Dedup.softDedupWeights(docs, clusters)
+        .collect().map(_.getAs[Double]("weight")).sum
+      val expected = members.map(_._2).distinct.size
+      math.abs(w - expected) < 1e-4 // 6dp rounding per member
+    })
+  }
+}
