@@ -647,6 +647,43 @@ object Oracles {
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
         |FROM x GROUP BY 1, 2""".stripMargin,
 
+    // EV21: session co-occurrence — the ev2 session chain, distinct
+    // per-session type sets, pair lift from exact session counts
+    "ev21_cooccurrence" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                 OR epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0
+        |            END AS nw
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM e)),
+        |x AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_idx
+        |  FROM s),
+        |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM x),
+        |ns AS (SELECT count(*) AS n FROM
+        |       (SELECT DISTINCT user_id, session_idx FROM st)),
+        |pt AS (SELECT event_type, count(*)::BIGINT AS n FROM st GROUP BY 1),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*)::BIGINT AS n_sessions
+        |  FROM st a
+        |  JOIN st b ON a.user_id = b.user_id
+        |           AND a.session_idx = b.session_idx
+        |           AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_sessions,
+        |  round(n_sessions::DOUBLE * (SELECT n FROM ns)
+        |    / (pa.n::DOUBLE * pb.n::DOUBLE), 6) AS lift
+        |FROM pr
+        |JOIN pt pa ON pr.type_a = pa.event_type
+        |JOIN pt pb ON pr.type_b = pb.event_type""".stripMargin,
+
     // first-occurrence funnel: per-user conditional mins, monotone chain
     "ev3_funnel" ->
       """WITH f AS (

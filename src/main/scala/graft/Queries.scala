@@ -1552,6 +1552,10 @@ object Queries {
     "ev15_burstiness" -> ((s, dir) =>
       graft.events.Events.burstiness(events(s, dir))),
 
+    // ---- EV21: within-session event-type co-occurrence lift
+    "ev21_cooccurrence" -> ((s, dir) =>
+      graft.events.Events.sessionCooccurrence(events(s, dir))),
+
     // ---- EV19: weekday × hour activity heatmap (ISO dow)
     "ev19_hourly_profile" -> ((s, dir) =>
       graft.events.Events.hourlyProfile(events(s, dir))),

@@ -720,6 +720,48 @@ object Events {
       .withColumn("dau", col("new_users") + col("returning_users"))
   }
 
+  /** EV21: within-session event-type co-occurrence lift — which
+    * behaviors travel together in ONE visit (view∧purchase vs
+    * view∧support_ticket), the association strength behind next-action
+    * models: lift(a,b) = P(a∧b)/(P(a)·P(b)) over sessions. Sessions
+    * come from [[sessionize]]; each session's distinct type set is
+    * BOUNDED by the type alphabet, so pairs explode inside the
+    * collected set (the tx28 shape — co-occurrence mass drives cost,
+    * never sessions²). Per-type session counts are a bounded broadcast.
+    * Output (type_a, type_b, n_sessions, lift 6dp) for a < b. */
+  def sessionCooccurrence(
+      events: DataFrame,
+      gapSeconds: Long = 1800,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    val st = sessionize(events, gapSeconds, userCol, tsCol, eventIdCol)
+      .select(col(userCol).as("__u"), col("session_idx").as("__sx"),
+        col(typeCol).as("__t"))
+      .distinct()
+      .localCheckpoint(eager = false) // totals + per-type + pairs
+    val nSess = st.select(col("__u"), col("__sx")).distinct().count() // bounded scalar
+    val perType = st.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val pairs = st
+      .groupBy(col("__u"), col("__sx"))
+      .agg(sort_array(collect_set(col("__t"))).as("__set"))
+      .select(explode(col("__set")).as("type_a"), col("__set"))
+      .select(col("type_a"), explode(col("__set")).as("type_b"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_sessions"))
+    pairs
+      .join(broadcast(perType.select(col("__t").as("type_a"),
+        col("__n").as("__na"))), "type_a")
+      .join(broadcast(perType.select(col("__t").as("type_b"),
+        col("__n").as("__nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_sessions"),
+        round(col("n_sessions").cast("double") * nSess.toDouble /
+          (col("__na").cast("double") * col("__nb").cast("double")), 6)
+          .as("lift"))
+  }
+
   /** EV19: weekday × hour activity profile — the load heatmap behind
     * capacity planning and bot forensics (humans have a diurnal
     * shape; scrapers are flat). One hash aggregation on the bounded

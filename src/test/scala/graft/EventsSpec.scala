@@ -321,6 +321,29 @@ class EventsSpec extends SparkSpec {
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
 
+  test("sessionCooccurrence: hand-computed lift over mixed sessions; " +
+    "far-apart events split sessions and earn no pair (ev21)") {
+    // 4 sessions (4 users, one session each): {a,b} {a,b} {a} {b} →
+    // P(a)=P(b)=3/4, P(ab)=1/2 → lift = (2·4)/(3·3) = 0.888889
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 2L, ts("2024-01-01 10:00:00"), "a"),
+      (4L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (5L, 3L, ts("2024-01-01 10:00:00"), "a"),
+      (6L, 4L, ts("2024-01-01 10:00:00"), "b"),
+      // user 5: a and b 2h apart → DIFFERENT sessions, no pair
+      (7L, 5L, ts("2024-01-01 10:00:00"), "a"),
+      (8L, 5L, ts("2024-01-01 12:30:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.events.Events.sessionCooccurrence(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Double]("lift")))).toMap
+    // 6 sessions total; a in 4, b in 4, together in 2 → lift 12/16
+    assert(out(("a", "b")) == ((2L, 0.75)))
+    assert(out.size == 1)
+  }
+
   test("retentionDecay: exact-exponential cohort recovers lambda and " +
     "half-life; censoring keeps young cohorts out of deep offsets " +
     "(ev20)") {
