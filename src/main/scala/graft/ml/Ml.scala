@@ -473,7 +473,11 @@ object Evaluation {
         s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
         .cast("long"))
     val hist = preds
-      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      // 6dp score quantization BOUNDS the histogram (≤ ~2M distinct
+      // values) — "distinct scores" is unbounded for continuous
+      // outputs, and the ordered window below would otherwise sort a
+      // row-cardinality frame in one task
+      .select(round(col(scoreCol), 6).as("__s"), lbl.as("__y"))
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
@@ -540,7 +544,8 @@ object Evaluation {
     val w = Window.partitionBy(col("segment")).orderBy(col("__s"))
     val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     preds
-      .select(col(segmentCol).as("segment"), col(scoreCol).as("__s"),
+      .select(col(segmentCol).as("segment"),
+        round(col(scoreCol), 6).as("__s"), // bounded histogram (aucDelong)
         lbl.as("__y"))
       .groupBy(col("segment"), col("__s"))
       .agg(sum(col("__y")).as("__cp"), sum(lit(1L) - col("__y")).as("__cn"))
@@ -744,7 +749,10 @@ object Evaluation {
     val wAll = Window.orderBy(t.desc).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     preds
-      .select(col(scoreCol).as("threshold"), lbl.as("__y"))
+      // 6dp threshold quantization: bounded candidate set (aucDelong's
+      // rationale) — a continuous score would otherwise make the
+      // ordered windows sort row-cardinality frames
+      .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
       .withColumn("__tp", sum(col("__pos")).over(wDesc))
@@ -849,7 +857,11 @@ object Evaluation {
         .cast("long"))
     val w = Window.orderBy(col("__s").desc) // over the histogram
     val hist = preds
-      .select(col(scoreCol).as("__s"), lbl.as("__y"))
+      // 6dp score quantization BOUNDS the histogram (≤ ~2M distinct
+      // values) — "distinct scores" is unbounded for continuous
+      // outputs, and the ordered window below would otherwise sort a
+      // row-cardinality frame in one task
+      .select(round(col(scoreCol), 6).as("__s"), lbl.as("__y"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
       .withColumn("__cum", sum(col("__c")).over(
@@ -918,7 +930,10 @@ object Evaluation {
     val wAll = Window.orderBy(t.desc).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     preds
-      .select(col(scoreCol).as("threshold"), lbl.as("__y"))
+      // 6dp threshold quantization: bounded candidate set (aucDelong's
+      // rationale) — a continuous score would otherwise make the
+      // ordered windows sort row-cardinality frames
+      .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
       .withColumn("tp", sum(col("__pos")).over(wDesc))
