@@ -413,6 +413,51 @@ object TextOracles {
          |      AS BIGINT) AS DOUBLE) / 4294967296.0 < rate""".stripMargin
     },
 
+    // SP13: the sp5 chain with every stage partitioned by source
+    "sp13_budget_per_source" -> {
+      val stop = langScore("en")
+      s"""WITH $ltCte,
+         |comp AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM lt),
+         |ratios AS (
+         |  SELECT doc_id, source, tok,
+         |    CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END AS mwl,
+         |    CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END AS ar,
+         |    CASE WHEN n > 0 THEN digit::DOUBLE / n ELSE 0.0 END AS dr,
+         |    CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END AS sr
+         |  FROM comp),
+         |scored AS (
+         |  SELECT doc_id, source, tok,
+         |    round(ar * 0.4 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |          least(sr * 5.0, 1.0) * 0.2 + (1.0 - least(dr * 5.0, 1.0)) * 0.2, 6) AS score
+         |  FROM ratios),
+         |b AS (SELECT doc_id, source, tok,
+         |        LEAST(CAST(floor(score * 1000) AS INT), 999) AS bin
+         |      FROM scored),
+         |hist AS (SELECT source, bin, CAST(sum(tok) AS BIGINT) AS mass
+         |         FROM b GROUP BY 1, 2),
+         |m AS (SELECT source, bin, mass,
+         |        sum(mass) OVER (PARTITION BY source ORDER BY bin DESC
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM hist),
+         |r AS (SELECT source, bin,
+         |        CASE WHEN cum <= 300 THEN 1.0
+         |             WHEN cum - mass >= 300 THEN 0.0
+         |             ELSE (300 - (cum - mass))::DOUBLE / mass END AS rate
+         |      FROM m)
+         |SELECT doc_id, source FROM b JOIN r USING (source, bin)
+         |WHERE CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'budget', doc_id)), 1, 8))
+         |      AS BIGINT) AS DOUBLE) / 4294967296.0 < rate""".stripMargin
+    },
+
     "tx4_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(

@@ -190,6 +190,16 @@ object TextQueries {
         budget = 10000)
         .select(col("doc_id"))),
 
+    // ---- SP13: per-source token budgets — every source fills 300
+    // tokens with its own best docs (no crawl eats the global budget)
+    "sp13_budget_per_source" -> ((s, dir) =>
+      Sampling.selectByTokenBudgetPerGroup(
+        t(s, dir, "documents"), "doc_id", "source",
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.tokenCount(col("text")),
+        budgetPerGroup = 300)
+        .select(col("doc_id"), col("source"))),
+
     // domain-mixture reweighting: per-source token mass -> the Bernoulli
     // rate hitting a 30/20/uniform-rest target mix with max retention
     "sp3_mixture_rates" -> ((s, dir) =>

@@ -276,6 +276,49 @@ object Sampling {
       .drop("__bin", "__rate")
   }
 
+  /** SP13: [[selectByTokenBudget]] PER GROUP — every source/domain
+    * fills its own token budget with its own best documents (the
+    * per-domain curation step that keeps one giant crawl from eating
+    * the whole budget before curated sources are reached). Identical
+    * mechanics with the histogram, cumulative window, and threshold
+    * table partitioned by `groupCol`: the bounded frames grow to
+    * |groups| × `buckets` rows (still dimension-sized), everything
+    * else stays two linear scans. */
+  def selectByTokenBudgetPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: Column,
+      tokensCol: Column,
+      budgetPerGroup: Long,
+      buckets: Int = 1000,
+      seed: String = "budget"): DataFrame = {
+    if (buckets <= 0) throw new ParameterError(s"buckets must be positive: $buckets")
+    val bin = least(floor(scoreCol * buckets).cast("int"), lit(buckets - 1))
+    val hist = df
+      .select(col(groupCol).as("__g"), bin.as("__bin"),
+        tokensCol.cast("long").as("__tok"))
+      .groupBy("__g", "__bin").agg(sum(col("__tok")).as("__mass"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = hist
+      .withColumn("__cum", sum(col("__mass")).over(w))
+      .withColumn("__above", col("__cum") - col("__mass"))
+    val thresholds = marked.select(
+      col("__g"), col("__bin"),
+      when(col("__cum") <= budgetPerGroup, 1.0)
+        .when(col("__above") >= budgetPerGroup, 0.0)
+        .otherwise((lit(budgetPerGroup) - col("__above")).cast("double") /
+          col("__mass"))
+        .as("__rate"))
+    df
+      .withColumn("__bin", bin)
+      .withColumn("__g", col(groupCol))
+      .join(broadcast(thresholds), Seq("__g", "__bin"), "left")
+      .where(hashUnit(col(idCol), seed) < coalesce(col("__rate"), lit(0.0)))
+      .drop("__bin", "__rate", "__g")
+  }
+
   def mixtureRates(
       df: DataFrame,
       stratumCol: String,

@@ -619,6 +619,24 @@ class DedupSimSpec extends SparkSpec {
     assert(sel(10000L) == (0L until 30L).toSet) // budget ≥ corpus: all
   }
 
+  test("selectByTokenBudgetPerGroup: each group fills its own budget " +
+    "independently; a group under budget keeps everything (sp13)") {
+    import graft.text.Sampling
+    // group A: 20 docs × 10 tokens (over budget); group B: 5 × 10 (under)
+    val rows = (0 until 10).map(i => (i.toLong, "A", 0.95, 10L)) ++
+      (10 until 20).map(i => (i.toLong, "A", 0.10, 10L)) ++
+      (20 until 25).map(i => (i.toLong, "B", 0.50, 10L))
+    val df = rows.toDF("doc_id", "grp", "score", "tokens")
+    val sel = Sampling.selectByTokenBudgetPerGroup(
+      df, "doc_id", "grp", col("score"), col("tokens"), budgetPerGroup = 100L)
+      .collect().map(r => r.getLong(0)).toSet
+    // A: exactly its top tier; B: all 5 docs (50 < 100 budget)
+    assert(sel == (0L until 10L).toSet ++ (20L until 25L).toSet)
+    // per-group independence: A's overflow cannot consume B's slack
+    intercept[graft.ParameterError](Sampling.selectByTokenBudgetPerGroup(
+      df, "doc_id", "grp", col("score"), col("tokens"), 100L, buckets = 0))
+  }
+
   test("sampling: hash samples are deterministic, nested across rates, " +
     "and splits partition the corpus on stable boundaries") {
     import graft.text.Sampling
