@@ -647,6 +647,64 @@ object Oracles {
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
         |FROM x GROUP BY 1, 2""".stripMargin,
 
+    // EV22: windowed conversion — per-user conditional min µs, exact
+    // window test
+    "ev22_windowed_conversion" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS f,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t
+        |  FROM events GROUP BY 1),
+        |tc AS (SELECT * FROM pu WHERE f IS NOT NULL)
+        |SELECT count(*)::BIGINT AS n_touched,
+        |  CAST(sum(CASE WHEN t IS NOT NULL AND t >= f
+        |                 AND t - f <= 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  round(sum(CASE WHEN t IS NOT NULL AND t >= f
+        |                  AND t - f <= 3600000000 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS rate
+        |FROM tc""".stripMargin,
+
+    // W26: per-sid moments — micro raw sums, central-moment identities
+    // with the engine's operation order
+    "w26_sid_moments" ->
+      s"""WITH $panelCte,
+         |rr AS (
+         |  SELECT sid,
+         |    CAST(round((close / lag(close)
+         |      OVER (PARTITION BY sid ORDER BY date) - 1) * 1e6) AS BIGINT)
+         |      AS r
+         |  FROM panel),
+         |ag AS (
+         |  SELECT sid, count(*) AS n,
+         |    sum(r::HUGEINT) AS s1,
+         |    sum(r::HUGEINT * r) AS s2,
+         |    sum(r::HUGEINT * r * r) AS s3,
+         |    sum(r::HUGEINT * r * r * r) AS s4
+         |  FROM rr WHERE r IS NOT NULL GROUP BY 1),
+         |mm AS (
+         |  SELECT sid, n, CAST(n AS DOUBLE) AS nd,
+         |    s1::DOUBLE / n AS mu,
+         |    s2::DOUBLE / n AS a2, s3::DOUBLE / n AS a3,
+         |    s4::DOUBLE / n AS a4
+         |  FROM ag),
+         |cm AS (
+         |  SELECT sid, n,
+         |    a2 - mu * mu AS m2,
+         |    a3 - 3.0 * mu * a2 + 2.0 * mu * mu * mu AS m3,
+         |    a4 - 4.0 * mu * a3 + 6.0 * mu * mu * a2
+         |      - 3.0 * mu * mu * mu * mu AS m4
+         |  FROM mm)
+         |SELECT sid, CAST(n AS BIGINT) AS n_days,
+         |  round(CASE WHEN n >= 3 AND m2 > 0
+         |        THEN m3 / pow(sqrt(m2), 3.0) END, 6) + 0.0 AS skewness,
+         |  round(CASE WHEN n >= 3 AND m2 > 0
+         |        THEN m4 / (m2 * m2) - 3.0 END, 6) + 0.0
+         |    AS excess_kurtosis
+         |FROM cm""".stripMargin,
+
     // EV21: session co-occurrence — the ev2 session chain, distinct
     // per-session type sets, pair lift from exact session counts
     "ev21_cooccurrence" ->

@@ -1556,6 +1556,17 @@ object Queries {
     "ev21_cooccurrence" -> ((s, dir) =>
       graft.events.Events.sessionCooccurrence(events(s, dir))),
 
+    // ---- EV22: SLA-bounded funnel — purchase within 1h of first view
+    "ev22_windowed_conversion" -> ((s, dir) =>
+      graft.events.Events.windowedConversion(events(s, dir),
+        "view", "purchase", windowSeconds = 3600)),
+
+    // ---- W26: per-sid skew/kurtosis crash-risk screen
+    "w26_sid_moments" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.sidMoments(supplierPanel(s, dir))
+    }),
+
     // ---- EV19: weekday × hour activity heatmap (ISO dow)
     "ev19_hourly_profile" -> ((s, dir) =>
       graft.events.Events.hourlyProfile(events(s, dir))),

@@ -218,6 +218,41 @@ object Events {
     lag.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EV22: time-windowed conversion rate — of users who first did
+    * `fromType`, what fraction did `toType` within `windowSeconds` OF
+    * that first touch: the SLA-bounded funnel metric ("converted
+    * within the hour") that [[conversionLag]]'s unconstrained lag and
+    * [[funnel]]'s any-time reach both miss. Same one-aggregation
+    * shape as conversionLag (per-user conditional mins); the
+    * windowed test uses the first `toType` AT OR AFTER the first
+    * touch (a pre-touch conversion doesn't count; `__t ≥ __f` exact
+    * integer µs). Output one row (n_touched, n_converted, rate 6dp).
+    */
+  def windowedConversion(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      windowSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    if (windowSeconds <= 0)
+      throw new ParameterError(s"windowSeconds must be positive: $windowSeconds")
+    events
+      .groupBy(col(userCol))
+      .agg(
+        min(when(col(typeCol) === fromType, micros(col(tsCol)))).as("__f"),
+        min(when(col(typeCol) === toType, micros(col(tsCol)))).as("__t"))
+      .where(col("__f").isNotNull)
+      .agg(
+        count(lit(1)).as("n_touched"),
+        sum(when(col("__t").isNotNull && col("__t") >= col("__f") &&
+          col("__t") - col("__f") <= windowSeconds * 1000000L, 1L)
+          .otherwise(0L)).as("n_converted"))
+      .withColumn("rate",
+        round(col("n_converted").cast("double") / col("n_touched"), 6))
+  }
+
   /** First-/last-touch attribution: for every `conversionType` event,
     * the FIRST and the most recent `touchTypes` event at or before it
     * in the user's (ts, event_id)-ordered stream, plus seconds since

@@ -192,6 +192,52 @@ object Panel {
         (coalesce(min(col("__dd")), lit(0.0)) + 0.0).as("max_drawdown"))
   }
 
+  /** W26: per-sid return skewness and excess kurtosis — the crash-risk
+    * screen ("negatively skewed carry trades", "fat-tailed
+    * small-caps") as a per-sid column, next to the portfolio-level
+    * [[graft.perf.Performance.momentStats]]. Population central
+    * moments via the raw-moment identities over micro-quantized
+    * returns (Σx, Σx², Σx³, Σx⁴ as exact decimals — the micro scale
+    * cancels in both ratios), one hash aggregation per sid, doubles
+    * only in the final divisions. Null when n < 3 or σ = 0.
+    * Output (sid, n_days, skewness, excess_kurtosis). */
+  def sidMoments(
+      df: DataFrame,
+      closeCol: String = "close")(implicit k: Keys): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = round((col(closeCol) / lag(col(closeCol), 1).over(k.bySid) - 1)
+      * 1e6).cast("long")
+    df
+      .withColumn("__r", r)
+      .where(col("__r").isNotNull)
+      .groupBy(col(k.sid).as("sid"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("__r").cast(dec)).as("__s1"),
+        sum((col("__r").cast(dec) * col("__r").cast(dec))).as("__s2"),
+        sum((col("__r").cast(dec) * col("__r").cast(dec) *
+          col("__r").cast(dec))).as("__s3"),
+        sum((col("__r").cast(dec) * col("__r").cast(dec) *
+          col("__r").cast(dec) * col("__r").cast(dec))).as("__s4"))
+      .select(Seq(col("sid"), col("n_days")) ++ {
+        val n = col("n_days").cast("double")
+        val mu = col("__s1").cast("double") / n
+        val m2 = col("__s2").cast("double") / n - mu * mu
+        val m3 = col("__s3").cast("double") / n -
+          lit(3.0) * mu * (col("__s2").cast("double") / n) +
+          lit(2.0) * mu * mu * mu
+        val m4 = col("__s4").cast("double") / n -
+          lit(4.0) * mu * (col("__s3").cast("double") / n) +
+          lit(6.0) * mu * mu * (col("__s2").cast("double") / n) -
+          lit(3.0) * mu * mu * mu * mu
+        val ok = col("n_days") >= 3 && m2 > 0
+        Seq(
+          (round(when(ok, m3 / pow(sqrt(m2), 3.0)), 6) + 0.0).as("skewness"),
+          (round(when(ok, m4 / (m2 * m2) - 3.0), 6) + 0.0)
+            .as("excess_kurtosis"))
+      }: _*)
+  }
+
   /** W25: per-sid rolling beta to a benchmark return column — the
     * beta PANEL [[graft.alloc.Weights.betaHedge]] consumes (its d30
     * overlay needs per-sid betas; the portfolio-level

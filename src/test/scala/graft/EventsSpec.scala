@@ -321,6 +321,27 @@ class EventsSpec extends SparkSpec {
     intercept[graft.ParameterError](Events.activeUsers(ev, window = 0))
   }
 
+  test("windowedConversion: inside-window converts count, outside and " +
+    "pre-touch conversions don't; denominators are touched users (ev22)") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),   // converts at +30m
+      (2L, 1L, ts("2024-01-01 10:30:00"), "purchase"),
+      (3L, 2L, ts("2024-01-01 10:00:00"), "view"),   // converts at +2h: out
+      (4L, 2L, ts("2024-01-01 12:00:00"), "purchase"),
+      (5L, 3L, ts("2024-01-01 10:00:00"), "purchase"), // pre-touch convert
+      (6L, 3L, ts("2024-01-01 11:00:00"), "view"),
+      (7L, 4L, ts("2024-01-01 10:00:00"), "view"),   // never converts
+      (8L, 5L, ts("2024-01-01 09:00:00"), "purchase")) // never views
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.events.Events.windowedConversion(
+      ev, "view", "purchase", windowSeconds = 3600).head
+    assert(out.getAs[Long]("n_touched") == 4L) // users 1-4 viewed
+    assert(out.getAs[Long]("n_converted") == 1L) // only user 1 in window
+    assert(out.getAs[Double]("rate") == 0.25)
+    intercept[graft.ParameterError](
+      graft.events.Events.windowedConversion(ev, "view", "purchase", 0))
+  }
+
   test("sessionCooccurrence: hand-computed lift over mixed sessions; " +
     "far-apart events split sessions and earn no pair (ev21)") {
     // 4 sessions (4 users, one session each): {a,b} {a,b} {a} {b} →

@@ -147,6 +147,28 @@ class PanelSpec extends SparkSpec {
     assert(out("B") == ((2L, 0.0)))
   }
 
+  test("sidMoments: symmetric series reads skew 0, a one-sided outlier " +
+    "skews negative and fattens the tail (w26)") {
+    implicit val k = Panel.eod
+    // A: 8 returns of exactly ±1% (4 each) → skew 0, kurtosis of a
+    // two-point symmetric distribution = −2 (platykurtic limit)
+    val pa = (1 to 8).scanLeft(100.0) { (p, t) =>
+      p * (if (t % 2 == 1) 1.01 else 0.99) }
+    // B: mostly flat with one crash
+    val pb = Seq(100.0, 100.0, 100.0, 100.0, 100.0, 100.0, 60.0, 60.0, 60.0, 60.0)
+    val rows = pa.zipWithIndex.map { case (p, i) => ("A", f"d${i + 1}%02d", p) } ++
+      pb.zipWithIndex.map { case (p, i) => ("B", f"d${i + 1}%02d", p) }
+    val out = Panel.sidMoments(rows.toDF("sid", "date", "close"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("skewness"),
+          r.getAs[Double]("excess_kurtosis")))).toMap
+    assert(out("A")._1 == 8L)
+    assert(out("A")._2 == 0.0, out.toString) // exactly symmetric
+    assert(out("A")._3 == -2.0, out.toString)
+    assert(out("B")._2 < -2.0, out.toString) // crash → strong left skew
+    assert(out("B")._3 > 3.0, out.toString)  // and a fat tail
+  }
+
   test("withRollingBeta: the benchmark itself reads beta 1, a 2x-levered " +
     "clone reads 2, null until the window fills (w25)") {
     implicit val k = Panel.eod
