@@ -1132,7 +1132,17 @@ object Dedup {
       shingleSize: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text",
-      sourceCol: String = "source"): DataFrame = {
+      sourceCol: String = "source",
+      maxSources: Int = 10000): DataFrame = {
+    // the low-cardinality contract is LOUD, not documentation: a
+    // high-cardinality group column (a doc id passed as "source")
+    // would make the per-shingle source sets corpus-sized. One
+    // bounded driver scalar (the requireFresh cost class).
+    val nSrc = docs.select(col(sourceCol)).distinct().count()
+    if (nSrc > maxSources)
+      throw new graft.ParameterError(
+        s"sourceOverlapMatrix needs a low-cardinality source dimension: " +
+          s"$nSrc distinct values exceed maxSources=$maxSources")
     val ss = docs.select(col(idCol).as("__id"), col(sourceCol).as("__src"))
       .join(shingleRows(docs, idCol, textCol, shingleSize)
         .withColumnRenamed(idCol, "__id"), "__id")

@@ -770,7 +770,16 @@ object Events {
       userCol: String = "user_id",
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      eventIdCol: String = "event_id"): DataFrame = {
+      eventIdCol: String = "event_id",
+      maxTypes: Int = 1000): DataFrame = {
+    // LOUD low-cardinality contract (the sourceOverlapMatrix stance):
+    // a per-event unique column passed as the type would make each
+    // session's collected set session-sized. Bounded driver scalar.
+    val nTypes = events.select(col(typeCol)).distinct().count()
+    if (nTypes > maxTypes)
+      throw new ParameterError(
+        s"sessionCooccurrence needs a low-cardinality type column: " +
+          s"$nTypes distinct values exceed maxTypes=$maxTypes")
     val st = sessionize(events, gapSeconds, userCol, tsCol, eventIdCol)
       .select(col(userCol).as("__u"), col("session_idx").as("__sx"),
         col(typeCol).as("__t"))

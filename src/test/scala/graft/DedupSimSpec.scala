@@ -550,6 +550,9 @@ class DedupSimSpec extends SparkSpec {
     assert(out(("s2", "s3")) == ((1L, 0.333333)))
     assert(!out.contains(("s1", "s4")) && !out.contains(("s3", "s4")))
     assert(out.size == 3)
+    // the low-cardinality contract is loud, not silent
+    intercept[graft.ParameterError](
+      Dedup.sourceOverlapMatrix(docs, maxSources = 2).collect())
   }
 
   test("sourceDupReport: corpus-wide keep-first bills the copier source, " +

@@ -363,6 +363,8 @@ class EventsSpec extends SparkSpec {
     // 6 sessions total; a in 4, b in 4, together in 2 → lift 12/16
     assert(out(("a", "b")) == ((2L, 0.75)))
     assert(out.size == 1)
+    intercept[ParameterError](
+      Events.sessionCooccurrence(ev, maxTypes = 1).collect())
   }
 
   test("retentionDecay: exact-exponential cohort recovers lambda and " +
