@@ -46,22 +46,48 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-        }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    // Release session state accumulated by a query — localCheckpointed
+    // RDDs register in getPersistentRDDs and are otherwise freed only
+    // when the GC + async ContextCleaner catch up. Without this, block-
+    // manager pressure from a 289-query run inflated mid-run queries
+    // 4-9× vs their fresh-session cost (round-5 verdict): the bench was
+    // measuring leaked state, not plans.
+    def releaseState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
     }
-    val ok = results.collect { case (k, v, None) => k -> v }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    // Per-query MIN over n repeats (median kept alongside): host-load
+    // noise documented at 244-408 s on identical code otherwise
+    // contaminates round-over-round comparisons. The min is the
+    // steady-state cost of the plan; the median is the honesty check.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var err: Option[String] = None
+      var rep = 0
+      while (rep < repeats && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+        releaseState()
+        rep += 1
+      }
+      val sortedT = times.sorted
+      val min = if (sortedT.isEmpty) 0.0 else sortedT.head
+      val median = if (sortedT.isEmpty) 0.0 else sortedT(sortedT.size / 2)
+      (name, min, median, err)
+    }
+    val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
+    val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
+    val stats = ok.map { case (k, mn, md) =>
+      "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + "}" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: the driver captures only a stdout tail, so
     // a long line can arrive truncated mid-JSON and parse as null. The

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lifecycle management for `localCheckpoint` blocks inside a
+  * multi-stage composition.
+  *
+  * Per-query, lazy local checkpoints are the right tool (they are why
+  * near-dup went 458 → 175 s: shared frames evaluate once instead of
+  * once per consumer). But a checkpointed block is released only when
+  * the JVM garbage-collects the RDD reference and the async
+  * ContextCleaner catches up — in a long-lived session composing many
+  * operators (a real 100 TB pipeline chaining dedup → soft-weights →
+  * sampling), block-manager pressure accumulates and executors pay for
+  * state no one will read again. The round-5 bench artifact measured
+  * exactly that: mid-run queries inflated 4-9× vs their fresh-session
+  * cost purely from unreleased checkpoint state.
+  *
+  * [[CheckpointScope.scoped]] is the composition-level fix: frames
+  * checkpointed through the scope are TRACKED, the composition's
+  * result is eagerly checkpointed on exit (so it is self-contained —
+  * its data no longer depends on any intermediate's blocks), and every
+  * tracked intermediate is then unpersisted. The price is eagerness at
+  * scope exit (one materialization of the result), which is what
+  * "after consumption" means for a lazy engine; the result frame
+  * itself stays a normal checkpointed frame the CALLER owns (a
+  * harness like Bench/Verify sweeps it via `getPersistentRDDs` between
+  * queries; a pipeline passes it to the next scope).
+  *
+  * Threading contract: block tracking snapshots
+  * `sparkContext.getPersistentRDDs` around each checkpoint call, so a
+  * scope must not race OTHER persist activity on the same
+  * SparkContext. Compositions here are single-threaded (Spark
+  * parallelism lives below the driver API), so this holds by
+  * construction.
+  */
+final class CheckpointScope private[graft] (spark: SparkSession) {
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+  /** `df.localCheckpoint(eager)` with the backing blocks tracked for
+    * release at scope exit. Drop-in replacement for a bare
+    * `localCheckpoint` inside [[CheckpointScope.scoped]]. */
+  def checkpoint(df: DataFrame, eager: Boolean = false): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager)
+    tracked ++= (sc.getPersistentRDDs.keySet -- before)
+    out
+  }
+
+  private[graft] def release(): Unit = {
+    val sc = spark.sparkContext
+    tracked.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    tracked.clear()
+  }
+}
+
+object CheckpointScope {
+
+  /** Run `body` with a fresh scope; eagerly checkpoint its result
+    * (making it independent of every intermediate), release EVERY
+    * persistent RDD registered during the body — scope-tracked or
+    * checkpointed bare inside a library call the body composed — and
+    * return the self-contained result. On failure the body's blocks
+    * are released before the exception propagates: a throwing
+    * pipeline leaks nothing. */
+  def scoped(spark: SparkSession)(body: CheckpointScope => DataFrame): DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    def releaseSince(): Unit =
+      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val scope = new CheckpointScope(spark)
+    val result =
+      try body(scope)
+      catch { case e: Throwable => releaseSince(); throw e }
+    // Eager, and AFTER the intermediate-id snapshot: the result's
+    // blocks must exist before the intermediates they derive from are
+    // dropped — a lazy checkpoint here would recompute through
+    // already-unpersisted truncated lineage.
+    val bodyIds = sc.getPersistentRDDs.keySet -- before
+    val out = result.localCheckpoint(eager = true)
+    bodyIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    out
+  }
+}

@@ -489,7 +489,7 @@ object Oracles {
       s"""WITH $panelCte
          |SELECT sid, date,
          |  CAST(coalesce(date_diff('day',
-         |    lag(date) OVER (PARTITION BY sid ORDER BY date), date), 1) AS BIGINT) AS days_held
+         |    lag(date) OVER (PARTITION BY sid ORDER BY date), date), 1) AS INTEGER) AS days_held
          |FROM panel""".stripMargin,
 
     "a1_per_date_sum" ->
@@ -647,25 +647,30 @@ object Oracles {
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
         |FROM x GROUP BY 1, 2""".stripMargin,
 
-    // EV22: windowed conversion — per-user conditional min µs, exact
-    // window test
+    // EV22: windowed conversion — first toType AT OR AFTER the first
+    // touch (per-user first-touch via window, then conditional min
+    // against it): a pre-touch conversion neither counts nor masks a
+    // later in-window one
     "ev22_windowed_conversion" ->
-      """WITH pu AS (
-        |  SELECT user_id,
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS m,
         |    min(CASE WHEN event_type = 'view'
-        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS f,
-        |    min(CASE WHEN event_type = 'purchase'
-        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t
-        |  FROM events GROUP BY 1),
-        |tc AS (SELECT * FROM pu WHERE f IS NOT NULL)
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      OVER (PARTITION BY user_id) AS f
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, min(f) AS f,
+        |    min(CASE WHEN event_type = 'purchase' AND m >= f THEN m END) AS t
+        |  FROM e WHERE f IS NOT NULL GROUP BY 1)
         |SELECT count(*)::BIGINT AS n_touched,
-        |  CAST(sum(CASE WHEN t IS NOT NULL AND t >= f
+        |  CAST(sum(CASE WHEN t IS NOT NULL
         |                 AND t - f <= 3600000000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_converted,
-        |  round(sum(CASE WHEN t IS NOT NULL AND t >= f
+        |  round(sum(CASE WHEN t IS NOT NULL
         |                  AND t - f <= 3600000000 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS rate
-        |FROM tc""".stripMargin,
+        |FROM pu""".stripMargin,
 
     // W26: per-sid moments — micro raw sums, central-moment identities
     // with the engine's operation order
@@ -948,7 +953,7 @@ object Oracles {
          |  SELECT *, sum(abs(fixed)) OVER (PARTITION BY date) AS fsum,
          |         sum(abs(signal)) OVER (PARTITION BY date) AS scount
          |  FROM f)
-         |SELECT sid, date, fixed AS fixed_weight,
+         |SELECT sid, date, CAST(fixed AS DOUBLE) AS fixed_weight,
          |  CASE WHEN fsum > 1.0
          |       THEN CAST(signal AS DOUBLE) /
          |            (CASE WHEN scount <> 0 THEN scount ELSE 1 END)
@@ -2589,7 +2594,8 @@ object Oracles {
          |    tp * 1.0 + fp * (-1.0) + (tot - tp) * (-10.0)
          |      + (totn - fp) * 0.0 AS ut
          |  FROM cm)
-         |SELECT threshold, tp, fp, fn, tn, round(ut, 6) AS utility
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CAST(round(ut, 6) AS DOUBLE) AS utility
          |FROM u ORDER BY ut DESC, threshold LIMIT 1""".stripMargin,
 
     "ml17_best_threshold" ->
@@ -2699,8 +2705,8 @@ object Oracles {
         |  FROM allst)
         |SELECT sid, account, action, "orderRef",
         |  tq AS "totalQuantity",
-        |  greatest(0, least(tq, crossq - cb)) AS crossed_qty,
-        |  tq - greatest(0, least(tq, crossq - cb)) AS external_qty
+        |  CAST(greatest(0, least(tq, crossq - cb)) AS BIGINT) AS crossed_qty,
+        |  CAST(tq - greatest(0, least(tq, crossq - cb)) AS BIGINT) AS external_qty
         |FROM tot""".stripMargin,
 
     // D32: Almgren-Chriss — the sinh schedule fractions are computed

@@ -625,7 +625,7 @@ object Queries {
 
     // ---- risk-parity blend of the same two books: weights derived
     // ∝ 1/σ (exact micro-int normalizer, bounded driver vol probe)
-    "port2_riskparity" -> ((s, dir) => {
+    "port2_riskparity" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>
       object Demo15b extends Strategy {
         val code = "demo15b"
         override def keys: Keys = liKeys

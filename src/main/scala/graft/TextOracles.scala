@@ -25,6 +25,42 @@ object TextOracles {
   /** lowercased text padded with spaces, as a CTE column `lt`. */
   private val ltCte = "lt AS (SELECT *, ' ' || lower(text) || ' ' AS lt FROM documents)"
 
+  /** Merge steps the bpe1/bpe2 oracles unroll — must equal the
+    * `numMerges` TextQueries passes to Bpe.learnMerges. */
+  private val BpeSteps = 10
+
+  /** Word-freq vocab (double-space token encoding) + [[BpeSteps]]
+    * unrolled merge steps b1/v1 .. bN/vN. MATERIALIZED because each
+    * v(k) is referenced twice (pair argmax + merge pass) — without it
+    * DuckDB's CTE inlining recomputes the whole chain per reference. */
+  private val bpeVocabCtes: String = {
+    val base =
+      """wf AS MATERIALIZED (
+        |  SELECT s AS word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(w) AS s FROM words) WHERE s <> '' GROUP BY 1),
+        |v0 AS MATERIALIZED (
+        |  SELECT word,
+        |    '  ' || array_to_string(list_append(string_split(word, ''), '_'),
+        |                            '  ') || '  ' AS seq,
+        |    freq FROM wf)""".stripMargin
+    val steps = (1 to BpeSteps).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT $k AS step, l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+         |  FROM (SELECT c[i] AS l, c[i + 1] AS r, freq
+         |        FROM (SELECT string_split(trim(seq), '  ') AS c, freq
+         |              FROM v${k - 1}) x,
+         |             unnest(range(1, len(c))) AS t(i))
+         |  GROUP BY l, r ORDER BY pair_freq DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT word,
+         |    replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' ') AS seq,
+         |    freq
+         |  FROM v${k - 1}, b$k b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   private val wordsCte =
     """words AS (
       |  SELECT doc_id,
@@ -865,7 +901,8 @@ object TextOracles {
          |g AS (
          |  SELECT doc_id, CAST(sum(t) AS BIGINT) AS s2, count(*) AS n_lists
          |  FROM tm GROUP BY 1)
-         |SELECT doc_id, n_lists, s2::DOUBLE / 1e12 AS rrf_score, rank FROM (
+         |SELECT doc_id, n_lists, s2::DOUBLE / 1e12 AS rrf_score,
+         |  CAST(rank AS INTEGER) AS rank FROM (
          |  SELECT *, row_number() OVER (ORDER BY s2 DESC, doc_id) AS rank FROM g)
          |WHERE rank <= 20""".stripMargin
     },
@@ -1090,6 +1127,41 @@ object TextOracles {
          |       FROM cs, unnest(range(1, len(c))) AS t(i))
          |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
          |FROM pr GROUP BY 1, 2""".stripMargin,
+
+    // BPE merge learning, 10 unrolled steps (the ev14 discipline:
+    // MATERIALIZED CTEs, each step referencing only its predecessor).
+    // The engine's greedy left-to-right merge pass is replicated with
+    // DuckDB's leftmost-non-overlapping replace() over a DOUBLE-space
+    // token encoding: tokens are separated by two spaces so each match
+    // ' l  r ' consumes one delimiter space on each side and the result
+    // stays in canonical form — 'a a a' under (a,a) gives [aa, a],
+    // exactly the engine's fold semantics (Bpe.mergePass).
+    "bpe1_merges" ->
+      s"""WITH $wordsCte,
+         |$bpeVocabCtes,
+         |u AS (${(1 to BpeSteps).map(k => s"SELECT * FROM b$k")
+               .mkString(" UNION ALL ")})
+         |SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
+         |  pair_freq
+         |FROM u""".stripMargin,
+
+    // BPE encode: per-word token counts after the 10 learned merges
+    // (the final vocab table v10 already holds each word's merged
+    // sequence), equi-joined back onto the corpus word stream; docs
+    // with no words emit 0 — mirroring Bpe.encode's factoring.
+    "bpe2_encode" ->
+      s"""WITH $wordsCte,
+         |$bpeVocabCtes,
+         |wcnt AS (SELECT word, len(string_split(trim(seq), '  ')) AS nt
+         |         FROM v$BpeSteps),
+         |tok AS (SELECT doc_id, unnest(w) AS s FROM words),
+         |j AS (SELECT t.doc_id, w2.nt
+         |      FROM (SELECT doc_id, s FROM tok WHERE s <> '') t
+         |      JOIN wcnt w2 ON t.s = w2.word)
+         |SELECT d.doc_id, CAST(coalesce(sum(j.nt), 0) AS BIGINT) AS n_tokens
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN j ON d.doc_id = j.doc_id
+         |GROUP BY d.doc_id""".stripMargin,
 
     // per-doc char entropy: H = ln n − (Σ c·ln c)/n, the Σ term
     // micro-nat quantized per (doc, char) so the sum is order-free
@@ -2601,45 +2673,49 @@ object TextOracles {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
 
-    // byte-stride stub features: exact integer byte sums per slot, one
-    // double division, cast to float — reproduces MediaCodec.decodeStub
+    // REAL decoded content: the Spark side encodes a gradient PNG with
+    // javax.imageio, DECODES it back, and sums channels; the oracle
+    // never touches a codec — the fixture's channel values are
+    // closed-form in (x, y, id), and PNG's lossless roundtrip makes the
+    // decoded sums equal the analytic sums exactly
     "mm2_media_features" ->
       """WITH m AS (
-        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS len
+        |  SELECT doc_id AS media_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
         |  FROM documents),
-        |p AS (SELECT media_id, hx, len, unnest(range(0, len)) AS pos FROM m),
-        |by AS (
-        |  SELECT media_id, pos % 8 AS slot,
-        |    CAST('0x' || substring(hx, 2 * pos + 1, 2) AS INT) AS byte
-        |  FROM p),
-        |agg AS (
-        |  SELECT media_id, slot, CAST(sum(byte) AS BIGINT) AS s
-        |  FROM by GROUP BY 1, 2),
-        |piv AS (
-        |  SELECT m.media_id, greatest(1, len // 8) AS n,
-        |    coalesce(max(CASE WHEN slot = 0 THEN s END), 0) AS s1,
-        |    coalesce(max(CASE WHEN slot = 7 THEN s END), 0) AS s8
-        |  FROM m LEFT JOIN agg ON m.media_id = agg.media_id
-        |  GROUP BY 1, 2)
+        |px AS (
+        |  SELECT media_id, w, h, x, y
+        |  FROM m, unnest(range(0, w)) t1(x), unnest(range(0, h)) t2(y))
         |SELECT media_id,
-        |  round(CAST(CAST(s1 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f1,
-        |  round(CAST(CAST(s8 AS DOUBLE) / 255.0 / n AS FLOAT), 4) AS f8
-        |FROM piv""".stripMargin,
+        |  CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((x * 3 + y * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((x * 11 + y + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin,
 
-    // resize stub = center crop to 16×8 = 128 bytes; md5 over the
-    // (upper-)hex of the cropped blob in both engines
+    // REAL resize: nearest-neighbor sampling rule src = ((x·w)//16,
+    // (y·h)//8) replayed analytically over the fixture's closed form
     "mm3_resize" ->
       """WITH m AS (
-        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS len
-        |  FROM documents)
+        |  SELECT doc_id AS media_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, (x * w) // 16 AS sx, (y * h) // 8 AS sy
+        |  FROM m, unnest(range(0, 16)) t1(x), unnest(range(0, 8)) t2(y))
         |SELECT media_id,
-        |  CAST(least(128, len) AS BIGINT) AS resized_len,
-        |  md5(upper(substring(hx,
-        |    2 * ((len - least(128, len)) // 2) + 1,
-        |    2 * least(128, len)))) AS resized_md5
-        |FROM m""".stripMargin,
+        |  CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(sum((sx * 7 + sy * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((sx * 3 + sy * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((sx * 11 + sy + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin,
+
+    // PNG IHDR parse vs the analytic fixture dimensions: checks the
+    // real encoder's bytes carry the right header AND the column-
+    // algebra parser reads them correctly — no decoder on either side
+    "mm6_png_meta" ->
+      """SELECT doc_id AS media_id, 'png' AS fmt,
+        |  CAST(8 + doc_id % 8 AS INTEGER) AS png_width,
+        |  CAST(8 + doc_id % 5 AS INTEGER) AS png_height
+        |FROM documents""".stripMargin,
 
     // frame stub = 32-byte windows every 24 bytes, at most 5 per doc
     "mm4_frame_sample" ->

@@ -497,7 +497,7 @@ object TextQueries {
 
     // ---- DD23: soft dedup — 1/|cluster| sampling weights instead of
     // dropping (repetition-aware curation; feeds sp10 weightedSample)
-    "dd23_soft_weights" -> ((s, dir) => {
+    "dd23_soft_weights" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>
       val docs = t(s, dir, "documents")
       Dedup.softDedupWeights(docs,
         Dedup.duplicateClusters(Dedup.nearDuplicates(docs, threshold = 0.5)))
@@ -522,7 +522,10 @@ object TextQueries {
     // and derives the survivor flag from the same labels, instead of
     // re-running LSH end-to-end per projection like the two standalone
     // queries must
-    "pipeline_dedup" -> ((s, dir) => {
+    // (wrapped in a CheckpointScope: the clustering run's checkpointed
+    // edge/cluster intermediates are released once the labeled frame
+    // is materialized — the long-lived-session composition contract)
+    "pipeline_dedup" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>
       val docs = t(s, dir, "documents")
       val clusters = Dedup.duplicateClusters(
         Dedup.nearDuplicates(docs, threshold = 0.5))
@@ -679,11 +682,11 @@ object TextQueries {
       graft.graph.PageRank.triangles(e)
     }),
 
-    // ---- BPE tokenizer training. bpe0 (pair stats, the corpus-scale
-    // half) is oracle-checked; the merge LOOP's greedy fold is a
-    // sequential recurrence no SQL can express → bpe1/bpe2 are
-    // rows-only here and exactly pinned by BpeSpec's independent
-    // reference implementation ----
+    // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
+    // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
+    // greedy fold expressed as leftmost-non-overlapping replace over a
+    // double-space token encoding — TextOracles.bpeVocabCtes), plus
+    // BpeSpec's independent reference implementation ----
     "bpe0_pairs" -> ((s, dir) =>
       graft.text.Bpe.initialPairCounts(t(s, dir, "documents"))),
 
@@ -1040,14 +1043,13 @@ object TextQueries {
         Multimodal.sniffFormat(col("jpeg_payload")).as("fmt_jpeg"))
     }),
 
-    // partition-wise feature extraction (stubbed codec) → rows-only
+    // ---- MM2: REAL image decode (javax.imageio) — gradient-PNG
+    // fixtures whose decoded per-channel pixel sums are closed-form in
+    // (x, y, id), so the oracle checks actual decoded content. PNG is
+    // lossless: the encode→decode roundtrip is exact by spec.
     "mm2_media_features" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.extractFeatures(media, dim = 8)
-        .select(col("media_id"),
-          round(element_at(col("features"), 1), 4).as("f1"),
-          round(element_at(col("features"), 8), 4).as("f8"))
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.imageContent(Multimodal.imageFixture(ids))
     }),
 
     // ---- MM5: perceptual-hash near-dup pairs — stub pHash (md5
@@ -1063,15 +1065,25 @@ object TextQueries {
       Multimodal.perceptualNearPairs(planted)
     }),
 
-    // resize plumbing: 16×8 center-crop stub; the oracle re-derives the
-    // cropped bytes and both engines hash their md5
+    // ---- MM3: REAL image resize — decode + explicit nearest-neighbor
+    // resample to 16×8 on the raster (sampling rule src = (x·sw)//dw,
+    // (y·sh)//dh), resized content sums oracled against the fixture's
+    // closed form
     "mm3_resize" -> ((s, dir) => {
-      val media = t(s, dir, "documents")
-        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.resize(media, width = 16, height = 8)
-        .select(col("media_id"),
-          length(col("resized")).cast("long").as("resized_len"),
-          md5(upper(hex(col("resized")))).as("resized_md5"))
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      Multimodal.resizeImageContent(
+        Multimodal.imageFixture(ids), dstW = 16, dstH = 8)
+    }),
+
+    // ---- MM6: PNG metadata WITHOUT decode — IHDR width/height parsed
+    // by pure column algebra from the real encoder's bytes (the 100 TB
+    // fast path: dimension filters at scan time, no decoder in the loop)
+    "mm6_png_meta" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val png = Multimodal.imageFixture(ids)
+      val (wc, hc) = Multimodal.pngHeaderDims(col("payload"))
+      png.select(col("media_id"),
+        Multimodal.sniffFormat(col("payload")).as("fmt"), wc, hc)
     }),
 
     // frame-sample plumbing: row explosion in typed space (32-byte

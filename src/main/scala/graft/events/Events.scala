@@ -222,11 +222,14 @@ object Events {
     * `fromType`, what fraction did `toType` within `windowSeconds` OF
     * that first touch: the SLA-bounded funnel metric ("converted
     * within the hour") that [[conversionLag]]'s unconstrained lag and
-    * [[funnel]]'s any-time reach both miss. Same one-aggregation
-    * shape as conversionLag (per-user conditional mins); the
-    * windowed test uses the first `toType` AT OR AFTER the first
-    * touch (a pre-touch conversion doesn't count; `__t ≥ __f` exact
-    * integer µs). Output one row (n_touched, n_converted, rate 6dp).
+    * [[funnel]]'s any-time reach both miss. The windowed test uses the
+    * first `toType` AT OR AFTER the first touch (exact integer µs) — a
+    * pre-touch conversion neither counts nor masks a later in-window
+    * one, which is why the conditional min must be computed AGAINST
+    * the first-touch time, not globally: first-touch via an
+    * unordered per-user window, then one per-user aggregation. Both
+    * steps hash-partition on the user key, so Catalyst plans ONE
+    * exchange. Output one row (n_touched, n_converted, rate 6dp).
     */
   def windowedConversion(
       events: DataFrame,
@@ -238,16 +241,19 @@ object Events {
       typeCol: String = "event_type"): DataFrame = {
     if (windowSeconds <= 0)
       throw new ParameterError(s"windowSeconds must be positive: $windowSeconds")
+    val m = micros(col(tsCol))
+    val w = Window.partitionBy(col(userCol))
     events
+      .withColumn("__f", min(when(col(typeCol) === fromType, m)).over(w))
+      .where(col("__f").isNotNull)
       .groupBy(col(userCol))
       .agg(
-        min(when(col(typeCol) === fromType, micros(col(tsCol)))).as("__f"),
-        min(when(col(typeCol) === toType, micros(col(tsCol)))).as("__t"))
-      .where(col("__f").isNotNull)
+        first(col("__f")).as("__fu"),
+        min(when(col(typeCol) === toType && m >= col("__f"), m)).as("__t"))
       .agg(
         count(lit(1)).as("n_touched"),
-        sum(when(col("__t").isNotNull && col("__t") >= col("__f") &&
-          col("__t") - col("__f") <= windowSeconds * 1000000L, 1L)
+        sum(when(col("__t").isNotNull &&
+          col("__t") - col("__fu") <= windowSeconds * 1000000L, 1L)
           .otherwise(0L)).as("n_converted"))
       .withColumn("rate",
         round(col("n_converted").cast("double") / col("n_touched"), 6))
@@ -895,6 +901,16 @@ object Events {
     * when small). Recency bin 1 = most recent fifth; frequency and
     * monetary bin 5 = heaviest fifth. Monetary sums `valueCol` over
     * `monetaryType` events only (0 for users without any).
+    *
+    * Recency (days) and frequency (event counts) histograms are
+    * dimension-bounded, but MONETARY distinct values (cents of a
+    * continuous column) can approach user cardinality — so binning
+    * uses the metric quantized to `monetaryQuantumCents` multiples,
+    * with a LOUD `maxBins` contract (the sessionCooccurrence stance):
+    * past the bound, raise and tell the caller to coarsen the quantum
+    * rather than silently single-task-sorting a user-scale histogram.
+    * `monetary_cents` output sums remain EXACT cents — the quantum
+    * affects only which users tie into a bin.
     * Output one row per populated (r_bin, f_bin, m_bin) segment:
     * (r_bin, f_bin, m_bin, n_users, monetary_cents). */
   def rfmSegments(
@@ -903,7 +919,12 @@ object Events {
       userCol: String = "user_id",
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value",
+      monetaryQuantumCents: Long = 1L,
+      maxBins: Long = 100000L): DataFrame = {
+    if (monetaryQuantumCents <= 0)
+      throw new ParameterError(
+        s"monetaryQuantumCents must be positive: $monetaryQuantumCents")
     val anchor = events.agg(max(to_date(col(tsCol).cast("timestamp")))
       .as("__anchor"))
     val perUser = events
@@ -916,7 +937,20 @@ object Events {
         coalesce(sum(when(col(typeCol) === monetaryType,
           round(col(valueCol) * 100).cast("long")).otherwise(0L)), lit(0L))
           .as("__mon"))
+      // binning key: quantized monetary (exact cents kept for sums)
+      .withColumn("__monq",
+        (col("__mon") - pmod(col("__mon"), lit(monetaryQuantumCents)))
+          .cast("long"))
       .localCheckpoint(eager = false) // feeds three histograms + the join
+    // LOUD low-cardinality contract on the one non-dimension-bounded
+    // histogram: bounded driver scalar, raises with the coarsening lever
+    val nMonBins = perUser.select(col("__monq")).distinct().count()
+    if (nMonBins > maxBins)
+      throw new ParameterError(
+        s"rfmSegments monetary histogram has $nMonBins distinct " +
+          s"quantized values (> maxBins=$maxBins): raise " +
+          s"monetaryQuantumCents (currently $monetaryQuantumCents) to " +
+          s"coarsen the binning metric")
     // value-tied quintile bin over a metric's integer histogram:
     // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
     // ascending — so the largest fifth lands in bin 5 for every metric
@@ -935,11 +969,11 @@ object Events {
     perUser
       .join(broadcast(bins("__rec")), "__rec")
       .join(broadcast(bins("__freq")), "__freq")
-      .join(broadcast(bins("__mon")), "__mon")
+      .join(broadcast(bins("__monq")), "__monq")
       .groupBy(
         col("__rec_bin").as("r_bin"),
         col("__freq_bin").as("f_bin"),
-        col("__mon_bin").as("m_bin"))
+        col("__monq_bin").as("m_bin"))
       .agg(count(lit(1)).as("n_users"), sum(col("__mon")).as("monetary_cents"))
   }
 }

@@ -40,17 +40,19 @@ object PageRank {
       throw new ParameterError(s"iterations must be positive: $iterations")
     if (damping <= 0 || damping >= 1)
       throw new ParameterError(s"damping must be in (0, 1): $damping")
-    val nodes = edges.select(col(srcCol).as("node"))
-      .unionByName(edges.select(col(dstCol).as("node")))
-      .distinct()
-      .localCheckpoint(eager = false)
+    // per-iteration intermediates are released at scope exit — a long
+    // pipeline calling pagerank leaves only the (eager) result blocks
+    graft.CheckpointScope.scoped(edges.sparkSession) { scope =>
+    val nodes = scope.checkpoint(
+      edges.select(col(srcCol).as("node"))
+        .unionByName(edges.select(col(dstCol).as("node")))
+        .distinct())
     // transition probability per edge: w / W_src, precomputed once
-    val probs = edges
+    val probs = scope.checkpoint(edges
       .join(edges.groupBy(col(srcCol)).agg(sum(col(weightCol)).as("__W")),
         srcCol)
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"),
-        (col(weightCol).cast("double") / col("__W")).as("__p"))
-      .localCheckpoint(eager = false)
+        (col(weightCol).cast("double") / col("__W")).as("__p")))
     val n = nodes.count()
     if (n == 0) throw new ParameterError("pagerank: empty edge list")
     val basePico = math.round((1.0 - damping) / n * 1e12)
@@ -68,17 +70,17 @@ object PageRank {
         .join(probs.select(col("__s").as("node")).distinct(),
           Seq("node"), "left_anti")
         .agg(coalesce(sum(col("__r")), lit(0L)).as("__dm"))
-      ranks = ranks.select(col("node"))
+      ranks = scope.checkpoint(ranks.select(col("node"))
         .join(contribs, Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit(basePico) +
             round(lit(damping) * (coalesce(col("__c"), lit(0L)) +
               round(col("__dm").cast("double") / n, 0).cast("long"))
-              .cast("double"), 0).cast("long")).as("__r"))
-        .localCheckpoint(eager = false)
+              .cast("double"), 0).cast("long")).as("__r")))
     }
     ranks.select(col("node"), (col("__r").cast("double") / 1e12).as("rank"))
+    }
   }
 
   /** Per-node triangle counts and local clustering coefficient over

@@ -813,7 +813,9 @@ object Evaluation {
     * recall at equal F1). F1 derives from exact integer tp/fp/fn, so
     * the ordering key is the same IEEE double in any engine and the
     * argmax is deterministic; selection is TakeOrderedAndProject over
-    * the bounded distinct-score frame (no global sort). Output one row
+    * the bounded distinct-score frame (no global sort). The reported
+    * threshold is a 6dp-rounded score ([[prCurve]]'s quantization
+    * note). Output one row
     * (threshold, tp, fp, fn, precision, recall, f1). */
   def bestThreshold(
       preds: DataFrame,
@@ -917,6 +919,19 @@ object Evaluation {
         round(col("__u"), 6).as("utility"))
   }
 
+  /** ML15: precision-recall operating points — one row per candidate
+    * threshold with exact integer tp/fp and 6dp-rounded precision/
+    * recall.
+    *
+    * NOTE — threshold quantization: candidate thresholds are the
+    * DISTINCT SCORES ROUNDED TO 6dp (scores differing by < 1e-6 merge
+    * into one operating point, and reported thresholds are 6dp-rounded
+    * values, not necessarily exact observed scores). This is the
+    * aucDelong histogram discipline: it bounds the ordered windows to
+    * a ≤ 2M-row distinct-threshold frame instead of a row-cardinality
+    * global sort, at a resolution far below any decision-relevant
+    * score difference. Downstream selectors ([[bestThreshold]],
+    * [[costThreshold]], [[liftAtPercent]]) inherit it. */
   def prCurve(
       preds: DataFrame,
       scoreCol: String = "prediction",

@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus a partition-wise feature-extraction
   * operator.
   *
-  * The Spark-side machinery here is real — schema, batch shape,
-  * partitioning, magic-number sniffing — while the actual codec work
-  * (JPEG decode, resampling, frame sampling) is STUBBED with a
-  * deterministic fake, because no image/audio native libs exist in this
-  * environment. Swap [[MediaCodec.decodeStub]] for a real codec (e.g.
-  * javacpp-ffmpeg) without touching the dataflow.
+  * The IMAGE path is fully real: `javax.imageio` (pure JDK — PNG/JPEG
+  * decode, no native libs) backs [[imageContent]] /
+  * [[resizeImageContent]] / [[imageFixture]], so image width/height and
+  * per-channel pixel sums are actual decoded content, oracle-checked
+  * against closed-form fixtures. AUDIO/VIDEO kernels (resample, frame
+  * demux) remain STUBBED with deterministic fakes because no
+  * ffmpeg-class libs exist in this environment — the Spark-side
+  * machinery around them (schema, batch shape, partitioning,
+  * magic-number sniffing) is real; swap [[MediaCodec.decodeStub]] /
+  * [[MediaCodec.frameStub]] for a real codec (e.g. javacpp-ffmpeg)
+  * without touching the dataflow.
   */
 object Multimodal {
 
@@ -109,12 +114,141 @@ object Multimodal {
       metricName = "phash_buckets")
   }
 
+  /** PNG header dimensions as pure column algebra — no decode: the
+    * IHDR chunk is mandatory and first, so width/height are the
+    * big-endian u32s at byte offsets 16 and 20 (hex chars 33-40 and
+    * 41-48, 1-based). The metadata fast path a 100 TB image-curation
+    * scan wants: dimension filters push into the columnar scan without
+    * ever touching a decoder. Null for non-PNG payloads. */
+  def pngHeaderDims(payload: Column): (Column, Column) = {
+    val isPng = upper(substring(hex(payload), 1, 16)).startsWith("89504E47")
+    (when(isPng, conv(substring(hex(payload), 33, 8), 16, 10).cast("int"))
+       .as("png_width"),
+     when(isPng, conv(substring(hex(payload), 41, 8), 16, 10).cast("int"))
+       .as("png_height"))
+  }
+
+  /** Deterministic gradient-PNG fixture payloads: REAL PNG bytes
+    * ([[MediaCodec.gradientPng]] via javax.imageio) whose DECODED
+    * channel values are closed-form in (x, y, id) — so a SQL oracle
+    * verifies real decoded content analytically, without a decoder of
+    * its own. Same typed-mapPartitions contract as every codec op. */
+  def imageFixture(df: DataFrame, idCol: String = "media_id"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, MediaCodec.gradientPng(id))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode (javax.imageio — PNG/JPEG, pure JDK): width,
+    * height, and EXACT per-channel pixel sums per payload. The typed
+    * mapPartitions contract of [[extractFeatures]] with a real kernel
+    * behind it; undecodable/null payloads keep null content columns (a
+    * curation pipeline filters on them, it doesn't crash). Output
+    * (idCol, width, height, sum_r, sum_g, sum_b). */
+  def imageContent(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.decodeImage(payload) match {
+          case null => Row(r.getLong(idIdx), null, null, null, null, null)
+          case img =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(idIdx), img.getWidth, img.getHeight, sr, sg, sb)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize: decode (javax.imageio), nearest-neighbor
+    * resample to dstW×dstH with the EXPLICIT integer sampling rule
+    * src(x,y) = ((x·srcW) / dstW, (y·srcH) / dstH) — implemented on the
+    * raster directly (not Graphics2D, whose sampling rule is
+    * implementation-defined) so the output is bit-deterministic and a
+    * SQL oracle replays it against the fixture's closed form. Output
+    * (idCol, width, height, sum_r, sum_g, sum_b) of the RESIZED image;
+    * undecodable payloads keep null content columns. */
+  def resizeImageContent(
+      df: DataFrame,
+      dstW: Int,
+      dstH: Int,
+      idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(dstW > 0 && dstH > 0, s"bad target size: ${dstW}x$dstH")
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.decodeImage(payload) match {
+          case null => Row(r.getLong(idIdx), null, null, null, null, null)
+          case img =>
+            val sw = img.getWidth; val sh = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < dstH) {
+              val sy = y * sh / dstH
+              var x = 0
+              while (x < dstW) {
+                val p = img.getRGB(x * sw / dstW, sy)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(idIdx), dstW, dstH, sr, sg, sb)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Resize plumbing: binary → binary through the same typed
     * mapPartitions contract (codec opened once per partition, declared
     * output schema, no RDD drop-out). The stub kernel is a deterministic
     * center crop to width×height bytes — contiguous, so a SQL oracle
     * reproduces the output bytes exactly; a real pixel resampler swaps
-    * in at the codec seam. */
+    * in at the codec seam (see [[resizeImageContent]] for the real
+    * image path). */
   def resize(
       df: DataFrame,
       width: Int,
@@ -219,4 +353,43 @@ final class MediaCodec private (dim: Int) {
 
 object MediaCodec {
   def open(dim: Int): MediaCodec = new MediaCodec(dim)
+
+  /** REAL image decode via javax.imageio (pure JDK — PNG, JPEG, GIF,
+    * BMP). Returns null for null/undecodable payloads instead of
+    * throwing: a curation pipeline treats a corrupt image as a filter
+    * signal, not a job failure. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    if (payload == null) return null
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+  }
+
+  /** Deterministic gradient-PNG fixture: width 8 + id%8, height
+    * 8 + id%5, channels r = (7x + 13y + id) % 256,
+    * g = (3x + 5y + 2id) % 256, b = (11x + y + 3id) % 256 — REAL PNG
+    * bytes (ImageIO encode) whose decoded content is closed-form, so a
+    * SQL oracle checks a real encode→decode roundtrip analytically.
+    * PNG is lossless 8-bit, so the roundtrip is exact by spec. */
+  def gradientPng(id: Long): Array[Byte] = {
+    require(id >= 0, s"fixture id must be non-negative: $id")
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = ((x * 3 + y * 5 + 2 * id) % 256).toInt
+        val b = ((x * 11 + y + 3 * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
 }

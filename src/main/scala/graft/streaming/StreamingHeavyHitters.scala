@@ -119,7 +119,17 @@ object StreamingHeavyHitters {
           cnt.put(r.key, mc + 1); err.put(r.key, mc); link(r.key, mc + 1)
       }
     }
-    val keys = cnt.keys.toArray
+    // Persist in bucket order (ascending count, insertion order within
+    // a bucket): the restore loop re-links in array order, so each
+    // bucket's LinkedHashSet order — and hence the eviction victim — is
+    // reproduced across micro-batch boundaries. A HashMap-order dump
+    // here would scramble bucket insertion order at every batch edge,
+    // making results depend on batch segmentation, not arrival order.
+    val keys = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      buckets.values.forEach(set => set.forEach(k => b += k))
+      b.toArray
+    }
     state.update(ShardState(keys, keys.map(cnt), keys.map(err)))
     stateTtl.foreach(state.setTimeoutDuration)
     keys.iterator.collect {

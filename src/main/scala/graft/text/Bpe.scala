@@ -109,7 +109,18 @@ object Bpe {
     * remains. The evolving vocab is eagerly checkpointed per step —
     * bounded by |vocab|, referenced by the pair count AND the next
     * pass, and K chained HOF folds would otherwise stack in one
-    * expression tree. */
+    * expression tree.
+    *
+    * SCALE BOUND — the loop launches one Spark job (pair agg + top-1)
+    * PER MERGE, so wall-clock is numMerges × a vocab-bounded job:
+    * right for the analysis-scale vocabularies this engine trains
+    * (10s-100s of merges — each job is sub-second once the vocab
+    * table is checkpointed). A production 50k-merge tokenizer is an
+    * explicit NON-GOAL here: at that scale the algorithm of record is
+    * a single-machine heap over the (bounded) word-frequency table —
+    * driver-side after `wordFreqs().collect()` — not 50k Spark jobs;
+    * the distributed value is in `wordFreqs` (the only corpus-scale
+    * pass) and [[encode]], which both stay as-is. */
   def learnMerges(
       docs: DataFrame,
       numMerges: Int,

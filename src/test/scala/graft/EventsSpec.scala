@@ -322,7 +322,8 @@ class EventsSpec extends SparkSpec {
   }
 
   test("windowedConversion: inside-window converts count, outside and " +
-    "pre-touch conversions don't; denominators are touched users (ev22)") {
+    "pre-touch conversions don't, and a pre-touch conversion does NOT " +
+    "mask a later in-window one; denominators are touched users (ev22)") {
     val ev = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "view"),   // converts at +30m
       (2L, 1L, ts("2024-01-01 10:30:00"), "purchase"),
@@ -331,13 +332,18 @@ class EventsSpec extends SparkSpec {
       (5L, 3L, ts("2024-01-01 10:00:00"), "purchase"), // pre-touch convert
       (6L, 3L, ts("2024-01-01 11:00:00"), "view"),
       (7L, 4L, ts("2024-01-01 10:00:00"), "view"),   // never converts
-      (8L, 5L, ts("2024-01-01 09:00:00"), "purchase")) // never views
+      (8L, 5L, ts("2024-01-01 09:00:00"), "purchase"), // never views
+      // user 6: pre-touch purchase PLUS an in-window one after the
+      // first view — the global-min formulation wrongly dropped this
+      (9L, 6L, ts("2024-01-01 09:00:00"), "purchase"),
+      (10L, 6L, ts("2024-01-01 10:00:00"), "view"),
+      (11L, 6L, ts("2024-01-01 10:30:00"), "purchase"))
       .toDF("event_id", "user_id", "ts", "event_type")
     val out = graft.events.Events.windowedConversion(
       ev, "view", "purchase", windowSeconds = 3600).head
-    assert(out.getAs[Long]("n_touched") == 4L) // users 1-4 viewed
-    assert(out.getAs[Long]("n_converted") == 1L) // only user 1 in window
-    assert(out.getAs[Double]("rate") == 0.25)
+    assert(out.getAs[Long]("n_touched") == 5L) // users 1-4 and 6 viewed
+    assert(out.getAs[Long]("n_converted") == 2L) // users 1 and 6 in window
+    assert(out.getAs[Double]("rate") == 0.4)
     intercept[graft.ParameterError](
       graft.events.Events.windowedConversion(ev, "view", "purchase", 0))
   }

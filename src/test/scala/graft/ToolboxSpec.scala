@@ -88,6 +88,60 @@ class ToolboxSpec extends SparkSpec {
     assert(out == Seq((7L, 0), (7L, 1), (7L, 2)))
   }
 
+  test("REAL image codec: gradient-PNG fixture decodes to the exact " +
+    "closed-form channel sums; JPEG decodes real dims; corrupt payload " +
+    "yields null content (mm2/mm6)") {
+    import graft.multimodal.MediaCodec
+    // analytic truth for id=3: w=11, h=11
+    val id = 3L
+    val (w, h) = ((8 + id % 8).toInt, (8 + id % 5).toInt)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      er += (x * 7 + y * 13 + id) % 256
+      eg += (x * 3 + y * 5 + 2 * id) % 256
+      eb += (x * 11 + y + 3 * id) % 256
+    }
+    val media = Seq((id, MediaCodec.gradientPng(id)),
+      (9L, Array[Byte](1, 2, 3))) // undecodable
+      .toDF("media_id", "payload")
+    val rows = Multimodal.imageContent(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ok = rows(id)
+    assert((ok.getInt(1), ok.getInt(2)) == ((w, h)))
+    assert((ok.getLong(3), ok.getLong(4), ok.getLong(5)) == ((er, eg, eb)))
+    assert(rows(9L).isNullAt(1) && rows(9L).isNullAt(3))
+    // header parse without decode agrees with the decoder
+    val (wc, hc) = Multimodal.pngHeaderDims($"payload")
+    val hd = media.where($"media_id" === id).select(wc, hc).head
+    assert((hd.getInt(0), hd.getInt(1)) == ((w, h)))
+    // a REAL JPEG decodes too (lossy — dims exact, content not asserted)
+    val img = MediaCodec.decodeImage(MediaCodec.gradientPng(id))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jrow = Multimodal.imageContent(
+      Seq((1L, baos.toByteArray)).toDF("media_id", "payload")).head
+    assert((jrow.getInt(1), jrow.getInt(2)) == ((w, h)))
+  }
+
+  test("REAL nearest-neighbor resize: 2x2 checkerboard up to 4x2 " +
+    "duplicates columns by the explicit (x*sw)//dw rule (mm3)") {
+    import graft.multimodal.MediaCodec
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val out = Multimodal.resizeImageContent(
+      Seq((1L, baos.toByteArray)).toDF("media_id", "payload"),
+      dstW = 4, dstH = 2).head
+    // x=0,1 -> sx=0; x=2,3 -> sx=1: each source column counted twice
+    assert((out.getInt(1), out.getInt(2)) == ((4, 2)))
+    assert(out.getLong(3) == 2L * (255 + 0 + 0 + 255)) // r: red + white
+    assert(out.getLong(4) == 2L * (0 + 255 + 0 + 255)) // g: green + white
+    assert(out.getLong(5) == 2L * (0 + 0 + 255 + 255)) // b: blue + white
+  }
+
   test("perceptualNearPairs: identical payloads pair at hamming 0 " +
     "through the banded path; distinct payloads never pair (mm5)") {
     val media = Seq(
