@@ -205,6 +205,34 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactDedupStream batch-equivalence oracle: survivors of a " +
+    "micro-batched run equal the batch dropExactDuplicates survivors " +
+    "when arrival order is id order") {
+    implicit val sqlCtx = spark.sqlContext
+    // 9 arrivals, 4 distinct bodies, duplicates landing across batches
+    val arrivals = Seq(
+      (1L, "body one"), (2L, "body two"), (3L, "body one"),
+      (4L, "body three"), (5L, "body two"), (6L, "body four"),
+      (7L, "body one"), (8L, "body four"), (9L, "body three"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.exactDedupStream(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_equiv")
+      .start()
+    try {
+      arrivals.grouped(3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("sdedup_equiv").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch replay over the full frame: min-id-per-content survivors,
+      // which equals first-arrival when ids ascend in arrival order
+      val batch = graft.dedup.Dedup.dropExactDuplicates(
+        arrivals.toDF("doc_id", "text"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch && batch == Set(1L, 2L, 4L, 6L))
+    } finally q.stop()
+  }
+
   test("contaminatedIds flags stream docs sharing an n-gram with the " +
     "static reference — one row per distinct shared gram, batch-equal") {
     implicit val sqlCtx = spark.sqlContext

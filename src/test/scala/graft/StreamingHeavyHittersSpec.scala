@@ -74,4 +74,45 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     intercept[graft.ParameterError](
       StreamingHeavyHitters.topKeys(Seq("a").toDF("ip"), "ip", capacity = 0))
   }
+
+  test("batch-equivalence oracle: the same arrival sequence split across " +
+    "micro-batches ends in EXACTLY the one-pass batch summary — " +
+    "eviction churn included (state roundtrip preserves bucket order)") {
+    implicit val sqlCtx = spark.sqlContext
+    // 12 keys over capacity 3 with constant churn: nearly every arrival
+    // past the warm-up evicts, so any batch-boundary scrambling of the
+    // bucket insertion order would pick different victims and diverge
+    val arrivals = Seq(
+      "a", "b", "c", "d", "a", "e", "f", "a", "g", "b",
+      "h", "i", "a", "j", "b", "k", "l", "a", "c", "m")
+    val batches = arrivals.grouped(7).toSeq // 7 + 7 + 6
+    @volatile var last: Seq[(String, Long, Long)] = Nil
+    val input = MemoryStream[String]
+    val q = StreamingHeavyHitters.topKeys(
+      input.toDF().toDF("ip"), "ip", capacity = 3, shards = 1)
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[HeavyHitter], _: Long) =>
+        val rows = df.collect().map(h => (h.key, h.count, h.err)).toSeq
+        if (rows.nonEmpty) last = rows // every batch re-emits the summary
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // one-pass batch replay: flatMapGroupsWithState runs in batch mode
+    // with empty initial state; coalesce(1) pins the arrival order
+    val batch = StreamingHeavyHitters.topKeys(
+      arrivals.toDF("ip").coalesce(1), "ip", capacity = 3, shards = 1)
+      .collect().map(h => (h.key, h.count, h.err)).toSeq
+    assert(last.sorted == batch.sorted,
+      s"stream end-state $last != batch replay $batch")
+    // and the Space-Saving contract holds against true frequencies:
+    // any key with true freq > n/m (20/3) must be present — 'a' (6)
+    assert(batch.exists(_._1 == "a"))
+    val truth = arrivals.groupBy(identity).view.mapValues(_.size.toLong)
+    batch.foreach { case (k, count, err) =>
+      assert(count - err <= truth(k) && truth(k) <= count,
+        s"$k: count=$count err=$err true=${truth(k)}")
+    }
+  }
 }
