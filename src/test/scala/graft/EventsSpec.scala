@@ -346,6 +346,13 @@ class EventsSpec extends SparkSpec {
     assert(out.getAs[Double]("rate") == 0.4)
     intercept[graft.ParameterError](
       graft.events.Events.windowedConversion(ev, "view", "purchase", 0))
+    // plan pin: the first-touch window and the per-user aggregation both
+    // hash-partition on the user key — Catalyst plans ONE row-scale
+    // exchange (the final one-row agg adds only a SinglePartition one)
+    val plan = graft.events.Events.windowedConversion(
+      ev, "view", "purchase", windowSeconds = 3600)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
   test("sessionCooccurrence: hand-computed lift over mixed sessions; " +
