@@ -150,13 +150,16 @@ object Multimodal {
   /** REAL image decode (javax.imageio — PNG/JPEG, pure JDK): width,
     * height, and EXACT per-channel pixel sums per payload. The typed
     * mapPartitions contract of [[extractFeatures]] with a real kernel
-    * behind it; undecodable/null payloads keep null content columns (a
-    * curation pipeline filters on them, it doesn't crash). Output
+    * behind it; undecodable/null payloads — and images rejected by the
+    * `maxPixels` decompression-bomb guard ([[MediaCodec.decodeImage]])
+    * — keep null content columns (a curation pipeline filters on them,
+    * it doesn't crash). Output
     * (idCol, width, height, sum_r, sum_g, sum_b). */
   def imageContent(
       df: DataFrame,
       idCol: String = "media_id",
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      maxPixels: Long = 1L << 26): DataFrame = {
     import org.apache.spark.sql.Encoders
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -171,7 +174,7 @@ object Multimodal {
       rows.map { r =>
         val payload =
           if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        MediaCodec.decodeImage(payload) match {
+        MediaCodec.decodeImage(payload, maxPixels) match {
           case null => Row(r.getLong(idIdx), null, null, null, null, null)
           case img =>
             var sr = 0L; var sg = 0L; var sb = 0L
@@ -204,7 +207,8 @@ object Multimodal {
       dstW: Int,
       dstH: Int,
       idCol: String = "media_id",
-      payloadCol: String = "payload"): DataFrame = {
+      payloadCol: String = "payload",
+      maxPixels: Long = 1L << 26): DataFrame = {
     require(dstW > 0 && dstH > 0, s"bad target size: ${dstW}x$dstH")
     import org.apache.spark.sql.Encoders
     val outSchema = StructType(Seq(
@@ -220,7 +224,7 @@ object Multimodal {
       rows.map { r =>
         val payload =
           if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
-        MediaCodec.decodeImage(payload) match {
+        MediaCodec.decodeImage(payload, maxPixels) match {
           case null => Row(r.getLong(idIdx), null, null, null, null, null)
           case img =>
             val sw = img.getWidth; val sh = img.getHeight
@@ -357,11 +361,36 @@ object MediaCodec {
   /** REAL image decode via javax.imageio (pure JDK — PNG, JPEG, GIF,
     * BMP). Returns null for null/undecodable payloads instead of
     * throwing: a curation pipeline treats a corrupt image as a filter
-    * signal, not a job failure. */
-  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    * signal, not a job failure.
+    *
+    * DECOMPRESSION-BOMB GUARD (the multimodal maxBucket): dimensions
+    * are read from the container HEADER first (ImageReader.getWidth/
+    * getHeight decode no pixel data), and any image whose pixel count
+    * exceeds `maxPixels` is REJECTED as null without ever allocating
+    * its raster — a crafted 30k×30k PNG otherwise costs gigabytes per
+    * task at exactly the moment a 100 TB crawl scan can least afford
+    * it. Default 2^26 px (64 MP) ≈ 256 MB of INT_RGB raster, the
+    * per-task ceiling a curation pass can absorb. */
+  def decodeImage(
+      payload: Array[Byte],
+      maxPixels: Long = 1L << 26): java.awt.image.BufferedImage = {
     if (payload == null) return null
-    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        r.setInput(iis)
+        try {
+          val w = r.getWidth(0).toLong
+          val h = r.getHeight(0).toLong
+          if (w <= 0 || h <= 0 || w * h > maxPixels) null
+          else r.read(0)
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: java.io.IOException => null }
   }
 
   /** Deterministic gradient-PNG fixture: width 8 + id%8, height

@@ -123,6 +123,27 @@ class ToolboxSpec extends SparkSpec {
     assert((jrow.getInt(1), jrow.getInt(2)) == ((w, h)))
   }
 
+  test("decompression-bomb guard: dimensions beyond maxPixels are " +
+    "rejected from the HEADER, no raster allocated (the multimodal " +
+    "maxBucket)") {
+    import graft.multimodal.MediaCodec
+    val png = MediaCodec.gradientPng(3L) // 11×11 = 121 px
+    assert(MediaCodec.decodeImage(png, maxPixels = 121L) != null)
+    assert(MediaCodec.decodeImage(png, maxPixels = 120L) == null)
+    // dataframe path: the oversized image keeps null content columns
+    val out = Multimodal.imageContent(
+      Seq((1L, png)).toDF("media_id", "payload"), maxPixels = 100L).head
+    assert(out.isNullAt(1) && out.isNullAt(3))
+    // a crafted bomb header: IHDR claims 2^30 × 2^30 px — rejected
+    // cheaply even though the payload is tiny (header parse only)
+    val bomb = png.clone()
+    for (off <- Seq(16, 20)) { // width, height big-endian u32 = 2^30
+      bomb(off) = 0x40.toByte
+      bomb(off + 1) = 0; bomb(off + 2) = 0; bomb(off + 3) = 0
+    }
+    assert(MediaCodec.decodeImage(bomb) == null)
+  }
+
   test("REAL nearest-neighbor resize: 2x2 checkerboard up to 4x2 " +
     "duplicates columns by the explicit (x*sw)//dw rule (mm3)") {
     import graft.multimodal.MediaCodec
