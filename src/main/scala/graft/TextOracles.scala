@@ -2708,6 +2708,32 @@ object TextOracles {
         |  CAST(sum((sx * 11 + sy + 3 * media_id) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin,
 
+    // bomb adversarial: forged-width payloads (even ids) must come back
+    // all-null from the header-first maxPixels rejection; intact odd
+    // ids decode to the closed-form sums — the oracle replays the
+    // PARITY RULE, which is exactly the guard's observable contract
+    "mm7_bomb_guard" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h, x, y
+        |  FROM m, unnest(range(0, w)) t1(x), unnest(range(0, h)) t2(y)),
+        |ok AS (
+        |  SELECT media_id,
+        |    CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+        |    CAST(sum((x * 7 + y * 13 + media_id) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((x * 3 + y * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((x * 11 + y + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1)
+        |SELECT media_id,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE width END AS width,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE height END AS height,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_r END AS sum_r,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_g END AS sum_g,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_b END AS sum_b
+        |FROM ok""".stripMargin,
+
     // PNG IHDR parse vs the analytic fixture dimensions: checks the
     // real encoder's bytes carry the right header AND the column-
     // algebra parser reads them correctly — no decoder on either side

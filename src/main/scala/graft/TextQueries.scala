@@ -1075,6 +1075,21 @@ object TextQueries {
         Multimodal.imageFixture(ids), dstW = 16, dstH = 8)
     }),
 
+    // ---- MM7: decompression-bomb adversarial — even doc_ids get their
+    // IHDR width forged to 2^30 via binary overlay (a crafted crawl
+    // payload); the header-first maxPixels guard must reject them as
+    // null content at header-parse cost while odd ids decode to their
+    // closed-form sums. Oracle: CASE parity → nulls / analytic sums.
+    "mm7_bomb_guard" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val png = Multimodal.imageFixture(ids)
+      val forged = png.select(col("media_id"),
+        when(col("media_id") % 2 === 0,
+          overlay(col("payload"), unhex(lit("40000000")), lit(17)))
+          .otherwise(col("payload")).as("payload"))
+      Multimodal.imageContent(forged)
+    }),
+
     // ---- MM6: PNG metadata WITHOUT decode — IHDR width/height parsed
     // by pure column algebra from the real encoder's bytes (the 100 TB
     // fast path: dimension filters at scan time, no decoder in the loop)
