@@ -647,6 +647,29 @@ object Oracles {
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
         |FROM x GROUP BY 1, 2""".stripMargin,
 
+    // EV23: native session_window parity — same cumulative-gap
+    // formulation as ev2 but with the operator's boundary rule (new
+    // session at gap >= 30 m; a window spans [ts, ts+gap)) and ts-only
+    // ordering (ties merge regardless of order)
+    "ev23_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |                 OR epoch_us(ts) - prev >= 1800000000 THEN 1 ELSE 0
+        |            END AS nw
+        |  FROM (SELECT *, lag(epoch_us(ts)) OVER
+        |          (PARTITION BY user_id ORDER BY ts) AS prev
+        |        FROM e)),
+        |x AS (
+        |  SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sx
+        |  FROM s)
+        |SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  count(*)::BIGINT AS n_events,
+        |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
+        |FROM x GROUP BY user_id, sx""".stripMargin,
+
     // EV22: windowed conversion — first toType AT OR AFTER the first
     // touch (per-user first-touch via window, then conditional min
     // against it): a pre-touch conversion neither counts nor masks a

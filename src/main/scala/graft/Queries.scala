@@ -546,6 +546,12 @@ object Queries {
     "ev2_sessions" -> ((s, dir) =>
       graft.events.Events.sessionStats(events(s, dir), gapSeconds = 1800)),
 
+    // ---- EV23: gap sessions via the NATIVE session_window aggregate —
+    // the streamable built-in form (boundary: new session at gap ≥ 30 m,
+    // vs sessionize's >; both contracts oracle-pinned)
+    "ev23_session_window" -> ((s, dir) =>
+      graft.events.Events.sessionWindows(events(s, dir), gapSeconds = 1800)),
+
     "ev3_funnel" -> ((s, dir) =>
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),

@@ -55,6 +55,38 @@ object Events {
       .drop("__prev", "__new")
   }
 
+  /** EV23: gap sessions via Spark's NATIVE `session_window` aggregate —
+    * the built-in operator form of [[sessionize]]+[[sessionStats]]:
+    * one groupBy((user, session_window(ts, gap))) instead of a window
+    * pass plus a re-aggregation, and the SAME code runs under
+    * Structured Streaming with a watermark (append mode) where the
+    * lag-based formulation cannot (ordered windows aren't streamable).
+    * Boundary semantics differ from [[sessionize]] BY CONTRACT: the
+    * native operator starts a new session when the gap is ≥
+    * `gapSeconds` (a session window spans [ts, ts+gap)), while
+    * sessionize's `>` keeps a boundary-exact event in-session — both
+    * are pinned by their own oracles. Output
+    * (userCol, start_ts, end_ts, n_events, duration_sec). */
+  def sessionWindows(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (gapSeconds <= 0)
+      throw new ParameterError(s"gapSeconds must be positive: $gapSeconds")
+    events
+      .groupBy(col(userCol),
+        session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+      .select(col(userCol), col("start_ts"), col("end_ts"), col("n_events"),
+        ((unix_micros(col("end_ts").cast("timestamp")) -
+          unix_micros(col("start_ts").cast("timestamp"))) / 1e6)
+          .as("duration_sec"))
+  }
+
   /** Per-session summary: (user, session_idx, n_events, start_ts,
     * end_ts, duration_sec). One aggregation over [[sessionize]]. */
   def sessionStats(

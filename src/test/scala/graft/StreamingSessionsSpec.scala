@@ -14,6 +14,44 @@ class StreamingSessionsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("NATIVE session_window aggregate streams in append mode; closed " +
+    "sessions equal the batch run on the same arrivals (ev23)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+    val q = graft.events.Events.sessionWindows(events, gapSeconds = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssess_native")
+      .start()
+    val arrivals = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 10:05:00")),
+      (1L, ts("2024-01-01 11:00:00"))) // ≥30 m after 10:10 → new session
+    try {
+      arrivals.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+      // flush: advance the watermark far past every session's end
+      input.addData((99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("ssess_native")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3)))
+        .toSet
+      // batch replay of the SAME operator over all closed-session
+      // arrivals (the flusher's own session never closes, so exclude it)
+      val batch = graft.events.Events.sessionWindows(
+        arrivals.toDF("user_id", "ts"), gapSeconds = 1800)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3)))
+        .toSet
+      assert(streamed == batch, s"$streamed != $batch")
+      assert(batch.map(t => (t._1, t._4)) ==
+        Set((1L, 2L), (2L, 1L), (1L, 1L))) // user 1: 2-event + 1-event
+    } finally q.stop()
+  }
+
   test("sessions extend across micro-batches, split on gap, and close " +
     "via the event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
