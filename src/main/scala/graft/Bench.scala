@@ -61,7 +61,25 @@ object Bench {
     // contaminates round-over-round comparisons. The min is the
     // steady-state cost of the plan; the median is the honesty check.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    def render(results: Seq[(String, Double, Double, Option[String])]): String = {
+      val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
+      val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
+      val stats = ok.map { case (k, mn, md) =>
+        "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + "}" }.mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, _, Some(e)) =>
+        "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+    }
+    def writeOut(json: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Option[String])]
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var rep = 0
@@ -77,26 +95,16 @@ object Bench {
       val sortedT = times.sorted
       val min = if (sortedT.isEmpty) 0.0 else sortedT.head
       val median = if (sortedT.isEmpty) 0.0 else sortedT(sortedT.size / 2)
-      (name, min, median, err)
+      done += ((name, min, median, err))
+      // incremental checkpoint: an externally-killed run still leaves a
+      // parseable artifact covering every completed query
+      writeOut(render(done.toSeq))
     }
-    val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
-    val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
-    val stats = ok.map { case (k, mn, md) =>
-      "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + "}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
-      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+    val json = render(done.toSeq)
     println(json)
-    // Also persist to a file: the driver captures only a stdout tail, so
-    // a long line can arrive truncated mid-JSON and parse as null. The
-    // file copy keeps the round artifact machine-parseable regardless.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    // Stdout copy can truncate mid-JSON in a captured tail; the file
+    // (already current from the per-query checkpoints) is authoritative.
+    writeOut(json)
     spark.stop()
   }
 }
