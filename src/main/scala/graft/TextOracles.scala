@@ -2708,6 +2708,25 @@ object TextOracles {
         |  CAST(sum((sx * 11 + sy + 3 * media_id) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin,
 
+    // SH1: the engine writes shards and manifests the FILES; the oracle
+    // replays the md5 shard assignment and the order-free checksum
+    // analytically — agreement proves the write-read roundtrip lost,
+    // duplicated, and corrupted nothing
+    "sh1_training_shards" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    CAST(floor(CAST(CAST(concat('0x',
+        |        substr(md5(concat_ws('|', 'shard', doc_id)), 1, 8))
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 * 16) AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS content_crc
+        |FROM s GROUP BY 1""".stripMargin,
+
     // bomb adversarial: forged-width payloads (even ids) must come back
     // all-null from the header-first maxPixels rejection; intact odd
     // ids decode to the closed-form sums — the oracle replays the

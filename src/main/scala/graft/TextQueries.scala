@@ -1075,6 +1075,14 @@ object TextQueries {
         Multimodal.imageFixture(ids), dstW = 16, dstH = 8)
     }),
 
+    // ---- SH1: training-shard writer — deterministic md5 sharding,
+    // partitioned parquet write, integrity manifest computed from the
+    // files AS WRITTEN (read-back), oracled against the analytic
+    // assignment + order-free content checksum
+    "sh1_training_shards" -> ((s, dir) =>
+      graft.text.Shards.writeTrainingShards(
+        t(s, dir, "documents"), tempDir("graft_shards"), shards = 16)),
+
     // ---- MM7: decompression-bomb adversarial — even doc_ids get their
     // IHDR width forged to 2^30 via binary overlay (a crafted crawl
     // payload); the header-first maxPixels guard must reject them as
