@@ -56,4 +56,20 @@ object Shards {
         sum(conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long"))
           .as("content_crc"))
   }
+
+  /** Loader side: read only `shardIds` from a sharded dataset. The
+    * predicate is on the PARTITION column, so Catalyst prunes at the
+    * file listing — a 1/16 shard read touches 1/16 of the files, never
+    * a full scan + filter (ShardsSpec pins the plan's PartitionFilters).
+    * This is how distributed trainers map ranks to data: each rank
+    * reads its shard set with zero coordination and zero wasted IO. */
+  def readShards(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      shardIds: Seq[Int]): DataFrame = {
+    if (shardIds.isEmpty)
+      throw new ParameterError("shardIds must be non-empty")
+    spark.read.parquet(dir)
+      .where(col("__shard").isin(shardIds: _*))
+  }
 }

@@ -30,6 +30,28 @@ class ShardsSpec extends SparkSpec {
     assert(shard0Files >= (m1.head._2 + 2) / 3)
   }
 
+  test("readShards prunes at the file listing: partition filter on " +
+    "__shard, no post-scan filter on data columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_read")
+    val manifest = Shards.writeTrainingShards(docs(60), s"$dir/s", shards = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wanted = manifest.keySet.toSeq.sorted.take(2)
+    val rd = Shards.readShards(spark, s"$dir/s", wanted)
+    // correctness: exactly the wanted shards' docs, nothing else
+    assert(rd.count() == wanted.map(manifest).sum)
+    assert(rd.select("__shard").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == wanted)
+    // plan: the shard predicate must be a PartitionFilter (pruned at
+    // listing time), never a pushed/post-scan data filter
+    val scan = rd.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PartitionFilters: ["), scan)
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*__shard[^\\]]*\\].*"),
+      scan)
+    assert(!scan.matches("(?s).*PushedFilters: \\[[^\\]]*__shard[^\\]]*\\].*"),
+      scan)
+    intercept[ParameterError](Shards.readShards(spark, s"$dir/s", Nil))
+  }
+
   test("content drift flips the shard's crc; other shards unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_spec2")
     val base = Shards.writeTrainingShards(docs(20), s"$dir/c", shards = 2)
