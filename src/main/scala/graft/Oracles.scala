@@ -4090,5 +4090,149 @@ object Oracles {
          |    AS kappa
          |FROM tot, p""".stripMargin,
 
+    "j11_salted_join" ->
+      s"""SELECT s_nationkey,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS rev_cents,
+         |  count(*) AS n
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey""".stripMargin,
+
+    "cdc1_snapshot" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, event_type, ${c("value")} AS val_cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events)
+         |SELECT user_id, event_id AS last_event_id, val_cents AS last_val_cents
+         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    "scd1_type2" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |  CAST(row_number() OVER w2 AS INT) AS version,
+        |  event_type AS state,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  lead(ts) OVER w2 IS NULL AS is_current
+        |FROM m
+        |WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "a9_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  CAST(sum(${c("l_extendedprice")}) AS BIGINT) AS rev_cents,
+         |  count(*) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "a10_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  CAST(sum(${c("o_totalprice")}) AS BIGINT) AS total_cents,
+         |  count(*) AS n
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // two-level partial merge ≡ one-level aggregate exactly (integer
+    // partials); the oracle uses the single-level form with the SAME
+    // final per-row double expression
+    "a11_merge_partials" ->
+      s"""WITH p AS (SELECT l_suppkey AS sid, ${c("l_extendedprice")} AS v
+         |           FROM lineitem)
+         |SELECT sid, count(*) AS n,
+         |  CAST(sum(v) AS BIGINT) AS sum_c,
+         |  min(v) AS min_c, max(v) AS max_c,
+         |  CAST(sum(v::HUGEINT * v) AS BIGINT) AS sumsq_c,
+         |  (CAST(sum(v::HUGEINT * v) AS DOUBLE)
+         |    - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(*))
+         |    / (count(*) - 1) AS var_c2
+         |FROM p GROUP BY sid""".stripMargin,
+
+    "w27_interpolate" ->
+      s"""WITH $panelCte,
+         |g AS (
+         |  SELECT sid, date,
+         |    CASE WHEN (sid + day(date)) % 4 = 0 THEN NULL ELSE close END
+         |      AS close_g
+         |  FROM panel),
+         |w AS (
+         |  SELECT sid, date, close_g,
+         |    last_value(close_g IGNORE NULLS) OVER
+         |      (PARTITION BY sid ORDER BY date
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    max(CASE WHEN close_g IS NOT NULL THEN date END) OVER
+         |      (PARTITION BY sid ORDER BY date
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(close_g IGNORE NULLS) OVER
+         |      (PARTITION BY sid ORDER BY date
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    min(CASE WHEN close_g IS NOT NULL THEN date END) OVER
+         |      (PARTITION BY sid ORDER BY date
+         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM g)
+         |SELECT sid, date,
+         |  CASE WHEN close_g IS NOT NULL THEN close_g
+         |       WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE pv + (nv - pv)
+         |         * (CAST(date_diff('day', pd, date) AS DOUBLE)
+         |            / date_diff('day', pd, nd))
+         |  END AS filled
+         |FROM w""".stripMargin,
+
+    "prof1_columns" ->
+      """SELECT 'doc_id' AS "column", count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  min(CAST(doc_id AS VARCHAR)) AS min_str,
+        |  max(CAST(doc_id AS VARCHAR)) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text), min(text), max(text) FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source), min(source), max(source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars), min(CAST(n_chars AS VARCHAR)),
+        |  max(CAST(n_chars AS VARCHAR)) FROM documents""".stripMargin,
+
+    // the oracle pins exact counts and that the error bound HELD (the
+    // boolean hashes — a drifting sketch turns the row red)
+    "sk1_hll_contract" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "sk2_quantile_contract" ->
+      """SELECT event_type, count(value) AS n_vals, TRUE AS approx_ok
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a12_median_cents" ->
+      s"""WITH v AS (
+         |  SELECT event_type, ${c("value")} AS v, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY ${c("value")}, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, max(n) AS n,
+         |  CAST(sum(v * (CAST(rn = (n + 1) // 2 AS BIGINT)
+         |                + CAST(rn = (n + 2) // 2 AS BIGINT))) AS BIGINT)
+         |    AS med2_cents
+         |FROM v GROUP BY event_type""".stripMargin,
+
   )
 }

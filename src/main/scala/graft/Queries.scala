@@ -2005,6 +2005,149 @@ object Queries {
       graft.perf.FactorModel.riskPremia(
         graft.perf.FactorModel.crossSectionalRegression(
           withFwd, col("fwd_return"), col("mom"), col("lvl")))
+    }),
+
+    // ---- salted skew join: same rows as the plain equi-join, hot keys
+    // spread over 8 reducers (panel.Skew — previously spec-only)
+    "j11_salted_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+          cents(col("l_extendedprice")).as("price_cents"))
+      val dim = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      graft.panel.Skew.saltedJoin(fact, dim, "s_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(sum(col("price_cents")).as("rev_cents"), count(lit(1)).as("n"))
+    }),
+
+    // ---- CDC latest-wins compaction: upsert/delete log → snapshot ----
+    "cdc1_snapshot" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val log = ev.select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "error").as("is_delete"),
+        cents(col("value")).as("val_cents"))
+      graft.panel.Changelog
+        .latestSnapshot(log, col("user_id"), Seq(col("ts"), col("event_id")),
+          col("is_delete"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("val_cents").as("last_val_cents"))
+    }),
+
+    // ---- SCD Type-2 intervals from the event-type changelog ----
+    "scd1_type2" -> ((s, dir) => {
+      graft.panel.Changelog.scd2(
+        events(s, dir).select("user_id", "ts", "event_id", "event_type"),
+        entity = "user_id", ts = "ts", tie = "event_id", state = "event_type")
+    }),
+
+    // ---- ROLLUP with grouping_id (hierarchical subtotal lattice) ----
+    "a9_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(cents(col("l_extendedprice"))).as("rev_cents"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "rev_cents", "n")
+    }),
+
+    // ---- CUBE over two order dimensions ----
+    "a10_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          count(lit(1)).as("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "total_cents", "n")
+    }),
+
+    // ---- mergeable partial aggregates: per-(sid, month) partials merged
+    // into per-sid stats WITHOUT rescanning rows — the incremental-rollup
+    // algebra (count/sum/min/max/sumsq all merge exactly in integers; the
+    // variance is derived only at the end, per-row IEEE so deterministic)
+    "a11_merge_partials" -> ((s, dir) => {
+      val price = cents(col("l_extendedprice"))
+      val partials = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"),
+          date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(count(lit(1)).as("n"), sum(price).as("sum_c"),
+          min(price).as("min_c"), max(price).as("max_c"),
+          sum(price * price).as("sumsq_c"))
+      partials.groupBy("sid")
+        .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"),
+          min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"),
+          sum(col("sumsq_c")).as("sumsq_c"))
+        .select(col("sid"), col("n"), col("sum_c"), col("min_c"), col("max_c"),
+          col("sumsq_c"),
+          ((col("sumsq_c").cast("double")
+            - col("sum_c").cast("double") * col("sum_c").cast("double") / col("n"))
+            / (col("n") - 1)).as("var_c2"))
+    }),
+
+    // ---- linear interpolation of gaps in a per-sid series (prev/next
+    // non-null carried by IGNORE NULLS running windows; weight = calendar
+    // day distance). The null mask is engine-independent arithmetic so the
+    // oracle reproduces it exactly.
+    "w27_interpolate" -> ((s, dir) => {
+      val gapped = supplierPanel(s, dir).withColumn("close_g",
+        when((col("sid") + dayofmonth(col("date"))) % 4 === 0, lit(null))
+          .otherwise(col("close")))
+      val wPrev = Window.partitionBy("sid").orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("sid").orderBy("date")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      gapped
+        .withColumn("pv", last(col("close_g"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", max(when(col("close_g").isNotNull, col("date"))).over(wPrev))
+        .withColumn("nv", first(col("close_g"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", min(when(col("close_g").isNotNull, col("date"))).over(wNext))
+        .select(col("sid"), col("date"),
+          when(col("close_g").isNotNull, col("close_g"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv"))
+              * (datediff(col("date"), col("pd")).cast("double")
+                / datediff(col("nd"), col("pd"))))
+            .as("filled"))
+    }),
+
+    // ---- single-pass column profiler over documents ----
+    "prof1_columns" -> ((s, dir) =>
+      graft.sources.Profiler.profile(t(s, dir, "documents"))),
+
+    // ---- sketch error contract: HLL distinct within 5% of exact (the
+    // oracle pins the exact counts AND that the bound held — the boolean
+    // hashes, so a drifting sketch fails the gate)
+    "sk1_hll_contract" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type").agg(
+        count_distinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id"), 0.02)
+            - count_distinct(col("user_id"))).cast("double")
+          / count_distinct(col("user_id")) <= 0.05).as("approx_ok"))
+    }),
+
+    // ---- sketch error contract: approx median within 1% of the exact
+    // interpolated median, relative to the group's value range
+    "sk2_quantile_contract" -> ((s, dir) => {
+      events(s, dir).groupBy("event_type").agg(
+        count(col("value")).as("n_vals"),
+        ((abs(percentile_approx(col("value"), lit(0.5), lit(10000))
+            - expr("percentile(value, 0.5)"))
+          / (max(col("value")) - min(col("value")))) <= 0.01).as("approx_ok"))
+    }),
+
+    // ---- exact integer median: sum of the two middle order statistics
+    // in cents (×2 for odd n) — cross-engine exact, no interpolation
+    "a12_median_cents" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))
+      val wAll = Window.partitionBy("event_type")
+      events(s, dir)
+        .select(col("event_type"), cents(col("value")).as("v"), col("event_id"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("m",
+          (col("rn") === expr("(n + 1) div 2")).cast("long")
+            + (col("rn") === expr("(n + 2) div 2")).cast("long"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n"), sum(col("v") * col("m")).as("med2_cents"))
     })
   )
 }
