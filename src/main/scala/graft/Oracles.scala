@@ -4234,5 +4234,46 @@ object Oracles {
          |    AS med2_cents
          |FROM v GROUP BY event_type""".stripMargin,
 
+    "dq1_expectations" ->
+      """SELECT 'quantity_in_range' AS rule, count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'quantity_le_25', count(*),
+        |  CAST(sum(CASE WHEN l_quantity <= 25 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_in_range', count(*),
+        |  CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |           THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'price_positive', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'shipdate_not_null', count(*),
+        |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'totalprice_positive', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'status_known', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+        |           THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_order_fk', (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'orders_customer_fk', (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin,
+
   )
 }

@@ -2148,6 +2148,28 @@ object Queries {
             + (col("rn") === expr("(n + 2) div 2")).cast("long"))
         .groupBy("event_type")
         .agg(max(col("n")).as("n"), sum(col("v") * col("m")).as("med2_cents"))
+    }),
+
+    // ---- declarative data-quality expectations: all predicate rules per
+    // table in ONE aggregate pass + left-anti referential checks ----
+    "dq1_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val liReport = graft.sources.Quality.expect(li, Seq(
+        "quantity_in_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        "quantity_le_25" -> (col("l_quantity") <= 25),
+        "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull))
+      val ordReport = graft.sources.Quality.expect(ord, Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+      liReport
+        .unionByName(ordReport)
+        .unionByName(graft.sources.Quality.orphans(
+          "lineitem_order_fk", li, "l_orderkey", ord, "o_orderkey"))
+        .unionByName(graft.sources.Quality.orphans(
+          "orders_customer_fk", ord, "o_custkey", t(s, dir, "customer"), "c_custkey"))
     })
   )
 }
