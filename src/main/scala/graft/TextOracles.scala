@@ -2777,7 +2777,27 @@ object TextOracles {
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(32 AS BIGINT) AS frame_len,
         |  md5(upper(substring(hx, CAST(frame_idx * 48 + 1 AS BIGINT), 64))) AS frame_md5
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // components as min-reachable-id: the recursive closure is the
+    // definitional spec the engine's min-label propagation must match
+    "gr3_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey AS ok, CAST(l_shipdate AS DATE) AS d,
+        |         l_suppkey AS sid
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT DISTINCT a.sid AS ia, b.sid AS ib
+        |  FROM li a JOIN li b
+        |    ON a.ok = b.ok AND a.d = b.d AND a.sid < b.sid),
+        |e AS (SELECT ia AS s, ib AS t FROM p
+        |      UNION ALL SELECT ib, ia FROM p),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.id)
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
   )
 
   /** IVFADC replay (sim3's cell assignment ∘ sim6's ADC scoring) —

@@ -682,6 +682,24 @@ object TextQueries {
       graft.graph.PageRank.triangles(e)
     }),
 
+    // connected components over an explicit co-shipment graph (suppliers
+    // sharing an (order, ship-day)): Dedup.duplicateClusters' min-label
+    // propagation pinned DIRECTLY against a recursive-CTE closure — dd7
+    // pins it only inside the dedup pipeline. Edge mass is bounded by
+    // pairs-within-order (≤ items²/2 per order, items ~4).
+    "gr3_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("ok"), to_date(col("l_shipdate")).as("d"),
+        col("l_suppkey").as("sid"))
+      val pairs = li.alias("a")
+        .join(li.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.d") === col("b.d")
+            && col("a.sid") < col("b.sid"))
+        .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+        .distinct()
+      graft.dedup.Dedup.duplicateClusters(pairs)
+    }),
+
     // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
     // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
     // greedy fold expressed as leftmost-non-overlapping replace over a
