@@ -4275,5 +4275,28 @@ object Oracles {
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))""".stripMargin,
 
+    "px10_rank_family" ->
+      s"""WITH $panelCte
+         |SELECT sid, date, close,
+         |  CAST(rank() OVER bv AS BIGINT) AS rnk,
+         |  CAST(dense_rank() OVER bv AS BIGINT) AS drnk,
+         |  percent_rank() OVER bv AS prnk,
+         |  cume_dist() OVER bv AS cdist,
+         |  CAST(ntile(4) OVER tot AS BIGINT) AS quartile
+         |FROM panel
+         |WINDOW bv AS (PARTITION BY sid ORDER BY close),
+         |       tot AS (PARTITION BY sid ORDER BY close, date)""".stripMargin,
+
+    "a13_mode" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |         count(*) AS n_mode
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n_mode DESC, q) AS rn
+        |  FROM cnt)
+        |SELECT l_returnflag, q AS mode_qty, n_mode FROM r WHERE rn = 1""".stripMargin,
+
   )
 }

@@ -2170,6 +2170,34 @@ object Queries {
           "lineitem_order_fk", li, "l_orderkey", ord, "o_orderkey"))
         .unionByName(graft.sources.Quality.orphans(
           "orders_customer_fk", ord, "o_custkey", t(s, dir, "customer"), "c_custkey"))
+    }),
+
+    // ---- rank-family windows: rank/dense_rank/percent_rank/cume_dist
+    // depend only on the VALUE (peers share a rank), so ordering by close
+    // alone stays deterministic; ntile depends on row position, so its
+    // window carries the (close, date) total order ----
+    "px10_rank_family" -> ((s, dir) => {
+      val byVal = Window.partitionBy("sid").orderBy(col("close"))
+      val total = Window.partitionBy("sid").orderBy(col("close"), col("date"))
+      supplierPanel(s, dir).select(
+        col("sid"), col("date"), col("close"),
+        rank().over(byVal).cast("long").as("rnk"),
+        dense_rank().over(byVal).cast("long").as("drnk"),
+        percent_rank().over(byVal).as("prnk"),
+        cume_dist().over(byVal).as("cdist"),
+        ntile(4).over(total).cast("long").as("quartile"))
+    }),
+
+    // ---- deterministic mode: most frequent quantity per return flag,
+    // ties broken to the smallest value (DuckDB's mode() leaves ties
+    // unspecified, so BOTH engines spell the argmax out) ----
+    "a13_mode" -> ((s, dir) => {
+      val cnt = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("n_mode"))
+      val w = Window.partitionBy("l_returnflag").orderBy(col("n_mode").desc, col("q"))
+      cnt.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("l_returnflag"), col("q").as("mode_qty"), col("n_mode"))
     })
   )
 }
