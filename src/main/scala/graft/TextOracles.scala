@@ -2797,7 +2797,35 @@ object TextOracles {
         |  SELECT id, id AS r FROM nodes
         |  UNION
         |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.id)
-        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin
+        |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // ppj1: brute-force θ-Jaccard join — deliberately a DIFFERENT
+    // algorithm from the engine's AllPairs prefix filter (token
+    // equi-join intersection counts, no prefix pruning), so the
+    // lossless-ness of the prefix filter is what the hash pins.
+    // Integer threshold form (inter·10⁶ ≥ θ·10⁶·union) keeps floats
+    // out of the filter; jaccard is one per-row IEEE division.
+    "ppj1_prefix_join" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |          FOR i IN range(1, len(ws) - 1)]) AS t
+        |  FROM w WHERE len(ws) >= 3),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  CAST(i AS BIGINT) AS inter_size,
+        |  CAST(sa.s + sb.s - i AS BIGINT) AS union_size,
+        |  CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON da = sa.doc_id
+        |JOIN sz sb ON db = sb.doc_id
+        |WHERE i * 1000000 >= 500000 * (sa.s + sb.s - i)""".stripMargin
   )
 
   /** IVFADC replay (sim3's cell assignment ∘ sim6's ADC scoring) —

@@ -1136,6 +1136,15 @@ object TextQueries {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"),
           md5(upper(hex(col("frame")))).as("frame_md5"))
-    })
+    }),
+
+    // ---- PPJ1: EXACT θ-Jaccard self-join via AllPairs prefix filtering
+    // (lossless — unlike dd3's MinHash LSH there is no recall loss). The
+    // oracle computes the same answer by a DIFFERENT algorithm (brute
+    // token-intersection join), so the prefix filter's completeness is
+    // itself under test.
+    "ppj1_prefix_join" -> ((s, dir) =>
+      graft.dedup.SetJoin.prefixFilterJoin(
+        t(s, dir, "documents"), theta = 0.5, shingleWidth = 3))
   )
 }

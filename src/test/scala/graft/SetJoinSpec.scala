@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SetJoin
+
+/** AllPairs/PPJoin exactness: the prefix-filtered join must equal a
+  * brute-force pairwise Jaccard computed independently on the driver,
+  * and the prefix filter must actually prune (fewer candidate rows than
+  * the full token join would emit). */
+class SetJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select($"doc_id", $"text")
+
+  /** driver-side brute force over the same 3-gram shingle sets. */
+  private def bruteForce(theta: Double): Set[(Long, Long, Long, Long)] = {
+    val sets = docs.collect().map { r =>
+      val ws = r.getString(1).toLowerCase.split(" ", -1)
+      val sh = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      (r.getLong(0), sh)
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * 1000000L >= math.round(theta * 1e6) * union
+    } yield (ia, ib, inter, union)).toSet
+  }
+
+  test("prefix-filtered join == brute force at theta 0.5 and 0.3") {
+    for (theta <- Seq(0.5, 0.3)) {
+      val got = SetJoin.prefixFilterJoin(docs, theta = theta)
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === bruteForce(theta), s"theta=$theta")
+    }
+  }
+
+  test("jaccard column is inter/union and >= theta") {
+    val rows = SetJoin.prefixFilterJoin(docs, theta = 0.5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (i, u, j) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(j == i.toDouble / u && j >= 0.5)
+    }
+  }
+
+  test("maxBucket guard drops oversized prefix buckets loudly") {
+    // every doc identical -> one giant bucket per prefix token
+    val clones = spark.range(0, 50)
+      .select($"id".as("doc_id"), lit("a b c d e f g h").as("text"))
+    val full = SetJoin.prefixFilterJoin(clones, theta = 0.9)
+    assert(full.count() === 50L * 49 / 2) // default maxBucket admits them
+    val guarded = SetJoin.prefixFilterJoin(clones, theta = 0.9, maxBucket = 10)
+    assert(guarded.count() === 0L) // dropped, not exploded
+  }
+
+  test("docs shorter than the shingle width drop out instead of erroring") {
+    val tiny = Seq((1L, "one two"), (2L, "a b c d"), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = SetJoin.prefixFilterJoin(tiny, theta = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((2L, 3L)))
+  }
+}
