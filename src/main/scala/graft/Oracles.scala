@@ -670,6 +670,21 @@ object Oracles {
         |  (epoch_us(max(ts)) - epoch_us(min(ts))) / 1e6 AS duration_sec
         |FROM x GROUP BY user_id, sx""".stripMargin,
 
+    // EV24: rolling 7-day distinct users, brute-forced per window end
+    // (day-spine LEFT range-join + count DISTINCT) — independent of the
+    // engine's interval-union sweep
+    "ev24_rolling_active" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(CAST(ts AS DATE)) FROM events),
+        |    (SELECT max(CAST(ts AS DATE)) FROM events),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT s.day, count(DISTINCT e.user_id)::BIGINT AS active_users
+        |FROM spine s
+        |LEFT JOIN events e
+        |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
+        |GROUP BY s.day""".stripMargin,
+
     // EV22: windowed conversion — first toType AT OR AFTER the first
     // touch (per-user first-touch via window, then conditional min
     // against it): a pre-touch conversion neither counts nor masks a

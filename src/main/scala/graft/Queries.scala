@@ -552,6 +552,15 @@ object Queries {
     "ev23_session_window" -> ((s, dir) =>
       graft.events.Events.sessionWindows(events(s, dir), gapSeconds = 1800)),
 
+    // ---- EV24: exact rolling 7-day distinct users for every calendar
+    // day, via the interval-union sweep (one user-key exchange + a
+    // day-dimension running sum). The oracle brute-forces each window
+    // with count(DISTINCT) over a day-spine range join — a DIFFERENT
+    // algorithm, so the sweep's interval-merge algebra is what the
+    // hash pins.
+    "ev24_rolling_active" -> ((s, dir) =>
+      graft.events.Events.rollingActiveUsers(events(s, dir), windowDays = 7)),
+
     "ev3_funnel" -> ((s, dir) =>
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),

@@ -1008,4 +1008,65 @@ object Events {
         col("__monq_bin").as("m_bin"))
       .agg(count(lit(1)).as("n_users"), sum(col("__mon")).as("monetary_cents"))
   }
+
+  /** Exact rolling `windowDays`-day distinct-user count (rolling
+    * DAU/WAU/MAU) for EVERY day between the first and last activity —
+    * without a per-window recount.
+    *
+    * The naive shape re-counts distinct users per window end (30 windows
+    * × a distinct-agg each, or a day-spine range join exploding each
+    * event ×W). This instead runs the classic interval-union sweep:
+    * an active day d makes its user "present" for window ends
+    * [d, d+W−1]; per user those intervals are merged gaps-and-islands
+    * style (ONE shuffle on the user key, a lag + running-sum window),
+    * and each merged island contributes +1 at its start and −1 after
+    * its end. The rolling count is then the running sum of the per-day
+    * deltas over the day spine.
+    *
+    * Scale: per-user work is bounded by that user's distinct active
+    * days; the sweep aggregates to ≤ |calendar| rows, so the final
+    * running-sum window — though unpartitioned — is over the DAY
+    * DIMENSION (bounded: ten years ≈ 3.7 k rows), never over events.
+    * At 100 TB the event→(user, day) distinct and the user-key exchange
+    * are the only data-volume shuffles.
+    */
+  def rollingActiveUsers(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val days = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    // merge [d, d+W-1] coverage intervals per user: a new island starts
+    // when this day's coverage can't touch the previous day's
+    val wu = Window.partitionBy("__u").orderBy("__d")
+    val islands = days
+      .withColumn("__prev", lag(col("__d"), 1).over(wu))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          datediff(col("__d"), col("__prev")) > windowDays, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__u"), col("__isl"))
+      .agg(min(col("__d")).as("__start"),
+        date_add(max(col("__d")), windowDays - 1).as("__end"))
+    val deltas = islands
+      .select(col("__start").as("day"), lit(1L).as("__delta"))
+      .unionByName(islands.select(
+        date_add(col("__end"), 1).as("day"), lit(-1L).as("__delta")))
+      .groupBy("day").agg(sum(col("__delta")).as("__delta"))
+    // complete day spine (clipped to the observed activity range, so
+    // trailing windows that only look into the future are not emitted)
+    val range = days.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+    val spine = range.select(
+      explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    spine
+      .join(deltas, Seq("day"), "left")
+      .withColumn("active_users",
+        sum(coalesce(col("__delta"), lit(0L)))
+          .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("active_users"))
+  }
 }

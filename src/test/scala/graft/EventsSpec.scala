@@ -475,4 +475,29 @@ class EventsSpec extends SparkSpec {
     assert(stale.getAs[Long]("r_bin") == 5L)
     assert(stale.getAs[Long]("m_bin") == 4L)
   }
+
+  test("rollingActiveUsers == per-window brute force (gaps, merges, W=1)") {
+    import spark.implicits._
+    // user 1 active on 1,2,10 (island merge within W, then a gap);
+    // user 2 active on 5 only; day 20 far out so the spine has a long
+    // all-zero tail the sweep must still emit
+    val act = Seq((1L, "2024-03-01"), (1L, "2024-03-02"), (1L, "2024-03-10"),
+      (2L, "2024-03-05"), (3L, "2024-03-20"))
+    val ev = act.toDF("user_id", "d")
+      .select($"user_id", to_timestamp($"d").as("ts"))
+    for (w <- Seq(1, 7)) {
+      val got = graft.events.Events.rollingActiveUsers(ev, windowDays = w)
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      val days = act.map(_._2).sorted
+      val spine = Iterator.iterate(java.time.LocalDate.parse(days.head))(_.plusDays(1))
+        .takeWhile(!_.isAfter(java.time.LocalDate.parse(days.last))).toSeq
+      val expect = spine.map { d =>
+        val lo = d.minusDays(w - 1)
+        d.toString -> act.collect { case (u, ad)
+          if !java.time.LocalDate.parse(ad).isBefore(lo) &&
+             !java.time.LocalDate.parse(ad).isAfter(d) => u }.distinct.size.toLong
+      }.toMap
+      assert(got === expect, s"windowDays=$w")
+    }
+  }
 }
