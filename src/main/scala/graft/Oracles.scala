@@ -4249,6 +4249,39 @@ object Oracles {
          |    AS med2_cents
          |FROM v GROUP BY event_type""".stripMargin,
 
+    // AD1: Hampel outliers replayed with the same doubled/quadrupled
+    // integer fixed-point (med2 = 2·median cents, mad4 = 4·MAD cents;
+    // flag when 2·dev2 > k·mad4) — integer comparisons only
+    "ad1_mad_outliers" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS g, ${c("value")} AS v, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY ${c("value")}, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |m AS (
+         |  SELECT g, CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |                     THEN v ELSE 0 END) AS BIGINT) AS med2
+         |  FROM v GROUP BY g),
+         |d AS (
+         |  SELECT v.g, v.v, v.event_id, m.med2,
+         |    abs(v.v * 2 - m.med2) AS dev2,
+         |    row_number() OVER (PARTITION BY v.g
+         |      ORDER BY abs(v.v * 2 - m.med2), v.event_id) AS rn,
+         |    count(*) OVER (PARTITION BY v.g) AS n
+         |  FROM v JOIN m ON v.g = m.g),
+         |md AS (
+         |  SELECT g, CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |                     THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+         |  FROM d GROUP BY g)
+         |SELECT d.event_id, d.g AS event_type,
+         |  CAST(d.v AS BIGINT) AS value_cents,
+         |  d.med2 AS med2_cents,
+         |  CAST(d.dev2 AS BIGINT) AS dev2_cents,
+         |  md.mad4 AS mad4_cents
+         |FROM d JOIN md ON d.g = md.g
+         |WHERE d.dev2 * 2 > md.mad4 * 5 AND md.mad4 > 0""".stripMargin,
+
     "dq1_expectations" ->
       """SELECT 'quantity_in_range' AS rule, count(*) AS n_checked,
         |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50

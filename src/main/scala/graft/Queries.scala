@@ -2159,6 +2159,15 @@ object Queries {
         .agg(max(col("n")).as("n"), sum(col("v") * col("m")).as("med2_cents"))
     }),
 
+    // ---- AD1: robust outlier screen — |x − med| > k·MAD per event
+    // type, entirely in doubled/quadrupled integer cents (see
+    // Quality.madOutliers): the Hampel identifier a 100 TB ingest runs
+    // where mean/stddev rules self-mask ----
+    "ad1_mad_outliers" -> ((s, dir) =>
+      graft.sources.Quality.madOutliers(
+        events(s, dir), groupCol = "event_type", valueCol = "value",
+        idCol = "event_id", k = 5)),
+
     // ---- declarative data-quality expectations: all predicate rules per
     // table in ONE aggregate pass + left-anti referential checks ----
     "dq1_expectations" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations (the Great-Expectations /
@@ -57,5 +58,63 @@ object Quality {
       .agg(count(lit(1)).as("n_violations"))
     total.crossJoin(missing) // two 1-row aggregates — bounded by design
       .select(lit(name).as("rule"), col("n_checked"), col("n_violations"))
+  }
+
+  /** Robust per-group outlier flags: |x − median| > k·MAD, computed
+    * ENTIRELY in integer cents so both engines agree bit-for-bit (the
+    * a12 exact-median discipline, applied twice).
+    *
+    * Mean/stddev outlier rules break exactly when needed most — the
+    * outliers themselves inflate the stddev (masking) — so data-quality
+    * screens use the median/MAD pair (Hampel identifier; 50% breakdown
+    * point). Doubled/quadrupled fixed-point keeps every statistic
+    * integral: `med2 = 2·median` in cents (sum of the two middle order
+    * statistics), `dev2 = |2x − med2| = 2·|x − median|`, `mad4 =
+    * 2·median(dev2) = 4·MAD`, and the flag `|x − median| > k·MAD`
+    * becomes the integer comparison `2·dev2 > k·mad4`. No float enters
+    * any filter or aggregate.
+    *
+    * Plan: both median passes are rank+count windows over the SAME
+    * group-key exchange (the deviation median is a second window pass,
+    * not a second shuffle — Catalyst reuses the hashpartitioning), so
+    * scale ∝ one shuffle of (group, value, id). Per-group partitions are
+    * bounded by group size — the natural skew bound of a keyed metric.
+    *
+    * Degenerate contract: a group where > 50% of values tie at the
+    * median has MAD = 0 — every non-median value would flag. Callers
+    * get `mad4 = 0` rows flagged ONLY if `flagZeroMad` (default false:
+    * zero-MAD groups emit no flags, matching the Hampel convention of
+    * falling back to "no dispersion information, no verdict"). */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      k: Int = 5,
+      flagZeroMad: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = round(col(valueCol) * 100).cast("long")
+    val wAll = Window.partitionBy("__g")
+    def med2Of(c: String, ord: String): Column = {
+      val wOrd = Window.partitionBy("__g").orderBy(col(c), col(ord))
+      val rn = row_number().over(wOrd).cast("long")
+      val n = count(lit(1)).over(wAll)
+      // (n+1)/2 would be DOUBLE division in Column algebra — keep the
+      // middle-rank arithmetic integral via floor
+      sum(when(rn === floor((n + 1) / 2).cast("long")
+          || rn === floor((n + 2) / 2).cast("long"), col(c))
+        .otherwise(lit(0L))).over(wAll)
+    }
+    val scored = df
+      .select(col(groupCol).as("__g"), v.as("__v"), col(idCol).as("__id"))
+      .withColumn("__med2", med2Of("__v", "__id"))
+      .withColumn("__dev2", abs(col("__v") * 2 - col("__med2")))
+      .withColumn("__mad4", med2Of("__dev2", "__id"))
+    scored
+      .where(col("__dev2") * 2 > col("__mad4") * k &&
+        (if (flagZeroMad) lit(true) else col("__mad4") > 0))
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__v").as("value_cents"), col("__med2").as("med2_cents"),
+        col("__dev2").as("dev2_cents"), col("__mad4").as("mad4_cents"))
   }
 }

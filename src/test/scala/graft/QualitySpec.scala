@@ -37,4 +37,29 @@ class QualitySpec extends SparkSpec {
     assert(row.getString(0) == "fk_check")
     assert(row.getLong(1) == 4 && row.getLong(2) == 2)
   }
+
+  test("madOutliers: Hampel flag in exact cents; masking-resistant; zero-MAD convention") {
+    // group a: values 1..9 plus a 100.0 spike. median=5.5 (med2=1100);
+    // devs2 |2v-1100| sorted = 100,100,300,300,500,500,700,700,900,18900
+    // → middle two 500+500 → mad4=1000 (MAD=2.5 dollars).
+    // flag: 2*dev2 > 5*mad4=5000 → dev2>2500 → only the spike (18900).
+    // With mean/stddev the spike inflates sigma to ~29.7 → z≈3.2 would
+    // need k<=3: the median screen flags it at k=5 comfortably.
+    val a = (1 to 9).map(v => ("a", v.toDouble, v.toLong)) :+ (("a", 100.0, 10L))
+    // group b: constant values → mad4=0 → no flags by default
+    val b = (11 to 15).map(i => ("b", 7.0, i.toLong))
+    val df = (a ++ b).toDF("g", "v", "id")
+    val got = Quality.madOutliers(df, "g", "v", "id", k = 5)
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L))
+    val r = rows.head
+    assert(r.getAs[Long]("value_cents") == 10000L)
+    assert(r.getAs[Long]("med2_cents") == 1100L)
+    assert(r.getAs[Long]("dev2_cents") == 18900L)
+    assert(r.getAs[Long]("mad4_cents") == 1000L)
+    // flagZeroMad=true flags every non-median row of the degenerate group
+    val zf = Quality.madOutliers(df.where($"g" === "b"), "g", "v", "id",
+      k = 5, flagZeroMad = true)
+    assert(zf.count() == 0) // all values equal the median → dev2 = 0 everywhere
+  }
 }
