@@ -29,6 +29,37 @@ object TextOracles {
     * `numMerges` TextQueries passes to Bpe.learnMerges. */
   private val BpeSteps = 10
 
+  /** Power-iteration steps the pca2/pca3 oracles unroll — must equal
+    * Pca.topComponent's default `steps`. */
+  private val PcaSteps = 8
+
+  /** Micro-quantized Gram + PcaSteps unrolled integer power steps
+    * (u = G·v as exact BIGINT sums; pivot = max-|u| component, smallest
+    * index on ties; renormalize via double division + trunc — trunc,
+    * NOT CAST, because DuckDB's BIGINT cast rounds while the engine's
+    * toLong truncates). MATERIALIZED where a CTE is read twice. */
+  private val pcaPowerCtes: String = {
+    val base =
+      """idx AS (SELECT unnest(range(1, 65)) AS i),
+        |g AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(sum(CAST(round(e.embedding[a.i]::DOUBLE * e.embedding[b.i]::DOUBLE
+        |                        * 1000000) AS BIGINT)) AS BIGINT) AS gv
+        |  FROM embeddings e, idx a, idx b GROUP BY 1, 2),
+        |v0 AS (SELECT i, CAST(1000000 AS BIGINT) AS val FROM idx)""".stripMargin
+    val steps = (1 to PcaSteps).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT g.i AS i, CAST(sum(g.gv * v.val) AS BIGINT) AS val
+         |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1),
+         |s$k AS (SELECT val FROM u$k ORDER BY abs(val) DESC, i LIMIT 1),
+         |v$k AS MATERIALIZED (
+         |  SELECT u.i,
+         |    CAST(trunc(u.val::DOUBLE / s.val::DOUBLE * 1000000) AS BIGINT) AS val
+         |  FROM u$k u, s$k s)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   /** Word-freq vocab (double-space token encoding) + [[BpeSteps]]
     * unrolled merge steps b1/v1 .. bN/vN. MATERIALIZED because each
     * v(k) is referenced twice (pair argmax + merge pass) — without it
@@ -2798,6 +2829,30 @@ object TextOracles {
         |  UNION
         |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.id)
         |SELECT id, min(r) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // pca1: quantized Gram upper triangle — per-term pico rounding +
+    // integer sums, order-free in both engines (1-based DuckDB array
+    // indexing mapped back to the engine's 0-based i/j)
+    "pca1_gram" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i)
+        |SELECT a.i - 1 AS i, b.i - 1 AS j,
+        |  CAST(sum(CAST(round(e.embedding[a.i]::DOUBLE * e.embedding[b.i]::DOUBLE
+        |                      * 1000000000000) AS BIGINT)) AS BIGINT) AS g_q
+        |FROM embeddings e, idx a, idx b
+        |WHERE b.i >= a.i
+        |GROUP BY 1, 2""".stripMargin,
+
+    "pca2_power" ->
+      s"""WITH $pcaPowerCtes
+         |SELECT i - 1 AS dim_idx, val AS loading_fixed FROM v$PcaSteps""".stripMargin,
+
+    "pca3_project" ->
+      s"""WITH $pcaPowerCtes
+         |SELECT e.vec_id,
+         |  CAST(sum(CAST(round(e.embedding[v.i]::DOUBLE * v.val) AS BIGINT))
+         |    AS BIGINT) AS score_q
+         |FROM embeddings e, v$PcaSteps v
+         |GROUP BY 1""".stripMargin,
 
     // ppj1: brute-force θ-Jaccard join — deliberately a DIFFERENT
     // algorithm from the engine's AllPairs prefix filter (token

@@ -1138,6 +1138,25 @@ object TextQueries {
           md5(upper(hex(col("frame")))).as("frame_md5"))
     }),
 
+    // ---- PCA family: distributed quantized Gram matrix, integer
+    // power-iteration top component (driver-side over the d×d collect),
+    // literal-inlined projection. Oracle replays the iteration as
+    // unrolled CTEs (the PageRank discipline).
+    "pca1_gram" -> ((s, dir) =>
+      graft.ml.Pca.gram(t(s, dir, "embeddings"))),
+
+    "pca2_power" -> ((s, dir) => {
+      val l = graft.ml.Pca.topComponent(t(s, dir, "embeddings"))
+      s.createDataFrame(l.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) })
+        .toDF("dim_idx", "loading_fixed")
+    }),
+
+    "pca3_project" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ml.Pca.project(e, "vec_id", "embedding",
+        graft.ml.Pca.topComponent(e))
+    }),
+
     // ---- PPJ1: EXACT θ-Jaccard self-join via AllPairs prefix filtering
     // (lossless — unlike dd3's MinHash LSH there is no recall loss). The
     // oracle computes the same answer by a DIFFERENT algorithm (brute
