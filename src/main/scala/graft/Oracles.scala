@@ -464,6 +464,25 @@ object Oracles {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
 
+    // W28: EWMA replay via rn-offset self-join. Weights 2^-gap are
+    // EXACT powers of two (integer shift, never pow()); x/2^gap and
+    // 1e6/2^gap are exact FP scalings, so the micro-rounded terms are
+    // bit-identical to the engine's and the integer sums order-free.
+    "w28_ewma" ->
+      s"""WITH $panelCte,
+         |r AS (
+         |  SELECT sid, date, close,
+         |    row_number() OVER (PARTITION BY sid ORDER BY date) AS rn
+         |  FROM panel)
+         |SELECT a.sid, a.date, a.close,
+         |  CAST(sum(CAST(round(b.close / (1::BIGINT << (a.rn - b.rn))::DOUBLE
+         |                      * 1000000) AS BIGINT)) AS BIGINT)::DOUBLE
+         |  / CAST(sum(CAST(round(1000000 / (1::BIGINT << (a.rn - b.rn))::DOUBLE)
+         |                  AS BIGINT)) AS BIGINT) AS ewma
+         |FROM r a JOIN r b
+         |  ON a.sid = b.sid AND b.rn BETWEEN a.rn - 49 AND a.rn
+         |GROUP BY a.sid, a.date, a.close, a.rn""".stripMargin,
+
     // min/max are order-free; the cents sum is exact integers; std is
     // rounded to 6dp (windowed variance accumulation order is an engine
     // internal — DuckDB segment-trees, Spark streams the frame)

@@ -378,6 +378,16 @@ object Queries {
         Panel.rollingMean(col("value"), 3).as("rolling_mean_3"))
     }),
 
+    // ---- W28: truncated-horizon EWMA with exact binary weights
+    // (pandas ewm(halflife=1), adjust=True) — micro-quantized terms so
+    // the oracle's rn-offset self-join sums the same integers the
+    // engine's in-frame fold does ----
+    "w28_ewma" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      Panel.ewmaBySid(supplierPanel(s, dir), "close", "ewma", horizon = 50)
+        .select(col("sid"), col("date"), col("close"), col("ewma"))
+    }),
+
     // ---- the rest of the W6 rolling family (min/max/sum-cents/std) ----
     "w6b_rolling_family" -> ((s, dir) => {
       implicit val k: Keys = evKeys

@@ -108,6 +108,55 @@ object Panel {
   def cumProd(c: Column)(implicit k: Keys): Column =
     exp(sum(log(c)).over(k.cumFrame))
 
+  /** Exponentially-weighted moving average (pandas
+    * `ewm(halflife=1).mean()`, adjust=True, ignore_na=False) truncated
+    * to a `horizon`-row frame, per sid, as a new `outCol`.
+    *
+    * The recurrence form is sequential, but with weights that halve per
+    * bar the tail is below one double ulp after ~53 rows, so the
+    * truncated closed form `Σ xⱼ·2^(1−j)/Σ 2^(1−j)` over a bounded
+    * window IS the ewma to machine precision — and a bounded window is
+    * a single per-sid frame: one exchange, no recursion.
+    *
+    * Determinism contract (why this is oracle-able where pandas parity
+    * wouldn't be): weights are EXACT binary (1/2^gap via integer shift
+    * — never `pow`, whose libm varies by engine), each term is
+    * micro-quantized (`round(x·w·10⁶)`), and numerator/denominator are
+    * integer sums — order-free — with one final IEEE division.
+    * `ignore_na=False` semantics come free: the row-number gap drives
+    * the weight, so a null row still ages earlier observations while
+    * contributing to neither sum. Horizon is capped at 63 (the shift
+    * width; weights beyond are sub-ulp anyway). */
+  def ewmaBySid(df: DataFrame, valueCol: String, outCol: String,
+      horizon: Int = 50)(implicit k: Keys): DataFrame = {
+    require(horizon >= 1 && horizon <= 63,
+      s"horizon must be in [1, 63], got $horizon")
+    val df1 = df.withColumn("__ewma_rn", row_number().over(k.bySid).cast("long"))
+    val frame = Window
+      .partitionBy((k.group :+ k.sid).map(col): _*)
+      .orderBy(k.order.map(col): _*)
+      .rowsBetween(-(horizon - 1), Window.currentRow)
+    // (rn, x) pairs in frame order; the current row's rn anchors the gap
+    val lst = collect_list(struct(col("__ewma_rn").as("rn"),
+      col(valueCol).cast("double").as("x"))).over(frame)
+    def weight(gap: Column): Column = // column-arg shiftleft: 1/2^gap, exact
+      lit(1.0) / call_function("shiftleft", lit(1L), gap.cast("int")).cast("double")
+    val terms = transform(lst, e => {
+      val w = weight(col("__ewma_rn") - e.getField("rn"))
+      struct(
+        when(e.getField("x").isNotNull,
+          round(e.getField("x") * w * 1e6).cast("long")).otherwise(lit(0L))
+          .as("num"),
+        when(e.getField("x").isNotNull,
+          round(w * 1e6).cast("long")).otherwise(lit(0L)).as("den"))
+    })
+    df1
+      .withColumn("__num", aggregate(terms, lit(0L), (a, t) => a + t.getField("num")))
+      .withColumn("__den", aggregate(terms, lit(0L), (a, t) => a + t.getField("den")))
+      .withColumn(outCol, safeDiv(col("__num").cast("double"), col("__den").cast("double")))
+      .drop("__ewma_rn", "__num", "__den")
+  }
+
   def cumSum(c: Column)(implicit k: Keys): Column =
     sum(c).over(k.cumFrame)
 

@@ -463,4 +463,35 @@ class PanelSpec extends SparkSpec {
     assert(out("B").getAs[Double]("garman_klass") == 0.0)
     assert(out("C").isNullAt(out("C").fieldIndex("parkinson")))
   }
+
+  test("ewmaBySid matches pandas ewm(halflife=1, adjust=True) within quantization") {
+    implicit val k: Panel.Keys = Panel.eod
+    val vals: Seq[Option[Double]] =
+      Seq(Some(10.0), Some(12.0), None, Some(11.0), Some(15.0), Some(14.0))
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("A", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), v)
+    }.toDF("sid", "date", "close")
+    val got = Panel.ewmaBySid(df, "close", "ewma", horizon = 50)
+      .orderBy("date").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex("ewma"))) None
+        else Some(r.getAs[Double]("ewma")))
+    // pandas ewm(halflife=1, adjust=True, ignore_na=False): weights 2^-gap
+    // by ROW distance; nulls excluded from both sums but still age others
+    val expect = vals.indices.map { i =>
+      val terms = (0 to i).flatMap(j => vals(j).map(x => (x, math.pow(2.0, -(i - j)))))
+      if (terms.isEmpty) None
+      else Some(terms.map(t => t._1 * t._2).sum / terms.map(_._2).sum)
+    }
+    got.zip(expect).zipWithIndex.foreach { case ((g, e), i) =>
+      (g, e) match {
+        case (Some(gv), Some(ev)) => assert(math.abs(gv - ev) < 1e-4, s"row $i")
+        case (gv, ev) => assert(gv == ev, s"row $i")
+      }
+    }
+    // null row: weights decay by ROW distance, so the missing row still
+    // ages earlier values — row 3 terms: 11·1, 12·2⁻², 10·2⁻³
+    assert(math.abs(got(3).get - (11.0 + 3.0 + 1.25) / (1.0 + 0.25 + 0.125)) < 1e-4)
+    assertThrows[IllegalArgumentException](
+      Panel.ewmaBySid(df, "close", "ewma", horizon = 64))
+  }
 }
