@@ -4268,6 +4268,33 @@ object Oracles {
          |    AS med2_cents
          |FROM v GROUP BY event_type""".stripMargin,
 
+    // ZO1: range-normalize each dimension into 16 bits with exact
+    // integer division, Morton-interleave bit-by-bit (16 bit-pairs,
+    // the engine's exact shift/mask/scale arithmetic), cell = top-4
+    // pairs
+    "zo1_zonemap" -> {
+      val interleave = (0 until 16).map(b =>
+        s"(((xn >> $b) & 1) << ${2 * b}) + (((yn >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT l_suppkey AS x,
+         |    CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS y
+         |  FROM lineitem),
+         |bounds AS (
+         |  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+         |  FROM b),
+         |n AS (
+         |  SELECT x, y,
+         |    (x - xlo) * 65536 // (xhi - xlo + 1) AS xn,
+         |    (y - ylo) * 65536 // (yhi - ylo + 1) AS yn
+         |  FROM b, bounds),
+         |z AS (SELECT x, y, ($interleave) AS z FROM n)
+         |SELECT z >> 24 AS cell_id, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
     // AD1: Hampel outliers replayed with the same doubled/quadrupled
     // integer fixed-point (med2 = 2·median cents, mad4 = 4·MAD cents;
     // flag when 2·dev2 > k·mad4) — integer comparisons only

@@ -2169,6 +2169,18 @@ object Queries {
         .agg(max(col("n")).as("n"), sum(col("v") * col("m")).as("med2_cents"))
     }),
 
+    // ---- ZO1: Z-order zone map — Morton-interleave (suppkey, ship-day)
+    // and report per-quadtree-cell bounding boxes: the audit a layout
+    // optimizer reads to see that z-clustering gives every file a
+    // narrow range in BOTH dimensions. Pure per-row bit arithmetic +
+    // one bounded-key aggregate ----
+    "zo1_zonemap" -> ((s, dir) =>
+      graft.sources.Layout.zoneMap(
+        t(s, dir, "lineitem"),
+        col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01")).cast("long"),
+        prefixBits = 4)),
+
     // ---- AD1: robust outlier screen — |x − med| > k·MAD per event
     // type, entirely in doubled/quadrupled integer cents (see
     // Quality.madOutliers): the Hampel identifier a 100 TB ingest runs
