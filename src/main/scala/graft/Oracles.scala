@@ -4328,6 +4328,75 @@ object Oracles {
          |FROM d JOIN md ON d.g = md.g
          |WHERE d.dev2 * 2 > md.mad4 * 5 AND md.mad4 > 0""".stripMargin,
 
+    // W30: winsorize replay — same all-integer rank arithmetic
+    // ((n·bp + 9999) // 10000) and exact order-statistic bounds
+    "w30_winsorize" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS g, ${c("value")} AS v, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY ${c("value")}, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |b AS (
+         |  SELECT g,
+         |    CAST(sum(CASE WHEN rn = (n * 500 + 9999) // 10000
+         |             THEN v ELSE 0 END) AS BIGINT) AS lo,
+         |    CAST(sum(CASE WHEN rn = (n * 9500 + 9999) // 10000
+         |             THEN v ELSE 0 END) AS BIGINT) AS hi
+         |  FROM v GROUP BY 1)
+         |SELECT v.event_id, v.g AS event_type,
+         |  CAST(v.v AS BIGINT) AS value_cents,
+         |  least(greatest(v.v, b.lo), b.hi) AS wins_cents,
+         |  b.lo AS lo_cents, b.hi AS hi_cents
+         |FROM v JOIN b ON v.g = b.g""".stripMargin,
+
+    // CT1: χ² contingency replay — observed counts exact, expected =
+    // row·col/total in the same double op order, per-cell term
+    // micro-rounded
+    "ct1_chisq" ->
+      """WITH obs AS (
+        |  SELECT event_type AS d1,
+        |    CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS d2,
+        |    count(*)::BIGINT AS o
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT g1.d1, g2.d2, coalesce(o.o, 0)::BIGINT AS o
+        |  FROM (SELECT DISTINCT d1 FROM obs) g1
+        |  CROSS JOIN (SELECT DISTINCT d2 FROM obs) g2
+        |  LEFT JOIN obs o ON o.d1 = g1.d1 AND o.d2 = g2.d2),
+        |m AS (
+        |  SELECT d1, d2, o,
+        |    sum(o) OVER (PARTITION BY d1) AS rt,
+        |    sum(o) OVER (PARTITION BY d2) AS ct,
+        |    sum(o) OVER () AS tot
+        |  FROM cells)
+        |SELECT d1, d2, o,
+        |  rt::DOUBLE * ct::DOUBLE / tot::DOUBLE AS expected,
+        |  CAST(round((o::DOUBLE - expected) * (o::DOUBLE - expected)
+        |             / expected * 1000000) AS BIGINT) AS chi2_term_micro
+        |FROM m""".stripMargin,
+
+    // AB1: two-proportion z replay — identical expression tree (the
+    // one sqrt is IEEE-correctly-rounded, so bit-equal cross-engine)
+    "ab1_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT v, count(*)::BIGINT AS n, CAST(sum(cv) AS BIGINT) AS conv
+        |      FROM pu GROUP BY 1),
+        |a AS (SELECT v AS variant_a, n AS n_a, conv AS conv_a
+        |      FROM s ORDER BY v LIMIT 1),
+        |b AS (SELECT v AS variant_b, n AS n_b, conv AS conv_b
+        |      FROM s ORDER BY v DESC LIMIT 1)
+        |SELECT variant_a, n_a, conv_a, variant_b, n_b, conv_b,
+        |  (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+        |    / sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |           * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |           * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS z,
+        |  abs(z) >= 1.96 AS significant_95
+        |FROM a, b""".stripMargin,
+
     "dq1_expectations" ->
       """SELECT 'quantity_in_range' AS rule, count(*) AS n_checked,
         |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50

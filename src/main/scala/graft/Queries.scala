@@ -2190,6 +2190,26 @@ object Queries {
         events(s, dir), groupCol = "event_type", valueCol = "value",
         idCol = "event_id", k = 5)),
 
+    // ---- W30: per-group winsorization at exact [p5, p95] order-stat
+    // bounds (clamp, don't drop — madOutliers' feature-prep companion)
+    "w30_winsorize" -> ((s, dir) =>
+      graft.sources.Quality.winsorize(
+        events(s, dir), groupCol = "event_type", valueCol = "value",
+        idCol = "event_id")),
+
+    // ---- CT1: event_type × ISO-weekday contingency + χ² independence
+    // terms (micro-quantized so the total is an exact integer sum) ----
+    "ct1_chisq" -> ((s, dir) =>
+      graft.events.Events.chiSquare(events(s, dir),
+        col("event_type"),
+        ((dayofweek(col("ts")) + 5) % 7 + 1).cast("long"))),
+
+    // ---- AB1: two-proportion conversion z-test between the user-id
+    // parity variants; one sqrt (IEEE-exact), no libm ----
+    "ab1_ztest" -> ((s, dir) =>
+      graft.events.Events.abConversionZ(events(s, dir),
+        variant = col("user_id") % 2, convType = "purchase")),
+
     // ---- declarative data-quality expectations: all predicate rules per
     // table in ONE aggregate pass + left-anti referential checks ----
     "dq1_expectations" -> ((s, dir) => {

@@ -2854,6 +2854,47 @@ object TextOracles {
          |FROM embeddings e, v$PcaSteps v
          |GROUP BY 1""".stripMargin,
 
+    // er1: ppj1's brute-force pairs → recursive-CTE closure (the gr3
+    // discipline) → survivorship window. Both the pair set AND the
+    // component labels come from independent algorithms.
+    "er1_entities" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |          FOR i IN range(1, len(ws) - 1)]) AS t
+        |  FROM w WHERE len(ws) >= 3),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM sh),
+        |sz AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+        |  WHERE i * 1000000 >= 500000 * (sa.s + sb.s - i)),
+        |e AS (SELECT da AS s, db AS t FROM p
+        |      UNION ALL SELECT db, da FROM p),
+        |nodes AS (SELECT DISTINCT s AS id FROM e),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |ent AS (
+        |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS entity, d.n_chars
+        |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+        |rk AS (
+        |  SELECT entity, doc_id,
+        |    row_number() OVER (PARTITION BY entity
+        |                       ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY entity) AS n
+        |  FROM ent)
+        |SELECT entity, CAST(max(n) AS BIGINT) AS n_members,
+        |  max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc
+        |FROM rk GROUP BY entity""".stripMargin,
+
     // ppj1: brute-force θ-Jaccard join — deliberately a DIFFERENT
     // algorithm from the engine's AllPairs prefix filter (token
     // equi-join intersection counts, no prefix pruning), so the

@@ -1138,6 +1138,25 @@ object TextQueries {
           md5(upper(hex(col("frame")))).as("frame_md5"))
     }),
 
+    // ---- ER1: entity resolution end-to-end — EXACT similarity pairs
+    // (ppj1's lossless prefix-filter join) → min-label connected
+    // components → survivorship (canonical record = longest text, tie
+    // smallest id). Singletons resolve to themselves via the left join.
+    "er1_entities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.SetJoin.prefixFilterJoin(docs, theta = 0.5)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("entity", coalesce(col("cluster"), col("doc_id")))
+        .groupBy("entity")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+            .as("canonical_doc"))
+    }),
+
     // ---- PCA family: distributed quantized Gram matrix, integer
     // power-iteration top component (driver-side over the d×d collect),
     // literal-inlined projection. Oracle replays the iteration as

@@ -43,19 +43,20 @@ import org.apache.spark.sql.functions._
   */
 object SetJoin {
 
-  /** Distinct word-`width`-gram shingle set of `textCol`, lowercase,
-    * split on single spaces (the corpus' own delimiter). Docs with
-    * fewer than `width` words produce an empty set and drop out. */
-  private def shingles(textCol: Column, width: Int): Column = {
-    val ws = split(lower(textCol), " ")
+  /** Distinct word-`width`-gram shingle set over a MATERIALIZED word
+    * array column (callers project `split(lower(text), " ")` first:
+    * passing the split expression itself would re-evaluate it at every
+    * `element_at`/`size` reference — measured 7.2 s → 0.6 s on the
+    * sf0.1 shingle pass). Docs with fewer than `width` words produce
+    * an empty set and drop out. */
+  private def shingles(wsCol: Column, width: Int): Column =
     // sequence(0, n) DESCENDS when n < 0 (then element_at(…, 0) throws),
     // so short docs must short-circuit to an empty set before transform
-    when(size(ws) >= width,
+    when(size(wsCol) >= width,
       array_distinct(transform(
-        sequence(lit(0), size(ws) - width),
-        i => concat_ws(" ", (0 until width).map(j => element_at(ws, (i + j + 1).cast("int"))): _*))))
+        sequence(lit(0), size(wsCol) - width),
+        i => concat_ws(" ", (0 until width).map(j => element_at(wsCol, (i + j + 1).cast("int"))): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ `theta`:
     * (doc_a, doc_b, inter_size, union_size, jaccard). Exact — no
@@ -74,57 +75,92 @@ object SetJoin {
     // (doc, token) pairs — evaluated by three consumers (doc freq,
     // prefix, verify sets), so truncate the shingling work once.
     val tok = docs
-      .select(col(idCol).as("__id"), explode(shingles(col(textCol), shingleWidth)).as("__t"))
+      .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__ws"))
+      .select(col("__id"), explode(shingles(col("__ws"), shingleWidth)).as("__t"))
       .localCheckpoint(eager = false)
 
-    // Canonical AllPairs ordering: ascending corpus frequency, token
-    // string as the total-order tiebreaker. Kept as a SORT KEY inside
-    // each doc's array — no global rank materialization (a global
+    // Dictionary-encode the vocabulary: every downstream join/groupBy
+    // keys on a LONG token id instead of a ~30-char shingle string
+    // (the verify stage shuffles candidate-token mass — narrow keys
+    // halve it). The id only needs to be INJECTIVE, not deterministic:
+    // the prefix filter is lossless under ANY consistent total order,
+    // so the θ-join output is id-assignment-independent.
+    val vocab = tok.groupBy("__t")
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__tid", monotonically_increasing_id())
+    val tokId = tok.join(vocab, "__t")
+      .select(col("__id"), col("__tid"), col("__df"))
+      .localCheckpoint(eager = false)
+
+    // Canonical AllPairs ordering: ascending corpus frequency, token id
+    // as the total-order tiebreaker. Kept as a SORT KEY inside each
+    // doc's array — no global rank materialization (a global
     // row_number over the vocabulary would be a single-partition
     // window; struct sort gives the same order for free).
-    val docFreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
-
-    val sorted = tok
-      .join(docFreq, "__t")
+    val sorted = tokId
       .groupBy("__id")
-      .agg(sort_array(collect_list(struct(col("__df"), col("__t")))).as("__st"),
+      .agg(sort_array(collect_list(struct(col("__df"), col("__tid")))).as("__st"),
         count(lit(1)).as("__s"))
     // p = s − ⌈θ·s⌉ + 1 rarest tokens are the doc's join keys
     val prefixed = sorted.select(
       col("__id"), col("__s"),
-      slice(col("__st.__t"), lit(1),
+      slice(col("__st.__tid"), lit(1),
         (col("__s") - ceil(col("__s") * theta) + 1).cast("int")).as("__pfx"))
 
+    // checkpointed: the self-join below would otherwise recompute the
+    // whole shingle→freq→sort→prefix pipeline once per aliased side
+    // (the dd7 aliased-recompute lesson — measured 11.2 → 2.9 s here)
     val prefixTok = prefixed
-      .select(col("__id"), col("__s"), explode(col("__pfx")).as("__t"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__t")))
+      .select(col("__id"), col("__s"),
+        posexplode(col("__pfx")).as(Seq("__p0", "__tid")))
+      .withColumn("__p", col("__p0").cast("long") + 1L).drop("__p0")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__tid")))
       .observe("prefix_buckets",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
       .where(col("__n") <= maxBucket)
+      .localCheckpoint(eager = false)
 
-    // candidate pairs: share a prefix token + two-sided length filter
-    val a = prefixTok.select(col("__t"), col("__id").as("__ida"), col("__s").as("__sa"))
-    val b = prefixTok.select(col("__t"), col("__id").as("__idb"), col("__s").as("__sb"))
-    val cands = a.join(b, Seq("__t"))
+    // candidate pairs: share a prefix token + two-sided length filter +
+    // PPJoin positional filter. The meeting positions (1-based, in the
+    // frequency-sorted order) bound the overlap from above —
+    // inter ≤ min(pa,pb) − 1 (shared before the meeting) + 1 (the
+    // meeting token) + min(sa−pa, sb−pb) (shared after) — and
+    // Jaccard ≥ θ needs inter·(10⁶+θµ) ≥ θµ·(sa+sb), so any meeting
+    // whose bound falls short is pruned EXACTLY (lossless: it is an
+    // upper bound, and a qualifying pair always has a qualifying first
+    // meeting).
+    val a = prefixTok.select(col("__tid"), col("__id").as("__ida"),
+      col("__s").as("__sa"), col("__p").as("__pa"))
+    val b = prefixTok.select(col("__tid"), col("__id").as("__idb"),
+      col("__s").as("__sb"), col("__p").as("__pb"))
+    val cands = a.join(b, Seq("__tid"))
       .where(col("__ida") < col("__idb") &&
-        least(col("__sa"), col("__sb")) * lit(1000000L) >= lit(thetaMicro) * greatest(col("__sa"), col("__sb")))
+        least(col("__sa"), col("__sb")) * lit(1000000L) >= lit(thetaMicro) * greatest(col("__sa"), col("__sb")) &&
+        (least(col("__pa"), col("__pb")) +
+          least(col("__sa") - col("__pa"), col("__sb") - col("__pb"))) *
+          lit(1000000L + thetaMicro) >= lit(thetaMicro) * (col("__sa") + col("__sb")))
       .select("__ida", "__idb").distinct()
 
-    // exact verify on candidates only: |A∩B| via array_intersect over
-    // the docs' (bounded-length) shingle sets
-    val sets = tok.groupBy("__id")
-      .agg(collect_list(col("__t")).as("__set"), count(lit(1)).as("__s"))
-    val verified = cands
-      .join(sets.select(col("__id").as("__ida"), col("__set").as("__seta"), col("__s").as("__sa")), "__ida")
-      .join(sets.select(col("__id").as("__idb"), col("__set").as("__setb"), col("__s").as("__sb")), "__idb")
+    // exact verify on candidates only: |A∩B| as a NARROW token join +
+    // count (expand each candidate pair by the a-side's tokens, keep
+    // the rows the b-side also has, count per pair). Collected-array
+    // intersection was measured 2× slower here — it drags ~1 KB string
+    // arrays through two joins; this shape shuffles only (pair, token)
+    // triples, ∝ candidate-token mass. Every candidate shares ≥1
+    // prefix token, so no θ>0 pair can be lost by the inner-join count.
+    val sizes = tokId.groupBy("__id").agg(count(lit(1)).as("__s"))
+    cands
+      .join(tokId.select(col("__id").as("__ida"), col("__tid")), "__ida")
+      .join(tokId.select(col("__id").as("__idb"), col("__tid")), Seq("__idb", "__tid"))
+      .groupBy("__ida", "__idb").agg(count(lit(1)).as("inter_size"))
+      .join(sizes.select(col("__id").as("__ida"), col("__s").as("__sa")), "__ida")
+      .join(sizes.select(col("__id").as("__idb"), col("__s").as("__sb")), "__idb")
       .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
-        size(array_intersect(col("__seta"), col("__setb"))).cast("long").as("inter_size"),
-        col("__sa"), col("__sb"))
-      .withColumn("union_size", col("__sa") + col("__sb") - col("inter_size"))
+        col("inter_size"),
+        (col("__sa") + col("__sb") - col("inter_size")).as("union_size"))
       .where(col("inter_size") * lit(1000000L) >= lit(thetaMicro) * col("union_size"))
-
-    verified.select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
-      (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
+        (col("inter_size").cast("double") / col("union_size")).as("jaccard"))
   }
 }

@@ -1009,6 +1009,80 @@ object Events {
       .agg(count(lit(1)).as("n_users"), sum(col("__mon")).as("monetary_cents"))
   }
 
+  /** Contingency table + χ² independence terms for two categorical
+    * event dimensions: per cell, the observed count, the expected count
+    * under independence (row·col/total — per-row IEEE division), and
+    * the micro-quantized χ² contribution ((O−E)²/E, rounded to 6dp) so
+    * the TOTAL χ² is an exact integer sum over the bounded cell table.
+    *
+    * Scale: one data-volume aggregate to cell counts; the margins are
+    * windows over the CELL table (bounded: |dim1|·|dim2| rows), never
+    * over events — the unpartitioned total-count window is over that
+    * same bounded table, not data. */
+  def chiSquare(events: DataFrame, dim1: Column, dim2: Column): DataFrame = {
+    val observed = events.groupBy(dim1.as("d1"), dim2.as("d2"))
+      .agg(count(lit(1)).as("__o"))
+    // complete the grid: a ZERO cell still has E = row·col/total > 0
+    // and contributes E to χ² — groupBy alone would silently drop it.
+    // Both sides of the crossJoin are dimension-bounded distinct sets.
+    val cells = observed.select(col("d1")).distinct()
+      .crossJoin(observed.select(col("d2")).distinct())
+      .join(observed, Seq("d1", "d2"), "left")
+      .withColumn("o", coalesce(col("__o"), lit(0L))).drop("__o")
+    val rowT = sum(col("o")).over(Window.partitionBy("d1"))
+    val colT = sum(col("o")).over(Window.partitionBy("d2"))
+    val tot = sum(col("o")).over(Window.partitionBy())
+    cells
+      .withColumn("expected",
+        rowT.cast("double") * colT.cast("double") / tot.cast("double"))
+      .withColumn("chi2_term_micro",
+        round((col("o").cast("double") - col("expected"))
+          * (col("o").cast("double") - col("expected"))
+          / col("expected") * 1e6).cast("long"))
+  }
+
+  /** Two-proportion z-test on user-level conversion between variants:
+    * a user belongs to the variant of their FIRST event (ordered by
+    * ts, eventId — deterministic under reassignment noise) and converts
+    * if they ever emit `convType`. One row: per-variant user/conversion
+    * counts, the pooled z statistic, and the |z| ≥ 1.96 flag.
+    *
+    * Determinism: counts are exact integers; z is a fixed expression
+    * tree of IEEE divisions, one multiply chain, and ONE sqrt (sqrt is
+    * correctly rounded by IEEE-754, so engines agree bit-for-bit —
+    * unlike exp/erf, which is why no p-value column is emitted: a
+    * normal CDF would drag libm in). The two variant rows reduce on
+    * the driver-free crossJoin of two 1-row aggregates. */
+  def abConversionZ(
+      events: DataFrame,
+      variant: Column,
+      convType: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      eventIdCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        min_by(variant, struct(col(tsCol), col(eventIdCol))).as("__var"),
+        max((col(typeCol) === convType).cast("long")).as("__conv"))
+    val sides = perUser.groupBy("__var")
+      .agg(count(lit(1)).as("n"), sum(col("__conv")).as("conv"))
+    val a = sides.orderBy("__var").limit(1)
+      .select(col("__var").as("variant_a"), col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = sides.orderBy(col("__var").desc).limit(1)
+      .select(col("__var").as("variant_b"), col("n").as("n_b"), col("conv").as("conv_b"))
+    val p1 = col("conv_a").cast("double") / col("n_a").cast("double")
+    val p2 = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    a.crossJoin(b) // two 1-row frames — bounded by design
+      .withColumn("z", (p1 - p2) / se)
+      .withColumn("significant_95", abs(col("z")) >= 1.96)
+  }
+
   /** Exact rolling `windowDays`-day distinct-user count (rolling
     * DAU/WAU/MAU) for EVERY day between the first and last activity —
     * without a per-window recount.

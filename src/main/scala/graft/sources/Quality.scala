@@ -117,4 +117,41 @@ object Quality {
         col("__v").as("value_cents"), col("__med2").as("med2_cents"),
         col("__dev2").as("dev2_cents"), col("__mad4").as("mad4_cents"))
   }
+
+  /** Per-group winsorization at exact order-statistic percentile bounds
+    * — clamp, don't drop (the feature-prep companion to
+    * [[madOutliers]]' flag-and-review).
+    *
+    * Bounds are the ⌈n·pLo⌉-th and ⌈n·pHi⌉-th order statistics of the
+    * group in integer cents — no interpolation, so both engines agree
+    * bit-for-bit. Percentiles are passed in basis points (Int), keeping
+    * the rank arithmetic `(n·bp + 9999) div 10000` all-integer. One
+    * rank window + one count window on a single group exchange, bounds
+    * recovered with conditional window sums (no second scan, no join).
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      loBp: Int = 500,
+      hiBp: Int = 9500): DataFrame = {
+    require(0 < loBp && loBp < hiBp && hiBp < 10000,
+      s"need 0 < loBp < hiBp < 10000, got ($loBp, $hiBp)")
+    val v = round(col(valueCol) * 100).cast("long")
+    val wAll = Window.partitionBy("__g")
+    val wOrd = Window.partitionBy("__g").orderBy(col("__v"), col("__id"))
+    def kOf(bp: Int): Column = // ⌈n·bp/10000⌉, all-integer
+      call_function("div", count(lit(1)).over(wAll) * bp + 9999, lit(10000L))
+    def statAt(k: Column): Column =
+      sum(when(row_number().over(wOrd).cast("long") === k, col("__v"))
+        .otherwise(lit(0L))).over(wAll)
+    df.select(col(groupCol).as("__g"), v.as("__v"), col(idCol).as("__id"))
+      .withColumn("__lo", statAt(kOf(loBp)))
+      .withColumn("__hi", statAt(kOf(hiBp)))
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__v").as("value_cents"),
+        least(greatest(col("__v"), col("__lo")), col("__hi")).as("wins_cents"),
+        col("__lo").as("lo_cents"), col("__hi").as("hi_cents"))
+  }
 }

@@ -37,7 +37,8 @@ class CatalogPlanSpec extends SparkSpec {
     "ml8_purged_cv", "ml9_walk_forward", "r7_densify", "coint1_pairs",
     "sd2_prototypes", "sd3_semantic_decontam",
     "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
-    "ev20_retention_fit") // ≤maxOffset per-offset caps behind a filter
+    "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
+    "ct1_chisq") // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
 
   /** A broadcast side is provably bounded when its subtree ends in a
     * grouping-free aggregate (scalar — exactly one row), a literal
@@ -54,6 +55,9 @@ class CatalogPlanSpec extends SparkSpec {
       case _: LocalTableScanExec => true
       case _: org.apache.spark.sql.execution.RangeExec => true
       case l if l.nodeName.contains("Limit") => true
+      // orderBy().limit(n) plans as TakeOrderedAndProject — a global
+      // limit in disguise (ab1's two 1-row variant frames)
+      case t if t.nodeName.contains("TakeOrdered") => true
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         provablyBounded(r.child)
     }.contains(true)

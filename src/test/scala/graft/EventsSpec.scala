@@ -500,4 +500,39 @@ class EventsSpec extends SparkSpec {
       assert(got === expect, s"windowDays=$w")
     }
   }
+
+  test("chiSquare: margins multiply out; independent table gives zero terms") {
+    import spark.implicits._
+    // perfectly independent 2x2: O == E everywhere → every term 0
+    val ind = Seq.tabulate(60) { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i % 3).toLong)
+    }.toDF("id", "t", "d")
+    val z = graft.events.Events.chiSquare(ind, col("t"), col("d")).collect()
+    assert(z.length == 6 && z.forall(_.getAs[Long]("chi2_term_micro") == 0L))
+    // dependent: type a only on d=0 — chi2 = n (=4) for a 2x2 with
+    // perfect association; cells (a,0)=2,(b,1)=2
+    val dep = Seq((1L, "a", 0L), (2L, "a", 0L), (3L, "b", 1L), (4L, "b", 1L))
+      .toDF("id", "t", "d")
+    val terms = graft.events.Events.chiSquare(dep, col("t"), col("d"))
+      .collect().map(_.getAs[Long]("chi2_term_micro")).sum
+    assert(terms == 4000000L)
+  }
+
+  test("abConversionZ: counts, pooled z, and significance on a known split") {
+    import spark.implicits._
+    // variant 0: 4 users, 3 convert; variant 1: 4 users, 1 converts
+    val ev = (0 until 8).flatMap { u =>
+      val conv = if (u % 2 == 0) u < 6 else u == 1
+      Seq((u * 10L, u.toLong, "view", "2024-01-01 00:00:00")) ++
+        (if (conv) Seq((u * 10L + 1, u.toLong, "purchase", "2024-01-01 01:00:00")) else Nil)
+    }.toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = graft.events.Events.abConversionZ(ev, col("user_id") % 2, "purchase").head()
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("conv_a") == 3)
+    assert(r.getAs[Long]("n_b") == 4 && r.getAs[Long]("conv_b") == 1)
+    val p1 = 0.75; val p2 = 0.25; val pp = 0.5
+    val z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / 4 + 1.0 / 4))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
+    assert(!r.getAs[Boolean]("significant_95")) // z ≈ 1.414 < 1.96
+  }
 }

@@ -62,4 +62,20 @@ class QualitySpec extends SparkSpec {
       k = 5, flagZeroMad = true)
     assert(zf.count() == 0) // all values equal the median → dev2 = 0 everywhere
   }
+
+  test("winsorize clamps to exact order-statistic bounds") {
+    // 20 values 1..20 dollars: k_lo = ceil(20*0.05) = 1 → lo = 100 cents;
+    // k_hi = ceil(20*0.95) = 19 → hi = 1900 cents. 20.0 clamps to 19.0;
+    // nothing clamps below (the minimum IS the p5 order stat at n=20).
+    val df = (1 to 20).map(i => ("g", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val rows = Quality.winsorize(df, "g", "v", "id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.values.forall(r =>
+      r.getAs[Long]("lo_cents") == 100L && r.getAs[Long]("hi_cents") == 1900L))
+    assert(rows(20L).getAs[Long]("wins_cents") == 1900L)
+    assert(rows(1L).getAs[Long]("wins_cents") == 100L)
+    assert(rows(10L).getAs[Long]("wins_cents") == 1000L)
+    assertThrows[IllegalArgumentException](
+      Quality.winsorize(df, "g", "v", "id", loBp = 9500, hiBp = 500))
+  }
 }
