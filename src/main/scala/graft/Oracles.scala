@@ -4160,6 +4160,53 @@ object Oracles {
         |WHERE rn = 1 OR prev IS DISTINCT FROM event_type
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
+    // J12: scd2 replay (the scd1 oracle's lag/rn/lead) + a direct
+    // BETWEEN join — the engine's bucketized equi-join must agree
+    "j12_scd_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM ev WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(row_number() OVER w2 AS BIGINT) AS version,
+        |    event_type AS state,
+        |    ts AS valid_from,
+        |    lead(ts) OVER w2 AS valid_to
+        |  FROM m
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS purchase_cents
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.purchase_cents, d.state, d.version
+        |FROM f JOIN d ON f.user_id = d.user_id
+        |  AND f.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
+
+    // SK3: the exact side is ev24's brute force; the sketch side is
+    // engine-internal (datasketches HLL), pinned only through the
+    // hashed error-contract bool — the sk1/sk2 discipline
+    "sk3_hll_rolling" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(CAST(ts AS DATE)) FROM events),
+        |    (SELECT max(CAST(ts AS DATE)) FROM events),
+        |    INTERVAL 1 DAY))::DATE AS day)
+        |SELECT s.day, count(DISTINCT e.user_id)::BIGINT AS active_users,
+        |  TRUE AS approx_ok
+        |FROM spine s
+        |LEFT JOIN events e
+        |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
+        |GROUP BY s.day""".stripMargin,
+
     "a9_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -2058,6 +2058,53 @@ object Queries {
         entity = "user_id", ts = "ts", tie = "event_id", state = "event_type")
     }),
 
+    // ---- J12: fact→SCD2 enrichment — each purchase joined to the
+    // user's state version valid AT the purchase instant ([from, to)
+    // semantics; dim = scd2 over the non-purchase changelog). The
+    // interval join is the bucketized equi-join (1-day bins), never a
+    // theta join; open intervals are capped at the analysis horizon so
+    // the bin explosion stays bounded ----
+    "j12_scd_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val dim = graft.panel.Changelog.scd2(
+        ev.where(col("event_type") =!= "purchase")
+          .select("user_id", "ts", "event_id", "event_type"),
+        entity = "user_id", ts = "ts", tie = "event_id", state = "event_type")
+        .withColumn("__end",
+          coalesce(col("valid_to"), to_timestamp(lit("2024-12-31"))))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("purchase_cents"))
+      graft.panel.Intervals.pointInInterval(
+        facts, dim, keyCols = Seq("user_id"), tsCol = "ts",
+        startCol = "valid_from", endCol = "__end", bucket = 86400000000L)
+        .where(col("valid_to").isNull || col("ts") < col("valid_to"))
+        .select(col("event_id"), col("user_id"), col("purchase_cents"),
+          col("state"), col("version").cast("long").as("version"))
+    }),
+
+    // ---- SK3: the 100 TB path for ev24 — per-day HLL sketch partials,
+    // rolling union via explode-to-served-days equi-join (a sketch
+    // merge per window, never a per-window recount; no theta join).
+    // The exact sweep rides along and the 5% error contract is the
+    // hashed bool ----
+    "sk3_hll_rolling" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val exact = graft.events.Events.rollingActiveUsers(ev, windowDays = 7)
+      val perDay = ev.select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy("d").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = perDay
+        .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+          col("sk"))
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      exact.join(rolled, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          when(col("active_users") === 0, coalesce(col("est"), lit(0L)) === 0)
+            .otherwise(abs(col("est") - col("active_users")).cast("double")
+              / col("active_users") <= 0.05).as("approx_ok"))
+    }),
+
     // ---- ROLLUP with grouping_id (hierarchical subtotal lattice) ----
     "a9_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")

@@ -99,4 +99,26 @@ class ChangelogProfilerSpec extends SparkSpec {
     val exchanges = "hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected ≤1 entity exchange, plan:\n$plan")
   }
+
+  test("fact→SCD2 join honors [valid_from, valid_to) at exact boundaries") {
+    import spark.implicits._
+    // dim changelog: state A at 10:00, B at 12:00 → A valid [10,12), B [12,∞)
+    val dim = graft.panel.Changelog.scd2(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "A"), (1L, "2024-01-01 12:00:00", 2L, "B"))
+        .toDF("u", "s", "op", "st")
+        .select($"u", to_timestamp($"s").as("ts"), $"op", $"st"),
+      entity = "u", ts = "ts", tie = "op", state = "st")
+      .withColumn("__end", coalesce($"valid_to", to_timestamp(lit("2024-12-31"))))
+    // facts at 11:59:59 (→A), exactly 12:00 (→B, the ')' boundary),
+    // 13:00 (→B), and 09:00 (before any version → dropped)
+    val facts = Seq((1L, "2024-01-01 11:59:59", 10L), (1L, "2024-01-01 12:00:00", 11L),
+      (1L, "2024-01-01 13:00:00", 12L), (1L, "2024-01-01 09:00:00", 13L))
+      .toDF("u", "s", "fid").select($"u", to_timestamp($"s").as("ts"), $"fid")
+    val got = graft.panel.Intervals.pointInInterval(
+      facts, dim, keyCols = Seq("u"), tsCol = "ts",
+      startCol = "valid_from", endCol = "__end", bucket = 3600000000L)
+      .where($"valid_to".isNull || $"ts" < $"valid_to")
+      .select($"fid", $"state").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "A", 11L -> "B", 12L -> "B"))
+  }
 }
