@@ -4207,6 +4207,43 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // TS1: Theil–Sen replay — same pair expansion, same (slope, xa, xb)
+    // total order, same middle-order-statistic sum (only two nonzero
+    // addends → FP-commutative, order-free)
+    "ts1_theilsen" ->
+      s"""WITH $panelCte,
+         |pts AS (
+         |  SELECT sid,
+         |    CAST(date - DATE '1992-01-01' AS BIGINT) AS x,
+         |    ${c("close")} AS y
+         |  FROM panel WHERE sid <= 8),
+         |pr AS (
+         |  SELECT a.sid AS g, a.x AS xa, b.x AS xb,
+         |    (b.y - a.y)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+         |  FROM pts a JOIN pts b ON a.sid = b.sid AND a.x < b.x),
+         |r AS (
+         |  SELECT g, slope,
+         |    row_number() OVER (PARTITION BY g ORDER BY slope, xa, xb) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS np
+         |  FROM pr)
+         |SELECT g AS sid, CAST(max(np) AS BIGINT) AS n_pairs,
+         |  sum(slope * (CAST(rn = (np + 1) // 2 AS INT)
+         |               + CAST(rn = (np + 2) // 2 AS INT))) / 2.0
+         |    AS slope_cents_per_x
+         |FROM r GROUP BY g""".stripMargin,
+
+    // A14: grouping sets — DuckDB's GROUPING() bit order matches
+    // grouping_id() (MSB = first listed column), verified like a9/a10
+    "a14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin,
+
     "a9_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
@@ -4353,8 +4390,9 @@ object Oracles {
          |    count(*) OVER (PARTITION BY event_type) AS n
          |  FROM events),
          |m AS (
-         |  SELECT g, CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-         |                     THEN v ELSE 0 END) AS BIGINT) AS med2
+         |  SELECT g, CAST(sum(v * (CAST(rn = (n + 1) // 2 AS BIGINT)
+         |                          + CAST(rn = (n + 2) // 2 AS BIGINT)))
+         |             AS BIGINT) AS med2
          |  FROM v GROUP BY g),
          |d AS (
          |  SELECT v.g, v.v, v.event_id, m.med2,
@@ -4364,8 +4402,9 @@ object Oracles {
          |    count(*) OVER (PARTITION BY v.g) AS n
          |  FROM v JOIN m ON v.g = m.g),
          |md AS (
-         |  SELECT g, CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2
-         |                     THEN dev2 ELSE 0 END) AS BIGINT) AS mad4
+         |  SELECT g, CAST(sum(dev2 * (CAST(rn = (n + 1) // 2 AS BIGINT)
+         |                             + CAST(rn = (n + 2) // 2 AS BIGINT)))
+         |             AS BIGINT) AS mad4
          |  FROM d GROUP BY g)
          |SELECT d.event_id, d.g AS event_type,
          |  CAST(d.v AS BIGINT) AS value_cents,

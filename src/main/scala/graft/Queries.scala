@@ -2105,6 +2105,30 @@ object Queries {
               / col("active_users") <= 0.05).as("approx_ok"))
     }),
 
+    // ---- TS1: Theil–Sen robust slope per sid (8-sid slice — the
+    // O(n²)-per-group pair expansion is explicit, guarded, and both
+    // engines replay the exact middle-order-statistic pick) ----
+    "ts1_theilsen" -> ((s, dir) =>
+      graft.sources.Quality.theilSen(
+        supplierPanel(s, dir).where(col("sid") <= 8),
+        groupCol = "sid",
+        xCol = datediff(col("date"), lit("1992-01-01")),
+        valueCol = "close")),
+
+    // ---- A14: explicit GROUPING SETS (the lattice a9/a10 don't
+    // cover: hand-picked subtotal combinations) ----
+    "a14_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping_id() AS BIGINT) AS gid,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+          count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))""")
+    }),
+
     // ---- ROLLUP with grouping_id (hierarchical subtotal lattice) ----
     "a9_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")

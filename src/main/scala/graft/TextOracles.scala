@@ -2854,6 +2854,35 @@ object TextOracles {
          |FROM embeddings e, v$PcaSteps v
          |GROUP BY 1""".stripMargin,
 
+    // wn1: winnowing replay — identical Horner polynomial (base 257
+    // mod 2^31−1) via per-position explode + window min + rn ≥ w
+    // (window-level formulation vs the engine's in-array one: same
+    // fingerprint sets, different shape)
+    "wn1_winnow_pairs" -> {
+      val horner = (1 until 20).foldLeft(
+        "CAST(ascii(substring(t, i, 1)) AS BIGINT)") { (acc, j) =>
+        s"(($acc * 257 + ascii(substring(t, i + $j, 1))) % 2147483647)"
+      }
+      s"""WITH lt AS (
+         |  SELECT doc_id, lower(text) AS t FROM documents
+         |  WHERE length(lower(text)) >= 29),
+         |hs AS (
+         |  SELECT doc_id, i, $horner AS h
+         |  FROM lt, unnest(range(1, length(t) - 18)) AS u(i)),
+         |wins AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS f,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         |  FROM hs),
+         |fp AS (SELECT DISTINCT doc_id, f FROM wins WHERE rn >= 10)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*)::BIGINT AS shared
+         |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin
+    },
+
     // er1: ppj1's brute-force pairs → recursive-CTE closure (the gr3
     // discipline) → survivorship window. Both the pair set AND the
     // component labels come from independent algorithms.

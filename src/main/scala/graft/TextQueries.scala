@@ -1138,6 +1138,17 @@ object TextQueries {
           md5(upper(hex(col("frame")))).as("frame_md5"))
     }),
 
+    // ---- WN1: winnowing fingerprint pairs (MOSS) — character-level
+    // near-dup: every shared substring of length ≥ w+k−1 = 29 chars
+    // forces a shared fingerprint; hashing + window-min selection run
+    // in ONE per-row array expression (no corpus-wide explode).
+    // (k=20/w=10 tuned on this corpus: short grams over a 31-word
+    // vocabulary collide on common word bigrams and the pair table
+    // approaches the complete graph.)
+    "wn1_winnow_pairs" -> ((s, dir) =>
+      graft.dedup.Winnow.fingerprintPairs(
+        t(s, dir, "documents"), k = 20, w = 10, minShared = 3)),
+
     // ---- ER1: entity resolution end-to-end — EXACT similarity pairs
     // (ppj1's lossless prefix-filter join) → min-label connected
     // components → survivorship (canonical record = longest text, tie

@@ -100,10 +100,12 @@ object Quality {
       val rn = row_number().over(wOrd).cast("long")
       val n = count(lit(1)).over(wAll)
       // (n+1)/2 would be DOUBLE division in Column algebra — keep the
-      // middle-rank arithmetic integral via floor
-      sum(when(rn === floor((n + 1) / 2).cast("long")
-          || rn === floor((n + 2) / 2).cast("long"), col(c))
-        .otherwise(lit(0L))).over(wAll)
+      // middle-rank arithmetic integral via floor. ADDITIVE indicators,
+      // not OR: for odd n the two middle ranks coincide and the value
+      // must count TWICE (med2 = 2·median in every parity — the a12
+      // multiplicity discipline; an OR would halve odd-group medians)
+      sum(col(c) * ((rn === floor((n + 1) / 2).cast("long")).cast("long")
+        + (rn === floor((n + 2) / 2).cast("long")).cast("long"))).over(wAll)
     }
     val scored = df
       .select(col(groupCol).as("__g"), v.as("__v"), col(idCol).as("__id"))
@@ -153,5 +155,62 @@ object Quality {
         col("__v").as("value_cents"),
         least(greatest(col("__v"), col("__lo")), col("__hi")).as("wins_cents"),
         col("__lo").as("lo_cents"), col("__hi").as("hi_cents"))
+  }
+
+  /** Theil–Sen robust trend per group: the median of all pairwise
+    * slopes (yⱼ−yᵢ)/(xⱼ−xᵢ) over xᵢ < xⱼ — a 29%-breakdown trend
+    * estimate that one fat-fingered tick can't bend the way OLS bends
+    * ([[madOutliers]]' regression sibling).
+    *
+    * Shape: the O(n²)-per-group pair expansion is explicit and
+    * GUARDED — groups beyond `maxPoints` raise loudly (the Intervals
+    * raise_error discipline) instead of silently expanding; the pair
+    * join is an equi-join on the group key with an in-partition x<x
+    * filter, and the median is the exact middle-order-statistic pick
+    * (a12 discipline) over slopes ordered by (slope, xᵢ, xⱼ) — each
+    * slope one per-row IEEE division of exact integers (cents/days),
+    * so both engines order and pick identically. Equal-x pairs are
+    * excluded (vertical slope). Output slope is in cents per x-unit:
+    * `med2_slope / 2`. */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      xCol: Column,
+      valueCol: String,
+      maxPoints: Int = 2000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val base = df.select(col(groupCol).as("__g"), xCol.cast("long").as("__x"),
+      round(col(valueCol) * 100).cast("long").as("__y"))
+    val guarded = base
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      .withColumn("__x",
+        when(col("__n") > maxPoints, raise_error(format_string(
+          s"theilSen: group %s has %s points (> $maxPoints): the O(n²) " +
+            "pair expansion needs an explicit opt-in via maxPoints",
+          col("__g").cast("string"), col("__n").cast("string"))).cast("long"))
+          .otherwise(col("__x")))
+      .select("__g", "__x", "__y")
+    val pairs = guarded.alias("a")
+      .join(guarded.alias("b"),
+        col("a.__g") === col("b.__g") && col("a.__x") < col("b.__x"))
+      .select(col("a.__g").as("__g"), col("a.__x").as("__xa"), col("b.__x").as("__xb"),
+        ((col("b.__y") - col("a.__y")).cast("double") /
+          (col("b.__x") - col("a.__x")).cast("double")).as("__slope"))
+    val wAll = Window.partitionBy("__g")
+    val wOrd = Window.partitionBy("__g")
+      .orderBy(col("__slope"), col("__xa"), col("__xb"))
+    val rn = row_number().over(wOrd).cast("long")
+    val np = count(lit(1)).over(wAll)
+    pairs
+      .withColumn("__np", np)
+      // additive indicators (the a12 multiplicity discipline): for odd
+      // n_pairs the middle ranks coincide and the slope counts twice
+      .withColumn("__med2", sum(col("__slope") *
+        ((rn === floor((np + 1) / 2).cast("long")).cast("int")
+          + (rn === floor((np + 2) / 2).cast("long")).cast("int")).cast("double"))
+        .over(wAll))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__np")).as("n_pairs"),
+        (max(col("__med2")) / 2.0).as("slope_cents_per_x"))
   }
 }

@@ -78,4 +78,22 @@ class QualitySpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Quality.winsorize(df, "g", "v", "id", loBp = 9500, hiBp = 500))
   }
+
+  test("theilSen recovers a slope through an outlier that bends OLS") {
+    // y = 3x dollars with one wild point at x=10 (y=1000): 45 pairwise
+    // slopes, the 9 involving the outlier are extreme, the median stays 3.
+    val pts = ((0 to 9).map(x => ("g", x.toLong, 3.0 * x)) :+ (("g", 10L, 1000.0)))
+      .toDF("g", "x", "v")
+    val r = Quality.theilSen(pts, "g", col("x"), "v").head()
+    assert(r.getAs[Long]("n_pairs") == 55)
+    assert(r.getAs[Double]("slope_cents_per_x") == 300.0) // 3 $/x = 300 cents/x
+    // OLS for contrast bends to ~20x the true slope
+    val ols = pts.agg((covar_pop($"x", $"v") / var_pop($"x")).as("b")).head().getDouble(0)
+    assert(ols > 30.0)
+    // guard: the pair expansion must be an explicit opt-in
+    val big = (0 until 60).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "x", "v")
+    val e = intercept[Exception](
+      Quality.theilSen(big, "g", col("x"), "v", maxPoints = 50).collect())
+    assert(e.getMessage.contains("theilSen") || e.getCause != null)
+  }
 }
