@@ -4207,6 +4207,43 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // QN1: quantile-normalization replay — same within-group ranks,
+    // same ⌈r·N/ng⌉ target rank, same cumulative-histogram lookup
+    "qn1_quantile_norm" ->
+      s"""WITH r AS (
+         |  SELECT event_type AS g, ${c("value")} AS v, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY ${c("value")}, event_id) AS r,
+         |    count(*) OVER (PARTITION BY event_type) AS ng
+         |  FROM events),
+         |n AS (SELECT count(*) AS n FROM events),
+         |h AS (
+         |  SELECT v AS hv, count(*) AS c
+         |  FROM (SELECT ${c("value")} AS v FROM events) GROUP BY 1),
+         |hh AS (SELECT hv, c, sum(c) OVER (ORDER BY hv) AS cum FROM h)
+         |SELECT r.event_id, r.g AS event_type,
+         |  CAST(r.v AS BIGINT) AS value_cents,
+         |  CAST(hh.hv AS BIGINT) AS norm_cents
+         |FROM r CROSS JOIN n
+         |JOIN hh ON ((r.r * n.n + r.ng - 1) // r.ng) > (hh.cum - hh.c)
+         |       AND ((r.r * n.n + r.ng - 1) // r.ng) <= hh.cum""".stripMargin,
+
+    // CP1: compaction-plan replay — same size-desc cumulative packing
+    "cp1_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT l_orderkey % 500 AS file_id,
+        |    count(*) * 100 AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT bytes,
+        |    sum(bytes) OVER (ORDER BY bytes DESC, file_id) AS cum
+        |  FROM f)
+        |SELECT CAST((cum - 1) // 400000 AS BIGINT) AS bin_id,
+        |  count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  CAST(sum(bytes) AS BIGINT)::DOUBLE / 400000 AS fill_ratio
+        |FROM p GROUP BY 1""".stripMargin,
+
     // TS1: Theil–Sen replay — same pair expansion, same (slope, xa, xb)
     // total order, same middle-order-statistic sum (only two nonzero
     // addends → FP-commutative, order-free)

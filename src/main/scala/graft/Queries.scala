@@ -2105,6 +2105,25 @@ object Queries {
               / col("active_users") <= 0.05).as("approx_ok"))
     }),
 
+    // ---- QN1: quantile normalization — each event type's value
+    // distribution mapped onto the corpus-wide reference by exact
+    // order-statistic ranks (bounded cents-histogram lookup, no global
+    // row sort) ----
+    "qn1_quantile_norm" -> ((s, dir) =>
+      graft.sources.Quality.quantileNormalize(
+        events(s, dir), groupCol = "event_type", valueCol = "value",
+        idCol = "event_id")),
+
+    // ---- CP1: small-file compaction plan — size-desc cumulative
+    // packing into 400 KB bins over a simulated file listing ----
+    "cp1_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 500).as("file_id"))
+        .agg((count(lit(1)) * 100).as("bytes"))
+      graft.sources.Layout.compactionPlan(files, "file_id", "bytes",
+        targetBytes = 400000L)
+    }),
+
     // ---- TS1: Theil–Sen robust slope per sid (8-sid slice — the
     // O(n²)-per-group pair expansion is explicit, guarded, and both
     // engines replay the exact middle-order-statistic pick) ----

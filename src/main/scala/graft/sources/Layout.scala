@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering — the
@@ -98,5 +99,34 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+  }
+
+  /** Small-file compaction plan (Delta OPTIMIZE / Iceberg rewrite
+    * planning): pack files into `targetBytes` bins by descending size
+    * (big files anchor bins, small files fill them — the standard
+    * deterministic cumulative-sum packing; true FFD is a sequential
+    * recurrence and buys little at these fill rates). Returns one row
+    * per bin: file count, byte total, fill ratio.
+    *
+    * The window runs over FILE METADATA (one row per file — a listing,
+    * not data; 100 TB at 128 MB/file is ~800 k rows, driver-table
+    * scale), which is the same cardinality class any table-format
+    * manifest scan handles. */
+  def compactionPlan(
+      files: DataFrame,
+      fileCol: String,
+      sizeCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val ordered = Window.orderBy(col(sizeCol).desc, col(fileCol))
+    files
+      .withColumn("__cum", sum(col(sizeCol)).over(
+        ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("bin_id",
+        call_function("div", col("__cum") - lit(1L), lit(targetBytes)))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol)).as("bytes"),
+        (sum(col(sizeCol)).cast("double") / targetBytes).as("fill_ratio"))
   }
 }

@@ -213,4 +213,48 @@ object Quality {
       .agg(max(col("__np")).as("n_pairs"),
         (max(col("__med2")) / 2.0).as("slope_cents_per_x"))
   }
+
+  /** Quantile normalization: map each value onto the REFERENCE (whole
+    * table) distribution by rank — the batch-effect / cross-source
+    * score-calibration transform (a source whose scores run hot is
+    * pulled onto the corpus-wide distribution without inventing a
+    * parametric form).
+    *
+    * Exact, order-statistic semantics: a row at within-group rank r of
+    * nᵍ maps to the reference order statistic at rank
+    * ⌈r·N/nᵍ⌉ — all-integer rank arithmetic.
+    *
+    * Scale shape: the within-group rank is one group-key window; the
+    * reference side is NOT a global sort — it is a cumulative histogram
+    * over DISTINCT integer cents (the aucDelong boundedness argument:
+    * a quantized value domain is dimension-bounded, row count is not),
+    * and the rank lookup is a range join against that broadcast
+    * histogram (cum_{v−1} < k ≤ cum_v). The one unpartitioned window
+    * runs over the histogram, never over rows. */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String): DataFrame = {
+    val v = round(col(valueCol) * 100).cast("long")
+    val rows = df.select(col(groupCol).as("__g"), v.as("__v"), col(idCol).as("__id"))
+    val wg = Window.partitionBy("__g").orderBy(col("__v"), col("__id"))
+    val ranked = rows
+      .withColumn("__r", row_number().over(wg).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy("__g")))
+    // reference: cumulative histogram over distinct cents (bounded)
+    val hist = rows.groupBy(col("__v").as("__hv"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy("__hv").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lo", col("__cum") - col("__c"))
+    val n = rows.agg(count(lit(1)).as("__n"))
+    ranked
+      .crossJoin(broadcast(n)) // one scalar row — bounded by design
+      .withColumn("__k",
+        call_function("div", col("__r") * col("__n") + col("__ng") - 1L, col("__ng")))
+      .join(broadcast(hist), col("__k") > col("__lo") && col("__k") <= col("__cum"))
+      .select(col("__id").as(idCol), col("__g").as(groupCol),
+        col("__v").as("value_cents"), col("__hv").as("norm_cents"))
+  }
 }

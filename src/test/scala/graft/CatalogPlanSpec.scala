@@ -38,7 +38,8 @@ class CatalogPlanSpec extends SparkSpec {
     "sd2_prototypes", "sd3_semantic_decontam",
     "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
-    "ct1_chisq") // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
+    "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
+    "qn1_quantile_norm") // rank lookup vs the distinct-cents histogram (value-domain-bounded broadcast)
 
   /** A broadcast side is provably bounded when its subtree ends in a
     * grouping-free aggregate (scalar — exactly one row), a literal

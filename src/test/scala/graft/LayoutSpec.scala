@@ -58,4 +58,19 @@ class LayoutSpec extends SparkSpec {
     assert(median(boxes.map(_.getAs[Long]("xspan")).toSeq) <= gx / 2)
     assert(median(boxes.map(_.getAs[Long]("yspan")).toSeq) <= gy / 2)
   }
+
+  test("compactionPlan conserves bytes and packs to ~target") {
+    val files = Seq(("f1", 300L), ("f2", 250L), ("f3", 200L), ("f4", 150L),
+      ("f5", 100L), ("f6", 50L), ("f7", 25L)).toDF("f", "bytes")
+    val bins = Layout.compactionPlan(files, "f", "bytes", targetBytes = 400L).collect()
+    assert(bins.map(_.getAs[Long]("bytes")).sum == 1075L)
+    assert(bins.map(_.getAs[Long]("n_files")).sum == 7L)
+    // size-desc cumulative packing: cum 300,550,750,900,1000,1050,1075 →
+    // bins 0:{300}, 1:{250,200}, 2:{150,100,50,25}
+    val byBin = bins.map(r => r.getAs[Long]("bin_id") -> r).toMap
+    assert(byBin(0L).getAs[Long]("bytes") == 300L)
+    assert(byBin(1L).getAs[Long]("bytes") == 450L)
+    assert(byBin(2L).getAs[Long]("bytes") == 325L)
+    assert(math.abs(byBin(1L).getAs[Double]("fill_ratio") - 1.125) < 1e-12)
+  }
 }

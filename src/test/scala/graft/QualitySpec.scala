@@ -96,4 +96,25 @@ class QualitySpec extends SparkSpec {
       Quality.theilSen(big, "g", col("x"), "v", maxPoints = 50).collect())
     assert(e.getMessage.contains("theilSen") || e.getCause != null)
   }
+
+  test("quantileNormalize: identity on a single group; shifted group lands on reference order stats") {
+    // one group == reference → every value maps to itself
+    val one = (1 to 9).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    Quality.quantileNormalize(one, "g", "v", "id").collect().foreach { r =>
+      assert(r.getAs[Long]("norm_cents") == r.getAs[Long]("value_cents"))
+    }
+    // group b is a +1000 shift of group a: after normalization b's rank-r
+    // value must land on the REFERENCE order stat at ceil(r*N/ng)
+    val two = ((1 to 4).map(i => ("a", i.toDouble, i.toLong)) ++
+      (1 to 4).map(i => ("b", 1000.0 + i, 100L + i))).toDF("g", "v", "id")
+    val got = Quality.quantileNormalize(two, "g", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("norm_cents")).toMap
+    // all cents sorted: 100,200,300,400,100100,...,100400 (N=8)
+    val ref = Seq(100L, 200L, 300L, 400L, 100100L, 100200L, 100300L, 100400L)
+    for (r <- 1 to 4) {
+      val k = (r * 8 + 3) / 4 // ceil(r*N/ng)
+      assert(got(r.toLong) == ref(k - 1), s"group a rank $r")
+      assert(got(100L + r) == ref(k - 1), s"group b rank $r")
+    }
+  }
 }
