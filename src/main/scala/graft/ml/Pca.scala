@@ -36,18 +36,61 @@ import graft.ParameterError
 object Pca {
 
   /** Upper triangle (i ≤ j, 0-based) of the quantized Gram matrix
-    * Σ_rows round(eᵢ·eⱼ·quantum): `(i, j, g_q)`. One distributed
-    * aggregate over a d(d+1)/2-way per-row expansion; the key space is
-    * dimension-bounded so partial aggregation collapses it map-side. */
+    * Σ_rows round(eᵢ·eⱼ·quantum): `(i, j, g_q)`.
+    *
+    * Per-partition imperative accumulation (one of the two documented
+    * mapPartitions seams is exactly this shape): a posexplode² outer
+    * product would materialize n·d(d+1)/2 rows — a 2 080× row
+    * amplification at d=64, ruinous on 100 TB of embeddings — while
+    * the accumulator emits d(d+1)/2 partial rows PER PARTITION. The
+    * per-term `rint(eᵢ·eⱼ·quantum)` happens before any addition and
+    * partials merge by exact integer sum, so the result is identical
+    * to the expression form under any partitioning (PcaSpec pins it
+    * against a driver brute force). Partial overflow bound:
+    * quantum·max|eᵢeⱼ|·rows-per-partition < 2⁶³ — at the pico default
+    * and unit-norm vectors, ~10⁷ rows per partition. */
   def gram(embs: DataFrame, vecCol: String = "embedding",
-      quantum: Double = 1e12): DataFrame =
-    embs
-      .select(posexplode(col(vecCol)).as(Seq("i", "__ei")), col(vecCol).as("__v"))
-      .select(col("i"), col("__ei"), posexplode(col("__v")).as(Seq("j", "__ej")))
-      .where(col("j") >= col("i"))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(sum(round(col("__ei").cast("double") * col("__ej").cast("double") * quantum)
-        .cast("long")).as("g_q"))
+      quantum: Double = 1e12): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col(vecCol)).as[Seq[Float]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        it.foreach { v =>
+          if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+          require(v.length == d, s"ragged embedding: ${v.length} != $d")
+          var i = 0
+          var k = 0
+          while (i < d) {
+            val ei = v(i).toDouble
+            var j = i
+            while (j < d) {
+              // half-AWAY-from-zero, matching Spark round()/DuckDB
+              // round() (rint would be half-even; Math.round half-up —
+              // both diverge from the oracle on negative .5 ties)
+              val t = ei * v(j).toDouble * quantum
+              acc(k) += (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+              k += 1; j += 1
+            }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          var i = 0; var k = 0
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](acc.length)
+          while (i < d) {
+            var j = i
+            while (j < d) { out += ((i.toLong, j.toLong, acc(k))); k += 1; j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "g_q")
+      .groupBy("i", "j").agg(sum(col("g_q")).as("g_q"))
+  }
 
   /** Top principal direction as micro fixed-point loadings
     * (index → round-to-trunc(vᵢ·10⁶), normalized so the max-|·|

@@ -17,7 +17,10 @@ class PcaSpec extends SparkSpec {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val d = vecs.head.length
     val expect = (for (i <- 0 until d; j <- i until d) yield {
-      val s = vecs.map(v => math.rint(v(i) * v(j) * 1e12).toLong).sum
+      val s = vecs.map { v =>
+        val t = v(i) * v(j) * 1e12 // half-away-from-zero (engine/oracle rule)
+        (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+      }.sum
       ((i.toLong, j.toLong), s)
     }).toMap
     val got = Pca.gram(embs).collect()
@@ -56,8 +59,10 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expect = embs.select($"vec_id", $"embedding").collect().map { r =>
       val v = r.getSeq[Float](1)
-      r.getLong(0) -> v.indices.map(j =>
-        math.rint(v(j).toDouble * loadings(j)).toLong).sum
+      r.getLong(0) -> v.indices.map { j =>
+        val t = v(j).toDouble * loadings(j)
+        (if (t >= 0) math.floor(t + 0.5) else math.ceil(t - 0.5)).toLong
+      }.sum
     }.toMap
     assert(got === expect)
   }
