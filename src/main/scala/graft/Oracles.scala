@@ -704,6 +704,73 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // CS1: CUSUM closed form — Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ); all
+    // integer until the final (÷n then ÷100) de-scaling divisions
+    "cs1_cusum" ->
+      """WITH r AS (
+        |  SELECT user_id AS g, event_id AS id, ts,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT *, count(*) OVER (PARTITION BY g) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) AS sx
+        |  FROM r),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(n*v - sx - n*2500) OVER (PARTITION BY g
+        |      ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+        |    CAST(sum(sx - n*2500 - n*v) OVER (PARTITION BY g
+        |      ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q
+        |  FROM w),
+        |s AS (
+        |  SELECT *,
+        |    p - least(CAST(min(p) OVER (PARTITION BY g ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS sp,
+        |    q - least(CAST(min(q) OVER (PARTITION BY g ORDER BY ts, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS sn
+        |  FROM c)
+        |SELECT id AS event_id, g AS user_id, v AS value_cents,
+        |  round((sp::DOUBLE / n) / 100.0, 6) AS s_pos,
+        |  round((sn::DOUBLE / n) / 100.0, 6) AS s_neg,
+        |  CASE WHEN sp > n*20000 AND sn > n*20000 THEN 'both'
+        |       WHEN sp > n*20000 THEN 'up' ELSE 'down' END AS side
+        |FROM s WHERE sp > n*20000 OR sn > n*20000""".stripMargin,
+
+    // EV25: Nelson–Aalen — same risk-set CTEs as ev11; each d/n
+    // increment micro-nat-quantized at 1e12 before the cumulative sum
+    "ev25_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f,
+        |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM pu),
+        |obs AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', l, (SELECT m FROM mx)) >= 1
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |bd AS (
+        |  SELECT dur, count(*)::BIGINT AS c, CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |nn AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY dur DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        |  FROM bd),
+        |st AS (
+        |  SELECT dur, n, d,
+        |    CAST(round(d::DOUBLE / n * 1e12) AS BIGINT) AS hq
+        |  FROM nn WHERE d > 0),
+        |cm AS (
+        |  SELECT dur, n, d,
+        |    CAST(sum(hq) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM st)
+        |SELECT dur AS t, n AS n_risk, d AS n_events,
+        |  round(cum::DOUBLE / 1e12, 6) AS cum_hazard,
+        |  round(exp(-(cum::DOUBLE) / 1e12), 6) AS fh_survival
+        |FROM cm""".stripMargin,
+
     // EV22: windowed conversion — first toType AT OR AFTER the first
     // touch (per-user first-touch via window, then conditional min
     // against it): a pre-touch conversion neither counts nor masks a
@@ -4130,6 +4197,65 @@ object Oracles {
          |  count(*) AS n
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey""".stripMargin,
+
+    // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
+    // rows estimate, same all-integer contract arithmetic
+    "sk4_cms_contract" ->
+      """WITH pk AS (
+        |  SELECT user_id, count(*)::BIGINT AS exact FROM events GROUP BY 1),
+        |fan AS (
+        |  SELECT user_id, exact, r, CAST(CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'cms' || r, user_id)), 1, 8))
+        |      AS BIGINT) % 256 AS BIGINT) AS b
+        |  FROM pk, unnest([0, 1, 2, 3]) AS t(r)),
+        |cells AS (
+        |  SELECT r, b, CAST(sum(exact) AS BIGINT) AS n
+        |  FROM fan GROUP BY 1, 2),
+        |est AS (
+        |  SELECT user_id, CAST(min(n) AS BIGINT) AS est
+        |  FROM fan JOIN cells USING (r, b)
+        |  GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS N FROM events)
+        |SELECT count(*)::BIGINT AS n_keys,
+        |  CAST(sum(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_underestimates,
+        |  CAST(sum(CASE WHEN (est - exact) * 256 > 2 * N THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outside_bound,
+        |  CAST(max(est - exact) AS BIGINT) AS max_overestimate
+        |FROM pk JOIN est USING (user_id), tot""".stripMargin,
+
+    // MV1: the oracle computes the view FROM SCRATCH over the
+    // logically-equivalent fact set (base minus retracted plus new) —
+    // the engine only ever touches partials, so a hash match proves
+    // the incremental algebra equals the recompute
+    "mv1_incremental_view" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE (o_orderdate < TIMESTAMP '1998-01-01' AND o_orderkey % 17 <> 0)
+        |   OR o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |HAVING count(*) > 0""".stripMargin,
+
+    // SKY1: dominance spelled directly as NOT EXISTS — a different
+    // algorithm from the engine's level prefix-min windows
+    "sky1_pareto" ->
+      """WITH pts AS (
+        |  SELECT l_suppkey AS sid,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |      AS qty_units
+        |  FROM lineitem GROUP BY 1)
+        |SELECT sid, revenue_cents, qty_units
+        |FROM pts b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts a
+        |  WHERE a.revenue_cents >= b.revenue_cents
+        |    AND a.qty_units <= b.qty_units
+        |    AND (a.revenue_cents > b.revenue_cents
+        |         OR a.qty_units < b.qty_units))""".stripMargin,
 
     "cdc1_snapshot" ->
       s"""WITH r AS (

@@ -571,6 +571,22 @@ object Queries {
     "ev24_rolling_active" -> ((s, dir) =>
       graft.events.Events.rollingActiveUsers(events(s, dir), windowDays = 7)),
 
+    // ---- CS1: two-sided CUSUM changepoint screen per user — the
+    // sequential Page recurrence rewritten as cumsum − running-min
+    // window algebra (one group exchange, no recursion); exact
+    // integer cents scaled by n to keep the group mean rational
+    "cs1_cusum" -> ((s, dir) =>
+      graft.sources.Quality.cusum(
+        events(s, dir), groupCol = "user_id", valueCol = "value",
+        orderCols = Seq("ts"), idCol = "event_id",
+        kCents = 2500L, hCents = 20000L)),
+
+    // ---- EV25: Nelson–Aalen cumulative hazard + Fleming–Harrington
+    // survival over the ev11 lifetime model (shared risk sets; the
+    // hash pins the micro-nat increment quantization)
+    "ev25_nelson_aalen" -> ((s, dir) =>
+      graft.events.Events.nelsonAalen(events(s, dir), censorDays = 1)),
+
     "ev3_funnel" -> ((s, dir) =>
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),
@@ -2039,6 +2055,67 @@ object Queries {
     }),
 
     // ---- CDC latest-wins compaction: upsert/delete log → snapshot ----
+    // ---- SKY1: Pareto skyline over the supplier entity frame —
+    // maximize revenue, minimize shipped units. Engine = level
+    // prefix-min window algebra with lossless bucket pre-pruning
+    // (identical output at any bucket count — SkylineSpec proves it);
+    // oracle = independent NOT-EXISTS dominance anti-join.
+    "sky1_pareto" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("sid"))
+        .agg(sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+          sum(round(col("l_quantity")).cast("long")).as("qty_units"))
+      graft.panel.Skyline.skyline2d(
+        pts, idCol = "sid", maxCol = "revenue_cents", minCol = "qty_units",
+        prePruneBuckets = 16)
+    }),
+
+    // ---- SK4: Count-Min sketch error contract — build the d×w grid
+    // (per-key reduce → depth fan-out → one groupBy), estimate every
+    // key back out of it, and report the one-sided-error contract in
+    // ALL-INTEGER form ((est−exact)·width vs 2N — no ε division)
+    "sk4_cms_contract" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val (depth, width) = (4, 256)
+      val sketch = graft.sketch.Cms.build(ev, "user_id", depth, width)
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+      val est = graft.sketch.Cms.estimate(exact, sketch, "user_id", depth, width)
+      val n = ev.agg(count(lit(1)).as("__N"))
+      exact.join(est, Seq("user_id"))
+        .crossJoin(broadcast(n)) // one scalar row — bounded by design
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("est") < col("exact"), 1L).otherwise(0L))
+            .as("n_underestimates"),
+          sum(when((col("est") - col("exact")) * width > lit(2L) * col("__N"),
+            1L).otherwise(0L)).as("n_outside_bound"),
+          max(col("est") - col("exact")).as("max_overestimate"))
+    }),
+
+    // ---- MV1: incremental view maintenance — base partials ⊕ signed
+    // CDC partials, NEVER re-reading the base facts. The oracle
+    // recomputes the view from scratch over the logically-equivalent
+    // fact set, so the hash proves the retraction algebra itself.
+    "mv1_incremental_view" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val basePeriod = orders.where(col("o_orderdate") < split)
+      val base = basePeriod
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"))
+      val inserts = orders.where(col("o_orderdate") >= split)
+        .select(col("o_custkey"), lit(1L).as("n_rows"),
+          cents(col("o_totalprice")).as("sum_cents"))
+      val retractions = basePeriod.where(col("o_orderkey") % 17 === 0)
+        .select(col("o_custkey"), lit(-1L).as("n_rows"),
+          (-cents(col("o_totalprice"))).as("sum_cents"))
+      graft.panel.Changelog.mergeAggView(
+        base, inserts.unionByName(retractions), keys = Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_cents").as("revenue_cents"))
+    }),
+
     "cdc1_snapshot" -> ((s, dir) => {
       val ev = events(s, dir)
       val log = ev.select(col("user_id"), col("ts"), col("event_id"),

@@ -613,6 +613,58 @@ object Events {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ over the same
+    * lifetime/censoring model as [[kaplanMeier]] (shared risk-set
+    * derivation: one per-user agg, one per-duration agg, a
+    * reverse-cumulative risk count over the bounded duration frame).
+    *
+    * Exactness: each increment dᵢ/nᵢ is one IEEE division of exact
+    * integers, micro-nat-quantized at 1e12 and cumulatively summed —
+    * the kaplanMeier ln-term discipline, so both engines agree
+    * bit-for-bit. `fh_survival` = exp(−H) is the Fleming–Harrington
+    * survival estimator, derived from the SAME quantized sum (KM ≤ FH
+    * pointwise; the gap is a model-risk diagnostic). Curve rows only at
+    * event times; output 6dp. Scale: everything after the per-user agg
+    * lives on the duration frame, bounded by the corpus date span. */
+  def nelsonAalen(
+      events: DataFrame,
+      censorDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (censorDays < 1)
+      throw new ParameterError(s"censorDays must be >= 1: $censorDays")
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(day).as("__f"), max(day).as("__l"))
+      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+    val maxD = perUser.agg(max(col("__l")).as("__mx"))
+    val obs = perUser
+      .crossJoin(broadcast(maxD))
+      .select(
+        datediff(col("__l"), col("__f")).cast("long").as("__dur"),
+        when(datediff(col("__mx"), col("__l")) >= censorDays, 1L)
+          .otherwise(0L).as("__ev"))
+    val wDesc = Window.orderBy(col("__dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("__dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs
+      .groupBy(col("__dur"))
+      .agg(count(lit(1)).as("__c"), sum(col("__ev")).as("__d"))
+      .withColumn("__n", sum(col("__c")).over(wDesc))
+      .where(col("__d") > 0)
+      .withColumn("__hq",
+        round(col("__d").cast("double") / col("__n") * 1e12).cast("long"))
+      .withColumn("__cum", sum(col("__hq")).over(wAsc))
+      .select(
+        col("__dur").as("t"),
+        col("__n").as("n_risk"),
+        col("__d").as("n_events"),
+        round(col("__cum").cast("double") / 1e12, 6).as("cum_hazard"),
+        round(exp(-col("__cum").cast("double") / 1e12), 6).as("fh_survival"))
+  }
+
   /** Two-proportion A/B conversion test with DETERMINISTIC hash
     * assignment ([[graft.text.Sampling.hashUnit]] — the same md5 split
     * in any engine, retry/resize-proof): users below 0.5 are arm A,

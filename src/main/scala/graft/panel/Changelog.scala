@@ -68,4 +68,41 @@ object Changelog {
         lead(col(ts), 1).over(wr).as("valid_to"))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental maintenance of a per-key (count, sum) aggregate view —
+    * the retractable-aggregate algebra behind materialized-view engines
+    * (and Spark's own streaming update mode): the view is kept as
+    * mergeable PARTIALS (n, sum), a CDC batch arrives as signed partials
+    * (insert = +1/+x, retract/delete = −1/−x), and the refreshed view is
+    * `union → one groupBy(key)` — never a recompute over the base table.
+    * Keys whose merged count reaches 0 drop out of the view; a negative
+    * merged count means the delta retracted rows the base never had, and
+    * the view is corrupt — that contract is enforced LOUDLY rather than
+    * clamped, because a silent clamp would hide an upstream double-send.
+    *
+    * Scale: cost ∝ |view partials| + |delta|, one shuffle on the view
+    * key; the base fact table is never re-read. Count and sum are the
+    * canonical self-inverse aggregates; min/max are NOT retractable and
+    * must not be routed through this (they need the scd2/latestSnapshot
+    * recompute path).
+    */
+  def mergeAggView(
+      base: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      nCol: String = "n_rows",
+      sumCol: String = "sum_cents"): DataFrame = {
+    val keyCols = keys.map(col)
+    base.select(keyCols :+ col(nCol) :+ col(sumCol): _*)
+      .unionByName(delta.select(keyCols :+ col(nCol) :+ col(sumCol): _*))
+      .groupBy(keyCols: _*)
+      .agg(sum(col(nCol)).as(nCol), sum(col(sumCol)).as(sumCol))
+      .withColumn(nCol,
+        when(col(nCol) < 0, raise_error(concat(
+          lit("mergeAggView: negative merged count for key "),
+          concat_ws("/", keyCols: _*),
+          lit(" — delta retracted rows the base does not have"))))
+          .otherwise(col(nCol)))
+      .where(col(nCol) > 0)
+  }
 }

@@ -257,4 +257,64 @@ object Quality {
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         col("__v").as("value_cents"), col("__hv").as("norm_cents"))
   }
+
+  /** Two-sided CUSUM changepoint screen (Page 1954) per group, exact
+    * integer arithmetic throughout.
+    *
+    * The textbook recurrence S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − μ₀ − k) is
+    * sequential, but it has the closed form S⁺ₜ = Pₜ − min(0, min_{j≤t}
+    * Pⱼ) with Pₜ the cumulative sum of (xₜ − μ₀ − k) — so the whole
+    * screen is window algebra: one group exchange, two ordered frames
+    * (cumsum + running min per side), no recursion and no driver loop.
+    * μ₀ is the group's own mean held EXACT by scaling every term by the
+    * group size n (work in units of cents·n): upₜ = n·xₜ − Σx − n·k.
+    * The downward side mirrors with aₜ = Σx − n·k − n·xₜ. Alarm rows
+    * are those where either scaled statistic exceeds n·h.
+    *
+    * Outputs only alarm rows (id, group, value_cents, s_pos, s_neg,
+    * side), with the statistics de-scaled to value units (÷n then ÷100,
+    * two IEEE divisions in that order — the oracle mirrors the shape)
+    * rounded 6dp. Overflow contract: n²·max|x−μ₀| cents must stay under
+    * 2⁶³ — at 10⁶-row groups of $10⁶ values that is ~10²⁰, so beyond
+    * ~10⁵-row groups pre-aggregate (e.g. daily means) first; the screen
+    * is designed for per-entity series, not raw corpus scale. */
+  def cusum(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      orderCols: Seq[String],
+      idCol: String,
+      kCents: Long,
+      hCents: Long): DataFrame = {
+    require(kCents >= 0, s"kCents must be >= 0, got $kCents")
+    require(hCents > 0, s"hCents must be > 0, got $hCents")
+    val v = round(col(valueCol) * 100).cast("long")
+    val wAll = Window.partitionBy("__g")
+    val wOrd = Window.partitionBy("__g")
+      .orderBy(orderCols.map(col) :+ col("__id"): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rows = df.select(
+      Seq(col(groupCol).as("__g"), v.as("__v"), col(idCol).as("__id")) ++
+        orderCols.map(col): _*)
+    rows
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sx", sum(col("__v")).over(wAll))
+      .withColumn("__p", sum(
+        col("__n") * col("__v") - col("__sx") - col("__n") * kCents).over(wOrd))
+      .withColumn("__q", sum(
+        col("__sx") - col("__n") * kCents - col("__n") * col("__v")).over(wOrd))
+      .withColumn("__sp", col("__p") - least(min(col("__p")).over(wOrd), lit(0L)))
+      .withColumn("__sn", col("__q") - least(min(col("__q")).over(wOrd), lit(0L)))
+      .where(col("__sp") > col("__n") * hCents ||
+        col("__sn") > col("__n") * hCents)
+      .select(
+        col("__id").as(idCol), col("__g").as(groupCol),
+        col("__v").as("value_cents"),
+        round(col("__sp").cast("double") / col("__n") / 100.0, 6).as("s_pos"),
+        round(col("__sn").cast("double") / col("__n") / 100.0, 6).as("s_neg"),
+        when(col("__sp") > col("__n") * hCents &&
+             col("__sn") > col("__n") * hCents, "both")
+          .when(col("__sp") > col("__n") * hCents, "up")
+          .otherwise("down").as("side"))
+  }
 }

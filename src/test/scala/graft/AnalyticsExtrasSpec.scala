@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.panel.{Changelog, Skyline}
+import graft.sketch.Cms
+import graft.sources.Quality
+
+/** Round-6 session-4 analytics batch: CUSUM, Nelson–Aalen, skyline,
+  * incremental view maintenance, Count-Min sketch. */
+class AnalyticsExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- CUSUM ----------------------------------------------------------
+
+  test("cusum: closed form equals the sequential Page recurrence") {
+    // one group, hand-computable series with a level shift at t=5
+    val xs = Seq(0.0, 1.0, -1.0, 0.0, 10.0, 11.0, 9.0, 10.0)
+    val df = xs.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("g", "t", "v")
+    val out = Quality.cusum(df, "g", "v", Seq("t"), "t",
+      kCents = 100L, hCents = 500L)
+      .orderBy("t").collect()
+    // sequential reference: S+ = max(0, S+ + x - mu - k), mu = mean
+    val cents = xs.map(v => math.round(v * 100))
+    val n = cents.length
+    val mu = cents.sum.toDouble / n
+    var sp = 0.0
+    var sn = 0.0
+    val expected = cents.zipWithIndex.flatMap { case (c, i) =>
+      sp = math.max(0.0, sp + c - mu - 100)
+      sn = math.max(0.0, sn + mu - 100 - c)
+      if (sp > 500 || sn > 500) Some((i.toLong, r7(sp / 100), r7(sn / 100)))
+      else None
+    }
+    assert(out.map(r => (r.getLong(0),
+      r7(r.getDouble(3)), r7(r.getDouble(4)))).toSeq == expected)
+    assert(expected.nonEmpty) // the shift must actually alarm
+  }
+
+  test("cusum: in-control series with ample allowance raises no alarm") {
+    val df = (0 until 50).map(i => (1L, i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("g", "t", "v")
+    assert(Quality.cusum(df, "g", "v", Seq("t"), "t", 300L, 100L).count() == 0)
+  }
+
+  // ---- Nelson–Aalen ---------------------------------------------------
+
+  test("nelsonAalen: hand-computed hazard; FH survival dominates KM") {
+    // users with lifetimes 0,0,1,2 days; censor horizon 1 day
+    val day = 86400000000L // micros
+    val ev = Seq(
+      (1L, 0L), (2L, 0L), // lifetime 0
+      (3L, 0L), (3L, day), // lifetime 1
+      (4L, 0L), (4L, 2 * day) // lifetime 2 = corpus max ⇒ censored
+    ).map { case (u, us) => (u, new java.sql.Timestamp(us / 1000)) }
+      .toDF("user_id", "ts")
+    val na = graft.events.Events.nelsonAalen(ev, censorDays = 1)
+      .orderBy("t").collect()
+    // risk sets: t=0 n=4 d=2; t=1 n=2 d=1 (u4 censored at max day)
+    assert(na.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 4L, 2L), (1L, 2L, 1L)))
+    assert(na.map(_.getDouble(3)).toSeq == Seq(0.5, 1.0))
+    val km = graft.events.Events.kaplanMeier(ev, censorDays = 1)
+      .orderBy("t").collect().map(_.getDouble(3))
+    // exp(-H) >= KM product-limit pointwise (standard inequality)
+    na.map(_.getDouble(4)).zip(km).foreach { case (fh, s) => assert(fh >= s) }
+  }
+
+  // ---- Skyline --------------------------------------------------------
+
+  test("skyline2d: dominance semantics incl. ties; pre-prune lossless") {
+    val pts = Seq(
+      (1L, 100L, 10L), // dominated by 3 (same rev, lower qty)
+      (2L, 90L, 5L), // dominated by 3 (higher rev, same qty)
+      (3L, 100L, 5L), // skyline
+      (4L, 100L, 5L), // duplicate of 3 — both kept
+      (5L, 80L, 5L), // dominated by 3 (lower rev, same qty)
+      (6L, 120L, 50L), // skyline (highest rev)
+      (7L, 50L, 1L) // skyline (lowest qty)
+    ).toDF("id", "rev", "qty")
+    val expected = Set(3L, 4L, 6L, 7L)
+    for (b <- Seq(1, 4, 16)) {
+      val got = Skyline.skyline2d(pts, "id", "rev", "qty", prePruneBuckets = b)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"buckets=$b")
+    }
+  }
+
+  // ---- mergeAggView ---------------------------------------------------
+
+  test("mergeAggView: retraction algebra; zero-count keys drop; " +
+    "over-retraction raises") {
+    val base = Seq((1L, 2L, 200L), (2L, 1L, 50L)).toDF("k", "n_rows", "sum_cents")
+    val delta = Seq(
+      (1L, -1L, -120L), // retract one row of key 1
+      (2L, -1L, -50L), // retract key 2 entirely
+      (3L, 1L, 70L) // new key
+    ).toDF("k", "n_rows", "sum_cents")
+    val out = Changelog.mergeAggView(base, delta, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 80L), (3L, 1L, 70L)))
+    val bad = Seq((2L, -5L, -10L)).toDF("k", "n_rows", "sum_cents")
+    val e = intercept[Exception] {
+      Changelog.mergeAggView(base, bad, Seq("k")).collect()
+    }
+    assert(e.getMessage.contains("negative merged count"))
+  }
+
+  // ---- Count-Min ------------------------------------------------------
+
+  test("cms: estimates never undercount; exact when collision-free; " +
+    "shard merge = whole-corpus build") {
+    val rows = (1 to 40).flatMap(k => Seq.fill(k % 5 + 1)(k.toLong)).toDF("k")
+    val (d, w) = (4, 1024)
+    val sketch = Cms.build(rows, "k", d, w)
+    assert(sketch.agg(sum("n")).as[Long].head() ==
+      rows.count() * d) // total mass = N per row of the grid
+    val exact = rows.groupBy("k").agg(count(lit(1)).as("exact"))
+    val est = Cms.estimate(exact, sketch, "k", d, w)
+    val joined = exact.join(est, "k")
+      .select(col("exact"), col("est")).as[(Long, Long)].collect()
+    joined.foreach { case (ex, es) => assert(es >= ex) }
+    // width 1024 ≫ 40 keys: at least one hash row is collision-free for
+    // every key, so min-over-rows is exact here
+    joined.foreach { case (ex, es) => assert(es == ex) }
+    // mergeability: two disjoint shards' grids cellwise-summed ==
+    // whole-corpus grid
+    val shardA = Cms.build(rows.where(col("k") <= 20), "k", d, w)
+    val shardB = Cms.build(rows.where(col("k") > 20), "k", d, w)
+    val merged = shardA.unionByName(shardB)
+      .groupBy("row", "bucket").agg(sum("n").as("n"))
+    assert(merged.except(sketch).isEmpty && sketch.except(merged).isEmpty)
+  }
+}
