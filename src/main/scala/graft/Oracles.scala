@@ -4198,6 +4198,144 @@ object Oracles {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey""".stripMargin,
 
+    // A15: same cumulative-weight crossing rule, same total order
+    "a15_weighted_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity) AS BIGINT) AS wt,
+        |    l_orderkey AS ok, l_linenumber AS ln
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT *,
+        |    CAST(sum(wt) OVER (PARTITION BY flag ORDER BY v, ok, ln
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT) AS totw
+        |  FROM r)
+        |SELECT flag, CAST(min(v) AS BIGINT) AS wmedian_cents,
+        |  CAST(max(totw) AS BIGINT) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY flag""".stripMargin,
+
+    // DQ2: the oracle rebuilds the simulated new snapshot and
+    // classifies with the same full-outer + null-safe equality
+    "dq2_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |    o_orderstatus
+        |  FROM orders),
+        |new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN price_cents + 100
+        |         ELSE price_cents END AS price_cents,
+        |    o_orderstatus
+        |  FROM old WHERE o_orderkey % 29 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, price_cents, o_orderstatus
+        |  FROM old WHERE o_orderkey % 31 = 0),
+        |d AS (
+        |  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS k,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'added'
+        |         WHEN new.o_orderkey IS NULL THEN 'removed'
+        |         WHEN old.price_cents IS NOT DISTINCT FROM new.price_cents
+        |          AND old.o_orderstatus IS NOT DISTINCT FROM new.o_orderstatus
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+        |SELECT status, count(*)::BIGINT AS n_keys,
+        |  CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM d GROUP BY status""".stripMargin,
+
+    // ML29: the SAME moment sums and the SAME Cramer/R² expression
+    // shape (identical IEEE tree over identical exact integers)
+    "ml29_ols_normal" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM (
+        |    SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |      CAST(round(l_quantity) AS BIGINT) AS x1,
+        |      CAST(round(l_discount*100) AS BIGINT) AS x2
+        |    FROM lineitem)),
+        |d AS (
+        |  SELECT n, n::DOUBLE AS nd, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+        |    sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y,
+        |    syy::DOUBLE AS syy
+        |  FROM m),
+        |dets AS (
+        |  SELECT *,
+        |    nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM d),
+        |bs AS (
+        |  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+        |  FROM dets)
+        |SELECT n,
+        |  round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+        |  round(b2, 6) AS beta2,
+        |  round(1.0 - (syy - 2.0*(b0*sy + b1*s1y + b2*s2y)
+        |    + (b0*b0*nd + b1*b1*s11 + b2*b2*s22
+        |       + 2.0*b0*b1*s1 + 2.0*b0*b2*s2 + 2.0*b1*b2*s12))
+        |    / (syy - sy*sy/nd), 6) AS r2
+        |FROM bs""".stripMargin,
+
+    // ML30: same rank decomposition (histogram prefix + per-value tie
+    // index) and the same fixed WOE/IV expression shapes
+    "ml30_woe_iv" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT v, count(*)::BIGINT AS c FROM r GROUP BY 1),
+        |hh AS (
+        |  SELECT v, CAST(sum(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS lo
+        |  FROM h),
+        |n AS (SELECT count(*)::BIGINT AS N FROM r),
+        |rk AS (
+        |  SELECT bad,
+        |    lo + row_number() OVER (PARTITION BY r.v
+        |      ORDER BY l_orderkey, l_linenumber) AS rank
+        |  FROM r JOIN hh ON r.v = hh.v),
+        |b AS (
+        |  SELECT bad, (rank - 1) * 10 // (SELECT N FROM n) + 1 AS bin
+        |  FROM rk),
+        |bb AS (
+        |  SELECT bin, count(*)::BIGINT AS nb,
+        |    CAST(sum(bad) AS BIGINT) AS n_bad
+        |  FROM b GROUP BY 1),
+        |g AS (
+        |  SELECT bin, nb - n_bad AS n_good, n_bad FROM bb),
+        |t AS (
+        |  SELECT CAST(sum(n_good) AS BIGINT) AS G,
+        |    CAST(sum(n_bad) AS BIGINT) AS B FROM g)
+        |SELECT bin, n_good, n_bad,
+        |  round(CASE WHEN n_good > 0 AND n_bad > 0
+        |    THEN ln((n_good::DOUBLE / G) / (n_bad::DOUBLE / B)) END, 6)
+        |    AS woe,
+        |  round((n_good::DOUBLE / G - n_bad::DOUBLE / B) *
+        |    CASE WHEN n_good > 0 AND n_bad > 0
+        |      THEN ln((n_good::DOUBLE / G) / (n_bad::DOUBLE / B)) END, 6)
+        |    AS iv_term
+        |FROM g, t""".stripMargin,
+
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
     "sk4_cms_contract" ->

@@ -2055,6 +2055,74 @@ object Queries {
     }),
 
     // ---- CDC latest-wins compaction: upsert/delete log → snapshot ----
+    // ---- A15: exact weighted median (lower) per group — first value
+    // where twice the cumulative weight reaches the total; all-integer
+    // rank arithmetic on one group exchange
+    "a15_weighted_median" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("flag")
+        .orderBy(col("v"), col("ok"), col("ln"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("flag")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          round(col("l_quantity")).cast("long").as("wt"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .withColumn("cumw", sum(col("wt")).over(wOrd))
+        .withColumn("totw", sum(col("wt")).over(wAll))
+        .where(col("cumw") * 2 >= col("totw"))
+        .groupBy(col("flag"))
+        .agg(min(col("v")).as("wmedian_cents"),
+          max(col("totw")).as("total_weight"))
+    }),
+
+    // ---- DQ2: keyed snapshot diff — full-outer key join + null-safe
+    // column equality; per-status counts and a key checksum. The "new"
+    // snapshot simulates deletes (÷29), updates (÷13, +$1), and
+    // inserts (÷31, shifted keys) deterministically.
+    "dq2_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus"))
+      val newSnap = orders
+        .where(col("o_orderkey") % 29 =!= 0)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 13 === 0, col("price_cents") + 100L)
+            .otherwise(col("price_cents")))
+        .unionByName(orders.where(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("price_cents"), col("o_orderstatus")))
+      graft.sources.Quality
+        .snapshotDiff(orders, newSnap, Seq("o_orderkey"),
+          Seq("price_cents", "o_orderstatus"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("o_orderkey")).as("key_checksum"))
+    }),
+
+    // ---- ML29: multi-feature OLS by normal equations — ONE aggregate
+    // pass builds every moment, the 3×3 Cramer solve + R² is scalar
+    // algebra on the single result row (no driver solve, no second
+    // scan). Integer units chosen so y² sums stay exact in BIGINT and
+    // under 2^53 for the double cast.
+    "ml29_ols_normal" -> ((s, dir) =>
+      graft.ml.Ols.ols2(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y_dollars"),
+          round(col("l_quantity")).cast("long").as("x_qty"),
+          round(col("l_discount") * 100).cast("long").as("x_disc_pct")),
+        yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct")),
+
+    // ---- ML30: WOE / information-value scorecard screen — rank-
+    // proportional deciles of extendedprice vs the return flag, via
+    // the bounded distinct-cents histogram (no global ntile window)
+    "ml30_woe_iv" -> ((s, dir) =>
+      graft.ml.Woe.woeIv(
+        t(s, dir, "lineitem").withColumn("is_return",
+          col("l_returnflag") === "R"),
+        badCol = "is_return", valueCol = "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"), bins = 10)),
+
     // ---- SKY1: Pareto skyline over the supplier entity frame —
     // maximize revenue, minimize shipped units. Engine = level
     // prefix-min window algebra with lossless bucket pre-pruning

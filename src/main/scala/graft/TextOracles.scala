@@ -1947,6 +1947,48 @@ object TextOracles {
 
     // per-doc OOV mass vs the same top-100 vocabulary; wordless docs
     // emit 0 tokens with a null rate
+    // CL5: same presence counts, complete grid, and per-cell
+    // micro-nat quantization as Vocab.featureMi
+    "cl5_feature_mi" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT doc_id, s FROM
+         |  (SELECT doc_id, unnest(w) AS s FROM words) WHERE s <> ''),
+         |vcab AS (
+         |  SELECT s AS word FROM tok GROUP BY 1
+         |  ORDER BY count(*) DESC, s LIMIT 50),
+         |pres AS (
+         |  SELECT DISTINCT tok.doc_id, tok.s AS word
+         |  FROM tok JOIN vcab ON tok.s = vcab.word),
+         |presc AS (
+         |  SELECT p.word, d.source AS c
+         |  FROM pres p JOIN documents d USING (doc_id)),
+         |ntc AS (
+         |  SELECT word, c, count(*)::BIGINT AS ntc FROM presc GROUP BY 1, 2),
+         |nc AS (
+         |  SELECT source AS c, count(*)::BIGINT AS nc
+         |  FROM documents GROUP BY 1),
+         |nt AS (
+         |  SELECT word, CAST(sum(ntc) AS BIGINT) AS nt FROM ntc GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS N FROM documents),
+         |grid AS (
+         |  SELECT v.word, nc.nc,
+         |    coalesce(ntc.ntc, 0) AS ntc, nt.nt, nn.N
+         |  FROM vcab v CROSS JOIN nc
+         |  LEFT JOIN ntc ON ntc.word = v.word AND ntc.c = nc.c
+         |  JOIN nt ON nt.word = v.word, nn),
+         |q AS (
+         |  SELECT word, CAST(round((
+         |    CASE WHEN ntc > 0
+         |      THEN ntc::DOUBLE / N *
+         |        ln((ntc*N)::DOUBLE / (nt*nc)::DOUBLE) ELSE 0.0 END
+         |    + CASE WHEN (nc - ntc) > 0 AND N > nt
+         |      THEN (nc - ntc)::DOUBLE / N *
+         |        ln(((nc - ntc)*N)::DOUBLE / ((N - nt)*nc)::DOUBLE)
+         |      ELSE 0.0 END) * 1e12) AS BIGINT) AS q
+         |  FROM grid)
+         |SELECT word, round(CAST(sum(q) AS BIGINT)::DOUBLE / 1e12, 6) AS mi
+         |FROM q GROUP BY 1""".stripMargin,
+
     "tx16_oov" ->
       s"""WITH $wordsCte,
          |tok AS (SELECT doc_id, s FROM

@@ -625,6 +625,13 @@ object TextQueries {
       graft.text.Vocab.vocabulary(t(s, dir, "documents"), topV = 100)
         .select(col("word"), col("cnt"), col("rank").cast("long").as("rank"))),
 
+    // CL5: mutual-information feature screen — I(word-presence;
+    // source) over the top-50 vocabulary, complete (word × class)
+    // grid, per-cell micro-nat quantization
+    "cl5_feature_mi" -> ((s, dir) =>
+      graft.text.Vocab.featureMi(
+        t(s, dir, "documents"), classCol = "source", topV = 50)),
+
     // per-doc OOV mass against that same top-100 vocabulary
     "tx16_oov" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

@@ -1,0 +1,64 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordinary least squares by normal equations in ONE distributed pass —
+  * the 100 TB regression path: every moment the solve needs (n, Σxᵢ,
+  * Σxᵢxⱼ, Σxᵢy, Σy, Σy²) is a map-side-combinable integer aggregate, so
+  * the whole fit is a single `agg` over the fact table and the solve is
+  * scalar algebra ON THE ONE RESULT ROW — no driver loop, no second
+  * scan, no collect.
+  *
+  * This closed form covers two features + intercept (3×3 Cramer written
+  * out); for wider designs use [[Pca.gram]] for X'X and a driver-side
+  * bounded d×d solve (the pca2 pattern) — the data pass is identical,
+  * only the solve grows.
+  *
+  * Cross-engine exactness: inputs are integer units (the caller passes
+  * already-integered columns — whole dollars, not cents, for y when y²
+  * sums approach 2⁶³), the moment sums are exact BIGINTs, and the Cramer
+  * determinants/R² are ONE fixed IEEE expression tree over those exact
+  * integers — the oracle spells the identical shape, so 6dp rounding
+  * agrees bit-for-bit. Contract: moment sums must stay under 2⁵³ for the
+  * double cast to be exact (raise the unit granularity on bigger data).
+  */
+object Ols {
+
+  /** Fit y ~ 1 + x1 + x2. All three columns must already be integral
+    * (LONG). Output: one row (n, beta0, beta1, beta2, r2), 6dp. */
+  def ols2(df: DataFrame, yCol: String, x1Col: String, x2Col: String): DataFrame = {
+    val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
+    val moments = df.agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+    val (s1y, s2y, syy) = (d("s1y"), d("s2y"), d("syy"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val b0 = det0 / det
+    val b1 = det1 / det
+    val b2 = det2 / det
+    val sse = syy - lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y) +
+      (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22 +
+        lit(2.0) * b0 * b1 * s1 + lit(2.0) * b0 * b2 * s2 +
+        lit(2.0) * b1 * b2 * s12)
+    val sst = syy - sy * sy / n
+    moments.select(
+      col("n"),
+      round(b0, 6).as("beta0"),
+      round(b1, 6).as("beta1"),
+      round(b2, 6).as("beta2"),
+      round(lit(1.0) - sse / sst, 6).as("r2"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weight-of-evidence / information-value binning — the credit-scoring
+  * feature screen (Siddiqi, "Credit Risk Scorecards"): bin a continuous
+  * feature into equal-frequency bins, then per bin
+  * WOE = ln((good_b/G)/(bad_b/B)) and the bin's IV contribution
+  * (good_b/G − bad_b/B)·WOE. Features with IV below ~0.02 carry no
+  * signal; above ~0.5 are suspiciously strong.
+  *
+  * Binning is rank-proportional — bin = ⌊(rank−1)·bins/N⌋+1 over the
+  * total order (value cents, tiebreakers) — NOT a global ntile window:
+  * an unpartitioned ntile would single-partition the fact table. The
+  * rank decomposes distributively (the qn1 discipline): a BOUNDED
+  * distinct-cents histogram supplies each value's cumulative prefix,
+  * and a window partitioned BY VALUE adds the tie index, so the only
+  * full-table exchanges are the value partition and the bin agg.
+  *
+  * Counts are exact integers; each WOE is one fixed IEEE expression
+  * over integer ratios (identical in any engine), null for bins with a
+  * zero cell — a zero cell means the bin separates perfectly and the
+  * scorecard needs a coarser binning, which nulling surfaces louder
+  * than Laplace smoothing would.
+  */
+object Woe {
+
+  def woeIv(
+      df: DataFrame,
+      badCol: String,
+      valueCol: String,
+      tieCols: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins >= 2: $bins")
+    val rows = df.select(
+      Seq(when(col(badCol), 1L).otherwise(0L).as("__bad"),
+        round(col(valueCol) * 100).cast("long").as("__v")) ++
+        tieCols.map(col): _*)
+    // bounded distinct-cents histogram: prefix count of strictly-lower
+    // values per level (the qn1/quantileNormalize discipline)
+    val hist = rows.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c"))
+        .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lo", col("__cum") - col("__c"))
+      .select(col("__v"), col("__lo"))
+    val n = rows.agg(count(lit(1)).as("__N"))
+    val wTie = Window.partitionBy("__v").orderBy(tieCols.map(col): _*)
+    val binned = rows
+      .join(broadcast(hist), Seq("__v"))
+      .crossJoin(broadcast(n)) // one scalar row — bounded by design
+      .withColumn("__rank", col("__lo") + row_number().over(wTie))
+      .withColumn("bin",
+        call_function("div", (col("__rank") - 1L) * bins, col("__N")) + 1L)
+    val byBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("__n"), sum(col("__bad")).as("n_bad"))
+      .withColumn("n_good", col("__n") - col("n_bad"))
+    val totals = byBin.agg(
+      sum(col("n_good")).as("__G"), sum(col("n_bad")).as("__B"))
+    val pg = col("n_good").cast("double") / col("__G")
+    val pb = col("n_bad").cast("double") / col("__B")
+    val woe = when(col("n_good") > 0 && col("n_bad") > 0, log(pg / pb))
+    byBin
+      .crossJoin(broadcast(totals)) // one scalar row — bounded by design
+      .select(
+        col("bin"), col("n_good"), col("n_bad"),
+        round(woe, 6).as("woe"),
+        round((pg - pb) * woe, 6).as("iv_term"))
+  }
+}

@@ -258,6 +258,46 @@ object Quality {
         col("__v").as("value_cents"), col("__hv").as("norm_cents"))
   }
 
+  /** Keyed snapshot diff — the reconciliation primitive behind
+    * table-level regression testing and CDC backfills: classify every
+    * key as `added` / `removed` / `changed` / `unchanged` between two
+    * snapshots of the same keyed table. One full-outer hash join on the
+    * key; change detection is null-safe column equality (`<=>`) over
+    * the compare columns — no row hashing, so the classification is
+    * engine-neutral and explains itself (any differing column flips the
+    * row to changed; nulls compare equal to nulls only).
+    *
+    * Output: one row per key with `status`, plus each compared column
+    * from both sides (`old_`/`new_` prefixed) so downstream can
+    * aggregate per status or inspect specific drifts. Scale: the join
+    * shuffles both snapshots on the key once — the same shape as the
+    * merge it usually gates. */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "at least one compare column")
+    val o = oldSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(true))
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")) :+
+        col("__old"): _*)
+    val n = newSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__new", lit(true))
+      .select(keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+
+        col("__new"): _*)
+    val same = compareCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(same, "unchanged")
+          .otherwise("changed"))
+      .drop("__old", "__new")
+  }
+
   /** Two-sided CUSUM changepoint screen (Page 1954) per group, exact
     * integer arithmetic throughout.
     *

@@ -195,4 +195,61 @@ object Vocab {
         max(col("__v")).as("v_full"),
         max(col("__n")).as("n_full"))
   }
+
+  /** Mutual information I(token-presence; class) per vocabulary word —
+    * the classic filter-style feature screen for text classifiers
+    * (Manning & Schütze §13.5.1): rank words by how much knowing
+    * "document contains w" tells you about the document's class.
+    *
+    * Counts are document-level presence (distinct doc-word pairs), the
+    * (word × class) grid is COMPLETED by a bounded crossJoin before the
+    * left join — the absent cell (t=1 count 0) still contributes its
+    * t=0 term, the ct1 complete-grid discipline. Both binary branches
+    * of each cell are fixed IEEE expressions over exact integer counts
+    * (products stay in BIGINT until one final double division),
+    * micro-nat-quantized at 1e12 per cell and summed per word; 0·ln 0
+    * cells drop via `when` guards. One doc-token explode + three
+    * bounded aggregations; the grid is topV · |classes| rows.
+    */
+  def featureMi(
+      docs: DataFrame,
+      classCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      topV: Int = 50): DataFrame = {
+    val vocab = vocabulary(docs, idCol, textCol, topV)
+      .select(col("word"))
+    val pres = words(docs, idCol, textCol)
+      .join(broadcast(vocab), col("__s") === col("word"))
+      .select(col(idCol), col("word")).distinct()
+      .join(docs.select(col(idCol), col(classCol).as("__c")), Seq(idCol))
+    val nTc = pres.groupBy(col("word"), col("__c"))
+      .agg(count(lit(1)).as("__ntc"))
+    val nC = docs.groupBy(col(classCol).as("__c"))
+      .agg(count(lit(1)).as("__nc"))
+    val nT = nTc.groupBy(col("word")).agg(sum(col("__ntc")).as("__nt"))
+    val n = docs.agg(count(lit(1)).as("__N"))
+    // grid completion: broadcast the VOCAB side — its subtree ends in
+    // the top-V limit, so the nested-loop's build side is provably
+    // bounded (the CatalogPlanSpec contract)
+    val grid = nC.crossJoin(broadcast(vocab)) // bounded: topV × |classes|
+      .join(broadcast(nTc), Seq("word", "__c"), "left")
+      .na.fill(0L, Seq("__ntc"))
+      .join(broadcast(nT), Seq("word"))
+      .crossJoin(broadcast(n)) // one scalar row — bounded by design
+    val a = col("__ntc"); val b = col("__nc") - col("__ntc")
+    val t1 = when(a > 0,
+      a.cast("double") / col("__N") *
+        log((a * col("__N")).cast("double") /
+          (col("__nt") * col("__nc")).cast("double"))).otherwise(0.0)
+    val t0 = when(b > 0 && col("__N") > col("__nt"),
+      b.cast("double") / col("__N") *
+        log((b * col("__N")).cast("double") /
+          ((col("__N") - col("__nt")) * col("__nc")).cast("double")))
+      .otherwise(0.0)
+    grid
+      .select(col("word"), round((t1 + t0) * 1e12).cast("long").as("__q"))
+      .groupBy(col("word"))
+      .agg(round(sum(col("__q")).cast("double") / 1e12, 6).as("mi"))
+  }
 }

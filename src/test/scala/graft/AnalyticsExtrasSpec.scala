@@ -107,6 +107,73 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(e.getMessage.contains("negative merged count"))
   }
 
+  // ---- OLS ------------------------------------------------------------
+
+  test("ols2: exact linear data recovers coefficients with r2 = 1") {
+    // y = 3 + 2*x1 - x2 exactly, on a non-degenerate integer design
+    val rows = for (x1 <- 0L to 9L; x2 <- 0L to 9L)
+      yield (3 + 2 * x1 - x2, x1, x2)
+    val out = graft.ml.Ols.ols2(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(out.getLong(0) == 100L)
+    assert((out.getDouble(1), out.getDouble(2), out.getDouble(3)) ==
+      ((3.0, 2.0, -1.0)))
+    assert(out.getDouble(4) == 1.0)
+  }
+
+  test("ols2: slope-only data yields near-zero residual r2 below 1") {
+    val rows = (0L to 99L).map(i => (2 * i + (i % 3), i, i % 7))
+    val out = graft.ml.Ols.ols2(rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().head
+    assert(out.getDouble(4) > 0.99 && out.getDouble(4) <= 1.0)
+  }
+
+  // ---- WOE / IV -------------------------------------------------------
+
+  test("woeIv: hand case; zero-cell bins null out; bins partition rows") {
+    // 8 rows, 2 bins of 4: low bin all good, high bin 3 bad 1 good
+    val df = Seq(
+      (1.0, false, 1L), (2.0, false, 2L), (3.0, false, 3L), (4.0, false, 4L),
+      (5.0, true, 5L), (6.0, true, 6L), (7.0, true, 7L), (8.0, false, 8L))
+      .toDF("v", "bad", "id")
+    val out = graft.ml.Woe.woeIv(df, "bad", "v", Seq("id"), bins = 2)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 0L), (1L, 3L))) // (n_good, n_bad) per bin
+    assert(out(0).isNullAt(3)) // zero bad cell → null woe
+    val woe = math.log((1.0 / 5) / (3.0 / 3))
+    assert(out(1).getDouble(3) == math.rint(woe * 1e6) / 1e6)
+  }
+
+  // ---- featureMi ------------------------------------------------------
+
+  test("featureMi: class-exclusive token has positive MI, " +
+    "uniform token has zero") {
+    val docs = Seq(
+      (1L, "alpha common", "a"), (2L, "alpha common", "a"),
+      (3L, "beta common", "b"), (4L, "beta common", "b"))
+      .toDF("doc_id", "text", "source")
+    val mi = graft.text.Vocab.featureMi(docs, "source", topV = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mi("common") == 0.0) // present in every doc — no information
+    assert(mi("alpha") == mi("beta")) // symmetric exclusives
+    // perfectly class-predictive binary feature: MI = H(class) = ln 2
+    assert(mi("alpha") == math.rint(math.log(2) * 1e6) / 1e6)
+  }
+
+  // ---- snapshotDiff ---------------------------------------------------
+
+  test("snapshotDiff: all four statuses; nulls compare equal") {
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some(10L)), (2L, Some(21L)), (3L, None), (5L, Some(50L)))
+      .toDF("k", "v")
+    val out = Quality.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+  }
+
   // ---- Count-Min ------------------------------------------------------
 
   test("cms: estimates never undercount; exact when collision-free; " +
