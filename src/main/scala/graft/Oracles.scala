@@ -4198,6 +4198,23 @@ object Oracles {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey""".stripMargin,
 
+    // FZ1: DuckDB's own jaro_winkler_similarity scores the same
+    // blocked pairs — cross-implementation, not a transcribed formula
+    "fz1_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name FROM part),
+        |dirty AS (
+        |  SELECT DISTINCT CASE WHEN length(p_name) % 2 = 1
+        |    THEN substr(p_name, 1, length(p_name) - 1)
+        |    ELSE p_name END AS dirty_name
+        |  FROM names)
+        |SELECT n.p_name AS clean_name, d.dirty_name,
+        |  round(jaro_winkler_similarity(n.p_name, d.dirty_name), 6) AS jw
+        |FROM names n JOIN dirty d
+        |  ON split_part(n.p_name, ' ', 1) = split_part(d.dirty_name, ' ', 1)
+        |WHERE round(jaro_winkler_similarity(n.p_name, d.dirty_name), 6)
+        |  >= 0.85""".stripMargin,
+
     // A15: same cumulative-weight crossing rule, same total order
     "a15_weighted_median" ->
       """WITH r AS (

@@ -2055,6 +2055,28 @@ object Queries {
     }),
 
     // ---- CDC latest-wins compaction: upsert/delete log → snapshot ----
+    // ---- FZ1: blocked fuzzy match over the NAME DICTIONARY (distinct
+    // strings, not rows — the linkage-economics shape): first-token
+    // blocking, native codegen Jaro–Winkler, dd6-style block guard.
+    // The dirty side deterministically drops the last character of
+    // odd-length names; the oracle scores the same blocked pairs with
+    // DuckDB's own jaro_winkler_similarity — a cross-IMPLEMENTATION
+    // check of the scorer, not a replicated formula.
+    "fz1_fuzzy_match" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val dirty = names.select(
+        when(length(col("p_name")) % 2 === 1,
+          col("p_name").substr(lit(1), length(col("p_name")) - 1))
+          .otherwise(col("p_name")).as("dirty_name")).distinct()
+      graft.text.Fuzzy.fuzzyJoin(
+        names, dirty, leftId = "p_name", rightId = "dirty_name",
+        leftName = "p_name", rightName = "dirty_name",
+        blockKey = n => split(n, " ").getItem(0),
+        minSim = 0.85, maxBlock = 1000)
+        .select(col("l_id").as("clean_name"), col("r_id").as("dirty_name"),
+          col("jw"))
+    }),
+
     // ---- A15: exact weighted median (lower) per group — first value
     // where twice the cumulative weight reaches the total; all-integer
     // rank arithmetic on one group exchange

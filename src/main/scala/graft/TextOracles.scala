@@ -328,6 +328,46 @@ object TextOracles {
       s"""WITH $pagerankCtes
          |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3""".stripMargin,
 
+    // GR4: same undirected edges, same integer moments, same Pearson
+    // expression shape
+    "gr4_assortativity" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |e0 AS (
+        |  SELECT a.source AS s, b.source AS t
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+        |und AS (
+        |  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |  FROM e0 WHERE s <> t AND s IS NOT NULL AND t IS NOT NULL),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS degree FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und) q
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT da.degree AS x, db.degree AS y
+        |  FROM und u JOIN deg da ON u.a = da.node
+        |             JOIN deg db ON u.b = db.node
+        |  UNION ALL
+        |  SELECT db.degree, da.degree
+        |  FROM und u JOIN deg da ON u.a = da.node
+        |             JOIN deg db ON u.b = db.node),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM pairs),
+        |nn AS (SELECT count(*)::BIGINT AS n_nodes FROM deg)
+        |SELECT n_nodes, np // 2 AS n_edges,
+        |  round(CASE WHEN
+        |      sqrt((np::DOUBLE * sxx - sx::DOUBLE * sx) *
+        |           (np::DOUBLE * syy - sy::DOUBLE * sy)) > 0
+        |    THEN (np::DOUBLE * sxy - sx::DOUBLE * sy) /
+        |      sqrt((np::DOUBLE * sxx - sx::DOUBLE * sx) *
+        |           (np::DOUBLE * syy - sy::DOUBLE * sy)) END, 6)
+        |    AS assortativity
+        |FROM m, nn""".stripMargin,
+
     // triangles via the same degree-ordered orientation: each triangle
     // closes once at its lowest-ordered apex; row-value comparisons
     // mirror the Spark struct ordering

@@ -689,6 +689,17 @@ object TextQueries {
       graft.graph.PageRank.triangles(e)
     }),
 
+    // GR4: degree assortativity of the same undirected source graph —
+    // exact integer moments over both edge orientations, one fixed
+    // Pearson expression (null if the graph is degree-regular)
+    "gr4_assortativity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val e = d.alias("a")
+        .join(d.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.source").as("src"), col("b.source").as("dst"))
+      graft.graph.PageRank.assortativity(e)
+    }),
+
     // connected components over an explicit co-shipment graph (suppliers
     // sharing an (order, ship-day)): Dedup.duplicateClusters' min-label
     // propagation pinned DIRECTLY against a recursive-CTE closure — dd7

@@ -158,4 +158,55 @@ object PageRank {
             (col("degree") * (col("degree") - 1)))) / 1e6)
           .as("clustering"))
   }
+
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over every directed orientation of
+    * the undirected edge set. Positive = hubs link hubs (social),
+    * negative = hubs link leaves (technological/web).
+    *
+    * Everything before the final expression is exact integer moments
+    * (Σx, Σxy, Σx², … over 2|E| orientation rows — one aggregate after
+    * the two degree joins), and the coefficient is ONE fixed IEEE
+    * expression over those integers, so both engines agree at 6dp.
+    * Null when variance degenerates (regular graphs: every degree
+    * equal). Output one row: (n_nodes, n_edges, assortativity). */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = false) // feeds degrees + the pair frame
+    val deg = und
+      .select(explode(array(col("__a"), col("__b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = false) // feeds both endpoint joins
+    val pairs = und
+      .join(deg.select(col("node").as("__a"), col("degree").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("degree").as("__db")), "__b")
+      .select(explode(array(
+        struct(col("__da").as("x"), col("__db").as("y")),
+        struct(col("__db").as("x"), col("__da").as("y")))).as("__p"))
+      .select(col("__p.x").as("__x"), col("__p.y").as("__y"))
+    val m = pairs.agg(
+      count(lit(1)).as("np"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("np") * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((d("np") * d("sxx") - d("sx") * d("sx")) *
+      (d("np") * d("syy") - d("sy") * d("sy")))
+    m.crossJoin(broadcast(nodes)) // two 1-row aggregates — bounded
+      .select(
+        col("n_nodes"),
+        call_function("div", col("np"), lit(2L)).as("n_edges"),
+        round(when(den > 0, num / den), 6).as("assortativity"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.JaroWinklerSimilarity.jaroWinklerNative
+
+/** Blocked fuzzy matching — the record-linkage join: candidate pairs
+  * come from an equi-join on a cheap blocking key (first token, phonetic
+  * code, prefix — caller's choice), and only blocked pairs pay the
+  * Jaro–Winkler scan. All-pairs similarity is never materialized; cost
+  * is Σ |block_L|·|block_R|, the standard linkage-economics shape.
+  *
+  * Guard discipline (the dd6/embeddingNearDuplicates contract): a
+  * degenerate blocking key ("", a boilerplate token) concentrates the
+  * whole join in one task, so blocks beyond `maxBlock` rows on EITHER
+  * side are dropped before the pair join, observable via the
+  * `fuzzy_blocks` observe metric — loud degradation, never a silent
+  * 10⁹-pair stage. Null/empty block keys never match anything.
+  */
+object Fuzzy {
+
+  def fuzzyJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftId: String,
+      rightId: String,
+      leftName: String,
+      rightName: String,
+      blockKey: Column => Column,
+      minSim: Double,
+      maxBlock: Int = 10000): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim in (0,1]: $minSim")
+    require(maxBlock >= 1, s"maxBlock >= 1: $maxBlock")
+    def side(df: DataFrame, id: String, name: String, tag: String): DataFrame =
+      df.select(col(id).as(s"${tag}_id"), col(name).as(s"${tag}_name"))
+        .withColumn("__bk", blockKey(col(s"${tag}_name")))
+        .where(col("__bk").isNotNull && col("__bk") =!= "")
+        .withColumn(s"__n_$tag",
+          count(lit(1)).over(Window.partitionBy("__bk")))
+    val l = side(left, leftId, leftName, "l")
+      .observe("fuzzy_blocks",
+        max(col("__n_l")).as("max_left_block"),
+        sum(when(col("__n_l") > maxBlock, 1L).otherwise(0L))
+          .as("left_rows_in_overflow"))
+      .where(col("__n_l") <= maxBlock)
+    val r = side(right, rightId, rightName, "r")
+      .where(col("__n_r") <= maxBlock)
+    l.join(r, Seq("__bk"))
+      .select(col("l_id"), col("r_id"),
+        round(jaroWinklerNative(col("l_name"), col("r_name")), 6).as("jw"))
+      .where(col("jw") >= minSim)
+  }
+}
