@@ -4198,6 +4198,89 @@ object Oracles {
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_nationkey""".stripMargin,
 
+    // EV26: same md5 arms, same histogram-rank deciles, same
+    // cumulative Qini expression
+    "ev26_qini" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1),
+        |put AS (
+        |  SELECT *, CAST(CAST(concat('0x',
+        |    substr(md5(concat_ws('|', 'uplift', user_id)), 1, 8))
+        |    AS BIGINT) AS DOUBLE) / 4294967296.0 >= 0.5 AS t
+        |  FROM pu),
+        |h AS (SELECT s, count(*)::BIGINT AS hc FROM pu GROUP BY 1),
+        |hh AS (
+        |  SELECT s, CAST(sum(hc) OVER (ORDER BY s DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - hc AS lo
+        |  FROM h),
+        |n AS (SELECT count(*)::BIGINT AS N FROM pu),
+        |rk AS (
+        |  SELECT t, c, lo + row_number() OVER (PARTITION BY put.s
+        |    ORDER BY user_id) AS rank
+        |  FROM put JOIN hh ON put.s = hh.s),
+        |b AS (
+        |  SELECT (rank - 1) * 10 // (SELECT N FROM n) + 1 AS decile, t, c
+        |  FROM rk),
+        |d AS (
+        |  SELECT decile,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT)
+        |      AS conv_treated,
+        |    CAST(sum(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT)
+        |      AS conv_control
+        |  FROM b GROUP BY 1),
+        |cm AS (
+        |  SELECT *,
+        |    CAST(sum(n_treated) OVER w AS BIGINT) AS cnt,
+        |    CAST(sum(n_control) OVER w AS BIGINT) AS cnc,
+        |    CAST(sum(conv_treated) OVER w AS BIGINT) AS cct,
+        |    CAST(sum(conv_control) OVER w AS BIGINT) AS ccc
+        |  FROM d WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT decile, n_treated, n_control, conv_treated, conv_control,
+        |  round(CASE WHEN cnc > 0
+        |    THEN cct::DOUBLE - ccc::DOUBLE * (cnt::DOUBLE / cnc) END, 6)
+        |    AS qini
+        |FROM cm""".stripMargin,
+
+    // W31: same event-time range frame — DuckDB RANGE BETWEEN over
+    // epoch micros with the identical inclusive bounds
+    "w31_time_range_window" ->
+      """WITH r AS (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value*100) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(v) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS hour_sum_cents,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS hour_n
+        |FROM r""".stripMargin,
+
+    // Q5: the star join recomputed declaratively; per-row revenue
+    // rounded to cents BEFORE the sum (order-free)
+    "q5_nation_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
     // FZ1: DuckDB's own jaro_winkler_similarity scores the same
     // blocked pairs — cross-implementation, not a transcribed formula
     "fz1_fuzzy_match" ->

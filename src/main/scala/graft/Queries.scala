@@ -591,6 +591,12 @@ object Queries {
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),
 
+    // ---- EV26: Qini uplift curve — deterministic hash arms, rank-
+    // proportional score deciles over the bounded cents histogram,
+    // cumulative incremental conversions control-scaled
+    "ev26_qini" -> ((s, dir) =>
+      graft.events.Events.qiniCurve(events(s, dir), "purchase")),
+
     "ev4_retention" -> ((s, dir) =>
       graft.events.Events.retentionCohorts(events(s, dir))),
 
@@ -2055,6 +2061,45 @@ object Queries {
     }),
 
     // ---- CDC latest-wins compaction: upsert/delete log → snapshot ----
+    // ---- W31: event-time RANGE frame — 1-hour rolling sum/count per
+    // user over the actual timestamps (not row counts): range frames
+    // include ALL order-value peers, so ties need no tiebreaker and
+    // the result is deterministic by construction
+    "w31_time_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L) // [ts − 1h, ts] inclusive, micros
+      events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          cents(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).as("hour_sum_cents"),
+          count(lit(1)).over(w).as("hour_n"))
+    }),
+
+    // ---- Q5: the classic local-supplier-volume join chain (TPC-H Q5
+    // shape): lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    // region, revenue only where customer and supplier share a nation.
+    // Dimensions broadcast; the fact table shuffles once per big join
+    // key — the canonical star-join plan Catalyst should produce.
+    "q5_nation_revenue" -> ((s, dir) => {
+      val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("long")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(rev).as("revenue_cents"), count(lit(1)).as("n_items"))
+    }),
+
     // ---- FZ1: blocked fuzzy match over the NAME DICTIONARY (distinct
     // strings, not rows — the linkage-economics shape): first-token
     // blocking, native codegen Jaro–Winkler, dd6-style block guard.

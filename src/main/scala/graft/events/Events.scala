@@ -709,6 +709,77 @@ object Events {
           6) + 0.0).as("z_score"))
   }
 
+  /** Qini uplift curve (Radcliffe 2007) — the causal companion to
+    * [[abTest]]: rank users by a targeting score, and per score decile
+    * report the CUMULATIVE incremental conversions the treatment bought
+    * over the control baseline, control-scaled:
+    * Qini(k) = cumConvT(k) − cumConvC(k) · cumNT(k)/cumNC(k).
+    * A model that targets persuadables first climbs steeply then
+    * flattens; random targeting is a straight line to the same endpoint.
+    *
+    * Treatment arms come from the deterministic md5 split
+    * ([[graft.text.Sampling.hashUnit]], ≥ 0.5 = treated); the score
+    * here is the user's total event value (a stand-in for a model
+    * score — callers pass their own). Deciles are rank-proportional
+    * over a BOUNDED distinct-score-cents histogram (descending score,
+    * user-id tie window per score level — the ml30/qn1 decomposition,
+    * no global ntile). Counts are exact integers; each Qini value is
+    * one fixed IEEE expression over cumulative integer counts, 6dp,
+    * null while the control cumulative is empty. */
+  def qiniCurve(
+      events: DataFrame,
+      conversionType: String,
+      seed: String = "uplift",
+      deciles: Int = 10,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    if (deciles < 2)
+      throw new ParameterError(s"deciles must be >= 2: $deciles")
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        max(when(col(typeCol) === conversionType, 1L).otherwise(0L)).as("__c"),
+        sum(round(col(valueCol) * 100).cast("long")).as("__s"))
+      .withColumn("__t",
+        graft.text.Sampling.hashUnit(col(userCol), seed) >= 0.5)
+      .localCheckpoint(eager = false) // feeds histogram + rank join
+    val hist = perUser.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__hc"))
+      .withColumn("__cum", sum(col("__hc"))
+        .over(Window.orderBy(col("__s").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__lo", col("__cum") - col("__hc"))
+      .select(col("__s"), col("__lo"))
+    val n = perUser.agg(count(lit(1)).as("__N"))
+    val wTie = Window.partitionBy("__s").orderBy(col(userCol))
+    val byDecile = perUser
+      .join(broadcast(hist), Seq("__s"))
+      .crossJoin(broadcast(n)) // one scalar row — bounded by design
+      .withColumn("__rank", col("__lo") + row_number().over(wTie))
+      .withColumn("decile",
+        call_function("div", (col("__rank") - 1L) * deciles, col("__N")) + 1L)
+      .groupBy(col("decile"))
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_treated"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("__t"), col("__c")).otherwise(0L)).as("conv_treated"),
+        sum(when(!col("__t"), col("__c")).otherwise(0L)).as("conv_control"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0) // ≤ deciles rows — bounded
+    byDecile
+      .withColumn("__cnt", sum(col("n_treated")).over(wCum))
+      .withColumn("__cnc", sum(col("n_control")).over(wCum))
+      .withColumn("__cct", sum(col("conv_treated")).over(wCum))
+      .withColumn("__ccc", sum(col("conv_control")).over(wCum))
+      .select(
+        col("decile"), col("n_treated"), col("n_control"),
+        col("conv_treated"), col("conv_control"),
+        round(when(col("__cnc") > 0,
+          col("__cct").cast("double") - col("__ccc").cast("double") *
+            (col("__cnt").cast("double") / col("__cnc"))), 6).as("qini"))
+  }
+
   /** Daily + trailing-`window`-day active users (DAU/WAU/MAU family)
     * WITHOUT a count-distinct-over-window: each user's deduped activity
     * days become disjoint coverage intervals — day aᵢ covers
