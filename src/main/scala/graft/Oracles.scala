@@ -4436,6 +4436,55 @@ object Oracles {
         |    AS iv_term
         |FROM g, t""".stripMargin,
 
+    // ML31: ml29's moments with λ added to the slope diagonal for the
+    // solve; the residual uses the raw moments
+    "ml31_ridge" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM (
+        |    SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |      CAST(round(l_quantity) AS BIGINT) AS x1,
+        |      CAST(round(l_discount*100) AS BIGINT) AS x2
+        |    FROM lineitem)),
+        |d AS (
+        |  SELECT n, n::DOUBLE AS nd, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+        |    sy::DOUBLE AS sy,
+        |    (s11 + 10000000)::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    (s22 + 10000000)::DOUBLE AS s22,
+        |    s11::DOUBLE AS r11, s22::DOUBLE AS r22,
+        |    s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y, syy::DOUBLE AS syy
+        |  FROM m),
+        |dets AS (
+        |  SELECT *,
+        |    nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM d),
+        |bs AS (
+        |  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+        |  FROM dets)
+        |SELECT n,
+        |  round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+        |  round(b2, 6) AS beta2,
+        |  round(1.0 - (syy - 2.0*(b0*sy + b1*s1y + b2*s2y)
+        |    + (b0*b0*nd + b1*b1*r11 + b2*b2*r22
+        |       + 2.0*b0*b1*s1 + 2.0*b0*b2*s2 + 2.0*b1*b2*s12))
+        |    / (syy - sy*sy/nd), 6) AS r2
+        |FROM bs""".stripMargin,
+
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
     "sk4_cms_contract" ->

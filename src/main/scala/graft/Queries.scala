@@ -2190,6 +2190,18 @@ object Queries {
         badCol = "is_return", valueCol = "l_extendedprice",
         tieCols = Seq("l_orderkey", "l_linenumber"), bins = 10)),
 
+    // ---- ML31: ridge on the same one-pass moments — λ is two integer
+    // adds on the slope diagonal before the solve; r2 reports the
+    // UNPENALIZED residual of the shrunk coefficients
+    "ml31_ridge" -> ((s, dir) =>
+      graft.ml.Ols.ridge2(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y_dollars"),
+          round(col("l_quantity")).cast("long").as("x_qty"),
+          round(col("l_discount") * 100).cast("long").as("x_disc_pct")),
+        yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct",
+        lambda = 10000000L)),
+
     // ---- SKY1: Pareto skyline over the supplier entity frame —
     // maximize revenue, minimize shipped units. Engine = level
     // prefix-min window algebra with lossless bucket pre-pruning

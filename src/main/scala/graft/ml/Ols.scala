@@ -27,7 +27,26 @@ object Ols {
 
   /** Fit y ~ 1 + x1 + x2. All three columns must already be integral
     * (LONG). Output: one row (n, beta0, beta1, beta2, r2), 6dp. */
-  def ols2(df: DataFrame, yCol: String, x1Col: String, x2Col: String): DataFrame = {
+  def ols2(df: DataFrame, yCol: String, x1Col: String, x2Col: String): DataFrame =
+    fit2(df, yCol, x1Col, x2Col, lambda = 0L)
+
+  /** Ridge (L2) variant: λ adds to the slope diagonal of X'X — the
+    * intercept is NOT penalized (standard practice; shrinking the mean
+    * would bias every prediction). λ is an exact integer in the same
+    * squared units as the moments, so the only change to the solve is
+    * two integer additions before the double cast — the data pass, the
+    * Cramer shape, and the cross-engine determinism argument are all
+    * unchanged. `r2` reports the UNPENALIZED residual of the shrunk
+    * coefficients (what a holdout would see), so λ→∞ drives it toward
+    * the intercept-only 0. */
+  def ridge2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Long): DataFrame = {
+    require(lambda > 0, s"lambda must be positive: $lambda (use ols2 for 0)")
+    fit2(df, yCol, x1Col, x2Col, lambda)
+  }
+
+  private def fit2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Long): DataFrame = {
     val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
     val moments = df.agg(
       count(lit(1)).as("n"),
@@ -36,7 +55,13 @@ object Ols {
       sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
     def d(c: String): Column = col(c).cast("double")
     val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
-    val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+    // ridge: λ on the slope diagonal as an INTEGER add before the cast
+    // — penalized moments steer the SOLVE only; the residual below uses
+    // the RAW moments (r2 is the unpenalized fit of the shrunk betas)
+    val s11 = (col("s11") + lambda).cast("double")
+    val s22 = (col("s22") + lambda).cast("double")
+    val s12 = d("s12")
+    val (r11, r22) = (d("s11"), d("s22"))
     val (s1y, s2y, syy) = (d("s1y"), d("s2y"), d("syy"))
     val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
       s2 * (s1 * s12 - s11 * s2)
@@ -50,7 +75,7 @@ object Ols {
     val b1 = det1 / det
     val b2 = det2 / det
     val sse = syy - lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y) +
-      (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22 +
+      (b0 * b0 * n + b1 * b1 * r11 + b2 * b2 * r22 +
         lit(2.0) * b0 * b1 * s1 + lit(2.0) * b0 * b2 * s2 +
         lit(2.0) * b1 * b2 * s12)
     val sst = syy - sy * sy / n

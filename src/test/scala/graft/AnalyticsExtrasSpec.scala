@@ -128,6 +128,20 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out.getDouble(4) > 0.99 && out.getDouble(4) <= 1.0)
   }
 
+  test("ridge2: shrinks slope magnitudes monotonically in lambda and " +
+    "never beats OLS in-sample") {
+    val rows = (0L to 99L).map(i => (3 + 2 * i - (i % 7), i, i % 7))
+      .toDF("y", "x1", "x2")
+    val ols = graft.ml.Ols.ols2(rows, "y", "x1", "x2").collect().head
+    val r1 = graft.ml.Ols.ridge2(rows, "y", "x1", "x2", 10000L).collect().head
+    val r2 = graft.ml.Ols.ridge2(rows, "y", "x1", "x2", 1000000L).collect().head
+    def slopes(r: org.apache.spark.sql.Row) =
+      math.abs(r.getDouble(2)) + math.abs(r.getDouble(3))
+    assert(slopes(ols) > slopes(r1) && slopes(r1) > slopes(r2))
+    assert(ols.getDouble(4) >= r1.getDouble(4) &&
+      r1.getDouble(4) >= r2.getDouble(4)) // in-sample r2 only shrinks
+  }
+
   // ---- WOE / IV -------------------------------------------------------
 
   test("woeIv: hand case; zero-cell bins null out; bins partition rows") {
