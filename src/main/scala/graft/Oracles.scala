@@ -704,6 +704,23 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // EV27: same trigram lags, same conditional-probability ratio
+    "ev27_trigram_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT p2, p1, event_type AS next, count(*)::BIGINT AS n
+        |  FROM e WHERE p2 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT p2, p1, next, n,
+        |  round(n::DOUBLE / CAST(sum(n) OVER (PARTITION BY p2, p1)
+        |    AS BIGINT), 6) AS p
+        |FROM c""".stripMargin,
+
     // CS1: CUSUM closed form — Sₜ = Pₜ − min(0, min_{j≤t} Pⱼ); all
     // integer until the final (÷n then ÷100) de-scaling divisions
     "cs1_cusum" ->
@@ -4485,6 +4502,58 @@ object Oracles {
         |    / (syy - sy*sy/nd), 6) AS r2
         |FROM bs""".stripMargin,
 
+    // ML32: the same moment row crossed with the λ list, identical
+    // per-λ expressions
+    "ml32_ridge_path" ->
+      """WITH m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM (
+        |    SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |      CAST(round(l_quantity) AS BIGINT) AS x1,
+        |      CAST(round(l_discount*100) AS BIGINT) AS x2
+        |    FROM lineitem)),
+        |ml AS (
+        |  SELECT m.*, CAST(l AS BIGINT) AS lambda
+        |  FROM m, unnest([0, 10000000, 100000000]) AS t(l)),
+        |d AS (
+        |  SELECT n, lambda, n::DOUBLE AS nd, s1::DOUBLE AS s1,
+        |    s2::DOUBLE AS s2, sy::DOUBLE AS sy,
+        |    (s11 + lambda)::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    (s22 + lambda)::DOUBLE AS s22,
+        |    s11::DOUBLE AS r11, s22::DOUBLE AS r22,
+        |    s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y, syy::DOUBLE AS syy
+        |  FROM ml),
+        |dets AS (
+        |  SELECT *,
+        |    nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM d),
+        |bs AS (
+        |  SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+        |  FROM dets)
+        |SELECT lambda, n,
+        |  round(b0, 6) AS beta0, round(b1, 6) AS beta1,
+        |  round(b2, 6) AS beta2,
+        |  round(1.0 - (syy - 2.0*(b0*sy + b1*s1y + b2*s2y)
+        |    + (b0*b0*nd + b1*b1*r11 + b2*b2*r22
+        |       + 2.0*b0*b1*s1 + 2.0*b0*b2*s2 + 2.0*b1*b2*s12))
+        |    / (syy - sy*sy/nd), 6) AS r2
+        |FROM bs""".stripMargin,
+
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
     "sk4_cms_contract" ->
@@ -4543,6 +4612,36 @@ object Oracles {
         |    AND a.qty_units <= b.qty_units
         |    AND (a.revenue_cents > b.revenue_cents
         |         OR a.qty_units < b.qty_units))""".stripMargin,
+
+    // CDC2: cdc1's compaction restricted to the AS-OF cutoff
+    "cdc2_time_travel" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_id, event_type, ${c("value")} AS val_cents,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events
+         |  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00')
+         |SELECT user_id, event_id AS last_event_id, val_cents AS last_val_cents
+         |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // DQ3: same trailing-week integer 2σ test — no sqrt anywhere
+    "dq3_freshness" ->
+      """WITH d AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*)::BIGINT AS n_rows
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    count(*) OVER t AS n,
+        |    CAST(sum(n_rows) OVER t AS BIGINT) AS s,
+        |    CAST(sum(n_rows * n_rows) OVER t AS BIGINT) AS q
+        |  FROM d WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING
+        |    AND 1 PRECEDING))
+        |SELECT day, n_rows,
+        |  CASE WHEN n >= 3 THEN
+        |    (n * n_rows - s) * (n * n_rows - s) > 4 * (n * q - s * s)
+        |  END AS is_anomalous
+        |FROM w""".stripMargin,
 
     "cdc1_snapshot" ->
       s"""WITH r AS (

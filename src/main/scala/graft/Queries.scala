@@ -571,6 +571,24 @@ object Queries {
     "ev24_rolling_active" -> ((s, dir) =>
       graft.events.Events.rollingActiveUsers(events(s, dir), windowDays = 7)),
 
+    // ---- EV27: second-order Markov transitions — trigram context
+    // counts + conditional next-step probabilities (the path-analysis
+    // upgrade of ev5's first-order chain); output bounded by |types|³
+    "ev27_trigram_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .where(col("p2").isNotNull)
+      val counts = tri
+        .groupBy(col("p2"), col("p1"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("p",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("p2", "p1")), 6))
+    }),
+
     // ---- CS1: two-sided CUSUM changepoint screen per user — the
     // sequential Page recurrence rewritten as cumsum − running-min
     // window algebra (one group exchange, no recursion); exact
@@ -2202,6 +2220,19 @@ object Queries {
         yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct",
         lambda = 10000000L)),
 
+    // ---- ML32: the ridge regularization path in ONE data pass —
+    // moments once, λ grid as a bounded literal explode on the single
+    // moment row (grid search without rescanning the facts; λ=0 is
+    // the embedded OLS anchor)
+    "ml32_ridge_path" -> ((s, dir) =>
+      graft.ml.Ols.ridgePath(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y_dollars"),
+          round(col("l_quantity")).cast("long").as("x_qty"),
+          round(col("l_discount") * 100).cast("long").as("x_disc_pct")),
+        yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct",
+        lambdas = Seq(0L, 10000000L, 100000000L))),
+
     // ---- SKY1: Pareto skyline over the supplier entity frame —
     // maximize revenue, minimize shipped units. Engine = level
     // prefix-min window algebra with lossless bucket pre-pruning
@@ -2262,6 +2293,34 @@ object Queries {
         .select(col("o_custkey"), col("n_rows").as("n_orders"),
           col("sum_cents").as("revenue_cents"))
     }),
+
+    // ---- CDC2: time travel — the warehouse "AS OF" read is just the
+    // latest-wins compaction over the log RESTRICTED to ts ≤ T: no
+    // snapshot storage, no extra operator, one filter pushed to the
+    // scan. Same tombstone semantics as cdc1 at the cutoff.
+    "cdc2_time_travel" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .where(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
+      val log = ev.select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_type") === "error").as("is_delete"),
+        cents(col("value")).as("val_cents"))
+      graft.panel.Changelog
+        .latestSnapshot(log, col("user_id"), Seq(col("ts"), col("event_id")),
+          col("is_delete"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("val_cents").as("last_val_cents"))
+    }),
+
+    // ---- DQ3: freshness/completeness monitor — daily row counts vs
+    // the TRAILING week, 2σ outlier flag computed ENTIRELY in integer
+    // arithmetic ((n·x − S)² vs z²·(n·Q − S²): no sqrt, no floats, no
+    // cross-engine drift); days with under 3 trailing observations
+    // abstain (null flag) instead of guessing
+    "dq3_freshness" -> ((s, dir) =>
+      graft.sources.Quality.freshnessAnomalies(
+        events(s, dir).groupBy(col("day"))
+          .agg(count(lit(1)).as("n_rows")), // bounded: one row per day
+        dayCol = "day", nCol = "n_rows")),
 
     "cdc1_snapshot" -> ((s, dir) => {
       val ev = events(s, dir)

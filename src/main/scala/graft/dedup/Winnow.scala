@@ -40,17 +40,25 @@ object Winnow {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    val lt = col("__lt") // materialized lowercased text (the
-    // SetJoin.shingles lesson: a whole expression here would re-evaluate
-    // per character reference)
-    val n = length(lt)
-    // Horner hash of the k-gram at 1-based position i, mod per step so
-    // intermediates stay ≤ Mod·257 + 255 ≈ 5.5e11 — exact in a long
+    // Materialize the per-character CODE ARRAY once per row (split
+    // scans the string linearly); the k-gram hash then reads it by
+    // O(1) `element_at`. The first formulation took each character via
+    // `substr(i, 1)` — a UTF-8 seek from the string start, O(i) per
+    // character and O(k·L²) per document: 39 s at sf0.1 for wn1 vs
+    // ~1.5 s for this shape (the round-6 honest-bench catch). Same
+    // hash values — only the access pattern changed.
+    val cs = col("__cs")
+    // Horner hash of the k-gram at 1-based position i. The reduction is
+    // applied every THIRD step and at the end — congruent to per-step
+    // mod (reducing less often never changes the residue), and the
+    // worst intermediate is Mod·257³ ≈ 3.6e16, comfortably inside a
+    // long. One-third the modulo ops on the hot path.
     def hAt(i: Column): Column =
       (0 until k).foldLeft(lit(0L)) { (h, j) =>
-        (h * Base + ascii(lt.substr(i + j, lit(1))).cast("long")) % Mod
+        val step = h * Base + element_at(cs, i + j).cast("long")
+        if (j % 3 == 2 || j == k - 1) step % Mod else step
       }
-    val hashes = transform(sequence(lit(1), n - (k - 1)), i => hAt(i))
+    val hashes = transform(sequence(lit(1), size(cs) - (k - 1)), i => hAt(i))
     // windows of w consecutive hashes; keep each window's min; distinct
     val fps = array_distinct(transform(
       sequence(lit(0), size(col("__hs")) - w),
@@ -58,6 +66,10 @@ object Winnow {
     docs
       .select(col(idCol).as("__id"), lower(col(textCol)).as("__lt"))
       .where(length(col("__lt")) >= w + k - 1)
+      // slice to exactly L entries: Java regex split with limit −1
+      // (Spark's behavior) appends a trailing "" element
+      .withColumn("__cs", transform(
+        slice(split(col("__lt"), ""), lit(1), length(col("__lt"))), c => ascii(c)))
       .withColumn("__hs", hashes)
       .select(col("__id").as(idCol), explode(fps).as("fingerprint"))
   }

@@ -45,14 +45,40 @@ object Ols {
     fit2(df, yCol, x1Col, x2Col, lambda)
   }
 
-  private def fit2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
-      lambda: Long): DataFrame = {
+  /** The whole regularization path in ONE data pass: the moments are
+    * computed once, then each λ is a ROW (a bounded literal explode on
+    * the single moment row) and the solve/R² expressions run per λ —
+    * grid search without rescanning the facts. λ = 0 reproduces OLS
+    * exactly (same expressions, same IEEE), so the path embeds its own
+    * unregularized anchor. Output: one row per λ, ascending. */
+  def ridgePath(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0),
+      s"lambdas must be non-negative: $lambdas")
+    require(lambdas.distinct.size == lambdas.size, s"duplicate lambdas")
+    solve(
+      momentsOf(df, yCol, x1Col, x2Col)
+        .select(col("*"),
+          explode(array(lambdas.sorted.map(lit): _*)).as("lambda")),
+      col("lambda"), Seq(col("lambda")))
+  }
+
+  private def momentsOf(df: DataFrame, yCol: String, x1Col: String,
+      x2Col: String): DataFrame = {
     val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))
-    val moments = df.agg(
+    df.agg(
       count(lit(1)).as("n"),
       sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
       sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
       sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"), sum(y * y).as("syy"))
+  }
+
+  private def fit2(df: DataFrame, yCol: String, x1Col: String, x2Col: String,
+      lambda: Long): DataFrame =
+    solve(momentsOf(df, yCol, x1Col, x2Col), lit(lambda), Seq.empty)
+
+  private def solve(moments: DataFrame, lambda: Column,
+      keyCols: Seq[Column]): DataFrame = {
     def d(c: String): Column = col(c).cast("double")
     val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
     // ridge: λ on the slope diagonal as an INTEGER add before the cast
@@ -80,10 +106,10 @@ object Ols {
         lit(2.0) * b1 * b2 * s12)
     val sst = syy - sy * sy / n
     moments.select(
-      col("n"),
-      round(b0, 6).as("beta0"),
-      round(b1, 6).as("beta1"),
-      round(b2, 6).as("beta2"),
-      round(lit(1.0) - sse / sst, 6).as("r2"))
+      keyCols :+ col("n") :+
+        round(b0, 6).as("beta0") :+
+        round(b1, 6).as("beta1") :+
+        round(b2, 6).as("beta2") :+
+        round(lit(1.0) - sse / sst, 6).as("r2"): _*)
   }
 }

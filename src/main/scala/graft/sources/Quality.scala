@@ -249,11 +249,21 @@ object Quality {
         .over(Window.orderBy("__hv").rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__lo", col("__cum") - col("__c"))
     val n = rows.agg(count(lit(1)).as("__n"))
+    // rank→reference-value lookup as a LINEAR equi-join: each histogram
+    // level owns the dense rank interval (lo, cum], so exploding the
+    // interval yields exactly N (rank → value) rows — one shuffle join
+    // on the rank key. The previous formulation joined on the interval
+    // predicate directly, which plans as a broadcast nested loop
+    // (O(rows × histogram levels) comparisons: 8.9 s at sf0.1 vs ~2 s
+    // for this shape — the round-6 bench catch).
+    val rankValue = hist.select(
+      explode(sequence(col("__lo") + 1L, col("__cum"))).as("__k"),
+      col("__hv"))
     ranked
       .crossJoin(broadcast(n)) // one scalar row — bounded by design
       .withColumn("__k",
         call_function("div", col("__r") * col("__n") + col("__ng") - 1L, col("__ng")))
-      .join(broadcast(hist), col("__k") > col("__lo") && col("__k") <= col("__cum"))
+      .join(rankValue, Seq("__k"))
       .select(col("__id").as(idCol), col("__g").as(groupCol),
         col("__v").as("value_cents"), col("__hv").as("norm_cents"))
   }
@@ -296,6 +306,40 @@ object Quality {
           .when(same, "unchanged")
           .otherwise("changed"))
       .drop("__old", "__new")
+  }
+
+  /** Freshness/completeness monitor: flag days whose row count sits
+    * more than `z` standard deviations from the TRAILING `trailing`-day
+    * window (prior days only — the current day must not defend itself).
+    * The σ test runs ENTIRELY in integer arithmetic by squaring:
+    * |x − S/n| > z·σ  ⇔  (n·x − S)² > z²·(n·Q − S²), with S/Q the
+    * trailing sum and sum-of-squares — no sqrt, no floats, no
+    * cross-engine drift. Days with fewer than `minObs` trailing
+    * observations abstain (null) instead of guessing. Input is the
+    * per-day count frame (bounded by the calendar), so the window is
+    * cheap by construction. */
+  def freshnessAnomalies(
+      counts: DataFrame,
+      dayCol: String,
+      nCol: String,
+      trailing: Int = 7,
+      minObs: Int = 3,
+      z: Int = 2): DataFrame = {
+    require(trailing >= minObs && minObs >= 2, s"need trailing >= minObs >= 2")
+    require(z >= 1, s"z >= 1: $z")
+    val wTrail = Window.orderBy(col(dayCol)).rowsBetween(-trailing, -1)
+    val x = col(nCol)
+    counts
+      .withColumn("__n", count(lit(1)).over(wTrail))
+      .withColumn("__s", sum(x).over(wTrail))
+      .withColumn("__q", sum(x * x).over(wTrail))
+      .select(
+        col(dayCol), x,
+        when(col("__n") >= minObs,
+          (col("__n") * x - col("__s")) * (col("__n") * x - col("__s")) >
+            lit(z.toLong * z) * (col("__n") * col("__q") -
+              col("__s") * col("__s")))
+          .as("is_anomalous"))
   }
 
   /** Two-sided CUSUM changepoint screen (Page 1954) per group, exact

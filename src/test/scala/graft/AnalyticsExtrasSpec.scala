@@ -175,6 +175,33 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(mi("alpha") == math.rint(math.log(2) * 1e6) / 1e6)
   }
 
+  // ---- freshnessAnomalies ---------------------------------------------
+
+  test("freshnessAnomalies: spike flags, steady days don't, early days " +
+    "abstain — against a literal mean/std reference") {
+    // 10 steady days around 100 (alternating 98/102), then a 300 spike,
+    // then recovery
+    val counts = ((1 to 10).map(d =>
+      (d, if (d % 2 == 0) 102L else 98L)) :+ ((11, 300L)) :+ ((12, 100L)))
+      .map { case (d, n) => (f"2024-01-$d%02d", n) }.toDF("day", "n_rows")
+    val out = Quality.freshnessAnomalies(counts, "day", "n_rows")
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(2)) None else Some(r.getBoolean(2))))
+    assert(out(0)._2.isEmpty && out(1)._2.isEmpty) // < minObs trailing
+    assert(out(10) == ("2024-01-11", Some(true))) // the spike
+    // steady mid-window days are not anomalous
+    (4 to 9).foreach(i => assert(out(i)._2.contains(false), s"day ${i + 1}"))
+    // recovery day: trailing window now CONTAINS the 300 spike, which
+    // inflates sigma — 100 is within 2 sigma of the polluted window
+    assert(out(11)._2.contains(false))
+    // literal reference for the spike day: trailing 7 = {98,102}*...,
+    // mean 100, var 4, z=2 → |300-100| = 200 > 2*2: definitely true
+    val trailing = (4 to 10).map(d => if (d % 2 == 0) 102.0 else 98.0)
+    val mean = trailing.sum / trailing.size
+    val varr = trailing.map(v => (v - mean) * (v - mean)).sum / trailing.size
+    assert(math.abs(300.0 - mean) > 2 * math.sqrt(varr))
+  }
+
   // ---- snapshotDiff ---------------------------------------------------
 
   test("snapshotDiff: all four statuses; nulls compare equal") {
