@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingView
+
+/** Streaming incremental view maintenance: the live view equals the
+  * batch merge of the same CDC partials, retractions and all. */
+class StreamingViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch view merge: retractions apply across micro-batches; " +
+    "final view equals the one-shot batch merge of the same log") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sview").toString
+    val viewDir = s"$dir/view"
+    val input = MemoryStream[(Long, Int, Long)]
+    val q = StreamingView.maintain(
+      input.toDF().toDF("k", "op", "valueCents"),
+      keys = Seq("k"), viewDir = viewDir, checkpointDir = s"$dir/ckpt")
+    val batches = Seq(
+      Seq((1L, 1, 100L), (2L, 1, 50L)),
+      Seq((2L, -1, 50L), (1L, 1, 20L)), // delete k=2 entirely
+      Seq((3L, 1, 70L), (1L, -1, 100L))) // retract one k=1 row
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val live = spark.read.parquet(viewDir)
+        .select("k", "n_rows", "sum_cents").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(live == Set((1L, 1L, 20L), (3L, 1L, 70L))) // k=2 dropped out
+      // one-shot batch merge of the SAME signed log — backfill path
+      val log = batches.flatten.toDF("k", "op", "valueCents")
+        .select(col("k"), col("op").cast("long").as("n_rows"),
+          (col("op") * col("valueCents")).cast("long").as("sum_cents"))
+      val batchView = graft.panel.Changelog
+        .mergeAggView(log.limit(0), log, Seq("k"))
+        .select("k", "n_rows", "sum_cents").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(live == batchView)
+    } finally q.stop()
+  }
+}
