@@ -704,6 +704,33 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // EV28: journeys via ordered string_agg, same regexes per pattern
+    "ev28_cep_patterns" ->
+      """WITH j AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    CAST(sum(CASE WHEN regexp_matches(journey, 'v.*c.*p')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(sum(CASE WHEN regexp_matches(journey, 's.*p')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |    CAST(sum(CASE WHEN regexp_matches(journey, 'ee')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |    CAST(sum(CASE WHEN regexp_matches(journey, 'p.*e')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m4
+        |  FROM j)
+        |SELECT 'funnel_vcp' AS pattern, n_users, m1 AS n_matched,
+        |  round(m1::DOUBLE / n_users, 6) AS match_rate FROM m
+        |UNION ALL SELECT 'signup_to_purchase', n_users, m2,
+        |  round(m2::DOUBLE / n_users, 6) FROM m
+        |UNION ALL SELECT 'double_error', n_users, m3,
+        |  round(m3::DOUBLE / n_users, 6) FROM m
+        |UNION ALL SELECT 'purchase_then_error', n_users, m4,
+        |  round(m4::DOUBLE / n_users, 6) FROM m""".stripMargin,
+
     // EV27: same trigram lags, same conditional-probability ratio
     "ev27_trigram_transitions" ->
       """WITH e AS (

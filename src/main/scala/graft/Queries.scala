@@ -571,6 +571,16 @@ object Queries {
     "ev24_rolling_active" -> ((s, dir) =>
       graft.events.Events.rollingActiveUsers(events(s, dir), windowDays = 7)),
 
+    // ---- EV28: CEP-lite — user journeys as one character-per-event
+    // string, behavioral patterns as regexes, ALL patterns in one
+    // aggregate pass (the expect/stack discipline)
+    "ev28_cep_patterns" -> ((s, dir) =>
+      graft.events.Events.cepPatterns(events(s, dir), Seq(
+        "funnel_vcp" -> "v.*c.*p",
+        "signup_to_purchase" -> "s.*p",
+        "double_error" -> "ee",
+        "purchase_then_error" -> "p.*e"))),
+
     // ---- EV27: second-order Markov transitions — trigram context
     // counts + conditional next-step probabilities (the path-analysis
     // upgrade of ev5's first-order chain); output bounded by |types|³

@@ -625,6 +625,13 @@ object TextQueries {
       graft.text.Vocab.vocabulary(t(s, dir, "documents"), topV = 100)
         .select(col("word"), col("cnt"), col("rank").cast("long").as("rank"))),
 
+    // ML33: NB learning curve — fixed hash holdout, NESTED hash
+    // training fractions (subset property ⇒ the curve measures data
+    // volume, not resample luck), accuracy per fraction
+    "ml33_nb_learning_curve" -> ((s, dir) =>
+      graft.text.Classifier.nbLearningCurve(
+        t(s, dir, "documents"), labelCol = "lang")),
+
     // CL5: mutual-information feature screen — I(word-presence;
     // source) over the top-50 vocabulary, complete (word × class)
     // grid, per-cell micro-nat quantization

@@ -780,6 +780,56 @@ object Events {
             (col("__cnt").cast("double") / col("__cnc"))), 6).as("qini"))
   }
 
+  /** CEP-lite pattern screen (the MATCH_RECOGNIZE / ClickHouse
+    * sequenceMatch shape): each user's ordered event history collapses
+    * to ONE journey string (one character per event), and behavioral
+    * patterns are plain regexes over it — "viewed then clicked then
+    * bought" is `v.*c.*p`, "two errors in a row" is `ee`. All patterns
+    * evaluate in ONE aggregate pass over the bounded journey frame
+    * (sum-per-pattern + a codegen `stack` reshape — the Quality.expect
+    * discipline), so adding a pattern costs a column, not a scan.
+    *
+    * The journey builds from `sort_array(collect_list(struct(ts, id,
+    * char)))` — the struct order IS the event order, so the string is
+    * deterministic under any partitioning. Journey length is a user's
+    * event count; for power users at corpus scale, cap upstream (or
+    * pattern-match per session via sessionize) — the regex cost is
+    * linear in journey length. `charOf` maps an event type to its
+    * single journey character and must be injective over observed
+    * types (the initial letter here; pass a custom mapping when types
+    * collide). */
+  def cepPatterns(
+      events: DataFrame,
+      patterns: Seq[(String, String)],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (patterns.isEmpty) throw new ParameterError("no patterns")
+    if (patterns.map(_._1).distinct.size != patterns.size)
+      throw new ParameterError("duplicate pattern names")
+    val journeys = events
+      .select(col(userCol).as("__u"),
+        struct(col(tsCol).as("t"), col(eventIdCol).as("e"),
+          substring(col(typeCol), 1, 1).as("c")).as("__s"))
+      .groupBy(col("__u"))
+      .agg(array_join(
+        transform(sort_array(collect_list(col("__s"))), s => s.getField("c")),
+        "").as("__j"))
+    val aggs = count(lit(1)).as("__n") +: patterns.map { case (name, re) =>
+      sum(when(col("__j").rlike(re), 1L).otherwise(0L)).as(s"__m_$name")
+    }
+    val row = journeys.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = patterns
+      .map { case (name, _) => s"'$name', `__m_$name`" }.mkString(", ")
+    row
+      .selectExpr("__n",
+        s"stack(${patterns.length}, $stackArgs) as (pattern, n_matched)")
+      .select(col("pattern"), col("__n").as("n_users"), col("n_matched"),
+        round(col("n_matched").cast("double") / col("__n"), 6)
+          .as("match_rate"))
+  }
+
   /** Daily + trailing-`window`-day active users (DAU/WAU/MAU family)
     * WITHOUT a count-distinct-over-window: each user's deduped activity
     * days become disjoint coverage intervals — day aᵢ covers

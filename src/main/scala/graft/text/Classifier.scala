@@ -271,5 +271,54 @@ object Classifier {
           (lit(1.0) + exp(-(col("__zm").cast("double") / lit(1e6)))), 6)
           .as("prob"))
   }
+
+  /** Learning curve for the NB classifier: hold out a fixed
+    * hash-deterministic slice, train on NESTED hash fractions of the
+    * remaining pool (the sampleByHash nesting property — each smaller
+    * training set is a SUBSET of the larger, so the curve measures data
+    * volume, not resample luck), and report holdout accuracy per
+    * fraction. The flattening of this curve is the data-scaling answer
+    * "would labeling more help?" — a first-class eval for a pipeline
+    * that curates training data.
+    *
+    * One row per fraction: (fraction, n_train, n_holdout, n_correct,
+    * accuracy 6dp). Counts exact; accuracy one integer ratio. Cost is
+    * |fractions| classify passes — each a bounded-model broadcast join,
+    * so the scan of the holdout dominates. */
+  def nbLearningCurve(
+      docs: DataFrame,
+      labelCol: String,
+      fractions: Seq[Double] = Seq(0.25, 0.5, 1.0),
+      holdoutFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 256,
+      seed: String = "lc"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
+      s"fractions in (0,1]: $fractions")
+    require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
+    val u = graft.text.Sampling.hashUnit(col(idCol), seed)
+    val holdout = docs.where(u >= 1.0 - holdoutFrac)
+      .localCheckpoint(eager = false) // scored once per fraction
+    val pool = docs.where(u < 1.0 - holdoutFrac)
+    val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
+    fractions.sorted.map { f =>
+      val train = pool.where(
+        graft.text.Sampling.hashUnit(col(idCol), s"$seed-f") < f)
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      nbClassify(holdout, train, idCol, labelCol, textCol, buckets)
+        .join(truth, Seq(idCol))
+        .agg(
+          count(lit(1)).as("n_holdout"),
+          sum(when(col("predicted") === col("__truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .crossJoin(broadcast(nTrain)) // one scalar row — bounded
+        .select(
+          lit(f).as("fraction"), col("n_train"),
+          col("n_holdout"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_holdout"), 6)
+            .as("accuracy"))
+    }.reduce(_ unionByName _)
+  }
 }
 

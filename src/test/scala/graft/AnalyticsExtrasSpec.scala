@@ -175,6 +175,44 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(mi("alpha") == math.rint(math.log(2) * 1e6) / 1e6)
   }
 
+  // ---- cepPatterns ----------------------------------------------------
+
+  test("cepPatterns: journey order is (ts, id)-deterministic; regexes " +
+    "match subsequences, not adjacency (except when written adjacent)") {
+    val ts0 = new java.sql.Timestamp(0L)
+    def t(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    val ev = Seq(
+      (1L, t(1), 10L, "view"), (1L, t(2), 11L, "error"),
+      (1L, t(3), 12L, "click"), (1L, t(4), 13L, "purchase"),
+      (2L, t(1), 20L, "error"), (2L, t(1), 21L, "error"), // same ts: id order
+      (3L, t(5), 30L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.events.Events.cepPatterns(ev, Seq(
+      "vcp" -> "v.*c.*p", "ee" -> "ee", "pe" -> "p.*e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("vcp") == ((1L, 0.333333))) // user 1: v e c p matches across gaps
+    assert(out("ee") == ((1L, 0.333333))) // user 2 only (adjacent errors)
+    assert(out("pe") == ((0L, 0.0))) // nobody errors after purchasing
+  }
+
+  // ---- nbLearningCurve ------------------------------------------------
+
+  test("nbLearningCurve: nested fractions grow the training set " +
+    "monotonically; full-pool model separates a separable corpus") {
+    val docs = (0L until 200L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lang == "aa") "alpha alpha beta" else "gamma delta gamma"
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.text.Classifier
+      .nbLearningCurve(docs, "lang", fractions = Seq(0.3, 1.0))
+      .orderBy("fraction").collect()
+    assert(out(0).getLong(1) < out(1).getLong(1)) // n_train grows
+    assert(out(0).getLong(2) == out(1).getLong(2)) // same holdout
+    // perfectly separable vocab: the full model must be perfect
+    assert(out(1).getDouble(4) == 1.0)
+  }
+
   // ---- freshnessAnomalies ---------------------------------------------
 
   test("freshnessAnomalies: spike flags, steady days don't, early days " +
