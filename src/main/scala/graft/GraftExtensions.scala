@@ -85,5 +85,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_gopher(text) takes 1 argument")
         GopherSignals(args(0))
       }))
+
+    ext.injectFunction((FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity " +
+          "(DuckDB/rapidfuzz conventions)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
+        graft.functions.JaroWinklerSimilarity(args(0), args(1))
+      }))
   }
 }

@@ -4581,6 +4581,25 @@ object Oracles {
         |    / (syy - sy*sy/nd), 6) AS r2
         |FROM bs""".stripMargin,
 
+    // SK5: exact overlap in SQL; the sketch estimate is engine-side
+    // and the contract boolean must come out TRUE (the sk1 discipline)
+    "sk5_hll_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |types AS (SELECT DISTINCT event_type AS t FROM events),
+        |pairs AS (
+        |  SELECT a.t AS type_a, b.t AS type_b
+        |  FROM types a JOIN types b ON a.t < b.t),
+        |ov AS (
+        |  SELECT x.t AS type_a, y.t AS type_b, count(*)::BIGINT AS exact_overlap
+        |  FROM ut x JOIN ut y ON x.u = y.u AND x.t < y.t
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b,
+        |  coalesce(ov.exact_overlap, 0) AS exact_overlap,
+        |  TRUE AS approx_ok
+        |FROM pairs p LEFT JOIN ov
+        |  ON p.type_a = ov.type_a AND p.type_b = ov.type_b""".stripMargin,
+
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
     "sk4_cms_contract" ->

@@ -2258,6 +2258,40 @@ object Queries {
         prePruneBuckets = 16)
     }),
 
+    // ---- SK5: audience overlap by HLL inclusion-exclusion —
+    // est(A∩B) = est(A) + est(B) − est(A∪B) from per-segment sketches
+    // (the mergeable-sketch answer to "how much do these segments
+    // share" WITHOUT re-scanning users), contract-checked against the
+    // exact overlap with an absolute 5%-of-(|A|+|B|) bound (the
+    // inclusion-exclusion error compounds three estimates)
+    "sk5_hll_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sk = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("n"))
+        .localCheckpoint(eager = false) // both sides of the pair join
+      val ut = ev.select(col("user_id").as("u"), col("event_type").as("t"))
+        .distinct()
+      val exact = ut.as("x")
+        .join(ut.as("y"),
+          col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+        .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      val est = hll_sketch_estimate(col("a.sk")) +
+        hll_sketch_estimate(col("b.sk")) -
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+      sk.as("a")
+        .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          est.as("__est"), (col("a.n") + col("b.n")).as("__scale"))
+        .join(exact, Seq("type_a", "type_b"), "left")
+        .na.fill(0L, Seq("exact_overlap"))
+        .select(col("type_a"), col("type_b"), col("exact_overlap"),
+          (abs(col("__est") - col("exact_overlap")) <=
+            col("__scale").cast("double") * 0.05).as("approx_ok"))
+    }),
+
     // ---- SK4: Count-Min sketch error contract — build the d×w grid
     // (per-key reduce → depth fan-out → one groupBy), estimate every
     // key back out of it, and report the one-sided-error contract in

@@ -37,6 +37,8 @@ class CatalogPlanSpec extends SparkSpec {
     "ml8_purged_cv", "ml9_walk_forward", "r7_densify", "coint1_pairs",
     "sd2_prototypes", "sd3_semantic_decontam",
     "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
+    "ml33_nb_learning_curve", // cl2's classify chain × |fractions|
+    "sk5_hll_overlap", // |event_type|² sketch pairs — dimension-bounded
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
     "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
     "qn1_quantile_norm") // rank lookup vs the distinct-cents histogram (value-domain-bounded broadcast)

@@ -63,5 +63,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s.sql("SELECT graft_simhash(text, CAST(id AS INT)) FROM docs").head)
     assert(e.getMessage.contains("INT literal") ||
       Option(e.getCause).exists(_.getMessage.contains("INT literal")))
+
+    // jaro-winkler through the SQL surface = the Scala API value
+    val jw = s.sql(
+      "SELECT round(graft_jaro_winkler('martha', 'marhta'), 6) AS j").head
+    assert(jw.getDouble(0) == 0.961111)
   }
 }
