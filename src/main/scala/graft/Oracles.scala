@@ -704,6 +704,21 @@ object Oracles {
         |  ON CAST(e.ts AS DATE) BETWEEN s.day - 6 AND s.day
         |GROUP BY s.day""".stripMargin,
 
+    // J13: the oracle spells the dominance directly as NOT EXISTS —
+    // a different algorithm from the engine's as-of formulation
+    "j13_temporal_anti" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events)
+        |SELECT p.event_id, p.user_id
+        |FROM e p
+        |WHERE p.event_type = 'purchase'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM e v
+        |    WHERE v.event_type = 'view' AND v.user_id = p.user_id
+        |      AND v.us >= p.us - 3600000000 AND v.us <= p.us)""".stripMargin,
+
     // EV28: journeys via ordered string_agg, same regexes per pattern
     "ev28_cep_patterns" ->
       """WITH j AS (

@@ -571,6 +571,24 @@ object Queries {
     "ev24_rolling_active" -> ((s, dir) =>
       graft.events.Events.rollingActiveUsers(events(s, dir), windowDays = 7)),
 
+    // ---- J13: temporal ANTI-join — purchases with NO view in the
+    // trailing hour (the complement of attribution: organic
+    // conversions). One as-of pass gets the latest view at-or-before
+    // each purchase; "none in window" is then a row predicate — no
+    // NOT-EXISTS subquery, no interval explode.
+    "j13_temporal_anti" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("us"), col("us").as("view_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), col("event_id"))
+      AsOf.join(purchases, views, "user_id", "us", Seq("view_us"))
+        .where(col("view_us").isNull ||
+          col("us") - col("view_us") > 3600000000L)
+        .select(col("event_id"), col("user_id"))
+    }),
+
     // ---- EV28: CEP-lite — user journeys as one character-per-event
     // string, behavioral patterns as regexes, ALL patterns in one
     // aggregate pass (the expect/stack discipline)
