@@ -328,6 +328,44 @@ object TextOracles {
       s"""WITH $pagerankCtes
          |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3""".stripMargin,
 
+    // GR5: 8 unrolled peel rounds over the same modular graph —
+    // rounds after the fixpoint remove nothing, so over-provisioning
+    // is exact, not approximate
+    "gr5_kcore" -> {
+      val rounds = 8
+      val peels = (1 to rounds).map { r =>
+        val prev = if (r == 1) "rem0" else s"rem${r - 1}"
+        s"""rem$r AS MATERIALIZED (
+           |  SELECT node FROM $prev
+           |  UNION
+           |  SELECT n.node FROM nodes n
+           |  WHERE n.node NOT IN (SELECT node FROM $prev)
+           |    AND (SELECT count(*) FROM dir e WHERE e.u = n.node
+           |         AND e.v NOT IN (SELECT node FROM $prev)) < 4)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS N FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS s, (doc_id * 2 + 1) % (SELECT N FROM nn) AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 2) % (SELECT N FROM nn)
+         |  FROM documents),
+         |und AS (
+         |  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+         |  FROM e0 WHERE s <> t),
+         |dir AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+         |        UNION ALL SELECT b, a FROM und),
+         |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM dir),
+         |rem0 AS (SELECT CAST(NULL AS BIGINT) AS node WHERE false),
+         |$peels
+         |SELECT u AS node, count(*)::BIGINT AS core_degree
+         |FROM dir
+         |WHERE u NOT IN (SELECT node FROM rem$rounds)
+         |  AND v NOT IN (SELECT node FROM rem$rounds)
+         |GROUP BY 1""".stripMargin
+    },
+
     // GR4: same undirected edges, same integer moments, same Pearson
     // expression shape
     "gr4_assortativity" ->

@@ -696,6 +696,24 @@ object TextQueries {
       graft.graph.PageRank.triangles(e)
     }),
 
+    // GR5: 4-core by bulk-synchronous peeling to a fixpoint (loud
+    // non-convergence guard). The source-transition graph is a
+    // degree-2 ring (its k-core is trivially empty/full), so the graph
+    // here is the deterministic doc-id modular multigraph
+    // (i → 2i+1, i → 3i+2 mod N: degree 1..5, a 120-node 4-core at
+    // sf0.01). The oracle unrolls 8 peel rounds — over-provisioned is
+    // safe because post-convergence rounds are no-ops.
+    "gr5_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__N"))
+      val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 2 + 1, col("__N")),
+          pmod(col("doc_id") * 3 + 2, col("__N")))).as("dst"))
+      graft.graph.PageRank.kCore(e, k = 4)
+    }),
+
     // GR4: degree assortativity of the same undirected source graph —
     // exact integer moments over both edge orientations, one fixed
     // Pearson expression (null if the graph is degree-regular)

@@ -159,6 +159,60 @@ object PageRank {
           .as("clustering"))
   }
 
+  /** k-core of the undirected graph (Seidman 1983): the maximal
+    * subgraph where every node keeps degree ≥ k — the standard
+    * "dense backbone" screen (spam rings, collaboration cores) and the
+    * precondition many community algorithms assume.
+    *
+    * Iterative peeling: each round deletes EVERY node whose remaining
+    * degree is < k (bulk-synchronous — one degree agg + one semi-join
+    * per round, edges re-checkpointed so a round joins materialized
+    * state, the duplicateClusters discipline). Rounds needed equal the
+    * graph's peeling depth, NOT its size — but adversarial chains
+    * (a path peels two ends per round) can be deep, so the loop raises
+    * LOUDLY at `maxIters` rather than returning a half-peeled set.
+    * Extra rounds after convergence are no-ops (peeling is monotone),
+    * which is what lets the oracle unroll a fixed round count safely.
+    * Output: surviving (node, core_degree). */
+  def kCore(
+      edges: DataFrame,
+      k: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIters: Int = 30): DataFrame = {
+    if (k < 2) throw new ParameterError(s"k must be >= 2: $k")
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .distinct()
+    var live = und0.select(col("__a").as("u"), col("__b").as("v"))
+      .union(und0.select(col("__b").as("u"), col("__a").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var weakCount = 1L
+    while (weakCount > 0 && iter < maxIters) {
+      val deg = live.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+      val weak = deg.where(col("__d") < k).select(col("u"))
+        .localCheckpoint(true) // joined twice below
+      weakCount = weak.count()
+      if (weakCount > 0) {
+        live = live
+          .join(weak, Seq("u"), "left_anti")
+          .join(weak.select(col("u").as("v")), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    if (weakCount > 0)
+      throw new graft.GraftError(
+        s"$k-core peeling did not converge in $maxIters rounds — " +
+          "peeling depth exceeds maxIters; raise it")
+    live.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Degree assortativity coefficient (Newman 2002): the Pearson
     * correlation of endpoint degrees over every directed orientation of
     * the undirected edge set. Positive = hubs link hubs (social),

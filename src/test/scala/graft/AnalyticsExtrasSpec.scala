@@ -175,6 +175,26 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(mi("alpha") == math.rint(math.log(2) * 1e6) / 1e6)
   }
 
+  // ---- kCore ----------------------------------------------------------
+
+  test("kCore: K5 plus a pendant chain peels to exactly the clique; " +
+    "deep peeling raises loudly at maxIters") {
+    // K5 on 0..4 (every node degree 4) + chain 4-10-11-12 hanging off
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (k5 ++ chain).toDF("src", "dst")
+    val core = graft.graph.PageRank.kCore(edges, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core.values.forall(_ == 4L)) // inside the core K5 is 4-regular
+    // a 12-node path with k=2 peels two ends per round — 6 rounds;
+    // maxIters=2 must raise, not return a half-peeled set
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[graft.GraftError](
+      graft.graph.PageRank.kCore(path, k = 2, maxIters = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   // ---- cepPatterns ----------------------------------------------------
 
   test("cepPatterns: journey order is (ts, id)-deterministic; regexes " +
