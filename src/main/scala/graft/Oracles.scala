@@ -830,6 +830,94 @@ object Oracles {
         |  round(exp(-(cum::DOUBLE) / 1e12), 6) AS fh_survival
         |FROM cm""".stripMargin,
 
+    // EV29: log-rank — ev25's risk-set CTEs split by the md5 arm;
+    // hypergeometric E/V increments 1e12-quantized (same IEEE shapes),
+    // χ² from the EXACT o1·10¹²−Σe1q BIGINT difference
+    "ev29_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f,
+        |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS l,
+        |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'lr', user_id)),
+        |      1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.5 AS a
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(l) AS m FROM pu),
+        |obs AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', l, (SELECT m FROM mx)) >= 1
+        |         THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN a THEN 1 ELSE 0 END AS g1
+        |  FROM pu),
+        |bd AS (
+        |  SELECT dur, count(*)::BIGINT AS c, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(g1) AS BIGINT) AS c1,
+        |    CAST(sum(ev * g1) AS BIGINT) AS d1
+        |  FROM obs GROUP BY 1),
+        |nn AS (
+        |  SELECT *,
+        |    CAST(sum(c) OVER (ORDER BY dur DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n,
+        |    CAST(sum(c1) OVER (ORDER BY dur DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+        |  FROM bd),
+        |st AS (
+        |  SELECT d1,
+        |    CAST(round(n1::DOUBLE * d / n::DOUBLE * 1e12) AS BIGINT) AS e1q,
+        |    CASE WHEN n > 1 THEN
+        |      CAST(round(d::DOUBLE * n1 / n::DOUBLE * (n - n1) / n::DOUBLE
+        |        * (n - d) / (n - 1)::DOUBLE * 1e12) AS BIGINT)
+        |    ELSE 0 END AS vq
+        |  FROM nn WHERE d > 0),
+        |ag AS (
+        |  SELECT count(*)::BIGINT AS n_times, CAST(sum(d1) AS BIGINT) AS o1,
+        |    CAST(sum(e1q) AS BIGINT) AS e1s, CAST(sum(vq) AS BIGINT) AS vs
+        |  FROM st)
+        |SELECT n_times, o1,
+        |  round(e1s::DOUBLE / 1e12, 6) AS e1,
+        |  round(vs::DOUBLE / 1e12, 6) AS var,
+        |  round(CASE WHEN vs > 0 THEN
+        |    ((o1 * 1000000000000 - e1s)::DOUBLE / 1e12) *
+        |    ((o1 * 1000000000000 - e1s)::DOUBLE / 1e12) /
+        |    (vs::DOUBLE / 1e12) END, 6) AS chisq
+        |FROM ag""".stripMargin,
+
+    // AB2: Mann–Whitney — doubled integer ranks off the distinct-cents
+    // histogram (all-BIGINT until the final z), tie-corrected variance
+    // with the engine's exact expression shape
+    "ab2_mann_whitney" ->
+      """WITH h AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    count(*)::BIGINT AS t,
+        |    CAST(sum(CASE WHEN CAST(CAST(concat('0x', substr(md5(
+        |        concat_ws('|', 'mw', user_id)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |        / 4294967296.0 < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (
+        |  SELECT *,
+        |    CAST(sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) - t AS below
+        |  FROM h),
+        |ag AS (
+        |  SELECT CAST(sum(t1) AS BIGINT) AS n1,
+        |    CAST(sum(t - t1) AS BIGINT) AS n2,
+        |    CAST(sum(t1 * (below * 2 + t + 1)) AS BIGINT) AS r1_x2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM w),
+        |fin AS (
+        |  SELECT n1, n2, r1_x2, r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_term
+        |  FROM ag)
+        |SELECT n1, n2, r1_x2, u1_x2, tie_term,
+        |  round(CASE WHEN n1 > 0 AND n2 > 0 AND
+        |      n1::DOUBLE * n2::DOUBLE / 12.0 * ((n1 + n2)::DOUBLE + 1.0
+        |        - tie_term::DOUBLE / (n1 + n2)::DOUBLE
+        |          / ((n1 + n2)::DOUBLE - 1.0)) > 0
+        |    THEN (u1_x2 - n1 * n2)::DOUBLE /
+        |      (sqrt(n1::DOUBLE * n2::DOUBLE / 12.0 * ((n1 + n2)::DOUBLE + 1.0
+        |        - tie_term::DOUBLE / (n1 + n2)::DOUBLE
+        |          / ((n1 + n2)::DOUBLE - 1.0))) * 2.0)
+        |    END, 6) AS z
+        |FROM fin""".stripMargin,
+
     // EV22: windowed conversion — first toType AT OR AFTER the first
     // touch (per-user first-touch via window, then conditional min
     // against it): a pre-touch conversion neither counts nor masks a
@@ -4820,6 +4908,119 @@ object Oracles {
     // TS1: Theil–Sen replay — same pair expansion, same (slope, xa, xb)
     // total order, same middle-order-statistic sum (only two nonzero
     // addends → FP-commutative, order-free)
+    // TS2: classical decomposition — integer 7·c−Σ₇c detrending, the
+    // weekday mean 1e12-quantized ONCE per cell, re-centering done as
+    // sq·K−S in quantized space (exact), fixed IEEE shapes to 6dp
+    "ts2_decompose" ->
+      s"""WITH $panelCte,
+         |r AS (
+         |  SELECT sid, date, CAST(round(close * 100) AS BIGINT) AS c,
+         |    CAST(sum(CAST(round(close * 100) AS BIGINT)) OVER (
+         |      PARTITION BY sid ORDER BY date
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         |    count(*) OVER (PARTITION BY sid ORDER BY date
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+         |  FROM panel),
+         |f AS (
+         |  SELECT sid, date, c, s7, CAST(isodow(date) AS BIGINT) AS dow
+         |  FROM r WHERE k7 = 7),
+         |cells AS (
+         |  SELECT sid, dow,
+         |    CAST(round(CAST(sum(c * 7 - s7) AS BIGINT)::DOUBLE
+         |      / (count(*) * 7)::DOUBLE * 1e12) AS BIGINT) AS sq
+         |  FROM f GROUP BY 1, 2),
+         |ps AS (
+         |  SELECT sid, count(*)::BIGINT AS k, CAST(sum(sq) AS BIGINT) AS s
+         |  FROM cells GROUP BY 1)
+         |SELECT f.sid, f.date, c::DOUBLE / 100.0 AS close,
+         |  round(s7::DOUBLE / 7.0 / 100.0, 6) AS trend,
+         |  round((sq * k - s)::DOUBLE / k::DOUBLE / 1e12 / 100.0, 6)
+         |    AS seasonal,
+         |  round(c::DOUBLE / 100.0 - s7::DOUBLE / 7.0 / 100.0
+         |    - (sq * k - s)::DOUBLE / k::DOUBLE / 1e12 / 100.0, 6)
+         |    AS residual
+         |FROM f
+         |JOIN cells ON f.sid = cells.sid AND f.dow = cells.dow
+         |JOIN ps ON f.sid = ps.sid""".stripMargin,
+
+    // TS3: seasonal-naive forecast errors — integer |Δ| sums, per-row
+    // sMAPE terms 1e12-quantized, flat series → null MASE
+    "ts3_forecast_eval" ->
+      s"""WITH $panelCte,
+         |r AS (
+         |  SELECT sid, CAST(round(close * 100) AS BIGINT) AS c,
+         |    lag(CAST(round(close * 100) AS BIGINT), 7) OVER (
+         |      PARTITION BY sid ORDER BY date) AS f,
+         |    lag(CAST(round(close * 100) AS BIGINT), 1) OVER (
+         |      PARTITION BY sid ORDER BY date) AS p
+         |  FROM panel),
+         |a AS (
+         |  SELECT sid,
+         |    count(f)::BIGINT AS n_eval,
+         |    CAST(sum(abs(c - f)) AS BIGINT) AS e7,
+         |    count(p)::BIGINT AS n1,
+         |    CAST(sum(abs(c - p)) AS BIGINT) AS e1,
+         |    CAST(sum(CASE WHEN f IS NOT NULL THEN
+         |      CAST(round(2.0 * abs(c - f)::DOUBLE / (c + f)::DOUBLE * 1e12)
+         |        AS BIGINT) ELSE 0 END) AS BIGINT) AS sm
+         |  FROM r GROUP BY 1)
+         |SELECT sid, n_eval,
+         |  round(e7::DOUBLE / n_eval::DOUBLE / 100.0, 6) AS mae,
+         |  round(CASE WHEN n1 > 0 AND e1 > 0 THEN
+         |    (e7::DOUBLE / n_eval::DOUBLE) / (e1::DOUBLE / n1::DOUBLE)
+         |    END, 6) AS mase,
+         |  round(sm::DOUBLE / 1e12 / n_eval::DOUBLE, 6) AS smape
+         |FROM a WHERE n_eval > 0""".stripMargin,
+
+    // ML35: IPS/SNIPS — rn=1 first action (a different algorithm from
+    // the engine's min-struct), md5 uniform target policy, per-action
+    // 1e12-quantized terms
+    "ml35_offpolicy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id) AS fm
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS a,
+        |    max(CASE WHEN event_type = 'purchase' AND m > fm
+        |        THEN 1 ELSE 0 END) AS r
+        |  FROM e GROUP BY 1),
+        |ac AS (
+        |  SELECT a, count(*)::BIGINT AS na,
+        |    row_number() OVER (ORDER BY a) AS idx
+        |  FROM pu GROUP BY a),
+        |kf AS (
+        |  SELECT count(*)::BIGINT AS kk, CAST(sum(na) AS BIGINT) AS nu
+        |  FROM ac),
+        |mt AS (
+        |  SELECT pu.a, pu.r
+        |  FROM pu
+        |  JOIN ac ON ac.idx = CAST(floor(CAST(CAST(concat('0x', substr(md5(
+        |      concat_ws('|', 'pi', pu.user_id)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 * (SELECT kk FROM kf)) AS BIGINT) + 1
+        |  WHERE pu.a = ac.a),
+        |pa AS (
+        |  SELECT mt.a, count(*)::BIGINT AS ma, CAST(sum(mt.r) AS BIGINT) AS mra
+        |  FROM mt GROUP BY 1),
+        |fin AS (
+        |  SELECT CAST(sum(ma) AS BIGINT) AS nm,
+        |    CAST(sum(CAST(round(mra::DOUBLE / na::DOUBLE * 1e12) AS BIGINT))
+        |      AS BIGINT) AS ipsq,
+        |    CAST(sum(CAST(round(ma::DOUBLE / na::DOUBLE * 1e12) AS BIGINT))
+        |      AS BIGINT) AS wq
+        |  FROM pa JOIN ac ON pa.a = ac.a)
+        |SELECT (SELECT nu FROM kf) AS n_users,
+        |  coalesce(nm, 0) AS n_matched,
+        |  round(coalesce(ipsq, 0)::DOUBLE / 1e12, 6) AS ips,
+        |  round(CASE WHEN wq > 0 THEN ipsq::DOUBLE / wq::DOUBLE END, 6)
+        |    AS snips
+        |FROM fin""".stripMargin,
+
     "ts1_theilsen" ->
       s"""WITH $panelCte,
          |pts AS (
@@ -5049,6 +5250,74 @@ object Oracles {
     // CT1: χ² contingency replay — observed counts exact, expected =
     // row·col/total in the same double op order, per-cell term
     // micro-rounded
+    // MB1: frequent pairs — DISTINCT incidence, maxBasket guard,
+    // self-join pair counts (the engine's one-pass explode is the
+    // different-algorithm cross-check), support vs guarded baskets
+    "mb1_frequent_pairs" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |g AS (SELECT b, i, count(*) OVER (PARTITION BY b) AS nsz FROM bi),
+        |ok AS (SELECT * FROM g WHERE nsz <= 1000),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT AS N FROM ok),
+        |p AS (
+        |  SELECT a.i AS item1, c.i AS item2, count(*)::BIGINT AS n
+        |  FROM ok a JOIN ok c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT item1, item2, n,
+        |  round(n::DOUBLE / (SELECT N FROM nb)::DOUBLE, 6) AS support
+        |FROM p""".stripMargin,
+
+    // MB2: association rules both directions off the ≥3 pairs;
+    // lift goes DOUBLE after the first product (BIGINT na·nc would
+    // overflow past ~3e9 baskets — same shape as the engine)
+    "mb2_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |g AS (SELECT b, i, count(*) OVER (PARTITION BY b) AS nsz FROM bi),
+        |ok AS (SELECT * FROM g WHERE nsz <= 1000),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT AS N FROM ok),
+        |ic AS (SELECT i, count(*)::BIGINT AS ni FROM ok GROUP BY 1),
+        |p AS (
+        |  SELECT a.i AS item1, c.i AS item2, count(*)::BIGINT AS n
+        |  FROM ok a JOIN ok c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |r AS (
+        |  SELECT item1 AS antecedent, item2 AS consequent, n FROM p
+        |  UNION ALL
+        |  SELECT item2 AS antecedent, item1 AS consequent, n FROM p)
+        |SELECT r.antecedent, r.consequent, r.n, a.ni AS n_ante,
+        |  c.ni AS n_cons,
+        |  round(r.n::DOUBLE / a.ni::DOUBLE, 6) AS confidence,
+        |  round(r.n::DOUBLE * (SELECT N FROM nb) / a.ni / c.ni, 6) AS lift
+        |FROM r
+        |JOIN ic a ON r.antecedent = a.i
+        |JOIN ic c ON r.consequent = c.i""".stripMargin,
+
+    // DQ4: Benford — leading digit of the exact cents INTEGER's
+    // decimal string (no float log10 edge); expected probabilities
+    // ln-based, 1e12-quantized before use (9 scale-independent
+    // constants, so a green hash here is green at every SF)
+    "dq4_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit,
+        |    count(*)::BIGINT AS n
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(sum(n) OVER () AS BIGINT) AS tot,
+        |    CAST(round(ln((digit::DOUBLE + 1.0) / digit::DOUBLE)
+        |      / ln(10.0) * 1e12) AS BIGINT) AS expq
+        |  FROM d)
+        |SELECT digit, n,
+        |  round(n::DOUBLE / tot::DOUBLE, 6) AS obs_p,
+        |  round(expq::DOUBLE / 1e12, 6) AS exp_p,
+        |  round((n::DOUBLE - expq::DOUBLE / 1e12 * tot::DOUBLE)
+        |    * (n::DOUBLE - expq::DOUBLE / 1e12 * tot::DOUBLE)
+        |    / (expq::DOUBLE / 1e12 * tot::DOUBLE), 6) AS chi2_term
+        |FROM w""".stripMargin,
+
     "ct1_chisq" ->
       """WITH obs AS (
         |  SELECT event_type AS d1,

@@ -633,6 +633,18 @@ object Queries {
     "ev25_nelson_aalen" -> ((s, dir) =>
       graft.events.Events.nelsonAalen(events(s, dir), censorDays = 1)),
 
+    // ---- EV29: log-rank test between the md5 arms over the ev11
+    // lifetime model — micro-quantized hypergeometric E/V increments,
+    // exact O₁·10¹²−ΣE₁q difference, one χ²(1) row
+    "ev29_logrank" -> ((s, dir) =>
+      graft.events.Events.logRank(events(s, dir), censorDays = 1)),
+
+    // ---- AB2: Mann–Whitney rank-sum on purchase values between the
+    // md5 arms — doubled integer ranks off the distinct-cents
+    // histogram, tie-corrected z with one sqrt
+    "ab2_mann_whitney" -> ((s, dir) =>
+      graft.events.Events.mannWhitney(events(s, dir))),
+
     "ev3_funnel" -> ((s, dir) =>
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),
@@ -2479,6 +2491,21 @@ object Queries {
         xCol = datediff(col("date"), lit("1992-01-01")),
         valueCol = "close")),
 
+    // ---- TS2/TS3: classical seasonal decomposition (weekday period,
+    // integer detrending, exact quantized re-centering) + naive-
+    // forecast MAE/MASE/sMAPE baselines per sid ----
+    "ts2_decompose" -> ((s, dir) =>
+      graft.panel.Seasonal.decompose(supplierPanel(s, dir))),
+
+    "ts3_forecast_eval" -> ((s, dir) =>
+      graft.panel.Seasonal.forecastEval(supplierPanel(s, dir), lag = 7)),
+
+    // ---- ML35: off-policy evaluation — IPS/SNIPS of the uniform
+    // hash policy against logged first-actions with empirical
+    // propensities; all sums on the bounded action dimension ----
+    "ml35_offpolicy" -> ((s, dir) =>
+      graft.ml.OffPolicy.ipsSnips(events(s, dir))),
+
     // ---- A14: explicit GROUPING SETS (the lattice a9/a10 don't
     // cover: hand-picked subtotal combinations) ----
     "a14_grouping_sets" -> ((s, dir) => {
@@ -2666,6 +2693,23 @@ object Queries {
         .unionByName(graft.sources.Quality.orphans(
           "orders_customer_fk", ord, "o_custkey", t(s, dir, "customer"), "c_custkey"))
     }),
+
+    // ---- MB1/MB2: market-basket mining on order line items — one-pass
+    // per-basket pair generation (maxBasket guard + observe), exact
+    // co-occurrence counts, broadcast item-count joins for the rules
+    "mb1_frequent_pairs" -> ((s, dir) =>
+      graft.events.Basket.frequentPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 2L)),
+
+    "mb2_assoc_rules" -> ((s, dir) =>
+      graft.events.Basket.associationRules(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)),
+
+    // ---- DQ4: Benford first-digit screen on order totals — exact
+    // cents leading digit (no float log10), 1e12-quantized expected
+    // probabilities, per-digit χ² terms
+    "dq4_benford" -> ((s, dir) =>
+      graft.sources.Quality.benford(t(s, dir, "orders"), "o_totalprice")),
 
     // ---- rank-family windows: rank/dense_rank/percent_rank/cume_dist
     // depend only on the VALUE (peers share a rank), so ordering by close

@@ -1316,4 +1316,144 @@ object Events {
           .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("day"), col("active_users"))
   }
+
+  /** EV29: log-rank test — does survival differ between two cohorts?
+    * The standard companion to [[kaplanMeier]]/[[nelsonAalen]] (Mantel
+    * 1966): at every event time t the observed arm-A deaths O₁ₜ are
+    * compared to the hypergeometric expectation E₁ₜ = n₁ₜ·dₜ/nₜ with
+    * variance Vₜ = dₜ·(n₁ₜ/nₜ)·(1−n₁ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); the χ²(1)
+    * statistic is (ΣO₁ₜ − ΣE₁ₜ)² / ΣVₜ. Arms come from the
+    * deterministic md5 split ([[graft.text.Sampling.hashUnit]] < 0.5 —
+    * the ev10/ev26 discipline), lifetimes/censoring from the shared
+    * kaplanMeier model (last activity ≥ `censorDays` before the corpus
+    * max day = churned).
+    *
+    * Exactness: risk/death counts are exact integers via one per-user
+    * agg + one per-duration agg + reverse-cumulative counts over the
+    * bounded duration frame; each E₁ₜ and Vₜ is a fixed left-associated
+    * IEEE expression of those integers, micro-quantized at 1e12 and
+    * summed as BIGINT (order-free), so O₁·10¹² − ΣE₁q is EXACT. No
+    * p-value column: χ²(1) tail needs erfc (libm); readers compare the
+    * statistic to 3.841 (95%). V = 0 (every time has d = n, or one arm
+    * empty) yields null statistic rather than ±inf.
+    *
+    * Scale: identical shape to kaplanMeier — everything after the
+    * per-user agg lives on the duration histogram, bounded by the
+    * corpus date span; the unpartitioned windows ride that bounded
+    * frame. Output ONE row (n_times, o1, e1, var, chisq). */
+  def logRank(
+      events: DataFrame,
+      censorDays: Int = 7,
+      seed: String = "lr",
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (censorDays < 1)
+      throw new ParameterError(s"censorDays must be >= 1: $censorDays")
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(min(day).as("__f"), max(day).as("__l"))
+      .withColumn("__a",
+        graft.text.Sampling.hashUnit(col(userCol), seed) < 0.5)
+      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+    val maxD = perUser.agg(max(col("__l")).as("__mx"))
+    val obs = perUser
+      .crossJoin(broadcast(maxD))
+      .select(
+        datediff(col("__l"), col("__f")).cast("long").as("__dur"),
+        when(datediff(col("__mx"), col("__l")) >= censorDays, 1L)
+          .otherwise(0L).as("__ev"),
+        when(col("__a"), 1L).otherwise(0L).as("__g1"))
+    val wDesc = Window.orderBy(col("__dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("__n").cast("double")
+    obs
+      .groupBy(col("__dur"))
+      .agg(
+        count(lit(1)).as("__c"), sum(col("__ev")).as("__d"),
+        sum(col("__g1")).as("__c1"),
+        sum(col("__ev") * col("__g1")).as("__d1"))
+      .withColumn("__n", sum(col("__c")).over(wDesc))
+      .withColumn("__n1", sum(col("__c1")).over(wDesc))
+      .where(col("__d") > 0)
+      .select(
+        col("__d1"),
+        round(col("__n1").cast("double") * col("__d") / nD * 1e12)
+          .cast("long").as("__e1q"),
+        when(col("__n") > 1,
+          round(col("__d").cast("double") * col("__n1") / nD *
+            (col("__n") - col("__n1")) / nD *
+            (col("__n") - col("__d")) /
+            (col("__n") - lit(1L)).cast("double") * 1e12).cast("long"))
+          .otherwise(0L).as("__vq"))
+      .agg(
+        count(lit(1)).as("n_times"),
+        sum(col("__d1")).as("o1"),
+        sum(col("__e1q")).as("__e1s"),
+        sum(col("__vq")).as("__vs"))
+      .select(
+        col("n_times"), col("o1"),
+        round(col("__e1s").cast("double") / 1e12, 6).as("e1"),
+        round(col("__vs").cast("double") / 1e12, 6).as("var"),
+        round(when(col("__vs") > 0,
+          ((col("o1") * lit(1000000000000L) - col("__e1s")).cast("double") / 1e12) *
+            ((col("o1") * lit(1000000000000L) - col("__e1s")).cast("double") / 1e12) /
+            (col("__vs").cast("double") / 1e12)), 6).as("chisq"))
+  }
+
+  /** AB2: Mann–Whitney U (Wilcoxon rank-sum) — do per-event values
+    * differ in DISTRIBUTION between the md5 arms? The nonparametric
+    * companion to [[abTest]]'s proportion z: rank all `valueType`
+    * event values (average ranks on ties), U₁ = R₁ − n₁(n₁+1)/2, and
+    * the tie-corrected normal approximation
+    * z = (U₁ − n₁n₂/2) / sqrt(n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))).
+    *
+    * Exactness: values are exact cents; ranks come from the bounded
+    * distinct-cents HISTOGRAM (the a12/qn1 pattern — the unpartitioned
+    * cumsum rides distinct values, not rows), and every rank quantity
+    * is kept in DOUBLED integer form so tied average ranks (x.5) stay
+    * exact BIGINTs: 2R₁ = Σ t₁·(2·below + t + 1), 2U₁ = 2R₁ − n₁(n₁+1),
+    * E[2U₁] = n₁n₂. The z is then one fixed IEEE expression with a
+    * single sqrt (correctly rounded per IEEE-754 — the abConversionZ
+    * argument), 6dp. Null z when an arm is empty or all values tie
+    * (variance 0). Overflow bounds (documented, loud nowhere): t³ needs
+    * max per-cent tie count < 2.1M; 2R₁ < 2n² needs n < 2.1e9.
+    *
+    * Output ONE row (n1, n2, r1_x2, u1_x2, tie_term, z). */
+  def mannWhitney(
+      events: DataFrame,
+      valueType: String = "purchase",
+      seed: String = "mw",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val hist = events
+      .where(col(typeCol) === valueType)
+      .select(
+        round(col(valueCol) * 100).cast("long").as("__v"),
+        when(graft.text.Sampling.hashUnit(col(userCol), seed) < 0.5, 1L)
+          .otherwise(0L).as("__g1"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"), sum(col("__g1")).as("__t1"))
+    val wAsc = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val varD = n1d * n2d / 12.0 *
+      ((nd + 1.0) - col("tie_term").cast("double") / nd / (nd - 1.0))
+    hist
+      .withColumn("__below", sum(col("__t")).over(wAsc) - col("__t"))
+      .agg(
+        sum(col("__t1")).as("n1"),
+        sum(col("__t") - col("__t1")).as("n2"),
+        sum(col("__t1") * (col("__below") * 2 + col("__t") + 1)).as("r1_x2"),
+        sum(col("__t") * col("__t") * col("__t") - col("__t")).as("tie_term"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1))
+      .select(
+        col("n1"), col("n2"), col("r1_x2"), col("u1_x2"), col("tie_term"),
+        round(when(col("n1") > 0 && col("n2") > 0 && varD > 0,
+          (col("u1_x2") - col("n1") * col("n2")).cast("double") /
+            (sqrt(varD) * 2.0)), 6).as("z"))
+  }
 }

@@ -401,4 +401,46 @@ object Quality {
           .when(col("__sp") > col("__n") * hCents, "up")
           .otherwise("down").as("side"))
   }
+
+  /** DQ4: Benford first-digit conformance — the fraud/fabrication
+    * screen auditors run on any organically-grown amount column: real
+    * multiplicative data has P(first digit = d) = log₁₀(1 + 1/d);
+    * fabricated or truncated data doesn't. Values become exact cents
+    * (round(x·100), positives only), and the first significant digit is
+    * the leading character of the INTEGER's decimal string — no float
+    * log10 near-power-of-ten edge to disagree on (leading digit is
+    * invariant under the ×100). One groupBy over a ≤9-row frame; the
+    * unpartitioned total-count window rides that bounded frame.
+    *
+    * Exactness: observed counts are exact; the 9 expected
+    * probabilities are ln-based transcendentals, micro-quantized at
+    * 1e12 BEFORE use (the house discipline — engines' ln agree far
+    * beyond 1e-12 on 9 fixed constants, and the constants are
+    * scale-independent, so a green hash at one SF is green at all).
+    * χ² term = (n − E)²/E with E = p_d·N, one fixed IEEE shape, 6dp.
+    *
+    * Output (digit 1-9 present in data, n, obs_p, exp_p, chi2_term). */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digits = df
+      .where(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = sum(col("n")).over(Window.partitionBy()) // ≤ 9-row frame
+    val expQ = round(
+      log((col("digit").cast("double") + 1.0) / col("digit").cast("double"))
+        / log(lit(10.0)) * 1e12).cast("long")
+    val eN = col("__expq").cast("double") / 1e12 * col("__tot").cast("double")
+    digits
+      .withColumn("__tot", tot)
+      .withColumn("__expq", expQ)
+      .select(
+        col("digit"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("obs_p"),
+        round(col("__expq").cast("double") / 1e12, 6).as("exp_p"),
+        round((col("n").cast("double") - eN) * (col("n").cast("double") - eN)
+          / eN, 6).as("chi2_term"))
+  }
 }

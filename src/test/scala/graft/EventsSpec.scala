@@ -535,4 +535,101 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z") - z) < 1e-12)
     assert(!r.getAs[Boolean]("significant_95")) // z ≈ 1.414 < 1.96
   }
+
+  test("logRank: matches an independent plain-Scala computation of the " +
+    "Mantel statistic on a mixed censoring fixture") {
+    import spark.implicits._
+    // 40 users, two events each: first day varies, lifetime u%7 days;
+    // users whose last day is the corpus max are censored (censorDays=1)
+    val rows = (1 to 40).flatMap { u =>
+      val f = (u % 5) + 1
+      val l = f + (u % 7)
+      Seq((u * 100L, u.toLong, f"2024-01-$f%02d 08:00:00", "view"),
+        (u * 100L + 1, u.toLong, f"2024-01-$l%02d 18:00:00", "click"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Events.logRank(ev, censorDays = 1, seed = "lr").head()
+
+    // independent reference: arms from the same md5 unit, then the
+    // textbook per-event-time loop over exact risk sets (no
+    // quantization — the engine's 1e12 grid is far inside 1e-6)
+    val arms = ev.select($"user_id",
+        graft.text.Sampling.hashUnit(col("user_id"), "lr") < 0.5)
+      .distinct().as[(Long, Boolean)].collect().toMap
+    val perUser = (1 to 40).map { u =>
+      val dur = u % 7
+      (dur.toLong, arms(u.toLong))
+    }
+    val maxL = (1 to 40).map(u => (u % 5) + 1 + (u % 7)).max
+    val obs = (1 to 40).map { u =>
+      val f = (u % 5) + 1; val l = f + (u % 7)
+      (l - f.toLong, maxL - l >= 1, arms(u.toLong))
+    }
+    var o1 = 0.0; var e1 = 0.0; var v = 0.0; var times = 0
+    obs.map(_._1).distinct.sorted.foreach { t =>
+      val atRisk = obs.filter(_._1 >= t)
+      val n = atRisk.size.toDouble
+      val n1 = atRisk.count(_._3).toDouble
+      val deaths = obs.filter(o => o._1 == t && o._2)
+      val d = deaths.size.toDouble
+      if (d > 0) {
+        times += 1
+        o1 += deaths.count(_._3)
+        e1 += n1 * d / n
+        if (n > 1) v += d * n1 / n * (n - n1) / n * (n - d) / (n - 1)
+      }
+    }
+    assert(r.getAs[Long]("n_times") == times)
+    assert(r.getAs[Long]("o1") == o1.toLong)
+    assert(math.abs(r.getAs[Double]("e1") - e1) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var") - v) < 1e-6)
+    assert(math.abs(r.getAs[Double]("chisq") -
+      (o1 - e1) * (o1 - e1) / v) < 1e-4)
+    assert(perUser.map(_._1).max == 6) // fixture sanity: 7 lifetimes
+  }
+
+  test("mannWhitney: doubled ranks and tie-corrected z match a " +
+    "sort-based reference; all-tied values yield null z") {
+    import spark.implicits._
+    val vals = Seq(1.50, 2.00, 2.00, 3.25, 0.99, 2.00, 5.00, 1.50,
+      4.10, 0.99, 7.77, 3.25)
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i * 10L, (i % 7).toLong, "purchase", v, "2024-01-01 00:00:00")
+    }.toDF("event_id", "user_id", "event_type", "value", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Events.mannWhitney(ev, seed = "mw").head()
+
+    val arms = ev.select($"user_id",
+        graft.text.Sampling.hashUnit(col("user_id"), "mw") < 0.5)
+      .distinct().as[(Long, Boolean)].collect().toMap
+    val obs = vals.zipWithIndex.map { case (v, i) =>
+      (math.round(v * 100), arms((i % 7).toLong)) }
+    // sort-based average ranks (different algorithm from the engine's
+    // histogram cumsum)
+    val sorted = obs.map(_._1).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val n1 = obs.count(_._2); val n2 = obs.size - n1
+    val rr1 = obs.filter(_._2).map(o => rankOf(o._1)).sum
+    val u1 = rr1 - n1 * (n1 + 1) / 2.0
+    val ties = obs.groupBy(_._1).values.map(_.size.toLong)
+    val tt = ties.map(t => t * t * t - t).sum
+    val n = obs.size
+    val varU = n1.toDouble * n2 / 12.0 *
+      ((n + 1) - tt.toDouble / n / (n - 1))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(varU)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Long]("r1_x2") == math.round(rr1 * 2))
+    assert(r.getAs[Long]("u1_x2") == math.round(u1 * 2))
+    assert(r.getAs[Long]("tie_term") == tt)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-6)
+
+    // degenerate: every value identical → variance 0 → null z
+    val flat = Seq.tabulate(6)(i =>
+      (i.toLong, i.toLong, "purchase", 2.0, "2024-01-01 00:00:00"))
+      .toDF("event_id", "user_id", "event_type", "value", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    assert(Events.mannWhitney(flat, seed = "mw").head().isNullAt(5))
+  }
 }

@@ -11,6 +11,25 @@ import graft.sources.Quality
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("benford: leading digit of exact cents, log10 expectations, " +
+    "positives only") {
+    val df = Seq(123.00, 19.99, 250.00, 3.50, 0.01, 999.99, -5.0, 0.0)
+      .toDF("v")
+    val r = Quality.benford(df, "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    // cents: 12300→1, 1999→1, 25000→2, 350→3, 1→1, 99999→9; ≤0 dropped
+    assert(r.keySet == Set("1", "2", "3", "9"))
+    assert(r("1").getAs[Long]("n") == 3 && r("9").getAs[Long]("n") == 1)
+    assert(math.abs(r("1").getAs[Double]("exp_p") - math.log10(2.0)) < 1e-6)
+    assert(math.abs(r("9").getAs[Double]("exp_p") -
+      math.log10(10.0 / 9.0)) < 1e-6)
+    assert(math.abs(r("1").getAs[Double]("obs_p") - 0.5) < 1e-9)
+    // χ² term: (n − p·N)²/(p·N) at N=6
+    val e1 = math.log10(2.0) * 6
+    assert(math.abs(r("1").getAs[Double]("chi2_term") -
+      (3 - e1) * (3 - e1) / e1) < 1e-4)
+  }
+
   test("expect: null predicate counts as a violation; one row per rule") {
     val df = Seq(Some(5), Some(50), None, Some(-1)).toDF("v")
     val report = Quality.expect(df, Seq(
