@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Date
+
+import graft.panel.Seasonal
+
+/** Seasonal decomposition + naive-forecast evaluation goldens on
+  * hand-checkable series: the additive identity close = trend +
+  * seasonal + residual holds row-exactly, seasonal re-centers to mean
+  * zero across a sid's observed weekdays, only full 7-row windows emit,
+  * and MASE/sMAPE match a by-hand computation. The ts2/ts3 catalog
+  * queries pin the same operators against DuckDB at sf0.01. */
+class SeasonalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+
+  // 21 consecutive days, trend +1/day plus a weekday bump on Mondays
+  private lazy val panel = (0 until 21).map { i =>
+    val base = 100.0 + i
+    val dt = d("2024-01-01").toLocalDate.plusDays(i) // 2024-01-01 is a Monday
+    val bump = if (dt.getDayOfWeek.getValue == 1) 7.0 else 0.0
+    ("s1", Date.valueOf(dt), base + bump)
+  }.toDF("sid", "date", "close")
+
+  test("decompose: additive identity, zero-mean seasonal, full windows only") {
+    val r = Seasonal.decompose(panel).collect()
+    // 21 rows, centered 7-row window → rows 3..17 emit (15 rows)
+    assert(r.length == 15)
+    r.foreach { row =>
+      val close = row.getDouble(2); val t = row.getDouble(3)
+      val s = row.getDouble(4); val res = row.getDouble(5)
+      assert(math.abs(close - (t + s + res)) < 1e-5,
+        s"additive identity broke: $row")
+    }
+    // seasonal depends only on weekday; Monday carries the bump
+    val bySeas = r.map(row => (row.getDate(1).toLocalDate.getDayOfWeek.getValue,
+      row.getDouble(4))).distinct
+    assert(bySeas.length == 7) // one seasonal value per weekday
+    val monday = bySeas.find(_._1 == 1).get._2
+    assert(monday > 5.0, s"Monday bump not in seasonal: $monday")
+    // re-centered: observed-weekday seasonal values sum to ~0
+    assert(math.abs(bySeas.map(_._2).sum) < 1e-4)
+  }
+
+  test("forecastEval: exact MAE/MASE/sMAPE on a by-hand series") {
+    // lag=2 on 6 points keeps the arithmetic checkable
+    val p = Seq(100.0, 102.0, 104.0, 106.0, 104.0, 108.0).zipWithIndex
+      .map { case (v, i) => ("x", d(s"2024-02-0${i + 1}"), v) }
+      .toDF("sid", "date", "close")
+    val r = Seasonal.forecastEval(p, lag = 2).head()
+    // f_t = c_{t-2}: errors |104-100|,|106-102|,|104-104|,|108-106| = 4,4,0,2
+    assert(r.getAs[Long]("n_eval") == 4)
+    assert(math.abs(r.getAs[Double]("mae") - 2.5) < 1e-9)
+    // one-step naive MAE: |2|,|2|,|2|,|-2|,|4| → 12/5 = 2.4 ⇒ MASE 2.5/2.4
+    assert(math.abs(r.getAs[Double]("mase") - 2.5 / 2.4) < 1e-6)
+    val smape = Seq((400.0, 20400.0), (400.0, 20800.0), (0.0, 20800.0),
+      (200.0, 21400.0)).map { case (e, s) => 2 * e / s }.sum / 4
+    assert(math.abs(r.getAs[Double]("smape") - smape) < 1e-6)
+    // a flat series: MASE null (zero one-step MAE), sMAPE 0
+    val flat = Seq.tabulate(5)(i => ("f", d(s"2024-03-0${i + 1}"), 50.0))
+      .toDF("sid", "date", "close")
+    val fr = Seasonal.forecastEval(flat, lag = 2).head()
+    assert(fr.isNullAt(3) && fr.getAs[Double]("smape") == 0.0)
+  }
+}
