@@ -5250,6 +5250,44 @@ object Oracles {
     // CT1: χ² contingency replay — observed counts exact, expected =
     // row·col/total in the same double op order, per-cell term
     // micro-rounded
+    // CL6: out-of-fold smoothed target encoding — md5 folds, exact
+    // BIGINT cell/marginal sums, prior and encoding as fixed IEEE
+    // shapes of those integers
+    "cl6_target_encoding" ->
+      """WITH c AS (
+        |  SELECT event_type AS category,
+        |    CAST(floor(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+        |      'te', event_id)), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 * 5) AS BIGINT) AS fold,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |cells AS (
+        |  SELECT category, fold, count(*)::BIGINT AS n_rows,
+        |    CAST(sum(v) AS BIGINT) AS s
+        |  FROM c GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT category, CAST(sum(n_rows) AS BIGINT) AS nc,
+        |    CAST(sum(s) AS BIGINT) AS sc
+        |  FROM cells GROUP BY 1),
+        |pf AS (
+        |  SELECT fold, CAST(sum(n_rows) AS BIGINT) AS nf,
+        |    CAST(sum(s) AS BIGINT) AS sf
+        |  FROM cells GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(n_rows) AS BIGINT) AS ng,
+        |    CAST(sum(s) AS BIGINT) AS sg
+        |  FROM cells)
+        |SELECT cells.category, cells.fold, cells.n_rows,
+        |  round(CASE WHEN ng > nf THEN
+        |    (sg - sf)::DOUBLE / (ng - nf)::DOUBLE / 100.0 END, 6) AS prior,
+        |  round(CASE WHEN ng > nf THEN
+        |    ((sc - s)::DOUBLE / 100.0 + 20.0 *
+        |      ((sg - sf)::DOUBLE / (ng - nf)::DOUBLE / 100.0))
+        |    / ((nc - n_rows)::DOUBLE + 20.0) END, 6) AS encoding
+        |FROM cells
+        |JOIN pc USING (category)
+        |JOIN pf USING (fold), g""".stripMargin,
+
     // MB1: frequent pairs — DISTINCT incidence, maxBasket guard,
     // self-join pair counts (the engine's one-pass explode is the
     // different-algorithm cross-check), support vs guarded baskets

@@ -2506,6 +2506,13 @@ object Queries {
     "ml35_offpolicy" -> ((s, dir) =>
       graft.ml.OffPolicy.ipsSnips(events(s, dir))),
 
+    // ---- CL6: K-fold smoothed target encoding of event_type against
+    // value cents — out-of-fold sums only (leakage-safe), md5 folds,
+    // dimension-bounded marginal joins ----
+    "cl6_target_encoding" -> ((s, dir) =>
+      graft.ml.Encoding.targetEncode(
+        events(s, dir), "event_type", "value", "event_id")),
+
     // ---- A14: explicit GROUPING SETS (the lattice a9/a10 don't
     // cover: hand-picked subtotal combinations) ----
     "a14_grouping_sets" -> ((s, dir) => {

@@ -368,6 +368,39 @@ object TextOracles {
 
     // GR4: same undirected edges, same integer moments, same Pearson
     // expression shape
+    // GR7: Adamic–Adar — same modular multigraph as gr5; per-apex
+    // 1/ln(deg) quantized at 1e12 (one rounding per apex), wedge
+    // self-join (vs the engine's one-pass explode), non-adjacent only
+    "gr7_adamic_adar" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS N FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS s, (doc_id * 2 + 1) % (SELECT N FROM nn) AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 3 + 2) % (SELECT N FROM nn)
+        |  FROM documents),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |  FROM e0 WHERE s <> t),
+        |nb AS (SELECT a AS apex, b AS nbr FROM und
+        |       UNION ALL SELECT b, a FROM und),
+        |dg AS (SELECT apex, count(*)::BIGINT AS deg FROM nb GROUP BY 1),
+        |wn AS (
+        |  SELECT nb.apex, nb.nbr,
+        |    CAST(round(1.0 / ln(deg::DOUBLE) * 1e12) AS BIGINT) AS wq
+        |  FROM nb JOIN dg USING (apex)
+        |  WHERE deg >= 2 AND deg <= 64),
+        |p AS (
+        |  SELECT x.nbr AS n1, y.nbr AS n2, count(*)::BIGINT AS cn,
+        |    CAST(sum(x.wq) AS BIGINT) AS aaq
+        |  FROM wn x JOIN wn y ON x.apex = y.apex AND x.nbr < y.nbr
+        |  GROUP BY 1, 2)
+        |SELECT p.n1 AS node1, p.n2 AS node2, p.cn AS common_neighbors,
+        |  round(p.aaq::DOUBLE / 1e12, 6) AS aa_score
+        |FROM p
+        |LEFT JOIN und ON p.n1 = und.a AND p.n2 = und.b
+        |WHERE und.a IS NULL""".stripMargin,
+
     "gr4_assortativity" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
         |e0 AS (

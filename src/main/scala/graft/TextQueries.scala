@@ -714,6 +714,20 @@ object TextQueries {
       graft.graph.PageRank.kCore(e, k = 4)
     }),
 
+    // GR7: Adamic–Adar link prediction over the gr5 modular multigraph
+    // (degrees 1..5 — every apex passes the guard; scores are exact
+    // quantized 1/ln(deg) sums, pairs pruned to non-adjacent)
+    "gr7_adamic_adar" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__N"))
+      val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 2 + 1, col("__N")),
+          pmod(col("doc_id") * 3 + 2, col("__N")))).as("dst"))
+      graft.graph.PageRank.adamicAdar(e, minCommon = 1L)
+    }),
+
     // GR4: degree assortativity of the same undirected source graph —
     // exact integer moments over both edge orientations, one fixed
     // Pearson expression (null if the graph is degree-regular)

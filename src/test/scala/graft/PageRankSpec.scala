@@ -96,4 +96,26 @@ class PageRankSpec extends SparkSpec {
     // K4 has 4 triangles, each node in 3 of them; C(3,2)=3 pairs all closed
     assert(out.values.forall(_ == ((3L, 1.0))))
   }
+
+  test("adamicAdar: hand-checked score on the diamond graph; adjacent " +
+    "pairs excluded; hub apexes drop under the guard") {
+    // diamond: 1-2, 1-3, 2-3, 2-4, 3-4 → only (1,4) is non-adjacent,
+    // sharing neighbors 2 and 3 (deg 3 each): AA = 2/ln(3)
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = PageRank.adamicAdar(e).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 4L)
+    assert(row.getAs[Long]("common_neighbors") == 2L)
+    assert(math.abs(row.getAs[Double]("aa_score") - 2.0 / math.log(3.0)) < 1e-6)
+    // guard: maxApexDegree=2 drops both deg-3 apexes → nothing scored
+    assert(PageRank.adamicAdar(e, maxApexDegree = 2).isEmpty)
+    // star: every candidate pair goes through the hub; guard drops it
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    assert(PageRank.adamicAdar(star, maxApexDegree = 5).isEmpty)
+    // minCommon=3 filters the single 2-neighbor pair
+    assert(PageRank.adamicAdar(e, minCommon = 3).isEmpty)
+    intercept[ParameterError] { PageRank.adamicAdar(e, minCommon = 0) }
+  }
 }
