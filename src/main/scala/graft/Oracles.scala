@@ -3508,6 +3508,26 @@ object Oracles {
         |        END, 6) + 0.0 AS z_score
         |FROM st""".stripMargin,
 
+    // EV30: skip-grams — 5 unrolled lead offsets over one shared
+    // window, unioned then counted (exact integers only)
+    "ev30_skipgrams" -> {
+      val leads = (1 to 5).map(k =>
+        s"lead(event_type, $k) OVER w AS t$k").mkString(",\n        |    ")
+      val union = (1 to 5).map(k =>
+        s"SELECT f, t$k AS t, $k AS gap FROM l WHERE t$k IS NOT NULL")
+        .mkString("\n        |  UNION ALL\n        |  ")
+      s"""WITH l AS (
+        |  SELECT event_type AS f,
+        |    $leads
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |u AS (
+        |  $union)
+        |SELECT f AS from_type, t AS to_type, CAST(gap AS BIGINT) AS gap,
+        |  count(*)::BIGINT AS n
+        |FROM u GROUP BY 1, 2, 3""".stripMargin
+    },
+
     // EV19: bounded 7×24 profile; DuckDB isodow = the engine's ISO map
     "ev19_hourly_profile" ->
       """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,

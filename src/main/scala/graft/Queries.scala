@@ -649,6 +649,12 @@ object Queries {
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),
 
+    // ---- EV30: skip-gram sequential patterns — (from, to, gap ≤ 5)
+    // counts from maxGap lead columns in one window pass (bounded ×5
+    // explode, never a pair join) ----
+    "ev30_skipgrams" -> ((s, dir) =>
+      graft.events.Events.skipGrams(events(s, dir), maxGap = 5)),
+
     // ---- EV26: Qini uplift curve — deterministic hash arms, rank-
     // proportional score deciles over the bounded cents histogram,
     // cumulative incremental conversions control-scaled

@@ -368,6 +368,44 @@ object TextOracles {
 
     // GR4: same undirected edges, same integer moments, same Pearson
     // expression shape
+    // TX29: RAKE — same tokenization CTE, stopword islands via cumsum,
+    // word scores quantized once per word, phrase sums exact BIGINT
+    "tx29_rake" ->
+      s"""WITH $wordsCte,
+         |tok AS (
+         |  SELECT doc_id AS d, unnest(w) AS w0,
+         |    unnest(range(1, len(w) + 1)) AS p
+         |  FROM words),
+         |tk AS (
+         |  SELECT d, w0 AS w, p,
+         |    CASE WHEN w0 IN (${graft.text.Rake.stopwordsSqlList})
+         |         THEN 1 ELSE 0 END AS stop
+         |  FROM tok WHERE w0 <> ''),
+         |isl AS (
+         |  SELECT d, w, p, stop,
+         |    CAST(sum(stop) OVER (PARTITION BY d ORDER BY p
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS i
+         |  FROM tk),
+         |ph AS (
+         |  SELECT d, w, p, i, count(*) OVER (PARTITION BY d, i) AS len
+         |  FROM isl WHERE stop = 0),
+         |ok AS (SELECT * FROM ph WHERE len <= 4),
+         |ws AS (
+         |  SELECT w, CAST(round(CAST(sum(len) AS BIGINT)::DOUBLE
+         |    / count(*)::DOUBLE * 1e12) AS BIGINT) AS swq
+         |  FROM ok GROUP BY 1),
+         |phr AS (
+         |  SELECT ok.d, ok.i, string_agg(ok.w, ' ' ORDER BY ok.p) AS phrase,
+         |    CAST(sum(ws.swq) AS BIGINT) AS sq
+         |  FROM ok JOIN ws USING (w)
+         |  GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT phrase, count(*)::BIGINT AS n_occurrences,
+         |    max(sq) AS sq
+         |  FROM phr GROUP BY 1)
+         |SELECT phrase, n_occurrences, round(sq::DOUBLE / 1e12, 6) AS score
+         |FROM fin ORDER BY score DESC, phrase LIMIT 25""".stripMargin,
+
     // GR7: Adamic–Adar — same modular multigraph as gr5; per-apex
     // 1/ln(deg) quantized at 1e12 (one rounding per apex), wedge
     // self-join (vs the engine's one-pass explode), non-adjacent only

@@ -714,6 +714,12 @@ object TextQueries {
       graft.graph.PageRank.kCore(e, k = 4)
     }),
 
+    // TX29: RAKE keyphrases — stopword-island phrases, degree/freq
+    // word scores quantized per word, exact BIGINT phrase sums,
+    // deterministic top-25
+    "tx29_rake" -> ((s, dir) =>
+      graft.text.Rake.keywords(t(s, dir, "documents"))),
+
     // GR7: Adamic–Adar link prediction over the gr5 modular multigraph
     // (degrees 1..5 — every apex passes the guard; scores are exact
     // quantized 1/ln(deg) sums, pairs pruned to non-adjacent)

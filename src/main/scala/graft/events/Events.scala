@@ -1456,4 +1456,36 @@ object Events {
           (col("u1_x2") - col("n1") * col("n2")).cast("double") /
             (sqrt(varD) * 2.0)), 6).as("z"))
   }
+
+  /** EV30: skip-gram sequential patterns — (from, to, gap) counts for
+    * every ordered pair of events at distance gap ∈ [1, maxGap] in the
+    * user's (ts, eventId)-ordered stream. [[transitions]] sees only
+    * consecutive pairs; real journeys interleave noise events, and the
+    * gap dimension shows HOW tightly two steps couple (the PrefixSpan
+    * view collapsed to pairs — the part that scales).
+    *
+    * Scale shape: `maxGap` lead columns in ONE user-partitioned window
+    * pass, exploded ×maxGap (a bounded constant, not a data-driven pair
+    * join), then one count aggregate on the bounded
+    * (type, type, gap) frame. Exact integer counts only. */
+  def skipGrams(
+      events: DataFrame,
+      maxGap: Int = 5,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    if (maxGap < 1)
+      throw new ParameterError(s"maxGap must be >= 1: $maxGap")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+    val leads = array((1 to maxGap).map(k => lead(col(typeCol), k).over(w)): _*)
+    events
+      .select(col(typeCol).as("from_type"), leads.as("__l"))
+      .select(col("from_type"), posexplode(col("__l")).as(Seq("__p", "to_type")))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"),
+        (col("__p") + 1).cast("long").as("gap"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

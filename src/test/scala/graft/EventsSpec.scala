@@ -632,4 +632,24 @@ class EventsSpec extends SparkSpec {
       .withColumn("ts", to_timestamp($"s")).drop("s")
     assert(Events.mannWhitney(flat, seed = "mw").head().isNullAt(5))
   }
+
+  test("skipGrams: every (from, to, gap) within the window, exact " +
+    "counts, gap capped at maxGap") {
+    import spark.implicits._
+    // user 1: a b c d  → gap1: ab,bc,cd; gap2: ac,bd; gap3: ad
+    // user 2: a a      → gap1: aa
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "d"),
+      (5L, 2L, "a"), (6L, 2L, "a"))
+      .map { case (id, u, t) => (id, u, t, s"2024-01-01 00:0$id:00") }
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Events.skipGrams(ev, maxGap = 2).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)) ->
+        x.getLong(3)).toMap
+    assert(r == Map(
+      ("a", "b", 1L) -> 1L, ("b", "c", 1L) -> 1L, ("c", "d", 1L) -> 1L,
+      ("a", "a", 1L) -> 1L, ("a", "c", 2L) -> 1L, ("b", "d", 2L) -> 1L))
+    intercept[ParameterError] { Events.skipGrams(ev, maxGap = 0) }
+  }
 }
