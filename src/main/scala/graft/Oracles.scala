@@ -3528,6 +3528,84 @@ object Oracles {
         |FROM u GROUP BY 1, 2, 3""".stripMargin
     },
 
+    // EV31: RMST — ev11's KM chain as CTEs, then lag defaults (t=0,
+    // S=1), per-step 1e12-quantized products, S(t_last) tail to τ=30
+    "ev31_rmst" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS f,
+        |    max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS l
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM pu),
+        |obs AS (
+        |  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS dur,
+        |    CASE WHEN date_diff('day', l, (SELECT m FROM mx)) >= 1
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM pu),
+        |bd AS (
+        |  SELECT dur, count(*)::BIGINT AS c, CAST(sum(ev) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |nn AS (
+        |  SELECT *, CAST(sum(c) OVER (ORDER BY dur DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+        |  FROM bd),
+        |st AS (
+        |  SELECT dur, n, d,
+        |    CASE WHEN d < n
+        |         THEN CAST(round(ln((n - d)::DOUBLE / n) * 1e12) AS BIGINT)
+        |    END AS lnm,
+        |    sum(CASE WHEN d = n THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS gone
+        |  FROM nn WHERE d > 0),
+        |km AS (
+        |  SELECT dur AS t,
+        |    round(CASE WHEN gone > 0 THEN 0.0
+        |          ELSE exp(sum(lnm) OVER (ORDER BY dur
+        |            ROWS UNBOUNDED PRECEDING)::DOUBLE / 1e12) END, 6)
+        |      AS survival
+        |  FROM st),
+        |lg AS (
+        |  SELECT t, survival,
+        |    lag(t, 1, 0) OVER (ORDER BY t) AS pt,
+        |    lag(survival, 1, 1.0) OVER (ORDER BY t) AS ps
+        |  FROM km),
+        |stp AS (
+        |  SELECT CAST(sum(CAST(round(ps * (least(t, 30) - pt)::DOUBLE
+        |    * 1e12) AS BIGINT)) AS BIGINT) AS stepq
+        |  FROM lg WHERE pt < 30),
+        |tl AS (SELECT max(t) AS tlast, arg_max(survival, t) AS sl FROM km),
+        |tq AS (
+        |  SELECT CASE WHEN tlast IS NOT NULL AND tlast < 30
+        |           THEN CAST(round(sl * (30 - tlast)::DOUBLE * 1e12)
+        |             AS BIGINT)
+        |         WHEN tlast IS NULL THEN 30 * 1000000000000
+        |         ELSE 0 END AS tailq
+        |  FROM tl)
+        |SELECT CAST(30 AS BIGINT) AS tau,
+        |  round((coalesce(stepq, 0) + tailq)::DOUBLE / 1e12, 6) AS rmst
+        |FROM stp, tq""".stripMargin,
+
+    // A16: Pareto 80/20 — exact cents, the top-80 membership decided
+    // on INTEGERS (cum_prev·10 < tot·8), bounded brand frame
+    "a16_pareto" ->
+      """WITH rev AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS revenue_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(sum(revenue_cents) OVER () AS BIGINT) AS tot,
+        |    CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+        |      brand ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM rev)
+        |SELECT brand, revenue_cents,
+        |  round(revenue_cents::DOUBLE / tot::DOUBLE, 6) AS share,
+        |  round(cum::DOUBLE / tot::DOUBLE, 6) AS cum_share,
+        |  CASE WHEN (cum - revenue_cents) * 10 < tot * 8
+        |       THEN 1 ELSE 0 END AS is_top80
+        |FROM w""".stripMargin,
+
     // EV19: bounded 7×24 profile; DuckDB isodow = the engine's ISO map
     "ev19_hourly_profile" ->
       """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,

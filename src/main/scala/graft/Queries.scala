@@ -633,6 +633,38 @@ object Queries {
     "ev25_nelson_aalen" -> ((s, dir) =>
       graft.events.Events.nelsonAalen(events(s, dir), censorDays = 1)),
 
+    // ---- EV31: restricted mean survival time at τ=30 days — the
+    // area under the published 6dp ev11 curve (step terms + tail,
+    // each micro-quantized) ----
+    "ev31_rmst" -> ((s, dir) =>
+      graft.events.Events.rmst(events(s, dir), tauDays = 30L,
+        censorDays = 1)),
+
+    // ---- A16: Pareto 80/20 contribution by part brand — exact cents,
+    // integer cumulative-share comparison for the top-80 flag, all
+    // windows on the bounded brand frame ----
+    "a16_pareto" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val rev = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue_cents"))
+      val wCum = Window.orderBy(col("revenue_cents").desc, col("brand"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev
+        .withColumn("__tot", sum(col("revenue_cents")).over(Window.partitionBy()))
+        .withColumn("__cum", sum(col("revenue_cents")).over(wCum))
+        .select(
+          col("brand"), col("revenue_cents"),
+          round(col("revenue_cents").cast("double")
+            / col("__tot").cast("double"), 6).as("share"),
+          round(col("__cum").cast("double")
+            / col("__tot").cast("double"), 6).as("cum_share"),
+          when((col("__cum") - col("revenue_cents")) * 10 < col("__tot") * 8,
+            1).otherwise(0).as("is_top80"))
+    }),
+
     // ---- EV29: log-rank test between the md5 arms over the ev11
     // lifetime model — micro-quantized hypergeometric E/V increments,
     // exact O₁·10¹²−ΣE₁q difference, one χ²(1) row

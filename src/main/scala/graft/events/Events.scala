@@ -1457,6 +1457,56 @@ object Events {
             (sqrt(varD) * 2.0)), 6).as("z"))
   }
 
+  /** EV31: restricted mean survival time — the area under the
+    * [[kaplanMeier]] curve up to horizon `tauDays`: "expected days of
+    * life in the first τ days", the effect-size companion to the
+    * [[logRank]] significance test (Royston & Parmar 2013) and the
+    * number a retention team actually budgets with.
+    *
+    * Composition, not re-derivation: integrates the PUBLISHED 6dp KM
+    * curve (S is a step function, so the integral is Σ S(t_{i−1})·Δt
+    * with S(0)=1, plus the S(t_last)·(τ−t_last) tail) — each step term
+    * is one IEEE product of a 6dp survival and an exact integer day
+    * span, micro-quantized at 1e12, summed as BIGINT over the bounded
+    * duration frame. Output ONE row (tau, rmst). */
+  def rmst(
+      events: DataFrame,
+      tauDays: Long,
+      censorDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    if (tauDays < 1)
+      throw new ParameterError(s"tauDays must be >= 1: $tauDays")
+    val km = kaplanMeier(events, censorDays, userCol, tsCol)
+      .select(col("t"), col("survival"))
+      .localCheckpoint(eager = false) // feeds the step sum AND the tail
+    val wAsc = Window.orderBy(col("t")) // bounded: distinct event days
+    val steps = km
+      .withColumn("__pt", lag(col("t"), 1, 0L).over(wAsc))
+      .withColumn("__ps", lag(col("survival"), 1, 1.0).over(wAsc))
+      .where(col("__pt") < tauDays)
+      .agg(sum(round(col("__ps") *
+        (least(col("t"), lit(tauDays)) - col("__pt")).cast("double") * 1e12)
+        .cast("long")).as("__stepq"))
+    val tail = km
+      .agg(max(col("t")).as("__tl"),
+        max_by(col("survival"), col("t")).as("__sl"))
+      .select(
+        when(col("__tl").isNotNull && col("__tl") < tauDays,
+          round(col("__sl") * (lit(tauDays) - col("__tl")).cast("double")
+            * 1e12).cast("long"))
+          .otherwise(
+            // empty curve: nobody churned — survival 1 throughout
+            when(col("__tl").isNull, lit(tauDays) * 1000000000000L)
+              .otherwise(0L)).as("__tailq"))
+    steps
+      .crossJoin(broadcast(tail)) // two 1-row aggregates — bounded
+      .select(
+        lit(tauDays).as("tau"),
+        round((coalesce(col("__stepq"), lit(0L)) + col("__tailq"))
+          .cast("double") / 1e12, 6).as("rmst"))
+  }
+
   /** EV30: skip-gram sequential patterns — (from, to, gap) counts for
     * every ordered pair of events at distance gap ∈ [1, maxGap] in the
     * user's (ts, eventId)-ordered stream. [[transitions]] sees only

@@ -633,6 +633,29 @@ class EventsSpec extends SparkSpec {
     assert(Events.mannWhitney(flat, seed = "mw").head().isNullAt(5))
   }
 
+  test("rmst: area under a hand-built KM step curve, tail to tau, " +
+    "tau before the first event time") {
+    import spark.implicits._
+    // durations: u1=2 (event), u2=2 (event), u3=5 (censored at corpus
+    // max), u4=0 (censored) → one KM step at t=2: S = 1/3
+    val ev = Seq(
+      (1L, 1L, "2024-01-01"), (2L, 1L, "2024-01-03"),
+      (3L, 2L, "2024-01-02"), (4L, 2L, "2024-01-04"),
+      (5L, 3L, "2024-01-01"), (6L, 3L, "2024-01-06"),
+      (7L, 4L, "2024-01-06"))
+      .toDF("event_id", "user_id", "d")
+      .withColumn("ts", to_timestamp($"d")).drop("d")
+      .withColumn("event_type", lit("view"))
+    // RMST(4) = 1·2 + (1/3)·2
+    val r4 = Events.rmst(ev, tauDays = 4L, censorDays = 1).head()
+    assert(r4.getAs[Long]("tau") == 4L)
+    assert(math.abs(r4.getAs[Double]("rmst") - (2.0 + 2.0 / 3)) < 1e-5)
+    // τ=1 ends before the first drop: RMST = τ exactly
+    val r1 = Events.rmst(ev, tauDays = 1L, censorDays = 1).head()
+    assert(r1.getAs[Double]("rmst") == 1.0)
+    intercept[ParameterError] { Events.rmst(ev, tauDays = 0L) }
+  }
+
   test("skipGrams: every (from, to, gap) within the window, exact " +
     "counts, gap capped at maxGap") {
     import spark.implicits._
