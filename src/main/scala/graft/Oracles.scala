@@ -5070,6 +5070,47 @@ object Oracles {
          |  round(sm::DOUBLE / 1e12 / n_eval::DOUBLE, 6) AS smape
          |FROM a WHERE n_eval > 0""".stripMargin,
 
+    // ML36: split-conformal — exact |error| cents, md5 calibration
+    // split, ⌈(n+1)(1−α)⌉ via integer division, order statistic from
+    // the cumulative histogram, integer coverage ratio
+    "ml36_conformal" ->
+      s"""WITH $panelCte,
+         |r0 AS (
+         |  SELECT sid, date, CAST(round(close * 100) AS BIGINT) AS c,
+         |    lag(CAST(round(close * 100) AS BIGINT), 7) OVER (
+         |      PARTITION BY sid ORDER BY date) AS f
+         |  FROM panel),
+         |r AS (
+         |  SELECT abs(c - f) AS err,
+         |    CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'cf', sid,
+         |      date)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0 < 0.5
+         |      AS cal
+         |  FROM r0 WHERE f IS NOT NULL),
+         |kq AS (
+         |  SELECT CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cal,
+         |    CAST(sum(CASE WHEN NOT cal THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_test
+         |  FROM r),
+         |k2 AS (SELECT *, ((n_cal + 1) * 90 + 99) // 100 AS k FROM kq),
+         |h AS (SELECT err, count(*)::BIGINT AS cnt FROM r WHERE cal
+         |      GROUP BY 1),
+         |hc AS (
+         |  SELECT err, CAST(sum(cnt) OVER (ORDER BY err
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM h),
+         |q AS (SELECT min(err) AS q_hat_cents FROM hc, k2 WHERE cum >= k),
+         |cov AS (
+         |  SELECT CAST(sum(CASE WHEN err <= (SELECT q_hat_cents FROM q)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS covn
+         |  FROM r WHERE NOT cal)
+         |SELECT CAST(10 AS DOUBLE) / 100.0 AS alpha,
+         |  n_cal, n_test, k, (SELECT q_hat_cents FROM q) AS q_hat_cents,
+         |  round(CASE WHEN n_test > 0 THEN
+         |    coalesce((SELECT covn FROM cov), 0)::DOUBLE / n_test::DOUBLE
+         |    END, 6) AS coverage
+         |FROM k2""".stripMargin,
+
     // ML35: IPS/SNIPS — rn=1 first action (a different algorithm from
     // the engine's min-struct), md5 uniform target policy, per-action
     // 1e12-quantized terms

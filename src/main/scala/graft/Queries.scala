@@ -2538,6 +2538,12 @@ object Queries {
     "ts3_forecast_eval" -> ((s, dir) =>
       graft.panel.Seasonal.forecastEval(supplierPanel(s, dir), lag = 7)),
 
+    // ---- ML36: split-conformal interval for the seasonal-naive
+    // forecaster — exact-integer order statistic off the error-cents
+    // histogram, md5 calibration split, test-set coverage check ----
+    "ml36_conformal" -> ((s, dir) =>
+      graft.panel.Seasonal.conformalInterval(supplierPanel(s, dir))),
+
     // ---- ML35: off-policy evaluation — IPS/SNIPS of the uniform
     // hash policy against logged first-actions with empirical
     // propensities; all sums on the bounded action dimension ----

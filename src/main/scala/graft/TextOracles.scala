@@ -368,6 +368,56 @@ object TextOracles {
 
     // GR4: same undirected edges, same integer moments, same Pearson
     // expression shape
+    // DD26: LSH planner — dd24's histogram chain, then a VALUES grid
+    // with P(s)=1−(1−sʳ)ᵇ quantized at 1e6 per (bin, config); best row
+    // by integer 10·fn+fp with (bands, rows) tie-break
+    "dd26_lsh_plan" -> {
+      val gridVals = Seq(2, 4, 8, 16, 32)
+        .flatMap(b => Seq(1, 2, 4, 8).map(r => s"($b, $r)")).mkString(", ")
+      s"""WITH $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |hist AS (
+         |  SELECT CAST(least(floor(jaccard * 10), 9) AS BIGINT) AS jaccard_bin,
+         |    count(*)::BIGINT AS n_pairs
+         |  FROM verify GROUP BY 1),
+         |grid AS (
+         |  SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band
+         |  FROM (VALUES $gridVals) AS g(b, r)),
+         |sc AS (
+         |  SELECT bands, rows_per_band,
+         |    CAST(sum(n_pairs * pq) AS BIGINT) AS cq,
+         |    CAST(sum(CASE WHEN jaccard_bin < 5 THEN n_pairs * pq
+         |             ELSE 0 END) AS BIGINT) AS fpq,
+         |    CAST(sum(CASE WHEN jaccard_bin >= 5 THEN n_pairs * (1000000 - pq)
+         |             ELSE 0 END) AS BIGINT) AS fnq
+         |  FROM (
+         |    SELECT h.jaccard_bin, h.n_pairs, g.bands, g.rows_per_band,
+         |      CAST(round((1.0 - pow(1.0 - pow(
+         |        (h.jaccard_bin * 2 + 1)::DOUBLE / 20.0,
+         |        g.rows_per_band::DOUBLE), g.bands::DOUBLE)) * 1e6)
+         |        AS BIGINT) AS pq
+         |    FROM hist h, grid g)
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY fnq * 10 + fpq, bands,
+         |    rows_per_band) AS rk
+         |  FROM sc)
+         |SELECT bands, rows_per_band,
+         |  round(cq::DOUBLE / 1e6, 6) AS exp_candidates,
+         |  round(fpq::DOUBLE / 1e6, 6) AS fp_mass,
+         |  round(fnq::DOUBLE / 1e6, 6) AS fn_mass,
+         |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_best
+         |FROM rk""".stripMargin
+    },
+
     // TX29: RAKE — same tokenization CTE, stopword islands via cumsum,
     // word scores quantized once per word, phrase sums exact BIGINT
     "tx29_rake" ->

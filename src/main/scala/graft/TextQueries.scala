@@ -495,6 +495,16 @@ object TextQueries {
           .as("jaccard_bin"))
         .agg(count(lit(1)).as("n_pairs"))),
 
+    // ---- DD26: LSH parameter planner — (bands, rows) grid scored
+    // against the dd24 Jaccard histogram: expected verify load, fp/fn
+    // mass at threshold 0.5, recall-weighted best pick ----
+    "dd26_lsh_plan" -> ((s, dir) =>
+      Dedup.lshPlanFromHistogram(
+        Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.0)
+          .groupBy(least(floor(col("jaccard") * 10), lit(9L)).cast("long")
+            .as("jaccard_bin"))
+          .agg(count(lit(1)).as("n_pairs")))),
+
     // ---- DD23: soft dedup — 1/|cluster| sampling weights instead of
     // dropping (repetition-aware curation; feeds sp10 weightedSample)
     "dd23_soft_weights" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>

@@ -1620,4 +1620,70 @@ object Dedup {
       .select(col("__id").as(idCol), col("cell_id"),
         round(col("__cc"), 6).as("cent_cos"))
   }
+
+  /** DD26: data-driven LSH parameter planner — unlike [[lshPlan]]
+    * (the driver-side textbook S-curve fit), this scores (bands,
+    * rowsPerBand) configurations against the corpus's OWN
+    * candidate-pair Jaccard histogram (the dd24 evidence). For each config, the banding collision
+    * probability P(s) = 1 − (1 − sʳ)ᵇ (Leskovec/Rajaraman/Ullman
+    * ch. 3) is evaluated at each histogram bin's midpoint; pairs at or
+    * above `threshold` that LSH would MISS accumulate as fn_mass,
+    * pairs below it that LSH would surface accumulate as fp_mass
+    * (wasted verify work), and exp_candidates is the total expected
+    * verify load. The best row minimizes 10·fn + fp (recall-weighted:
+    * a missed duplicate costs more than a wasted verify) with a
+    * deterministic (bands, rows) tie-break.
+    *
+    * Scale shape: the histogram is ≤ 10 rows and the grid is a
+    * driver-literal constant — the whole planner is a bounded
+    * crossJoin; the expensive part (the histogram) is the dd24 pass
+    * the pipeline already ran. Each P is micro-quantized at 1e6 (the
+    * benford fixed-constant argument: bin mids × grid are a finite
+    * data-independent set, so engines can't straddle a rounding edge
+    * differently between runs), making every mass an exact BIGINT
+    * sum of n_pairs · Pq products. */
+  def lshPlanFromHistogram(
+      jaccardHist: DataFrame,
+      grid: Seq[(Int, Int)] =
+        Seq(2, 4, 8, 16, 32).flatMap(b => Seq(1, 2, 4, 8).map(r => (b, r))),
+      threshold: Double = 0.5,
+      binCol: String = "jaccard_bin",
+      nCol: String = "n_pairs"): DataFrame = {
+    if (grid.isEmpty) throw new graft.ParameterError("grid must be non-empty")
+    if (threshold <= 0 || threshold >= 1)
+      throw new graft.ParameterError(s"threshold in (0,1): $threshold")
+    val thresholdBin = math.round(threshold * 10).toInt
+    val g = jaccardHist.sparkSession.range(1)
+      .select(explode(array(grid.map { case (b, r) =>
+        struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"))
+      }: _*)).as("__g"))
+      .select(col("__g.bands"), col("__g.rows_per_band"))
+    val s = (col(binCol) * 2 + 1).cast("double") / 20.0
+    val pq = round((lit(1.0) -
+      pow(lit(1.0) - pow(s, col("rows_per_band").cast("double")),
+        col("bands").cast("double"))) * 1e6).cast("long")
+    val scored = jaccardHist
+      .select(col(binCol), col(nCol))
+      .crossJoin(broadcast(g)) // ≤10 bins × a literal grid — bounded
+      .select(col("bands"), col("rows_per_band"),
+        (col(nCol) * pq).as("__cq"),
+        when(col(binCol) < thresholdBin, col(nCol) * pq)
+          .otherwise(0L).as("__fpq"),
+        when(col(binCol) >= thresholdBin, col(nCol) * (lit(1000000L) - pq))
+          .otherwise(0L).as("__fnq"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(sum(col("__cq")).as("__cq"), sum(col("__fpq")).as("__fpq"),
+        sum(col("__fnq")).as("__fnq"))
+    val wBest = Window.orderBy( // bounded: the literal grid
+      (col("__fnq") * 10 + col("__fpq")).asc,
+      col("bands").asc, col("rows_per_band").asc)
+    scored
+      .withColumn("__rk", row_number().over(wBest))
+      .select(
+        col("bands"), col("rows_per_band"),
+        round(col("__cq").cast("double") / 1e6, 6).as("exp_candidates"),
+        round(col("__fpq").cast("double") / 1e6, 6).as("fp_mass"),
+        round(col("__fnq").cast("double") / 1e6, 6).as("fn_mass"),
+        when(col("__rk") === 1, 1).otherwise(0).as("is_best"))
+  }
 }

@@ -124,6 +124,75 @@ object Seasonal {
           / col("n_eval").cast("double"), 6).as("smape"))
   }
 
+  /** ML36: split-conformal prediction interval for the seasonal-naive
+    * forecaster (Vovk 2005; Lei et al. 2018) — the distribution-free
+    * "±q̂ covers the truth with probability ≥ 1−α" guarantee every
+    * forecast consumer should get alongside a point estimate.
+    *
+    * Rows with a full `lag` window split by the deterministic md5 hash
+    * of (sid, date) into CALIBRATION (< calFraction) and TEST; q̂ is
+    * the ⌈(n_cal+1)(1−α)⌉-th order statistic of the calibration's
+    * absolute forecast errors — EXACT integer cents end to end: the
+    * order statistic comes from a cumulative count over the bounded
+    * distinct-error-cents histogram (the a12 median pattern), never a
+    * sort of rows. The test row coverage of [f−q̂, f+q̂] is then an
+    * exact integer ratio — the empirical check of the guarantee.
+    *
+    * Output ONE row (alpha, n_cal, n_test, k, q_hat_cents, coverage). */
+  def conformalInterval(
+      panel: DataFrame,
+      lag: Int = 7,
+      alphaPct: Int = 10,
+      calFraction: Double = 0.5,
+      seed: String = "cf",
+      sidCol: String = "sid",
+      dateCol: String = "date",
+      closeCol: String = "close"): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1: $lag")
+    require(alphaPct >= 1 && alphaPct <= 99, s"alphaPct in [1,99]: $alphaPct")
+    require(calFraction > 0 && calFraction < 1,
+      s"calFraction in (0,1): $calFraction")
+    val c = round(col(closeCol) * 100).cast("long")
+    val w = Window.partitionBy(col(sidCol)).orderBy(col(dateCol))
+    val rows = panel
+      .select(col(sidCol).as("sid"), col(dateCol).as("date"), c.as("__c"))
+      .withColumn("__f", lag_(col("__c"), lag, w))
+      .where(col("__f").isNotNull)
+      .select(
+        abs(col("__c") - col("__f")).as("__r"),
+        (graft.text.Sampling.hashUnit(
+          concat_ws("|", col("sid"), col("date")), seed) < calFraction)
+          .as("__cal"))
+      .localCheckpoint(eager = false) // feeds the histogram AND coverage
+    val kq = rows.agg(
+      sum(when(col("__cal"), 1L).otherwise(0L)).as("n_cal"),
+      sum(when(!col("__cal"), 1L).otherwise(0L)).as("n_test"))
+      .withColumn("k", // ⌈(n_cal+1)(100−α)/100⌉ as exact integer math
+        call_function("div",
+          (col("n_cal") + 1) * (100 - alphaPct) + 99, lit(100L)))
+    val hist = rows.where(col("__cal"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        Window.orderBy(col("__r"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = hist
+      .crossJoin(broadcast(kq)) // 1-row grouping-free agg
+      .where(col("__cum") >= col("k"))
+      .agg(min(col("__r")).as("q_hat_cents"))
+    rows.where(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(sum(when(col("__r") <= col("q_hat_cents"), 1L).otherwise(0L))
+        .as("__cov"))
+      .crossJoin(broadcast(kq))
+      .crossJoin(broadcast(qhat))
+      .select(
+        (lit(alphaPct).cast("double") / 100.0).as("alpha"),
+        col("n_cal"), col("n_test"), col("k"), col("q_hat_cents"),
+        round(when(col("n_test") > 0,
+          coalesce(col("__cov"), lit(0L)).cast("double")
+            / col("n_test").cast("double")), 6).as("coverage"))
+  }
+
   // scala-side alias: functions.lag collides with the `lag` parameter
   private def lag_(c: org.apache.spark.sql.Column, n: Int,
       w: org.apache.spark.sql.expressions.WindowSpec) =

@@ -953,4 +953,36 @@ class DedupSimSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.editVerify(docs, cands, threshold = 1.5))
   }
+
+  test("lshPlanFromHistogram: masses match the closed-form S-curve on " +
+    "a two-bin histogram; best pick minimizes 10·fn+fp") {
+    import spark.implicits._
+    // 100 low-similarity pairs (bin 1, mid 0.15), 10 dups (bin 8, 0.85)
+    val hist = Seq((1L, 100L), (8L, 10L)).toDF("jaccard_bin", "n_pairs")
+    val out = Dedup.lshPlanFromHistogram(hist).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+    val grid = Seq(2, 4, 8, 16, 32).flatMap(b => Seq(1, 2, 4, 8).map((b, _)))
+    assert(out.keySet == grid.map { case (b, r) => (b.toLong, r.toLong) }.toSet)
+    def p(s: Double, b: Int, r: Int) =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    // replay the quantized scoring
+    val brute = grid.map { case (b, r) =>
+      val pLo = math.round(p(0.15, b, r) * 1e6)
+      val pHi = math.round(p(0.85, b, r) * 1e6)
+      (b.toLong, r.toLong) ->
+        (100 * pLo + 10 * pHi, 100 * pLo, 10 * (1000000 - pHi))
+    }.toMap
+    brute.foreach { case (k, (cq, fpq, fnq)) =>
+      val (cand, fp, fn, _) = out(k)
+      assert(math.abs(cand - cq / 1e6) < 1e-6, s"cand at $k")
+      assert(math.abs(fp - fpq / 1e6) < 1e-6, s"fp at $k")
+      assert(math.abs(fn - fnq / 1e6) < 1e-6, s"fn at $k")
+    }
+    val bestKey = brute.toSeq.sortBy { case ((b, r), (_, fpq, fnq)) =>
+      (fnq * 10 + fpq, b, r) }.head._1
+    assert(out(bestKey)._4 == 1)
+    assert(out.count(_._2._4 == 1) == 1)
+    intercept[ParameterError](Dedup.lshPlanFromHistogram(hist, grid = Nil))
+  }
 }

@@ -63,4 +63,23 @@ class SeasonalSpec extends SparkSpec {
     val fr = Seasonal.forecastEval(flat, lag = 2).head()
     assert(fr.isNullAt(3) && fr.getAs[Double]("smape") == 0.0)
   }
+
+  test("conformalInterval: constant-error series → q_hat equals the " +
+    "error, full coverage, exact ceil-rank k") {
+    val p = (0 until 30).map(i =>
+      ("s1", Date.valueOf(d("2024-01-01").toLocalDate.plusDays(i)),
+        100.0 + i))
+      .toDF("sid", "date", "close")
+    // close rises 1/day → every lag-7 error is exactly 700 cents
+    val r = Seasonal.conformalInterval(p, lag = 7, alphaPct = 10).head()
+    val nCal = r.getAs[Long]("n_cal"); val nTest = r.getAs[Long]("n_test")
+    assert(nCal + nTest == 23) // 30 rows − 7 lag
+    assert(r.getAs[Long]("k") == ((nCal + 1) * 90 + 99) / 100)
+    assert(r.getAs[Long]("q_hat_cents") == 700L)
+    assert(r.getAs[Double]("coverage") == 1.0)
+    assert(r.getAs[Double]("alpha") == 0.1)
+    intercept[IllegalArgumentException] {
+      Seasonal.conformalInterval(p, alphaPct = 0)
+    }
+  }
 }
