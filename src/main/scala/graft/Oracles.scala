@@ -3585,6 +3585,36 @@ object Oracles {
         |  round((coalesce(stepq, 0) + tailq)::DOUBLE / 1e12, 6) AS rmst
         |FROM stp, tq""".stripMargin,
 
+    // Q4: order-priority — EXISTS semi-join on late lineitems over a
+    // one-quarter slice
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+
+    // Q18: large-volume orders — HAVING aggregate semi-joined back
+    // onto its own fact table; exact quantity cents
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS qty_cents
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |    AS BIGINT) > 25000)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  qty_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey""".stripMargin,
+
     // A16: Pareto 80/20 — exact cents, the top-80 membership decided
     // on INTEGERS (cum_prev·10 < tot·8), bounded brand frame
     "a16_pareto" ->

@@ -309,6 +309,37 @@ object Queries {
         .limit(10)
     }),
 
+    // ---- Q4: order-priority check — the LEFT SEMI plan shape (EXISTS
+    // against returned lineitems; the synthetic lineitem has no
+    // commit/receipt dates, so returnflag='R' is the "problem line"
+    // predicate), pruned to a one-quarter date slice ----
+    "q4_order_priority" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---- Q18: large-volume orders — the HAVING-subquery shape (an
+    // aggregate feeding a semi-join back onto its own fact table) ----
+    "q18_large_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_cents"))
+        .where(col("qty_cents") > 250 * 100)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          cents(col("o_totalprice")).as("total_cents"), col("qty_cents"))
+    }),
+
     // ---- J3: full-outer combine (positions ⋈ open orders shape) ----
     "j3_full_outer" -> ((s, dir) => {
       val ev = events(s, dir)
