@@ -5071,6 +5071,69 @@ object Oracles {
          |JOIN cells ON f.sid = cells.sid AND f.dow = cells.dow
          |JOIN ps ON f.sid = ps.sid""".stripMargin,
 
+    // TS4: strength — ts2's component chain re-quantized to micro
+    // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
+    // variance shapes, null on constant composites
+    "ts4_strength" ->
+      s"""WITH $panelCte,
+         |r AS (
+         |  SELECT sid, date, CAST(round(close * 100) AS BIGINT) AS c,
+         |    CAST(sum(CAST(round(close * 100) AS BIGINT)) OVER (
+         |      PARTITION BY sid ORDER BY date
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         |    count(*) OVER (PARTITION BY sid ORDER BY date
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS k7
+         |  FROM panel),
+         |f AS (
+         |  SELECT sid, date, c, s7, CAST(isodow(date) AS BIGINT) AS dow
+         |  FROM r WHERE k7 = 7),
+         |cells AS (
+         |  SELECT sid, dow,
+         |    CAST(round(CAST(sum(c * 7 - s7) AS BIGINT)::DOUBLE
+         |      / (count(*) * 7)::DOUBLE * 1e12) AS BIGINT) AS sq
+         |  FROM f GROUP BY 1, 2),
+         |ps AS (
+         |  SELECT sid, count(*)::BIGINT AS k, CAST(sum(sq) AS BIGINT) AS s
+         |  FROM cells GROUP BY 1),
+         |comp AS (
+         |  SELECT f.sid,
+         |    CAST(round(round(s7::DOUBLE / 7.0 / 100.0, 6) * 1e6)
+         |      AS BIGINT) AS tq,
+         |    CAST(round(round((sq * k - s)::DOUBLE / k::DOUBLE / 1e12
+         |      / 100.0, 6) * 1e6) AS BIGINT) AS sq6,
+         |    CAST(round(round(c::DOUBLE / 100.0 - s7::DOUBLE / 7.0 / 100.0
+         |      - (sq * k - s)::DOUBLE / k::DOUBLE / 1e12 / 100.0, 6) * 1e6)
+         |      AS BIGINT) AS rq
+         |  FROM f
+         |  JOIN cells ON f.sid = cells.sid AND f.dow = cells.dow
+         |  JOIN ps ON f.sid = ps.sid),
+         |ag AS (
+         |  SELECT sid, count(*)::BIGINT AS n,
+         |    sum(rq::HUGEINT) AS r1, sum(rq::HUGEINT * rq) AS r2,
+         |    sum((tq + rq)::HUGEINT) AS t1,
+         |    sum((tq + rq)::HUGEINT * (tq + rq)) AS t2,
+         |    sum((sq6 + rq)::HUGEINT) AS s1,
+         |    sum((sq6 + rq)::HUGEINT * (sq6 + rq)) AS s2
+         |  FROM comp GROUP BY 1)
+         |SELECT sid, n,
+         |  round(CASE WHEN t2::DOUBLE / n::DOUBLE
+         |      - (t1::DOUBLE / n::DOUBLE) * (t1::DOUBLE / n::DOUBLE) > 0
+         |    THEN greatest(0.0, 1.0 -
+         |      (r2::DOUBLE / n::DOUBLE
+         |        - (r1::DOUBLE / n::DOUBLE) * (r1::DOUBLE / n::DOUBLE))
+         |      / (t2::DOUBLE / n::DOUBLE
+         |        - (t1::DOUBLE / n::DOUBLE) * (t1::DOUBLE / n::DOUBLE)))
+         |    END, 6) AS f_trend,
+         |  round(CASE WHEN s2::DOUBLE / n::DOUBLE
+         |      - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE) > 0
+         |    THEN greatest(0.0, 1.0 -
+         |      (r2::DOUBLE / n::DOUBLE
+         |        - (r1::DOUBLE / n::DOUBLE) * (r1::DOUBLE / n::DOUBLE))
+         |      / (s2::DOUBLE / n::DOUBLE
+         |        - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)))
+         |    END, 6) AS f_seasonal
+         |FROM ag""".stripMargin,
+
     // TS3: seasonal-naive forecast errors — integer |Δ| sums, per-row
     // sMAPE terms 1e12-quantized, flat series → null MASE
     "ts3_forecast_eval" ->

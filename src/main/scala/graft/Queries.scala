@@ -2569,6 +2569,12 @@ object Queries {
     "ts3_forecast_eval" -> ((s, dir) =>
       graft.panel.Seasonal.forecastEval(supplierPanel(s, dir), lag = 7)),
 
+    // ---- TS4: trend/seasonal strength over the ts2 components —
+    // decimal(38,0) micro moments (the w26 discipline), null on
+    // constant series ----
+    "ts4_strength" -> ((s, dir) =>
+      graft.panel.Seasonal.strength(supplierPanel(s, dir))),
+
     // ---- ML36: split-conformal interval for the seasonal-naive
     // forecaster — exact-integer order statistic off the error-cents
     // histogram, md5 calibration split, test-set coverage check ----

@@ -124,6 +124,56 @@ object Seasonal {
           / col("n_eval").cast("double"), 6).as("smape"))
   }
 
+  /** TS4: trend and seasonal STRENGTH (Hyndman & Athanasopoulos, FPP
+    * §12.2): F_T = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over the [[decompose]]
+    * components — the 0..1 "is there actually a trend/seasonality
+    * here" screen that picks which sids deserve a seasonal model.
+    *
+    * Exactness: the published 6dp components re-quantize to exact
+    * micro integers (round(x·1e6)), the composite series T+R / S+R are
+    * integer ADDITIONS of those (never a double sum), and the raw
+    * moments accumulate as DECIMAL(38,0) (the w26 discipline — micro²
+    * ≈ 1e22 overflows BIGINT; DuckDB mirrors with HUGEINT, and both
+    * engines' big-integer→double casts are correctly rounded, so the
+    * variance shapes see identical inputs). Var ≤ 0 (constant series)
+    * → null strength rather than ±inf.
+    *
+    * Output (sid, n, f_trend, f_seasonal), 6dp. */
+  def strength(
+      panel: DataFrame,
+      sidCol: String = "sid",
+      dateCol: String = "date",
+      closeCol: String = "close"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rq = round(col("residual") * 1e6).cast("long")
+    val tq = round(col("trend") * 1e6).cast("long")
+    val sq = round(col("seasonal") * 1e6).cast("long")
+    def d(c: String) = col(c).cast("double")
+    def variance(s1: String, s2: String) =
+      d(s2) / d("n") - (d(s1) / d("n")) * (d(s1) / d("n"))
+    def f(s1: String, s2: String) = {
+      val v = variance(s1, s2)
+      round(when(v > 0,
+        greatest(lit(0.0), lit(1.0) - variance("__r1", "__r2") / v)), 6)
+    }
+    decompose(panel, sidCol, dateCol, closeCol)
+      .select(col("sid"), rq.as("__rq"), (tq + rq).as("__tv"),
+        (sq + rq).as("__sv"))
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rq").cast(dec)).as("__r1"),
+        sum(col("__rq").cast(dec) * col("__rq").cast(dec)).as("__r2"),
+        sum(col("__tv").cast(dec)).as("__t1"),
+        sum(col("__tv").cast(dec) * col("__tv").cast(dec)).as("__t2"),
+        sum(col("__sv").cast(dec)).as("__s1"),
+        sum(col("__sv").cast(dec) * col("__sv").cast(dec)).as("__s2"))
+      .select(col("sid"), col("n"),
+        f("__t1", "__t2").as("f_trend"),
+        f("__s1", "__s2").as("f_seasonal"))
+  }
+
   /** ML36: split-conformal prediction interval for the seasonal-naive
     * forecaster (Vovk 2005; Lei et al. 2018) — the distribution-free
     * "±q̂ covers the truth with probability ≥ 1−α" guarantee every

@@ -64,6 +64,36 @@ class SeasonalSpec extends SparkSpec {
     assert(fr.isNullAt(3) && fr.getAs[Double]("smape") == 0.0)
   }
 
+  test("strength: matches variances computed from the collected " +
+    "components; constant series yields null") {
+    val r = Seasonal.strength(panel).head()
+    // replay from decompose output (bounded collect)
+    val comp = Seasonal.decompose(panel).collect().map(x =>
+      (math.round(x.getDouble(3) * 1e6), math.round(x.getDouble(4) * 1e6),
+        math.round(x.getDouble(5) * 1e6)))
+    def variance(xs: Seq[Double]) = {
+      val n = xs.size; val mu = xs.sum / n
+      xs.map(x => x * x).sum / n - mu * mu
+    }
+    val vr = variance(comp.map(_._3.toDouble).toSeq)
+    val vt = variance(comp.map(c => (c._1 + c._3).toDouble).toSeq)
+    val vs = variance(comp.map(c => (c._2 + c._3).toDouble).toSeq)
+    assert(r.getAs[Long]("n") == comp.length)
+    assert(math.abs(r.getAs[Double]("f_trend") -
+      math.max(0.0, 1.0 - vr / vt)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("f_seasonal") -
+      math.max(0.0, 1.0 - vr / vs)) < 1e-4)
+    // the fixture has a real trend and a real Monday bump
+    assert(r.getAs[Double]("f_trend") > 0.5)
+    assert(r.getAs[Double]("f_seasonal") > 0.5)
+    // constant series: all variances 0 → null strengths
+    val flat = (0 until 14).map(i =>
+      ("f", Date.valueOf(d("2024-03-01").toLocalDate.plusDays(i)), 50.0))
+      .toDF("sid", "date", "close")
+    val fr = Seasonal.strength(flat).head()
+    assert(fr.isNullAt(2) && fr.isNullAt(3))
+  }
+
   test("conformalInterval: constant-error series → q_hat equals the " +
     "error, full coverage, exact ceil-rank k") {
     val p = (0 until 30).map(i =>
