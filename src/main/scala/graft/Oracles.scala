@@ -5482,6 +5482,53 @@ object Oracles {
     // CT1: χ² contingency replay — observed counts exact, expected =
     // row·col/total in the same double op order, per-cell term
     // micro-rounded
+    // DQ6: k-anonymity — equivalence-class size histogram over the
+    // quasi-identifier pair; exact integers
+    "dq6_kanonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS k
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT k, count(*)::BIGINT AS n_classes,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  CASE WHEN k < 5 THEN 1 ELSE 0 END AS at_risk
+        |FROM cls GROUP BY k""".stripMargin,
+
+    // ML37: per-day PSI vs the first-week baseline — full literal bin
+    // spine, eps-floored fractions, 1e12-quantized terms per (day, bin)
+    "ml37_psi_trend" ->
+      """WITH r AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+        |    CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9)
+        |      AS BIGINT) AS bin
+        |  FROM events),
+        |d0 AS (SELECT min(d) AS d0 FROM r),
+        |base AS (
+        |  SELECT bin, count(*)::BIGINT AS nb
+        |  FROM r, d0 WHERE date_diff('day', d0, d) < 7 GROUP BY 1),
+        |tbl AS (SELECT CAST(sum(nb) AS BIGINT) AS tbv FROM base),
+        |daily AS (
+        |  SELECT d, bin, count(*)::BIGINT AS na
+        |  FROM r, d0 WHERE date_diff('day', d0, d) >= 7 GROUP BY 1, 2),
+        |spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin),
+        |grid AS (
+        |  SELECT ds.d, s.bin,
+        |    coalesce(b.nb, 0) AS nb, coalesce(dl.na, 0) AS na
+        |  FROM (SELECT DISTINCT d FROM daily) ds
+        |  CROSS JOIN spine s
+        |  LEFT JOIN base b ON s.bin = b.bin
+        |  LEFT JOIN daily dl ON ds.d = dl.d AND s.bin = dl.bin),
+        |g2 AS (
+        |  SELECT *, CAST(sum(na) OVER (PARTITION BY d) AS BIGINT) AS ta,
+        |    (SELECT tbv FROM tbl) AS tbv
+        |  FROM grid)
+        |SELECT d AS day, CAST(sum(na) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(CAST(round(
+        |    (greatest(na::DOUBLE / ta, 1e-6) - greatest(nb::DOUBLE / tbv, 1e-6))
+        |    * ln(greatest(na::DOUBLE / ta, 1e-6)
+        |         / greatest(nb::DOUBLE / tbv, 1e-6))
+        |    * 1e12) AS BIGINT)) AS BIGINT)::DOUBLE / 1e12, 6) AS psi
+        |FROM g2 GROUP BY 1""".stripMargin,
+
     // CL6: out-of-fold smoothed target encoding — md5 folds, exact
     // BIGINT cell/marginal sums, prior and encoding as fixed IEEE
     // shapes of those integers

@@ -2793,6 +2793,17 @@ object Queries {
       graft.events.Basket.associationRules(
         t(s, dir, "lineitem"), "l_orderkey", "l_partkey", minCount = 3L)),
 
+    // ---- DQ6: k-anonymity audit on customer quasi-identifiers
+    // (nation × market segment) — class-size histogram + risk flag ----
+    "dq6_kanonymity" -> ((s, dir) =>
+      graft.sources.Quality.kAnonymity(
+        t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"))),
+
+    // ---- ML37: PSI drift trend — per-day PSI vs the first-week
+    // baseline (fixed bins, eps floors, 1e12-quantized terms) ----
+    "ml37_psi_trend" -> ((s, dir) =>
+      graft.ml.Evaluation.psiTrend(events(s, dir))),
+
     // ---- DQ4: Benford first-digit screen on order totals — exact
     // cents leading digit (no float log10), 1e12-quantized expected
     // probabilities, per-digit χ² terms

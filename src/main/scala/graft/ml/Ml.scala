@@ -667,6 +667,73 @@ object Evaluation {
         col("psi"))
   }
 
+  /** ML37: PSI drift TREND — [[psiDrift]]'s statistic re-evaluated per
+    * DAY against a fixed leading-baseline window, the "when did the
+    * input distribution move" time series an MLOps monitor alerts on
+    * (a single PSI says IF features drifted; the trend says WHEN).
+    *
+    * Same conventions as psiDrift: fixed [lo, hi) equal-width bins
+    * with edge clamping, eps-floored fractions (a bin empty on one
+    * side contributes its floored term; empty on both sides
+    * contributes 0 — the day×bin grid is completed from the baseline's
+    * bin set crossJoined with the day spine, both bounded), per-bin
+    * terms micro-quantized at 1e12 so the per-day sum is exact.
+    *
+    * Output (day, n_rows, psi) for every day AFTER the baseline
+    * window, 6dp. */
+  def psiTrend(
+      events: DataFrame,
+      valueCol: String = "value",
+      tsCol: String = "ts",
+      baselineDays: Int = 7,
+      bins: Int = 10,
+      lo: Double = 0.0,
+      hi: Double = 500.0): DataFrame = {
+    if (baselineDays < 1)
+      throw new ParameterError(s"baselineDays must be >= 1: $baselineDays")
+    if (bins < 1) throw new ParameterError(s"bins must be >= 1: $bins")
+    if (!(hi > lo)) throw new ParameterError(s"need hi > lo: [$lo, $hi]")
+    val width = (hi - lo) / bins
+    val eps = 1e-6
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0)), lit(bins - 1))
+      .cast("long")
+    val rows = events
+      .select(day.as("__d"), bin.as("bin"))
+      .crossJoin(broadcast(events.agg(min(day).as("__d0"))))
+      .localCheckpoint(eager = false) // feeds baseline AND the daily grid
+    val base = rows
+      .where(datediff(col("__d"), col("__d0")) < baselineDays)
+      .groupBy(col("bin")).agg(count(lit(1)).as("__nb"))
+      .withColumn("__tb", sum(col("__nb")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val daily = rows
+      .where(datediff(col("__d"), col("__d0")) >= baselineDays)
+      .groupBy(col("__d"), col("bin")).agg(count(lit(1)).as("__na"))
+    val binSpine = events.sparkSession.range(bins)
+      .select(col("id").cast("long").as("bin"))
+    val grid = daily.select(col("__d")).distinct()
+      .crossJoin(broadcast(binSpine)) // day spine × the full literal grid
+      .join(broadcast(base), Seq("bin"), "left")
+      .join(daily, Seq("__d", "bin"), "left")
+      .withColumn("__na", coalesce(col("__na"), lit(0L)))
+      .withColumn("__nb", coalesce(col("__nb"), lit(0L)))
+      .withColumn("__tb", max(col("__tb")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("__ta", sum(col("__na")).over(Window.partitionBy("__d")))
+    val pe = greatest(col("__nb").cast("double") / col("__tb"), lit(eps))
+    val pa = greatest(col("__na").cast("double") / col("__ta"), lit(eps))
+    grid
+      .withColumn("__cq",
+        round((pa - pe) * log(pa / pe) * 1e12).cast("long"))
+      .groupBy(col("__d").as("day"))
+      .agg(sum(col("__na")).as("n_rows"),
+        round(sum(col("__cq")).cast("double") / 1e12, 6).as("psi"))
+  }
+
   /** Precision-recall curve points: one row per DISTINCT score,
     * treating "score ≥ threshold" as the positive prediction — the
     * operating-point table behind [[averagePrecision]]'s single

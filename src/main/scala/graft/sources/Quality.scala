@@ -402,6 +402,33 @@ object Quality {
           .otherwise("down").as("side"))
   }
 
+  /** DQ6: k-anonymity audit — the re-identification screen a dataset
+    * gets before it leaves a trust boundary (Sweeney 2002): group rows
+    * by the quasi-identifier columns, and report the distribution of
+    * equivalence-class sizes. A row in a class of size k is
+    * indistinguishable from k−1 others; classes below `threshold` are
+    * the linkage-attack surface.
+    *
+    * One groupBy on the quasi-identifier key, one groupBy on the
+    * bounded class-size histogram. Exact integers only.
+    *
+    * Output (k, n_classes, n_rows, at_risk 0/1) — one row per observed
+    * class size. */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      threshold: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+      .groupBy(col("__k").as("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__k")).as("n_rows"))
+      .withColumn("at_risk", when(col("k") < threshold, 1).otherwise(0))
+  }
+
   /** DQ4: Benford first-digit conformance — the fraud/fabrication
     * screen auditors run on any organically-grown amount column: real
     * multiplicative data has P(first digit = d) = log₁₀(1 + 1/d);

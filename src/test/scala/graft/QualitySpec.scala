@@ -11,6 +11,41 @@ import graft.sources.Quality
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("kAnonymity: class-size histogram and risk flag") {
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (1, "b"),
+      (2, "a"), (2, "a"), (2, "b")).toDF("n", "s")
+    val r = Quality.kAnonymity(df, Seq("n", "s"), threshold = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    assert(r == Map(1L -> ((2L, 2L, 1)), 2L -> ((1L, 2L, 0)),
+      3L -> ((1L, 3L, 0))))
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymity(df, Nil)
+    }
+  }
+
+  test("psiTrend: identical distribution scores 0; a collapsed " +
+    "distribution scores the hand-computed floored PSI") {
+    import org.apache.spark.sql.functions.to_timestamp
+    // baseline days 1-3: values 10/60 evenly; day 4 same; day 5 all 10
+    val rows =
+      (1 to 4).flatMap(day => Seq.fill(2)(10.0) ++ Seq.fill(2)(60.0))
+        .zipWithIndex.map { case (v, i) =>
+          (s"2024-01-0${i / 4 + 1} 00:00:00", v) } ++
+      Seq.fill(4)(10.0).map(v => ("2024-01-05 00:00:00", v))
+    val ev = rows.toDF("s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val r = graft.ml.Evaluation.psiTrend(ev, baselineDays = 3)
+      .collect().map(x => x.getDate(0).toString ->
+        (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("2024-01-04") == ((4L, 0.0))) // same mix → every term ln(1)
+    val eps = 1e-6
+    val expected = (1.0 - 0.5) * math.log(1.0 / 0.5) +
+      (eps - 0.5) * math.log(eps / 0.5)
+    assert(r("2024-01-05")._1 == 4L)
+    assert(math.abs(r("2024-01-05")._2 - expected) < 1e-4)
+  }
+
   test("benford: leading digit of exact cents, log10 expectations, " +
     "positives only") {
     val df = Seq(123.00, 19.99, 250.00, 3.50, 0.01, 999.99, -5.0, 0.0)
