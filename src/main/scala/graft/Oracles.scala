@@ -4573,6 +4573,36 @@ object Oracles {
         |WHERE round(jaro_winkler_similarity(n.p_name, d.dirty_name), 6)
         |  >= 0.85""".stripMargin,
 
+    // ER2: reciprocal best match — fz1's candidate scores, rank-1 per
+    // side by (jw DESC, partner ASC), mutual pairs only (the window
+    // ranks are a different algorithm from the engine's min_by)
+    "er2_reciprocal_best" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name FROM part),
+        |dirty AS (
+        |  SELECT DISTINCT CASE WHEN length(p_name) % 2 = 1
+        |    THEN substr(p_name, 1, length(p_name) - 1)
+        |    ELSE p_name END AS dirty_name
+        |  FROM names),
+        |sc AS (
+        |  SELECT n.p_name AS l_id, d.dirty_name AS r_id,
+        |    round(jaro_winkler_similarity(n.p_name, d.dirty_name), 6) AS jw
+        |  FROM names n JOIN dirty d
+        |    ON split_part(n.p_name, ' ', 1) = split_part(d.dirty_name, ' ', 1)
+        |  WHERE round(jaro_winkler_similarity(n.p_name, d.dirty_name), 6)
+        |    >= 0.85),
+        |rl AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_id
+        |    ORDER BY jw DESC, r_id) AS kl
+        |  FROM sc),
+        |rr AS (
+        |  SELECT l_id, r_id, row_number() OVER (PARTITION BY r_id
+        |    ORDER BY jw DESC, l_id) AS kr
+        |  FROM sc)
+        |SELECT rl.l_id AS clean_name, rl.r_id AS dirty_name, rl.jw
+        |FROM rl JOIN rr ON rl.l_id = rr.l_id AND rl.r_id = rr.r_id
+        |WHERE rl.kl = 1 AND rr.kr = 1""".stripMargin,
+
     // A15: same cumulative-weight crossing rule, same total order
     "a15_weighted_median" ->
       """WITH r AS (

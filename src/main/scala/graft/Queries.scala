@@ -2249,6 +2249,25 @@ object Queries {
           col("jw"))
     }),
 
+    // ---- ER2: reciprocal best match over the fz1 candidate scores —
+    // mutual-nearest-neighbor linkage (the high-precision ER decision
+    // rule), deterministic (sim DESC, id ASC) tie-break ----
+    "er2_reciprocal_best" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name")).distinct()
+      val dirty = names.select(
+        when(length(col("p_name")) % 2 === 1,
+          col("p_name").substr(lit(1), length(col("p_name")) - 1))
+          .otherwise(col("p_name")).as("dirty_name")).distinct()
+      val scores = graft.text.Fuzzy.fuzzyJoin(
+        names, dirty, leftId = "p_name", rightId = "dirty_name",
+        leftName = "p_name", rightName = "dirty_name",
+        blockKey = n => split(n, " ").getItem(0),
+        minSim = 0.85, maxBlock = 1000)
+      graft.text.Fuzzy.reciprocalBestMatch(scores)
+        .select(col("l_id").as("clean_name"), col("r_id").as("dirty_name"),
+          col("jw"))
+    }),
+
     // ---- A15: exact weighted median (lower) per group — first value
     // where twice the cumulative weight reaches the total; all-integer
     // rank arithmetic on one group exchange

@@ -52,4 +52,38 @@ object Fuzzy {
         round(jaroWinklerNative(col("l_name"), col("r_name")), 6).as("jw"))
       .where(col("jw") >= minSim)
   }
+
+  /** ER2: reciprocal best match — keep only pairs that are EACH
+    * OTHER'S top candidate, the classic high-precision decision rule
+    * for entity resolution (mutual nearest neighbor): a left record
+    * with several plausible rights links only if its favorite right
+    * also favors it back, which kills the hub records that fuzzy
+    * scores alone over-link.
+    *
+    * Determinism: "best" is (similarity DESC, partner id ASC) — ties
+    * resolve identically in any engine via one min_by over the
+    * (−sim, id) struct per side. Two aggregations on the pair frame
+    * (each shuffles on one id key), one join back; no window sorts.
+    *
+    * Output (left, right, sim) — the mutual pairs only. */
+  def reciprocalBestMatch(
+      scores: DataFrame,
+      leftCol: String = "l_id",
+      rightCol: String = "r_id",
+      simCol: String = "jw"): DataFrame = {
+    val bestForL = scores.groupBy(col(leftCol))
+      .agg(min_by(col(rightCol),
+        struct((-col(simCol)).as("ns"), col(rightCol).as("id")))
+        .as("__bestR"))
+    val bestForR = scores.groupBy(col(rightCol))
+      .agg(min_by(col(leftCol),
+        struct((-col(simCol)).as("ns"), col(leftCol).as("id")))
+        .as("__bestL"))
+    scores
+      .join(bestForL, Seq(leftCol))
+      .join(bestForR, Seq(rightCol))
+      .where(col("__bestR") === col(rightCol) &&
+        col("__bestL") === col(leftCol))
+      .select(col(leftCol), col(rightCol), col(simCol))
+  }
 }

@@ -77,4 +77,22 @@ class FuzzySpec extends SparkSpec {
       _ => lit("same"), minSim = 0.01, maxBlock = 2)
     assert(flood.count() == 0)
   }
+
+  test("reciprocalBestMatch: mutual argmax only; ties break by " +
+    "partner id ascending") {
+    import spark.implicits._
+    val scores = Seq(
+      ("A", "x", 0.9), ("A", "y", 0.8), ("B", "x", 0.95), ("B", "y", 0.7),
+      ("C", "z", 0.85))
+      .toDF("l_id", "r_id", "jw")
+    val r = Fuzzy.reciprocalBestMatch(scores).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    // x prefers B (0.95) over A (0.9): (A,x) dies, (B,x) mutual;
+    // A's best is x, so (A,y) dies even though y prefers A
+    assert(r == Map(("B", "x") -> 0.95, ("C", "z") -> 0.85))
+    val tied = Seq(("D", "p", 0.9), ("D", "q", 0.9)).toDF("l_id", "r_id", "jw")
+    val t = Fuzzy.reciprocalBestMatch(tied).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(t.toSeq == Seq(("D", "p"))) // id-ascending tie-break
+  }
 }
