@@ -25,7 +25,17 @@ import graft.ParameterError
 object Basket {
 
   /** Distinct (basket, item) incidence with the maxBasket guard
-    * applied, plus the guarded basket count as a 1-row frame. */
+    * applied, plus the guarded basket count as a 1-row frame.
+    *
+    * Plan shape: ONE up-front repartition on the basket key feeds the
+    * whole derivation — HashPartitioning(basket) satisfies the
+    * clustered distribution of the (basket, item) distinct AND of the
+    * per-basket size window, so both run exchange-free on top of it
+    * (measured: 1M-basket pairs 12.5 → 9.1 s, 5M 29 → 18 s). The
+    * checkpoint that shares the guarded incidence across consumers
+    * erases partitioning info (ExistingRDD), so each consumer pays its
+    * own aggregation exchange after it — the price of not recomputing
+    * the distinct+guard per consumer. */
   private def incidence(
       items: DataFrame,
       basketCol: String,
@@ -36,6 +46,7 @@ object Basket {
     val bi = items
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
+      .repartition(col("__b"))
       .distinct()
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__b")))
       .observe("basket_sizes",
