@@ -314,8 +314,8 @@ object TextOracles {
         |  SELECT DISTINCT node FROM
         |    (SELECT src AS node FROM ed UNION SELECT dst FROM ed))""".stripMargin,
       """pr AS (
-        |  SELECT src, dst, w / W AS p FROM
-        |    (SELECT *, sum(w) OVER (PARTITION BY src) AS W FROM ed))""".stripMargin,
+        |  SELECT src, dst, w / tw AS p FROM
+        |    (SELECT *, sum(w) OVER (PARTITION BY src) AS tw FROM ed))""".stripMargin,
       """r0 AS (
         |  SELECT node,
         |    (SELECT CAST(round(1.0 / count(*) * 1e12) AS BIGINT) FROM nodes)
@@ -327,6 +327,64 @@ object TextOracles {
     "gr1_pagerank" ->
       s"""WITH $pagerankCtes
          |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3""".stripMargin,
+
+    // GR8: personalized PageRank — gr1's unrolled pico-exact power
+    // steps with the teleport base AND the dangling redistribution
+    // CONDITIONED on seed membership; shared CTEs MATERIALIZED (the
+    // gr5 re-evaluation lesson)
+    "gr8_ppr" -> {
+      def iter(i: Int): String =
+        s"""c$i AS (
+           |  SELECT pr.dst AS node,
+           |    CAST(sum(CAST(round(r.r * pr.p) AS BIGINT)) AS BIGINT) AS c
+           |  FROM pr JOIN r${i - 1} r ON pr.src = r.node GROUP BY 1),
+           |dg$i AS (
+           |  SELECT coalesce(sum(r.r), 0) AS dm FROM r${i - 1} r
+           |  WHERE r.node NOT IN (SELECT DISTINCT src FROM pr)),
+           |r$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    CASE WHEN sd.node IS NOT NULL THEN
+           |      (SELECT CAST(round((1.0 - 0.85) / count(*) * 1e12)
+           |        AS BIGINT) FROM sd)
+           |    ELSE 0 END +
+           |    CAST(round(0.85 * (coalesce(c.c, 0) +
+           |      CASE WHEN sd.node IS NOT NULL THEN
+           |        CAST(round(dg$i.dm / (SELECT count(*) FROM sd)) AS BIGINT)
+           |      ELSE 0 END)) AS BIGINT) AS r
+           |  FROM nodes n
+           |  LEFT JOIN sd ON n.node = sd.node
+           |  LEFT JOIN c$i c ON n.node = c.node
+           |  CROSS JOIN dg$i)""".stripMargin
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS N FROM documents),
+         |e0 AS (
+         |  SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT N FROM nn)
+         |    AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 3 + 2) % (SELECT N FROM nn)
+         |  FROM documents),
+         |ed AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e0
+         |       GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT node FROM
+         |    (SELECT src AS node FROM ed UNION SELECT dst FROM ed)),
+         |pr AS MATERIALIZED (
+         |  SELECT src, dst, w / tw AS p FROM
+         |    (SELECT *, sum(w) OVER (PARTITION BY src) AS tw FROM ed)),
+         |sd AS MATERIALIZED (
+         |  SELECT doc_id AS node FROM documents
+         |  WHERE doc_id % 97 = 0
+         |    AND doc_id IN (SELECT node FROM nodes)),
+         |r0 AS (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NOT NULL THEN
+         |      (SELECT CAST(round(1.0 / count(*) * 1e12) AS BIGINT) FROM sd)
+         |    ELSE 0 END AS r
+         |  FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+         |${(1 to 3).map(iter).mkString(",\n")}
+         |SELECT node, round(r::DOUBLE / 1e12, 6) AS rank FROM r3"""
+        .stripMargin
+    },
 
     // GR5: 8 unrolled peel rounds over the same modular graph —
     // rounds after the fixpoint remove nothing, so over-provisioning

@@ -730,6 +730,26 @@ object TextQueries {
     "tx29_rake" -> ((s, dir) =>
       graft.text.Rake.keywords(t(s, dir, "documents"))),
 
+    // GR8: personalized PageRank over the gr5 modular graph (edges
+    // pre-aggregated to weights so the oracle sees the same per-edge
+    // rounding), seeds = doc_id ≡ 0 (mod 97) — topic-conditioned
+    // authority with all teleport mass on the seeds
+    "gr8_ppr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__N"))
+      val e = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("src"),
+        explode(array(
+          pmod(col("doc_id") * 2 + 1, col("__N")),
+          pmod(col("doc_id") * 3 + 2, col("__N")))).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      val seeds = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("node"))
+      graft.graph.PageRank.personalizedPagerank(e, seeds, iterations = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    }),
+
     // GR7: Adamic–Adar link prediction over the gr5 modular multigraph
     // (degrees 1..5 — every apex passes the guard; scores are exact
     // quantized 1/ln(deg) sums, pairs pruned to non-adjacent)

@@ -83,6 +83,84 @@ object PageRank {
     }
   }
 
+  /** GR8: personalized PageRank (Page et al. 1999 §6; Haveliwala
+    * 2002) — the same damped power iteration as [[pagerank]], but ALL
+    * teleport mass (the 1−d base term and the dangling redistribution)
+    * lands uniformly on a SEED set instead of the whole graph:
+    * authority conditioned on "relevance flows out from these nodes".
+    * The topic-conditioned curation prior (rank docs near the trusted
+    * seeds), the "related items" primitive, and the seeded-community
+    * scorer, in one operator.
+    *
+    * Same pico-exact determinism contract as [[pagerank]] (per-edge
+    * contributions rounded to picos before exact integer sums, so a
+    * SQL oracle replays every iteration), same per-iteration scale
+    * shape (one node-key join + one dst aggregation + one scalar
+    * dangling row), same checkpoint-scope lifecycle. Seeds are
+    * restricted to nodes present in the graph; none present → loud
+    * error. Nodes unreachable from the seeds legitimately score 0. */
+  def personalizedPagerank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      damping: Double = 0.85,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "weight",
+      seedCol: String = "node"): DataFrame = {
+    if (iterations <= 0)
+      throw new ParameterError(s"iterations must be positive: $iterations")
+    if (damping <= 0 || damping >= 1)
+      throw new ParameterError(s"damping must be in (0, 1): $damping")
+    graft.CheckpointScope.scoped(edges.sparkSession) { scope =>
+    val nodes = scope.checkpoint(
+      edges.select(col(srcCol).as("node"))
+        .unionByName(edges.select(col(dstCol).as("node")))
+        .distinct())
+    val probs = scope.checkpoint(edges
+      .join(edges.groupBy(col(srcCol)).agg(sum(col(weightCol)).as("__W")),
+        srcCol)
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+        (col(weightCol).cast("double") / col("__W")).as("__p")))
+    val seedFlag = scope.checkpoint(seeds
+      .select(col(seedCol).as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("__sd", lit(1L)))
+    val nS = seedFlag.count()
+    if (nS == 0)
+      throw new ParameterError("personalizedPagerank: no seed is a graph node")
+    val basePico = math.round((1.0 - damping) / nS * 1e12)
+    val initPico = math.round(1.0 / nS * 1e12)
+
+    var ranks = nodes.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__sd") === 1L, initPico).otherwise(0L).as("__r"))
+    for (_ <- 1 to iterations) {
+      val contribs = probs
+        .join(ranks.select(col("node").as("__s"), col("__r")), "__s")
+        .groupBy(col("__d").as("node"))
+        .agg(sum(round(col("__r").cast("double") * col("__p"), 0).cast("long"))
+          .as("__c"))
+      val dangling = ranks
+        .join(probs.select(col("__s").as("node")).distinct(),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("__r")), lit(0L)).as("__dm"))
+      ranks = scope.checkpoint(ranks.select(col("node"))
+        .join(seedFlag, Seq("node"), "left")
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (when(col("__sd") === 1L, basePico).otherwise(0L) +
+            round(lit(damping) * (coalesce(col("__c"), lit(0L)) +
+              when(col("__sd") === 1L,
+                round(col("__dm").cast("double") / nS, 0).cast("long"))
+                .otherwise(0L))
+              .cast("double"), 0).cast("long")).as("__r")))
+    }
+    ranks.select(col("node"), (col("__r").cast("double") / 1e12).as("rank"))
+    }
+  }
+
   /** Per-node triangle counts and local clustering coefficient over
     * the UNDIRECTED simple graph of `edges` (direction, weights, and
     * duplicate/self edges are dropped first) — community structure for

@@ -97,6 +97,32 @@ class PageRankSpec extends SparkSpec {
     assert(out.values.forall(_ == ((3L, 1.0))))
   }
 
+  test("personalizedPagerank: mass sums to 1, unreachable nodes score " +
+    "0, all-nodes seeding reduces exactly to pagerank") {
+    // cycle 1→2→3→1 plus 4→1: nothing ever flows INTO 4 from seed 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val seeds = Seq(1L).toDF("node")
+    val r = PageRank.personalizedPagerank(e, seeds, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r(4L) == 0.0)
+    // the seed keeps its teleport mass advantage over the cycle node
+    // that feeds it (a 3-cycle has not converged at 5 iterations, so
+    // no full ordering is asserted — only the teleport-term gap)
+    assert(r(1L) > 0.15) // ≥ the (1−d) base the non-seeds never get
+    // uniform seeding over every node IS pagerank (identical picos)
+    val all = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val ppr = PageRank.personalizedPagerank(e, all, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val pr = PageRank.pagerank(e, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(ppr == pr)
+    intercept[ParameterError] {
+      PageRank.personalizedPagerank(e, Seq(99L).toDF("node"), 3)
+    }
+  }
+
   test("adamicAdar: hand-checked score on the diamond graph; adjacent " +
     "pairs excluded; hub apexes drop under the guard") {
     // diamond: 1-2, 1-3, 2-3, 2-4, 3-4 → only (1,4) is non-adjacent,
