@@ -2278,6 +2278,89 @@ object TextOracles {
          |UNION ALL SELECT * FROM acc_c""".stripMargin
     },
 
+    // ML38: source ablation — ml33's NB chain instantiated once per
+    // excluded source (same feature hashing, same micro-nat model
+    // quantization, same deterministic argmax), deltas vs acc_full
+    "ml38_source_ablation" -> {
+      def hu(seedExpr: String): String =
+        s"CAST(CAST(concat('0x', substr(md5(concat_ws('|', $seedExpr, " +
+          "doc_id)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+      val inHoldout = s"${hu("'ab'")} >= 0.8"
+      def inTrain(excl: Option[String]): String =
+        s"${hu("'ab'")} < 0.8" +
+          excl.map(s => s" AND source <> '$s'").getOrElse("")
+      def chain(tag: String, excl: Option[String], label: String): String =
+        s"""model_$tag AS (
+           |  SELECT d.lang AS label, f.b, count(*) AS cnt,
+           |    CAST(round(ln(count(*) + 1.0) * 1000000) AS BIGINT) AS m
+           |  FROM feat f JOIN documents d USING (doc_id)
+           |  WHERE ${inTrain(excl)} GROUP BY 1, 2),
+           |tot_$tag AS (
+           |  SELECT label, CAST(sum(cnt) AS BIGINT) AS T
+           |  FROM model_$tag GROUP BY 1),
+           |pri_$tag AS (
+           |  SELECT lang AS label, count(*) AS nl
+           |  FROM documents WHERE ${inTrain(excl)} GROUP BY 1),
+           |nn_$tag AS (SELECT CAST(sum(nl) AS BIGINT) AS N FROM pri_$tag),
+           |stats_$tag AS (
+           |  SELECT label, ln(nl::DOUBLE / N) AS prior,
+           |    ln((T + 256)::DOUBLE) AS lntb
+           |  FROM tot_$tag JOIN pri_$tag USING (label) CROSS JOIN nn_$tag),
+           |sc_$tag AS (
+           |  SELECT f.doc_id, s.label,
+           |    CAST(CAST(sum(coalesce(mo.m, 0)) AS BIGINT) AS DOUBLE)
+           |      / 1000000
+           |      - count(*)::DOUBLE * s.lntb + s.prior AS score
+           |  FROM (SELECT doc_id, b FROM feat WHERE $inHoldout) f
+           |  CROSS JOIN stats_$tag s
+           |  LEFT JOIN model_$tag mo ON mo.label = s.label AND mo.b = f.b
+           |  GROUP BY f.doc_id, s.label, s.lntb, s.prior),
+           |r_$tag AS (
+           |  SELECT doc_id, label,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, label) AS rn
+           |  FROM sc_$tag),
+           |acc_$tag AS (
+           |  SELECT '$label' AS excluded_source,
+           |    (SELECT count(*)::BIGINT FROM documents
+           |     WHERE ${inTrain(excl)}) AS n_train,
+           |    count(*)::BIGINT AS n_holdout,
+           |    CAST(sum(CASE WHEN r.label = d.lang THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_correct,
+           |    round(sum(CASE WHEN r.label = d.lang THEN 1 ELSE 0 END)::DOUBLE
+           |      / count(*), 6) AS accuracy
+           |  FROM r_$tag r JOIN documents d USING (doc_id) WHERE rn = 1)"""
+          .stripMargin
+      val sources = Seq("src0", "src5", "src10", "src15")
+      val chains = chain("full", None, "(none)") +: sources.zipWithIndex
+        .map { case (s, i) => chain(s"a$i", Some(s), s) }
+      val selects = ("full" +: sources.indices.map(i => s"a$i"))
+        .map(t => s"SELECT * FROM acc_$t")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(w) AS s FROM words
+         |        UNION ALL
+         |        SELECT doc_id, unnest(g) AS s FROM gr)
+         |  WHERE s <> ''),
+         |${chains.mkString(",\n")},
+         |uni AS (
+         |  ${selects})
+         |SELECT u.*,
+         |  round(u.accuracy - (SELECT accuracy FROM acc_full), 6)
+         |    AS delta_vs_full
+         |FROM uni u""".stripMargin
+    },
+
     // CL5: same presence counts, complete grid, and per-cell
     // micro-nat quantization as Vocab.featureMi
     "cl5_feature_mi" ->

@@ -642,6 +642,14 @@ object TextQueries {
       graft.text.Classifier.nbLearningCurve(
         t(s, dir, "documents"), labelCol = "lang")),
 
+    // ML38: leave-one-source-out data valuation — the NB lang
+    // classifier retrained without each of four sources; accuracy
+    // deltas vs the full pool (shared holdout/pool checkpoints)
+    "ml38_source_ablation" -> ((s, dir) =>
+      graft.text.Classifier.nbSourceAblation(
+        t(s, dir, "documents"), labelCol = "lang",
+        ablate = Seq("src0", "src5", "src10", "src15"))),
+
     // CL5: mutual-information feature screen — I(word-presence;
     // source) over the top-50 vocabulary, complete (word × class)
     // grid, per-cell micro-nat quantization

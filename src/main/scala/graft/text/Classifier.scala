@@ -320,5 +320,66 @@ object Classifier {
             .as("accuracy"))
     }.reduce(_ unionByName _)
   }
+
+  /** ML38: source-ablation data valuation — retrain the NB label
+    * classifier with each of `ablate`'s sources REMOVED from the
+    * training pool and report the holdout-accuracy delta vs the full
+    * model: the leave-one-source-out answer to "which corpus slice is
+    * actually earning its tokens" (the group-level Shapley-0th-order
+    * screen curation teams run before paying for more of a source).
+    *
+    * Shape: one shared holdout + one shared pool (both checkpointed,
+    * scored once per ablation); ablations are an EXPLICIT bounded
+    * list — cost is (|ablate|+1) NB train/score passes, each the cl2
+    * chain, and the SQL oracle instantiates the same chains per tag.
+    * Accuracy/delta are exact-integer ratios, 6dp.
+    *
+    * Output one row per model: ("(none)" first in no particular row
+    * order, then each excluded source) × (excluded_source, n_train,
+    * n_holdout, n_correct, accuracy, delta_vs_full). */
+  def nbSourceAblation(
+      docs: DataFrame,
+      labelCol: String,
+      ablate: Seq[String],
+      sourceCol: String = "source",
+      holdoutFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 256,
+      seed: String = "ab"): DataFrame = {
+    require(ablate.nonEmpty && ablate.size <= 20,
+      s"ablate must list 1..20 sources: ${ablate.size}")
+    require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
+    val u = graft.text.Sampling.hashUnit(col(idCol), seed)
+    val holdout = docs.where(u >= 1.0 - holdoutFrac)
+      .localCheckpoint(eager = false) // scored once per ablation
+    val pool = docs.where(u < 1.0 - holdoutFrac)
+      .localCheckpoint(eager = false) // filtered once per ablation
+    val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
+    def accuracyOf(train: DataFrame, tag: String): DataFrame = {
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      nbClassify(holdout, train, idCol, labelCol, textCol, buckets)
+        .join(truth, Seq(idCol))
+        .agg(
+          count(lit(1)).as("n_holdout"),
+          sum(when(col("predicted") === col("__truth"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .crossJoin(broadcast(nTrain)) // one scalar row — bounded
+        .select(
+          lit(tag).as("excluded_source"), col("n_train"),
+          col("n_holdout"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_holdout"), 6)
+            .as("accuracy"))
+    }
+    val full = accuracyOf(pool, "(none)")
+      .localCheckpoint(eager = false) // reused as the delta baseline
+    val rows = ablate.map(s =>
+      accuracyOf(pool.where(col(sourceCol) =!= s), s))
+      .reduce(_ unionByName _)
+    full.unionByName(rows)
+      .crossJoin(broadcast(full.select(col("accuracy").as("__fa"))))
+      .withColumn("delta_vs_full", round(col("accuracy") - col("__fa"), 6))
+      .drop("__fa")
+  }
 }
 

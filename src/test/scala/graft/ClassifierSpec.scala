@@ -162,4 +162,29 @@ class ClassifierSpec extends SparkSpec {
       Classifier.logregTrain(df.where(lit(false))).collect()
     }
   }
+
+  test("nbSourceAblation: full row has delta 0; removing a label's " +
+    "only source hurts; n_train shrinks by the ablated mass") {
+    import spark.implicits._
+    // sA carries all 'en' docs, sB all 'fr' docs — distinctive words
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "hello world common text", "en", "sA")
+      else (i.toLong, "bonjour monde texte commune", "fr", "sB")
+    }.toDF("doc_id", "text", "lang", "source")
+    val r = Classifier.nbSourceAblation(docs, "lang", Seq("sA", "sB"))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(3), x.getDouble(4), x.getDouble(5))).toMap
+    val (fullTrain, _, fullAcc, fullDelta) = r("(none)")
+    assert(fullDelta == 0.0)
+    assert(fullAcc == 1.0) // perfectly separable vocabulary
+    // each ablation removes that source's pool docs from training
+    assert(r("sA")._1 < fullTrain && r("sB")._1 < fullTrain)
+    assert(r("sA")._1 + r("sB")._1 == fullTrain)
+    // a model that never saw a label misclassifies that label's
+    // holdout docs: both ablations lose accuracy
+    assert(r("sA")._4 < 0.0 && r("sB")._4 < 0.0)
+    intercept[IllegalArgumentException] {
+      Classifier.nbSourceAblation(docs, "lang", Nil)
+    }
+  }
 }
