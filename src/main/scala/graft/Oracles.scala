@@ -5512,6 +5512,22 @@ object Oracles {
     // CT1: χ² contingency replay — observed counts exact, expected =
     // row·col/total in the same double op order, per-cell term
     // micro-rounded
+    // DQ7: FD discovery — one subquery per ordered pair (a genuinely
+    // different plan from the engine's fused multi-countDistinct)
+    "dq7_fd_discovery" -> {
+      val cols = Seq("p_name", "p_brand", "p_type", "p_size")
+      val pairs = for { l <- cols; r <- cols if l != r } yield
+        s"""SELECT '$l' AS lhs, '$r' AS rhs,
+           |  count(*)::BIGINT AS n_lhs_values,
+           |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+           |       THEN 1 ELSE 0 END AS holds
+           |FROM (SELECT $l, count(DISTINCT $r) AS c FROM part
+           |      GROUP BY 1)""".stripMargin
+      pairs.mkString("\nUNION ALL\n")
+    },
+
     // DQ6: k-anonymity — equivalence-class size histogram over the
     // quasi-identifier pair; exact integers
     "dq6_kanonymity" ->

@@ -2818,6 +2818,13 @@ object Queries {
       graft.sources.Quality.kAnonymity(
         t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"))),
 
+    // ---- DQ7: functional-dependency discovery over part attributes —
+    // one aggregation per lhs covers every rhs; violation counts, not
+    // bare booleans ----
+    "dq7_fd_discovery" -> ((s, dir) =>
+      graft.sources.Quality.functionalDependencies(
+        t(s, dir, "part"), Seq("p_name", "p_brand", "p_type", "p_size"))),
+
     // ---- ML37: PSI drift trend — per-day PSI vs the first-week
     // baseline (fixed bins, eps floors, 1e12-quantized terms) ----
     "ml37_psi_trend" -> ((s, dir) =>

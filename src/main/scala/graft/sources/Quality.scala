@@ -429,6 +429,40 @@ object Quality {
       .withColumn("at_risk", when(col("k") < threshold, 1).otherwise(0))
   }
 
+  /** DQ7: functional-dependency discovery (the Metanome/profiling
+    * staple): for every ordered pair (A, B) of `cols`, does A → B hold
+    * — i.e. does any A value map to more than one distinct B? Reports
+    * the violation count rather than a bare boolean, because "holds
+    * except for 12 rows" is the data-quality finding (a dirty
+    * dimension), not a non-dependency.
+    *
+    * Shape: ONE aggregation per lhs column computes countDistinct for
+    * ALL rhs columns simultaneously (|cols| scans total, not
+    * |cols|²); the per-pair summaries are 1-row frames unioned.
+    * Null semantics match SQL: a null lhs forms its own equivalence
+    * class, null rhs values are ignored by the distinct count.
+    *
+    * Output (lhs, rhs, n_lhs_values, n_violating, holds 0/1). */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8 && cols.distinct == cols,
+      s"cols must be 2..8 distinct columns: $cols")
+    cols.map { lhs =>
+      val rhs = cols.filterNot(_ == lhs)
+      val per = df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs.head)).as(s"__${rhs.head}"),
+          rhs.tail.map(r => countDistinct(col(r)).as(s"__$r")): _*)
+      val summary = per.agg(
+        count(lit(1)).as("n_lhs_values"),
+        rhs.map(r => sum(when(col(s"__$r") > 1, 1L).otherwise(0L))
+          .as(s"__v_$r")): _*)
+      rhs.map(r => summary.select(
+        lit(lhs).as("lhs"), lit(r).as("rhs"), col("n_lhs_values"),
+        col(s"__v_$r").as("n_violating"),
+        when(col(s"__v_$r") === 0, 1).otherwise(0).as("holds")))
+        .reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
   /** DQ4: Benford first-digit conformance — the fraud/fabrication
     * screen auditors run on any organically-grown amount column: real
     * multiplicative data has P(first digit = d) = log₁₀(1 + 1/d);

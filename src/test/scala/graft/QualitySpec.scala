@@ -24,6 +24,34 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("functionalDependencies: holds/violations on a crafted table; " +
+    "null lhs is its own class, null rhs ignored") {
+    val df = Seq(
+      ("a", Some("x"), 1), ("a", Some("x"), 2), // a→x consistent
+      ("b", Some("y"), 1), ("b", Some("z"), 1), // b violates →rhs2
+      (null, Some("x"), 1), (null, None, 1))    // null lhs class
+      .toDF("c1", "c2", "c3")
+    val r = Quality.functionalDependencies(df, Seq("c1", "c2"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getInt(4))).toMap
+    // c1→c2: classes a (x), b (y,z → violation), null (x; the null c2
+    // is ignored by the distinct count) → 3 classes, 1 violating
+    assert(r(("c1", "c2")) == ((3L, 1L, 0)))
+    // c2→c1: x → {a, null} — but the null c1 is IGNORED by the
+    // distinct count (documented SQL semantics), so x→c1 holds;
+    // 4 classes (x, y, z, null-c2), 0 violating
+    assert(r(("c2", "c1")) == ((4L, 0L, 1)))
+    val ok = Quality.functionalDependencies(
+      Seq(("k1", "v"), ("k2", "v")).toDF("k", "v"), Seq("k", "v"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getInt(4))
+      .toMap
+    assert(ok(("k", "v")) == 1) // k → v holds
+    assert(ok(("v", "k")) == 0) // v → k violated
+    intercept[IllegalArgumentException] {
+      Quality.functionalDependencies(df, Seq("c1"))
+    }
+  }
+
   test("psiTrend: identical distribution scores 0; a collapsed " +
     "distribution scores the hand-computed floored PSI") {
     import org.apache.spark.sql.functions.to_timestamp
