@@ -5101,6 +5101,35 @@ object Oracles {
          |JOIN cells ON f.sid = cells.sid AND f.dow = cells.dow
          |JOIN ps ON f.sid = ps.sid""".stripMargin,
 
+    // W32: AR(1) half-life — HUGEINT regression moments (Spark:
+    // decimal(38,0)), one Cramer ρ division, −ln2/lnρ as a final
+    // per-row transcendental, null outside (0,1)
+    "w32_mean_reversion" ->
+      s"""WITH $panelCte,
+         |r AS (
+         |  SELECT sid, CAST(round(close * 100) AS BIGINT) AS y,
+         |    lag(CAST(round(close * 100) AS BIGINT), 1) OVER (
+         |      PARTITION BY sid ORDER BY date) AS x
+         |  FROM panel),
+         |ag AS (
+         |  SELECT sid, count(*)::BIGINT AS n,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+         |  FROM r WHERE x IS NOT NULL GROUP BY 1)
+         |SELECT sid, n,
+         |  round(CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0 THEN
+         |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+         |    END, 6) AS rho,
+         |  round(CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+         |      AND (n * sxy - sx * sy)::DOUBLE
+         |        / (n * sxx - sx * sx)::DOUBLE > 0
+         |      AND (n * sxy - sx * sy)::DOUBLE
+         |        / (n * sxx - sx * sx)::DOUBLE < 1
+         |    THEN -ln(2.0) / ln((n * sxy - sx * sy)::DOUBLE
+         |      / (n * sxx - sx * sx)::DOUBLE)
+         |    END, 6) AS half_life
+         |FROM ag""".stripMargin,
+
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites

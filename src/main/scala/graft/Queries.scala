@@ -2588,6 +2588,11 @@ object Queries {
     "ts3_forecast_eval" -> ((s, dir) =>
       graft.panel.Seasonal.forecastEval(supplierPanel(s, dir), lag = 7)),
 
+    // ---- W32: AR(1) mean-reversion half-life per sid — decimal
+    // moments, Cramer ρ, −ln2/lnρ as a final per-row transcendental ----
+    "w32_mean_reversion" -> ((s, dir) =>
+      graft.panel.Seasonal.meanReversionHalfLife(supplierPanel(s, dir))),
+
     // ---- TS4: trend/seasonal strength over the ts2 components —
     // decimal(38,0) micro moments (the w26 discipline), null on
     // constant series ----

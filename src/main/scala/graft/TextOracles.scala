@@ -2361,6 +2361,80 @@ object TextOracles {
          |FROM uni u""".stripMargin
     },
 
+    // ML39: McNemar — ml38's two NB chains to per-doc predictions,
+    // exact disagreement cells, one IEEE division
+    "ml39_mcnemar" -> {
+      def hu(seedExpr: String): String =
+        s"CAST(CAST(concat('0x', substr(md5(concat_ws('|', $seedExpr, " +
+          "doc_id)), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967296.0"
+      val inHoldout = s"${hu("'ab'")} >= 0.8"
+      def inTrain(excl: Option[String]): String =
+        s"${hu("'ab'")} < 0.8" +
+          excl.map(s => s" AND source <> '$s'").getOrElse("")
+      def chain(tag: String, excl: Option[String]): String =
+        s"""model_$tag AS (
+           |  SELECT d.lang AS label, f.b, count(*) AS cnt,
+           |    CAST(round(ln(count(*) + 1.0) * 1000000) AS BIGINT) AS m
+           |  FROM feat f JOIN documents d USING (doc_id)
+           |  WHERE ${inTrain(excl)} GROUP BY 1, 2),
+           |tot_$tag AS (
+           |  SELECT label, CAST(sum(cnt) AS BIGINT) AS T
+           |  FROM model_$tag GROUP BY 1),
+           |pri_$tag AS (
+           |  SELECT lang AS label, count(*) AS nl
+           |  FROM documents WHERE ${inTrain(excl)} GROUP BY 1),
+           |nn_$tag AS (SELECT CAST(sum(nl) AS BIGINT) AS N FROM pri_$tag),
+           |stats_$tag AS (
+           |  SELECT label, ln(nl::DOUBLE / N) AS prior,
+           |    ln((T + 256)::DOUBLE) AS lntb
+           |  FROM tot_$tag JOIN pri_$tag USING (label) CROSS JOIN nn_$tag),
+           |sc_$tag AS (
+           |  SELECT f.doc_id, s.label,
+           |    CAST(CAST(sum(coalesce(mo.m, 0)) AS BIGINT) AS DOUBLE)
+           |      / 1000000
+           |      - count(*)::DOUBLE * s.lntb + s.prior AS score
+           |  FROM (SELECT doc_id, b FROM feat WHERE $inHoldout) f
+           |  CROSS JOIN stats_$tag s
+           |  LEFT JOIN model_$tag mo ON mo.label = s.label AND mo.b = f.b
+           |  GROUP BY f.doc_id, s.label, s.lntb, s.prior),
+           |r_$tag AS (
+           |  SELECT doc_id, label,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, label) AS rn
+           |  FROM sc_$tag)""".stripMargin
+      s"""WITH $wordsCte,
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 2
+         |         THEN list_transform(range(1, len(w)),
+         |                             i -> array_to_string(w[i:i+1], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |feat AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, unnest(w) AS s FROM words
+         |        UNION ALL
+         |        SELECT doc_id, unnest(g) AS s FROM gr)
+         |  WHERE s <> ''),
+         |${chain("full", None)},
+         |${chain("abl", Some("src0"))},
+         |cells AS (
+         |  SELECT count(*)::BIGINT AS n_holdout,
+         |    CAST(sum(CASE WHEN pf.label = d.lang AND pa.label <> d.lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN pf.label <> d.lang AND pa.label = d.lang
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, label FROM r_full WHERE rn = 1) pf
+         |  JOIN (SELECT doc_id, label FROM r_abl WHERE rn = 1) pa
+         |    USING (doc_id)
+         |  JOIN documents d USING (doc_id))
+         |SELECT n_holdout, b, c,
+         |  round(CASE WHEN b + c > 0 THEN
+         |    ((b - c) * (b - c))::DOUBLE / (b + c)::DOUBLE END, 6) AS chisq
+         |FROM cells""".stripMargin
+    },
+
     // CL5: same presence counts, complete grid, and per-cell
     // micro-nat quantization as Vocab.featureMi
     "cl5_feature_mi" ->

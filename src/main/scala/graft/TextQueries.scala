@@ -650,6 +650,12 @@ object TextQueries {
         t(s, dir, "documents"), labelCol = "lang",
         ablate = Seq("src0", "src5", "src10", "src15"))),
 
+    // ML39: McNemar significance gate for the src0 ablation — exact
+    // disagreement counts off two shared-holdout prediction frames
+    "ml39_mcnemar" -> ((s, dir) =>
+      graft.text.Classifier.nbMcNemar(
+        t(s, dir, "documents"), labelCol = "lang", excludeSource = "src0")),
+
     // CL5: mutual-information feature screen — I(word-presence;
     // source) over the top-50 vocabulary, complete (word × class)
     // grid, per-cell micro-nat quantization

@@ -174,6 +174,52 @@ object Seasonal {
         f("__s1", "__s2").as("f_seasonal"))
   }
 
+  /** W32: mean-reversion half-life per sid — the AR(1) fit
+    * c_t = α + ρ·c_{t−1} + ε whose ρ turns into the Ornstein–Uhlenbeck
+    * half-life −ln2/lnρ: "how many days until a shock has decayed by
+    * half", the number that sizes every pairs/mean-reversion trade and
+    * the natural companion to the coint1 spread screen.
+    *
+    * Exactness: the regression moments are exact integer cents
+    * accumulated as DECIMAL(38,0) (the w26/ts4 discipline; DuckDB
+    * HUGEINT mirrors), ρ is one Cramer-style IEEE expression of those
+    * integers, and the half-life is a FINAL per-row transcendental of
+    * that identical double (the ev25 exp stance — no transcendental is
+    * ever summed). ρ outside (0, 1), or a degenerate variance, yields
+    * null half-life: the series isn't mean-reverting (or is constant),
+    * and ±inf would poison downstream sorts.
+    *
+    * Output (sid, n, rho, half_life), 6dp. */
+  def meanReversionHalfLife(
+      panel: DataFrame,
+      sidCol: String = "sid",
+      dateCol: String = "date",
+      closeCol: String = "close"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = round(col(closeCol) * 100).cast("long")
+    val w = Window.partitionBy(col(sidCol)).orderBy(col(dateCol))
+    def d(c0: org.apache.spark.sql.Column) = c0.cast("double")
+    val num = d(col("n") * col("__sxy") - col("__sx") * col("__sy"))
+    val den = d(col("n") * col("__sxx") - col("__sx") * col("__sx"))
+    val rho = num / den
+    panel
+      .select(col(sidCol).as("sid"), col(dateCol).as("date"), c.as("__y"))
+      .withColumn("__x", lag_(col("__y"), 1, w))
+      .where(col("__x").isNotNull)
+      .groupBy(col("sid"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+      .select(
+        col("sid"), col("n"),
+        round(when(den > 0, rho), 6).as("rho"),
+        round(when(den > 0 && rho > 0 && rho < 1,
+          -log(lit(2.0)) / log(rho)), 6).as("half_life"))
+  }
+
   /** ML36: split-conformal prediction interval for the seasonal-naive
     * forecaster (Vovk 2005; Lei et al. 2018) — the distribution-free
     * "±q̂ covers the truth with probability ≥ 1−α" guarantee every

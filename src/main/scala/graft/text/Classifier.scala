@@ -381,5 +381,55 @@ object Classifier {
       .withColumn("delta_vs_full", round(col("accuracy") - col("__fa"), 6))
       .drop("__fa")
   }
+
+  /** ML39: McNemar's paired test between the full NB model and the
+    * model trained without `excludeSource` — the significance gate for
+    * [[nbSourceAblation]]'s deltas: a raw accuracy drop on a finite
+    * holdout can be noise, but McNemar conditions on the DISAGREEMENT
+    * pairs (b = full right/ablated wrong, c = the reverse) where all
+    * the information lives: χ²(1) = (b−c)²/(b+c), compare to 3.841.
+    *
+    * Exactness: b and c are exact integers from one per-doc join of the
+    * two prediction frames; the statistic is ONE IEEE division (no
+    * transcendentals — no p-value column, the abConversionZ stance).
+    * b + c = 0 (the models never disagree) → null statistic. Output
+    * ONE row (n_holdout, b, c, chisq). */
+  def nbMcNemar(
+      docs: DataFrame,
+      labelCol: String,
+      excludeSource: String,
+      sourceCol: String = "source",
+      holdoutFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 256,
+      seed: String = "ab"): DataFrame = {
+    require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
+    val u = graft.text.Sampling.hashUnit(col(idCol), seed)
+    val holdout = docs.where(u >= 1.0 - holdoutFrac)
+      .localCheckpoint(eager = false) // scored twice
+    val pool = docs.where(u < 1.0 - holdoutFrac)
+      .localCheckpoint(eager = false)
+    val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
+    val pf = nbClassify(holdout, pool, idCol, labelCol, textCol, buckets)
+      .select(col(idCol), col("predicted").as("__pf"))
+    val pa = nbClassify(holdout,
+      pool.where(col(sourceCol) =!= excludeSource),
+      idCol, labelCol, textCol, buckets)
+      .select(col(idCol), col("predicted").as("__pa"))
+    val b = col("b"); val c = col("c")
+    pf.join(pa, Seq(idCol)).join(truth, Seq(idCol))
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("__pf") === col("__truth") &&
+          col("__pa") =!= col("__truth"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("__pf") =!= col("__truth") &&
+          col("__pa") === col("__truth"), 1L).otherwise(0L)).as("c"))
+      .select(
+        col("n_holdout"), b, c,
+        round(when(b + c > 0,
+          ((b - c) * (b - c)).cast("double") / (b + c).cast("double")), 6)
+          .as("chisq"))
+  }
 }
 

@@ -39,6 +39,7 @@ class CatalogPlanSpec extends SparkSpec {
     "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
     "ml33_nb_learning_curve", // cl2's classify chain × |fractions|
     "ml38_source_ablation", // cl2's classify chain × (|ablate|+1)
+    "ml39_mcnemar", // cl2's classify chain × 2 paired models
     "sk5_hll_overlap", // |event_type|² sketch pairs — dimension-bounded
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
     "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded

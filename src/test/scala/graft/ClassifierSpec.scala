@@ -187,4 +187,25 @@ class ClassifierSpec extends SparkSpec {
       Classifier.nbSourceAblation(docs, "lang", Nil)
     }
   }
+
+  test("nbMcNemar: disagreements counted per holdout doc; statistic " +
+    "is (b-c)^2/(b+c); never-disagreeing models yield null") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "hello world common text", "en", "sA")
+      else (i.toLong, "bonjour monde texte commune", "fr", "sB")
+    }.toDF("doc_id", "text", "lang", "source")
+    // removing sB blinds the model to 'fr': it loses exactly the fr
+    // holdout docs the full model gets right → c = 0
+    val r = Classifier.nbMcNemar(docs, "lang", excludeSource = "sB").head()
+    val b = r.getAs[Long]("b"); val c = r.getAs[Long]("c")
+    assert(b > 0 && c == 0)
+    assert(math.abs(r.getAs[Double]("chisq") -
+      (b - c).toDouble * (b - c) / (b + c)) < 1e-9)
+    // excluding a source with no training mass changes nothing → null
+    val same = Classifier.nbMcNemar(docs, "lang", excludeSource = "zzz")
+      .head()
+    assert(same.getAs[Long]("b") == 0 && same.getAs[Long]("c") == 0)
+    assert(same.isNullAt(3))
+  }
 }

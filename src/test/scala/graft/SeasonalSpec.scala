@@ -94,6 +94,31 @@ class SeasonalSpec extends SparkSpec {
     assert(fr.isNullAt(2) && fr.isNullAt(3))
   }
 
+  test("meanReversionHalfLife: exact rho on a noiseless AR(1); random " +
+    "walk and constant series yield null") {
+    // x_t = 2^(8−t): y = 0.5·x exactly → rho = 0.5, half-life = 1 day
+    val geo = (0 until 9).map(i =>
+      ("g", Date.valueOf(d("2024-01-01").toLocalDate.plusDays(i)),
+        math.pow(2.0, 8 - i)))
+      .toDF("sid", "date", "close")
+    val g = Seasonal.meanReversionHalfLife(geo).head()
+    assert(g.getAs[Long]("n") == 8)
+    assert(g.getAs[Double]("rho") == 0.5)
+    assert(g.getAs[Double]("half_life") == 1.0)
+    // a pure trend fits rho = 1 → not mean-reverting → null half-life
+    val walk = (0 until 10).map(i =>
+      ("w", Date.valueOf(d("2024-02-01").toLocalDate.plusDays(i)),
+        100.0 + i)).toDF("sid", "date", "close")
+    val w = Seasonal.meanReversionHalfLife(walk).head()
+    assert(w.getAs[Double]("rho") == 1.0 && w.isNullAt(3))
+    // constant series: zero variance → null rho AND half-life
+    val flat = (0 until 5).map(i =>
+      ("f", Date.valueOf(d("2024-03-01").toLocalDate.plusDays(i)), 7.0))
+      .toDF("sid", "date", "close")
+    val f = Seasonal.meanReversionHalfLife(flat).head()
+    assert(f.isNullAt(2) && f.isNullAt(3))
+  }
+
   test("conformalInterval: constant-error series → q_hat equals the " +
     "error, full coverage, exact ceil-rank k") {
     val p = (0 until 30).map(i =>
