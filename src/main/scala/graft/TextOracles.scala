@@ -2361,6 +2361,41 @@ object TextOracles {
          |FROM uni u""".stripMargin
     },
 
+    // SP14: IPF raking — 3 unrolled row/col scaling passes, each
+    // re-rounding micro masses (MATERIALIZED per step; the gr5 lesson)
+    "sp14_raking" -> {
+      def scale(prev: String, tag: String, dim: String,
+          target: String): String =
+        s"""$tag AS MATERIALIZED (
+           |  SELECT row_val, col_val, n,
+           |    CAST(round(m::DOUBLE * ((SELECT N FROM dims)::DOUBLE
+           |      * 1000000.0 / (SELECT $target FROM dims)::DOUBLE
+           |      / S::DOUBLE)) AS BIGINT) AS m
+           |  FROM (SELECT *, CAST(sum(m) OVER (PARTITION BY $dim)
+           |          AS BIGINT) AS S
+           |        FROM $prev))""".stripMargin
+      val steps = (1 to 3).flatMap { i =>
+        val prev = if (i == 1) "cells0" else s"c${i - 1}"
+        Seq(scale(prev, s"r$i", "row_val", "R"),
+          scale(s"r$i", s"c$i", "col_val", "C"))
+      }.mkString(",\n")
+      s"""WITH cells0 AS MATERIALIZED (
+         |  SELECT lang AS row_val, source AS col_val,
+         |    count(*)::BIGINT AS n, count(*)::BIGINT * 1000000 AS m
+         |  FROM documents GROUP BY 1, 2),
+         |dims AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS N,
+         |    count(DISTINCT row_val)::BIGINT AS R,
+         |    count(DISTINCT col_val)::BIGINT AS C
+         |  FROM cells0),
+         |$steps
+         |SELECT row_val, col_val, n,
+         |  round(m::DOUBLE / 1e6 / n::DOUBLE, 6) AS weight,
+         |  round(m::DOUBLE / 1e6 / (SELECT N FROM dims)::DOUBLE, 6)
+         |    AS fitted_share
+         |FROM c3""".stripMargin
+    },
+
     // ML39: McNemar — ml38's two NB chains to per-doc predictions,
     // exact disagreement cells, one IEEE division
     "ml39_mcnemar" -> {

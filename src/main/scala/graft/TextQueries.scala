@@ -650,6 +650,13 @@ object TextQueries {
         t(s, dir, "documents"), labelCol = "lang",
         ablate = Seq("src0", "src5", "src10", "src15"))),
 
+    // SP14: IPF raking — weights making lang AND source marginals
+    // uniform simultaneously; micro-quantized cell masses, 3 unrolled
+    // row/col scaling passes
+    "sp14_raking" -> ((s, dir) =>
+      Sampling.rakingWeights(
+        t(s, dir, "documents"), rowDim = "lang", colDim = "source")),
+
     // ML39: McNemar significance gate for the src0 ablation — exact
     // disagreement counts off two shared-holdout prediction frames
     "ml39_mcnemar" -> ((s, dir) =>

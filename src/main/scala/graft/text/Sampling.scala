@@ -401,4 +401,66 @@ object Sampling {
           coalesce(col("__w") / max(col("__w")).over(all), lit(0.0)), 6)
           .as("rate"))
   }
+
+  /** SP14: iterative proportional fitting (raking; Deming & Stephan
+    * 1940) — per-(rowDim, colDim) sampling weights that make BOTH
+    * marginals of the weighted corpus uniform simultaneously: the
+    * survey-statistics standard for "balance languages AND sources at
+    * once", which single-dimension stratified rates (sp1/sp3) cannot
+    * do when the dimensions are correlated.
+    *
+    * IPF alternately scales rows to the row target and columns to the
+    * column target, `iterations` full passes (fixed count, the
+    * PageRank stance — no convergence polling). Weighted cell masses
+    * live as MICRO-quantized BIGINTs: every scaling multiplies a cell
+    * by one IEEE factor (target/current-marginal, both exact-integer-
+    * derived doubles) and re-rounds to micros, so the marginal sums
+    * that feed the NEXT factor are order-free integer additions — the
+    * whole fixpoint replays in SQL as unrolled CTEs.
+    *
+    * Scale shape: cells are the bounded (rowDim × colDim) grid; per
+    * iteration two tiny aggregations and two joins. The one data-scale
+    * pass is the initial cell count. Output (row_val, col_val, n,
+    * weight, fitted_share), 6dp: `weight` multiplies a cell's rows so
+    * the reweighted corpus hits both uniform marginals. */
+  def rakingWeights(
+      df: DataFrame,
+      rowDim: String,
+      colDim: String,
+      iterations: Int = 3): DataFrame = {
+    if (iterations < 1)
+      throw new ParameterError(s"iterations must be >= 1: $iterations")
+    var cells = df
+      .groupBy(col(rowDim).as("row_val"), col(colDim).as("col_val"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__m", col("n") * 1000000L)
+      .localCheckpoint(eager = false) // each pass re-reads the last
+    val dims = cells.agg(
+      sum(col("n")).as("__N"),
+      countDistinct(col("row_val")).as("__R"),
+      countDistinct(col("col_val")).as("__C"))
+    def scaleTo(frame: org.apache.spark.sql.DataFrame, dim: String,
+        targetDiv: String): DataFrame = {
+      val sums = frame.groupBy(col(dim)).agg(sum(col("__m")).as("__S"))
+      frame
+        .join(broadcast(sums), Seq(dim))
+        .crossJoin(broadcast(dims)) // 1-row grouping-free agg
+        .select(col("row_val"), col("col_val"), col("n"),
+          round(col("__m").cast("double") *
+            (col("__N").cast("double") * 1000000.0 /
+              col(targetDiv).cast("double") / col("__S").cast("double")))
+            .cast("long").as("__m"))
+    }
+    for (_ <- 1 to iterations)
+      cells = scaleTo(scaleTo(cells, "row_val", "__R"), "col_val", "__C")
+        .localCheckpoint(eager = false)
+    cells
+      .crossJoin(broadcast(dims))
+      .select(
+        col("row_val"), col("col_val"), col("n"),
+        round(col("__m").cast("double") / 1e6
+          / col("n").cast("double"), 6).as("weight"),
+        round(col("__m").cast("double") / 1e6
+          / col("__N").cast("double"), 6).as("fitted_share"))
+  }
 }
