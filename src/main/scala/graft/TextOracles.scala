@@ -3046,6 +3046,85 @@ object TextOracles {
          |FROM px GROUP BY 1, 2""".stripMargin
     },
 
+    // ML40: sd1's trained-quantizer assignment chain, then the
+    // contingency grid — HUGEINT pair counts (Spark decimal), 1e12
+    // micro-nat entropy/MI terms, one fixed ARI expression
+    "ml40_cluster_eval" -> {
+      def sqDist(a: String, b: String) =
+        s"sqrt(list_sum(list_transform(range(1, 65), " +
+          s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))))"
+      val nn = "(SELECT n0 FROM nf)"
+      s"""WITH cent0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         |         list_transform(embedding, x -> x::DOUBLE) AS centroid
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+         |asgn0 AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN cent0 c)
+         |  WHERE rn = 1),
+         |px AS (
+         |  SELECT a.cell_id, t.i AS dim,
+         |    CAST(round(e.embedding[t.i + 1]::DOUBLE * 1000000) AS BIGINT)
+         |      AS xm
+         |  FROM asgn0 a JOIN embeddings e USING (vec_id), range(0, 64) t(i)),
+         |cm AS (
+         |  SELECT cell_id, dim,
+         |    CAST(sum(xm) AS BIGINT)::DOUBLE / count(*) / 1000000 AS value
+         |  FROM px GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT cell_id, list(value ORDER BY dim) AS centroid
+         |  FROM cm GROUP BY 1),
+         |asgn AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT e.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDist("e.embedding", "c.centroid")}, c.cell_id)
+         |        AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |cont AS (
+         |  SELECT a.cell_id AS u, e.label AS v, count(*)::BIGINT AS n
+         |  FROM asgn a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |nf AS (SELECT CAST(sum(n) AS BIGINT) AS n0 FROM cont),
+         |am AS (SELECT u, CAST(sum(n) AS BIGINT) AS a FROM cont GROUP BY 1),
+         |bm AS (SELECT v, CAST(sum(n) AS BIGINT) AS b FROM cont GROUP BY 1),
+         |aagg AS (
+         |  SELECT count(*)::BIGINT AS n_clusters,
+         |    sum(a::HUGEINT * (a - 1)) AS sa2,
+         |    CAST(sum(CAST(round(a::DOUBLE / $nn * ln(a::DOUBLE / $nn)
+         |      * 1e12) AS BIGINT)) AS BIGINT) AS huq
+         |  FROM am),
+         |bagg AS (
+         |  SELECT count(*)::BIGINT AS n_labels,
+         |    sum(b::HUGEINT * (b - 1)) AS sb2,
+         |    CAST(sum(CAST(round(b::DOUBLE / $nn * ln(b::DOUBLE / $nn)
+         |      * 1e12) AS BIGINT)) AS BIGINT) AS hvq
+         |  FROM bm),
+         |cagg AS (
+         |  SELECT sum(n::HUGEINT * (n - 1)) AS sij2,
+         |    CAST(sum(CAST(round(c.n::DOUBLE / $nn * ln(c.n::DOUBLE * $nn
+         |      / (am.a::DOUBLE * bm.b::DOUBLE)) * 1e12) AS BIGINT))
+         |      AS BIGINT) AS miq
+         |  FROM cont c JOIN am USING (u) JOIN bm USING (v))
+         |SELECT $nn AS n, n_clusters, n_labels,
+         |  round(CASE WHEN (sa2::DOUBLE + sb2::DOUBLE) / 2.0
+         |      - sa2::DOUBLE * sb2::DOUBLE
+         |        / ($nn::HUGEINT * ($nn - 1))::DOUBLE <> 0.0 THEN
+         |    (sij2::DOUBLE - sa2::DOUBLE * sb2::DOUBLE
+         |        / ($nn::HUGEINT * ($nn - 1))::DOUBLE)
+         |    / ((sa2::DOUBLE + sb2::DOUBLE) / 2.0
+         |       - sa2::DOUBLE * sb2::DOUBLE
+         |         / ($nn::HUGEINT * ($nn - 1))::DOUBLE) END, 6) AS ari,
+         |  round(CASE WHEN huq < 0 AND hvq < 0 THEN
+         |    miq::DOUBLE / 1e12 / sqrt((-(huq::DOUBLE) / 1e12)
+         |      * (-(hvq::DOUBLE) / 1e12)) END, 6) AS nmi
+         |FROM cagg, aagg, bagg""".stripMargin
+    },
+
     // SemDeDup: sim5's one-Lloyd k-means replayed into centroid lists,
     // nearest-centroid assignment (euclid, tie cell_id), within-cell
     // cosine pairs ≥ τ, each pair dropping its higher-(centroid-cosine,

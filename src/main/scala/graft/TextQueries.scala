@@ -1108,6 +1108,16 @@ object TextQueries {
     // within each assigned cell, cosine-near pairs keep only the member
     // farthest from the centroid. maxBucket=2000 ≥ the corpus at every
     // test SF, so no cell overflows the pruning guard
+    // ML40: does the sim5 quantizer recover the label structure? ARI +
+    // NMI between assigned cells and ground-truth labels
+    "ml40_cluster_eval" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      val centroids = Similarity.kmeansCentroids(embs, k = 8, iters = 1)
+      graft.ml.Evaluation.clusterAgreement(
+        Similarity.assignCells(embs, centroids, vecCol = "embedding"),
+        "cell_id", "label")
+    }),
+
     "sd1_semdedup" -> ((s, dir) => {
       val embs = t(s, dir, "embeddings")
       val centroids = Similarity.kmeansCentroids(embs, k = 8, iters = 1)

@@ -667,6 +667,89 @@ object Evaluation {
         col("psi"))
   }
 
+  /** ML40: external cluster validation — Adjusted Rand Index (Hubert &
+    * Arabie 1985) and Normalized Mutual Information between a cluster
+    * assignment and ground-truth labels: the two numbers that say
+    * whether an unsupervised partition (kmeans cells, LSH buckets,
+    * near-dup clusters) recovers real structure, chance-corrected (ARI)
+    * and information-theoretic (NMI).
+    *
+    * Exactness: everything reduces on the bounded (cluster × label)
+    * contingency grid. Pair counts n(n−1) accumulate as DECIMAL(38,0)
+    * (DuckDB: HUGEINT — n(n−1) alone outgrows BIGINT past ~3e9 rows in
+    * one cell); ARI is then ONE fixed IEEE expression of those exact
+    * integers. The entropy/MI terms are per-CELL transcendentals,
+    * micro-nat-quantized at 1e12 before their order-free BIGINT sums
+    * (the ct1/cl5 discipline). Degenerate partitions (one cluster AND
+    * one label → zero ARI denominator; zero entropy on either side →
+    * undefined NMI) yield nulls.
+    *
+    * Output ONE row (n, n_clusters, n_labels, ari, nmi), 6dp. */
+  def clusterAgreement(
+      df: DataFrame,
+      clusterCol: String,
+      labelCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cont = df
+      .groupBy(col(clusterCol).as("__u"), col(labelCol).as("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(eager = false) // feeds marginals AND the MI pass
+    val nf = cont.agg(sum(col("__n")).as("__tot"))
+    def pairs2(c: org.apache.spark.sql.Column) =
+      sum(c.cast(dec) * (c.cast(dec) - 1))
+    def entq(c: org.apache.spark.sql.Column) = {
+      val p = c.cast("double") / col("__tot").cast("double")
+      sum(round(p * log(p) * 1e12).cast("long"))
+    }
+    // marginals ride the bounded contingency grid as windows — no
+    // self-join of cont with its own aggregates (ambiguous-attribute
+    // hazard), no extra shuffle beyond the tiny grid
+    val marg = cont
+      .withColumn("__a",
+        sum(col("__n")).over(Window.partitionBy("__u")))
+      .withColumn("__b",
+        sum(col("__n")).over(Window.partitionBy("__v")))
+      .crossJoin(broadcast(nf))
+      .localCheckpoint(eager = false) // feeds all three reductions
+    // each 1-row reduction is checkpointed into a leaf: the three of
+    // them crossJoin below, and siblings sharing marg's LogicalRDD
+    // attributes would otherwise trip AMBIGUOUS_REFERENCE
+    val aAgg = marg.select(col("__u"), col("__a"), col("__tot")).distinct()
+      .agg(count(lit(1)).as("n_clusters"), pairs2(col("__a")).as("__sa2"),
+        entq(col("__a")).as("__huq"))
+      .localCheckpoint(eager = false)
+    val bAgg = marg.select(col("__v"), col("__b"), col("__tot")).distinct()
+      .agg(count(lit(1)).as("n_labels"), pairs2(col("__b")).as("__sb2"),
+        entq(col("__b")).as("__hvq"))
+      .localCheckpoint(eager = false)
+    val nd = col("__tot").cast("double")
+    val cells = marg.agg(
+      pairs2(col("__n")).as("__sij2"),
+      sum(round(col("__n").cast("double") / nd *
+        log(col("__n").cast("double") * nd /
+          (col("__a").cast("double") * col("__b").cast("double"))) * 1e12)
+        .cast("long")).as("__miq"))
+      .localCheckpoint(eager = false)
+    def d(c: String) = col(c).cast("double")
+    val cn22 = (col("__tot2").cast(dec) * (col("__tot2").cast(dec) - 1))
+      .cast("double")
+    val e2 = d("__sa2") * d("__sb2") / cn22
+    val ariDen = (d("__sa2") + d("__sb2")) / 2.0 - e2
+    val hu = -(d("__huq")) / 1e12
+    val hv = -(d("__hvq")) / 1e12
+    cells
+      .crossJoin(broadcast(aAgg)).crossJoin(broadcast(bAgg))
+      // a FRESH total frame: re-crossJoining nf would self-join its
+      // attribute id into the plan twice (ambiguous-reference error)
+      .crossJoin(broadcast(cont.agg(sum(col("__n")).as("__tot2"))))
+      .select(
+        col("__tot2").as("n"), col("n_clusters"), col("n_labels"),
+        round(when(ariDen =!= 0.0, (d("__sij2") - e2) / ariDen), 6)
+          .as("ari"),
+        round(when(col("__huq") < 0 && col("__hvq") < 0,
+          d("__miq") / 1e12 / sqrt(hu * hv)), 6).as("nmi"))
+  }
+
   /** ML37: PSI drift TREND — [[psiDrift]]'s statistic re-evaluated per
     * DAY against a fixed leading-baseline window, the "when did the
     * input distribution move" time series an MLOps monitor alerts on

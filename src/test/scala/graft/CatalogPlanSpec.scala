@@ -36,6 +36,7 @@ class CatalogPlanSpec extends SparkSpec {
     "trade_full", "trade_cal", "d17_trade_limits", "sw1_param_sweep",
     "ml8_purged_cv", "ml9_walk_forward", "r7_densify", "coint1_pairs",
     "sd2_prototypes", "sd3_semantic_decontam",
+    "ml40_cluster_eval", // ≤k trained centroids + checkpointed 1-row reductions (opaque)
     "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
     "ml33_nb_learning_curve", // cl2's classify chain × |fractions|
     "ml38_source_ablation", // cl2's classify chain × (|ablate|+1)

@@ -643,4 +643,36 @@ class MlSpec extends SparkSpec {
     intercept[graft.ParameterError](
       graft.ml.Evaluation.psiDrift(e, a, lo = 1.0, hi = 0.0))
   }
+
+  test("clusterAgreement: perfect match scores 1/1, a plain-Scala ARI " +
+    "replication matches, degenerate partitions go null") {
+    import spark.implicits._
+    val perfect = Seq((0, "a"), (0, "a"), (1, "b"), (1, "b"), (2, "c"))
+      .toDF("cl", "lb")
+    val p = graft.ml.Evaluation.clusterAgreement(perfect, "cl", "lb").head()
+    assert(p.getAs[Double]("ari") == 1.0 && p.getAs[Double]("nmi") == 1.0)
+
+    // sklearn's classic: labels 0011, clusters 0012
+    val mixed = Seq((0, "x"), (0, "x"), (1, "y"), (2, "y")).toDF("cl", "lb")
+    val m = graft.ml.Evaluation.clusterAgreement(mixed, "cl", "lb").head()
+    // plain-Scala replication of Hubert-Arabie
+    val cont = Map((0, "x") -> 2L, (1, "y") -> 1L, (2, "y") -> 1L)
+    def c2(x: Long) = x * (x - 1) / 2.0
+    val sij = cont.values.map(c2).sum
+    val sa = cont.groupBy(_._1._1).values.map(v => c2(v.values.sum)).sum
+    val sb = cont.groupBy(_._1._2).values.map(v => c2(v.values.sum)).sum
+    val e = sa * sb / c2(4)
+    val ari = (sij - e) / ((sa + sb) / 2 - e)
+    assert(math.abs(m.getAs[Double]("ari") - ari) < 1e-6) // 6dp output
+    assert(m.getAs[Long]("n") == 4 && m.getAs[Long]("n_clusters") == 3)
+
+    // one cluster, several labels: ARI 0 (chance), NMI undefined
+    val one = Seq((7, "a"), (7, "b"), (7, "b")).toDF("cl", "lb")
+    val o = graft.ml.Evaluation.clusterAgreement(one, "cl", "lb").head()
+    assert(o.getAs[Double]("ari") == 0.0 && o.isNullAt(4))
+    // fully degenerate: both sides constant → both null
+    val const = Seq((1, "z"), (1, "z")).toDF("cl", "lb")
+    val k = graft.ml.Evaluation.clusterAgreement(const, "cl", "lb").head()
+    assert(k.isNullAt(3) && k.isNullAt(4))
+  }
 }
