@@ -3585,6 +3585,39 @@ object Oracles {
         |  round((coalesce(stepq, 0) + tailq)::DOUBLE / 1e12, 6) AS rmst
         |FROM stp, tq""".stripMargin,
 
+    // J14: nearest as-of — candidate join + (distance, backward-first,
+    // ts) rank (a different algorithm from the engine's two-frame
+    // window carry), LEFT join keeps unmatched views
+    "j14_asof_nearest" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vt
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS pt,
+        |    max(value) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT v.user_id, v.event_id, p.value,
+        |    CASE WHEN p.pt <= v.vt THEN v.vt - p.pt
+        |         ELSE p.pt - v.vt END AS age,
+        |    CASE WHEN p.pt <= v.vt THEN 0 ELSE 1 END AS dirn,
+        |    row_number() OVER (PARTITION BY v.user_id, v.event_id
+        |      ORDER BY CASE WHEN p.pt <= v.vt THEN v.vt - p.pt
+        |                    ELSE p.pt - v.vt END,
+        |               CASE WHEN p.pt <= v.vt THEN 0 ELSE 1 END, p.pt)
+        |      AS rn
+        |  FROM v JOIN p USING (user_id)
+        |  WHERE (CASE WHEN p.pt <= v.vt THEN v.vt - p.pt
+        |              ELSE p.pt - v.vt END) <= 3600000000)
+        |SELECT v.user_id, v.event_id,
+        |  round(c.value, 6) AS value, c.age AS asof_age_us,
+        |  CASE WHEN c.dirn = 0 THEN 'backward'
+        |       WHEN c.dirn = 1 THEN 'forward' END AS asof_dir
+        |FROM v
+        |LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+        |  ON v.user_id = c.user_id AND v.event_id = c.event_id"""
+        .stripMargin,
+
     // Q4: order-priority — EXISTS semi-join on late lineitems over a
     // one-quarter slice
     "q4_order_priority" ->

@@ -1780,6 +1780,23 @@ object Queries {
     "ev17_rfm" -> ((s, dir) =>
       graft.events.Events.rfmSegments(events(s, dir))),
 
+    // ---- J14: nearest-direction as-of — each view takes the CLOSEST
+    // purchase in time within 1 hour, both directions, backward on
+    // ties; one window pass, no range join ----
+    "j14_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.panel.Intervals.asofJoinNearest(
+        views, purchases, Seq("user_id"),
+        toleranceMicros = 3600L * 1000000L)
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 6).as("value"), col("asof_age_us"),
+          col("asof_dir"))
+    }),
+
     // ---- J10: generic as-of join with staleness tolerance — each view
     // picks up the user's latest purchase value within 1 hour
     "j10_asof_tolerance" -> ((s, dir) => {

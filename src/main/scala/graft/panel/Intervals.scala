@@ -180,4 +180,88 @@ object Intervals {
         left.columns.map(c => col("__row").getField(c).as(c)).toSeq ++
           valCols.map(col) :+ col("asof_age_us"): _*)
   }
+
+  /** J14: NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest') — each left row takes the right row closest
+    * in time on its key, looking BOTH ways, tolerance-capped; exact
+    * time distance ties prefer the backward match (the information
+    * that already existed at decision time). [[asofJoin]]'s backward
+    * carry answers "latest known state"; nearest answers "which
+    * reading belongs to this row" — sensor alignment, trade-to-quote
+    * matching, log stitching.
+    *
+    * Same melt-union shape as [[asofJoin]]: one shuffle on the key,
+    * one ordered window pass carrying the last backward AND first
+    * forward right values (two frames over the same sort — Catalyst
+    * plans one Window operator chain, no self-join, no range
+    * explosion). Same-timestamp right rows are pre-deduplicated by
+    * max per value column (the asofJoin contract); a right row at the
+    * left row's exact timestamp matches backward with age 0.
+    *
+    * Output: left columns + right value columns + `asof_age_us`
+    * (exact integer µs distance) + `asof_dir` ('backward'/'forward',
+    * null when nothing is in tolerance). */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String = "ts",
+      rightTsCol: String = "ts",
+      toleranceMicros: Long = Long.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoinNearest needs at least one key column")
+    require(toleranceMicros > 0, s"tolerance must be positive µs: $toleranceMicros")
+    val valCols = right.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == rightTsCol)
+    require(valCols.nonEmpty, "right side has no value columns")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val rightC = right.groupBy((keyCols.map(col) :+ col(rightTsCol)): _*)
+      .agg(max(col(valCols.head)).as(valCols.head),
+        valCols.tail.map(c => max(col(c)).as(c)): _*)
+    val l2 = left.select(
+      keyCols.map(col) ++ Seq(
+        unix_micros(col(leftTsCol).cast("timestamp")).as("__tm"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col).toSeq: _*).as("__row")) ++
+        valCols.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+    val r2 = rightC.select(
+      keyCols.map(col) ++ Seq(
+        unix_micros(col(rightTsCol).cast("timestamp")).as("__tm"),
+        lit(0).as("__side"),
+        lit(null).cast(l2.schema("__row").dataType).as("__row")) ++
+        valCols.map(col): _*)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__tm"), col("__side"))
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def back(c: String) =
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wB)
+    def fwd(c: String) =
+      first(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wF)
+    val bAge = col("__tm") - col("__bt")
+    val fAge = col("__ft") - col("__tm")
+    val useB = col("__bt").isNotNull &&
+      (col("__ft").isNull || bAge <= fAge) // tie → backward
+    val age = when(useB, bAge).otherwise(fAge)
+    val keep = (col("__bt").isNotNull || col("__ft").isNotNull) &&
+      age <= toleranceMicros
+    l2.unionByName(r2)
+      .withColumn("__bt",
+        last(when(col("__side") === 0, col("__tm")), ignoreNulls = true)
+          .over(wB))
+      .withColumn("__ft",
+        first(when(col("__side") === 0, col("__tm")), ignoreNulls = true)
+          .over(wF))
+      .select(
+        Seq(col("__side"), col("__row")) ++
+          valCols.map(c =>
+            when(keep, when(useB, back(c)).otherwise(fwd(c))).as(c)) ++
+          Seq(when(keep, age).as("asof_age_us"),
+            when(keep, when(useB, "backward").otherwise("forward"))
+              .as("asof_dir")): _*)
+      .where(col("__side") === 1)
+      .select(
+        left.columns.map(c => col("__row").getField(c).as(c)).toSeq ++
+          valCols.map(col) ++
+          Seq(col("asof_age_us"), col("asof_dir")): _*)
+  }
 }

@@ -113,4 +113,31 @@ class IntervalsSpec extends SparkSpec {
       Seq("user_id")).head
     assert(dup.getAs[Double]("value") == 1.0)
   }
+
+  test("asofJoinNearest: closest match either direction, ties prefer " +
+    "backward, tolerance caps the chosen distance (j14)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val views = Seq(
+      ("u", t("2024-01-01 10:01:30"), "before"),   //  90s: fwd 10s
+      ("u", t("2024-01-01 10:02:20"), "backward"), // 140s: 40 back vs 60 fwd
+      ("u", t("2024-01-01 10:02:30"), "tie"),      // 150s: 50/50 → backward
+      ("u", t("2024-01-01 10:03:30"), "after"),    // 210s: back 10s
+      ("u", t("2024-01-01 10:10:00"), "far"))      // 600s: nearest 400s away
+      .toDF("user_id", "ts", "view_id")
+    val quotes = Seq(
+      ("u", t("2024-01-01 10:01:40"), 1.0),  // 100s
+      ("u", t("2024-01-01 10:03:20"), 2.0))  // 200s
+      .toDF("user_id", "ts", "value")
+    val out = Intervals.asofJoinNearest(
+      views, quotes, Seq("user_id"), toleranceMicros = 120L * 1000000L)
+      .collect().map(r => r.getAs[String]("view_id") ->
+        (Option(r.get(r.fieldIndex("value"))),
+          Option(r.get(r.fieldIndex("asof_age_us"))),
+          Option(r.getAs[String]("asof_dir")))).toMap
+    assert(out("before") == ((Some(1.0), Some(10000000L), Some("forward"))))
+    assert(out("backward") == ((Some(1.0), Some(40000000L), Some("backward"))))
+    assert(out("tie") == ((Some(1.0), Some(50000000L), Some("backward"))))
+    assert(out("after") == ((Some(2.0), Some(10000000L), Some("backward"))))
+    assert(out("far") == ((None, None, None))) // 400 s > 120 s tolerance
+  }
 }
