@@ -3669,6 +3669,38 @@ object Oracles {
         |       THEN 1 ELSE 0 END AS is_top80
         |FROM w""".stripMargin,
 
+    // EV32: U-shaped attribution — first-conversion cutoff via a
+    // window min over the (m, id) ROW, integer // credit split with
+    // the same remainder-to-earliest-middles rule
+    "ev32_position_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN (epoch_us(CAST(ts AS TIMESTAMP)), event_id) END)
+        |      OVER (PARTITION BY user_id) AS fc
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type, m, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY m, event_id) AS i,
+        |    count(*) OVER (PARTITION BY user_id) AS k
+        |  FROM e
+        |  WHERE fc IS NOT NULL AND event_type IN ('view', 'click')
+        |    AND (m, event_id) < fc),
+        |c AS (
+        |  SELECT event_type,
+        |    CASE WHEN k = 1 THEN 1000000
+        |         WHEN k = 2 THEN 500000
+        |         WHEN i = 1 OR i = k THEN 400000
+        |         ELSE (200000 // (k - 2)) +
+        |           CASE WHEN i - 1 <= 200000 - (200000 // (k - 2)) * (k - 2)
+        |                THEN 1 ELSE 0 END END AS credit
+        |  FROM t)
+        |SELECT event_type AS channel, count(*)::BIGINT AS n_touches,
+        |  round(CAST(sum(credit) AS BIGINT)::DOUBLE / 1e6, 6) AS credit
+        |FROM c GROUP BY 1""".stripMargin,
+
     // EV19: bounded 7×24 profile; DuckDB isodow = the engine's ISO map
     "ev19_hourly_profile" ->
       """SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,

@@ -739,6 +739,12 @@ object Queries {
       graft.events.Events.attribution(
         events(s, dir), Seq("view", "click"), "purchase")),
 
+    // ---- EV32: U-shaped 40/20/40 attribution — exact integer micro
+    // credits (interior remainder handed out one micro at a time) ----
+    "ev32_position_attribution" -> ((s, dir) =>
+      graft.events.Events.positionAttribution(
+        events(s, dir), Seq("view", "click"), "purchase")),
+
     // ---- PX7: pairwise return-correlation matrix for a named book
     "px7_corr_matrix" -> ((s, dir) => {
       implicit val k: Keys = liKeys

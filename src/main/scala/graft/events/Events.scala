@@ -1457,6 +1457,63 @@ object Events {
             (sqrt(varD) * 2.0)), 6).as("z"))
   }
 
+  /** EV32: position-based (U-shaped) multi-touch attribution — the
+    * 40/20/40 rule marketing runs between [[attribution]]'s
+    * first/last extremes and [[markovAttribution]]'s model: per user,
+    * the touches strictly before the FIRST `convType` event share the
+    * conversion credit — 40% to the first touch, 40% to the last, the
+    * middle 20% split across the interior touches (1 touch → 100%,
+    * 2 → 50/50).
+    *
+    * Exactness: credit is EXACT INTEGER micro-shares — the interior
+    * split uses integer division with the remainder handed to the
+    * earliest middles one micro each, so every conversion distributes
+    * precisely 1,000,000 micros and per-channel sums are order-free
+    * BIGINT adds (no 0.2/(k−2) float dust). One user-partitioned
+    * window pass (first-conversion cutoff + position rank + count),
+    * one channel aggregate.
+    *
+    * Output (channel, n_touches, credit) — credit in conversions,
+    * 6dp. */
+  def positionAttribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    val m = micros(col(tsCol))
+    val wu = Window.partitionBy(col(userCol))
+    val touches = events
+      .withColumn("__fc",
+        min(when(col(typeCol) === convType,
+          struct(m.as("m"), col(eventIdCol).as("id")))).over(wu))
+      .where(col("__fc").isNotNull &&
+        col(typeCol).isin(touchTypes: _*) &&
+        struct(m.as("m"), col(eventIdCol).as("id")) < col("__fc"))
+    val wOrd = Window.partitionBy(col(userCol))
+      .orderBy(m, col(eventIdCol))
+    val i = col("__i"); val k = col("__k")
+    val midBase = call_function("div", lit(200000L), k - 2)
+    val midRem = lit(200000L) - midBase * (k - 2)
+    val credit =
+      when(k === 1, 1000000L)
+        .when(k === 2, 500000L)
+        .when(i === 1 || i === k, 400000L)
+        .otherwise(midBase +
+          when(i - 1 <= midRem, 1L).otherwise(0L))
+    touches
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__k", count(lit(1)).over(wu))
+      .groupBy(col(typeCol).as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(credit).as("__cq"))
+      .select(col("channel"), col("n_touches"),
+        round(col("__cq").cast("double") / 1e6, 6).as("credit"))
+  }
+
   /** EV31: restricted mean survival time — the area under the
     * [[kaplanMeier]] curve up to horizon `tauDays`: "expected days of
     * life in the first τ days", the effect-size companion to the

@@ -633,6 +633,39 @@ class EventsSpec extends SparkSpec {
     assert(Events.mannWhitney(flat, seed = "mw").head().isNullAt(5))
   }
 
+  test("positionAttribution: 40/20/40 with exact micro remainders; " +
+    "1- and 2-touch journeys; post-conversion touches excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: 5 touches then purchase → 0.4 + 3 middles sharing 0.2 + 0.4
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "view"),
+      (4L, 1L, "click"), (5L, 1L, "view"), (6L, 1L, "purchase"),
+      (7L, 1L, "click"), // after the first conversion: no credit
+      // u2: single touch → full credit
+      (10L, 2L, "click"), (11L, 2L, "purchase"),
+      // u3: two touches → 0.5 each
+      (20L, 3L, "view"), (21L, 3L, "click"), (22L, 3L, "purchase"),
+      // u4: no conversion → nothing
+      (30L, 4L, "view"))
+      .map { case (id, u, t0) => (id, u, t0, f"2024-01-01 00:${id}%02d:00") }
+      .toDF("event_id", "user_id", "event_type", "s")
+      .withColumn("ts", to_timestamp($"s")).drop("s")
+    val r = Events.positionAttribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2))).toMap
+    // u1 credits: view 0.4 (i=1) + middles i=3 view, i=5 view 0.4 (i=k)
+    //   middle base = 200000 // 3 = 66666, rem 2 → middles get
+    //   66667, 66667, 66666 micros (i=2 click, i=3 view, i=4 click)
+    // u2: click 1.0; u3: view 0.5, click 0.5
+    val viewCredit = 0.4 + 0.066667 + 0.4 + 0.5
+    val clickCredit = 0.066667 + 0.066666 + 1.0 + 0.5
+    assert(r("view")._1 == 4L && r("click")._1 == 4L)
+    assert(math.abs(r("view")._2 - viewCredit) < 1e-9)
+    assert(math.abs(r("click")._2 - clickCredit) < 1e-9)
+    // every conversion hands out exactly 1.0
+    assert(math.abs(r.values.map(_._2).sum - 3.0) < 1e-9)
+  }
+
   test("rmst: area under a hand-built KM step curve, tail to tau, " +
     "tau before the first event time") {
     import spark.implicits._
