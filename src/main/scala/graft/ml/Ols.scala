@@ -97,9 +97,13 @@ object Ols {
       s2 * (s1 * s2y - s1y * s2)
     val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
       sy * (s1 * s12 - s11 * s2)
-    val b0 = det0 / det
-    val b1 = det1 / det
-    val b2 = det2 / det
+    // singular/collinear design (e.g. a constant regressor): det = 0
+    // would give NaN betas — emit null instead, the house
+    // null-on-degenerate convention (assortativity, mannWhitney)
+    def safe(num: Column): Column = when(det =!= 0.0, num / det)
+    val b0 = safe(det0)
+    val b1 = safe(det1)
+    val b2 = safe(det2)
     val sse = syy - lit(2.0) * (b0 * sy + b1 * s1y + b2 * s2y) +
       (b0 * b0 * n + b1 * b1 * r11 + b2 * b2 * r22 +
         lit(2.0) * b0 * b1 * s1 + lit(2.0) * b0 * b2 * s2 +

@@ -47,7 +47,15 @@ object Woe {
       .withColumn("__lo", col("__cum") - col("__c"))
       .select(col("__v"), col("__lo"))
     val n = rows.agg(count(lit(1)).as("__N"))
-    val wTie = Window.partitionBy("__v").orderBy(tieCols.map(col): _*)
+    // tieCols SHOULD be a unique key per value level (ml30 passes the
+    // lineitem PK). If they are not, append __bad as the final
+    // tiebreaker: rows identical in (__v, tieCols, __bad) are
+    // interchangeable, so ordering by __bad too makes the per-bin
+    // n_bad/woe output deterministic across runs and engines even for
+    // non-unique tieCols (only bad-ness crossing a bin boundary is
+    // observable).
+    val wTie = Window.partitionBy("__v")
+      .orderBy(tieCols.map(col) :+ col("__bad"): _*)
     val binned = rows
       .join(broadcast(hist), Seq("__v"))
       .crossJoin(broadcast(n)) // one scalar row — bounded by design

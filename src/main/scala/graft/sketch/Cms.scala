@@ -42,8 +42,11 @@ object Cms {
   }
 
   /** Point estimates for a key frame: min over the key's depth cells.
-    * The sketch is bounded (depth·width rows) and broadcast; a key's own
-    * inserts guarantee its cells exist, so the join is inner. */
+    * The sketch is bounded (depth·width rows) and broadcast. The join is
+    * a LEFT join with absent cells coalesced to 0: a key that was never
+    * inserted has empty cells in the true sketch, and CMS answers 0 for
+    * it (min over zeros) rather than silently dropping the key or
+    * min-ing over only the cells that happen to collide with inserts. */
   def estimate(
       keys: DataFrame,
       sketch: DataFrame,
@@ -57,8 +60,8 @@ object Cms {
       .select(col(keyCol), col("__cell.row").as("row"),
         col("__cell.bucket").as("bucket"))
     fanned
-      .join(broadcast(sketch), Seq("row", "bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("n")).as("est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 }

@@ -46,6 +46,10 @@ object Fuzzy {
           .as("left_rows_in_overflow"))
       .where(col("__n_l") <= maxBlock)
     val r = side(right, rightId, rightName, "r")
+      .observe("fuzzy_blocks_right",
+        max(col("__n_r")).as("max_right_block"),
+        sum(when(col("__n_r") > maxBlock, 1L).otherwise(0L))
+          .as("right_rows_in_overflow"))
       .where(col("__n_r") <= maxBlock)
     l.join(r, Seq("__bk"))
       .select(col("l_id"), col("r_id"),

@@ -290,6 +290,12 @@ class AnalyticsExtrasSpec extends SparkSpec {
     // width 1024 ≫ 40 keys: at least one hash row is collision-free for
     // every key, so min-over-rows is exact here
     joined.foreach { case (ex, es) => assert(es == ex) }
+    // a never-inserted key must get a well-defined estimate (0 here:
+    // width ≫ keys so at least one of its cells is empty), not be
+    // silently dropped by an inner join
+    val absent = Seq(9999L).toDF("k")
+    assert(Cms.estimate(absent, sketch, "k", d, w)
+      .select("est").as[Long].collect().toSeq == Seq(0L))
     // mergeability: two disjoint shards' grids cellwise-summed ==
     // whole-corpus grid
     val shardA = Cms.build(rows.where(col("k") <= 20), "k", d, w)

@@ -40,4 +40,32 @@ class StreamingViewSpec extends SparkSpec {
       assert(live == batchView)
     } finally q.stop()
   }
+
+  test("replay of an already-applied batch is a no-op (exactly-once via " +
+    "the _applied_<id> marker), and a crash between the two publish " +
+    "renames is recovered from the parked .old_<id> dir") {
+    val dir = java.nio.file.Files.createTempDirectory("sview2").toString
+    val viewDir = s"$dir/view"
+    def view: Set[(Long, Long, Long)] = spark.read.parquet(viewDir)
+      .select("k", "n_rows", "sum_cents").as[(Long, Long, Long)]
+      .collect().toSet
+    val b0 = Seq((1L, 1, 100L), (2L, 1, 50L)).toDF("k", "op", "valueCents")
+    StreamingView.applyBatch(b0, 0L, Seq("k"), viewDir)
+    assert(view == Set((1L, 1L, 100L), (2L, 1L, 50L)))
+    // foreachBatch replay after a crash: same batch, same id — the
+    // marker must make the signed merge idempotent (no doubling)
+    StreamingView.applyBatch(b0, 0L, Seq("k"), viewDir)
+    assert(view == Set((1L, 1L, 100L), (2L, 1L, 50L)))
+    // crash mid-publish: simulate dying between rename(target, old)
+    // and rename(scratch, target) — target gone, state parked at .old_
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(viewDir),
+      new org.apache.hadoop.fs.Path(s"$viewDir.old_1"))
+    val b1 = Seq((1L, 1, 20L)).toDF("k", "op", "valueCents")
+    StreamingView.applyBatch(b1, 1L, Seq("k"), viewDir)
+    // recovered base (not empty!) + batch 1 applied once
+    assert(view == Set((1L, 2L, 120L), (2L, 1L, 50L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$viewDir.old_1")))
+  }
 }
