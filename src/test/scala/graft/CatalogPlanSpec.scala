@@ -37,14 +37,21 @@ class CatalogPlanSpec extends SparkSpec {
     "ml8_purged_cv", "ml9_walk_forward", "r7_densify", "coint1_pairs",
     "sd2_prototypes", "sd3_semantic_decontam",
     "ml40_cluster_eval", // ≤k trained centroids + checkpointed 1-row reductions (opaque)
-    "cl2_nb_classify", // ≤|labels| model stats, checkpointed (opaque)
-    "ml33_nb_learning_curve", // cl2's classify chain × |fractions|
-    "ml38_source_ablation", // cl2's classify chain × (|ablate|+1)
-    "ml39_mcnemar", // cl2's classify chain × 2 paired models
     "sk5_hll_overlap", // |event_type|² sketch pairs — dimension-bounded
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
     "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
-    "qn1_quantile_norm") // rank lookup vs the distinct-cents histogram (value-domain-bounded broadcast)
+    "qn1_quantile_norm") ++ // rank lookup vs the distinct-cents histogram (value-domain-bounded broadcast)
+    nbChain
+
+  /** PATTERN rule, justified once: every consumer of the cl2 naive-Bayes
+    * classify chain broadcasts CHECKPOINTED model statistics — bounded by
+    * construction at ≤|labels| (+1 scalar prior) rows, but opaque to the
+    * boundedness prover because the checkpoint materializes them as an
+    * RDD scan. Any future NB-chain query (learning curves, ablations,
+    * paired tests) inherits this justification by joining the set. */
+  private def nbChain: Set[String] = Set(
+    "cl2_nb_classify", "ml33_nb_learning_curve", "ml38_source_ablation",
+    "ml39_mcnemar")
 
   /** A broadcast side is provably bounded when its subtree ends in a
     * grouping-free aggregate (scalar — exactly one row), a literal
@@ -107,5 +114,85 @@ class CatalogPlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  /** Shuffle-exchange budgets for the hottest catalog pipelines. An
+    * ADDED shuffle is the likeliest silent 100×-scale regression — a
+    * refactor that breaks co-partitioning, loses a broadcast to a
+    * sort-merge join, or re-keys mid-chain shows up here as one extra
+    * ShuffleExchange in the STATIC plan (AQE off; ReusedExchange does
+    * not count — reuse is the optimization the budget protects).
+    * Budgets are the audited round-7 plan shapes: lowering one is an
+    * improvement (update the table); exceeding one fails loudly and
+    * must be justified the way the BNLJ allowlist entries are. */
+  private val shuffleBudgets: Map[String, Int] = Map(
+    // 0-shuffle entries are eager/checkpointed chains: their upstream
+    // shuffles ran at checkpoint time and the published plan is a pure
+    // ExistingRDD scan — 0 IS the pinned no-recompute property
+    "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
+    "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
+    "er1_entities" -> 2, // prefix join + survivorship agg (components checkpointed)
+    "ppj1_prefix_join" -> 2, // prefix fan-out re-key + verify agg
+    "gr3_components" -> 0, // iterative min-label, checkpointed
+    "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg
+    "dd7_dup_clusters" -> 0, // cluster fixpoint, checkpointed
+    "dd18_incremental" -> 0, // vs persisted index, checkpointed
+    "dd21_best_survivors" -> 3, // candidates + verify + min_by survivor agg
+    "dd23_soft_weights" -> 0, // soft-weight chain, checkpointed
+    "pipeline_dedup" -> 0, // full pipeline, stage checkpoints
+    "port2_riskparity" -> 0, // CheckpointScope'd iteration
+    "sim8_index_search" -> 1, // bucket-join probe; index is broadcast
+    "cl4_logreg_scores" -> 2, // feature agg + score agg
+    "bpe2_encode" -> 4, // 10 merge steps fold into 4 re-keys
+    "sw1_param_sweep" -> 4, // 3 variants share the tagged pipeline's exchanges
+    "ic5_bootstrap" -> 3, // resample re-key + two reduction aggs
+    "mb1_frequent_pairs" -> 2, // ONE basket repartition + pair agg (the r6 fix)
+    "backtest_pipeline" -> 3, // panel pivot, returns melt, summary agg
+    "perf_ccf" -> 8) // per-lag cross-correlations over the shifted panel
+
+  private def countShuffles(p: SparkPlan): Int = p.collect {
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+  }.size
+
+  test("shuffle-exchange budgets hold for the hottest pipelines " +
+    "(static plans, AQE off; an added shuffle fails the budget)") {
+    val sc = spark.sparkContext
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val findings = shuffleBudgets.toSeq.sortBy(_._1).flatMap {
+        case (name, budget) =>
+          val actual =
+            countShuffles(SparkEntry.queries(name)(spark, sfDir)
+              .queryExecution.executedPlan)
+          sc.getPersistentRDDs.values.foreach(_.unpersist(false))
+          if (actual > budget) Some(s"$name: $actual shuffles > budget $budget")
+          else if (actual < budget) Some(s"$name: budget slack — " +
+            s"actual $actual < recorded $budget (tighten the table)")
+          else None
+      }
+      assert(findings.isEmpty, s"\n${findings.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
+  test("the budget tripwire actually fires: a gratuitous repartition " +
+    "adds a ShuffleExchange the count detects") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val base = SparkEntry.queries("mb1_frequent_pairs")(spark, sfDir)
+      val clean = countShuffles(base.queryExecution.executedPlan)
+      // the intentional regression: one pointless re-key before the sink
+      val regressed = countShuffles(base.repartition(7,
+        org.apache.spark.sql.functions.col(base.columns.head))
+        .queryExecution.executedPlan)
+      assert(regressed == clean + 1,
+        s"expected exactly one added shuffle: clean=$clean regressed=$regressed")
+      assert(regressed > shuffleBudgets("mb1_frequent_pairs") ||
+        clean == shuffleBudgets("mb1_frequent_pairs"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
   }
 }
