@@ -441,10 +441,13 @@ object TextQueries {
 
     // connected components over the verified dd4 pairs → canonical
     // (minimum-id) cluster labels; survivors = docs minus non-canonicals
-    "dd7_dup_clusters" -> ((s, dir) =>
+    // (scoped: nearDuplicates' lazy melt/candidate checkpoints register
+    // inside the body and release once the labels are materialized)
+    "dd7_dup_clusters" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(t(s, dir, "documents"), threshold = 0.5))
-        .select(col("id").as("doc_id"), col("cluster"))),
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
 
     "dd8_survivors" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1277,7 +1280,7 @@ object TextQueries {
     // (ppj1's lossless prefix-filter join) → min-label connected
     // components → survivorship (canonical record = longest text, tie
     // smallest id). Singletons resolve to themselves via the left join.
-    "er1_entities" -> ((s, dir) => {
+    "er1_entities" -> ((s, dir) => graft.CheckpointScope.scoped(s) { _ =>
       val docs = t(s, dir, "documents")
       val pairs = graft.dedup.SetJoin.prefixFilterJoin(docs, theta = 0.5)
         .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))

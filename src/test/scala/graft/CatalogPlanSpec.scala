@@ -131,7 +131,7 @@ class CatalogPlanSpec extends SparkSpec {
     // ExistingRDD scan — 0 IS the pinned no-recompute property
     "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
     "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
-    "er1_entities" -> 2, // prefix join + survivorship agg (components checkpointed)
+    "er1_entities" -> 0, // CheckpointScope'd end-to-end (r7); result is an ExistingRDD scan
     "ppj1_prefix_join" -> 2, // prefix fan-out re-key + verify agg
     "gr3_components" -> 0, // iterative min-label, checkpointed
     "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg

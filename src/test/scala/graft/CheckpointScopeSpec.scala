@@ -48,6 +48,43 @@ class CheckpointScopeSpec extends SparkSpec {
   }
 
   test("adopted compositions leave no intermediate blocks behind " +
+    "(duplicateClusters: edge list + per-round labels all released)") {
+    val before = persistedIds
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+    val after = persistedIds -- before
+    assert(after.size == 1,
+      s"duplicateClusters should leave only its result block, got $after")
+    // self-contained after intermediates are gone, labels correct
+    assert(labels.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => after.contains(id) }
+      .values.foreach(_.unpersist(true))
+  }
+
+  test("scoped catalog compositions (dd7, er1, dd23, pipeline_dedup) " +
+    "leave no blocks at all once the caller drops the result") {
+    for (name <- Seq("dd7_dup_clusters", "er1_entities",
+        "dd23_soft_weights", "pipeline_dedup")) {
+      val before = persistedIds
+      val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      assert(out.count() > 0, s"$name returned no rows")
+      val after = persistedIds -- before
+      // the scope released every intermediate; only result blocks remain
+      // (≤2: the catalog scope's eager result + the inner clustering
+      // scope's result are the same frame for dd7 but may differ)
+      assert(after.nonEmpty && after.size <= 2,
+        s"$name: expected only result blocks, got ${after.size}")
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => after.contains(id) }
+        .values.foreach(_.unpersist(true))
+      assert(persistedIds == before, s"$name left blocks behind")
+    }
+  }
+
+  test("adopted compositions leave no intermediate blocks behind " +
     "(pagerank)") {
     val before = persistedIds
     val edges = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0))
