@@ -3428,6 +3428,39 @@ object TextOracles {
         |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_b END AS sum_b
         |FROM ok""".stripMargin,
 
+    // REAL decoded audio: the Spark side encodes a sawtooth WAV with
+    // javax.sound.sampled, DECODES it back, and sums 16-bit samples;
+    // the oracle never touches a codec — the fixture's samples are
+    // closed-form in (n, id), and PCM's lossless roundtrip makes the
+    // decoded statistics equal the analytic ones exactly. Even ids have
+    // their RIFF magic zeroed → all-null from the decoder (parity rule).
+    "mm8_wav_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, 64 + doc_id % 32 AS ns FROM documents),
+        |s AS (
+        |  SELECT media_id, ns, unnest(range(0, ns)) AS n FROM m),
+        |v AS (
+        |  SELECT media_id, ns,
+        |    ((n * 37 + media_id * 101) % 65536) - 32768 AS amp
+        |  FROM s),
+        |ok AS (
+        |  SELECT media_id,
+        |    CAST(8000 AS INTEGER) AS sample_rate,
+        |    CAST(max(ns) AS BIGINT) AS n_samples,
+        |    CAST(max(ns) * 125 AS BIGINT) AS duration_us,
+        |    CAST(sum(amp) AS BIGINT) AS sum_amp,
+        |    CAST(max(abs(amp)) AS BIGINT) AS peak_abs,
+        |    CAST(sum(amp * amp) AS BIGINT) AS sum_sq
+        |  FROM v GROUP BY 1)
+        |SELECT media_id,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sample_rate END AS sample_rate,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE n_samples END AS n_samples,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE duration_us END AS duration_us,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_amp END AS sum_amp,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE peak_abs END AS peak_abs,
+        |  CASE WHEN media_id % 2 = 0 THEN NULL ELSE sum_sq END AS sum_sq
+        |FROM ok""".stripMargin,
+
     // PNG IHDR parse vs the analytic fixture dimensions: checks the
     // real encoder's bytes carry the right header AND the column-
     // algebra parser reads them correctly — no decoder on either side

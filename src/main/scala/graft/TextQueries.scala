@@ -1243,6 +1243,22 @@ object TextQueries {
       Multimodal.imageContent(forged)
     }),
 
+    // ---- MM8: REAL WAV decode (javax.sound.sampled) — sawtooth-PCM
+    // fixtures whose decoded 16-bit samples are closed-form in (n, id),
+    // so the oracle checks actual decoded audio content analytically.
+    // Even ids get their RIFF magic zeroed (a crafted crawl payload):
+    // the decoder must return nulls for them, not crash — the audio
+    // edition of mm7's parity adversarial.
+    "mm8_wav_features" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id").as("media_id"))
+      val wav = Multimodal.wavFixture(ids)
+      val forged = wav.select(col("media_id"),
+        when(col("media_id") % 2 === 0,
+          overlay(col("payload"), unhex(lit("00000000")), lit(1)))
+          .otherwise(col("payload")).as("payload"))
+      Multimodal.wavContent(forged)
+    }),
+
     // ---- MM6: PNG metadata WITHOUT decode — IHDR width/height parsed
     // by pure column algebra from the real encoder's bytes (the 100 TB
     // fast path: dimension filters at scan time, no decoder in the loop)

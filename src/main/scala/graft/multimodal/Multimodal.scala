@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * decode, no native libs) backs [[imageContent]] /
   * [[resizeImageContent]] / [[imageFixture]], so image width/height and
   * per-channel pixel sums are actual decoded content, oracle-checked
-  * against closed-form fixtures. AUDIO/VIDEO kernels (resample, frame
-  * demux) remain STUBBED with deterministic fakes because no
-  * ffmpeg-class libs exist in this environment — the Spark-side
-  * machinery around them (schema, batch shape, partitioning,
-  * magic-number sniffing) is real; swap [[MediaCodec.decodeStub]] /
-  * [[MediaCodec.frameStub]] for a real codec (e.g. javacpp-ffmpeg)
-  * without touching the dataflow.
+  * against closed-form fixtures. The AUDIO path is real for WAV/PCM:
+  * `javax.sound.sampled` (pure JDK) backs [[wavContent]] /
+  * [[wavFixture]] — sample rate, duration, amplitude sums, and peak are
+  * decoded from actual RIFF/WAVE bytes written by the JDK encoder.
+  * Compressed-audio and VIDEO kernels (MP3/AAC decode, frame demux)
+  * remain STUBBED with deterministic fakes because no ffmpeg-class libs
+  * exist in this environment — the Spark-side machinery around them
+  * (schema, batch shape, partitioning, magic-number sniffing) is real;
+  * swap [[MediaCodec.decodeStub]] / [[MediaCodec.frameStub]] for a real
+  * codec (e.g. javacpp-ffmpeg) without touching the dataflow.
   */
 object Multimodal {
 
@@ -143,6 +146,75 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         Row(id, MediaCodec.gradientPng(id))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic sawtooth-WAV fixture payloads: REAL RIFF/WAVE bytes
+    * ([[MediaCodec.sawtoothWav]] via javax.sound.sampled) whose DECODED
+    * 16-bit samples are closed-form in (n, id) — the audio edition of
+    * [[imageFixture]]: a SQL oracle verifies a real encode→decode
+    * roundtrip analytically. PCM is lossless, so it is exact. */
+  def wavFixture(df: DataFrame, idCol: String = "media_id"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, MediaCodec.sawtoothWav(id))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL WAV/PCM decode (javax.sound.sampled — pure JDK): sample rate,
+    * exact sample count and duration, and EXACT integer amplitude
+    * statistics (sum, peak |amp|, sum of squares — all within long
+    * range for 16-bit audio) per payload. Same typed-mapPartitions
+    * contract as [[imageContent]]; null/undecodable payloads keep null
+    * content columns (a curation pipeline filters on them, it doesn't
+    * crash). Output (idCol, sample_rate, n_samples, duration_us,
+    * sum_amp, peak_abs, sum_sq). */
+  def wavContent(
+      df: DataFrame,
+      idCol: String = "media_id",
+      payloadCol: String = "payload",
+      maxBytes: Long = 1L << 28): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_us", LongType, nullable = true),
+      StructField("sum_amp", LongType, nullable = true),
+      StructField("peak_abs", LongType, nullable = true),
+      StructField("sum_sq", LongType, nullable = true)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) null else r.getAs[Array[Byte]](payloadIdx)
+        MediaCodec.decodeWav(payload, maxBytes) match {
+          case null => Row(r.getLong(idIdx), null, null, null, null, null, null)
+          case (rate, samples) =>
+            var sum = 0L; var peak = 0L; var sq = 0L
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toLong
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sq += s * s
+              i += 1
+            }
+            Row(r.getLong(idIdx), rate,
+              samples.length.toLong,
+              samples.length.toLong * 1000000L / rate,
+              sum, peak, sq)
+        }
       }
     }(Encoders.row(outSchema))
   }
@@ -391,6 +463,82 @@ object MediaCodec {
         } finally r.dispose()
       } finally iis.close()
     } catch { case _: java.io.IOException => null }
+  }
+
+  /** REAL WAV/PCM decode via javax.sound.sampled (pure JDK — RIFF/WAVE
+    * containers, PCM and the JDK's convertible encodings like A-law /
+    * µ-law). Returns null for null/undecodable payloads instead of
+    * throwing — same curation stance as [[decodeImage]].
+    *
+    * Bomb guard (header-first, the decodeImage discipline): the frame
+    * count is read from the container header before any sample data is
+    * pulled; a payload whose normalized PCM byte size exceeds
+    * `maxBytes` is rejected as null without allocating its buffer.
+    * Output: (sampleRateHz, interleaved 16-bit samples). The stream is
+    * normalized to 16-bit signed little-endian PCM via the JDK
+    * converter so amplitude statistics are encoding-independent. */
+  def decodeWav(
+      payload: Array[Byte],
+      maxBytes: Long = 1L << 28): (Int, Array[Short]) = {
+    if (payload == null) return null
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val target = new AudioFormat(
+          AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, ais)
+        try {
+          val frames = pcm.getFrameLength
+          if (frames <= 0 || frames * target.getFrameSize > maxBytes) null
+          else {
+            val buf = pcm.readAllBytes()
+            val n = buf.length / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              out(i) = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort
+              i += 1
+            }
+            (math.round(fmt.getSampleRate), out)
+          }
+        } finally pcm.close()
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null // unconvertible encoding
+    }
+  }
+
+  /** Deterministic sawtooth-WAV fixture: 64 + id%32 mono samples at
+    * 8 kHz, sample s(n) = ((n·37 + id·101) mod 65536) − 32768 — REAL
+    * RIFF/WAVE bytes (AudioSystem.write) whose decoded samples are
+    * closed-form, so a SQL oracle checks a real encode→decode roundtrip
+    * analytically. 16-bit PCM is lossless, so it is exact by spec. */
+  def sawtoothWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"fixture id must be non-negative: $id")
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (64 + id % 32).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = (((i.toLong * 37 + id * 101) % 65536) - 32768).toInt
+      data(2 * i) = (amp & 0xff).toByte
+      data(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(
+      AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
   }
 
   /** Deterministic gradient-PNG fixture: width 8 + id%8, height

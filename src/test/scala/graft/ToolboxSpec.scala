@@ -245,4 +245,37 @@ class ToolboxSpec extends SparkSpec {
       .count()
     assert(mismatches == 0)
   }
+
+  test("REAL WAV codec: sawtooth fixture decodes to the exact " +
+    "closed-form samples; corrupt/null/bomb payloads come back null") {
+    import graft.multimodal.MediaCodec
+    val id = 5L
+    val n = (64 + id % 32).toInt // 69 samples
+    val (rate, samples) = MediaCodec.decodeWav(MediaCodec.sawtoothWav(id))
+    assert(rate == 8000 && samples.length == n)
+    (0 until n).foreach { i =>
+      val expect = ((i.toLong * 37 + id * 101) % 65536) - 32768
+      assert(samples(i).toLong == expect, s"sample $i")
+    }
+    // null and corrupt payloads: curation signal, not a crash
+    assert(MediaCodec.decodeWav(null) == null)
+    assert(MediaCodec.decodeWav("not audio at all".getBytes) == null)
+    val zeroMagic = MediaCodec.sawtoothWav(id).clone()
+    zeroMagic(0) = 0; zeroMagic(1) = 0; zeroMagic(2) = 0; zeroMagic(3) = 0
+    assert(MediaCodec.decodeWav(zeroMagic) == null)
+    // header-first bomb guard: byte budget below the PCM size rejects
+    // without reading sample data (69 samples × 2 bytes = 138)
+    assert(MediaCodec.decodeWav(MediaCodec.sawtoothWav(id), maxBytes = 138L) != null)
+    assert(MediaCodec.decodeWav(MediaCodec.sawtoothWav(id), maxBytes = 137L) == null)
+    // dataflow: wavContent keeps nulls in-schema
+    val media = Seq((id, MediaCodec.sawtoothWav(id)),
+      (1L, "junk".getBytes), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.wavContent(media).collect()
+    assert(rows.length == 3)
+    val good = rows.find(_.getLong(0) == id).get
+    assert(good.getInt(1) == 8000 && good.getLong(2) == n &&
+      good.getLong(3) == n.toLong * 125)
+    rows.filter(_.getLong(0) != id).foreach(r => assert(r.isNullAt(1) && r.isNullAt(6)))
+  }
 }
