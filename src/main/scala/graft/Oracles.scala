@@ -3648,6 +3648,61 @@ object Oracles {
         |JOIN orders ON c_custkey = o_custkey
         |JOIN big ON o_orderkey = l_orderkey""".stripMargin,
 
+    // Q2: correlated scalar subquery (min-cost supplier) — DuckDB
+    // decorrelates it independently of Catalyst, so the two planners'
+    // decorrelations check each other
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.cost_cents
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE r.r_name = 'EUROPE' AND p.p_size <= 15
+        |  AND ps.cost_cents = (SELECT MIN(ps2.cost_cents) FROM ps ps2
+        |                       WHERE ps2.l_partkey = p.p_partkey)""".stripMargin,
+
+    // Q21: multi-semi + anti self-join (only supplier who failed)
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, count(*)::BIGINT AS numwait
+        |FROM supplier s
+        |JOIN lineitem l1
+        |  ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        |JOIN orders o
+        |  ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name""".stripMargin,
+
+    // Q11: group-HAVING vs a global scalar — integer-exact via
+    // value·1000 > total (no division); HUGEINT discipline on the sums
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, value_cents
+        |FROM v
+        |WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT)
+        |                            FROM v)""".stripMargin,
+
     // A16: Pareto 80/20 — exact cents, the top-80 membership decided
     // on INTEGERS (cum_prev·10 < tot·8), bounded brand frame
     "a16_pareto" ->

@@ -340,6 +340,86 @@ object Queries {
           cents(col("o_totalprice")).as("total_cents"), col("qty_cents"))
     }),
 
+    // ---- Q2: correlated scalar subquery — min-per-group re-joined
+    // (TPC-H q2's minimum-cost-supplier shape; no partsupp table here,
+    // so unit cost is each (part, supplier)'s cheapest lineitem). Pins
+    // Catalyst's scalar-subquery DECORRELATION: the correlated
+    // `= (SELECT MIN ... WHERE inner.partkey = outer.partkey)` must
+    // plan as an aggregate re-joined on the correlation key, never a
+    // per-row re-execution ----
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part_q2")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q2")
+      t(s, dir, "nation").createOrReplaceTempView("nation_q2")
+      t(s, dir, "region").createOrReplaceTempView("region_q2")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q2")
+      s.sql("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+          FROM lineitem_q2 GROUP BY 1, 2)
+        SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name, ps.cost_cents
+        FROM part_q2 p
+        JOIN ps ON ps.l_partkey = p.p_partkey
+        JOIN supplier_q2 s ON s.s_suppkey = ps.l_suppkey
+        JOIN nation_q2 n ON n.n_nationkey = s.s_nationkey
+        JOIN region_q2 r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size <= 15
+          AND ps.cost_cents = (SELECT MIN(ps2.cost_cents) FROM ps ps2
+                               WHERE ps2.l_partkey = p.p_partkey)""")
+    }),
+
+    // ---- Q21: multi-semi + anti SELF-join (TPC-H q21's
+    // only-supplier-who-failed shape; returnflag='R' is the "late"
+    // predicate, the q4 stance). Pins EXISTS → LeftSemi and
+    // NOT EXISTS → LeftAnti planning with a non-equi conjunct
+    // (l2.suppkey <> l1.suppkey) riding the orderkey equi-join ----
+    "q21_waiting_supplier" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q21")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q21")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+      s.sql("""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier_q21 s
+        JOIN lineitem_q21 l1
+          ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+        JOIN orders_q21 o
+          ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem_q21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_q21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name""")
+    }),
+
+    // ---- Q11: group-HAVING against a GLOBAL scalar (TPC-H q11's
+    // important-stock shape): per-part value filtered by a fraction of
+    // the all-parts total — the threshold is a scalar subquery over the
+    // same aggregate. Integer-exact: value·1000 > total (no division) ----
+    "q11_important_parts" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_q11")
+      t(s, dir, "nation").createOrReplaceTempView("nation_q11")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q11")
+      s.sql("""
+        WITH v AS (
+          SELECT l_partkey,
+                 SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS value_cents
+          FROM lineitem_q11
+          JOIN supplier_q11 ON s_suppkey = l_suppkey
+          JOIN nation_q11 ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_7'
+          GROUP BY 1)
+        SELECT l_partkey, value_cents
+        FROM v
+        WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM v)""")
+    }),
+
     // ---- J3: full-outer combine (positions ⋈ open orders shape) ----
     "j3_full_outer" -> ((s, dir) => {
       val ev = events(s, dir)
