@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * [[Dedup.exactSubstringGroups]] exact-substring).
   *
   * Plan shape: k-gram hashing AND window-min selection happen inside
-  * ONE per-row array expression chain (transform + slice + array_min —
-  * codegen, zero shuffle, no per-position explode of the corpus); only
-  * the ~2/(w+1)-selected fingerprints are exploded. The pair stage is
-  * the usual bucketed equi-join with a `winnow_buckets` maxBucket
-  * drop+observe guard, so pair mass ∝ shared-fingerprint collisions.
+  * ONE native codegen'd expression per row ([[WinnowFingerprints]] —
+  * an O(L) pass with a monotonic-deque sliding minimum, zero shuffle,
+  * no per-position explode of the corpus); only the ~2/(w+1)-selected
+  * fingerprints are exploded. The pair stage is the usual bucketed
+  * equi-join with a `winnow_buckets` maxBucket drop+observe guard, so
+  * pair mass ∝ shared-fingerprint collisions.
   *
   * Determinism: the hash is an explicit Horner polynomial
   * (base 257 mod 2³¹−1) over character code points — plain integer
@@ -31,6 +32,72 @@ object Winnow {
   private val Base = 257L
   private val Mod = 2147483647L // 2^31 - 1
 
+  /** One-pass scalar kernel behind [[WinnowFingerprints]]: distinct
+    * sliding-window minima of the k-gram Horner hashes, as a long
+    * array. Two flat primitive arrays (code points + hashes) and a
+    * monotonic deque — O(L) time, O(L) allocation per row. This
+    * replaced a transform+slice+array_min column chain that allocated
+    * L one-char strings plus a fresh w-element array PER WINDOW: same
+    * values, but the allocation pressure made wn1 the only catalog
+    * query with a ~1.7× run-to-run bench spread (round-6 verdict). */
+  def winnowScalar(s: String, k: Int, w: Int): Array[Long] = {
+    // code points, matching DuckDB's substring/ascii and Spark's
+    // split("")+ascii semantics this formulation replaced
+    val cpCount = s.codePointCount(0, s.length)
+    val nh = cpCount - k + 1
+    if (nh < w) return Array.empty
+    val codes = new Array[Int](cpCount)
+    var ci = 0
+    var idx = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      codes(idx) = cp
+      idx += 1
+      ci += Character.charCount(cp)
+    }
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      // per-step reduction: congruent to any reduction schedule, and
+      // the intermediate stays under Mod·257 + cp ≈ 5.5e11
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * Base + codes(i + j)) % Mod
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    // monotonic-deque sliding minimum over w consecutive hashes
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]
+    val out = new scala.collection.mutable.ArrayBuffer[Long]
+    var x = 0
+    while (x < nh) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(x)) tail -= 1
+      dq(tail) = x
+      tail += 1
+      if (dq(head) <= x - w) head += 1
+      if (x >= w - 1) {
+        val m = hs(dq(head))
+        if (seen.add(m)) out += m
+      }
+      x += 1
+    }
+    out.toArray
+  }
+
+  /** [[winnowScalar]] boxed as Catalyst ArrayData — the codegen target. */
+  def winnowScalarArray(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      winnowScalar(s.toString, k, w))
+
   /** Distinct winnowed fingerprints per document: `(id, fingerprint)`.
     * Documents shorter than w + k − 1 characters emit nothing. */
   def fingerprints(
@@ -40,38 +107,12 @@ object Winnow {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
-    // Materialize the per-character CODE ARRAY once per row (split
-    // scans the string linearly); the k-gram hash then reads it by
-    // O(1) `element_at`. The first formulation took each character via
-    // `substr(i, 1)` — a UTF-8 seek from the string start, O(i) per
-    // character and O(k·L²) per document: 39 s at sf0.1 for wn1 vs
-    // ~1.5 s for this shape (the round-6 honest-bench catch). Same
-    // hash values — only the access pattern changed.
-    val cs = col("__cs")
-    // Horner hash of the k-gram at 1-based position i. The reduction is
-    // applied every THIRD step and at the end — congruent to per-step
-    // mod (reducing less often never changes the residue), and the
-    // worst intermediate is Mod·257³ ≈ 3.6e16, comfortably inside a
-    // long. One-third the modulo ops on the hot path.
-    def hAt(i: Column): Column =
-      (0 until k).foldLeft(lit(0L)) { (h, j) =>
-        val step = h * Base + element_at(cs, i + j).cast("long")
-        if (j % 3 == 2 || j == k - 1) step % Mod else step
-      }
-    val hashes = transform(sequence(lit(1), size(cs) - (k - 1)), i => hAt(i))
-    // windows of w consecutive hashes; keep each window's min; distinct
-    val fps = array_distinct(transform(
-      sequence(lit(0), size(col("__hs")) - w),
-      j => array_min(slice(col("__hs"), j + 1, lit(w)))))
     docs
       .select(col(idCol).as("__id"), lower(col(textCol)).as("__lt"))
       .where(length(col("__lt")) >= w + k - 1)
-      // slice to exactly L entries: Java regex split with limit −1
-      // (Spark's behavior) appends a trailing "" element
-      .withColumn("__cs", transform(
-        slice(split(col("__lt"), ""), lit(1), length(col("__lt"))), c => ascii(c)))
-      .withColumn("__hs", hashes)
-      .select(col("__id").as(idCol), explode(fps).as("fingerprint"))
+      .select(col("__id").as(idCol),
+        explode(graft.functions.WinnowFingerprints.winnowNative(col("__lt"), k, w))
+          .as("fingerprint"))
   }
 
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints:
