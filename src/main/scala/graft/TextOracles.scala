@@ -1687,6 +1687,115 @@ object TextOracles {
          |LEFT JOIN clusters c ON d.doc_id = c.id
          |LEFT JOIN sizes s ON c.cluster = s.cluster""".stripMargin,
 
+    // end-to-end curation: ONE clustering closure feeds soft weights,
+    // the training half is 5-gram decontaminated (reusing the SAME
+    // `words` CTE the signature chain built), quality × weight fills a
+    // 5000-token budget, keepers pack into 512-token sequences. Every
+    // stage is the corresponding standalone oracle's formulation
+    // (dd23 / dd11 / sp5 / pk1) composed over shared CTEs.
+    "pipeline_curate" -> {
+      val stop = langScore("en")
+      s"""WITH RECURSIVE $candidatesCte,
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM cand),
+         |verify AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))::DOUBLE /
+         |    (len(list_distinct(a.sh)) + len(list_distinct(b.sh)) -
+         |     len(list_intersect(list_distinct(a.sh), list_distinct(b.sh)))) AS jaccard
+         |  FROM pairs p
+         |  JOIN sig a ON p.id_a = a.doc_id
+         |  JOIN sig b ON p.id_b = b.doc_id),
+         |vp AS (SELECT id_a, id_b FROM verify WHERE jaccard >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM vp
+         |          UNION SELECT id_b, id_a FROM vp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clusters AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster, count(*) AS cs FROM clusters GROUP BY 1),
+         |wts AS (
+         |  SELECT d.doc_id, round(1.0 / coalesce(s.cs, 1), 6) AS weight
+         |  FROM documents d
+         |  LEFT JOIN clusters c ON d.doc_id = c.id
+         |  LEFT JOIN sizes s ON c.cluster = s.cluster),
+         |gr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 5
+         |         THEN list_transform(range(1, len(w) - 3),
+         |                             i -> array_to_string(w[i:i+4], ' '))
+         |         ELSE [] END AS g
+         |  FROM words),
+         |ref AS (SELECT DISTINCT * FROM
+         |  (SELECT unnest(g) AS s FROM gr WHERE doc_id < 50)),
+         |cg AS (SELECT DISTINCT * FROM
+         |  (SELECT doc_id, unnest(g) AS s FROM gr WHERE doc_id >= 50)),
+         |flagged AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ref USING (s)),
+         |clean AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id >= 50
+         |    AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |ltc AS (SELECT *, ' ' || lower(text) || ' ' AS lt FROM clean),
+         |comp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM ltc),
+         |ratios AS (
+         |  SELECT doc_id, tok,
+         |    CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END AS mwl,
+         |    CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END AS ar,
+         |    CASE WHEN n > 0 THEN digit::DOUBLE / n ELSE 0.0 END AS dr,
+         |    CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END AS sr
+         |  FROM comp),
+         |scored AS (
+         |  SELECT r.doc_id, r.tok,
+         |    round(r.ar * 0.4 +
+         |          (CASE WHEN r.mwl >= 3 AND r.mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |          least(r.sr * 5.0, 1.0) * 0.2 +
+         |          (1.0 - least(r.dr * 5.0, 1.0)) * 0.2, 6) * wt.weight AS score
+         |  FROM ratios r JOIN wts wt USING (doc_id)),
+         |b AS (SELECT doc_id, tok,
+         |        LEAST(CAST(floor(score * 1000) AS INT), 999) AS bin
+         |      FROM scored),
+         |hist AS (SELECT bin, CAST(sum(tok) AS BIGINT) AS mass FROM b GROUP BY 1),
+         |m AS (SELECT bin, mass,
+         |        sum(mass) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM hist),
+         |rt AS (SELECT bin,
+         |        CASE WHEN cum <= 5000 THEN 1.0
+         |             WHEN cum - mass >= 5000 THEN 0.0
+         |             ELSE (5000 - (cum - mass))::DOUBLE / mass END AS rate
+         |      FROM m),
+         |kept AS (
+         |  SELECT b.doc_id, b.tok FROM b JOIN rt USING (bin)
+         |  WHERE CAST(CAST(concat('0x', substr(md5(concat_ws('|', 'budget', b.doc_id)), 1, 8))
+         |        AS BIGINT) AS DOUBLE) / 4294967296.0 < rate),
+         |pn AS (
+         |  SELECT doc_id, tok::BIGINT AS n,
+         |    CAST(concat('0x', substr(md5('pack|' || doc_id::VARCHAR), 1, 8))
+         |         AS BIGINT) % 8 AS shard
+         |  FROM kept),
+         |pc AS (
+         |  SELECT doc_id, shard, n,
+         |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+         |  FROM pn WHERE n > 0),
+         |packed AS (
+         |  SELECT shard, u.seq_id, doc_id,
+         |    least(off + n, (u.seq_id + 1) * 512) - greatest(off, u.seq_id * 512)
+         |      AS tok_in_seq
+         |  FROM pc, unnest(generate_series(off // 512, (off + n - 1) // 512))
+         |    AS u(seq_id))
+         |SELECT p.shard, p.seq_id, p.doc_id, p.tok_in_seq, wts.weight
+         |FROM packed p JOIN wts ON wts.doc_id = p.doc_id""".stripMargin
+    },
+
     // TX25: per-source boilerplate removal — line doc-frequency within
     // the source, full-occurrence removal past the 50% threshold
     "tx25_boilerplate" ->

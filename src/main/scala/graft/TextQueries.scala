@@ -550,6 +550,39 @@ object TextQueries {
           (label === col("doc_id")).as("survivor"))
     }),
 
+    // ---- the query a real 100 TB curation run executes, END TO END:
+    // ONE near-dup clustering run (dd7) feeds repetition-aware soft
+    // weights (dd23); the training half is exact-5-gram decontaminated
+    // against the eval half (dd11); a quality × soft-weight token
+    // budget picks the docs (sp5 with the dd23 prior); and the keepers
+    // are packed into 512-token training sequences (pk1). All under one
+    // CheckpointScope: each stage's checkpointed intermediates release
+    // the moment the packed frame materializes — the long-lived-session
+    // composition contract, proven at the pipeline level.
+    "pipeline_curate" -> ((s, dir) => graft.CheckpointScope.scoped(s) { scope =>
+      val docs = t(s, dir, "documents")
+      // dd7: one candidate+verify+propagation run labels every doc
+      val clusters = Dedup.duplicateClusters(
+        Dedup.nearDuplicates(docs, threshold = 0.5))
+      // dd23: soft weights from the SAME labels (no second LSH run)
+      val weights = Dedup.softDedupWeights(docs, clusters)
+        .select(col("doc_id"), col("weight"))
+      // dd11: the training half loses every doc quoting an eval 5-gram
+      val clean = Dedup.decontaminateExact(
+        docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
+      // checkpoint: the budget selector makes two passes (histogram +
+      // keep-filter) — without this the decontamination chain runs twice
+      val scored = scope.checkpoint(
+        clean.join(weights, Seq("doc_id")), eager = true)
+      val kept = Sampling.selectByTokenBudget(scored, "doc_id",
+        TextAnalysis.qualityScore(col("text")) * col("weight"),
+        TextAnalysis.tokenCount(col("text")), budget = 5000)
+      Packing.packSequences(kept, "doc_id", "text", budget = 512, shards = 8)
+        .join(weights, Seq("doc_id"))
+        .select(col("shard"), col("seq_id"), col("doc_id"),
+          col("tok_in_seq"), col("weight"))
+    }),
+
     // cross-corpus decontamination: docs 50+ are the "training corpus",
     // docs <50 the "eval set"; matches then the decontaminated corpus
     "dd9_decontamination" -> ((s, dir) => {

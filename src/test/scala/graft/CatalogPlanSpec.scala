@@ -140,6 +140,7 @@ class CatalogPlanSpec extends SparkSpec {
     "dd21_best_survivors" -> 3, // candidates + verify + min_by survivor agg
     "dd23_soft_weights" -> 0, // soft-weight chain, checkpointed
     "pipeline_dedup" -> 0, // full pipeline, stage checkpoints
+    "pipeline_curate" -> 0, // end-to-end curation, CheckpointScope'd (r7)
     "port2_riskparity" -> 0, // CheckpointScope'd iteration
     "sim8_index_search" -> 1, // bucket-join probe; index is broadcast
     "cl4_logreg_scores" -> 2, // feature agg + score agg

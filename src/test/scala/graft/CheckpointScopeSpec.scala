@@ -67,7 +67,7 @@ class CheckpointScopeSpec extends SparkSpec {
   test("scoped catalog compositions (dd7, er1, dd23, pipeline_dedup) " +
     "leave no blocks at all once the caller drops the result") {
     for (name <- Seq("dd7_dup_clusters", "er1_entities",
-        "dd23_soft_weights", "pipeline_dedup")) {
+        "dd23_soft_weights", "pipeline_dedup", "pipeline_curate")) {
       val before = persistedIds
       val out = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       assert(out.count() > 0, s"$name returned no rows")
