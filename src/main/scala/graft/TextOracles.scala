@@ -1433,6 +1433,17 @@ object TextOracles {
          |  pair_freq
          |FROM u""".stripMargin,
 
+    // bpe3 = the driver-heap training path; SAME oracle as bpe1 — the
+    // unrolled merge-step CTEs pin both implementations to one answer
+    "bpe3_heap_merges" ->
+      s"""WITH $wordsCte,
+         |$bpeVocabCtes,
+         |u AS (${(1 to BpeSteps).map(k => s"SELECT * FROM b$k")
+               .mkString(" UNION ALL ")})
+         |SELECT CAST(step AS BIGINT) AS step, l AS "left", r AS "right",
+         |  pair_freq
+         |FROM u""".stripMargin,
+
     // BPE encode: per-word token counts after the 10 learned merges
     // (the final vocab table v10 already holds each word's merged
     // sequence), equi-joined back onto the corpus word stream; docs

@@ -867,6 +867,13 @@ object TextQueries {
         docs, graft.text.Bpe.learnMerges(docs, numMerges = 10))
     }),
 
+    // ---- BPE3: the vocabulary-scale training path — driver-heap
+    // incremental pair stats over the distributed word-frequency
+    // table. Same oracle as bpe1: the two implementations must learn
+    // the IDENTICAL merge list ----
+    "bpe3_heap_merges" -> ((s, dir) =>
+      graft.text.Bpe.learnMergesHeap(t(s, dir, "documents"), numMerges = 10)),
+
     // per-doc character-level Shannon entropy (compression-ratio
     // quality proxy): micro-nat-exact histogram sum
     "tx17_entropy" -> ((s, dir) =>

@@ -115,12 +115,11 @@ object Bpe {
     * PER MERGE, so wall-clock is numMerges × a vocab-bounded job:
     * right for the analysis-scale vocabularies this engine trains
     * (10s-100s of merges — each job is sub-second once the vocab
-    * table is checkpointed). A production 50k-merge tokenizer is an
-    * explicit NON-GOAL here: at that scale the algorithm of record is
-    * a single-machine heap over the (bounded) word-frequency table —
-    * driver-side after `wordFreqs().collect()` — not 50k Spark jobs;
-    * the distributed value is in `wordFreqs` (the only corpus-scale
-    * pass) and [[encode]], which both stay as-is. */
+    * table is checkpointed), and right for ORACLING: every step is a
+    * relational aggregate DuckDB replays. A production 50k-merge
+    * tokenizer runs [[learnMergesHeap]] instead — the driver-heap
+    * implementation over the same (bounded) word-frequency table,
+    * spec-pinned to produce the identical merge list. */
   def learnMerges(
       docs: DataFrame,
       numMerges: Int,
@@ -147,6 +146,142 @@ object Bpe {
         vocab = vocab
           .select(mergePass(col("__seq"), l, r).as("__seq"), col("freq"))
           .localCheckpoint()
+        step += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("step", "left", "right", "pair_freq")
+      .select(col("step").cast("long").as("step"), col("left"), col("right"),
+        col("pair_freq"))
+  }
+
+  /** Vocabulary-scale BPE training — the production path the
+    * [[learnMerges]] scaladoc names as the algorithm of record
+    * (Sennrich et al. 2016, the subword-nmt implementation shape): the
+    * ONLY corpus-scale pass ([[wordFreqs]]) stays distributed; the
+    * vocab-bounded word-frequency table collects to the driver
+    * (distinct WORDS, not corpus rows — the documented bounded-collect
+    * class) and the merge loop runs on the heap with INCREMENTAL pair
+    * statistics plus a lazy-deletion priority queue. Each merge costs
+    * O(words containing the pair), not a Spark job, so 50k merges are
+    * minutes, not 50k job launches.
+    *
+    * Output and tie-break are IDENTICAL to [[learnMerges]]
+    * (pair_freq desc, then left, then right; leftmost-non-overlapping
+    * merge within a word) — BpeSpec pins the equality. */
+  def learnMergesHeap(
+      docs: DataFrame,
+      numMerges: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minFreq: Long = 1L): DataFrame = {
+    if (numMerges <= 0)
+      throw new ParameterError(s"numMerges must be positive: $numMerges")
+    val spark = docs.sparkSession
+    val wf = wordFreqs(docs, idCol, textCol, minFreq)
+      .select(col("word"), col("freq")).collect()
+    // symbol sequences: code points + end marker (charSeq semantics)
+    val words = new Array[scala.collection.mutable.ArrayBuffer[String]](wf.length)
+    val freqs = new Array[Long](wf.length)
+    var wi = 0
+    while (wi < wf.length) {
+      val w = wf(wi).getString(0)
+      val buf = new scala.collection.mutable.ArrayBuffer[String](
+        w.length + 1)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        buf += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      buf += EndMarker
+      words(wi) = buf
+      freqs(wi) = wf(wi).getLong(1)
+      wi += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def updCounts(
+        w: Int, delta: Long,
+        touched: scala.collection.mutable.Set[(String, String)]): Unit = {
+      val s = words(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val nv = counts.getOrElse(p, 0L) + delta
+        if (nv == 0L) counts.remove(p) else counts(p) = nv
+        touched += p
+        if (delta > 0)
+          index.getOrElseUpdate(
+            p, scala.collection.mutable.Set.empty[Int]) += w
+        i += 1
+      }
+    }
+    val init = scala.collection.mutable.Set.empty[(String, String)]
+    words.indices.foreach(w => updCounts(w, freqs(w), init))
+    // max-heap: pair_freq desc, then left asc, then right asc (the
+    // learnMerges/oracle tie-break). Stale entries are skipped by the
+    // freshness check against the live count.
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = b._2.compareTo(a._2)
+          if (cl != 0) cl else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), f) => pq.enqueue((f, l, r)) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= numMerges && pq.nonEmpty) {
+      var top: (Long, String, String) = null
+      while (top == null && pq.nonEmpty) {
+        val cand = pq.dequeue()
+        if (counts.get((cand._2, cand._3)).contains(cand._1)) top = cand
+      }
+      if (top != null) {
+        val (f, l, r) = top
+        merges += ((step, l, r, f))
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        // the index can hold stale word ids (a prior merge may have
+        // destroyed the pair in that word) — the adjacency re-check in
+        // the merge scan makes them harmless
+        index.getOrElse((l, r), scala.collection.mutable.Set.empty[Int])
+          .toArray.foreach { w =>
+            val s = words(w)
+            var has = false
+            var i = 0
+            while (!has && i < s.length - 1) {
+              has = s(i) == l && s(i + 1) == r
+              i += 1
+            }
+            if (has) {
+              updCounts(w, -freqs(w), touched)
+              // leftmost-non-overlapping merge — the mergePass fold
+              val m = new scala.collection.mutable.ArrayBuffer[String](s.length)
+              var j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+                  m += l + r
+                  j += 2
+                } else {
+                  m += s(j)
+                  j += 1
+                }
+              }
+              words(w) = m
+              updCounts(w, freqs(w), touched)
+            }
+          }
+        // a decremented pair's old heap entries are stale: re-enqueue
+        // the live count so it stays reachable
+        touched.foreach { p =>
+          counts.get(p).foreach(f2 => pq.enqueue((f2, p._1, p._2)))
+        }
         step += 1
       }
     }

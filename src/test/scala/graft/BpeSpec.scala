@@ -67,6 +67,31 @@ class BpeSpec extends SparkSpec {
     assert(got.head == (("a", "a", 44L)))
   }
 
+  test("learnMergesHeap (the vocabulary-scale driver-heap path) learns " +
+    "the IDENTICAL merge list to learnMerges, ties and exhaustion included") {
+    for (words <- Seq(
+        Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+        Map("aaaa" -> 10L, "aaa" -> 7L, "abab" -> 5L),
+        // tie-heavy: equal-frequency pairs exercise the (l, r) tie-break
+        Map("ab" -> 3L, "cd" -> 3L, "ef" -> 3L))) {
+      val docs = docsOf(words)
+      val a = Bpe.learnMerges(docs, numMerges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val b = Bpe.learnMergesHeap(docs, numMerges = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(a == b, s"divergence on $words")
+    }
+    // scale sanity: a merge count far beyond the job-per-merge comfort
+    // zone finishes on the heap path (vocab-bounded work per merge)
+    val big = Bpe.learnMergesHeap(
+      docsOf(Map("internationalization" -> 4L, "internationalisation" -> 3L,
+        "interoperability" -> 5L, "intercontinental" -> 2L)), numMerges = 60)
+      .collect()
+    assert(big.length > 20) // exhausts the tiny vocab, stops early
+  }
+
   test("encode: distinct words tokenize once; doc token counts match " +
     "the reference fold; wordless docs emit 0") {
     val words = Map("newest" -> 4L, "widest" -> 2L, "low" -> 3L)
