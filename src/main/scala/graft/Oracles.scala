@@ -4983,6 +4983,69 @@ object Oracles {
 
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
+    // SK6: same md5 bit positions replayed — the filter AND its false
+    // positives are deterministic, so the boolean column hash-matches
+    "sk6_bloom" ->
+      """WITH ins AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |bits AS (
+        |  SELECT DISTINCT CAST(CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'bloom' || i, custkey)), 1, 8))
+        |      AS BIGINT) % 4096 AS BIGINT) AS bit
+        |  FROM ins, unnest([0, 1, 2, 3]) AS t(i)),
+        |fan AS (
+        |  SELECT c_custkey AS custkey, CAST(CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'bloom' || i, c_custkey)), 1, 8))
+        |      AS BIGINT) % 4096 AS BIGINT) AS bit
+        |  FROM customer, unnest([0, 1, 2, 3]) AS t(i))
+        |SELECT custkey,
+        |  CAST(sum(CASE WHEN b.bit2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = 4
+        |    AS maybe_present
+        |FROM fan LEFT JOIN (SELECT bit, bit AS bit2 FROM bits) b USING (bit)
+        |GROUP BY 1""".stripMargin,
+
+    // AB3: CUPED — exact integer moments, IEEE ratio arithmetic in the
+    // Spark expression order (double-cast sums, n·Sxy − Sx·Sy shapes)
+    "ab3_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                   AND ts < TIMESTAMP '2024-01-15'
+        |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |                   AND NOT (ts < TIMESTAMP '2024-01-15')
+        |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |a AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS variant,
+        |    count(*)::BIGINT AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        |  FROM pu GROUP BY 1),
+        |m AS (
+        |  SELECT a.variant, a.n_users, a.ax, a.ay,
+        |    g.n::DOUBLE * g.sxy::DOUBLE - g.sx::DOUBLE * g.sy::DOUBLE AS covn,
+        |    g.n::DOUBLE * g.sxx::DOUBLE - g.sx::DOUBLE * g.sx::DOUBLE AS varxn,
+        |    g.n::DOUBLE * g.syy::DOUBLE - g.sy::DOUBLE * g.sy::DOUBLE AS varyn,
+        |    g.sx::DOUBLE / g.n::DOUBLE AS meanx
+        |  FROM a, g)
+        |SELECT variant, n_users,
+        |  round(ay::DOUBLE / n_users::DOUBLE, 6) AS mean_post,
+        |  round(ay::DOUBLE / n_users::DOUBLE -
+        |    (CASE WHEN varxn <> 0 THEN covn / varxn END) *
+        |    (ax::DOUBLE / n_users::DOUBLE - meanx), 6) AS mean_adj,
+        |  round(CASE WHEN varxn <> 0 THEN covn / varxn END, 6) AS theta,
+        |  round(CASE WHEN varxn <> 0 AND varyn <> 0
+        |        THEN covn * covn / (varxn * varyn) END, 6) AS rho_sq
+        |FROM m""".stripMargin,
+
     "sk4_cms_contract" ->
       """WITH pk AS (
         |  SELECT user_id, count(*)::BIGINT AS exact FROM events GROUP BY 1),

@@ -2517,6 +2517,23 @@ object Queries {
     // (per-key reduce → depth fan-out → one groupBy), estimate every
     // key back out of it, and report the one-sided-error contract in
     // ALL-INTEGER form ((est−exact)·width vs 2N — no ε division)
+    // ---- SK6: Bloom filter membership — build on the order-placing
+    // custkeys, probe EVERY customer. No false negatives by
+    // construction (the oracle replays the exact md5 bit positions, so
+    // even the false positives hash-match) ----
+    "sk6_bloom" -> ((s, dir) => {
+      val (k, m) = (4, 4096)
+      val inserted = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val bloom = graft.sketch.Bloom.build(inserted, "custkey", k, m)
+      val probes = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      graft.sketch.Bloom.probe(probes, bloom, "custkey", k, m)
+    }),
+
+    // ---- AB3: CUPED variance reduction — pre-period purchase cents
+    // adjust the post-period metric; θ/ρ² from exact integer moments ----
+    "ab3_cuped" -> ((s, dir) =>
+      graft.events.Events.cuped(events(s, dir), splitDate = "2024-01-15")),
+
     "sk4_cms_contract" -> ((s, dir) => {
       val ev = events(s, dir)
       val (depth, width) = (4, 256)

@@ -1256,6 +1256,72 @@ object Events {
       .withColumn("significant_95", abs(col("z")) >= 1.96)
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    * user's post-period metric Y by their PRE-period metric X —
+    * Y' = Y − θ·(X − mean X) with θ = cov(X, Y)/var(X) — which removes
+    * the between-user variance X explains and shrinks A/B confidence
+    * intervals by the squared correlation ρ², at zero bias (X predates
+    * the assignment, so its arm-means are equal in expectation).
+    *
+    * Exactness: per-user X/Y are integer-cent sums; every pooled and
+    * per-arm moment (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) is an exact BIGINT
+    * aggregate, and θ / means / ρ² are fixed IEEE expressions over
+    * those integers — the cross-engine-deterministic shape. Degenerate
+    * var(X) = 0 yields null θ and adjusted means (null-on-degenerate).
+    *
+    * Scale: ONE user-keyed aggregate over the events (map-side
+    * combined), one 1-row pooled-moment frame crossJoined broadcast,
+    * one |arms|-row output. Output per arm:
+    * (variant, n_users, mean_post, mean_adj, theta, rho_sq). */
+  def cuped(
+      events: DataFrame,
+      splitDate: String,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val isPre = col(tsCol).cast("timestamp") <
+      lit(splitDate).cast("timestamp")
+    val conv = col(typeCol) === convType
+    val cents = round(col(valueCol) * 100).cast("long")
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(
+        sum(when(conv && isPre, cents).otherwise(0L)).as("__x"),
+        sum(when(conv && !isPre, cents).otherwise(0L)).as("__y"))
+      .withColumn("__arm", pmod(col(userCol), lit(2)).cast("int"))
+    val pooled = perUser.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val arms = perUser.groupBy(col("__arm").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__x")).as("__ax"), sum(col("__y")).as("__ay"))
+    def d(c: String): Column = col(c).cast("double")
+    // double-space moments: n·ΣXY − ΣX·ΣY can exceed long range at
+    // corpus scale, so the ratio arithmetic runs in IEEE doubles over
+    // the exact integer sums (same expression order in the oracle)
+    val covN = d("__n") * d("__sxy") - d("__sx") * d("__sy")
+    val varXN = d("__n") * d("__sxx") - d("__sx") * d("__sx")
+    val varYN = d("__n") * d("__syy") - d("__sy") * d("__sy")
+    val theta = when(varXN =!= 0.0, covN / varXN)
+    val meanX = d("__sx") / d("__n")
+    val meanPost = d("__ay") / d("n_users")
+    val meanAdj = meanPost - theta * (d("__ax") / d("n_users") - meanX)
+    val rhoSq = when(varXN =!= 0.0 && varYN =!= 0.0,
+      covN * covN / (varXN * varYN))
+    arms
+      .crossJoin(broadcast(pooled)) // one scalar row — bounded by design
+      .select(col("variant"), col("n_users"),
+        round(meanPost, 6).as("mean_post"),
+        round(meanAdj, 6).as("mean_adj"),
+        round(theta, 6).as("theta"),
+        round(rhoSq, 6).as("rho_sq"))
+  }
+
   /** Exact rolling `windowDays`-day distinct-user count (rolling
     * DAU/WAU/MAU) for EVERY day between the first and last activity —
     * without a per-window recount.

@@ -304,4 +304,45 @@ class AnalyticsExtrasSpec extends SparkSpec {
       .groupBy("row", "bucket").agg(sum("n").as("n"))
     assert(merged.except(sketch).isEmpty && sketch.except(merged).isEmpty)
   }
+
+  test("bloom: no false negatives ever; definite negatives exist at " +
+    "this sizing; shard merge (union-distinct) = whole-corpus build") {
+    import graft.sketch.Bloom
+    val (k, m) = (4, 1 << 14)
+    val keys = (1L to 200L).toDF("k")
+    val bloom = Bloom.build(keys, "k", k, m)
+    val probed = Bloom.probe((1L to 2000L).toDF("k"), bloom, "k", k, m)
+      .as[(Long, Boolean)].collect().toMap
+    (1L to 200L).foreach(key => assert(probed(key), s"false negative $key"))
+    // 16384 bits, 800 set: absent keys overwhelmingly probe false
+    assert((201L to 2000L).count(probed(_)) < 100)
+    // bitwise-OR merge: sharded builds union-distinct to the whole
+    val shardA = Bloom.build(keys.where(col("k") <= 100), "k", k, m)
+    val shardB = Bloom.build(keys.where(col("k") > 100), "k", k, m)
+    val merged = shardA.unionByName(shardB).distinct()
+    assert(merged.except(bloom).isEmpty && bloom.except(merged).isEmpty)
+  }
+
+  test("cuped: when post equals pre exactly, rho_sq = 1 and the " +
+    "adjusted arm means collapse to the pooled mean") {
+    import graft.events.Events
+    // 40 users, each with one pre purchase and one identical post
+    // purchase: X = Y per user, so X explains ALL the variance
+    val rows = (1L to 40L).flatMap { u =>
+      val v = (u % 7 + 1).toDouble
+      Seq((u, "purchase", "2024-01-10 00:00:00", v),
+        (u, "purchase", "2024-01-20 00:00:00", v))
+    }.toDF("user_id", "event_type", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Events.cuped(rows, splitDate = "2024-01-15")
+      .orderBy("variant").collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rho_sq") - 1.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("theta") - 1.0) < 1e-9)
+    }
+    // both adjusted means equal the pooled post mean (variance removed)
+    val adj = out.map(_.getAs[Double]("mean_adj"))
+    assert(math.abs(adj(0) - adj(1)) < 1e-6)
+  }
 }
