@@ -4983,6 +4983,35 @@ object Oracles {
 
     // SK4: Count-Min rebuilt in SQL — same md5 buckets, same min-over-
     // rows estimate, same all-integer contract arithmetic
+    // EV33: depth by EXISTS over explicit chains — the definitional
+    // spec; agreement proves the engine's greedy anchor maximization
+    // finds every feasible chain (43.2B µs = 12 h window)
+    "ev33_window_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |d3 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND v.event_type = 'view' AND v.us < c.us
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND c.us < p.us AND p.us - v.us <= 43200000000),
+        |d2 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND v.event_type = 'view' AND v.us < c.us
+        |    AND c.us - v.us <= 43200000000),
+        |d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |depth AS (
+        |  SELECT d1.user_id,
+        |    CASE WHEN d3.user_id IS NOT NULL THEN 3
+        |         WHEN d2.user_id IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |  FROM d1
+        |  LEFT JOIN d2 ON d1.user_id = d2.user_id
+        |  LEFT JOIN d3 ON d1.user_id = d3.user_id)
+        |SELECT depth::BIGINT AS depth, count(*)::BIGINT AS n_users
+        |FROM depth GROUP BY 1""".stripMargin,
+
     // SK6: same md5 bit positions replayed — the filter AND its false
     // positives are deterministic, so the boolean column hash-matches
     "sk6_bloom" ->

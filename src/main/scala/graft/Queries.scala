@@ -792,6 +792,16 @@ object Queries {
       graft.events.Events.funnel(
         events(s, dir), Seq("view", "click", "purchase"))),
 
+    // ---- EV33: time-window funnel (ClickHouse windowFunnel) — the
+    // deepest strictly-ordered view<click<purchase chain completing
+    // within 12 HOURS of ITS OWN first event, via cascaded anchor-max
+    // window carries (one shuffle, zero pair joins). Oracle: EXISTS
+    // chains — a different algorithm checking the greedy's optimality ----
+    "ev33_window_funnel" -> ((s, dir) =>
+      graft.events.Events.windowFunnel(
+        events(s, dir), Seq("view", "click", "purchase"),
+        windowMicros = 12L * 3600L * 1000000L)),
+
     // ---- EV30: skip-gram sequential patterns — (from, to, gap ≤ 5)
     // counts from maxGap lead columns in one window pass (bounded ×5
     // explode, never a pair join) ----

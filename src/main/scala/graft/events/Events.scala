@@ -1256,6 +1256,71 @@ object Events {
       .withColumn("significant_95", abs(col("z")) >= 1.96)
   }
 
+  /** Time-window funnel (ClickHouse `windowFunnel` semantics): the
+    * deepest strictly-ordered chain step₁ < step₂ < … < stepₖ whose
+    * LAST event falls within `windowMicros` of its FIRST, per user —
+    * unlike [[funnel]], which chains each step's first occurrence and
+    * misses chains begun by a later occurrence.
+    *
+    * Algorithm — greedy anchor maximization, zero pair joins: scanning
+    * each user's events in time order, an event of type stepₖ carries
+    * anchor aₖ = the MAXIMUM chain-start time over step₍ₖ₋₁₎ events
+    * strictly before it (a₁ = own ts). Maximizing the start at every
+    * level is optimal (aₖ is monotone in aₖ₋₁), and the window check
+    * `ts − aₖ ≤ W` at the chain end covers the intermediates (ts is
+    * increasing along the chain). Each level is one running max over
+    * the SAME (user, ts)-sorted window — k−1 cascaded carries on ONE
+    * shuffle, so the corpus sorts once; a bot user is one hot
+    * partition (the documented skew bound), never a pair blow-up.
+    *
+    * Output: (depth, n_users) for depth 1..steps.size — users whose
+    * deepest feasible chain reaches that depth exactly. */
+  def windowFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      windowMicros: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    if (steps.size < 2)
+      throw new ParameterError(s"windowFunnel needs >= 2 steps: $steps")
+    if (steps.distinct.size != steps.size)
+      throw new ParameterError(s"duplicate funnel steps: ${steps.mkString(", ")}")
+    if (windowMicros <= 0)
+      throw new ParameterError(s"window must be positive µs: $windowMicros")
+    // RANGE frame to −1 µs: the carry sees STRICTLY-earlier events
+    // only, so equal-timestamp events can never chain (the ClickHouse
+    // strict-increase rule) and ties need no ordering tiebreak at all
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("__us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    var df = events
+      .where(col(typeCol).isin(steps: _*)) // only funnel events sort
+      .withColumn("__us", tsUs)
+      .withColumn("__a1",
+        when(col(typeCol) === steps.head, col("__us")))
+    for (k <- 2 to steps.size) {
+      // an anchor from a strictly-earlier event is automatically < the
+      // current ts (chain starts precede their chain ends)
+      df = df.withColumn(s"__c$k", max(col(s"__a${k - 1}")).over(w))
+        .withColumn(s"__a$k",
+          when(col(typeCol) === steps(k - 1), col(s"__c$k")))
+    }
+    val feasibleDepth = (steps.size to 2 by -1).foldLeft(
+      when(col("__a1").isNotNull, 1L).otherwise(0L)) { (acc, k) =>
+      when(col(s"__a$k").isNotNull &&
+        col("__us") - col(s"__a$k") <= windowMicros, k.toLong)
+        .otherwise(acc)
+    }
+    df.select(col(userCol), feasibleDepth.as("__d"))
+      .groupBy(col(userCol))
+      .agg(max(col("__d")).as("depth"))
+      .where(col("depth") >= 1)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
     * user's post-period metric Y by their PRE-period metric X —
     * Y' = Y − θ·(X − mean X) with θ = cov(X, Y)/var(X) — which removes

@@ -85,15 +85,46 @@ object EventsBench {
         (pmod(hash(col("event_id"), lit(5)).cast("long"), lit(10000L))
           .cast("double") / 100.0))
       val (rf, tRf) = time {
-        Events.rfmSegments(valued).agg(
+        // dime quantum: at 50M events the per-user monetary sums exceed
+        // the default cent histogram's maxBins guard — coarsening the
+        // quantum is the guard's documented remedy, exercised here
+        Events.rfmSegments(valued, monetaryQuantumCents = 10L).agg(
           count(lit(1)), sum(col("n_users"))).head
+      }
+      // survival family (r7 rows): log-rank collapses to per-user
+      // (first, last) in ONE agg before anything else — the bot's 1M
+      // rows reduce map-side to one user row; RMST rides the same
+      // bounded distinct-day Kaplan-Meier curve
+      val (lr, tLr) = time {
+        Events.logRank(ev, censorDays = 7).agg(max(col("chisq"))).head
+      }
+      val (rm, tRm) = time {
+        Events.rmst(ev, tauDays = 30L, censorDays = 7)
+          .agg(max(col("rmst"))).head
+      }
+      // nearest-direction as-of join (j14): views pick up the nearest
+      // purchase within 1h either way. User-partitioned window carry —
+      // the bot shape is the documented skew bound (its 1M events sort
+      // in one task; completes, not fails)
+      val views = typed.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = valued.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val (aj, tAj) = time {
+        graft.panel.Intervals.asofJoinNearest(
+          views, purchases, Seq("user_id"),
+          toleranceMicros = 3600L * 1000000L)
+          .agg(count(lit(1)), count(col("value"))).head
       }
       println(f"$name%-24s activeUsers: days=${nAu.getLong(0)}%4d " +
         f"maxActive=${nAu.getLong(1)}%8d ${tAu}%6.1f s | " +
         f"sessionize: maxIdx=${nSe.getLong(0)}%7d ${tSe}%6.1f s | " +
         f"markov: baseP=${mk.getDouble(0)}%6.4f ${tMk}%6.1f s | " +
         f"gini: max=${gi.getDouble(0)}%6.4f ${tGi}%6.1f s | " +
-        f"rfm: cells=${rf.getLong(0)}%3d users=${rf.getLong(1)}%8d ${tRf}%6.1f s")
+        f"rfm: cells=${rf.getLong(0)}%3d users=${rf.getLong(1)}%8d ${tRf}%6.1f s | " +
+        f"logrank: chi2=${lr.getDouble(0)}%8.2f ${tLr}%6.1f s | " +
+        f"rmst: d=${rm.getDouble(0)}%6.2f ${tRm}%6.1f s | " +
+        f"asofNearest: rows=${aj.getLong(0)}%8d hit=${aj.getLong(1)}%8d ${tAj}%6.1f s")
     }
     spark.stop()
   }

@@ -708,4 +708,40 @@ class EventsSpec extends SparkSpec {
       ("a", "a", 1L) -> 1L, ("a", "c", 2L) -> 1L, ("b", "d", 2L) -> 1L))
     intercept[ParameterError] { Events.skipGrams(ev, maxGap = 0) }
   }
+
+  test("windowFunnel: later-occurrence chains count (unlike funnel's " +
+    "first-occurrence rule); equal-ts events never chain; the window " +
+    "bound is inclusive and measured from the chain's own first event") {
+    def depths(rows: Seq[(Long, Long, Timestamp, String)], winUs: Long) =
+      Events.windowFunnel(
+        rows.toDF("event_id", "user_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"), windowMicros = winUs)
+        .as[(Long, Long)].collect().toMap
+    // user 1: purchase BEFORE the click's view→click chain — the
+    // first-occurrence funnel would stop at 2, windowFunnel finds the
+    // later view→click→purchase chain (view at 10:02)
+    val laterChain = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase"),
+      (2L, 1L, ts("2024-01-01 10:02:00"), "view"),
+      (3L, 1L, ts("2024-01-01 10:03:00"), "click"),
+      (4L, 1L, ts("2024-01-01 10:04:00"), "purchase"))
+    assert(depths(laterChain, 3600L * 1000000L) == Map(3L -> 1L))
+    // equal timestamps: click at the SAME µs as the view cannot chain
+    val tied = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click"))
+    assert(depths(tied, 3600L * 1000000L) == Map(1L -> 1L))
+    // inclusive boundary, anchored at the chain's OWN view: the chain
+    // via the 10:00 view spans exactly 240 s (in), via 9:00 it's over
+    val boundary = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "click"),
+      (4L, 1L, ts("2024-01-01 10:04:00"), "purchase"))
+    assert(depths(boundary, 240L * 1000000L) == Map(3L -> 1L))
+    assert(depths(boundary, 239L * 1000000L) == Map(2L -> 1L))
+    // a user with clicks but no view never enters the histogram
+    val viewless = Seq((1L, 9L, ts("2024-01-01 10:00:00"), "click"))
+    assert(depths(viewless, 3600L * 1000000L) == Map.empty[Long, Long])
+  }
 }
