@@ -2815,12 +2815,14 @@ object Queries {
           .otherwise(col("close")))
       val wPrev = Window.partitionBy("sid").orderBy("date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wNext = Window.partitionBy("sid").orderBy("date")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // suffix carries as reversed-sort prefixes (O(n)-incremental;
+      // Spark recomputes suffix frames per row — the bot-shape lesson)
+      val wNext = Window.partitionBy("sid").orderBy(col("date").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       gapped
         .withColumn("pv", last(col("close_g"), ignoreNulls = true).over(wPrev))
         .withColumn("pd", max(when(col("close_g").isNotNull, col("date"))).over(wPrev))
-        .withColumn("nv", first(col("close_g"), ignoreNulls = true).over(wNext))
+        .withColumn("nv", last(col("close_g"), ignoreNulls = true).over(wNext))
         .withColumn("nd", min(when(col("close_g").isNotNull, col("date"))).over(wNext))
         .select(col("sid"), col("date"),
           when(col("close_g").isNotNull, col("close_g"))

@@ -486,10 +486,13 @@ object Evaluation {
     val placed = hist
       .withColumn("__negBelow", coalesce(sum(col("__cn")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__posAbove", coalesce(sum(col("__cp")).over(
-        w.rowsBetween(1, Window.unboundedFollowing)), lit(0L)))
       .withColumn("__np", sum(col("__cp")).over(whole))
       .withColumn("__nn", sum(col("__cn")).over(whole))
+      // suffix sum as whole − inclusive prefix: exact integers, and
+      // O(n)-incremental where a 1→unboundedFollowing frame is a
+      // per-row recompute (quadratic on a large score histogram)
+      .withColumn("__posAbove", col("__np") - sum(col("__cp")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       // half-count placements: u10/(2N₋) = V₁₀, u01/(2N₊) = V₀₁
       .withColumn("__u10", (col("__negBelow") * 2 + col("__cn")).cast(dec))
       .withColumn("__u01", (col("__posAbove") * 2 + col("__cp")).cast(dec))

@@ -232,11 +232,19 @@ object Intervals {
     val ord = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__tm"), col("__side"))
     val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the FORWARD carry as a prefix frame over the REVERSED sort:
+    // Spark recomputes currentRow→unboundedFollowing frames from
+    // scratch per row — quadratic on a hot key (the EventsBench bot
+    // shape never finished); the reversed prefix is O(n)-incremental
+    // and frame-identical (desc (__tm, __side) prefix excludes
+    // equal-ts right rows exactly as the asc suffix did)
+    val ordR = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__tm").desc, col("__side").desc)
+    val wF = ordR.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def back(c: String) =
       last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wB)
     def fwd(c: String) =
-      first(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wF)
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wF)
     val bAge = col("__tm") - col("__bt")
     val fAge = col("__ft") - col("__tm")
     val useB = col("__bt").isNotNull &&
@@ -249,7 +257,7 @@ object Intervals {
         last(when(col("__side") === 0, col("__tm")), ignoreNulls = true)
           .over(wB))
       .withColumn("__ft",
-        first(when(col("__side") === 0, col("__tm")), ignoreNulls = true)
+        last(when(col("__side") === 0, col("__tm")), ignoreNulls = true)
           .over(wF))
       .select(
         Seq(col("__side"), col("__row")) ++

@@ -47,6 +47,14 @@ object Panel {
     def slotCols: Seq[String] = if (slot.nonEmpty) slot else group ++ order
     def bySid: WindowSpec =
       Window.partitionBy((group :+ sid).map(col): _*).orderBy(order.map(col): _*)
+    /** [[bySid]] with the ordering REVERSED — a prefix frame over it is
+      * the O(n)-incremental way to express a suffix carry (Spark
+      * recomputes current-row→unbounded-FOLLOWING frames from scratch
+      * per row: quadratic on a hot partition — the EventsBench bot
+      * finding). */
+    def bySidDesc: WindowSpec =
+      Window.partitionBy((group :+ sid).map(col): _*)
+        .orderBy(order.map(c => col(c).desc): _*)
     def byDate: WindowSpec = Window.partitionBy(slotCols.map(col): _*)
     def cumFrame: WindowSpec =
       bySid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -76,10 +84,12 @@ object Panel {
   def ffill(c: Column)(implicit k: Keys): Column =
     last(c, ignoreNulls = true).over(k.cumFrame)
 
-  /** Backward fill (pandas `bfill()`). */
+  /** Backward fill (pandas `bfill()`) — the suffix carry expressed as
+    * a PREFIX frame over the reversed sort, so the window stays
+    * O(n)-incremental instead of Spark's per-row suffix recompute. */
   def bfill(c: Column)(implicit k: Keys): Column =
-    first(c, ignoreNulls = true)
-      .over(k.bySid.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    last(c, ignoreNulls = true)
+      .over(k.bySidDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
   /** W6: pandas `rolling(n).mean()` with default min_periods=n: null until
     * n non-null observations fill the frame. */
