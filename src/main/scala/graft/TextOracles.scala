@@ -782,6 +782,34 @@ object TextOracles {
          |      AS BIGINT) AS DOUBLE) / 4294967296.0 < rate""".stripMargin
     },
 
+    // SP15: unigram^0.75 negative draws — DuckDB does the interval
+    // join directly (oracle-side cost is irrelevant); the engine's
+    // bucketed equi-join must land every draw on the same word
+    "sp15_negative_samples" ->
+      s"""WITH $wordsCte,
+         |v AS (SELECT s AS word, count(*)::BIGINT AS f
+         |      FROM (SELECT unnest(w) AS s FROM words) WHERE s <> ''
+         |      GROUP BY 1),
+         |c AS (SELECT word,
+         |        CAST(round(sqrt(f::DOUBLE * sqrt(f::DOUBLE)) * 1e6) AS BIGINT)
+         |          AS wq
+         |      FROM v),
+         |cum AS (SELECT word, wq,
+         |          CAST(sum(wq) OVER (ORDER BY word ROWS UNBOUNDED PRECEDING)
+         |            AS BIGINT) AS hi
+         |        FROM c),
+         |cum2 AS (SELECT word, hi - wq AS lo, hi FROM cum),
+         |tot AS (SELECT CAST(max(hi) AS BIGINT) AS w_total FROM cum),
+         |dr AS (
+         |  SELECT doc_id, j,
+         |    CAST(floor(CAST(CAST(concat('0x',
+         |        substr(md5(concat_ws('|', 'neg', doc_id || '#' || j)), 1, 8))
+         |      AS BIGINT) AS DOUBLE) / 4294967296.0 * w_total::DOUBLE)
+         |      AS BIGINT) AS d
+         |  FROM documents, unnest([0, 1, 2, 3, 4]) AS t(j), tot)
+         |SELECT dr.doc_id, CAST(dr.j AS INT) AS draw_idx, c2.word AS neg_word
+         |FROM dr JOIN cum2 c2 ON c2.lo <= dr.d AND dr.d < c2.hi""".stripMargin,
+
     "tx4_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |  md5(array_to_string(list_sort(list_distinct(

@@ -200,6 +200,13 @@ object TextQueries {
         budgetPerGroup = 300)
         .select(col("doc_id"), col("source"))),
 
+    // ---- SP15: negative sampling from unigram^0.75 — hash-
+    // deterministic draws into the integer cumulative-mass space;
+    // freq^0.75 via two IEEE-exact sqrts (pow is not correctly-rounded
+    // across engines, sqrt is) ----
+    "sp15_negative_samples" -> ((s, dir) =>
+      Sampling.negativeSamples(t(s, dir, "documents"), k = 5)),
+
     // domain-mixture reweighting: per-source token mass -> the Bernoulli
     // rate hitting a 30/20/uniform-rest target mix with max retention
     "sp3_mixture_rates" -> ((s, dir) =>

@@ -463,4 +463,67 @@ object Sampling {
         round(col("__m").cast("double") / 1e6
           / col("__N").cast("double"), 6).as("fitted_share"))
   }
+
+  /** SP15: negative sampling for embedding training (Mikolov 2013) —
+    * k negatives per example, drawn from the unigram^0.75 distribution
+    * by deterministic hash, so resampling a grown corpus keeps every
+    * previously drawn (example, slot) pair whose vocab mass didn't
+    * move.
+    *
+    * Cross-engine exactness: freq^0.75 is spelled
+    * `sqrt(freq · sqrt(freq))` — IEEE 754 requires sqrt (unlike pow)
+    * to be correctly rounded, so both engines quantize identical
+    * weights; draws are md5 unit hashes scaled into the integer
+    * cumulative-mass space.
+    *
+    * Scale shape (the qn1 lesson): the draw→word lookup is NOT an
+    * interval-predicate join (that plans as a nested loop: O(draws ×
+    * vocab)); the cumulative space is cut into `buckets` equal slots,
+    * vocab intervals explode onto the ≤ V + buckets slots they
+    * overlap, and each draw equi-joins its slot (broadcast — the
+    * fanned table is vocab-bounded) then checks ≤ per-slot candidates.
+    * Output: one row per (idCol, draw_idx 0..k−1) with `neg_word`. */
+  def negativeSamples(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 5,
+      seed: String = "neg",
+      buckets: Int = 4096): DataFrame = {
+    if (k <= 0) throw new ParameterError(s"k must be positive: $k")
+    if (buckets <= 0) throw new ParameterError(s"buckets must be positive: $buckets")
+    val vocab = graft.dedup.Dedup.shingleRows(docs, idCol, textCol, n = 1)
+      .where(col("__s") =!= "")
+      .groupBy(col("__s").as("word"))
+      .agg(count(lit(1)).as("__f"))
+      .withColumn("__wq",
+        round(sqrt(col("__f").cast("double") * sqrt(col("__f").cast("double")))
+          * 1e6).cast("long"))
+    // vocab-bounded unpartitioned window (the qn1 histogram class)
+    val wOrd = Window.orderBy("word")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vocab
+      .withColumn("__hi", sum(col("__wq")).over(wOrd))
+      .withColumn("__lo", col("__hi") - col("__wq"))
+      .localCheckpoint(eager = false) // feeds the total AND the melt
+    val tot = cum.agg(max(col("__hi")).as("__W"))
+    val bw = greatest(lit(1L), call_function("div", col("__W"), lit(buckets.toLong)))
+    val slotted = cum
+      .crossJoin(broadcast(tot)) // one scalar row — bounded by design
+      .select(
+        explode(sequence(call_function("div", col("__lo"), bw),
+          call_function("div", col("__hi") - 1L, bw))).as("__slot"),
+        col("word"), col("__lo"), col("__hi"))
+    val draws = docs.select(col(idCol))
+      .select(col(idCol), explode(sequence(lit(0), lit(k - 1))).as("draw_idx"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d",
+        floor(hashUnit(concat_ws("#", col(idCol), col("draw_idx")), seed)
+          * col("__W").cast("double")).cast("long"))
+      .withColumn("__slot", call_function("div", col("__d"), bw))
+    draws
+      .join(broadcast(slotted), Seq("__slot"))
+      .where(col("__lo") <= col("__d") && col("__d") < col("__hi"))
+      .select(col(idCol), col("draw_idx"), col("word").as("neg_word"))
+  }
 }

@@ -270,4 +270,26 @@ class TextFilterSpec extends SparkSpec {
     assert(out(3L).isNullAt(out(3L).fieldIndex("f")))
     assert(out(4L).isNullAt(out(4L).fieldIndex("f")))
   }
+
+  test("negativeSamples: exactly k draws per example, deterministic " +
+    "across reruns, and frequencies track the unigram^0.75 masses") {
+    import graft.text.Sampling
+    // "hot" appears 64× per doc, "cold" once: mass ratio 64^0.75 ≈ 22.6
+    val docs = (1L to 400L)
+      .map(i => (i, (Seq.fill(64)("hot") :+ "cold").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.negativeSamples(docs, k = 5)
+      .as[(Long, Int, String)].collect()
+    assert(out.length == 400 * 5)
+    assert(out.map(r => (r._1, r._2)).distinct.length == 2000) // 1 word/draw
+    val hot = out.count(_._3 == "hot").toDouble
+    val ratio = hot / (out.length - hot)
+    // expected 64^0.75 ≈ 22.6; allow wide slack for 2000 draws
+    assert(ratio > 10 && ratio < 50, s"ratio $ratio")
+    // determinism: the same call yields the same rows
+    val again = Sampling.negativeSamples(docs, k = 5)
+      .as[(Long, Int, String)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
