@@ -3635,6 +3635,26 @@ object TextOracles {
         |  md5(upper(substring(hx, CAST(frame_idx * 48 + 1 AS BIGINT), 64))) AS frame_md5
         |FROM f""".stripMargin,
 
+    // GR9: min-hop distances as a recursive closure — UNION dedups
+    // (node, dist) pairs and the dist < 6 guard bounds the walk; the
+    // engine's frontier expansion must find the same minima
+    "gr9_bfs_layers" ->
+      """WITH RECURSIVE ch AS (
+        |  SELECT doc_id AS sa,
+        |    lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS sb
+        |  FROM documents),
+        |pr AS (SELECT sa, sb FROM ch WHERE sb IS NOT NULL),
+        |eda AS (SELECT sa, sb FROM pr UNION SELECT sb, sa FROM pr),
+        |sd AS (SELECT min(doc_id) AS node FROM documents GROUP BY source),
+        |reach(node, dist) AS (
+        |  SELECT node, 0 FROM sd
+        |  UNION
+        |  SELECT e.sb, r.dist + 1
+        |  FROM reach r JOIN eda e ON e.sa = r.node
+        |  WHERE r.dist < 6)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM reach GROUP BY 1""".stripMargin,
+
     // components as min-reachable-id: the recursive closure is the
     // definitional spec the engine's min-label propagation must match
     "gr3_components" ->

@@ -857,6 +857,26 @@ object TextQueries {
       graft.dedup.Dedup.duplicateClusters(pairs)
     }),
 
+    // ---- GR9: multi-source BFS hop layers over the per-source
+    // document CHAIN graph (consecutive doc ids within a source) —
+    // dist = min hops from each source's lowest doc, ≤ 6 rounds of
+    // frontier expansion (cost ∝ frontier edge mass per round), so
+    // layers 0..6 all populate and the tail stays unreachable. Oracle:
+    // recursive-CTE min-distance closure, the definitional spec ----
+    "gr9_bfs_layers" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      val edges = d
+        .withColumn("dst", lead(col("doc_id"), 1).over(w))
+        .where(col("dst").isNotNull)
+        .select(col("doc_id").as("src"), col("dst"))
+      val seeds = d.groupBy(col("source"))
+        .agg(min(col("doc_id")).as("node"))
+        .select(col("node"))
+      graft.graph.PageRank.bfsLayers(edges, seeds, maxHops = 6)
+    }),
+
     // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
     // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
     // greedy fold expressed as leftmost-non-overlapping replace over a

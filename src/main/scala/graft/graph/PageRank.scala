@@ -408,4 +408,54 @@ object PageRank {
         col("common_neighbors"),
         round(col("__aaq").cast("double") / 1e12, 6).as("aa_score"))
   }
+
+  /** GR9: multi-source BFS hop layers — `dist` = minimum hops from any
+    * seed over the UNDIRECTED graph, frontier-expanded up to `maxHops`
+    * rounds. Each round is one equi-join (frontier ⋈ edges) + distinct
+    * + anti-join against the settled set: cost ∝ the frontier's edge
+    * mass, the textbook Pregel round. Frontiers and the settled set
+    * are eagerly checkpointed inside a [[graft.CheckpointScope]] (the
+    * components/pagerank lifecycle); the early-exit probe is a bounded
+    * driver scalar per round. Nodes unreachable within `maxHops` are
+    * absent from the output — callers LEFT-join if they need nulls.
+    * Output: (node, dist). */
+  def bfsLayers(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    if (maxHops < 1)
+      throw new ParameterError(s"maxHops must be >= 1: $maxHops")
+    graft.CheckpointScope.scoped(edges.sparkSession) { scope =>
+      val und = scope.checkpoint(
+        edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+          .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+          .distinct(),
+        eager = true)
+      var dist = scope.checkpoint(
+        seeds.select(col(seedCol).as("node")).distinct()
+          .withColumn("dist", lit(0L)),
+        eager = true)
+      var frontier = dist.select(col("node"))
+      var hop = 1
+      var done = false
+      while (hop <= maxHops && !done) {
+        val next = scope.checkpoint(
+          und.join(frontier.withColumnRenamed("node", "__s"), "__s")
+            .select(col("__d").as("node")).distinct()
+            .join(dist.select(col("node")), Seq("node"), "left_anti")
+            .withColumn("dist", lit(hop.toLong)),
+          eager = true)
+        if (next.isEmpty) done = true
+        else {
+          dist = scope.checkpoint(dist.unionByName(next), eager = true)
+          frontier = next.select(col("node"))
+          hop += 1
+        }
+      }
+      dist
+    }
+  }
 }

@@ -144,4 +144,29 @@ class PageRankSpec extends SparkSpec {
     assert(PageRank.adamicAdar(e, minCommon = 3).isEmpty)
     intercept[ParameterError] { PageRank.adamicAdar(e, minCommon = 0) }
   }
+
+  test("bfsLayers: min-hop distances on a branching graph, multi-seed " +
+    "min wins, unreachable nodes absent, early exit releases blocks") {
+    //   1 - 2 - 3 - 4      seeds {1, 10}: node 4 is 3 from 1;
+    //   10 - 3 (shortcut)  via 10 it's 10-3-4 = 2. Node 99 isolated.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L), (98L, 99L))
+      .toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val seeds = Seq(1L, 10L).toDF("node")
+    val out = PageRank.bfsLayers(edges, seeds, maxHops = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // undirected: seeds reach backward too; 98/99 unreachable → absent
+    assert(!out.contains(99L) && !out.contains(98L))
+    // maxHops truncation: the 4-chain stops at dist 1
+    val short = PageRank.bfsLayers(edges, Seq(1L).toDF("node"), maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(short == Map(1L -> 0L, 2L -> 1L))
+    // scope: only result blocks outlive the calls
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leftover.size <= 2, s"expected only result blocks, got $leftover")
+    spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => leftover.contains(id) }
+      .values.foreach(_.unpersist(true))
+  }
 }
