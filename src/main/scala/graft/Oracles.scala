@@ -5345,6 +5345,37 @@ object Oracles {
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites
+    // TS5: the Holt recursion replayed as a linear recursive CTE —
+    // DuckDB's // floors, the engine truncates toward zero, so the
+    // division is sign-split; all states exact BIGINT micros
+    "ts5_holt" -> {
+      def tdiv(x: String) =
+        s"CASE WHEN ($x) >= 0 THEN ($x) // 10 ELSE -((-($x)) // 10) END"
+      val lNext = tdiv("3 * x.y * 1000000 + 7 * (h.l + h.b)")
+      val bNext = tdiv("1 * (t.l2 - t.l) + 9 * t.b")
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+         |  FROM events GROUP BY 1),
+         |idx AS (
+         |  SELECT day, y, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+         |  FROM daily),
+         |nn AS (SELECT CAST(max(i) AS BIGINT) AS m FROM idx),
+         |h(i, l, b) AS (
+         |  SELECT CAST(1 AS BIGINT),
+         |    (SELECT y FROM idx WHERE i = 1) * 1000000,
+         |    ((SELECT y FROM idx WHERE i = 2)
+         |      - (SELECT y FROM idx WHERE i = 1)) * 1000000
+         |  UNION ALL
+         |  SELECT t.i, t.l2, $bNext
+         |  FROM (
+         |    SELECT h.i + 1 AS i, h.l AS l, h.b AS b, $lNext AS l2
+         |    FROM h JOIN idx x ON x.i = h.i + 1
+         |    WHERE h.i < (SELECT m FROM nn)) t)
+         |SELECT x.day, x.y, h.l AS level_micro, h.b AS trend_micro,
+         |  lag(h.l + h.b) OVER (ORDER BY h.i) AS forecast_micro
+         |FROM h JOIN idx x ON x.i = h.i""".stripMargin
+    },
+
     "ts4_strength" ->
       s"""WITH $panelCte,
          |r AS (

@@ -2723,6 +2723,12 @@ object Queries {
     "w32_mean_reversion" -> ((s, dir) =>
       graft.panel.Seasonal.meanReversionHalfLife(supplierPanel(s, dir))),
 
+    // ---- TS5: Holt double-exponential smoothing over the daily event
+    // counts — micro-quantized integer recursion (truncating ÷10), the
+    // pca2 bounded-collect class; oracle replays it as a recursive CTE ----
+    "ts5_holt" -> ((s, dir) =>
+      graft.panel.Seasonal.holt(events(s, dir))),
+
     // ---- TS4: trend/seasonal strength over the ts2 components —
     // decimal(38,0) micro moments (the w26 discipline), null on
     // constant series ----

@@ -289,6 +289,65 @@ object Seasonal {
             / col("n_test").cast("double")), 6).as("coverage"))
   }
 
+  /** TS5: Holt double-exponential smoothing (level + linear trend)
+    * over the DAILY count series of an event log — the one-step
+    * forecaster between naive (ts3's baseline) and full seasonal
+    * decomposition (ts2).
+    *
+    * Exactness: the recursion runs in micro-quantized integers with
+    * tenth-scaled smoothing weights — lₜ = (α10·yₜ·10⁶ +
+    * (10−α10)·(lₜ₋₁+bₜ₋₁)) ÷10, bₜ = (β10·(lₜ−lₜ₋₁) + (10−β10)·bₜ₋₁)
+    * ÷10, division TRUNCATING TOWARD ZERO — so every state is a
+    * BIGINT both engines reproduce bit-exactly (DuckDB replays the
+    * recursion as a recursive CTE with a sign-split floor division).
+    *
+    * Scale: the DISTRIBUTED pass is the daily aggregate; the recursion
+    * itself is inherently sequential (an IIR filter — no prefix-sum
+    * form survives integer quantization) and runs on the driver over
+    * the CALENDAR-BOUNDED day series (the pca2 bounded-collect class:
+    * ≤ |days| rows regardless of event count). Output per day:
+    * (day, y, level_micro, trend_micro, forecast_micro) — exact
+    * integer micro-units (no double re-rounding at the boundary);
+    * forecast is the one-step-ahead prediction lₜ₋₁+bₜ₋₁, null on the
+    * first day. */
+  def holt(
+      events: DataFrame,
+      alphaTenths: Int = 3,
+      betaTenths: Int = 1,
+      tsCol: String = "ts"): DataFrame = {
+    require(alphaTenths >= 1 && alphaTenths <= 9, s"alphaTenths in 1..9: $alphaTenths")
+    require(betaTenths >= 1 && betaTenths <= 9, s"betaTenths in 1..9: $betaTenths")
+    val spark = events.sparkSession
+    // bounded collect: one row per calendar day
+    val daily = events
+      .groupBy(to_date(col(tsCol).cast("timestamp")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    require(daily.length >= 2, "holt needs at least 2 days")
+    def tdiv(x: Long, d: Long): Long = x / d // JVM: truncates toward zero
+    val n = daily.length
+    val l = new Array[Long](n)
+    val b = new Array[Long](n)
+    l(0) = daily(0)._2 * 1000000L
+    b(0) = (daily(1)._2 - daily(0)._2) * 1000000L
+    var i = 1
+    while (i < n) {
+      val pred = l(i - 1) + b(i - 1)
+      l(i) = tdiv(alphaTenths * daily(i)._2 * 1000000L +
+        (10L - alphaTenths) * pred, 10L)
+      b(i) = tdiv(betaTenths * (l(i) - l(i - 1)) +
+        (10L - betaTenths) * b(i - 1), 10L)
+      i += 1
+    }
+    import spark.implicits._
+    daily.indices.map { j =>
+      (daily(j)._1, daily(j)._2, l(j), b(j),
+        if (j == 0) None else Some(l(j - 1) + b(j - 1)))
+    }.toDF("day", "y", "level_micro", "trend_micro", "forecast_micro")
+  }
+
   // scala-side alias: functions.lag collides with the `lag` parameter
   private def lag_(c: org.apache.spark.sql.Column, n: Int,
       w: org.apache.spark.sql.expressions.WindowSpec) =

@@ -137,4 +137,30 @@ class SeasonalSpec extends SparkSpec {
       Seasonal.conformalInterval(p, alphaPct = 0)
     }
   }
+
+  test("holt: hand-replayed integer recursion, including the negative-" +
+    "trend truncating division; forecast is lagged level+trend") {
+    import org.apache.spark.sql.functions._
+    // days with counts 10, 10, 4 (declining → negative trend state)
+    val ev = Seq.tabulate(10)(i => (i, "2024-03-01 10:00:00")) ++
+      Seq.tabulate(10)(i => (100 + i, "2024-03-02 10:00:00")) ++
+      Seq.tabulate(4)(i => (200 + i, "2024-03-03 10:00:00"))
+    val df = ev.toDF("event_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Seasonal.holt(df).orderBy("day")
+      .select("y", "level_micro", "trend_micro", "forecast_micro")
+      .collect()
+    // l0 = 10e6, b0 = 0; l1 = (3·10e6 + 7·10e6)/10 = 10e6, b1 = 0
+    assert(out(0).getLong(1) == 10000000L && out(0).getLong(2) == 0L)
+    assert(out(0).isNullAt(3))
+    assert(out(1).getLong(1) == 10000000L && out(1).getLong(2) == 0L)
+    assert(out(1).getLong(3) == 10000000L)
+    // l2 = (3·4e6 + 7·10e6)/10 = 8.2e6; b2 = (1·(8.2e6−10e6) + 0)/10 =
+    // −1800000/10 = −180000 (truncation exact: divides evenly here)
+    assert(out(2).getLong(1) == 8200000L && out(2).getLong(2) == -180000L)
+    assert(out(2).getLong(3) == 10000000L)
+    intercept[IllegalArgumentException] {
+      Seasonal.holt(df.limit(5)) // a single day cannot seed the trend
+    }
+  }
 }
