@@ -5345,6 +5345,21 @@ object Oracles {
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites
+    // J15: the PLAIN (unsalted) join — hash equality proves the salted
+    // plan computes the identical relation
+    "j15_salted_join" ->
+      """WITH fs AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS flag_cents,
+        |    count(*)::BIGINT AS flag_n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT li.l_returnflag, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(round(li.l_extendedprice * 100) AS BIGINT) * fs.flag_n
+        |           - fs.flag_cents) AS BIGINT) AS dev_weighted_cents
+        |FROM lineitem li JOIN fs USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+
     // TS5: the Holt recursion replayed as a linear recursive CTE —
     // DuckDB's // floors, the engine truncates toward zero, so the
     // division is sign-split; all states exact BIGINT micros

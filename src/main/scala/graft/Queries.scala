@@ -436,6 +436,28 @@ object Queries {
             .as("net_cents"))
     }),
 
+    // ---- J15: salted skew join — lineitem joins per-returnflag stats
+    // on a THREE-VALUE key (the textbook hot-key shape: unsalted SMJ
+    // puts the whole fact in 3 tasks). Salting spreads each flag over
+    // 32 sub-keys; the oracle is the PLAIN join, proving the salt
+    // changed the plan, not the answer ----
+    "j15_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val flagStats = li.groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_extendedprice"))).as("flag_cents"),
+          count(lit(1)).as("flag_n"))
+      graft.panel.Salted.saltedJoin(
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_cents"))
+          .withColumn("__rid",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+        flagStats, key = "l_returnflag", rowIdCol = "__rid", salts = 32)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents") * col("flag_n") - col("flag_cents"))
+            .as("dev_weighted_cents"))
+    }),
+
     // ---- J6: as-of (ffill) join ----
     "j6_asof_join" -> ((s, dir) => {
       val ev = events(s, dir)

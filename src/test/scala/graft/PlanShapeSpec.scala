@@ -224,4 +224,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("saltedJoin: result-identical to the plain join on a 2-hot-key " +
+    "fact; the join re-keys on (key, salt) so the shuffle spreads") {
+    import graft.panel.Salted
+    val fact = (1L to 5000L)
+      .map(i => (i, if (i % 5 == 0) "A" else "B", i % 97))
+      .toDF("rid", "k", "v")
+    val dim = Seq(("A", 10L), ("B", 20L)).toDF("k", "mult")
+    val salted = Salted.saltedJoin(fact, dim, key = "k",
+      rowIdCol = "rid", salts = 8)
+      .select(col("rid"), col("v") * col("mult"))
+    val plain = fact.join(dim, "k").select(col("rid"), col("v") * col("mult"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    assert(salted.count() == 5000)
+    // the shuffle key includes the salt: hashpartitioning(k, __salt)
+    // appears in the static plan (AQE off so the exchange is visible)
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // defeat the broadcast so the salted SMJ/shuffle path is planned
+      val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = Salted.saltedJoin(fact, dim, "k", "rid", salts = 8)
+          .queryExecution.executedPlan.toString
+        assert(p.contains("__salt"), p.take(2000))
+        assert(p.contains("hashpartitioning(k"), p.take(2000))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
