@@ -5345,6 +5345,23 @@ object Oracles {
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites
+    // Q22: same anti + scalar-average shape; DuckDB AVG(BIGINT) is the
+    // same exact-integer-over-count double division Spark runs
+    "q22_sales_opportunity" ->
+      """SELECT c_nationkey,
+        |  count(*)::BIGINT AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) > (
+        |    SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
+
     // J15: the PLAIN (unsalted) join — hash equality proves the salted
     // plan computes the identical relation
     "j15_salted_join" ->

@@ -397,6 +397,29 @@ object Queries {
         GROUP BY s.s_name""")
     }),
 
+    // ---- Q22: anti-join + scalar-average filter (TPC-H q22's
+    // global-sales-opportunity shape): per-nation count/balance of
+    // rich customers (balance above the positive-balance average —
+    // a scalar subquery) with no order since 2001 (NOT EXISTS → LeftAnti over a pushed-down date slice).
+    // Balance compared in exact cents ----
+    "q22_sales_opportunity" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q22")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q22")
+      s.sql("""
+        SELECT c_nationkey,
+               COUNT(*) AS numcust,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS totacctbal_cents
+        FROM customer_q22 c
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > (
+            SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+            FROM customer_q22 WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders_q22 o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_nationkey""")
+    }),
+
     // ---- Q11: group-HAVING against a GLOBAL scalar (TPC-H q11's
     // important-stock shape): per-part value filtered by a fraction of
     // the all-parts total — the threshold is a scalar subquery over the
