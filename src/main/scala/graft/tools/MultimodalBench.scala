@@ -49,9 +49,21 @@ object MultimodalBench {
         .agg(sum(col("sum_r"))).collect()(0).getLong(0))
       val (nullRows, tCorrupt) = time(Multimodal.imageContent(corrupt(spark, n))
         .where(col("width").isNull).count())
+      // WAV rows (r7): real javax.sound.sampled encode→decode with
+      // exact amplitude sums; the corrupt frame reuses the same junk
+      // payloads (the decoder must reject them as nulls, not throw)
+      val wav = Multimodal.wavFixture(
+        spark.range(n).select(col("id").as("media_id"))).localCheckpoint()
+      val (wsum, tWav) = time(Multimodal.wavContent(wav)
+        .agg(sum(col("sum_sq"))).collect()(0).getLong(0))
+      val (wavNull, tWavCorrupt) = time(
+        Multimodal.wavContent(corrupt(spark, n))
+          .where(col("sample_rate").isNull).count())
       println(f"n=$n decode=${tDecode}%.2fs (${tDecode * 1e6 / n}%.1f us/img, checksum=$rows) " +
         f"resize=${tResize}%.2fs (${tResize * 1e6 / n}%.1f us/img) " +
-        f"corrupt=${tCorrupt}%.2fs (rejected=$nullRows)")
+        f"corrupt=${tCorrupt}%.2fs (rejected=$nullRows) " +
+        f"wav=${tWav}%.2fs (${tWav * 1e6 / n}%.1f us/clip, sumsq=$wsum) " +
+        f"wavCorrupt=${tWavCorrupt}%.2fs (rejected=$wavNull)")
       // localCheckpoint blocks register on the context, not the plan cache
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
