@@ -94,5 +94,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
         graft.functions.JaroWinklerSimilarity(args(0), args(1))
       }))
+
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(text, k, w) - distinct winnowed fingerprints " +
+          "(MOSS): k-gram Horner hashes' sliding w-window minima"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow(text, k, w) takes 3 arguments")
+        WinnowFingerprints(args(0),
+          intArg(args(1), "k", "graft_winnow"),
+          intArg(args(2), "w", "graft_winnow"))
+      }))
   }
 }

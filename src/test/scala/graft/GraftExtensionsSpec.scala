@@ -68,5 +68,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val jw = s.sql(
       "SELECT round(graft_jaro_winkler('martha', 'marhta'), 6) AS j").head
     assert(jw.getDouble(0) == 0.961111)
+
+    // winnowing through the SQL surface = the Scala kernel verbatim
+    val wn = s.sql(
+      "SELECT graft_winnow('the winnowing of documents', 8, 4) AS f").head
+    val kernel = graft.dedup.Winnow
+      .winnowScalar("the winnowing of documents", 8, 4).toSeq
+    assert(wn.getSeq[Long](0) == kernel && kernel.nonEmpty)
   }
 }
