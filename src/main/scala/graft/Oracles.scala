@@ -5345,6 +5345,19 @@ object Oracles {
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites
+    // DQ8: per-column census — a UNION ALL of one COUNT row per column
+    "dq8_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |  count($c)::BIGINT AS n_nonnull,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    },
+
     // Q22: same anti + scalar-average shape; DuckDB AVG(BIGINT) is the
     // same exact-integer-over-count double division Spark runs
     "q22_sales_opportunity" ->

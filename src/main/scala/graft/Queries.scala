@@ -2967,6 +2967,11 @@ object Queries {
       graft.events.Events.abConversionZ(events(s, dir),
         variant = col("user_id") % 2, convType = "purchase")),
 
+    // ---- DQ8: one-pass table profile — per-column row/non-null/exact-
+    // distinct census over lineitem, one aggregate + melt ----
+    "dq8_profile" -> ((s, dir) =>
+      graft.sources.Quality.profile(t(s, dir, "lineitem"))),
+
     // ---- declarative data-quality expectations: all predicate rules per
     // table in ONE aggregate pass + left-anti referential checks ----
     "dq1_expectations" -> ((s, dir) => {

@@ -504,4 +504,29 @@ object Quality {
         round((col("n").cast("double") - eN) * (col("n").cast("double") - eN)
           / eN, 6).as("chi2_term"))
   }
+
+  /** DQ8: one-pass table profile — per column: row count, non-null
+    * count, exact distinct count. The census every ingestion review
+    * starts from (null explosions, constant columns, key candidates),
+    * computed as ONE aggregate over the scan (Catalyst expands the
+    * distincts; no per-column rescan) and melted to a row per column.
+    * Counts only — engine-neutral integers; value-level min/max belong
+    * to zonemaps (zo1), which already profile ranges. */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    require(names.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +:
+      names.flatMap(c => Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = names.map(c => struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_nonnull"),
+      col(s"__nd_$c").as("n_distinct")))
+    one.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.column"), col("__r.n_rows"),
+        col("__r.n_nonnull"), col("__r.n_distinct"))
+  }
 }
