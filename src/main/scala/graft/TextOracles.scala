@@ -2919,6 +2919,72 @@ object TextOracles {
          |FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    // SIM15: the greedy unrolled step by step (MATERIALIZED selections,
+    // the bpe/pagerank discipline); picks argmax unrounded mmr with the
+    // (mmr DESC, cand_id) tie rule, emits 6dp
+    "sim15_mmr" -> {
+      val cos = cosine("a.embedding", "b.embedding")
+      val qcos = cosine("q.embedding", "c.embedding")
+      val steps = (2 to 5).map { t =>
+        s"""sel$t AS MATERIALIZED (
+           |  SELECT query_id, cand_id, CAST($t AS BIGINT) AS pick_order,
+           |         round(mmr, 6) AS mmr_score
+           |  FROM (
+           |    SELECT x.query_id, x.cand_id, x.mmr,
+           |      row_number() OVER (PARTITION BY x.query_id
+           |        ORDER BY x.mmr DESC, x.cand_id) AS rn
+           |    FROM (
+           |      SELECT c.query_id, c.cand_id,
+           |        0.5::DOUBLE * c.rel - 0.5::DOUBLE * m.ms AS mmr
+           |      FROM cand c
+           |      JOIN (SELECT p.query_id, p.ca AS cand_id, max(p.sim) AS ms
+           |            FROM ps p
+           |            JOIN u${t - 1} s
+           |              ON p.query_id = s.query_id AND p.cb = s.cand_id
+           |            GROUP BY 1, 2) m
+           |        ON c.query_id = m.query_id AND c.cand_id = m.cand_id
+           |      WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} s2
+           |        WHERE s2.query_id = c.query_id
+           |          AND s2.cand_id = c.cand_id)) x) y
+           |  WHERE rn = 1),
+           |u$t AS MATERIALIZED (
+           |  SELECT query_id, cand_id FROM u${t - 1}
+           |  UNION ALL SELECT query_id, cand_id FROM sel$t)""".stripMargin
+      }
+      s"""WITH cand AS MATERIALIZED (
+         |  SELECT query_id, cand_id, rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |      round($qcos, 6) AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($qcos, 6) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 5) r
+         |  WHERE rank <= 20),
+         |cv AS MATERIALIZED (
+         |  SELECT cand.query_id, cand.cand_id, e.embedding
+         |  FROM cand JOIN embeddings e ON e.vec_id = cand.cand_id),
+         |ps AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+         |    round($cos, 6) AS sim
+         |  FROM cv a JOIN cv b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS pick_order,
+         |         round(mmr, 6) AS mmr_score
+         |  FROM (
+         |    SELECT query_id, cand_id,
+         |      0.5::DOUBLE * rel - 0.5::DOUBLE * 0.0::DOUBLE AS mmr,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY 0.5::DOUBLE * rel DESC, cand_id) AS rn
+         |    FROM cand) z
+         |  WHERE rn = 1),
+         |u1 AS MATERIALIZED (SELECT query_id, cand_id FROM sel1),
+         |${steps.mkString(",\n")}
+         |SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |UNION ALL SELECT * FROM sel5""".stripMargin
+    },
+
     // SIM13: recall@10 of the 16-dim-prefix ranking vs the full-64
     // ranking — both replayed with the sim1 tie rule
     "sim13_matryoshka" -> {

@@ -1045,6 +1045,16 @@ object TextQueries {
         embs.where(col("vec_id") < 5), embs, "vec_id", "embedding", k = 5)
     }),
 
+    // ---- SIM15: MMR diversified re-ranking — greedy λ·rel −
+    // (1−λ)·max-sim over each query's top-20, 5 picks; everything
+    // after the relevance scan is dimension-bounded ----
+    "sim15_mmr" -> ((s, dir) => {
+      val embs = t(s, dir, "embeddings")
+      Similarity.mmrRerank(
+        embs.where(col("vec_id") < 5), embs, "vec_id", "embedding",
+        k = 20, select = 5, lambda = 0.5)
+    }),
+
     // ---- SIM13: Matryoshka-style truncation eval — recall@10 of the
     // first-16-dims retriever against the full-64-dim ground truth
     // (composes sim1's operator at two widths; the cheap-prefix index

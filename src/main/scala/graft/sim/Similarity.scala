@@ -669,4 +669,78 @@ object Similarity {
           col("__dot") / sqrt(col("__qa") * col("__qb"))), 6).as("cosine"),
         round(sqrt(col("__l2")), 6).as("l2"))
   }
+
+  /** SIM15: MMR diversified re-ranking (Carbonell & Goldstein 1998) —
+    * from each query's top-`k` relevance candidates, greedily pick
+    * `select` results maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-picked: the de-duplicated top list every RAG retriever
+    * re-ranks into (near-identical chunks stop crowding out coverage).
+    *
+    * Everything after the [[bruteForceTopK]] scan is DIMENSION-BOUNDED
+    * (|queries|·k candidates, ·k² pairwise sims), so the greedy's
+    * `select` rounds are joins over bounded checkpointed frames inside
+    * one CheckpointScope. Determinism: relevance and pair sims are the
+    * 6dp-rounded cosines; the argmax tie-breaks to the smallest id —
+    * the oracle unrolls the same greedy step by step. Output:
+    * (query_id, cand_id, pick_order 1..select, mmr_score). */
+  def mmrRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 20,
+      select: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    require(select >= 1 && select <= k, s"need 1 <= select <= k: $select, $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1]: $lambda")
+    graft.CheckpointScope.scoped(queries.sparkSession) { scope =>
+      val top = scope.checkpoint(
+        bruteForceTopK(queries, corpus, idCol, vecCol, k)
+          .select(col("query_id"), col("neighbor_id").as("cand_id"),
+            col("cosine").as("rel")),
+        eager = true)
+      val withVec = top.join(
+        corpus.select(col(idCol).as("cand_id"), col(vecCol).as("__v")),
+        "cand_id")
+      val sims = scope.checkpoint(
+        withVec.alias("a").join(withVec.alias("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.cand_id") =!= col("b.cand_id"))
+          .select(col("a.query_id").as("query_id"),
+            col("a.cand_id").as("ca"), col("b.cand_id").as("cb"),
+            round(cosine(col("a.__v"), col("b.__v")), 6).as("sim")),
+        eager = true)
+      var selected: DataFrame = null
+      for (step <- 1 to select) {
+        val avail =
+          if (selected == null) top
+          else top.join(selected.select(col("query_id"), col("cand_id")),
+            Seq("query_id", "cand_id"), "left_anti")
+        val withPenalty =
+          if (selected == null) avail.withColumn("__ms", lit(0.0))
+          else avail.join(
+            sims.join(
+              selected.select(col("query_id"), col("cand_id").as("cb")),
+              Seq("query_id", "cb"))
+              .groupBy(col("query_id"), col("ca").as("cand_id"))
+              .agg(max(col("sim")).as("__ms")),
+            Seq("query_id", "cand_id"), "left")
+            .na.fill(0.0, Seq("__ms"))
+        val pick = withPenalty
+          .withColumn("__mmr",
+            lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+          .groupBy(col("query_id"))
+          .agg(min_by(struct(col("cand_id"), col("__mmr")),
+            struct((-col("__mmr")).as("ns"), col("cand_id").as("id")))
+            .as("__p"))
+          .select(col("query_id"), col("__p.cand_id").as("cand_id"),
+            lit(step.toLong).as("pick_order"),
+            round(col("__p.__mmr"), 6).as("mmr_score"))
+        selected = scope.checkpoint(
+          if (selected == null) pick else selected.unionByName(pick),
+          eager = true)
+      }
+      selected
+    }
+  }
 }

@@ -32,6 +32,7 @@ class CatalogPlanSpec extends SparkSpec {
     "sim1_bruteforce_topk", "sim3_ivf_topk", "sim4_ivf_nprobe",
     "sim6_pq_topk", "sim7_ivfadc", "sim8_index_search", "sim9_rank_eval",
     "sim10_hard_negatives", "sim13_matryoshka", "sim14_nprobe_recall",
+    "sim15_mmr", // ≤5-row query set drives the top-20 relevance scan
     "ir4_rrf", // ≤5-row filtered query set drives the fused rank lists
     "trade_full", "trade_cal", "d17_trade_limits", "sw1_param_sweep",
     "ml8_purged_cv", "ml9_walk_forward", "r7_densify", "coint1_pairs",
