@@ -1490,6 +1490,36 @@ object TextOracles {
          |LEFT JOIN j ON d.doc_id = j.doc_id
          |GROUP BY d.doc_id""".stripMargin,
 
+    // TX30: bpe2's per-doc token chain grouped by language; the ratio
+    // is one double division of exact BIGINT sums
+    "tx30_fertility" ->
+      s"""WITH $wordsCte,
+         |$bpeVocabCtes,
+         |wcnt AS (SELECT word, len(string_split(trim(seq), '  ')) AS nt
+         |         FROM v$BpeSteps),
+         |tok AS (SELECT doc_id, unnest(w) AS s FROM words),
+         |j AS (SELECT t.doc_id, w2.nt
+         |      FROM (SELECT doc_id, s FROM tok WHERE s <> '') t
+         |      JOIN wcnt w2 ON t.s = w2.word),
+         |dt AS (SELECT d.doc_id, CAST(coalesce(sum(j.nt), 0) AS BIGINT)
+         |         AS n_tokens
+         |       FROM (SELECT DISTINCT doc_id FROM documents) d
+         |       LEFT JOIN j ON d.doc_id = j.doc_id
+         |       GROUP BY d.doc_id),
+         |wsx AS (SELECT doc_id, lang,
+         |          (CASE WHEN length(trim(text)) = 0 THEN 0
+         |            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |            END)::BIGINT AS n_ws
+         |        FROM documents)
+         |SELECT wsx.lang,
+         |  CAST(sum(dt.n_tokens) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(wsx.n_ws) AS BIGINT) AS ws_tokens,
+         |  count(*)::BIGINT AS n_docs,
+         |  round(CAST(sum(dt.n_tokens) AS BIGINT)::DOUBLE
+         |        / CAST(sum(wsx.n_ws) AS BIGINT)::DOUBLE, 6) AS fertility
+         |FROM wsx JOIN dt ON wsx.doc_id = dt.doc_id
+         |GROUP BY 1""".stripMargin,
+
     // per-doc char entropy: H = ln n − (Σ c·ln c)/n, the Σ term
     // micro-nat quantized per (doc, char) so the sum is order-free
     "tx17_entropy" ->

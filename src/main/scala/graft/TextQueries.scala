@@ -200,6 +200,27 @@ object TextQueries {
         budgetPerGroup = 300)
         .select(col("doc_id"), col("source"))),
 
+    // ---- TX30: tokenizer fertility per language — BPE tokens per
+    // whitespace token, the compression metric a tokenizer team
+    // tracks per language (high fertility = underserved language).
+    // Trains via the r7 HEAP path, so the production trainer is on a
+    // gated end-to-end chain ----
+    "tx30_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bpe = graft.text.Bpe.encode(
+        docs, graft.text.Bpe.learnMergesHeap(docs, numMerges = 10))
+      docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__ws"))
+        .join(bpe, "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("bpe_tokens"),
+          sum(col("__ws")).as("ws_tokens"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("fertility",
+          round(col("bpe_tokens").cast("double")
+            / col("ws_tokens").cast("double"), 6))
+    }),
+
     // ---- SP15: negative sampling from unigram^0.75 — hash-
     // deterministic draws into the integer cumulative-mass space;
     // freq^0.75 via two IEEE-exact sqrts (pow is not correctly-rounded
