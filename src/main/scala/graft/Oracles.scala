@@ -5345,6 +5345,20 @@ object Oracles {
     // TS4: strength — ts2's component chain re-quantized to micro
     // integers, HUGEINT raw moments (Spark: decimal(38,0)), the w26
     // variance shapes, null on constant composites
+    // A17: mode by (count DESC, value ASC) rank over the bounded
+    // (status, priority) grid
+    "a17_group_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  n AS mode_n
+        |FROM r WHERE rn = 1""".stripMargin,
+
     // DQ8: per-column census — a UNION ALL of one COUNT row per column
     "dq8_profile" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

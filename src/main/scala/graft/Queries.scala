@@ -2967,6 +2967,20 @@ object Queries {
       graft.events.Events.abConversionZ(events(s, dir),
         variant = col("user_id") % 2, convType = "purchase")),
 
+    // ---- A17: exact per-group MODE — most frequent o_orderpriority
+    // per order status, ties to the smallest value; two hash aggs,
+    // no window over the fact ----
+    "a17_group_mode" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min_by(col("o_orderpriority"),
+            struct((-col("__c")).as("nc"), col("o_orderpriority").as("v")))
+            .as("mode_priority"),
+          max(col("__c")).as("mode_n"))),
+
     // ---- DQ8: one-pass table profile — per-column row/non-null/exact-
     // distinct census over lineitem, one aggregate + melt ----
     "dq8_profile" -> ((s, dir) =>

@@ -1490,6 +1490,30 @@ object TextOracles {
          |LEFT JOIN j ON d.doc_id = j.doc_id
          |GROUP BY d.doc_id""".stripMargin,
 
+    // RV1: same md5 weights, argmax by (weight DESC, shard ASC)
+    "rv1_rendezvous" ->
+      """WITH w AS (
+        |  SELECT doc_id, s,
+        |    CAST(concat('0x', substr(md5('rv' || '|' || s || '|' || doc_id),
+        |      1, 8)) AS BIGINT) AS wt
+        |  FROM documents, unnest(range(0, 17)) AS t(s)),
+        |a16 AS (
+        |  SELECT doc_id, s AS shard16 FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt DESC, s) AS rn
+        |    FROM w WHERE s < 16) x WHERE rn = 1),
+        |a17 AS (
+        |  SELECT doc_id, s AS shard FROM (
+        |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY wt DESC, s) AS rn
+        |    FROM w) x WHERE rn = 1)
+        |SELECT CAST(a17.shard AS BIGINT) AS shard,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN a17.shard <> a16.shard16 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_arrived
+        |FROM a17 JOIN a16 USING (doc_id)
+        |GROUP BY 1""".stripMargin,
+
     // TX30: bpe2's per-doc token chain grouped by language; the ratio
     // is one double division of exact BIGINT sums
     "tx30_fertility" ->

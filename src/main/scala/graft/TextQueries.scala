@@ -200,6 +200,33 @@ object TextQueries {
         budgetPerGroup = 300)
         .select(col("doc_id"), col("source"))),
 
+    // ---- RV1: rendezvous (highest-random-weight) sharding — each doc
+    // goes to the shard with the max md5 weight. Growing 16 → 17
+    // shards, a doc MOVES iff the new shard's weight beats all old
+    // ones, so every arrival lands on shard 16 and expected churn is
+    // N/17 — the oracle output proves the move-minimization property
+    // on the real hashes (n_arrived = 0 for shards 0-15) ----
+    "rv1_rendezvous" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val w = docs
+        .select(col("doc_id"), explode(sequence(lit(0), lit(16))).as("s"))
+        .withColumn("wt",
+          conv(substring(md5(concat_ws("|", lit("rv"), col("s"), col("doc_id"))),
+            1, 8), 16, 10).cast("long"))
+      def assign(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("doc_id"))
+        .agg(min_by(col("s"), struct((-col("wt")).as("nw"), col("s").as("ss")))
+          .as("shard"))
+      val a16 = assign(w.where(col("s") < 16))
+        .withColumnRenamed("shard", "shard16")
+      val a17 = assign(w)
+      a17.join(a16, "doc_id")
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard16"), 1L).otherwise(0L))
+            .as("n_arrived"))
+    }),
+
     // ---- TX30: tokenizer fertility per language — BPE tokens per
     // whitespace token, the compression metric a tokenizer team
     // tracks per language (high fertility = underserved language).
