@@ -150,7 +150,13 @@ class CatalogPlanSpec extends SparkSpec {
     "ic5_bootstrap" -> 3, // resample re-key + two reduction aggs
     "mb1_frequent_pairs" -> 2, // ONE basket repartition + pair agg (the r6 fix)
     "backtest_pipeline" -> 3, // panel pivot, returns melt, summary agg
-    "perf_ccf" -> 8) // per-lag cross-correlations over the shifted panel
+    "perf_ccf" -> 8, // per-lag cross-correlations over the shifted panel
+    // r7 additions worth pinning (harvested from the static plans)
+    "sim15_mmr" -> 0, // greedy over checkpointed bounded frames
+    "gr9_bfs_layers" -> 0, // CheckpointScope'd frontier rounds
+    "tx30_fertility" -> 5, // BPE encode word-vocab chain + lang agg
+    "sp15_negative_samples" -> 0, // broadcast slot join; vocab checkpointed
+    "ev33_window_funnel" -> 2) // one user-key sort + depth histogram agg
 
   private def countShuffles(p: SparkPlan): Int = p.collect {
     case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
