@@ -5032,6 +5032,35 @@ object Oracles {
         |FROM fan LEFT JOIN (SELECT bit, bit AS bit2 FROM bits) b USING (bit)
         |GROUP BY 1""".stripMargin,
 
+    // AB4: the SAME driver-quantized integer constants — the oracle
+    // never evaluates a log
+    "ab4_sprt" -> {
+      val (lnR1, lnR0, hi, lo) =
+        graft.events.Events.sprtConstants(0.38, 0.46, 0.05, 0.2)
+      s"""WITH ud AS (
+         |  SELECT CAST(ts AS DATE) AS day, user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events WHERE user_id % 2 = 1
+         |  GROUP BY 1, 2),
+         |d AS (
+         |  SELECT day, count(*)::BIGINT AS trials,
+         |    CAST(sum(conv) AS BIGINT) AS conversions
+         |  FROM ud GROUP BY 1),
+         |c AS (
+         |  SELECT day, trials, conversions,
+         |    CAST(sum(conversions) OVER (ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * $lnR1 +
+         |    CAST(sum(trials - conversions) OVER (ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) * $lnR0 AS llr_micro
+         |  FROM d)
+         |SELECT day, trials, conversions, llr_micro,
+         |  CASE WHEN llr_micro >= $hi THEN 'accept_h1'
+         |       WHEN llr_micro <= $lo THEN 'accept_h0'
+         |       ELSE 'continue' END AS decision
+         |FROM c""".stripMargin
+    },
+
     // AB3: CUPED — exact integer moments, IEEE ratio arithmetic in the
     // Spark expression order (double-cast sums, n·Sxy − Sx·Sy shapes)
     "ab3_cuped" ->

@@ -2584,6 +2584,12 @@ object Queries {
       graft.sketch.Bloom.probe(probes, bloom, "custkey", k, m)
     }),
 
+    // ---- AB4: Wald SPRT on the daily conversion stream — integer
+    // LLR cumsum with driver-quantized log-ratio constants shared
+    // verbatim with the oracle (no cross-engine transcendental) ----
+    "ab4_sprt" -> ((s, dir) =>
+      graft.events.Events.sprt(events(s, dir), p0 = 0.38, p1 = 0.46)),
+
     // ---- AB3: CUPED variance reduction — pre-period purchase cents
     // adjust the post-period metric; θ/ρ² from exact integer moments ----
     "ab3_cuped" -> ((s, dir) =>

@@ -1256,6 +1256,68 @@ object Events {
       .withColumn("significant_95", abs(col("z")) >= 1.96)
   }
 
+  /** AB4: Wald's sequential probability ratio test over the daily
+    * conversion stream — the always-valid alternative to fixed-horizon
+    * A/B tests: stop the moment the cumulative log-likelihood ratio
+    * crosses ln((1−β)/α) (accept H1: p = p1) or ln(β/(1−α)) (accept
+    * H0: p = p0), instead of waiting out the horizon.
+    *
+    * Exactness: the only transcendentals are FOUR constants of the
+    * hypothesis literals — micro-quantized ONCE on the driver
+    * ([[sprtConstants]]) and inlined as integer literals on BOTH
+    * engines, so the daily LLR is an exact integer cumsum
+    * (conversions·lnR1 + misses·lnR0) and the stopping decision is an
+    * integer comparison. One user-day aggregate + one bounded
+    * day-ordered cumulative window.
+    *
+    * Output per day (test arm = odd user ids): (day, trials,
+    * conversions, llr_micro, decision ∈ accept_h1/accept_h0/continue). */
+  def sprt(
+      events: DataFrame,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.2,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val (lnR1, lnR0, hi, lo) = sprtConstants(p0, p1, alpha, beta)
+    val day = to_date(col(tsCol).cast("timestamp"))
+    val userDays = events
+      .where(pmod(col(userCol), lit(2)) === 1) // the test arm
+      .groupBy(day.as("day"), col(userCol))
+      .agg(max((col(typeCol) === convType).cast("long")).as("__conv"))
+    val daily = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("__conv")).as("conversions"))
+    // bounded window: one row per calendar day
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("llr_micro",
+        sum(col("conversions")).over(w) * lnR1 +
+          sum(col("trials") - col("conversions")).over(w) * lnR0)
+      .withColumn("decision",
+        when(col("llr_micro") >= hi, "accept_h1")
+          .when(col("llr_micro") <= lo, "accept_h0")
+          .otherwise("continue"))
+  }
+
+  /** The four SPRT integer constants (micro-quantized log ratios),
+    * shared verbatim by the engine and the DuckDB oracle so neither
+    * engine evaluates a transcendental. */
+  def sprtConstants(
+      p0: Double, p1: Double, alpha: Double, beta: Double): (Long, Long, Long, Long) = {
+    if (!(p0 > 0 && p1 > p0 && p1 < 1))
+      throw new ParameterError(s"need 0 < p0 < p1 < 1: $p0, $p1")
+    if (!(alpha > 0 && alpha < 1 && beta > 0 && beta < 1))
+      throw new ParameterError(s"alpha/beta in (0,1): $alpha, $beta")
+    (math.round(math.log(p1 / p0) * 1e6),
+      math.round(math.log((1 - p1) / (1 - p0)) * 1e6),
+      math.round(math.log((1 - beta) / alpha) * 1e6),
+      math.round(math.log(beta / (1 - alpha)) * 1e6))
+  }
+
   /** Time-window funnel (ClickHouse `windowFunnel` semantics): the
     * deepest strictly-ordered chain step₁ < step₂ < … < stepₖ whose
     * LAST event falls within `windowMicros` of its FIRST, per user —
