@@ -5708,6 +5708,34 @@ object Oracles {
          |    / (count(*) - 1) AS var_c2
          |FROM p GROUP BY sid""".stripMargin,
 
+    // W33: the same bounded 5-array sorted in SQL — list() window +
+    // list_sort; median = element 3 of the sorted 5-list, exact ints
+    "w33_hampel" ->
+      """WITH p AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |    CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |a AS (
+        |  SELECT sid, date, c,
+        |    list(c) OVER (PARTITION BY sid ORDER BY date
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS arr
+        |  FROM p),
+        |m AS (
+        |  SELECT sid, date, c,
+        |    CASE WHEN len(arr) = 5
+        |         THEN list_sort(arr)[3] END AS med_cents,
+        |    arr
+        |  FROM a)
+        |SELECT sid, date, c AS close_cents, med_cents,
+        |  CASE WHEN med_cents IS NOT NULL
+        |       THEN list_sort(list_transform(arr, v -> abs(v - med_cents)))[3]
+        |       END AS mad_cents,
+        |  CASE WHEN med_cents IS NOT NULL
+        |       THEN abs(c - med_cents) >
+        |         list_sort(list_transform(arr, v -> abs(v - med_cents)))[3] * 3
+        |       END AS is_spike
+        |FROM m""".stripMargin,
+
     "w27_interpolate" ->
       s"""WITH $panelCte,
          |g AS (

@@ -2866,6 +2866,27 @@ object Queries {
     // non-null carried by IGNORE NULLS running windows; weight = calendar
     // day distance). The null mask is engine-independent arithmetic so the
     // oracle reproduces it exactly.
+    // ---- W33: Hampel despike filter — centered rolling-median ±
+    // 3·MAD outlier flag over a 5-bar frame, ALL inside one per-row
+    // array chain (sort of a bounded 5-array, no percentile UDF);
+    // integer cents end to end, edges (partial frames) stay null ----
+    "w33_hampel" -> ((s, dir) => {
+      val w = Window.partitionBy("sid").orderBy("date").rowsBetween(-2, 2)
+      val arr = collect_list(cents(col("close"))).over(w)
+      supplierPanel(s, dir)
+        .withColumn("__a", arr)
+        .withColumn("med_cents",
+          when(size(col("__a")) === 5, element_at(array_sort(col("__a")), 3)))
+        .withColumn("mad_cents",
+          when(size(col("__a")) === 5, element_at(array_sort(
+            transform(col("__a"), v => abs(v - col("med_cents")))), 3)))
+        .select(col("sid"), col("date"), cents(col("close")).as("close_cents"),
+          col("med_cents"), col("mad_cents"),
+          when(col("med_cents").isNotNull,
+            abs(cents(col("close")) - col("med_cents")) > col("mad_cents") * 3)
+            .as("is_spike"))
+    }),
+
     "w27_interpolate" -> ((s, dir) => {
       val gapped = supplierPanel(s, dir).withColumn("close_g",
         when((col("sid") + dayofmonth(col("date"))) % 4 === 0, lit(null))
