@@ -897,6 +897,35 @@ object TextOracles {
          |FROM p""".stripMargin
     },
 
+    // PK2: the pk1 chain re-aggregated per shard; waste is exact
+    // integer capacity minus placed mass
+    "pk2_pack_efficiency" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n,
+        |    CAST(concat('0x', substr(md5('pack|' || doc_id::VARCHAR), 1, 8))
+        |         AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS off
+        |  FROM n WHERE n > 0),
+        |packed AS (
+        |  SELECT shard, u.seq_id, doc_id,
+        |    least(off + n, (u.seq_id + 1) * 512) - greatest(off, u.seq_id * 512)
+        |      AS tok_in_seq
+        |  FROM c, unnest(generate_series(off // 512, (off + n - 1) // 512))
+        |    AS u(seq_id))
+        |SELECT shard,
+        |  CAST(max(seq_id) + 1 AS BIGINT) AS n_seqs,
+        |  CAST(sum(tok_in_seq) AS BIGINT) AS total_tokens,
+        |  count(*)::BIGINT AS n_doc_spans,
+        |  CAST((max(seq_id) + 1) * 512 - CAST(sum(tok_in_seq) AS BIGINT)
+        |    AS BIGINT) AS waste_tokens
+        |FROM packed GROUP BY 1""".stripMargin,
+
     // packing parity: BIGINT-only arithmetic (off // B exact in both
     // engines), per-shard running sum ordered by doc_id
     "pk1_pack_sequences" ->

@@ -168,6 +168,23 @@ object TextQueries {
       Packing.packSequences(t(s, dir, "documents"), "doc_id", "text",
         budget = 512, shards = 8)),
 
+    // ---- PK2: packing efficiency report — per-shard sequence count,
+    // token mass, and tail waste over pk1's packing: the fill-rate
+    // number a training-data team watches (waste = capacity of the
+    // shard's sequences minus tokens placed; only each shard's LAST
+    // sequence can be partial, so waste < 512 per shard) ----
+    "pk2_pack_efficiency" -> ((s, dir) => {
+      val packed = Packing.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", budget = 512, shards = 8)
+      packed.groupBy(col("shard"))
+        .agg(
+          (max(col("seq_id")) + 1L).as("n_seqs"),
+          sum(col("tok_in_seq")).as("total_tokens"),
+          count(lit(1)).as("n_doc_spans"))
+        .withColumn("waste_tokens",
+          col("n_seqs") * 512L - col("total_tokens"))
+    }),
+
     // BM25 top-20 for a fixed query — per-term tf as column algebra on
     // the scan, corpus stats as ONE broadcast scalar row, fixed-order
     // term-score summation for bit determinism
