@@ -5708,6 +5708,33 @@ object Oracles {
          |    / (count(*) - 1) AS var_c2
          |FROM p GROUP BY sid""".stripMargin,
 
+    // PORT3: same micro-return moments; kelly = S·n/(n·S2 − S²)·1e6 in
+    // the Spark expression order
+    "port3_kelly" ->
+      """WITH p AS (
+        |  SELECT l_suppkey AS sid, CAST(l_shipdate AS DATE) AS date,
+        |    CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT sid,
+        |    CAST(round((c::DOUBLE / prev::DOUBLE - 1.0) * 1e6) AS BIGINT) AS r
+        |  FROM (SELECT sid, c,
+        |          lag(c) OVER (PARTITION BY sid ORDER BY date) AS prev
+        |        FROM p) x
+        |  WHERE prev IS NOT NULL AND prev <> 0),
+        |m AS (
+        |  SELECT sid, count(*)::BIGINT AS n_days,
+        |    CAST(sum(r) AS BIGINT) AS s, CAST(sum(r * r) AS BIGINT) AS s2
+        |  FROM r GROUP BY 1)
+        |SELECT sid, n_days,
+        |  round(s::DOUBLE / n_days::DOUBLE / 1e6, 6) AS mean_ret,
+        |  round(CASE WHEN n_days::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE
+        |               <> 0
+        |        THEN s::DOUBLE * n_days::DOUBLE
+        |          / (n_days::DOUBLE * s2::DOUBLE - s::DOUBLE * s::DOUBLE)
+        |          * 1e6 END, 6) AS kelly
+        |FROM m""".stripMargin,
+
     // W33: the same bounded 5-array sorted in SQL — list() window +
     // list_sort; median = element 3 of the sorted 5-list, exact ints
     "w33_hampel" ->

@@ -2866,6 +2866,34 @@ object Queries {
     // non-null carried by IGNORE NULLS running windows; weight = calendar
     // day distance). The null mask is engine-independent arithmetic so the
     // oracle reproduces it exactly.
+    // ---- PORT3: per-sid Kelly fraction f* = μ/σ² from micro-quantized
+    // daily returns — integer moments (n, Σr, Σr²) so the unordered
+    // sums are exact; the ratio is one fixed IEEE expression; zero
+    // variance → null (the house degenerate rule) ----
+    "port3_kelly" -> ((s, dir) => {
+      val w = Window.partitionBy("sid").orderBy("date")
+      val prev = lag(cents(col("close")), 1).over(w)
+      val retMicro = round((cents(col("close")).cast("double")
+        / prev.cast("double") - 1.0) * 1e6).cast("long")
+      supplierPanel(s, dir)
+        .withColumn("__r", when(prev.isNotNull && prev =!= 0L, retMicro))
+        .where(col("__r").isNotNull)
+        .groupBy(col("sid"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__r")).as("__s"),
+          sum(col("__r") * col("__r")).as("__s2"))
+        .withColumn("mean_ret",
+          round(col("__s").cast("double") / col("n_days").cast("double")
+            / 1e6, 6))
+        .withColumn("__varq",
+          col("n_days").cast("double") * col("__s2").cast("double")
+            - col("__s").cast("double") * col("__s").cast("double"))
+        .select(col("sid"), col("n_days"), col("mean_ret"),
+          round(when(col("__varq") =!= 0.0,
+            col("__s").cast("double") * col("n_days").cast("double")
+              / col("__varq") * 1e6), 6).as("kelly"))
+    }),
+
     // ---- W33: Hampel despike filter — centered rolling-median ±
     // 3·MAD outlier flag over a 5-bar frame, ALL inside one per-row
     // array chain (sort of a bounded 5-array, no percentile UDF);
