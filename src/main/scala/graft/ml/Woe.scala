@@ -47,13 +47,22 @@ object Woe {
       .withColumn("__lo", col("__cum") - col("__c"))
       .select(col("__v"), col("__lo"))
     val n = rows.agg(count(lit(1)).as("__N"))
-    // tieCols SHOULD be a unique key per value level (ml30 passes the
-    // lineitem PK). If they are not, append __bad as the final
-    // tiebreaker: rows identical in (__v, tieCols, __bad) are
-    // interchangeable, so ordering by __bad too makes the per-bin
-    // n_bad/woe output deterministic across runs and engines even for
-    // non-unique tieCols (only bad-ness crossing a bin boundary is
-    // observable).
+    // tieCols must be a unique key per value level (ml30 passes the
+    // lineitem PK). A duplicate means the caller's tiebreaker is not
+    // the key they think it is — which rows share a bin boundary then
+    // depends on an arbitrary total order, so raise loudly instead of
+    // resolving silently (house convention: errors over wobble risk).
+    // One small validation job per call, same as Trade.requireFresh.
+    val dupe = rows.groupBy(col("__v") +: tieCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).where(col("__c") > 1L).limit(1)
+    if (!dupe.isEmpty)
+      throw new graft.ParameterError(
+        s"woeIv: tieCols (${tieCols.mkString(", ")}) do not uniquely " +
+          "key rows within a value level; pass a unique tiebreaker key")
+    // __bad is still appended as a belt-and-braces final tiebreaker:
+    // with uniqueness enforced it never decides, and it keeps the
+    // interchangeable-row determinism argument valid if enforcement is
+    // ever relaxed.
     val wTie = Window.partitionBy("__v")
       .orderBy(tieCols.map(col) :+ col("__bad"): _*)
     val binned = rows

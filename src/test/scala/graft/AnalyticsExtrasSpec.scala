@@ -159,6 +159,25 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out(1).getDouble(3) == math.rint(woe * 1e6) / 1e6)
   }
 
+  test("woeIv: non-unique (value, tieCols) raises ParameterError " +
+    "instead of resolving ties silently") {
+    val df = Seq(
+      (1.0, false, 1L), (1.0, true, 1L), // same value AND same tie key
+      (2.0, false, 2L), (3.0, true, 3L))
+      .toDF("v", "bad", "id")
+    val e = intercept[graft.ParameterError] {
+      graft.ml.Woe.woeIv(df, "bad", "v", Seq("id"), bins = 2)
+    }
+    assert(e.getMessage.contains("tieCols"))
+    // duplicate tie key at DIFFERENT value levels is fine — uniqueness
+    // is required per value level only
+    val ok = Seq(
+      (1.0, false, 1L), (2.0, true, 1L), (3.0, false, 2L), (4.0, true, 2L))
+      .toDF("v", "bad", "id")
+    assert(graft.ml.Woe.woeIv(ok, "bad", "v", Seq("id"), bins = 2)
+      .collect().length == 2)
+  }
+
   // ---- featureMi ------------------------------------------------------
 
   test("featureMi: class-exclusive token has positive MI, " +
