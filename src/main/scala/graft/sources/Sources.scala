@@ -58,6 +58,20 @@ object Sources {
     }
   }
 
+  /** Above this many resolved members per side, [[prices]] /
+    * [[pricesUnion]] / [[pricesTable]] stop materializing a driver-side
+    * `isin` literal (a multi-million-sid universe would serialize a
+    * giant predicate into every task and round-trip the members through
+    * the driver) and instead filter with a broadcast LEFT SEMI
+    * (includes) / LEFT ANTI (excludes) join against the membership
+    * table. Below it, the literal wins: it reaches the parquet reader
+    * as PushedFilters, which no join can. The membership dimension is
+    * ≪ the panel by contract, so broadcast is the right join side; on
+    * the bucketed [[pricesTable]] layout the probe needs no exchange at
+    * all, and date-partition pruning is independent of the sid filter
+    * either way. */
+  val MaxIsinSids: Int = 10000
+
   /** Resolve universe names into sid predicates via a `(universe, sid)`
     * membership table (reference base.py:1240-1245: UNIVERSES /
     * EXCLUDE_UNIVERSES ride the same service query as sids — here the
@@ -71,7 +85,11 @@ object Sources {
     * stays cast-free. Unknown universe names raise ParameterError
     * (mirroring the service's no-such-universe failure). Universe sids
     * UNION with explicit sids (and likewise for excludes), matching the
-    * service's semantics. */
+    * service's semantics.
+    *
+    * This eager-literal form is for master-bounded universes; the scan
+    * entry points guard on [[MaxIsinSids]] and switch to semi-join
+    * resolution above it (see [[MaxIsinSids]]). */
   def resolveUniverses(q: PriceQuery, membership: DataFrame): PriceQuery = {
     if (q.universes.isEmpty && q.excludeUniverses.isEmpty) return q
     def members(names: Seq[String]): Seq[String] =
@@ -184,21 +202,80 @@ object Sources {
     }
   }
 
-  private def resolve(q: PriceQuery, membership: Option[DataFrame]): PriceQuery =
+  /** A resolved query plus the semi-join fallback sides: `include` /
+    * `exclude` are distinct-sid frames (column `sid`, string) present
+    * only when that side's universe resolution crossed [[MaxIsinSids]]. */
+  private final case class Resolved(
+      q: PriceQuery,
+      include: Option[DataFrame] = None,
+      exclude: Option[DataFrame] = None)
+
+  private def resolve(q: PriceQuery, membership: Option[DataFrame]): Resolved =
     membership match {
-      case Some(m) => resolveUniverses(q, m)
+      case Some(m) => resolveGuarded(q, m)
       case None =>
         if (q.universes.nonEmpty || q.excludeUniverses.nonEmpty)
           throw new ParameterError(
             "query names universes but no universe membership table was " +
               "provided — pass universeMembership or pre-resolve with " +
               "resolveUniverses")
-        q
+        Resolved(q)
     }
+
+  /** Size-guarded universe resolution: one bounded per-universe count
+    * pass decides the strategy per side — ≤ [[MaxIsinSids]] members
+    * collect to an `isin` literal (pushdown), above it the side becomes
+    * a broadcast semi/anti join frame and no member ever visits the
+    * driver. Explicit sids OR with universe members, so in fallback
+    * mode they union INTO the include frame; explicit excludeSids are
+    * AND-ed exclusions and stay literal either way. */
+  private def resolveGuarded(q: PriceQuery, m: DataFrame): Resolved = {
+    if (q.universes.isEmpty && q.excludeUniverses.isEmpty) return Resolved(q)
+    val names = (q.universes ++ q.excludeUniverses).distinct
+    val counts = m.where(col("universe").isin(names: _*))
+      .groupBy(col("universe"))
+      .agg(count_distinct(col("sid")).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = names.toSet -- counts.keySet
+    if (missing.nonEmpty)
+      throw new ParameterError(
+        s"no such universe(s): ${missing.toSeq.sorted.mkString(", ")}")
+    def memberFrame(ns: Seq[String]): DataFrame = m
+      .where(col("universe").isin(ns: _*))
+      .select(col("sid").cast("string").as("sid")).distinct()
+    // sum over universes is an upper bound (shared sids double-count) —
+    // crossing the guard slightly early is the safe direction
+    def small(ns: Seq[String]): Boolean = ns.map(counts).sum <= MaxIsinSids
+    def literal(ns: Seq[String]): Seq[String] =
+      memberFrame(ns).collect().map(_.getString(0)).toSeq
+    val (incSids, incFrame) =
+      if (q.universes.isEmpty) (q.sids, None)
+      else if (small(q.universes))
+        ((q.sids ++ literal(q.universes)).distinct, None)
+      else {
+        val base = memberFrame(q.universes)
+        val withExplicit =
+          if (q.sids.isEmpty) base
+          else base.union(
+            m.sparkSession.createDataset(q.sids)(
+              org.apache.spark.sql.Encoders.STRING).toDF("sid")).distinct()
+        (Nil, Some(withExplicit))
+      }
+    val (excSids, excFrame) =
+      if (q.excludeUniverses.isEmpty) (q.excludeSids, None)
+      else if (small(q.excludeUniverses))
+        ((q.excludeSids ++ literal(q.excludeUniverses)).distinct, None)
+      else (q.excludeSids, Some(memberFrame(q.excludeUniverses)))
+    Resolved(
+      q.copy(sids = incSids, excludeSids = excSids,
+        universes = Nil, excludeUniverses = Nil),
+      incFrame, excFrame)
+  }
 
   /** The PriceQuery → Catalyst-predicate translation shared by the path
     * scan ([[prices]]) and the catalog scan ([[pricesTable]]). */
-  private def applyQuery(source: DataFrame, q: PriceQuery): DataFrame = {
+  private def applyQuery(source: DataFrame, r: Resolved): DataFrame = {
+    val q = r.q
     var df = source
     q.startDate.foreach(s =>
       df = df.where(col("date") >= lit(widenedStart(s, q.lookbackBars))))
@@ -206,6 +283,12 @@ object Sources {
     if (q.sids.nonEmpty) df = df.where(col("sid").isin(q.sids: _*))
     if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))
     if (q.times.nonEmpty) df = df.where(col("time").isin(q.times: _*))
+    // guarded-universe fallback (see MaxIsinSids): membership sides too
+    // big for an isin literal filter as broadcast semi/anti joins
+    r.include.foreach(inc =>
+      df = df.join(broadcast(inc), Seq("sid"), "left_semi"))
+    r.exclude.foreach(exc =>
+      df = df.join(broadcast(exc), Seq("sid"), "left_anti"))
     if (q.fields.nonEmpty) {
       val keep = Seq("sid", "date", "time").filter(df.columns.contains) ++ q.fields
       df = df.select(keep.distinct.map(col): _*)

@@ -87,6 +87,49 @@ class SourcesStreamingSpec extends SparkSpec {
     }
   }
 
+  test("universe resolution above MaxIsinSids falls back to a broadcast " +
+    "semi/anti join — no giant literal filter, unchanged results") {
+    val dir = Files.createTempDirectory("graft-prices-guard").toString
+    Seq(
+      ("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0),
+      ("C", "2024-01-01", 3.0), ("D", "2024-01-01", 4.0))
+      .toDF("sid", "date", "close")
+      .withColumn("date", to_date($"date"))
+      .write.mode("overwrite").parquet(dir)
+    // membership where "big" has MaxIsinSids+2 members (A, B + filler
+    // sids absent from the panel) and "fin" stays literal-sized
+    val big = spark.range(Sources.MaxIsinSids)
+      .select(lit("big").as("universe"), concat(lit("x"), $"id").as("sid"))
+      .union(Seq(("big", "A"), ("big", "B"), ("fin", "B"), ("fin", "C"))
+        .toDF("universe", "sid"))
+    val df = Sources.prices(spark, dir,
+      Sources.PriceQuery(sids = Seq("D"), universes = Seq("big"),
+        excludeUniverses = Seq("fin")),
+      Some(big))
+    // big ∪ {D} = {A,B,D,filler}; minus fin = {A,D}
+    assert(df.collect().map(_.getAs[String]("sid")).sorted.toSeq ==
+      Seq("A", "D"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the include side is a semi join, not a 10k-literal In(sid, ...) —
+    // no filler member may appear as a plan literal (the small exclude
+    // side legitimately pushes Not(In(sid, [B,C])))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("x17"), plan)
+    // same query through the literal path (pre-resolved) agrees
+    val pre = Sources.resolveUniverses(
+      Sources.PriceQuery(sids = Seq("D"), universes = Seq("big"),
+        excludeUniverses = Seq("fin")), big)
+    val lit_ = Sources.prices(spark, dir, pre)
+    assert(lit_.collect().map(_.getAs[String]("sid")).sorted.toSeq ==
+      Seq("A", "D"))
+    // a big EXCLUDE side also joins (anti) instead of a literal
+    val anti = Sources.prices(spark, dir,
+      Sources.PriceQuery(excludeUniverses = Seq("big")), Some(big))
+    assert(anti.collect().map(_.getAs[String]("sid")).sorted.toSeq ==
+      Seq("C", "D"))
+    assert(anti.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
   test("forStrategy appends the benchmark sid to a restricted scan " +
     "(base.py:1227-1234) and fills the lookback from the strategy") {
     def strat(bSid: Option[String], bDb: Option[org.apache.spark.sql.DataFrame] = None,
