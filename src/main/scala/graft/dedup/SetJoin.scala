@@ -142,23 +142,30 @@ object SetJoin {
           lit(1000000L + thetaMicro) >= lit(thetaMicro) * (col("__sa") + col("__sb")))
       .select("__ida", "__idb").distinct()
 
-    // exact verify on candidates only: |A∩B| as a NARROW token join +
-    // count (expand each candidate pair by the a-side's tokens, keep
-    // the rows the b-side also has, count per pair). Collected-array
-    // intersection was measured 2× slower here — it drags ~1 KB string
-    // arrays through two joins; this shape shuffles only (pair, token)
-    // triples, ∝ candidate-token mass. Every candidate shares ≥1
-    // prefix token, so no θ>0 pair can be lost by the inner-join count.
-    val sizes = tokId.groupBy("__id").agg(count(lit(1)).as("__s"))
+    // exact verify on candidates only: each doc's ASCENDING-sorted
+    // token-id array meets the pair through two narrow equi-joins and
+    // |A∩B| is ONE codegen'd two-pointer merge per pair
+    // ([[graft.functions.SortedIntersectCount]]) — nothing shuffles per
+    // TOKEN. The round-7 shape exploded (pair × token) rows into a
+    // groupBy count, shuffling candidate-token mass; and the round-5
+    // "collected-array intersection was 2× slower" measurement predates
+    // the dictionary encoding — that dragged ~30-char shingle STRINGS
+    // through array_intersect's per-row hash set, where this is 8-byte
+    // longs through a primitive loop (measured 3.6 s → 2.6 s on ppj1,
+    // er1 7.3 s → 4.7 s at sf0.1). Checkpointed: the array build feeds
+    // BOTH verify-join sides (the dd7 aliased-recompute lesson), and it
+    // doubles as the size frame (union via size(), no separate joins).
+    val arr = tokId.groupBy("__id")
+      .agg(sort_array(collect_list(col("__tid"))).as("__ta"))
+      .localCheckpoint(eager = false)
     cands
-      .join(tokId.select(col("__id").as("__ida"), col("__tid")), "__ida")
-      .join(tokId.select(col("__id").as("__idb"), col("__tid")), Seq("__idb", "__tid"))
-      .groupBy("__ida", "__idb").agg(count(lit(1)).as("inter_size"))
-      .join(sizes.select(col("__id").as("__ida"), col("__s").as("__sa")), "__ida")
-      .join(sizes.select(col("__id").as("__idb"), col("__s").as("__sb")), "__idb")
+      .join(arr.select(col("__id").as("__ida"), col("__ta").as("__taa")), "__ida")
+      .join(arr.select(col("__id").as("__idb"), col("__ta").as("__tab")), "__idb")
       .select(col("__ida").as("doc_a"), col("__idb").as("doc_b"),
-        col("inter_size"),
-        (col("__sa") + col("__sb") - col("inter_size")).as("union_size"))
+        graft.functions.SortedIntersect.countNative(
+          col("__taa"), col("__tab")).as("inter_size"),
+        (size(col("__taa")) + size(col("__tab"))).cast("long").as("__ss"))
+      .withColumn("union_size", col("__ss") - col("inter_size"))
       .where(col("inter_size") * lit(1000000L) >= lit(thetaMicro) * col("union_size"))
       .select(col("doc_a"), col("doc_b"), col("inter_size"), col("union_size"),
         (col("inter_size").cast("double") / col("union_size")).as("jaccard"))

@@ -133,7 +133,9 @@ class CatalogPlanSpec extends SparkSpec {
     "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
     "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
     "er1_entities" -> 0, // CheckpointScope'd end-to-end (r7); result is an ExistingRDD scan
-    "ppj1_prefix_join" -> 2, // prefix fan-out re-key + verify agg
+    "ppj1_prefix_join" -> 1, // prefix fan-out re-key; verify is now two
+    // joins against the CHECKPOINTED sorted-id-array frame + the native
+    // merge intersect (r8) — the (pair × token) verify agg shuffle is gone
     "gr3_components" -> 0, // iterative min-label, checkpointed
     "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg
     "dd7_dup_clusters" -> 0, // cluster fixpoint, checkpointed

@@ -30,6 +30,41 @@ class SetJoinSpec extends SparkSpec {
     } yield (ia, ib, inter, union)).toSet
   }
 
+  test("SortedIntersectCount: merge count equals Set intersection; " +
+    "survives CODEGEN_ONLY; rejects nullable elements and wrong types") {
+    import graft.functions.SortedIntersect.countNative
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)), // partial overlap
+      (Seq.empty[Long], Seq(1L, 2L)), // empty side
+      (Seq(7L), Seq(7L)), // full overlap
+      (Seq(1L, 2L, 3L), Seq(4L, 5L))) // disjoint
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    def run(): Seq[Long] = cases.toDF("a", "b")
+      .select(countNative($"a", $"b")).as[Long].collect().toSeq
+    val expected = cases.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
+    assert(run() == expected) // default (codegen) path
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expected) // interpreted path agrees bit-for-bit
+    finally {
+      prevFactory match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    }
+    // loud contract: nullable elements have no merge position
+    val nullable = Seq((Seq(Some(1L), None), Seq(Some(1L))))
+      .toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(countNative($"a", $"b")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", "y")).toDF("a", "b")
+        .select(countNative($"a", $"b")).collect()
+    }
+  }
+
   test("prefix-filtered join == brute force at theta 0.5 and 0.3") {
     for (theta <- Seq(0.5, 0.3)) {
       val got = SetJoin.prefixFilterJoin(docs, theta = theta)
