@@ -97,12 +97,19 @@ object SetJoin {
     // doc's array — no global rank materialization (a global
     // row_number over the vocabulary would be a single-partition
     // window; struct sort gives the same order for free).
-    val sorted = tokId
+    // ONE per-doc shuffle serves both pipelines: the frequency-sorted
+    // struct array drives the prefix, and re-sorting its tid projection
+    // ascending (an in-memory array sort, no second exchange) yields
+    // the verify stage's merge-scan array. Checkpointed: three
+    // consumers (prefix fan-out + both verify-join sides).
+    val perDoc = tokId
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__tid")))).as("__st"),
         count(lit(1)).as("__s"))
+      .withColumn("__ta", sort_array(col("__st.__tid")))
+      .localCheckpoint(eager = false)
     // p = s − ⌈θ·s⌉ + 1 rarest tokens are the doc's join keys
-    val prefixed = sorted.select(
+    val prefixed = perDoc.select(
       col("__id"), col("__s"),
       slice(col("__st.__tid"), lit(1),
         (col("__s") - ceil(col("__s") * theta) + 1).cast("int")).as("__pfx"))
@@ -151,13 +158,12 @@ object SetJoin {
     // "collected-array intersection was 2× slower" measurement predates
     // the dictionary encoding — that dragged ~30-char shingle STRINGS
     // through array_intersect's per-row hash set, where this is 8-byte
-    // longs through a primitive loop (measured 3.6 s → 2.6 s on ppj1,
-    // er1 7.3 s → 4.7 s at sf0.1). Checkpointed: the array build feeds
-    // BOTH verify-join sides (the dd7 aliased-recompute lesson), and it
-    // doubles as the size frame (union via size(), no separate joins).
-    val arr = tokId.groupBy("__id")
-      .agg(sort_array(collect_list(col("__tid"))).as("__ta"))
-      .localCheckpoint(eager = false)
+    // longs through a primitive loop (measured 3.6 s → 2.5 s on ppj1,
+    // er1 7.3 s → 3.7 s at sf0.1 with the shared perDoc shuffle). The
+    // arrays ride the perDoc
+    // checkpoint above — no second groupBy — and double as the size
+    // frame (union via size(), no separate size joins).
+    val arr = perDoc.select(col("__id"), col("__ta"))
     cands
       .join(arr.select(col("__id").as("__ida"), col("__ta").as("__taa")), "__ida")
       .join(arr.select(col("__id").as("__idb"), col("__ta").as("__tab")), "__idb")
