@@ -41,9 +41,10 @@ final class CheckpointScope private[graft] (spark: SparkSession) {
     * release at scope exit. Drop-in replacement for a bare
     * `localCheckpoint` inside [[CheckpointScope.scoped]]. */
   def checkpoint(df: DataFrame, eager: Boolean = false): DataFrame = {
+    import StableCheckpoint._
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(eager)
+    val out = df.stableCheckpoint(eager)
     tracked ++= (sc.getPersistentRDDs.keySet -- before)
     out
   }
@@ -79,9 +80,47 @@ object CheckpointScope {
     // dropped — a lazy checkpoint here would recompute through
     // already-unpersisted truncated lineage.
     val bodyIds = sc.getPersistentRDDs.keySet -- before
-    val out = result.localCheckpoint(eager = true)
+    val out = { import StableCheckpoint._; result.stableCheckpoint(eager = true) }
     bodyIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     out
+  }
+}
+
+/** AQE-safe plan capture for local checkpoints.
+  *
+  * `Dataset.localCheckpoint` records the captured physical plan's
+  * output partitioning into the replacement `LogicalRDD` — the property
+  * that makes a repartition→checkpoint→N-consumers chain exchange-free
+  * downstream. With adaptive execution enabled, the captured plan is an
+  * `AdaptiveSparkPlanExec` whose output partitioning is UNKNOWN at
+  * capture time, so every downstream consumer silently re-shuffles
+  * (measured with AQE on: mb1 2→4 exchanges, sim8 1→4, sp15 0→1 —
+  * exactly the silent-at-sf0.01, fatal-at-100-TB regression class the
+  * plan audits exist to catch). `stableCheckpoint` therefore captures
+  * the checkpointed SEGMENT's plan with AQE flipped off for the
+  * duration of the `localCheckpoint` call: the declared partitioning
+  * then holds at materialization because the captured static plan is
+  * what runs. The segment's own execution forgoes AQE runtime
+  * re-planning — the audited static shape is what the shuffle budgets
+  * pin, so the static plan IS the contract.
+  *
+  * The session-conf flip is visible to concurrent planners on the same
+  * session for the duration of the call; compositions here are
+  * single-threaded on the driver (the CheckpointScope threading
+  * contract above). */
+object StableCheckpoint {
+  implicit final class Syntax[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def stableCheckpoint(eager: Boolean = false): org.apache.spark.sql.Dataset[T] = {
+      val conf = ds.sparkSession.conf
+      val key = "spark.sql.adaptive.enabled"
+      val was = conf.get(key, "true")
+      conf.set(key, "false")
+      try ds.localCheckpoint(eager)
+      finally conf.set(key, was)
+    }
+    def stableCheckpoint(): org.apache.spark.sql.Dataset[T] =
+      stableCheckpoint(eager = true)
   }
 }

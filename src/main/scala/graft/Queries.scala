@@ -1,5 +1,7 @@
 package graft
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2545,7 +2547,7 @@ object Queries {
       val sk = ev.groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           count_distinct(col("user_id")).as("n"))
-        .localCheckpoint(eager = false) // both sides of the pair join
+        .stableCheckpoint(eager = false) // both sides of the pair join
       val ut = ev.select(col("user_id").as("u"), col("event_type").as("t"))
         .distinct()
       val exact = ut.as("x")

@@ -1,5 +1,7 @@
 package graft
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -439,7 +441,7 @@ object TextQueries {
     "tx13_ppl_buckets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val scored = LangModel.crossEntropy(docs, docs.where(col("doc_id") < 250))
-        .localCheckpoint(eager = false)
+        .stableCheckpoint(eager = false)
       val cuts = Sampling.hashSampleQuantiles(
         scored, "doc_id", "cross_entropy", Seq(1.0 / 3, 2.0 / 3),
         rate = 0.5, seed = "tx13")

@@ -1,5 +1,7 @@
 package graft.dedup
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -264,7 +266,7 @@ object Dedup {
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("__s")))).as(s"__mh$i"))
     val sig = exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
       md5(concat_ws("|", slice: _*))
@@ -382,7 +384,7 @@ object Dedup {
     // this composition; call minhashCandidates directly to observe it.)
     val cands =
       minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
-        .localCheckpoint(eager = false)
+        .stableCheckpoint(eager = false)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
       .distinct()
@@ -399,7 +401,7 @@ object Dedup {
     // so the metric reports one row per shingled doc either way.
     val sh = shingleArrays(pruned, idCol, textCol, shingleSize)
       .repartition(col(idCol))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
       .observe("neardup_verify", count(lit(1)).as("docs_shingled"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
@@ -478,7 +480,7 @@ object Dedup {
     val neu =
       minhashMelted(batch, idCol, textCol, shingleSize, bands, rowsPerBand)
         .withColumn("__new", lit(true))
-        .localCheckpoint(eager = false)
+        .stableCheckpoint(eager = false)
     val newKeys = neu.select("__band", "__bk").distinct()
     val sized = idx.unionByName(neu)
       .join(newKeys.hint("broadcast"), Seq("__band", "__bk"), "left_semi")
@@ -519,7 +521,7 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val cands = incrementalCandidates(spark, dir, batch, idCol, textCol,
       shingleSize, bands, rowsPerBand, maxBucket)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
       .distinct()
@@ -528,7 +530,7 @@ object Dedup {
       .join(candIds, Seq(idCol), "left_semi")
     val sh = shingleArrays(texts, idCol, textCol, shingleSize)
       .repartition(col(idCol))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
@@ -569,7 +571,7 @@ object Dedup {
     def melted(docs: DataFrame, as: String) =
       minhashMelted(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
         .withColumnRenamed(idCol, as)
-        .localCheckpoint(eager = false)
+        .stableCheckpoint(eager = false)
     val rm = melted(ref, "ref_id")
     val cm = melted(corpus, "corpus_id")
     // degenerate-bucket guard (same stance as minhashCandidates'
@@ -592,7 +594,7 @@ object Dedup {
     // construction stays job-free; the observe sits ABOVE it (metrics
     // below a checkpoint are invisible) and counts |hot| either way.
     val hot = hotKeys(cm).union(hotKeys(rm)).distinct()
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
       .observe("cross_hot_buckets", count(lit(1)).as("dropped_buckets"))
     val cmOk = cm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
     val rmOk = rm.join(broadcast(hot), Seq("__band", "__bk"), "left_anti")
@@ -606,7 +608,7 @@ object Dedup {
       .join(if (broadcastRef) broadcast(rmOk) else rmOk, Seq("__band", "__bk"))
       .select("corpus_id", "ref_id")
       .distinct()
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     def prunedShingles(docs: DataFrame, as: String, ids: DataFrame) =
       shingleArrays(docs.join(ids, docs(idCol) === ids(as), "left_semi"),
         idCol, textCol, shingleSize)
@@ -1156,7 +1158,7 @@ object Dedup {
         .withColumnRenamed(idCol, "__id"), "__id")
       .select(col("__src"), md5(col("__s")).as("__h"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds per-source counts + pairs
+      .stableCheckpoint(eager = false) // feeds per-source counts + pairs
     val perSource = ss.groupBy(col("__src"))
       .agg(count(lit(1)).as("__n"))
     val inter = ss
@@ -1502,7 +1504,7 @@ object Dedup {
       .select(col("cell_id"), col(idCol).as("__id"), col(vecCol).as("__v"),
         Similarity.norm(col(vecCol)).as("__nm"),
         Similarity.cosine(col(vecCol), col("centroid")).as("__cc"))
-    if (checkpoint) prio.localCheckpoint(eager = false) else prio
+    if (checkpoint) prio.stableCheckpoint(eager = false) else prio
   }
 
   def semanticDeduplicate(

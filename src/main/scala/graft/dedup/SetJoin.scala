@@ -1,5 +1,7 @@
 package graft.dedup
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -77,7 +79,7 @@ object SetJoin {
     val tok = docs
       .select(col(idCol).as("__id"), split(lower(col(textCol)), " ").as("__ws"))
       .select(col("__id"), explode(shingles(col("__ws"), shingleWidth)).as("__t"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
 
     // Dictionary-encode the vocabulary: every downstream join/groupBy
     // keys on a LONG token id instead of a ~30-char shingle string
@@ -90,7 +92,7 @@ object SetJoin {
       .withColumn("__tid", monotonically_increasing_id())
     val tokId = tok.join(vocab, "__t")
       .select(col("__id"), col("__tid"), col("__df"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
 
     // Canonical AllPairs ordering: ascending corpus frequency, token id
     // as the total-order tiebreaker. Kept as a SORT KEY inside each
@@ -107,7 +109,7 @@ object SetJoin {
       .agg(sort_array(collect_list(struct(col("__df"), col("__tid")))).as("__st"),
         count(lit(1)).as("__s"))
       .withColumn("__ta", sort_array(col("__st.__tid")))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     // p = s − ⌈θ·s⌉ + 1 rarest tokens are the doc's join keys
     val prefixed = perDoc.select(
       col("__id"), col("__s"),
@@ -126,7 +128,7 @@ object SetJoin {
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
       .where(col("__n") <= maxBucket)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
 
     // candidate pairs: share a prefix token + two-sided length filter +
     // PPJoin positional filter. The meeting positions (1-based, in the

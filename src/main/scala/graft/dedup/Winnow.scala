@@ -1,5 +1,7 @@
 package graft.dedup
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -133,7 +135,7 @@ object Winnow {
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
       .where(col("__n") <= maxBucket)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     fps.select(col("fingerprint"), col(idCol).as("__a"))
       .join(fps.select(col("fingerprint"), col(idCol).as("__b")), Seq("fingerprint"))
       .where(col("__a") < col("__b"))

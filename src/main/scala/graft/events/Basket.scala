@@ -1,5 +1,7 @@
 package graft.events
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,7 +56,7 @@ object Basket {
           .as("rows_in_overflow"),
         max(col("__n")).as("max_basket"))
       .where(col("__n") <= maxBasket)
-      .localCheckpoint(eager = false) // feeds N, item counts, and pairs
+      .stableCheckpoint(eager = false) // feeds N, item counts, and pairs
     val n = bi.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__N"))
     (bi, n)
@@ -116,7 +118,7 @@ object Basket {
     val (bi, n) = incidence(items, basketCol, itemCol, maxBasket)
     val itemCounts = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = pairCounts(bi, minCount)
-      .localCheckpoint(eager = false) // both rule directions reuse it
+      .stableCheckpoint(eager = false) // both rule directions reuse it
     val rules = pairs
       .select(col("__x").as("antecedent"), col("__y").as("consequent"),
         col("n"))

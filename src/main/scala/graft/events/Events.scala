@@ -1,5 +1,7 @@
 package graft.events
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -447,7 +449,7 @@ object Events {
         when(col("__to") === conversionType, "CONV").otherwise(col("__to")))
       .groupBy(col("__from"), col("__to"))
       .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint(eager = false) // bounded; reused per scenario
+      .stableCheckpoint(eager = false) // bounded; reused per scenario
     val totals = edges.groupBy(col("__from"))
       .agg(sum(col("__cnt")).as("__out"))
 
@@ -469,7 +471,7 @@ object Events {
       // redirect preserves out-degree, so totals are scenario-free
       .join(totals, "__from")
       .withColumnRenamed("__from", "__state")
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     var v = scens.select(col("__scen"), lit("START").as("__state"),
       lit(1000000000000L).as("__mass"))
     for (_ <- 1 to steps) {
@@ -482,7 +484,7 @@ object Events {
       v = absorbed.unionByName(flowed)
         .groupBy(col("__scen"), col("__state"))
         .agg(sum(col("__mass")).as("__mass"))
-        .localCheckpoint(eager = false) // truncate the growing lineage
+        .stableCheckpoint(eager = false) // truncate the growing lineage
     }
     val masses = v.where(col("__state") === "CONV")
       .select(col("__scen"), col("__mass"))
@@ -529,7 +531,7 @@ object Events {
       .groupBy(col(userCol))
       .agg(min(day).as("__f"))
       .withColumn("__cohort", date_trunc("week", col("__f")).cast("date"))
-      .localCheckpoint(eager = false) // feeds sizes AND the revenue join
+      .stableCheckpoint(eager = false) // feeds sizes AND the revenue join
     val sizes = firsts.groupBy(col("__cohort"))
       .agg(count(lit(1)).as("n_users"))
     val rev = events
@@ -581,7 +583,7 @@ object Events {
     val perUser = events
       .groupBy(col(userCol))
       .agg(min(day).as("__f"), max(day).as("__l"))
-      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+      .stableCheckpoint(eager = false) // feeds the max-day agg AND the curve
     val maxD = perUser.agg(max(col("__l")).as("__mx"))
     val obs = perUser
       .crossJoin(broadcast(maxD))
@@ -637,7 +639,7 @@ object Events {
     val perUser = events
       .groupBy(col(userCol))
       .agg(min(day).as("__f"), max(day).as("__l"))
-      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+      .stableCheckpoint(eager = false) // feeds the max-day agg AND the curve
     val maxD = perUser.agg(max(col("__l")).as("__mx"))
     val obs = perUser
       .crossJoin(broadcast(maxD))
@@ -743,7 +745,7 @@ object Events {
         sum(round(col(valueCol) * 100).cast("long")).as("__s"))
       .withColumn("__t",
         graft.text.Sampling.hashUnit(col(userCol), seed) >= 0.5)
-      .localCheckpoint(eager = false) // feeds histogram + rank join
+      .stableCheckpoint(eager = false) // feeds histogram + rank join
     val hist = perUser.groupBy(col("__s"))
       .agg(count(lit(1)).as("__hc"))
       .withColumn("__cum", sum(col("__hc"))
@@ -858,7 +860,7 @@ object Events {
       .select(col(userCol).as("__u"),
         to_date(col(tsCol).cast("timestamp")).as("__d"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds the max-date agg AND the sweep
+      .stableCheckpoint(eager = false) // feeds the max-date agg AND the sweep
     val maxD = days.agg(max(col("__d")).as("__mx"))
     val w = Window.partitionBy(col("__u")).orderBy(col("__d"))
     days
@@ -898,7 +900,7 @@ object Events {
       throw new ParameterError(s"maxOffset must be >= 2: $maxOffset")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val rc = retentionCohorts(events, userCol, tsCol)
-      .localCheckpoint(eager = false) // feeds sizes, maxday, and actives
+      .stableCheckpoint(eager = false) // feeds sizes, maxday, and actives
     val sizes = rc.where(col("day_offset") === 0)
       .select(col("cohort_day"), col("n_users").as("__size"))
     val maxDay = rc.agg(max(
@@ -995,7 +997,7 @@ object Events {
       .select(col(userCol).as("__u"), col("session_idx").as("__sx"),
         col(typeCol).as("__t"))
       .distinct()
-      .localCheckpoint(eager = false) // totals + per-type + pairs
+      .stableCheckpoint(eager = false) // totals + per-type + pairs
     val nSess = st.select(col("__u"), col("__sx")).distinct().count() // bounded scalar
     val perType = st.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
     val pairs = st
@@ -1146,7 +1148,7 @@ object Events {
       .withColumn("__monq",
         (col("__mon") - pmod(col("__mon"), lit(monetaryQuantumCents)))
           .cast("long"))
-      .localCheckpoint(eager = false) // feeds three histograms + the join
+      .stableCheckpoint(eager = false) // feeds three histograms + the join
     // LOUD low-cardinality contract on the one non-dimension-bounded
     // histogram: bounded driver scalar, raises with the coarsening lever
     val nMonBins = perUser.select(col("__monq")).distinct().count()
@@ -1548,7 +1550,7 @@ object Events {
       .agg(min(day).as("__f"), max(day).as("__l"))
       .withColumn("__a",
         graft.text.Sampling.hashUnit(col(userCol), seed) < 0.5)
-      .localCheckpoint(eager = false) // feeds the max-day agg AND the curve
+      .stableCheckpoint(eager = false) // feeds the max-day agg AND the curve
     val maxD = perUser.agg(max(col("__l")).as("__mx"))
     val obs = perUser
       .crossJoin(broadcast(maxD))
@@ -1729,7 +1731,7 @@ object Events {
       throw new ParameterError(s"tauDays must be >= 1: $tauDays")
     val km = kaplanMeier(events, censorDays, userCol, tsCol)
       .select(col("t"), col("survival"))
-      .localCheckpoint(eager = false) // feeds the step sum AND the tail
+      .stableCheckpoint(eager = false) // feeds the step sum AND the tail
     val wAsc = Window.orderBy(col("t")) // bounded: distinct event days
     val steps = km
       .withColumn("__pt", lag(col("t"), 1, 0L).over(wAsc))

@@ -1,5 +1,7 @@
 package graft.graph
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -194,11 +196,11 @@ object PageRank {
       .where(col("__a") =!= col("__b") &&
         col("__a").isNotNull && col("__b").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false) // feeds degrees + orientation
+      .stableCheckpoint(eager = false) // feeds degrees + orientation
     val deg = und
       .select(explode(array(col("__a"), col("__b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(eager = false) // feeds orientation + the output join
+      .stableCheckpoint(eager = false) // feeds orientation + the output join
     val oriented = und
       .join(deg.select(col("node").as("__a"), col("degree").as("__da")), "__a")
       .join(deg.select(col("node").as("__b"), col("degree").as("__db")), "__b")
@@ -212,7 +214,7 @@ object PageRank {
           struct(col("__db").as("d"), col("__b").as("n")))
           .otherwise(struct(col("__da").as("d"), col("__a").as("n")))
           .as("__ov"))
-      .localCheckpoint(eager = false) // wedge + closing joins reuse it
+      .stableCheckpoint(eager = false) // wedge + closing joins reuse it
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.__u") === col("e2.__u") &&
@@ -267,19 +269,19 @@ object PageRank {
       .distinct()
     var live = und0.select(col("__a").as("u"), col("__b").as("v"))
       .union(und0.select(col("__b").as("u"), col("__a").as("v")))
-      .localCheckpoint(true)
+      .stableCheckpoint(true)
     var iter = 0
     var weakCount = 1L
     while (weakCount > 0 && iter < maxIters) {
       val deg = live.groupBy(col("u")).agg(count(lit(1)).as("__d"))
       val weak = deg.where(col("__d") < k).select(col("u"))
-        .localCheckpoint(true) // joined twice below
+        .stableCheckpoint(true) // joined twice below
       weakCount = weak.count()
       if (weakCount > 0) {
         live = live
           .join(weak, Seq("u"), "left_anti")
           .join(weak.select(col("u").as("v")), Seq("v"), "left_anti")
-          .localCheckpoint(true)
+          .stableCheckpoint(true)
       }
       iter += 1
     }
@@ -312,11 +314,11 @@ object PageRank {
       .where(col("__a") =!= col("__b") &&
         col("__a").isNotNull && col("__b").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false) // feeds degrees + the pair frame
+      .stableCheckpoint(eager = false) // feeds degrees + the pair frame
     val deg = und
       .select(explode(array(col("__a"), col("__b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(eager = false) // feeds both endpoint joins
+      .stableCheckpoint(eager = false) // feeds both endpoint joins
     val pairs = und
       .join(deg.select(col("node").as("__a"), col("degree").as("__da")), "__a")
       .join(deg.select(col("node").as("__b"), col("degree").as("__db")), "__b")
@@ -378,7 +380,7 @@ object PageRank {
       .where(col("__a") =!= col("__b") &&
         col("__a").isNotNull && col("__b").isNotNull)
       .distinct()
-      .localCheckpoint(eager = false) // feeds neighbors AND the anti-join
+      .stableCheckpoint(eager = false) // feeds neighbors AND the anti-join
     val nbrs = und.select(col("__a").as("__apex"), col("__b").as("__n"))
       .unionByName(und.select(col("__b").as("__apex"), col("__a").as("__n")))
     val wedges = nbrs

@@ -1,5 +1,7 @@
 package graft.ml
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -590,7 +592,7 @@ object Evaluation {
       .where(col(col1).isNotNull && col(col2).isNotNull)
       .select(col(col1).cast("string").as("__a"),
         col(col2).cast("string").as("__b"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val tot = base.agg(
       count(lit(1)).as("n"),
       sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("agree"))
@@ -696,7 +698,7 @@ object Evaluation {
     val cont = df
       .groupBy(col(clusterCol).as("__u"), col(labelCol).as("__v"))
       .agg(count(lit(1)).as("__n"))
-      .localCheckpoint(eager = false) // feeds marginals AND the MI pass
+      .stableCheckpoint(eager = false) // feeds marginals AND the MI pass
     val nf = cont.agg(sum(col("__n")).as("__tot"))
     def pairs2(c: org.apache.spark.sql.Column) =
       sum(c.cast(dec) * (c.cast(dec) - 1))
@@ -713,18 +715,18 @@ object Evaluation {
       .withColumn("__b",
         sum(col("__n")).over(Window.partitionBy("__v")))
       .crossJoin(broadcast(nf))
-      .localCheckpoint(eager = false) // feeds all three reductions
+      .stableCheckpoint(eager = false) // feeds all three reductions
     // each 1-row reduction is checkpointed into a leaf: the three of
     // them crossJoin below, and siblings sharing marg's LogicalRDD
     // attributes would otherwise trip AMBIGUOUS_REFERENCE
     val aAgg = marg.select(col("__u"), col("__a"), col("__tot")).distinct()
       .agg(count(lit(1)).as("n_clusters"), pairs2(col("__a")).as("__sa2"),
         entq(col("__a")).as("__huq"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val bAgg = marg.select(col("__v"), col("__b"), col("__tot")).distinct()
       .agg(count(lit(1)).as("n_labels"), pairs2(col("__b")).as("__sb2"),
         entq(col("__b")).as("__hvq"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val nd = col("__tot").cast("double")
     val cells = marg.agg(
       pairs2(col("__n")).as("__sij2"),
@@ -732,7 +734,7 @@ object Evaluation {
         log(col("__n").cast("double") * nd /
           (col("__a").cast("double") * col("__b").cast("double"))) * 1e12)
         .cast("long")).as("__miq"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     def d(c: String) = col(c).cast("double")
     val cn22 = (col("__tot2").cast(dec) * (col("__tot2").cast(dec) - 1))
       .cast("double")
@@ -788,7 +790,7 @@ object Evaluation {
     val rows = events
       .select(day.as("__d"), bin.as("bin"))
       .crossJoin(broadcast(events.agg(min(day).as("__d0"))))
-      .localCheckpoint(eager = false) // feeds baseline AND the daily grid
+      .stableCheckpoint(eager = false) // feeds baseline AND the daily grid
     val base = rows
       .where(datediff(col("__d"), col("__d0")) < baselineDays)
       .groupBy(col("bin")).agg(count(lit(1)).as("__nb"))

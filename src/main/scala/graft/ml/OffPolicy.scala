@@ -1,5 +1,7 @@
 package graft.ml
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +53,7 @@ object OffPolicy {
         first(col("__fs.t")).as("__a"),
         max(when(col(typeCol) === convType && m > col("__fm"), 1L)
           .otherwise(0L)).as("__r"))
-      .localCheckpoint(eager = false) // feeds counts, K, and the match
+      .stableCheckpoint(eager = false) // feeds counts, K, and the match
     val actions = perUser
       .groupBy(col("__a")).agg(count(lit(1)).as("__na"))
       .withColumn("__idx",

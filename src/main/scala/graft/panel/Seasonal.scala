@@ -1,5 +1,7 @@
 package graft.panel
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +53,7 @@ object Seasonal {
       .withColumn("__k7", count(lit(1)).over(w7))
       .where(col("__k7") === 7)
       .withColumn("__dow", ((dayofweek(col("date")) + 5) % 7 + 1).cast("long"))
-      .localCheckpoint(eager = false) // feeds the weekday cells AND the output
+      .stableCheckpoint(eager = false) // feeds the weekday cells AND the output
     val cells = rows
       .groupBy(col("sid"), col("__dow"))
       .agg(sum(col("__c") * 7 - col("__s7")).as("__num"),
@@ -259,7 +261,7 @@ object Seasonal {
         (graft.text.Sampling.hashUnit(
           concat_ws("|", col("sid"), col("date")), seed) < calFraction)
           .as("__cal"))
-      .localCheckpoint(eager = false) // feeds the histogram AND coverage
+      .stableCheckpoint(eager = false) // feeds the histogram AND coverage
     val kq = rows.agg(
       sum(when(col("__cal"), 1L).otherwise(0L)).as("n_cal"),
       sum(when(!col("__cal"), 1L).otherwise(0L)).as("n_test"))

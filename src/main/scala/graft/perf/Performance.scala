@@ -1,5 +1,7 @@
 package graft.perf
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -656,7 +658,7 @@ object Performance {
     // once per book, not once per derivation (the vsBenchmark
     // multi-derivation lesson; measured 4.6 → ~2 s on the bench)
     val dailies = strategies.map(m =>
-      dailyReturns(m, dateCol).localCheckpoint(eager = false))
+      dailyReturns(m, dateCol).stableCheckpoint(eager = false))
     val vols = dailies.zipWithIndex.map { case (d, i) =>
       val v = d.agg(round(stddev_samp(col("return")), 6).as("v")).head
       if (v.isNullAt(0) || v.getDouble(0) <= 0)

@@ -1,5 +1,7 @@
 package graft.perf
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -181,7 +183,7 @@ object Signals {
     val base = ic.where(col(icCol).isNotNull)
       .select(col(dateCol).as("__d"),
         round(col(icCol) * 1e6).cast("long").as("__m"))
-      .localCheckpoint(eager = false) // feeds the resample AND the plain mean
+      .stableCheckpoint(eager = false) // feeds the resample AND the plain mean
     val u = graft.text.Sampling.hashUnit(
       concat_ws("|", col("__b"), col("__d")), seed)
     val w = PoissonCdf.zipWithIndex.foldRight(lit(8)) {

@@ -1,5 +1,7 @@
 package graft.sim
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -290,7 +292,7 @@ object Similarity {
       .select(
         (row_number().over(seedW).cast("long") - 1).as("cell_id"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-      .localCheckpoint()
+      .stableCheckpoint()
     var i = 0
     while (i < iters) {
       val means = assignCells(v, centroids, vecCol, idCol)
@@ -311,7 +313,7 @@ object Similarity {
         .join(means, Seq("cell_id"), "left")
         .select(col("cell_id"),
           coalesce(col("centroid"), col("__prev")).as("centroid"))
-        .localCheckpoint()
+        .stableCheckpoint()
       i += 1
     }
     centroids

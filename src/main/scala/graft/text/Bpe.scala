@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -131,7 +133,7 @@ object Bpe {
     val spark = docs.sparkSession
     var vocab = wordFreqs(docs, idCol, textCol, minFreq)
       .select(charSeq(col("word")).as("__seq"), col("freq"))
-      .localCheckpoint()
+      .stableCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -145,7 +147,7 @@ object Bpe {
         merges += ((step, l, r, f))
         vocab = vocab
           .select(mergePass(col("__seq"), l, r).as("__seq"), col("freq"))
-          .localCheckpoint()
+          .stableCheckpoint()
         step += 1
       }
     }

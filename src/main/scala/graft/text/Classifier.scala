@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,7 +93,7 @@ object Classifier {
     val model = nbModel(labeled, labelCol, textCol, buckets)
       .withColumn("__m", round(log(col("cnt").cast("double") + 1.0) * 1e6, 0)
         .cast("long"))
-      .localCheckpoint()
+      .stableCheckpoint()
     // per-label constants: feature total T_l (from the model — exact),
     // doc-count prior ln(n_l / N)
     val totals = model.groupBy("label").agg(sum(col("cnt")).as("__T"))
@@ -103,7 +105,7 @@ object Classifier {
         col("label"),
         log(col("__nl").cast("double") / col("__N")).as("__prior"),
         log((col("__T") + buckets).cast("double")).as("__lnTB"))
-      .localCheckpoint()
+      .stableCheckpoint()
 
     val feats = featureRows(docs, idCol, textCol, buckets)
     val scored = feats
@@ -203,9 +205,9 @@ object Classifier {
     // corpus-sized, referenced 2× per iteration → non-eager checkpoint
     // (lineage cut without pinning the corpus in executor storage)
     val fx = featureCounts(labeled, idCol, textCol, buckets)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val labels = labeled.select(col(idCol), col(labelCol).cast("long").as("__y"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val n = labels.count().toDouble
     if (n == 0) throw new ParameterError("logregTrain: empty labeled corpus")
 
@@ -245,7 +247,7 @@ object Classifier {
           .cast("long")).as("__wm"))
       // bounded (≤ buckets+1 rows): eager checkpoint truncates the
       // per-iteration lineage growth and feeds the next broadcast
-      w = Some(next.localCheckpoint())
+      w = Some(next.stableCheckpoint())
     }
     w.get.select(col("bucket"),
       (col("__wm").cast("double") / 1e6).as("weight"))
@@ -299,7 +301,7 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .localCheckpoint(eager = false) // scored once per fraction
+      .stableCheckpoint(eager = false) // scored once per fraction
     val pool = docs.where(u < 1.0 - holdoutFrac)
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
     fractions.sorted.map { f =>
@@ -352,9 +354,9 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .localCheckpoint(eager = false) // scored once per ablation
+      .stableCheckpoint(eager = false) // scored once per ablation
     val pool = docs.where(u < 1.0 - holdoutFrac)
-      .localCheckpoint(eager = false) // filtered once per ablation
+      .stableCheckpoint(eager = false) // filtered once per ablation
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
     def accuracyOf(train: DataFrame, tag: String): DataFrame = {
       val nTrain = train.agg(count(lit(1)).as("n_train"))
@@ -372,7 +374,7 @@ object Classifier {
             .as("accuracy"))
     }
     val full = accuracyOf(pool, "(none)")
-      .localCheckpoint(eager = false) // reused as the delta baseline
+      .stableCheckpoint(eager = false) // reused as the delta baseline
     val rows = ablate.map(s =>
       accuracyOf(pool.where(col(sourceCol) =!= s), s))
       .reduce(_ unionByName _)
@@ -407,9 +409,9 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .localCheckpoint(eager = false) // scored twice
+      .stableCheckpoint(eager = false) // scored twice
     val pool = docs.where(u < 1.0 - holdoutFrac)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
     val pf = nbClassify(holdout, pool, idCol, labelCol, textCol, buckets)
       .select(col(idCol), col("predicted").as("__pf"))

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -68,7 +70,7 @@ object Rake {
       .withColumn("__len",
         count(lit(1)).over(Window.partitionBy(col("__d"), col("__isl"))))
       .where(col("__len") <= maxPhraseLen)
-      .localCheckpoint(eager = false) // feeds word stats AND phrases
+      .stableCheckpoint(eager = false) // feeds word stats AND phrases
     val wordScores = tokens
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))

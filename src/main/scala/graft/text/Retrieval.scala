@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -54,7 +56,7 @@ object Retrieval {
     val perDoc = docs.select(
       col(idCol) +: dl.as("__dl") +:
         queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
 
     // one scalar row: N, Σdl, df_i — integer aggregates only, so the
     // unordered combine is exact (see Verify gotchas on float sums)
@@ -148,7 +150,7 @@ object Retrieval {
       .where(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .stableCheckpoint(eager = false)
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)

@@ -1,5 +1,7 @@
 package graft.text
 
+import graft.StableCheckpoint._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -434,7 +436,7 @@ object Sampling {
       .groupBy(col(rowDim).as("row_val"), col(colDim).as("col_val"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__m", col("n") * 1000000L)
-      .localCheckpoint(eager = false) // each pass re-reads the last
+      .stableCheckpoint(eager = false) // each pass re-reads the last
     val dims = cells.agg(
       sum(col("n")).as("__N"),
       countDistinct(col("row_val")).as("__R"),
@@ -453,7 +455,7 @@ object Sampling {
     }
     for (_ <- 1 to iterations)
       cells = scaleTo(scaleTo(cells, "row_val", "__R"), "col_val", "__C")
-        .localCheckpoint(eager = false)
+        .stableCheckpoint(eager = false)
     cells
       .crossJoin(broadcast(dims))
       .select(
@@ -505,7 +507,7 @@ object Sampling {
     val cum = vocab
       .withColumn("__hi", sum(col("__wq")).over(wOrd))
       .withColumn("__lo", col("__hi") - col("__wq"))
-      .localCheckpoint(eager = false) // feeds the total AND the melt
+      .stableCheckpoint(eager = false) // feeds the total AND the melt
     val tot = cum.agg(max(col("__hi")).as("__W"))
     val bw = greatest(lit(1L), call_function("div", col("__W"), lit(buckets.toLong)))
     val slotted = cum

@@ -137,6 +137,33 @@ object DedupBench {
         docs.where(graft.text.TextAnalysis.gopherKeepNative(col("text"))).count())
       time(s"unigram-LM cross-entropy (self-ref)")(
         graft.text.LangModel.crossEntropy(docs, docs).count())
+      // linkage family (r8): the LOSSLESS prefix-filter join and the
+      // er1 composition (pairs → min-label CC → survivorship) — the
+      // catalog's most expensive entries get the same scale rows as the
+      // probabilistic paths. Dup mass: each 10-doc group verifies 45
+      // pairs → pair mass 4.5n dense / 0.45n sparse.
+      time(s"prefix join dense (ppj1 shape)")(
+        graft.dedup.SetJoin.prefixFilterJoin(docs, theta = 0.5).count())
+      time(s"prefix join sparse (10% dup mass)")(
+        graft.dedup.SetJoin.prefixFilterJoin(
+          sparseCorpus(spark, n), theta = 0.5).count())
+      time(s"er1 entities (pairs->CC->survivor)") {
+        val d = sparseCorpus(spark, n)
+          .withColumn("n_chars", length(col("text")))
+        graft.CheckpointScope.scoped(spark) { _ =>
+          val pairs = graft.dedup.SetJoin.prefixFilterJoin(d, theta = 0.5)
+            .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+          val labels = Dedup.duplicateClusters(pairs)
+            .select(col("id").as("doc_id"), col("cluster"))
+          d.select(col("doc_id"), col("n_chars"))
+            .join(labels, Seq("doc_id"), "left")
+            .withColumn("entity", coalesce(col("cluster"), col("doc_id")))
+            .groupBy("entity")
+            .agg(count(lit(1)).as("n_members"),
+              max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+                .as("canonical_doc"))
+        }.count()
+      }
     }
 
     // SemDeDup at scale: 64-dim embedding corpus with 10% dup mass
@@ -208,6 +235,35 @@ object DedupBench {
         adversarial,
         adversarial.select((col("doc_id") + 2000000000L).as("doc_id"), col("text")),
         threshold = 0.5).count())
+    // Hot-gram worst case for the PREFIX filter: tiny docs (two
+    // shingles each) all sharing one 3-shingle. The shared gram is
+    // globally hottest, but with s=2 the prefix covers BOTH tokens, so
+    // without the guard the hot bucket pairs C(n,2) candidates — all
+    // passing the positional filter (the meeting bound is 2 ≥ θ·4/…),
+    // all REJECTED at verify (inter=1/union=3 < θ). The maxBucket guard
+    // must drop the bucket loudly (rows_in_overflow = n surfaces via
+    // the prefix_buckets metric — the exactness contract is VOIDED, not
+    // silently passed) and the run must stay seconds, not quadratic.
+    @volatile var overflow = -1L
+    val pfxListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("prefix_buckets")
+          .foreach(r => overflow = r.getAs[Long]("rows_in_overflow"))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    }
+    spark.listenerManager.register(pfxListener)
+    val hotGram = spark.range(nAdv).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma u"), col("id")).as("text"))
+    time(s"prefix join hot-gram (guard drops)") {
+      overflow = -1L
+      val rows = graft.dedup.SetJoin.prefixFilterJoin(hotGram, theta = 0.5).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (overflow < 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      println(s"[dedupbench]   prefix_buckets rows_in_overflow=$overflow (expect $nAdv: guard fired loudly)")
+      rows
+    }
     spark.stop()
   }
 }

@@ -117,53 +117,21 @@ class CatalogPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
-  /** Shuffle-exchange budgets for the hottest catalog pipelines. An
-    * ADDED shuffle is the likeliest silent 100×-scale regression — a
-    * refactor that breaks co-partitioning, loses a broadcast to a
-    * sort-merge join, or re-keys mid-chain shows up here as one extra
-    * ShuffleExchange in the STATIC plan (AQE off; ReusedExchange does
-    * not count — reuse is the optimization the budget protects).
-    * Budgets are the audited round-7 plan shapes: lowering one is an
-    * improvement (update the table); exceeding one fails loudly and
-    * must be justified the way the BNLJ allowlist entries are. */
-  private val shuffleBudgets: Map[String, Int] = Map(
-    // 0-shuffle entries are eager/checkpointed chains: their upstream
-    // shuffles ran at checkpoint time and the published plan is a pure
-    // ExistingRDD scan — 0 IS the pinned no-recompute property
-    "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
-    "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
-    "er1_entities" -> 0, // CheckpointScope'd end-to-end (r7); result is an ExistingRDD scan
-    "ppj1_prefix_join" -> 1, // prefix fan-out re-key; verify is now two
-    // joins against the CHECKPOINTED sorted-id-array frame + the native
-    // merge intersect (r8) — the (pair × token) verify agg shuffle is gone
-    "gr3_components" -> 0, // iterative min-label, checkpointed
-    "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg
-    "dd7_dup_clusters" -> 0, // cluster fixpoint, checkpointed
-    "dd18_incremental" -> 0, // vs persisted index, checkpointed
-    "dd21_best_survivors" -> 3, // candidates + verify + min_by survivor agg
-    "dd23_soft_weights" -> 0, // soft-weight chain, checkpointed
-    "pipeline_dedup" -> 0, // full pipeline, stage checkpoints
-    "pipeline_curate" -> 0, // end-to-end curation, CheckpointScope'd (r7)
-    "port2_riskparity" -> 0, // CheckpointScope'd iteration
-    "sim8_index_search" -> 1, // bucket-join probe; index is broadcast
-    "cl4_logreg_scores" -> 2, // feature agg + score agg
-    "bpe2_encode" -> 4, // 10 merge steps fold into 4 re-keys
-    "sw1_param_sweep" -> 4, // 3 variants share the tagged pipeline's exchanges
-    "ic5_bootstrap" -> 3, // resample re-key + two reduction aggs
-    "mb1_frequent_pairs" -> 2, // ONE basket repartition + pair agg (the r6 fix)
-    "backtest_pipeline" -> 3, // panel pivot, returns melt, summary agg
-    "perf_ccf" -> 8, // per-lag cross-correlations over the shifted panel
-    // r7 additions worth pinning (harvested from the static plans)
-    "sim15_mmr" -> 0, // greedy over checkpointed bounded frames
-    "gr9_bfs_layers" -> 0, // CheckpointScope'd frontier rounds
-    "tx30_fertility" -> 5, // BPE encode word-vocab chain + lang agg
-    "sp15_negative_samples" -> 0, // broadcast slot join; vocab checkpointed
-    "ev33_window_funnel" -> 2) // one user-key sort + depth histogram agg
+  private def shuffleBudgets = PlanBudgets.shuffleBudgets
 
-  private def countShuffles(p: SparkPlan): Int = p.collect {
-    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
-  }.size
-
+  /** Counts subquery-held plans too (DPP/scalar subqueries hold REAL
+    * exchanges inside expressions, invisible to a children-only
+    * collect — sim8's query-encoding pipeline hides 3 there; AQE flips
+    * the exchange-reuse direction and surfaces them in the main tree,
+    * so both audits must count them for the budgets to be comparable). */
+  private def countShuffles(p: SparkPlan): Int = {
+    val here = p.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.size
+    val subs = p.collect { case n if n.subqueries.nonEmpty => n.subqueries }
+      .flatten.map(countShuffles).sum
+    here + subs
+  }
   test("shuffle-exchange budgets hold for the hottest pipelines " +
     "(static plans, AQE off; an added shuffle fails the budget)") {
     val sc = spark.sparkContext
@@ -205,4 +173,56 @@ class CatalogPlanSpec extends SparkSpec {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
   }
+}
+
+/** Shuffle-exchange budgets for the hottest catalog pipelines. An
+  * ADDED shuffle is the likeliest silent 100×-scale regression — a
+  * refactor that breaks co-partitioning, loses a broadcast to a
+  * sort-merge join, or re-keys mid-chain shows up here as one extra
+  * ShuffleExchange in the STATIC plan (AQE off; ReusedExchange does
+  * not count — reuse is the optimization the budget protects).
+  * Budgets are the audited round-7/8 plan shapes: lowering one is an
+  * improvement (update the table); exceeding one fails loudly and
+  * must be justified the way the BNLJ allowlist entries are.
+  *
+  * Shared by [[CatalogPlanSpec]] (static plans, AQE off) and
+  * [[CatalogPlanAqeSpec]] (adaptive FINAL plans after execution — the
+  * decisions AQE actually makes at scale). */
+object PlanBudgets {
+  val shuffleBudgets: Map[String, Int] = Map(
+    // 0-shuffle entries are eager/checkpointed chains: their upstream
+    // shuffles ran at checkpoint time and the published plan is a pure
+    // ExistingRDD scan — 0 IS the pinned no-recompute property
+    "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
+    "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
+    "er1_entities" -> 0, // CheckpointScope'd end-to-end (r7); result is an ExistingRDD scan
+    "ppj1_prefix_join" -> 1, // prefix fan-out re-key; verify is two joins
+    // against the CHECKPOINTED sorted-id-array frame + the native
+    // merge intersect (r8) — the (pair × token) verify agg shuffle is gone
+    "gr3_components" -> 0, // iterative min-label, checkpointed
+    "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg
+    "dd7_dup_clusters" -> 0, // cluster fixpoint, checkpointed
+    "dd18_incremental" -> 0, // vs persisted index, checkpointed
+    "dd21_best_survivors" -> 3, // candidates + verify + min_by survivor agg
+    "dd23_soft_weights" -> 0, // soft-weight chain, checkpointed
+    "pipeline_dedup" -> 0, // full pipeline, stage checkpoints
+    "pipeline_curate" -> 0, // end-to-end curation, CheckpointScope'd (r7)
+    "port2_riskparity" -> 0, // CheckpointScope'd iteration
+    "sim8_index_search" -> 4, // 1 probe-side top-k re-key + 3 in the
+    // BOUNDED query-encoding subtree (≤5 query vectors × codebook): the
+    // r8 subquery-aware count surfaces them — they previously hid
+    // inside the DPP SubqueryBroadcast expression
+    "cl4_logreg_scores" -> 2, // feature agg + score agg
+    "bpe2_encode" -> 4, // 10 merge steps fold into 4 re-keys
+    "sw1_param_sweep" -> 4, // 3 variants share the tagged pipeline's exchanges
+    "ic5_bootstrap" -> 3, // resample re-key + two reduction aggs
+    "mb1_frequent_pairs" -> 2, // ONE basket repartition + pair agg (the r6 fix)
+    "backtest_pipeline" -> 3, // panel pivot, returns melt, summary agg
+    "perf_ccf" -> 8, // per-lag cross-correlations over the shifted panel
+    // r7 additions worth pinning (harvested from the static plans)
+    "sim15_mmr" -> 0, // greedy over checkpointed bounded frames
+    "gr9_bfs_layers" -> 0, // CheckpointScope'd frontier rounds
+    "tx30_fertility" -> 5, // BPE encode word-vocab chain + lang agg
+    "sp15_negative_samples" -> 0, // broadcast slot join; vocab checkpointed
+    "ev33_window_funnel" -> 2) // one user-key sort + depth histogram agg
 }
