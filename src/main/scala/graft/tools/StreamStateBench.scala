@@ -137,5 +137,58 @@ object StreamStateBench {
           f"(${arrivals / secs / 1e3}%8.1f k-arrivals/s, top=${top._1}:${top._2})")
       }
     }
+
+    // Funnel keyed-state row (r8): `arrivals` users × an 8-event
+    // journey each through the pure fold transition (the per-user path
+    // every micro-batch executes), one state round-trip per event —
+    // the worst batch granularity. State is exactly 2k+2 longs + the
+    // depth int per user; the printed footprint is what a 1M-user
+    // keyed-state store holds, tracked here so growth regressions in
+    // FunnelState are as loud as throughput ones.
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelEvent, FunnelState}
+    final class MemF(var v: Option[FunnelState]) extends GroupState[FunnelState] {
+      def exists: Boolean = v.isDefined
+      def get: FunnelState = v.get
+      def getOption: Option[FunnelState] = v
+      def update(s: FunnelState): Unit = v = Some(s)
+      def remove(): Unit = v = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = ()
+      def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val k = 4
+    val fold = StreamingFunnel.fold(k, windowMicros = 3600L * 1000000L) _
+    val eventsPerUser = 8
+    (1 to 2).foreach { round =>
+      val t0 = System.nanoTime()
+      var emitted = 0L
+      var u = 0
+      while (u < arrivals) {
+        val st = new MemF(None)
+        var e = 0
+        while (e < eventsPerUser) {
+          // steps 1..4 then noise re-entries; strictly increasing ts
+          val step = (e % k) + 1
+          emitted += fold(s"u$u",
+            Iterator.single(FunnelEvent(s"u$u", step, e * 1000000L)), st).size
+          e += 1
+        }
+        u += 1
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = arrivals.toLong * eventsPerUser
+      val stateBytes = arrivals.toLong * (2L * k + 2) * 8
+      if (round == 2)
+        println(f"[streamstate] funnel fold k=$k            steady $n events over $arrivals users: " +
+          f"$secs%6.2f s (${n / secs / 1e3}%8.1f k-events/s, " +
+          f"emitted=$emitted, state=${stateBytes / 1048576.0}%.1f MiB)")
+    }
   }
 }
