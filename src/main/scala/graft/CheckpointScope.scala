@@ -39,12 +39,22 @@ final class CheckpointScope private[graft] (spark: SparkSession) {
 
   /** `df.localCheckpoint(eager)` with the backing blocks tracked for
     * release at scope exit. Drop-in replacement for a bare
-    * `localCheckpoint` inside [[CheckpointScope.scoped]]. */
-  def checkpoint(df: DataFrame, eager: Boolean = false): DataFrame = {
+    * `localCheckpoint` inside [[CheckpointScope.scoped]].
+    *
+    * `stable = true` (default) captures the plan with AQE off so the
+    * frame's declared partitioning survives into the LogicalRDD (see
+    * [[StableCheckpoint]]) — right for big frames whose partitioning
+    * downstream joins consume. Pass `stable = false` for per-ROUND
+    * iteration state (labels, ranks, frontiers): those frames are
+    * small, get re-keyed next round anyway, and benefit more from
+    * AQE's runtime coalescing inside the round's own job (measured:
+    * gr3 8.0 → 5.x s at sf0.1 when the rounds kept AQE). */
+  def checkpoint(df: DataFrame, eager: Boolean = false,
+      stable: Boolean = true): DataFrame = {
     import StableCheckpoint._
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val out = df.stableCheckpoint(eager)
+    val out = if (stable) df.stableCheckpoint(eager) else df.localCheckpoint(eager)
     tracked ++= (sc.getPersistentRDDs.keySet -- before)
     out
   }

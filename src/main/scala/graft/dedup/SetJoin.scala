@@ -32,11 +32,15 @@ import org.apache.spark.sql.functions._
   * Degenerate-data guard: a token that is simultaneously globally
   * frequent AND in many docs' prefixes (only possible when θ is low or
   * docs are tiny) would concentrate O(m²) candidate pairs in one task.
-  * Prefix buckets above `maxBucket` are dropped before pair expansion
-  * and surface in the `prefix_buckets` observe metric
-  * (`rows_in_overflow` MUST be 0 for the exactness contract to hold —
-  * a non-zero value says raise θ or the shingle width, it does not
-  * silently pass).
+  * A prefix bucket above `maxBucket` RAISES (a `raise_error` filter on
+  * the prefix frame, firing at first materialization; r8 — the former
+  * drop-plus-observe-metric was unobservable in practice: the
+  * checkpoint swallowed it, and AQE's empty-relation propagation
+  * erases CollectMetrics in the all-dropped case): an overflow voids
+  * the exact-join guarantee, and this operator's whole reason to exist
+  * over the probabilistic paths is that guarantee, so it fails loudly
+  * instead of passing lossily. Raise θ or the shingle width — or
+  * `maxBucket` when the candidate mass is truly affordable.
   *
   * Cross-engine determinism: the θ comparisons are integer
   * (`inter·10⁶ ≥ round(θ·10⁶)·union`), so no float threshold sits in
@@ -62,8 +66,8 @@ object SetJoin {
 
   /** All pairs (id_a < id_b) with shingle-set Jaccard ≥ `theta`:
     * (doc_a, doc_b, inter_size, union_size, jaccard). Exact — no
-    * sampling, no hashing — provided the `prefix_buckets` overflow
-    * metric stays 0 (see object doc). */
+    * sampling, no hashing; a prefix bucket over `maxBucket` raises at
+    * first materialization rather than lose pairs (see object doc). */
   def prefixFilterJoin(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -119,15 +123,28 @@ object SetJoin {
     // checkpointed: the self-join below would otherwise recompute the
     // whole shingle→freq→sort→prefix pipeline once per aliased side
     // (the dd7 aliased-recompute lesson — measured 11.2 → 2.9 s here)
+    // Overflow guard (r8). The old observe-metric loudness was a dead
+    // letter: it sat below the checkpoint (swallowed), and moved above
+    // it AQE's empty-relation propagation erases the CollectMetrics
+    // node in exactly the all-dropped case the metric existed to
+    // report — caught by the hot-gram bench row reading 0. A non-zero
+    // overflow VOIDS the exactness guarantee, so the house-consistent
+    // behavior is a hard error, not a silent lossy drop — and the
+    // raise_error FILTER makes it zero-cost: it rides the one
+    // materialization of this frame (an eager driver-side count here
+    // instead measured +0.6 s on ppj1 / +3.4 s on er1 — a whole extra
+    // sequential job for a check the hot path evaluates for free).
     val prefixTok = prefixed
       .select(col("__id"), col("__s"),
         posexplode(col("__pfx")).as(Seq("__p0", "__tid")))
       .withColumn("__p", col("__p0").cast("long") + 1L).drop("__p0")
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__tid")))
-      .observe("prefix_buckets",
-        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
-        max(col("__n")).as("max_bucket"))
-      .where(col("__n") <= maxBucket)
+      .where(when(col("__n") > maxBucket, raise_error(concat(
+        lit("prefixFilterJoin: a prefix bucket of "), col("__n"),
+        lit(s" rows exceeds maxBucket=$maxBucket — the exact-join " +
+          "guarantee cannot hold; raise theta or shingleWidth, or " +
+          "raise maxBucket if the candidate mass is truly affordable"))))
+        .otherwise(lit(true)))
       .stableCheckpoint(eager = false)
 
     // candidate pairs: share a prefix token + two-sided length filter +

@@ -79,7 +79,8 @@ object PageRank {
           (lit(basePico) +
             round(lit(damping) * (coalesce(col("__c"), lit(0L)) +
               round(col("__dm").cast("double") / n, 0).cast("long"))
-              .cast("double"), 0).cast("long")).as("__r")))
+              .cast("double"), 0).cast("long")).as("__r")),
+        stable = false) // round state: keep AQE
     }
     ranks.select(col("node"), (col("__r").cast("double") / 1e12).as("rank"))
     }
@@ -157,7 +158,8 @@ object PageRank {
               when(col("__sd") === 1L,
                 round(col("__dm").cast("double") / nS, 0).cast("long"))
                 .otherwise(0L))
-              .cast("double"), 0).cast("long")).as("__r")))
+              .cast("double"), 0).cast("long")).as("__r")),
+        stable = false) // round state: keep AQE
     }
     ranks.select(col("node"), (col("__r").cast("double") / 1e12).as("rank"))
     }
@@ -434,12 +436,12 @@ object PageRank {
       val und = scope.checkpoint(
         edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
           .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
-          .distinct(),
-        eager = true)
+          .distinct().repartition(col("__s")),
+        eager = true) // __s-partitioned: per-hop joins read it exchange-free
       var dist = scope.checkpoint(
         seeds.select(col(seedCol).as("node")).distinct()
           .withColumn("dist", lit(0L)),
-        eager = true)
+        eager = true, stable = false) // round state: keep AQE (scope doc)
       var frontier = dist.select(col("node"))
       var hop = 1
       var done = false
@@ -449,10 +451,11 @@ object PageRank {
             .select(col("__d").as("node")).distinct()
             .join(dist.select(col("node")), Seq("node"), "left_anti")
             .withColumn("dist", lit(hop.toLong)),
-          eager = true)
+          eager = true, stable = false)
         if (next.isEmpty) done = true
         else {
-          dist = scope.checkpoint(dist.unionByName(next), eager = true)
+          dist = scope.checkpoint(dist.unionByName(next),
+            eager = true, stable = false)
           frontier = next.select(col("node"))
           hop += 1
         }

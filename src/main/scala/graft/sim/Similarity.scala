@@ -740,7 +740,7 @@ object Similarity {
             round(col("__p.__mmr"), 6).as("mmr_score"))
         selected = scope.checkpoint(
           if (selected == null) pick else selected.unionByName(pick),
-          eager = true)
+          eager = true, stable = false) // round state: keep AQE
       }
       selected
     }

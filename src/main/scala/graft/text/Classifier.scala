@@ -247,7 +247,7 @@ object Classifier {
           .cast("long")).as("__wm"))
       // bounded (≤ buckets+1 rows): eager checkpoint truncates the
       // per-iteration lineage growth and feeds the next broadcast
-      w = Some(next.stableCheckpoint())
+      w = Some(next.localCheckpoint()) // tiny round state: keep AQE
     }
     w.get.select(col("bucket"),
       (col("__wm").cast("double") / 1e6).as("weight"))

@@ -239,30 +239,22 @@ object DedupBench {
     // shingles each) all sharing one 3-shingle. The shared gram is
     // globally hottest, but with s=2 the prefix covers BOTH tokens, so
     // without the guard the hot bucket pairs C(n,2) candidates — all
-    // passing the positional filter (the meeting bound is 2 ≥ θ·4/…),
-    // all REJECTED at verify (inter=1/union=3 < θ). The maxBucket guard
-    // must drop the bucket loudly (rows_in_overflow = n surfaces via
-    // the prefix_buckets metric — the exactness contract is VOIDED, not
-    // silently passed) and the run must stay seconds, not quadratic.
-    @volatile var overflow = -1L
-    val pfxListener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get("prefix_buckets")
-          .foreach(r => overflow = r.getAs[Long]("rows_in_overflow"))
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
-    }
-    spark.listenerManager.register(pfxListener)
+    // passing the positional filter, all REJECTED at verify
+    // (inter=1/union=3 < θ). The maxBucket guard must RAISE (the r8
+    // loud-exactness contract) in seconds, not run quadratically.
     val hotGram = spark.range(nAdv).select(col("id").as("doc_id"),
       concat(lit("alpha beta gamma u"), col("id")).as("text"))
-    time(s"prefix join hot-gram (guard drops)") {
-      overflow = -1L
-      val rows = graft.dedup.SetJoin.prefixFilterJoin(hotGram, theta = 0.5).count()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (overflow < 0 && System.nanoTime() < deadline) Thread.sleep(50)
-      println(s"[dedupbench]   prefix_buckets rows_in_overflow=$overflow (expect $nAdv: guard fired loudly)")
-      rows
+    time(s"prefix join hot-gram (guard raises)") {
+      try {
+        graft.dedup.SetJoin.prefixFilterJoin(hotGram, theta = 0.5).count()
+        println(s"[dedupbench]   ERROR: hot-gram corpus did NOT trip the guard")
+        -1L
+      } catch {
+        case e: Exception =>
+          println(s"[dedupbench]   guard raised as designed: " +
+            s"${Option(e.getMessage).getOrElse(e.toString).take(120)}")
+          0L
+      }
     }
     spark.stop()
   }

@@ -50,12 +50,10 @@ class CatalogPlanAqeSpec extends SparkSpec {
     * +1..+3 here: checkpoint capture under AQE lost the declared hash
     * partitioning and every consumer re-shuffled — the fix makes the
     * static shape the shape AQE runs.) */
-  private val aqeDelta: Map[String, Int] = Map(
-    // runtime stats reveal the survivor frames are broadcast-sized, so
-    // AQE converts the pick joins SMJ→BHJ and one pre-materialization
-    // exchange never runs — an improvement, pinned so a regression
-    // BACK to 3 is as loud as an added shuffle
-    "dd21_best_survivors" -> -1)
+  private val aqeDelta: Map[String, Int] = Map.empty
+  // (r7 carried dd21 at -1 — AQE converting the survivor-pick SMJ to
+  // broadcast; the r8 size-adaptive CC made the static and adaptive
+  // shapes identical again, so the table is currently empty.)
 
   test("shuffle budgets hold in the ADAPTIVE final plan " +
     "(AQE on, executed at sf0.001)") {

@@ -203,7 +203,9 @@ object PlanBudgets {
     "dd5_simhash" -> 3, // band re-key, pair agg, cluster agg
     "dd7_dup_clusters" -> 0, // cluster fixpoint, checkpointed
     "dd18_incremental" -> 0, // vs persisted index, checkpointed
-    "dd21_best_survivors" -> 3, // candidates + verify + min_by survivor agg
+    "dd21_best_survivors" -> 1, // min_by survivor agg; candidates/verify
+    // ride the size-adaptive CC's materializations (r8 — labels arrive
+    // as a bounded local frame at gate scale)
     "dd23_soft_weights" -> 0, // soft-weight chain, checkpointed
     "pipeline_dedup" -> 0, // full pipeline, stage checkpoints
     "pipeline_curate" -> 0, // end-to-end curation, CheckpointScope'd (r7)

@@ -985,4 +985,28 @@ class DedupSimSpec extends SparkSpec {
     assert(out.count(_._2._4 == 1) == 1)
     intercept[ParameterError](Dedup.lshPlanFromHistogram(hist, grid = Nil))
   }
+
+  test("duplicateClusters: driver union-find fast path == distributed " +
+    "min-label loop on a random long-id graph (r8 size-adaptive switch)") {
+    // deterministic pseudo-random graph: 400 nodes, chains + cliques +
+    // singleton islands, long enough paths to exercise convergence
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 300).map { i =>
+      val a = rnd.nextInt(400).toLong
+      val b = rnd.nextInt(400).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2) ++ (0 until 50).map(i => (1000L + i, 1001L + i))
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.duplicateClusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == dist)
+    // every cluster label is the component minimum: no label exceeds
+    // its node id's own component members' min (spot check via regroup)
+    val byCluster = fast.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster $c is not the min id")
+    }
+  }
 }

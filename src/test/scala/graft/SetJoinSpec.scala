@@ -83,14 +83,23 @@ class SetJoinSpec extends SparkSpec {
     }
   }
 
-  test("maxBucket guard drops oversized prefix buckets loudly") {
+  test("maxBucket guard raises on oversized prefix buckets " +
+    "instead of passing lossily (r8: the exactness guarantee is the " +
+    "operator's contract)") {
     // every doc identical -> one giant bucket per prefix token
     val clones = spark.range(0, 50)
       .select($"id".as("doc_id"), lit("a b c d e f g h").as("text"))
     val full = SetJoin.prefixFilterJoin(clones, theta = 0.9)
     assert(full.count() === 50L * 49 / 2) // default maxBucket admits them
-    val guarded = SetJoin.prefixFilterJoin(clones, theta = 0.9, maxBucket = 10)
-    assert(guarded.count() === 0L) // dropped, not exploded
+    // 50 identical docs, 8 words → 6 shingles, prefix p = 6−⌈5.4⌉+1 = 1
+    // → one 50-row bucket over the cap → raise_error at materialization
+    val e = intercept[Exception] {
+      SetJoin.prefixFilterJoin(clones, theta = 0.9, maxBucket = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("maxBucket=10")), e.toString)
   }
 
   test("docs shorter than the shingle width drop out instead of erroring") {
