@@ -3446,5 +3446,81 @@ private[graft] object OraclesB {
         |  FROM cnt)
         |SELECT l_returnflag, q AS mode_qty, n_mode FROM r WHERE rn = 1""".stripMargin,
 
+    // DQ9: exact integer CDF cross-multiplication over the distinct-cents
+    // histogram; D and the critical value are single IEEE expressions
+    "dq9_ks_drift" ->
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS f, ${c("l_extendedprice")} AS v
+         |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         |hist AS (
+         |  SELECT v,
+         |         CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |         CAST(sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM v GROUP BY 1),
+         |cum AS (
+         |  SELECT v,
+         |         CAST(sum(c1) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cf1,
+         |         CAST(sum(c2) OVER (ORDER BY v
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cf2
+         |  FROM hist),
+         |tot AS (
+         |  SELECT CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |         CAST(sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM v),
+         |dm AS (
+         |  SELECT n1, n2, CAST(max(abs(cf1 * n2 - cf2 * n1)) AS BIGINT) AS dmax
+         |  FROM cum, tot GROUP BY 1, 2)
+         |SELECT n1, n2,
+         |       round(CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE), 6) AS d_stat,
+         |       round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)), 6) AS d_crit,
+         |       CAST(dmax AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) >
+         |         1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS drift
+         |FROM dm""".stripMargin,
+
+    // DQ10: PSI over $1000 cents buckets, pre-1995 vs 1995+; one ln per
+    // bin row (final per-row transcendental), zero cells null the term
+    "dq10_psi" ->
+      s"""WITH li AS (
+         |  SELECT ${c("l_extendedprice")} // 100000 AS bin,
+         |         l_shipdate < TIMESTAMP '1995-01-01' AS old
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT bin,
+         |         CAST(sum(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         |         CAST(sum(CASE WHEN NOT old THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+         |  FROM li GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+         |         CAST(sum(c_new) AS BIGINT) AS n_new FROM b)
+         |SELECT bin, c_old, c_new,
+         |       round(CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE), 6) AS frac_old,
+         |       round(CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE), 6) AS frac_new,
+         |       CASE WHEN c_old > 0 AND c_new > 0 THEN
+         |         round((CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE)
+         |              - CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE))
+         |           * ln((CAST(c_new AS DOUBLE) / CAST(n_new AS DOUBLE))
+         |              / (CAST(c_old AS DOUBLE) / CAST(n_old AS DOUBLE))), 6)
+         |       END AS psi_term
+         |FROM b, tot""".stripMargin,
+
+    // ML41: closed-form logistic calibration — z exact ((25−q)/4, a
+    // power-of-two division of an integral quantity), p micro-quantized
+    // at 1e6 (≤50 distinct z values), integer Brier sums
+    "ml41_calibration" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |         CAST(round(1e6 / (1.0 + exp(-(CAST(25 - CAST(l_quantity AS BIGINT) AS DOUBLE) / 4.0)))) AS BIGINT) AS p6
+        |  FROM lineitem)
+        |SELECT (q - 1) // 5 AS bin,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(y) AS BIGINT) AS n_pos,
+        |       round(CAST(sum(p6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_pred,
+        |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS emp_rate,
+        |       round(CAST(sum((p6 - y * 1000000) * (p6 - y * 1000000)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) / 1e12, 6) AS brier
+        |FROM rows_ GROUP BY 1""".stripMargin,
+
   )
 }

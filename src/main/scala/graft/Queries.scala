@@ -3043,6 +3043,99 @@ object Queries {
     "dq8_profile" -> ((s, dir) =>
       graft.sources.Quality.profile(t(s, dir, "lineitem"))),
 
+    // ---- DQ9: two-sample Kolmogorov-Smirnov drift test — the training-
+    // data drift check (returned vs delivered lineitem price
+    // distributions). Exact integer CDF cross-multiplication over the
+    // BOUNDED distinct-cents histogram (the qn1/Woe discipline: the only
+    // unpartitioned window runs on the value domain, not the fact
+    // table); D and the α=0.05 critical value are single IEEE
+    // expressions over integers (sqrt is correctly rounded
+    // cross-engine). ----
+    "dq9_ks_drift" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .where(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("f"), cents(col("l_extendedprice")).as("v"))
+      val hist = v.groupBy("v").agg(
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))
+      val cum = hist
+        .withColumn("cf1", sum(col("c1")).over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cf2", sum(col("c2")).over(
+          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      val totals = v.agg(
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("n2"))
+      cum.crossJoin(broadcast(totals)) // one scalar row — bounded
+        .select(abs(col("cf1") * col("n2") - col("cf2") * col("n1")).as("__dn"),
+          col("n1"), col("n2"))
+        .groupBy("n1", "n2")
+        .agg(max(col("__dn")).as("__dmax"))
+        .select(col("n1"), col("n2"),
+          round(col("__dmax").cast("double") /
+            (col("n1") * col("n2")).cast("double"), 6).as("d_stat"),
+          round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1") * col("n2")).cast("double")), 6).as("d_crit"),
+          (col("__dmax").cast("double") /
+            (col("n1") * col("n2")).cast("double") >
+            lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1") * col("n2")).cast("double"))).as("drift"))
+    }),
+
+    // ---- DQ10: population-stability index — the scorecard-monitoring
+    // drift metric next to DQ9's KS: $1000 price buckets (integer
+    // division of cents), pre-1995 vs 1995+ shipment populations, one
+    // ln per BIN row (final per-row transcendental, 6dp — never summed,
+    // never compared; a zero cell nulls the term, the Woe stance). ----
+    "dq10_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        call_function("div", cents(col("l_extendedprice")), lit(100000L))
+          .as("bin"),
+        (year(col("l_shipdate")) < 1995).as("old"))
+      val byBin = li.groupBy("bin").agg(
+        sum(when(col("old"), 1L).otherwise(0L)).as("c_old"),
+        sum(when(!col("old"), 1L).otherwise(0L)).as("c_new"))
+      val totals = byBin.agg(
+        sum(col("c_old")).as("n_old"), sum(col("c_new")).as("n_new"))
+      val p = col("c_old").cast("double") / col("n_old").cast("double")
+      val q = col("c_new").cast("double") / col("n_new").cast("double")
+      byBin.crossJoin(broadcast(totals)) // one scalar row — bounded
+        .select(col("bin"), col("c_old"), col("c_new"),
+          round(p, 6).as("frac_old"), round(q, 6).as("frac_new"),
+          when(col("c_old") > 0 && col("c_new") > 0,
+            round((q - p) * log(q / p), 6)).as("psi_term"))
+    }),
+
+    // ---- ML41: calibration / reliability report for a closed-form
+    // logistic score — z = (25 − quantity)/4 (binary-exact: quantity is
+    // integral, /4 is a power of two), p = σ(z) micro-quantized at 1e6
+    // (≤50 distinct z values; the transcendental never feeds a
+    // comparison). Per quantity-quintile bin: mean predicted vs
+    // empirical return rate + the Brier contribution, all integer sums
+    // until the final divisions. ----
+    "ml41_calibration" -> ((s, dir) => {
+      val rows = t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("q"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .withColumn("z", (lit(25L) - col("q")).cast("double") / 4.0)
+        .withColumn("p6",
+          round(lit(1e6) / (lit(1.0) + exp(-col("z")))).cast("long"))
+      rows.withColumn("bin",
+        call_function("div", col("q") - 1L, lit(5L))) // integer division
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("p6")).as("__sp"),
+          sum((col("p6") - col("y") * 1000000L) *
+            (col("p6") - col("y") * 1000000L)).as("__sq"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("__sp").cast("double") / col("n").cast("double") / 1e6, 6)
+            .as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("emp_rate"),
+          round(col("__sq").cast("double") / col("n").cast("double") / 1e12, 6)
+            .as("brier"))
+    }),
+
     // ---- declarative data-quality expectations: all predicate rules per
     // table in ONE aggregate pass + left-anti referential checks ----
     "dq1_expectations" -> ((s, dir) => {
