@@ -3504,6 +3504,42 @@ private[graft] object OraclesB {
          |       END AS psi_term
          |FROM b, tot""".stripMargin,
 
+    // DQ11: Benford audit — digit from the cents string; expected shares
+    // are the SAME full-precision literals inlined on both engines
+    "dq11_benford" ->
+      s"""WITH d AS (
+         |  SELECT CAST(substr(CAST(${c("l_extendedprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM lineitem),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS "__N" FROM g),
+         |e(digit, ef) AS (VALUES
+         |  (1, CAST(0.3010299956639812 AS DOUBLE)), (2, CAST(0.17609125905568124 AS DOUBLE)),
+         |  (3, CAST(0.12493873660829992 AS DOUBLE)), (4, CAST(0.09691001300805642 AS DOUBLE)),
+         |  (5, CAST(0.07918124604762482 AS DOUBLE)), (6, CAST(0.06694678963061322 AS DOUBLE)),
+         |  (7, CAST(0.05799194697768673 AS DOUBLE)), (8, CAST(0.05115252244738129 AS DOUBLE)),
+         |  (9, CAST(0.04575749056067514 AS DOUBLE)))
+         |SELECT g.digit, g.n,
+         |       round(CAST(g.n AS DOUBLE) / CAST("__N" AS DOUBLE), 6) AS frac,
+         |       round(e.ef, 6) AS benford_frac,
+         |       round(CAST(g.n AS DOUBLE) / CAST("__N" AS DOUBLE) - e.ef, 6) AS deviation
+         |FROM g, t JOIN e ON e.digit = g.digit""".stripMargin,
+
+    // EV35: per-user consecutive event-type transitions ordered by
+    // (epoch µs, event_id) — the session-family tiebreak contract
+    "ev35_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |         CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE), 6) AS p
+        |FROM tr""".stripMargin,
+
     // ML41: closed-form logistic calibration — z exact ((25−q)/4, a
     // power-of-two division of an integral quantity), p micro-quantized
     // at 1e6 (≤50 distinct z values), integer Brier sums

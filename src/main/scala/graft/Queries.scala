@@ -3106,6 +3106,55 @@ object Queries {
             round((q - p) * log(q / p), 6)).as("psi_term"))
     }),
 
+    // ---- DQ11: Benford first-digit audit — the forensic data-quality
+    // screen for fabricated numeric columns. Digit from the cents
+    // STRING (no float log in the digit path); expected shares are
+    // log10(1+1/d) DRIVER-INLINED as full-precision literals in both
+    // engines (the ab4 zero-cross-engine-transcendental trick). ----
+    "dq11_benford" -> ((s, dir) => {
+      val expected = Map(
+        1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+        3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+        5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+        7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+        9 -> 0.04575749056067514)
+      val expCol = expected.foldLeft(lit(0.0)) { case (acc, (d, e)) =>
+        when(col("digit") === d.toLong, lit(e)).otherwise(acc)
+      }
+      val digits = t(s, dir, "lineitem")
+        .select(substring(cents(col("l_extendedprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum(col("n")).as("__N"))
+      digits.crossJoin(broadcast(total)) // one scalar row — bounded
+        .withColumn("expected_frac", expCol)
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("__N").cast("double"), 6)
+            .as("frac"),
+          round(col("expected_frac"), 6).as("benford_frac"),
+          round(col("n").cast("double") / col("__N").cast("double")
+            - col("expected_frac"), 6).as("deviation"))
+    }),
+
+    // ---- EV35: first-order Markov transition matrix over per-user
+    // event streams — consecutive event types by (µs, event_id) order
+    // (the epoch_us tiebreak contract shared with the session oracles),
+    // exact integer counts, one division per transition row. The
+    // probability window is partitioned by from_type and the post-agg
+    // frame is ≤|types|² rows — bounded by the event-type dimension. ----
+    "ev35_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tr = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
+    }),
+
     // ---- ML41: calibration / reliability report for a closed-form
     // logistic score — z = (25 − quantity)/4 (binary-exact: quantity is
     // integral, /4 is a power of two), p = σ(z) micro-quantized at 1e6

@@ -1818,6 +1818,21 @@ private[graft] object TextOraclesB {
     // mod 2^31−1) via per-position explode + window min + rn ≥ w
     // (window-level formulation vs the engine's in-array one: same
     // fingerprint sets, different shape)
+    "tx31_source_novelty" ->
+      s"""WITH $shinglesCte,
+         |g AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |ss AS (
+         |  SELECT DISTINCT d.source AS source, g.s AS s
+         |  FROM g JOIN documents d USING (doc_id)),
+         |bysh AS (SELECT s, CAST(count(*) AS BIGINT) AS nsrc FROM ss GROUP BY 1)
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM ss JOIN bysh USING (s)
+         |GROUP BY 1""".stripMargin,
+
     "wn1_winnow_pairs" -> {
       val horner = (1 until 20).foldLeft(
         "CAST(ascii(substring(t, i, 1)) AS BIGINT)") { (acc, j) =>

@@ -251,6 +251,27 @@ object TextQueries {
     // tracks per language (high fertility = underserved language).
     // Trains via the r7 HEAP path, so the production trainer is on a
     // gated end-to-end chain ----
+    // ---- TX31: cross-source shingle novelty — per source, the share of
+    // its distinct 3-gram shingles found in NO other source (the "is
+    // this corpus slice adding anything" curation question). One
+    // distinct (source, shingle) pass feeds both the per-shingle source
+    // census and the per-source totals (checkpointed — two consumers). ----
+    "tx31_source_novelty" -> ((s, dir) => {
+      import graft.StableCheckpoint._
+      val docs = t(s, dir, "documents")
+      val ss = docs.select(col("doc_id"), col("source"))
+        .join(Dedup.shingleRows(docs), "doc_id")
+        .select(col("source"), col("__s")).distinct()
+        .stableCheckpoint(eager = false)
+      val bySh = ss.groupBy("__s").agg(count(lit(1)).as("__nsrc"))
+      ss.join(bySh, "__s")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__nsrc") === 1L, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"), 6))
+    }),
+
     "tx30_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bpe = graft.text.Bpe.encode(
