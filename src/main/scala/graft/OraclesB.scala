@@ -3540,6 +3540,28 @@ private[graft] object OraclesB {
         |         CAST(CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE), 6) AS p
         |FROM tr""".stripMargin,
 
+    // EV37: Gini from the bounded events-per-user count histogram —
+    // closed-form tie-group rank sums, integer until the final division
+    "ev37_gini" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM per GROUP BY 1),
+        |cum AS (
+        |  SELECT c, m,
+        |         CAST(coalesce(sum(m) OVER (ORDER BY c
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |  FROM hist),
+        |a AS (
+        |  SELECT CAST(sum(c * (cb * m + (m * (m + 1)) // 2)) AS BIGINT) AS s,
+        |         CAST(sum(c * m) AS BIGINT) AS t,
+        |         CAST(sum(m) AS BIGINT) AS n_users
+        |  FROM cum)
+        |SELECT n_users, t AS n_events,
+        |       round((2.0 * CAST(s AS DOUBLE)
+        |            - CAST(n_users + 1 AS DOUBLE) * CAST(t AS DOUBLE))
+        |         / (CAST(n_users AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS gini
+        |FROM a""".stripMargin,
+
     // ML41: closed-form logistic calibration — z exact ((25−q)/4, a
     // power-of-two division of an integral quantity), p micro-quantized
     // at 1e6 (≤50 distinct z values), integer Brier sums

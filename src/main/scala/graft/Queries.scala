@@ -3155,6 +3155,31 @@ object Queries {
         sum(col("n")).over(Window.partitionBy("from_type")).cast("double"), 6))
     }),
 
+    // ---- EV37: Gini concentration of per-user event activity — the
+    // power-user skew audit. Computed EXACTLY from the bounded
+    // events-per-user count histogram (the qn1 discipline: the rank sum
+    // over a tie group is closed-form, so no per-user global rank);
+    // integer sums until one final division. ----
+    "ev37_gini" -> ((s, dir) => {
+      val hist = events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("m"))
+      val cum = hist.withColumn("cb",
+        coalesce(sum(col("m")).over(
+          Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      cum.agg(
+        sum(col("c") * (col("cb") * col("m") +
+          call_function("div", col("m") * (col("m") + 1L), lit(2L)))).as("S"),
+        sum(col("c") * col("m")).as("T"),
+        sum(col("m")).as("n_users"))
+        .select(col("n_users"), col("T").as("n_events"),
+          round((lit(2.0) * col("S").cast("double") -
+            (col("n_users") + 1L).cast("double") * col("T").cast("double")) /
+            (col("n_users").cast("double") * col("T").cast("double")), 6)
+            .as("gini"))
+    }),
+
     // ---- ML41: calibration / reliability report for a closed-form
     // logistic score — z = (25 − quantity)/4 (binary-exact: quantity is
     // integral, /4 is a power of two), p = σ(z) micro-quantized at 1e6

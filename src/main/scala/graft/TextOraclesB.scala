@@ -1818,6 +1818,31 @@ private[graft] object TextOraclesB {
     // mod 2^31−1) via per-position explode + window min + rn ≥ w
     // (window-level formulation vs the engine's in-array one: same
     // fingerprint sets, different shape)
+    "tx32_zipf_slope" ->
+      s"""WITH $wordsCte,
+         |flat AS (SELECT unnest(w) AS word FROM words),
+         |freq AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS n
+         |  FROM flat WHERE word <> '' GROUP BY 1
+         |  ORDER BY n DESC, word LIMIT 100),
+         |ranked AS (
+         |  SELECT CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, word) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         |         CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+         |  FROM freq),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM ranked)
+         |SELECT k,
+         |       round(CAST(k * sxy - sx * sy AS DOUBLE)
+         |         / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+         |       round((CAST(sy AS DOUBLE)
+         |            - (CAST(k * sxy - sx * sy AS DOUBLE)
+         |               / CAST(k * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |         / CAST(k AS DOUBLE) / 1e6, 6) AS intercept_ln
+         |FROM a""".stripMargin,
+
     "tx31_source_novelty" ->
       s"""WITH $shinglesCte,
          |g AS (SELECT doc_id, unnest(sh) AS s FROM sh),

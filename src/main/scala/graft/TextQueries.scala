@@ -251,6 +251,38 @@ object TextQueries {
     // tracks per language (high fertility = underserved language).
     // Trains via the r7 HEAP path, so the production trainer is on a
     // gated end-to-end chain ----
+    // ---- TX32: Zipf slope — log-log OLS over the top-100 word
+    // frequencies (rank by count desc, word asc). ln(rank)/ln(count)
+    // micro-quantized at 1e6 (≤200 distinct small-integer inputs), then
+    // EXACT integer OLS moments over the bounded 100-row frame; slope
+    // and intercept are single IEEE expressions. English-like corpora
+    // sit near −1. ----
+    "tx32_zipf_slope" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(TextAnalysis.normWords(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)
+      val ranked = freq
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("n").desc, col("w"))))
+        .select(
+          round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+          round(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+      ranked.agg(
+        count(lit(1)).as("k"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+        .select(col("k"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+            .as("zipf_slope"),
+          round((col("sy").cast("double") -
+            ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * col("sx").cast("double")) / col("k").cast("double") / 1e6, 6)
+            .as("intercept_ln"))
+    }),
+
     // ---- TX31: cross-source shingle novelty — per source, the share of
     // its distinct 3-gram shingles found in NO other source (the "is
     // this corpus slice adding anything" curation question). One
