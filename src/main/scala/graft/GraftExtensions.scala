@@ -55,6 +55,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SquaredDistance(args(0), args(1))
       }))
 
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - |A∩B| of two ascending-sorted " +
+          "bigint arrays via one codegen'd merge scan"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "graft_sorted_intersect(a, b) takes 2 arguments")
+        SortedIntersectCount(args(0), args(1))
+      }))
+
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(text, bits) - one-pass word-level simhash fingerprint"),

@@ -75,5 +75,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val kernel = graft.dedup.Winnow
       .winnowScalar("the winnowing of documents", 8, 4).toSeq
     assert(wn.getSeq[Long](0) == kernel && kernel.nonEmpty)
+    // graft_sorted_intersect: the set-join verify kernel over SQL
+    val si = s.sql(
+      "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS n")
+      .head.getLong(0)
+    assert(si == 2L)
   }
 }
