@@ -159,16 +159,21 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out(1).getDouble(3) == math.rint(woe * 1e6) / 1e6)
   }
 
-  test("woeIv: non-unique (value, tieCols) raises ParameterError " +
+  test("woeIv: non-unique (value, tieCols) raises " +
     "instead of resolving ties silently") {
     val df = Seq(
       (1.0, false, 1L), (1.0, true, 1L), // same value AND same tie key
       (2.0, false, 2L), (3.0, true, 3L))
       .toDF("v", "bad", "id")
-    val e = intercept[graft.ParameterError] {
-      graft.ml.Woe.woeIv(df, "bad", "v", Seq("id"), bins = 2)
+    // raise_error fires at materialization (it rides the rank window's
+    // shuffle — no separate validation job)
+    val e = intercept[Exception] {
+      graft.ml.Woe.woeIv(df, "bad", "v", Seq("id"), bins = 2).collect()
     }
-    assert(e.getMessage.contains("tieCols"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("tieCols")), e.toString)
     // duplicate tie key at DIFFERENT value levels is fine — uniqueness
     // is required per value level only
     val ok = Seq(
