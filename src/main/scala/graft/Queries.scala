@@ -3058,11 +3058,10 @@ object Queries {
       val hist = v.groupBy("v").agg(
         sum(when(col("f") === "R", 1L).otherwise(0L)).as("c1"),
         sum(when(col("f") === "N", 1L).otherwise(0L)).as("c2"))
-      val cum = hist
-        .withColumn("cf1", sum(col("c1")).over(
-          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("cf2", sum(col("c2")).over(
-          Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)))
+      // distributed two-level prefix scan (extendedprice cents are
+      // near-continuous — 583k distinct in 600k sf0.1 rows)
+      val cum = graft.panel.PrefixSum.inclusive(
+        hist, "v", Seq("cf1" -> "c1", "cf2" -> "c2"))
       val totals = v.agg(
         sum(when(col("f") === "R", 1L).otherwise(0L)).as("n1"),
         sum(when(col("f") === "N", 1L).otherwise(0L)).as("n2"))

@@ -1630,15 +1630,16 @@ object Events {
           .otherwise(0L).as("__g1"))
       .groupBy(col("__v"))
       .agg(count(lit(1)).as("__t"), sum(col("__g1")).as("__t1"))
-    val wAsc = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n1d = col("n1").cast("double")
     val n2d = col("n2").cast("double")
     val nd = (col("n1") + col("n2")).cast("double")
     val varD = n1d * n2d / 12.0 *
       ((nd + 1.0) - col("tie_term").cast("double") / nd / (nd - 1.0))
-    hist
-      .withColumn("__below", sum(col("__t")).over(wAsc) - col("__t"))
+    // distributed two-level prefix scan (r8): purchase cents are
+    // near-continuous, so the old unpartitioned window single-tasked
+    // the whole distinct-value frame at scale
+    graft.panel.PrefixSum.inclusive(hist, "__v", Seq("__cumt" -> "__t"))
+      .withColumn("__below", col("__cumt") - col("__t"))
       .agg(
         sum(col("__t1")).as("n1"),
         sum(col("__t") - col("__t1")).as("n2"),

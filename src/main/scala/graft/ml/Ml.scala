@@ -328,16 +328,23 @@ object Evaluation {
     val tagged = a.select(col(scoreCol).as("__v"), lit(1L).as("__a"), lit(0L).as("__b"))
       .unionByName(
         b.select(col(scoreCol).as("__v"), lit(0L).as("__a"), lit(1L).as("__b")))
-    val wAsc = Window.orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(col("__v")).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val perV = tagged
+    // distributed two-level prefix scan (r8): score histograms are
+    // near-continuous, so the old unpartitioned cumulative window was a
+    // one-task pass over the whole distinct-value frame at scale; the
+    // totals become one scalar crossJoin instead of a whole-frame window
+    val histV = tagged
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca0"), sum(col("__b")).as("__cb0"))
-      .withColumn("__ca", sum(col("__ca0")).over(wAsc).cast(dec))
-      .withColumn("__cb", sum(col("__cb0")).over(wAsc).cast(dec))
-      .withColumn("__na", sum(col("__ca0")).over(wAll).cast(dec))
-      .withColumn("__nb", sum(col("__cb0")).over(wAll).cast(dec))
+    val totals = tagged.agg(
+      sum(col("__a")).as("__na0"), sum(col("__b")).as("__nb0"))
+    val perV = graft.panel.PrefixSum.inclusive(
+      histV, "__v", Seq("__cai" -> "__ca0", "__cbi" -> "__cb0"),
+      bucketWidth = 0.015625) // 2⁻⁶: binary-exact for [0,1] score grids
+      .crossJoin(broadcast(totals)) // one scalar row — bounded by design
+      .withColumn("__ca", col("__cai").cast(dec))
+      .withColumn("__cb", col("__cbi").cast(dec))
+      .withColumn("__na", coalesce(col("__na0"), lit(0L)).cast(dec))
+      .withColumn("__nb", coalesce(col("__nb0"), lit(0L)).cast(dec))
       .withColumn("__num",
         abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
     perV

@@ -38,12 +38,14 @@ object Woe {
       Seq(when(col(badCol), 1L).otherwise(0L).as("__bad"),
         round(col(valueCol) * 100).cast("long").as("__v")) ++
         tieCols.map(col): _*)
-    // bounded distinct-cents histogram: prefix count of strictly-lower
-    // values per level (the qn1/quantileNormalize discipline)
-    val hist = rows.groupBy(col("__v"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c"))
-        .over(Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)))
+    // distinct-cents histogram: prefix count of strictly-lower values
+    // per level. DISTRIBUTED two-level scan (r8): extendedprice-class
+    // columns are near-continuous (583k distinct cents in 600k sf0.1
+    // rows), so the old single unpartitioned window was a one-task
+    // scan of the whole table at scale.
+    val hist = graft.panel.PrefixSum.inclusive(
+      rows.groupBy(col("__v")).agg(count(lit(1)).as("__c")),
+      "__v", Seq("__cum" -> "__c"))
       .withColumn("__lo", col("__cum") - col("__c"))
       .select(col("__v"), col("__lo"))
     val n = rows.agg(count(lit(1)).as("__N"))
@@ -62,7 +64,11 @@ object Woe {
       .orderBy(tieCols.map(col) :+ col("__bad"): _*)
     val wKey = Window.partitionBy(col("__v") +: tieCols.map(col): _*)
     val binned = rows
-      .join(broadcast(hist), Seq("__v"))
+      // plain equi-join (r8): hist is range-bounded, not small — a
+      // near-continuous column makes it table-sized, so the broadcast
+      // hint is wrong at scale; the __v hash exchange is shared with
+      // the tie window below, and AQE still broadcasts when it IS small
+      .join(hist, Seq("__v"))
       .crossJoin(broadcast(n)) // one scalar row — bounded by design
       .withColumn("__dup", count(lit(1)).over(wKey))
       .where(when(col("__dup") > 1L, raise_error(lit(
