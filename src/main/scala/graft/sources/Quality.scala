@@ -242,11 +242,13 @@ object Quality {
     val ranked = rows
       .withColumn("__r", row_number().over(wg).cast("long"))
       .withColumn("__ng", count(lit(1)).over(Window.partitionBy("__g")))
-    // reference: cumulative histogram over distinct cents (bounded)
-    val hist = rows.groupBy(col("__v").as("__hv"))
-      .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c"))
-        .over(Window.orderBy("__hv").rowsBetween(Window.unboundedPreceding, 0)))
+    // reference: cumulative histogram over distinct cents via the
+    // distributed two-level scan (r8 — near-continuous columns make
+    // the histogram table-sized, so the old unpartitioned window was a
+    // single-task scan; see graft.panel.PrefixSum)
+    val hist = graft.panel.PrefixSum.inclusive(
+      rows.groupBy(col("__v").as("__hv")).agg(count(lit(1)).as("__c")),
+      "__hv", Seq("__cum" -> "__c"))
       .withColumn("__lo", col("__cum") - col("__c"))
     val n = rows.agg(count(lit(1)).as("__n"))
     // rank→reference-value lookup as a LINEAR equi-join: each histogram
