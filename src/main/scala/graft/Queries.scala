@@ -856,8 +856,8 @@ object Queries {
       graft.events.Events.skipGrams(events(s, dir), maxGap = 5)),
 
     // ---- EV26: Qini uplift curve — deterministic hash arms, rank-
-    // proportional score deciles over the bounded cents histogram,
-    // cumulative incremental conversions control-scaled
+    // proportional score deciles via the two-level descending bucket
+    // rank, cumulative incremental conversions control-scaled
     "ev26_qini" -> ((s, dir) =>
       graft.events.Events.qiniCurve(events(s, dir), "purchase")),
 

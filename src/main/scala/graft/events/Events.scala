@@ -723,9 +723,9 @@ object Events {
     * ([[graft.text.Sampling.hashUnit]], ≥ 0.5 = treated); the score
     * here is the user's total event value (a stand-in for a model
     * score — callers pass their own). Deciles are rank-proportional
-    * over a BOUNDED distinct-score-cents histogram (descending score,
-    * user-id tie window per score level — the ml30/qn1 decomposition,
-    * no global ntile). Counts are exact integers; each Qini value is
+    * via the two-level descending bucket rank (the r8 woeIv/PrefixSum
+    * decomposition — near-continuous score cents make a distinct-value
+    * histogram table-sized; no global ntile, no histogram join). Counts are exact integers; each Qini value is
     * one fixed IEEE expression over cumulative integer counts, 6dp,
     * null while the control cumulative is empty. */
   def qiniCurve(
@@ -746,19 +746,30 @@ object Events {
       .withColumn("__t",
         graft.text.Sampling.hashUnit(col(userCol), seed) >= 0.5)
       .stableCheckpoint(eager = false) // feeds histogram + rank join
-    val hist = perUser.groupBy(col("__s"))
-      .agg(count(lit(1)).as("__hc"))
-      .withColumn("__cum", sum(col("__hc"))
-        .over(Window.orderBy(col("__s").desc)
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__lo", col("__cum") - col("__hc"))
-      .select(col("__s"), col("__lo"))
+    // two-level DESCENDING rank (r8 — the woeIv/PrefixSum shape): spend
+    // cents are near-continuous, so the old distinct-score histogram
+    // window + table-sized join was a single-task scan at scale. Rows
+    // bucket by a fixed width; row_number runs per bucket ordered
+    // (score desc, user); descending bucket-count offsets (the only
+    // unpartitioned window, over occupied buckets — range-bounded)
+    // shift local numbers to global ranks.
+    val bucketed = perUser.withColumn("__bk",
+      floor(col("__s").cast("double") / lit(1e6)).cast("long"))
+    val offsets = bucketed.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__bc"))
+      .select(col("__bk"),
+        coalesce(sum(col("__bc")).over(
+          Window.orderBy(col("__bk").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("__off"))
     val n = perUser.agg(count(lit(1)).as("__N"))
-    val wTie = Window.partitionBy("__s").orderBy(col(userCol))
-    val byDecile = perUser
-      .join(broadcast(hist), Seq("__s"))
+    val wb = Window.partitionBy("__bk")
+      .orderBy(col("__s").desc, col(userCol))
+    val byDecile = bucketed
+      .withColumn("__rin", row_number().over(wb).cast("long"))
+      .join(broadcast(offsets), Seq("__bk")) // range-bounded bucket frame
       .crossJoin(broadcast(n)) // one scalar row — bounded by design
-      .withColumn("__rank", col("__lo") + row_number().over(wTie))
+      .withColumn("__rank", col("__off") + col("__rin"))
       .withColumn("decile",
         call_function("div", (col("__rank") - 1L) * deciles, col("__N")) + 1L)
       .groupBy(col("decile"))
