@@ -159,25 +159,27 @@ object Evaluation {
           col("__n") * round(pow(s, 2) * 1e12).cast(dec)).cast(dec))
       .withColumn("__acc",
         when(s >= 0.5, col("__p")).otherwise(col("__n")))
-    // cumulative positives at-or-below each score: a window over the
-    // DISTINCT-score frame (bounded — this is the rank axis itself)
-    val w = Window.orderBy(s).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(s).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = perScore
-      .withColumn("__cp", sum(col("__p")).over(w))
-      .withColumn("__Ptot", sum(col("__p")).over(wAll))
-      // per-score pair mass: neg_s × (2·posAbove_s + pos_s), halved at
-      // the end — every term integer, decimal(38,0) accumulation
-      .withColumn("__u2row",
+    // cumulative positives at-or-below each score via the two-level
+    // bucket scan (r9): "distinct scores" is ROW-cardinality for a
+    // continuous scorer, so the old unpartitioned window was a
+    // table-sized one-task sort (see graft.panel.PrefixSum). The total
+    // P folds into the final aggregation algebraically — Σ n_s·(2·(P −
+    // cp_s) + p_s) = 2·P·N − Σ n_s·(2·cp_s − p_s) — so no second pass
+    // over the histogram is needed for totals.
+    val cum = graft.panel.PrefixSum.inclusiveAuto(
+      perScore, "__s", Seq("__cp" -> "__p"))
+      // per-score HALF of the pair mass: n_s × (2·cp_s − p_s) — the
+      // complement term of the identity above; every factor integer,
+      // decimal(38,0) accumulation
+      .withColumn("__u2c",
         col("__n").cast(dec) *
-          (lit(2) * (col("__Ptot") - col("__cp")) + col("__p")).cast(dec))
+          (lit(2) * col("__cp") - col("__p")).cast(dec))
     cum
       .agg(
         sum(col("__p") + col("__n")).as("__rows"),
         sum(col("__p")).as("__P"),
         sum(col("__n")).as("__N"),
-        sum(col("__u2row")).as("__u2"),
+        sum(col("__u2c")).as("__u2c"),
         sum(col("__acc")).as("__ok"),
         sum(col("__ll")).as("__lls"),
         sum(col("__br")).as("__brs"))
@@ -185,7 +187,8 @@ object Evaluation {
         col("__rows").cast("long").as("n"),
         col("__P").cast("long").as("positives"),
         round(when(col("__P") > 0 && col("__N") > 0,
-          col("__u2").cast("double") /
+          (lit(2).cast(dec) * col("__P").cast(dec) * col("__N").cast(dec) -
+            col("__u2c")).cast("double") /
             (lit(2.0) * col("__P") * col("__N"))), 6).as("auc"),
         round(col("__ok").cast("double") / col("__rows"), 6).as("accuracy"),
         round(col("__lls").cast("double") / 1e12 / col("__rows"), 6).as("logloss"),
@@ -283,18 +286,26 @@ object Evaluation {
         s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
         .cast("long"))
     val s = col("__s")
-    val wDesc = Window.orderBy(s.desc).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(s.desc).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    preds
+    // descending cumulatives via the ASCENDING two-level bucket scan
+    // (r9): desc-cum(x) = total − asc-cum(x) + x_at — exact integers.
+    // The old unpartitioned desc windows sorted a row-cardinality frame
+    // in one task for continuous scores (see graft.panel.PrefixSum);
+    // the totals become one scalar agg reusing the histogram's shuffle.
+    val perScore = preds
       .select(col(scoreCol).as("__s"), lbl.as("__y"))
       .groupBy(s)
       .agg(sum(col("__y")).as("__p"), count(lit(1)).as("__c"))
-      .withColumn("__tp", sum(col("__p")).over(wDesc)) // TP at threshold
-      .withColumn("__pp", sum(col("__c")).over(wDesc)) // predicted positive
-      // "__pt", NOT "__P": Spark resolves columns case-insensitively, so
-      // "__P" next to "__p" is a silent collision
-      .withColumn("__pt", sum(col("__p")).over(wAll))
+    // "__pt", NOT "__P": Spark resolves columns case-insensitively, so
+    // "__P" next to "__p" is a silent collision
+    val totals = perScore.agg(
+      sum(col("__p")).as("__pt"), sum(col("__c")).as("__ct"))
+    graft.panel.PrefixSum.inclusiveAuto(
+      perScore, "__s", Seq("__cap" -> "__p", "__cac" -> "__c"))
+      .crossJoin(broadcast(totals)) // one scalar row — bounded by design
+      .withColumn("__tp", // TP at threshold
+        col("__pt") - col("__cap") + col("__p"))
+      .withColumn("__pp", // predicted positive
+        col("__ct") - col("__cac") + col("__c"))
       // ΔR·P per threshold, micro-quantized for the exact final sum
       .withColumn("__term",
         round(col("__p").cast("double") / col("__pt") *
@@ -337,9 +348,12 @@ object Evaluation {
       .agg(sum(col("__a")).as("__ca0"), sum(col("__b")).as("__cb0"))
     val totals = tagged.agg(
       sum(col("__a")).as("__na0"), sum(col("__b")).as("__nb0"))
-    val perV = graft.panel.PrefixSum.inclusive(
-      histV, "__v", Seq("__cai" -> "__ca0", "__cbi" -> "__cb0"),
-      bucketWidth = 0.015625) // 2⁻⁶: binary-exact for [0,1] score grids
+    // range-probed bucket width (r9): a hardcoded [0,1]-score width
+    // regresses to one-bucket-per-value on wide-domain FEATURE columns
+    // (cents), re-creating the single-task scan; the probe adapts to
+    // any domain and only shapes the plan, never the values
+    val perV = graft.panel.PrefixSum.inclusiveAuto(
+      histV, "__v", Seq("__cai" -> "__ca0", "__cbi" -> "__cb0"))
       .crossJoin(broadcast(totals)) // one scalar row — bounded by design
       .withColumn("__ca", col("__cai").cast(dec))
       .withColumn("__cb", col("__cbi").cast(dec))
@@ -468,9 +482,10 @@ object Evaluation {
     * shared by the whole block, and the DeLong moments fold to
     * half-count units (u = 2·negBelow + ties) so AUC and both
     * S-variances are decimal-exact ratios until the final divisions.
-    * The only windows run over the HISTOGRAM (bounded by distinct
-    * scores, the ev17 discipline). Two hash aggs + two histogram
-    * windows. Null se/CI when either class has < 2 members.
+    * Cumulative placements ride the two-level bucket scan over the
+    * histogram ([[graft.panel.PrefixSum]] — no unpartitioned window
+    * anywhere). Two hash aggs + the bucketed scan. Null se/CI when
+    * either class has < 2 members.
     * Output (n_pos, n_neg, auc, se, ci_lo, ci_hi). */
   def aucDelong(
       preds: DataFrame,
@@ -490,18 +505,20 @@ object Evaluation {
       .groupBy(col("__s"))
       .agg(sum(col("__y")).as("__cp"),
         sum(lit(1L) - col("__y")).as("__cn"))
-    val w = Window.orderBy(col("__s")) // over the histogram, not rows
-    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val placed = hist
-      .withColumn("__negBelow", coalesce(sum(col("__cn")).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("__np", sum(col("__cp")).over(whole))
-      .withColumn("__nn", sum(col("__cn")).over(whole))
-      // suffix sum as whole − inclusive prefix: exact integers, and
-      // O(n)-incremental where a 1→unboundedFollowing frame is a
-      // per-row recompute (quadratic on a large score histogram)
-      .withColumn("__posAbove", col("__np") - sum(col("__cp")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // cumulatives via the two-level bucket scan (r9): 6dp quantization
+    // bounds the histogram to ≤ ~2M rows, but bounded ≠ free — an
+    // unpartitioned window still put the whole frame in ONE task as
+    // the slowest stage of an otherwise parallel plan (see
+    // graft.panel.PrefixSum). Totals arrive as one scalar agg reusing
+    // the histogram's shuffle; exclusive/suffix forms derive from the
+    // inclusive prefix by exact integer algebra.
+    val hTotals = hist.agg(
+      sum(col("__cp")).as("__np"), sum(col("__cn")).as("__nn"))
+    val placed = graft.panel.PrefixSum.inclusiveAuto(
+      hist, "__s", Seq("__ap" -> "__cp", "__an" -> "__cn"))
+      .crossJoin(broadcast(hTotals)) // one scalar row — bounded
+      .withColumn("__negBelow", col("__an") - col("__cn"))
+      .withColumn("__posAbove", col("__np") - col("__ap"))
       // half-count placements: u10/(2N₋) = V₁₀, u01/(2N₊) = V₀₁
       .withColumn("__u10", (col("__negBelow") * 2 + col("__cn")).cast(dec))
       .withColumn("__u01", (col("__posAbove") * 2 + col("__cp")).cast(dec))
@@ -907,20 +924,21 @@ object Evaluation {
         s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
         .cast("long"))
     val t = col("threshold")
-    val wDesc = Window.orderBy(t.desc).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(t.desc).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    preds
+    val perT = preds
       // 6dp threshold quantization: bounded candidate set (aucDelong's
-      // rationale) — a continuous score would otherwise make the
-      // ordered windows sort row-cardinality frames
+      // rationale); descending cumulatives derive from the ascending
+      // two-level bucket scan — no unpartitioned window even on the
+      // quantized frame (r9; see graft.panel.PrefixSum)
       .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
-      .withColumn("__tp", sum(col("__pos")).over(wDesc))
-      .withColumn("__cnt", sum(col("__c")).over(wDesc))
-      .withColumn("__P", sum(col("__pos")).over(wAll))
-      .withColumn("__N", sum(col("__c")).over(wAll))
+    val totals = perT.agg(
+      sum(col("__pos")).as("__P"), sum(col("__c")).as("__N"))
+    graft.panel.PrefixSum.inclusiveAuto(
+      perT, "threshold", Seq("__cap" -> "__pos", "__cac" -> "__c"))
+      .crossJoin(broadcast(totals)) // one scalar row — bounded
+      .withColumn("__tp", col("__P") - col("__cap") + col("__pos"))
+      .withColumn("__cnt", col("__N") - col("__cac") + col("__c"))
       // integer k: the double route (0.1·n) can ceil one too high
       .withColumn("__k", floor((col("__N") * percent + 99) / 100).cast("long"))
       .where(col("__cnt") >= col("__k"))
@@ -987,10 +1005,10 @@ object Evaluation {
     val f1 = when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
       lit(2.0) * col("tp") /
         (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
-    prCurve(preds, scoreCol, labelCol)
-      .withColumn("fn",
-        max(col("tp")).over(Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)) - col("tp"))
+    // fn from the totals column (max(tp) over the whole frame = P) —
+    // no whole-frame window over the operating points (r9)
+    prCurveFull(preds, scoreCol, labelCol)
+      .withColumn("fn", col("__ptot") - col("tp"))
       .withColumn("__f1", f1)
       .orderBy(col("__f1").desc_nulls_last, t)
       .limit(1)
@@ -1019,21 +1037,20 @@ object Evaluation {
       .otherwise(raise_error(format_string(
         s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
         .cast("long"))
-    val w = Window.orderBy(col("__s").desc) // over the histogram
-    val hist = preds
-      // 6dp score quantization BOUNDS the histogram (≤ ~2M distinct
-      // values) — "distinct scores" is unbounded for continuous
-      // outputs, and the ordered window below would otherwise sort a
-      // row-cardinality frame in one task
+    val hist0 = preds
+      // 6dp score quantization bounds the candidate histogram
+      // (aucDelong's rationale); the score-descending cumulative rides
+      // the ascending two-level bucket scan — no unpartitioned window
+      // even on the quantized frame (r9; see graft.panel.PrefixSum)
       .select(round(col(scoreCol), 6).as("__s"), lbl.as("__y"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
-      .withColumn("__cum", sum(col("__c")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("__tot", sum(col("__c")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("__ptot", sum(col("__p")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val totals = hist0.agg(
+      sum(col("__c")).as("__tot"), sum(col("__p")).as("__ptot"))
+    val hist = graft.panel.PrefixSum.inclusiveAuto(
+      hist0, "__s", Seq("__cac" -> "__c"))
+      .crossJoin(broadcast(totals)) // one scalar row — bounded
+      .withColumn("__cum", col("__tot") - col("__cac") + col("__c"))
       .withColumn("decile",
         (floor((col("__cum") * buckets - 1) / col("__tot")) + 1)
           .cast("long"))
@@ -1065,13 +1082,11 @@ object Evaluation {
       scoreCol: String = "prediction",
       labelCol: String = "label"): DataFrame = {
     val t = col("threshold")
-    val wAll = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    prCurve(preds, scoreCol, labelCol)
-      .withColumn("fn", max(col("tp")).over(wAll) - col("tp"))
-      // at the lowest candidate threshold every row predicts positive,
-      // so max(fp) = N and max(tp) = P — tn/fn fall out by complement
-      .withColumn("tn", max(col("fp")).over(wAll) - col("fp"))
+    prCurveFull(preds, scoreCol, labelCol)
+      // complements from the totals columns (max(tp) = P, max(fp) =
+      // N − P) — no whole-frame window over the operating points (r9)
+      .withColumn("fn", col("__ptot") - col("tp"))
+      .withColumn("tn", (col("__ntot") - col("__ptot")) - col("fp"))
       .withColumn("__u",
         col("tp") * uTp + col("fp") * uFp + col("fn") * uFn +
           col("tn") * uTn)
@@ -1097,32 +1112,50 @@ object Evaluation {
   def prCurve(
       preds: DataFrame,
       scoreCol: String = "prediction",
+      labelCol: String = "label"): DataFrame =
+    prCurveFull(preds, scoreCol, labelCol).drop("__ptot", "__ntot")
+
+  /** [[prCurve]] plus the scalar totals as columns (`__ptot` = total
+    * positives, `__ntot` = total rows) — what [[bestThreshold]] /
+    * [[costThreshold]] need to complete the confusion matrix (fn = P −
+    * tp, tn = (N − P) − fp) WITHOUT a whole-frame max window over the
+    * operating points. Descending cumulatives derive from the
+    * ascending two-level bucket scan (r9; see [[graft.panel.PrefixSum]]
+    * — desc-cum(x) = total − asc-cum(x) + x_at, exact integers), so no
+    * unpartitioned window survives even on the quantized ≤2M-row
+    * candidate frame: bounded ≠ free, one task holding 2M rows is the
+    * slowest stage of an otherwise parallel plan. */
+  private[graft] def prCurveFull(
+      preds: DataFrame,
+      scoreCol: String = "prediction",
       labelCol: String = "label"): DataFrame = {
     val lbl = when(col(labelCol).isin(0, 1), col(labelCol).cast("long"))
       .otherwise(raise_error(format_string(
         s"label must be 0 or 1, got %s", col(labelCol).cast("string")))
         .cast("long"))
     val t = col("threshold")
-    val wDesc = Window.orderBy(t.desc).rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.orderBy(t.desc).rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    preds
+    val perT = preds
       // 6dp threshold quantization: bounded candidate set (aucDelong's
-      // rationale) — a continuous score would otherwise make the
-      // ordered windows sort row-cardinality frames
+      // rationale) — merged operating points at < 1e-6 score gaps
       .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
-      .withColumn("tp", sum(col("__pos")).over(wDesc))
-      .withColumn("fp", sum(col("__c") - col("__pos")).over(wDesc))
-      // "__tot", NOT "__P" — the averagePrecision case-collision lesson
-      .withColumn("__tot", sum(col("__pos")).over(wAll))
+    // "__ptot", NOT "__P" — the averagePrecision case-collision lesson
+    val totals = perT.agg(
+      sum(col("__pos")).as("__ptot"), sum(col("__c")).as("__ntot"))
+    graft.panel.PrefixSum.inclusiveAuto(
+      perT, "threshold", Seq("__cap" -> "__pos", "__cac" -> "__c"))
+      .crossJoin(broadcast(totals)) // one scalar row — bounded
+      .withColumn("tp", col("__ptot") - col("__cap") + col("__pos"))
+      .withColumn("fp", (col("__ntot") - col("__ptot")) -
+        (col("__cac") - col("__cap")) + (col("__c") - col("__pos")))
       .select(
         t, col("tp"), col("fp"),
         round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
           .as("precision"),
-        round(when(col("__tot") > 0,
-          col("tp").cast("double") / col("__tot")), 6).as("recall"))
+        round(when(col("__ptot") > 0,
+          col("tp").cast("double") / col("__ptot")), 6).as("recall"),
+        col("__ptot"), col("__ntot"))
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.panel
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,38 +13,67 @@ import org.apache.spark.sql.functions._
   * across 600k rows — near-continuous values make the histogram the
   * table, and the single-task window becomes the scale ceiling.
   *
-  * This helper is the classic two-level scan: values bucket by a FIXED
-  * integer width, per-bucket subtotals take the only unpartitioned
-  * window (rows = occupied buckets ≤ value-range/width — bounded by
-  * the PHYSICAL range of the column, not by data cardinality), and
-  * within-bucket prefixes run under a partitioned window. For cents
-  * columns the default width (10⁶ = $10,000 per bucket) keeps the
-  * bucket frame ≤ ~10³ rows for any plausible price range; callers
-  * with wider domains pass a wider width.
+  * This helper is the classic two-level scan: values bucket by a
+  * MONOTONE key, per-bucket subtotals take the only unpartitioned
+  * window (rows = occupied buckets — bounded by the bucket-key domain,
+  * not by data cardinality), and within-bucket prefixes run under a
+  * partitioned window. Three entry points:
+  *
+  *  - [[inclusive]]: fixed numeric bucket width — right when the value
+  *    domain's PHYSICAL range is known (integer cents: the default
+  *    width 10⁶ = \$10,000/bucket keeps the bucket frame ≤ ~10³ rows
+  *    for any plausible price range).
+  *  - [[inclusiveAuto]]: width derived from a scalar min/max probe of
+  *    the histogram itself — right for open domains (model scores,
+  *    residuals, arbitrary features) where a hardcoded width either
+  *    over-buckets or degenerates back to one-bucket-per-value.
+  *    Bucketing affects only the PLAN SHAPE, never the output values,
+  *    so the probe needs no cross-engine determinism.
+  *  - [[inclusiveByBucket]]: caller-supplied bucket expression for
+  *    non-numeric order keys (sp15's word vocabulary buckets by a
+  *    2-char prefix — lexicographically monotone by construction).
+  *
+  * Null contract (loud, not silent): a null bucket key — null/NaN
+  * values in the histogram — RAISES at scan time. The inner equi-join
+  * against the offsets frame would otherwise silently drop those rows
+  * while separately-computed totals still count them, skewing every
+  * D/U statistic built on the prefix (the round-8 advice finding).
+  * Callers with meaningful nulls must filter them (with a matching
+  * totals filter) or map them to a sentinel value first.
   */
 object PrefixSum {
 
+  private val NullMsg =
+    "PrefixSum: null/NaN order value in the histogram frame - the " +
+      "offsets equi-join would silently drop it; filter nulls (with a " +
+      "matching totals filter) or map them to a sentinel value first"
+
   /** Adds one inclusive-prefix column per (outName, sumCol) pair:
-    * `outName` = Σ sumCol over all rows with value ≤ this row's `vCol`
-    * (ascending order). `hist` must hold ONE row per distinct `vCol`
-    * (a histogram frame); `vCol` must be numeric with a bucketWidth
-    * that makes floor(v/width) exact (integral cents with the default,
-    * or a power-of-two width for fractional score domains). */
-  def inclusive(
+    * `outName` = Σ sumCol over all rows with order value ≤ this row's
+    * `orderCol` (ascending). `hist` must hold ONE row per distinct
+    * `orderCol` (a histogram frame — the row frames below would
+    * otherwise split ties nondeterministically); `bucket` must be
+    * MONOTONE in `orderCol` (b(v₁) ≤ b(v₂) whenever v₁ ≤ v₂), so
+    * ordering by (bucket, orderCol) equals ordering by orderCol; sum
+    * columns must be numeric (they ride one multiplication by the
+    * null-guard). The only unpartitioned window runs over the occupied
+    * buckets. */
+  def inclusiveByBucket(
       hist: DataFrame,
-      vCol: String,
-      sums: Seq[(String, String)],
-      bucketWidth: Double = 1e6): DataFrame = {
-    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    // floor division (not truncation): negative values must bucket
-    // monotonically. Exact for cents columns (|v| < 2^53, width 10⁶);
-    // fractional domains pass a binary-exact width (ksDrift: 2⁻⁶ for
-    // [0,1] scores → ≤ 65 buckets).
-    val withB = hist.withColumn("__psb",
-      floor(col(vCol).cast("double") / lit(bucketWidth)).cast("long"))
+      bucket: Column,
+      orderCol: Column,
+      sums: Seq[(String, String)]): DataFrame = {
+    require(sums.nonEmpty, "PrefixSum: need at least one (out, sum) pair")
+    val withB = hist.withColumn("__psb", bucket)
+    // the guard multiplies into the offsets aggregation INPUT — the one
+    // place every histogram row still flows (the final equi-join is
+    // exactly where a null bucket would vanish, so a guard there never
+    // evaluates on the offending row)
+    val guard = when(col("__psb").isNull,
+      raise_error(lit(NullMsg)).cast("int")).otherwise(lit(1))
     // exclusive per-bucket offsets: the only unpartitioned window runs
-    // over occupied buckets (range/width-bounded by construction)
-    val aggs = sums.map { case (_, c) => sum(col(c)).as(s"__pst_$c") }
+    // over occupied buckets (bounded by the bucket-key domain)
+    val aggs = sums.map { case (_, c) => sum(col(c) * guard).as(s"__pst_$c") }
     val offsets = withB
       .groupBy(col("__psb"))
       .agg(aggs.head, aggs.tail: _*)
@@ -54,11 +83,68 @@ object PrefixSum {
             Window.orderBy("__psb").rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)).as(s"__pso_$c")
       }: _*)
-    val wIn = Window.partitionBy("__psb").orderBy(vCol)
+    val wIn = Window.partitionBy("__psb").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = withB.join(broadcast(offsets), Seq("__psb")) // range-bounded
+    val joined = withB.join(broadcast(offsets), Seq("__psb")) // bucket-bounded
     sums.foldLeft(joined) { case (df, (out, c)) =>
       df.withColumn(out, col(s"__pso_$c") + sum(col(c)).over(wIn))
     }.drop("__psb" +: sums.map { case (_, c) => s"__pso_$c" }: _*)
+  }
+
+  /** Numeric fixed-width form: `vCol` buckets by floor(v / bucketWidth)
+    * — exact for integral cents with the default width, or a
+    * power-of-two width for fractional domains; floor DIVISION (not
+    * truncation) keeps negative values bucketing monotonically. Prefer
+    * [[inclusiveAuto]] when the value range isn't known a priori: a
+    * width far below the actual span regresses to one bucket per value
+    * (the single-task scan this helper exists to remove), and a width
+    * far above it collapses parallelism into one bucket. */
+  def inclusive(
+      hist: DataFrame,
+      vCol: String,
+      sums: Seq[(String, String)],
+      bucketWidth: Double = 1e6): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val v = guarded(col(vCol))
+    inclusiveByBucket(
+      hist, floor(v / lit(bucketWidth)).cast("long"), col(vCol), sums)
+  }
+
+  /** Range-probed form: bucket width = 2^⌈log₂(span / targetBuckets)⌉
+    * from a scalar min/max aggregation over the histogram (one extra
+    * cheap pass — the groupBy exchange producing `hist` is reused), so
+    * occupied buckets ≤ ~targetBuckets for ANY value domain. The probe
+    * affects only the plan shape — prefix sums are exact regardless of
+    * where bucket boundaries fall — so IEEE log/pow noise is harmless.
+    * Values bucket as floor((v − min) / width): subtracting the probed
+    * min keeps the quotient small (no long-overflow clamp for extreme
+    * magnitudes), and constant subtraction is monotone in IEEE, which
+    * is all [[inclusiveByBucket]] requires. */
+  def inclusiveAuto(
+      hist: DataFrame,
+      vCol: String,
+      sums: Seq[(String, String)],
+      targetBuckets: Int = 4096): DataFrame = {
+    require(targetBuckets > 0, s"targetBuckets must be positive: $targetBuckets")
+    val v = col(vCol).cast("double")
+    val rng = hist.agg(min(v).as("__psmin"), max(v).as("__psmax"))
+    val span = col("__psmax") - col("__psmin")
+    val width = when(span.isNull || !(span > 0.0), lit(1.0))
+      .otherwise(pow(lit(2.0), ceil(log(2.0, span / targetBuckets))))
+    inclusiveByBucket(
+      hist.crossJoin(broadcast(rng)).withColumn("__psw", width),
+      floor((guarded(col(vCol)) - coalesce(col("__psmin"), lit(0.0)))
+        / col("__psw")).cast("long"),
+      col(vCol), sums)
+      .drop("__psmin", "__psmax", "__psw")
+  }
+
+  /** Numeric null/NaN pre-guard: floor(null/NaN / width) casts to a
+    * null (or garbage) bucket key — raise HERE with the value visible,
+    * before the generic bucket-null guard would. */
+  private def guarded(vc: Column): Column = {
+    val v = vc.cast("double")
+    when(v.isNull || isnan(v), raise_error(lit(NullMsg)).cast("double"))
+      .otherwise(v)
   }
 }

@@ -231,9 +231,10 @@ object Seasonal {
     * of (sid, date) into CALIBRATION (< calFraction) and TEST; q̂ is
     * the ⌈(n_cal+1)(1−α)⌉-th order statistic of the calibration's
     * absolute forecast errors — EXACT integer cents end to end: the
-    * order statistic comes from a cumulative count over the bounded
-    * distinct-error-cents histogram (the a12 median pattern), never a
-    * sort of rows. The test row coverage of [f−q̂, f+q̂] is then an
+    * order statistic comes from a cumulative count over the
+    * distinct-error-cents histogram via the two-level bucket scan
+    * (residual cents are near-continuous, the qn1 class — see
+    * [[graft.panel.PrefixSum]]), never a sort of rows. The test row coverage of [f−q̂, f+q̂] is then an
     * exact integer ratio — the empirical check of the guarantee.
     *
     * Output ONE row (alpha, n_cal, n_test, k, q_hat_cents, coverage). */
@@ -268,11 +269,14 @@ object Seasonal {
       .withColumn("k", // ⌈(n_cal+1)(100−α)/100⌉ as exact integer math
         call_function("div",
           (col("n_cal") + 1) * (100 - alphaPct) + 99, lit(100L)))
-    val hist = rows.where(col("__cal"))
-      .groupBy(col("__r")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__cum", sum(col("__cnt")).over(
-        Window.orderBy(col("__r"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // distributed two-level prefix scan (r9): residual cents are
+    // near-continuous — the qn1 583k-distinct-in-600k-rows class — so a
+    // single unpartitioned cumulative window here was a table-sized
+    // one-task sort at scale (see graft.panel.PrefixSum)
+    val hist = graft.panel.PrefixSum.inclusive(
+      rows.where(col("__cal"))
+        .groupBy(col("__r")).agg(count(lit(1)).as("__cnt")),
+      "__r", Seq("__cum" -> "__cnt"))
     val qhat = hist
       .crossJoin(broadcast(kq)) // 1-row grouping-free agg
       .where(col("__cum") >= col("k"))

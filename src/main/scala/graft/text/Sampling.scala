@@ -501,11 +501,17 @@ object Sampling {
       .withColumn("__wq",
         round(sqrt(col("__f").cast("double") * sqrt(col("__f").cast("double")))
           * 1e6).cast("long"))
-    // vocab-bounded unpartitioned window (the qn1 histogram class)
-    val wOrd = Window.orderBy("word")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = vocab
-      .withColumn("__hi", sum(col("__wq")).over(wOrd))
+    // two-level prefix scan over the vocabulary (r9): "vocab-bounded"
+    // is CARDINALITY-bounded, not range-bounded — a web-scale corpus
+    // grows its unigram vocabulary with the data (typos, URLs, code),
+    // so the old single unpartitioned cumulative window was a
+    // vocab-sized one-task sort. Words bucket by their 2-char prefix,
+    // which is MONOTONE under the binary string order both engines
+    // sort by — (bucket, word) order IS word order, so the cumulative
+    // mass space is bit-identical to the oracle's ORDER BY word.
+    val cum = graft.panel.PrefixSum.inclusiveByBucket(
+        vocab, substring(col("word"), 1, 2), col("word"),
+        Seq("__hi" -> "__wq"))
       .withColumn("__lo", col("__hi") - col("__wq"))
       .stableCheckpoint(eager = false) // feeds the total AND the melt
     val tot = cum.agg(max(col("__hi")).as("__W"))
