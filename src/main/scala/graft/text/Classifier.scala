@@ -105,20 +105,39 @@ object Classifier {
         col("label"),
         log(col("__nl").cast("double") / col("__N")).as("__prior"),
         log((col("__T") + buckets).cast("double")).as("__lnTB"))
-      .stableCheckpoint()
+    // bounded (≤ labels rows) and used once — no checkpoint: it rides
+    // the statsm broadcast build off the checkpointed model RDD (r9;
+    // job-count, not volume, dominates these chains locally)
 
-    val feats = featureRows(docs, idCol, textCol, buckets)
-    val scored = feats
-      .crossJoin(broadcast(stats))
-      .join(
-        broadcast(model.select(
-          col("label").as("__ml"), col("bucket"), col("__m"))),
-        col("__b") === col("bucket") && col("label") === col("__ml"),
-        "left")
-      .groupBy(col(idCol), col("label"), col("__prior"), col("__lnTB"))
+    // per-doc feature ARRAY (≤ min(tokens, buckets) entries — bounded)
+    // + per-label DENSE weight arrays (index = bucket + 1; element_at
+    // on a MAP is a linear scan per lookup in Spark, so the map form
+    // densifies ONCE here): scoring is then docs × labels rows, each
+    // an O(1)-per-feature in-row aggregate — no occurrence × labels
+    // fan-out through a shuffle (r9; the fan-out, not the training
+    // scans, dominated the NB chains). Exact: Σ x·__m over distinct
+    // buckets = Σ __m over occurrences (integer adds, any order), and
+    // a missing key ≡ the old left-join null ≡ 0.
+    val mm = model.groupBy("label")
+      .agg(map_from_entries(collect_list(struct(
+        col("bucket").cast("long"), col("__m")))).as("__mp"))
+      .select(col("label"), transform(
+        sequence(lit(0L), lit(buckets - 1L)),
+        i => coalesce(element_at(col("__mp"), i), lit(0L))).as("__ma"))
+    val statsm = stats.join(broadcast(mm), "label")
+    val perDoc = featureRows(docs, idCol, textCol, buckets)
+      .groupBy(col(idCol), col("__b").cast("long").as("__bk"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("__n"),
-        sum(coalesce(col("__m"), lit(0L))).as("__S"))
+        collect_list(struct(col("__bk").as("b"), col("__x").as("x")))
+          .as("__fs"),
+        sum(col("__x")).as("__n"))
+    val scored = perDoc
+      .crossJoin(broadcast(statsm)) // ≤ labels rows — bounded
+      .withColumn("__S", aggregate(col("__fs"), lit(0L), (acc, f) =>
+        acc + f.getField("x") *
+          element_at(col("__ma"), (f.getField("b") + 1L).cast("int"))))
       .select(
         col(idCol),
         col("label"),
@@ -274,6 +293,105 @@ object Classifier {
           .as("prob"))
   }
 
+  /** One-pass multi-model NB scorer shared by [[nbLearningCurve]] and
+    * [[nbSourceAblation]] (r9): classify the holdout against MANY
+    * bounded NB models at once. `model` = (__tag, label, bucket, cnt)
+    * with cnt > 0, `priors` = (__tag, label, __nl) with __nl > 0 —
+    * both ≤ tags × labels × buckets rows BY CONSTRUCTION, so every
+    * join broadcasts. The holdout is exploded ONCE into per-(doc,
+    * bucket) multiplicities; all (tag, label) scores ride one
+    * partial-agg-friendly hash aggregation; argmax per (doc, tag).
+    *
+    * Exactness vs a per-tag [[nbClassify]]: Σ __x·__m over distinct
+    * buckets = Σ __m over occurrences (exact longs), and __prior /
+    * __lnTB are the same IEEE scalars from the same integers, so each
+    * (doc, tag, label) score is the identical IEEE expression over
+    * identical operands. Zero-count model rows must be PRE-FILTERED
+    * (ln(0+1) = 0 ≡ absent row, so dropping them is exact); labels
+    * with no training docs likewise (matching nbClassify's inner
+    * stats join, which never scores an unseen label).
+    *
+    * Returns (idCol, __tag, __pred) — one prediction per (scored doc,
+    * tag); a tag whose model or priors are empty yields NO rows. */
+  private def taggedNbPredict(
+      docs: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame = {
+    val m = model
+      .withColumn("__m",
+        round(log(col("cnt").cast("double") + 1.0) * 1e6, 0).cast("long"))
+      .stableCheckpoint() // bounded: tags × labels × buckets
+    val totals = m.groupBy("__tag", "label").agg(sum(col("cnt")).as("__T"))
+    val stats = totals
+      .join(priors, Seq("__tag", "label"))
+      .join(priors.groupBy("__tag").agg(sum(col("__nl")).as("__nn")),
+        Seq("__tag"))
+      .select(col("__tag"), col("label"),
+        log(col("__nl").cast("double") / col("__nn")).as("__prior"),
+        log((col("__T") + buckets).cast("double")).as("__lnTB"))
+    // bounded (≤ tags × labels) and used once — no checkpoint: it
+    // rides the statsm broadcast build off the checkpointed m RDD
+    // ONE explode of the holdout, folded to a per-doc feature ARRAY
+    // (≤ min(tokens, buckets) entries — bounded); models fold to
+    // per-(tag, label) bucket→__m MAPS. Scoring is then docs × tags ×
+    // labels ROWS (not occurrences × tags × labels), each evaluated by
+    // an in-row higher-order aggregate — the nbClassify r9 shape.
+    val mm = m.groupBy("__tag", "label")
+      .agg(map_from_entries(collect_list(struct(
+        col("bucket").cast("long"), col("__m")))).as("__mp"))
+      // densified ONCE (map element_at is a linear scan — the
+      // nbClassify r9 note); scoring then does O(1) ordinal access
+      .select(col("__tag"), col("label"), transform(
+        sequence(lit(0L), lit(buckets - 1L)),
+        i => coalesce(element_at(col("__mp"), i), lit(0L))).as("__ma"))
+    val statsm = stats.join(broadcast(mm), Seq("__tag", "label"))
+    val perDoc = featureRows(docs, idCol, textCol, buckets)
+      .groupBy(col(idCol), col("__b").cast("long").as("__bk"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(idCol))
+      .agg(
+        collect_list(struct(col("__bk").as("b"), col("__x").as("x")))
+          .as("__fs"),
+        sum(col("__x")).as("__n"))
+    val scored = perDoc
+      .crossJoin(broadcast(statsm)) // tags × labels rows — bounded
+      .withColumn("__S", aggregate(col("__fs"), lit(0L), (acc, f) =>
+        acc + f.getField("x") *
+          element_at(col("__ma"), (f.getField("b") + 1L).cast("int"))))
+      .select(col(idCol), col("__tag"), col("label"),
+        (col("__S").cast("double") / 1e6 -
+          col("__n").cast("double") * col("__lnTB") + col("__prior"))
+          .as("__score"))
+    val w = Window.partitionBy(col(idCol), col("__tag"))
+      .orderBy(col("__score").desc, col("label"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("__tag"), col("label").as("__pred"))
+  }
+
+  /** [[taggedNbPredict]] reduced to per-tag holdout accuracy counts:
+    * (__tag, n_holdout, n_correct); a tag whose model or priors are
+    * empty yields NO row — callers left-join from their tag frame. */
+  private def taggedNbAccuracy(
+      holdout: DataFrame,
+      truth: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int): DataFrame =
+    taggedNbPredict(holdout, model, priors, idCol, textCol, buckets)
+      .join(truth, Seq(idCol))
+      .groupBy(col("__tag"))
+      .agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+
   /** Learning curve for the NB classifier: hold out a fixed
     * hash-deterministic slice, train on NESTED hash fractions of the
     * remaining pool (the sampleByHash nesting property — each smaller
@@ -284,9 +402,16 @@ object Classifier {
     * that curates training data.
     *
     * One row per fraction: (fraction, n_train, n_holdout, n_correct,
-    * accuracy 6dp). Counts exact; accuracy one integer ratio. Cost is
-    * |fractions| classify passes — each a bounded-model broadcast join,
-    * so the scan of the holdout dominates. */
+    * accuracy 6dp). Counts exact; accuracy one integer ratio.
+    *
+    * Cost shape (r9): NB count tables are ADDITIVE over docs, so each
+    * doc lands in the band of the SMALLEST fraction admitting it and
+    * the model for fraction f is the prefix-sum of band count tables
+    * with band ≤ f — bit-identical to retraining on `u < f` (the same
+    * rows counted, in an exact integer sum), but the whole curve costs
+    * ONE explode of the pool plus one multi-model scoring pass of the
+    * holdout ([[taggedNbAccuracy]]) instead of |fractions| full
+    * train/classify chains. */
   def nbLearningCurve(
       docs: DataFrame,
       labelCol: String,
@@ -301,26 +426,128 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .stableCheckpoint(eager = false) // scored once per fraction
+      .stableCheckpoint(eager = false) // feeds truth + the scoring pass
     val pool = docs.where(u < 1.0 - holdoutFrac)
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
-    fractions.sorted.map { f =>
-      val train = pool.where(
-        graft.text.Sampling.hashUnit(col(idCol), s"$seed-f") < f)
-      val nTrain = train.agg(count(lit(1)).as("n_train"))
-      nbClassify(holdout, train, idCol, labelCol, textCol, buckets)
-        .join(truth, Seq(idCol))
-        .agg(
-          count(lit(1)).as("n_holdout"),
-          sum(when(col("predicted") === col("__truth"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .crossJoin(broadcast(nTrain)) // one scalar row — bounded
-        .select(
-          lit(f).as("fraction"), col("n_train"),
-          col("n_holdout"), col("n_correct"),
-          round(col("n_correct").cast("double") / col("n_holdout"), 6)
-            .as("accuracy"))
-    }.reduce(_ unionByName _)
+    val fs = fractions.sorted
+    // nested-fraction band: the smallest fraction admitting the doc
+    // (docs above max(fractions) train nothing and drop here)
+    val u2 = graft.text.Sampling.hashUnit(col(idCol), s"$seed-f")
+    val band = fs.reverse.foldLeft(lit(null).cast("double")) {
+      (acc, f) => when(u2 < f, lit(f)).otherwise(acc)
+    }
+    val banded = pool.withColumn("__band", band)
+      .where(col("__band").isNotNull)
+      .stableCheckpoint(eager = false) // feeds counts + priors
+    // the doc id rides in the key struct so featureRows' pre-explode
+    // repartition spreads by DOC (uniform), not by the few (band,
+    // label) groups; the groupBy's partial aggregation absorbs the
+    // wider key before the shuffle
+    val byBand = featureRows(
+      banded.select(
+        struct(col(idCol).as("i"), col("__band").as("b"),
+          col(labelCol).as("l")).as("__bl"),
+        col(textCol)),
+      "__bl", textCol, buckets)
+      .groupBy(col("__bl.b").as("__band"), col("__bl.l").as("label"),
+        col("__b").as("bucket"))
+      .agg(count(lit(1)).as("cnt")) // bounded: bands × labels × buckets;
+      // used once — materialized by the model checkpoint downstream
+    val priByBand = banded
+      .groupBy(col("__band"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nl"))
+      // EAGER: consumed by concurrent broadcast builds (the
+      // nbSourceAblation race note); also warms the banded RDD
+      .stableCheckpoint() // bounded: bands × labels
+    // prefix models over the BOUNDED band tables via ONE literal
+    // fraction-dimension fan-out (a per-fraction union would spawn one
+    // plan branch + broadcast build per fraction — job-count, not
+    // volume, dominates the chain); positive-count prefix sums are
+    // always > 0, nothing to filter
+    import docs.sparkSession.implicits._
+    val tagsDf = fs.map(_.toString).toDF("__tag")
+      .withColumn("__f", col("__tag").cast("double"))
+    val keep = col("__band") <= col("__f")
+    val model = broadcast(tagsDf).crossJoin(byBand).where(keep)
+      .groupBy("__tag", "label", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val priors = broadcast(tagsDf).crossJoin(priByBand).where(keep)
+      .groupBy("__tag", "label").agg(sum(col("__nl")).as("__nl"))
+    val nTrain = broadcast(tagsDf).crossJoin(priByBand).where(keep)
+      .groupBy("__tag").agg(sum(col("__nl")).as("n_train"))
+    val accs = taggedNbAccuracy(holdout, truth, model, priors,
+      idCol, textCol, buckets)
+    tagsDf
+      .join(nTrain, Seq("__tag"), "left")
+      .join(accs, Seq("__tag"), "left")
+      .select(
+        // Double.toString round-trips exactly, so __f is the original
+        // lit(f) bit for bit
+        col("__f").as("fraction"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_holdout"), lit(0L)).as("n_holdout"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_holdout"), 6))
+  }
+
+  /** Leave-one-source-out NB count frames over `pool`, shared by
+    * [[nbSourceAblation]] and [[nbMcNemar]]: for each tag in `tagsDf`
+    * (the `noneTag` row meaning "remove nothing"), the (model, priors,
+    * n_train) a retrain on `pool.where(src =!= tag)` would produce —
+    * derived EXACTLY because NB count tables are additive over docs.
+    *
+    * ONE explode of the pool builds per-(source, label, bucket)
+    * counts; ONE literal tag-dimension fan-out then builds every
+    * leave-one-out frame in a single aggregation (a per-tag union
+    * would spawn one plan branch + broadcast build per tag —
+    * job-count, not volume, dominates these chains locally).
+    * `pool.where(src =!= s)` keeps only rows where the predicate is
+    * TRUE — null-source docs drop too; `keep` mirrors that, so the
+    * derived counts equal retrained ones exactly. Kept sums are of
+    * positive counts, so no 0-count rows arise, and a label losing
+    * every doc simply has no rows — matching nbClassify's inner stats
+    * join, which never scores an unseen label. */
+  private def sourceTaggedCounts(
+      pool: DataFrame,
+      tagsDf: DataFrame,
+      noneTag: String,
+      sourceCol: String,
+      labelCol: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    // the doc id rides in the key struct so featureRows' pre-explode
+    // repartition spreads by DOC (uniform), not by the few (source,
+    // label) groups; the groupBy's partial aggregation absorbs the
+    // wider key before the shuffle
+    val bySrc = featureRows(
+      pool.select(
+        struct(col(idCol).as("i"), col(sourceCol).as("s"),
+          col(labelCol).as("l")).as("__sl"),
+        col(textCol)),
+      "__sl", textCol, buckets)
+      .groupBy(col("__sl.s").as("__src"), col("__sl.l").as("label"),
+        col("__b").as("bucket"))
+      .agg(count(lit(1)).as("cnt")) // bounded: sources × labels ×
+      // buckets; used once — materialized by the model checkpoint
+    val priBySrc = pool
+      .groupBy(col(sourceCol).as("__src"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__n"))
+      // EAGER: priors and n_train consume this from CONCURRENT
+      // broadcast-build jobs — a non-eager checkpoint has no
+      // materialization lock, so both would race and duplicate the
+      // pool scan; the eager job also warms the pool RDD for the
+      // model explode
+      .stableCheckpoint() // bounded: sources × labels
+    val keep = col("__tag") === noneTag ||
+      !(col("__src") === col("__tag") || col("__src").isNull)
+    val model = broadcast(tagsDf).crossJoin(bySrc).where(keep)
+      .groupBy("__tag", "label", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val priors = broadcast(tagsDf).crossJoin(priBySrc).where(keep)
+      .groupBy("__tag", "label").agg(sum(col("__n")).as("__nl"))
+    val nTrain = broadcast(tagsDf).crossJoin(priBySrc).where(keep)
+      .groupBy("__tag").agg(sum(col("__n")).as("n_train"))
+    (model, priors, nTrain)
   }
 
   /** ML38: source-ablation data valuation — retrain the NB label
@@ -330,11 +557,16 @@ object Classifier {
     * actually earning its tokens" (the group-level Shapley-0th-order
     * screen curation teams run before paying for more of a source).
     *
-    * Shape: one shared holdout + one shared pool (both checkpointed,
-    * scored once per ablation); ablations are an EXPLICIT bounded
-    * list — cost is (|ablate|+1) NB train/score passes, each the cl2
-    * chain, and the SQL oracle instantiates the same chains per tag.
-    * Accuracy/delta are exact-integer ratios, 6dp.
+    * Shape (r9): NB count tables are ADDITIVE over docs, so each
+    * leave-one-out model is the GLOBAL per-(source, label, bucket)
+    * count table minus that source's slice — bit-identical to
+    * retraining without it (the same rows counted, exact integer
+    * subtraction), but the whole ablation costs ONE explode of the
+    * pool plus one multi-model scoring pass of the holdout
+    * ([[taggedNbAccuracy]]) instead of (|ablate|+1) full train/score
+    * chains. Ablations stay an EXPLICIT bounded list; the SQL oracle
+    * instantiates per-tag retrain chains and matches because of the
+    * additivity. Accuracy/delta are exact-integer ratios, 6dp.
     *
     * Output one row per model: ("(none)" first in no particular row
     * order, then each excluded source) × (excluded_source, n_train,
@@ -354,32 +586,31 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .stableCheckpoint(eager = false) // scored once per ablation
+      .stableCheckpoint(eager = false) // feeds truth + the scoring pass
     val pool = docs.where(u < 1.0 - holdoutFrac)
-      .stableCheckpoint(eager = false) // filtered once per ablation
+      .stableCheckpoint(eager = false) // feeds counts + priors + n
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
-    def accuracyOf(train: DataFrame, tag: String): DataFrame = {
-      val nTrain = train.agg(count(lit(1)).as("n_train"))
-      nbClassify(holdout, train, idCol, labelCol, textCol, buckets)
-        .join(truth, Seq(idCol))
-        .agg(
-          count(lit(1)).as("n_holdout"),
-          sum(when(col("predicted") === col("__truth"), 1L).otherwise(0L))
-            .as("n_correct"))
-        .crossJoin(broadcast(nTrain)) // one scalar row — bounded
-        .select(
-          lit(tag).as("excluded_source"), col("n_train"),
-          col("n_holdout"), col("n_correct"),
-          round(col("n_correct").cast("double") / col("n_holdout"), 6)
-            .as("accuracy"))
-    }
-    val full = accuracyOf(pool, "(none)")
-      .stableCheckpoint(eager = false) // reused as the delta baseline
-    val rows = ablate.map(s =>
-      accuracyOf(pool.where(col(sourceCol) =!= s), s))
-      .reduce(_ unionByName _)
-    full.unionByName(rows)
-      .crossJoin(broadcast(full.select(col("accuracy").as("__fa"))))
+    val NoneTag = "(none)"
+    import docs.sparkSession.implicits._
+    val tagsDf = (NoneTag +: ablate.toList).toDF("__tag")
+    val (model, priors, nTrain) = sourceTaggedCounts(
+      pool, tagsDf, NoneTag, sourceCol, labelCol, idCol, textCol, buckets)
+    val accs = taggedNbAccuracy(holdout, truth, model, priors,
+      idCol, textCol, buckets)
+    val out = tagsDf
+      .join(nTrain, Seq("__tag"), "left")
+      .join(accs, Seq("__tag"), "left")
+      .select(
+        col("__tag").as("excluded_source"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_holdout"), lit(0L)).as("n_holdout"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_holdout"), 6))
+      .stableCheckpoint() // bounded: |ablate|+1 rows — the delta baseline
+    out
+      .crossJoin(broadcast(out.where(col("excluded_source") === NoneTag)
+        .select(col("accuracy").as("__fa"))))
       .withColumn("delta_vs_full", round(col("accuracy") - col("__fa"), 6))
       .drop("__fa")
   }
@@ -391,8 +622,10 @@ object Classifier {
     * pairs (b = full right/ablated wrong, c = the reverse) where all
     * the information lives: χ²(1) = (b−c)²/(b+c), compare to 3.841.
     *
-    * Exactness: b and c are exact integers from one per-doc join of the
-    * two prediction frames; the statistic is ONE IEEE division (no
+    * Exactness: b and c are exact integers from one per-doc pivot of
+    * the two tagged prediction streams ([[taggedNbPredict]] over the
+    * additive [[sourceTaggedCounts]] — bit-identical to two retrained
+    * [[nbClassify]] passes); the statistic is ONE IEEE division (no
     * transcendentals — no p-value column, the abConversionZ stance).
     * b + c = 0 (the models never disagree) → null statistic. Output
     * ONE row (n_holdout, b, c, chisq). */
@@ -409,18 +642,27 @@ object Classifier {
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
-      .stableCheckpoint(eager = false) // scored twice
+      .stableCheckpoint(eager = false) // feeds truth + the scoring pass
     val pool = docs.where(u < 1.0 - holdoutFrac)
       .stableCheckpoint(eager = false)
     val truth = holdout.select(col(idCol), col(labelCol).as("__truth"))
-    val pf = nbClassify(holdout, pool, idCol, labelCol, textCol, buckets)
-      .select(col(idCol), col("predicted").as("__pf"))
-    val pa = nbClassify(holdout,
-      pool.where(col(sourceCol) =!= excludeSource),
-      idCol, labelCol, textCol, buckets)
-      .select(col(idCol), col("predicted").as("__pa"))
+    val NoneTag = "(none)"
+    import docs.sparkSession.implicits._
+    val tagsDf = Seq(NoneTag, excludeSource).toDF("__tag")
+    val (model, priors, _) = sourceTaggedCounts(
+      pool, tagsDf, NoneTag, sourceCol, labelCol, idCol, textCol, buckets)
+    // pivot the tagged predictions to per-doc (full, ablated) pairs;
+    // one row per (doc, tag), so max() just selects the single value.
+    // A doc missing either prediction (a degenerate empty model) drops,
+    // matching the inner join of two separate prediction frames.
+    val piv = taggedNbPredict(holdout, model, priors, idCol, textCol, buckets)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("__tag") === NoneTag, col("__pred"))).as("__pf"),
+        max(when(col("__tag") === excludeSource, col("__pred"))).as("__pa"))
+      .where(col("__pf").isNotNull && col("__pa").isNotNull)
     val b = col("b"); val c = col("c")
-    pf.join(pa, Seq(idCol)).join(truth, Seq(idCol))
+    piv.join(truth, Seq(idCol))
       .agg(
         count(lit(1)).as("n_holdout"),
         sum(when(col("__pf") === col("__truth") &&

@@ -41,7 +41,7 @@ class CatalogPlanSpec extends SparkSpec {
     "sk5_hll_overlap", // |event_type|² sketch pairs — dimension-bounded
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
     "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
-    "qn1_quantile_norm") ++ // rank lookup vs the distinct-cents histogram (value-domain-bounded broadcast)
+    "qn1_quantile_norm") ++ // rank lookup vs the PrefixSum bucket-offsets frame (≤ occupied buckets — the r8 two-level-scan rewire)
     nbChain
 
   /** PATTERN rule, justified once: every consumer of the cl2 naive-Bayes
@@ -194,7 +194,9 @@ object PlanBudgets {
     // shuffles ran at checkpoint time and the published plan is a pure
     // ExistingRDD scan — 0 IS the pinned no-recompute property
     "wn1_winnow_pairs" -> 1, // k-gram hash + window-min in one chain; one agg
-    "ml38_source_ablation" -> 9, // 5 NB train/score chains by construction
+    "ml38_source_ablation" -> 0, // additive NB counts (r9): ONE tagged
+    // count pass + one multi-model scoring pass, all stages behind
+    // bounded checkpoints — the published plan is small-frame joins
     "er1_entities" -> 0, // CheckpointScope'd end-to-end (r7); result is an ExistingRDD scan
     "ppj1_prefix_join" -> 1, // prefix fan-out re-key; verify is two joins
     // against the CHECKPOINTED sorted-id-array frame + the native
@@ -225,6 +227,7 @@ object PlanBudgets {
     "sim15_mmr" -> 0, // greedy over checkpointed bounded frames
     "gr9_bfs_layers" -> 0, // CheckpointScope'd frontier rounds
     "tx30_fertility" -> 5, // BPE encode word-vocab chain + lang agg
-    "sp15_negative_samples" -> 0, // broadcast slot join; vocab checkpointed
+    "sp15_negative_samples" -> 1, // PrefixSum bucket-offsets agg (r9) —
+    // the shuffle that replaced the vocab-sized single-task window
     "ev33_window_funnel" -> 2) // one user-key sort + depth histogram agg
 }
