@@ -115,21 +115,42 @@ object CheckpointScope {
   * re-planning — the audited static shape is what the shuffle budgets
   * pin, so the static plan IS the contract.
   *
-  * The session-conf flip is visible to concurrent planners on the same
-  * session for the duration of the call; compositions here are
-  * single-threaded on the driver (the CheckpointScope threading
-  * contract above). */
+  * The session-conf flip would be visible to concurrent planners on
+  * the same session for the duration of the call, so captures are
+  * SERIALIZED under a global lock: two threads checkpointing
+  * concurrently (or one checkpointing while another plans) can no
+  * longer interleave set/restore and capture an AQE-wrapped
+  * (UnknownPartitioning) plan or leave AQE off for an unrelated query.
+  * The lock holds only for plan capture + (for lazy checkpoints)
+  * registration; an EAGER checkpoint does materialize inside it —
+  * concurrent eager captures queue, which is the documented price of a
+  * correct flip (compositions here are single-threaded anyway). */
 object StableCheckpoint {
+
+  /** Test-observable probe: called with the checkpointed SEGMENT's
+    * physical plan (captured with AQE off) on every stableCheckpoint.
+    * Checkpoints truncate published plans to ExistingRDD scans, so a
+    * plan audit walking only final plans is blind to everything above
+    * a checkpoint — this hook is how WindowPlanSpec sees those
+    * segments. No-op in production. */
+  @volatile var planProbe: org.apache.spark.sql.execution.SparkPlan => Unit =
+    _ => ()
+
+  private val captureLock = new Object
+
   implicit final class Syntax[T](private val ds: org.apache.spark.sql.Dataset[T])
       extends AnyVal {
-    def stableCheckpoint(eager: Boolean = false): org.apache.spark.sql.Dataset[T] = {
-      val conf = ds.sparkSession.conf
-      val key = "spark.sql.adaptive.enabled"
-      val was = conf.get(key, "true")
-      conf.set(key, "false")
-      try ds.localCheckpoint(eager)
-      finally conf.set(key, was)
-    }
+    def stableCheckpoint(eager: Boolean = false): org.apache.spark.sql.Dataset[T] =
+      captureLock.synchronized {
+        val conf = ds.sparkSession.conf
+        val key = "spark.sql.adaptive.enabled"
+        val was = conf.get(key, "true")
+        conf.set(key, "false")
+        try {
+          planProbe(ds.queryExecution.executedPlan)
+          ds.localCheckpoint(eager)
+        } finally conf.set(key, was)
+      }
     def stableCheckpoint(): org.apache.spark.sql.Dataset[T] =
       stableCheckpoint(eager = true)
   }

@@ -3155,18 +3155,20 @@ object Queries {
     }),
 
     // ---- EV37: Gini concentration of per-user event activity — the
-    // power-user skew audit. Computed EXACTLY from the bounded
-    // events-per-user count histogram (the qn1 discipline: the rank sum
-    // over a tie group is closed-form, so no per-user global rank);
-    // integer sums until one final division. ----
+    // power-user skew audit. Computed EXACTLY from the events-per-user
+    // count histogram (the rank sum over a tie group is closed-form, so
+    // no per-user global rank); the cumulative rides the two-level
+    // bucket scan — distinct activity counts are heavy-tailed DATA
+    // cardinality (a bot/power user stretches the domain), not a fixed
+    // range (r9; see graft.panel.PrefixSum). Integer sums until one
+    // final division. ----
     "ev37_gini" -> ((s, dir) => {
       val hist = events(s, dir)
         .groupBy("user_id").agg(count(lit(1)).as("c"))
         .groupBy("c").agg(count(lit(1)).as("m"))
-      val cum = hist.withColumn("cb",
-        coalesce(sum(col("m")).over(
-          Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+      val cum = graft.panel.PrefixSum.inclusiveAuto(
+        hist, "c", Seq("__ci" -> "m"))
+        .withColumn("cb", col("__ci") - col("m"))
       cum.agg(
         sum(col("c") * (col("cb") * col("m") +
           call_function("div", col("m") * (col("m") + 1L), lit(2L)))).as("S"),

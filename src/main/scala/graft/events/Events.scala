@@ -1172,14 +1172,17 @@ object Events {
     // value-tied quintile bin over a metric's integer histogram:
     // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
     // ascending — so the largest fifth lands in bin 5 for every metric
-    // (for recency "largest" = stalest days, i.e. bin 1 = most recent)
+    // (for recency "largest" = stalest days, i.e. bin 1 = most recent).
+    // The cumulative rides the two-level bucket scan (r9): recency is
+    // calendar-bounded and __monq is maxBins-guarded, but __freq is
+    // distinct per-user activity COUNTS — heavy-tailed data
+    // cardinality, the qn1 class (see graft.panel.PrefixSum); one
+    // helper serves all three, and the total folds to a scalar agg.
     def bins(metric: String): DataFrame = {
-      val wv = Window.orderBy(col(metric).asc) // over the HISTOGRAM, not users
-      perUser.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
-        .withColumn("__cum", sum(col("__c")).over(
-          wv.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("__tot", sum(col("__c")).over(
-          wv.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val h = perUser.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
+      val tot = h.agg(sum(col("__c")).as("__tot"))
+      graft.panel.PrefixSum.inclusiveAuto(h, metric, Seq("__cum" -> "__c"))
+        .crossJoin(broadcast(tot)) // one scalar row — bounded
         .select(col(metric),
           (floor((col("__cum") * 5 - 1) / col("__tot")) + 1)
             .cast("long").as(s"${metric}_bin"))
