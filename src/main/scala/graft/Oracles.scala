@@ -8,7 +8,16 @@ package graft
 object Oracles {
   import OracleCtes._
 
-  val all: Map[String, String] = OraclesB.all ++ Map(
+  /** `++` would let a query id duplicated across the split halves
+    * silently shadow the earlier SQL — the 4+2 file split makes an
+    * accidental re-add in the wrong half easy. Fail at object init. */
+  private def disjoint(a: Map[String, String], b: Map[String, String]) = {
+    val dup = a.keySet.intersect(b.keySet)
+    require(dup.isEmpty, s"oracle id duplicated across split files: $dup")
+    a ++ b
+  }
+
+  val all: Map[String, String] = disjoint(OraclesB.all, Map(
     "s1_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem
@@ -2470,5 +2479,5 @@ object Oracles {
          |  round(tp::DOUBLE / (tp + fp), 6) AS precision,
          |  round(CASE WHEN tot > 0 THEN tp::DOUBLE / tot END, 6) AS recall
          |FROM cm""".stripMargin,
-  )
+  ))
 }

@@ -72,6 +72,15 @@ object Sources {
     * either way. */
   val MaxIsinSids: Int = 10000
 
+  /** Above this many resolved members per side, the fallback join drops
+    * its broadcast hint too: a broadcast still collects every member to
+    * the driver to build the torrent, so a multi-million-sid universe
+    * would trade the giant isin literal for a driver/broadcast-ceiling
+    * OOM. Past this bound the semi/anti join runs as a plain shuffle
+    * join (the planner/AQE pick) — the panel pays one exchange, which
+    * is the honest cost of filtering by a membership side that big. */
+  val MaxBroadcastSids: Long = 1000000L
+
   /** Resolve universe names into sid predicates via a `(universe, sid)`
     * membership table (reference base.py:1240-1245: UNIVERSES /
     * EXCLUDE_UNIVERSES ride the same service query as sids — here the
@@ -225,10 +234,14 @@ object Sources {
   /** Size-guarded universe resolution: one bounded per-universe count
     * pass decides the strategy per side — ≤ [[MaxIsinSids]] members
     * collect to an `isin` literal (pushdown), above it the side becomes
-    * a broadcast semi/anti join frame and no member ever visits the
-    * driver. Explicit sids OR with universe members, so in fallback
-    * mode they union INTO the include frame; explicit excludeSids are
-    * AND-ed exclusions and stay literal either way. */
+    * a semi/anti join frame, avoiding the giant per-task literal (the
+    * members are NOT driver-free below [[MaxBroadcastSids]]: the
+    * broadcast hint applied there still collects them once to build
+    * the torrent — what the guard removes is the literal serialized
+    * into every task; above MaxBroadcastSids the hint is dropped too
+    * and the join shuffles). Explicit sids OR with universe members,
+    * so in fallback mode they union INTO the include frame; explicit
+    * excludeSids are AND-ed exclusions and stay literal either way. */
   private def resolveGuarded(q: PriceQuery, m: DataFrame): Resolved = {
     if (q.universes.isEmpty && q.excludeUniverses.isEmpty) return Resolved(q)
     val names = (q.universes ++ q.excludeUniverses).distinct
@@ -246,6 +259,12 @@ object Sources {
     // sum over universes is an upper bound (shared sids double-count) —
     // crossing the guard slightly early is the safe direction
     def small(ns: Seq[String]): Boolean = ns.map(counts).sum <= MaxIsinSids
+    // fallback-side hint: broadcast only below MaxBroadcastSids (the
+    // same upper-bound counts — not broadcasting slightly early is the
+    // safe direction); above it the join shuffles instead of pushing a
+    // multi-million-row build through the driver
+    def hinted(f: DataFrame, ns: Seq[String]): DataFrame =
+      if (ns.map(counts).sum <= MaxBroadcastSids) broadcast(f) else f
     def literal(ns: Seq[String]): Seq[String] =
       memberFrame(ns).collect().map(_.getString(0)).toSeq
     val (incSids, incFrame) =
@@ -259,13 +278,14 @@ object Sources {
           else base.union(
             m.sparkSession.createDataset(q.sids)(
               org.apache.spark.sql.Encoders.STRING).toDF("sid")).distinct()
-        (Nil, Some(withExplicit))
+        (Nil, Some(hinted(withExplicit, q.universes)))
       }
     val (excSids, excFrame) =
       if (q.excludeUniverses.isEmpty) (q.excludeSids, None)
       else if (small(q.excludeUniverses))
         ((q.excludeSids ++ literal(q.excludeUniverses)).distinct, None)
-      else (q.excludeSids, Some(memberFrame(q.excludeUniverses)))
+      else (q.excludeSids,
+        Some(hinted(memberFrame(q.excludeUniverses), q.excludeUniverses)))
     Resolved(
       q.copy(sids = incSids, excludeSids = excSids,
         universes = Nil, excludeUniverses = Nil),
@@ -284,11 +304,13 @@ object Sources {
     if (q.excludeSids.nonEmpty) df = df.where(!col("sid").isin(q.excludeSids: _*))
     if (q.times.nonEmpty) df = df.where(col("time").isin(q.times: _*))
     // guarded-universe fallback (see MaxIsinSids): membership sides too
-    // big for an isin literal filter as broadcast semi/anti joins
+    // big for an isin literal filter as semi/anti joins — the broadcast
+    // hint (or its absence, above MaxBroadcastSids) was decided at
+    // resolve time where the member counts are known
     r.include.foreach(inc =>
-      df = df.join(broadcast(inc), Seq("sid"), "left_semi"))
+      df = df.join(inc, Seq("sid"), "left_semi"))
     r.exclude.foreach(exc =>
-      df = df.join(broadcast(exc), Seq("sid"), "left_anti"))
+      df = df.join(exc, Seq("sid"), "left_anti"))
     if (q.fields.nonEmpty) {
       val keep = Seq("sid", "date", "time").filter(df.columns.contains) ++ q.fields
       df = df.select(keep.distinct.map(col): _*)

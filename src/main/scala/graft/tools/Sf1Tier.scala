@@ -51,6 +51,17 @@ object Sf1Tier {
     "sim15_mmr", "gr9_bfs_layers", "tx30_fertility",
     "sp15_negative_samples", "ev33_window_funnel")
 
+  /** Queries whose plan shape changed in the r8/r9 PrefixSum sweep
+    * (single-task histogram windows → two-level bucket scans) — their
+    * scale behavior is newly claimed, so they get the 10× growth check
+    * alongside the budgeted pipelines. Disjoint from
+    * [[budgetedQueries]] (sp15/ml38 are already there). */
+  val rewiredQueries: Seq[String] = Seq(
+    "ml30_woe_iv", "qn1_quantile_norm", "dq9_ks_drift",
+    "ab2_mann_whitney", "ev26_qini", "ml36_conformal", "ml4_metrics",
+    "ml6_avg_precision", "ml13_ks_drift", "ml21_separation",
+    "ml33_nb_learning_curve", "ev37_gini", "ev17_rfm")
+
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>
       d.withColumn(k, col(k) + lit(copy.toLong * Shift)))
@@ -118,7 +129,7 @@ object Sf1Tier {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       secs
     }
-    val rows = budgetedQueries
+    val rows = (budgetedQueries ++ rewiredQueries)
       .filter(n => only.forall(n.contains))
       .map { name =>
         val a = runOnce(name, src)

@@ -10,4 +10,14 @@ class Sf1TierSpec extends AnyFunSuite {
     assert(graft.tools.Sf1Tier.budgetedQueries.toSet ==
       PlanBudgets.shuffleBudgets.keySet)
   }
+
+  test("Sf1Tier.rewiredQueries are real catalog queries, disjoint from " +
+    "the budgeted tier (no double-run, no typo'd silent no-op)") {
+    val r = graft.tools.Sf1Tier.rewiredQueries
+    assert(r.distinct == r)
+    val unknown = r.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"unknown: $unknown")
+    val overlap = r.toSet.intersect(graft.tools.Sf1Tier.budgetedQueries.toSet)
+    assert(overlap.isEmpty, s"already budgeted: $overlap")
+  }
 }
