@@ -62,7 +62,12 @@ object Bench {
     // steady-state cost of the plan; the median is the honesty check.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    def render(results: Seq[(String, Double, Double, Option[String])]): String = {
+    // `full = false` drops the per-query {min, median} stats map: the
+    // stdout copy the driver captures has truncated mid-JSON twice on
+    // the full form (r7/r8 artifacts: "parsed": null) — the compact
+    // line halves it, and the file keeps the full stats.
+    def render(results: Seq[(String, Double, Double, Option[String])],
+        full: Boolean = true): String = {
       val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
       val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
       val stats = ok.map { case (k, mn, md) =>
@@ -70,7 +75,8 @@ object Bench {
       val errs = results.collect { case (k, _, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+      val statsPart = if (full) s""","stats":$stats""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$statsPart,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
     }
     def writeOut(json: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
@@ -100,11 +106,11 @@ object Bench {
       // parseable artifact covering every completed query
       writeOut(render(done.toSeq))
     }
-    val json = render(done.toSeq)
-    println(json)
+    println(render(done.toSeq, full = false))
     // Stdout copy can truncate mid-JSON in a captured tail; the file
-    // (already current from the per-query checkpoints) is authoritative.
-    writeOut(json)
+    // (already current from the per-query checkpoints, WITH stats) is
+    // authoritative.
+    writeOut(render(done.toSeq))
     spark.stop()
   }
 }

@@ -62,9 +62,28 @@ object PrefixSum {
       hist: DataFrame,
       bucket: Column,
       orderCol: Column,
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)]): DataFrame =
+    inclusiveByBucketImpl(hist, bucket, orderCol, sums, checkpoint = true)
+
+  /** `checkpoint = true` cuts the histogram's lineage with a lazy local
+    * checkpoint: the bucketed frame feeds the offsets BROADCAST BUILD
+    * and the main join path (plus the range probe via
+    * [[inclusiveAuto]], which pre-checkpoints and passes false) —
+    * without the cut each consumer recomputes the full upstream groupBy
+    * (measured on 10M-distinct continuous scores:
+    * classificationMetrics recomputed its heavy decimal histogram
+    * three times). The consumers are lineage-sequential, so the lazy
+    * checkpoint materializes exactly once. */
+  private def inclusiveByBucketImpl(
+      hist: DataFrame,
+      bucket: Column,
+      orderCol: Column,
+      sums: Seq[(String, String)],
+      checkpoint: Boolean): DataFrame = {
     require(sums.nonEmpty, "PrefixSum: need at least one (out, sum) pair")
-    val withB = hist.withColumn("__psb", bucket)
+    import graft.StableCheckpoint._
+    val withB0 = hist.withColumn("__psb", bucket)
+    val withB = if (checkpoint) withB0.stableCheckpoint(eager = false) else withB0
     // the guard multiplies into the offsets aggregation INPUT — the one
     // place every histogram row still flows (the final equi-join is
     // exactly where a null bucket would vanish, so a guard there never
@@ -126,16 +145,21 @@ object PrefixSum {
       sums: Seq[(String, String)],
       targetBuckets: Int = 4096): DataFrame = {
     require(targetBuckets > 0, s"targetBuckets must be positive: $targetBuckets")
+    // checkpoint BEFORE the probe: the range probe, the offsets build,
+    // and the main path then all read one materialization of the
+    // histogram instead of three recomputes of its upstream groupBy
+    import graft.StableCheckpoint._
+    val h = hist.stableCheckpoint(eager = false)
     val v = col(vCol).cast("double")
-    val rng = hist.agg(min(v).as("__psmin"), max(v).as("__psmax"))
+    val rng = h.agg(min(v).as("__psmin"), max(v).as("__psmax"))
     val span = col("__psmax") - col("__psmin")
     val width = when(span.isNull || !(span > 0.0), lit(1.0))
       .otherwise(pow(lit(2.0), ceil(log(2.0, span / targetBuckets))))
-    inclusiveByBucket(
-      hist.crossJoin(broadcast(rng)).withColumn("__psw", width),
+    inclusiveByBucketImpl(
+      h.crossJoin(broadcast(rng)).withColumn("__psw", width),
       floor((guarded(col(vCol)) - coalesce(col("__psmin"), lit(0.0)))
         / col("__psw")).cast("long"),
-      col(vCol), sums)
+      col(vCol), sums, checkpoint = false)
       .drop("__psmin", "__psmax", "__psw")
   }
 
