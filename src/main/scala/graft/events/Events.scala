@@ -1169,24 +1169,38 @@ object Events {
           s"quantized values (> maxBins=$maxBins): raise " +
           s"monetaryQuantumCents (currently $monetaryQuantumCents) to " +
           s"coarsen the binning metric")
-    // value-tied quintile bin over a metric's integer histogram:
+    // value-tied quintile bin over each metric's integer histogram:
     // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
     // ascending — so the largest fifth lands in bin 5 for every metric
     // (for recency "largest" = stalest days, i.e. bin 1 = most recent).
-    // The cumulative rides the two-level bucket scan (r9): recency is
-    // calendar-bounded and __monq is maxBins-guarded, but __freq is
-    // distinct per-user activity COUNTS — heavy-tailed data
-    // cardinality, the qn1 class (see graft.panel.PrefixSum); one
-    // helper serves all three, and the total folds to a scalar agg.
-    def bins(metric: String): DataFrame = {
-      val h = perUser.groupBy(col(metric)).agg(count(lit(1)).as("__c"))
-      val tot = h.agg(sum(col("__c")).as("__tot"))
-      graft.panel.PrefixSum.inclusiveAuto(h, metric, Seq("__cum" -> "__c"))
-        .crossJoin(broadcast(tot)) // one scalar row — bounded
-        .select(col(metric),
-          (floor((col("__cum") * 5 - 1) / col("__tot")) + 1)
-            .cast("long").as(s"${metric}_bin"))
-    }
+    // The cumulatives ride ONE grouped two-level bucket scan (r9):
+    // recency is calendar-bounded and __monq is maxBins-guarded, but
+    // __freq is distinct per-user activity COUNTS — heavy-tailed data
+    // cardinality, the qn1 class (see graft.panel.PrefixSum) — and
+    // melting the three histograms into one (metric, value) frame runs
+    // the whole family through a single scan chain instead of three
+    // (job-count, not volume, dominates locally).
+    val melted = perUser
+      .select(explode(array(
+        struct(lit("__rec").as("m"), col("__rec").as("v")),
+        struct(lit("__freq").as("m"), col("__freq").as("v")),
+        struct(lit("__monq").as("m"), col("__monq").as("v")))).as("x"))
+      .select(col("x.m").as("__metric"), col("x.v").as("__v"))
+      .groupBy("__metric", "__v").agg(count(lit(1)).as("__c"))
+    val tots = melted.groupBy("__metric").agg(sum(col("__c")).as("__tot"))
+    val allBins = graft.panel.PrefixSum.inclusiveAuto(
+      melted, "__v", Seq("__cum" -> "__c"), partCols = Seq("__metric"))
+      .join(broadcast(tots), "__metric") // ≤ 3 rows — bounded
+      .select(col("__metric"), col("__v"),
+        (floor((col("__cum") * 5 - 1) / col("__tot")) + 1)
+          .cast("long").as("__bin"))
+      // EAGER: the three slice joins below broadcast-build
+      // CONCURRENTLY — a lazy checkpoint has no materialization lock
+      // and they would race and triplicate the scan chain
+      .stableCheckpoint()
+    def bins(metric: String): DataFrame = allBins
+      .where(col("__metric") === metric)
+      .select(col("__v").as(metric), col("__bin").as(s"${metric}_bin"))
     perUser
       .join(broadcast(bins("__rec")), "__rec")
       .join(broadcast(bins("__freq")), "__freq")

@@ -63,7 +63,8 @@ object PrefixSum {
       bucket: Column,
       orderCol: Column,
       sums: Seq[(String, String)]): DataFrame =
-    inclusiveByBucketImpl(hist, bucket, orderCol, sums, checkpoint = true)
+    inclusiveByBucketImpl(hist, bucket, orderCol, sums, checkpoint = true,
+      partCols = Nil)
 
   /** `checkpoint = true` cuts the histogram's lineage with a lazy local
     * checkpoint: the bucketed frame feeds the offsets BROADCAST BUILD
@@ -79,9 +80,11 @@ object PrefixSum {
       bucket: Column,
       orderCol: Column,
       sums: Seq[(String, String)],
-      checkpoint: Boolean): DataFrame = {
+      checkpoint: Boolean,
+      partCols: Seq[String]): DataFrame = {
     require(sums.nonEmpty, "PrefixSum: need at least one (out, sum) pair")
     import graft.StableCheckpoint._
+    val pc = partCols.map(col)
     val withB0 = hist.withColumn("__psb", bucket)
     val withB = if (checkpoint) withB0.stableCheckpoint(eager = false) else withB0
     // the guard multiplies into the offsets aggregation INPUT — the one
@@ -90,21 +93,22 @@ object PrefixSum {
     // evaluates on the offending row)
     val guard = when(col("__psb").isNull,
       raise_error(lit(NullMsg)).cast("int")).otherwise(lit(1))
-    // exclusive per-bucket offsets: the only unpartitioned window runs
-    // over occupied buckets (bounded by the bucket-key domain)
+    // exclusive per-bucket offsets: with partCols empty the ONLY
+    // unpartitioned window runs over the occupied buckets (bounded by
+    // the bucket-key domain); in grouped form it partitions by the
+    // group columns and each group's prefix resets by construction
     val aggs = sums.map { case (_, c) => sum(col(c) * guard).as(s"__pst_$c") }
+    val wOff = Window.partitionBy(pc: _*).orderBy("__psb")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withB
-      .groupBy(col("__psb"))
+      .groupBy(pc :+ col("__psb"): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("__psb") +: sums.map { case (_, c) =>
-        coalesce(
-          sum(col(s"__pst_$c")).over(
-            Window.orderBy("__psb").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)).as(s"__pso_$c")
-      }: _*)
-    val wIn = Window.partitionBy("__psb").orderBy(orderCol)
+      .select(pc ++ (col("__psb") +: sums.map { case (_, c) =>
+        coalesce(sum(col(s"__pst_$c")).over(wOff), lit(0L)).as(s"__pso_$c")
+      }): _*)
+    val wIn = Window.partitionBy(pc :+ col("__psb"): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = withB.join(broadcast(offsets), Seq("__psb")) // bucket-bounded
+    val joined = withB.join(broadcast(offsets), partCols :+ "__psb") // bucket-bounded
     sums.foldLeft(joined) { case (df, (out, c)) =>
       df.withColumn(out, col(s"__pso_$c") + sum(col(c)).over(wIn))
     }.drop("__psb" +: sums.map { case (_, c) => s"__pso_$c" }: _*)
@@ -143,7 +147,8 @@ object PrefixSum {
       hist: DataFrame,
       vCol: String,
       sums: Seq[(String, String)],
-      targetBuckets: Int = 4096): DataFrame = {
+      targetBuckets: Int = 4096,
+      partCols: Seq[String] = Nil): DataFrame = {
     require(targetBuckets > 0, s"targetBuckets must be positive: $targetBuckets")
     // checkpoint BEFORE the probe: the range probe, the offsets build,
     // and the main path then all read one materialization of the
@@ -151,15 +156,24 @@ object PrefixSum {
     import graft.StableCheckpoint._
     val h = hist.stableCheckpoint(eager = false)
     val v = col(vCol).cast("double")
-    val rng = h.agg(min(v).as("__psmin"), max(v).as("__psmax"))
+    // grouped form (partCols non-empty): ONE probe pass yields a
+    // per-group width, and the whole multi-group family rides a single
+    // scan chain — prefixes reset per group in the partitioned windows
+    val rng =
+      if (partCols.isEmpty) h.agg(min(v).as("__psmin"), max(v).as("__psmax"))
+      else h.groupBy(partCols.map(col): _*)
+        .agg(min(v).as("__psmin"), max(v).as("__psmax"))
     val span = col("__psmax") - col("__psmin")
     val width = when(span.isNull || !(span > 0.0), lit(1.0))
       .otherwise(pow(lit(2.0), ceil(log(2.0, span / targetBuckets))))
+    val probed =
+      if (partCols.isEmpty) h.crossJoin(broadcast(rng))
+      else h.join(broadcast(rng), partCols)
     inclusiveByBucketImpl(
-      h.crossJoin(broadcast(rng)).withColumn("__psw", width),
+      probed.withColumn("__psw", width),
       floor((guarded(col(vCol)) - coalesce(col("__psmin"), lit(0.0)))
         / col("__psw")).cast("long"),
-      col(vCol), sums, checkpoint = false)
+      col(vCol), sums, checkpoint = false, partCols = partCols)
       .drop("__psmin", "__psmax", "__psw")
   }
 
