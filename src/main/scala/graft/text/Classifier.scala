@@ -423,6 +423,10 @@ object Classifier {
       seed: String = "lc"): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(f => f > 0 && f <= 1),
       s"fractions in (0,1]: $fractions")
+    // a duplicated fraction would double its band's counts through the
+    // fraction-dimension fan-out — loud beats silently-wrong accuracy
+    require(fractions.distinct == fractions,
+      s"fractions has duplicates: $fractions")
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
@@ -583,6 +587,9 @@ object Classifier {
       seed: String = "ab"): DataFrame = {
     require(ablate.nonEmpty && ablate.size <= 20,
       s"ablate must list 1..20 sources: ${ablate.size}")
+    // a duplicated tag would double its counts through the
+    // tag-dimension fan-out — loud beats silently-wrong accuracy
+    require(ablate.distinct == ablate, s"ablate has duplicates: $ablate")
     require(holdoutFrac > 0 && holdoutFrac < 1, s"holdoutFrac: $holdoutFrac")
     val u = graft.text.Sampling.hashUnit(col(idCol), seed)
     val holdout = docs.where(u >= 1.0 - holdoutFrac)
