@@ -60,6 +60,13 @@ object PageRank {
     val basePico = math.round((1.0 - damping) / n * 1e12)
     val initPico = math.round(1.0 / n * 1e12)
 
+    // nodes with no out-edges, computed ONCE: the set is
+    // iteration-invariant, so the per-round dangling probe is a
+    // semi-join against this frame instead of a fresh distinct
+    // shuffle of the edge list every round
+    val danglingNodes = scope.checkpoint(
+      nodes.join(probs.select(col("__s").as("node")).distinct(),
+        Seq("node"), "left_anti"))
     var ranks = nodes.withColumn("__r", lit(initPico))
     for (_ <- 1 to iterations) {
       val contribs = probs
@@ -69,8 +76,7 @@ object PageRank {
           .as("__c"))
       // dangling mass: ranks on nodes with no out-edges, one scalar row
       val dangling = ranks
-        .join(probs.select(col("__s").as("node")).distinct(),
-          Seq("node"), "left_anti")
+        .join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("__r")), lit(0L)).as("__dm"))
       ranks = scope.checkpoint(ranks.select(col("node"))
         .join(contribs, Seq("node"), "left")
@@ -135,6 +141,11 @@ object PageRank {
     val basePico = math.round((1.0 - damping) / nS * 1e12)
     val initPico = math.round(1.0 / nS * 1e12)
 
+    // iteration-invariant no-out-edge set, computed once (the
+    // [[pagerank]] hoist): per round the dangling probe is a semi-join
+    val danglingNodes = scope.checkpoint(
+      nodes.join(probs.select(col("__s").as("node")).distinct(),
+        Seq("node"), "left_anti"))
     var ranks = nodes.join(seedFlag, Seq("node"), "left")
       .select(col("node"),
         when(col("__sd") === 1L, initPico).otherwise(0L).as("__r"))
@@ -145,8 +156,7 @@ object PageRank {
         .agg(sum(round(col("__r").cast("double") * col("__p"), 0).cast("long"))
           .as("__c"))
       val dangling = ranks
-        .join(probs.select(col("__s").as("node")).distinct(),
-          Seq("node"), "left_anti")
+        .join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("__r")), lit(0L)).as("__dm"))
       ranks = scope.checkpoint(ranks.select(col("node"))
         .join(seedFlag, Seq("node"), "left")
@@ -269,21 +279,26 @@ object PageRank {
       .where(col("__a") =!= col("__b") &&
         col("__a").isNotNull && col("__b").isNotNull)
       .distinct()
+    // round state (live edge set, weak frontier) checkpoints PLAIN
+    // (AQE-on capture, the pagerank stable=false rationale): every
+    // consumer re-keys these frames (groupBy u / anti-joins on u and
+    // v), so no declared partitioning is consumed downstream, and each
+    // round's job benefits from AQE's runtime coalescing instead
     var live = und0.select(col("__a").as("u"), col("__b").as("v"))
       .union(und0.select(col("__b").as("u"), col("__a").as("v")))
-      .stableCheckpoint(true)
+      .localCheckpoint(true)
     var iter = 0
     var weakCount = 1L
     while (weakCount > 0 && iter < maxIters) {
       val deg = live.groupBy(col("u")).agg(count(lit(1)).as("__d"))
       val weak = deg.where(col("__d") < k).select(col("u"))
-        .stableCheckpoint(true) // joined twice below
+        .localCheckpoint(true) // joined twice below
       weakCount = weak.count()
       if (weakCount > 0) {
         live = live
           .join(weak, Seq("u"), "left_anti")
           .join(weak.select(col("u").as("v")), Seq("v"), "left_anti")
-          .stableCheckpoint(true)
+          .localCheckpoint(true)
       }
       iter += 1
     }

