@@ -69,6 +69,41 @@ object GraphBench {
         f"maxPerNode=${Option(row.get(2)).map(_.toString).getOrElse("0")}%10s " +
         f"${sec}%7.1f s")
     }
+
+    // iterative family: damped power iteration (5 rounds — the
+    // per-round cost is what scales, so a fixed small count reads as
+    // s/round) and 3-core peeling (rounds = peeling depth). Both ride
+    // the r9 shape: the dangling-node set is hoisted out of the loop
+    // and round state checkpoints keep AQE. The star is the peeling
+    // adversary: every leaf dies in round 1, the bare hub in round 2 —
+    // depth stays 2 at any n, so wall time must stay ~flat vs the 1M
+    // random graph, not grow with the hub degree.
+    val iterShapes = Seq(
+      ("pagerank m=1M n=100k", randomEdges(spark, 1000000L, 100000L),
+        "pr"),
+      ("pagerank m=10M n=1M", randomEdges(spark, 10000000L, 1000000L),
+        "pr"),
+      ("kcore3 m=1M n=100k", randomEdges(spark, 1000000L, 100000L),
+        "kcore"),
+      ("kcore3 star n=1M", starEdges(spark, 1000000L), "kcore"))
+    iterShapes.foreach { case (name, e0, kind) =>
+      val e = e0.withColumn("weight", lit(1L))
+      e.count()
+      val (row, sec) = time {
+        kind match {
+          case "pr" =>
+            PageRank.pagerank(e, iterations = 5)
+              .agg(count(lit(1)), round(sum(col("rank")), 3)).head
+          case _ =>
+            PageRank.kCore(e, k = 3)
+              .agg(count(lit(1)), coalesce(max(col("core_degree")), lit(0L)))
+              .head
+        }
+      }
+      println(f"$name%-22s rows=${row.getLong(0)}%9d " +
+        f"agg=${Option(row.get(1)).map(_.toString).getOrElse("0")}%12s " +
+        f"${sec}%7.1f s")
+    }
     spark.stop()
   }
 }
