@@ -2061,6 +2061,81 @@ private[graft] object OraclesB {
         |    / (syy - sy*sy/nd), 6) AS r2
         |FROM bs""".stripMargin,
 
+    // ML42: the same Cramer betas UNROUNDED, the same bucket-rotation
+    // permutation (md5 unit hash → bucket, lead + first_value wrap),
+    // and the same 1e-4-quantized exact residual sums — every IEEE
+    // expression tree spelled with the engine's association order
+    "ml42_perm_importance" ->
+      """WITH base AS (
+        |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount*100) AS BIGINT) AS x2,
+        |    l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y
+        |  FROM base),
+        |d AS (
+        |  SELECT n::DOUBLE AS nd, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+        |    sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y
+        |  FROM m),
+        |dets AS (
+        |  SELECT *,
+        |    nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM d),
+        |bs AS (
+        |  SELECT det0/det AS b0, det1/det AS b1, det2/det AS b2 FROM dets),
+        |p AS (
+        |  SELECT y, x1, x2,
+        |    coalesce(lead(x1) OVER w, first_value(x1) OVER wf) AS x1p,
+        |    coalesce(lead(x2) OVER w, first_value(x2) OVER wf) AS x2p
+        |  FROM (
+        |    SELECT *, CAST(floor(CAST(CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'perm', concat_ws('#',
+        |        l_orderkey, l_linenumber, l_partkey, l_suppkey))), 1, 8))
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0 * 4096) AS BIGINT) AS pb
+        |    FROM base)
+        |  WINDOW w AS (PARTITION BY pb
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey),
+        |    wf AS (PARTITION BY pb
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(CAST(round((y::DOUBLE - (b0 + b1*x1 + b2*x2))
+        |      * (y::DOUBLE - (b0 + b1*x1 + b2*x2)) * 1e4) AS BIGINT))
+        |      AS HUGEINT) AS sb,
+        |    CAST(sum(CAST(round((y::DOUBLE - (b0 + b1*x1p + b2*x2))
+        |      * (y::DOUBLE - (b0 + b1*x1p + b2*x2)) * 1e4) AS BIGINT))
+        |      AS HUGEINT) AS s1m,
+        |    CAST(sum(CAST(round((y::DOUBLE - (b0 + b1*x1 + b2*x2p))
+        |      * (y::DOUBLE - (b0 + b1*x1 + b2*x2p)) * 1e4) AS BIGINT))
+        |      AS HUGEINT) AS s2m
+        |  FROM p CROSS JOIN bs)
+        |SELECT '__base' AS feature,
+        |  round(sb::DOUBLE / 1e4 / n, 6) AS mse, 0.0 AS delta_mse FROM s
+        |UNION ALL
+        |SELECT 'x_qty', round(s1m::DOUBLE / 1e4 / n, 6),
+        |  round((s1m - sb)::DOUBLE / 1e4 / n, 6) + 0.0 FROM s
+        |UNION ALL
+        |SELECT 'x_disc_pct', round(s2m::DOUBLE / 1e4 / n, 6),
+        |  round((s2m - sb)::DOUBLE / 1e4 / n, 6) + 0.0 FROM s""".stripMargin,
+
     // ML30: same rank decomposition (histogram prefix + per-value tie
     // index) and the same fixed WOE/IV expression shapes
     "ml30_woe_iv" ->

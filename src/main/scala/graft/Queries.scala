@@ -2508,6 +2508,24 @@ object Queries {
         yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct",
         lambda = 10000000L)),
 
+    // ---- ML42: permutation feature importance on the ml29 fit —
+    // deterministic within-hash-bucket rotation breaks each feature's
+    // pairing with y; ΔMSE per feature, refit-free, one window pass
+    "ml42_perm_importance" -> ((s, dir) =>
+      graft.ml.Ols.permutationImportance2(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y_dollars"),
+          round(col("l_quantity")).cast("long").as("x_qty"),
+          round(col("l_discount") * 100).cast("long").as("x_disc_pct"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct",
+        // the synthetic lineitem does NOT keep TPC-H's (orderkey,
+        // linenumber) primary key — all four id columns are needed for
+        // uniqueness (the in-operator tie tripwire raises otherwise)
+        idCols = Seq("l_orderkey", "l_linenumber",
+          "l_partkey", "l_suppkey"))),
+
     // ---- ML32: the ridge regularization path in ONE data pass —
     // moments once, λ grid as a bounded literal explode on the single
     // moment row (grid search without rescanning the facts; λ=0 is

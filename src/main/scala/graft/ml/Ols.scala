@@ -63,6 +63,122 @@ object Ols {
       col("lambda"), Seq(col("lambda")))
   }
 
+  /** ML42: permutation feature importance for the [[ols2]] fit —
+    * refit-free model inspection: how much does MSE rise when feature
+    * j's association with y is broken? importance_j = MSE(permuted xⱼ)
+    * − MSE(base), the Breiman random-forest measure applied to the
+    * linear fit (Fisher et al. 2019 "model reliance" formalizes it
+    * model-agnostically).
+    *
+    * The permutation is DETERMINISTIC and distributed: rows bucket by
+    * an md5 unit hash of their id (`buckets` slots), and within each
+    * bucket the feature column ROTATES by one position under the id
+    * order (`lead` + wrap-around via `first`) — a bona fide permutation
+    * that pairs each row with an effectively random other row (the
+    * bucket assignment is the randomness), with every window
+    * PARTITIONED by bucket (no global sort — the WindowPlanSpec
+    * contract; bucket count scales the per-task sort, raise it with
+    * data). Both permuted columns ride ONE window sort.
+    *
+    * Cross-engine exactness: betas are the UNROUNDED Cramer solve —
+    * one fixed IEEE tree over exact integer moments, so both engines
+    * hold bit-identical doubles; per-row squared residuals quantize at
+    * 1e-4 (part of the op's definition — y is whole units, so r² ≤
+    * ~1e12 keeps the quantized value exactly representable) and sum as
+    * exact DECIMAL(38,0); each MSE and delta is one final division.
+    * Singular design → null betas → null MSEs (the house
+    * null-on-degenerate convention). `idCols` must be a UNIQUE key —
+    * a duplicate key makes the within-bucket order, hence the
+    * rotation, nondeterministic — and the contract is ENFORCED loudly
+    * (the Woe tie-key discipline): duplicate ids hash to the same
+    * bucket and sort adjacently, so a lag check riding the bucket
+    * window raises [[graft.ParameterError]]-style at scan time with
+    * zero extra shuffles.
+    *
+    * Scale shape: one moments pass (map-side-combinable integer agg),
+    * then one partitioned-window pass + one bounded agg. Output: 3
+    * rows (feature ∈ {__base, x1Col, x2Col}; mse; delta_mse), 6dp. */
+  def permutationImportance2(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String,
+      idCols: Seq[String],
+      buckets: Int = 4096,
+      seed: String = "perm"): DataFrame = {
+    require(idCols.nonEmpty, "permutationImportance2: need id columns")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val betas = rawBetas(momentsOf(df, yCol, x1Col, x2Col))
+    val idExpr = concat_ws("#", idCols.map(col): _*)
+    val unit = conv(substring(md5(concat_ws("|", lit(seed), idExpr)), 1, 8),
+      16, 10).cast("double") / 4294967296.0
+    val w = Window.partitionBy(col("__pb")).orderBy(idCols.map(col): _*)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def rot(c: String): Column =
+      coalesce(lead(col(c), 1).over(w), first(col(c)).over(wf))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // duplicate-id tripwire: equal ids share a hash (same bucket) and
+    // sort adjacently, so one lag on the bucket window sees every dup.
+    // The guard multiplies into the quantized residuals (×1 when clean)
+    // so it can't be pruned away and evaluates on the offending row.
+    val tieGuard = when(lag(idExpr, 1).over(w) === idExpr,
+      raise_error(concat(lit("permutationImportance2: duplicate id key ("),
+        idExpr, lit(") — rotation order undefined; pass a unique idCols")))
+        .cast("long")).otherwise(lit(1L))
+    def ssq(xa: Column, xb: Column): Column = {
+      val r = col(yCol).cast("double") -
+        (col("__b0") + col("__b1") * xa.cast("double") +
+          col("__b2") * xb.cast("double"))
+      sum((round(r * r * 1e4) * col("__tie")).cast(dec))
+    }
+    val sums = df
+      .withColumn("__pb", floor(unit * buckets).cast("long"))
+      .withColumn("__tie", tieGuard)
+      .withColumn("__x1p", rot(x1Col))
+      .withColumn("__x2p", rot(x2Col))
+      .crossJoin(broadcast(betas)) // one row — bounded by design
+      .agg(
+        count(lit(1)).as("__n"),
+        ssq(col(x1Col), col(x2Col)).as("__sb"),
+        ssq(col("__x1p"), col(x2Col)).as("__s1"),
+        ssq(col(x1Col), col("__x2p")).as("__s2"))
+    def mse(s: Column): Column =
+      round(s.cast("double") / 1e4 / col("__n"), 6)
+    def delta(s: Column): Column =
+      round((s - col("__sb")).cast("double") / 1e4 / col("__n"), 6) + 0.0
+    sums
+      .select(explode(array(
+        struct(lit("__base").as("feature"), mse(col("__sb")).as("mse"),
+          (mse(col("__sb")) * 0.0).as("delta_mse")),
+        struct(lit(x1Col).as("feature"), mse(col("__s1")).as("mse"),
+          delta(col("__s1")).as("delta_mse")),
+        struct(lit(x2Col).as("feature"), mse(col("__s2")).as("mse"),
+          delta(col("__s2")).as("delta_mse")))).as("__r"))
+      .select(col("__r.feature"), col("__r.mse"), col("__r.delta_mse"))
+  }
+
+  /** UNROUNDED Cramer betas over a moments row — shared by the solve
+    * (which rounds for output) and consumers that must keep the
+    * bit-identical doubles flowing into further arithmetic. */
+  private def rawBetas(moments: DataFrame): DataFrame = {
+    def d(c: String): Column = col(c).cast("double")
+    val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
+    val (s11, s12, s22) = (d("s11"), d("s12"), d("s22"))
+    val (s1y, s2y) = (d("s1y"), d("s2y"))
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    def safe(num: Column): Column = when(det =!= 0.0, num / det)
+    moments.select(safe(det0).as("__b0"), safe(det1).as("__b1"),
+      safe(det2).as("__b2"))
+  }
+
   private def momentsOf(df: DataFrame, yCol: String, x1Col: String,
       x2Col: String): DataFrame = {
     val (y, x1, x2) = (col(yCol), col(x1Col), col(x2Col))

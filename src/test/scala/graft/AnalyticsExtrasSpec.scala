@@ -142,6 +142,47 @@ class AnalyticsExtrasSpec extends SparkSpec {
       r1.getDouble(4) >= r2.getDouble(4)) // in-sample r2 only shrinks
   }
 
+  test("permutationImportance2: informative feature gains MSE, " +
+    "zero-weight feature's delta is exactly 0") {
+    // y depends on x1 only (b2 = 0 in the fit), x2 varies independently
+    val rows = (0L until 200L).map(i => (5 + 3 * i, i, (i * 7) % 13, i))
+      .toDF("y", "x1", "x2", "id")
+    val out = graft.ml.Ols.permutationImportance2(
+        rows, "y", "x1", "x2", idCols = Seq("id"), buckets = 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out("__base")._1 == 0.0 && out("__base")._2 == 0.0)
+    // permuting the feature the model relies on must raise MSE
+    assert(out("x1")._2 > 0.0 && out("x1")._1 == out("x1")._2)
+    // b2 = 0: permuting x2 cannot change any residual — delta EXACTLY 0
+    assert(out("x2")._2 == 0.0)
+  }
+
+  test("permutationImportance2: rotation preserves the per-bucket " +
+    "multiset (deltas are bounded by the worst pairing)") {
+    // pathological y: one extreme outlier; the permuted MSE can move a
+    // lot but never past the all-pairs worst case, and n is unchanged
+    val rows = ((0L until 50L).map(i => (i % 10, i, (i * 3) % 5, i)) :+
+      ((1000L, 50L, 4L, 50L))).toDF("y", "x1", "x2", "id")
+    val out = graft.ml.Ols.permutationImportance2(
+        rows, "y", "x1", "x2", idCols = Seq("id"), buckets = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.size == 3 && out.values.forall(v => !v.isNaN && v >= 0.0))
+  }
+
+  test("permutationImportance2: duplicate id key raises loudly") {
+    val rows = (Seq((1L, 1L, 1L, 7L), (2L, 2L, 2L, 7L)) ++
+      (10L until 40L).map(i => (i, i, i % 5, i))).toDF("y", "x1", "x2", "id")
+    val e = intercept[Exception] {
+      graft.ml.Ols.permutationImportance2(
+        rows, "y", "x1", "x2", idCols = Seq("id"), buckets = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate id key")), e.toString)
+  }
+
   // ---- WOE / IV -------------------------------------------------------
 
   test("woeIv: hand case; zero-cell bins null out; bins partition rows") {
