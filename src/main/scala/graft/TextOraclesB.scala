@@ -1753,6 +1753,45 @@ private[graft] object TextOraclesB {
     // GR9: min-hop distances as a recursive closure — UNION dedups
     // (node, dist) pairs and the dist < 6 guard bounds the walk; the
     // engine's frontier expansion must find the same minima
+    // GR10: the engine's 3 synchronous LPA rounds unrolled — each round
+    // is the same (node, label) vote count + (count DESC, label ASC)
+    // argmax; integer-only, so the unrolled replay lands exactly
+    "gr10_label_prop" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b
+        |    ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM d WHERE doc_id % 10 = 9),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS l FROM e),
+        |v1 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l1 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |v2 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l2 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |v3 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l2 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l3 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v3)
+        |  WHERE rn = 1)
+        |SELECT node, l AS community FROM l3""".stripMargin,
+
     "gr9_bfs_layers" ->
       """WITH RECURSIVE ch AS (
         |  SELECT doc_id AS sa,

@@ -997,6 +997,23 @@ object TextQueries {
       graft.graph.PageRank.bfsLayers(edges, seeds, maxHops = 6)
     }),
 
+    // ---- GR10: synchronous label-propagation communities over a
+    // planted caveman graph (10-doc cliques + one bridge per adjacent
+    // block) — 3 fixed rounds with smallest-label tiebreak recover the
+    // block structure; oracle unrolls the identical 3 rounds ----
+    "gr10_label_prop" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val cliques = d.alias("a")
+        .join(d.alias("b"),
+          floor(col("a.doc_id") / 10) === floor(col("b.doc_id") / 10) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val bridges = d.where(pmod(col("doc_id"), lit(10)) === 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.graph.PageRank.labelPropagation(
+        cliques.unionByName(bridges), iterations = 3)
+    }),
+
     // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
     // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
     // greedy fold expressed as leftmost-non-overlapping replace over a

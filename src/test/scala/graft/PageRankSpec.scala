@@ -169,4 +169,29 @@ class PageRankSpec extends SparkSpec {
       .filter { case (id, _) => leftover.contains(id) }
       .values.foreach(_.unpersist(true))
   }
+
+  test("labelPropagation: two bridged 4-cliques converge to their " +
+    "minima, tiebreak is the smallest label, rounds are synchronous") {
+    // cliques {0..3} and {10..13}, one bridge 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L)))
+      .toDF("src", "dst")
+    val out = PageRank.labelPropagation(edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    // each clique collapses onto its smallest member's label; the
+    // bridge's single vote never outweighs the 3 clique votes
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_) == 0L), out.toString)
+    assert(Seq(10L, 11L, 12L, 13L).forall(out(_) == 10L), out.toString)
+    // synchronous round 1 on a 2-path: both endpoints SWAP labels
+    // (each adopts its only neighbor's label simultaneously)
+    val swap = PageRank.labelPropagation(
+      Seq((5L, 6L)).toDF("src", "dst"), iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(swap == Map(5L -> 6L, 6L -> 5L))
+    intercept[ParameterError] {
+      PageRank.labelPropagation(edges, iterations = 0)
+    }
+  }
 }
