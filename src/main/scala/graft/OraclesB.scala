@@ -2061,6 +2061,62 @@ private[graft] object OraclesB {
         |    / (syy - sy*sy/nd), 6) AS r2
         |FROM bs""".stripMargin,
 
+    // ML43: closed-form linear SHAP — unrounded Cramer betas, exact
+    // integer feature means, 1e-6-quantized absolute deviations
+    "ml43_linear_shap" ->
+      """WITH base AS (
+        |  SELECT CAST(round(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount*100) AS BIGINT) AS x2
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2*y) AS BIGINT) AS s2y
+        |  FROM base),
+        |d AS (
+        |  SELECT n::DOUBLE AS nd, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+        |    sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y
+        |  FROM m),
+        |dets AS (
+        |  SELECT *,
+        |    nd*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    nd*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    nd*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM d),
+        |bs AS (SELECT det1/det AS b1, det2/det AS b2 FROM dets),
+        |s AS (
+        |  SELECT count(*)::BIGINT AS cnt,
+        |    CAST(sum(CAST(round(abs(x1::DOUBLE - s1::DOUBLE / n::DOUBLE)
+        |      * 1e6) AS BIGINT)) AS HUGEINT) AS m1,
+        |    CAST(sum(CAST(round(abs(x2::DOUBLE - s2::DOUBLE / n::DOUBLE)
+        |      * 1e6) AS BIGINT)) AS HUGEINT) AS m2
+        |  FROM base CROSS JOIN m),
+        |f AS (
+        |  SELECT b1, b2,
+        |    abs(b1) * (m1::DOUBLE / 1e6 / cnt) AS mas1,
+        |    abs(b2) * (m2::DOUBLE / 1e6 / cnt) AS mas2
+        |  FROM s CROSS JOIN bs)
+        |SELECT 'x_qty' AS feature, round(b1, 6) AS beta,
+        |  round(mas1, 6) AS mean_abs_shap,
+        |  round(CASE WHEN mas1 + mas2 <> 0 THEN mas1 / (mas1 + mas2) END, 6)
+        |    + 0.0 AS share
+        |FROM f
+        |UNION ALL
+        |SELECT 'x_disc_pct', round(b2, 6), round(mas2, 6),
+        |  round(CASE WHEN mas1 + mas2 <> 0 THEN mas2 / (mas1 + mas2) END, 6)
+        |    + 0.0
+        |FROM f""".stripMargin,
+
     // ML42: the same Cramer betas UNROUNDED, the same bucket-rotation
     // permutation (md5 unit hash → bucket, lead + first_value wrap),
     // and the same 1e-4-quantized exact residual sums — every IEEE

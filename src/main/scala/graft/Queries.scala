@@ -2526,6 +2526,17 @@ object Queries {
         idCols = Seq("l_orderkey", "l_linenumber",
           "l_partkey", "l_suppkey"))),
 
+    // ---- ML43: exact linear-SHAP global importance — φⱼ = bⱼ(xⱼ−x̄ⱼ)
+    // is closed form for the ml29 fit, so mean|φⱼ| needs one moments
+    // pass + one absolute-deviation pass, no sampling or coalitions
+    "ml43_linear_shap" -> ((s, dir) =>
+      graft.ml.Ols.linearShap2(
+        t(s, dir, "lineitem").select(
+          round(col("l_extendedprice")).cast("long").as("y_dollars"),
+          round(col("l_quantity")).cast("long").as("x_qty"),
+          round(col("l_discount") * 100).cast("long").as("x_disc_pct")),
+        yCol = "y_dollars", x1Col = "x_qty", x2Col = "x_disc_pct")),
+
     // ---- ML32: the ridge regularization path in ONE data pass —
     // moments once, λ grid as a bounded literal explode on the single
     // moment row (grid search without rescanning the facts; λ=0 is

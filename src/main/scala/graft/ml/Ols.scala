@@ -158,9 +158,60 @@ object Ols {
       .select(col("__r.feature"), col("__r.mse"), col("__r.delta_mse"))
   }
 
+  /** ML43: exact SHAP global importance for the [[ols2]] fit — the
+    * companion view to [[permutationImportance2]] (perturbation vs
+    * attribution). For a linear model the interventional Shapley value
+    * is CLOSED FORM (Lundberg & Lee 2017 §Corollary 1): φⱼ(row) =
+    * bⱼ·(xⱼ − x̄ⱼ), so the global measure mean|φⱼ| = |bⱼ|·MAD(xⱼ) needs
+    * no sampling, no coalitions, no refits — one moments pass (betas +
+    * feature means) and one absolute-deviation pass.
+    *
+    * Cross-engine exactness: betas and means are fixed IEEE trees over
+    * exact integer moments; per-row |xⱼ − x̄ⱼ| quantizes at 1e-6 and
+    * sums as exact DECIMAL(38,0); each output is one final expression.
+    * Singular design → null betas → null rows. `share` is each
+    * feature's fraction of total attribution mass (null when the
+    * model attributes nothing — constant features). Output: 2 rows
+    * (feature, beta 6dp, mean_abs_shap 6dp, share 6dp). */
+  def linearShap2(
+      df: DataFrame,
+      yCol: String,
+      x1Col: String,
+      x2Col: String): DataFrame = {
+    val betas = rawBetas(momentsOf(df, yCol, x1Col, x2Col))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def madSum(c: String, s: String): Column = {
+      val dev = col(c).cast("double") -
+        col(s).cast("double") / col("__n").cast("double")
+      sum(round(abs(dev) * 1e6).cast(dec))
+    }
+    val sums = df
+      .crossJoin(broadcast(betas)) // one row — bounded by design
+      .agg(
+        first(col("__n")).as("__n"),
+        first(col("__b1")).as("__b1"), first(col("__b2")).as("__b2"),
+        madSum(x1Col, "__s1").as("__m1"),
+        madSum(x2Col, "__s2").as("__m2"))
+    def mas(b: Column, m: Column): Column =
+      abs(b) * (m.cast("double") / 1e6 / col("__n"))
+    val (m1, m2) = (mas(col("__b1"), col("__m1")), mas(col("__b2"), col("__m2")))
+    def share(m: Column): Column =
+      round(when(m1 + m2 =!= 0.0, m / (m1 + m2)), 6) + 0.0
+    sums
+      .select(explode(array(
+        struct(lit(x1Col).as("feature"), round(col("__b1"), 6).as("beta"),
+          round(m1, 6).as("mean_abs_shap"), share(m1).as("share")),
+        struct(lit(x2Col).as("feature"), round(col("__b2"), 6).as("beta"),
+          round(m2, 6).as("mean_abs_shap"), share(m2).as("share")))).as("__r"))
+      .select(col("__r.feature"), col("__r.beta"),
+        col("__r.mean_abs_shap"), col("__r.share"))
+  }
+
   /** UNROUNDED Cramer betas over a moments row — shared by the solve
     * (which rounds for output) and consumers that must keep the
-    * bit-identical doubles flowing into further arithmetic. */
+    * bit-identical doubles flowing into further arithmetic; carries
+    * (n, s1, s2) alongside so attribution consumers can derive the
+    * feature means from the same exact integers. */
   private def rawBetas(moments: DataFrame): DataFrame = {
     def d(c: String): Column = col(c).cast("double")
     val (n, s1, s2, sy) = (d("n"), d("s1"), d("s2"), d("sy"))
@@ -176,7 +227,8 @@ object Ols {
       sy * (s1 * s12 - s11 * s2)
     def safe(num: Column): Column = when(det =!= 0.0, num / det)
     moments.select(safe(det0).as("__b0"), safe(det1).as("__b1"),
-      safe(det2).as("__b2"))
+      safe(det2).as("__b2"), col("n").as("__n"),
+      col("s1").as("__s1"), col("s2").as("__s2"))
   }
 
   private def momentsOf(df: DataFrame, yCol: String, x1Col: String,

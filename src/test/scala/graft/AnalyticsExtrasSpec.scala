@@ -170,6 +170,26 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(out.size == 3 && out.values.forall(v => !v.isNaN && v >= 0.0))
   }
 
+  test("linearShap2: closed-form attribution on the exact grid — " +
+    "mean|phi_j| = |b_j| * MAD(x_j), shares sum to 1") {
+    // y = 3 + 2*x1 - x2 on the 10x10 grid: MAD(0..9 uniform) = 2.5
+    val rows = for (x1 <- 0L to 9L; x2 <- 0L to 9L)
+      yield (3 + 2 * x1 - x2, x1, x2)
+    val out = graft.ml.Ols.linearShap2(
+        rows.toDF("y", "x1", "x2"), "y", "x1", "x2")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("x1") == ((2.0, 5.0, 0.666667)))
+    assert(out("x2") == ((-1.0, 2.5, 0.333333)))
+  }
+
+  test("linearShap2: singular design yields null rows, not NaN") {
+    // constant x2 is collinear with the intercept -> det = 0
+    val rows = (0L to 20L).map(i => (2 * i, i, 5L)).toDF("y", "x1", "x2")
+    val out = graft.ml.Ols.linearShap2(rows, "y", "x1", "x2").collect()
+    assert(out.length == 2 && out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+
   test("permutationImportance2: duplicate id key raises loudly") {
     val rows = (Seq((1L, 1L, 1L, 7L), (2L, 2L, 2L, 7L)) ++
       (10L until 40L).map(i => (i, i, i % 5, i))).toDF("y", "x1", "x2", "id")
