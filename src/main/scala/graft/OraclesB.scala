@@ -3318,6 +3318,63 @@ private[graft] object OraclesB {
 
     // DQ6: k-anonymity — equivalence-class size histogram over the
     // quasi-identifier pair; exact integers
+    // SK7: the KMV bottom-k replays exactly — same md5 unit hash,
+    // same (k−1)/θ division over the same integers
+    "sk7_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'kmv', l_orderkey)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT l_returnflag, h, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY h) AS rk
+        |  FROM h),
+        |est AS (
+        |  SELECT l_returnflag, count(*)::BIGINT AS n_kept,
+        |    round(CASE
+        |      WHEN max(CASE WHEN rk = 256 THEN h END) IS NULL
+        |        THEN CAST(count(*) AS DOUBLE)
+        |      ELSE 255.0 / (max(CASE WHEN rk = 256 THEN h END)
+        |        / 1152921504606846976.0) END, 6) AS estimate
+        |  FROM rk WHERE rk <= 256 GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_orderkey)::BIGINT AS exact_orders
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n_kept, estimate, exact_orders,
+        |  round(abs(estimate - exact_orders) / exact_orders, 6) AS rel_err
+        |FROM est JOIN ex USING (l_returnflag)""".stripMargin,
+
+    // DQ12: l-diversity — micro-nat-quantized entropy terms (the tx17
+    // discipline), one exp + round at the end
+    "dq12_ldiversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 100000)
+        |      AS BIGINT) AS balance_band
+        |  FROM customer),
+        |pv AS (
+        |  SELECT c_nationkey, c_mktsegment, balance_band,
+        |    count(*)::BIGINT AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |pn AS (
+        |  SELECT *, sum(c) OVER (
+        |    PARTITION BY c_nationkey, c_mktsegment) AS n
+        |  FROM pv),
+        |t AS (
+        |  SELECT c_nationkey, c_mktsegment, c, n,
+        |    CAST(round(-(CAST(c AS DOUBLE) / n)
+        |      * ln(CAST(c AS DOUBLE) / n) * 1e6) AS BIGINT) AS tm
+        |  FROM pn)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(max(n) AS BIGINT) AS class_size,
+        |  count(*)::BIGINT AS distinct_l,
+        |  round(exp(CAST(sum(tm) AS DOUBLE) / 1e6), 6) AS entropy_l,
+        |  CASE WHEN count(*) < 3 THEN 1 ELSE 0 END AS at_risk
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
     "dq6_kanonymity" ->
       """WITH cls AS (
         |  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS k

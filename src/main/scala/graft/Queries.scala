@@ -2599,6 +2599,37 @@ object Queries {
             col("__scale").cast("double") * 0.05).as("approx_ok"))
     }),
 
+    // ---- SK7: KMV (k-minimum-values) distinct sketch — bottom-256
+    // md5 hashes of the distinct orderkeys per return flag; the
+    // estimate (k−1)/θ is DETERMINISTIC (the oracle replays the exact
+    // bottom-k and the same division), so this sketch is hash-pinned,
+    // not just bound-checked; the exact distinct count and 6dp
+    // relative error ride along for the audit trail ----
+    "sk7_kmv" -> ((s, dir) => {
+      val k = 256
+      val li = t(s, dir, "lineitem")
+      val sk = graft.sketch.Kmv.sketch(
+        li, "l_orderkey", Seq("l_returnflag"), k)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey")).as("exact_orders"))
+      graft.sketch.Kmv.estimate(sk, Seq("l_returnflag"), k)
+        .join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_kept"), col("estimate"),
+          col("exact_orders"),
+          round(abs(col("estimate") - col("exact_orders"))
+            / col("exact_orders"), 6).as("rel_err"))
+    }),
+
+    // ---- DQ12: l-diversity — the attribute-disclosure audit on the
+    // dq6 quasi-identifier classes: sensitive value = account-balance
+    // thousand-bucket; distinct-l and entropy-l per class ----
+    "dq12_ldiversity" -> ((s, dir) =>
+      graft.sources.Quality.lDiversity(
+        t(s, dir, "customer")
+          .withColumn("balance_band",
+            floor(cents(col("c_acctbal")) / lit(100000L))),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band", l = 3L)),
+
     // ---- SK4: Count-Min sketch error contract — build the d×w grid
     // (per-key reduce → depth fan-out → one groupBy), estimate every
     // key back out of it, and report the one-sided-error contract in

@@ -1792,6 +1792,65 @@ private[graft] object TextOraclesB {
         |  WHERE rn = 1)
         |SELECT node, l AS community FROM l3""".stripMargin,
 
+    // GR11: the same 3 unrolled LPA rounds feed Newman modularity —
+    // e_c, d_c, m are exact integers; the two divisions replay 6dp
+    "gr11_modularity" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b
+        |    ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM d WHERE doc_id % 10 = 9),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT u AS node, u AS l FROM e),
+        |v1 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l0 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l1 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |v2 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l1 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l2 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |v3 AS (
+        |  SELECT e.u, l.l, count(*)::BIGINT AS c
+        |  FROM e JOIN l2 l ON e.v = l.node GROUP BY e.u, l.l),
+        |l3 AS (
+        |  SELECT u AS node, l FROM (
+        |    SELECT u, l, row_number() OVER (
+        |      PARTITION BY u ORDER BY c DESC, l) AS rn FROM v3)
+        |  WHERE rn = 1),
+        |m AS (SELECT count(*)::BIGINT AS m FROM e0),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |dc AS (
+        |  SELECT l.l AS community, count(*)::BIGINT AS n_nodes,
+        |    CAST(sum(deg) AS BIGINT) AS degree_sum
+        |  FROM deg d JOIN l3 l USING (node) GROUP BY 1),
+        |ie AS (
+        |  SELECT la.l AS community, count(*)::BIGINT AS intra_edges
+        |  FROM e0
+        |  JOIN l3 la ON e0.u = la.node
+        |  JOIN l3 lb ON e0.v = lb.node AND la.l = lb.l
+        |  GROUP BY 1)
+        |SELECT dc.community, n_nodes,
+        |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  degree_sum,
+        |  round(CAST(coalesce(intra_edges, 0) AS DOUBLE) / m.m
+        |    - (CAST(degree_sum AS DOUBLE) / (2.0 * m.m))
+        |    * (CAST(degree_sum AS DOUBLE) / (2.0 * m.m)), 6) AS q_contrib
+        |FROM dc LEFT JOIN ie USING (community), m""".stripMargin,
+
     "gr9_bfs_layers" ->
       """WITH RECURSIVE ch AS (
         |  SELECT doc_id AS sa,

@@ -1014,6 +1014,25 @@ object TextQueries {
         cliques.unionByName(bridges), iterations = 3)
     }),
 
+    // ---- GR11: Newman modularity of the gr10 communities over the
+    // same caveman graph — per-community e_c/m − (d_c/2m)² from exact
+    // integer ingredients; the quality score that tells a curation
+    // run whether its community structure is real or noise ----
+    "gr11_modularity" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val cliques = d.alias("a")
+        .join(d.alias("b"),
+          floor(col("a.doc_id") / 10) === floor(col("b.doc_id") / 10) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val bridges = d.where(pmod(col("doc_id"), lit(10)) === 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      val edges = cliques.unionByName(bridges)
+        .stableCheckpoint(eager = false) // LP rounds + modularity share it
+      graft.graph.PageRank.modularity(
+        edges, graft.graph.PageRank.labelPropagation(edges, iterations = 3))
+    }),
+
     // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
     // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
     // greedy fold expressed as leftmost-non-overlapping replace over a

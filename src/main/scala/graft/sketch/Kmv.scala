@@ -1,0 +1,88 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * 2002; Beyer et al. 2007) as pure relational algebra — the
+  * bottom-k order statistic of a uniform hash estimates cardinality
+  * as (k−1)/θ where θ is the k-th smallest hash mapped to [0, 1).
+  * Unlike HLL it supports set INTERSECTION estimates (the k smallest
+  * of a union are computable from two sketches), and unlike
+  * approx_count_distinct its state is a plain k-row frame that joins,
+  * unions, and persists like any other table.
+  *
+  * Hashes come from the catalog's md5 unit hash (15 hex chars →
+  * [0, 2⁶⁰), engine-independent by construction — DuckDB spells the
+  * same bytes), so the estimate is DETERMINISTIC and the oracle
+  * replays it exactly: this sketch is hash-pinned by the gate, not
+  * just bound-checked.
+  *
+  * Selection shape: the bottom-k per group is TWO bounded window
+  * passes, never one global sort — rank within (group, hash mod
+  * `fanout`) salt lanes first (each lane keeps ≤ k rows), then rank
+  * the surviving ≤ fanout·k rows per group. The second window's
+  * input is bounded by construction (fanout·k rows per group — a
+  * parameter product, not data cardinality), the same two-level
+  * discipline as panel.PrefixSum. Sketches built on disjoint shards
+  * merge by union + the same re-rank, which is what makes the build
+  * a partial aggregate at 100 TB.
+  */
+object Kmv {
+
+  /** Domain size of [[unitHash]]: 16¹⁵ = 2⁶⁰. */
+  val HashDomain: Double = math.pow(2.0, 60)
+
+  /** Engine-independent uniform hash for a key: md5("kmv|key") first
+    * 15 hex chars as a long in [0, 2⁶⁰). */
+  def unitHash(key: Column): Column =
+    conv(substring(md5(concat_ws("|", lit("kmv"), key)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Per-group KMV sketch frame: the k smallest distinct key hashes,
+    * `(groupCols..., __h, __rk)` with `__rk` in [1, k]. Bounded output
+    * (k rows per group); both windows are bounded by construction
+    * (salt lanes then fanout·k). */
+  def sketch(
+      df: DataFrame,
+      keyCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      fanout: Int = 64): DataFrame = {
+    require(k >= 16, s"k >= 16 for a usable error bound: $k")
+    require(fanout >= 1, s"fanout >= 1: $fanout")
+    val g = groupCols.map(col)
+    val hashed = df
+      .select(g :+ unitHash(col(keyCol)).as("__h"): _*)
+      .distinct() // distinct (group, hash): KMV is a distinct sketch
+    val lane = Window
+      .partitionBy(g :+ pmod(col("__h"), lit(fanout.toLong)): _*)
+      .orderBy(col("__h"))
+    val grp = Window.partitionBy(g: _*).orderBy(col("__h"))
+    hashed
+      .withColumn("__lr", row_number().over(lane))
+      .where(col("__lr") <= k) // ≤ fanout·k rows per group survive
+      .withColumn("__rk", row_number().over(grp))
+      .where(col("__rk") <= k)
+      .drop("__lr")
+  }
+
+  /** Distinct-count estimates from a [[sketch]] frame: one row per
+    * group, `(groupCols..., n_kept, estimate)`. A group with fewer
+    * than k distinct hashes is EXACT (estimate = its kept-row count);
+    * otherwise estimate = (k−1)/θ with θ = k-th smallest hash scaled
+    * to [0, 1), rounded 6dp (both engines divide the same integers —
+    * IEEE-exact replay). */
+  def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    sk.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("__rk") === k, col("__h"))).as("__theta"))
+      .select(g ++ Seq(col("n_kept"),
+        round(when(col("__theta").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__theta").cast("double") / lit(HashDomain))), 6)
+          .as("estimate")): _*)
+  }
+}

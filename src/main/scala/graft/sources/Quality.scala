@@ -431,6 +431,48 @@ object Quality {
       .withColumn("at_risk", when(col("k") < threshold, 1).otherwise(0))
   }
 
+  /** DQ12: l-diversity audit ([[kAnonymity]]'s companion, Machanavajjhala
+    * et al. 2007): k-anonymity stops linkage but not ATTRIBUTE
+    * disclosure — a class where every member shares the sensitive
+    * value leaks it to anyone who can place a target in the class.
+    * Per quasi-identifier equivalence class, report class size,
+    * distinct-l (number of distinct sensitive values) and entropy-l
+    * (exp of the sensitive-value Shannon entropy — the stricter
+    * measure that catches 99%-skewed classes distinct-l waves
+    * through); classes with distinct-l below `l` are flagged.
+    *
+    * One aggregation to (class, sensitive value) counts, one to the
+    * class report — both quasi-key shuffles; entropy is the exact
+    * micro-nat integer sum divided once (6dp). Output one row per
+    * class: (quasiCols..., class_size, distinct_l, entropy_l,
+    * at_risk 0/1). */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long = 3L): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 1, s"l must be >= 1: $l")
+    val g = quasiCols.map(col)
+    val perValue = df
+      .groupBy(g :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__c"))
+    // exact micro-nat term per value: −(c/n)·ln(c/n) needs n, so carry
+    // the class size in via a window on the quasi key (partitioned —
+    // class-key shuffle, no global frame)
+    val w = Window.partitionBy(g: _*)
+    perValue
+      .withColumn("__n", sum(col("__c")).over(w))
+      .withColumn("__t", round(
+        -(col("__c").cast("double") / col("__n"))
+          * log(col("__c").cast("double") / col("__n")) * 1e6).cast("long"))
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("class_size"),
+        count(lit(1)).as("distinct_l"),
+        round(exp(sum(col("__t")).cast("double") / 1e6), 6).as("entropy_l"))
+      .withColumn("at_risk", when(col("distinct_l") < l, 1).otherwise(0))
+  }
+
   /** DQ7: functional-dependency discovery (the Metanome/profiling
     * staple): for every ordered pair (A, B) of `cols`, does A → B hold
     * — i.e. does any A value map to more than one distinct B? Reports

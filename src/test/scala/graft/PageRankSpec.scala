@@ -194,4 +194,34 @@ class PageRankSpec extends SparkSpec {
       PageRank.labelPropagation(edges, iterations = 0)
     }
   }
+
+  test("modularity: two bridged triangles under the perfect partition; " +
+    "missing label raises") {
+    // triangles {a,b,c} and {d,e,f}, bridge c-d; m = 7
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val labels = Seq("a" -> "L", "b" -> "L", "c" -> "L",
+      "d" -> "R", "e" -> "R", "f" -> "R").toDF("node", "community")
+    val r = PageRank.modularity(edges, labels)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    // e_c = 3, d_c = 7 each side: 3/7 − (7/14)² = 0.178571
+    assert(r("L") == ((3L, 3L, 7L, 0.178571)))
+    assert(r("R") == ((3L, 3L, 7L, 0.178571)))
+    // duplicate + reversed edges collapse to the same simple graph
+    val doubled = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val r2 = PageRank.modularity(doubled, labels)
+      .collect().map(x => x.getString(0) -> x.getDouble(4)).toMap
+    assert(r2 == Map("L" -> 0.178571, "R" -> 0.178571))
+    // an unlabeled endpoint raises instead of silently deflating d_c
+    val ex = intercept[Exception] {
+      PageRank.modularity(edges, labels.where(col("node") =!= "f")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("without a community label")),
+      ex.toString)
+  }
 }

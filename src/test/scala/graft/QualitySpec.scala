@@ -24,6 +24,31 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("lDiversity: distinct-l, micro-nat entropy-l, and the risk flag") {
+    val df = Seq(
+      ("n1", "x"), ("n1", "x"), ("n1", "y"), // class n1: counts (2,1)
+      ("n2", "x"), ("n2", "x"),              // class n2: uniform single value
+      ("n3", "x"), ("n3", "y"), ("n3", "z")) // class n3: 3 distinct, uniform
+      .toDF("q", "s")
+    val r = Quality.lDiversity(df, Seq("q"), "s", l = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getInt(4)))).toMap
+    // replicate the micro-nat quantization exactly
+    def entropyL(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      val micro = counts.map(c =>
+        math.round(-(c / n) * math.log(c / n) * 1e6)).sum
+      BigDecimal(math.exp(micro / 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r("n1") == ((3L, 2L, entropyL(Seq(2L, 1L)), 1)))
+    assert(r("n2") == ((2L, 1L, 1.0, 1)))
+    assert(r("n3") == ((3L, 3L, entropyL(Seq(1L, 1L, 1L)), 0)))
+    intercept[IllegalArgumentException] {
+      Quality.lDiversity(df, Nil, "s")
+    }
+  }
+
   test("functionalDependencies: holds/violations on a crafted table; " +
     "null lhs is its own class, null rhs ignored") {
     val df = Seq(
