@@ -53,9 +53,13 @@ object Kmv {
     require(k >= 16, s"k >= 16 for a usable error bound: $k")
     require(fanout >= 1, s"fanout >= 1: $fanout")
     val g = groupCols.map(col)
+    // distinct BEFORE hashing: (group, key) and (group, hash) have the
+    // same cardinality (hash is a function of key), and md5 on the
+    // deduplicated frame skips every duplicate row's digest
     val hashed = df
-      .select(g :+ unitHash(col(keyCol)).as("__h"): _*)
-      .distinct() // distinct (group, hash): KMV is a distinct sketch
+      .select(g :+ col(keyCol).as("__k"): _*)
+      .distinct()
+      .select(g :+ unitHash(col("__k")).as("__h"): _*)
     val lane = Window
       .partitionBy(g :+ pmod(col("__h"), lit(fanout.toLong)): _*)
       .orderBy(col("__h"))

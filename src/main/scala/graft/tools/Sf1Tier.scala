@@ -62,6 +62,15 @@ object Sf1Tier {
     "ml6_avg_precision", "ml13_ks_drift", "ml21_separation",
     "ml33_nb_learning_curve", "ev37_gini", "ev17_rfm")
 
+  /** Round-9 catalog additions — new operators whose scale behavior
+    * has no prior tier row (iterative LPA + modularity, the KMV
+    * bottom-k selection, the l-diversity class scan, permutation
+    * importance and linear SHAP on the OLS fit). Disjoint from both
+    * lists above (Sf1TierSpec enforces). */
+  val roundAdditions: Seq[String] = Seq(
+    "gr10_label_prop", "gr11_modularity", "sk7_kmv", "dq12_ldiversity",
+    "ml42_perm_importance", "ml43_linear_shap")
+
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>
       d.withColumn(k, col(k) + lit(copy.toLong * Shift)))
@@ -129,7 +138,7 @@ object Sf1Tier {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       secs
     }
-    val rows = (budgetedQueries ++ rewiredQueries)
+    val rows = (budgetedQueries ++ rewiredQueries ++ roundAdditions)
       .filter(n => only.forall(n.contains))
       .map { name =>
         val a = runOnce(name, src)

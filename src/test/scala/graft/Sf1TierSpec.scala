@@ -20,4 +20,16 @@ class Sf1TierSpec extends AnyFunSuite {
     val overlap = r.toSet.intersect(graft.tools.Sf1Tier.budgetedQueries.toSet)
     assert(overlap.isEmpty, s"already budgeted: $overlap")
   }
+
+  test("Sf1Tier.roundAdditions are real catalog queries, disjoint from " +
+    "both earlier tiers") {
+    val a = graft.tools.Sf1Tier.roundAdditions
+    assert(a.distinct == a)
+    val unknown = a.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"unknown: $unknown")
+    val earlier = graft.tools.Sf1Tier.budgetedQueries.toSet ++
+      graft.tools.Sf1Tier.rewiredQueries.toSet
+    val overlap = a.toSet.intersect(earlier)
+    assert(overlap.isEmpty, s"already covered: $overlap")
+  }
 }
