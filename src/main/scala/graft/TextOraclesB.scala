@@ -7,6 +7,81 @@ private[graft] object TextOraclesB {
   import TextOracleCtes._
 
   val all: Map[String, String] = Map(
+    // IR5: Dirichlet query likelihood — same tokenization and scalar
+    // stats row as ir1, per-row fixed-order IEEE log terms
+    "ir5_query_likelihood" -> {
+      val terms = Seq("spark", "join", "window")
+      def tf(i: Int, term: String) =
+        s"len(list_filter(w, x -> x = '$term'))::BIGINT AS tf$i"
+      val scores = terms.indices.map { i =>
+        s"""CASE WHEN cf$i > 0
+           | THEN ln((tf$i + 2000.0::DOUBLE * cf$i / C) / (dl + 2000.0::DOUBLE))
+           | ELSE 0.0::DOUBLE END""".stripMargin.replace("\n", "")
+      }
+      s"""WITH wd AS (
+         |  SELECT doc_id, text,
+         |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+         |                          '\\s+') AS w
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS dl,
+         |    ${terms.zipWithIndex.map { case (t, i) => tf(i, t) }.mkString(",\n    ")}
+         |  FROM wd),
+         |st AS (
+         |  SELECT CAST(sum(dl) AS BIGINT) AS C,
+         |    ${terms.indices.map(i =>
+             s"CAST(sum(tf$i) AS BIGINT) AS cf$i").mkString(",\n    ")}
+         |  FROM tf)
+         |SELECT doc_id, round(${scores.mkString(" + ")}, 6) AS score
+         |FROM tf, st
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    },
+
+    // SP16: curriculum ordering — tx3's quality formula, band =
+    // min(floor(q·10), 9), per-band rank, then the DEFINITIONAL global
+    // round-robin rank (the engine derives the same position from the
+    // band-size frame without a global window)
+    "sp16_curriculum" -> {
+      val stop = langScore("en")
+      s"""WITH $ltCte,
+         |comp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok,
+         |    length(text) AS n,
+         |    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nospace,
+         |    (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) AS alpha,
+         |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS digit,
+         |    ($stop) AS stops
+         |  FROM lt),
+         |ratios AS (
+         |  SELECT doc_id,
+         |    CASE WHEN tok > 0 THEN nospace::DOUBLE / tok ELSE 0.0 END AS mwl,
+         |    CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END AS ar,
+         |    CASE WHEN n > 0 THEN digit::DOUBLE / n ELSE 0.0 END AS dr,
+         |    CASE WHEN tok > 0 THEN stops::DOUBLE / tok ELSE 0.0 END AS sr
+         |  FROM comp),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(ar * 0.4 + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |          least(sr * 5.0, 1.0) * 0.2 + (1.0 - least(dr * 5.0, 1.0)) * 0.2, 6) AS quality
+         |  FROM ratios),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(least(floor(quality * 10), 9) AS BIGINT) AS band
+         |  FROM q),
+         |p AS (
+         |  SELECT doc_id, band,
+         |    CAST(row_number() OVER (PARTITION BY band ORDER BY doc_id)
+         |      AS BIGINT) AS pos_in_band
+         |  FROM b)
+         |SELECT doc_id, band, pos_in_band,
+         |  CAST(row_number() OVER (ORDER BY pos_in_band, band)
+         |    AS BIGINT) AS curriculum_pos
+         |FROM p""".stripMargin
+    },
+
     // corpus report: language pick (tx2), Gopher keep (tx8 CTEs),
     // quality (tx3 formula), micro-quantized quality mean
     "tx12_corpus_report" -> {

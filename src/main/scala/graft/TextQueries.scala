@@ -194,6 +194,20 @@ object TextQueries {
       Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "join", "window"))),
 
+    // ---- IR5: Dirichlet query-likelihood ranking — the LM-retrieval
+    // counterpart to ir1 on the same query terms; cf=0 terms drop ----
+    "ir5_query_likelihood" -> ((s, dir) =>
+      Retrieval.queryLikelihoodTopK(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "join", "window"))),
+
+    // ---- SP16: curriculum ordering — quality-band round-robin with
+    // the global position computed by exact integer arithmetic over
+    // the ≤ 10-row band-size frame, never a global rank window ----
+    "sp16_curriculum" -> ((s, dir) =>
+      graft.text.Sampling.curriculumOrder(
+        t(s, dir, "documents"), "doc_id",
+        graft.text.TextAnalysis.qualityScore(col("text")), bands = 10)),
+
     // sparse tf-idf document vectors, hapax tail pruned at df >= 2
     "ir2_tfidf" -> ((s, dir) =>
       Retrieval.tfidf(t(s, dir, "documents"), "doc_id", "text", minDf = 2)),

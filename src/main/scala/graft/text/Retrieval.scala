@@ -80,6 +80,55 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** IR5: Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty
+    * 2001) — the language-modeling counterpart to [[bm25TopK]]:
+    * score(q, d) = Σ_t ln((tf_t,d + μ·cf_t/|C|) / (dl_d + μ)), where
+    * cf_t is the term's corpus frequency and |C| the corpus token
+    * count. Same one-scan shape as BM25: a narrow (id, dl, tf…)
+    * frame checkpoints once and feeds both the scalar stats row
+    * (integer-exact unordered sums) and the scoring pass; per-doc
+    * arithmetic is fixed-order IEEE, so the oracle replays it.
+    * A query term absent from the whole corpus (cf = 0) is DROPPED
+    * from the sum — it would send every document to −∞ equally —
+    * matching the standard LM-retrieval convention; empty documents
+    * score from the background model alone (tf = 0, dl = 0). */
+  def queryLikelihoodTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int = 20,
+      mu: Double = 2000.0): DataFrame = {
+    if (queryTerms.isEmpty) throw new ParameterError("queryTerms must be non-empty")
+    if (queryTerms.distinct.size != queryTerms.size)
+      throw new ParameterError(s"duplicate query terms: ${queryTerms.mkString(", ")}")
+    if (mu <= 0) throw new ParameterError(s"mu must be positive: $mu")
+
+    val words = TextAnalysis.normWords(col(textCol))
+    val dl = when(length(trim(col(textCol))) === 0, 0).otherwise(size(words)).cast("long")
+    def tf(term: String): Column = size(filter(words, w => w === lit(term))).cast("long")
+
+    val perDoc = docs.select(
+      col(idCol) +: dl.as("__dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
+      .stableCheckpoint(eager = false)
+
+    val aggs = sum(col("__dl")).as("__C") +:
+      queryTerms.indices.map(i => sum(col(s"__tf$i")).as(s"__cf$i"))
+    val stats = perDoc.agg(aggs.head, aggs.tail: _*)
+
+    val termScores = queryTerms.indices.map { i =>
+      val p = lit(mu) * col(s"__cf$i") / col("__C")
+      when(col(s"__cf$i") > 0,
+        log((col(s"__tf$i") + p) / (col("__dl") + lit(mu))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats)) // one scalar row — bounded by design
+      .select(col(idCol), round(termScores.reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009): fused(d) =
     * Σ_lists 1/(k + rank_list(d)) — the standard score-free way to
     * combine a lexical and a semantic ranking (hybrid search). Inputs

@@ -539,4 +539,56 @@ object Sampling {
       .where(col("__lo") <= col("__d") && col("__d") < col("__hi"))
       .select(col(idCol), col("draw_idx"), col("word").as("neg_word"))
   }
+
+  /** SP16: curriculum ordering — the deterministic schedule a
+    * curriculum-trained run feeds its data loader: docs band by a
+    * bounded difficulty/quality score, and the global order
+    * round-robins across bands (round p takes each band's p-th doc,
+    * easy→hard within the round), so every training window sees the
+    * full difficulty mix while within-band order stays stable.
+    *
+    * The global position is computed WITHOUT a global window: with
+    * per-band sizes s_b (a ≤ `bands`-row broadcast frame),
+    * pos(b, p) = Σ_b' min(s_b', p−1) + #{b' < b : s_b' ≥ p} + 1 —
+    * exact integer arithmetic, a bands-row crossJoin + one per-doc
+    * aggregate instead of the rank-everything sort a naive
+    * implementation ships to one task. The only window is the
+    * per-band row_number (partitioned, band-key shuffle).
+    *
+    * `scoreCol` must land in [0, 1] (the [[TextAnalysis.qualityScore]]
+    * contract); band = min(⌊score·bands⌋, bands−1), so the band key is
+    * range-bounded by construction. Output (idCol, band, pos_in_band,
+    * curriculum_pos). */
+  def curriculumOrder(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      bands: Int = 10): DataFrame = {
+    if (bands < 2 || bands > 1000)
+      throw new ParameterError(s"bands must be in [2, 1000]: $bands")
+    val banded = docs
+      .select(col(idCol),
+        least(floor(scoreCol * bands), lit(bands - 1L)).cast("long")
+          .as("band"))
+      .withColumn("pos_in_band", row_number()
+        .over(Window.partitionBy(col("band")).orderBy(col(idCol)))
+        .cast("long"))
+      .stableCheckpoint(eager = false) // sizes probe + rank join share it
+    val sizes = banded.groupBy(col("band").as("__b"))
+      .agg(count(lit(1)).as("__s"))
+    // per-doc fan-out to every band index, then a band-key EQUI-join
+    // with the ≤ bands-row sizes frame (a hash join, not a nested
+    // loop); an absent band would contribute min(0, p−1) = 0, which is
+    // exactly what the inner join's dropped row sums to
+    banded
+      .select(col(idCol), col("band"), col("pos_in_band"),
+        explode(sequence(lit(0L), lit((bands - 1).toLong))).as("__b"))
+      .join(broadcast(sizes), Seq("__b"))
+      .groupBy(col(idCol), col("band"), col("pos_in_band"))
+      .agg((sum(
+        least(col("__s"), col("pos_in_band") - 1) +
+          when(col("__b") < col("band") &&
+            col("__s") >= col("pos_in_band"), 1L).otherwise(0L))
+        + 1L).as("curriculum_pos"))
+  }
 }

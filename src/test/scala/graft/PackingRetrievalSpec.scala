@@ -199,4 +199,62 @@ class PackingRetrievalSpec extends SparkSpec {
     intercept[ParameterError](Retrieval.rrfFuse(Nil, "doc"))
     intercept[ParameterError](Retrieval.rrfFuse(Seq(l1), "doc", kRrf = -1))
   }
+
+  test("queryLikelihoodTopK: matches a driver-side Dirichlet replication; " +
+    "cf=0 terms drop; guards (ir5)") {
+    val corpus = Seq(
+      (1L, "spark spark joins data"),
+      (2L, "spark framework"),
+      (3L, "plain words only here")
+    ).toDF("doc_id", "text")
+    val mu = 2000.0
+    // corpus: tokens per doc 4/2/4, C = 10; cf(spark) = 3, cf(plain) = 1
+    def ref(tf: Long, cf: Long, dl: Long, c: Long): Double =
+      math.log((tf + mu * cf / c) / (dl + mu))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Retrieval.queryLikelihoodTopK(
+      corpus, "doc_id", "text", Seq("spark", "plain"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == r6(ref(2, 3, 4, 10) + ref(0, 1, 4, 10)))
+    assert(got(2L) == r6(ref(1, 3, 2, 10) + ref(0, 1, 2, 10)))
+    assert(got(3L) == r6(ref(0, 3, 4, 10) + ref(1, 1, 4, 10)))
+    // a term absent from the whole corpus contributes nothing
+    val drop = Retrieval.queryLikelihoodTopK(
+      corpus, "doc_id", "text", Seq("spark", "zzzmissing"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(drop(1L) == r6(ref(2, 3, 4, 10)))
+    intercept[ParameterError](
+      Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text", Nil))
+    intercept[ParameterError](
+      Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text",
+        Seq("a", "a")))
+    intercept[ParameterError](
+      Retrieval.queryLikelihoodTopK(corpus, "doc_id", "text",
+        Seq("a"), mu = 0.0))
+  }
+
+  test("curriculumOrder: round-robin positions match the definitional " +
+    "global rank; guards (sp16)") {
+    // band 0: docs 1, 2 (low score); band 1: docs 3, 4, 5
+    val docs = Seq(
+      (1L, 0.10), (2L, 0.15), (3L, 0.90), (4L, 0.95), (5L, 0.99))
+      .toDF("doc_id", "score")
+    val got = Sampling.curriculumOrder(docs, "doc_id", col("score"), bands = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // global order by (pos_in_band, band): 1, 3, 2, 4, 5
+    assert(got(1L) == ((0L, 1L, 1L)))
+    assert(got(3L) == ((1L, 1L, 2L)))
+    assert(got(2L) == ((0L, 2L, 3L)))
+    assert(got(4L) == ((1L, 2L, 4L)))
+    assert(got(5L) == ((1L, 3L, 5L)))
+    // score = 1.0 lands in the top band, not band `bands`
+    val edge = Sampling.curriculumOrder(
+      Seq((7L, 1.0)).toDF("doc_id", "score"), "doc_id", col("score"),
+      bands = 4).as[(Long, Long, Long, Long)].collect().head
+    assert(edge == ((7L, 3L, 1L, 1L)))
+    intercept[ParameterError](
+      Sampling.curriculumOrder(docs, "doc_id", col("score"), bands = 1))
+  }
 }
