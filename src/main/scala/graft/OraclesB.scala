@@ -3318,6 +3318,33 @@ private[graft] object OraclesB {
 
     // DQ6: k-anonymity — equivalence-class size histogram over the
     // quasi-identifier pair; exact integers
+    // IC7: rank autocorrelation — ic1's exact-HUGEINT Spearman with a
+    // per-sid lag instead of a forward return
+    "ic7_rank_autocorr" ->
+      s"""WITH $panelCte,
+         |pv AS (
+         |  SELECT sid, date, close,
+         |    lag(close) OVER (PARTITION BY sid ORDER BY date) AS prev
+         |  FROM panel),
+         |b AS (SELECT * FROM pv WHERE close IS NOT NULL AND prev IS NOT NULL),
+         |r AS (
+         |  SELECT date,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY close)
+         |      + count(*) OVER (PARTITION BY date, close) - 1 AS HUGEINT) AS rx,
+         |    CAST(2*rank() OVER (PARTITION BY date ORDER BY prev)
+         |      + count(*) OVER (PARTITION BY date, prev) - 1 AS HUGEINT) AS ry
+         |  FROM b),
+         |st AS (
+         |  SELECT date, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+         |         sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+         |  FROM r GROUP BY date)
+         |SELECT date, CAST(n AS BIGINT) AS n,
+         |  round(CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         |    END, 6) + 0.0 AS rank_autocorr
+         |FROM st""".stripMargin,
+
     // SK7: the KMV bottom-k replays exactly — same md5 unit hash,
     // same (k−1)/θ division over the same integers
     "sk7_kmv" ->

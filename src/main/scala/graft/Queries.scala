@@ -1967,6 +1967,19 @@ object Queries {
 
     // ---- IC decay curve: mean Spearman IC at 1/5/21-day horizons —
     // how fast the close-level signal's information dies
+    // ---- IC7: factor rank autocorrelation — per-date Spearman of the
+    // signal vs its own previous value per sid (rank stability =
+    // 1 − turnover: a factor that reshuffles daily is untradeable
+    // after costs however strong its IC); same exact-decimal rank
+    // machinery as ic1, the lag is the only extra window ----
+    "ic7_rank_autocorr" -> ((s, dir) => {
+      implicit val k: Keys = liKeys
+      val p = supplierPanel(s, dir)
+        .withColumn("prev_close", lag(col("close"), 1).over(k.bySid))
+      graft.perf.Signals.infoCoefficient(p, col("close"), col("prev_close"))
+        .withColumnRenamed("ic", "rank_autocorr")
+    }),
+
     "ic4_decay" -> ((s, dir) => {
       implicit val k: Keys = liKeys
       graft.perf.Signals.icDecay(
