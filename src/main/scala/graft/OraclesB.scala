@@ -3318,6 +3318,25 @@ private[graft] object OraclesB {
 
     // DQ6: k-anonymity — equivalence-class size histogram over the
     // quasi-identifier pair; exact integers
+    // A18: exact quantiles — definitional row_number order statistic
+    // at the same micro-integer ceiling rank
+    "a18_quantiles_exact" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY v) AS rn
+        |  FROM e),
+        |t AS (
+        |  SELECT event_type, n, q,
+        |    CAST((CAST(round(q * 1e6) AS BIGINT) * n + 999999) // 1000000
+        |      AS BIGINT) AS k
+        |  FROM n, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q))
+        |SELECT t.event_type, t.q, t.n, r.v AS value
+        |FROM t JOIN r ON r.event_type = t.event_type AND r.rn = t.k""".stripMargin,
+
     // IC7: rank autocorrelation — ic1's exact-HUGEINT Spearman with a
     // per-sid lag instead of a forward return
     "ic7_rank_autocorr" ->

@@ -3056,6 +3056,14 @@ object Queries {
         .agg(max(col("n")).as("n"), sum(col("v") * col("m")).as("med2_cents"))
     }),
 
+    // ---- A18: exact per-group quantiles (p50/p90/p99 in cents) — the
+    // order statistic recovered from the grouped PrefixSum scan; the
+    // exact counterpart sk2's approx contract is audited against ----
+    "a18_quantiles_exact" -> ((s, dir) =>
+      graft.panel.Quantiles.exactQuantiles(
+        events(s, dir), Seq("event_type"), cents(col("value")),
+        qs = Seq(0.5, 0.9, 0.99))),
+
     // ---- ZO1: Z-order zone map — Morton-interleave (suppkey, ship-day)
     // and report per-quadtree-cell bounding boxes: the audit a layout
     // optimizer reads to see that z-clustering gives every file a

@@ -111,4 +111,38 @@ class PrefixSumSpec extends SparkSpec {
         s"unpartitioned window not on the bucket key: $w")
     }
   }
+
+  test("exactQuantiles: order statistics with the micro-integer ceiling " +
+    "rank (a18)") {
+    import spark.implicits._
+    // group a: 1..10; group b: 1..150 — q=0.9 on n=150 is the IEEE trap:
+    // 0.9*150 = 135.00000000000003 in binary, naive ceil says 136; the
+    // micro-quantized rank says 135
+    val df = ((1 to 10).map(i => ("a", i.toLong)) ++
+      (1 to 150).map(i => ("b", i.toLong))).toDF("g", "v")
+    val r = graft.panel.Quantiles.exactQuantiles(
+      df, Seq("g"), col("v"), qs = Seq(0.5, 0.9, 1.0))
+      .collect().map(x => (x.getString(0), x.getDouble(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(("a", 0.5)) == ((10L, 5L)))
+    assert(r(("a", 0.9)) == ((10L, 9L)))
+    assert(r(("a", 1.0)) == ((10L, 10L)))
+    assert(r(("b", 0.5)) == ((150L, 75L)))
+    assert(r(("b", 0.9)) == ((150L, 135L))) // not 136
+    assert(r(("b", 1.0)) == ((150L, 150L)))
+    // ties: the k-th order statistic of a constant run is that value
+    val ties = Seq(("t", 1L), ("t", 2L), ("t", 2L), ("t", 2L), ("t", 9L))
+      .toDF("g", "v")
+    val rt = graft.panel.Quantiles.exactQuantiles(
+      ties, Seq("g"), col("v"), qs = Seq(0.5))
+      .collect().map(x => x.getLong(3)).head
+    assert(rt == 2L)
+    intercept[ParameterError](
+      graft.panel.Quantiles.exactQuantiles(df, Seq("g"), col("v"), Nil))
+    intercept[ParameterError](
+      graft.panel.Quantiles.exactQuantiles(df, Seq("g"), col("v"), Seq(1.5)))
+    intercept[ParameterError](
+      graft.panel.Quantiles.exactQuantiles(df, Seq("g"), col("v"),
+        Seq(0.5, 0.5)))
+  }
 }
