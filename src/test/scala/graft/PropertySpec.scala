@@ -96,4 +96,53 @@ class PropertySpec extends SparkSpec {
       math.abs(w - expected) < 1e-4 // 6dp rounding per member
     })
   }
+
+  test("modularity: contributions sum to ~0 under the everything-in-one-" +
+    "community partition minus the null term, intra edges never exceed m") {
+    val edgeGen = for {
+      n <- Gen.choose(3, 8)
+      m <- Gen.choose(2, 12)
+      pairs <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield pairs.filter { case (a, b) => a != b }
+      .map { case (a, b) => (s"n$a", s"n$b") }
+    check(Prop.forAll(edgeGen) { pairs =>
+      pairs.nonEmpty ==> {
+        val edges = pairs.toDF("src", "dst")
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        // one community: e_c = m, d_c = 2m → Q = 1 − 1 = 0 exactly
+        val one = nodes.map(_ -> "C").toDF("node", "community")
+        val q1 = graft.graph.PageRank.modularity(edges, one)
+          .collect().map(r =>
+            (r.getLong(2), r.getLong(3), r.getDouble(4))).head
+        val mEdges = pairs.map { case (a, b) =>
+          if (a < b) (a, b) else (b, a) }.distinct.size
+        // singleton communities: e_c = 0 for all c unless self-pair
+        val solo = nodes.map(n => n -> n).toDF("node", "community")
+        val qs = graft.graph.PageRank.modularity(edges, solo).collect()
+        q1._1 == mEdges && q1._2 == 2L * mEdges && q1._3 == 0.0 &&
+          qs.forall(_.getLong(2) <= mEdges) &&
+          qs.map(_.getLong(3)).sum == 2L * mEdges
+      }
+    }, minSuccessful = 8)
+  }
+
+  test("curriculumOrder: curriculum positions are a permutation of 1..n " +
+    "and respect the (pos_in_band, band) lexicographic order") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      scores <- Gen.listOfN(n, Gen.choose(0, 1000000))
+    } yield scores.zipWithIndex.map { case (s, i) =>
+      (i.toLong, s / 1000000.0) }
+    check(Prop.forAll(gen) { rows =>
+      val out = graft.text.Sampling.curriculumOrder(
+        rows.toDF("doc_id", "score"), "doc_id", col("score"), bands = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val positions = out.map(_._4).sorted.toSeq
+      val sortedByKey = out.sortBy(t => (t._3, t._2)).map(_._4).toSeq
+      positions == (1L to rows.size.toLong) &&
+        sortedByKey == (1L to rows.size.toLong)
+    }, minSuccessful = 8)
+  }
 }
