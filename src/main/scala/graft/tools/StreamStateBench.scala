@@ -190,5 +190,44 @@ object StreamStateBench {
           f"$secs%6.2f s (${n / secs / 1e3}%8.1f k-events/s, " +
           f"emitted=$emitted, state=${stateBytes / 1048576.0}%.1f MiB)")
     }
+
+    // KMV fold (r9): `arrivals` pre-hashed keys into ONE group's
+    // bottom-k state, batch granularity 10k. Steady-state arrivals are
+    // almost always ABOVE the current θ (the TreeSet max check rejects
+    // without mutating), so the hot path is a contains-free compare —
+    // state is k longs per group, period.
+    import graft.streaming.StreamingKmv
+    import graft.streaming.StreamingKmv.{Keyed, KmvState}
+    final class MemK(var v: Option[KmvState]) extends GroupState[KmvState] {
+      def exists: Boolean = v.isDefined
+      def get: KmvState = v.get
+      def getOption: Option[KmvState] = v
+      def update(s: KmvState): Unit = v = Some(s)
+      def remove(): Unit = v = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = ()
+      def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def kmvKeys: Iterator[Keyed] = Iterator.range(0, arrivals)
+      .map(i => Keyed("g", (i.toLong * 0x9E3779B97F4A7C15L) >>> 4)) // [0, 2^60)
+    (1 to 2).foreach { round =>
+      val st = new MemK(None)
+      val t0 = System.nanoTime()
+      var est = 0.0
+      kmvKeys.grouped(10000).foreach { g =>
+        est = StreamingKmv.fold(256)("g", g.iterator, st).next().estimate
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (round == 2)
+        println(f"[streamstate] kmv fold k=256            batch  $arrivals arrivals, one group: " +
+          f"$secs%6.2f s (${arrivals / secs / 1e3}%8.1f k-arrivals/s, " +
+          f"est=$est%.0f, state=${st.v.get.hashes.length * 8} bytes)")
+    }
   }
 }
