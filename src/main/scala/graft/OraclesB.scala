@@ -3393,6 +3393,60 @@ private[graft] object OraclesB {
         |  round(abs(estimate - exact_orders) / exact_orders, 6) AS rel_err
         |FROM est JOIN ex USING (l_returnflag)""".stripMargin,
 
+    // SK8: the KMV overlap replays exactly — union bottom-k over the
+    // two bottom-k sets, membership flags, the same two divisions
+    "sk8_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag AS g,
+        |    CAST(concat('0x',
+        |      substr(md5(concat_ws('|', 'kmv', l_orderkey)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        |  FROM h),
+        |sk AS (SELECT g, h FROM rk WHERE rk <= 256),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |pr AS (SELECT x.g AS ga, y.g AS gb FROM gs x JOIN gs y ON x.g < y.g),
+        |mg AS (
+        |  SELECT ga, gb, h,
+        |    max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ina,
+        |    max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS inb
+        |  FROM (
+        |    SELECT pr.ga, pr.gb, sk.h, 'a' AS side
+        |    FROM pr JOIN sk ON sk.g = pr.ga
+        |    UNION ALL
+        |    SELECT pr.ga, pr.gb, sk.h, 'b' AS side
+        |    FROM pr JOIN sk ON sk.g = pr.gb)
+        |  GROUP BY 1, 2, 3),
+        |ub AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urk
+        |  FROM mg),
+        |es AS (
+        |  SELECT ga, gb, count(*)::BIGINT AS n_kept,
+        |    max(CASE WHEN urk = 256 THEN h END) AS theta,
+        |    CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS rho
+        |  FROM ub WHERE urk <= 256 GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT x.g AS ga, y.g AS gb, count(*)::BIGINT AS exact_overlap
+        |  FROM (SELECT DISTINCT l_returnflag AS g, l_orderkey AS o
+        |        FROM lineitem) x
+        |  JOIN (SELECT DISTINCT l_returnflag AS g, l_orderkey AS o
+        |        FROM lineitem) y
+        |    ON x.o = y.o AND x.g < y.g
+        |  GROUP BY 1, 2)
+        |SELECT es.ga AS group_a, es.gb AS group_b, n_kept,
+        |  round(CASE WHEN theta IS NULL THEN CAST(n_kept AS DOUBLE)
+        |    ELSE 255.0 / (theta / 1152921504606846976.0) END, 6)
+        |    AS est_union,
+        |  round(CASE WHEN theta IS NULL THEN CAST(rho AS DOUBLE)
+        |    ELSE CAST(rho AS DOUBLE) / 256.0
+        |      * (255.0 / (theta / 1152921504606846976.0)) END, 6)
+        |    AS est_intersection,
+        |  CAST(coalesce(exact_overlap, 0) AS BIGINT) AS exact_overlap
+        |FROM es LEFT JOIN ex ON ex.ga = es.ga AND ex.gb = es.gb""".stripMargin,
+
     // DQ12: l-diversity — micro-nat-quantized entropy terms (the tx17
     // discipline), one exp + round at the end
     "dq12_ldiversity" ->

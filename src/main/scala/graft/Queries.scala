@@ -2633,6 +2633,26 @@ object Queries {
             / col("exact_orders"), 6).as("rel_err"))
     }),
 
+    // ---- SK8: KMV pairwise overlap — est(A∩B) = ρ/k · est(A∪B) from
+    // the two sketches alone, hash-pinned end to end (HLL can only
+    // inclusion-exclude with compounding error; sk5 bound-checks that,
+    // this replays exactly); exact overlap rides along for the audit ----
+    "sk8_kmv_overlap" -> ((s, dir) => {
+      val k = 256
+      val li = t(s, dir, "lineitem")
+      val sk = graft.sketch.Kmv.sketch(li, "l_orderkey", Seq("l_returnflag"), k)
+      val ut = li.select(col("l_returnflag").as("f"), col("l_orderkey").as("o"))
+        .distinct()
+        .stableCheckpoint(eager = false) // both sides of the pair join
+      val exact = ut.as("x")
+        .join(ut.as("y"), col("x.o") === col("y.o") && col("x.f") < col("y.f"))
+        .groupBy(col("x.f").as("group_a"), col("y.f").as("group_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      graft.sketch.Kmv.overlapEstimates(sk, "l_returnflag", k)
+        .join(exact, Seq("group_a", "group_b"), "left")
+        .na.fill(0L, Seq("exact_overlap"))
+    }),
+
     // ---- DQ12: l-diversity — the attribute-disclosure audit on the
     // dq6 quasi-identifier classes: sensitive value = account-balance
     // thousand-bucket; distinct-l and entropy-l per class ----

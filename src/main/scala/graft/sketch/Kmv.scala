@@ -60,6 +60,20 @@ object Kmv {
       .select(g :+ col(keyCol).as("__k"): _*)
       .distinct()
       .select(g :+ unitHash(col("__k")).as("__h"): _*)
+    bottomK(hashed, groupCols, k, fanout)
+  }
+
+  /** Bottom-k rows by `__h` per group (carrying any other columns):
+    * the two-level salt-lane selection — rank within (group, h mod
+    * fanout) lanes first (each keeps ≤ k), then rank the surviving
+    * ≤ fanout·k rows per group. Input must be distinct on
+    * (groupCols, __h). */
+  private[graft] def bottomK(
+      hashed: DataFrame,
+      groupCols: Seq[String],
+      k: Int,
+      fanout: Int): DataFrame = {
+    val g = groupCols.map(col)
     val lane = Window
       .partitionBy(g :+ pmod(col("__h"), lit(fanout.toLong)): _*)
       .orderBy(col("__h"))
@@ -78,6 +92,55 @@ object Kmv {
     * otherwise estimate = (k−1)/θ with θ = k-th smallest hash scaled
     * to [0, 1), rounded 6dp (both engines divide the same integers —
     * IEEE-exact replay). */
+  /** Pairwise set-overlap estimates from per-group [[sketch]] frames —
+    * the operation KMV supports and HLL does not do exactly: the
+    * bottom-k of A ∪ B is computable from the two sketches alone, and
+    * of those k union-minima the fraction ρ/k present in BOTH sketches
+    * estimates |A∩B| / |A∪B| (Beyer et al. 2007), so
+    * est(A∩B) = ρ/k · est(A∪B) — every ingredient a deterministic
+    * function of the md5 hashes, so the oracle replays the estimate
+    * EXACTLY (contrast sk5's HLL inclusion-exclusion, which is only
+    * bound-checked). Sub-k pairs (both sketches complete) report the
+    * exact union and intersection counts.
+    *
+    * Shape: the pair frame is |groups|² — dimension-bounded (the sk5
+    * stance); merged sketches attach via two group-key equi-joins;
+    * the union bottom-k is the same two-level lane selection. Output
+    * (group_a, group_b, n_kept, est_union, est_intersection). */
+  def overlapEstimates(
+      sk: DataFrame,
+      groupCol: String,
+      k: Int,
+      fanout: Int = 64): DataFrame = {
+    val groups = sk.select(col(groupCol).as("__g")).distinct()
+    val pairs = groups.as("x").join(groups.as("y"),
+      col("x.__g") < col("y.__g"))
+      .select(col("x.__g").as("__ga"), col("y.__g").as("__gb"))
+    def side(tag: String, key: Column) = sk
+      .select(col(groupCol).as("__k0"), col("__h"))
+      .join(pairs, col("__k0") === key)
+      .select(col("__ga"), col("__gb"), col("__h"),
+        lit(tag == "a").as("__ina"), lit(tag == "b").as("__inb"))
+    val merged = side("a", col("__ga")).unionByName(side("b", col("__gb")))
+      .groupBy(col("__ga"), col("__gb"), col("__h"))
+      .agg(max(col("__ina")).as("__ina"), max(col("__inb")).as("__inb"))
+    bottomK(merged, Seq("__ga", "__gb"), k, fanout)
+      .groupBy(col("__ga").as("group_a"), col("__gb").as("group_b"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("__rk") === k, col("__h"))).as("__theta"),
+        sum(when(col("__ina") && col("__inb"), 1L).otherwise(0L)).as("__rho"))
+      .select(col("group_a"), col("group_b"), col("n_kept"),
+        round(when(col("__theta").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("__theta").cast("double") / lit(HashDomain))), 6)
+          .as("est_union"),
+        round(when(col("__theta").isNull, col("__rho").cast("double"))
+          .otherwise(col("__rho").cast("double") / lit(k.toDouble) *
+            (lit((k - 1).toDouble) /
+              (col("__theta").cast("double") / lit(HashDomain)))), 6)
+          .as("est_intersection"))
+  }
+
   def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val g = groupCols.map(col)
     sk.groupBy(g: _*)

@@ -39,6 +39,7 @@ class CatalogPlanSpec extends SparkSpec {
     "sd2_prototypes", "sd3_semantic_decontam",
     "ml40_cluster_eval", // ≤k trained centroids + checkpointed 1-row reductions (opaque)
     "sk5_hll_overlap", // |event_type|² sketch pairs — dimension-bounded
+    "sk8_kmv_overlap", // |l_returnflag|² sketch pairs — dimension-bounded (the sk5 stance)
     "ev20_retention_fit", // ≤maxOffset per-offset caps behind a filter
     "ct1_chisq", // contingency-grid completion: distinct(d1) × distinct(d2), both dimension-bounded
     "qn1_quantile_norm") ++ // rank lookup vs the PrefixSum bucket-offsets frame (≤ occupied buckets — the r8 two-level-scan rewire)

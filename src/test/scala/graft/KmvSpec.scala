@@ -75,6 +75,42 @@ class KmvSpec extends SparkSpec {
     assert(merged.count() == k) // the bounded re-sketch stays k rows
   }
 
+  test("overlapEstimates: sub-k pairs are exact; the truncated path " +
+    "replicates a driver-side union-bottom-k exactly") {
+    // sub-k: A has 30 keys, B has 30, 10 shared — union 50 < k = 64
+    val a = (0 until 30).map(i => ("A", s"x$i"))
+    val b = ((0 until 10).map(i => ("B", s"x$i")) ++
+      (0 until 20).map(i => ("B", s"y$i")))
+    val k = 64
+    val sk = Kmv.sketch((a ++ b).toDF("g", "key"), "key", Seq("g"), k)
+    val got = Kmv.overlapEstimates(sk, "g", k)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(got(("A", "B")) == ((50L, 50.0, 10.0)))
+
+    // truncated: 2000 + 2000 keys, 500 shared, k = 64 — replicate the
+    // union bottom-k, θ, ρ and both divisions driver-side
+    val bigA = (0 until 2000).map(i => s"a$i")
+    val bigB = (0 until 500).map(i => s"a$i") ++ (0 until 1500).map(i => s"b$i")
+    val df2 = (bigA.map(("A", _)) ++ bigB.map(("B", _))).toDF("g", "key")
+    val sk2 = Kmv.sketch(df2, "key", Seq("g"), k)
+    val got2 = Kmv.overlapEstimates(sk2, "g", k)
+      .collect().map(x => (x.getLong(2), x.getDouble(3), x.getDouble(4))).head
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hA = bigA.map(refHash).sorted.take(k)
+    val hB = bigB.map(refHash).sorted.take(k)
+    val inA = hA.toSet; val inB = hB.toSet
+    val union = (inA ++ inB).toSeq.sorted.take(k)
+    val theta = union(k - 1).toDouble / Kmv.HashDomain
+    val rho = union.count(h => inA(h) && inB(h))
+    val estU = (k - 1).toDouble / theta
+    assert(got2 == ((k.toLong, r6(estU), r6(rho.toDouble / k * estU))))
+    // and the estimates are in a plausible range of the truth
+    assert(math.abs(got2._2 - 3500) / 3500.0 < 0.5, got2.toString)
+    assert(got2._3 > 0.0 && got2._3 < 1500.0, got2.toString)
+  }
+
   test("parameter guards") {
     val df = Seq(("g", "a")).toDF("g", "key")
     intercept[IllegalArgumentException] { Kmv.sketch(df, "key", Seq("g"), 4) }
