@@ -88,6 +88,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(args(0))
       }))
 
+    ext.injectFunction((FunctionIdentifier("graft_md5_prefix60"),
+      info("graft_md5_prefix60",
+        "graft_md5_prefix60(text) - first 60 bits of md5 as a bigint " +
+          "(the KMV unit hash, no hex round-trip)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_prefix60(text) takes 1 argument")
+        Md5Prefix60(args(0))
+      }))
+
     ext.injectFunction((FunctionIdentifier("graft_gopher"),
       info("graft_gopher",
         "graft_gopher(text) - one-pass Gopher quality signal struct"),

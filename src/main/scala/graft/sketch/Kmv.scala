@@ -34,11 +34,15 @@ object Kmv {
   /** Domain size of [[unitHash]]: 16¹⁵ = 2⁶⁰. */
   val HashDomain: Double = math.pow(2.0, 60)
 
-  /** Engine-independent uniform hash for a key: md5("kmv|key") first
-    * 15 hex chars as a long in [0, 2⁶⁰). */
+  /** Engine-independent uniform hash for a key: the first 60 bits of
+    * md5("kmv|key") as a long in [0, 2⁶⁰) — equal to the oracle's
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`, computed by the
+    * native [[graft.functions.Md5Prefix60]] kernel (digest + shift, no
+    * hex-string round-trip; KmvSpec pins equality with the builtin
+    * conv/substring/md5 chain). */
   def unitHash(key: Column): Column =
-    conv(substring(md5(concat_ws("|", lit("kmv"), key)), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.Md5Prefix60.md5Prefix60(
+      concat_ws("|", lit("kmv"), key))
 
   /** Per-group KMV sketch frame: the k smallest distinct key hashes,
     * `(groupCols..., __h, __rk)` with `__rk` in [1, k]. Bounded output
@@ -55,8 +59,11 @@ object Kmv {
     val g = groupCols.map(col)
     // distinct BEFORE hashing: (group, key) and (group, hash) have the
     // same cardinality (hash is a function of key), and md5 on the
-    // deduplicated frame skips every duplicate row's digest
+    // deduplicated frame skips every duplicate row's digest. Null keys
+    // are EXCLUDED (the count_distinct stance — concat_ws would
+    // otherwise silently fold them onto the constant-"kmv" hash)
     val hashed = df
+      .where(col(keyCol).isNotNull)
       .select(g :+ col(keyCol).as("__k"): _*)
       .distinct()
       .select(g :+ unitHash(col("__k")).as("__h"): _*)

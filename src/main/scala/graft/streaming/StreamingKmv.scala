@@ -43,6 +43,7 @@ object StreamingKmv {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events
+      .where(col(keyCol).isNotNull) // the count_distinct stance (batch Kmv)
       .select(col(groupCol).cast("string").as("group"),
         Kmv.unitHash(col(keyCol)).as("h"))
       .as[Keyed]

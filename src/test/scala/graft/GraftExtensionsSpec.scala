@@ -80,5 +80,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_sorted_intersect(array(1L, 3L, 5L), array(2L, 3L, 5L, 9L)) AS n")
       .head.getLong(0)
     assert(si == 2L)
+    // graft_md5_prefix60: the KMV unit hash — equal to the hex chain,
+    // null-propagating
+    val mp = s.sql(
+      "SELECT graft_md5_prefix60('kmv|k1') AS h, " +
+        "CAST(conv(substring(md5('kmv|k1'), 1, 15), 16, 10) AS BIGINT) AS c, " +
+        "graft_md5_prefix60(CAST(NULL AS STRING)) AS nl").head
+    assert(mp.getLong(0) == mp.getLong(1) && mp.isNullAt(2))
   }
 }

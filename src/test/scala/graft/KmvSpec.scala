@@ -111,6 +111,34 @@ class KmvSpec extends SparkSpec {
     assert(got2._3 > 0.0 && got2._3 < 1500.0, got2.toString)
   }
 
+  test("native md5_prefix60 equals the builtin conv/substring/md5 chain " +
+    "and the driver-side reference; null-safe") {
+    val keys = (0 until 500).map(i => s"k$i") :+ "" :+ "日本語 ünïcode"
+    val df = keys.toDF("key")
+    val chain = conv(substring(
+      md5(concat_ws("|", lit("kmv"), col("key"))), 1, 15), 16, 10)
+      .cast("long")
+    val rows = df.select(
+      col("key"),
+      graft.sketch.Kmv.unitHash(col("key")).as("native"),
+      chain.as("builtin")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"key=${r.getString(0)}")
+      assert(r.getLong(1) == refHash(r.getString(0)))
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60))
+    }
+    // null keys are EXCLUDED from the sketch (count_distinct stance;
+    // SQL-surface null propagation is pinned in GraftExtensionsSpec)
+    val withNulls = (keys.map(k => ("g", Option(k))) :+
+      (("g", Option.empty[String]))).toDF("g", "key")
+    val clean = keys.map(("g", _)).toDF("g", "key")
+    assert(
+      Kmv.estimate(Kmv.sketch(withNulls, "key", Seq("g"), 64), Seq("g"), 64)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head ==
+      Kmv.estimate(Kmv.sketch(clean, "key", Seq("g"), 64), Seq("g"), 64)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head)
+  }
+
   test("parameter guards") {
     val df = Seq(("g", "a")).toDF("g", "key")
     intercept[IllegalArgumentException] { Kmv.sketch(df, "key", Seq("g"), 4) }
