@@ -104,6 +104,38 @@ object GraphBench {
         f"agg=${Option(row.get(1)).map(_.toString).getOrElse("0")}%12s " +
         f"${sec}%7.1f s")
     }
+
+    // community family (r9 session-3): 3 LPA rounds, one Louvain
+    // singleton round, and modularity of the LPA labels — each a
+    // node-key-shuffle pipeline whose cost must scale with edge mass,
+    // never with any per-community or per-degree pair frame. The star
+    // is again the adversary: the hub's million-degree neighborhood
+    // must ride the same grouped aggregations.
+    val commShapes = Seq(
+      ("labelprop3 m=1M n=100k", randomEdges(spark, 1000000L, 100000L)),
+      ("labelprop3 m=10M n=1M", randomEdges(spark, 10000000L, 1000000L)),
+      ("louvain1 m=10M n=1M", randomEdges(spark, 10000000L, 1000000L)),
+      ("louvain1 star n=1M", starEdges(spark, 1000000L)),
+      ("modularity m=10M n=1M", randomEdges(spark, 10000000L, 1000000L)))
+    commShapes.foreach { case (name, e) =>
+      e.count()
+      val (row, sec) = time {
+        if (name.startsWith("labelprop")) {
+          PageRank.labelPropagation(e, iterations = 3)
+            .agg(count(lit(1)), count_distinct(col("community"))).head
+        } else if (name.startsWith("louvain")) {
+          PageRank.louvainRound(e)
+            .agg(count(lit(1)), count_distinct(col("community"))).head
+        } else {
+          PageRank.modularity(e, PageRank.labelPropagation(e, iterations = 3))
+            .agg(count(lit(1)),
+              round(sum(col("q_contrib")), 3).cast("string")).head
+        }
+      }
+      println(f"$name%-22s rows=${row.getLong(0)}%9d " +
+        f"agg=${Option(row.get(1)).map(_.toString).getOrElse("0")}%12s " +
+        f"${sec}%7.1f s")
+    }
     spark.stop()
   }
 }
