@@ -1218,6 +1218,14 @@ object TextQueries {
       Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3,
         bits = 32, bands = 4)),
 
+    // ---- DD27: the PRODUCTION simhash config (64-bit/8-band — 2^16
+    // band keys, the width that scales the band space with the corpus;
+    // dd5 pins the 32/4 demo whose 256-key space is the documented
+    // sf1-ratio outlier). Pigeonhole-complete at hamming ≤ 3 < 8
+    // bands, so the oracle's all-pairs replay returns the same set ----
+    "dd27_simhash_prod" -> ((s, dir) =>
+      Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3)),
+
     "dd6_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)

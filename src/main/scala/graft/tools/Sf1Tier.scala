@@ -69,7 +69,12 @@ object Sf1Tier {
     * lists above (Sf1TierSpec enforces). */
   val roundAdditions: Seq[String] = Seq(
     "gr10_label_prop", "gr11_modularity", "sk7_kmv", "dq12_ldiversity",
-    "ml42_perm_importance", "ml43_linear_shap")
+    "ml42_perm_importance", "ml43_linear_shap",
+    // session-3 wave 2 — dd27 is the headline: the PRODUCTION 64/8
+    // simhash config whose ratio answers dd5's documented 11.64×
+    "gr12_louvain_round", "sk8_kmv_overlap", "ir5_query_likelihood",
+    "sp16_curriculum", "ic7_rank_autocorr", "a18_quantiles_exact",
+    "dd27_simhash_prod")
 
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>
