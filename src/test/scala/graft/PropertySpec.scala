@@ -127,6 +127,51 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("exactQuantiles: monotone in q, q=1 is the max, every value is " +
+    "an element of the group (order statistics, never interpolation)") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+    } yield vs
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val r = graft.panel.Quantiles.exactQuantiles(
+        df, Seq("g"), col("v"), qs = Seq(0.25, 0.5, 0.75, 1.0))
+        .collect().map(x => x.getDouble(1) -> x.getLong(3)).toMap
+      val sorted = vs.sorted
+      r(1.0) == sorted.last &&
+        r(0.25) <= r(0.5) && r(0.5) <= r(0.75) && r(0.75) <= r(1.0) &&
+        r.values.forall(vs.contains)
+    }, minSuccessful = 8)
+  }
+
+  test("kmv overlapEstimates: union >= intersection >= 0, and a pair of " +
+    "identical key sets estimates intersection = union exactly") {
+    val gen = for {
+      na <- Gen.choose(5, 60)
+      nb <- Gen.choose(5, 60)
+      shared <- Gen.choose(0, 5)
+    } yield (na, nb, shared)
+    check(Prop.forAll(gen) { case (na, nb, shared) =>
+      val a = (0 until na).map(i => ("A", s"a$i")) ++
+        (0 until shared).map(i => ("A", s"s$i"))
+      val b = (0 until nb).map(i => ("B", s"b$i")) ++
+        (0 until shared).map(i => ("B", s"s$i"))
+      val sk = graft.sketch.Kmv.sketch(
+        (a ++ b).toDF("g", "key"), "key", Seq("g"), k = 32)
+      val r = graft.sketch.Kmv.overlapEstimates(sk, "g", k = 32)
+        .collect().map(x => (x.getDouble(3), x.getDouble(4))).head
+      r._1 >= r._2 && r._2 >= 0.0
+    }, minSuccessful = 8)
+    // identical sets: every union-bottom-k hash is in both sketches
+    val same = (0 until 200).flatMap(i => Seq(("X", s"k$i"), ("Y", s"k$i")))
+    val sk = graft.sketch.Kmv.sketch(
+      same.toDF("g", "key"), "key", Seq("g"), k = 32)
+    val r = graft.sketch.Kmv.overlapEstimates(sk, "g", k = 32)
+      .collect().map(x => (x.getDouble(3), x.getDouble(4))).head
+    assert(r._1 == r._2)
+  }
+
   test("curriculumOrder: curriculum positions are a permutation of 1..n " +
     "and respect the (pos_in_band, band) lexicographic order") {
     val gen = for {
