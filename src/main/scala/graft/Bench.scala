@@ -62,12 +62,7 @@ object Bench {
     // steady-state cost of the plan; the median is the honesty check.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    // `full = false` drops the per-query {min, median} stats map: the
-    // stdout copy the driver captures has truncated mid-JSON twice on
-    // the full form (r7/r8 artifacts: "parsed": null) — the compact
-    // line halves it, and the file keeps the full stats.
-    def render(results: Seq[(String, Double, Double, Option[String])],
-        full: Boolean = true): String = {
+    def render(results: Seq[(String, Double, Double, Option[String])]): String = {
       val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
       val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
       val stats = ok.map { case (k, mn, md) =>
@@ -75,8 +70,19 @@ object Bench {
       val errs = results.collect { case (k, _, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
-      val statsPart = if (full) s""","stats":$stats""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$statsPart,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+    }
+    // The stdout copy the driver captures has truncated mid-JSON three
+    // rounds running (r7/r8/r9 artifacts: "parsed": null) even on a
+    // per-query-map line. The final stdout line therefore carries ONLY
+    // totals + errors (~100 bytes); all per-query stats live in the
+    // SPARK_GRAFT_BENCH_OUT file, which is authoritative.
+    def renderCompact(results: Seq[(String, Double, Double, Option[String])]): String = {
+      val ok = results.collect { case (k, mn, _, None) => (k, mn) }
+      val errs = results.collect { case (k, _, _, Some(e)) =>
+        "\"" + k + "\":\"" + esc(e).take(120) + "\"" }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
     }
     def writeOut(json: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
@@ -106,11 +112,8 @@ object Bench {
       // parseable artifact covering every completed query
       writeOut(render(done.toSeq))
     }
-    println(render(done.toSeq, full = false))
-    // Stdout copy can truncate mid-JSON in a captured tail; the file
-    // (already current from the per-query checkpoints, WITH stats) is
-    // authoritative.
     writeOut(render(done.toSeq))
+    println(renderCompact(done.toSeq))
     spark.stop()
   }
 }
