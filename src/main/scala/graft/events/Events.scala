@@ -1123,12 +1123,17 @@ object Events {
     * Recency (days) and frequency (event counts) histograms are
     * dimension-bounded, but MONETARY distinct values (cents of a
     * continuous column) can approach user cardinality — so binning
-    * uses the metric quantized to `monetaryQuantumCents` multiples,
-    * with a LOUD `maxBins` contract (the sessionCooccurrence stance):
-    * past the bound, raise and tell the caller to coarsen the quantum
-    * rather than silently single-task-sorting a user-scale histogram.
-    * `monetary_cents` output sums remain EXACT cents — the quantum
-    * affects only which users tie into a bin.
+    * uses the metric quantized to a multiple of `monetaryQuantumCents`:
+    * the engine probes {q, 10q, …, 10⁸q} with ONE bounded aggregate
+    * over the distinct-value frame and AUTO-COARSENS to the finest
+    * candidate whose histogram fits `maxBins` (a continuous monetary
+    * column at 100 TB would otherwise trip the raise on the default
+    * q = 1 on its first run), reporting the chosen quantum on stderr
+    * when it departs from the requested one. The LOUD `maxBins` raise
+    * (the sessionCooccurrence stance) remains for distributions that
+    * even the coarsest candidate can't collapse. `monetary_cents`
+    * output sums remain EXACT cents — the quantum affects only which
+    * users tie into a bin.
     * Output one row per populated (r_bin, f_bin, m_bin) segment:
     * (r_bin, f_bin, m_bin, n_users, monetary_cents). */
   def rfmSegments(
@@ -1155,20 +1160,36 @@ object Events {
         coalesce(sum(when(col(typeCol) === monetaryType,
           round(col(valueCol) * 100).cast("long")).otherwise(0L)), lit(0L))
           .as("__mon"))
-      // binning key: quantized monetary (exact cents kept for sums)
-      .withColumn("__monq",
-        (col("__mon") - pmod(col("__mon"), lit(monetaryQuantumCents)))
-          .cast("long"))
       .stableCheckpoint(eager = false) // feeds three histograms + the join
-    // LOUD low-cardinality contract on the one non-dimension-bounded
-    // histogram: bounded driver scalar, raises with the coarsening lever
-    val nMonBins = perUser.select(col("__monq")).distinct().count()
-    if (nMonBins > maxBins)
-      throw new ParameterError(
-        s"rfmSegments monetary histogram has $nMonBins distinct " +
-          s"quantized values (> maxBins=$maxBins): raise " +
-          s"monetaryQuantumCents (currently $monetaryQuantumCents) to " +
-          s"coarsen the binning metric")
+    // Auto-coarsen the one non-dimension-bounded histogram: probe the
+    // quantized distinct-count at {q, 10q, …, 10⁸q} in ONE aggregate
+    // over the DISTINCT monetary values (≤ n_users rows; the 9-way
+    // Expand is over that bounded frame, never over events) and take
+    // the finest quantum that fits maxBins. Exact integer arithmetic
+    // throughout — the chosen binning is partitioning-invariant.
+    val quanta = Iterator.iterate(monetaryQuantumCents)(_ * 10L)
+      .take(9).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
+    val probes = quanta.zipWithIndex.map { case (q, i) =>
+      countDistinct(col("__mon") - pmod(col("__mon"), lit(q))).as(s"__n$i") }
+    val binCounts = perUser.select(col("__mon")).distinct()
+      .agg(probes.head, probes.tail: _*).head()
+    val (quantum, nMonBins) = quanta.indices
+      .map(i => quanta(i) -> binCounts.getLong(i))
+      .find(_._2 <= maxBins)
+      .getOrElse(throw new ParameterError(
+        s"rfmSegments monetary histogram has ${binCounts.getLong(quanta.size - 1)} " +
+          s"distinct quantized values even at quantum ${quanta.last} " +
+          s"(> maxBins=$maxBins): raise monetaryQuantumCents " +
+          s"(currently $monetaryQuantumCents) beyond the 10^8 " +
+          "auto-coarsening range or raise maxBins"))
+    if (quantum != monetaryQuantumCents)
+      System.err.println(
+        s"[rfmSegments] auto-coarsened monetary quantum " +
+          s"$monetaryQuantumCents -> $quantum cents " +
+          s"($nMonBins bins <= maxBins=$maxBins)")
+    // binning key: quantized monetary (exact cents kept for sums)
+    val binned = perUser.withColumn("__monq",
+      (col("__mon") - pmod(col("__mon"), lit(quantum))).cast("long"))
     // value-tied quintile bin over each metric's integer histogram:
     // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
     // ascending — so the largest fifth lands in bin 5 for every metric
@@ -1180,7 +1201,7 @@ object Events {
     // melting the three histograms into one (metric, value) frame runs
     // the whole family through a single scan chain instead of three
     // (job-count, not volume, dominates locally).
-    val melted = perUser
+    val melted = binned
       .select(explode(array(
         struct(lit("__rec").as("m"), col("__rec").as("v")),
         struct(lit("__freq").as("m"), col("__freq").as("v")),
@@ -1201,7 +1222,7 @@ object Events {
     def bins(metric: String): DataFrame = allBins
       .where(col("__metric") === metric)
       .select(col("__v").as(metric), col("__bin").as(s"${metric}_bin"))
-    perUser
+    binned
       .join(broadcast(bins("__rec")), "__rec")
       .join(broadcast(bins("__freq")), "__freq")
       .join(broadcast(bins("__monq")), "__monq")

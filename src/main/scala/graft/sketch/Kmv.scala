@@ -93,12 +93,6 @@ object Kmv {
       .drop("__lr")
   }
 
-  /** Distinct-count estimates from a [[sketch]] frame: one row per
-    * group, `(groupCols..., n_kept, estimate)`. A group with fewer
-    * than k distinct hashes is EXACT (estimate = its kept-row count);
-    * otherwise estimate = (k−1)/θ with θ = k-th smallest hash scaled
-    * to [0, 1), rounded 6dp (both engines divide the same integers —
-    * IEEE-exact replay). */
   /** Pairwise set-overlap estimates from per-group [[sketch]] frames —
     * the operation KMV supports and HLL does not do exactly: the
     * bottom-k of A ∪ B is computable from the two sketches alone, and
@@ -148,6 +142,12 @@ object Kmv {
           .as("est_intersection"))
   }
 
+  /** Distinct-count estimates from a [[sketch]] frame: one row per
+    * group, `(groupCols..., n_kept, estimate)`. A group with fewer
+    * than k distinct hashes is EXACT (estimate = its kept-row count);
+    * otherwise estimate = (k−1)/θ with θ = k-th smallest hash scaled
+    * to [0, 1), rounded 6dp (both engines divide the same integers —
+    * IEEE-exact replay). */
   def estimate(sk: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val g = groupCols.map(col)
     sk.groupBy(g: _*)

@@ -53,7 +53,10 @@ object Retrieval {
     // corpus-row-count-sized, so materialization waits for the caller's
     // first action instead of running jobs at construction time; the
     // stats subquery computes it, the scoring pass reuses it.
-    val perDoc = docs.select(
+    // null text would flow `size(null)` = -1 into dl/tf and corrupt the
+    // corpus stats; a null-text doc can't match anything, so drop it
+    // up front (the simhashNearPairs stance)
+    val perDoc = docs.where(col(textCol).isNotNull).select(
       col(idCol) +: dl.as("__dl") +:
         queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
       .stableCheckpoint(eager = false)
@@ -108,7 +111,10 @@ object Retrieval {
     val dl = when(length(trim(col(textCol))) === 0, 0).otherwise(size(words)).cast("long")
     def tf(term: String): Column = size(filter(words, w => w === lit(term))).cast("long")
 
-    val perDoc = docs.select(
+    // null text would flow `size(null)` = -1 into dl/tf: a garbage
+    // non-null score where the oracle's NULL would diverge — drop
+    // null-text docs up front (the simhashNearPairs stance)
+    val perDoc = docs.where(col(textCol).isNotNull).select(
       col(idCol) +: dl.as("__dl") +:
         queryTerms.zipWithIndex.map { case (t, i) => tf(t).as(s"__tf$i") }: _*)
       .stableCheckpoint(eager = false)

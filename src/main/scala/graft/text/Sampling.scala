@@ -566,9 +566,15 @@ object Sampling {
       bands: Int = 10): DataFrame = {
     if (bands < 2 || bands > 1000)
       throw new ParameterError(s"bands must be in [2, 1000]: $bands")
+    // out-of-[0,1] score = contract breach, loudly (the modularity
+    // stance): a negative score would otherwise yield a negative band
+    // key and silently corrupt the curriculum_pos permutation
+    val checked = when(scoreCol >= 0 && scoreCol <= 1, scoreCol)
+      .otherwise(raise_error(concat(
+        lit("curriculumOrder: score outside [0, 1]: "), scoreCol)))
     val banded = docs
       .select(col(idCol),
-        least(floor(scoreCol * bands), lit(bands - 1L)).cast("long")
+        least(floor(checked * bands), lit(bands - 1L)).cast("long")
           .as("band"))
       .withColumn("pos_in_band", row_number()
         .over(Window.partitionBy(col("band")).orderBy(col(idCol)))

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,27 +45,12 @@ object ScoreBench {
 
     // longest single task per measured op — the flatness evidence —
     // plus its stage name for attribution
-    val maxTaskMs = new java.util.concurrent.atomic.AtomicLong(0)
-    val maxStage = new java.util.concurrent.atomic.AtomicReference[String]("")
-    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageSubmitted(
-          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
-        stageNames.put(ss.stageInfo.stageId,
-          ss.stageInfo.name.takeWhile(_ != '('))
-      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-        val d = Option(te.taskInfo).map(_.duration).getOrElse(0L)
-        if (d > maxTaskMs.get) {
-          maxTaskMs.set(d)
-          maxStage.set(stageNames.getOrDefault(te.stageId, "?"))
-        }
-      }
-    })
+    val probe = TaskProfile.install(spark)
 
     def run(name: String, df: => DataFrame)(implicit keep: Set[Int]): Unit = {
       // min of 2: the first pass pays codegen + input page-in
       val (wall, task, stage) = (1 to 2).map { _ =>
-        maxTaskMs.set(0)
+        probe.reset()
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
         val w = (System.nanoTime() - t0) / 1e9
@@ -74,7 +58,8 @@ object ScoreBench {
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => keep(id) }
           .values.foreach(_.unpersist(false))
-        (w, maxTaskMs.get, maxStage.get)
+        val (t, s) = probe.snapshot
+        (w, t, s)
       }.minBy(_._1)
       println(f"[scorebench] $name%-22s ${wall}%7.2f s   max-task " +
         f"${task / 1000.0}%6.2f s  (${stage.trim})")

@@ -143,11 +143,31 @@ object Sf1Tier {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       secs
     }
+    // Min-of-N repeats per (query, tier): the session-3 wave-2 rows
+    // were measured one-shot, so sf0.1 read COLD (fresh JVM, first
+    // parquet footers) while sf1 ran warm — sub-1× "ratios" that were
+    // ordering artifacts, not scale facts (r9 verdict item 1). The min
+    // is the steady-state plan cost, same policy as graft.Bench.
+    val repeats =
+      sys.env.getOrElse("SPARK_GRAFT_TIER_REPEATS", "1").toInt.max(1)
+    def runMin(name: String, dir: String): Double =
+      (1 to repeats).map(_ => runOnce(name, dir)).min
+    // warm-up: touch every table at BOTH tiers + one codegen-heavy
+    // query, so the first measured row isn't paying session init
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings").foreach { tb =>
+      Seq(src, dst).foreach { d =>
+        try spark.read.parquet(s"$d/$tb.parquet").limit(1).count()
+        catch { case _: Throwable => }
+      }
+    }
+    try graft.SparkEntry.queries("q1_agg")(spark, src).count()
+    catch { case _: Throwable => }
     val rows = (budgetedQueries ++ rewiredQueries ++ roundAdditions)
       .filter(n => only.forall(n.contains))
       .map { name =>
-        val a = runOnce(name, src)
-        val b = runOnce(name, dst)
+        val a = runMin(name, src)
+        val b = runMin(name, dst)
         println(f"[sf1tier] $name%-24s sf0.1 $a%7.2f s   sf1 $b%8.2f s   ratio ${b / a}%5.2f x")
         (name, a, b)
       }

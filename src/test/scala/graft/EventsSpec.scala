@@ -476,6 +476,33 @@ class EventsSpec extends SparkSpec {
     assert(stale.getAs[Long]("m_bin") == 4L)
   }
 
+  test("rfmSegments: monetary quantum auto-coarsens by powers of 10 to " +
+    "fit maxBins, matching the explicit coarse quantum; raises only " +
+    "past the 10^8 range (ev17)") {
+    // 5 payers with cents 101..105: quantum 1 → 5 monetary bins; the
+    // auto-coarsener must pick 10 (all collapse to 100 → 1 bin ≤ 3)
+    val ev = (1L to 5L).map { u =>
+      (u, u, ts(s"2024-01-0$u 10:00:00"), "purchase", 1.00 + u * 0.01)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val auto = Events.rfmSegments(ev, maxBins = 3L)
+      .orderBy("r_bin", "f_bin", "m_bin").collect()
+    val explicit = Events.rfmSegments(ev, monetaryQuantumCents = 10L)
+      .orderBy("r_bin", "f_bin", "m_bin").collect()
+    assert(auto.toSeq == explicit.toSeq)
+    // exact cents survive the coarsened binning: 101+...+105
+    assert(auto.map(_.getAs[Long]("monetary_cents")).sum == 515L)
+    // two monetary values 10^10 cents apart stay distinct at every
+    // candidate quantum ≤ 10^8 → the loud raise still fires
+    val wide = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 0.01),
+      (2L, 2L, ts("2024-01-02 10:00:00"), "purchase", 1.0e8))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val e = intercept[ParameterError] {
+      Events.rfmSegments(wide, maxBins = 1L).collect()
+    }
+    assert(e.getMessage.contains("auto-coarsening range"))
+  }
+
   test("rollingActiveUsers == per-window brute force (gaps, merges, W=1)") {
     import spark.implicits._
     // user 1 active on 1,2,10 (island merge within W, then a gap);

@@ -35,34 +35,15 @@ class WindowPlanSpec extends SparkSpec {
   private val allow: Map[String, String] = Map(
     // calendar frames: one row per trading day / calendar day — grows
     // with TIME (≈250/yr), not with data volume
-    "ab4_sprt" -> "per-day trial series",
     "coint1_pairs" -> "per-date pair spread series",
-    "coint2_spread_signal" -> "per-date spread series",
     "d19_benchmark" -> "benchmark daily series",
-    "d19b_benchmark_db" -> "benchmark daily series",
     "d19i_benchmark_time" -> "benchmark daily series",
-    "dq3_freshness" -> "per-day row-count series",
-    "ev24_rolling_active" -> "per-day activity-delta spine",
-    "ic6_newey_west" -> "per-date return series",
-    "ml8_purged_cv" -> "distinct panel dates (fold boundaries)",
-    "ml9_walk_forward" -> "distinct panel dates (fold boundaries)",
-    "sk3_hll_rolling" -> "per-day sketch series",
     "perf_active" -> "daily return series",
     "perf_attrib" -> "daily return series",
     "perf_benchmark" -> "daily return series",
     "perf_capture" -> "daily return series",
     "perf_ccf" -> "daily return series",
-    "perf_daily" -> "daily return series",
-    "perf_drawdowns" -> "daily return series (+ drawdown episodes)",
-    "perf_financing" -> "daily return series",
-    "perf_ratios" -> "daily return series",
     "perf_rollbeta" -> "daily return series",
-    "perf_rolling" -> "daily return series",
-    "perf_streaks" -> "daily return series",
-    "perf_summary" -> "daily return series",
-    "perf_ulcer" -> "daily return series",
-    "perf_var" -> "daily return series",
-    "perf_voltarget" -> "daily return series",
     // survival-analysis frames: one row per distinct DURATION IN DAYS
     // ≤ the observation window (datediff output)
     "ev11_kaplan_meier" -> "distinct survival durations (days)",
@@ -111,6 +92,12 @@ class WindowPlanSpec extends SparkSpec {
   private def boundedInput(p: SparkPlan): Boolean = p match {
     case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
         if a.groupingExpressions.isEmpty => true
+    // a groupBy whose every key is a DATE produces a calendar-bounded
+    // frame (≈250 trading days/yr — grows with TIME, not data volume),
+    // so the "daily return series" class is bounded by construction
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.forall(
+          _.dataType == org.apache.spark.sql.types.DateType) => true
     case _: org.apache.spark.sql.execution.LocalTableScanExec => true
     case _: org.apache.spark.sql.execution.RangeExec => true
     case l if l.nodeName.contains("Limit") ||
@@ -200,6 +187,25 @@ class WindowPlanSpec extends SparkSpec {
           .agg(count(lit(1)).as("__c")),
         "__v", Seq("__cum" -> "__c"))
       assert(unpartitioned(ps.queryExecution.executedPlan).isEmpty)
+      // the date-keyed-aggregate rule: a daily series (groupBy over a
+      // DateType key) is calendar-bounded → auto-allowed …
+      val liD = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("l_shipdate", to_date(col("l_shipdate")))
+      val daily = liD.groupBy(col("l_shipdate"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .withColumn("__cum", sum(col("__q")).over(
+          Window.orderBy(col("l_shipdate"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      assert(unpartitioned(daily.queryExecution.executedPlan).isEmpty,
+        "a window over a date-keyed aggregate should be auto-allowed")
+      // … but a NON-date grouping key (data-cardinality id) is NOT
+      val perKey = liD.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("__q"))
+        .withColumn("__cum", sum(col("__q")).over(
+          Window.orderBy(col("l_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      assert(unpartitioned(perKey.queryExecution.executedPlan).nonEmpty,
+        "a window over an id-keyed aggregate must still be flagged")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
