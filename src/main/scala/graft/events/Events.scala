@@ -1161,27 +1161,39 @@ object Events {
           round(col(valueCol) * 100).cast("long")).otherwise(0L)), lit(0L))
           .as("__mon"))
       .stableCheckpoint(eager = false) // feeds three histograms + the join
-    // Auto-coarsen the one non-dimension-bounded histogram: probe the
-    // quantized distinct-count at {q, 10q, …, 10⁸q} in ONE aggregate
-    // over the DISTINCT monetary values (≤ n_users rows; the 9-way
-    // Expand is over that bounded frame, never over events) and take
-    // the finest quantum that fits maxBins. Exact integer arithmetic
-    // throughout — the chosen binning is partitioning-invariant.
-    val quanta = Iterator.iterate(monetaryQuantumCents)(_ * 10L)
-      .take(9).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
-    val probes = quanta.zipWithIndex.map { case (q, i) =>
-      countDistinct(col("__mon") - pmod(col("__mon"), lit(q))).as(s"__n$i") }
-    val binCounts = perUser.select(col("__mon")).distinct()
-      .agg(probes.head, probes.tail: _*).head()
-    val (quantum, nMonBins) = quanta.indices
-      .map(i => quanta(i) -> binCounts.getLong(i))
-      .find(_._2 <= maxBins)
-      .getOrElse(throw new ParameterError(
-        s"rfmSegments monetary histogram has ${binCounts.getLong(quanta.size - 1)} " +
-          s"distinct quantized values even at quantum ${quanta.last} " +
-          s"(> maxBins=$maxBins): raise monetaryQuantumCents " +
-          s"(currently $monetaryQuantumCents) beyond the 10^8 " +
-          "auto-coarsening range or raise maxBins"))
+    // Auto-coarsen the one non-dimension-bounded histogram. Happy path
+    // first: ONE distinct-count at the requested quantum (the same
+    // bounded driver scalar the loud-raise design always paid); only
+    // on a breach probe the remaining candidates {10q, …, 10⁸q} in ONE
+    // aggregate over the DISTINCT monetary values (≤ n_users rows; the
+    // 8-way Expand is over that bounded frame, never over events) and
+    // take the finest quantum that fits maxBins. Exact integer
+    // arithmetic throughout — the chosen binning is
+    // partitioning-invariant.
+    def quantized(q: Long): Column = col("__mon") - pmod(col("__mon"), lit(q))
+    val nAtRequested = perUser
+      .agg(countDistinct(quantized(monetaryQuantumCents)).as("__n"))
+      .head().getLong(0)
+    val (quantum, nMonBins) =
+      if (nAtRequested <= maxBins) (monetaryQuantumCents, nAtRequested)
+      else {
+        val coarser = Iterator.iterate(monetaryQuantumCents * 10L)(_ * 10L)
+          .take(8).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
+        val probes = coarser.zipWithIndex.map { case (q, i) =>
+          countDistinct(quantized(q)).as(s"__n$i") }
+        val binCounts = perUser.select(col("__mon")).distinct()
+          .agg(probes.head, probes.tail: _*).head()
+        coarser.indices
+          .map(i => coarser(i) -> binCounts.getLong(i))
+          .find(_._2 <= maxBins)
+          .getOrElse(throw new ParameterError(
+            s"rfmSegments monetary histogram has " +
+              s"${binCounts.getLong(coarser.size - 1)} distinct quantized " +
+              s"values even at quantum ${coarser.last} (> maxBins=" +
+              s"$maxBins): raise monetaryQuantumCents (currently " +
+              s"$monetaryQuantumCents) beyond the 10^8 auto-coarsening " +
+              "range or raise maxBins"))
+      }
     if (quantum != monetaryQuantumCents)
       System.err.println(
         s"[rfmSegments] auto-coarsened monetary quantum " +
