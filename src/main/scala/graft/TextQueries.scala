@@ -1226,6 +1226,15 @@ object TextQueries {
     "dd27_simhash_prod" -> ((s, dir) =>
       Dedup.simhashNearPairs(t(s, dir, "documents"), maxHamming = 3)),
 
+    // ---- DD28: the SAME pair set via Manku block-permutation keys —
+    // C(8,3) = 56 tables keyed on 40 bits, so candidate mass is 56·n
+    // where dd27's 8-bit band keys read n²·8/256 (the measured r10
+    // honest-tier story: dd27 8.5× at 10× data, this path ~linear).
+    // Both are pigeonhole-complete at hamming ≤ 3, so the brute-force
+    // oracle replay pins them to the identical answer ----
+    "dd28_simhash_blocked" -> ((s, dir) =>
+      Dedup.simhashNearPairsBlocked(t(s, dir, "documents"), maxHamming = 3)),
+
     "dd6_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(
         t(s, dir, "embeddings"), "vec_id", "embedding", "label", threshold = 0.3)

@@ -1429,6 +1429,26 @@ object Dedup {
       maxBucket, metricName = "simhash_buckets")
   }
 
+  /** [[simhashNearPairs]] with [[fingerprintNearPairsBlocked]] candidate
+    * generation — the ≥10⁶-document configuration: same fingerprints,
+    * same exact-popcount verify, same complete pair set at the same
+    * maxHamming, but candidate mass C(blocks, maxHamming)·n instead of
+    * the banded n²·bands/2^(bits/bands). */
+  def simhashNearPairsBlocked(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      blocks: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val fp = spread(docs.where(col(textCol).isNotNull), idCol)
+      .select(col(idCol),
+        graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
+    fingerprintNearPairsBlocked(fp, idCol, "__fp", maxHamming, bits, blocks,
+      maxBucket, metricName = "simhash_buckets")
+  }
+
   /** Hamming-LSH banded near-pairs over ANY precomputed bit fingerprint
     * — the generic core behind [[simhashNearPairs]] (text) and
     * [[graft.multimodal.Multimodal.perceptualNearPairs]] (media pHash):
@@ -1455,9 +1475,77 @@ object Dedup {
       .where(col(fpCol).isNotNull)
       .select(col(idCol), col(fpCol),
         posexplode(bandArr).as(Seq("__band", "__key")))
-    // within-bucket pair generation — one pass over the fingerprints, no
-    // self-join (see minhashCandidates for the rationale); the window
-    // count guards collect_list from degenerate buckets
+    bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
+      maxBucket, metricName)
+  }
+
+  /** Block-permutation hamming-LSH (Manku, Jain & Das Sarma 2007, §3 —
+    * the WWW near-duplicates construction): the fingerprint splits into
+    * `blocks` equal blocks and each TABLE keys on a (blocks −
+    * maxHamming)-subset of them, packed into one long. Pigeonhole: ≤
+    * maxHamming flipped bits touch ≤ maxHamming blocks, so some keyed
+    * subset is entirely clean and the pair shares that table's key —
+    * complete, like [[fingerprintNearPairs]], but with C(blocks,
+    * maxHamming) tables of (blocks−maxHamming)·width-bit keys instead
+    * of `bands` tables of width-bit keys.
+    *
+    * Why it exists: banded keys of bits/bands width collide at RANDOM —
+    * expected in-bucket pair mass is n²·bands/2^(bits/bands), quadratic
+    * once n approaches the per-band key space (the measured dd27 sf1
+    * story: 8-bit keys ⇒ 256 buckets/band ⇒ 39M candidate pairs from
+    * 50k docs). Here the key carries (blocks−maxHamming)·width bits —
+    * the default 8-block/hamming-3 config keys on 40 bits, so random
+    * collisions stay negligible past 10⁹ docs and candidate mass is
+    * C(8,3)·n = 56n exploded rows — LINEAR, the 100-TB path. The table
+    * count is the price of completeness; callers trading recall for
+    * fan-out should drop maxHamming, not blocks. */
+  def fingerprintNearPairsBlocked(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bits: Int = 64,
+      blocks: Int = 8,
+      maxBucket: Int = 10000,
+      metricName: String = "fingerprint_buckets"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"block pigeonhole needs 0 <= maxHamming < blocks: $maxHamming/$blocks")
+    require(bits % blocks == 0, s"blocks must divide bits: $bits/$blocks")
+    val width = bits / blocks
+    val keep = blocks - maxHamming
+    require(keep * width <= 63,
+      s"packed key must fit a signed long: $keep blocks x $width bits")
+    val mask = (1L << width) - 1
+    def block(b: Int): Column =
+      shiftright(col(fpCol), b * width).bitwiseAND(mask)
+    // C(blocks, keep) keyed tables — a bounded driver-side combination
+    // list (56 for the 8-block/hamming-3 default), each key the kept
+    // blocks packed little-endian into one long
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val keyArr = array(combos.map(c =>
+      c.zipWithIndex
+        .map { case (b, j) => shiftleft(block(b), j * width) }
+        .reduce(_.bitwiseOR(_))): _*)
+    val banded = fp
+      .where(col(fpCol).isNotNull)
+      .select(col(idCol), col(fpCol),
+        posexplode(keyArr).as(Seq("__band", "__key")))
+    bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
+      maxBucket, metricName)
+  }
+
+  /** Shared verify stage of the two hamming-LSH candidate generators:
+    * within-bucket pair generation — one pass over the fingerprints, no
+    * self-join (see minhashCandidates for the rationale); the window
+    * count guards collect_list from degenerate buckets. */
+  private def bucketedFingerprintPairs(
+      banded: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bits: Int,
+      maxBucket: Int,
+      metricName: String): DataFrame =
     banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__key")))
       .observe(metricName,
@@ -1474,7 +1562,7 @@ object Dedup {
         hammingDistance(col("a.sh"), col("b.sh"), bits).as("hamming"))
       .where(col("hamming") <= maxHamming) // popcount BEFORE the distinct:
       .distinct() // far fewer rows reach the dedup shuffle
-  }
+
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate
     * pairs share a coarse bucket (provided column), verified by cosine ≥

@@ -118,6 +118,20 @@ object DedupBench {
         Dedup.simhashNearPairs(docs, maxHamming = 3).count())
       time(s"simhash 32b/4band pairs (ham<=3)")(
         Dedup.simhashNearPairs(docs, maxHamming = 3, bits = 32, bands = 4).count())
+      // the Manku blocked generator (dd28): same complete pair set, but
+      // candidate mass 56n + true pairs where the 8-bit band keys above
+      // read n²·8/256 — the config that survives the 10⁶-doc cliff
+      time(s"simhash blocked 56tbl pairs (ham<=3)")(
+        Dedup.simhashNearPairsBlocked(docs, maxHamming = 3).count())
+      // sparse corpus = the scale-honest comparison: 90% unique docs,
+      // so RANDOM band-key collisions (n²·bands/2^width) dominate the
+      // banded path's candidate mass while the blocked path stays at
+      // 56n + true pairs
+      time(s"simhash sparse 64b/8band (ham<=3)")(
+        Dedup.simhashNearPairs(sparseCorpus(spark, n), maxHamming = 3).count())
+      time(s"simhash sparse blocked 56tbl (ham<=3)")(
+        Dedup.simhashNearPairsBlocked(
+          sparseCorpus(spark, n), maxHamming = 3).count())
       // eval set = every 1000th doc's text, re-id'd: each eval doc's
       // 48-word core collides with its source group → hits ∝ eval size
       val eval = docs.where(pmod(col("doc_id"), lit(1000L)) === 0)

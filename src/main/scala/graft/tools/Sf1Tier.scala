@@ -74,7 +74,10 @@ object Sf1Tier {
     // simhash config whose ratio answers dd5's documented 11.64×
     "gr12_louvain_round", "sk8_kmv_overlap", "ir5_query_likelihood",
     "sp16_curriculum", "ic7_rank_autocorr", "a18_quantiles_exact",
-    "dd27_simhash_prod")
+    "dd27_simhash_prod",
+    // round 10 — the Manku block-permutation answer to the measured
+    // dd27/dd5 quadratic band-collision mass (honest r10 tier)
+    "dd28_simhash_blocked")
 
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>

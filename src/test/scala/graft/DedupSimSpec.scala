@@ -201,6 +201,49 @@ class DedupSimSpec extends SparkSpec {
     assert(brute.nonEmpty) // the corpus's 10-doc groups are near-dups
   }
 
+  test("simhashNearPairsBlocked (Manku 56-table, 40-bit keys) equals " +
+    "the brute-force hamming filter AND the banded path at hamming 3") {
+    val corpus = graft.tools.DedupBench.corpus(spark, 100)
+    val fp = Dedup.simhashDf(corpus)
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .where($"a.doc_id" < $"b.doc_id" &&
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")) <= 3)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.simhashNearPairsBlocked(corpus, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashNearPairs(corpus, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    assert(blocked == banded)
+    assert(brute.nonEmpty)
+  }
+
+  test("fingerprintNearPairsBlocked pigeonhole boundary: hamming == " +
+    "maxHamming found, maxHamming+1 (spread across blocks) not a " +
+    "candidate miss but a verify reject — and key packing rejects " +
+    "configs that overflow a signed long") {
+    // base fingerprint 0; partner flips exactly one bit in each of k
+    // DISTINCT 8-bit blocks — the adversarial placement for block keys
+    def flipped(k: Int): Long =
+      (0 until k).map(b => 1L << (b * 8)).foldLeft(0L)(_ | _)
+    for (k <- Seq(3, 4)) {
+      val fp = Seq((1L, 0L), (2L, flipped(k))).toDF("id", "fp")
+      val got = Dedup.fingerprintNearPairsBlocked(fp, "id", "fp",
+        maxHamming = 3).collect()
+      if (k == 3) {
+        assert(got.length == 1 && got.head.getAs[Long]("hamming") == 3L)
+      } else assert(got.isEmpty) // 4 touched blocks: correctly rejected
+    }
+    // 8 blocks, maxHamming 0 would key on all 64 bits: must refuse
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintNearPairsBlocked(
+        Seq((1L, 0L)).toDF("id", "fp"), "id", "fp", maxHamming = 0)
+    }
+  }
+
   test("maxBucket drops degenerate buckets instead of exploding pairs " +
     "(adversarial all-duplicates corpus)") {
     val dup = spark.range(50).select(col("id").as("doc_id"),
