@@ -62,11 +62,18 @@ object DedupBench {
     val sizeArgs = args.toSeq.filterNot(_.startsWith("only="))
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong) else Seq(20000L, 100000L)
 
+    val probe = TaskProfile.install(spark)
     def time(name: String)(f: => Long): Unit = {
       if (only.exists(s => !name.contains(s))) return
+      probe.reset()
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[dedupbench] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.1f s  ($rows rows)")
+      val (task, stage) = probe.snapshot
+      println(f"[dedupbench] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.1f s  " +
+        f"($rows rows)  max-task ${task / 1000.0}%6.2f s (${stage.trim})")
+      if (task > 10000) probe.topStages(4).foreach { case (s, ms, nt, mean) =>
+        println(f"[dedupbench]     stage-max ${ms / 1000.0}%6.2f s  " +
+          f"(n=$nt%d mean ${mean / 1000.0}%5.2f s)  $s") }
     }
 
     // observedMetrics is empty on the DataFrame under AQE; the
@@ -103,6 +110,15 @@ object DedupBench {
         while (shingled < 0 && System.nanoTime() < deadline) Thread.sleep(50)
         println(s"[dedupbench]   verify stage shingled $shingled of $n docs (semi-join prune)")
         rows
+      }
+      // the two pipeline_dedup/pipeline_curate stages separately — the
+      // r10 ladder found a wall-dominating single task at 1M docs and
+      // this row pair attributes it (candidates+verify vs clustering)
+      time(s"dup clusters sparse (CC stage)") {
+        graft.CheckpointScope.scoped(spark) { _ =>
+          Dedup.duplicateClusters(
+            Dedup.nearDuplicates(sparseCorpus(spark, n), threshold = 0.5))
+        }.count()
       }
       time(s"boilerplate lines (20 sources)") {
         // 3-line docs: body + per-source footer (boilerplate in 100% of
