@@ -50,16 +50,23 @@ object Dedup {
 
   /** Word-level shingles of size n as an array column (null-free).
     * transform over a slide of the word array — no explode needed. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val words = split(trim(regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")), "\\s+")
-    val count = size(words) - (n - 1)
-    // guard: sequence(0, -1) would generate a DESCENDING range, not empty
-    when(count > 0,
-      transform(
-        sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array())
-  }
+  def shingles(textCol: Column, n: Int = 3): Column =
+    // bindOnce: referenced bare inside the transform lambda, the word
+    // array (regex normalize + split) would be rebuilt PER SHINGLE —
+    // lambda bodies get no subexpression elimination (SPARK-35410).
+    // This column form sits on the ppj1/er1 hot path via
+    // [[SetJoin.prefixFilterJoin]]'s tokenizer.
+    graft.text.TextAnalysis.bindOnce(
+      split(trim(regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")), "\\s+"),
+      words => {
+        val count = size(words) - (n - 1)
+        // guard: sequence(0, -1) would generate a DESCENDING range, not empty
+        when(count > 0,
+          transform(
+            sequence(lit(0), count - 1),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+          .otherwise(array())
+      })
 
   /** One MinHash value: the lexicographic min of md5(salt || shingle) —
     * a universal-ish hash family indexed by salt, engine-independent. */

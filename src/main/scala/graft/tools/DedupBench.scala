@@ -274,9 +274,15 @@ object DedupBench {
     // loud-exactness contract) in seconds, not run quadratically.
     val hotGram = spark.range(nAdv).select(col("id").as("doc_id"),
       concat(lit("alpha beta gamma u"), col("id")).as("text"))
+    // the guard only fires when the hot bucket EXCEEDS maxBucket — at
+    // nAdv <= the default 100k the row would legitimately grind the
+    // quadratic path instead (measured: 825 s at nAdv = 100000), so pin
+    // the cap below the hot-bucket size for any bench size
+    val advCap = math.max(1000L, math.min(nAdv / 2, 100000L)).toInt
     time(s"prefix join hot-gram (guard raises)") {
       try {
-        graft.dedup.SetJoin.prefixFilterJoin(hotGram, theta = 0.5).count()
+        graft.dedup.SetJoin.prefixFilterJoin(hotGram, theta = 0.5,
+          maxBucket = advCap).count()
         println(s"[dedupbench]   ERROR: hot-gram corpus did NOT trip the guard")
         -1L
       } catch {
