@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures `sbt runMain graft.Bench` stdout and parses
+// the final line as JSON. Two sbt behaviors break that: the
+// `[success] Total time: ...` trailer printed AFTER the JSON line, and
+// the `[info] `/`[error] ` prefixes added to every forked-process line.
+// showSuccess kills the trailer; StdoutOutput passes forked stdout
+// through verbatim (BENCH_r07-r10 all landed "parsed": null without
+// these).
+ThisBuild / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+// showSuccess is consumed by sbt's command layer, not by another
+// setting — exclude it from the unused-key lint so the warn doesn't
+// land in the captured stdout.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

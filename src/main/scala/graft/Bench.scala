@@ -22,7 +22,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: releaseState()'s unpersist of localCheckpointed
+    // RDDs emits one WARN per RDD; over a 428-query run that floods the
+    // driver's stdout capture window and has truncated the round bench
+    // artifact four rounds running.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: touch every table + exercise codegen/shuffle machinery once
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
@@ -80,7 +84,10 @@ object Bench {
     def renderCompact(results: Seq[(String, Double, Double, Option[String])]): String = {
       val ok = results.collect { case (k, mn, _, None) => (k, mn) }
       val errs = results.collect { case (k, _, _, Some(e)) =>
-        "\"" + k + "\":\"" + esc(e).take(120) + "\"" }.mkString("{", ",", "}")
+        // truncate the RAW message, then escape: esc(..).take(..) can
+        // cut mid-escape-sequence, leaving a lone trailing backslash
+        // that escapes the closing quote and corrupts the JSON line.
+        "\"" + k + "\":\"" + esc(e.take(120)) + "\"" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
     }
