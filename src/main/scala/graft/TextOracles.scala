@@ -660,7 +660,8 @@ object TextOracles {
          |df AS (
          |  SELECT term, count(*)::BIGINT AS df
          |  FROM tf GROUP BY 1 HAVING count(*) >= 2),
-         |n AS (SELECT count(*)::BIGINT AS nn FROM documents)
+         |n AS (SELECT count(*)::BIGINT AS nn FROM documents
+         |      WHERE text IS NOT NULL)
          |SELECT tf.doc_id, tf.term, tf.tf, df.df,
          |  round(tf.tf * ln(nn::DOUBLE / df.df), 6) AS tfidf
          |FROM tf JOIN df USING (term), n""".stripMargin,
@@ -678,7 +679,7 @@ object TextOracles {
          |  SELECT doc_id, text,
          |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
          |                          '\\s+') AS w
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |tf AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS dl,

@@ -22,7 +22,7 @@ private[graft] object TextOraclesB {
          |  SELECT doc_id, text,
          |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
          |                          '\\s+') AS w
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |tf AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(w) END::BIGINT AS dl,

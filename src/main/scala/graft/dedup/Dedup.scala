@@ -192,6 +192,36 @@ object Dedup {
       (math.abs(p.crossover - threshold), -p.bands * p.rowsPerBand))
   }
 
+  /** Degenerate-bucket guard shared by the candidate generators. A
+    * bucket of m rows emits O(m²) pairs, so `maxBucket` bounds the
+    * in-bucket explosion — but a DROPPED bucket silently voids the
+    * generator's completeness claim: past the collision cliff (e.g.
+    * 8-bit banded simhash keys at 10M docs, where EVERY bucket
+    * overflows) the old drop returned a near-empty, correct-LOOKING
+    * pair set. Observe metrics proved to be dead letters for loudness
+    * (invisible unless the caller registers a listener, and erased
+    * outright by AQE empty-relation propagation in exactly the
+    * all-dropped case — the SetJoin r8 lesson), so the default is the
+    * house stance shared with prefixFilterJoin / hot-gram / ev17:
+    * RAISE on the first oversized bucket, riding the window count the
+    * filter already pays (zero extra jobs, nothing to forget to
+    * check). Callers that knowingly trade recall for fan-out opt in
+    * with `dropOversized = true`, which restores the lossy drop (still
+    * reported by each site's observe metric). */
+  private def guardBucket(
+      sized: DataFrame,
+      maxBucket: Int,
+      site: String,
+      hint: String,
+      dropOversized: Boolean): DataFrame =
+    if (dropOversized) sized.where(col("__n") <= maxBucket)
+    else sized.where(when(col("__n") > maxBucket, raise_error(concat(
+      lit(s"$site: a bucket of "), col("__n"),
+      lit(s" rows exceeds maxBucket=$maxBucket — dropping it would " +
+        s"silently lose candidate pairs; $hint, raise maxBucket, or " +
+        "pass dropOversized=true to accept the recall loss"))))
+      .otherwise(lit(true)))
+
   /** LSH candidate pairs: ids sharing any band bucket (deduplicated).
     *
     * Scale shape: the band signatures are melted to long
@@ -201,12 +231,14 @@ object Dedup {
     * `maxBucket` guards the pair explosion: a bucket of m ids emits
     * O(m²) pairs, so one degenerate bucket (mass exact-duplicates fed in
     * without [[dropExactDuplicates]] first) concentrates the whole job in
-    * one task. Buckets above the cap are DROPPED from candidate
-    * generation — run exact dedup first if that loses recall you need.
-    * The bucket-size filter runs as a window count over the same shuffle
-    * BEFORE collect_list, so an oversized bucket never materializes as an
-    * in-memory array; the drop is observable via the Spark `observe`
-    * metric `minhash_buckets` (rows_in_overflow, max_bucket). */
+    * one task. A bucket above the cap RAISES by default (see
+    * [[guardBucket]]); `dropOversized = true` drops it from candidate
+    * generation instead — run exact dedup first if that loses recall
+    * you need. The bucket-size check runs as a window count over the
+    * same shuffle BEFORE collect_list, so an oversized bucket never
+    * materializes as an in-memory array; in drop mode the drop is
+    * observable via the Spark `observe` metric `minhash_buckets`
+    * (rows_in_overflow, max_bucket). */
   def minhashCandidates(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -214,7 +246,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     // Pairs come from WITHIN each bucket (groupBy + collect_list + double
     // explode) rather than a self-equi-join: the signature pipeline runs
     // once — a self-join would compute it per side (the planner does not
@@ -231,8 +264,9 @@ object Dedup {
       .observe("minhash_buckets",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
-    sized
-      .where(col("__n") > 1 && col("__n") <= maxBucket)
+    guardBucket(sized, maxBucket, "minhashCandidates",
+      "run dropExactDuplicates first or widen rowsPerBand", dropOversized)
+      .where(col("__n") > 1)
       .groupBy("__band", "__bk")
       .agg(collect_list(col(idCol)).as("__ids"))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
@@ -267,7 +301,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     val exploded = shingleRows(docs, idCol, textCol, shingleSize)
     val mins = (0 until numHashes).map(i =>
@@ -280,12 +315,14 @@ object Dedup {
     }
     val melted = sig.select(
       col(idCol), posexplode(array(bandCols: _*)).as(Seq("__band", "__bk")))
-    val pairs = melted
+    val pairsSized = melted
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bk")))
       .observe("minhash_est_buckets",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
-      .where(col("__n") > 1 && col("__n") <= maxBucket)
+    val pairs = guardBucket(pairsSized, maxBucket, "minhashJaccardEstimates",
+      "run dropExactDuplicates first or widen rowsPerBand", dropOversized)
+      .where(col("__n") > 1)
       .groupBy("__band", "__bk")
       .agg(collect_list(col(idCol)).as("__ids"))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
@@ -379,7 +416,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     // the candidate frame is referenced THREE times (both id projections
     // of the semi-join prune + the verify join's probe side). The
     // trailing distinct() exchange is canonically identical at all three
@@ -390,7 +428,8 @@ object Dedup {
     // (The checkpoint swallows the inner `minhash_buckets` metric for
     // this composition; call minhashCandidates directly to observe it.)
     val cands =
-      minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
+      minhashCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand,
+        maxBucket, dropOversized)
         .stableCheckpoint(eager = false)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
@@ -477,7 +516,8 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     val idx = spark.read.parquet(dir)
       .select(col(idCol), col("__band").cast("int").as("__band"), col("__bk"),
         lit(false).as("__new"))
@@ -495,8 +535,10 @@ object Dedup {
       .observe("incremental_buckets",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
-    sized
-      .where(col("__n") > 1 && col("__n") <= maxBucket)
+    guardBucket(sized, maxBucket, "incrementalCandidates",
+      "pre-dedup the batch or rebuild the index with wider rowsPerBand",
+      dropOversized)
+      .where(col("__n") > 1)
       .groupBy("__band", "__bk")
       .agg(collect_list(struct(col(idCol).as("id"), col("__new"))).as("__ids"))
       .select(explode(col("__ids")).as("a"), col("__ids"))
@@ -525,9 +567,10 @@ object Dedup {
       shingleSize: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     val cands = incrementalCandidates(spark, dir, batch, idCol, textCol,
-      shingleSize, bands, rowsPerBand, maxBucket)
+      shingleSize, bands, rowsPerBand, maxBucket, dropOversized)
       .stableCheckpoint(eager = false)
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol)))
@@ -566,7 +609,8 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2,
       broadcastRef: Boolean = true,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     // each melt is referenced twice (hot-key census + the guarded join)
     // — materialize rather than re-running the minhash sig pipeline.
     // LAZY checkpoint: the frame is corpus-sized, so an eager one would
@@ -584,16 +628,31 @@ object Dedup {
     // degenerate-bucket guard (same stance as minhashCandidates'
     // maxBucket): shared boilerplate can put m corpus × n ref docs into
     // ONE (band, key) bucket, and the equi-join would emit m·n rows in
-    // a single task — drop any bucket exceeding maxBucket on EITHER
-    // side (observably few keys by definition, so the anti-join
-    // broadcasts); candidate cost stays ∝ true cross-duplicate mass.
-    // The drop is NOT silent: the `cross_hot_buckets` observe metric
-    // reports how many (band, key) buckets were pruned — docs whose
-    // only collisions sat in pruned buckets get no candidates, so a
-    // non-zero count is the signal to raise maxBucket or pre-dedup.
-    def hotKeys(df: DataFrame) = df
-      .groupBy("__band", "__bk").agg(count(lit(1)).as("__n"))
-      .where(col("__n") > maxBucket).select("__band", "__bk")
+    // a single task — a bucket exceeding maxBucket on EITHER side
+    // RAISES by default (a pruned bucket silently loses every
+    // contamination match that sat in it — the guardBucket stance);
+    // dropOversized=true prunes it instead (hot keys are observably
+    // few by definition, so the anti-join broadcasts) and candidate
+    // cost stays ∝ true cross-duplicate mass. In drop mode the
+    // `cross_hot_buckets` observe metric reports how many (band, key)
+    // buckets were pruned — docs whose only collisions sat in pruned
+    // buckets get no candidates, so a non-zero count is the signal to
+    // raise maxBucket or pre-dedup.
+    def hotKeys(df: DataFrame) = {
+      val census = df
+        .groupBy("__band", "__bk").agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxBucket)
+      val loud =
+        if (dropOversized) census
+        else census.where(when(col("__n") > maxBucket, raise_error(concat(
+          lit("crossNearDuplicates: a band bucket of "), col("__n"),
+          lit(s" rows exceeds maxBucket=$maxBucket — pruning it would " +
+            "silently lose every cross-match in the bucket; pre-dedup " +
+            "the corpora, raise maxBucket, or pass dropOversized=true " +
+            "to accept the recall loss"))))
+          .otherwise(lit(true)))
+      loud.select("__band", "__bk")
+    }
     // referenced twice (both anti-joins) and aliased reuse doesn't
     // bridge that (the nearDuplicates 1M lesson) — without the
     // checkpoint the census pass over each melt runs twice. Bounded
@@ -1418,9 +1477,14 @@ object Dedup {
     * bigger bucket alphabets at the same width use bands = 4 (16-bit
     * bands → 65k buckets, maxHamming ≤ 3). The 32-bit/4-band demo
     * configuration remains supported (and is what the dd5 oracle pins).
-    * `maxBucket` drops degenerate buckets before the in-bucket pair
-    * explosion, like [[minhashCandidates]]; the drop is observable via
-    * the `simhash_buckets` observe metric. */
+    * `maxBucket` guards degenerate buckets before the in-bucket pair
+    * explosion, like [[minhashCandidates]]: an oversized bucket RAISES
+    * by default ([[guardBucket]] — at the banded collision cliff,
+    * n ≳ 2^(bits/bands), EVERY bucket overflows and a silent drop
+    * returned a near-empty, correct-looking pair set; use
+    * [[simhashNearPairsBlocked]] past the cliff). `dropOversized =
+    * true` restores the drop, observable via the `simhash_buckets`
+    * observe metric. */
   def simhashNearPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -1428,12 +1492,13 @@ object Dedup {
       maxHamming: Int = 3,
       bits: Int = 64,
       bands: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     val fp = spread(docs.where(col(textCol).isNotNull), idCol)
       .select(col(idCol),
         graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
     fingerprintNearPairs(fp, idCol, "__fp", maxHamming, bits, bands,
-      maxBucket, metricName = "simhash_buckets")
+      maxBucket, metricName = "simhash_buckets", dropOversized = dropOversized)
   }
 
   /** [[simhashNearPairs]] with [[fingerprintNearPairsBlocked]] candidate
@@ -1448,12 +1513,13 @@ object Dedup {
       maxHamming: Int = 3,
       bits: Int = 64,
       blocks: Int = 8,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     val fp = spread(docs.where(col(textCol).isNotNull), idCol)
       .select(col(idCol),
         graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
     fingerprintNearPairsBlocked(fp, idCol, "__fp", maxHamming, bits, blocks,
-      maxBucket, metricName = "simhash_buckets")
+      maxBucket, metricName = "simhash_buckets", dropOversized = dropOversized)
   }
 
   /** Hamming-LSH banded near-pairs over ANY precomputed bit fingerprint
@@ -1471,7 +1537,8 @@ object Dedup {
       bits: Int = 64,
       bands: Int = 8,
       maxBucket: Int = 10000,
-      metricName: String = "fingerprint_buckets"): DataFrame = {
+      metricName: String = "fingerprint_buckets",
+      dropOversized: Boolean = false): DataFrame = {
     require(maxHamming < bands, "pigeonhole banding needs maxHamming < bands")
     require(bits % bands == 0, s"bands must divide bits: $bits/$bands")
     val width = bits / bands
@@ -1483,7 +1550,7 @@ object Dedup {
       .select(col(idCol), col(fpCol),
         posexplode(bandArr).as(Seq("__band", "__key")))
     bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
-      maxBucket, metricName)
+      maxBucket, metricName, dropOversized)
   }
 
   /** Block-permutation hamming-LSH (Manku, Jain & Das Sarma 2007, §3 —
@@ -1514,7 +1581,8 @@ object Dedup {
       bits: Int = 64,
       blocks: Int = 8,
       maxBucket: Int = 10000,
-      metricName: String = "fingerprint_buckets"): DataFrame = {
+      metricName: String = "fingerprint_buckets",
+      dropOversized: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < blocks,
       s"block pigeonhole needs 0 <= maxHamming < blocks: $maxHamming/$blocks")
     require(bits % blocks == 0, s"blocks must divide bits: $bits/$blocks")
@@ -1538,7 +1606,7 @@ object Dedup {
       .select(col(idCol), col(fpCol),
         posexplode(keyArr).as(Seq("__band", "__key")))
     bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
-      maxBucket, metricName)
+      maxBucket, metricName, dropOversized)
   }
 
   /** Shared verify stage of the two hamming-LSH candidate generators:
@@ -1552,13 +1620,18 @@ object Dedup {
       maxHamming: Int,
       bits: Int,
       maxBucket: Int,
-      metricName: String): DataFrame =
-    banded
+      metricName: String,
+      dropOversized: Boolean): DataFrame = {
+    val sized = banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__key")))
       .observe(metricName,
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
-      .where(col("__n") > 1 && col("__n") <= maxBucket)
+    guardBucket(sized, maxBucket, metricName,
+      "route to the blocked generator (fingerprintNearPairsBlocked, " +
+        "whose wide keys keep random collisions negligible)",
+      dropOversized)
+      .where(col("__n") > 1)
       .groupBy("__band", "__key")
       .agg(collect_list(struct(col(idCol).as("id"), col(fpCol).as("sh")))
         .as("__m"))
@@ -1569,7 +1642,7 @@ object Dedup {
         hammingDistance(col("a.sh"), col("b.sh"), bits).as("hamming"))
       .where(col("hamming") <= maxHamming) // popcount BEFORE the distinct:
       .distinct() // far fewer rows reach the dedup shuffle
-
+  }
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate
     * pairs share a coarse bucket (provided column), verified by cosine ≥
@@ -1580,8 +1653,9 @@ object Dedup {
     * pipeline once per aliased side) with the same `maxBucket` guard: a
     * bucket of m vectors emits O(m²) cosine pairs, so one degenerate
     * bucket (a zero vector, a default embedding) would concentrate the
-    * whole job in one task. Oversized buckets are DROPPED before the
-    * collect_list ever materializes them — observable via the
+    * whole job in one task. An oversized bucket RAISES by default
+    * ([[guardBucket]]); with `dropOversized = true` it is dropped
+    * before the collect_list ever materializes it — observable via the
     * `embedding_buckets` observe metric. Unlike the id-only minhash
     * lists, a bucket list here carries the vectors (≤ maxBucket·dim
     * doubles per group) — size `maxBucket` with the embedding dimension
@@ -1592,16 +1666,19 @@ object Dedup {
       vecCol: String,
       bucketCol: String,
       threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      dropOversized: Boolean = false): DataFrame = {
     import graft.sim.Similarity
-    embs
+    val sized = embs
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         Similarity.norm(col(vecCol)).as("__nm"), col(bucketCol).as("__bk"))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__bk")))
       .observe("embedding_buckets",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_bucket"))
-      .where(col("__n") > 1 && col("__n") <= maxBucket)
+    guardBucket(sized, maxBucket, "embeddingNearDuplicates",
+      "refine the blocking column", dropOversized)
+      .where(col("__n") > 1)
       .groupBy("__bk")
       .agg(collect_list(struct(col("__id"), col("__v"), col("__nm"))).as("__m"))
       .select(explode(col("__m")).as("a"), col("__m"))
@@ -1725,9 +1802,11 @@ object Dedup {
     * to per-cell member lists and BROADCASTS, so the corpus streams
     * once with no shuffle beyond its assignment and comparisons cost
     * |corpus ∩ occupied cells| × cell's eval members — never
-    * corpus × eval. Eval cells beyond `maxBucket` are dropped LOUDLY
-    * (`semdecon_cells` observe metric): a dropped hot cell loses
-    * recall, raise the cap or refine the quantizer. Returns one row
+    * corpus × eval. An eval cell beyond `maxBucket` RAISES by default
+    * ([[guardBucket]] — a dropped hot cell silently loses every
+    * contamination match in it); `dropOversized = true` drops it
+    * instead (observable via the `semdecon_cells` observe metric):
+    * raise the cap or refine the quantizer. Returns one row
     * per contaminated corpus doc: (idCol, eval_id, sim round 6) with
     * the strongest match (ties → higher eval id, the struct-max
     * order). */
@@ -1738,16 +1817,18 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      dropOversized: Boolean = false): DataFrame = {
     import graft.sim.Similarity
     val c = cellPriorities(corpus, centroids, idCol, vecCol, checkpoint = false)
     val e = cellPriorities(evalSet, centroids, idCol, vecCol, checkpoint = false)
-    val evalCells = e
+    val eSized = e
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell_id")))
       .observe("semdecon_cells",
         sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
         max(col("__n")).as("max_cell"))
-      .where(col("__n") <= maxBucket)
+    val evalCells = guardBucket(eSized, maxBucket, "semanticContamination",
+      "refine the quantizer (more centroids)", dropOversized)
       .groupBy("cell_id")
       .agg(collect_list(struct(col("__id"), col("__v"), col("__nm"))).as("__em"))
     c.join(broadcast(evalCells), Seq("cell_id"))

@@ -1123,17 +1123,21 @@ object Events {
     * Recency (days) and frequency (event counts) histograms are
     * dimension-bounded, but MONETARY distinct values (cents of a
     * continuous column) can approach user cardinality — so binning
-    * uses the metric quantized to a multiple of `monetaryQuantumCents`:
-    * the engine probes {q, 10q, …, 10⁸q} with ONE bounded aggregate
-    * over the distinct-value frame and AUTO-COARSENS to the finest
+    * uses the metric quantized to a multiple of `monetaryQuantumCents`,
+    * and a histogram past `maxBins` RAISES loudly by default (the
+    * sessionCooccurrence stance — the binning contract is the caller's
+    * requested quantum, and silently departing from it would diverge
+    * from any result pinned against that quantum, e.g. the ev17
+    * oracle's raw-cents bins). `autoCoarsen = true` opts in to the
+    * scale path instead: probe {10q, …, 10⁸q} with ONE bounded
+    * aggregate over the distinct-value frame and take the FINEST
     * candidate whose histogram fits `maxBins` (a continuous monetary
-    * column at 100 TB would otherwise trip the raise on the default
-    * q = 1 on its first run), reporting the chosen quantum on stderr
-    * when it departs from the requested one. The LOUD `maxBins` raise
-    * (the sessionCooccurrence stance) remains for distributions that
-    * even the coarsest candidate can't collapse. `monetary_cents`
-    * output sums remain EXACT cents — the quantum affects only which
-    * users tie into a bin.
+    * column at 100 TB trips the raise on the default q = 1 on its
+    * first run), reporting the chosen quantum on stderr and via the
+    * `rfm_quantum` observe metric; the loud raise remains for
+    * distributions that even the coarsest candidate can't collapse.
+    * `monetary_cents` output sums remain EXACT cents — the quantum
+    * affects only which users tie into a bin.
     * Output one row per populated (r_bin, f_bin, m_bin) segment:
     * (r_bin, f_bin, m_bin, n_users, monetary_cents). */
   def rfmSegments(
@@ -1144,7 +1148,8 @@ object Events {
       typeCol: String = "event_type",
       valueCol: String = "value",
       monetaryQuantumCents: Long = 1L,
-      maxBins: Long = 100000L): DataFrame = {
+      maxBins: Long = 100000L,
+      autoCoarsen: Boolean = false): DataFrame = {
     if (monetaryQuantumCents <= 0)
       throw new ParameterError(
         s"monetaryQuantumCents must be positive: $monetaryQuantumCents")
@@ -1161,10 +1166,11 @@ object Events {
           round(col(valueCol) * 100).cast("long")).otherwise(0L)), lit(0L))
           .as("__mon"))
       .stableCheckpoint(eager = false) // feeds three histograms + the join
-    // Auto-coarsen the one non-dimension-bounded histogram. Happy path
-    // first: ONE distinct-count at the requested quantum (the same
-    // bounded driver scalar the loud-raise design always paid); only
-    // on a breach probe the remaining candidates {10q, …, 10⁸q} in ONE
+    // Guard the one non-dimension-bounded histogram. Happy path first:
+    // ONE distinct-count at the requested quantum (the same bounded
+    // driver scalar the loud-raise design always paid). On a breach the
+    // default RAISES (the caller's pinned binning contract); under
+    // autoCoarsen probe the remaining candidates {10q, …, 10⁸q} in ONE
     // aggregate over the DISTINCT monetary values (≤ n_users rows; the
     // 8-way Expand is over that bounded frame, never over events) and
     // take the finest quantum that fits maxBins. Exact integer
@@ -1176,9 +1182,21 @@ object Events {
       .head().getLong(0)
     val (quantum, nMonBins) =
       if (nAtRequested <= maxBins) (monetaryQuantumCents, nAtRequested)
+      else if (!autoCoarsen)
+        throw new ParameterError(
+          s"rfmSegments monetary histogram has $nAtRequested distinct " +
+            s"quantized values at quantum $monetaryQuantumCents (> maxBins=" +
+            s"$maxBins): raise monetaryQuantumCents or maxBins, or pass " +
+            "autoCoarsen=true to probe coarser powers-of-10 quanta " +
+            "(binning then departs from the requested quantum)")
       else {
         val coarser = Iterator.iterate(monetaryQuantumCents * 10L)(_ * 10L)
           .take(8).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
+        if (coarser.isEmpty)
+          throw new ParameterError(
+            s"rfmSegments: monetaryQuantumCents=$monetaryQuantumCents is " +
+              "already beyond the powers-of-10 auto-coarsening range " +
+              "(coarser candidates overflow Long): raise maxBins instead")
         val probes = coarser.zipWithIndex.map { case (q, i) =>
           countDistinct(quantized(q)).as(s"__n$i") }
         val binCounts = perUser.select(col("__mon")).distinct()
@@ -1199,9 +1217,14 @@ object Events {
         s"[rfmSegments] auto-coarsened monetary quantum " +
           s"$monetaryQuantumCents -> $quantum cents " +
           s"($nMonBins bins <= maxBins=$maxBins)")
-    // binning key: quantized monetary (exact cents kept for sums)
+    // binning key: quantized monetary (exact cents kept for sums). The
+    // chosen quantum is also surfaced as an observe metric (the house
+    // observability surface) — the stderr note above is human-facing.
     val binned = perUser.withColumn("__monq",
       (col("__mon") - pmod(col("__mon"), lit(quantum))).cast("long"))
+      .observe("rfm_quantum",
+        max(lit(quantum)).as("monetary_quantum_cents"),
+        max(lit(nMonBins)).as("monetary_bins"))
     // value-tied quintile bin over each metric's integer histogram:
     // bin(v) = ceil(5·cum(v)/N), cum inclusive of v's own block, values
     // ascending — so the largest fifth lands in bin 5 for every metric

@@ -162,11 +162,18 @@ object Panel {
         when(e.getField("x").isNotNull,
           round(w * 1e6).cast("long")).otherwise(lit(0L)).as("den"))
     })
+    // materialize `terms` in its own projection: referenced bare by both
+    // folds it evaluates the window collect_list + per-element transform
+    // TWICE per row (CollapseProject re-inlines only cheap expressions,
+    // so the split projection is stable — the ir5 tokenize-once class)
     df1
-      .withColumn("__num", aggregate(terms, lit(0L), (a, t) => a + t.getField("num")))
-      .withColumn("__den", aggregate(terms, lit(0L), (a, t) => a + t.getField("den")))
+      .withColumn("__terms", terms)
+      .withColumn("__num",
+        aggregate(col("__terms"), lit(0L), (a, t) => a + t.getField("num")))
+      .withColumn("__den",
+        aggregate(col("__terms"), lit(0L), (a, t) => a + t.getField("den")))
       .withColumn(outCol, safeDiv(col("__num").cast("double"), col("__den").cast("double")))
-      .drop("__ewma_rn", "__num", "__den")
+      .drop("__ewma_rn", "__terms", "__num", "__den")
   }
 
   def cumSum(c: Column)(implicit k: Keys): Column =

@@ -35,7 +35,15 @@ object Retrieval {
     * measured 13.2 s → 3.7 s on the 50k-doc tier corpus. CollapseProject
     * keeps the two projections separate because the shared expression is
     * non-cheap and multiply-referenced. Null-text docs are dropped up
-    * front (`size(null)` = -1 would corrupt dl/tf and the corpus stats). */
+    * front (`size(null)` = -1 would corrupt dl/tf and the corpus stats).
+    *
+    * POPULATION CONTRACT: the retrieval corpus is the docs with
+    * non-null text — every corpus statistic (BM25's N and Σdl, QL's
+    * |C| and cf_t, tf-idf's df) is computed over that population, and
+    * the ir1/ir5 oracle SQL filters `text IS NOT NULL` to match. A
+    * null-text doc can't match any query term, so it contributes
+    * nothing a ranker could return either way; counting it into N
+    * alone (and not dl) would skew idf/length-norm inconsistently. */
   private def perDocTermFrequencies(
       docs: DataFrame,
       idCol: String,
@@ -223,7 +231,9 @@ object Retrieval {
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
-    val n = docs.agg(count(lit(1)).as("__N"))
+    // N over the same population as every other retrieval stat: docs
+    // with non-null text (the perDocTermFrequencies contract)
+    val n = docs.where(col(textCol).isNotNull).agg(count(lit(1)).as("__N"))
     tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select(col(idCol), col("term"), col("tf"), col("df"),

@@ -239,18 +239,33 @@ object DedupBench {
         threshold = 0.8).count())
 
     // Adversarial: one giant exact-duplicate clique — every doc lands in
-    // the SAME bucket in every band. The maxBucket guard must drop it
-    // (0 pairs) without a straggler task; without the guard this is a
-    // 5·10⁹-pair explosion concentrated in one task.
+    // the SAME bucket in every band. Under the r11 default the guard
+    // RAISES (a silent drop voided the completeness claim — the dd27
+    // 10M-doc cliff); with dropOversized=true the bucket is dropped
+    // (0 pairs) without a straggler task. Both modes exercised here:
+    // without ANY guard this is a 5·10⁹-pair explosion in one task.
     val nAdv = sizes.max
     val adversarial = spark.range(nAdv).select(col("id").as("doc_id"),
       lit("identical adversarial document body with plenty of words to shingle")
         .as("text"))
     println(s"--- adversarial: $nAdv identical docs, default maxBucket ---")
-    time(s"minhash capped (expect 0 pairs)")(
-      Dedup.minhashCandidates(adversarial).count())
-    time(s"simhash capped (expect 0 pairs)")(
-      Dedup.simhashNearPairs(adversarial, maxHamming = 3).count())
+    time(s"minhash default (guard raises)") {
+      try {
+        Dedup.minhashCandidates(adversarial).count()
+        println(s"[dedupbench]   ERROR: oversized bucket did NOT raise")
+        -1L
+      } catch {
+        case e: Exception =>
+          println(s"[dedupbench]   guard raised as designed: " +
+            s"${Option(e.getMessage).getOrElse(e.toString).take(120)}")
+          0L
+      }
+    }
+    time(s"minhash capped opt-in (expect 0 pairs)")(
+      Dedup.minhashCandidates(adversarial, dropOversized = true).count())
+    time(s"simhash capped opt-in (expect 0 pairs)")(
+      Dedup.simhashNearPairs(adversarial, maxHamming = 3,
+        dropOversized = true).count())
     // exactsubstr has no pair join to bomb: n identical docs put n
     // occurrences in each gram's hash bucket — one window sort per
     // bucket, covered mass ∝ n — and exactly the FIRST doc survives.
@@ -260,11 +275,11 @@ object DedupBench {
       Dedup.dedupExactSubstrings(adversarial, n = 5).count())
     // cross-corpus: identical boilerplate on BOTH sides would emit
     // |corpus|×|ref| candidate pairs in one task without the guard
-    time(s"cross-corpus capped (expect 0 pairs)")(
+    time(s"cross-corpus capped opt-in (expect 0 pairs)")(
       Dedup.crossNearDuplicates(
         adversarial,
         adversarial.select((col("doc_id") + 2000000000L).as("doc_id"), col("text")),
-        threshold = 0.5).count())
+        threshold = 0.5, dropOversized = true).count())
     // Hot-gram worst case for the PREFIX filter: tiny docs (two
     // shingles each) all sharing one 3-shingle. The shared gram is
     // globally hottest, but with s=2 the prefix covers BOTH tokens, so

@@ -77,7 +77,10 @@ object Sf1Tier {
     "dd27_simhash_prod",
     // round 10 — the Manku block-permutation answer to the measured
     // dd27/dd5 quadratic band-collision mass (honest r10 tier)
-    "dd28_simhash_blocked")
+    "dd28_simhash_blocked",
+    // round 11 — ir1 joins ir5 for the post-tokenize-once-fix tier
+    // refresh (the r10 table's 18.45×/13.2 s rows predate the fix)
+    "ir1_bm25")
 
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>

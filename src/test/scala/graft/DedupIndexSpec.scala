@@ -71,16 +71,26 @@ class DedupIndexSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan)
   }
 
-  test("maxBucket guard drops oversized buckets; pairs must involve a " +
-    "new doc") {
+  test("maxBucket guard raises on oversized buckets by default, drops " +
+    "them under the opt-in; pairs must involve a new doc") {
     val ix = tmp()
     // 6 identical indexed docs + 2 identical new docs, all one bucket
     val base = "the quick brown fox jumps over the lazy dog again"
     val indexed = (0L until 6L).map(i => (i, base)).toDF("doc_id", "text")
     val batch = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
     Dedup.writeMinhashIndex(ix, indexed)
-    // cap below the 8-row bucket → dropped, completes with 0 pairs
-    val guarded = Dedup.incrementalCandidates(spark, ix, batch, maxBucket = 7)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // cap below the 8-row bucket → raises by default (a silent drop
+    // would admit the duplicate batch as clean)
+    val e = intercept[Exception] {
+      Dedup.incrementalCandidates(spark, ix, batch, maxBucket = 7).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBucket")), e.toString)
+    // opt-in: dropped, completes with 0 pairs
+    val guarded = Dedup.incrementalCandidates(spark, ix, batch, maxBucket = 7,
+      dropOversized = true)
     assert(guarded.count() == 0)
     // unguarded: every pair involves doc 10 or 11 — no indexed-indexed
     // pairs (they were handled at their own ingest)

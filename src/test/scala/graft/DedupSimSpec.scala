@@ -244,15 +244,31 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
-  test("maxBucket drops degenerate buckets instead of exploding pairs " +
-    "(adversarial all-duplicates corpus)") {
+  test("maxBucket: an oversized bucket RAISES by default; dropOversized " +
+    "opt-in drops it instead of exploding pairs (adversarial corpus)") {
     val dup = spark.range(50).select(col("id").as("doc_id"),
       lit("identical adversarial document body with plenty of words to shingle")
         .as("text"))
-    // every doc lands in ONE bucket of 50 per band: capped → no pairs
-    assert(Dedup.minhashCandidates(dup, maxBucket = 10).count() == 0)
-    assert(Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 10).count() == 0)
-    // raise the cap → the full duplicate clique comes back
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // every doc lands in ONE bucket of 50 per band. Default: the guard
+    // raises — a silent drop would return a correct-LOOKING empty pair
+    // set (the 10M-doc banded-simhash cliff failure mode).
+    val eM = intercept[Exception] {
+      Dedup.minhashCandidates(dup, maxBucket = 10).count()
+    }
+    assert(messages(eM).exists(_.contains("exceeds maxBucket")), eM.toString)
+    val eS = intercept[Exception] {
+      Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 10).count()
+    }
+    assert(messages(eS).exists(_.contains("exceeds maxBucket")), eS.toString)
+    // explicit opt-in: capped → no pairs, completes without a straggler
+    assert(Dedup.minhashCandidates(dup, maxBucket = 10,
+      dropOversized = true).count() == 0)
+    assert(Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 10,
+      dropOversized = true).count() == 0)
+    // raise the cap → the full duplicate clique comes back (both modes)
     assert(Dedup.minhashCandidates(dup, maxBucket = 1000).count() == 50L * 49 / 2)
     assert(Dedup.simhashNearPairs(dup, maxHamming = 3, maxBucket = 1000).count() ==
       50L * 49 / 2)
@@ -268,7 +284,8 @@ class DedupSimSpec extends SparkSpec {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val capped = Dedup.minhashCandidates(dup, maxBucket = 10)
+      val capped = Dedup.minhashCandidates(dup, maxBucket = 10,
+        dropOversized = true)
       capped.collect()
       val m = capped.queryExecution.observedMetrics("minhash_buckets")
       // all 50 docs share one bucket per band (4 bands): 200 melted rows
@@ -278,13 +295,22 @@ class DedupSimSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("embeddingNearDuplicates: a degenerate blocking bucket is dropped " +
-    "by maxBucket instead of exploding m² cosine pairs in one task") {
+  test("embeddingNearDuplicates: a degenerate blocking bucket raises by " +
+    "default; dropOversized drops it instead of exploding m² pairs") {
     val hot = spark.range(50).select(col("id").as("doc_id"),
       array(lit(1.0f), lit(0.0f)).as("emb"), lit("hot").as("bucket"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDuplicates(
+        hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBucket")), e.toString)
     // one bucket of 50 identical vectors over the cap → 0 pairs, completes
     assert(Dedup.embeddingNearDuplicates(
-      hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10).count() == 0)
+      hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10,
+      dropOversized = true).count() == 0)
     // within the cap → the full duplicate clique
     assert(Dedup.embeddingNearDuplicates(
       hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 1000).count() ==
@@ -294,7 +320,8 @@ class DedupSimSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val capped = Dedup.embeddingNearDuplicates(
-        hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10)
+        hot, "doc_id", "emb", "bucket", 0.9, maxBucket = 10,
+        dropOversized = true)
       capped.collect()
       val m = capped.queryExecution.observedMetrics("embedding_buckets")
       assert(m.getAs[Long]("rows_in_overflow") == 50L)
@@ -401,15 +428,25 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
-  test("crossNearDuplicates: a degenerate shared bucket is dropped by " +
-    "maxBucket instead of exploding m×n candidate pairs") {
+  test("crossNearDuplicates: a degenerate shared bucket raises by default " +
+    "(a pruned bucket silently loses its cross-matches); dropOversized " +
+    "prunes it instead of exploding m×n candidate pairs") {
     val boiler = "identical license header boilerplate text appearing " +
       "everywhere in both corpora with plenty of words"
     val corpus = (0 until 30).map(i => (100L + i, boiler)).toDF("doc_id", "text")
     val eval = (0 until 30).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
     // every doc lands in ONE bucket per band on both sides (30 > cap)
+    val e = intercept[Exception] {
+      Dedup.crossNearDuplicates(
+        corpus, eval, threshold = 0.5, maxBucket = 10).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBucket")), e.toString)
     assert(Dedup.crossNearDuplicates(
-      corpus, eval, threshold = 0.5, maxBucket = 10).count() == 0)
+      corpus, eval, threshold = 0.5, maxBucket = 10,
+      dropOversized = true).count() == 0)
     // under the cap the same content matches normally (5×5 clique)
     assert(Dedup.crossNearDuplicates(
       corpus.limit(5), eval.limit(5), threshold = 0.5, maxBucket = 10).count() == 25)
@@ -858,11 +895,20 @@ class DedupSimSpec extends SparkSpec {
     val out = Dedup.minhashJaccardEstimates(docs)
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq == Seq((1L, 2L, 1.0))) // all 8 components agree
-    // a hot bucket beyond maxBucket is dropped, not exploded
+    // a hot bucket beyond maxBucket raises by default; the dropOversized
+    // opt-in drops it instead of exploding
     val clones = (1L to 5L).map(i =>
       (i, "the quick brown fox jumps over the lazy dog again today"))
       .toDF("doc_id", "text")
-    assert(Dedup.minhashJaccardEstimates(clones, maxBucket = 3).count() == 0)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      Dedup.minhashJaccardEstimates(clones, maxBucket = 3).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBucket")), e.toString)
+    assert(Dedup.minhashJaccardEstimates(clones, maxBucket = 3,
+      dropOversized = true).count() == 0)
   }
 
   test("semanticContamination: flags corpus vectors cosine-near an eval " +

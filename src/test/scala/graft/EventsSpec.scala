@@ -476,15 +476,23 @@ class EventsSpec extends SparkSpec {
     assert(stale.getAs[Long]("m_bin") == 4L)
   }
 
-  test("rfmSegments: monetary quantum auto-coarsens by powers of 10 to " +
-    "fit maxBins, matching the explicit coarse quantum; raises only " +
-    "past the 10^8 range (ev17)") {
-    // 5 payers with cents 101..105: quantum 1 → 5 monetary bins; the
-    // auto-coarsener must pick 10 (all collapse to 100 → 1 bin ≤ 3)
+  test("rfmSegments: maxBins breach raises by default (the oracle-pinned " +
+    "binning contract); autoCoarsen opt-in coarsens by powers of 10, " +
+    "matching the explicit coarse quantum; raises past the 10^8 range " +
+    "(ev17)") {
+    // 5 payers with cents 101..105: quantum 1 → 5 monetary bins; under
+    // maxBins = 3 the default RAISES (silently departing from the
+    // requested quantum would diverge from any result pinned against
+    // it), and the autoCoarsen opt-in must pick 10 (all collapse to
+    // 100 → 1 bin ≤ 3)
     val ev = (1L to 5L).map { u =>
       (u, u, ts(s"2024-01-0$u 10:00:00"), "purchase", 1.00 + u * 0.01)
     }.toDF("event_id", "user_id", "ts", "event_type", "value")
-    val auto = Events.rfmSegments(ev, maxBins = 3L)
+    val eDefault = intercept[ParameterError] {
+      Events.rfmSegments(ev, maxBins = 3L).collect()
+    }
+    assert(eDefault.getMessage.contains("autoCoarsen=true"))
+    val auto = Events.rfmSegments(ev, maxBins = 3L, autoCoarsen = true)
       .orderBy("r_bin", "f_bin", "m_bin").collect()
     val explicit = Events.rfmSegments(ev, monetaryQuantumCents = 10L)
       .orderBy("r_bin", "f_bin", "m_bin").collect()
@@ -492,15 +500,26 @@ class EventsSpec extends SparkSpec {
     // exact cents survive the coarsened binning: 101+...+105
     assert(auto.map(_.getAs[Long]("monetary_cents")).sum == 515L)
     // two monetary values 10^10 cents apart stay distinct at every
-    // candidate quantum ≤ 10^8 → the loud raise still fires
+    // candidate quantum ≤ 10^8 → the loud raise still fires under
+    // autoCoarsen
     val wide = Seq(
       (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 0.01),
       (2L, 2L, ts("2024-01-02 10:00:00"), "purchase", 1.0e8))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
     val e = intercept[ParameterError] {
-      Events.rfmSegments(wide, maxBins = 1L).collect()
+      Events.rfmSegments(wide, maxBins = 1L, autoCoarsen = true).collect()
     }
     assert(e.getMessage.contains("auto-coarsening range"))
+    // quantum already past Long.MaxValue/10: the coarser-candidate list
+    // is empty (the first 10q iterate overflows) — must be the intended
+    // ParameterError, not a bare NoSuchElementException (ADVICE r10).
+    // maxBins = 0 forces the probe path even though the giant quantum
+    // collapses every value to one bin.
+    val eOv = intercept[ParameterError] {
+      Events.rfmSegments(wide, monetaryQuantumCents = Long.MaxValue / 5L,
+        maxBins = 0L, autoCoarsen = true).collect()
+    }
+    assert(eOv.getMessage.contains("overflow"))
   }
 
   test("rollingActiveUsers == per-window brute force (gaps, merges, W=1)") {

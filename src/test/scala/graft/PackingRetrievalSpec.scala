@@ -234,6 +234,32 @@ class PackingRetrievalSpec extends SparkSpec {
         Seq("a"), mu = 0.0))
   }
 
+  test("retrieval population contract: null-text docs are invisible to " +
+    "bm25 / query-likelihood / tfidf — scores identical with and " +
+    "without them (the corpus is the non-null-text docs)") {
+    val base = Seq(
+      (1L, "spark join window spark"),
+      (2L, "spark engines run queries"),
+      (3L, "completely unrelated words here"))
+      .toDF("doc_id", "text")
+    val withNulls = base.unionByName(Seq(
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Retrieval.bm25TopK(withNulls, "doc_id", "text", Seq("spark"))) ==
+      rows(Retrieval.bm25TopK(base, "doc_id", "text", Seq("spark"))))
+    assert(
+      rows(Retrieval.queryLikelihoodTopK(
+        withNulls, "doc_id", "text", Seq("spark"))) ==
+      rows(Retrieval.queryLikelihoodTopK(base, "doc_id", "text", Seq("spark"))))
+    assert(
+      rows(Retrieval.tfidf(withNulls, "doc_id", "text")
+        .orderBy("doc_id", "term")) ==
+      rows(Retrieval.tfidf(base, "doc_id", "text").orderBy("doc_id", "term")))
+  }
+
   test("curriculumOrder: round-robin positions match the definitional " +
     "global rank; guards (sp16)") {
     // band 0: docs 1, 2 (low score); band 1: docs 3, 4, 5
