@@ -66,6 +66,9 @@ object Bench {
     // steady-state cost of the plan; the median is the honesty check.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    // (declared before render, which serializes it — see the sampling
+    // comment at the run loop)
+    val controlSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def render(results: Seq[(String, Double, Double, Option[String])]): String = {
       val ok = results.collect { case (k, mn, md, None) => (k, mn, md) }
       val qs = ok.map { case (k, mn, _) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
@@ -73,8 +76,10 @@ object Bench {
         "\"" + k + "\":{\"min\":" + mn + ",\"median\":" + md + "}" }.mkString("{", ",", "}")
       val errs = results.collect { case (k, _, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+      val ctl = controlSeries
+        .map { case (i, s) => s"[$i,$s]" }.mkString("[", ",", "]")
       val total = ok.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"control":$ctl,"repeats":$repeats,"sf":"$sfDir"}"""
     }
     // The stdout copy the driver captures has truncated mid-JSON three
     // rounds running (r7/r8/r9 artifacts: "parsed": null) even on a
@@ -98,7 +103,25 @@ object Bench {
       }
     val done = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Option[String])]
+    // Periodic control samples: host load drifts WITHIN a 25-minute
+    // full-catalog run (r11 A/B: sw1_param_sweep tracks concurrent
+    // load monotonically — control 0.12 s → sw1 1.54 s, 0.35 s →
+    // 3.35 s on identical code), so one end-of-run control row can't
+    // adjudicate per-query drift for queries measured 20 minutes
+    // earlier. Sample the control query every `controlEvery` queries;
+    // the series lands in the out-file as "control": [[i, sec], ...].
+    val controlEvery = 50
+    def sampleControl(): Unit =
+      SparkEntry.queries.get("w1_lag").foreach { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          controlSeries += ((done.size, (System.nanoTime() - t0) / 1e9))
+        } catch { case _: Throwable => }
+        releaseState()
+      }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (done.size % controlEvery == 0) sampleControl()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var rep = 0
@@ -119,6 +142,7 @@ object Bench {
       // parseable artifact covering every completed query
       writeOut(render(done.toSeq))
     }
+    sampleControl() // bracket the run: the series ends with a fresh sample
     writeOut(render(done.toSeq))
     println(renderCompact(done.toSeq))
     spark.stop()
