@@ -1764,6 +1764,57 @@ private[graft] object TextOraclesB {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
+    // DD29: the incremental (index + batch) path is complete at
+    // hamming <= 3 like dd28, restricted to pairs involving a batch
+    // doc (doc_id >= 400) — so the pin is the SAME brute-force replay
+    // with that filter; build/search parameter agreement on the engine
+    // side is what the shared-key-derivation contract guarantees
+    "dd29_incremental_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')),
+        |      '\s+'))) AS w
+        |  FROM documents),
+        |h0 AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substring(md5(w), 1, 8) AS UBIGINT)
+        |      AS HUGEINT) AS hi,
+        |    CAST(CAST('0x' || substring(md5(w), 9, 8) AS UBIGINT)
+        |      AS HUGEINT) AS lo
+        |  FROM words),
+        |h AS (
+        |  -- explicit two's-complement wrap: DuckDB's UBIGINT->BIGINT
+        |  -- cast raises on the sign bit instead of wrapping
+        |  SELECT doc_id,
+        |    CAST(hi * 4294967296::HUGEINT + lo
+        |      - CASE WHEN hi >= 2147483648::HUGEINT
+        |             THEN 18446744073709551616::HUGEINT
+        |             ELSE 0::HUGEINT END AS BIGINT) AS hv
+        |  FROM h0),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bits
+        |  GROUP BY 1, 2),
+        |fp0 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 THEN 1::HUGEINT << i
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM v GROUP BY 1),
+        |fp AS (
+        |  -- same two's-complement wrap for the bit-63 term
+        |  SELECT doc_id,
+        |    CAST(s - CASE WHEN s >= 9223372036854775808::HUGEINT
+        |             THEN 18446744073709551616::HUGEINT
+        |             ELSE 0::HUGEINT END AS BIGINT) AS simhash
+        |  FROM fp0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |  AND (a.doc_id >= 400 OR b.doc_id >= 400)""".stripMargin,
+
     // MM5: stub pHash = md5 splice (payload is the UTF-8 text bytes, so
     // md5(text) = md5(payload)); the banded engine path is pigeonhole-
     // complete at hamming ≤ 3 < 4 bands, so the all-pairs replay here

@@ -806,6 +806,20 @@ object TextQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
 
+    // ---- DD29: the dd18 build/search split on the FINGERPRINT path —
+    // simhash fp + Manku blocked keys published as a parquet index,
+    // batch pairs at hamming <= 3 without re-fingerprinting the
+    // indexed side (verify reads 8-byte fps, never indexed text). The
+    // brute-force oracle replay filtered to batch-involving pairs pins
+    // it to the same answer as running dd28 over the full corpus ----
+    "dd29_incremental_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ix = tempDir("graft_simhash_index")
+      Dedup.writeSimhashIndex(ix, docs.where(col("doc_id") < 400))
+      Dedup.incrementalSimhashPairs(
+        s, ix, docs.where(col("doc_id") >= 400), maxHamming = 3)
+    }),
+
     // tokenizer-prep vocabulary: top-100 words by count (lexicographic
     // tie-break), rank 1..V
     "tx15_vocab" -> ((s, dir) =>

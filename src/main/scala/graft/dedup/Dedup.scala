@@ -1583,6 +1583,22 @@ object Dedup {
       maxBucket: Int = 10000,
       metricName: String = "fingerprint_buckets",
       dropOversized: Boolean = false): DataFrame = {
+    val banded = fp
+      .where(col(fpCol).isNotNull)
+      .select(col(idCol), col(fpCol),
+        posexplode(blockedKeyArray(fpCol, bits, blocks, maxHamming))
+          .as(Seq("__band", "__key")))
+    bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
+      maxBucket, metricName, dropOversized)
+  }
+
+  /** The C(blocks, blocks−maxHamming) packed table keys of the Manku
+    * block-permutation construction — shared by
+    * [[fingerprintNearPairsBlocked]] and the simhash index family
+    * (build and search must derive keys identically, or index lookups
+    * silently find nothing — the appendToMinhashIndex contract). */
+  private def blockedKeyArray(
+      fpCol: String, bits: Int, blocks: Int, maxHamming: Int): Column = {
     require(maxHamming >= 0 && maxHamming < blocks,
       s"block pigeonhole needs 0 <= maxHamming < blocks: $maxHamming/$blocks")
     require(bits % blocks == 0, s"blocks must divide bits: $bits/$blocks")
@@ -1597,16 +1613,10 @@ object Dedup {
     // list (56 for the 8-block/hamming-3 default), each key the kept
     // blocks packed little-endian into one long
     val combos = (0 until blocks).combinations(keep).toSeq
-    val keyArr = array(combos.map(c =>
+    array(combos.map(c =>
       c.zipWithIndex
         .map { case (b, j) => shiftleft(block(b), j * width) }
         .reduce(_.bitwiseOR(_))): _*)
-    val banded = fp
-      .where(col(fpCol).isNotNull)
-      .select(col(idCol), col(fpCol),
-        posexplode(keyArr).as(Seq("__band", "__key")))
-    bucketedFingerprintPairs(banded, idCol, fpCol, maxHamming, bits,
-      maxBucket, metricName, dropOversized)
   }
 
   /** Shared verify stage of the two hamming-LSH candidate generators:
@@ -1642,6 +1652,147 @@ object Dedup {
         hammingDistance(col("a.sh"), col("b.sh"), bits).as("hamming"))
       .where(col("hamming") <= maxHamming) // popcount BEFORE the distinct:
       .distinct() // far fewer rows reach the dedup shuffle
+  }
+
+  /** Publish a corpus's simhash fingerprints + Manku blocked-table
+    * keys as a parquet index — the fingerprint-path build/search split
+    * (cf. [[writeMinhashIndex]]), with a stronger property: verify
+    * needs only the 8-byte fingerprints, so an ingest batch NEVER
+    * re-reads indexed TEXT at all (the minhash path still re-shingles
+    * candidate docs). Layout: `dir/fp` holds (id, __fp); `dir/bands`
+    * holds (id, __band, __key) partitioned by table position. At
+    * 100 TB of text the index is ~10⁻⁴ of the corpus bytes (8 B + 56
+    * keyed rows per doc), and per-batch cost is the batch fingerprint
+    * pass + a key-pruned narrow band scan.
+    *
+    * Caller contract (the [[appendToMinhashIndex]] stance): search
+    * parameters (bits, blocks, maxHamming) must MATCH the build —
+    * keys from different parameters never collide usefully. */
+  def writeSimhashIndex(
+      dir: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      blocks: Int = 8): Unit =
+    publishSimhashIndex(dir, docs, idCol, textCol, maxHamming, bits,
+      blocks, mode = "overwrite")
+
+  /** Append an admitted batch to a [[writeSimhashIndex]] index (after
+    * it passed [[incrementalSimhashPairs]]). Batch ids must be
+    * disjoint from indexed ids; parameters must match the build. */
+  def appendToSimhashIndex(
+      dir: String,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      blocks: Int = 8): Unit =
+    publishSimhashIndex(dir, docs, idCol, textCol, maxHamming, bits,
+      blocks, mode = "append")
+
+  private def publishSimhashIndex(
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int,
+      bits: Int,
+      blocks: Int,
+      mode: String): Unit = {
+    // the fingerprint frame feeds BOTH writes — lazy checkpoint so the
+    // text pass runs once (the dd4 aliased-recompute policy)
+    val fp = spread(docs.where(col(textCol).isNotNull), idCol)
+      .select(col(idCol),
+        graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
+      .stableCheckpoint(eager = false)
+    fp.write.mode(mode).parquet(s"$dir/fp")
+    fp.select(col(idCol),
+      posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
+        .as(Seq("__band", "__key")))
+      .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
+  }
+
+  /** Near-duplicate pairs of an ingest batch against a published
+    * [[writeSimhashIndex]] index (plus within-batch pairs): complete
+    * at `maxHamming` by the block pigeonhole, verified with the exact
+    * popcount, involving at least one batch doc — result-identical to
+    * [[simhashNearPairsBlocked]] over (indexed ∪ batch) filtered to
+    * batch-involving pairs (spec-asserted), WITHOUT re-fingerprinting
+    * or re-reading the indexed corpus text.
+    *
+    * Scale shape: the batch's table keys (bounded by the batch — the
+    * small side by construction) broadcast-semi-join the band index
+    * BEFORE the bucket shuffle, so index rows reaching the window ∝
+    * the batch's collision mass, not |index|; verify joins the two
+    * fingerprint columns only, pruned to candidate ids. Same
+    * [[guardBucket]] default-raise + `incremental_simhash_buckets`
+    * observe metric as every pair generator. Returns
+    * (id_a, id_b, hamming). */
+  def incrementalSimhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      blocks: Int = 8,
+      maxBucket: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
+    // batch fingerprints feed the band melt AND the verify join
+    val fpNew = spread(batch.where(col(textCol).isNotNull), idCol)
+      .select(col(idCol),
+        graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
+      .stableCheckpoint(eager = false)
+    val neu = fpNew
+      .select(col(idCol),
+        posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
+          .as(Seq("__band", "__key")))
+      .withColumn("__new", lit(true))
+      .stableCheckpoint(eager = false) // feeds the union + the key prune
+    val newKeys = neu.select("__band", "__key").distinct()
+    val idx = spark.read.parquet(s"$dir/bands")
+      .select(col(idCol), col("__band").cast("int").as("__band"),
+        col("__key"), lit(false).as("__new"))
+    val sized = idx.unionByName(neu)
+      .join(newKeys.hint("broadcast"), Seq("__band", "__key"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__key")))
+      .observe("incremental_simhash_buckets",
+        sum(when(col("__n") > maxBucket, 1L).otherwise(0L)).as("rows_in_overflow"),
+        max(col("__n")).as("max_bucket"))
+    // candidate pairs referenced three times below (two id prunes +
+    // the verify probe) — lazy checkpoint, the nearDuplicates policy
+    val cands = guardBucket(sized, maxBucket, "incrementalSimhashPairs",
+      "pre-dedup the batch exactly first", dropOversized)
+      .where(col("__n") > 1)
+      .groupBy("__band", "__key")
+      .agg(collect_list(struct(col(idCol).as("id"), col("__new"))).as("__ids"))
+      .select(explode(col("__ids")).as("a"), col("__ids"))
+      .select(col("a"), explode(col("__ids")).as("b"))
+      .where(col("a.id") < col("b.id") && (col("a.__new") || col("b.__new")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .stableCheckpoint(eager = false)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol)))
+      .distinct()
+    // verify reads 8-byte fingerprints only — indexed text is never
+    // touched; the fp scan is pruned to candidate ids (∝ dup mass).
+    // Referenced by both verify-join sides → lazy checkpoint.
+    val fps = spark.read.parquet(s"$dir/fp")
+      .select(col(idCol), col("__fp"))
+      .unionByName(fpNew)
+      .join(candIds, Seq(idCol), "left_semi")
+      .stableCheckpoint(eager = false)
+    cands
+      .join(fps.select(col(idCol).as("id_a"), col("__fp").as("__fa")), "id_a")
+      .join(fps.select(col(idCol).as("id_b"), col("__fp").as("__fb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__fa"), col("__fb"), bits).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-duplicates within blocking buckets: candidate

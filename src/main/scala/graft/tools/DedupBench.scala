@@ -148,6 +148,27 @@ object DedupBench {
       time(s"simhash sparse blocked 56tbl (ham<=3)")(
         Dedup.simhashNearPairsBlocked(
           sparseCorpus(spark, n), maxHamming = 3).count())
+      // the dd29 build/search split: index the sparse corpus ONCE, then
+      // check a 1%-sized ingest batch whose docs DUPLICATE corpus docs
+      // (same texts, shifted ids — a fully-duplicate ingest, the worst
+      // case for collision mass). The claim under test: per-batch cost
+      // ∝ batch fingerprint pass + key-pruned band scan + collision
+      // mass — NOT ∝ |index| (compare the full blocked row above)
+      val wantIx = only.forall(s =>
+        "simhash index build (sparse)".contains(s) ||
+          "simhash incremental batch (1%)".contains(s))
+      if (wantIx) {
+        val ixDir = java.nio.file.Files
+          .createTempDirectory("dedupbench_shix").toString
+        time(s"simhash index build (sparse)") {
+          Dedup.writeSimhashIndex(ixDir, sparseCorpus(spark, n))
+          n
+        }
+        val batch = sparseCorpus(spark, math.max(n / 100, 1000L))
+          .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
+        time(s"simhash incremental batch (1%)")(
+          Dedup.incrementalSimhashPairs(spark, ixDir, batch).count())
+      }
       // eval set = every 1000th doc's text, re-id'd: each eval doc's
       // 48-word core collides with its source group → hits ∝ eval size
       val eval = docs.where(pmod(col("doc_id"), lit(1000L)) === 0)

@@ -79,8 +79,9 @@ object Sf1Tier {
     // dd27/dd5 quadratic band-collision mass (honest r10 tier)
     "dd28_simhash_blocked",
     // round 11 — ir1 joins ir5 for the post-tokenize-once-fix tier
-    // refresh (the r10 table's 18.45×/13.2 s rows predate the fix)
-    "ir1_bm25")
+    // refresh (the r10 table's 18.45×/13.2 s rows predate the fix);
+    // dd29 is the round's new op (build+search both inside the query)
+    "ir1_bm25", "dd29_incremental_simhash")
 
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>

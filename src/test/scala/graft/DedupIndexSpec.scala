@@ -100,4 +100,80 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a >= 10L || b >= 10L })
     assert(!pairs.exists { case (a, b) => a < 6L && b < 6L })
   }
+
+  // ---- the fingerprint-path index family (dd29) ----
+
+  private def hammingSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("incrementalSimhashPairs == full simhashNearPairsBlocked filtered " +
+    "to batch-involving pairs (dd29)") {
+    val ix = tmp()
+    Dedup.writeSimhashIndex(ix, docs.where($"doc_id" < cut))
+    val incr = Dedup.incrementalSimhashPairs(
+      spark, ix, docs.where($"doc_id" >= cut), maxHamming = 3)
+    val full = Dedup.simhashNearPairsBlocked(docs, maxHamming = 3)
+      .where($"id_a" >= cut || $"id_b" >= cut)
+    assert(hammingSet(incr) == hammingSet(full))
+    assert(hammingSet(incr).nonEmpty, "fixture produced no cross-batch pairs")
+  }
+
+  test("appendToSimhashIndex: a second batch checks against corpus + batch1") {
+    val ix = tmp()
+    val c1 = 30L
+    val c2 = 40L
+    Dedup.writeSimhashIndex(ix, docs.where($"doc_id" < c1))
+    Dedup.appendToSimhashIndex(
+      ix, docs.where($"doc_id" >= c1 && $"doc_id" < c2))
+    val incr = Dedup.incrementalSimhashPairs(
+      spark, ix, docs.where($"doc_id" >= c2), maxHamming = 3)
+    val full = Dedup.simhashNearPairsBlocked(docs, maxHamming = 3)
+      .where($"id_a" >= c2 || $"id_b" >= c2)
+    assert(hammingSet(incr) == hammingSet(full))
+  }
+
+  test("simhash index verify never touches indexed TEXT: the steady plan " +
+    "has no simhash subtree and scans only the two index tables") {
+    val ix = tmp()
+    Dedup.writeSimhashIndex(ix, docs.where($"doc_id" < cut))
+    val incr = Dedup.incrementalSimhashPairs(
+      spark, ix, docs.where($"doc_id" >= cut), maxHamming = 3)
+    incr.collect()
+    val plan = incr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the candidate frame and the candidate-pruned fingerprint frame
+    // are both lazy-checkpointed (each is referenced by ≥ 2 join
+    // sides), so the STEADY plan is two broadcast joins over
+    // checkpointed RDD scans: zero parquet scans here (the bands + fp
+    // index reads ran exactly once inside the checkpoints), zero text
+    // reads, and no simhash recompute anywhere ("simhash(" is the
+    // native expression's call rendering; the bare word also appears
+    // in the observe metric name, which is fine)
+    assert(!plan.contains("simhash("), plan)
+    assert("Scan parquet".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("Scan ExistingRDD"), plan)
+  }
+
+  test("incrementalSimhashPairs: oversized buckets raise by default, " +
+    "drop under the opt-in; pairs must involve a batch doc") {
+    val ix = tmp()
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val indexed = (0L until 6L).map(i => (i, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, base)).toDF("doc_id", "text")
+    Dedup.writeSimhashIndex(ix, indexed)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      Dedup.incrementalSimhashPairs(spark, ix, batch, maxBucket = 7).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBucket")), e.toString)
+    assert(Dedup.incrementalSimhashPairs(spark, ix, batch, maxBucket = 7,
+      dropOversized = true).count() == 0)
+    val pairs = Dedup.incrementalSimhashPairs(spark, ix, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a >= 10L || b >= 10L })
+    assert(!pairs.exists { case (a, b) => a < 6L && b < 6L })
+  }
 }
