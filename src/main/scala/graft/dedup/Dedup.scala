@@ -1709,9 +1709,16 @@ object Dedup {
         graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
       .stableCheckpoint(eager = false)
     fp.write.mode(mode).parquet(s"$dir/fp")
+    // repartition on the table position before the partitioned write:
+    // without it every task writes into every __band dir (tasks ×
+    // C(blocks, keep) small files — ~1,800 for the 56-table default,
+    // and file creation dominated the write at catalog SF). One
+    // shuffle → ≤ one file per (task, band); at volume
+    // maxRecordsPerFile splits naturally.
     fp.select(col(idCol),
       posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
         .as(Seq("__band", "__key")))
+      .repartition(col("__band"))
       .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
   }
 
