@@ -1157,6 +1157,65 @@ private[graft] object OraclesB {
         |JOIN mb ON pu.mon = mb.v
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // EV38: ev17 with the autoCoarsen policy replicated — the candidate
+    // scan picks min q in {1,10,…,10⁸} whose quantized distinct count
+    // fits maxBins = 100 (monotone nonincreasing in q, so min-fitting ==
+    // the engine's finest-fitting; q = 1 fitting == the engine's happy
+    // path). Quantization mirrors Spark's pmod ((m % q + q) % q) so
+    // negative monetary sums round toward -inf in both engines; exact
+    // cents still summed in the output.
+    "ev38_rfm_autocoarsen" ->
+      """WITH anchor AS (
+        |  SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS a
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    min(date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+        |      (SELECT a FROM anchor))) AS rec,
+        |    count(*) AS freq,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END), 0)
+        |      AS mon
+        |  FROM events GROUP BY 1),
+        |cand AS (
+        |  SELECT CAST(unnest([1, 10, 100, 1000, 10000, 100000,
+        |                      1000000, 10000000, 100000000]) AS BIGINT)
+        |    AS q),
+        |counts AS (
+        |  SELECT q, count(DISTINCT mon - ((mon % q + q) % q)) AS nq
+        |  FROM pu CROSS JOIN cand GROUP BY q),
+        |chosen AS (SELECT min(q) AS q FROM counts WHERE nq <= 100),
+        |puq AS (
+        |  SELECT user_id, rec, freq, mon,
+        |    mon - ((mon % (SELECT q FROM chosen)
+        |            + (SELECT q FROM chosen)) % (SELECT q FROM chosen))
+        |      AS monq
+        |  FROM pu),
+        |n AS (SELECT count(*) AS tot FROM puq),
+        |rb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT rec AS v, sum(count(*)) OVER (ORDER BY rec
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM puq GROUP BY rec), n),
+        |fb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT freq AS v, sum(count(*)) OVER (ORDER BY freq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM puq GROUP BY freq), n),
+        |mb AS (
+        |  SELECT v, CAST(floor((cum * 5 - 1) / tot) AS BIGINT) + 1 AS bin
+        |  FROM (SELECT monq AS v, sum(count(*)) OVER (ORDER BY monq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM puq GROUP BY monq), n)
+        |SELECT rb.bin AS r_bin, fb.bin AS f_bin, mb.bin AS m_bin,
+        |  count(*)::BIGINT AS n_users,
+        |  sum(puq.mon)::BIGINT AS monetary_cents
+        |FROM puq
+        |JOIN rb ON puq.rec = rb.v
+        |JOIN fb ON puq.freq = fb.v
+        |JOIN mb ON puq.monq = mb.v
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     // EV15: burstiness — exact µs gaps, decimal raw moments per user,
     // micro-requantized corpus mean
     "ev15_burstiness" ->

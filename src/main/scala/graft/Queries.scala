@@ -1923,6 +1923,17 @@ object Queries {
     "ev17_rfm" -> ((s, dir) =>
       graft.events.Events.rfmSegments(events(s, dir))),
 
+    // ---- EV38: the autoCoarsen POLICY oracle-pinned — maxBins forced
+    // below the paying-user cardinality so the powers-of-10 probe must
+    // fire; the oracle replicates the candidate scan (min q in
+    // {1,10,…,10⁸} whose quantized distinct count fits — distinct
+    // counts are monotone nonincreasing in q, so min-fitting = the
+    // engine's finest-fitting) including Spark's pmod semantics for
+    // negative sums ----
+    "ev38_rfm_autocoarsen" -> ((s, dir) =>
+      graft.events.Events.rfmSegments(events(s, dir), maxBins = 100L,
+        autoCoarsen = true)),
+
     // ---- J14: nearest-direction as-of — each view takes the CLOSEST
     // purchase in time within 1 hour, both directions, backward on
     // ties; one window pass, no range join ----
