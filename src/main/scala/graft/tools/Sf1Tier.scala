@@ -81,7 +81,7 @@ object Sf1Tier {
     // round 11 — ir1 joins ir5 for the post-tokenize-once-fix tier
     // refresh (the r10 table's 18.45×/13.2 s rows predate the fix);
     // dd29 is the round's new op (build+search both inside the query)
-    "ir1_bm25", "dd29_incremental_simhash")
+    "ir1_bm25", "dd29_incremental_simhash", "ev38_rfm_autocoarsen")
 
   private def shifted(df: DataFrame, keys: Seq[String], copy: Int): DataFrame =
     keys.foldLeft(df)((d, k) =>
