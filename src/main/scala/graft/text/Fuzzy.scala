@@ -14,10 +14,14 @@ import graft.functions.JaroWinklerSimilarity.jaroWinklerNative
   *
   * Guard discipline (the dd6/embeddingNearDuplicates contract): a
   * degenerate blocking key ("", a boilerplate token) concentrates the
-  * whole join in one task, so blocks beyond `maxBlock` rows on EITHER
-  * side are dropped before the pair join, observable via the
-  * `fuzzy_blocks` observe metric — loud degradation, never a silent
-  * 10⁹-pair stage. Null/empty block keys never match anything.
+  * whole join in one task, so a block beyond `maxBlock` rows on
+  * EITHER side RAISES by default (r11 — a dropped block silently
+  * loses every match in it, and the fz1 oracle scores ALL blocked
+  * pairs: a silent drop would diverge from it exactly at the tier
+  * where it first matters). `dropOversized = true` opts into the old
+  * drop, observable via the `fuzzy_blocks` observe metrics. Never a
+  * silent 10⁹-pair stage either way. Null/empty block keys never
+  * match anything.
   */
 object Fuzzy {
 
@@ -30,7 +34,8 @@ object Fuzzy {
       rightName: String,
       blockKey: Column => Column,
       minSim: Double,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = 10000,
+      dropOversized: Boolean = false): DataFrame = {
     require(minSim > 0 && minSim <= 1, s"minSim in (0,1]: $minSim")
     require(maxBlock >= 1, s"maxBlock >= 1: $maxBlock")
     def side(df: DataFrame, id: String, name: String, tag: String): DataFrame =
@@ -39,18 +44,25 @@ object Fuzzy {
         .where(col("__bk").isNotNull && col("__bk") =!= "")
         .withColumn(s"__n_$tag",
           count(lit(1)).over(Window.partitionBy("__bk")))
-    val l = side(left, leftId, leftName, "l")
+    def guard(df: DataFrame, tag: String): DataFrame =
+      if (dropOversized) df.where(col(s"__n_$tag") <= maxBlock)
+      else df.where(when(col(s"__n_$tag") > maxBlock, raise_error(concat(
+        lit(s"fuzzyJoin: a $tag-side block of "), col(s"__n_$tag"),
+        lit(s" rows exceeds maxBlock=$maxBlock — dropping it would " +
+          "silently lose every match in the block; refine blockKey, " +
+          "raise maxBlock, or pass dropOversized=true to accept the " +
+          "recall loss"))))
+        .otherwise(lit(true)))
+    val l = guard(side(left, leftId, leftName, "l")
       .observe("fuzzy_blocks",
         max(col("__n_l")).as("max_left_block"),
         sum(when(col("__n_l") > maxBlock, 1L).otherwise(0L))
-          .as("left_rows_in_overflow"))
-      .where(col("__n_l") <= maxBlock)
-    val r = side(right, rightId, rightName, "r")
+          .as("left_rows_in_overflow")), "l")
+    val r = guard(side(right, rightId, rightName, "r")
       .observe("fuzzy_blocks_right",
         max(col("__n_r")).as("max_right_block"),
         sum(when(col("__n_r") > maxBlock, 1L).otherwise(0L))
-          .as("right_rows_in_overflow"))
-      .where(col("__n_r") <= maxBlock)
+          .as("right_rows_in_overflow")), "r")
     l.join(r, Seq("__bk"))
       .select(col("l_id"), col("r_id"),
         round(jaroWinklerNative(col("l_name"), col("r_name")), 6).as("jw"))

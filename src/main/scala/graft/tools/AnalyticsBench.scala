@@ -114,13 +114,16 @@ object AnalyticsBench {
         blockFine, minSim = 0.95, maxBlock = 20000).count())
       println(f"fuzzy n=$n blocked: $s%.2f s, $m matches")
       release()
+      // explicit drop opt-in (r11: the default now RAISES on an
+      // oversized block — this row times the recall-tolerant path)
       val (fm, fs) = time(graft.text.Fuzzy.fuzzyJoin(
         l.withColumn("name", concat(lit("same "), col("name"))),
         r.withColumn("name", concat(lit("same "), col("name"))),
         "id", "id", "name", "name",
-        c => split(c, " ").getItem(0), minSim = 0.95, maxBlock = 20000).count())
+        c => split(c, " ").getItem(0), minSim = 0.95, maxBlock = 20000,
+        dropOversized = true).count())
       println(f"fuzzy adversarial one-block n=$n: $fs%.2f s, $fm matches " +
-        "(guard drops the flood — must not be n^2)")
+        "(opt-in guard drops the flood — must not be n^2)")
       release()
     }
 

@@ -59,8 +59,9 @@ class FuzzySpec extends SparkSpec {
     }
   }
 
-  test("fuzzyJoin: blocking bounds candidates; oversized blocks drop " +
-    "loudly, never explode") {
+  test("fuzzyJoin: blocking bounds candidates; an oversized block raises " +
+    "by default (the fz1 oracle scores ALL blocked pairs — a silent " +
+    "drop would diverge from it); dropOversized drops, never explodes") {
     val left = Seq((1L, "acme corp"), (2L, "acme inc"), (3L, "zenith ltd"))
       .toDF("id", "name")
     val right = Seq((10L, "acme corpx"), (11L, "zenith ltd"), (12L, "nadir co"))
@@ -71,10 +72,18 @@ class FuzzySpec extends SparkSpec {
     // acme corp ~ acme corpx (0.98), zenith exact; acme inc vs corpx
     // scores below 0.9; nadir blocks alone
     assert(out == Set((1L, 10L), (3L, 11L)))
-    // degenerate block: every row shares one key, maxBlock = 2 → left
-    // side (3 rows) drops entirely, right side (3 rows) drops too
+    // degenerate block: every row shares one key, maxBlock = 2
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      Fuzzy.fuzzyJoin(left, right, "id", "id", "name", "name",
+        _ => lit("same"), minSim = 0.01, maxBlock = 2).count()
+    }
+    assert(messages(e).exists(_.contains("exceeds maxBlock")), e.toString)
+    // opt-in: left side (3 rows) drops entirely, right side drops too
     val flood = Fuzzy.fuzzyJoin(left, right, "id", "id", "name", "name",
-      _ => lit("same"), minSim = 0.01, maxBlock = 2)
+      _ => lit("same"), minSim = 0.01, maxBlock = 2, dropOversized = true)
     assert(flood.count() == 0)
   }
 
