@@ -27,6 +27,17 @@ object Bench {
     // driver's stdout capture window and has truncated the round bench
     // artifact four rounds running.
     spark.sparkContext.setLogLevel("ERROR")
+    // r12: silence DAGScheduler's accumulator-update failures. SQLMetrics
+    // are registered WEAKLY; when a metric's owner is GC'd mid-job (lazy
+    // checkpoint segments under memory churn) every late task-end logs a
+    // full "Failed to update accumulator" stack trace FROM THE SINGLE-
+    // THREADED SCHEDULER EVENT LOOP — the r12 baseline run logged 14,384
+    // of them, serializing scheduling behind console I/O and bloating the
+    // captured stdout. Metrics-only, benign for results (query failures
+    // reach the artifact via the action's exception, not this logger).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.FATAL)
 
     // warm-up: touch every table + exercise codegen/shuffle machinery once
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -136,13 +136,30 @@ object Multimodal {
     * channel values are closed-form in (x, y, id) — so a SQL oracle
     * verifies real decoded content analytically, without a decoder of
     * its own. Same typed-mapPartitions contract as every codec op. */
+  /** Partition width for codec fan-out: the cluster's scheduling
+    * parallelism (local[n] → n; on a cluster, executor slots), never a
+    * constant — fixture/codec stages are CPU-bound per ROW, so the
+    * right width is the core count, not a byte target. */
+  private def codecParallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
   def imageFixture(df: DataFrame, idCol: String = "media_id"): DataFrame = {
     import org.apache.spark.sql.Encoders
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    // hash-spread the id-only frame BEFORE the CPU-heavy encode (the
+    // Dedup.spread pattern): the ids usually arrive on a handful of
+    // scan partitions, which would serialize the PNG encode — and every
+    // decode chained on this frame — onto as few tasks (measured at
+    // sf0.1: the whole mm2 decode ran as ONE 3.5 s task). The shuffle
+    // moves 8-byte ids; the payloads are born wide. The partition count
+    // is pinned to the session's parallelism because AQE's BYTE-based
+    // coalescing is the wrong model here: rows are 8 bytes in and
+    // codec-seconds of CPU out, so coalescing the id shuffle back to
+    // one ~KB partition re-serializes the decode.
+    df.repartition(codecParallelism(df), col(idCol)).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         Row(id, MediaCodec.gradientPng(id))
@@ -161,6 +178,13 @@ object Multimodal {
       StructField(idCol, LongType, nullable = false),
       StructField("payload", BinaryType, nullable = true)))
     val idIdx = df.schema.fieldIndex(idCol)
+    // NO pre-encode spread here, unlike [[imageFixture]]: javax.sound's
+    // AudioSystem routes every encode/decode through a synchronized
+    // provider registry, so fanning the WAV codec out across one JVM's
+    // cores just converts the work into monitor contention (measured at
+    // sf0.1: 3 tasks × ~0.15 s single-threaded vs 32 tasks × ~1.0 s
+    // spread — 60× the CPU for a slower wall). Input partitioning is
+    // the parallelism; across executor JVMs it scales normally.
     df.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
@@ -428,6 +452,14 @@ final class MediaCodec private (dim: Int) {
 }
 
 object MediaCodec {
+  // ImageIO's default stream cache is DISK-backed: every encode/decode
+  // of an in-memory payload creates (and deletes) a temp FILE. At 32
+  // concurrent decode tasks the filesystem churn dominates the codec —
+  // measured at sf0.1: the mm2 decode stage ran ~1.0 s/task with disk
+  // cache vs ~0.1 s/task in-memory. All payloads here are byte arrays,
+  // so the memory cache is strictly correct and strictly cheaper.
+  javax.imageio.ImageIO.setUseCache(false)
+
   def open(dim: Int): MediaCodec = new MediaCodec(dim)
 
   /** REAL image decode via javax.imageio (pure JDK — PNG, JPEG, GIF,
