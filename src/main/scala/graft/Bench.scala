@@ -10,7 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,7 +21,18 @@ object Bench {
       // site degrades to null instead of aborting a cluster-wide job.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // r12 shuffle-scratch I/O (guide §2.1/§6: local disk can be the
+    // tighter limit): on this virtualized host the per-map-task shuffle
+    // concat was the dominant fixed cost of EVERY stage — jstack showed
+    // map tasks inside FileChannel.map/unmap0 (transferTo's mmap path;
+    // unmap triggers cross-vCPU TLB shootdowns) and FileOutputStream.open
+    // on the slow root FS. Streamed copies + RAM-backed local dirs cut a
+    // trivial 32-task shuffle stage from ~250 ms/task to ~23 ms/task.
+    // Both knobs stay env-overridable: on bare metal with NVMe scratch
+    // and large shuffle files, transferTo's zero-copy wins — set
+    // SPARK_GRAFT_TRANSFER_TO=true / SPARK_GRAFT_LOCAL_DIR=<nvme path>.
+    graft.tools.LocalIo.tune(builder)
+    val spark = builder.getOrCreate()
     // ERROR, not WARN: releaseState()'s unpersist of localCheckpointed
     // RDDs emits one WARN per RDD; over a 428-query run that floods the
     // driver's stdout capture window and has truncated the round bench
@@ -125,10 +136,17 @@ object Bench {
     def sampleControl(): Unit =
       SparkEntry.queries.get("w1_lag").foreach { fn =>
         val t0 = System.nanoTime()
+        // NonFatal only, with one stderr note per failure: a silently
+        // swallowed OOM here would read as a sparse "control" array —
+        // a sampling choice — instead of the failure it is (r12 ADVICE)
         try {
           fn(spark, sfDir).count()
           controlSeries += ((done.size, (System.nanoTime() - t0) / 1e9))
-        } catch { case _: Throwable => }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[bench] control sample failed at ${done.size}: ${e.getClass.getSimpleName}")
+        }
         releaseState()
       }
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>

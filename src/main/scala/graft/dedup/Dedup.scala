@@ -1390,10 +1390,15 @@ object Dedup {
     * aggregation ([[simhashDf]]) nor codegen is available — the
     * streaming ingest UDF: the column [[simhash]] evaluates one
     * interpreted higher-order pass per BIT (64 at the default width). */
+  // compiled once — String.replaceAll/split recompile per call, which
+  // is per-row work in the simhash hot path (r12)
+  private val SimhashScrubRe = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val SimhashWsRe = java.util.regex.Pattern.compile("\\s+")
+
   def simhashScalar(text: String, bits: Int = 64): Long = {
-    val norm = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", " ").trim
-    val words = norm.split("\\s+").distinct
+    val norm = SimhashScrubRe
+      .matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+    val words = SimhashWsRe.split(norm).distinct
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
     words.foreach { w =>
@@ -1693,6 +1698,29 @@ object Dedup {
     publishSimhashIndex(dir, docs, idCol, textCol, maxHamming, bits,
       blocks, mode = "append")
 
+  /** Key-derivation params persisted with the index (r12 ADVICE): a
+    * search with mismatched (bits, blocks, maxHamming) silently finds
+    * nothing — the worst failure mode, a correct-LOOKING empty result.
+    * The build writes `dir/_params`; append and search validate it and
+    * RAISE on mismatch. A missing file (legacy index) is accepted. */
+  private def simhashParamsLine(maxHamming: Int, bits: Int, blocks: Int): String =
+    s"""{"bits":$bits,"blocks":$blocks,"maxHamming":$maxHamming}"""
+
+  private def checkSimhashParams(
+      dir: String, maxHamming: Int, bits: Int, blocks: Int, site: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, "_params")
+    if (java.nio.file.Files.exists(p)) {
+      val stored = java.nio.file.Files.readString(p).trim
+      val asked = simhashParamsLine(maxHamming, bits, blocks)
+      if (stored != asked)
+        throw new graft.GraftError(
+          s"$site: index at $dir was built with $stored but the call " +
+            s"asks for $asked — keys from different parameters never " +
+            "collide usefully, so the search would return a correct-" +
+            "looking EMPTY result; match the build parameters")
+    }
+  }
+
   private def publishSimhashIndex(
       dir: String,
       docs: DataFrame,
@@ -1702,6 +1730,8 @@ object Dedup {
       bits: Int,
       blocks: Int,
       mode: String): Unit = {
+    if (mode == "append")
+      checkSimhashParams(dir, maxHamming, bits, blocks, "appendToSimhashIndex")
     // the fingerprint frame feeds BOTH writes — lazy checkpoint so the
     // text pass runs once (the dd4 aliased-recompute policy)
     val fp = spread(docs.where(col(textCol).isNotNull), idCol)
@@ -1720,6 +1750,10 @@ object Dedup {
         .as(Seq("__band", "__key")))
       .repartition(col("__band"))
       .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
+    if (mode != "append")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_params"),
+        simhashParamsLine(maxHamming, bits, blocks) + "\n")
   }
 
   /** Near-duplicate pairs of an ingest batch against a published
@@ -1749,6 +1783,7 @@ object Dedup {
       blocks: Int = 8,
       maxBucket: Int = 10000,
       dropOversized: Boolean = false): DataFrame = {
+    checkSimhashParams(dir, maxHamming, bits, blocks, "incrementalSimhashPairs")
     // batch fingerprints feed the band melt AND the verify join
     val fpNew = spread(batch.where(col(textCol).isNotNull), idCol)
       .select(col(idCol),

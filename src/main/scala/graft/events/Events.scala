@@ -1190,8 +1190,14 @@ object Events {
             "autoCoarsen=true to probe coarser powers-of-10 quanta " +
             "(binning then departs from the requested quantum)")
       else {
-        val coarser = Iterator.iterate(monetaryQuantumCents * 10L)(_ * 10L)
-          .take(8).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
+        // up-front overflow reject (r12 ADVICE): for quanta above
+        // Long.MaxValue/10 the FIRST iterate element already wraps, and
+        // a wrap landing positive and under the bound would probe a
+        // nonsense quantum — the post-wrap takeWhile can't catch that
+        val coarser =
+          if (monetaryQuantumCents > Long.MaxValue / 10L) Seq.empty[Long]
+          else Iterator.iterate(monetaryQuantumCents * 10L)(_ * 10L)
+            .take(8).takeWhile(q => q > 0L && q <= Long.MaxValue / 10L).toSeq
         if (coarser.isEmpty)
           throw new ParameterError(
             s"rfmSegments: monetaryQuantumCents=$monetaryQuantumCents is " +

@@ -138,10 +138,15 @@ object MinHashShingles {
     * space-joined n-grams, incomplete tails dropped). After the scrub
     * only [a-z0-9 ] remain, so `trim` (0x20-only in Spark) and
     * `String.trim` agree, and split keeps no trailing empties. */
+  // compiled once: String.replaceAll/split re-compile their regex per
+  // call, which is per-DOC work on the hottest kernel in the catalog
+  private val ScrubRe = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
   def shingleStrings(text: String, n: Int): Array[String] = {
-    val norm = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9 ]", " ").trim
-    val words = norm.split("\\s+")
+    val norm = ScrubRe.matcher(text.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ").trim
+    val words = WsRe.split(norm)
     val count = words.length - (n - 1)
     if (count <= 0) return Array.empty
     val out = new Array[String](count)
@@ -184,8 +189,16 @@ object MinHashShingles {
     val distinct = new java.util.HashSet[String]()
     val numHashes = bands * rowsPerBand
     val salts = Array.tabulate(numHashes)(i => (i.toString + "|").getBytes("UTF-8"))
-    val mins = new Array[String](numHashes)
+    // mins kept as RAW 16-byte digests: comparing digests as unsigned
+    // bytes is order-identical to comparing their lowercase-hex strings
+    // (each byte maps to two hex chars in value order), so the hex
+    // conversion — one 32-char String per (shingle × salt) in the old
+    // form, the dominant allocation of the whole dedup family — happens
+    // only for the numHashes winners below. digest(buf) reuses one
+    // scratch buffer; a copy is taken only when a new min is found.
+    val mins = new Array[Array[Byte]](numHashes)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val tmp = new Array[Byte](16)
     var i = 0
     while (i < sh.length) {
       if (distinct.add(sh(i))) {
@@ -195,8 +208,10 @@ object MinHashShingles {
           md.reset()
           md.update(salts(s))
           md.update(sb)
-          val h = hex(md.digest())
-          if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+          md.digest(tmp, 0, 16)
+          val cur = mins(s)
+          if (cur == null || compareUnsigned(tmp, cur) < 0)
+            mins(s) = java.util.Arrays.copyOf(tmp, 16)
           s += 1
         }
       }
@@ -210,7 +225,7 @@ object MinHashShingles {
       var r = 0
       while (r < rowsPerBand) {
         if (r > 0) sb2.append('|')
-        sb2.append(mins(b * rowsPerBand + r))
+        sb2.append(hex(mins(b * rowsPerBand + r)))
         r += 1
       }
       md.reset()
@@ -218,5 +233,17 @@ object MinHashShingles {
       b += 1
     }
     new GenericArrayData(keys)
+  }
+
+  /** Unsigned lexicographic byte-array compare — the digest order
+    * behind every min-hash (≡ lowercase-hex string order). */
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
   }
 }

@@ -160,10 +160,16 @@ object DedupBench {
       if (wantIx) {
         val ixDir = java.nio.file.Files
           .createTempDirectory("dedupbench_shix").toString
-        time(s"simhash index build (sparse)") {
-          Dedup.writeSimhashIndex(ixDir, sparseCorpus(spark, n))
-          n
-        }
+        // an only= filter matching the batch row but not the build row
+        // would skip the build inside time()'s gate and crash the batch
+        // read on a nonexistent index — build untimed in that case
+        val buildTimed = only.forall("simhash index build (sparse)".contains(_))
+        if (buildTimed)
+          time(s"simhash index build (sparse)") {
+            Dedup.writeSimhashIndex(ixDir, sparseCorpus(spark, n))
+            n
+          }
+        else Dedup.writeSimhashIndex(ixDir, sparseCorpus(spark, n))
         val batch = sparseCorpus(spark, math.max(n / 100, 1000L))
           .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
         time(s"simhash incremental batch (1%)")(

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-scratch I/O tuning shared by the harness mains (Bench /
+  * Verify / profiling tools). Guide §2.1/§6: shuffle throughput is
+  * bounded by the node's LOCAL storage as often as by the network.
+  *
+  * Two findings on this host (r12, jstack-attributed):
+  *  - `spark.file.transferTo`'s NIO path concatenates each map task's
+  *    per-partition shuffle files via FileChannel.map/unmap; under
+  *    virtualization every unmap0 is a cross-vCPU TLB shootdown, and a
+  *    trivial 32-task shuffle stage spent ~250 ms/task there. Plain
+  *    streamed copies (`transferTo=false`) cost ~23 ms/task. For LARGE
+  *    sequential merges on bare metal, zero-copy transferTo wins — so
+  *    the default is only flipped here, not hard-coded in operators,
+  *    and `SPARK_GRAFT_TRANSFER_TO=true` restores it.
+  *  - `spark.local.dir` defaults to /tmp on the slow root FS; shuffle
+  *    and spill scratch belongs on the fastest node-local device. Here
+  *    that is the RAM-backed /dev/shm (the bench's whole shuffle
+  *    working set is MBs); on a production node point
+  *    SPARK_GRAFT_LOCAL_DIR at the NVMe scratch array instead.
+  */
+object LocalIo {
+  def tune(builder: SparkSession.Builder): SparkSession.Builder = {
+    builder.config("spark.file.transferTo",
+      sys.env.getOrElse("SPARK_GRAFT_TRANSFER_TO", "false"))
+    val shm = new java.io.File("/dev/shm")
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local" else "")
+    if (localDir.nonEmpty) builder.config("spark.local.dir", localDir)
+    builder
+  }
+}

@@ -53,6 +53,18 @@ object PlanTime {
       val t2 = System.nanoTime()
       println(f"[nd] rep$i construct ${(t1 - t0) / 1e6}%8.1f ms  exec ${(t2 - t1) / 1e6}%8.1f ms  ($c rows, ${cgCount.getCount - n0} codegen compiles)")
     }
+    // pure stage-overhead probe: 3 chained 32-partition shuffles over
+    // 100k longs, timed warm
+    (1 to 4).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = spark.range(100000).toDF("id")
+        .repartition(32, col("id"))
+        .groupBy((col("id") % 1000).as("k")).agg(count(lit(1)).as("c"))
+        .repartition(32, col("k"))
+        .groupBy((col("k") % 10).as("k2")).agg(sum(col("c")).as("s"))
+        .count()
+      println(f"[synth] rep$i ${(System.nanoTime() - t0) / 1e6}%8.1f ms ($c)")
+    }
     t("cands construction") { Dedup.minhashCandidates(docs) }
     t("cands stableCheckpoint(lazy)") {
       Dedup.minhashCandidates(docs).stableCheckpoint(eager = false)

@@ -17,6 +17,7 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+    LocalIo.tune(builder) // match Bench's shuffle-scratch tuning
     // A/B conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>

@@ -118,6 +118,25 @@ class DedupIndexSpec extends SparkSpec {
     assert(hammingSet(incr).nonEmpty, "fixture produced no cross-batch pairs")
   }
 
+  test("simhash index params are persisted and a mismatched search/append " +
+    "raises instead of returning a correct-looking empty result") {
+    val ix = tmp()
+    Dedup.writeSimhashIndex(ix, docs.where($"doc_id" < cut)) // 64/8/3
+    val e1 = intercept[graft.GraftError] {
+      Dedup.incrementalSimhashPairs(
+        spark, ix, docs.where($"doc_id" >= cut), maxHamming = 2)
+    }
+    assert(e1.getMessage.contains("EMPTY"))
+    val e2 = intercept[graft.GraftError] {
+      Dedup.appendToSimhashIndex(
+        ix, docs.where($"doc_id" >= cut), bits = 32, blocks = 8, maxHamming = 3)
+    }
+    assert(e2.getMessage.contains("built with"))
+    // matching parameters still work
+    assert(Dedup.incrementalSimhashPairs(
+      spark, ix, docs.where($"doc_id" >= cut), maxHamming = 3).count() >= 0L)
+  }
+
   test("appendToSimhashIndex: a second batch checks against corpus + batch1") {
     val ix = tmp()
     val c1 = 30L
