@@ -712,9 +712,16 @@ object TextQueries {
       val clean = Dedup.decontaminateExact(
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
       // checkpoint: the budget selector makes two passes (histogram +
-      // keep-filter) — without this the decontamination chain runs twice
+      // keep-filter) — without this the decontamination chain runs twice.
+      // Spread to core-width first (r12): the join's output is byte-tiny
+      // so AQE coalesces it to ~1 partition, and BOTH downstream passes
+      // compute the CPU-dense quality score over that single task
+      // (measured 1.06 s of the pipeline wall); the checkpoint pins the
+      // spread partitioning for every consumer.
       val scored = scope.checkpoint(
-        clean.join(weights, Seq("doc_id")), eager = true)
+        clean.join(weights, Seq("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        eager = true)
       val kept = Sampling.selectByTokenBudget(scored, "doc_id",
         TextAnalysis.qualityScore(col("text")) * col("weight"),
         TextAnalysis.tokenCount(col("text")), budget = 5000)

@@ -1744,11 +1744,16 @@ object Dedup {
     // C(blocks, keep) small files — ~1,800 for the 56-table default,
     // and file creation dominated the write at catalog SF). One
     // shuffle → ≤ one file per (task, band); at volume
-    // maxRecordsPerFile splits naturally.
+    // maxRecordsPerFile splits naturally. The partition count is
+    // PINNED to the band-table count (r12): a bare repartition(col)
+    // lets AQE byte-coalesce the small shuffle back to ONE task that
+    // then writes all 56 band dirs sequentially (measured 0.93 s of
+    // the dd29 wall); nBands tasks is the write layout by definition.
+    val nBands = (0 until blocks).combinations(blocks - maxHamming).size
     fp.select(col(idCol),
       posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
         .as(Seq("__band", "__key")))
-      .repartition(col("__band"))
+      .repartition(nBands, col("__band"))
       .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
     if (mode != "append")
       java.nio.file.Files.writeString(

@@ -133,6 +133,11 @@ object Classifier {
         collect_list(struct(col("__bk").as("b"), col("__x").as("x")))
           .as("__fs"),
         sum(col("__x")).as("__n"))
+      // core-wide spread (r12): the per-doc frame is byte-tiny, so AQE
+      // coalesces it to ~1 partition and the docs × labels in-row
+      // scoring aggregate — the CPU of this chain — runs single-task
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     val scored = perDoc
       .crossJoin(broadcast(statsm)) // ≤ labels rows — bounded
       .withColumn("__S", aggregate(col("__fs"), lit(0L), (acc, f) =>
@@ -356,6 +361,10 @@ object Classifier {
         collect_list(struct(col("__bk").as("b"), col("__x").as("x")))
           .as("__fs"),
         sum(col("__x")).as("__n"))
+      // core-wide spread (r12) — see nbClassify: the scoring aggregate
+      // is CPU-dense over a byte-tiny frame
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     val scored = perDoc
       .crossJoin(broadcast(statsm)) // tags × labels rows — bounded
       .withColumn("__S", aggregate(col("__fs"), lit(0L), (acc, f) =>

@@ -2,9 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Shuffle-scratch I/O tuning shared by the harness mains (Bench /
-  * Verify / profiling tools). Guide §2.1/§6: shuffle throughput is
-  * bounded by the node's LOCAL storage as often as by the network.
+/** Session tuning shared by the harness mains (Bench / Verify /
+  * profiling tools): shuffle-scratch I/O + the AQE coalescing floor.
+  * Guide §2.1/§6: shuffle throughput is bounded by the node's LOCAL
+  * storage as often as by the network.
   *
   * Two findings on this host (r12, jstack-attributed):
   *  - `spark.file.transferTo`'s NIO path concatenates each map task's
@@ -29,6 +30,19 @@ object LocalIo {
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
       if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local" else "")
     if (localDir.nonEmpty) builder.config("spark.local.dir", localDir)
+    // AQE partition-coalescing floor. parallelismFirst (default on)
+    // coalesces down to totalBytes/defaultParallelism but never below
+    // this floor — and the 1 MB default under-parallelizes every stage
+    // whose rows are narrow but CPU-dense downstream (window/melt
+    // panels, NB scoring, text quality). That case is not local-only:
+    // at cluster scale any intermediate frame smaller than cores × 1 MB
+    // (post-aggregation panels, scored holdouts) hits the same floor
+    // with far more idle cores. 64k keeps such stages core-wide;
+    // partitions above the advisory size are untouched at any scale.
+    // Measured (sf0.1, after the transferTo fix): backtest_pipeline
+    // 1.63 → 1.06 s, d19 1.74 → 1.04 s, cl2 1.88 → 1.14 s.
+    builder.config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
     builder
   }
 }
