@@ -46,9 +46,28 @@ object Bench {
     // of them, serializing scheduling behind console I/O and bloating the
     // captured stdout. Metrics-only, benign for results (query failures
     // reach the artifact via the action's exception, not this logger).
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.scheduler.DAGScheduler",
-      org.apache.logging.log4j.Level.FATAL)
+    // r13 (ADVICE): deny ONLY that message instead of pinning the whole
+    // logger to FATAL — real scheduler errors (task-set aborts, listener
+    // failures) stay visible in captured logs.
+    locally {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val name = "org.apache.spark.scheduler.DAGScheduler"
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val lc = cfg.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case parent =>
+          val fresh = new LoggerConfig(name, parent.getLevel, true)
+          cfg.addLogger(name, fresh); fresh
+      }
+      lc.addFilter(RegexFilter.createFilter(
+        "(?s)Failed to update accumulator.*", null, false,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
 
     // warm-up: touch every table + exercise codegen/shuffle machinery once
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
@@ -103,17 +122,30 @@ object Bench {
       val total = ok.map(_._2).sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"control":$ctl,"repeats":$repeats,"sf":"$sfDir"}"""
     }
-    // The stdout copy the driver captures has truncated mid-JSON three
-    // rounds running (r7/r8/r9 artifacts: "parsed": null) even on a
-    // per-query-map line. The final stdout line therefore carries ONLY
-    // totals + errors (~100 bytes); all per-query stats live in the
-    // SPARK_GRAFT_BENCH_OUT file, which is authoritative.
-    def renderCompact(results: Seq[(String, Double, Double, Option[String])]): String = {
+    // r13: the final stdout line carries the full per-query map again
+    // (mins only, ~13 KB). The r7-r9 stdout truncation that forced the
+    // compact line was root-caused to the DAGScheduler accumulator log
+    // spam serializing the event loop behind console I/O — fixed in r12
+    // (logger pinned above ERROR, close run logged 0 traces). Without
+    // per-query timings on stdout the round driver cannot compute
+    // round-over-round status or the scaling block (PERF_r12
+    // per_query: {}). The compact totals line moves to STDERR and the
+    // SPARK_GRAFT_BENCH_OUT file (with medians + control series) stays
+    // as belt-and-braces.
+    def renderDriver(results: Seq[(String, Double, Double, Option[String])]): String = {
       val ok = results.collect { case (k, mn, _, None) => (k, mn) }
+      val qs = ok.map { case (k, mn) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
       val errs = results.collect { case (k, _, _, Some(e)) =>
         // truncate the RAW message, then escape: esc(..).take(..) can
         // cut mid-escape-sequence, leaving a lone trailing backslash
         // that escapes the closing quote and corrupts the JSON line.
+        "\"" + k + "\":\"" + esc(e.take(120)) + "\"" }.mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
+    }
+    def renderCompact(results: Seq[(String, Double, Double, Option[String])]): String = {
+      val ok = results.collect { case (k, mn, _, None) => (k, mn) }
+      val errs = results.collect { case (k, _, _, Some(e)) =>
         "\"" + k + "\":\"" + esc(e.take(120)) + "\"" }.mkString("{", ",", "}")
       val total = ok.map(_._2).sum
       s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"repeats":$repeats,"sf":"$sfDir"}"""
@@ -173,7 +205,8 @@ object Bench {
     }
     sampleControl() // bracket the run: the series ends with a fresh sample
     writeOut(render(done.toSeq))
-    println(renderCompact(done.toSeq))
+    System.err.println(renderCompact(done.toSeq))
+    println(renderDriver(done.toSeq))
     spark.stop()
   }
 }

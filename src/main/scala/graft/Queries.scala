@@ -88,10 +88,27 @@ object Queries {
     round(c * 100).cast("long")
 
   /** Supplier × ship-day price panel (close = max extendedprice: order-free). */
-  private def supplierPanel(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  private def supplierPanel(s: SparkSession, dir: String): DataFrame = {
+    // r13 (guide §2): the sf-tier lineitem is ONE parquet split (single
+    // row group), so the date parse + partial aggregation of the whole
+    // fact table ran in one task under ~95 panel queries (measured
+    // 0.52 s of every backtest chain). When the scan carries fewer
+    // splits than cores, hash-spread the 3-column projection by sid
+    // FIRST: HashPartitioning(sid) satisfies the groupBy(sid, date)
+    // clustering, so the shuffle MOVES (raw rows instead of partials),
+    // never doubles — and parse+aggregate run core-wide (0.52 → 0.38 s
+    // measured). At 100 TB the gate never fires (splits ≫ cores) and
+    // the classic scan → partial-agg → exchange shape is untouched.
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_extendedprice"))
+    val spread =
+      if (li.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        li.repartition(s.sparkContext.defaultParallelism, col("l_suppkey"))
+      else li
+    spread
       .groupBy(col("l_suppkey").as("sid"), to_date(col("l_shipdate")).as("date"))
       .agg(max(col("l_extendedprice")).as("close"))
+  }
 
   /** §3.2 trade lifecycle body shared by `trade_full` (signal date = last
     * panel date) and `trade_cal` (signal date from a closed exchange
@@ -156,8 +173,14 @@ object Queries {
       def pricesToSignals(prices: DataFrame): DataFrame =
         prices.withColumn("signal", (col("close") < 30000).cast("int"))
     }
+    // r13: the benchmark path consumes `prices` THREE times (panel
+    // chain + benchmarkReturns' grid + closes) and column pruning
+    // breaks exchange reuse across the instances — lazy checkpoint so
+    // the scan→parse→aggregate chain runs once (plan-verified: three
+    // hashpartitioning(l_suppkey) exchanges → one)
     Backtest.run(BenchmarkedDemo,
-      supplierPanel(s, dir).withColumn("sid", col("sid").cast("string")))
+      supplierPanel(s, dir).withColumn("sid", col("sid").cast("string"))
+        .stableCheckpoint(eager = false))
       .withColumn("value",
         when(col("field") === "Return", col("value") * 0.001)
           .otherwise(col("value")))
@@ -664,8 +687,13 @@ object Queries {
     // a long would overflow at |ret|≈100 × 1e12 × 50k rows) ----
     "es1_event_study" -> ((s, dir) => {
       implicit val k: Keys = liKeys
+      // r13: the ret panel feeds THREE consumers (event filter + both
+      // align join sides) — checkpoint it so the scan→agg→window chain
+      // runs once, not once per consumer (the dd4 aliased-recompute
+      // policy; profiled as two duplicate ~300 ms/task stages)
       val panel = supplierPanel(s, dir)
         .withColumn("ret", Panel.pctChange(col("close")))
+        .stableCheckpoint(eager = false)
       val events = panel.where(col("ret") < -0.5).select(col("sid"), col("date"))
       graft.panel.EventStudy.align(panel, events, 3, 3, Seq("ret"))
         .groupBy(col("offset").cast("long").as("offset"))

@@ -2,7 +2,7 @@ package graft
 
 import graft.StableCheckpoint._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,22 +25,42 @@ object TextQueries {
     * [[Queries.tempDir]] (removed recursively at JVM exit). */
   private def tempDir(prefix: String): String = Queries.tempDir(prefix)
 
+  /** r13 (guide §2): gated core-width spread for CPU-dense passes over
+    * a scan. The sf-tier documents table is ONE parquet split, so every
+    * operator that evaluates the composite quality score (≈0.1 ms/doc:
+    * ~20 stopword-marker replaces per row) directly over the scan ran
+    * it in a single task (sp5's two budget passes measured ~0.6 s/task
+    * each). Gated on the scan's split count — known statically, no
+    * probe job — so at 100 TB (splits ≫ cores) no shuffle is added and
+    * the operator sees the raw scan partitioning unchanged. */
+  private def spreadIfNarrow(s: SparkSession, df: DataFrame, key: Column): DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(s.sparkContext.defaultParallelism, key)
+    else df
+
   /** The sim7/sim8 shared index fixture: label-seeded centroids and the
     * 8×8-dim sub-codebook from the 8 lowest-id embeddings — ONE recipe,
     * so the "sim8 is result-identical to sim7" invariant (they share an
-    * oracle) can't drift. */
+    * oracle) can't drift. Both frames are dimension-sized (|labels| and
+    * m×k_sub rows) and consumed 2-4 times each downstream (assignCells
+    * broadcast, pqEncode broadcast, shape validation, index writes) —
+    * lazily checkpointed so the embeddings scan + groupBy + join behind
+    * them runs once, not once per consumer (r13, the dd4
+    * aliased-recompute policy). */
   private def ivfFixture(embs: DataFrame): (DataFrame, DataFrame) = {
     val centroids = embs
       .groupBy(col("label")).agg(min(col("vec_id")).as("__cid"))
       .join(embs.select(col("vec_id").as("__cid"), col("embedding").as("centroid")),
         "__cid")
       .select(col("label").as("cell_id"), col("centroid"))
+      .stableCheckpoint(eager = false)
     val cb = embs.where(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("code"),
         posexplode(transform(sequence(lit(0), lit(7)),
           sub => slice(col("embedding"), sub * 8 + 1, lit(8))))
           .as(Seq("subspace", "subcentroid")))
       .select(col("subspace"), col("code"), col("subcentroid"))
+      .stableCheckpoint(eager = false)
     (centroids, cb)
   }
 
@@ -205,7 +225,7 @@ object TextQueries {
     // the ≤ 10-row band-size frame, never a global rank window ----
     "sp16_curriculum" -> ((s, dir) =>
       graft.text.Sampling.curriculumOrder(
-        t(s, dir, "documents"), "doc_id",
+        spreadIfNarrow(s, t(s, dir, "documents"), col("doc_id")), "doc_id",
         graft.text.TextAnalysis.qualityScore(col("text")), bands = 10)),
 
     // sparse tf-idf document vectors, hapax tail pruned at df >= 2
@@ -217,7 +237,7 @@ object TextQueries {
     // window + boundary-bin hash sampling, never a global sort
     "sp5_token_budget" -> ((s, dir) =>
       Sampling.selectByTokenBudget(
-        t(s, dir, "documents"), "doc_id",
+        spreadIfNarrow(s, t(s, dir, "documents"), col("doc_id")), "doc_id",
         TextAnalysis.qualityScore(col("text")),
         TextAnalysis.tokenCount(col("text")),
         budget = 10000)
@@ -227,7 +247,8 @@ object TextQueries {
     // tokens with its own best docs (no crawl eats the global budget)
     "sp13_budget_per_source" -> ((s, dir) =>
       Sampling.selectByTokenBudgetPerGroup(
-        t(s, dir, "documents"), "doc_id", "source",
+        spreadIfNarrow(s, t(s, dir, "documents"), col("doc_id")),
+        "doc_id", "source",
         TextAnalysis.qualityScore(col("text")),
         TextAnalysis.tokenCount(col("text")),
         budgetPerGroup = 300)
@@ -459,7 +480,7 @@ object TextQueries {
     // mean so the aggregate hash-compares exactly
     "tx12_corpus_report" -> ((s, dir) => {
       val g = TextAnalysis.gopherSignals(col("text"))
-      t(s, dir, "documents")
+      spreadIfNarrow(s, t(s, dir, "documents"), col("doc_id"))
         .select(
           TextAnalysis.langId(col("text")).as("lang_id"),
           col("source"),
@@ -713,14 +734,24 @@ object TextQueries {
         docs.where(col("doc_id") >= 50), docs.where(col("doc_id") < 50), n = 5)
       // checkpoint: the budget selector makes two passes (histogram +
       // keep-filter) — without this the decontamination chain runs twice.
-      // Spread to core-width first (r12): the join's output is byte-tiny
-      // so AQE coalesces it to ~1 partition, and BOTH downstream passes
-      // compute the CPU-dense quality score over that single task
-      // (measured 1.06 s of the pipeline wall); the checkpoint pins the
-      // spread partitioning for every consumer.
+      // Spread to core-width (r12): the join's output is byte-tiny at
+      // small SF, so AQE coalesces it to ~1 partition and BOTH downstream
+      // passes compute the CPU-dense quality score over that single task
+      // (measured 1.06 s of the pipeline wall). r13 de-risks the spread
+      // for scale: the repartition moves the TEXT column, so it is GATED
+      // on the documents SCAN's split count (known statically, no probe
+      // job) — at 100 TB the scan carries ≥ core-width splits, the join
+      // output keeps ≥ core-width partitions under AQE's advisory size,
+      // and no extra full-corpus shuffle happens; only the
+      // under-parallelized small-scan case pays it, where the frame is
+      // tiny by construction. One checkpoint either way (the r12 cost
+      // shape), pinning the spread for both budget passes.
+      val cores = s.sparkContext.defaultParallelism
+      val needSpread = docs.rdd.getNumPartitions < cores
+      val scoredBase = clean.join(weights, Seq("doc_id"))
       val scored = scope.checkpoint(
-        clean.join(weights, Seq("doc_id"))
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        if (needSpread) scoredBase.repartition(cores, col("doc_id"))
+        else scoredBase,
         eager = true)
       val kept = Sampling.selectByTokenBudget(scored, "doc_id",
         TextAnalysis.qualityScore(col("text")) * col("weight"),

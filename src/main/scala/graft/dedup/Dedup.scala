@@ -397,9 +397,20 @@ object Dedup {
     val sim = round(
       lit(1.0) - col("edit_distance").cast("double") /
         greatest(length(col("__ta")), length(col("__tb")), lit(1)), 6)
-    candidates
+    val paired = candidates
       .join(docs.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(docs.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+    // r13 (guide §2): levenshtein is O(|a|·|b|) per pair — CPU-dense on
+    // byte-small rows. When the docs scan is narrower than core width
+    // (small-SF single split → broadcast joins keep its partitioning →
+    // the verify ran in ONE ~0.9 s task), spread the paired frame first;
+    // at scale the join exchanges already spread it and the gate is off.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores)
+        paired.repartition(cores, col("id_a"), col("id_b"))
+      else paired
+    spread
       .withColumn("edit_distance",
         levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("similarity", sim)
@@ -1234,8 +1245,21 @@ object Dedup {
       clusters: DataFrame,
       quality: Column,
       idCol: String = "doc_id"): DataFrame = {
-    val clustered = docs
+    val joined = docs
       .join(clusters.select(col("id").as(idCol), col("cluster")), Seq(idCol))
+    // r13 (guide §2): when the docs scan is narrower than core width,
+    // the broadcast join keeps its partitioning and the (potentially
+    // expensive) quality expression evaluates in ONE task. The gated
+    // spread keys on the WINDOW's own partition column, so the ranking
+    // window reuses the exchange — the static plan gains no shuffle —
+    // and the quality Project lands post-exchange at core width. At
+    // scale (splits ≥ cores) the gate is off and the shape is r12's.
+    val cores = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < cores)
+        joined.repartition(cores, col("cluster"))
+      else joined
+    val clustered = spread
       .select(col(idCol), col("cluster"), quality.as("__q"))
     val losers = clustered
       .withColumn("__rn", row_number().over(
@@ -1706,11 +1730,25 @@ object Dedup {
   private def simhashParamsLine(maxHamming: Int, bits: Int, blocks: Int): String =
     s"""{"bits":$bits,"blocks":$blocks,"maxHamming":$maxHamming}"""
 
+  // r13 (ADVICE): `_params` goes through Hadoop's FileSystem like the
+  // bands parquet itself, so the guard holds for hdfs://, s3a:// and
+  // any other non-local index dir (the java.nio version threw after
+  // writing bands on write, and silently skipped validation on read).
+  private def paramsPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_params")
+
   private def checkSimhashParams(
+      spark: org.apache.spark.sql.SparkSession,
       dir: String, maxHamming: Int, bits: Int, blocks: Int, site: String): Unit = {
-    val p = java.nio.file.Paths.get(dir, "_params")
-    if (java.nio.file.Files.exists(p)) {
-      val stored = java.nio.file.Files.readString(p).trim
+    val p = paramsPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      val stored =
+        buf.toString(java.nio.charset.StandardCharsets.UTF_8.name()).trim
       val asked = simhashParamsLine(maxHamming, bits, blocks)
       if (stored != asked)
         throw new graft.GraftError(
@@ -1731,7 +1769,8 @@ object Dedup {
       blocks: Int,
       mode: String): Unit = {
     if (mode == "append")
-      checkSimhashParams(dir, maxHamming, bits, blocks, "appendToSimhashIndex")
+      checkSimhashParams(docs.sparkSession, dir, maxHamming, bits, blocks,
+        "appendToSimhashIndex")
     // the fingerprint frame feeds BOTH writes — lazy checkpoint so the
     // text pass runs once (the dd4 aliased-recompute policy)
     val fp = spread(docs.where(col(textCol).isNotNull), idCol)
@@ -1755,10 +1794,15 @@ object Dedup {
         .as(Seq("__band", "__key")))
       .repartition(nBands, col("__band"))
       .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
-    if (mode != "append")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "_params"),
-        simhashParamsLine(maxHamming, bits, blocks) + "\n")
+    if (mode != "append") {
+      val p = paramsPath(dir)
+      val fs = p.getFileSystem(
+        docs.sparkSession.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write((simhashParamsLine(maxHamming, bits, blocks) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   /** Near-duplicate pairs of an ingest batch against a published
@@ -1788,7 +1832,8 @@ object Dedup {
       blocks: Int = 8,
       maxBucket: Int = 10000,
       dropOversized: Boolean = false): DataFrame = {
-    checkSimhashParams(dir, maxHamming, bits, blocks, "incrementalSimhashPairs")
+    checkSimhashParams(spark, dir, maxHamming, bits, blocks,
+      "incrementalSimhashPairs")
     // batch fingerprints feed the band melt AND the verify join
     val fpNew = spread(batch.where(col(textCol).isNotNull), idCol)
       .select(col(idCol),

@@ -486,17 +486,28 @@ object PageRank {
       var frontier = dist.select(col("node"))
       var hop = 1
       var done = false
+      // r13 (guide §2 — job latency): ONE job per hop instead of three.
+      // The hop frame checkpoints LAZILY with a STATIC (AQE-off) capture
+      // and the termination probe is a count() on it — the static
+      // captured plan runs as one RDD lineage inside the count's single
+      // job (an AQE capture would launch a separate stage-job per
+      // exchange at materialization), and the count doubles as the
+      // materialization (was: eager checkpoint job + isEmpty job). The
+      // visited set stays a lazy UNION of the already-cached hop frames
+      // — correct because every constituent is checkpointed before it
+      // joins the union, and K ≤ maxHops keeps the plan bounded — where
+      // re-checkpointing the union each hop cost a third job per hop
+      // for data already cached.
       while (hop <= maxHops && !done) {
         val next = scope.checkpoint(
           und.join(frontier.withColumnRenamed("node", "__s"), "__s")
             .select(col("__d").as("node")).distinct()
             .join(dist.select(col("node")), Seq("node"), "left_anti")
             .withColumn("dist", lit(hop.toLong)),
-          eager = true, stable = false)
-        if (next.isEmpty) done = true
+          eager = false, stable = false)
+        if (next.count() == 0L) done = true
         else {
-          dist = scope.checkpoint(dist.unionByName(next),
-            eager = true, stable = false)
+          dist = dist.unionByName(next)
           frontier = next.select(col("node"))
           hop += 1
         }

@@ -295,6 +295,9 @@ object Evaluation {
       .select(col(scoreCol).as("__s"), lbl.as("__y"))
       .groupBy(s)
       .agg(sum(col("__y")).as("__p"), count(lit(1)).as("__c"))
+      // r13: lazy checkpoint — the totals agg below otherwise re-runs
+      // the histogram's ENTIRE upstream (the cohenKappa lesson)
+      .stableCheckpoint(eager = false)
     // "__pt", NOT "__P": Spark resolves columns case-insensitively, so
     // "__P" next to "__p" is a silent collision
     val totals = perScore.agg(
@@ -346,8 +349,12 @@ object Evaluation {
     val histV = tagged
       .groupBy(col("__v"))
       .agg(sum(col("__a")).as("__ca0"), sum(col("__b")).as("__cb0"))
-    val totals = tagged.agg(
-      sum(col("__a")).as("__na0"), sum(col("__b")).as("__nb0"))
+      // r13: lazy checkpoint — totals then derive from the ≤|distinct|
+      // histogram instead of re-running both input scans (cohenKappa
+      // lesson); Σ per-value counts ≡ the input row counts exactly
+      .stableCheckpoint(eager = false)
+    val totals = histV.agg(
+      sum(col("__ca0")).as("__na0"), sum(col("__cb0")).as("__nb0"))
     // range-probed bucket width (r9): a hardcoded [0,1]-score width
     // regresses to one-bucket-per-value on wide-domain FEATURE columns
     // (cents), re-creating the single-task scan; the probe adapts to
@@ -932,6 +939,8 @@ object Evaluation {
       .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
+      // r13: lazy checkpoint — totals otherwise re-run the upstream
+      .stableCheckpoint(eager = false)
     val totals = perT.agg(
       sum(col("__pos")).as("__P"), sum(col("__c")).as("__N"))
     graft.panel.PrefixSum.inclusiveAuto(
@@ -1045,6 +1054,8 @@ object Evaluation {
       .select(round(col(scoreCol), 6).as("__s"), lbl.as("__y"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+      // r13: lazy checkpoint — totals otherwise re-run the upstream
+      .stableCheckpoint(eager = false)
     val totals = hist0.agg(
       sum(col("__c")).as("__tot"), sum(col("__p")).as("__ptot"))
     val hist = graft.panel.PrefixSum.inclusiveAuto(
@@ -1140,6 +1151,8 @@ object Evaluation {
       .select(round(col(scoreCol), 6).as("threshold"), lbl.as("__y"))
       .groupBy(t)
       .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__c"))
+      // r13: lazy checkpoint — totals otherwise re-run the upstream
+      .stableCheckpoint(eager = false)
     // "__ptot", NOT "__P" — the averagePrecision case-collision lesson
     val totals = perT.agg(
       sum(col("__pos")).as("__ptot"), sum(col("__c")).as("__ntot"))

@@ -458,6 +458,12 @@ object MediaCodec {
   // measured at sf0.1: the mm2 decode stage ran ~1.0 s/task with disk
   // cache vs ~0.1 s/task in-memory. All payloads here are byte arrays,
   // so the memory cache is strictly correct and strictly cheaper.
+  // NOTE (r13 ADVICE): setUseCache is a JVM-GLOBAL toggle — it affects
+  // every ImageIO user co-hosted in this executor JVM, not just this
+  // codec. Acceptable for this framework's executors (all media flows
+  // through in-memory byte arrays); a host embedding this library next
+  // to disk-streaming ImageIO code should be aware it fires at
+  // MediaCodec class-load.
   javax.imageio.ImageIO.setUseCache(false)
 
   def open(dim: Int): MediaCodec = new MediaCodec(dim)

@@ -35,10 +35,15 @@ object Quantiles {
       if (q <= 0 || q > 1) throw new ParameterError(s"q must be in (0, 1]: $q")
     }
     val g = groupCols.map(col)
-    val hist = df
-      .select(g :+ vCol.cast("long").as("__v"): _*)
-      .groupBy(g :+ col("__v"): _*)
-      .agg(count(lit(1)).as("__c"))
+    val hist = {
+      import graft.StableCheckpoint._
+      df.select(g :+ vCol.cast("long").as("__v"): _*)
+        .groupBy(g :+ col("__v"): _*)
+        .agg(count(lit(1)).as("__c"))
+        // r13: lazy checkpoint — the totals agg below otherwise
+        // re-runs the histogram's entire upstream (cohenKappa lesson)
+        .stableCheckpoint(eager = false)
+    }
     val cum = PrefixSum.inclusiveAuto(
       hist, "__v", Seq("__cum" -> "__c"), partCols = groupCols)
     val totals = hist.groupBy(g: _*).agg(sum(col("__c")).as("n"))

@@ -482,13 +482,32 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val (m, subDim) = codebookShape(codebooks)
-    assignCells(corpus, centroids, vecCol, idCol)
-      .select(col(idCol), col("cell_id"))
-      .join(pqEncodeShaped(corpus, codebooks, m, subDim, idCol, vecCol), idCol)
-      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/codes")
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // r13 (guide §2.6): the three writes are independent — submit them
+    // from a small thread pool so the two dimension-table writes
+    // back-fill executors freed by the codes write's tail instead of
+    // serializing three jobs. Spark's scheduler runs concurrent jobs
+    // from one application natively; job descriptions are thread-local.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future {
+        // repartition by the write's partition column so each cell dir
+        // gets one file per holding task instead of one per upstream
+        // partition (r12 dd29 lesson) — the search-side scan then opens
+        // |probed cells| files, not |cells|×|tasks| (measured: the codes
+        // scan cost 32 × 88 ms of footer/open overhead on the fragmented
+        // layout). Unpinned: AQE sizes the task count to the write mass.
+        assignCells(corpus, centroids, vecCol, idCol)
+          .select(col(idCol), col("cell_id"))
+          .join(pqEncodeShaped(corpus, codebooks, m, subDim, idCol, vecCol), idCol)
+          .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+          .repartition(col("cell_id"))
+          .write.mode("overwrite").partitionBy("cell_id").parquet(s"$dir/codes")
+      },
+      Future { centroids.write.mode("overwrite").parquet(s"$dir/centroids") },
+      Future { codebooks.write.mode("overwrite").parquet(s"$dir/codebooks") })
+    Await.result(Future.sequence(writes), Duration.Inf): Unit
   }
 
   /** Search a [[writeIvfadcIndex]]-published index. Result-identical to

@@ -131,9 +131,15 @@ object Bpe {
     if (numMerges <= 0)
       throw new ParameterError(s"numMerges must be positive: $numMerges")
     val spark = docs.sparkSession
+    // r13 (guide §2 — job latency): LAZY checkpoints. Each step's top-1
+    // job materializes the current vocab's blocks as a side effect, so
+    // the loop costs ONE job per merge instead of two (eager checkpoint
+    // job + top-1 job); the next step's mergePass then reads the cached
+    // blocks. Lineage still truncates at every step — the chained HOF
+    // folds never stack in one expression tree.
     var vocab = wordFreqs(docs, idCol, textCol, minFreq)
       .select(charSeq(col("word")).as("__seq"), col("freq"))
-      .stableCheckpoint()
+      .stableCheckpoint(eager = false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -147,7 +153,7 @@ object Bpe {
         merges += ((step, l, r, f))
         vocab = vocab
           .select(mergePass(col("__seq"), l, r).as("__seq"), col("freq"))
-          .stableCheckpoint()
+          .stableCheckpoint(eager = false)
         step += 1
       }
     }

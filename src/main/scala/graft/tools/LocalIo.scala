@@ -26,9 +26,17 @@ object LocalIo {
   def tune(builder: SparkSession.Builder): SparkSession.Builder = {
     builder.config("spark.file.transferTo",
       sys.env.getOrElse("SPARK_GRAFT_TRANSFER_TO", "false"))
+    // r13 (ADVICE): the tmpfs default is additionally gated on free
+    // space — a spill-heavy run on a tight host would otherwise exhaust
+    // /dev/shm (typically 50% of RAM) and die with a "No space left on
+    // device" that reads as a disk problem rather than memory pressure.
+    // Below 8 GiB free the default falls back to Spark's own /tmp; the
+    // explicit env override is always honored.
     val shm = new java.io.File("/dev/shm")
+    val shmOk = shm.isDirectory && shm.canWrite &&
+      shm.getUsableSpace >= 8L * 1024 * 1024 * 1024
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-spark-local" else "")
+      if (shmOk) "/dev/shm/graft-spark-local" else "")
     if (localDir.nonEmpty) builder.config("spark.local.dir", localDir)
     // AQE partition-coalescing floor. parallelismFirst (default on)
     // coalesces down to totalBytes/defaultParallelism but never below
