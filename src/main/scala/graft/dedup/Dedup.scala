@@ -28,9 +28,23 @@ object Dedup {
     * layout (e.g. one small parquet file locally, or a few dense splits
     * on a cluster) otherwise serializes the hashing onto few tasks; the
     * groupBy(id) that follows reuses this partitioning, so the shuffle
-    * is moved, not added. */
-  private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+    * is moved, not added.
+    *
+    * r13: when the input carries fewer splits than cores, the width is
+    * PINNED to defaultParallelism — the bare keyed repartition lets AQE
+    * byte-coalesce the tiny exchange (64k floor ⇒ ~10 tasks for the
+    * sf-tier corpus) and the CPU-dense shingle/minhash pass runs below
+    * core width. Above core width the unpinned form stays: pinning a
+    * 100 TB corpus to |cores| partitions would build giant spill-prone
+    * tasks (§5), while AQE's byte-based sizing is the right scaler.
+    * Callers pass scan-shaped frames (scan/filter/project/union), so
+    * the split probe reads statically-known leaf partitioning — no job. */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores)
+      df.repartition(cores, col(idCol))
+    else df.repartition(col(idCol))
+  }
 
   /** Exact duplicate groups: md5 over normalized text, keep the lowest id
     * as canonical. Returns (content_key, canonical_id, dup_count). */
@@ -1777,7 +1791,6 @@ object Dedup {
       .select(col(idCol),
         graft.functions.SimHash.simhashNative(col(textCol), bits).as("__fp"))
       .stableCheckpoint(eager = false)
-    fp.write.mode(mode).parquet(s"$dir/fp")
     // repartition on the table position before the partitioned write:
     // without it every task writes into every __band dir (tasks ×
     // C(blocks, keep) small files — ~1,800 for the 56-table default,
@@ -1788,12 +1801,27 @@ object Dedup {
     // lets AQE byte-coalesce the small shuffle back to ONE task that
     // then writes all 56 band dirs sequentially (measured 0.93 s of
     // the dd29 wall); nBands tasks is the write layout by definition.
+    // r13 (guide §2.6): the fp and bands writes are independent given
+    // the checkpointed fingerprint frame — submit both from a thread
+    // pool; concurrent first-touch of the lazy checkpoint is safe (the
+    // block manager's per-partition compute lock makes one job compute
+    // a partition and the other wait on the cached block).
     val nBands = (0 until blocks).combinations(blocks - maxHamming).size
-    fp.select(col(idCol),
-      posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
-        .as(Seq("__band", "__key")))
-      .repartition(nBands, col("__band"))
-      .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future { fp.write.mode(mode).parquet(s"$dir/fp") },
+        Future {
+          fp.select(col(idCol),
+            posexplode(blockedKeyArray("__fp", bits, blocks, maxHamming))
+              .as(Seq("__band", "__key")))
+            .repartition(nBands, col("__band"))
+            .write.mode(mode).partitionBy("__band").parquet(s"$dir/bands")
+        })
+      Await.result(Future.sequence(writes), Duration.Inf): Unit
+    }
     if (mode != "append") {
       val p = paramsPath(dir)
       val fs = p.getFileSystem(
